@@ -1,0 +1,202 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Semantic type detection — the reference's priority ladder
+  * (`detect_column_type`, `Latanova_v1.py:124-170`) re-expressed as
+  * ONE fused whole-table aggregation producing every signal for every
+  * column in a single scan, followed by a driver-side fold through the
+  * ladder. The reference scans each column up to ~6 times per column;
+  * at 100 TB one shared scan is the structural win (SURVEY.md §4.1).
+  */
+object Detector {
+
+  /** Boolean token universe (`Latanova_v1.py:135`). */
+  val boolTokens: Seq[String] =
+    Seq("true", "false", "1", "0", "yes", "no", "y", "n", "t", "f")
+  val trueTokens: Seq[String]  = Seq("true", "yes", "1", "y", "t")
+  val falseTokens: Seq[String] = Seq("false", "no", "0", "n", "f")
+
+  /** Date formats attempted when parsing strings as datetimes — the 3
+    * render formats the reference detects (`Latanova_v1.py:284-292`)
+    * plus ISO timestamp variants. Pandas `to_datetime` is far more
+    * lenient; our supported set is explicit and documented. */
+  val dateFormats: Seq[String] = Seq(
+    "yyyy-MM-dd", "MM/dd/yyyy", "dd-MM-yyyy",
+    "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss")
+
+  /** Null-on-failure timestamp parse across all supported formats
+    * (pd.to_datetime errors='coerce', `Latanova_v1.py:163,278`). */
+  def tryParseDate(s: Column): Column =
+    coalesce(dateFormats.map(f => try_to_timestamp(s, lit(f))): _*)
+
+  /** Null-on-failure numeric coercion (pd.to_numeric errors='coerce',
+    * `Latanova_v1.py:149`). try_cast is ANSI-mode independent. */
+  def tryNumeric(s: Column): Column = s.try_cast(DoubleType)
+
+  private def norm(c: Column): Column = lower(trim(c.cast(StringType)))
+
+  /** Email heuristic: contains '@' and a dot in the domain part
+    * (`check_special_formats`, `Latanova_v1.py:71-77`). */
+  def emailLoose(c: Column): Column = {
+    val s = trim(c.cast(StringType))
+    s.contains("@") && element_at(split(s, "@"), -1).contains(".")
+  }
+
+  /** Anchored email for strictFormats mode. */
+  def emailStrict(c: Column): Column =
+    trim(c.cast(StringType)).rlike("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")
+
+  /** Phone heuristic: 7–15 digits after stripping non-digits
+    * (`Latanova_v1.py:78-85`). */
+  def phoneLoose(c: Column): Column =
+    length(regexp_replace(trim(c.cast(StringType)), "\\D", "")).between(7, 15)
+
+  /** Anchored phone for strictFormats: optional +, digits with phone
+    * punctuation only, 7–15 digits total — excludes ISO dates (dashes
+    * in date positions fail the shape) and street addresses (letters). */
+  def phoneStrict(c: Column): Column = {
+    val s = trim(c.cast(StringType))
+    s.rlike("^\\+?[0-9][0-9 ().x-]{5,24}$") &&
+      length(regexp_replace(s, "\\D", "")).between(7, 15)
+  }
+
+  /** Boolean coercion expression: tokens → true/false/null
+    * (`Latanova_v1.py:236-241`). Works on native booleans too. */
+  def coerceBoolean(c: Column): Column =
+    when(norm(c).isin(trueTokens: _*), lit(true))
+      .when(norm(c).isin(falseTokens: _*), lit(false))
+
+  /** All aggregate signal expressions for one column; aliases are
+    * `<colName>#<signal>`. */
+  private def signalExprs(field: StructField, cfg: DetectorConfig): Seq[Column] = {
+    val name = field.name
+    val c = col(name)
+    val s = trim(c.cast(StringType))
+    val ns = norm(c)
+    def a(sig: String, e: Column): Column = e.as(s"$name#$sig")
+    val emailPred = if (cfg.strictFormats) emailStrict(c) else emailLoose(c)
+    val phonePred = if (cfg.strictFormats) phoneStrict(c) else phoneLoose(c)
+    val coerced = tryNumeric(s)
+    val parsedDate = field.dataType match {
+      case _: TimestampType | DateType => c.cast(TimestampType)
+      case _ => tryParseDate(s)
+    }
+    def ratio(pred: Column): Column =
+      avg(when(c.isNotNull, when(pred, 1.0).otherwise(0.0)))
+    val voteExprs = BoolFormat.all.map { f =>
+      val tokens = f match {
+        case BoolFormat.TrueFalse => Seq("true", "false")
+        case BoolFormat.YesNo     => Seq("yes", "no")
+        case BoolFormat.OneZero   => Seq("1", "0")
+        case BoolFormat.YN        => Seq("y", "n")
+        case BoolFormat.TF        => Seq("t", "f")
+        case BoolFormat.Native    => Seq("true", "false")
+      }
+      val pred = f match {
+        // 'bool' format means the physical dtype is boolean
+        case BoolFormat.Native => lit(field.dataType == BooleanType) && c.isNotNull
+        case _ => ns.isin(tokens: _*)
+      }
+      a(s"vote_${f.name}", sum(when(pred, 1L).otherwise(0L)))
+    }
+    Seq(
+      a("n", count(c)),
+      // rank-9 categorical rule counts TRIMMED distinct strings
+      // (`Latanova_v1.py:166-167`) …
+      a("distinct", count_distinct(s)),
+      // … while the rank-3 boolean rule counts LOWER+TRIM distinct
+      // (`Latanova_v1.py:133-134`) — two different cardinalities.
+      a("distinct_norm", count_distinct(ns)),
+      // single-pass "all values ⊆ boolTokens" (`Latanova_v1.py:135-136`)
+      a("nonbool", max(when(c.isNotNull, when(ns.isin(boolTokens: _*), 0).otherwise(1)))),
+      a("email", ratio(emailPred)),
+      a("phone", ratio(phonePred)),
+      a("numeric", ratio(coerced.isNotNull)),
+      a("intnum", sum(when(coerced.isNotNull && coerced === floor(coerced), 1L).otherwise(0L))),
+      a("numn", sum(when(coerced.isNotNull, 1L).otherwise(0L))),
+      a("date", ratio(parsedDate.isNotNull))
+    ) ++ voteExprs
+  }
+
+  /** Compute every detection signal for every requested column in ONE
+    * aggregation (one table scan, partial+final HashAggregate). */
+  def signals(df: DataFrame, cfg: DetectorConfig = DetectorConfig(),
+              columns: Seq[String] = Nil): Seq[ColumnSignals] = {
+    val fields =
+      if (columns.isEmpty) df.schema.fields.toSeq
+      else columns.map(n => df.schema(n))
+    val exprs = fields.flatMap(f => signalExprs(f, cfg))
+    val row: Row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    val idx = row.schema.fieldNames.zipWithIndex.toMap
+    def d(n: String, s: String): Double =
+      if (row.isNullAt(idx(s"$n#$s"))) 0.0 else row.getDouble(idx(s"$n#$s"))
+    def l(n: String, s: String): Long =
+      if (row.isNullAt(idx(s"$n#$s"))) 0L else row.getLong(idx(s"$n#$s"))
+    fields.map { f =>
+      val n = f.name
+      val numn = l(n, "numn")
+      ColumnSignals(
+        name = n,
+        dataType = f.dataType,
+        n = l(n, "n"),
+        nDistinct = l(n, "distinct"),
+        nDistinctNorm = l(n, "distinct_norm"),
+        allBoolTokens = row.isNullAt(idx(s"$n#nonbool")) || row.getInt(idx(s"$n#nonbool")) == 0,
+        emailRatio = d(n, "email"),
+        phoneRatio = d(n, "phone"),
+        numericRatio = d(n, "numeric"),
+        integralRatio = if (numn == 0) 0.0 else l(n, "intnum").toDouble / numn,
+        dateRatio = d(n, "date"),
+        boolVotes = BoolFormat.all.map(f2 => f2 -> l(n, s"vote_${f2.name}")).toMap)
+    }
+  }
+
+  private def isNumericType(t: DataType): Boolean = t match {
+    case _: ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | _: DecimalType => true
+    case _ => false
+  }
+  private def isDatetimeType(t: DataType): Boolean = t match {
+    case _: TimestampType | DateType => true
+    case _ => false
+  }
+
+  /** The ladder itself (`Latanova_v1.py:129-170`), folded over the
+    * collected signals — pure driver-side logic, zero extra scans.
+    *
+    * referenceCompat (default): exact reference precedence, including
+    * the quirk that special formats are checked on EVERY column before
+    * the numeric/datetime rules (`Latanova_v1.py:138-140`) — so ISO
+    * dates, street addresses, and 7–15-digit integer IDs all classify
+    * as `phone` (SURVEY.md §1).
+    *
+    * strictFormats: hoists the datetime rule above email/phone and
+    * uses anchored regexes, so those columns classify correctly. */
+  def classify(sig: ColumnSignals, cfg: DetectorConfig = DetectorConfig()): SemanticType = {
+    import SemanticType._
+    val t = cfg.specialFormatThreshold
+    def numericSplit: SemanticType =
+      if (sig.integralRatio >= cfg.integralThreshold) Integer else Float
+    if (sig.n == 0) Unknown
+    else if (sig.dataType == BooleanType) Boolean
+    else if (sig.nDistinctNorm <= 3 && sig.allBoolTokens) Boolean
+    else if (cfg.strictFormats && !isNumericType(sig.dataType)
+             && (isDatetimeType(sig.dataType) || sig.dateRatio >= cfg.dateThreshold)) Datetime
+    else if (sig.emailRatio > t) Email
+    else if (sig.phoneRatio > t && !(cfg.strictFormats && isNumericType(sig.dataType))) Phone
+    else if (isNumericType(sig.dataType)) numericSplit
+    else if (sig.numericRatio >= cfg.numericThreshold && sig.n > 0) numericSplit
+    else if (isDatetimeType(sig.dataType) || sig.dateRatio >= cfg.dateThreshold) Datetime
+    else if (sig.uniqueRatio <= cfg.uniqueThreshold && sig.nDistinct < cfg.maxCategories) Categorical
+    else Text
+  }
+
+  /** Detect all columns of a table: one scan + driver fold. */
+  def detect(df: DataFrame, cfg: DetectorConfig = DetectorConfig(),
+             columns: Seq[String] = Nil): Map[String, (SemanticType, ColumnSignals)] = {
+    signals(df, cfg, columns).map(s => s.name -> (classify(s, cfg), s)).toMap
+  }
+}

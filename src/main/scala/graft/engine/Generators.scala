@@ -1,0 +1,95 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Synthetic-data samplers (`Latanova_v1.py:300-423`), re-expressed as
+  * pure column expressions over a seeded `spark.range(n)` — one
+  * codegen'd projection, no shuffle, linear scale-out (SURVEY.md §4.3).
+  * RNG parity with NumPy is distributional, not bitwise (§2.6 note).
+  */
+object Generators {
+
+  /** Clipped Gaussian numeric (`generate_synthetic_numeric`,
+    * `Latanova_v1.py:346-364`): N(mean,std) clipped to [min,max];
+    * integers round half-even to long (np.round is half-even → bround),
+    * floats round to 2 decimals. */
+  def numeric(stats: NumericStats, isInteger: Boolean, seed: Long): Column = {
+    val raw = randn(seed) * lit(stats.std) + lit(stats.mean)
+    val clipped = least(greatest(raw, lit(stats.min)), lit(stats.max))
+    if (isInteger) bround(clipped).cast(LongType)
+    else bround(clipped, 2)
+  }
+
+  /** Bernoulli boolean with format rendering
+    * (`generate_synthetic_boolean`, `Latanova_v1.py:366-389`);
+    * default p=0.5 when no stats. */
+  def boolean(stats: Option[BooleanStats], format: Option[BoolFormat], seed: Long): Column = {
+    val p = stats.map(_.trueProb).getOrElse(0.5)
+    val b = rand(seed) < lit(p)
+    format.getOrElse(BoolFormat.TrueFalse) match {
+      case BoolFormat.Native => b
+      case f => when(b, lit(f.trueToken)).otherwise(lit(f.falseToken))
+    }
+  }
+
+  /** Inverse-CDF categorical sampler (`generate_synthetic_categorical`,
+    * `Latanova_v1.py:391-402`): np.random.choice(categories, p=probs)
+    * as a when-chain over cumulative probabilities (K < 50 by the
+    * detection rule, so the chain stays small and codegen'd). */
+  def categorical(stats: CategoricalStats, seed: Long): Column = {
+    if (stats.categories.isEmpty) return lit("")
+    val u = rand(seed)
+    val cum = stats.probabilities.scanLeft(0.0)(_ + _).tail
+    val head = when(u < lit(cum.head), lit(stats.categories.head))
+    val chain = stats.categories.tail.zip(cum.tail).foldLeft(head) {
+      case (acc, (cat, hi)) => acc.when(u < lit(hi), lit(cat))
+    }
+    chain.otherwise(lit(stats.categories.last))
+  }
+
+  /** Clipped-Gaussian datetime rendered in the detected format
+    * (`generate_synthetic_datetime`, `Latanova_v1.py:404-423`);
+    * σ=0 falls back to 30 days exactly like the reference (`:411`). */
+  def datetime(stats: DatetimeStats, format: Option[String], seed: Long): Column = {
+    val e = stats.epoch
+    val std = if (e.std > 0) e.std else 86400.0 * 30
+    val raw = randn(seed) * lit(std) + lit(e.mean)
+    val clipped = least(greatest(raw, lit(e.min)), lit(e.max))
+    val ts = timestamp_seconds(clipped.cast(LongType))
+    val fmt = format.orNull match {
+      case "MM/DD/YYYY" => "MM/dd/yyyy"
+      case "DD-MM-YYYY" => "dd-MM-yyyy"
+      case _            => "yyyy-MM-dd" // YYYY-MM-DD and default (`:421-422`)
+    }
+    date_format(ts, fmt)
+  }
+
+  /** Bootstrap resample-with-replacement from profiled raw entries —
+    * the email/phone path (`Latanova_v1.py:306-309`). The entries
+    * array is bounded (Profiler.rawSample cap) and broadcast-joined:
+    * no shuffle of the generated side. */
+  def bootstrap(spark: SparkSession, base: DataFrame, entries: Seq[String],
+                outName: String, seed: Long): DataFrame = {
+    if (entries.isEmpty) return base.withColumn(outName, lit(""))
+    import spark.implicits._
+    val k = entries.size
+    val table = entries.zipWithIndex.toDF(outName, "__bootstrap_idx")
+    val withIdx = base.withColumn("__bootstrap_idx",
+      floor(rand(seed) * lit(k)).cast(IntegerType))
+    withIdx.join(broadcast(table), "__bootstrap_idx").drop("__bootstrap_idx")
+  }
+
+  /** Pattern fallback generators when a bootstrap source is empty
+    * (`Latanova_v1.py:310-316`). */
+  def emailFallback(seed: Long): Column =
+    format_string("user%d@example.com",
+      (floor(rand(seed) * 9000) + 1000).cast(IntegerType))
+  def phoneFallback(seed: Long): Column =
+    format_string("+7 %d %d-%d-%d",
+      (floor(rand(seed + 1) * 900) + 100).cast(IntegerType),
+      (floor(rand(seed + 2) * 900) + 100).cast(IntegerType),
+      (floor(rand(seed + 3) * 90) + 10).cast(IntegerType),
+      (floor(rand(seed + 4) * 90) + 10).cast(IntegerType))
+}

@@ -1,0 +1,162 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-type statistical profilers (`Latanova_v1.py:173-298`), fused:
+  * all numeric, datetime and boolean columns of a table are profiled in
+  * ONE aggregation pass (the reference re-scans per column); only
+  * categorical columns need their own (tiny) groupBy each.
+  *
+  * Numerical parity choices (SURVEY.md §4.5): `stddev_pop` (np.std is
+  * ddof=0), exact `percentile` with linear interpolation
+  * (np.percentile default), Spark `skewness`/`kurtosis` (population g1
+  * / excess g2 = scipy bias=True, fisher=True).
+  */
+object Profiler {
+
+  /** The 10 numeric profile aggregates (`Latanova_v1.py:173-191`) over
+    * an arbitrary value expression. Aliases are `<prefix>#<stat>`. */
+  def numericExprs(value: Column, prefix: String): Seq[Column] = Seq(
+    avg(value).as(s"$prefix#mean"),
+    stddev_pop(value).as(s"$prefix#std"),
+    percentile(value, lit(0.5)).as(s"$prefix#median"),
+    min(value).cast(DoubleType).as(s"$prefix#min"),
+    max(value).cast(DoubleType).as(s"$prefix#max"),
+    skewness(value).as(s"$prefix#skew"),
+    kurtosis(value).as(s"$prefix#kurt"),
+    percentile(value, lit(0.25)).as(s"$prefix#q1"),
+    percentile(value, lit(0.75)).as(s"$prefix#q3"),
+    count(value).as(s"$prefix#n"))
+
+  private def numericFromRow(row: Row, idx: Map[String, Int], prefix: String): NumericStats = {
+    def d(s: String): Double = {
+      val i = idx(s"$prefix#$s")
+      if (row.isNullAt(i)) 0.0 else row.getDouble(i)
+    }
+    val n = row.getLong(idx(s"$prefix#n"))
+    NumericStats(
+      mean = d("mean"),
+      std = if (n > 1) d("std") else 0.0,          // len>1 else 0 (`:181`)
+      median = d("median"),
+      min = d("min"), max = d("max"),
+      skewness = if (n > 2) d("skew") else 0.0,    // len>2 else 0 (`:185`)
+      kurtosis = if (n > 3) d("kurt") else 0.0,    // len>3 else 0 (`:186`)
+      q1 = d("q1"), q3 = d("q3"), count = n)
+  }
+
+  /** Numeric value expression for a column of any physical type:
+    * numeric dtypes pass through, strings go through null-on-failure
+    * coercion (pd.to_numeric errors='coerce', `Latanova_v1.py:649`). */
+  def numericValue(field: StructField): Column = field.dataType match {
+    case t if t.isInstanceOf[NumericType] => col(field.name).cast(DoubleType)
+    case _ => Detector.tryNumeric(trim(col(field.name).cast(StringType)))
+  }
+
+  /** Epoch-seconds expression for a datetime column
+    * (`dates.astype(np.int64) // 10**9`, `Latanova_v1.py:281`). */
+  def epochValue(field: StructField): Column = field.dataType match {
+    case _: TimestampType | DateType => unix_timestamp(col(field.name))
+    case _ => unix_timestamp(Detector.tryParseDate(trim(col(field.name).cast(StringType))))
+  }
+
+  /** Profile many numeric/datetime/boolean columns in one scan.
+    * Returns partial ColumnProfiles (categorical/text filled by the
+    * dedicated paths below). */
+  def profileScalars(
+      df: DataFrame,
+      detected: Map[String, (SemanticType, ColumnSignals)]): Map[String, ColumnProfile] = {
+    import SemanticType._
+    val fields = df.schema.fields.map(f => f.name -> f).toMap
+
+    val numericCols  = detected.collect { case (n, (Integer | Float, _)) => n }.toSeq.sorted
+    val datetimeCols = detected.collect { case (n, (Datetime, _)) => n }.toSeq.sorted
+    val booleanCols  = detected.collect { case (n, (Boolean, _)) => n }.toSeq.sorted
+
+    val exprs: Seq[Column] =
+      numericCols.flatMap(n => numericExprs(numericValue(fields(n)), n)) ++
+      datetimeCols.flatMap { n =>
+        val parsed = fields(n).dataType match {
+          case _: TimestampType | DateType => col(n).cast(TimestampType)
+          case _ => Detector.tryParseDate(trim(col(n).cast(StringType)))
+        }
+        numericExprs(unix_timestamp(parsed), n) ++ Seq(
+          date_format(min(parsed), "yyyy-MM-dd HH:mm:ss").as(s"$n#mindate"),
+          date_format(max(parsed), "yyyy-MM-dd HH:mm:ss").as(s"$n#maxdate"),
+          // render-format detection uses the first value's shape
+          // (`Latanova_v1.py:284-292`); `first` over scan order.
+          first(trim(col(n).cast(StringType)), ignoreNulls = true).as(s"$n#firstval"))
+      } ++
+      booleanCols.flatMap { n =>
+        val b = Detector.coerceBoolean(col(n))
+        Seq(
+          sum(when(b === true, 1L).otherwise(0L)).as(s"$n#true"),
+          sum(when(b === false, 1L).otherwise(0L)).as(s"$n#false"))
+      }
+
+    if (exprs.isEmpty) return Map.empty
+    val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    val idx = row.schema.fieldNames.zipWithIndex.toMap
+
+    val numericProfiles = numericCols.map { n =>
+      n -> ColumnProfile(n, detected(n)._1, detected(n)._2,
+        numeric = Some(numericFromRow(row, idx, n)))
+    }
+    val datetimeProfiles = datetimeCols.map { n =>
+      val stats = numericFromRow(row, idx, n)
+      val firstVal = if (row.isNullAt(idx(s"$n#firstval"))) "" else row.getString(idx(s"$n#firstval"))
+      val fmt =
+        if (firstVal.matches("^\\d{4}-\\d{2}-\\d{2}.*")) "YYYY-MM-DD"
+        else if (firstVal.matches("^\\d{2}/\\d{2}/\\d{4}.*")) "MM/DD/YYYY"
+        else if (firstVal.matches("^\\d{2}-\\d{2}-\\d{4}.*")) "DD-MM-YYYY"
+        else null
+      def s(k: String) = if (row.isNullAt(idx(s"$n#$k"))) "" else row.getString(idx(s"$n#$k"))
+      n -> ColumnProfile(n, detected(n)._1, detected(n)._2,
+        datetime = Some(DatetimeStats(stats, s("mindate"), s("maxdate"), fmt)))
+    }
+    val booleanProfiles = booleanCols.map { n =>
+      val t = row.getLong(idx(s"$n#true")); val f = row.getLong(idx(s"$n#false"))
+      val cnt = t + f // n_samples counts only coercible values (`Latanova_v1.py:248`)
+      n -> ColumnProfile(n, detected(n)._1, detected(n)._2,
+        boolean = Some(BooleanStats(
+          trueProb = if (cnt == 0) 0.0 else t.toDouble / cnt,
+          trueCount = t, falseCount = f, count = cnt,
+          format = detected(n)._2.boolFormat)))
+    }
+    (numericProfiles ++ datetimeProfiles ++ booleanProfiles).toMap
+  }
+
+  /** value_counts(normalize=True) (`Latanova_v1.py:255-271`): one
+    * (tiny, ≤maxCategories-row) groupBy per categorical column.
+    * Order: count desc, then value asc — pandas breaks count ties by
+    * first-seen order, which is not reproducible distributed; we
+    * document value-order instead (SURVEY.md §2.4). */
+  def profileCategorical(df: DataFrame, column: String): CategoricalStats = {
+    val rows = df.filter(col(column).isNotNull)
+      .groupBy(col(column).cast(StringType).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("value"))
+      .collect()
+    val total = rows.map(_.getLong(1)).sum
+    val cats = rows.map(_.getString(0)).toSeq
+    val counts = rows.map(_.getLong(1)).toSeq
+    val probs = counts.map(_.toDouble / total)
+    CategoricalStats(
+      categories = cats, probabilities = probs, counts = counts,
+      mostCommon = cats.headOption.orNull,
+      mostCommonProb = probs.headOption.getOrElse(0.0),
+      count = total)
+  }
+
+  /** Bounded sample of raw string entries for bootstrap generation
+    * (`raw_entries`, `Latanova_v1.py:225,306-309`). At 100 TB the raw
+    * column cannot live on the driver — cap and document. */
+  def rawSample(df: DataFrame, column: String, cap: Int = 10000): Seq[String] =
+    df.filter(col(column).isNotNull)
+      .select(col(column).cast(StringType))
+      .limit(cap)
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+}

@@ -1,0 +1,174 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.broadcast.Broadcast
+
+/** Tokenization + token-embedding layer.
+  *
+  * The reference tokenizes with gensim `simple_preprocess` (lowercase,
+  * alphabetic tokens, length 2–15; `Latanova_v1.py:48`) and looks
+  * tokens up in a FastText model that is NOT in the repo
+  * (`Latanova_v1.py:19` — the artifact `fasttext_lee_background` is
+  * absent, SURVEY.md §6). The embedding layer here is therefore
+  * pluggable: the default is a deterministic seeded hash embedding
+  * (every token maps to a reproducible unit-scaled vector), so golden
+  * tests are stable and no model artifact is needed. A real vectors
+  * table (word → Array[Float]) can be supplied instead.
+  */
+object Tokenize {
+
+  /** Codegen'd column expression: gensim-simple_preprocess-like.
+    * Lowercase, split on non-letters, keep tokens of length 2–15.
+    * Digit-only tokens are dropped — matching the reference's behavior
+    * where phone-ish strings vectorize to all-zeros (SURVEY.md §2.5). */
+  def tokens(c: Column): Column =
+    filter(
+      split(lower(c.cast("string")), "[^a-z]+"),
+      t => length(t) >= 2 && length(t) <= 15)
+
+  /** Same tokenizer for driver-side strings (tests, decode). */
+  def tokensLocal(s: String): Seq[String] =
+    s.toLowerCase.split("[^a-z]+").toSeq.filter(t => t.length >= 2 && t.length <= 15)
+}
+
+/** Deterministic hash embeddings: token → R^dim via FNV-1a, uniform in
+  * [-1, 1). Stand-in for the missing FastText artifact; same role as
+  * `model.wv[token]` (`Latanova_v1.py:50-54`) but reproducible. */
+object HashEmbeddings {
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+  /** Component j of token's vector, uniform in [-1, 1). */
+  def component(token: String, j: Int, seed: Long): Double = {
+    val h = fnv1a64(s"$seed#$token#$j")
+    // top 53 bits → [0,1) → [-1,1)
+    ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+  }
+  def vector(token: String, dim: Int, seed: Long): Array[Double] = {
+    val a = new Array[Double](dim)
+    var j = 0
+    while (j < dim) { a(j) = component(token, j, seed); j += 1 }
+    a
+  }
+}
+
+/** Embedding model carried to executors: either hash-based (no state)
+  * or an explicit vectors table. `lookup` never fails — OOV falls back
+  * to the hash vector (the reference used `np.random.randn`,
+  * `Latanova_v1.py:53`; deterministic here). */
+final case class EmbeddingModel(
+    dim: Int,
+    seed: Long,
+    table: Map[String, Array[Double]] = Map.empty) extends Serializable {
+  def lookup(token: String): Array[Double] =
+    table.getOrElse(token, HashEmbeddings.vector(token, dim, seed))
+}
+
+object Vectorize {
+
+  /** entries → fixed-width concat vector: first `maxTokens` token
+    * vectors, zero-padded, concatenated to maxTokens*dim doubles
+    * (`vectorise_entries`, `Latanova_v1.py:45-62`). */
+  def vectorizeLocal(model: EmbeddingModel, maxTokens: Int)(entry: String): Array[Double] = {
+    val out = new Array[Double](maxTokens * model.dim)
+    val toks = Tokenize.tokensLocal(entry)
+    var i = 0
+    while (i < maxTokens && i < toks.length) {
+      System.arraycopy(model.lookup(toks(i)), 0, out, i * model.dim, model.dim)
+      i += 1
+    }
+    out
+  }
+
+  /** UDF column: string column → Array[Double] of maxTokens*dim. */
+  def vectorizeUdf(spark: SparkSession, model: EmbeddingModel, maxTokens: Int): Column => Column = {
+    val bc: Broadcast[EmbeddingModel] = spark.sparkContext.broadcast(model)
+    val f = udf { (entry: String) =>
+      if (entry == null) new Array[Double](maxTokens * bc.value.dim)
+      else vectorizeLocal(bc.value, maxTokens)(entry)
+    }
+    c => f(c)
+  }
+
+  /** Mean-pool variant (`get_vectorised_entries`, `Latanova_v1.py:23-43`
+    * — dead code in the reference, kept for API completeness). */
+  def meanPoolLocal(model: EmbeddingModel)(entry: String): Array[Double] = {
+    val toks = Tokenize.tokensLocal(entry)
+    val out = new Array[Double](model.dim)
+    if (toks.isEmpty) return out
+    toks.foreach { t =>
+      val v = model.lookup(t)
+      var j = 0; while (j < model.dim) { out(j) += v(j); j += 1 }
+    }
+    var j = 0; while (j < model.dim) { out(j) /= toks.length; j += 1 }
+    out
+  }
+}
+
+/** Vocabulary for nearest-word decode: the corpus's distinct tokens
+  * (frequency-capped) with their vectors — the broadcast analogue of
+  * `model.wv.similar_by_vector` (`Latanova_v1.py:338`). */
+object Vocab {
+  /** Build from a text column: distinct tokens by descending frequency,
+    * capped (the decode kernel is O(vocab·dim) per slice — cap keeps
+    * the broadcast and the scan bounded at scale). */
+  def build(df: DataFrame, textCol: String, model: EmbeddingModel,
+            cap: Int = 50000): Vocab = {
+    val tokens = df
+      .select(explode(Tokenize.tokens(col(textCol))).as("token"))
+      .groupBy("token").count()
+      .orderBy(desc("count"), asc("token"))
+      .limit(cap)
+      .collect()
+      .map(_.getString(0))
+    // alphanumeric filter mirrors the decode's isalnum gate (`:340`)
+    val words = tokens.filter(_.matches("^[\\p{L}\\p{N}]+$"))
+    val vecs = words.map(model.lookup)
+    new Vocab(words, vecs, model.dim)
+  }
+}
+
+final class Vocab(val words: Array[String], val vectors: Array[Array[Double]],
+                  val dim: Int) extends Serializable {
+  private lazy val norms: Array[Double] =
+    vectors.map(v => math.sqrt(v.map(x => x * x).sum))
+
+  /** Top-k words by cosine similarity to `q` — brute force over the
+    * (bounded, broadcast) vocab; same kernel as north-star similarity
+    * search. Returns words in descending-similarity order. */
+  def topK(q: Array[Double], k: Int): Array[String] = {
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    if (qn == 0.0 || words.isEmpty) return Array.empty
+    val sims = new Array[Double](words.length)
+    var i = 0
+    while (i < words.length) {
+      val v = vectors(i)
+      var dot = 0.0
+      var j = 0
+      while (j < dim) { dot += v(j) * q(j); j += 1 }
+      sims(i) = if (norms(i) == 0.0) -1.0 else dot / (norms(i) * qn)
+      i += 1
+    }
+    sims.zipWithIndex.sortBy { case (s, i2) => (-s, words(i2)) }
+      .take(k).map { case (_, i2) => words(i2) }
+  }
+
+  /** Decode one concatenated vector back to words: per slice, first
+    * alphanumeric word among the top-3 most-similar
+    * (`generate_synthetic_text`, `Latanova_v1.py:333-344`). */
+  def decode(vector: Array[Double], maxTokens: Int): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < maxTokens) {
+      val slice = java.util.Arrays.copyOfRange(vector, i * dim, (i + 1) * dim)
+      val top = topK(slice, 3)
+      top.headOption.foreach { w => if (sb.nonEmpty) sb.append(' '); sb.append(w) }
+      i += 1
+    }
+    sb.result()
+  }
+}
