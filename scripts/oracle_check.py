@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: oracle_check.py <sfDir> <outDir>
+Reads <outDir>/<name>/ parquet (Spark results) + <outDir>/oracle_sql.json,
+runs each SQL in DuckDB against the sfDir tables, and diffs values with
+columns sorted by name and rows sorted by all columns.
+"""
+import sys, os, json, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(repr(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [cols[i] for i in order], out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        spark_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{spark_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            sr = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+            scols = [d[0] for d in sr.description]
+            srows = sr.fetchall()
+            dr = con.execute(oracle[name])
+            dcols = [d[0] for d in dr.description]
+            drows = dr.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        sc, sv = canon(srows, scols)
+        dc, dv = canon(drows, dcols)
+        if sc != dc:
+            print(f"FAIL {name}: columns {sc} vs {dc}")
+            n_fail += 1
+        elif sv != dv:
+            n_fail += 1
+            diffs = [i for i, (a, b) in enumerate(zip(sv, dv)) if a != b]
+            print(f"FAIL {name}: {len(sv)} vs {len(dv)} rows, "
+                  f"{len(diffs) if len(sv)==len(dv) else '?'} differing")
+            shown = 0
+            if len(sv) == len(dv):
+                for i in diffs:
+                    print(f"   row {i} cols {sc}\n   spark={sv[i]}\n   duck ={dv[i]}")
+                    shown += 1
+                    if shown >= 3: break
+            else:
+                sset, dset = set(sv), set(dv)
+                for r in list(sset - dset)[:2]: print(f"   only-spark: {r}")
+                for r in list(dset - sset)[:2]: print(f"   only-duck : {r}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(sv)} rows)")
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,13 +1,753 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.{Detector, DetectorConfig, Profiler}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract: every deterministic operator of the engine is
+  * registered here as a (SparkSession, sfDir) => DataFrame query with a
+  * DuckDB-equivalent SQL oracle.
+  *
+  * Cross-engine float parity strategy (SURVEY.md §4.5): all sums go
+  * through exact DECIMAL(38,6) accumulation; derived statistics (mean,
+  * std, skew, kurt) are computed from those exact sums with the SAME
+  * scalar formula on both sides, so IEEE double evaluation is
+  * bit-identical; outputs are rounded to 6 dp. Hash-based operators
+  * (dedup, fingerprints) use md5 only — identical in both engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Table loader. The events table carries TIMESTAMP(NANOS) parquet,
+    * which Spark 4 only reads as long (spark.sql.legacy.parquet
+    * .nanosAsLong, set in Verify/Bench); convert back to a (micros)
+    * timestamp here — floor(ns/1000), matching DuckDB's ns→us read. */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Flagship: full detect→profile pipeline over sf0.001 lineitem —
+    * one scan for the detection ladder, one for the per-type profiles,
+    * summarized one row per column. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val df = t(spark, "/root/testdata/sf0.001", "lineitem")
+    val detected = Detector.detect(df, DetectorConfig(strictFormats = true))
+    val profiles = Profiler.profileScalars(df, detected)
+    import spark.implicits._
+    detected.toSeq.sortBy(_._1).map { case (name, (st, sig)) =>
+      val p = profiles.get(name).flatMap(_.numeric)
+      (name, st.name, sig.n, sig.nDistinct,
+        p.map(_.mean).getOrElse(Double.NaN), p.map(_.std).getOrElse(Double.NaN))
+    }.toDF("column", "semantic_type", "n", "n_distinct", "mean", "std")
+  }
+
+  // ---------------------------------------------------------------
+  // shared expression builders (Spark side)
+  // ---------------------------------------------------------------
+
+  private val dec = DecimalType(38, 6)
+
+  /** Exact moment sums + quantiles for a double column — ONE scan. */
+  private def momentAgg(df: DataFrame, x: Column): DataFrame =
+    df.agg(
+      count(x).as("n"),
+      sum(x.cast(dec)).as("s1"),
+      sum((x * x).cast(dec)).as("s2"),
+      sum((x * x * x).cast(dec)).as("s3"),
+      sum((x * x * x * x).cast(dec)).as("s4"),
+      min(x).as("mn"), max(x).as("mx"),
+      percentile(x, lit(0.5)).as("med"),
+      percentile(x, lit(0.25)).as("q1"),
+      percentile(x, lit(0.75)).as("q3"))
+
+  /** mean/std/skew/kurt from exact sums — identical formula in oracle. */
+  private def momentSelect(withQuantiles: DataFrame): DataFrame = {
+    val n = col("n").cast("double")
+    val mean = col("s1").cast("double") / n
+    val m2 = col("s2").cast("double") / n
+    val m3 = col("s3").cast("double") / n
+    val m4 = col("s4").cast("double") / n
+    val variance = m2 - mean * mean
+    val std = sqrt(variance)
+    withQuantiles.select(
+      col("n"),
+      round(mean, 6).as("mean"),
+      round(std, 6).as("std"),
+      round((m3 - lit(3.0) * mean * m2 + lit(2.0) * mean * mean * mean) / (std * std * std), 6).as("skew"),
+      round((m4 - lit(4.0) * mean * m3 + lit(6.0) * mean * mean * m2
+        - lit(3.0) * mean * mean * mean * mean) / (variance * variance) - lit(3.0), 6).as("kurt"),
+      col("mn"), col("mx"),
+      round(col("med"), 6).as("median"),
+      round(col("q1"), 6).as("q1"),
+      round(col("q3"), 6).as("q3"))
+  }
+
+  private def numericProfile(df: DataFrame, colName: String): DataFrame =
+    momentSelect(momentAgg(df, col(colName)))
+
+  /** Oracle-side twin of [[numericProfile]]. */
+  private def numericProfileSql(table: String, c: String): String =
+    s"""WITH s AS (
+       |  SELECT count($c) AS n,
+       |         sum(CAST($c AS DECIMAL(38,6))) AS s1,
+       |         sum(CAST($c*$c AS DECIMAL(38,6))) AS s2,
+       |         sum(CAST($c*$c*$c AS DECIMAL(38,6))) AS s3,
+       |         sum(CAST($c*$c*$c*$c AS DECIMAL(38,6))) AS s4,
+       |         min($c) AS mn, max($c) AS mx,
+       |         quantile_cont($c, 0.5) AS med,
+       |         quantile_cont($c, 0.25) AS q1,
+       |         quantile_cont($c, 0.75) AS q3
+       |  FROM $table)
+       |SELECT n,
+       |  round(CAST(s1 AS DOUBLE)/n, 6) AS mean,
+       |  round(sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)), 6) AS std,
+       |  round((CAST(s3 AS DOUBLE)/n - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n) + 2.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+       |    / (sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+       |       * sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+       |       * sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))), 6) AS skew,
+       |  round((CAST(s4 AS DOUBLE)/n - 4.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
+       |         + 6.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+       |         - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+       |    / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+       |       * (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))) - 3.0, 6) AS kurt,
+       |  mn, mx,
+       |  round(med, 6) AS median, round(q1, 6) AS q1, round(q3, 6) AS q3
+       |FROM s""".stripMargin
+
+  /** value_counts(normalize=True): count + probability per value. */
+  private def valueCounts(df: DataFrame, colName: String): DataFrame = {
+    val total = Window.partitionBy()
+    df.filter(col(colName).isNotNull)
+      .groupBy(col(colName).cast(StringType).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prob", round(col("cnt").cast("double") / sum("cnt").over(total), 6))
+      .orderBy(desc("cnt"), asc("value"))
+  }
+
+  private def valueCountsSql(table: String, c: String): String =
+    s"""SELECT CAST($c AS VARCHAR) AS value, count(*) AS cnt,
+       |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS prob
+       |FROM $table WHERE $c IS NOT NULL
+       |GROUP BY 1 ORDER BY cnt DESC, value ASC""".stripMargin
+
+  // ---- engine-portable token / hash SQL fragments (DuckDB side) ----
+
+  /** DuckDB twin of TextAnalysis.tokens. */
+  private def toksSql(c: String): String =
+    s"list_filter(regexp_split_to_array(lower($c), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** DuckDB twin of TextAnalysis.tokenHash31 (7 hex digits of md5). */
+  private def hash31Sql(tok: String): String =
+    (0 until 7).map { i =>
+      s"(instr('0123456789abcdef', substr(md5($tok), ${i + 1}, 1)) - 1) * ${1L << (4 * (6 - i))}"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB twin of TextAnalysis.simHash16. */
+  private def simhashSql(toksExpr: String): String = {
+    val bits = (0 until 16).map { j =>
+      s"CASE WHEN list_sum(list_transform($toksExpr, t -> ((instr('0123456789abcdef', substr(md5(t), ${j + 1}, 1)) - 1) % 2) * 2 - 1)) > 0 THEN '1' ELSE '0' END"
+    }
+    bits.mkString("concat(", ", ", ")")
+  }
+
+  /** DuckDB twin of Dedup.shingles(k=3): distinct word 3-grams. */
+  private def shinglesSql(c: String): String = {
+    val w = toksSql(c)
+    s"""list_distinct(CASE WHEN len($w) < 3
+       |  THEN [array_to_string($w, ' ')]
+       |  ELSE list_transform(range(len($w) - 2), i -> $w[i+1] || ' ' || $w[i+2] || ' ' || $w[i+3])
+       |END)""".stripMargin
+  }
+
+  /** Union a table with duplicated copies of its first rows (dup
+    * injection for dedup demos) — Spark side. */
+  private def withDups(df: DataFrame, idCol: String, below: Long, shift: Long): DataFrame =
+    df.unionByName(df.filter(col(idCol) < below)
+      .withColumn(idCol, col(idCol) + shift))
+
+  private def withDupsSql(table: String, idCol: String, below: Long, shift: Long): String =
+    s"(SELECT * FROM $table UNION ALL SELECT ${"*"} REPLACE ($idCol + $shift AS $idCol) FROM $table WHERE $idCol < $below)"
+
+  // stopword IN-list fragments
+  private def inList(words: Seq[String]): String = words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  // ---------------------------------------------------------------
+  // the queries
+  // ---------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- per-column statistical profiling (engine core) ---
+    "q01_profile_extendedprice" -> ((s, d) => numericProfile(t(s, d, "lineitem"), "l_extendedprice")),
+    "q02_profile_totalprice" -> ((s, d) => numericProfile(t(s, d, "orders"), "o_totalprice")),
+    "q03_profile_quantity" -> ((s, d) => numericProfile(t(s, d, "lineitem"), "l_quantity")),
+
+    "q04_value_counts_priority" -> ((s, d) => valueCounts(t(s, d, "orders"), "o_orderpriority")),
+    "q05_value_counts_mktsegment" -> ((s, d) => valueCounts(t(s, d, "customer"), "c_mktsegment")),
+    "q06_value_counts_returnflag" -> ((s, d) => valueCounts(t(s, d, "lineitem"), "l_returnflag")),
+
+    "q07_profile_datetime_orders" -> ((s, d) => {
+      val df = t(s, d, "orders")
+      val e = unix_timestamp(col("o_orderdate"))
+      val moments = df.agg(
+        count(col("o_orderdate")).as("n"),
+        sum(e.cast(dec)).as("s1"),
+        sum((e * e).cast(DecimalType(38, 0))).as("s2"),
+        min(e).as("mn_epoch"), max(e).as("mx_epoch"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"),
+        percentile(e, lit(0.5)).as("med"))
+      val n = col("n").cast("double")
+      val mean = col("s1").cast("double") / n
+      moments.select(col("n"),
+        round(mean, 6).as("mean_epoch"),
+        round(sqrt(col("s2").cast("double") / n - mean * mean), 6).as("std_epoch"),
+        col("mn_epoch"), col("mx_epoch"), col("min_date"), col("max_date"),
+        round(col("med"), 6).as("median_epoch"))
+    }),
+
+    "q08_boolean_profile_events" -> ((s, d) => {
+      val df = t(s, d, "events")
+      val b = (col("event_type") === "click")
+      df.agg(
+        sum(when(b, 1L).otherwise(0L)).as("true_count"),
+        sum(when(!b, 1L).otherwise(0L)).as("false_count"),
+        count(lit(1)).as("n"))
+        .withColumn("true_prob",
+          round(col("true_count").cast("double") / col("n"), 6))
+    }),
+
+    // --- detection-ladder signals (engine core) ---
+    "q09_detect_signals_orders" -> ((s, d) => {
+      val df = t(s, d, "orders")
+      val dateStr = date_format(col("o_orderdate"), "yyyy-MM-dd")
+      val keyStr = col("o_orderkey").cast(StringType)
+      df.agg(
+        count(lit(1)).as("n"),
+        // the documented phone-precedence quirk: ISO dates strip to 8 digits
+        round(avg(when(length(regexp_replace(dateStr, "\\D", "")).between(7, 15), 1.0).otherwise(0.0)), 6).as("date_phone_ratio"),
+        round(avg(when(keyStr.rlike("@[^@]*\\."), 1.0).otherwise(0.0)), 6).as("key_email_ratio"),
+        round(avg(when(keyStr.try_cast(DoubleType).isNotNull, 1.0).otherwise(0.0)), 6).as("key_numeric_ratio"),
+        count_distinct(col("o_orderpriority")).as("priority_distinct"),
+        round(count_distinct(col("o_orderpriority")).cast("double") / count(lit(1)), 6).as("priority_unique_ratio"))
+    }),
+
+    "q10_bool_votes_lineitem" -> ((s, d) => {
+      val df = t(s, d, "lineitem")
+      val rf = lower(trim(col("l_returnflag")))
+      val ls = lower(trim(col("l_linestatus")))
+      df.agg(
+        count(lit(1)).as("n"),
+        sum(when(rf.isin("y", "n"), 1L).otherwise(0L)).as("rf_vote_yn"),
+        sum(when(rf.isin("t", "f"), 1L).otherwise(0L)).as("rf_vote_tf"),
+        sum(when(rf.isin("true", "false"), 1L).otherwise(0L)).as("rf_vote_truefalse"),
+        sum(when(ls.isin("t", "f"), 1L).otherwise(0L)).as("ls_vote_tf"),
+        count_distinct(rf).as("rf_distinct_norm"),
+        max(when(rf.isin(Detector.boolTokens: _*), 0).otherwise(1)).as("rf_nonbool"))
+    }),
+
+    // --- histogram prep / binning ---
+    "q11_histogram_extendedprice" -> ((s, d) => {
+      val df = t(s, d, "lineitem")
+      val bounds = df.agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+      val x = col("l_extendedprice")
+      val bucket = least(greatest(
+        floor((x - col("lo")) / (col("hi") - col("lo")) * 50), lit(0)), lit(49))
+      df.crossJoin(broadcast(bounds))
+        .groupBy(bucket.cast(IntegerType).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    }),
+
+    // --- scalar string/regex expression surface ---
+    "q12_string_ops_customer" -> ((s, d) => {
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        lower(col("c_name")).as("name_lower"),
+        length(col("c_name")).as("name_len"),
+        regexp_replace(col("c_name"), "\\D", "").as("digits"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        when(col("c_name").rlike("^Customer#\\d+$"), 1).otherwise(0).as("shape_ok"))
+        .orderBy("c_custkey")
+    }),
+
+    // --- semi-structured: JSON props ---
+    "q13_json_events" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(sum(col("k")).cast("double") / count(col("k")), 6).as("avg_k"))
+        .orderBy("event_type")
+    }),
+
+    // --- window functions / top-k ---
+    "q14_topk_users_by_type" -> ((s, d) => {
+      val per = t(s, d, "events")
+        .groupBy("event_type", "user_id")
+        .agg(sum(col("value").cast(dec)).as("total_dec"), count(lit(1)).as("n_events"))
+      val w = Window.partitionBy("event_type").orderBy(desc("total_dec"), asc("user_id"))
+      per.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("event_type"), col("rank"), col("user_id"),
+          round(col("total_dec").cast("double"), 6).as("total"), col("n_events"))
+        .orderBy("event_type", "rank")
+    }),
+
+    // --- joins + aggregation ---
+    "q15_revenue_by_segment" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val customer = t(s, d, "customer")
+      orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast(dec)).cast("double"), 6).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q16_q1_lineitem" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity").cast(dec)).cast("double"), 6).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast(dec)).cast("double"), 6).as("sum_base_price"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)).cast("double"), 6).as("sum_disc_price"),
+          round(sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // --- time windows (batch form of the streaming aggregation) ---
+    "q17_hourly_events" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value").cast(dec)).cast("double"), 6).as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    "q18_sessionize_events" -> ((s, d) => {
+      val df = t(s, d, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gap = (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w))
+      df.withColumn("new_session",
+          when(gap.isNull || gap > 1800000L, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // --- text analysis (north star) ---
+    "q19_token_stats" -> ((s, d) => {
+      val c = col("text")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(c).as("n_tokens"),
+        TextAnalysis.subwordCountEstimate(c).as("n_subwords"),
+        round(TextAnalysis.meanTokenLen(c), 6).as("mean_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    "q20_quality_scores" -> ((s, d) => {
+      val c = col("text")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        round(TextAnalysis.punctRatio(c), 6).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(c), 6).as("stopword_ratio"),
+        round(TextAnalysis.qualityScore(c), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q21_langid" -> ((s, d) => {
+      val c = col("text")
+      t(s, d, "documents").select(
+        col("doc_id"), col("lang").as("lang_actual"),
+        TextAnalysis.stopwordCount(c, "en").as("sw_en"),
+        TextAnalysis.stopwordCount(c, "de").as("sw_de"),
+        TextAnalysis.stopwordCount(c, "es").as("sw_es"),
+        TextAnalysis.stopwordCount(c, "fr").as("sw_fr"),
+        TextAnalysis.langId(c).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "q22_fingerprints" -> ((s, d) => {
+      val c = col("text")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(c).as("fp"),
+        TextAnalysis.rollingHash(c).as("rolling"),
+        TextAnalysis.simHash16(c).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // --- deduplication (north star) ---
+    "q23_dedup_exact" -> ((s, d) => {
+      val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
+      Dedup.exact(dup, "doc_id", "text")
+        .select("fp", "keep_id", "dup_count")
+        .orderBy("keep_id")
+    }),
+
+    "q24_dedup_minhash" -> ((s, d) => {
+      val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
+      Dedup.minhashCandidates(dup, "doc_id", "text", numHashes = 16, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q25_dedup_jaccard" -> ((s, d) => {
+      val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
+      Dedup.jaccardPairs(dup, "doc_id", "text", k = 3, minJaccard = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q26_dedup_simhash" -> ((s, d) => {
+      val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
+      dup.groupBy(TextAnalysis.simHash16(col("text")).as("simhash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .orderBy("keep_id")
+    }),
+
+    "q27_dedup_embedding" -> ((s, d) => {
+      val dup = withDups(t(s, d, "embeddings"), "vec_id", 50, 10000)
+      Dedup.embeddingNearDup(dup, "vec_id", "embedding", 0.99)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- similarity search (north star) ---
+    "q28_ann_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q29_ann_topk_scalable" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopKLarge(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF two-stage ANN — oracle-checked end to end (centroid seed =
+    // lowest ids, nprobe=4 of 16 clusters)
+    "q30_ann_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, nCentroids = 16, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- multimodal plumbing (stub codec, real schema/batching) ---
+    "q31_multimodal_meta" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val ingested = Multimodal.ingest(docs, "payload", "text", "text/plain")
+      Multimodal.decode(ingested, "payload")
+        .select(col("doc_id"),
+          col("meta.n_bytes").as("n_bytes"),
+          md5(col("payload")).as("digest"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          col("decoded.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }))
+
+  // ---------------------------------------------------------------
+  // oracle SQL (DuckDB dialect), one per query above
+  // ---------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = {
+    val toks = toksSql("text")
+    // stub decode twin: hex digit i (1-based) of md5 as integer
+    def hd(i: Int) = s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
+
+    Map(
+      "q01_profile_extendedprice" -> numericProfileSql("lineitem", "l_extendedprice"),
+      "q02_profile_totalprice" -> numericProfileSql("orders", "o_totalprice"),
+      "q03_profile_quantity" -> numericProfileSql("lineitem", "l_quantity"),
+
+      "q04_value_counts_priority" -> valueCountsSql("orders", "o_orderpriority"),
+      "q05_value_counts_mktsegment" -> valueCountsSql("customer", "c_mktsegment"),
+      "q06_value_counts_returnflag" -> valueCountsSql("lineitem", "l_returnflag"),
+
+      "q07_profile_datetime_orders" ->
+        """WITH s AS (
+          |  SELECT count(o_orderdate) AS n,
+          |         sum(CAST(CAST(epoch(o_orderdate) AS BIGINT) AS DECIMAL(38,6))) AS s1,
+          |         sum(CAST(CAST(epoch(o_orderdate) AS BIGINT) * CAST(epoch(o_orderdate) AS BIGINT) AS DECIMAL(38,0))) AS s2,
+          |         min(CAST(epoch(o_orderdate) AS BIGINT)) AS mn_epoch,
+          |         max(CAST(epoch(o_orderdate) AS BIGINT)) AS mx_epoch,
+          |         strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+          |         strftime(max(o_orderdate), '%Y-%m-%d') AS max_date,
+          |         quantile_cont(CAST(epoch(o_orderdate) AS BIGINT), 0.5) AS med
+          |  FROM orders)
+          |SELECT n,
+          |  round(CAST(s1 AS DOUBLE)/n, 6) AS mean_epoch,
+          |  round(sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)), 6) AS std_epoch,
+          |  mn_epoch, mx_epoch, min_date, max_date,
+          |  round(med, 6) AS median_epoch
+          |FROM s""".stripMargin,
+
+      "q08_boolean_profile_events" ->
+        """SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS true_count,
+          |       sum(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END) AS false_count,
+          |       count(*) AS n,
+          |       round(CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS true_prob
+          |FROM events""".stripMargin,
+
+      "q09_detect_signals_orders" ->
+        """SELECT count(*) AS n,
+          |  round(avg(CASE WHEN length(regexp_replace(strftime(o_orderdate, '%Y-%m-%d'), '\D', '', 'g')) BETWEEN 7 AND 15 THEN 1.0 ELSE 0.0 END), 6) AS date_phone_ratio,
+          |  round(avg(CASE WHEN regexp_matches(CAST(o_orderkey AS VARCHAR), '@[^@]*\.') THEN 1.0 ELSE 0.0 END), 6) AS key_email_ratio,
+          |  round(avg(CASE WHEN TRY_CAST(CAST(o_orderkey AS VARCHAR) AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS key_numeric_ratio,
+          |  count(DISTINCT o_orderpriority) AS priority_distinct,
+          |  round(CAST(count(DISTINCT o_orderpriority) AS DOUBLE) / count(*), 6) AS priority_unique_ratio
+          |FROM orders""".stripMargin,
+
+      "q10_bool_votes_lineitem" ->
+        """SELECT count(*) AS n,
+          |  sum(CASE WHEN lower(trim(l_returnflag)) IN ('y','n') THEN 1 ELSE 0 END) AS rf_vote_yn,
+          |  sum(CASE WHEN lower(trim(l_returnflag)) IN ('t','f') THEN 1 ELSE 0 END) AS rf_vote_tf,
+          |  sum(CASE WHEN lower(trim(l_returnflag)) IN ('true','false') THEN 1 ELSE 0 END) AS rf_vote_truefalse,
+          |  sum(CASE WHEN lower(trim(l_linestatus)) IN ('t','f') THEN 1 ELSE 0 END) AS ls_vote_tf,
+          |  count(DISTINCT lower(trim(l_returnflag))) AS rf_distinct_norm,
+          |  max(CASE WHEN lower(trim(l_returnflag)) IN ('true','false','1','0','yes','no','y','n','t','f') THEN 0 ELSE 1 END) AS rf_nonbool
+          |FROM lineitem""".stripMargin,
+
+      "q11_histogram_extendedprice" ->
+        """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+          |SELECT CAST(least(greatest(floor((l_extendedprice - lo) / (hi - lo) * 50), 0), 49) AS INTEGER) AS bucket,
+          |       count(*) AS cnt
+          |FROM lineitem, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+      "q12_string_ops_customer" ->
+        """SELECT c_custkey,
+          |  lower(c_name) AS name_lower,
+          |  length(c_name) AS name_len,
+          |  regexp_replace(c_name, '\D', '', 'g') AS digits,
+          |  substr(c_name, 1, 8) AS prefix,
+          |  CASE WHEN regexp_matches(c_name, '^Customer#\d+$') THEN 1 ELSE 0 END AS shape_ok
+          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+      "q13_json_events" ->
+        """SELECT event_type, count(*) AS n,
+          |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+          |  round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+          |        / count(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "q14_topk_users_by_type" ->
+        """SELECT event_type, rank, user_id, round(CAST(total_dec AS DOUBLE), 6) AS total, n_events
+          |FROM (
+          |  SELECT event_type, user_id,
+          |         sum(CAST(value AS DECIMAL(38,6))) AS total_dec,
+          |         count(*) AS n_events,
+          |         row_number() OVER (PARTITION BY event_type ORDER BY sum(CAST(value AS DECIMAL(38,6))) DESC, user_id ASC) AS rank
+          |  FROM events GROUP BY event_type, user_id)
+          |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+      "q15_revenue_by_segment" ->
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+      "q16_q1_lineitem" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty,
+          |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_base_price,
+          |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_disc_price,
+          |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+          |  count(*) AS count_order
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q17_hourly_events" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+          |  count(*) AS cnt,
+          |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+      "q18_sessionize_events" ->
+        """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+          |FROM (
+          |  SELECT user_id,
+          |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+          |         THEN 1 ELSE 0 END AS new_session
+          |  FROM events)
+          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q19_token_stats" ->
+        s"""SELECT doc_id,
+           |  len($toks) AS n_tokens,
+           |  list_sum(list_transform($toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS n_subwords,
+           |  round(CAST(list_sum(list_transform($toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len($toks), 6) AS mean_token_len
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q20_quality_scores" -> {
+        val punct = s"""CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text)"""
+        val swRatio = s"CAST(len(list_filter($toks, x -> list_contains(${dlist(stop("en"))}, x))) AS DOUBLE) / len($toks)"
+        val mtl = s"CAST(list_sum(list_transform($toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len($toks)"
+        s"""SELECT doc_id,
+           |  round($punct, 6) AS punct_ratio,
+           |  round($swRatio, 6) AS stopword_ratio,
+           |  round(CAST((CASE WHEN len($toks) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.3
+           |      + (CASE WHEN $mtl >= 2.0 AND $mtl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
+           |      + (CASE WHEN $punct <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+           |      + (CASE WHEN $swRatio >= 0.01 THEN 1.0 ELSE 0.0 END) * 0.2 AS DOUBLE), 6) AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+
+      "q21_langid" -> {
+        def sw(lang: String) = s"len(list_filter($toks, x -> list_contains(${dlist(stop(lang))}, x)))"
+        val cjk = "length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))"
+        s"""SELECT doc_id, lang AS lang_actual,
+           |  ${sw("en")} AS sw_en, ${sw("de")} AS sw_de, ${sw("es")} AS sw_es, ${sw("fr")} AS sw_fr,
+           |  CASE WHEN $cjk > 0 THEN 'zh'
+           |       WHEN ${sw("en")} = 0 AND ${sw("de")} = 0 AND ${sw("es")} = 0 AND ${sw("fr")} = 0 THEN 'und'
+           |       WHEN ${sw("en")} >= ${sw("de")} AND ${sw("en")} >= ${sw("es")} AND ${sw("en")} >= ${sw("fr")} THEN 'en'
+           |       WHEN ${sw("de")} >= ${sw("es")} AND ${sw("de")} >= ${sw("fr")} THEN 'de'
+           |       WHEN ${sw("es")} >= ${sw("fr")} THEN 'es'
+           |       ELSE 'fr' END AS lang_pred
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+
+      "q22_fingerprints" ->
+        s"""SELECT doc_id,
+           |  md5(array_to_string($toks, ' ')) AS fp,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($toks, t -> ${hash31Sql("t")})),
+           |              (acc, h) -> (acc * 257 + h) % 2147483647) AS rolling,
+           |  ${simhashSql(toks)} AS simhash
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q23_dedup_exact" ->
+        s"""SELECT md5(array_to_string($toks, ' ')) AS fp,
+           |  min(doc_id) AS keep_id, count(*) AS dup_count
+           |FROM ${withDupsSql("documents", "doc_id", 50, 10000)}
+           |GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+      "q24_dedup_minhash" -> {
+        val sh = shinglesSql("text")
+        val mins = (0 until 16).map(i => s"min(md5('$i#' || s)) AS h$i").mkString(", ")
+        val bandExprs = (0 until 4).map { b =>
+          val hs = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band, md5($hs) AS bucket FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),
+           |sh AS (SELECT doc_id, unnest($sh) AS s FROM dup),
+           |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+           |banded AS ($bandExprs)
+           |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |FROM banded l JOIN banded r
+           |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      "q25_dedup_jaccard" -> {
+        val sh = shinglesSql("text")
+        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),
+           |sh AS (SELECT doc_id, unnest($sh) AS s FROM dup),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+           |  FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON sa.doc_id = id_a
+           |JOIN sizes sb ON sb.doc_id = id_b
+           |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      "q26_dedup_simhash" ->
+        s"""SELECT ${simhashSql(toks)} AS simhash,
+           |  min(doc_id) AS keep_id, count(*) AS n_docs
+           |FROM ${withDupsSql("documents", "doc_id", 50, 10000)}
+           |GROUP BY 1 HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+
+      "q27_dedup_embedding" ->
+        s"""WITH dup AS (SELECT * FROM ${withDupsSql("embeddings", "vec_id", 50, 10000)})
+           |SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           |  round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), 6) AS sim
+           |FROM dup l JOIN dup r ON l.vec_id < r.vec_id
+           |WHERE list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) >= 0.99
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q28_ann_topk" -> annTopkSql,
+      "q29_ann_topk_scalable" -> annTopkSql,
+
+      "q30_ann_ivf" ->
+        """WITH corpus AS (SELECT * FROM embeddings WHERE vec_id >= 5),
+          |q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+          |cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM corpus ORDER BY vec_id LIMIT 16),
+          |assigned AS (
+          |  SELECT vec_id AS id, centroid_id, embedding AS vec FROM (
+          |    SELECT c.vec_id, ct.centroid_id, c.embedding,
+          |      row_number() OVER (PARTITION BY c.vec_id
+          |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(ct.cv AS DOUBLE[])) DESC, ct.centroid_id ASC) AS rn
+          |    FROM corpus c CROSS JOIN cent ct)
+          |  WHERE rn = 1),
+          |probes AS (
+          |  SELECT vec_id AS query_id, embedding AS qv, centroid_id FROM (
+          |    SELECT q.vec_id, q.embedding, ct.centroid_id,
+          |      row_number() OVER (PARTITION BY q.vec_id
+          |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(ct.cv AS DOUBLE[])) DESC, ct.centroid_id ASC) AS rn
+          |    FROM q CROSS JOIN cent ct)
+          |  WHERE rn <= 4),
+          |scored AS (
+          |  SELECT p.query_id, a.id AS neighbor_id,
+          |    list_cosine_similarity(CAST(p.qv AS DOUBLE[]), CAST(a.vec AS DOUBLE[])) AS sim
+          |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id)
+          |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
+          |  SELECT query_id, neighbor_id, sim,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+          |  FROM scored)
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      "q31_multimodal_meta" ->
+        s"""SELECT doc_id,
+           |  octet_length(encode(text)) AS n_bytes,
+           |  md5(text) AS digest,
+           |  64 + ((${hd(1)} * 16 + ${hd(2)}) * 256 + (${hd(3)} * 16 + ${hd(4)})) % 1985 AS width,
+           |  64 + ((${hd(5)} * 16 + ${hd(6)}) * 256 + (${hd(7)} * 16 + ${hd(8)})) % 1985 AS height,
+           |  1000 + ((${hd(9)} * 16 + ${hd(10)}) * 65536 + (${hd(11)} * 16 + ${hd(12)}) * 256 + (${hd(13)} * 16 + ${hd(14)})) % 600000 AS duration_ms
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  private val annTopkSql: String =
+    """SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank
+      |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+      |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id >= 5) c)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private def stop(lang: String): Seq[String] = TextAnalysis.stopwords(lang)
+  private def dlist(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
 }

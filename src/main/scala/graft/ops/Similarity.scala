@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity-search operators over an
+  * embedding column (Array[Float|Double]).
+  *
+  * Scale strategy:
+  *  - [[bruteForceTopK]] — exact cosine top-k; the QUERY side must be
+  *    small (it is broadcast), the corpus side streams. Cost O(|Q|·|C|·d)
+  *    but fully codegen'd (zip_with/aggregate, no UDF) and shuffle-free
+  *    until the final per-query top-k (a tiny window over |Q|·|C| rows
+  *    pre-filtered by rank — at real scale swap the window for a
+  *    per-partition top-k + global merge, which [[bruteForceTopKLarge]]
+  *    does).
+  *  - [[ivfTopK]] — IVF-style two-stage search: assign every vector to
+  *    its nearest of K centroids (one broadcast pass), then search only
+  *    the probed clusters. At 100 TB this is the difference between
+  *    scanning the corpus per query and scanning ~nprobe/K of it.
+  *  - [[cosinePairs]] — all-pairs above a threshold, for near-dup; at
+  *    scale the corpus side should be LSH-bucketed first (Dedup.lshBands
+  *    family) — the brute pair join is provided for exactness and small n.
+  */
+object Similarity {
+
+  /** dot(a,b) as a codegen'd expression over two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm of an array column. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+
+  /** Cosine similarity of two array columns (0 when either norm is 0).
+    * Elements are cast to double first — float inputs accumulate in
+    * double exactly like the DuckDB oracle. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, _.cast("double")); val bd = transform(b, _.cast("double"))
+    val d = dot(ad, bd); val na = norm(ad); val nb = norm(bd)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
+  }
+
+  /** Exact top-k neighbors for each query vector. `queries` is collected
+    * and broadcast (must be small); ties broken by corpus id ascending. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     qId: String, qVec: String, cId: String, cVec: String,
+                     k: Int): DataFrame = {
+    val joined = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+      .hint("broadcast")
+      .crossJoin(corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Same result as [[bruteForceTopK]] but without the global window:
+    * per-partition top-k heaps merged by one tiny shuffle of |Q|·k·P
+    * rows — the form that survives a 1000-executor corpus scan. */
+  def bruteForceTopKLarge(queries: DataFrame, corpus: DataFrame,
+                          qId: String, qVec: String, cId: String, cVec: String,
+                          k: Int): DataFrame = {
+    val scored = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+      .hint("broadcast")
+      .crossJoin(corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .select("query_id", "neighbor_id", "sim")
+    // partial top-k per shuffle partition via groupBy aggregation of a
+    // bounded sorted slice, then final exact top-k
+    val partial = scored
+      .groupBy(col("query_id"), spark_partition_id().as("__p"))
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("sim")).as("negSim"), col("neighbor_id")))), 1, k).as("heap"))
+      .select(col("query_id"), explode(col("heap")).as("h"))
+      .select(col("query_id"), col("h.neighbor_id").as("neighbor_id"),
+        (-col("h.negSim")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** IVF assignment: nearest centroid id for each vector. `centroids`
+    * must be small (broadcast). Deterministic ties → lowest centroid id. */
+  def assignToCentroid(df: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame, centId: String, centVec: String): DataFrame = {
+    val joined = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(centroids.select(col(centId).as("centroid_id"),
+        col(centVec).as("__cv"))))
+      .withColumn("sim", cosine(col("__v"), col("__cv")))
+    val w = Window.partitionBy("id").orderBy(desc("sim"), col("centroid_id"))
+    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("id"), col("centroid_id"), col("__v").as("vec"))
+  }
+
+  /** IVF top-k: cluster the corpus once (centroids = the `nCentroids`
+    * lowest-id vectors, a deterministic seed choice; production would
+    * run k-means — the search plan is identical), then for each query
+    * probe the `nprobe` nearest clusters only. Returns the same schema
+    * as [[bruteForceTopK]]; recall < 1 by construction (ANN). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              qId: String, qVec: String, cId: String, cVec: String,
+              k: Int, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = corpus.orderBy(col(cId)).limit(nCentroids)
+      .select(col(cId).as("centroid_id"), col(cVec).as("cv"))
+    val assigned = assignToCentroid(corpus, cId, cVec, centroids, "centroid_id", "cv")
+    // query → its nprobe nearest centroids
+    val qProbes = {
+      val j = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("sim", cosine(col("__qv"), col("cv")))
+      val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("centroid_id"))
+      j.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= nprobe)
+        .select(col("query_id"), col("__qv"), col("centroid_id"))
+    }
+    val scored = qProbes.hint("broadcast")
+      .join(assigned, "centroid_id")
+      .withColumn("sim", cosine(col("__qv"), col("vec")))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** All pairs (a < b) with cosine ≥ threshold. Exact O(n²) form —
+    * bucket with LSH first at scale (see class doc). */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.as("l").join(v.as("r"), col("l.id") < col("r.id"))
+      .withColumn("sim", cosine(col("l.v"), col("r.v")))
+      .filter(col("sim") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("sim"))
+  }
+
+  /** Random-hyperplane LSH bucket for a vector column: `nBits` sign bits
+    * of projections onto deterministic md5-seeded hyperplanes — the
+    * bucketed (near-linear) path for [[cosinePairs]] at scale. Vectors
+    * agreeing on all bits land in one bucket; cos similarity ⇒ high
+    * collision probability (Charikar's SimHash for vectors). */
+  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int = 8, seed: Long = 42L): Column = {
+    val bits = (0 until nBits).map { b =>
+      // hyperplane component j for bit b: deterministic in [-1,1)
+      val proj = (0 until dim).map { j =>
+        val h = graft.text.HashEmbeddings.component(s"$b#$j", 0, seed)
+        element_at(vec, j + 1).cast("double") * lit(h)
+      }.reduce(_ + _)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+}

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language identification, quality scoring, and document
+  * fingerprinting. Everything here is a pure, codegen-friendly column
+  * expression (no UDFs) — at 100 TB the per-document work stays inside
+  * whole-stage codegen and never leaves the scan's projection, so the
+  * operators scale linearly with zero shuffles.
+  *
+  * Cross-engine determinism: the expressions use only primitives with
+  * identical semantics in Spark and the DuckDB oracle (regexp split,
+  * md5, instr, integer arithmetic), so every operator is oracle-checkable.
+  */
+object TextAnalysis {
+
+  /** Lowercased alphanumeric word tokens; empty tokens filtered.
+    * DuckDB mirror: list_filter(regexp_split_to_array(lower(t),'[^a-z0-9]+'), x -> x<>''). */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Whitespace token count — the cheap "how many words" estimator. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count estimate: words + digit runs + punctuation
+    * islands, the standard cheap proxy for tokenizer cost when the real
+    * BPE vocab is not available. Counted with regexp_count-equivalent
+    * arithmetic (identical in DuckDB). */
+  def subwordCountEstimate(c: Column): Column = {
+    // pieces of <=4 chars: ceil(len/4) per token, summed
+    aggregate(
+      transform(tokens(c), t => ceil(length(t) / lit(4.0)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  // ---- language identification (stopword / script heuristic) ----
+
+  /** Tiny per-language stopword lists. A real system ships n-gram
+    * profiles; the heuristic structure (per-language evidence score →
+    * argmax with deterministic precedence) is identical. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "you", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "ich", "auf"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "est", "dans", "pour", "ce", "il"))
+
+  /** Count of tokens belonging to `lang`'s stopword list. */
+  def stopwordCount(c: Column, lang: String): Column =
+    size(filter(tokens(c), t => t.isin(stopwords(lang).map(lit): _*)))
+
+  /** Count of CJK codepoints (zh detection path). */
+  def cjkCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[\\x{4e00}-\\x{9fff}]", ""))
+
+  /** Predicted language: zh if CJK chars present, else argmax stopword
+    * evidence with fixed precedence en > de > es > fr (deterministic
+    * tie-break), 'und' when no evidence at all. */
+  def langId(c: Column): Column = {
+    val en = stopwordCount(c, "en"); val de = stopwordCount(c, "de")
+    val es = stopwordCount(c, "es"); val fr = stopwordCount(c, "fr")
+    when(cjkCount(c) > 0, lit("zh"))
+      .when(en === 0 && de === 0 && es === 0 && fr === 0, lit("und"))
+      .when(en >= de && en >= es && en >= fr, lit("en"))
+      .when(de >= es && de >= fr, lit("de"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  // ---- quality scoring ----
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(c: Column): Column = {
+    val n = length(c)
+    when(n === 0, 0.0).otherwise(
+      (n - length(regexp_replace(c, "[\\.,;:!\\?'\"()\\[\\]{}-]", ""))).cast("double") / n)
+  }
+
+  /** Ratio of tokens that are English stopwords — prose correlates with
+    * a nonzero rate; keyword-stuffed or boilerplate text scores ~0. */
+  def stopwordRatio(c: Column): Column = {
+    val nt = tokenCount(c)
+    when(nt === 0, 0.0).otherwise(stopwordCount(c, "en").cast("double") / nt)
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(c: Column): Column = {
+    val nt = tokenCount(c)
+    when(nt === 0, 0.0).otherwise(
+      aggregate(transform(tokens(c), t => length(t).cast("long")), lit(0L), _ + _)
+        .cast("double") / nt)
+  }
+
+  /** Composite quality score in [0,1]: length band + word-shape band +
+    * punctuation sanity + stopword evidence. The weights are the usual
+    * heuristic-filter shape (Gopher-style rules), expressed as pure
+    * arithmetic so the oracle can recompute it exactly. */
+  def qualityScore(c: Column): Column = {
+    val nt = tokenCount(c).cast("double")
+    val lenOk   = when(nt >= 10 && nt <= 10000, 1.0).otherwise(0.0)
+    val mtl     = meanTokenLen(c)
+    val shapeOk = when(mtl >= 2.0 && mtl <= 12.0, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(c) <= lit(0.2), 1.0).otherwise(0.0)
+    val stopOk  = when(stopwordRatio(c) >= lit(0.01), 1.0).otherwise(0.0)
+    (lenOk * 0.3 + shapeOk * 0.3 + punctOk * 0.2 + stopOk * 0.2)
+  }
+
+  // ---- fingerprinting ----
+
+  /** Canonical content fingerprint: md5 over the whitespace-normalized,
+    * lowercased token stream. Robust to formatting noise; the exact-dedup
+    * key at any scale (group on 128-bit digest, never on raw text). */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", tokens(c)).cast("binary"))
+
+  /** Karp–Rabin polynomial rolling hash over the token stream, base 257
+    * mod 2^31-1. Unlike [[fingerprint]] this supports incremental /
+    * windowed update (content-defined chunking); arithmetic stays in
+    * Long → no overflow, identical in any engine. */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      transform(tokens(c), t => tokenHash31(t)),
+      lit(0L),
+      (acc, h) => (acc * 257L + h) % 2147483647L)
+
+  /** Per-token 31-bit hash from the first 7 hex chars of md5 (28 bits),
+    * engine-independent: conv-free — each hex digit decoded via instr. */
+  private[ops] def tokenHash31(t: Column): Column = {
+    val h = md5(t.cast("binary"))
+    (0 until 7).map { i =>
+      (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1).cast("long") *
+        lit(1L << (4 * (6 - i)))
+    }.reduce(_ + _)
+  }
+
+  /** 16-bit SimHash over the token stream. Bit j is the sign of
+    * Σ_tokens (2·b_j(tok) − 1) where b_j(tok) is the parity of hex digit
+    * j of md5(tok) — an engine-portable LSH family member. Returned as a
+    * 16-char '0'/'1' string (MSB first); near-duplicates differ in few
+    * bits (Hamming distance on the string). */
+  def simHash16(c: Column): Column = {
+    val toks = tokens(c)
+    val bits = (0 until 16).map { j =>
+      val perTok = transform(toks, t =>
+        ((instr(lit("0123456789abcdef"), substring(md5(t.cast("binary")), j + 1, 1)) - 1) % 2)
+          .cast("long") * 2L - 1L)
+      val s = aggregate(perTok, lit(0L), _ + _)
+      when(s > 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+}
