@@ -54,12 +54,14 @@ object Detector {
   def phoneLoose(c: Column): Column =
     length(regexp_replace(trim(c.cast(StringType)), "\\D", "")).between(7, 15)
 
-  /** Anchored phone for strictFormats: optional +, digits with phone
-    * punctuation only, 7–15 digits total — excludes ISO dates (dashes
-    * in date positions fail the shape) and street addresses (letters). */
+  /** Anchored phone for strictFormats: optional +, then digits/phone
+    * punctuation (incl. leading '(' for US-style area codes), 7–15
+    * digits total — excludes street addresses (letters). ISO dates DO
+    * match the shape; strict mode is safe only because its ladder
+    * checks datetime before phone (see classify). */
   def phoneStrict(c: Column): Column = {
     val s = trim(c.cast(StringType))
-    s.rlike("^\\+?[0-9][0-9 ().x-]{5,24}$") &&
+    s.rlike("^\\+?[0-9()][0-9 ().x-]{5,24}$") &&
       length(regexp_replace(s, "\\D", "")).between(7, 15)
   }
 
@@ -96,9 +98,11 @@ object Detector {
         case BoolFormat.Native    => Seq("true", "false")
       }
       val pred = f match {
-        // 'bool' format means the physical dtype is boolean
+        // reference's elif chain (`Latanova_v1.py:104-117`): a native
+        // bool votes ONLY for 'bool'; string formats vote only when the
+        // physical dtype is not boolean
         case BoolFormat.Native => lit(field.dataType == BooleanType) && c.isNotNull
-        case _ => ns.isin(tokens: _*)
+        case _ => lit(field.dataType != BooleanType) && ns.isin(tokens: _*)
       }
       a(s"vote_${f.name}", sum(when(pred, 1L).otherwise(0L)))
     }

@@ -37,16 +37,28 @@ object Generators {
   /** Inverse-CDF categorical sampler (`generate_synthetic_categorical`,
     * `Latanova_v1.py:391-402`): np.random.choice(categories, p=probs)
     * as a when-chain over cumulative probabilities (K < 50 by the
-    * detection rule, so the chain stays small and codegen'd). */
-  def categorical(stats: CategoricalStats, seed: Long): Column = {
+    * detection rule, so the chain stays small and codegen'd).
+    *
+    * `u` MUST be a materialized uniform column (one `rand(seed)`
+    * evaluated in a prior projection): `rand` is re-drawn at every
+    * occurrence inside a CaseWhen, which silently skews the
+    * distribution (caught by GeneratorsSpec). */
+  def categorical(stats: CategoricalStats, u: Column): Column = {
     if (stats.categories.isEmpty) return lit("")
-    val u = rand(seed)
     val cum = stats.probabilities.scanLeft(0.0)(_ + _).tail
     val head = when(u < lit(cum.head), lit(stats.categories.head))
     val chain = stats.categories.tail.zip(cum.tail).foldLeft(head) {
       case (acc, (cat, hi)) => acc.when(u < lit(hi), lit(cat))
     }
     chain.otherwise(lit(stats.categories.last))
+  }
+
+  /** Convenience: seeded categorical column over a fresh generation
+    * frame — materializes the uniform draw before the when-chain. */
+  def categoricalFrame(spark: SparkSession, stats: CategoricalStats,
+                       n: Long, seed: Long, outName: String): DataFrame = {
+    spark.range(n).withColumn("__u", rand(seed))
+      .select(col("id"), categorical(stats, col("__u")).as(outName))
   }
 
   /** Clipped-Gaussian datetime rendered in the detected format

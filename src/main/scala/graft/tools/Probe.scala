@@ -16,7 +16,12 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = graft.SparkEntry.queries
-    names.foreach { n =>
+    names.filter(_ == "entry").foreach { _ =>
+      val rows = graft.SparkEntry.entry(spark).collect()
+      println(s"PROBE entry: ${rows.length} rows")
+      rows.foreach(r => println(s"  $r"))
+    }
+    names.filter(_ != "entry").foreach { n =>
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
         val cnt = qs(n)(spark, sfDir).count()

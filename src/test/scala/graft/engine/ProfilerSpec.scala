@@ -1,0 +1,67 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Profile parity against pandas/NumPy ground truth recorded in
+  * FIXTURES.md / BASELINE.md (full 500 post-dropna rows). */
+class ProfilerSpec extends SparkSpec {
+
+  lazy val fixture: DataFrame = spark.read
+    .option("header", "true").option("inferSchema", "true")
+    .csv("/root/reference/customer_data_test.csv")
+    .na.drop("any")
+
+  lazy val profiles: Map[String, ColumnProfile] = {
+    val detected = Detector.detect(fixture)
+    Profiler.profileScalars(fixture, detected)
+  }
+
+  test("total_spent numeric profile matches pandas ground truth") {
+    val p = profiles("total_spent").numeric.get
+    assert(math.abs(p.mean - 2542.98) < 0.01)
+    assert(math.abs(p.std - 1489.071) < 0.01)     // population std (ddof=0)
+    assert(math.abs(p.median - 2569.495) < 0.01)  // exact linear interp
+    assert(math.abs(p.q1 - 1181.767) < 0.01)
+    assert(math.abs(p.q3 - 3878.62) < 0.01)
+    assert(math.abs(p.min - 22.15) < 0.001)
+    assert(math.abs(p.max - 4995.35) < 0.001)
+    assert(p.count === 500L)
+  }
+
+  test("purchase_count and satisfaction_score population std") {
+    val pc = profiles("purchase_count").numeric.get
+    assert(math.abs(pc.mean - 26.09) < 0.01)
+    assert(math.abs(pc.std - 14.491) < 0.01)
+    val ss = profiles("satisfaction_score").numeric.get
+    assert(math.abs(ss.mean - 5.552) < 0.01)
+    assert(math.abs(ss.std - 2.908) < 0.01)
+  }
+
+  test("boolean profile counts true/false and detects native format") {
+    val b = profiles("is_vip").boolean.get
+    assert(b.trueCount + b.falseCount === 500L)
+    assert(math.abs(b.trueProb - b.trueCount.toDouble / 500) < 1e-9)
+    assert(b.format === BoolFormat.Native)
+  }
+
+  test("categorical profile: normalized value_counts over segment") {
+    val c = Profiler.profileCategorical(fixture, "segment")
+    assert(c.categories.toSet === Set("A", "B", "C"))
+    assert(math.abs(c.probabilities.sum - 1.0) < 1e-9)
+    assert(c.counts.sum === 500L)
+    assert(c.mostCommon === c.categories.head)
+    // descending count order
+    assert(c.counts === c.counts.sorted.reverse)
+  }
+
+  test("datetime profile under strictFormats: ISO render format detected") {
+    val detected = Detector.detect(fixture, DetectorConfig(strictFormats = true))
+    val p = Profiler.profileScalars(fixture, detected)
+    val d = p("join_date").datetime.get
+    assert(d.format === "YYYY-MM-DD")
+    assert(d.epoch.count === 500L)
+    assert(d.minDate.startsWith("20"))
+    assert(d.epoch.min <= d.epoch.max)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f)),
+    (12L, Array(1.0f, 1.0f)), (13L, Array(-1.0f, 0.0f)),
+    (14L, Array(0.9f, 0.1f))).toDF("id", "v")
+
+  private def queries = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "v")
+
+  test("cosine expression: known angles") {
+    val df = Seq((Array(1.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(math.abs(df.collect()(0).getDouble(0) - math.sqrt(2) / 2) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine with id tiebreak") {
+    val got = Similarity.bruteForceTopK(queries, corpus, "id", "v", "id", "v", k = 3)
+      .orderBy("rank").collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(got.toSeq === Seq((1, 10L), (2, 14L), (3, 12L)))
+  }
+
+  test("scalable top-k variant returns identical results") {
+    val a = Similarity.bruteForceTopK(queries, corpus, "id", "v", "id", "v", 3)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    val b = Similarity.bruteForceTopKLarge(queries, corpus, "id", "v", "id", "v", 3)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(a === b)
+  }
+
+  test("IVF top-k finds the exact-match neighbor with few probes") {
+    // 40-vector corpus: 4 obvious clusters along axes
+    val base = (0 until 40).map { i =>
+      val v = Array.fill(4)(0.01f * (i % 3))
+      v(i % 4) = 1.0f
+      (i.toLong + 100, v)
+    }.toDF("id", "v")
+    val q = Seq((1L, { val v = Array(0.0f, 0.0f, 0.0f, 0.0f); v(2) = 1.0f; v }))
+      .toDF("id", "v")
+    val got = Similarity.ivfTopK(q, base, "id", "v", "id", "v",
+      k = 5, nCentroids = 8, nprobe = 4)
+      .collect().map(r => r.getAs[Long]("neighbor_id"))
+    // all returned neighbors are cluster-2 vectors (id % 4 == 2 - 100 offset)
+    assert(got.nonEmpty)
+    assert(got.forall(id => (id - 100) % 4 == 2))
+  }
+
+  test("cosinePairs honors threshold") {
+    val pairs = Similarity.cosinePairs(corpus, "id", "v", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 14L)))    // cos ≈ 0.9939
+    assert(!pairs.contains((10L, 12L)))   // cos ≈ 0.707
+  }
+
+  test("hyperplane LSH bucket: deterministic, groups identical vectors") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
+      (3L, Array(-1.0f, -2.0f, -3.0f))).toDF("id", "v")
+      .select(col("id"), Similarity.hyperplaneBucket(col("v"), dim = 3, nBits = 8).as("b"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) === m(2L))
+    assert(m(1L) !== m(3L)) // antipodal vectors flip every bit
+    assert(m(1L).length === 8 && m(1L).forall(c => c == '0' || c == '1'))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val doc = "Hello, brave new World 42!"
+
+  test("tokens: lowercase alphanumeric split, empties dropped") {
+    val got = Seq(doc).toDF("t")
+      .select(TextAnalysis.tokens(col("t")).as("x")).collect()(0).getSeq[String](0)
+    assert(got === Seq("hello", "brave", "new", "world", "42"))
+  }
+
+  test("token count and subword estimate") {
+    val r = row1(Seq(doc).toDF("t").select(
+      TextAnalysis.tokenCount(col("t")).as("n"),
+      TextAnalysis.subwordCountEstimate(col("t")).as("sw")))
+    assert(r("n") === 5)
+    // ceil(5/4)+ceil(5/4)+ceil(3/4)+ceil(5/4)+ceil(2/4) = 2+2+1+2+1
+    assert(r("sw") === 8L)
+  }
+
+  test("language id: stopword evidence with deterministic precedence") {
+    val rows = Seq(
+      ("the cat and the dog of it", "en"),
+      ("der hund ist nicht ein katze und", "de"),
+      ("el perro y la casa de que", "es"),
+      ("xyzzy qwerty plugh", "und"),
+      ("你好世界", "zh")).toDF("t", "expect")
+    val got = rows.select(col("expect"), TextAnalysis.langId(col("t")).as("pred")).collect()
+    got.foreach(r => assert(r.getString(1) === r.getString(0), r.toString))
+  }
+
+  test("quality score components: clean prose scores 1.0, junk scores low") {
+    val prose = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val junk = "-- ?! ... ;; :: !!"
+    val r = Seq(prose, junk).toDF("t")
+      .select(col("t"), round(TextAnalysis.qualityScore(col("t")), 6).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r(prose) === 1.0)
+    assert(r(junk) <= 0.4)
+  }
+
+  test("fingerprints match engine-independent ground truth (DuckDB-computed)") {
+    val r = row1(Seq(doc).toDF("t").select(
+      TextAnalysis.fingerprint(col("t")).as("fp"),
+      TextAnalysis.rollingHash(col("t")).as("rh"),
+      TextAnalysis.simHash16(col("t")).as("sh")))
+    assert(r("fp") === "7c32565e18d2acd284e0945e075371fe")
+    assert(r("rh") === 1863709792L)
+    assert(r("sh") === "1101001110100100")
+  }
+
+  test("fingerprint is normalization-invariant; simhash is near-dup tolerant") {
+    val a = "Hello   WORLD foo bar baz qux"
+    val b = "hello world! foo, bar; baz. qux"
+    val r = Seq((a, b)).toDF("a", "b").select(
+      (TextAnalysis.fingerprint(col("a")) === TextAnalysis.fingerprint(col("b"))).as("same_fp"),
+      (TextAnalysis.simHash16(col("a")) === TextAnalysis.simHash16(col("b"))).as("same_sh"))
+    val row = r.collect()(0)
+    assert(row.getBoolean(0)); assert(row.getBoolean(1))
+  }
+}

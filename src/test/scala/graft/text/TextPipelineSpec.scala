@@ -1,0 +1,62 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Embedding pipeline units: tokenize/vectorize/cholesky/decode
+  * (`Latanova_v1.py:23-62,194-226,300-344`). */
+class TextPipelineSpec extends SparkSpec {
+
+  private val model = EmbeddingModel(dim = 8, seed = 42L)
+
+  test("tokenizer: gensim-simple_preprocess semantics (len 2-15, letters only)") {
+    assert(Tokenize.tokensLocal("Hi, the quick-brown Fox! a 12 ok")
+      === Seq("hi", "the", "quick", "brown", "fox", "ok"))
+  }
+
+  test("vectorize: first maxTokens token vectors, zero-padded concat") {
+    val v = Vectorize.vectorizeLocal(model, maxTokens = 4)("hello world")
+    assert(v.length === 32)
+    assert(v.slice(0, 8).toSeq === model.lookup("hello").toSeq)
+    assert(v.slice(8, 16).toSeq === model.lookup("world").toSeq)
+    assert(v.slice(16, 32).forall(_ == 0.0)) // padding
+    // deterministic across calls
+    assert(v.toSeq === Vectorize.vectorizeLocal(model, 4)("hello world").toSeq)
+  }
+
+  test("cholesky: L*L^T reconstructs the input, rejects non-PD") {
+    val a = Array(4.0, 2.0, 2.0, 3.0) // [[4,2],[2,3]]
+    val l = TextProfiler.cholesky(a, 2).get
+    val rec = Array(
+      l(0)(0) * l(0)(0), l(0)(0) * l(1)(0),
+      l(0)(0) * l(1)(0), l(1)(0) * l(1)(0) + l(1)(1) * l(1)(1))
+    a.zip(rec).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+    assert(TextProfiler.cholesky(Array(1.0, 2.0, 2.0, 1.0), 2).isEmpty) // not PD
+  }
+
+  test("vocab top-k decode returns nearest words by cosine") {
+    val words = Array("alpha", "beta", "gamma")
+    val vecs = words.map(model.lookup)
+    val vocab = new Vocab(words, vecs, model.dim)
+    // querying with a word's own vector must return that word first
+    assert(vocab.topK(model.lookup("beta"), 1).head === "beta")
+    val decoded = vocab.decode(
+      model.lookup("alpha") ++ model.lookup("gamma"), maxTokens = 2)
+    assert(decoded === "alpha gamma")
+  }
+
+  test("text profile + MVN synthesis round-trip: moments within tolerance") {
+    import spark.implicits._
+    val docs = (1 to 200).map(i =>
+      s"word${i % 5} token${i % 3} fixed common tail").toDF("text")
+    val stats = TextProfiler.profile(docs, "text", model, maxTokens = 4).get
+    assert(stats.dim === 32)
+    assert(stats.count === 200L)
+    assert(stats.chol.isDefined)
+    val vocab = Vocab.build(docs, "text", model)
+    val synth = TextSynth.generate(spark, stats, vocab, maxTokens = 4, n = 50, seed = 3)
+    assert(synth.count() === 50L)
+    // decoded text draws from the corpus vocabulary
+    val toks = synth.collect().flatMap(_.getString(0).split(" ")).toSet
+    assert(toks.forall(t => t.isEmpty || vocab.words.contains(t)))
+  }
+}
