@@ -53,7 +53,7 @@ object SparkEntry {
 
   private val dec = DecimalType(38, 6)
 
-  /** Exact moment sums + quantiles for a double column — ONE scan. */
+  /** Exact moment sums for a double column — ONE scan. */
   private def momentAgg(df: DataFrame, x: Column): DataFrame =
     df.agg(
       count(x).as("n"),
@@ -61,10 +61,7 @@ object SparkEntry {
       sum((x * x).cast(dec)).as("s2"),
       sum((x * x * x).cast(dec)).as("s3"),
       sum((x * x * x * x).cast(dec)).as("s4"),
-      min(x).as("mn"), max(x).as("mx"),
-      percentile(x, lit(0.5)).as("med"),
-      percentile(x, lit(0.25)).as("q1"),
-      percentile(x, lit(0.75)).as("q3"))
+      min(x).as("mn"), max(x).as("mx"))
 
   /** mean/std/skew/kurt from exact sums — identical formula in oracle. */
   private def momentSelect(withQuantiles: DataFrame): DataFrame = {
@@ -83,13 +80,29 @@ object SparkEntry {
       round((m4 - lit(4.0) * mean * m3 + lit(6.0) * mean * mean * m2
         - lit(3.0) * mean * mean * mean * mean) / (variance * variance) - lit(3.0), 6).as("kurt"),
       col("mn"), col("mx"),
-      round(col("med"), 6).as("median"),
-      round(col("q1"), 6).as("q1"),
-      round(col("q3"), 6).as("q3"))
+      round(element_at(col("qs"), 2), 6).as("median"),
+      round(element_at(col("qs"), 1), 6).as("q1"),
+      round(element_at(col("qs"), 3), 6).as("q3"))
   }
 
-  private def numericProfile(df: DataFrame, colName: String): DataFrame =
-    momentSelect(momentAgg(df, col(colName)))
+  /** Numeric profile: one scan for the exact moment sums, one
+    * range-partitioned sort for the exact quantiles (Quantiles.exact —
+    * Spark's in-memory percentile buffer doesn't scale past executor
+    * memory; the sort does). Derived stats stay Spark expressions so
+    * the scalar formula is shared with the oracle verbatim. */
+  private def numericProfile(df: DataFrame, colName: String): DataFrame = {
+    val m = momentAgg(df, col(colName)).collect()(0)
+    val n = m.getLong(0)
+    val qs = graft.engine.Quantiles.exact(df, colName, Seq(0.25, 0.5, 0.75), n)
+    val base = df.sparkSession.range(1).select(
+      lit(n).as("n"),
+      lit(m.getDecimal(1)).as("s1"), lit(m.getDecimal(2)).as("s2"),
+      lit(m.getDecimal(3)).as("s3"), lit(m.getDecimal(4)).as("s4"),
+      lit(if (m.isNullAt(5)) null else m.get(5)).cast("double").as("mn"),
+      lit(if (m.isNullAt(6)) null else m.get(6)).cast("double").as("mx"),
+      array(lit(qs(0)), lit(qs(1)), lit(qs(2))).as("qs"))
+    momentSelect(base)
+  }
 
   /** Oracle-side twin of [[numericProfile]]. */
   private def numericProfileSql(table: String, c: String): String =
@@ -100,9 +113,7 @@ object SparkEntry {
        |         sum(CAST($c*$c*$c AS DECIMAL(38,6))) AS s3,
        |         sum(CAST($c*$c*$c*$c AS DECIMAL(38,6))) AS s4,
        |         min($c) AS mn, max($c) AS mx,
-       |         quantile_cont($c, 0.5) AS med,
-       |         quantile_cont($c, 0.25) AS q1,
-       |         quantile_cont($c, 0.75) AS q3
+       |         quantile_cont($c, [0.25, 0.5, 0.75]) AS qs
        |  FROM $table)
        |SELECT n,
        |  round(CAST(s1 AS DOUBLE)/n, 6) AS mean,
@@ -117,7 +128,7 @@ object SparkEntry {
        |    / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
        |       * (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))) - 3.0, 6) AS kurt,
        |  mn, mx,
-       |  round(med, 6) AS median, round(q1, 6) AS q1, round(q3, 6) AS q3
+       |  round(qs[2], 6) AS median, round(qs[1], 6) AS q1, round(qs[3], 6) AS q3
        |FROM s""".stripMargin
 
   /** value_counts(normalize=True): count + probability per value. */
@@ -379,12 +390,15 @@ object SparkEntry {
 
     "q22_fingerprints" -> ((s, d) => {
       val c = col("text")
-      t(s, d, "documents").select(
+      val docs = t(s, d, "documents")
+      val rowWise = docs.select(
         col("doc_id"),
         TextAnalysis.fingerprint(c).as("fp"),
-        TextAnalysis.rollingHash(c).as("rolling"),
-        TextAnalysis.simHash16(c).as("simhash"))
-        .orderBy("doc_id")
+        TextAnalysis.rollingHash(c).as("rolling"))
+      // simhash via the exploded aggregation (one md5 per token, not 16)
+      val sketch = TextAnalysis.simHash16Agg(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+      rowWise.join(sketch, "doc_id").orderBy("doc_id")
     }),
 
     // --- deduplication (north star) ---
@@ -401,24 +415,28 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // LSH candidates verified by exact Jaccard — the composition that
+    // avoids all-pairs work (Dedup.lshJaccardDedup)
     "q25_dedup_jaccard" -> ((s, d) => {
       val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
-      Dedup.jaccardPairs(dup, "doc_id", "text", k = 3, minJaccard = 0.8)
+      Dedup.lshJaccardDedup(dup, "doc_id", "text", numHashes = 16, bands = 4,
+        k = 3, minJaccard = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
 
     "q26_dedup_simhash" -> ((s, d) => {
       val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
-      dup.groupBy(TextAnalysis.simHash16(col("text")).as("simhash"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      TextAnalysis.simHash16Agg(dup, "doc_id", "text")
+        .groupBy("simhash")
+        .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_docs"))
         .filter(col("n_docs") > 1)
         .orderBy("keep_id")
     }),
 
     "q27_dedup_embedding" -> ((s, d) => {
       val dup = withDups(t(s, d, "embeddings"), "vec_id", 50, 10000)
-      Dedup.embeddingNearDup(dup, "vec_id", "embedding", 0.99)
+      Similarity.cosinePairsBlocked(dup, "vec_id", "embedding", 0.99)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
         .orderBy("id_a", "id_b")
     }),
@@ -621,10 +639,9 @@ object SparkEntry {
 
       "q21_langid" -> {
         def sw(lang: String) = s"len(list_filter($toks, x -> list_contains(${dlist(stop(lang))}, x)))"
-        val cjk = "length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))"
         s"""SELECT doc_id, lang AS lang_actual,
            |  ${sw("en")} AS sw_en, ${sw("de")} AS sw_de, ${sw("es")} AS sw_es, ${sw("fr")} AS sw_fr,
-           |  CASE WHEN $cjk > 0 THEN 'zh'
+           |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
            |       WHEN ${sw("en")} = 0 AND ${sw("de")} = 0 AND ${sw("es")} = 0 AND ${sw("fr")} = 0 THEN 'und'
            |       WHEN ${sw("en")} >= ${sw("de")} AND ${sw("en")} >= ${sw("es")} AND ${sw("en")} >= ${sw("fr")} THEN 'en'
            |       WHEN ${sw("de")} >= ${sw("es")} AND ${sw("de")} >= ${sw("fr")} THEN 'de'
@@ -649,13 +666,11 @@ object SparkEntry {
 
       "q24_dedup_minhash" -> {
         val sh = shinglesSql("text")
-        val mins = (0 until 16).map(i => s"min(md5('$i#' || s)) AS h$i").mkString(", ")
-        val bandExprs = (0 until 4).map { b =>
-          val hs = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
-          s"SELECT doc_id, $b AS band, md5($hs) AS bucket FROM sig"
-        }.mkString(" UNION ALL ")
+        val mins = minhashMinsSql
+        val bandExprs = minhashBandsSql
         s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),
-           |sh AS (SELECT doc_id, unnest($sh) AS s FROM dup),
+           |sh0 AS (SELECT doc_id, unnest($sh) AS s FROM dup),
+           |sh AS (SELECT doc_id, s, ${hash31Sql("s")} AS v FROM sh0),
            |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
            |banded AS ($bandExprs)
            |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -666,12 +681,23 @@ object SparkEntry {
 
       "q25_dedup_jaccard" -> {
         val sh = shinglesSql("text")
+        val mins = minhashMinsSql
+        val bandExprs = minhashBandsSql
         s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),
-           |sh AS (SELECT doc_id, unnest($sh) AS s FROM dup),
+           |sh0 AS (SELECT doc_id, unnest($sh) AS s FROM dup),
+           |sh AS (SELECT doc_id, s, ${hash31Sql("s")} AS v FROM sh0),
+           |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+           |banded AS ($bandExprs),
+           |cand AS (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |  FROM banded l JOIN banded r
+           |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
            |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
            |inter AS (
-           |  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
-           |  FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+           |  SELECT c.id_a, c.id_b, count(*) AS i
+           |  FROM cand c
+           |  JOIN sh a ON a.doc_id = c.id_a
+           |  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
            |  GROUP BY 1, 2)
            |SELECT id_a, id_b,
            |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
@@ -746,6 +772,19 @@ object SparkEntry {
       |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
       |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id >= 5) c)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB twin of Dedup.minhashCandidates' signature aggregation:
+    * one hash31 per shingle, 16 universal-hash mins. */
+  private def minhashMinsSql: String =
+    Dedup.minhashParams(16).zipWithIndex.map { case ((a, b), i) =>
+      s"min((v * $a + $b) % ${Dedup.MinhashP}) AS h$i"
+    }.mkString(", ")
+
+  private def minhashBandsSql: String =
+    (0 until 4).map { b =>
+      val hs = (0 until 4).map(r => s"CAST(h${b * 4 + r} AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($hs) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
 
   private def stop(lang: String): Seq[String] = TextAnalysis.stopwords(lang)
   private def dlist(words: Seq[String]): String =

@@ -27,24 +27,44 @@ object Dedup {
 
   /** Word k-gram shingles of the token stream (distinct). Mirrors
     * DuckDB: list_distinct(list_transform(range(...), i -> ...)). */
-  def shingles(c: Column, k: Int = 3): Column = {
+  def shingles(c: Column, k: Int = 3): Column =
+    array_distinct(shingleStream(c, k))
+
+  /** Shingles WITHOUT the distinct — array_distinct is O(n²) string
+    * compares per document and min()-based signatures are unaffected by
+    * duplicates, so the minhash path skips it. Jaccard (set semantics)
+    * must use [[shingles]]. */
+  def shingleStream(c: Column, k: Int = 3): Column = {
     val toks = TextAnalysis.tokens(c)
     val n = size(toks)
-    array_distinct(
-      when(n < k, array(concat_ws(" ", toks)))
-        .otherwise(transform(
-          sequence(lit(0), n - k),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+    when(n < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** MinHash signature: for hash function i (of `numHashes`), the
-    * lexicographic min of md5(i || '#' || shingle) — the classic
-    * "min over a random permutation" with md5 as the permutation
-    * family. Map-only; signature is numHashes 32-char strings. */
+  /** Mersenne prime modulus for the universal hash family. */
+  val MinhashP: Long = 2147483647L
+
+  /** (a_i, b_i) parameters of the universal hash family
+    * h_i(v) = (a_i·v + b_i) mod P — fixed, engine-portable constants so
+    * the DuckDB oracle replays signatures exactly. One md5 per shingle
+    * (the 31-bit base value) + numHashes multiply-mods, instead of
+    * numHashes md5 calls per shingle. */
+  def minhashParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = (((i + 1) * 2654435761L) % MinhashP) | 1L
+      val b = ((i + 1) * 40503L * 65537L) % MinhashP
+      (a, b)
+    }
+
+  /** MinHash signature as an array column: min over shingles of
+    * h_i(hash31(shingle)) per hash function. Map-only. */
   def minhashSignature(c: Column, numHashes: Int = 16, k: Int = 3): Column = {
     val sh = shingles(c, k)
-    val sig = (0 until numHashes).map { i =>
-      array_min(transform(sh, s => md5(concat(lit(s"$i#"), s).cast("binary"))))
+    val vals = transform(sh, s => TextAnalysis.tokenHash31(s))
+    val sig = minhashParams(numHashes).map { case (a, b) =>
+      array_min(transform(vals, v => (v * a + b) % MinhashP))
     }
     array(sig: _*)
   }
@@ -90,9 +110,10 @@ object Dedup {
                         numHashes: Int = 16, bands: Int = 4, k: Int = 3): DataFrame = {
     val r = numHashes / bands
     val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), k)).as("s"))
-    val minExprs = (0 until numHashes).map { i =>
-      min(md5(concat(lit(s"$i#"), col("s")).cast("binary"))).as(s"h$i")
+      explode(shingleStream(col(textCol), k)).as("s"))
+      .withColumn("v", TextAnalysis.tokenHash31(col("s")))
+    val minExprs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((col("v") * a + b) % MinhashP).as(s"h$i")
     }
     val sig = sh.groupBy("id").agg(minExprs.head, minExprs.tail: _*)
     val bandStructs = array((0 until bands).map { b =>
@@ -120,6 +141,33 @@ object Dedup {
     val inter = sh.as("l").join(sh.as("r"),
         col("l.s") === col("r.s") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The production near-dup pipeline: MinHash-LSH candidates verified
+    * with exact n-gram Jaccard — all-pairs work never happens; the
+    * Jaccard join runs only on the (near-linear) candidate set. This is
+    * the composition to use at scale; [[jaccardPairs]] alone is the
+    * exact all-pairs fallback for small n. */
+  def lshJaccardDedup(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 16, bands: Int = 4, k: Int = 3,
+                      minJaccard: Double = 0.8): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, k)
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), k)).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val shB = sh.select(col("id").as("__idb"), col("s").as("__sb"))
+    val inter = cand
+      .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(shB, col("id_b") === col("__idb") && col("s") === col("__sb"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")

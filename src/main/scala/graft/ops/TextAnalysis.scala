@@ -56,11 +56,12 @@ object TextAnalysis {
 
   /** Predicted language: zh if CJK chars present, else argmax stopword
     * evidence with fixed precedence en > de > es > fr (deterministic
-    * tie-break), 'und' when no evidence at all. */
+    * tie-break), 'und' when no evidence at all. The zh branch uses a
+    * short-circuit rlike rather than counting every CJK codepoint. */
   def langId(c: Column): Column = {
     val en = stopwordCount(c, "en"); val de = stopwordCount(c, "de")
     val es = stopwordCount(c, "es"); val fr = stopwordCount(c, "fr")
-    when(cjkCount(c) > 0, lit("zh"))
+    when(c.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
       .when(en === 0 && de === 0 && es === 0 && fr === 0, lit("und"))
       .when(en >= de && en >= es && en >= fr, lit("en"))
       .when(de >= es && de >= fr, lit("de"))
@@ -132,6 +133,30 @@ object TextAnalysis {
       (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1).cast("long") *
         lit(1L << (4 * (6 - i)))
     }.reduce(_ + _)
+  }
+
+  /** [[simHash16]] as an exploded aggregation: (id, simhash) via one
+    * explode + groupBy with 16 sums. Identical output; the row-wise
+    * expression form re-walks the token array once per bit (16x), so
+    * use this one when sketching a whole corpus. Map-side partial sums
+    * keep the shuffle at one row per document. */
+  def simHash16Agg(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", md5(col("t").cast("binary")))
+    val sums = (0 until 16).map { j =>
+      sum(((instr(lit("0123456789abcdef"), substring(col("h"), j + 1, 1)) - 1) % 2)
+        .cast("long") * 2L - 1L).as(s"s$j")
+    }
+    val agg = tok.groupBy("id").agg(sums.head, sums.tail: _*)
+    val bits = (0 until 16).map(j =>
+      when(col(s"s$j") > 0, lit("1")).otherwise(lit("0")))
+    // empty-token docs never reach the groupBy; reattach with all-zero
+    // sketch (aggregate-over-empty semantics of the expression form)
+    val ids = df.select(col(idCol).as("id")).distinct()
+    ids.join(agg, Seq("id"), "left")
+      .select(col("id"), coalesce(concat(bits: _*), lit("0" * 16)).as("simhash"))
   }
 
   /** 16-bit SimHash over the token stream. Bit j is the sign of
