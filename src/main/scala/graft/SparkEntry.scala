@@ -53,14 +53,19 @@ object SparkEntry {
 
   private val dec = DecimalType(38, 6)
 
-  /** Exact moment sums for a double column — ONE scan. */
+  /** Moment sums for a double column — ONE codegen'd scan. Plain double
+    * sums: the downstream statistics are normalized (÷n, ÷σᵏ), so the
+    * order-dependent last-ulp summation noise is ~1e-12 of the rounded
+    * 6-dp output — decimal exactness is only needed where a RAW sum is
+    * the output (revenue/sum_qty queries keep DECIMAL). Decimal here
+    * costs ~10x (per-row Decimal allocation, measured). */
   private def momentAgg(df: DataFrame, x: Column): DataFrame =
     df.agg(
       count(x).as("n"),
-      sum(x.cast(dec)).as("s1"),
-      sum((x * x).cast(dec)).as("s2"),
-      sum((x * x * x).cast(dec)).as("s3"),
-      sum((x * x * x * x).cast(dec)).as("s4"),
+      sum(x).as("s1"),
+      sum(x * x).as("s2"),
+      sum(x * x * x).as("s3"),
+      sum(x * x * x * x).as("s4"),
       min(x).as("mn"), max(x).as("mx"))
 
   /** mean/std/skew/kurt from exact sums — identical formula in oracle. */
@@ -96,8 +101,8 @@ object SparkEntry {
     val qs = graft.engine.Quantiles.exact(df, colName, Seq(0.25, 0.5, 0.75), n)
     val base = df.sparkSession.range(1).select(
       lit(n).as("n"),
-      lit(m.getDecimal(1)).as("s1"), lit(m.getDecimal(2)).as("s2"),
-      lit(m.getDecimal(3)).as("s3"), lit(m.getDecimal(4)).as("s4"),
+      lit(m.getDouble(1)).as("s1"), lit(m.getDouble(2)).as("s2"),
+      lit(m.getDouble(3)).as("s3"), lit(m.getDouble(4)).as("s4"),
       lit(if (m.isNullAt(5)) null else m.get(5)).cast("double").as("mn"),
       lit(if (m.isNullAt(6)) null else m.get(6)).cast("double").as("mx"),
       array(lit(qs(0)), lit(qs(1)), lit(qs(2))).as("qs"))
@@ -108,10 +113,10 @@ object SparkEntry {
   private def numericProfileSql(table: String, c: String): String =
     s"""WITH s AS (
        |  SELECT count($c) AS n,
-       |         sum(CAST($c AS DECIMAL(38,6))) AS s1,
-       |         sum(CAST($c*$c AS DECIMAL(38,6))) AS s2,
-       |         sum(CAST($c*$c*$c AS DECIMAL(38,6))) AS s3,
-       |         sum(CAST($c*$c*$c*$c AS DECIMAL(38,6))) AS s4,
+       |         sum($c) AS s1,
+       |         sum($c*$c) AS s2,
+       |         sum($c*$c*$c) AS s3,
+       |         sum($c*$c*$c*$c) AS s4,
        |         min($c) AS mn, max($c) AS mx,
        |         quantile_cont($c, [0.25, 0.5, 0.75]) AS qs
        |  FROM $table)
@@ -216,11 +221,14 @@ object SparkEntry {
         percentile(e, lit(0.5)).as("med"))
       val n = col("n").cast("double")
       val mean = col("s1").cast("double") / n
+      // 2-dp rounding: epoch stats are ~1e8-1e9; 6-dp would demand more
+      // significant digits than cross-engine double math guarantees
+      // (variance cancellation leaves ~1e-6 noise on std)
       moments.select(col("n"),
-        round(mean, 6).as("mean_epoch"),
-        round(sqrt(col("s2").cast("double") / n - mean * mean), 6).as("std_epoch"),
+        round(mean, 2).as("mean_epoch"),
+        round(sqrt(col("s2").cast("double") / n - mean * mean), 2).as("std_epoch"),
         col("mn_epoch"), col("mx_epoch"), col("min_date"), col("max_date"),
-        round(col("med"), 6).as("median_epoch"))
+        round(col("med"), 2).as("median_epoch"))
     }),
 
     "q08_boolean_profile_events" -> ((s, d) => {
@@ -520,10 +528,10 @@ object SparkEntry {
           |         quantile_cont(CAST(epoch(o_orderdate) AS BIGINT), 0.5) AS med
           |  FROM orders)
           |SELECT n,
-          |  round(CAST(s1 AS DOUBLE)/n, 6) AS mean_epoch,
-          |  round(sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)), 6) AS std_epoch,
+          |  round(CAST(s1 AS DOUBLE)/n, 2) AS mean_epoch,
+          |  round(sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)), 2) AS std_epoch,
           |  mn_epoch, mx_epoch, min_date, max_date,
-          |  round(med, 6) AS median_epoch
+          |  round(med, 2) AS median_epoch
           |FROM s""".stripMargin,
 
       "q08_boolean_profile_events" ->

@@ -15,6 +15,33 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    names.filter(_ == "micro").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val x = col("l_extendedprice")
+      def time(tag: String)(f: => Unit): Unit = (1 to 3).foreach { i =>
+        val t0 = System.nanoTime(); f
+        println(f"MICRO $tag run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      time("warm")(df.agg(sum(x)).collect())
+      time("dec-sums")(df.agg(sum(x.cast(DecimalType(38, 6))),
+        sum((x * x).cast(DecimalType(38, 6))),
+        sum((x * x * x).cast(DecimalType(38, 6))),
+        sum((x * x * x * x).cast(DecimalType(38, 6)))).collect())
+      val y = x / 100000.0
+      time("dec-sums-scaled6")(df.agg(sum(y.cast(DecimalType(38, 6))),
+        sum((y * y).cast(DecimalType(38, 6))),
+        sum((y * y * y).cast(DecimalType(38, 6))),
+        sum((y * y * y * y).cast(DecimalType(38, 6)))).collect())
+      time("dec-sums-scaled12")(df.agg(sum(y.cast(DecimalType(30, 12))),
+        sum((y * y).cast(DecimalType(30, 12))),
+        sum((y * y * y).cast(DecimalType(30, 12))),
+        sum((y * y * y * y).cast(DecimalType(30, 12)))).collect())
+      time("sort-quantiles")(
+        println(graft.engine.Quantiles.exact(df, "l_extendedprice", Seq(0.25, 0.5, 0.75), 600572L)))
+      time("builtin-percentile")(df.agg(percentile(x, array(lit(0.25), lit(0.5), lit(0.75)))).collect())
+    }
     val qs = graft.SparkEntry.queries
     names.filter(_ == "entry").foreach { _ =>
       val rows = graft.SparkEntry.entry(spark).collect()
