@@ -483,6 +483,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // --- full reference pipeline: profile → synthesize → validate.
+    // Samplers are non-SQL-expressible (contract: rows-only check) ---
+    "q32_synthetic_pipeline" -> ((s, d) => {
+      import graft.engine.{SyntheticPipeline, DetectorConfig}
+      val orders = t(s, d, "orders")
+      val cfg = SyntheticPipeline.Config(
+        detector = DetectorConfig(strictFormats = true),
+        nSamples = 1000, seed = 42, textColumns = false)
+      val result = SyntheticPipeline.run(orders, cfg)
+      result.synthetic
+    }),
+
     // --- multimodal plumbing (stub codec, real schema/batching) ---
     "q31_multimodal_meta" -> ((s, d) => {
       val docs = t(s, d, "documents")

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the engine's profiling operators —
+  * the SURVEY.md §7 stretch: the same moment/count aggregations,
+  * expressed incrementally over an event stream.
+  *
+  * All operators take the streaming DataFrame (from `readStream`) and
+  * return a streaming result; sinks/triggers are the caller's choice.
+  * Watermarks bound state; the aggregation state per window/key is the
+  * same O(1) moment tuple the batch profiler collects, so state size is
+  * windows × keys, never rows. */
+object StreamingProfile {
+
+  /** Tumbling-window numeric profile of `valueCol` per `keyCol`:
+    * count / mean / pop-std / min / max, incrementally maintained.
+    * Late data beyond `watermark` is dropped (documented semantics). */
+  def windowedNumericProfile(events: DataFrame, tsCol: String, keyCol: String,
+                             valueCol: String, window: String = "1 hour",
+                             watermark: String = "2 hours"): DataFrame = {
+    val v = col(valueCol)
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(keyCol))
+      .agg(
+        count(v).as("n"),
+        avg(v).as("mean"),
+        stddev_pop(v).as("std"),
+        min(v).as("min"),
+        max(v).as("max"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("mean"), col("std"), col("min"), col("max"))
+  }
+
+  /** Streaming value_counts (the categorical profile) per window. */
+  def windowedValueCounts(events: DataFrame, tsCol: String, keyCol: String,
+                          window: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("cnt"))
+
+  /** Per-user session state for [[sessionize]]. */
+  case class SessionState(lastMs: Long, nSessions: Long, nEvents: Long)
+  case class SessionUpdate(userId: Long, nSessions: Long, nEvents: Long)
+
+  /** Stateful sessionization with `mapGroupsWithState`: counts sessions
+    * per user with a gap threshold — the streaming twin of the batch
+    * lag-window sessionize (SparkEntry q18). State is one (ts, counts)
+    * tuple per live user. Production would add a state timeout
+    * (ProcessingTime/EventTime) to reap idle users — note that
+    * processing-time timeouts keep scheduling batches, so tests using
+    * processAllAvailable() must run without one. */
+  def sessionize(events: Dataset[(Long, Long)], gapMs: Long = 1800000L)
+  : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (userId, batch, state: GroupState[SessionState]) =>
+          val sorted = batch.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { ts =>
+            val newSession = st.lastMs == Long.MinValue || ts - st.lastMs > gapMs
+            st = SessionState(ts,
+              st.nSessions + (if (newSession) 1 else 0),
+              st.nEvents + 1)
+          }
+          state.update(st)
+          SessionUpdate(userId, st.nSessions, st.nEvents)
+      }
+  }
+
+  /** Streaming exact-dedup: drop events whose content fingerprint was
+    * already seen within the watermark horizon — Structured Streaming's
+    * dropDuplicates over the md5 digest, state bounded by the watermark. */
+  def streamingDedup(events: DataFrame, tsCol: String, textCol: String,
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
+      .dropDuplicates("__fp")
+      .drop("__fp")
+}

@@ -170,6 +170,6 @@ object TextSynth {
       }
       bcVocab.value.decode(x, maxTokens)
     }
-    spark.range(n).select(gen(col("id")).as("value"))
+    spark.range(n).select(col("id"), gen(col("id")).as("value"))
   }
 }

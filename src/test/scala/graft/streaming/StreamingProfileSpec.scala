@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming operators driven through real micro-batches with
+  * MemoryStream + memory sink. */
+class StreamingProfileSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed numeric profile aggregates incrementally across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingProfile.windowedNumericProfile(df, "ts", "event_type",
+        "value", window = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("np").outputMode(OutputModeComplete).start()
+    try {
+      mem.addData((ts(0), "click", 10.0), (ts(5), "click", 20.0))
+      q.processAllAvailable()
+      mem.addData((ts(10), "click", 30.0), (ts(10), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("np").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains(("click", 3L, 20.0))) // mean of 10,20,30
+      assert(rows.contains(("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  private val OutputModeComplete = org.apache.spark.sql.streaming.OutputMode.Complete()
+
+  test("stateful sessionize counts sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (userId, epochMs)
+    val out = StreamingProfile.sessionize(mem.toDS(), gapMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      mem.addData((1L, 0L), (1L, 10000L))           // one session
+      q.processAllAvailable()
+      mem.addData((1L, 200000L), (2L, 0L))          // 1: gap>60s → 2nd session
+      q.processAllAvailable()
+      val last = spark.table("sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._3) }
+      assert(last(1L) === ((1L, 2L, 3L)))
+      assert(last(2L) === ((2L, 1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops same-content events within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val q = StreamingProfile.streamingDedup(df, "ts", "text")
+      .writeStream.format("memory").queryName("dd")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      mem.addData((ts(0), "hello world"), (ts(1), "HELLO,  world!"), (ts(2), "other doc"))
+      q.processAllAvailable()
+      mem.addData((ts(3), "hello world"))
+      q.processAllAvailable()
+      assert(spark.table("dd").count() === 2L) // normalized dups dropped
+    } finally q.stop()
+  }
+}

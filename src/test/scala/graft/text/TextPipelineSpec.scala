@@ -56,7 +56,7 @@ class TextPipelineSpec extends SparkSpec {
     val synth = TextSynth.generate(spark, stats, vocab, maxTokens = 4, n = 50, seed = 3)
     assert(synth.count() === 50L)
     // decoded text draws from the corpus vocabulary
-    val toks = synth.collect().flatMap(_.getString(0).split(" ")).toSet
+    val toks = synth.select("value").collect().flatMap(_.getString(0).split(" ")).toSet
     assert(toks.forall(t => t.isEmpty || vocab.words.contains(t)))
   }
 }
