@@ -43,6 +43,12 @@ object Probe {
       time("builtin-percentile")(df.agg(percentile(x, array(lit(0.25), lit(0.5), lit(0.75)))).collect())
     }
     val qs = graft.SparkEntry.queries
+    names.filter(_.startsWith("plan:")).foreach { n =>
+      val q = n.stripPrefix("plan:")
+      println(s"===== PLAN $q =====")
+      println(qs(q)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
     names.filter(_ == "entry").foreach { _ =>
       val rows = graft.SparkEntry.entry(spark).collect()
       println(s"PROBE entry: ${rows.length} rows")
