@@ -387,12 +387,15 @@ object SparkEntry {
     "q21_langid" -> ((s, d) => {
       val c = col("text")
       t(s, d, "documents").select(
-        col("doc_id"), col("lang").as("lang_actual"),
+        col("doc_id"), col("lang").as("lang_actual"), c,
         TextAnalysis.stopwordCount(c, "en").as("sw_en"),
         TextAnalysis.stopwordCount(c, "de").as("sw_de"),
         TextAnalysis.stopwordCount(c, "es").as("sw_es"),
-        TextAnalysis.stopwordCount(c, "fr").as("sw_fr"),
-        TextAnalysis.langId(c).as("lang_pred"))
+        TextAnalysis.stopwordCount(c, "fr").as("sw_fr"))
+        .select(col("doc_id"), col("lang_actual"),
+          col("sw_en"), col("sw_de"), col("sw_es"), col("sw_fr"),
+          TextAnalysis.langIdFromCounts(c, col("sw_en"), col("sw_de"),
+            col("sw_es"), col("sw_fr")).as("lang_pred"))
         .orderBy("doc_id")
     }),
 
