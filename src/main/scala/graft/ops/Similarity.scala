@@ -33,10 +33,21 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
 
-  /** Cosine similarity of two array columns (0 when either norm is 0).
-    * Elements are cast to double first — float inputs accumulate in
-    * double exactly like the DuckDB oracle. */
+  /** Cosine similarity of two array columns (0 when either norm is 0)
+    * — the native codegen'd [[graft.expressions.CosineSimilarity]]
+    * expression: a primitive loop inlined into WholeStageCodegen, no
+    * boxing. Elements are cast to double first — float inputs
+    * accumulate in double exactly like the DuckDB oracle. */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val ad = transform(a, _.cast("double")); val bd = transform(b, _.cast("double"))
+    GraftColumnBridge.column(graft.expressions.CosineSimilarity(
+      GraftColumnBridge.expression(ad), GraftColumnBridge.expression(bd)))
+  }
+
+  /** The HOF-composition form of [[cosine]] (zip_with + aggregate) —
+    * kept for reference/fallback; ~10x slower than the expression. */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = transform(a, _.cast("double")); val bd = transform(b, _.cast("double"))
     val d = dot(ad, bd); val na = norm(ad); val nb = norm(bd)
     when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))

@@ -43,6 +43,16 @@ object Probe {
       time("builtin-percentile")(df.agg(percentile(x, array(lit(0.25), lit(0.5), lit(0.75)))).collect())
     }
     val qs = graft.SparkEntry.queries
+    names.filter(_ == "cosine-sql").foreach { _ =>
+      graft.GraftExtensions.registerInto(spark)
+      spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("emb")
+      val rows = spark.sql(
+        """SELECT a.vec_id, b.vec_id AS other,
+          |  round(graft_cosine(CAST(a.embedding AS ARRAY<DOUBLE>), CAST(b.embedding AS ARRAY<DOUBLE>)), 6) AS sim
+          |FROM emb a JOIN emb b ON a.vec_id = 0 AND b.vec_id IN (0, 1, 2)
+          |ORDER BY other""".stripMargin).collect()
+      rows.foreach(r => println(s"PROBE cosine-sql: $r"))
+    }
     names.filter(_.startsWith("plan:")).foreach { n =>
       val q = n.stripPrefix("plan:")
       println(s"===== PLAN $q =====")
