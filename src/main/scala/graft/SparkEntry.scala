@@ -486,6 +486,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // --- the detection ladder end-to-end: classify every events column
+    // with the reference precedence (SURVEY.md §1), oracle replays the
+    // same ladder in SQL ---
+    "q33_detect_types_events" -> ((s, d) => {
+      import s.implicits._
+      val detected = graft.engine.Detector.detect(t(s, d, "events"))
+      detected.toSeq.sortBy(_._1)
+        .map { case (n, (st, sig)) => (n, st.name, sig.n, sig.nDistinct) }
+        .toDF("col_name", "semantic_type", "n", "n_distinct")
+    }),
+
     // --- full reference pipeline: profile → synthesize → validate.
     // Samplers are non-SQL-expressible (contract: rows-only check) ---
     "q32_synthetic_pipeline" -> ((s, d) => {
@@ -775,6 +786,44 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
           |  FROM scored)
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      "q33_detect_types_events" -> {
+        // one-row ladder replay per column; dtype-static branches inlined
+        def ladder(c: String, isNum: Boolean, isTs: Boolean): String = {
+          val s = s"trim(CAST($c AS VARCHAR))"
+          val ns = s"lower($s)"
+          val boolToks = "('true','false','1','0','yes','no','y','n','t','f')"
+          val dateParse =
+            if (isTs) "1.0"
+            else s"avg(CASE WHEN $c IS NOT NULL THEN CASE WHEN try_strptime($s, ['%Y-%m-%d','%m/%d/%Y','%d-%m-%Y','%Y-%m-%d %H:%M:%S','%Y-%m-%dT%H:%M:%S']) IS NOT NULL THEN 1.0 ELSE 0.0 END END)"
+          s"""SELECT '$c' AS col_name, CASE
+             |  WHEN count($c) = 0 THEN 'unknown'
+             |  WHEN count(DISTINCT $ns) <= 3
+             |    AND coalesce(max(CASE WHEN $c IS NOT NULL THEN CASE WHEN $ns IN $boolToks THEN 0 ELSE 1 END END), 1) = 0
+             |    THEN 'boolean'
+             |  WHEN avg(CASE WHEN $c IS NOT NULL THEN CASE WHEN regexp_matches($s, '@[^@]*\\.[^@]*$$') THEN 1.0 ELSE 0.0 END END) > 0.7 THEN 'email'
+             |  WHEN avg(CASE WHEN $c IS NOT NULL THEN CASE WHEN length(regexp_replace($s, '\\D', '', 'g')) BETWEEN 7 AND 15 THEN 1.0 ELSE 0.0 END END) > 0.7 THEN 'phone'
+             |  WHEN ${if (isNum) "TRUE" else "FALSE"}
+             |    OR avg(CASE WHEN $c IS NOT NULL THEN CASE WHEN TRY_CAST($s AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END END) >= 0.9
+             |    THEN CASE WHEN CAST(sum(CASE WHEN TRY_CAST($s AS DOUBLE) = floor(TRY_CAST($s AS DOUBLE)) THEN 1 ELSE 0 END) AS DOUBLE)
+             |                 / nullif(count(TRY_CAST($s AS DOUBLE)), 0) >= 0.95
+             |         THEN 'integer' ELSE 'float' END
+             |  WHEN ${if (isTs) "TRUE" else "FALSE"} OR $dateParse >= 0.8 THEN 'datetime'
+             |  WHEN CAST(count(DISTINCT $s) AS DOUBLE) / count($c) <= 0.3
+             |    AND count(DISTINCT $s) < 50 THEN 'categorical'
+             |  ELSE 'text' END AS semantic_type,
+             |  count($c) AS n, count(DISTINCT $s) AS n_distinct
+             |FROM events""".stripMargin
+        }
+        Seq(
+          ladder("event_id", isNum = true, isTs = false),
+          ladder("event_type", isNum = false, isTs = false),
+          ladder("props", isNum = false, isTs = false),
+          ladder("ts", isNum = false, isTs = true),
+          ladder("user_id", isNum = true, isTs = false),
+          ladder("value", isNum = true, isTs = false))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      },
 
       "q31_multimodal_meta" ->
         s"""SELECT doc_id,
