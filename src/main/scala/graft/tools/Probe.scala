@@ -43,6 +43,32 @@ object Probe {
       time("builtin-percentile")(df.agg(percentile(x, array(lit(0.25), lit(0.5), lit(0.75)))).collect())
     }
     val qs = graft.SparkEntry.queries
+    names.filter(_ == "micro33").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def time(tag: String)(f: => Unit): Unit = (1 to 2).foreach { i =>
+        val t0 = System.nanoTime(); f
+        println(f"MICRO33 $tag run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      val cols = Seq("event_id", "event_type", "props", "ts", "user_id", "value")
+      def s(c: String) = trim(col(c).cast("string"))
+      time("warm")(ev.agg(count(lit(1))).collect())
+      time("distincts")(ev.agg(
+        count_distinct(s(cols.head)),
+        cols.tail.flatMap(c => Seq(count_distinct(s(c)), count_distinct(lower(s(c))))) ++
+          Seq(count_distinct(lower(s(cols.head)))): _*).collect())
+      time("regex-digits")(ev.agg(
+        cols.map(c => avg(when(length(regexp_replace(s(c), "\\D", "")).between(7, 15), 1.0).otherwise(0.0))).head,
+        cols.map(c => avg(when(length(regexp_replace(s(c), "\\D", "")).between(7, 15), 1.0).otherwise(0.0))).tail: _*).collect())
+      time("dateparse")(ev.agg(
+        cols.map(c => avg(when(graft.engine.Detector.tryParseDate(s(c)).isNotNull, 1.0).otherwise(0.0))).head,
+        cols.map(c => avg(when(graft.engine.Detector.tryParseDate(s(c)).isNotNull, 1.0).otherwise(0.0))).tail: _*).collect())
+      time("trycast")(ev.agg(
+        cols.map(c => avg(when(s(c).try_cast(org.apache.spark.sql.types.DoubleType).isNotNull, 1.0).otherwise(0.0))).head,
+        cols.map(c => avg(when(s(c).try_cast(org.apache.spark.sql.types.DoubleType).isNotNull, 1.0).otherwise(0.0))).tail: _*).collect())
+      time("full-signals")(graft.engine.Detector.signals(ev))
+    }
     names.filter(_ == "cosine-sql").foreach { _ =>
       graft.GraftExtensions.registerInto(spark)
       spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("emb")
