@@ -160,8 +160,10 @@ object Dedup {
                       numHashes: Int = 16, bands: Int = 4, k: Int = 3,
                       minJaccard: Double = 0.8): DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, k)
+    // the shingle stream feeds sizes + both sides of the intersection
+    // join — materialize once instead of re-tokenizing the corpus 3x
     val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), k)).as("s"))
+      explode(shingles(col(textCol), k)).as("s")).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val shB = sh.select(col("id").as("__idb"), col("s").as("__sb"))
     val inter = cand
