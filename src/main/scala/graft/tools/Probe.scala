@@ -43,6 +43,42 @@ object Probe {
       time("builtin-percentile")(df.agg(percentile(x, array(lit(0.25), lit(0.5), lit(0.75)))).collect())
     }
     val qs = graft.SparkEntry.queries
+    names.filter(_ == "pipeline-stress").foreach { _ =>
+      import graft.engine.{SyntheticPipeline, DetectorConfig}
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val t0 = System.nanoTime()
+      val cfg = SyntheticPipeline.Config(
+        detector = DetectorConfig(strictFormats = true),
+        sampleCap = 0,          // profile the FULL table, no sample cap
+        nSamples = 1000000,     // generate 1M rows
+        seed = 42, textColumns = false)
+      // phase-level timing of profileTable's internals
+      locally {
+        val clean = df.na.drop("any").cache()
+        val p0 = System.nanoTime()
+        val det = graft.engine.Detector.detect(clean, cfg.detector)
+        val p1 = System.nanoTime()
+        graft.engine.Profiler.profileScalars(clean, det)
+        val p2 = System.nanoTime()
+        det.collect { case (n, (graft.engine.SemanticType.Categorical, _)) => n }
+          .foreach(n => graft.engine.Profiler.profileCategorical(clean, n))
+        val p3 = System.nanoTime()
+        println(f"PROBE phases: detect=${(p1 - p0) / 1e9}%.1fs scalars=${(p2 - p1) / 1e9}%.1fs categorical=${(p3 - p2) / 1e9}%.1fs")
+        clean.unpersist()
+      }
+      val profiles = SyntheticPipeline.profileTable(df, cfg)
+      val t1 = System.nanoTime()
+      val synth = SyntheticPipeline.generate(spark, profiles, cfg)
+      val n = synth.write.format("noop").mode("overwrite").save()
+      val t2 = System.nanoTime()
+      val validation = SyntheticPipeline.validate(
+        SyntheticPipeline.generate(spark, profiles, cfg), profiles)
+      val t3 = System.nanoTime()
+      println(f"PROBE pipeline-stress: profile=${(t1 - t0) / 1e9}%.1fs generate1M=${(t2 - t1) / 1e9}%.1fs validate=${(t3 - t2) / 1e9}%.1fs")
+      validation.toSeq.sortBy(_._1).foreach { case (c, m) =>
+        println(s"PROBE   $c: " + m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.4f" }.mkString(" "))
+      }
+    }
     names.filter(_ == "micro33").foreach { _ =>
       import org.apache.spark.sql.functions._
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
