@@ -134,17 +134,18 @@ object Detector {
     * rows through the shuffle — measured 4x the whole detection scan);
     * the exploded (column, norm?, value) stream shuffles narrow rows
     * once and aggregates each distinct set independently. */
-  private def distinctCounts(df: DataFrame,
-                             fields: Seq[StructField]): Map[(String, Boolean), Long] = {
+  private def distinctCounts(df: DataFrame, fields: Seq[StructField],
+                             approx: Boolean): Map[(String, Boolean), Long] = {
     val pairs = fields.flatMap { f =>
       val s = trim(col(f.name).cast(StringType))
       Seq(struct(lit(f.name).as("c"), lit(false).as("nrm"), s.as("v")),
         struct(lit(f.name).as("c"), lit(true).as("nrm"), lower(s).as("v")))
     }
+    val d = if (approx) approx_count_distinct(col("v")) else count_distinct(col("v"))
     df.select(explode(array(pairs: _*)).as("p"))
       .select(col("p.c"), col("p.nrm"), col("p.v"))
       .groupBy("c", "nrm")
-      .agg(count_distinct(col("v")).as("d"))
+      .agg(d.as("d"))
       .collect()
       .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2))
       .toMap
@@ -160,7 +161,7 @@ object Detector {
       else columns.map(n => df.schema(n))
     val exprs = fields.flatMap(f => signalExprs(f, cfg))
     val row: Row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
-    val distincts = distinctCounts(df, fields)
+    val distincts = distinctCounts(df, fields, cfg.approxDistinct)
     val idx = row.schema.fieldNames.zipWithIndex.toMap
     def d(n: String, s: String): Double =
       if (row.isNullAt(idx(s"$n#$s"))) 0.0 else row.getDouble(idx(s"$n#$s"))

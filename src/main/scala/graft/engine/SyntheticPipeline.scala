@@ -187,6 +187,10 @@ object SyntheticPipeline {
     val profiles = profileTable(df, cfg)
     val synthetic = generate(df.sparkSession, profiles, cfg, vocabSource = Some(df)).cache()
     val validation = validate(synthetic, profiles)
+    // release the cache before returning — the frame stays valid
+    // (recomputes from the profile literals); a held cache would leak
+    // into the caller's session
+    synthetic.unpersist(blocking = false)
     Result(profiles, synthetic, validation)
   }
 }

@@ -49,7 +49,13 @@ final case class DetectorConfig(
     integralThreshold: Double = 0.95,
     dateThreshold: Double = 0.8,
     maxCategories: Int = 50,
-    strictFormats: Boolean = false)
+    strictFormats: Boolean = false,
+    /** 100 TB path: HLL++ approx_count_distinct (±2%) for the distinct
+      * cardinalities. The unique-RATIO rule (rank 9) tolerates the
+      * error; the boolean rule's ≤3 threshold sits far below HLL's
+      * error onset, so classifications are stable in practice — but
+      * exact mode remains the parity default. */
+    approxDistinct: Boolean = false)
 
 /** One-pass detection signals for a column: every ratio the ladder
   * needs, computed in a single table-wide agg (SURVEY.md §4 point 1). */

@@ -159,11 +159,13 @@ object Dedup {
   def lshJaccardDedup(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 4, k: Int = 3,
                       minJaccard: Double = 0.8): DataFrame = {
+    // NOTE: no .cache() on the shared shingle stream — a cache inside a
+    // lazily-returned operator leaks into the caller's session (no safe
+    // unpersist point) and the accumulated pressure hurts later queries
+    // more than the ~1s of re-tokenization saved (measured in Bench).
     val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, k)
-    // the shingle stream feeds sizes + both sides of the intersection
-    // join — materialize once instead of re-tokenizing the corpus 3x
     val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), k)).as("s")).cache()
+      explode(shingles(col(textCol), k)).as("s"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val shB = sh.select(col("id").as("__idb"), col("s").as("__sb"))
     val inter = cand
