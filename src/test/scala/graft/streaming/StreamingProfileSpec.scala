@@ -34,6 +34,25 @@ class StreamingProfileSpec extends SparkSpec {
 
   private val OutputModeComplete = org.apache.spark.sql.streaming.OutputMode.Complete()
 
+  test("windowed value_counts accumulates per (window, key)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "event_type")
+    val q = StreamingProfile.windowedValueCounts(df, "ts", "event_type")
+      .writeStream.format("memory").queryName("vc").outputMode(OutputModeComplete).start()
+    try {
+      mem.addData((ts(0), "click"), (ts(1), "click"), (ts(2), "view"))
+      q.processAllAvailable()
+      mem.addData((ts(3), "click"))
+      q.processAllAvailable()
+      val counts = spark.table("vc").collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(counts("click") === 3L)
+      assert(counts("view") === 1L)
+    } finally q.stop()
+  }
+
   test("stateful sessionize counts sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
