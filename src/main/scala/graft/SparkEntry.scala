@@ -136,13 +136,19 @@ object SparkEntry {
        |  round(qs[2], 6) AS median, round(qs[1], 6) AS q1, round(qs[3], 6) AS q3
        |FROM s""".stripMargin
 
-  /** value_counts(normalize=True): count + probability per value. */
+  /** value_counts(normalize=True): count + probability per value. The
+    * total comes from a 1-row agg over the grouped counts joined back by
+    * broadcast — NOT a partition-less window, which would funnel every
+    * grouped row through one task (collapses on high-cardinality
+    * columns; the q11 bounds pattern). */
   private def valueCounts(df: DataFrame, colName: String): DataFrame = {
-    val total = Window.partitionBy()
-    df.filter(col(colName).isNotNull)
+    val counts = df.filter(col(colName).isNotNull)
       .groupBy(col(colName).cast(StringType).as("value"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("prob", round(col("cnt").cast("double") / sum("cnt").over(total), 6))
+    val total = counts.agg(sum("cnt").as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("prob", round(col("cnt").cast("double") / col("total"), 6))
+      .drop("total")
       .orderBy(desc("cnt"), asc("value"))
   }
 
@@ -560,9 +566,11 @@ object SparkEntry {
           |  round(med, 2) AS median_epoch
           |FROM s""".stripMargin,
 
+      // CAST(sum(..) AS BIGINT): DuckDB sums of integers are HUGEINT,
+      // Spark's are BIGINT — values equal, type-sensitive hash differs
       "q08_boolean_profile_events" ->
-        """SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS true_count,
-          |       sum(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END) AS false_count,
+        """SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS true_count,
+          |       CAST(sum(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END) AS BIGINT) AS false_count,
           |       count(*) AS n,
           |       round(CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS true_prob
           |FROM events""".stripMargin,
@@ -578,10 +586,10 @@ object SparkEntry {
 
       "q10_bool_votes_lineitem" ->
         """SELECT count(*) AS n,
-          |  sum(CASE WHEN lower(trim(l_returnflag)) IN ('y','n') THEN 1 ELSE 0 END) AS rf_vote_yn,
-          |  sum(CASE WHEN lower(trim(l_returnflag)) IN ('t','f') THEN 1 ELSE 0 END) AS rf_vote_tf,
-          |  sum(CASE WHEN lower(trim(l_returnflag)) IN ('true','false') THEN 1 ELSE 0 END) AS rf_vote_truefalse,
-          |  sum(CASE WHEN lower(trim(l_linestatus)) IN ('t','f') THEN 1 ELSE 0 END) AS ls_vote_tf,
+          |  CAST(sum(CASE WHEN lower(trim(l_returnflag)) IN ('y','n') THEN 1 ELSE 0 END) AS BIGINT) AS rf_vote_yn,
+          |  CAST(sum(CASE WHEN lower(trim(l_returnflag)) IN ('t','f') THEN 1 ELSE 0 END) AS BIGINT) AS rf_vote_tf,
+          |  CAST(sum(CASE WHEN lower(trim(l_returnflag)) IN ('true','false') THEN 1 ELSE 0 END) AS BIGINT) AS rf_vote_truefalse,
+          |  CAST(sum(CASE WHEN lower(trim(l_linestatus)) IN ('t','f') THEN 1 ELSE 0 END) AS BIGINT) AS ls_vote_tf,
           |  count(DISTINCT lower(trim(l_returnflag))) AS rf_distinct_norm,
           |  max(CASE WHEN lower(trim(l_returnflag)) IN ('true','false','1','0','yes','no','y','n','t','f') THEN 0 ELSE 1 END) AS rf_nonbool
           |FROM lineitem""".stripMargin,
@@ -603,7 +611,7 @@ object SparkEntry {
 
       "q13_json_events" ->
         """SELECT event_type, count(*) AS n,
-          |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+          |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           |  round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
           |        / count(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -641,7 +649,7 @@ object SparkEntry {
           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
       "q18_sessionize_events" ->
-        """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
           |FROM (
           |  SELECT user_id,
           |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -651,10 +659,13 @@ object SparkEntry {
           |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       "q19_token_stats" ->
+        // coalesce/nullif: Spark's aggregate() over an empty token array
+        // yields 0 (and meanTokenLen guards nt=0 → 0.0); DuckDB list_sum([])
+        // is NULL and x/0 diverges — align both, and pin HUGEINT → BIGINT
         s"""SELECT doc_id,
            |  len($toks) AS n_tokens,
-           |  list_sum(list_transform($toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS n_subwords,
-           |  round(CAST(list_sum(list_transform($toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len($toks), 6) AS mean_token_len
+           |  CAST(coalesce(list_sum(list_transform($toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_subwords,
+           |  round(coalesce(CAST(list_sum(list_transform($toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / nullif(len($toks), 0), 0.0), 6) AS mean_token_len
            |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q20_quality_scores" -> {

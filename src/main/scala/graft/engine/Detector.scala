@@ -79,22 +79,66 @@ object Detector {
       .when(norm(c).isin(falseTokens: _*), lit(false))
 
   /** All aggregate signal expressions for one column; aliases are
-    * `<colName>#<signal>`. */
+    * `<colName>#<signal>`.
+    *
+    * Signals whose answer is decided by the PHYSICAL dtype skip their
+    * per-row expression battery: a DoubleType column's email ratio is 0
+    * and its numeric ratio 1 by construction; a rendered timestamp never
+    * try_casts to double; a rendered number never matches a word token.
+    * Emitting the full regex/parse ladder for such columns only bloats
+    * the codegen'd agg (it was the #1 cost of the 6-column detection
+    * scan). The static form `max(when(c.isNotNull, lit(v)))` keeps
+    * all-null → null semantics identical to the computed aggregate. */
   private def signalExprs(field: StructField, cfg: DetectorConfig): Seq[Column] = {
     val name = field.name
     val c = col(name)
     val s = trim(c.cast(StringType))
     val ns = norm(c)
     def a(sig: String, e: Column): Column = e.as(s"$name#$sig")
-    val emailPred = if (cfg.strictFormats) emailStrict(c) else emailLoose(c)
-    val phonePred = if (cfg.strictFormats) phoneStrict(c) else phoneLoose(c)
-    val coerced = tryNumeric(s)
-    val parsedDate = field.dataType match {
-      case _: TimestampType | DateType => c.cast(TimestampType)
-      case _ => tryParseDate(s)
-    }
     def ratio(pred: Column): Column =
       avg(when(c.isNotNull, when(pred, 1.0).otherwise(0.0)))
+    def static(v: Double): Column = max(when(c.isNotNull, lit(v)))
+    def staticL(v: Long): Column = max(when(c.isNotNull, lit(v)))
+    val isNum = isNumericType(field.dataType)
+    val isDt = isDatetimeType(field.dataType)
+    val isBool = field.dataType == BooleanType
+    val stringLike = !isNum && !isDt && !isBool
+
+    val emailPred = if (cfg.strictFormats) emailStrict(c) else emailLoose(c)
+    val phonePred = if (cfg.strictFormats) phoneStrict(c) else phoneLoose(c)
+    val email = if (stringLike) ratio(emailPred) else static(0.0)
+    // phone stays COMPUTED for numerics/datetimes: rendered numbers and
+    // dates genuinely hit the 7–15-digit quirk (SURVEY.md §1). It is
+    // static only where classify ignores it (strict+numeric) or the
+    // render has no digits (boolean).
+    val phone =
+      if (isBool || (isNum && cfg.strictFormats)) static(0.0)
+      else ratio(phonePred)
+    val coerced = tryNumeric(s)
+    val numeric =
+      if (isNum) static(1.0)
+      else if (stringLike) ratio(coerced.isNotNull)
+      else static(0.0)
+    val dc = c.cast(DoubleType)
+    val intnum =
+      if (isNum) sum(when(c.isNotNull && dc === floor(dc), 1L).otherwise(0L))
+      else if (stringLike) sum(when(coerced.isNotNull && coerced === floor(coerced), 1L).otherwise(0L))
+      else staticL(0L)
+    val numn =
+      if (isNum) count(c)
+      else if (stringLike) sum(when(coerced.isNotNull, 1L).otherwise(0L))
+      else staticL(0L)
+    // rendered numbers/booleans never match the D-sep-D-sep-D date shape
+    val date =
+      if (isDt) ratio(c.cast(TimestampType).isNotNull)
+      else if (stringLike) ratio(tryParseDate(s).isNotNull)
+      else static(0.0)
+    // single-pass "all values ⊆ boolTokens" (`Latanova_v1.py:135-136`);
+    // a rendered timestamp is never a bool token, a native bool always is
+    val nonbool =
+      if (isDt) max(when(c.isNotNull, lit(1)))
+      else if (isBool) max(when(c.isNotNull, lit(0)))
+      else max(when(c.isNotNull, when(ns.isin(boolTokens: _*), 0).otherwise(1)))
     val voteExprs = BoolFormat.all.map { f =>
       val tokens = f match {
         case BoolFormat.TrueFalse => Seq("true", "false")
@@ -108,21 +152,23 @@ object Detector {
         // reference's elif chain (`Latanova_v1.py:104-117`): a native
         // bool votes ONLY for 'bool'; string formats vote only when the
         // physical dtype is not boolean
-        case BoolFormat.Native => lit(field.dataType == BooleanType) && c.isNotNull
-        case _ => lit(field.dataType != BooleanType) && ns.isin(tokens: _*)
+        case BoolFormat.Native => lit(isBool) && c.isNotNull
+        // integral longs render "1"/"0" and legitimately vote one_zero
+        case BoolFormat.OneZero if isNum => ns.isin(tokens: _*)
+        case _ if !stringLike => lit(false)
+        case _ => ns.isin(tokens: _*)
       }
       a(s"vote_${f.name}", sum(when(pred, 1L).otherwise(0L)))
     }
     Seq(
       a("n", count(c)),
-      // single-pass "all values ⊆ boolTokens" (`Latanova_v1.py:135-136`)
-      a("nonbool", max(when(c.isNotNull, when(ns.isin(boolTokens: _*), 0).otherwise(1)))),
-      a("email", ratio(emailPred)),
-      a("phone", ratio(phonePred)),
-      a("numeric", ratio(coerced.isNotNull)),
-      a("intnum", sum(when(coerced.isNotNull && coerced === floor(coerced), 1L).otherwise(0L))),
-      a("numn", sum(when(coerced.isNotNull, 1L).otherwise(0L))),
-      a("date", ratio(parsedDate.isNotNull))
+      a("nonbool", nonbool),
+      a("email", email),
+      a("phone", phone),
+      a("numeric", numeric),
+      a("intnum", intnum),
+      a("numn", numn),
+      a("date", date)
     ) ++ voteExprs
   }
 
@@ -136,19 +182,29 @@ object Detector {
     * once and aggregates each distinct set independently. */
   private def distinctCounts(df: DataFrame, fields: Seq[StructField],
                              approx: Boolean): Map[(String, Boolean), Long] = {
+    // lower() is injective on rendered numbers/dates/booleans (only the
+    // exponent 'E' changes case, uniformly), so for non-string columns
+    // ONE stream serves both the trimmed and the lower+trimmed
+    // cardinality — halves the exploded row volume on numeric tables.
+    def needsNorm(f: StructField) = f.dataType == StringType
     val pairs = fields.flatMap { f =>
       val s = trim(col(f.name).cast(StringType))
-      Seq(struct(lit(f.name).as("c"), lit(false).as("nrm"), s.as("v")),
-        struct(lit(f.name).as("c"), lit(true).as("nrm"), lower(s).as("v")))
+      val base = struct(lit(f.name).as("c"), lit(false).as("nrm"), s.as("v"))
+      if (needsNorm(f))
+        Seq(base, struct(lit(f.name).as("c"), lit(true).as("nrm"), lower(s).as("v")))
+      else Seq(base)
     }
     val d = if (approx) approx_count_distinct(col("v")) else count_distinct(col("v"))
-    df.select(explode(array(pairs: _*)).as("p"))
+    val computed = df.select(explode(array(pairs: _*)).as("p"))
       .select(col("p.c"), col("p.nrm"), col("p.v"))
       .groupBy("c", "nrm")
       .agg(d.as("d"))
       .collect()
       .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2))
       .toMap
+    computed ++ fields.filterNot(needsNorm).flatMap { f =>
+      computed.get((f.name, false)).map((f.name, true) -> _)
+    }
   }
 
   /** Compute every detection signal for every requested column in ONE
@@ -225,6 +281,14 @@ object Detector {
     else if (sig.uniqueRatio <= cfg.uniqueThreshold && sig.nDistinct < cfg.maxCategories) Categorical
     else Text
   }
+
+  // timing hooks for graft.tools.Probe (phase-level attribution only)
+  private[graft] def signalsOnlyForProbe(df: DataFrame): Unit = {
+    val exprs = df.schema.fields.toSeq.flatMap(f => signalExprs(f, DetectorConfig()))
+    df.agg(exprs.head, exprs.tail: _*).collect()
+  }
+  private[graft] def distinctsOnlyForProbe(df: DataFrame): Unit =
+    distinctCounts(df, df.schema.fields.toSeq, approx = false)
 
   /** Detect all columns of a table: one scan + driver fold. */
   def detect(df: DataFrame, cfg: DetectorConfig = DetectorConfig(),

@@ -1,7 +1,6 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact distributed quantiles via range-partitioned sort + targeted
@@ -22,43 +21,71 @@ object Quantiles {
     exactExpr(df, col(colName), ps, n)
 
   /** Exact quantiles for MANY value expressions in ONE pass: the
-    * columns explode into a narrow (column-id, value) stream, one
-    * shuffle sorts each column's group (window row_number), and only
-    * the rows at needed ranks survive to the driver. k separate
-    * exactExpr calls re-deserialize and re-shuffle the frame k×3 times
-    * (sortBy = sample + shuffle + index passes — measured 80 s for 10
-    * columns at 600k rows vs ~8 s fused). */
+    * columns explode into a narrow (column-id, value) stream, ONE
+    * range-partitioned shuffle on (column, value) sorts every column
+    * across ALL partitions simultaneously, per-partition column counts
+    * (a few hundred scalars) come back to the driver to fix global rank
+    * offsets, and a second pass over the SAME shuffle output (skipped
+    * stage — shuffle files are reused, not recomputed) emits only the
+    * rows at needed ranks. k separate exactExpr calls re-deserialize
+    * and re-shuffle the frame k×3 times (measured 80 s for 10 columns
+    * at 600k rows vs ~8 s fused); a `Window.partitionBy(column)` rank
+    * would funnel each column's every row through a single task — the
+    * 100 TB scale-killer this shape exists to avoid.
+    *
+    * NaN policy: NaN is a VALUE (kept, sorts last — Spark and Scala
+    * double ordering agree), matching `count()` which includes NaN in
+    * n; dropping it would make ranks overrun the stream. */
   def exactMulti(df: DataFrame, values: Seq[(String, Column)],
                  ps: Seq[Double], ns: Map[String, Long]): Map[String, Seq[Double]] = {
     if (values.isEmpty) return Map.empty
-    val needed: Seq[(String, Long)] = values.flatMap { case (name, _) =>
+    val neededMap: Map[String, Set[Long]] = values.flatMap { case (name, _) =>
       val n = ns.getOrElse(name, 0L)
-      if (n == 0) Nil
-      else ps.flatMap { p =>
+      if (n == 0) None
+      else Some(name -> ps.flatMap { p =>
         val h = (n - 1) * p
-        Seq(name -> math.floor(h).toLong, name -> math.ceil(h).toLong)
-      }.distinct
-    }
-    if (needed.isEmpty) return values.map(_._1 -> ps.map(_ => 0.0)).toMap
+        Seq(math.floor(h).toLong, math.ceil(h).toLong)
+      }.toSet)
+    }.toMap
+    if (neededMap.isEmpty) return values.map(_._1 -> ps.map(_ => 0.0)).toMap
     val spark = df.sparkSession
     val pairs = values.map { case (name, v) =>
       struct(lit(name).as("c"), v.cast("double").as("v"))
     }
-    val long = df.select(explode(array(pairs: _*)).as("p"))
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val sorted = df.select(explode(array(pairs: _*)).as("p"))
       .select(col("p.c").as("c"), col("p.v").as("v"))
       .filter(col("v").isNotNull)
-    val w = Window.partitionBy("c").orderBy("v")
-    val ranked = long.withColumn("rn", (row_number().over(w) - 1).cast("long"))
-    val neededDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(needed.map(x => org.apache.spark.sql.Row(x._1, x._2)), 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("rn", org.apache.spark.sql.types.LongType))))
-    val vals: Map[(String, Long), Double] = ranked
-      .join(broadcast(neededDf), Seq("c", "rn"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
-      .toMap
+      .repartitionByRange(nPart, col("c"), col("v"))
+      .sortWithinPartitions("c", "v")
+      .rdd.map(r => (r.getString(0), r.getDouble(1)))
+    // pass 1: per-(partition, column) row counts — O(P·k) scalars
+    val counts: Array[Map[String, Long]] = sorted
+      .mapPartitionsWithIndex { (i, it) =>
+        val m = scala.collection.mutable.Map.empty[String, Long]
+        it.foreach { case (c, _) => m.update(c, m.getOrElse(c, 0L) + 1L) }
+        Iterator((i, m.toMap))
+      }.collect().sortBy(_._1).map(_._2)
+    // offsets(i)(c) = rows of column c in partitions before i
+    val offsets: Array[Map[String, Long]] =
+      counts.scanLeft(Map.empty[String, Long]) { (acc, m) =>
+        (acc.keySet ++ m.keySet).iterator
+          .map(k => k -> (acc.getOrElse(k, 0L) + m.getOrElse(k, 0L))).toMap
+      }.init
+    val neededB = spark.sparkContext.broadcast(neededMap)
+    val offB = spark.sparkContext.broadcast(offsets)
+    // pass 2 (shuffle reuse): emit only rows whose global rank is needed
+    val vals: Map[(String, Long), Double] = sorted
+      .mapPartitionsWithIndex { (i, it) =>
+        val off = scala.collection.mutable.Map[String, Long](offB.value(i).toSeq: _*)
+        val nd = neededB.value
+        it.flatMap { case (c, v) =>
+          val r = off.getOrElse(c, 0L)
+          off.update(c, r + 1L)
+          if (nd.get(c).exists(_.contains(r))) Iterator(((c, r), v))
+          else Iterator.empty
+        }
+      }.collect().toMap
     values.map { case (name, _) =>
       val n = ns.getOrElse(name, 0L)
       name -> (if (n == 0) ps.map(_ => 0.0)
@@ -78,8 +105,12 @@ object Quantiles {
     if (n == 0) return ps.map(_ => 0.0)
     val hs = ps.map(p => (n - 1) * p)
     val needed = hs.flatMap(h => Seq(math.floor(h).toLong, math.ceil(h).toLong)).toSet
+    // isNotNull (NOT na.drop, which also drops NaN): n comes from
+    // count(), which includes NaN — the stream must too, or the needed
+    // rank can overrun it. NaN sorts last in both Spark and Scala.
     val vals: Map[Long, Double] = df
-      .select(value.cast("double").as("__q")).na.drop
+      .select(value.cast("double").as("__q"))
+      .filter(col("__q").isNotNull)
       .rdd.map(_.getDouble(0))
       .sortBy(identity)
       .zipWithIndex()

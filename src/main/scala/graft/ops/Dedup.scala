@@ -107,15 +107,23 @@ object Dedup {
     * (measured 16x slower). Map-side partial min() makes the shuffle
     * carry one signature row per document. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 16, bands: Int = 4, k: Int = 3): DataFrame = {
+                        numHashes: Int = 16, bands: Int = 4, k: Int = 3): DataFrame =
+    candidatesFromShingleStream(
+      df.select(col(idCol).as("id"),
+        explode(shingleStream(col(textCol), k)).as("s")),
+      numHashes, bands)
+
+  /** Candidate pairs from a pre-exploded (id, s) shingle stream. min()
+    * is duplicate-insensitive, so both the distinct and non-distinct
+    * shingle streams produce identical signatures. */
+  private def candidatesFromShingleStream(sh: DataFrame, numHashes: Int,
+                                          bands: Int): DataFrame = {
     val r = numHashes / bands
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingleStream(col(textCol), k)).as("s"))
-      .withColumn("v", TextAnalysis.tokenHash31(col("s")))
+    val hashed = sh.withColumn("v", TextAnalysis.tokenHash31(col("s")))
     val minExprs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((col("v") * a + b) % MinhashP).as(s"h$i")
     }
-    val sig = sh.groupBy("id").agg(minExprs.head, minExprs.tail: _*)
+    val sig = hashed.groupBy("id").agg(minExprs.head, minExprs.tail: _*)
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until r).map(j => col(s"h${b * r + j}")): _*)
@@ -159,13 +167,19 @@ object Dedup {
   def lshJaccardDedup(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 4, k: Int = 3,
                       minJaccard: Double = 0.8): DataFrame = {
-    // NOTE: no .cache() on the shared shingle stream — a cache inside a
-    // lazily-returned operator leaks into the caller's session (no safe
-    // unpersist point) and the accumulated pressure hurts later queries
-    // more than the ~1s of re-tokenization saved (measured in Bench).
-    val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, k)
+    // ONE tokenize+shingle pass, materialized with localCheckpoint: the
+    // signature, size, and intersection stages all re-read the exploded
+    // (id, shingle) stream; unmaterialized, each re-runs the full
+    // tokenize+shingle+distinct expression tree (3x the scan, measured).
+    // Unlike .cache() (removed in r2: leaked into the caller's session
+    // with no safe unpersist point), localCheckpoint blocks are owned by
+    // this frame and freed by the ContextCleaner once it's unreachable.
+    // Signatures over the distinct stream equal those over the raw
+    // stream (min() is duplicate-insensitive), so candidates share it.
     val sh = df.select(col(idCol).as("id"),
       explode(shingles(col(textCol), k)).as("s"))
+      .localCheckpoint()
+    val cand = candidatesFromShingleStream(sh, numHashes, bands)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val shB = sh.select(col("id").as("__idb"), col("s").as("__sb"))
     val inter = cand

@@ -105,6 +105,18 @@ object Probe {
         cols.map(c => avg(when(s(c).try_cast(org.apache.spark.sql.types.DoubleType).isNotNull, 1.0).otherwise(0.0))).tail: _*).collect())
       time("full-signals")(graft.engine.Detector.signals(ev))
     }
+    names.filter(_ == "phase33").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def time(tag: String)(f: => Unit): Unit = (1 to 2).foreach { i =>
+        val t0 = System.nanoTime(); f
+        println(f"PHASE33 $tag run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      time("warm")(ev.agg(count(lit(1))).collect())
+      time("signals-only")(graft.engine.Detector.signalsOnlyForProbe(ev))
+      time("distincts-only")(graft.engine.Detector.distinctsOnlyForProbe(ev))
+    }
     names.filter(_ == "cosine-sql").foreach { _ =>
       graft.GraftExtensions.registerInto(spark)
       spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("emb")
@@ -126,7 +138,7 @@ object Probe {
       println(s"PROBE entry: ${rows.length} rows")
       rows.foreach(r => println(s"  $r"))
     }
-    names.filter(_ != "entry").foreach { n =>
+    names.filter(qs.contains).foreach { n =>
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
         val cnt = qs(n)(spark, sfDir).count()
