@@ -515,6 +515,32 @@ object SparkEntry {
       result.synthetic
     }),
 
+    // --- text vector-space profile (TextProfiler math, oracle-checked):
+    // per-dimension mean/std + covariance trace over the maxTokens×dim
+    // concat vectorization of documents.text. The embedding table is
+    // md5-derived (engine-portable), built from the corpus's distinct
+    // tokens so the real treeAggregate path runs with zero OOV; the
+    // oracle recomputes every moment from scratch in SQL. The token
+    // collect is bounded by vocab size (same cap policy as Vocab.build),
+    // not corpus rows. ---
+    "q34_text_vector_profile" -> ((s, d) => {
+      import graft.text.{EmbeddingModel, TextProfiler, Tokenize}
+      val docs = t(s, d, "documents")
+      val toks = docs.select(explode(Tokenize.tokens(col("text"))).as("tok"))
+        .distinct().collect().map(_.getString(0))
+      val table = toks.map(tk =>
+        tk -> Array.tabulate(Q34Dim)(j => md5Component(s"$tk#$j"))).toMap
+      val model = EmbeddingModel(Q34Dim, 0L, table)
+      val stats = TextProfiler.profile(docs, "text", model, Q34MaxTokens,
+        rawSampleCap = 1).get
+      import s.implicits._
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (0 until Q34MaxTokens * Q34Dim).map(i =>
+        (i, r6(stats.mean(i)), r6(stats.std(i)), r6(stats.covTrace)))
+        .toDF("dim_idx", "mean", "std", "cov_trace")
+    }),
+
     // --- multimodal plumbing (stub codec, real schema/batching) ---
     "q31_multimodal_meta" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -836,6 +862,8 @@ object SparkEntry {
           .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
       },
 
+      "q34_text_vector_profile" -> q34Sql,
+
       "q31_multimodal_meta" ->
         s"""SELECT doc_id,
            |  octet_length(encode(text)) AS n_bytes,
@@ -844,6 +872,35 @@ object SparkEntry {
            |  64 + ((${hd(5)} * 16 + ${hd(6)}) * 256 + (${hd(7)} * 16 + ${hd(8)})) % 1985 AS height,
            |  1000 + ((${hd(9)} * 16 + ${hd(10)}) * 65536 + (${hd(11)} * 16 + ${hd(12)}) * 256 + (${hd(13)} * 16 + ${hd(14)})) % 600000 AS duration_ms
            |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  // q34 parameters + the md5 embedding component shared by both engines:
+  // first 7 hex digits of md5("token#j") → 28-bit int → uniform [-1, 1)
+  private val Q34MaxTokens = 4
+  private val Q34Dim = 4
+  private def md5Component(s: String): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 7)
+    java.lang.Long.parseLong(hex, 16).toDouble / 268435456.0 * 2.0 - 1.0
+  }
+
+  private def q34Sql: String = {
+    def comp(tokExpr: String, j: Int): String =
+      s"CAST(${hash31Sql(s"$tokExpr || '#$j'")} AS DOUBLE) / 268435456.0 * 2.0 - 1.0"
+    val cases = (0 until Q34MaxTokens * Q34Dim).map { i =>
+      val ti = i / Q34Dim; val j = i % Q34Dim
+      s"SELECT $i AS dim_idx, CASE WHEN len(toks) > $ti THEN ${comp(s"toks[${ti + 1}]", j)} ELSE 0.0 END AS v FROM t"
+    }
+    s"""WITH t AS (
+       |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> length(x) BETWEEN 2 AND 15) AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |vals AS (${cases.mkString(" UNION ALL ")}),
+       |agg AS (SELECT dim_idx, count(*) AS n, sum(v) AS s1, sum(v*v) AS s2 FROM vals GROUP BY dim_idx)
+       |SELECT dim_idx, round(s1/n, 6) AS mean,
+       |  round(sqrt(greatest(s2/n - (s1/n)*(s1/n), 0)), 6) AS std,
+       |  round((SELECT sum((s2 - n*(s1/n)*(s1/n))/(n-1)) FROM agg), 6) AS cov_trace
+       |FROM agg ORDER BY dim_idx""".stripMargin
   }
 
   private val annTopkSql: String =

@@ -60,7 +60,14 @@ object SyntheticPipeline {
           case Categorical =>
             base.copy(categorical = Some(Profiler.profileCategorical(df, name)))
           case Email | Phone =>
-            base.copy(rawSample = Profiler.rawSample(df, name, cfg.rawSampleCap))
+            // the reference vectorizes email/phone columns too
+            // (`Latanova_v1.py:640-643`) — their embedding-space profile
+            // backs the same validation metrics as text columns
+            base.copy(
+              rawSample = Profiler.rawSample(df, name, cfg.rawSampleCap),
+              text = if (cfg.textColumns)
+                TextProfiler.profile(df, name, model, cfg.maxTokens, cfg.rawSampleCap)
+              else None)
           case Text if cfg.textColumns =>
             base.copy(text = TextProfiler.profile(df, name, model, cfg.maxTokens, cfg.rawSampleCap))
           case _ => base
@@ -131,14 +138,31 @@ object SyntheticPipeline {
   }
 
   /** Validation phase: absolute moment errors of the synthetic frame vs
-    * the source profiles — the reference's metrics, enforceable. */
+    * the source profiles — the reference's metrics, enforceable.
+    * `cfg` must carry the same embedding parameters as the profiling
+    * run (the text metrics re-vectorize the synthetic column). */
   def validate(synthetic: DataFrame,
-               profiles: Map[String, ColumnProfile]): Map[String, Map[String, Double]] = {
+               profiles: Map[String, ColumnProfile],
+               cfg: Config = Config()): Map[String, Map[String, Double]] = {
     import SemanticType._
     val detected = profiles.map { case (n, p) => n -> (p.semanticType, p.signals) }
     val synthProfiles = Profiler.profileScalars(synthetic, detected)
+    lazy val model = EmbeddingModel(cfg.embedDim, cfg.seed)
     profiles.flatMap { case (name, p) =>
       val metrics: Option[Map[String, Double]] = p.semanticType match {
+        // text/email/phone validate in embedding space: vectorize the
+        // synthetic column, diff the mean-of-per-dim moment roll-ups
+        // (`validate_synthetic_data`, `Latanova_v1.py:430-454`)
+        case Text | Email | Phone if p.text.isDefined =>
+          for {
+            o <- p.text
+            s <- TextProfiler.profile(synthetic, name, model, cfg.maxTokens,
+              rawSampleCap = 1)
+          } yield Map(
+            "mean_error" -> math.abs(o.overallMean - s.overallMean),
+            "std_error" -> math.abs(o.overallStd - s.overallStd),
+            "skew_error" -> math.abs(o.overallSkew - s.overallSkew),
+            "kurt_error" -> math.abs(o.overallKurt - s.overallKurt))
         case Integer | Float =>
           for (o <- p.numeric; s <- synthProfiles.get(name).flatMap(_.numeric)) yield Map(
             "mean_error" -> math.abs(o.mean - s.mean),
@@ -186,7 +210,7 @@ object SyntheticPipeline {
   def run(df: DataFrame, cfg: Config = Config()): Result = {
     val profiles = profileTable(df, cfg)
     val synthetic = generate(df.sparkSession, profiles, cfg, vocabSource = Some(df)).cache()
-    val validation = validate(synthetic, profiles)
+    val validation = validate(synthetic, profiles, cfg)
     // release the cache before returning — the frame stays valid
     // (recomputes from the profile literals); a held cache would leak
     // into the caller's session

@@ -109,6 +109,9 @@ final case class TextStats(
     mean: Array[Double],        // per-dimension means (length dim)
     std: Array[Double],         // per-dimension population stds
     overallMean: Double, overallStd: Double,
+    // mean-of-per-dim skew/kurt roll-ups — the scalars the reference's
+    // text validation diffs (`Latanova_v1.py:437-445`)
+    overallSkew: Double, overallKurt: Double,
     covTrace: Double, covLogDet: Double,
     chol: Option[Array[Array[Double]]], // lower-triangular L of cov + 1e-6 I
     count: Long,

@@ -29,9 +29,13 @@ object Skew {
   /** Top-N heaviest keys with their share of rows — the diagnostic to
     * decide whether salting (or AQE skew handling) is worth it. */
   def keySkewReport(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
-    val total = df.count().toDouble
-    df.groupBy(key).agg(count(lit(1)).as("cnt"))
-      .withColumn("share", round(col("cnt") / total, 6))
+    // total from a 1-row agg over the grouped counts (broadcast back in)
+    // — a separate df.count() would scan the table twice
+    val counts = df.groupBy(key).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", round(col("cnt") / col("__total"), 6))
+      .drop("__total")
       .orderBy(desc("cnt"))
       .limit(topN)
   }

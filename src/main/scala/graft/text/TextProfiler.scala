@@ -129,6 +129,8 @@ object TextProfiler {
       mean = mean, std = std,
       overallMean = mean.sum / d,
       overallStd = std.sum / d,
+      overallSkew = skew.sum / d,
+      overallKurt = kurt.sum / d,
       covTrace = trace,
       covLogDet = logDet,
       chol = chol,

@@ -72,7 +72,7 @@ object Probe {
       val n = synth.write.format("noop").mode("overwrite").save()
       val t2 = System.nanoTime()
       val validation = SyntheticPipeline.validate(
-        SyntheticPipeline.generate(spark, profiles, cfg), profiles)
+        SyntheticPipeline.generate(spark, profiles, cfg), profiles, cfg)
       val t3 = System.nanoTime()
       println(f"PROBE pipeline-stress: profile=${(t1 - t0) / 1e9}%.1fs generate1M=${(t2 - t1) / 1e9}%.1fs validate=${(t3 - t2) / 1e9}%.1fs")
       validation.toSeq.sortBy(_._1).foreach { case (c, m) =>

@@ -62,4 +62,19 @@ class SyntheticPipelineSpec extends SparkSpec {
     assert(sample.forall(_ != null))
     assert(sample.exists(_.nonEmpty))
   }
+
+  test("text/email/phone columns validate in embedding space") {
+    // the reference validates these three types via vectorized moment
+    // roll-ups (`Latanova_v1.py:430-454`) — metrics must exist and the
+    // MVN text sampler must land near the profiled mean
+    for (c <- Seq("feedback", "email", "phone")) {
+      val v = result.validation.getOrElse(c, fail(s"no validation metrics for $c"))
+      for (k <- Seq("mean_error", "std_error", "skew_error", "kurt_error"))
+        assert(v.contains(k) && !v(k).isNaN, s"$c missing/NaN $k")
+    }
+    val feedback = result.validation("feedback")
+    val o = result.profiles("feedback").text.get
+    assert(feedback("mean_error") < math.max(0.05, math.abs(o.overallMean) * 0.5),
+      s"mean_error=${feedback("mean_error")} overallMean=${o.overallMean}")
+  }
 }

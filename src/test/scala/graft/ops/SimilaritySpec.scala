@@ -57,6 +57,25 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.contains((10L, 12L)))   // cos ≈ 0.707
   }
 
+  test("cosinePairsBlocked tiles a corpus larger than one block") {
+    // 120 vectors in 3 directions; blockSize=25 forces the multi-block
+    // path (5 blocks) — results must equal the exact join form
+    val big = (0 until 120).map { i =>
+      val v = Array(0.0f, 0.0f, 0.0f); v(i % 3) = 1.0f + 0.001f * (i / 3)
+      (i.toLong, v)
+    }.toDF("id", "v")
+    val exact = Similarity.cosinePairs(big, "id", "v", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tiled = Similarity.cosinePairsBlocked(big, "id", "v", 0.999, blockSize = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(tiled === exact)
+    // single-block path agrees too
+    val single = Similarity.cosinePairsBlocked(big, "id", "v", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single === exact)
+  }
+
   test("hyperplane LSH bucket: deterministic, groups identical vectors") {
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
       (3L, Array(-1.0f, -2.0f, -3.0f))).toDF("id", "v")
