@@ -135,16 +135,52 @@ object Similarity {
       .select(col("id"), col("centroid_id"), col("__v").as("vec"), col("__n").as("vecnorm"))
   }
 
+  /** Lloyd k-means over a vector column, pure DataFrame ops: seed
+    * centroids = the `k` lowest-id vectors (deterministic), then
+    * `iterations` rounds of assign-to-nearest (broadcast centroids, one
+    * corpus scan) + per-cluster mean (posexplode → groupBy(cluster, pos)
+    * avg → re-assembled array). Each round's centroids are
+    * localCheckpointed so lineage doesn't stack across iterations.
+    * Clusters that lose every member keep their previous centroid.
+    * Per round: one scan + one narrow (cluster, pos) shuffle — no
+    * driver-side vectors beyond the k centroids themselves. */
+  def kmeansCentroids(corpus: DataFrame, cId: String, cVec: String,
+                      k: Int, iterations: Int = 5): DataFrame = {
+    var centroids = corpus.orderBy(col(cId)).limit(k)
+      .select(col(cId).as("centroid_id"),
+        transform(col(cVec), _.cast("double")).as("cv"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iterations) {
+      val assigned = assignToCentroid(corpus, cId, cVec, centroids, "centroid_id", "cv")
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("vec")))
+        .groupBy("centroid_id", "pos").agg(avg("col").as("m"))
+        .groupBy("centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("newCv"))
+      centroids = centroids.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("newCv"), col("cv")).as("cv"))
+        .localCheckpoint()
+      it += 1
+    }
+    centroids
+  }
+
   /** IVF top-k: cluster the corpus once (centroids = the `nCentroids`
-    * lowest-id vectors, a deterministic seed choice; production would
-    * run k-means — the search plan is identical), then for each query
-    * probe the `nprobe` nearest clusters only. Returns the same schema
-    * as [[bruteForceTopK]]; recall < 1 by construction (ANN). */
+    * lowest-id vectors — the deterministic, oracle-replayable seed — or
+    * `kmeansIterations` > 0 Lloyd rounds refining them), then for each
+    * query probe the `nprobe` nearest clusters only. Returns the same
+    * schema as [[bruteForceTopK]]; recall < 1 by construction (ANN). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, qVec: String, cId: String, cVec: String,
-              k: Int, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = corpus.orderBy(col(cId)).limit(nCentroids)
-      .select(col(cId).as("centroid_id"), col(cVec).as("cv"))
+              k: Int, nCentroids: Int = 16, nprobe: Int = 4,
+              kmeansIterations: Int = 0): DataFrame = {
+    val centroids =
+      if (kmeansIterations > 0)
+        kmeansCentroids(corpus, cId, cVec, nCentroids, kmeansIterations)
+      else corpus.orderBy(col(cId)).limit(nCentroids)
+        .select(col(cId).as("centroid_id"), col(cVec).as("cv"))
     val assigned = assignToCentroid(corpus, cId, cVec, centroids, "centroid_id", "cv")
     // query → its nprobe nearest centroids
     val qProbes = {

@@ -57,6 +57,39 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.contains((10L, 12L)))   // cos ≈ 0.707
   }
 
+  test("k-means centroids improve IVF recall on clustered data with bad seeds") {
+    // 4 tight clusters along axes in R^4; the 4 LOWEST ids (the seed
+    // centroids) all sit in cluster 0, so seed-IVF partitions the space
+    // badly; 5 Lloyd rounds must separate the centroids and recover
+    // recall with nprobe=1
+    val rnd = new scala.util.Random(7)
+    // member noise (0.3) is large vs the seeds' spread (0.02), so under
+    // seed centroids each member's assignment is driven by its OWN noise
+    // → members of one cluster scatter across partitions
+    val vecs = (0 until 4).map { i => // ids 0..3: all cluster 0
+      (i.toLong, Array.tabulate(4)(j => (if (j == 0) 1.0f else 0.0f) + 0.02f * rnd.nextFloat()))
+    } ++ (4 until 84).map { i =>       // ids 4..83: round-robin clusters
+      val c = i % 4
+      (i.toLong, Array.tabulate(4)(j => (if (j == c) 1.0f else 0.0f) + 0.3f * rnd.nextFloat()))
+    }
+    val corpus = vecs.toDF("id", "v")
+    val qs = Seq((1000L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (1001L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("id", "v")
+    def recall(kmIters: Int): Double = {
+      val truth = Similarity.bruteForceTopK(qs, corpus, "id", "v", "id", "v", 5)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val got = Similarity.ivfTopK(qs, corpus, "id", "v", "id", "v",
+        k = 5, nCentroids = 4, nprobe = 1, kmeansIterations = kmIters)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val seedRecall = recall(0)
+    val kmRecall = recall(5)
+    assert(kmRecall > seedRecall,
+      s"kmeans recall $kmRecall should beat seed recall $seedRecall")
+    assert(kmRecall >= 0.9, s"kmeans recall $kmRecall")
+  }
+
   test("cosinePairsBlocked tiles a corpus larger than one block") {
     // 120 vectors in 3 directions; blockSize=25 forces the multi-block
     // path (5 blocks) — results must equal the exact join form
