@@ -43,6 +43,41 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
+  /** Tokenize + shingle in ONE tight loop — the hot-path twin of
+    * [[shingleStream]]/[[shingles]]. The HOF expression form evaluates
+    * slice+concat_ws per shingle with array copies and was the dominant
+    * cost of the whole minhash pipeline (4 s of q24's 6 s at sf0.1,
+    * measured); this kernel produces byte-identical shingles (same
+    * split regex, same space join, same first-occurrence distinct), so
+    * oracle parity is untouched. */
+  private def shingleArrayLocal(text: String, k: Int, distinct: Boolean): Array[String] = {
+    if (text == null) return Array.empty
+    // Locale.ROOT: match Spark's locale-independent lower()
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+    val out =
+      if (toks.length < k) Array(toks.mkString(" "))
+      else Array.tabulate(toks.length - k + 1) { i =>
+        val sb = new StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        sb.result()
+      }
+    if (distinct) out.distinct else out
+  }
+
+  /** UDF column form of [[shingleArrayLocal]] (non-distinct stream). */
+  def shingleStreamFast(c: Column, k: Int = 3): Column = {
+    val f = udf((t: String) => shingleArrayLocal(t, k, distinct = false))
+    f(c)
+  }
+
+  /** UDF column form of [[shingleArrayLocal]] with set semantics. */
+  def shinglesFast(c: Column, k: Int = 3): Column = {
+    val f = udf((t: String) => shingleArrayLocal(t, k, distinct = true))
+    f(c)
+  }
+
   /** Mersenne prime modulus for the universal hash family. */
   val MinhashP: Long = 2147483647L
 
@@ -110,7 +145,7 @@ object Dedup {
                         numHashes: Int = 16, bands: Int = 4, k: Int = 3): DataFrame =
     candidatesFromShingleStream(
       df.select(col(idCol).as("id"),
-        explode(shingleStream(col(textCol), k)).as("s")),
+        explode(shingleStreamFast(col(textCol).cast("string"), k)).as("s")),
       numHashes, bands)
 
   /** Candidate pairs from a pre-exploded (id, s) shingle stream. min()
@@ -144,7 +179,7 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, minJaccard: Double = 0.0): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), k)).as("s"))
+        explode(shinglesFast(col(textCol).cast("string"), k)).as("s"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("l").join(sh.as("r"),
         col("l.s") === col("r.s") && col("l.id") < col("r.id"))
@@ -177,7 +212,7 @@ object Dedup {
     // Signatures over the distinct stream equal those over the raw
     // stream (min() is duplicate-insensitive), so candidates share it.
     val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), k)).as("s"))
+      explode(shinglesFast(col(textCol).cast("string"), k)).as("s"))
       .localCheckpoint()
     val cand = candidatesFromShingleStream(sh, numHashes, bands)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))

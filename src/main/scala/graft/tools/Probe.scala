@@ -117,6 +117,25 @@ object Probe {
       time("signals-only")(graft.engine.Detector.signalsOnlyForProbe(ev))
       time("distincts-only")(graft.engine.Detector.distinctsOnlyForProbe(ev))
     }
+    names.filter(_ == "micro24").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def time(tag: String)(f: => Unit): Unit = (1 to 2).foreach { i =>
+        val t0 = System.nanoTime(); f
+        println(f"MICRO24 $tag run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      val sh = docs.select(col("doc_id").as("id"),
+        explode(graft.ops.Dedup.shingleStream(col("text"), 3)).as("s"))
+      time("shingle-explode")(sh.write.format("noop").mode("overwrite").save())
+      val hashed = sh.withColumn("v", conv(substring(md5(col("s").cast("binary")), 1, 7), 16, 10).cast("long"))
+      time("shingle-md5")(hashed.write.format("noop").mode("overwrite").save())
+      val minExprs = graft.ops.Dedup.minhashParams(16).zipWithIndex.map { case ((a, b), i) =>
+        min((col("v") * a + b) % graft.ops.Dedup.MinhashP).as(s"h$i") }
+      time("signatures")(hashed.groupBy("id").agg(minExprs.head, minExprs.tail: _*)
+        .write.format("noop").mode("overwrite").save())
+      time("full-candidates")(graft.ops.Dedup.minhashCandidates(docs, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save())
+    }
     names.filter(_ == "cosine-sql").foreach { _ =>
       graft.GraftExtensions.registerInto(spark)
       spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("emb")
