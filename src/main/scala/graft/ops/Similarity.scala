@@ -307,4 +307,66 @@ object Similarity {
     }
     concat(bits: _*)
   }
+
+  /** Tight-loop twin of [[hyperplaneBucket]]: same deterministic
+    * hyperplanes (broadcast as a primitive matrix), same bit string —
+    * but O(nBits·dim) multiply-adds per row instead of an
+    * nBits·dim-term expression tree, which blows past codegen method
+    * limits at real embedding widths (768+). */
+  private def hyperplaneBucketFast(spark: org.apache.spark.sql.SparkSession,
+                                   dim: Int, nBits: Int, seed: Long): Column => Column = {
+    val planes = Array.tabulate(nBits, dim) { (b, j) =>
+      graft.text.HashEmbeddings.component(s"$b#$j", 0, seed)
+    }
+    val bc = spark.sparkContext.broadcast(planes)
+    val f = udf { (v: Seq[Double]) =>
+      val p = bc.value
+      val sb = new java.lang.StringBuilder(p.length)
+      var b = 0
+      while (b < p.length) {
+        val row = p(b)
+        var s = 0.0; var j = 0
+        val n = math.min(row.length, v.length)
+        while (j < n) { s += v(j) * row(j); j += 1 }
+        sb.append(if (s >= 0) '1' else '0')
+        b += 1
+      }
+      sb.toString
+    }
+    c => f(c)
+  }
+
+  /** Near-duplicate pairs (cosine ≥ threshold) at scale: multi-table
+    * random-hyperplane LSH + exact verification of bucket-mates only —
+    * the near-linear default that replaces the O(n²) pair join.
+    * `nTables` independent bucket tables (seeds seed+t) are unioned, so
+    * a pair is a candidate if it collides in ANY table; per-pair recall
+    * ≈ 1-(1-(1-θ/π)^nBits)^nTables (≥ 0.999 for cos ≥ 0.999 at the
+    * defaults). Shuffles: one narrow (table, bucket, id) self-join —
+    * bucket-size bounded — plus two id-keyed joins to fetch vectors for
+    * the exact cosine check. No driver collect, no broadcast of the
+    * corpus. */
+  def cosineNearDupBucketed(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, nBits: Int = 8,
+                            nTables: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val v = withNorm(df, idCol, vecCol, "id", "v", "n")
+    val dim = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val tabled = (0 until nTables).map { t =>
+      val bucket = hyperplaneBucketFast(spark, dim, nBits, seed + t)
+      v.select(col("id"), lit(t).as("tbl"), bucket(col("v")).as("bucket"))
+    }.reduce(_ unionByName _)
+    val cand = tabled.as("l").join(tabled.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("__va"), col("n").as("__na")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("__vb"), col("n").as("__nb")), "id_b")
+      .withColumn("sim", pairSim(col("__va"), col("__vb"), col("__na"), col("__nb")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
 }

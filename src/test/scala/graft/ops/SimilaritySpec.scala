@@ -109,6 +109,25 @@ class SimilaritySpec extends SparkSpec {
     assert(single === exact)
   }
 
+  test("bucketed near-dup finds all near-identical pairs without an all-pairs join") {
+    val rnd = new scala.util.Random(11)
+    // 80 well-spread base vectors + 20 near-identical copies (the dups)
+    val base = (0 until 80).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }
+    val dups = (0 until 20).map { i =>
+      val src = base(i)._2
+      (1000L + i, src.map(x => x + 1e-4f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("id", "v")
+    val exact = Similarity.cosinePairs(df, "id", "v", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.cosineNearDupBucketed(df, "id", "v", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 20)               // every dup pair is above threshold
+    assert(bucketed === exact)             // full recall at these settings
+  }
+
   test("hyperplane LSH bucket: deterministic, groups identical vectors") {
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
       (3L, Array(-1.0f, -2.0f, -3.0f))).toDF("id", "v")
