@@ -541,6 +541,31 @@ object SparkEntry {
         .toDF("dim_idx", "mean", "std", "cov_trace")
     }),
 
+    // --- nearest-word decode, oracle-checked as a round-trip: every
+    // corpus token is in the vocab, so argmax-cosine over the md5
+    // embedding table must return the original token for each slice —
+    // the oracle is simply "the first maxTokens tokens". This exercises
+    // the real Vocab.topK/decode kernel (broadcast vocab, tight-loop
+    // cosine scan) end to end. ---
+    "q35_decode_roundtrip" -> ((s, d) => {
+      import graft.text.{EmbeddingModel, Tokenize, Vectorize, Vocab}
+      val docs = t(s, d, "documents")
+      val toks = docs.select(explode(Tokenize.tokens(col("text"))).as("tok"))
+        .distinct().collect().map(_.getString(0))
+      val table = toks.map(tk =>
+        tk -> Array.tabulate(Q34Dim)(j => md5Component(s"$tk#$j"))).toMap
+      val model = EmbeddingModel(Q34Dim, 0L, table)
+      val vocab = Vocab.build(docs, "text", model)
+      val bcV = s.sparkContext.broadcast(vocab)
+      val bcM = s.sparkContext.broadcast(model)
+      val mt = 2
+      val dec = udf { (text: String) =>
+        bcV.value.decode(Vectorize.vectorizeLocal(bcM.value, mt)(text), mt)
+      }
+      docs.select(col("doc_id"), dec(col("text")).as("decoded"))
+        .orderBy("doc_id")
+    }),
+
     // --- multimodal plumbing (stub codec, real schema/batching) ---
     "q31_multimodal_meta" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -863,6 +888,12 @@ object SparkEntry {
       },
 
       "q34_text_vector_profile" -> q34Sql,
+
+      "q35_decode_roundtrip" ->
+        """SELECT doc_id,
+          |  array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+          |                              x -> length(x) BETWEEN 2 AND 15)[1:2], ' ') AS decoded
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q31_multimodal_meta" ->
         s"""SELECT doc_id,
