@@ -857,7 +857,7 @@ object SparkEntry {
           val boolToks = "('true','false','1','0','yes','no','y','n','t','f')"
           val dateParse =
             if (isTs) "1.0"
-            else s"avg(CASE WHEN $c IS NOT NULL THEN CASE WHEN try_strptime($s, ['%Y-%m-%d','%m/%d/%Y','%d-%m-%Y','%Y-%m-%d %H:%M:%S','%Y-%m-%dT%H:%M:%S']) IS NOT NULL THEN 1.0 ELSE 0.0 END END)"
+            else s"avg(CASE WHEN $c IS NOT NULL THEN CASE WHEN try_strptime($s, ['%Y-%m-%d','%m/%d/%Y','%d-%m-%Y','%Y-%m-%d %H:%M:%S','%Y-%m-%dT%H:%M:%S','%Y/%m/%d','%d.%m.%Y','%b %d, %Y','%-d %b %Y']) IS NOT NULL THEN 1.0 ELSE 0.0 END END)"
           s"""SELECT '$c' AS col_name, CASE
              |  WHEN count($c) = 0 THEN 'unknown'
              |  WHEN count(DISTINCT $ns) <= 3

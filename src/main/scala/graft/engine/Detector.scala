@@ -20,22 +20,27 @@ object Detector {
   val falseTokens: Seq[String] = Seq("false", "no", "0", "n", "f")
 
   /** Date formats attempted when parsing strings as datetimes — the 3
-    * render formats the reference detects (`Latanova_v1.py:284-292`)
-    * plus ISO timestamp variants. Pandas `to_datetime` is far more
-    * lenient; our supported set is explicit and documented. */
+    * render formats the reference detects (`Latanova_v1.py:284-292`),
+    * ISO timestamp variants, and the common lenient-pandas shapes
+    * (slashed ISO, dotted European, English month names). Pandas
+    * `to_datetime` is still more lenient; our supported set is explicit
+    * and documented. Order matters: earlier formats win ambiguous
+    * strings (MM/dd before any other slashed read — the reference's
+    * precedence). */
   val dateFormats: Seq[String] = Seq(
     "yyyy-MM-dd", "MM/dd/yyyy", "dd-MM-yyyy",
-    "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss")
+    "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy/MM/dd", "dd.MM.yyyy", "MMM d, yyyy", "d MMM yyyy")
 
   /** Null-on-failure timestamp parse across all supported formats
     * (pd.to_datetime errors='coerce', `Latanova_v1.py:163,278`).
-    * A cheap shape pre-gate (D-sep-D-sep-D prefix, which every
-    * supported format requires) skips the 5-format parse attempt for
-    * obvious non-dates — failing strptime attempts are
+    * A cheap shape pre-gate (numeric triple or month-name shape —
+    * every supported format matches one) skips the multi-format parse
+    * attempt for obvious non-dates — failing strptime attempts are
     * exception-driven and dominate detection scans otherwise
     * (measured 30s → ~3s on a 6-column 100k-row signal agg). */
   def tryParseDate(s: Column): Column =
-    when(s.rlike("^\\d{1,4}[-/]\\d{1,2}[-/]\\d{1,4}"),
+    when(s.rlike("^\\d{1,4}[-/.]\\d{1,2}[-/.]\\d{1,4}|^[A-Za-z]{3,9} \\d{1,2}, \\d{4}|^\\d{1,2} [A-Za-z]{3,9} \\d{4}"),
       coalesce(dateFormats.map(f => try_to_timestamp(s, lit(f))): _*))
       .otherwise(lit(null).cast(TimestampType))
 

@@ -73,6 +73,23 @@ class DetectorSpec extends SparkSpec {
     assert(Detector.detect(df)("c")._1 === SemanticType.Unknown)
   }
 
+  test("lenient date formats: slashed ISO, dotted, English month names") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ok = Seq("2024/01/03", "03.01.2024", "Jan 3, 2024", "3 Jan 2024",
+      "2024-01-03", "01/03/2024")
+    val bad = Seq("Jan 33, 2024", "hello world", "{\"k\":3}", "13.45")
+    val got = (ok ++ bad).toDF("c")
+      .select(col("c"), Detector.tryParseDate(col("c")).isNotNull.as("p"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    ok.foreach(s => assert(got(s), s"should parse: $s"))
+    bad.foreach(s => assert(!got(s), s"should NOT parse: $s"))
+    // a column of month-name dates classifies datetime in strict mode
+    val df = Seq("Jan 3, 2024", "Feb 14, 2023", "Mar 1, 2022", "Dec 31, 2021").toDF("d")
+    assert(Detector.detect(df, DetectorConfig(strictFormats = true))("d")._1
+      === SemanticType.Datetime)
+  }
+
   test("boolean coercion expression matches reference token sets") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
