@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the 32-thread bench session accumulates broadcasts /
+  // block-manager state across 34 queries; at 8g the GC pressure
+  // tripled late-query times (q33 4 s -> 12 s). Machine has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // dozens of codegen'd stages (34 bench queries) overflow the default
+  // 240 MB JIT code cache — later queries then run partially
+  // interpreted/deoptimized (measured: q33 4 s alone, 28 s after 31
+  // predecessors; flat again with the larger cache)
+  "-XX:ReservedCodeCacheSize=1g",
 )

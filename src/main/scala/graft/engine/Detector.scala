@@ -32,15 +32,20 @@ object Detector {
     "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss",
     "yyyy/MM/dd", "dd.MM.yyyy", "MMM d, yyyy", "d MMM yyyy")
 
+  /** Cheap date-SHAPE pre-gate: numeric triple or month-name shape —
+    * every supported format matches one. Used standalone as the
+    * phase-1 screen inside the fused signal agg (see [[signals]]). */
+  val dateShapeRegex: String =
+    "^\\d{1,4}[-/.]\\d{1,2}[-/.]\\d{1,4}|^[A-Za-z]{3,9} \\d{1,2}, \\d{4}|^\\d{1,2} [A-Za-z]{3,9} \\d{4}"
+
   /** Null-on-failure timestamp parse across all supported formats
     * (pd.to_datetime errors='coerce', `Latanova_v1.py:163,278`).
-    * A cheap shape pre-gate (numeric triple or month-name shape —
-    * every supported format matches one) skips the multi-format parse
-    * attempt for obvious non-dates — failing strptime attempts are
+    * The shape pre-gate skips the multi-format parse attempt for
+    * obvious non-dates — failing strptime attempts are
     * exception-driven and dominate detection scans otherwise
     * (measured 30s → ~3s on a 6-column 100k-row signal agg). */
   def tryParseDate(s: Column): Column =
-    when(s.rlike("^\\d{1,4}[-/.]\\d{1,2}[-/.]\\d{1,4}|^[A-Za-z]{3,9} \\d{1,2}, \\d{4}|^\\d{1,2} [A-Za-z]{3,9} \\d{4}"),
+    when(s.rlike(dateShapeRegex),
       coalesce(dateFormats.map(f => try_to_timestamp(s, lit(f))): _*))
       .otherwise(lit(null).cast(TimestampType))
 
@@ -133,10 +138,15 @@ object Detector {
       if (isNum) count(c)
       else if (stringLike) sum(when(coerced.isNotNull, 1L).otherwise(0L))
       else staticL(0L)
-    // rendered numbers/booleans never match the D-sep-D-sep-D date shape
+    // rendered numbers/booleans never match the D-sep-D-sep-D date shape.
+    // String columns get only the cheap SHAPE ratio here (an upper bound
+    // on the parse ratio); the exact multi-format parse — whose
+    // generated code dominated the fused agg's codegen compile time —
+    // runs as a tiny second agg ONLY for columns clearing the shape
+    // screen (see signals()).
     val date =
       if (isDt) ratio(c.cast(TimestampType).isNotNull)
-      else if (stringLike) ratio(tryParseDate(s).isNotNull)
+      else if (stringLike) ratio(s.rlike(dateShapeRegex))
       else static(0.0)
     // single-pass "all values ⊆ boolTokens" (`Latanova_v1.py:135-136`);
     // a rendered timestamp is never a bool token, a native bool always is
@@ -214,7 +224,17 @@ object Detector {
 
   /** Compute every detection signal for every requested column in ONE
     * aggregation (one table scan, partial+final HashAggregate) plus one
-    * narrow distinct-cardinality pass. */
+    * narrow distinct-cardinality pass.
+    *
+    * Date detection is two-phase: the fused agg carries only the cheap
+    * shape-regex ratio (an upper bound on the parse ratio); columns
+    * clearing the `dateThreshold` screen get their EXACT multi-format
+    * parse ratio from a second agg over just those columns. The
+    * classification outcome is identical (true ratio ≤ shape ratio, so
+    * a column failing the screen can never reach the threshold), but
+    * the multi-format strptime battery — whose generated code dominated
+    * the fused agg's codegen compile time (30 s at 9 formats × columns)
+    * — is built only for genuine date candidates, usually none. */
   def signals(df: DataFrame, cfg: DetectorConfig = DetectorConfig(),
               columns: Seq[String] = Nil): Seq[ColumnSignals] = {
     val fields =
@@ -228,6 +248,24 @@ object Detector {
       if (row.isNullAt(idx(s"$n#$s"))) 0.0 else row.getDouble(idx(s"$n#$s"))
     def l(n: String, s: String): Long =
       if (row.isNullAt(idx(s"$n#$s"))) 0L else row.getLong(idx(s"$n#$s"))
+    // phase 2: exact parse ratio for shape-screen survivors (one agg)
+    val stringLike = fields.filter(f => !isNumericType(f.dataType) &&
+      !isDatetimeType(f.dataType) && f.dataType != BooleanType)
+    val dateCandidates = stringLike.filter(f => d(f.name, "date") >= cfg.dateThreshold)
+    val parsedRatios: Map[String, Double] =
+      if (dateCandidates.isEmpty) Map.empty
+      else {
+        val pExprs = dateCandidates.map { f =>
+          val c = col(f.name)
+          avg(when(c.isNotNull,
+            when(tryParseDate(trim(c.cast(StringType))).isNotNull, 1.0).otherwise(0.0)))
+            .as(f.name)
+        }
+        val pRow = df.agg(pExprs.head, pExprs.tail: _*).collect()(0)
+        dateCandidates.zipWithIndex.map { case (f, i) =>
+          f.name -> (if (pRow.isNullAt(i)) 0.0 else pRow.getDouble(i))
+        }.toMap
+      }
     fields.map { f =>
       val n = f.name
       val numn = l(n, "numn")
@@ -242,7 +280,7 @@ object Detector {
         phoneRatio = d(n, "phone"),
         numericRatio = d(n, "numeric"),
         integralRatio = if (numn == 0) 0.0 else l(n, "intnum").toDouble / numn,
-        dateRatio = d(n, "date"),
+        dateRatio = parsedRatios.getOrElse(n, d(n, "date")),
         boolVotes = BoolFormat.all.map(f2 => f2 -> l(n, s"vote_${f2.name}")).toMap)
     }
   }
