@@ -73,6 +73,33 @@ class StreamingProfileSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("text-analysis operators run unchanged on a stream (stateless projections)") {
+    // quality scoring / langid / token stats are pure codegen'd column
+    // expressions — the SAME operators compose into readStream pipelines
+    // with no modification (per-row, no state, no watermark needed)
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+    val q = out.writeStream.format("memory").queryName("ta")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      mem.addData((1L, "the cat sat on the mat and it was good"),
+        (2L, "der hund ist nicht auf der matte und das ist gut"))
+      q.processAllAvailable()
+      val rows = spark.table("ta").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+      assert(rows(1L)._1 === 10)
+      assert(rows(1L)._2 === "en")
+      assert(rows(2L)._2 === "de")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops same-content events within the horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
