@@ -124,15 +124,20 @@ object Similarity {
   }
 
   /** IVF assignment: nearest centroid id for each vector. `centroids`
-    * must be small (broadcast). Deterministic ties → lowest centroid id. */
+    * must be small (broadcast). Deterministic ties → lowest centroid id.
+    * argmax via max_by aggregation, not a per-id window: the agg gets
+    * map-side partials and no sort — the K-way fan-out collapses back
+    * to one row per vector before ever shuffling. */
   def assignToCentroid(df: DataFrame, idCol: String, vecCol: String,
                        centroids: DataFrame, centId: String, centVec: String): DataFrame = {
     val joined = withNorm(df, idCol, vecCol, "id", "__v", "__n")
       .crossJoin(broadcast(withNorm(centroids, centId, centVec, "centroid_id", "__cv", "__cn")))
       .withColumn("sim", pairSim(col("__v"), col("__cv"), col("__n"), col("__cn")))
-    val w = Window.partitionBy("id").orderBy(desc("sim"), col("centroid_id"))
-    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col("id"), col("centroid_id"), col("__v").as("vec"), col("__n").as("vecnorm"))
+    joined.groupBy("id")
+      .agg(
+        max_by(col("centroid_id"), struct(col("sim"), -col("centroid_id"))).as("centroid_id"),
+        first(col("__v")).as("vec"), first(col("__n")).as("vecnorm"))
+      .select("id", "centroid_id", "vec", "vecnorm")
   }
 
   /** Lloyd k-means over a vector column, pure DataFrame ops: seed
