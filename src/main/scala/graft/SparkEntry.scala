@@ -518,11 +518,11 @@ object SparkEntry {
     // --- text vector-space profile (TextProfiler math, oracle-checked):
     // per-dimension mean/std + covariance trace over the maxTokens×dim
     // concat vectorization of documents.text. The embedding table is
-    // md5-derived (engine-portable), built from the corpus's distinct
-    // tokens so the real treeAggregate path runs with zero OOV; the
-    // oracle recomputes every moment from scratch in SQL. The token
-    // collect is bounded by vocab size (same cap policy as Vocab.build),
-    // not corpus rows. ---
+    // md5-derived (engine-portable), built from ALL the corpus's
+    // distinct tokens so the real treeAggregate path runs with zero OOV
+    // (uncapped collect — a correctness fixture over the bounded-vocab
+    // test corpus, not the capped production path); the oracle
+    // recomputes every moment from scratch in SQL. ---
     "q34_text_vector_profile" -> ((s, d) => {
       import graft.text.{EmbeddingModel, TextProfiler, Tokenize}
       val docs = t(s, d, "documents")
@@ -550,17 +550,21 @@ object SparkEntry {
     "q35_decode_roundtrip" -> ((s, d) => {
       import graft.text.{EmbeddingModel, Tokenize, Vectorize, Vocab}
       val docs = t(s, d, "documents")
+      // full corpus vocabulary (uncapped — the round-trip premise needs
+      // every token in the vocab; this is a correctness fixture, not the
+      // capped production decode path)
       val toks = docs.select(explode(Tokenize.tokens(col("text"))).as("tok"))
         .distinct().collect().map(_.getString(0))
       val table = toks.map(tk =>
         tk -> Array.tabulate(Q34Dim)(j => md5Component(s"$tk#$j"))).toMap
       val model = EmbeddingModel(Q34Dim, 0L, table)
-      val vocab = Vocab.build(docs, "text", model)
+      val vocab = Vocab.build(docs, "text", model, cap = Int.MaxValue)
       val bcV = s.sparkContext.broadcast(vocab)
       val bcM = s.sparkContext.broadcast(model)
       val mt = 2
       val dec = udf { (text: String) =>
-        bcV.value.decode(Vectorize.vectorizeLocal(bcM.value, mt)(text), mt)
+        if (text == null) null
+        else bcV.value.decode(Vectorize.vectorizeLocal(bcM.value, mt)(text), mt)
       }
       docs.select(col("doc_id"), dec(col("text")).as("decoded"))
         .orderBy("doc_id")

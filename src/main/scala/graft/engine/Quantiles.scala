@@ -25,13 +25,14 @@ object Quantiles {
     * range-partitioned shuffle on (column, value) sorts every column
     * across ALL partitions simultaneously, per-partition column counts
     * (a few hundred scalars) come back to the driver to fix global rank
-    * offsets, and a second pass over the SAME shuffle output (skipped
-    * stage — shuffle files are reused, not recomputed) emits only the
-    * rows at needed ranks. k separate exactExpr calls re-deserialize
-    * and re-shuffle the frame k×3 times (measured 80 s for 10 columns
-    * at 600k rows vs ~8 s fused); a `Window.partitionBy(column)` rank
-    * would funnel each column's every row through a single task — the
-    * 100 TB scale-killer this shape exists to avoid.
+    * offsets, and a second pass over the sorted stream — persisted
+    * (memory-and-disk) between the passes so neither the shuffle nor
+    * the post-shuffle sort re-executes — emits only the rows at needed
+    * ranks. k separate exactExpr calls re-deserialize and re-shuffle
+    * the frame k×3 times (measured 80 s for 10 columns at 600k rows vs
+    * ~8 s fused); a `Window.partitionBy(column)` rank would funnel each
+    * column's every row through a single task — the 100 TB
+    * scale-killer this shape exists to avoid.
     *
     * NaN policy: NaN is a VALUE (kept, sorts last — Spark and Scala
     * double ordering agree), matching `count()` which includes NaN in
@@ -59,6 +60,12 @@ object Quantiles {
       .repartitionByRange(nPart, col("c"), col("v"))
       .sortWithinPartitions("c", "v")
       .rdd.map(r => (r.getString(0), r.getDouble(1)))
+      // persist across the two passes: without it the count pass and the
+      // emit pass each re-run the post-shuffle SORT (only the map stage
+      // is skipped by shuffle-file reuse) — disk-backed, unpersisted on
+      // return
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // pass 1: per-(partition, column) row counts — O(P·k) scalars
     val counts: Array[Map[String, Long]] = sorted
       .mapPartitionsWithIndex { (i, it) =>
@@ -96,6 +103,7 @@ object Quantiles {
         vlo + (vhi - vlo) * (h - lo)
       })
     }.toMap
+    } finally sorted.unpersist(blocking = false)
   }
 
   /** Same, over an arbitrary value expression (e.g. epoch seconds of a

@@ -70,6 +70,12 @@ final case class ColumnSignals(
     phoneRatio: Double,
     numericRatio: Double,
     integralRatio: Double,
+    /** Exact multi-format parse ratio when the cheap shape screen
+      * cleared the detector's dateThreshold; otherwise the SHAPE-regex
+      * ratio, an upper bound on the parse ratio (two-phase detection —
+      * see Detector.signals). Classify with the same DetectorConfig
+      * used for signals(): a lower threshold on the classify side could
+      * compare against the unrefined upper bound. */
     dateRatio: Double,
     boolVotes: Map[BoolFormat, Long]) {
   def uniqueRatio: Double = if (n == 0) 0.0 else nDistinct.toDouble / n

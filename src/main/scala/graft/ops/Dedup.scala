@@ -52,7 +52,12 @@ object Dedup {
     * oracle parity is untouched. */
   private def shingleArrayLocal(text: String, k: Int, distinct: Boolean): Array[String] = {
     if (text == null) return Array.empty
-    // Locale.ROOT: match Spark's locale-independent lower()
+    // Locale.ROOT matches Spark lower()'s ASCII fast path exactly (the
+    // case that matters for [a-z0-9] tokens). Spark's non-ASCII slow
+    // path is default-locale; under a non-ROOT default locale (e.g.
+    // Turkish) mixed non-ASCII+'I' strings can diverge between the two
+    // forms — and equally between Spark and the DuckDB oracle, so ROOT
+    // is the consistent choice.
     val toks = text.toLowerCase(java.util.Locale.ROOT)
       .split("[^a-z0-9]+").filter(_.nonEmpty)
     val out =

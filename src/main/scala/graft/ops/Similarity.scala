@@ -125,19 +125,28 @@ object Similarity {
 
   /** IVF assignment: nearest centroid id for each vector. `centroids`
     * must be small (broadcast). Deterministic ties → lowest centroid id.
-    * argmax via max_by aggregation, not a per-id window: the agg gets
-    * map-side partials and no sort — the K-way fan-out collapses back
-    * to one row per vector before ever shuffling. */
+    * For numeric centroid ids the argmax runs as a max_by aggregation —
+    * map-side partials, no sort; the K-way fan-out collapses back to
+    * one row per vector before ever shuffling. Non-numeric ids (where
+    * the negated tie-break key can't be built) keep the window form. */
   def assignToCentroid(df: DataFrame, idCol: String, vecCol: String,
                        centroids: DataFrame, centId: String, centVec: String): DataFrame = {
     val joined = withNorm(df, idCol, vecCol, "id", "__v", "__n")
       .crossJoin(broadcast(withNorm(centroids, centId, centVec, "centroid_id", "__cv", "__cn")))
       .withColumn("sim", pairSim(col("__v"), col("__cv"), col("__n"), col("__cn")))
-    joined.groupBy("id")
-      .agg(
-        max_by(col("centroid_id"), struct(col("sim"), -col("centroid_id"))).as("centroid_id"),
-        first(col("__v")).as("vec"), first(col("__n")).as("vecnorm"))
-      .select("id", "centroid_id", "vec", "vecnorm")
+    val numericId = centroids.schema(centId).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (numericId)
+      joined.groupBy("id")
+        .agg(
+          max_by(col("centroid_id"), struct(col("sim"), -col("centroid_id"))).as("centroid_id"),
+          first(col("__v")).as("vec"), first(col("__n")).as("vecnorm"))
+        .select("id", "centroid_id", "vec", "vecnorm")
+    else {
+      val w = Window.partitionBy("id").orderBy(desc("sim"), col("centroid_id"))
+      joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("id"), col("centroid_id"), col("__v").as("vec"), col("__n").as("vecnorm"))
+    }
   }
 
   /** Lloyd k-means over a vector column, pure DataFrame ops: seed
@@ -267,13 +276,15 @@ object Similarity {
         (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
         .sortBy(_._1)
 
-    val total = v.count()
-    if (total <= blockSize) {
-      val (out, _) = pairsVsBlock(collectBlock(v))
-      out
-    } else {
-      v.persist()
-      try {
+    // persist BEFORE the count so the norm kernel runs once — count,
+    // quantiles, and the per-block collects all read the cache
+    v.persist()
+    try {
+      val total = v.count()
+      if (total <= blockSize) {
+        val (out, _) = pairsVsBlock(collectBlock(v))
+        out
+      } else {
         val nBlocks = math.ceil(total.toDouble / blockSize).toInt
         val cuts = v.stat.approxQuantile("id",
           (1 until nBlocks).map(_.toDouble / nBlocks).toArray, 0.001)
@@ -292,8 +303,8 @@ object Similarity {
           checkpointed
         }
         parts.reduce(_ unionByName _)
-      } finally v.unpersist()
-    }
+      }
+    } finally v.unpersist()
   }
 
   /** Random-hyperplane LSH bucket for a vector column: `nBits` sign bits
@@ -355,7 +366,10 @@ object Similarity {
                             threshold: Double, nBits: Int = 8,
                             nTables: Int = 4, seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
-    val v = withNorm(df, idCol, vecCol, "id", "v", "n")
+    // materialize (id, vec, norm) once: the nTables bucket scans and the
+    // two verification joins would otherwise each re-evaluate the norm
+    // kernel over the full corpus (~nTables+2 scans)
+    val v = withNorm(df, idCol, vecCol, "id", "v", "n").localCheckpoint()
     val dim = df.select(size(col(vecCol)).as("d")).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
     val tabled = (0 until nTables).map { t =>
