@@ -22,6 +22,35 @@ class QuantilesSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("exactMulti agrees with per-column exactExpr on random data with nulls and NaN") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 3001).map { i =>
+      (if (i % 97 == 0) None else Some(rnd.nextDouble() * 1000 - 500),
+        if (i % 89 == 0) Double.NaN else rnd.nextGaussian() * 10,
+        i.toDouble)
+    }
+    val df = rows.toDF("a", "b", "c").cache()
+    try {
+      val ps = Seq(0.25, 0.5, 0.75)
+      val ns = Map(
+        "a" -> df.agg(count(col("a"))).collect()(0).getLong(0),
+        "b" -> df.agg(count(col("b"))).collect()(0).getLong(0),
+        "c" -> df.agg(count(col("c"))).collect()(0).getLong(0))
+      val multi = Quantiles.exactMulti(df,
+        Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c")), ps, ns)
+      for (c <- Seq("a", "b", "c")) {
+        val single = Quantiles.exactExpr(df, col(c), ps, ns(c))
+        multi(c).zip(single).foreach { case (m, s) =>
+          assert(java.lang.Double.doubleToLongBits(m) ===
+            java.lang.Double.doubleToLongBits(s), s"col $c: $m vs $s")
+        }
+      }
+      // NaN column: n includes the NaNs, ranks stay in range (no throw),
+      // and non-extreme quantiles are real numbers
+      assert(!multi("b")(0).isNaN)
+    } finally df.unpersist()
+  }
+
   test("edge cases: single row, exact-index quantiles, empty") {
     val one = Seq(42.0).toDF("x")
     assert(Quantiles.exact(one, "x", Seq(0.0, 0.5, 1.0), 1L) === Seq(42.0, 42.0, 42.0))
