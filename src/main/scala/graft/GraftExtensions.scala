@@ -22,9 +22,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.{Column, GraftColumnBridge}
+  import graft.ops.{Dedup, TextAnalysis}
+
   val apply: SparkSessionExtensions => Unit = register
 
-  private val cosineFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+  private type FnEntry = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private val cosineFn: FnEntry = (
     new FunctionIdentifier("graft_cosine"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
     (children: Seq[Expression]) => {
@@ -32,12 +37,38 @@ object GraftExtensions {
       CosineSimilarity(children.head, children(1))
     })
 
+  /** Lift a Column-combinator operator into a SQL function: the SAME
+    * expression tree the Column API builds, reachable from
+    * `spark.sql(...)` — no UDF indirection, codegen preserved. */
+  private def columnFn(name: String, arity: Int)(f: Seq[Column] => Column): FnEntry = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo("graft.GraftExtensions", name),
+    (children: Seq[Expression]) => {
+      require(children.size == arity, s"$name takes exactly $arity argument(s)")
+      GraftColumnBridge.resolvedExpression(f(children.map(GraftColumnBridge.column)))
+    })
+
+  private val fns: Seq[FnEntry] = Seq(
+    cosineFn,
+    columnFn("graft_tokens", 1)(cs => TextAnalysis.tokens(cs.head)),
+    columnFn("graft_token_count", 1)(cs => TextAnalysis.tokenCount(cs.head)),
+    columnFn("graft_subword_count", 1)(cs => TextAnalysis.subwordCountEstimate(cs.head)),
+    columnFn("graft_quality", 1)(cs => TextAnalysis.qualityScore(cs.head)),
+    columnFn("graft_punct_ratio", 1)(cs => TextAnalysis.punctRatio(cs.head)),
+    columnFn("graft_stopword_ratio", 1)(cs => TextAnalysis.stopwordRatio(cs.head)),
+    columnFn("graft_lang_id", 1)(cs => TextAnalysis.langId(cs.head)),
+    columnFn("graft_fingerprint", 1)(cs => TextAnalysis.fingerprint(cs.head)),
+    columnFn("graft_rolling_hash", 1)(cs => TextAnalysis.rollingHash(cs.head)),
+    columnFn("graft_simhash", 1)(cs => TextAnalysis.simHash16(cs.head)),
+    columnFn("graft_shingles", 1)(cs => Dedup.shingles(cs.head)),
+    columnFn("graft_minhash", 1)(cs => Dedup.minhashSignature(cs.head)))
+
   def register(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(cosineFn)
+    fns.foreach(ext.injectFunction)
 
   /** Register into an already-running session (extensions are normally
     * applied at builder time; this covers shared-session setups). */
   def registerInto(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      cosineFn._1, cosineFn._2, cosineFn._3)
+    fns.foreach(f => spark.sessionState.functionRegistry
+      .registerFunction(f._1, f._2, f._3))
 }

@@ -9,4 +9,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column's node tree into catalyst expressions via
+    * the active session's converter. `expression` returns a LAZY
+    * ColumnNodeExpression wrapper, which the analyzer will not recurse
+    * into when the tree is produced by a FunctionRegistry builder —
+    * this form converts to plain (possibly Unresolved*) catalyst nodes
+    * the analyzer handles normally. */
+  def resolvedExpression(c: Column): Expression =
+    SparkSession.getActiveSession match {
+      case Some(s: org.apache.spark.sql.classic.SparkSession) => s.expression(c)
+      case _ => ExpressionUtils.expression(c)
+    }
 }
