@@ -570,6 +570,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- multimodal feature extraction: payload → stub embedding
+    // (md5-derived, oracle-replayable) — the bridge from binary
+    // payloads into the similarity/dedup family ---
+    "q36_multimodal_embed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      docs.select(col("doc_id"),
+          posexplode(Multimodal.embedStub(col("payload"), 4)))
+        .select(col("doc_id"), col("pos").as("j"), round(col("col"), 6).as("v"))
+        .orderBy("doc_id", "j")
+    }),
+
     // --- multimodal plumbing (stub codec, real schema/batching) ---
     "q31_multimodal_meta" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -892,6 +904,11 @@ object SparkEntry {
       },
 
       "q34_text_vector_profile" -> q34Sql,
+
+      "q36_multimodal_embed" ->
+        (0 until 4).map { j =>
+          s"SELECT doc_id, $j AS j, round(CAST(${hash31Sql(s"md5(text) || '#$j'")} AS DOUBLE) / 268435456.0 * 2.0 - 1.0, 6) AS v FROM documents"
+        }.mkString("", " UNION ALL ", " ORDER BY doc_id, j"),
 
       "q35_decode_roundtrip" ->
         """SELECT doc_id,

@@ -76,6 +76,23 @@ object Multimodal {
     }(enc)
   }
 
+  /** Stub feature extractor: payload → dim-dimensional embedding,
+    * deterministic in the payload bytes (components derived from md5 —
+    * engine-portable, so the DuckDB oracle replays it exactly). STAND-IN
+    * for a real image/audio encoder; the signature (binary column →
+    * Array[Double] column) is the real contract, and the output feeds
+    * the Similarity/Dedup family directly (near-dup over payloads =
+    * embedStub → cosineNearDupBucketed). Pure codegen expressions — no
+    * UDF, no driver state. */
+  def embedStub(payload: Column, dim: Int): Column = {
+    val digest = md5(payload) // hex string, 128 bits of payload identity
+    array((0 until dim).map { j =>
+      // 28-bit integer from md5(digest || "#j") → uniform [-1, 1)
+      conv(substring(md5(concat(digest, lit(s"#$j")).cast(BinaryType)), 1, 7), 16, 10)
+        .cast(DoubleType) / 268435456.0 * 2.0 - 1.0
+    }: _*)
+  }
+
   /** Frame-sample offsets for a video payload: every `everyMs` ms over
     * the (decoded) duration — pure expression, no codec needed. */
   def frameSampleOffsets(durationMs: Column, everyMs: Int): Column =

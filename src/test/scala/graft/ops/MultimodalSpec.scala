@@ -16,6 +16,21 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(2) === 5L)
   }
 
+  test("embedStub: deterministic payload embeddings feed the near-dup family") {
+    val df = ((1 to 40).map(i => (i.toLong, s"unique document number $i")) ++
+      Seq((100L, "unique document number 7"), (101L, "unique document number 9")))
+      .toDF("id", "txt")
+      .select(col("id"), encode(col("txt"), "UTF-8").as("payload"))
+      .withColumn("emb", Multimodal.embedStub(col("payload"), 8))
+    // identical payloads → identical embeddings; all components in [-1, 1)
+    val vals = df.select(explode(col("emb"))).collect().map(_.getDouble(0))
+    assert(vals.forall(v => v >= -1.0 && v < 1.0))
+    // composition: exact-duplicate payloads found by bucketed near-dup
+    val pairs = Similarity.cosineNearDupBucketed(df, "id", "emb", 0.9999999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((7L, 100L), (9L, 101L)))
+  }
+
   test("decode pass fills deterministic stub dimensions in valid ranges") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "other")).toDF("id", "txt")
       .select(col("id"), encode(col("txt"), "UTF-8").as("payload"))
