@@ -48,8 +48,17 @@ object GraftExtensions {
       GraftColumnBridge.resolvedExpression(f(children.map(GraftColumnBridge.column)))
     })
 
+  private val digitCountFn: FnEntry = (
+    new FunctionIdentifier("graft_digit_count"),
+    new ExpressionInfo(classOf[graft.expressions.DigitCount].getName, "graft_digit_count"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_digit_count takes exactly 1 argument")
+      graft.expressions.DigitCount(children.head)
+    })
+
   private val fns: Seq[FnEntry] = Seq(
     cosineFn,
+    digitCountFn,
     columnFn("graft_tokens", 1)(cs => TextAnalysis.tokens(cs.head)),
     columnFn("graft_token_count", 1)(cs => TextAnalysis.tokenCount(cs.head)),
     columnFn("graft_subword_count", 1)(cs => TextAnalysis.subwordCountEstimate(cs.head)),

@@ -66,10 +66,20 @@ object Detector {
   def emailStrict(c: Column): Column =
     trim(c.cast(StringType)).rlike("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")
 
+  /** Digit count via the native [[graft.expressions.DigitCount]]
+    * expression — equivalent to `length(regexp_replace(s, "\\D", ""))`
+    * (Java `\D` is ASCII-only) without materializing a stripped copy of
+    * every string. */
+  private def digitCount(s: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.DigitCount(
+      GraftColumnBridge.expression(s)))
+  }
+
   /** Phone heuristic: 7–15 digits after stripping non-digits
     * (`Latanova_v1.py:78-85`). */
   def phoneLoose(c: Column): Column =
-    length(regexp_replace(trim(c.cast(StringType)), "\\D", "")).between(7, 15)
+    digitCount(trim(c.cast(StringType))).between(7, 15)
 
   /** Anchored phone for strictFormats: optional +, then digits/phone
     * punctuation (incl. leading '(' for US-style area codes), 7–15
@@ -78,8 +88,7 @@ object Detector {
     * checks datetime before phone (see classify). */
   def phoneStrict(c: Column): Column = {
     val s = trim(c.cast(StringType))
-    s.rlike("^\\+?[0-9()][0-9 ().x-]{5,24}$") &&
-      length(regexp_replace(s, "\\D", "")).between(7, 15)
+    s.rlike("^\\+?[0-9()][0-9 ().x-]{5,24}$") && digitCount(s).between(7, 15)
   }
 
   /** Boolean coercion expression: tokens → true/false/null

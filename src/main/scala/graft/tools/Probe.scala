@@ -106,6 +106,18 @@ object Probe {
         cols.map(c => avg(when(s(c).try_cast(org.apache.spark.sql.types.DoubleType).isNotNull, 1.0).otherwise(0.0))).tail: _*).collect())
       time("full-signals")(graft.engine.Detector.signals(ev))
     }
+    names.filter(_.startsWith("phases:")).foreach { n =>
+      import org.apache.spark.sql.functions._
+      val table = n.stripPrefix("phases:")
+      val df = spark.read.parquet(s"$sfDir/$table.parquet")
+      def time(tag: String)(f: => Unit): Unit = (1 to 2).foreach { i =>
+        val t0 = System.nanoTime(); f
+        println(f"PHASES($table) $tag run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      time("warm")(df.agg(count(lit(1))).collect())
+      time("signals-only")(graft.engine.Detector.signalsOnlyForProbe(df))
+      time("distincts-only")(graft.engine.Detector.distinctsOnlyForProbe(df))
+    }
     names.filter(_ == "phase33").foreach { _ =>
       import org.apache.spark.sql.functions._
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
