@@ -86,4 +86,19 @@ object StreamingProfile {
       .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
       .dropDuplicates("__fp")
       .drop("__fp")
+
+  /** Streaming NEAR-dup: drop events whose 16-bit SimHash sketch
+    * collides with an earlier event inside the watermark horizon —
+    * sketch-equality near-duplicate suppression (formatting noise,
+    * small token reorders hash identically at this granularity; a
+    * production system widens the sketch). Same bounded-state
+    * dropDuplicates machinery as [[streamingDedup]], keyed on the
+    * sketch instead of the exact digest. */
+  def streamingNearDup(events: DataFrame, tsCol: String, textCol: String,
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .withColumn("__sh", graft.ops.TextAnalysis.simHash16(col(textCol)))
+      .dropDuplicates("__sh")
+      .drop("__sh")
 }

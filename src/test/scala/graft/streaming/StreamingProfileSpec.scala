@@ -73,6 +73,25 @@ class StreamingProfileSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup drops sketch-colliding events within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val q = StreamingProfile.streamingNearDup(df, "ts", "text")
+      .writeStream.format("memory").queryName("nd")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      // identical token streams (case/punctuation noise) sketch equally;
+      // genuinely different text does not
+      mem.addData((ts(0), "the quick brown fox jumps over the lazy dog"),
+        (ts(1), "The QUICK brown fox... jumps over the lazy dog!"),
+        (ts(2), "completely unrelated content about databases"))
+      q.processAllAvailable()
+      assert(spark.table("nd").count() === 2L)
+    } finally q.stop()
+  }
+
   test("text-analysis operators run unchanged on a stream (stateless projections)") {
     // quality scoring / langid / token stats are pure codegen'd column
     // expressions — the SAME operators compose into readStream pipelines
