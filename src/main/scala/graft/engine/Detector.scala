@@ -25,12 +25,17 @@ object Detector {
     * (slashed ISO, dotted European, English month names). Pandas
     * `to_datetime` is still more lenient; our supported set is explicit
     * and documented. Order matters: earlier formats win ambiguous
-    * strings (MM/dd before any other slashed read — the reference's
-    * precedence). */
+    * strings (M/d before any other slashed read — the reference's
+    * precedence). Numeric fields use the SINGLE-letter patterns (accept
+    * 1–2 digits) to match C strptime's %m/%d leniency — the DuckDB
+    * oracle's try_strptime accepts '3.1.2024'; 'MM'-style strict
+    * patterns would reject it and diverge. Month names (MMM) stay
+    * case-sensitive capitalized — the one documented divergence from
+    * strptime's case-insensitive %b. */
   val dateFormats: Seq[String] = Seq(
-    "yyyy-MM-dd", "MM/dd/yyyy", "dd-MM-yyyy",
-    "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss",
-    "yyyy/MM/dd", "dd.MM.yyyy", "MMM d, yyyy", "d MMM yyyy")
+    "yyyy-M-d", "M/d/yyyy", "d-M-yyyy",
+    "yyyy-M-d H:m:s", "yyyy-M-d'T'H:m:s",
+    "yyyy/M/d", "d.M.yyyy", "MMM d, yyyy", "d MMM yyyy")
 
   /** Cheap date-SHAPE pre-gate: numeric triple or month-name shape —
     * every supported format matches one. Used standalone as the
@@ -207,10 +212,16 @@ object Detector {
   private def distinctCounts(df: DataFrame, fields: Seq[StructField],
                              approx: Boolean): Map[(String, Boolean), Long] = {
     // lower() is injective on rendered numbers/dates/booleans (only the
-    // exponent 'E' changes case, uniformly), so for non-string columns
-    // ONE stream serves both the trimmed and the lower+trimmed
-    // cardinality — halves the exploded row volume on numeric tables.
-    def needsNorm(f: StructField) = f.dataType == StringType
+    // exponent 'E' changes case, uniformly), so for those dtypes ONE
+    // stream serves both the trimmed and the lower+trimmed cardinality —
+    // halves the exploded row volume on numeric tables. Anything
+    // string-rendered in mixed case (StringType, BinaryType, …) still
+    // needs the normalized stream.
+    def needsNorm(f: StructField) = f.dataType match {
+      case BooleanType => false
+      case t if isNumericType(t) || isDatetimeType(t) => false
+      case _ => true
+    }
     val pairs = fields.flatMap { f =>
       val s = trim(col(f.name).cast(StringType))
       val base = struct(lit(f.name).as("c"), lit(false).as("nrm"), s.as("v"))

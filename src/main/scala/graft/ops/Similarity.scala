@@ -282,8 +282,13 @@ object Similarity {
     try {
       val total = v.count()
       if (total <= blockSize) {
-        val (out, _) = pairsVsBlock(collectBlock(v))
-        out
+        // materialize before the finally-unpersist, like the multi-block
+        // branch — otherwise the caller's lazy evaluation re-runs the
+        // norm kernel on a cold cache and the broadcast is never freed
+        val (out, bc) = pairsVsBlock(collectBlock(v))
+        val checkpointed = out.localCheckpoint()
+        bc.destroy()
+        checkpointed
       } else {
         val nBlocks = math.ceil(total.toDouble / blockSize).toInt
         val cuts = v.stat.approxQuantile("id",
@@ -368,9 +373,12 @@ object Similarity {
     val spark = df.sparkSession
     // materialize (id, vec, norm) once: the nTables bucket scans and the
     // two verification joins would otherwise each re-evaluate the norm
-    // kernel over the full corpus (~nTables+2 scans)
-    val v = withNorm(df, idCol, vecCol, "id", "v", "n").localCheckpoint()
-    val dim = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+    // kernel over the full corpus (~nTables+2 scans). Null vectors have
+    // no bucket or cosine — filtered up front.
+    val v = withNorm(df.filter(col(vecCol).isNotNull), idCol, vecCol, "id", "v", "n")
+      .localCheckpoint()
+    val dim = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
     val tabled = (0 until nTables).map { t =>
       val bucket = hyperplaneBucketFast(spark, dim, nBits, seed + t)

@@ -77,28 +77,32 @@ object StreamingProfile {
   }
 
   /** Streaming exact-dedup: drop events whose content fingerprint was
-    * already seen within the watermark horizon — Structured Streaming's
-    * dropDuplicates over the md5 digest, state bounded by the watermark. */
+    * already seen within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` (NOT plain `dropDuplicates`, whose
+    * state is only evicted when the event-time column is part of the
+    * key — keyed on the digest alone it grows forever): state per
+    * sketch is dropped once the watermark passes it, so state size is
+    * bounded by the horizon's distinct-content count. */
   def streamingDedup(events: DataFrame, tsCol: String, textCol: String,
                      watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
-      .dropDuplicates("__fp")
+      .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
   /** Streaming NEAR-dup: drop events whose 16-bit SimHash sketch
     * collides with an earlier event inside the watermark horizon —
     * sketch-equality near-duplicate suppression (formatting noise,
     * small token reorders hash identically at this granularity; a
-    * production system widens the sketch). Same bounded-state
-    * dropDuplicates machinery as [[streamingDedup]], keyed on the
-    * sketch instead of the exact digest. */
+    * production system widens the sketch). Same watermark-bounded
+    * machinery as [[streamingDedup]], keyed on the sketch instead of
+    * the exact digest. */
   def streamingNearDup(events: DataFrame, tsCol: String, textCol: String,
                        watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .withColumn("__sh", graft.ops.TextAnalysis.simHash16(col(textCol)))
-      .dropDuplicates("__sh")
+      .dropDuplicatesWithinWatermark("__sh")
       .drop("__sh")
 }

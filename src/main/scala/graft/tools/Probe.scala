@@ -106,30 +106,24 @@ object Probe {
         cols.map(c => avg(when(s(c).try_cast(org.apache.spark.sql.types.DoubleType).isNotNull, 1.0).otherwise(0.0))).tail: _*).collect())
       time("full-signals")(graft.engine.Detector.signals(ev))
     }
-    names.filter(_.startsWith("phases:")).foreach { n =>
-      import org.apache.spark.sql.functions._
-      val table = n.stripPrefix("phases:")
-      val df = spark.read.parquet(s"$sfDir/$table.parquet")
-      def time(tag: String)(f: => Unit): Unit = (1 to 2).foreach { i =>
-        val t0 = System.nanoTime(); f
-        println(f"PHASES($table) $tag run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // phase-level detection timing: phases:<table> (phase33 = phases:events)
+    names.collect { case "phase33" => "events"
+                    case n if n.startsWith("phases:") => n.stripPrefix("phases:") }
+      .foreach { table =>
+        import org.apache.spark.sql.functions._
+        val raw = spark.read.parquet(s"$sfDir/$table.parquet")
+        val df = // events carries TIMESTAMP(NANOS) read as long — same ns→us fix as SparkEntry.t
+          if (table == "events" && raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        def time(tag: String)(f: => Unit): Unit = (1 to 2).foreach { i =>
+          val t0 = System.nanoTime(); f
+          println(f"PHASES($table) $tag run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        time("warm")(df.agg(count(lit(1))).collect())
+        time("signals-only")(graft.engine.Detector.signalsOnlyForProbe(df))
+        time("distincts-only")(graft.engine.Detector.distinctsOnlyForProbe(df))
       }
-      time("warm")(df.agg(count(lit(1))).collect())
-      time("signals-only")(graft.engine.Detector.signalsOnlyForProbe(df))
-      time("distincts-only")(graft.engine.Detector.distinctsOnlyForProbe(df))
-    }
-    names.filter(_ == "phase33").foreach { _ =>
-      import org.apache.spark.sql.functions._
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      def time(tag: String)(f: => Unit): Unit = (1 to 2).foreach { i =>
-        val t0 = System.nanoTime(); f
-        println(f"PHASE33 $tag run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      }
-      time("warm")(ev.agg(count(lit(1))).collect())
-      time("signals-only")(graft.engine.Detector.signalsOnlyForProbe(ev))
-      time("distincts-only")(graft.engine.Detector.distinctsOnlyForProbe(ev))
-    }
     names.filter(_ == "micro24").foreach { _ =>
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
