@@ -229,14 +229,43 @@ object Detector {
         Seq(base, struct(lit(f.name).as("c"), lit(true).as("nrm"), lower(s).as("v")))
       else Seq(base)
     }
-    val d = if (approx) approx_count_distinct(col("v")) else count_distinct(col("v"))
-    val computed = df.select(explode(array(pairs: _*)).as("p"))
-      .select(col("p.c"), col("p.nrm"), col("p.v"))
-      .groupBy("c", "nrm")
-      .agg(d.as("d"))
-      .collect()
-      .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2))
-      .toMap
+    def run(ps: Seq[Column], exact: Boolean): Map[(String, Boolean), Long] = {
+      if (ps.isEmpty) return Map.empty
+      val d = if (exact) count_distinct(col("v")) else approx_count_distinct(col("v"))
+      df.select(explode(array(ps: _*)).as("p"))
+        .select(col("p.c"), col("p.nrm"), col("p.v"))
+        .groupBy("c", "nrm")
+        .agg(d.as("d"))
+        .collect()
+        .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2))
+        .toMap
+    }
+    val computed =
+      if (!approx) run(pairs, exact = true)
+      else {
+        // two-tier: HLL everywhere, then EXACT refinement only where the
+        // estimate is small enough to matter. Every classification rule
+        // reads cardinality only below maxCategories (≤3 boolean, <50
+        // categorical + its ratio); estimates ≥ the 200 safety margin
+        // can't cross those thresholds even at HLL's error, so the
+        // approx path classifies IDENTICALLY to exact mode while the
+        // expensive exact distinct runs only over low-cardinality
+        // columns — the 100 TB shape.
+        val est = run(pairs, exact = false)
+        val refine = fields.flatMap { f =>
+          val s = trim(col(f.name).cast(StringType))
+          val base =
+            if (est.getOrElse((f.name, false), Long.MaxValue) < 200)
+              Seq(struct(lit(f.name).as("c"), lit(false).as("nrm"), s.as("v")))
+            else Nil
+          val norm =
+            if (needsNorm(f) && est.getOrElse((f.name, true), Long.MaxValue) < 200)
+              Seq(struct(lit(f.name).as("c"), lit(true).as("nrm"), lower(s).as("v")))
+            else Nil
+          base ++ norm
+        }
+        est ++ run(refine, exact = true)
+      }
     computed ++ fields.filterNot(needsNorm).flatMap { f =>
       computed.get((f.name, false)).map((f.name, true) -> _)
     }

@@ -50,11 +50,15 @@ final case class DetectorConfig(
     dateThreshold: Double = 0.8,
     maxCategories: Int = 50,
     strictFormats: Boolean = false,
-    /** 100 TB path: HLL++ approx_count_distinct (±2%) for the distinct
-      * cardinalities. The unique-RATIO rule (rank 9) tolerates the
-      * error; the boolean rule's ≤3 threshold sits far below HLL's
-      * error onset, so classifications are stable in practice — but
-      * exact mode remains the parity default. */
+    /** 100 TB path: two-tier distinct cardinalities — HLL++
+      * approx_count_distinct everywhere, then EXACT refinement of the
+      * columns whose estimate lands under a 200 safety margin. Every
+      * classification rule reads cardinality only below maxCategories
+      * (≤3 boolean, <50 categorical), so this mode classifies
+      * IDENTICALLY to exact mode while the expensive exact distinct
+      * never runs over a high-cardinality column. Exact mode remains
+      * the default because ColumnSignals.nDistinct is reported (and
+      * oracle-compared) verbatim. */
     approxDistinct: Boolean = false)
 
 /** One-pass detection signals for a column: every ratio the ladder

@@ -73,6 +73,30 @@ class DetectorSpec extends SparkSpec {
     assert(Detector.detect(df)("c")._1 === SemanticType.Unknown)
   }
 
+  test("approxDistinct two-tier mode classifies identically to exact mode") {
+    import spark.implicits._
+    // near-threshold columns: exactly-3-token boolean, 49-category
+    // categorical, high-cardinality text — the cases where an HLL error
+    // WOULD flip classification if not exact-refined
+    val df = (0 until 2000).map { i =>
+      (Seq("yes", "no", "y")(i % 3),
+        s"cat${i % 49}",
+        s"unique free text value number $i")
+    }.toDF("b", "cat", "txt")
+    val exact = Detector.detect(df, DetectorConfig())
+      .map { case (n, (t, _)) => n -> t.name }
+    val approx = Detector.detect(df, DetectorConfig(approxDistinct = true))
+      .map { case (n, (t, _)) => n -> t.name }
+    assert(approx === exact)
+    assert(exact("b") === "boolean")
+    assert(exact("cat") === "categorical")
+    // low-cardinality columns are exact even in approx mode
+    val sig = Detector.signals(df, DetectorConfig(approxDistinct = true))
+      .map(s => s.name -> s).toMap
+    assert(sig("b").nDistinctNorm === 3L)
+    assert(sig("cat").nDistinct === 49L)
+  }
+
   test("lenient date formats: slashed ISO, dotted, English month names") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
