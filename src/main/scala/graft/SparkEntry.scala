@@ -170,6 +170,14 @@ object SparkEntry {
       s"(instr('0123456789abcdef', substr(md5($tok), ${i + 1}, 1)) - 1) * ${1L << (4 * (6 - i))}"
     }.mkString("(", " + ", ")")
 
+  /** [[simhashSql]] as an integer at width `nBits` (bit j of the
+    * MSB-first string ↔ weight 2^(nBits−1−j)) — the form the
+    * Hamming-band oracle shifts and masks. */
+  private def simhashIntSql(toksExpr: String, nBits: Int): String =
+    (0 until nBits).map { j =>
+      s"(CASE WHEN list_sum(list_transform($toksExpr, t -> ((instr('0123456789abcdef', substr(md5(t), ${j + 1}, 1)) - 1) % 2) * 2 - 1)) > 0 THEN ${1L << (nBits - 1 - j)} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   /** DuckDB twin of TextAnalysis.simHash16. */
   private def simhashSql(toksExpr: String): String = {
     val bits = (0 until 16).map { j =>
@@ -582,6 +590,56 @@ object SparkEntry {
         .orderBy("doc_id", "j")
     }),
 
+    // --- embedding near-dup at scale: multi-table random-hyperplane
+    // LSH + exact verify of bucket-mates (the near-linear path that
+    // replaces q27's O(n²) pair join) — oracle replays the same
+    // deterministic hyperplanes from inlined literals ---
+    "q37_neardup_bucketed" -> ((s, d) => {
+      val dup = withDups(t(s, d, "embeddings"), "vec_id", 50, 10000)
+      Similarity.cosineNearDupBucketed(dup, "vec_id", "embedding", 0.99,
+        nBits = Q37Bits, nTables = Q37Tables, seed = Q37Seed)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- Lloyd k-means over the vector column (the IVF centroid
+    // refinement path), oracle-checked per (centroid, dimension) ---
+    "q38_kmeans_centroids" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = Q38K, iterations = Q38Iters)
+        .select(col("centroid_id"), posexplode(col("cv")))
+        .select(col("centroid_id"), col("pos").cast(LongType).as("pos"),
+          round(col("col"), 6).as("v"))
+        .orderBy("centroid_id", "pos")
+    }),
+
+    // --- SimHash near-dup with Hamming tolerance (banded candidate
+    // join + exact popcount verify; fixture = near copies that differ
+    // by one appended token) ---
+    "q39_simhash_hamming" -> ((s, d) => {
+      val base = t(s, d, "documents")
+      val dup = base.unionByName(base.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", concat(col("text"), lit(" nearmarker"))))
+      Dedup.simhashNearDup(dup, "doc_id", "text", maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("dist").cast(LongType).as("dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- line-level boilerplate strip (C4-style corpus cleaning;
+    // fixture = docs line-ified on ' table ' with injected header and
+    // footer lines) ---
+    "q40_line_dedup" -> ((s, d) => {
+      val lined = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("follow us on example dot com\n"),
+          expr("replace(text, ' table ', '\n')"),
+          lit("\nsubscribe to the newsletter")).as("text"))
+      Dedup.stripBoilerplate(lined, "doc_id", "text", minDocs = 10)
+        .select(col("id").as("doc_id"), col("text_clean"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     // --- multimodal plumbing (stub codec, real schema/batching) ---
     "q31_multimodal_meta" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -837,6 +895,46 @@ object SparkEntry {
       "q28_ann_topk" -> annTopkSql,
       "q29_ann_topk_scalable" -> annTopkSql,
 
+      "q37_neardup_bucketed" -> q37Sql,
+      "q38_kmeans_centroids" -> q38Sql,
+
+      "q39_simhash_hamming" ->
+        s"""WITH dup AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000, text || ' nearmarker' FROM documents WHERE doc_id < 50),
+           |sk AS (SELECT doc_id AS id, CAST(${simhashIntSql(toks, 32)} AS BIGINT) AS h FROM dup),
+           |banded AS (
+           |  SELECT id, h, b AS band, (h >> (b * 8)) & 255 AS key
+           |  FROM sk CROSS JOIN range(4) t(b)),
+           |cand AS (
+           |  SELECT DISTINCT l.id AS id_a, l.h AS h_a, r.id AS id_b, r.h AS h_b
+           |  FROM banded l JOIN banded r
+           |    ON l.band = r.band AND l.key = r.key AND l.id < r.id)
+           |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS dist
+           |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q40_line_dedup" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    'follow us on example dot com' || chr(10) || replace(text, ' table ', chr(10))
+          |      || chr(10) || 'subscribe to the newsletter' AS text
+          |  FROM documents),
+          |lines AS (
+          |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+          |         unnest(range(len(string_split(text, chr(10))))) AS pos
+          |  FROM d),
+          |bp AS (SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 10),
+          |kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM bp)),
+          |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+          |               count(*) AS n_kept
+          |        FROM kept GROUP BY doc_id),
+          |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+          |SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
+          |       t.n_lines - coalesce(a.n_kept, 0) AS n_removed
+          |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
       "q30_ann_ivf" ->
         """WITH corpus AS (SELECT * FROM embeddings WHERE vec_id >= 5),
           |q AS (SELECT * FROM embeddings WHERE vec_id < 5),
@@ -953,6 +1051,79 @@ object SparkEntry {
        |  round(sqrt(greatest(s2/n - (s1/n)*(s1/n), 0)), 6) AS std,
        |  round((SELECT sum((s2 - n*(s1/n)*(s1/n))/(n-1)) FROM agg), 6) AS cov_trace
        |FROM agg ORDER BY dim_idx""".stripMargin
+  }
+
+  // q37 parameters: small enough that the inlined-literal oracle SQL
+  // stays readable, large enough that buckets genuinely split the corpus
+  private val Q37Bits = 8
+  private val Q37Tables = 2
+  private val Q37Seed = 42L
+  private val Q37Dim = 64 // embeddings.parquet element count (TESTDATA.md)
+
+  /** Oracle twin of [[graft.ops.Similarity.cosineNearDupBucketed]]: the
+    * deterministic FNV-seeded hyperplanes are evaluated here and inlined
+    * as literal DOUBLE[] constants (same trick as [[minhashMinsSql]]),
+    * so DuckDB replays bucket assignment + exact verification. */
+  private def q37Sql: String = {
+    def bucket(t: Int): String = {
+      val bits = (0 until Q37Bits).map { b =>
+        val plane = (0 until Q37Dim)
+          .map(j => graft.text.HashEmbeddings.component(s"$b#$j", 0, Q37Seed + t))
+          .mkString("[", ", ", "]")
+        s"CASE WHEN list_dot_product(v, $plane) >= 0 THEN '1' ELSE '0' END"
+      }
+      bits.mkString("concat(", ", ", ")")
+    }
+    val tables = (0 until Q37Tables)
+      .map(t => s"SELECT id, $t AS tbl, ${bucket(t)} AS bucket FROM v")
+      .mkString(" UNION ALL ")
+    s"""WITH dup AS (SELECT * FROM ${withDupsSql("embeddings", "vec_id", 50, 10000)}),
+       |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM dup WHERE embedding IS NOT NULL),
+       |tab AS ($tables),
+       |cand AS (
+       |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM tab l JOIN tab r
+       |    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id)
+       |SELECT id_a, id_b,
+       |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+       |FROM cand JOIN v a ON a.id = id_a JOIN v b ON b.id = id_b
+       |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private val Q38K = 8
+  private val Q38Iters = 2
+
+  /** Oracle twin of [[graft.ops.Similarity.kmeansCentroids]]: seed
+    * centroids = k lowest ids, then `Q38Iters` Lloyd rounds — each an
+    * argmax-cosine assignment plus per-(cluster, dim) mean; clusters
+    * that lose every member keep the previous centroid (left join +
+    * coalesce on both engines). */
+  private def q38Sql: String = {
+    def round(i: Int): String =
+      s"""asg$i AS (
+         |  SELECT id, centroid_id, v FROM (
+         |    SELECT c.id, ct.centroid_id, c.v,
+         |      row_number() OVER (PARTITION BY c.id
+         |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.centroid_id ASC) AS rn
+         |    FROM corpus c CROSS JOIN cent${i - 1} ct)
+         |  WHERE rn = 1),
+         |m$i AS (
+         |  SELECT centroid_id, i AS pos, avg(v[i + 1]) AS m
+         |  FROM asg$i CROSS JOIN range($Q37Dim) t(i)
+         |  GROUP BY 1, 2),
+         |cent$i AS (
+         |  SELECT ct.centroid_id, coalesce(nm.ncv, ct.cv) AS cv
+         |  FROM cent${i - 1} ct LEFT JOIN
+         |    (SELECT centroid_id, list(m ORDER BY pos) AS ncv FROM m$i GROUP BY 1) nm
+         |    USING (centroid_id))""".stripMargin
+    s"""WITH corpus AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent0 AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+       |          FROM embeddings ORDER BY vec_id LIMIT $Q38K),
+       |${(1 to Q38Iters).map(round).mkString(",\n")}
+       |SELECT centroid_id, i AS pos, round(cv[i + 1], 6) AS v
+       |FROM cent$Q38Iters CROSS JOIN range($Q37Dim) t(i)
+       |ORDER BY centroid_id, pos""".stripMargin
   }
 
   private val annTopkSql: String =

@@ -241,4 +241,85 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame =
     Similarity.cosinePairs(df, idCol, vecCol, threshold)
+
+  /** SimHash near-duplicates within Hamming distance `maxDist` — the
+    * tolerance-based form of the exact-sketch-match dedup. The
+    * `nBits`-bit sketch is split into `bands` contiguous blocks; any
+    * pair within Hamming distance < `bands` agrees exactly on ≥ 1 block
+    * (pigeonhole), so candidates come from `bands` narrow (block, value)
+    * equality self-joins — never an all-pairs scan — verified by
+    * popcount(xor). For `maxDist` ≥ `bands` the block guarantee weakens
+    * to LSH-style recall; the verification stays exact either way.
+    * Width matters at scale: 16 bits in 4 bands leaves 4-bit keys — 16
+    * buckets per band, saturated by a few hundred docs (measured 24 s
+    * at 5.5 k docs). The 32-bit default gives 8-bit keys (256 buckets
+    * per band) — same guarantee, bucket-bounded join. Shuffle rows:
+    * `bands` per doc (a long each) — 100 TB-safe. */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxDist: Int = 3, nBits: Int = 32,
+                     bands: Int = 4): DataFrame = {
+    require(nBits % bands == 0, s"bands $bands must divide nBits $nBits")
+    val bandBits = nBits / bands
+    val mask = (1L << bandBits) - 1L
+    val sk = graft.ops.TextAnalysis.simHashAgg(df, idCol, textCol, nBits)
+      .withColumn("h", conv(col("simhash"), 2, 10).cast("long"))
+    val banded = sk.select(col("id"), col("h"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        shiftright(col("h"), b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("l.h").as("h_a"),
+        col("r.id").as("id_b"), col("r.h").as("h_b"))
+      .distinct()
+      .withColumn("dist", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** Boilerplate lines: lines (split on `\n`) appearing in at least
+    * `minDocs` DISTINCT documents — headers, footers, nav chrome. The
+    * shuffle key is md5(line), never the line text, so wide lines don't
+    * fatten the exchange; count_distinct(id) is the two-phase
+    * partial-agg form. Returns (line, n_docs). */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                       minDocs: Long): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .groupBy(md5(col("line").cast("binary")).as("lh"))
+      .agg(first(col("line")).as("line"), count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("line", "n_docs")
+
+  /** Strip boilerplate lines from every document (C4/RefinedWeb-style
+    * corpus cleaning): lines occurring in ≥ `minDocs` distinct docs are
+    * removed; remaining lines are reassembled in original order.
+    * Two shuffles, both keyed on md5(line): the boilerplate census and
+    * the left-anti join of the line stream against it; reassembly
+    * shuffles one (id)-keyed row per kept line. No driver-side state —
+    * the boilerplate set itself stays distributed. */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       minDocs: Long): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line").cast("binary")))
+    val bp = lines
+      .groupBy("lh").agg(count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("lh")
+    lines.join(bp, Seq("lh"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+      // docs whose every line was boilerplate drop out of the anti-join
+      // stream entirely — reattach them with empty text
+      .join(df.select(col(idCol).as("id"),
+          size(split(col(textCol), "\n")).cast("long").as("n_lines")),
+        Seq("id"), "right")
+      .select(col("id"), coalesce(col("text_clean"), lit("")).as("text_clean"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -144,22 +144,31 @@ object TextAnalysis {
     * use this one when sketching a whole corpus. Map-side partial sums
     * keep the shuffle at one row per document. */
   def simHash16Agg(df: org.apache.spark.sql.DataFrame, idCol: String,
-                   textCol: String): org.apache.spark.sql.DataFrame = {
+                   textCol: String): org.apache.spark.sql.DataFrame =
+    simHashAgg(df, idCol, textCol, 16)
+
+  /** Generalized [[simHash16Agg]]: an `nBits`-bit sketch (nBits ≤ 32 —
+    * one parity bit per md5 hex digit). 16 bits suffices for a
+    * bounded-vocab fixture; corpus-scale Hamming dedup wants 32+ so the
+    * band keys don't saturate (see [[graft.ops.Dedup.simhashNearDup]]). */
+  def simHashAgg(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, nBits: Int): org.apache.spark.sql.DataFrame = {
+    require(nBits >= 1 && nBits <= 32, s"nBits $nBits outside md5's 32 hex digits")
     val tok = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("t"))
       .withColumn("h", md5(col("t").cast("binary")))
-    val sums = (0 until 16).map { j =>
+    val sums = (0 until nBits).map { j =>
       sum(((instr(lit("0123456789abcdef"), substring(col("h"), j + 1, 1)) - 1) % 2)
         .cast("long") * 2L - 1L).as(s"s$j")
     }
     val agg = tok.groupBy("id").agg(sums.head, sums.tail: _*)
-    val bits = (0 until 16).map(j =>
+    val bits = (0 until nBits).map(j =>
       when(col(s"s$j") > 0, lit("1")).otherwise(lit("0")))
     // empty-token docs never reach the groupBy; reattach with all-zero
     // sketch (aggregate-over-empty semantics of the expression form)
     val ids = df.select(col(idCol).as("id")).distinct()
     ids.join(agg, Seq("id"), "left")
-      .select(col("id"), coalesce(concat(bits: _*), lit("0" * 16)).as("simhash"))
+      .select(col("id"), coalesce(concat(bits: _*), lit("0" * nBits)).as("simhash"))
   }
 
   /** 16-bit SimHash over the token stream. Bit j is the sign of

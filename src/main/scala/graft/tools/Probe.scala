@@ -143,6 +143,35 @@ object Probe {
       time("full-candidates")(graft.ops.Dedup.minhashCandidates(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save())
     }
+    names.filter(_ == "scalelaw").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      // each copy-set gets fully distinct tokens (per-set vowel rotation
+      // — a prefix alone leaves copies ~95% Jaccard-similar): the corpus
+      // GROWS with new content instead of stacking near-dups, so timing
+      // reflects scaling, not quadratic duplicate-pair volume
+      val rot = "abcdefghijklmnopqrstuvwxy" // period 25 > max copyset count
+      def at(mult: Int): org.apache.spark.sql.DataFrame =
+        (0 until mult).map { m =>
+          val shifted = rot.drop(m % rot.length) + rot.take(m % rot.length)
+          docs
+            .withColumn("doc_id", col("doc_id") + lit(m * 1000000L))
+            .withColumn("text", translate(col("text"), rot, shifted))
+        }.reduce(_ unionByName _)
+      // untimed warmup so x1 isn't charged for JIT/codegen compilation
+      graft.ops.Dedup.lshJaccardDedup(at(1), "doc_id", "text",
+        numHashes = 16, bands = 4, k = 3, minJaccard = 0.8).count()
+      Seq(1, 4, 10).foreach { m =>
+        val df = at(m)
+        val t0 = System.nanoTime()
+        val n = graft.ops.Dedup.lshJaccardDedup(df, "doc_id", "text",
+          numHashes = 16, bands = 4, k = 3, minJaccard = 0.8).count()
+        println(f"SCALELAW lsh-jaccard x$m: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n pairs)")
+        val t1 = System.nanoTime()
+        val ne = graft.ops.Dedup.exact(df, "doc_id", "text").count()
+        println(f"SCALELAW exact-dedup x$m: ${(System.nanoTime() - t1) / 1e9}%.1f s ($ne groups)")
+      }
+    }
     names.filter(_ == "cosine-sql").foreach { _ =>
       graft.GraftExtensions.registerInto(spark)
       spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("emb")

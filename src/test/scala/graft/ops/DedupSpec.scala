@@ -53,6 +53,50 @@ class DedupSpec extends SparkSpec {
     assert(!j.contains((4L, 6L))) // no shared shingles at all
   }
 
+  test("simhash Hamming near-dup: exact dups at dist 0, near dups within tolerance, unrelated absent") {
+    val pairs = Dedup.simhashNearDup(docs, "id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0)      // exact dup
+    assert(pairs((1L, 3L)) === 0)      // normalized dup — same token stream
+    pairs.get((1L, 5L)).foreach(d => assert(d <= 3)) // near dup, if surfaced, is close
+    assert(!pairs.contains((4L, 6L)))  // unrelated docs don't verify
+    // the Hamming-≤3 guarantee: any surfaced pair's sketch distance is ≤ maxDist
+    assert(pairs.values.forall(_ <= 3))
+  }
+
+  test("simhash Hamming near-dup guarantee: ALL pairs within dist 3 are found (pigeonhole)") {
+    // brute-force ground truth over the sketches themselves (the op's
+    // default 32-bit width)
+    val sk = TextAnalysis.simHashAgg(docs, "id", "text", 32)
+      .withColumn("h", conv(col("simhash"), 2, 10).cast("long"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("h")).toMap
+    val want = (for {
+      a <- sk.keys; b <- sk.keys if a < b
+      if java.lang.Long.bitCount(sk(a) ^ sk(b)) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashNearDup(docs, "id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
+  test("boilerplate strip removes common lines, keeps order, handles all-boilerplate docs") {
+    val lined = Seq(
+      (1L, "HEADER\nalpha beta\nFOOTER"),
+      (2L, "HEADER\ngamma delta\nFOOTER"),
+      (3L, "HEADER\nepsilon\nFOOTER"),
+      (4L, "HEADER\nFOOTER"))
+      .toDF("id", "text")
+    val bp = Dedup.boilerplateLines(lined, "id", "text", minDocs = 3)
+      .collect().map(_.getString(0)).toSet
+    assert(bp === Set("HEADER", "FOOTER"))
+    val out = Dedup.stripBoilerplate(lined, "id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("alpha beta", 2L)))
+    assert(out(3L) === (("epsilon", 2L)))
+    assert(out(4L) === (("", 2L)))      // every line was boilerplate
+    assert(out.size === 4)
+  }
+
   test("embedding near-dup finds the duplicated vector") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)),
