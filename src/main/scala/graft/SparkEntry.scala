@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.{Detector, DetectorConfig, Profiler}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Multimodal, Sampling, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract: every deterministic operator of the engine is
   * registered here as a (SparkSession, sfDir) => DataFrame query with a
@@ -640,6 +640,65 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- backward as-of join: each event picks up the user's latest
+    // order at event time (point-in-time enrichment; single exchange +
+    // sort, no join explosion — see Temporal.asofJoinBackward) ---
+    "q41_asof_join" -> ((s, d) => {
+      val events = t(s, d, "events").select("event_id", "user_id", "ts")
+      Temporal.asofJoinBackward(events, t(s, d, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        payloadCols = Seq("o_orderkey", "o_totalprice"),
+        tieBreak = "o_orderkey")
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+        .orderBy("event_id")
+    }),
+
+    // --- TF-IDF keyword extraction: corpus document frequency +
+    // per-doc top-5 terms (keyed aggs only, no collect) ---
+    "q42_tfidf" -> ((s, d) =>
+      Corpus.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank")),
+
+    // --- Gopher-style repetition signals: dup-token ratio (pure
+    // expression) + top-bigram share (keyed agg) per document ---
+    "q43_repetition" -> ((s, d) =>
+      Corpus.repetitionStats(t(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // --- PII redaction (corpus scrubbing): counts + redacted text;
+    // fixture injects a known email/phone into every third doc ---
+    "q44_pii_redact" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" contact alice.smith@example.org or +1 (415) 555-0100")))
+          .otherwise(col("text")))
+      docs.select(col("doc_id"),
+        TextAnalysis.emailCount(col("text")).cast(LongType).as("n_emails"),
+        TextAnalysis.phoneCount(col("text")).cast(LongType).as("n_phones"),
+        TextAnalysis.redactPii(col("text")).as("text_redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // --- stratified content-keyed sampling: per-language downsampling
+    // as a pure narrow filter (reproducible across engines/runs) ---
+    "q45_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedHashSample(
+        t(s, d, "documents").select("doc_id", "lang"), "doc_id", "lang",
+        fractions = Map("en" -> 0.3, "de" -> 0.8, "zh" -> 1.0),
+        default = 0.5)
+        .orderBy("doc_id")),
+
+    // --- exact-n-per-key deterministic sample (content-defined
+    // priority reservoir) ---
+    "q46_sample_per_key" -> ((s, d) =>
+      Sampling.samplePerKey(
+        t(s, d, "documents").select("doc_id", "lang"), "lang", "doc_id", 3)
+        .orderBy("doc_id")),
+
     // --- multimodal plumbing (stub codec, real schema/batching) ---
     "q31_multimodal_meta" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -934,6 +993,88 @@ object SparkEntry {
           |SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
           |       t.n_lines - coalesce(a.n_kept, 0) AS n_removed
           |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      "q41_asof_join" ->
+        """WITH j AS (
+          |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+          |         row_number() OVER (PARTITION BY e.event_id
+          |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          |  FROM events e LEFT JOIN orders o
+          |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+          |SELECT event_id, user_id, o_orderkey, o_totalprice
+          |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+      "q42_tfidf" -> {
+        val idf = "(ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0)"
+        s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents),
+           |pairs AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dfreq AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1),
+           |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+           |scored AS (
+           |  SELECT doc_id, term, tf, df, tf * $idf AS tfidf,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY tf * $idf DESC, term ASC) AS rn
+           |  FROM pairs JOIN dfreq USING (term) CROSS JOIN n)
+           |SELECT doc_id, CAST(rn AS BIGINT) AS "rank", term,
+           |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           |  round(tfidf, 6) AS tfidf
+           |FROM scored WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin
+      },
+
+      "q43_repetition" -> {
+        val w = toksSql("text")
+        s"""WITH base AS (SELECT doc_id, $w AS w FROM documents),
+           |b AS (SELECT doc_id, len(w) AS n_tokens,
+           |             len(list_distinct(w)) AS n_distinct FROM base),
+           |bg AS (SELECT doc_id,
+           |  unnest(list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])) AS bg
+           |  FROM base WHERE len(w) >= 2),
+           |cnt AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+           |top AS (SELECT doc_id,
+           |  max(lpad(CAST(cnt AS VARCHAR), 10, '0') || ' ' || bg) AS packed,
+           |  sum(cnt) AS n_bigrams FROM cnt GROUP BY 1)
+           |SELECT b.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(n_distinct AS BIGINT) AS n_distinct,
+           |  round(CASE WHEN n_tokens > 0
+           |    THEN CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           |    ELSE CAST(0 AS DOUBLE) END, 6) AS dup_token_ratio,
+           |  coalesce(substr(packed, 12), '') AS top_bigram,
+           |  coalesce(CAST(substr(packed, 1, 10) AS BIGINT), 0) AS top_bigram_count,
+           |  round(coalesce(CAST(substr(packed, 1, 10) AS DOUBLE) / CAST(n_bigrams AS DOUBLE),
+           |    CAST(0 AS DOUBLE)), 6) AS top_bigram_frac
+           |FROM b LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin
+      },
+
+      "q44_pii_redact" -> {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "[+(][0-9 ()-]{6,}[0-9]"
+        s"""WITH d AS (
+           |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+           |    THEN text || ' contact alice.smith@example.org or +1 (415) 555-0100'
+           |    ELSE text END AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(
+           |    regexp_replace(text, '$email', '<EMAIL>', 'g'), '$phone')) AS BIGINT) AS n_phones,
+           |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+           |    '$phone', '<PHONE>', 'g') AS text_redacted
+           |FROM d ORDER BY doc_id""".stripMargin
+      },
+
+      "q45_stratified_sample" -> {
+        val bucket = s"(${hash31Sql("CAST(doc_id AS VARCHAR)")}) % 10000"
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE $bucket < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 8000
+           |  WHEN 'zh' THEN 10000 ELSE 5000 END
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      "q46_sample_per_key" ->
+        """SELECT doc_id, lang FROM (
+          |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+          |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+          |  FROM documents) WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
 
       "q30_ann_ivf" ->
         """WITH corpus AS (SELECT * FROM embeddings WHERE vec_id >= 5),

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis.tokens
+
+/** Corpus-level term statistics for training-data curation: TF-IDF
+  * keyword extraction and Gopher-style intra-document repetition
+  * signals. Everything is keyed aggregation — no collects, no
+  * all-pairs, no driver state — so the shapes hold at corpus scale.
+  */
+object Corpus {
+
+  /** Top-`k` TF-IDF terms per document.
+    *
+    * tf = raw term count in the doc; idf = ln((N+1)/(df+1)) + 1 (the
+    * smoothed form — never divides by zero, never goes negative);
+    * score = tf·idf. N = number of distinct documents, carried in-plan
+    * via a broadcast 1-row aggregate (no driver round-trip).
+    *
+    * Shape: explode tokens → count by (doc, term) [shuffle 1, keyed on
+    * the pair so partial aggregation absorbs in-doc repeats map-side] →
+    * document frequency by term over the already-distinct pairs
+    * [shuffle 2, |vocab| rows] → broadcast-joinable term table back
+    * onto the pair counts [shuffle join on term] → per-doc top-k window
+    * over candidate rows only (rows per doc = distinct terms, already
+    * aggregated). Ties: equal scores rank by term ascending, so output
+    * is deterministic and engine-independent.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val pairs = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count_distinct(col(idCol)).as("n_docs"))
+    val scored = pairs
+      .join(docFreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * (log((col("n_docs") + 1).cast("double") /
+          (col("df") + 1).cast("double")) + 1.0))
+    val w = Window.partitionBy("id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), col("df"), round(col("tfidf"), 6).as("tfidf"))
+  }
+
+  /** Gopher-style repetition signals per document: duplicate-token
+    * fraction (1 − distinct/total) and the most frequent word bigram
+    * with its share of all bigrams. High values flag boilerplate-ish /
+    * TEMPLATE-generated docs that slip past exact dedup.
+    *
+    * The token-level ratios are pure expressions (zero shuffle); only
+    * the bigram argmax aggregates — keyed on (doc, bigram), then one
+    * row per (doc, bigram) into the per-doc max. The bigram argmax is
+    * made engine-portable by packing (count, bigram) into a
+    * fixed-width sortable string and taking `max` — avoids struct-max
+    * ordering differences across engines; ties therefore resolve to
+    * the lexicographically greatest bigram at the max count.
+    */
+  def repetitionStats(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("w"))).cast("long"))
+    val bigrams = base
+      .select(col("id"), explode(zip_with(
+        slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+        slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy("id", "bg").agg(count(lit(1)).as("cnt"))
+    val topPacked = bigrams.groupBy("id").agg(
+      max(concat(lpad(col("cnt").cast("string"), 10, "0"), lit(" "),
+        col("bg"))).as("packed"),
+      sum(col("cnt")).as("n_bigrams"))
+    base.join(topPacked, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), col("n_distinct"),
+        round(when(col("n_tokens") > 0,
+          lit(1.0) - col("n_distinct").cast("double") /
+            col("n_tokens").cast("double")).otherwise(lit(0.0)), 6)
+          .as("dup_token_ratio"),
+        coalesce(substring(col("packed"), 12, 1000000), lit(""))
+          .as("top_bigram"),
+        coalesce(substring(col("packed"), 1, 10).cast("long"), lit(0L))
+          .as("top_bigram_count"),
+        round(coalesce(substring(col("packed"), 1, 10).cast("double") /
+          col("n_bigrams").cast("double"), lit(0.0)), 6)
+          .as("top_bigram_frac"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, partition-independent sampling.
+  *
+  * The reference samples with a seeded in-memory RNG
+  * (`Latanova_v1.py:632-633`), which has no distributed equivalent:
+  * Spark's `df.sample(seed)` depends on partitioning, so the "same"
+  * sample changes when the cluster layout does. The scale-correct
+  * replacement is CONTENT-keyed sampling — a row is in or out based on
+  * a hash of its id, independent of where it is executed. That makes
+  * samples reproducible across runs, cluster sizes, AND engines (the
+  * DuckDB oracle replays the same md5 arithmetic), and it is a pure
+  * narrow filter: no shuffle, pushes down past column pruning, costs
+  * one scan at any data size.
+  */
+object Sampling {
+
+  /** Pseudo-uniform bucket in [0, buckets) from the first 7 md5 hex
+    * digits of the id's string rendering (28 bits — unbiased enough for
+    * sampling; same arithmetic as the oracle's hash31 fragment). */
+  def hashBucket(id: Column, buckets: Int): Column = {
+    val h = md5(id.cast("string").cast("binary"))
+    val v = (0 until 7).map { i =>
+      (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1) *
+        lit(1L << (4 * (6 - i)))
+    }.reduce(_ + _)
+    v % buckets
+  }
+
+  /** Keep ~`fraction` of rows, chosen by id hash. Deterministic and
+    * stable under repartitioning; resolution 1/10000. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction outside [0,1]")
+    df.filter(hashBucket(col(idCol), 10000) < lit((fraction * 10000).round))
+  }
+
+  /** Stratified hash sample: per-stratum fractions (e.g. downsample the
+    * dominant language, keep all of a rare one — the standard corpus
+    * rebalancing move). Strata absent from the map get `default`.
+    * Still a pure narrow filter — the strata column is just another
+    * predicate input, so there is no shuffle and no skew concern. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+                           fractions: Map[String, Double],
+                           default: Double = 0.0): DataFrame = {
+    val threshold = fractions.foldLeft(lit((default * 10000).round)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit((f * 10000).round)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), 10000) < threshold)
+  }
+
+  /** Exact-n-per-key deterministic sample ("reservoir" semantics with a
+    * content-defined priority): the n rows of each key with the lowest
+    * md5(id) — reproducible across runs and engines, unlike a true
+    * random reservoir. One shuffle keyed on `keyCol`; per-key work is a
+    * sort of that key's rows (same bound as any per-key windowed op —
+    * fine while no single key dominates a task's memory). */
+  def samplePerKey(df: DataFrame, keyCol: String, idCol: String,
+                   n: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(md5(col(idCol).cast("string").cast("binary")).asc, col(idCol).asc)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= n)
+      .drop("__rank")
+  }
+}

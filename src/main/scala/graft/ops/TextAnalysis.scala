@@ -187,4 +187,30 @@ object TextAnalysis {
     }
     concat(bits: _*)
   }
+
+  // ---- PII redaction (corpus scrubbing before training) ----
+
+  /** Email/phone patterns kept to the regex subset Java and RE2 agree
+    * on (character classes, bounded repeats — no backrefs/lookarounds),
+    * so the DuckDB oracle replays them verbatim. The phone pattern
+    * requires a leading + or ( to avoid eating ordinary long numbers;
+    * a production scrubber would add locale-specific forms behind the
+    * same interface. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[+(][0-9 ()-]{6,}[0-9]"
+
+  /** Count of email-shaped substrings. */
+  def emailCount(c: Column): Column = regexp_count(c, lit(EmailPattern))
+
+  /** Count of phone-shaped substrings (after emails are removed, so a
+    * digit run inside an address never double-counts). */
+  def phoneCount(c: Column): Column =
+    regexp_count(regexp_replace(c, EmailPattern, "<EMAIL>"), lit(PhonePattern))
+
+  /** Text with emails then phones replaced by typed placeholder tags —
+    * a pure codegen'd projection (two regex passes per row, no shuffle,
+    * trivially linear at any corpus size). */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
 }

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "apple banana apple cherry"),
+    (2L, "banana cherry date"),
+    (3L, "apple apple apple apple"),
+    (4L, "")
+  ).toDF("id", "text")
+
+  test("tfidf: rare terms outscore common ones; ties break by term") {
+    val out = Corpus.tfidfTopTerms(docs, "id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // doc 1: apple tf=2 (df=2), banana/cherry tf=1 (df=2 each)
+    // idf equal for all three → apple (tf 2) first; banana beats cherry on term asc
+    assert(out((1L, 1L)) === "apple")
+    assert(out((1L, 2L)) === "banana")
+    // doc 2: date is unique to doc 2 (df=1) → highest idf wins over df=2 terms
+    assert(out((2L, 1L)) === "date")
+    // doc 3: single term
+    assert(out((3L, 1L)) === "apple")
+    // empty doc contributes no rows
+    assert(!out.keySet.exists(_._1 == 4L))
+  }
+
+  test("tfidf formula matches ln((N+1)/(df+1))+1 hand computation") {
+    val r = Corpus.tfidfTopTerms(docs, "id", "text", k = 2)
+      .filter(col("id") === 2L && col("term") === "date").collect()(0)
+    val expected = 1.0 * (math.log(5.0 / 2.0) + 1.0) // N=4 docs, df=1, tf=1
+    assert(math.abs(r.getDouble(5) - expected) < 1e-6)
+  }
+
+  test("repetition stats: dup-token ratio and top bigram") {
+    val out = Corpus.repetitionStats(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4), r.getLong(5), r.getDouble(6)))).toMap
+    // doc 3: 4 tokens, 1 distinct → dup ratio 0.75; bigram "apple apple" ×3 of 3
+    assert(out(3L) === ((4L, 1L, 0.75, "apple apple", 3L, 1.0)))
+    // doc 2: no repeats → ratio 0, each bigram count 1; tie resolves to
+    // the lexicographically greatest bigram at the packed-string max
+    assert(out(2L)._3 === 0.0)
+    assert(out(2L)._5 === 1L)
+    assert(out(2L)._4 === "cherry date")
+    // empty doc: all-zero row, present
+    assert(out(4L) === ((0L, 0L, 0.0, "", 0L, 0.0)))
+  }
+
+  test("pii redaction counts and replaces emails then phones") {
+    val d = Seq(
+      (1L, "reach me at bob@example.com or +1 (415) 555-0100 thanks"),
+      (2L, "no pii here, just numbers 12345678 in text"),
+      (3L, "two mails a@b.io c.d@e.org and (020) 7946-0958")
+    ).toDF("id", "text")
+    val out = d.select(col("id"),
+      TextAnalysis.emailCount(col("text")).as("e"),
+      TextAnalysis.phoneCount(col("text")).as("p"),
+      TextAnalysis.redactPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L)._1 === 1)
+    assert(out(1L)._2 === 1)
+    assert(out(1L)._3 === "reach me at <EMAIL> or <PHONE> thanks")
+    assert(out(2L) === ((0, 0, "no pii here, just numbers 12345678 in text")))
+    assert(out(3L)._1 === 2)
+    assert(out(3L)._2 === 1)
+    assert(out(3L)._3.contains("<EMAIL> <EMAIL>"))
+    assert(out(3L)._3.contains("<PHONE>"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val trades = Seq(
+    (1L, "a", 100L), (2L, "a", 205L), (3L, "a", 310L),
+    (4L, "b", 150L), (5L, "b", 90L)
+  ).toDF("trade_id", "sym", "t")
+
+  private lazy val quotes = Seq(
+    ("a", 90L, 10.0), ("a", 100L, 11.0), ("a", 200L, 12.0),
+    ("b", 100L, 20.0), ("c", 50L, 30.0)
+  ).toDF("sym", "qt", "px")
+
+  private def run(tol: Option[org.apache.spark.sql.Column] = None) =
+    Temporal.asofJoinBackward(trades, quotes, "sym", "sym", "t", "qt",
+      payloadCols = Seq("px"), tieBreak = "qt", tolerance = tol)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+
+  test("backward as-of picks latest right row at-or-before left time") {
+    val m = run()
+    assert(m(1L) === Some(11.0)) // qt=100 matches exactly (<= is inclusive)
+    assert(m(2L) === Some(12.0)) // latest of {90,100,200}
+    assert(m(3L) === Some(12.0))
+    assert(m(4L) === Some(20.0))
+    assert(m(5L) === None)       // no quote at or before t=90 for b
+  }
+
+  test("tolerance nulls out stale matches") {
+    val m = run(tol = Some(lit(20L)))
+    assert(m(1L) === Some(11.0)) // age 0
+    assert(m(2L) === Some(12.0)) // age 5
+    assert(m(3L) === None)       // age 110 > 20
+    assert(m(4L) === None)       // age 50 > 20
+  }
+
+  test("ties on right time resolve to greatest tieBreak") {
+    val r2 = quotes.unionByName(Seq(("a", 100L, 99.0)).toDF("sym", "qt", "px"))
+    // two quotes at qt=100 for sym a; tieBreak=px → 99.0 wins
+    val m = Temporal.asofJoinBackward(trades, r2, "sym", "sym", "t", "qt",
+      payloadCols = Seq("px"), tieBreak = "px")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(m(1L) === Some(99.0))
+    assert(m(2L) === Some(12.0)) // later quote still beats the tied pair
+  }
+
+  test("left rows keep cardinality and order-independence (left-outer)") {
+    val out = Temporal.asofJoinBackward(trades, quotes, "sym", "sym", "t", "qt",
+      payloadCols = Seq("px"), tieBreak = "qt")
+    assert(out.count() === trades.count())
+    assert(out.columns.toSeq === Seq("trade_id", "sym", "t", "px"))
+  }
+
+  test("null right keys never match; plan has a single exchange on the key") {
+    val rNull = quotes.unionByName(
+      Seq((null.asInstanceOf[String], 40L, 1.0)).toDF("sym", "qt", "px"))
+    val m = Temporal.asofJoinBackward(trades, rNull, "sym", "sym", "t", "qt",
+      payloadCols = Seq("px"), tieBreak = "qt")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(m(5L) === None) // the null-key quote at t=40 must not leak in
+    val plan = Temporal.asofJoinBackward(trades, quotes, "sym", "sym", "t", "qt",
+      payloadCols = Seq("px"), tieBreak = "qt")
+      .queryExecution.executedPlan.toString
+    // union + window: no join operator, no nested-loop blowup
+    assert(!plan.contains("Join"), s"unexpected join in as-of plan:\n$plan")
+  }
+}
