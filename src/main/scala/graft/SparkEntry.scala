@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.{Detector, DetectorConfig, Profiler}
-import graft.ops.{Corpus, Dedup, Multimodal, Sampling, Similarity, Temporal, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Graph, Multimodal, Sampling, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract: every deterministic operator of the engine is
   * registered here as a (SparkSession, sfDir) => DataFrame query with a
@@ -109,6 +109,36 @@ object SparkEntry {
     momentSelect(base)
   }
 
+  /** The derived-stat SELECT columns shared by every moment-sums
+    * oracle. `guarded=true` adds the degenerate-group zeroing of
+    * Profiler.groupedNumericProfile (n-too-small / zero variance →
+    * skew = kurt = 0). */
+  private def momentStatsSql(guarded: Boolean = false): String = {
+    val skewBody =
+      """(CAST(s3 AS DOUBLE)/n - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n) + 2.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+        |    / (sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+        |       * sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+        |       * sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)))""".stripMargin
+    val kurtBody =
+      """(CAST(s4 AS DOUBLE)/n - 4.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
+        |         + 6.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+        |         - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+        |    / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+        |       * (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))) - 3.0""".stripMargin
+    val varPos = "(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) > 0"
+    val skew = if (guarded) s"CASE WHEN n > 2 AND $varPos THEN $skewBody ELSE CAST(0 AS DOUBLE) END"
+               else skewBody
+    val kurt = if (guarded) s"CASE WHEN n > 3 AND $varPos THEN $kurtBody ELSE CAST(0 AS DOUBLE) END"
+               else kurtBody
+    s"""n,
+       |  round(CAST(s1 AS DOUBLE)/n, 6) AS mean,
+       |  round(sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)), 6) AS std,
+       |  round($skew, 6) AS skew,
+       |  round($kurt, 6) AS kurt,
+       |  mn, mx,
+       |  round(qs[2], 6) AS median, round(qs[1], 6) AS q1, round(qs[3], 6) AS q3""".stripMargin
+  }
+
   /** Oracle-side twin of [[numericProfile]]. */
   private def numericProfileSql(table: String, c: String): String =
     s"""WITH s AS (
@@ -120,20 +150,7 @@ object SparkEntry {
        |         min($c) AS mn, max($c) AS mx,
        |         quantile_cont($c, [0.25, 0.5, 0.75]) AS qs
        |  FROM $table)
-       |SELECT n,
-       |  round(CAST(s1 AS DOUBLE)/n, 6) AS mean,
-       |  round(sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)), 6) AS std,
-       |  round((CAST(s3 AS DOUBLE)/n - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n) + 2.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
-       |    / (sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
-       |       * sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
-       |       * sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))), 6) AS skew,
-       |  round((CAST(s4 AS DOUBLE)/n - 4.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
-       |         + 6.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
-       |         - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
-       |    / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
-       |       * (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))) - 3.0, 6) AS kurt,
-       |  mn, mx,
-       |  round(qs[2], 6) AS median, round(qs[1], 6) AS q1, round(qs[3], 6) AS q3
+       |SELECT ${momentStatsSql()}
        |FROM s""".stripMargin
 
   /** value_counts(normalize=True): count + probability per value. The
@@ -177,6 +194,26 @@ object SparkEntry {
     (0 until nBits).map { j =>
       s"(CASE WHEN list_sum(list_transform($toksExpr, t -> ((instr('0123456789abcdef', substr(md5(t), ${j + 1}, 1)) - 1) % 2) * 2 - 1)) > 0 THEN ${1L << (nBits - 1 - j)} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Unrolled oracle twin of [[graft.ops.Graph.minLabelPropagation]]:
+    * emits CTE stages `e2` (bidirected edges) and `v0`..`v<rounds>`;
+    * expects an upstream CTE `e` with (src, dst). Deterministic at any
+    * round cutoff — both engines run the SAME number of rounds, so
+    * parity never depends on convergence. */
+  private def ccRoundsSql(rounds: Int): String = {
+    val stages = (1 to rounds).map { i =>
+      s"""v$i AS (
+         |  SELECT v.id, least(v.lbl, coalesce(m.ml, v.lbl)) AS lbl
+         |  FROM v${i - 1} v LEFT JOIN (
+         |    SELECT e.dst AS id, min(w.lbl) AS ml
+         |    FROM e2 e JOIN v${i - 1} w ON w.id = e.src GROUP BY 1) m
+         |    USING (id))""".stripMargin
+    }
+    (Seq(
+      "e2 AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)",
+      "v0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e2)") ++ stages)
+      .mkString(",\n")
+  }
 
   /** DuckDB twin of TextAnalysis.simHash16. */
   private def simhashSql(toksExpr: String): String = {
@@ -699,6 +736,38 @@ object SparkEntry {
         t(s, d, "documents").select("doc_id", "lang"), "lang", "doc_id", 3)
         .orderBy("doc_id")),
 
+    // --- connected components (bounded min-label propagation) over a
+    // two-hop chain fixture: i — i+10000 — i+20000 ---
+    "q47_cc_labels" -> ((s, d) => {
+      val ids = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 50)
+      val edges = ids
+        .select(col("doc_id").as("src"), (col("doc_id") + 10000).as("dst"))
+        .unionByName(ids.select((col("doc_id") + 10000).as("src"),
+          (col("doc_id") + 20000).as("dst")))
+      Graph.minLabelPropagation(edges, "src", "dst", rounds = 3)
+        .orderBy("id")
+    }),
+
+    // --- end-to-end corpus dedup: near-dup pairs → components → keep
+    // the minimum-id representative per cluster ---
+    "q48_dedup_corpus" -> ((s, d) => {
+      val base = t(s, d, "documents")
+      val dup = base.unionByName(base.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", concat(col("text"), lit(" nearmarker"))))
+      Dedup.dedupCorpus(dup, "doc_id", "text", maxDist = 3, rounds = 3)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // --- grouped numeric profile: the full reference profile per
+    // language (segment-wise curation form) ---
+    "q49_grouped_profile" -> ((s, d) =>
+      graft.engine.Profiler.groupedNumericProfile(
+        t(s, d, "documents"), "lang", "n_chars")
+        .orderBy("lang")),
+
     // --- multimodal plumbing (stub codec, real schema/batching) ---
     "q31_multimodal_meta" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -1075,6 +1144,50 @@ object SparkEntry {
           |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
           |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
           |  FROM documents) WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
+
+      "q47_cc_labels" ->
+        s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+           |e AS (SELECT doc_id AS src, doc_id + 10000 AS dst FROM ids
+           |      UNION ALL
+           |      SELECT doc_id + 10000 AS src, doc_id + 20000 AS dst FROM ids),
+           |${ccRoundsSql(3)}
+           |SELECT id, lbl FROM v3 ORDER BY id""".stripMargin,
+
+      "q48_dedup_corpus" ->
+        s"""WITH dup AS (
+           |  SELECT doc_id, text, n_chars FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000, text || ' nearmarker', n_chars
+           |  FROM documents WHERE doc_id < 50),
+           |sk AS (SELECT doc_id AS id, CAST(${simhashIntSql(toks, 32)} AS BIGINT) AS h FROM dup),
+           |banded AS (
+           |  SELECT id, h, b AS band, (h >> (b * 8)) & 255 AS key
+           |  FROM sk CROSS JOIN range(4) t(b)),
+           |cand AS (
+           |  SELECT DISTINCT l.id AS id_a, l.h AS h_a, r.id AS id_b, r.h AS h_b
+           |  FROM banded l JOIN banded r
+           |    ON l.band = r.band AND l.key = r.key AND l.id < r.id),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM cand
+           |      WHERE bit_count(xor(h_a, h_b)) <= 3),
+           |${ccRoundsSql(3)},
+           |todrop AS (SELECT id FROM v3 WHERE lbl <> id)
+           |SELECT d.doc_id, d.n_chars FROM dup d
+           |WHERE d.doc_id NOT IN (SELECT id FROM todrop)
+           |ORDER BY doc_id""".stripMargin,
+
+      "q49_grouped_profile" ->
+        s"""WITH s AS (
+           |  SELECT lang, count(n_chars) AS n,
+           |         sum(n_chars) AS s1,
+           |         sum(n_chars*n_chars) AS s2,
+           |         sum(n_chars*n_chars*n_chars) AS s3,
+           |         sum(n_chars*n_chars*n_chars*n_chars) AS s4,
+           |         min(CAST(n_chars AS DOUBLE)) AS mn,
+           |         max(CAST(n_chars AS DOUBLE)) AS mx,
+           |         quantile_cont(CAST(n_chars AS DOUBLE), [0.25, 0.5, 0.75]) AS qs
+           |  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang)
+           |SELECT lang, ${momentStatsSql(guarded = true)}
+           |FROM s ORDER BY lang""".stripMargin,
 
       "q30_ann_ivf" ->
         """WITH corpus AS (SELECT * FROM embeddings WHERE vec_id >= 5),

@@ -160,6 +160,58 @@ object Profiler {
       count = total)
   }
 
+  /** Grouped numeric profile: the full per-column numeric profile of
+    * the reference (`Latanova_v1.py:173-191`), computed PER KEY in one
+    * grouped aggregation — the "profile by segment/language/source"
+    * form the single-table reference never needed but any curation
+    * pipeline does.
+    *
+    * Moment sums accumulate in DECIMAL(38,0)-exact form (an integral
+    * value column's 4th-power sum overflows BIGINT near ~1e12 rows;
+    * decimal stays exact and matches the oracle's HUGEINT), and the
+    * derived stats use the same scalar formula as the oracle SQL so
+    * doubles evaluate bit-identically. Quantiles are Spark's exact
+    * linear-interpolation `percentile`, which buffers one group's
+    * values in aggregation state — bounded by the largest group; a
+    * group too big for that belongs in [[Quantiles]]' range-partitioned
+    * sort instead. */
+  def groupedNumericProfile(df: DataFrame, keyCol: String,
+                            valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val xd = col(valueCol).cast(DoubleType)
+    val x = col(valueCol).cast(dec)
+    val g = df.filter(xd.isNotNull).groupBy(col(keyCol)).agg(
+      count(xd).as("n"),
+      sum(x).as("s1"), sum(x * x).as("s2"),
+      sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"),
+      min(xd).as("mn"), max(xd).as("mx"),
+      percentile(xd, array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+    val n = col("n").cast(DoubleType)
+    val mean = col("s1").cast(DoubleType) / n
+    val m2 = col("s2").cast(DoubleType) / n
+    val m3 = col("s3").cast(DoubleType) / n
+    val m4 = col("s4").cast(DoubleType) / n
+    val variance = m2 - mean * mean
+    val std = sqrt(variance)
+    // degenerate groups (n too small, or zero variance) report 0 like
+    // the reference's len-guards (`Latanova_v1.py:185-186`) — and the
+    // guard keeps ANSI mode from raising on the zero divisor
+    g.select(col(keyCol), col("n"),
+      round(mean, 6).as("mean"),
+      round(std, 6).as("std"),
+      round(when(col("n") > 2 && variance > 0,
+        (m3 - lit(3.0) * mean * m2 + lit(2.0) * mean * mean * mean)
+          / (std * std * std)).otherwise(lit(0.0)), 6).as("skew"),
+      round(when(col("n") > 3 && variance > 0,
+        (m4 - lit(4.0) * mean * m3 + lit(6.0) * mean * mean * m2
+          - lit(3.0) * mean * mean * mean * mean)
+          / (variance * variance) - lit(3.0)).otherwise(lit(0.0)), 6).as("kurt"),
+      col("mn"), col("mx"),
+      round(element_at(col("qs"), 2), 6).as("median"),
+      round(element_at(col("qs"), 1), 6).as("q1"),
+      round(element_at(col("qs"), 3), 6).as("q3"))
+  }
+
   /** Bounded sample of raw string entries for bootstrap generation
     * (`raw_entries`, `Latanova_v1.py:225,306-309`). At 100 TB the raw
     * column cannot live on the driver — cap and document. */

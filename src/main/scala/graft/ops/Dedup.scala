@@ -278,6 +278,25 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** End-to-end near-dup corpus dedup: sketch → candidate pairs →
+    * connected components → keep ONE representative (the minimum id,
+    * up to the bounded-round refinement of
+    * [[Graph.minLabelPropagation]]) per cluster. Docs in no pair pass
+    * through untouched (they never enter the label frame, so the
+    * anti-join keeps them for free). This is the piece most "dedup"
+    * implementations skim over: dropping `id_b` of every pair
+    * over-deletes when B also pairs with C — components fix that.
+    * Cost: the pair generation dominates; the CC adds `2·rounds` keyed
+    * shuffles over |pairs|-bounded frames. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  maxDist: Int = 3, rounds: Int = 3): DataFrame = {
+    val pairs = simhashNearDup(df, idCol, textCol, maxDist)
+    val drop = Graph.minLabelPropagation(pairs, "id_a", "id_b", rounds)
+      .filter(col("lbl") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Boilerplate lines: lines (split on `\n`) appearing in at least
     * `minDocs` DISTINCT documents — headers, footers, nav chrome. The
     * shuffle key is md5(line), never the line text, so wide lines don't

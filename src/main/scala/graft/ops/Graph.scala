@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Minimal distributed graph kernel for dedup canonicalization:
+  * near-duplicate PAIRS (from LSH / SimHash / embedding buckets) must
+  * become CLUSTERS before a corpus can keep one representative per
+  * group — transitive closure, i.e. connected components.
+  */
+object Graph {
+
+  /** Connected components by `rounds` of min-label propagation: every
+    * vertex starts labeled with its own id; each round it adopts the
+    * minimum label among itself and its neighbors. After D rounds all
+    * components of diameter ≤ D carry their minimum member id.
+    *
+    * Each round is two keyed shuffles (neighbor-min aggregation +
+    * label join), and `localCheckpoint` truncates the otherwise
+    * exponentially-deepening iterative lineage — the standard Spark
+    * iterative-algorithm hygiene. Dedup clusters are near-cliques
+    * (diameter 1–3), so a small fixed `rounds` converges; for
+    * general graphs with long chains the large-star/small-star
+    * alternation (Kiveris et al., "Connected Components in MapReduce")
+    * converges in O(log n) rounds behind this same signature — the
+    * fixed-round form is chosen because it is deterministic at any
+    * cutoff, which the cross-engine oracle unrolls verbatim.
+    *
+    * Returns (id, lbl) for every vertex that appears in an edge. */
+  def minLabelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                          rounds: Int): DataFrame = {
+    val e2 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    var labels = e2.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to rounds) {
+      val msgs = e2.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min("lbl").as("ml"))
+      labels = labels.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("ml"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+}

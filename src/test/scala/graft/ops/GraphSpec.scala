@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("min-label propagation labels chains, stars and singleton edges") {
+    // components: {1,2,3,4} (chain), {10,11,12} (star on 10), {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (20L, 21L)).toDF("src", "dst")
+    val lbl = Graph.minLabelPropagation(edges, "src", "dst", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("bounded rounds are a deterministic refinement on long chains") {
+    // a 6-hop path needs 5 rounds to fully converge; with 2 rounds the
+    // far end must still hold an intermediate (but deterministic) label
+    val chain = (1L until 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val l2 = Graph.minLabelPropagation(chain, "src", "dst", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2(3L) === 1L)   // within 2 hops of the minimum
+    assert(l2(7L) === 5L)   // r1: 7←6, r2: 7←(6's r1 label 5)
+    val l6 = Graph.minLabelPropagation(chain, "src", "dst", rounds = 6)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(l6 === Set(1L))  // fully converged
+  }
+
+  test("dedupCorpus keeps one representative per near-dup cluster and all singletons") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),       // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta"),  // near dup of 1/2
+      (9L, "the quick brown fox jumps over dogs")   // unrelated singleton
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text", maxDist = 3, rounds = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(9L))          // untouched singleton survives
+    assert(kept.contains(1L))          // minimum id is the representative
+    assert(!kept.contains(2L))         // exact dup dropped
+    // 3 may or may not pair with {1,2} depending on sketch distance;
+    // whatever happens must be consistent: kept iff its label is itself
+    assert(kept.size == 2 || kept.size == 3)
+  }
+
+  test("grouped numeric profile matches a hand-computed group") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0)).toDF("k", "v")
+    val out = graft.engine.Profiler.groupedNumericProfile(df, "k", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) === 4L)                        // n
+    assert(math.abs(a.getDouble(2) - 2.5) < 1e-9)      // mean
+    assert(math.abs(a.getDouble(3) - math.sqrt(1.25)) < 1e-6) // pop std
+    assert(a.getDouble(8) === 2.5)                     // median
+    assert(a.getDouble(9) === 1.75)                    // q1 (np.percentile interp)
+    assert(a.getDouble(10) === 3.25)                   // q3
+    assert(out("b").getLong(1) === 1L)
+  }
+}
