@@ -56,9 +56,18 @@ object GraftExtensions {
       graft.expressions.DigitCount(children.head)
     })
 
+  private val interleaveFn: FnEntry = (
+    new FunctionIdentifier("graft_interleave"),
+    new ExpressionInfo(classOf[graft.expressions.InterleaveBits].getName, "graft_interleave"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_interleave takes exactly 2 arguments")
+      graft.expressions.InterleaveBits(children.head, children(1))
+    })
+
   private val fns: Seq[FnEntry] = Seq(
     cosineFn,
     digitCountFn,
+    interleaveFn,
     columnFn("graft_tokens", 1)(cs => TextAnalysis.tokens(cs.head)),
     columnFn("graft_token_count", 1)(cs => TextAnalysis.tokenCount(cs.head)),
     columnFn("graft_subword_count", 1)(cs => TextAnalysis.subwordCountEstimate(cs.head)),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.{Detector, DetectorConfig, Profiler}
-import graft.ops.{Corpus, Dedup, Graph, Multimodal, Sampling, Similarity, Temporal, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Graph, Layout, Multimodal, Sampling, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract: every deterministic operator of the engine is
   * registered here as a (SparkSession, sfDir) => DataFrame query with a
@@ -768,6 +768,15 @@ object SparkEntry {
         t(s, d, "documents"), "lang", "n_chars")
         .orderBy("lang")),
 
+    // --- Z-order (Morton) value: the data-layout kernel, oracle-checked
+    // bit-for-bit (native codegen expression vs arithmetic replay) ---
+    "q50_zorder" -> ((s, d) => {
+      val e = t(s, d, "events")
+      e.select(col("event_id"),
+        Layout.zvalue(col("user_id"), floor(col("value")).cast(LongType)).as("z"))
+        .orderBy("event_id")
+    }),
+
     // --- multimodal plumbing (stub codec, real schema/batching) ---
     "q31_multimodal_meta" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -1144,6 +1153,18 @@ object SparkEntry {
           |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
           |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
           |  FROM documents) WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
+
+      "q50_zorder" -> {
+        // 16-bit-per-dimension arithmetic replay of InterleaveBits
+        // (fixture dims < 2^16; higher Spark-side bits are zero)
+        val z = (0 until 16).map { j =>
+          s"(((a >> $j) & 1) * ${1L << (2 * j)} + ((b >> $j) & 1) * ${1L << (2 * j + 1)})"
+        }.mkString("(", " + ", ")")
+        s"""SELECT event_id, CAST($z AS BIGINT) AS z FROM (
+           |  SELECT event_id, user_id AS a, CAST(floor(value) AS BIGINT) AS b
+           |  FROM events)
+           |ORDER BY event_id""".stripMargin
+      },
 
       "q47_cc_labels" ->
         s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
