@@ -777,6 +777,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // --- markup strip (web-scrape cleaning): tag/URL counts + cleaned
+    // text; fixture wraps every fourth doc in tags + a trailing URL ---
+    "q51_markup_strip" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("text",
+        when(col("doc_id") % 4 === 0,
+          concat(lit("<html><p class=\"x\">"), col("text"),
+            lit("</p> see https://example.com/a?b=1 now</html>")))
+          .otherwise(col("text")))
+      docs.select(col("doc_id"),
+        TextAnalysis.tagCount(col("text")).cast(LongType).as("n_tags"),
+        TextAnalysis.urlCount(col("text")).cast(LongType).as("n_urls"),
+        TextAnalysis.stripMarkup(col("text")).as("text_clean"))
+        .orderBy("doc_id")
+    }),
+
     // --- multimodal plumbing (stub codec, real schema/batching) ---
     "q31_multimodal_meta" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -1164,6 +1179,23 @@ object SparkEntry {
            |  SELECT event_id, user_id AS a, CAST(floor(value) AS BIGINT) AS b
            |  FROM events)
            |ORDER BY event_id""".stripMargin
+      },
+
+      "q51_markup_strip" -> {
+        val tag = "<[^>]*>"
+        val url = "https?://[A-Za-z0-9./_%?&=#+-]+"
+        s"""WITH d AS (
+           |  SELECT doc_id, CASE WHEN doc_id % 4 = 0
+           |    THEN '<html><p class="x">' || text || '</p> see https://example.com/a?b=1 now</html>'
+           |    ELSE text END AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$tag')) AS BIGINT) AS n_tags,
+           |  CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls,
+           |  trim(regexp_replace(
+           |    regexp_replace(regexp_replace(text, '$tag', ' ', 'g'), '$url', ' ', 'g'),
+           |    '\\s+', ' ', 'g')) AS text_clean
+           |FROM d ORDER BY doc_id""".stripMargin
       },
 
       "q47_cc_labels" ->

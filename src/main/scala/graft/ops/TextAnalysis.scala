@@ -213,4 +213,23 @@ object TextAnalysis {
   def redactPii(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
+
+  // ---- markup stripping (web-scrape cleaning) ----
+
+  /** HTML-ish tags and absolute URLs, in the RE2/Java common subset.
+    * `<[^>]*>` is the pragmatic scrape-cleaning tag pattern (a real
+    * HTML parser is a codec concern, like Multimodal's decoder slot);
+    * the URL pattern stops at whitespace and common terminators. */
+  val TagPattern = "<[^>]*>"
+  val UrlPattern = "https?://[A-Za-z0-9./_%?&=#+-]+"
+
+  def tagCount(c: Column): Column = regexp_count(c, lit(TagPattern))
+  def urlCount(c: Column): Column = regexp_count(c, lit(UrlPattern))
+
+  /** Markup-stripped text: tags and URLs replaced by spaces, whitespace
+    * runs collapsed, ends trimmed — three regex passes, pure projection. */
+  def stripMarkup(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(regexp_replace(c, TagPattern, " "), UrlPattern, " "),
+      "\\s+", " "))
 }

@@ -50,6 +50,21 @@ class CorpusSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L, 0.0, "", 0L, 0.0)))
   }
 
+  test("markup strip removes tags and urls, collapses whitespace") {
+    val d = Seq(
+      (1L, "<div><b>hello</b> world</div> read https://ex.com/x?y=1 today"),
+      (2L, "plain text stays 2 < 3 untouched")
+    ).toDF("id", "text")
+    val out = d.select(col("id"),
+      TextAnalysis.tagCount(col("text")).as("t"),
+      TextAnalysis.urlCount(col("text")).as("u"),
+      TextAnalysis.stripMarkup(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) === ((4, 1, "hello world read today")))
+    // a bare '<' without a closing '>' is not a tag
+    assert(out(2L) === ((0, 0, "plain text stays 2 < 3 untouched")))
+  }
+
   test("pii redaction counts and replaces emails then phones") {
     val d = Seq(
       (1L, "reach me at bob@example.com or +1 (415) 555-0100 thanks"),
