@@ -30,9 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // block-manager state across 34 queries; at 8g the GC pressure
   // tripled late-query times (q33 4 s -> 12 s). Machine has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // dozens of codegen'd stages (34 bench queries) overflow the default
-  // 240 MB JIT code cache — later queries then run partially
-  // interpreted/deoptimized (measured: q33 4 s alone, 28 s after 31
-  // predecessors; flat again with the larger cache)
-  "-XX:ReservedCodeCacheSize=1g",
+  // dozens of codegen'd stages overflow the default 240 MB JIT code
+  // cache — later queries then run partially interpreted/deoptimized
+  // (measured: q33 4 s alone, 28 s after 31 predecessors; flat with a
+  // larger cache). 1g sufficed for 34 queries; at 51 queries q33
+  // degraded again mid-bench (2.4 s → 21 s) → 2g
+  "-XX:ReservedCodeCacheSize=2g",
 )

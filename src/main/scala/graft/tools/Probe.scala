@@ -172,6 +172,33 @@ object Probe {
         println(f"SCALELAW exact-dedup x$m: ${(System.nanoTime() - t1) / 1e9}%.1f s ($ne groups)")
       }
     }
+    names.filter(_ == "zorder").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val dims = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          floor(col("value")).cast("long").as("v"))
+      val zpath = "/tmp/graft_probe_zorder"
+      val lpath = "/tmp/graft_probe_linear"
+      graft.ops.Layout.zorder(dims, "user_id", "v", 32)
+        .write.mode("overwrite").parquet(zpath)
+      dims.repartitionByRange(32, col("event_id"))
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(lpath)
+      Seq(("zorder", zpath), ("linear", lpath)).foreach { case (nm, p) =>
+        val df = spark.read.parquet(p)
+          .filter(col("user_id").between(10, 20) && col("v").between(20, 60))
+        val qe = df.queryExecution
+        val t0 = System.nanoTime()
+        val n = qe.executedPlan.execute().map(_ => 1L).reduce(_ + _)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // scan-node numOutputRows = rows surviving parquet row-group/page
+        // pruning + pushed filters, BEFORE Spark's re-filter — the
+        // data-skipping measure
+        val scanned = qe.executedPlan.collectLeaves()
+          .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+        println(f"PROBE zorder layout=$nm: $dt%.2f s, result=$n rows, scan-emitted=$scanned rows")
+      }
+    }
     names.filter(_ == "cosine-sql").foreach { _ =>
       graft.GraftExtensions.registerInto(spark)
       spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("emb")
