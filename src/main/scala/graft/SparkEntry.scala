@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.{Detector, DetectorConfig, Profiler}
-import graft.ops.{Corpus, Dedup, Graph, Layout, Multimodal, Sampling, Similarity, Temporal, TextAnalysis}
+import graft.ops.{Corpus, Curation, Dedup, Graph, Layout, Multimodal, Sampling, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract: every deterministic operator of the engine is
   * registered here as a (SparkSession, sfDir) => DataFrame query with a
@@ -792,6 +792,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- the composed curation pipeline: clean → filter → dedup →
+    // sample, one flow (fixture injects markup AND PII so every
+    // cleaning stage has work to do) ---
+    "q52_curation_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 4 === 0,
+            concat(lit("<html><p class=\"x\">"), col("text"),
+              lit("</p> see https://example.com/a?b=1 now</html>")))
+            .otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"),
+              lit(" contact alice.smith@example.org or +1 (415) 555-0100")))
+            .otherwise(col("text")))
+      Curation.curate(docs, "doc_id", "text",
+        Curation.CurationConfig(lang = Some("en"), minQuality = 0.5,
+          minTokens = 5, sampleFraction = 0.5))
+        .select(col("id").as("doc_id"), col("text_clean"), col("lang"),
+          round(col("quality"), 6).as("quality"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // --- multimodal plumbing (stub codec, real schema/batching) ---
     "q31_multimodal_meta" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -1196,6 +1219,61 @@ object SparkEntry {
            |    regexp_replace(regexp_replace(text, '$tag', ' ', 'g'), '$url', ' ', 'g'),
            |    '\\s+', ' ', 'g')) AS text_clean
            |FROM d ORDER BY doc_id""".stripMargin
+      },
+
+      "q52_curation_pipeline" -> {
+        val tag = "<[^>]*>"
+        val url = "https?://[A-Za-z0-9./_%?&=#+-]+"
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "[+(][0-9 ()-]{6,}[0-9]"
+        val ct = toksSql("text_clean")
+        def sw(lang: String) =
+          s"len(list_filter($ct, x -> list_contains(${dlist(stop(lang))}, x)))"
+        val punct = s"""CAST(length(text_clean) - length(regexp_replace(text_clean, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text_clean)"""
+        val swRatio = s"CAST(${sw("en")} AS DOUBLE) / len($ct)"
+        val mtl = s"CAST(list_sum(list_transform($ct, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len($ct)"
+        s"""WITH injected AS (
+           |  SELECT doc_id AS id,
+           |    CASE WHEN doc_id % 3 = 0
+           |      THEN t2 || ' contact alice.smith@example.org or +1 (415) 555-0100'
+           |      ELSE t2 END AS text
+           |  FROM (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+           |          THEN '<html><p class="x">' || text || '</p> see https://example.com/a?b=1 now</html>'
+           |          ELSE text END AS t2
+           |        FROM documents)),
+           |cleaned AS (
+           |  SELECT id,
+           |    regexp_replace(regexp_replace(
+           |      trim(regexp_replace(
+           |        regexp_replace(regexp_replace(text, '$tag', ' ', 'g'), '$url', ' ', 'g'),
+           |        '\\s+', ' ', 'g')),
+           |      '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS text_clean
+           |  FROM injected),
+           |feat AS (
+           |  SELECT id, text_clean,
+           |    CASE WHEN regexp_matches(text_clean, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           |         WHEN ${sw("en")} = 0 AND ${sw("de")} = 0 AND ${sw("es")} = 0 AND ${sw("fr")} = 0 THEN 'und'
+           |         WHEN ${sw("en")} >= ${sw("de")} AND ${sw("en")} >= ${sw("es")} AND ${sw("en")} >= ${sw("fr")} THEN 'en'
+           |         WHEN ${sw("de")} >= ${sw("es")} AND ${sw("de")} >= ${sw("fr")} THEN 'de'
+           |         WHEN ${sw("es")} >= ${sw("fr")} THEN 'es'
+           |         ELSE 'fr' END AS lang,
+           |    CAST((CASE WHEN len($ct) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.3
+           |      + (CASE WHEN $mtl >= 2.0 AND $mtl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
+           |      + (CASE WHEN $punct <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+           |      + (CASE WHEN $swRatio >= 0.01 THEN 1.0 ELSE 0.0 END) * 0.2 AS DOUBLE) AS quality,
+           |    CAST(len($ct) AS BIGINT) AS n_tokens
+           |  FROM cleaned),
+           |filt AS (
+           |  SELECT * FROM feat
+           |  WHERE lang = 'en' AND quality >= 0.5 AND n_tokens >= 5),
+           |dd AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY md5(array_to_string($ct, ' ')) ORDER BY id) AS rn
+           |  FROM filt)
+           |SELECT id AS doc_id, text_clean, lang, round(quality, 6) AS quality, n_tokens
+           |FROM dd
+           |WHERE rn = 1 AND (${hash31Sql("CAST(id AS VARCHAR)")}) % 10000 < 5000
+           |ORDER BY doc_id""".stripMargin
       },
 
       "q47_cc_labels" ->

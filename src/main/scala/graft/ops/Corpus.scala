@@ -31,9 +31,15 @@ object Corpus {
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
+    // materialized once: both the document-frequency agg and the join
+    // consume this frame, and its lineage (tokenize + explode + the
+    // (id, term) shuffle) would otherwise run twice. The pair frame is
+    // the SMALLEST representation of the corpus term data — the right
+    // thing to pin even at scale.
     val pairs = df
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val docFreq = pairs.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count_distinct(col(idCol)).as("n_docs"))
     val scored = pairs
