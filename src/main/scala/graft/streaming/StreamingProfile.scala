@@ -105,4 +105,48 @@ object StreamingProfile {
       .withColumn("__sh", graft.ops.TextAnalysis.simHash16(col(textCol)))
       .dropDuplicatesWithinWatermark("__sh")
       .drop("__sh")
+
+  /** Stream-static enrichment: each streaming row picks up its
+    * dimension attributes via a broadcast hash join — Structured
+    * Streaming re-plans the static side per micro-batch, so a dim
+    * refresh (new snapshot under the same path/view) is picked up on
+    * the next batch without restarting the query. The streaming side
+    * never shuffles for the join. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
+  /** Streaming twin of [[graft.ops.Curation.curate]]: the cleaning and
+    * filtering stages are stateless projections/predicates that run
+    * unchanged on a stream (same Column expressions, same codegen); the
+    * exact-dedup stage swaps in the watermark-bounded
+    * `dropDuplicatesWithinWatermark` keyed on the content fingerprint —
+    * the batch window-on-fingerprint form has no streaming equivalent,
+    * and unbounded dropDuplicates state would grow forever. */
+  def streamingCurate(docs: DataFrame, tsCol: String, idCol: String,
+                      textCol: String,
+                      cfg: graft.ops.Curation.CurationConfig =
+                        graft.ops.Curation.CurationConfig(),
+                      watermark: String = "2 hours"): DataFrame = {
+    import graft.ops.{Sampling, TextAnalysis}
+    val cleaned = docs.select(col(tsCol).as("ts"), col(idCol).as("id"),
+      TextAnalysis.redactPii(TextAnalysis.stripMarkup(col(textCol)))
+        .as("text_clean"))
+      .withColumn("lang", TextAnalysis.langId(col("text_clean")))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text_clean")))
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text_clean")).cast("long"))
+    val filtered = cleaned
+      .filter(cfg.lang.map(l => col("lang") === l)
+        .getOrElse(org.apache.spark.sql.functions.lit(true)))
+      .filter(col("quality") >= cfg.minQuality &&
+        col("n_tokens") >= cfg.minTokens)
+    val deduped = filtered
+      .withWatermark("ts", watermark)
+      .withColumn("__fp", TextAnalysis.fingerprint(col("text_clean")))
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+    if (cfg.sampleFraction >= 1.0) deduped
+    else deduped.filter(Sampling.hashBucket(col("id"), 10000) <
+      org.apache.spark.sql.functions.lit((cfg.sampleFraction * 10000).round))
+  }
 }

@@ -119,6 +119,51 @@ class StreamingProfileSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment broadcasts the dim side") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = StreamingProfile.enrich(df, dim, "user_id")
+      .writeStream.format("memory").queryName("enr").start()
+    try {
+      mem.addData((ts(0), 1L), (ts(1), 2L), (ts(2), 9L))
+      q.processAllAvailable()
+      val rows = spark.table("enr").collect()
+        .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+      assert(rows(1L) === Some("gold"))
+      assert(rows(2L) === Some("basic"))
+      assert(rows(9L) === None) // left-outer: unknown key keeps the event
+    } finally q.stop()
+  }
+
+  test("streaming curate cleans, filters and dedups across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val enText = "the quick brown fox jumps over the lazy dog and " +
+      "then the fox sleeps for a while near the river bank today"
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "id", "text")
+    val q = StreamingProfile.streamingCurate(df, "ts", "id", "text")
+      .writeStream.format("memory").queryName("cur").start()
+    try {
+      mem.addData(
+        (ts(0), 1L, s"<b>$enText</b> via https://x.com/p"),
+        (ts(1), 2L, "zu kurz"))
+      q.processAllAvailable()
+      mem.addData(
+        (ts(2), 3L, s"<b>$enText</b> via https://x.com/p"), // dup of 1 post-clean
+        (ts(3), 4L, s"$enText entirely new suffix"))
+      q.processAllAvailable()
+      val ids = spark.table("cur").collect().map(_.getLong(1)).toSet
+      assert(ids === Set(1L, 4L)) // 2 filtered (short/non-en), 3 deduped
+      val clean1 = spark.table("cur").collect()
+        .find(_.getLong(1) == 1L).get.getString(2)
+      assert(!clean1.contains("<b>") && !clean1.contains("https://"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops same-content events within the horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
