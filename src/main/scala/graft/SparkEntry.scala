@@ -815,6 +815,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- train/test decontamination: drop training docs whose content
+    // fingerprint appears in the (10%-overlapping) eval set ---
+    "q53_decontaminate" -> ((s, d) => {
+      val train = t(s, d, "documents")
+      val test = train.filter(col("doc_id") % 10 === 0)
+        .select(col("text"))
+      Dedup.decontaminate(train, "doc_id", test, "text")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // --- multimodal plumbing (stub codec, real schema/batching) ---
     "q31_multimodal_meta" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -1275,6 +1286,14 @@ object SparkEntry {
            |WHERE rn = 1 AND (${hash31Sql("CAST(id AS VARCHAR)")}) % 10000 < 5000
            |ORDER BY doc_id""".stripMargin
       },
+
+      "q53_decontaminate" ->
+        s"""WITH tfp AS (
+           |  SELECT DISTINCT md5(array_to_string($toks, ' ')) AS fp
+           |  FROM documents WHERE doc_id % 10 = 0)
+           |SELECT doc_id, n_chars FROM documents
+           |WHERE md5(array_to_string($toks, ' ')) NOT IN (SELECT fp FROM tfp)
+           |ORDER BY doc_id""".stripMargin,
 
       "q47_cc_labels" ->
         s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),

@@ -263,10 +263,15 @@ object Dedup {
     val mask = (1L << bandBits) - 1L
     val sk = graft.ops.TextAnalysis.simHashAgg(df, idCol, textCol, nBits)
       .withColumn("h", conv(col("simhash"), 2, 10).cast("long"))
+    // materialized once: both sides of the band self-join consume this
+    // frame, and its lineage is the whole sketch pipeline (tokenize +
+    // explode + 32-sum groupBy) — without the checkpoint the join
+    // recomputes it twice. `bands` longs per doc — cheap to pin.
     val banded = sk.select(col("id"), col("h"),
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
         shiftright(col("h"), b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
       .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .localCheckpoint()
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
@@ -276,6 +281,39 @@ object Dedup {
       .withColumn("dist", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
+  }
+
+  /** Cross-corpus exact overlap: (id_a, id_b) pairs whose normalized
+    * content fingerprints match across two corpora — the detection half
+    * of train/test decontamination. The join is keyed on the 16-byte
+    * md5 digest, never raw text; both sides reduce to one (fp, id) row
+    * per doc before the equijoin, so shuffle volume is O(docs), not
+    * O(text). */
+  def crossCorpusExact(a: DataFrame, idA: String, b: DataFrame, idB: String,
+                       textCol: String): DataFrame = {
+    val fa = a.select(col(idA).as("id_a"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val fb = b.select(col(idB).as("id_b"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    fa.join(fb, "fp").select("id_a", "id_b")
+  }
+
+  /** Train/test decontamination: remove from `train` every document
+    * whose exact content fingerprint appears in `test` (benchmark /
+    * eval-set leakage). A left-anti join on the digest — at scale the
+    * (small) eval-set fingerprint side broadcasts, so the training
+    * corpus never shuffles. Near-dup contamination (paraphrased eval
+    * rows) composes the same way from [[simhashNearDup]]-style pairs
+    * over the unioned corpus; the exact form is the standard first
+    * line of defense. */
+  def decontaminate(train: DataFrame, trainId: String, test: DataFrame,
+                    textCol: String): DataFrame = {
+    val testFp = test
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+    train
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(broadcast(testFp), col("__fp") === testFp("fp"), "left_anti")
+      .drop("__fp")
   }
 
   /** End-to-end near-dup corpus dedup: sketch → candidate pairs →

@@ -97,6 +97,23 @@ class DedupSpec extends SparkSpec {
     assert(out.size === 4)
   }
 
+  test("decontaminate removes exact eval-set leaks; plan broadcasts the test side") {
+    val train = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota")).toDF("id", "text")
+    val test = Seq((100L, "Delta  Epsilon   ZETA"), // normalized dup of 2
+      (101L, "totally different")).toDF("id", "text")
+    val kept = Dedup.decontaminate(train, "id", test, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L)) // 2 leaked (tokens equal after normalize)
+    val pairs = Dedup.crossCorpusExact(train, "id", test, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((2L, 100L)))
+    val plan = Dedup.decontaminate(train, "id", test, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"anti-join should broadcast the test side:\n$plan")
+  }
+
   test("embedding near-dup finds the duplicated vector") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)),
