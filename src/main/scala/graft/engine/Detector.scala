@@ -210,7 +210,14 @@ object Detector {
     * the exploded (column, norm?, value) stream shuffles narrow rows
     * once and aggregates each distinct set independently. */
   private def distinctCounts(df: DataFrame, fields: Seq[StructField],
-                             approx: Boolean): Map[(String, Boolean), Long] = {
+                             cfg: DetectorConfig): Map[(String, Boolean), Long] = {
+    val approx = cfg.approxDistinct
+    // exact-refinement margin: every classification rule reads
+    // cardinality only below maxCategories, so an estimate at 4x that
+    // (floor 200) cannot cross a threshold even at several times HLL's
+    // ~5% error — scaled with the config, not hardcoded, so a raised
+    // maxCategories keeps the identical-to-exact guarantee
+    val refineMargin = math.max(200L, 4L * cfg.maxCategories)
     // lower() is injective on rendered numbers/dates/booleans (only the
     // exponent 'E' changes case, uniformly), so for those dtypes ONE
     // stream serves both the trimmed and the lower+trimmed cardinality —
@@ -244,22 +251,19 @@ object Detector {
       if (!approx) run(pairs, exact = true)
       else {
         // two-tier: HLL everywhere, then EXACT refinement only where the
-        // estimate is small enough to matter. Every classification rule
-        // reads cardinality only below maxCategories (≤3 boolean, <50
-        // categorical + its ratio); estimates ≥ the 200 safety margin
-        // can't cross those thresholds even at HLL's error, so the
-        // approx path classifies IDENTICALLY to exact mode while the
-        // expensive exact distinct runs only over low-cardinality
+        // estimate is small enough to matter (see refineMargin above) —
+        // the approx path classifies IDENTICALLY to exact mode while
+        // the expensive exact distinct runs only over low-cardinality
         // columns — the 100 TB shape.
         val est = run(pairs, exact = false)
         val refine = fields.flatMap { f =>
           val s = trim(col(f.name).cast(StringType))
           val base =
-            if (est.getOrElse((f.name, false), Long.MaxValue) < 200)
+            if (est.getOrElse((f.name, false), Long.MaxValue) < refineMargin)
               Seq(struct(lit(f.name).as("c"), lit(false).as("nrm"), s.as("v")))
             else Nil
           val norm =
-            if (needsNorm(f) && est.getOrElse((f.name, true), Long.MaxValue) < 200)
+            if (needsNorm(f) && est.getOrElse((f.name, true), Long.MaxValue) < refineMargin)
               Seq(struct(lit(f.name).as("c"), lit(true).as("nrm"), lower(s).as("v")))
             else Nil
           base ++ norm
@@ -291,7 +295,7 @@ object Detector {
       else columns.map(n => df.schema(n))
     val exprs = fields.flatMap(f => signalExprs(f, cfg))
     val row: Row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
-    val distincts = distinctCounts(df, fields, cfg.approxDistinct)
+    val distincts = distinctCounts(df, fields, cfg)
     val idx = row.schema.fieldNames.zipWithIndex.toMap
     def d(n: String, s: String): Double =
       if (row.isNullAt(idx(s"$n#$s"))) 0.0 else row.getDouble(idx(s"$n#$s"))
@@ -380,7 +384,7 @@ object Detector {
     df.agg(exprs.head, exprs.tail: _*).collect()
   }
   private[graft] def distinctsOnlyForProbe(df: DataFrame): Unit =
-    distinctCounts(df, df.schema.fields.toSeq, approx = false)
+    distinctCounts(df, df.schema.fields.toSeq, DetectorConfig())
 
   /** Detect all columns of a table: one scan + driver fold. */
   def detect(df: DataFrame, cfg: DetectorConfig = DetectorConfig(),

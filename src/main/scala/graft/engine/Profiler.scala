@@ -166,20 +166,27 @@ object Profiler {
     * form the single-table reference never needed but any curation
     * pipeline does.
     *
-    * Moment sums accumulate in DECIMAL(38,0)-exact form (an integral
-    * value column's 4th-power sum overflows BIGINT near ~1e12 rows;
-    * decimal stays exact and matches the oracle's HUGEINT), and the
-    * derived stats use the same scalar formula as the oracle SQL so
-    * doubles evaluate bit-identically. Quantiles are Spark's exact
-    * linear-interpolation `percentile`, which buffers one group's
-    * values in aggregation state — bounded by the largest group; a
-    * group too big for that belongs in [[Quantiles]]' range-partitioned
-    * sort instead. */
+    * Moment sums: INTEGRAL value columns accumulate in DECIMAL(38,0) —
+    * exact at any scale (a 4th-power BIGINT sum overflows near ~1e12
+    * rows; decimal matches the oracle's HUGEINT bit-for-bit).
+    * FRACTIONAL columns must NOT take that cast (DECIMAL(38,0) rounds
+    * 1.4 → 1, corrupting every stat); they use plain double sums, the
+    * same trade the scalar profile makes (order-dependent last-ulp
+    * noise ~1e-12 of the 6-dp-rounded output). The derived stats use
+    * the same scalar formula as the oracle SQL so doubles evaluate
+    * bit-identically. Quantiles are Spark's exact linear-interpolation
+    * `percentile`, which buffers one group's values in aggregation
+    * state — bounded by the largest group; a group too big for that
+    * belongs in [[Quantiles]]' range-partitioned sort instead. */
   def groupedNumericProfile(df: DataFrame, keyCol: String,
                             valueCol: String): DataFrame = {
-    val dec = DecimalType(38, 0)
+    val integral = df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0
+      case _ => false
+    }
     val xd = col(valueCol).cast(DoubleType)
-    val x = col(valueCol).cast(dec)
+    val x = if (integral) col(valueCol).cast(DecimalType(38, 0)) else xd
     val g = df.filter(xd.isNotNull).groupBy(col(keyCol)).agg(
       count(xd).as("n"),
       sum(x).as("s1"), sum(x * x).as("s2"),

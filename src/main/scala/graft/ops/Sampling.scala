@@ -21,15 +21,11 @@ object Sampling {
 
   /** Pseudo-uniform bucket in [0, buckets) from the first 7 md5 hex
     * digits of the id's string rendering (28 bits — unbiased enough for
-    * sampling; same arithmetic as the oracle's hash31 fragment). */
-  def hashBucket(id: Column, buckets: Int): Column = {
-    val h = md5(id.cast("string").cast("binary"))
-    val v = (0 until 7).map { i =>
-      (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1) *
-        lit(1L << (4 * (6 - i)))
-    }.reduce(_ + _)
-    v % buckets
-  }
+    * sampling). Delegates to the engine's one md5-prefix hash
+    * ([[TextAnalysis.tokenHash31]]) so the value stays in lockstep with
+    * the oracle's hash31 fragment. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    TextAnalysis.tokenHash31(id.cast("string")) % buckets
 
   /** Keep ~`fraction` of rows, chosen by id hash. Deterministic and
     * stable under repartitioning; resolution 1/10000. */

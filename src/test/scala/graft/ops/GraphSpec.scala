@@ -48,7 +48,7 @@ class GraphSpec extends SparkSpec {
 
   test("grouped numeric profile matches a hand-computed group") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
-      ("b", 10.0)).toDF("k", "v")
+      ("b", 10.0), ("c", 1.4), ("c", 1.6)).toDF("k", "v")
     val out = graft.engine.Profiler.groupedNumericProfile(df, "k", "v")
       .collect().map(r => r.getString(0) -> r).toMap
     val a = out("a")
@@ -59,5 +59,9 @@ class GraphSpec extends SparkSpec {
     assert(a.getDouble(9) === 1.75)                    // q1 (np.percentile interp)
     assert(a.getDouble(10) === 3.25)                   // q3
     assert(out("b").getLong(1) === 1L)
+    // fractional values must NOT be truncated by the exact-sum path
+    val c = out("c")
+    assert(math.abs(c.getDouble(2) - 1.5) < 1e-9)   // mean of 1.4, 1.6
+    assert(math.abs(c.getDouble(3) - 0.1) < 1e-6)   // pop std
   }
 }
