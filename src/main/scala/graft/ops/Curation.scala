@@ -33,6 +33,12 @@ object Curation {
     * n_tokens) for every surviving document. */
   def curate(df: DataFrame, idCol: String, textCol: String,
              cfg: CurationConfig = CurationConfig()): DataFrame = {
+    // materialized once: Catalyst's CollapseProject + predicate
+    // pushdown otherwise re-inline the 5-regex cleaning chain into
+    // every derived column, every filter predicate AND the dedup
+    // shuffle key (~34 copies in the optimized plan, measured). The
+    // cleaned/featured frame is also the stage output a production
+    // pipeline persists between curation steps.
     val cleaned = df.select(col(idCol).as("id"),
       TextAnalysis.redactPii(TextAnalysis.stripMarkup(col(textCol)))
         .as("text_clean"))
@@ -40,6 +46,7 @@ object Curation {
       .withColumn("quality", TextAnalysis.qualityScore(col("text_clean")))
       .withColumn("n_tokens",
         TextAnalysis.tokenCount(col("text_clean")).cast("long"))
+      .localCheckpoint()
     val filtered = cleaned
       .filter(cfg.lang.map(l => col("lang") === l).getOrElse(lit(true)))
       .filter(col("quality") >= cfg.minQuality &&
