@@ -826,6 +826,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- corpus n-gram table (LM features / n-gram contamination) ---
+    "q54_ngram_counts" -> ((s, d) =>
+      Corpus.ngramCounts(t(s, d, "documents"), "doc_id", "text",
+        n = 3, minCount = 5)
+        .orderBy("ngram")),
+
     // --- multimodal plumbing (stub codec, real schema/batching) ---
     "q31_multimodal_meta" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -1294,6 +1300,15 @@ object SparkEntry {
            |SELECT doc_id, n_chars FROM documents
            |WHERE md5(array_to_string($toks, ' ')) NOT IN (SELECT fp FROM tfp)
            |ORDER BY doc_id""".stripMargin,
+
+      "q54_ngram_counts" ->
+        s"""WITH base AS (SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+           |g AS (SELECT doc_id,
+           |  unnest(list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS ngram
+           |  FROM base WHERE len(w) >= 3)
+           |SELECT ngram, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+           |FROM g GROUP BY ngram HAVING count(*) >= 5
+           |ORDER BY ngram""".stripMargin,
 
       "q47_cc_labels" ->
         s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),

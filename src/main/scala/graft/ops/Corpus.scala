@@ -56,6 +56,27 @@ object Corpus {
         col("tf"), col("df"), round(col("tfidf"), 6).as("tfidf"))
   }
 
+  /** Corpus n-gram table: every word n-gram occurring at least
+    * `minCount` times, with its total occurrences and document
+    * frequency — the backing table for LM-style features and n-gram
+    * contamination checks. One explode + one (ngram)-keyed aggregation;
+    * the HAVING-style filter runs after the map-side partial count, so
+    * the shuffle carries one partial row per (partition, ngram). */
+  def ngramCounts(df: DataFrame, idCol: String, textCol: String,
+                  n: Int, minCount: Long): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = tokens(col(textCol))
+    val grams = df.select(col(idCol).as("id"), w.as("w"))
+      .withColumn("gs", when(size(col("w")) >= n,
+        transform(sequence(lit(0), size(col("w")) - n),
+          i => concat_ws(" ", (0 until n).map(j => col("w").getItem(i + j)): _*)))
+        .otherwise(array()))
+      .select(col("id"), explode(col("gs")).as("ngram"))
+    grams.groupBy("ngram")
+      .agg(count(lit(1)).as("cnt"), count_distinct(col("id")).as("n_docs"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** Gopher-style repetition signals per document: duplicate-token
     * fraction (1 − distinct/total) and the most frequent word bigram
     * with its share of all bigrams. High values flag boilerplate-ish /

@@ -50,6 +50,19 @@ class CorpusSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L, 0.0, "", 0L, 0.0)))
   }
 
+  test("ngram counts: occurrences and doc frequency above threshold") {
+    val d = Seq(
+      (1L, "a b c a b c"),     // "a b c" x2, "b c a" x1, "c a b" x1
+      (2L, "a b c d"),
+      (3L, "xx")               // too short for trigrams
+    ).toDF("id", "text")
+    val out = Corpus.ngramCounts(d, "id", "text", n = 3, minCount = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("a b c") === ((3L, 2L))) // 2 in doc 1 + 1 in doc 2, 2 docs
+    assert(!out.contains("b c a"))      // below minCount
+    assert(!out.contains("b c d"))
+  }
+
   test("markup strip removes tags and urls, collapses whitespace") {
     val d = Seq(
       (1L, "<div><b>hello</b> world</div> read https://ex.com/x?y=1 today"),

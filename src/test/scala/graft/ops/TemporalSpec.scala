@@ -55,6 +55,29 @@ class TemporalSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("trade_id", "sym", "t", "px"))
   }
 
+  test("randomized parity with the naive join+argmax ground truth") {
+    val rnd = new scala.util.Random(7)
+    val ls = (1L to 300L).map(i =>
+      (i, s"k${rnd.nextInt(8)}", rnd.nextInt(1000).toLong))
+    val rs = (1L to 200L).map(i =>
+      (i + 1000L, s"k${rnd.nextInt(10)}", rnd.nextInt(1000).toLong, rnd.nextDouble()))
+    val lDf = ls.toDF("lid", "k", "t")
+    val rDf = rs.toDF("rid", "k", "rt", "px")
+    val got = Temporal.asofJoinBackward(lDf, rDf, "k", "k", "t", "rt",
+      payloadCols = Seq("rid"), tieBreak = "rid")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    // ground truth: for each left row, max (rt, rid) among right rows of
+    // the same key with rt <= t
+    val byKey = rs.groupBy(_._2)
+    ls.foreach { case (lid, k, t) =>
+      val want = byKey.getOrElse(k, Seq.empty)
+        .filter(_._3 <= t)
+        .sortBy(r => (r._3, r._1))
+        .lastOption.map(_._1)
+      assert(got(lid) === want, s"left $lid key $k t $t")
+    }
+  }
+
   test("null right keys never match; plan has a single exchange on the key") {
     val rNull = quotes.unionByName(
       Seq((null.asInstanceOf[String], 40L, 1.0)).toDF("sym", "qt", "px"))
