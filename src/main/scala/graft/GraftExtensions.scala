@@ -61,7 +61,12 @@ object GraftExtensions {
     new ExpressionInfo(classOf[graft.expressions.InterleaveBits].getName, "graft_interleave"),
     (children: Seq[Expression]) => {
       require(children.size == 2, "graft_interleave takes exactly 2 arguments")
-      graft.expressions.InterleaveBits(children.head, children(1))
+      // widen int/short/byte args like a builtin would (the expression
+      // itself can't use ImplicitCastInputTypes — private[sql] types)
+      val widened = children.map(c =>
+        org.apache.spark.sql.catalyst.expressions.Cast(c,
+          org.apache.spark.sql.types.LongType))
+      graft.expressions.InterleaveBits(widened.head, widened(1))
     })
 
   private val fns: Seq[FnEntry] = Seq(

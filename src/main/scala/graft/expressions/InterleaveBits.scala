@@ -23,6 +23,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class InterleaveBits(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // ImplicitCastInputTypes would be the idiomatic widening hook, but
+  // its AbstractDataType signature is private[sql]; the SQL function
+  // registration (GraftExtensions) widens integral args to long
+  // instead, and Layout.zvalue casts on the Column path
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess

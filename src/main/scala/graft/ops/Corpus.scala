@@ -59,21 +59,29 @@ object Corpus {
   /** Corpus n-gram table: every word n-gram occurring at least
     * `minCount` times, with its total occurrences and document
     * frequency — the backing table for LM-style features and n-gram
-    * contamination checks. One explode + one (ngram)-keyed aggregation;
-    * the HAVING-style filter runs after the map-side partial count, so
-    * the shuffle carries one partial row per (partition, ngram). */
+    * contamination checks.
+    *
+    * Two narrow keyed aggregations: (ngram, doc) partial counts (map-
+    * side combine absorbs in-doc repeats), then per-ngram totals over
+    * the already-distinct pairs. Mixing count + count_distinct in ONE
+    * agg would plan an Expand — every exploded row duplicated and the
+    * partial agg keyed on (ngram, id, gid), shipping one row per
+    * (partition, ngram, doc) through the shuffle; the two-step form
+    * keeps both exchanges narrow. N-grams use the same slice+concat_ws
+    * construction as [[graft.ops.Dedup.shingleStream]]. */
   def ngramCounts(df: DataFrame, idCol: String, textCol: String,
                   n: Int, minCount: Long): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val w = tokens(col(textCol))
-    val grams = df.select(col(idCol).as("id"), w.as("w"))
+    val perDoc = df.select(col(idCol).as("id"), w.as("w"))
       .withColumn("gs", when(size(col("w")) >= n,
         transform(sequence(lit(0), size(col("w")) - n),
-          i => concat_ws(" ", (0 until n).map(j => col("w").getItem(i + j)): _*)))
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))))
         .otherwise(array()))
       .select(col("id"), explode(col("gs")).as("ngram"))
-    grams.groupBy("ngram")
-      .agg(count(lit(1)).as("cnt"), count_distinct(col("id")).as("n_docs"))
+      .groupBy("ngram", "id").agg(count(lit(1)).as("c"))
+    perDoc.groupBy("ngram")
+      .agg(sum(col("c")).as("cnt"), count(lit(1)).as("n_docs"))
       .filter(col("cnt") >= minCount)
   }
 

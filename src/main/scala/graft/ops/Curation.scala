@@ -39,6 +39,10 @@ object Curation {
     // shuffle key (~34 copies in the optimized plan, measured). The
     // cleaned/featured frame is also the stage output a production
     // pipeline persists between curation steps.
+    // (langIdFromCounts-with-projected-counts buys nothing here: the
+    // counts aren't output columns, so CollapseProject would substitute
+    // them straight back into the CASE — the plain composition is the
+    // same plan with less code)
     val cleaned = df.select(col(idCol).as("id"),
       TextAnalysis.redactPii(TextAnalysis.stripMarkup(col(textCol)))
         .as("text_clean"))

@@ -28,10 +28,13 @@ object Sampling {
     TextAnalysis.tokenHash31(id.cast("string")) % buckets
 
   /** Keep ~`fraction` of rows, chosen by id hash. Deterministic and
-    * stable under repartitioning; resolution 1/10000. */
+    * stable under repartitioning; resolution 1/10000. Null-id rows are
+    * dropped (a content-keyed sample is undefined without a key —
+    * uniform policy across this module). */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction outside [0,1]")
-    df.filter(hashBucket(col(idCol), 10000) < lit((fraction * 10000).round))
+    df.filter(col(idCol).isNotNull &&
+      hashBucket(col(idCol), 10000) < lit((fraction * 10000).round))
   }
 
   /** Stratified hash sample: per-stratum fractions (e.g. downsample the
@@ -42,11 +45,14 @@ object Sampling {
   def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
                            fractions: Map[String, Double],
                            default: Double = 0.0): DataFrame = {
+    (default +: fractions.values.toSeq).foreach(f =>
+      require(f >= 0 && f <= 1, s"fraction $f outside [0,1]"))
     val threshold = fractions.foldLeft(lit((default * 10000).round)) {
       case (acc, (stratum, f)) =>
         when(col(strataCol) === stratum, lit((f * 10000).round)).otherwise(acc)
     }
-    df.filter(hashBucket(col(idCol), 10000) < threshold)
+    df.filter(col(idCol).isNotNull &&
+      hashBucket(col(idCol), 10000) < threshold)
   }
 
   /** Exact-n-per-key deterministic sample ("reservoir" semantics with a
@@ -59,7 +65,8 @@ object Sampling {
                    n: Int): DataFrame = {
     val w = Window.partitionBy(keyCol)
       .orderBy(md5(col(idCol).cast("string").cast("binary")).asc, col(idCol).asc)
-    df.withColumn("__rank", row_number().over(w))
+    df.filter(col(idCol).isNotNull) // null ids: same drop policy as hashSample
+      .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= n)
       .drop("__rank")
   }

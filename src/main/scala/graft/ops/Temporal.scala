@@ -47,6 +47,10 @@ object Temporal {
                        leftTime: String, rightTime: String,
                        payloadCols: Seq[String], tieBreak: String,
                        tolerance: Option[Column] = None): DataFrame = {
+    val clash = payloadCols.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"payloadCols ${clash.mkString(", ")} already exist on the left side — " +
+        "rename them on one side first (the output would be ambiguous)")
     val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     // __rt rides along for the tolerance check; payload fields keep
     // their own names (a payload column named like rightTime still

@@ -36,6 +36,9 @@ class LayoutSpec extends SparkSpec {
     // null propagation
     val n = spark.sql("SELECT graft_interleave(CAST(NULL AS BIGINT), CAST(1 AS BIGINT)) AS z").collect()(0)
     assert(n.isNullAt(0))
+    // INT arguments widen like a builtin (registration-point cast)
+    val i = spark.sql("SELECT graft_interleave(3, 5) AS z").collect()(0).getLong(0)
+    assert(i === morton(3L, 5L))
   }
 
   test("zvalue interleaves monotonically within a quadrant (prefix property)") {
