@@ -327,8 +327,25 @@ object Dedup {
     * Cost: the pair generation dominates; the CC adds `2·rounds` keyed
     * shuffles over |pairs|-bounded frames. */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
-                  maxDist: Int = 3, rounds: Int = 3): DataFrame = {
-    val pairs = simhashNearDup(df, idCol, textCol, maxDist)
+                  maxDist: Int = 3, rounds: Int = 3): DataFrame =
+    keepRepresentatives(df, idCol,
+      simhashNearDup(df, idCol, textCol, maxDist), rounds)
+
+  /** [[dedupCorpus]] with MinHash-LSH + exact-Jaccard pairs instead of
+    * the SimHash Hamming sketch — higher-precision near-dup edges at
+    * the cost of the shingle pipeline. Same components machinery. */
+  def dedupCorpusJaccard(df: DataFrame, idCol: String, textCol: String,
+                         minJaccard: Double = 0.8,
+                         rounds: Int = 3): DataFrame =
+    keepRepresentatives(df, idCol,
+      lshJaccardDedup(df, idCol, textCol, minJaccard = minJaccard)
+        .select("id_a", "id_b"), rounds)
+
+  /** Shared tail of the corpus-dedup forms: connected components over
+    * the pair set, drop every non-minimum member. Docs in no pair never
+    * enter the label frame, so the anti-join keeps them for free. */
+  private def keepRepresentatives(df: DataFrame, idCol: String,
+                                  pairs: DataFrame, rounds: Int): DataFrame = {
     val drop = Graph.minLabelPropagation(pairs, "id_a", "id_b", rounds)
       .filter(col("lbl") =!= col("id"))
       .select(col("id").as(idCol))
