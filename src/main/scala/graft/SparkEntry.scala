@@ -832,6 +832,23 @@ object SparkEntry {
         n = 3, minCount = 5)
         .orderBy("ngram")),
 
+    // --- passage-level exact dedup stats (chunked substring dedup) ---
+    "q55_passage_dup" -> ((s, d) =>
+      Corpus.passageDupStats(
+        withDups(t(s, d, "documents"), "doc_id", 50, 10000),
+        "doc_id", "text", passageTokens = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // --- unigram-LM quality score (CCNet-style corpus-relative) ---
+    "q56_unigram_lm" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Corpus.unigramLogProb(docs.filter(col("doc_id") % 2 === 0), docs,
+        "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // --- multimodal plumbing (stub codec, real schema/batching) ---
     "q31_multimodal_meta" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -1309,6 +1326,50 @@ object SparkEntry {
            |SELECT ngram, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
            |FROM g GROUP BY ngram HAVING count(*) >= 5
            |ORDER BY ngram""".stripMargin,
+
+      "q55_passage_dup" ->
+        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),
+           |base AS (SELECT doc_id, ${toksSql("text")} AS w FROM dup),
+           |ch AS (SELECT doc_id,
+           |  unnest(list_transform(range(((len(w) - 1) // 10) + 1),
+           |    i -> array_to_string(w[i*10+1 : i*10+10], ' '))) AS passage
+           |  FROM base WHERE len(w) > 0),
+           |pairs AS (SELECT doc_id, md5(passage) AS fp, count(*) AS c
+           |          FROM ch GROUP BY 1, 2),
+           |dfreq AS (SELECT fp, count(*) AS n_docs FROM pairs GROUP BY 1),
+           |perdoc AS (SELECT doc_id,
+           |  CAST(sum(c) AS BIGINT) AS n_passages,
+           |  CAST(sum(CASE WHEN n_docs > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_passages
+           |  FROM pairs JOIN dfreq USING (fp) GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(p.n_passages, 0) AS BIGINT) AS n_passages,
+           |  CAST(coalesce(p.n_dup_passages, 0) AS BIGINT) AS n_dup_passages,
+           |  round(coalesce(CAST(p.n_dup_passages AS DOUBLE) / p.n_passages, 0.0), 6) AS dup_passage_frac
+           |FROM dup d LEFT JOIN perdoc p USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
+
+      "q56_unigram_lm" -> {
+        val toks = toksSql("text")
+        s"""WITH freq AS (
+           |  SELECT tok, count(*) AS c
+           |  FROM (SELECT unnest($toks) AS tok FROM documents WHERE doc_id % 2 = 0)
+           |  GROUP BY tok),
+           |model AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM freq),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf
+           |       FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)
+           |       GROUP BY 1, 2),
+           |sc AS (SELECT t.doc_id,
+           |  CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+           |  sum(CAST(t.tf AS DOUBLE) * ln((coalesce(f.c, 0) + 1) / CAST(m.n + m.v AS DOUBLE)))
+           |    / CAST(sum(t.tf) AS DOUBLE) AS avg_logp
+           |  FROM tf t LEFT JOIN freq f USING (tok) CROSS JOIN model m
+           |  GROUP BY t.doc_id)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           |  round(coalesce(sc.avg_logp, 0.0), 6) AS avg_logp
+           |FROM documents d LEFT JOIN sc USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      },
 
       "q47_cc_labels" ->
         s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),

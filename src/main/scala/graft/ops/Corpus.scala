@@ -85,6 +85,99 @@ object Corpus {
       .filter(col("cnt") >= minCount)
   }
 
+  /** Passage-level exact-duplicate statistics — the chunked
+    * approximation of suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): split
+    * each document's token stream into consecutive `passageTokens`-token
+    * passages (tail partial passage included), fingerprint each with
+    * md5, and report per document how many of its passages also occur
+    * in at least one OTHER document. `dup_passage_frac` is the standard
+    * filter signal for boilerplate-contaminated documents whose full
+    * text is unique but whose parts are copies.
+    *
+    * Shape: tokenize + chunk is a narrow map; (id, fp) pair counts
+    * [shuffle 1, keyed on the pair — map-side combine absorbs in-doc
+    * repeats]; per-fp document frequency over the already-distinct
+    * pairs [shuffle 2, |distinct passages| rows]; join back on fp
+    * [shuffle 3] and one per-doc agg. Every shuffle key is a 32-hex
+    * md5 or a document id — raw text never enters an exchange, so the
+    * shape holds at corpus scale. The pair frame feeds both the
+    * doc-frequency agg and the join, so it is pinned once
+    * (localCheckpoint) like [[tfidfTopTerms]]'s.
+    */
+  def passageDupStats(df: DataFrame, idCol: String, textCol: String,
+                      passageTokens: Int): DataFrame = {
+    require(passageTokens >= 1, s"passageTokens must be >= 1, got $passageTokens")
+    val p = passageTokens
+    val chunks = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("id"), explode(
+        transform(sequence(lit(0), floor((size(col("w")) - 1) / lit(p)).cast("int")),
+          i => concat_ws(" ", slice(col("w"), i * p + 1, lit(p))))).as("passage"))
+      .select(col("id"), md5(col("passage").cast("binary")).as("fp"))
+    val pairs = chunks.groupBy("id", "fp").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val docFreq = pairs.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+    val perDoc = pairs.join(docFreq, Seq("fp"))
+      .groupBy("id").agg(
+        sum(col("c")).as("n_passages"),
+        sum(when(col("n_docs") > 1, col("c")).otherwise(lit(0L)))
+          .as("n_dup_passages"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_passages"), lit(0L)).as("n_passages"),
+        coalesce(col("n_dup_passages"), lit(0L)).as("n_dup_passages"),
+        round(coalesce(col("n_dup_passages").cast("double") /
+          col("n_passages").cast("double"), lit(0.0)), 6)
+          .as("dup_passage_frac"))
+  }
+
+  /** Per-document average token log-probability under an add-one-
+    * smoothed unigram language model fit on `train` — the cheap
+    * corpus-relative quality/outlier score (CCNet-style perplexity
+    * filtering with the KenLM slot replaced by the unigram model the
+    * engine can fit in two keyed aggregations). Low scores flag
+    * documents whose vocabulary diverges from the reference corpus.
+    *
+    * p(t) = (count_train(t) + 1) / (N + V) with N = train token count,
+    * V = train vocab size, so unseen tokens score ln(1/(N+V)) instead
+    * of blowing up. avg_logp = Σ tf·ln p / Σ tf.
+    *
+    * Shape: the model is one (token → count) agg over train [shuffle,
+    * |vocab| rows out]; N and V ride in-plan as a broadcast 1-row
+    * aggregate (no driver round-trip); scoring is (id, token) tf counts
+    * joined to the model on token. The model frame is |vocab|-bounded —
+    * tiny next to the corpus — so AQE broadcasts the join at any corpus
+    * size; nothing here is driver-resident.
+    */
+  def unigramLogProb(train: DataFrame, score: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val freq = train
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val model = freq.agg(
+      sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val tf = score
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(freq, Seq("tok"), "left")
+      .crossJoin(broadcast(model))
+      .groupBy("id").agg(
+        sum(col("tf")).as("n_tokens"),
+        (sum(col("tf").cast("double") *
+          log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+            (col("n") + col("v")).cast("double"))) /
+          sum(col("tf")).cast("double")).as("avg_logp"))
+    score.select(col(idCol).as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("avg_logp"), lit(0.0)), 6).as("avg_logp"))
+  }
+
   /** Gopher-style repetition signals per document: duplicate-token
     * fraction (1 − distinct/total) and the most frequent word bigram
     * with its share of all bigrams. High values flag boilerplate-ish /
