@@ -188,11 +188,15 @@ object SparkEntry {
     }.mkString("(", " + ", ")")
 
   /** [[simhashSql]] as an integer at width `nBits` (bit j of the
-    * MSB-first string ↔ weight 2^(nBits−1−j)) — the form the
-    * Hamming-band oracle shifts and masks. */
+    * MSB-first string ↔ weight 2^(nBits−1−j), signed 64-bit word) — the
+    * form the Hamming-band oracle shifts and masks. Bit j draws on bit
+    * (j/32) of md5 hex digit (j%32), matching
+    * `TextAnalysis.simHashAgg`; at nBits=64 the j=0 weight is
+    * Long.MinValue, which DuckDB parses as a BIGINT literal, and being
+    * the leftmost term of the sum no intermediate overflows. */
   private def simhashIntSql(toksExpr: String, nBits: Int): String =
     (0 until nBits).map { j =>
-      s"(CASE WHEN list_sum(list_transform($toksExpr, t -> ((instr('0123456789abcdef', substr(md5(t), ${j + 1}, 1)) - 1) % 2) * 2 - 1)) > 0 THEN ${1L << (nBits - 1 - j)} ELSE 0 END)"
+      s"(CASE WHEN list_sum(list_transform($toksExpr, t -> (((instr('0123456789abcdef', substr(md5(t), ${(j % 32) + 1}, 1)) - 1) >> ${j / 32}) & 1) * 2 - 1)) > 0 THEN ${1L << (nBits - 1 - j)} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   /** Unrolled oracle twin of [[graft.ops.Graph.minLabelPropagation]]:
@@ -1112,9 +1116,9 @@ object SparkEntry {
            |  SELECT doc_id, text FROM documents
            |  UNION ALL
            |  SELECT doc_id + 10000, text || ' nearmarker' FROM documents WHERE doc_id < 50),
-           |sk AS (SELECT doc_id AS id, CAST(${simhashIntSql(toks, 32)} AS BIGINT) AS h FROM dup),
+           |sk AS (SELECT doc_id AS id, CAST(${simhashIntSql(toks, 64)} AS BIGINT) AS h FROM dup),
            |banded AS (
-           |  SELECT id, h, b AS band, (h >> (b * 8)) & 255 AS key
+           |  SELECT id, h, b AS band, (h >> (b * 16)) & 65535 AS key
            |  FROM sk CROSS JOIN range(4) t(b)),
            |cand AS (
            |  SELECT DISTINCT l.id AS id_a, l.h AS h_a, r.id AS id_b, r.h AS h_b
@@ -1385,9 +1389,9 @@ object SparkEntry {
            |  UNION ALL
            |  SELECT doc_id + 10000, text || ' nearmarker', n_chars
            |  FROM documents WHERE doc_id < 50),
-           |sk AS (SELECT doc_id AS id, CAST(${simhashIntSql(toks, 32)} AS BIGINT) AS h FROM dup),
+           |sk AS (SELECT doc_id AS id, CAST(${simhashIntSql(toks, 64)} AS BIGINT) AS h FROM dup),
            |banded AS (
-           |  SELECT id, h, b AS band, (h >> (b * 8)) & 255 AS key
+           |  SELECT id, h, b AS band, (h >> (b * 16)) & 65535 AS key
            |  FROM sk CROSS JOIN range(4) t(b)),
            |cand AS (
            |  SELECT DISTINCT l.id AS id_a, l.h AS h_a, r.id AS id_b, r.h AS h_b

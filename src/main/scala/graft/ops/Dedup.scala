@@ -250,22 +250,49 @@ object Dedup {
     * equality self-joins — never an all-pairs scan — verified by
     * popcount(xor). For `maxDist` ≥ `bands` the block guarantee weakens
     * to LSH-style recall; the verification stays exact either way.
-    * Width matters at scale: 16 bits in 4 bands leaves 4-bit keys — 16
+    * Width matters at scale: the pigeonhole guarantee holds at ANY band
+    * width, so wider keys are free recall-wise and directly divide the
+    * candidate volume. 16 bits in 4 bands leaves 4-bit keys — 16
     * buckets per band, saturated by a few hundred docs (measured 24 s
-    * at 5.5 k docs). The 32-bit default gives 8-bit keys (256 buckets
-    * per band) — same guarantee, bucket-bounded join. Shuffle rows:
+    * at 5.5 k docs); 32 bits gives 8-bit keys (256 buckets/band) whose
+    * random-collision candidate count still grows ~4·n²/256 — quadratic
+    * at 100× corpus scale. The 64-bit default leaves 16-bit keys
+    * (65,536 buckets per band): random band collisions stay ~linear
+    * until n approaches millions of docs per content cluster, which is
+    * the regime where the docs genuinely ARE near-dups. Shuffle rows:
     * `bands` per doc (a long each) — 100 TB-safe. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxDist: Int = 3, nBits: Int = 32,
-                     bands: Int = 4): DataFrame = {
+                     maxDist: Int = 3, nBits: Int = 64,
+                     bands: Int = 4): DataFrame =
+    simhashCandidates(df, idCol, textCol, nBits, bands)
+      .withColumn("dist", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+
+  /** The banded candidate pairs of [[simhashNearDup]] BEFORE the
+    * Hamming verify — distinct (id_a, h_a, id_b, h_b) sharing ≥ 1 band.
+    * Exposed separately so the candidate volume (the term that must
+    * stay ~linear in corpus size for the op to scale) is measurable on
+    * its own; `Probe simhash-scalelaw` charts it at 32 vs 64 bits. */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        nBits: Int = 64, bands: Int = 4): DataFrame = {
     require(nBits % bands == 0, s"bands $bands must divide nBits $nBits")
+    require(nBits <= 64, s"nBits $nBits exceeds the 64-bit sketch word")
     val bandBits = nBits / bands
     val mask = (1L << bandBits) - 1L
+    // MSB-first bit string → signed 64-bit word. conv(_, 2, 10) yields
+    // an unsigned decimal string, which overflows a signed cast once
+    // bit 0 is set at 64 bits — so words wider than 32 bits assemble
+    // from two 32-bit halves.
+    val hExpr =
+      if (nBits <= 32) conv(col("simhash"), 2, 10).cast("long")
+      else shiftleft(conv(substring(col("simhash"), 1, nBits - 32), 2, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(col("simhash"), nBits - 31, 32), 2, 10).cast("long"))
     val sk = graft.ops.TextAnalysis.simHashAgg(df, idCol, textCol, nBits)
-      .withColumn("h", conv(col("simhash"), 2, 10).cast("long"))
+      .withColumn("h", hExpr)
     // materialized once: both sides of the band self-join consume this
     // frame, and its lineage is the whole sketch pipeline (tokenize +
-    // explode + 32-sum groupBy) — without the checkpoint the join
+    // explode + per-bit-sum groupBy) — without the checkpoint the join
     // recomputes it twice. `bands` longs per doc — cheap to pin.
     val banded = sk.select(col("id"), col("h"),
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
@@ -278,9 +305,6 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("l.h").as("h_a"),
         col("r.id").as("id_b"), col("r.h").as("h_b"))
       .distinct()
-      .withColumn("dist", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
-      .filter(col("dist") <= maxDist)
-      .select("id_a", "id_b", "dist")
   }
 
   /** Cross-corpus exact overlap: (id_a, id_b) pairs whose normalized

@@ -147,18 +147,21 @@ object TextAnalysis {
                    textCol: String): org.apache.spark.sql.DataFrame =
     simHashAgg(df, idCol, textCol, 16)
 
-  /** Generalized [[simHash16Agg]]: an `nBits`-bit sketch (nBits ≤ 32 —
-    * one parity bit per md5 hex digit). 16 bits suffices for a
-    * bounded-vocab fixture; corpus-scale Hamming dedup wants 32+ so the
-    * band keys don't saturate (see [[graft.ops.Dedup.simhashNearDup]]). */
+  /** Generalized [[simHash16Agg]]: an `nBits`-bit sketch (nBits ≤ 128).
+    * Bit j draws on bit (j/32) of md5 hex digit (j%32), so the first 32
+    * bits are the historical one-parity-bit-per-digit family and wider
+    * sketches extend it without changing existing bits. 16 bits suffices
+    * for a bounded-vocab fixture; corpus-scale Hamming dedup wants 64 so
+    * the band keys don't saturate (see [[graft.ops.Dedup.simhashNearDup]]). */
   def simHashAgg(df: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String, nBits: Int): org.apache.spark.sql.DataFrame = {
-    require(nBits >= 1 && nBits <= 32, s"nBits $nBits outside md5's 32 hex digits")
+    require(nBits >= 1 && nBits <= 128, s"nBits $nBits outside md5's 128 bits")
     val tok = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("t"))
       .withColumn("h", md5(col("t").cast("binary")))
     val sums = (0 until nBits).map { j =>
-      sum(((instr(lit("0123456789abcdef"), substring(col("h"), j + 1, 1)) - 1) % 2)
+      val digit = instr(lit("0123456789abcdef"), substring(col("h"), (j % 32) + 1, 1)) - 1
+      sum(shiftright(digit, j / 32).bitwiseAND(lit(1))
         .cast("long") * 2L - 1L).as(s"s$j")
     }
     val agg = tok.groupBy("id").agg(sums.head, sums.tail: _*)

@@ -172,6 +172,29 @@ object Probe {
         println(f"SCALELAW exact-dedup x$m: ${(System.nanoTime() - t1) / 1e9}%.1f s ($ne groups)")
       }
     }
+    names.filter(_ == "simhash-scalelaw").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      // same growing-corpus generator as `scalelaw`: each copy-set gets
+      // fully distinct tokens so candidate growth measures random band
+      // collisions, not genuine near-dup volume
+      val rot = "abcdefghijklmnopqrstuvwxy"
+      def at(mult: Int): org.apache.spark.sql.DataFrame =
+        (0 until mult).map { m =>
+          val shifted = rot.drop(m % rot.length) + rot.take(m % rot.length)
+          docs
+            .withColumn("doc_id", col("doc_id") + lit(m * 1000000L))
+            .withColumn("text", translate(col("text"), rot, shifted))
+        }.reduce(_ unionByName _)
+      graft.ops.Dedup.simhashCandidates(at(1), "doc_id", "text", 64, 4).count() // warmup
+      Seq(32, 64).foreach { nb =>
+        Seq(1, 4, 10).foreach { m =>
+          val t0 = System.nanoTime()
+          val n = graft.ops.Dedup.simhashCandidates(at(m), "doc_id", "text", nb, 4).count()
+          println(f"SIMHASH-SCALELAW nBits=$nb x$m: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n candidate pairs)")
+        }
+      }
+    }
     names.filter(_ == "zorder").foreach { _ =>
       import org.apache.spark.sql.functions._
       val dims = spark.read.parquet(s"$sfDir/events.parquet")

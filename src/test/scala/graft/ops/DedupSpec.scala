@@ -66,10 +66,10 @@ class DedupSpec extends SparkSpec {
 
   test("simhash Hamming near-dup guarantee: ALL pairs within dist 3 are found (pigeonhole)") {
     // brute-force ground truth over the sketches themselves (the op's
-    // default 32-bit width)
-    val sk = TextAnalysis.simHashAgg(docs, "id", "text", 32)
-      .withColumn("h", conv(col("simhash"), 2, 10).cast("long"))
-      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("h")).toMap
+    // default 64-bit width; parse the MSB-first bit string directly)
+    val sk = TextAnalysis.simHashAgg(docs, "id", "text", 64)
+      .collect().map(r => r.getAs[Long]("id") ->
+        java.lang.Long.parseUnsignedLong(r.getAs[String]("simhash"), 2)).toMap
     val want = (for {
       a <- sk.keys; b <- sk.keys if a < b
       if java.lang.Long.bitCount(sk(a) ^ sk(b)) <= 3
