@@ -566,22 +566,16 @@ object SparkEntry {
 
     // --- text vector-space profile (TextProfiler math, oracle-checked):
     // per-dimension mean/std + covariance trace over the maxTokens×dim
-    // concat vectorization of documents.text. The embedding table is
-    // md5-derived (engine-portable), built from ALL the corpus's
-    // distinct tokens so the real treeAggregate path runs with zero OOV
-    // (uncapped collect — a correctness fixture over the bounded-vocab
-    // test corpus, not the capped production path); the oracle
-    // recomputes every moment from scratch in SQL. ---
+    // concat vectorization of documents.text. The embedding is the
+    // pure-function md5 embedder (engine-portable), so executors derive
+    // every token's vector on demand — the treeAggregate path runs with
+    // zero OOV and ZERO driver-side vocabulary (no collect of any
+    // size); the oracle recomputes every moment from scratch in SQL. ---
     "q34_text_vector_profile" -> ((s, d) => {
-      import graft.text.{EmbeddingModel, TextProfiler, Tokenize}
+      import graft.text.{Md5Embedder, TextProfiler}
       val docs = t(s, d, "documents")
-      val toks = docs.select(explode(Tokenize.tokens(col("text"))).as("tok"))
-        .distinct().collect().map(_.getString(0))
-      val table = toks.map(tk =>
-        tk -> Array.tabulate(Q34Dim)(j => md5Component(s"$tk#$j"))).toMap
-      val model = EmbeddingModel(Q34Dim, 0L, table)
-      val stats = TextProfiler.profile(docs, "text", model, Q34MaxTokens,
-        rawSampleCap = 1).get
+      val stats = TextProfiler.profile(docs, "text", Md5Embedder(Q34Dim),
+        Q34MaxTokens, rawSampleCap = 1).get
       import s.implicits._
       def r6(x: Double): Double =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -590,32 +584,34 @@ object SparkEntry {
         .toDF("dim_idx", "mean", "std", "cov_trace")
     }),
 
-    // --- nearest-word decode, oracle-checked as a round-trip: every
-    // corpus token is in the vocab, so argmax-cosine over the md5
-    // embedding table must return the original token for each slice —
-    // the oracle is simply "the first maxTokens tokens". This exercises
-    // the real Vocab.topK/decode kernel (broadcast vocab, tight-loop
-    // cosine scan) end to end. ---
+    // --- nearest-word decode, oracle-checked as a round-trip over the
+    // CAPPED production vocab: Vocab.build takes the top-`Q35VocabCap`
+    // tokens by (frequency desc, token asc) — a distributed TakeOrdered,
+    // never an uncapped collect — and the round-trip assertion runs on
+    // the docs whose first maxTokens tokens are all in-vocab (argmax
+    // cosine over the md5 embedder returns the original token there).
+    // The oracle rebuilds the same frequency-capped vocab in SQL and
+    // emits "the first maxTokens tokens" for the same doc subset. This
+    // exercises the real Vocab.build/decode kernel (broadcast vocab,
+    // one-pass batched argmax scan) end to end. ---
     "q35_decode_roundtrip" -> ((s, d) => {
-      import graft.text.{EmbeddingModel, Tokenize, Vectorize, Vocab}
+      import graft.text.{Md5Embedder, Tokenize, Vectorize, Vocab}
       val docs = t(s, d, "documents")
-      // full corpus vocabulary (uncapped — the round-trip premise needs
-      // every token in the vocab; this is a correctness fixture, not the
-      // capped production decode path)
-      val toks = docs.select(explode(Tokenize.tokens(col("text"))).as("tok"))
-        .distinct().collect().map(_.getString(0))
-      val table = toks.map(tk =>
-        tk -> Array.tabulate(Q34Dim)(j => md5Component(s"$tk#$j"))).toMap
-      val model = EmbeddingModel(Q34Dim, 0L, table)
-      val vocab = Vocab.build(docs, "text", model, cap = Int.MaxValue)
+      val model = Md5Embedder(Q34Dim)
+      val vocab = Vocab.build(docs, "text", model, cap = Q35VocabCap)
       val bcV = s.sparkContext.broadcast(vocab)
-      val bcM = s.sparkContext.broadcast(model)
+      val bcW = s.sparkContext.broadcast(vocab.words.toSet)
       val mt = 2
+      val inVocab = udf { (text: String) =>
+        text != null &&
+          Tokenize.tokensLocal(text).take(mt).forall(bcW.value.contains)
+      }
       val dec = udf { (text: String) =>
         if (text == null) null
-        else bcV.value.decode(Vectorize.vectorizeLocal(bcM.value, mt)(text), mt)
+        else bcV.value.decode(Vectorize.vectorizeLocal(model, mt)(text), mt)
       }
-      docs.select(col("doc_id"), dec(col("text")).as("decoded"))
+      docs.filter(inVocab(col("text")))
+        .select(col("doc_id"), dec(col("text")).as("decoded"))
         .orderBy("doc_id")
     }),
 
@@ -1493,10 +1489,19 @@ object SparkEntry {
         }.mkString("", " UNION ALL ", " ORDER BY doc_id, j"),
 
       "q35_decode_roundtrip" ->
-        """SELECT doc_id,
-          |  array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-          |                              x -> length(x) BETWEEN 2 AND 15)[1:2], ' ') AS decoded
-          |FROM documents ORDER BY doc_id""".stripMargin,
+        s"""WITH tk AS (
+           |  SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+           |                x -> length(x) BETWEEN 2 AND 15) AS toks
+           |  FROM documents WHERE text IS NOT NULL),
+           |vocab AS (
+           |  SELECT tok FROM (SELECT unnest(toks) AS tok FROM tk)
+           |  GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT $Q35VocabCap),
+           |vl AS (SELECT list(tok) AS vlist FROM vocab)
+           |SELECT doc_id, array_to_string(toks[1:2], ' ') AS decoded
+           |FROM tk, vl
+           |WHERE list_has_all(vl.vlist, toks[1:2])
+           |ORDER BY doc_id""".stripMargin,
 
       "q31_multimodal_meta" ->
         s"""SELECT doc_id,
@@ -1508,16 +1513,14 @@ object SparkEntry {
            |FROM documents ORDER BY doc_id""".stripMargin)
   }
 
-  // q34 parameters + the md5 embedding component shared by both engines:
-  // first 7 hex digits of md5("token#j") → 28-bit int → uniform [-1, 1)
+  // q34 parameters (the md5 embedding component both engines share
+  // lives in graft.text.Md5Embedder: first 7 hex digits of
+  // md5("token#j") → 28-bit int → uniform [-1, 1)); Q35VocabCap is
+  // deliberately below the test corpus's ~30 distinct tokens so the
+  // capped-vocab path and the in-vocab filter are genuinely exercised
   private val Q34MaxTokens = 4
   private val Q34Dim = 4
-  private def md5Component(s: String): Double = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hex = d.map(b => f"$b%02x").mkString.substring(0, 7)
-    java.lang.Long.parseLong(hex, 16).toDouble / 268435456.0 * 2.0 - 1.0
-  }
+  private val Q35VocabCap = 16
 
   private def q34Sql: String = {
     def comp(tokExpr: String, j: Int): String =

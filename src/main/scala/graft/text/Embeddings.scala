@@ -56,6 +56,14 @@ object HashEmbeddings {
   }
 }
 
+/** Anything that maps a token to a fixed-width vector on an executor.
+  * Implementations must be cheap to broadcast — either a bounded table
+  * or a pure function of the token. */
+trait Embedder extends Serializable {
+  def dim: Int
+  def lookup(token: String): Array[Double]
+}
+
 /** Embedding model carried to executors: either hash-based (no state)
   * or an explicit vectors table. `lookup` never fails — OOV falls back
   * to the hash vector (the reference used `np.random.randn`,
@@ -63,9 +71,30 @@ object HashEmbeddings {
 final case class EmbeddingModel(
     dim: Int,
     seed: Long,
-    table: Map[String, Array[Double]] = Map.empty) extends Serializable {
+    table: Map[String, Array[Double]] = Map.empty) extends Embedder {
   def lookup(token: String): Array[Double] =
     table.getOrElse(token, HashEmbeddings.vector(token, dim, seed))
+}
+
+/** Pure-function md5 embeddings: component j of a token's vector is
+  * the first 7 hex digits of md5("token#j"), scaled to [-1, 1).
+  * Engine-portable (the DuckDB oracle replays it digit-by-digit via
+  * instr) and entirely STATELESS — executors derive any token's vector
+  * on demand, so a corpus-scale vocabulary never has to be collected,
+  * broadcast, or even enumerated. */
+final case class Md5Embedder(dim: Int) extends Embedder {
+  def lookup(token: String): Array[Double] =
+    Array.tabulate(dim)(j => Md5Embedder.component(s"$token#$j"))
+}
+
+object Md5Embedder {
+  /** First 7 hex digits of md5(s) → 28-bit int → uniform [-1, 1). */
+  def component(s: String): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 7)
+    java.lang.Long.parseLong(hex, 16).toDouble / 268435456.0 * 2.0 - 1.0
+  }
 }
 
 object EmbeddingModel {
@@ -92,7 +121,7 @@ object Vectorize {
   /** entries → fixed-width concat vector: first `maxTokens` token
     * vectors, zero-padded, concatenated to maxTokens*dim doubles
     * (`vectorise_entries`, `Latanova_v1.py:45-62`). */
-  def vectorizeLocal(model: EmbeddingModel, maxTokens: Int)(entry: String): Array[Double] = {
+  def vectorizeLocal(model: Embedder, maxTokens: Int)(entry: String): Array[Double] = {
     val out = new Array[Double](maxTokens * model.dim)
     val toks = Tokenize.tokensLocal(entry)
     var i = 0
@@ -104,8 +133,8 @@ object Vectorize {
   }
 
   /** UDF column: string column → Array[Double] of maxTokens*dim. */
-  def vectorizeUdf(spark: SparkSession, model: EmbeddingModel, maxTokens: Int): Column => Column = {
-    val bc: Broadcast[EmbeddingModel] = spark.sparkContext.broadcast(model)
+  def vectorizeUdf(spark: SparkSession, model: Embedder, maxTokens: Int): Column => Column = {
+    val bc: Broadcast[Embedder] = spark.sparkContext.broadcast(model)
     val f = udf { (entry: String) =>
       if (entry == null) new Array[Double](maxTokens * bc.value.dim)
       else vectorizeLocal(bc.value, maxTokens)(entry)
@@ -115,7 +144,7 @@ object Vectorize {
 
   /** Mean-pool variant (`get_vectorised_entries`, `Latanova_v1.py:23-43`
     * — dead code in the reference, kept for API completeness). */
-  def meanPoolLocal(model: EmbeddingModel)(entry: String): Array[Double] = {
+  def meanPoolLocal(model: Embedder)(entry: String): Array[Double] = {
     val toks = Tokenize.tokensLocal(entry)
     val out = new Array[Double](model.dim)
     if (toks.isEmpty) return out
@@ -135,7 +164,7 @@ object Vocab {
   /** Build from a text column: distinct tokens by descending frequency,
     * capped (the decode kernel is O(vocab·dim) per slice — cap keeps
     * the broadcast and the scan bounded at scale). */
-  def build(df: DataFrame, textCol: String, model: EmbeddingModel,
+  def build(df: DataFrame, textCol: String, model: Embedder,
             cap: Int = 50000): Vocab = {
     val tokens = df
       .select(explode(Tokenize.tokens(col(textCol))).as("token"))
@@ -176,17 +205,50 @@ final class Vocab(val words: Array[String], val vectors: Array[Array[Double]],
       .take(k).map { case (_, i2) => words(i2) }
   }
 
-  /** Decode one concatenated vector back to words: per slice, first
-    * alphanumeric word among the top-3 most-similar
-    * (`generate_synthetic_text`, `Latanova_v1.py:333-344`). */
+  /** Decode one concatenated vector back to words: per slice, the
+    * best (cosine desc, word asc) vocab word — exactly what
+    * `topK(slice, 3).headOption` returns over the alnum-filtered vocab
+    * (`generate_synthetic_text`, `Latanova_v1.py:333-344`).
+    *
+    * All `maxTokens` slices score against the vocab matrix in ONE pass
+    * (the matrix-matrix shape: outer loop over vocab rows, tight dot
+    * loop per slice) with running argmaxes, instead of `maxTokens`
+    * separate vocab scans each allocating a slice copy and sorting the
+    * full similarity array — the r3 bench's slowest kernel (47 s for
+    * q35; SURVEY.md §7 called for exactly this batching). */
   def decode(vector: Array[Double], maxTokens: Int): String = {
-    val sb = new StringBuilder
+    val qn = new Array[Double](maxTokens)
+    var s = 0
+    while (s < maxTokens) {
+      var acc = 0.0; var j = 0; val off = s * dim
+      while (j < dim) { val x = vector(off + j); acc += x * x; j += 1 }
+      qn(s) = math.sqrt(acc); s += 1
+    }
+    val bestSim = Array.fill(maxTokens)(Double.NegativeInfinity)
+    val bestIdx = Array.fill(maxTokens)(-1)
     var i = 0
-    while (i < maxTokens) {
-      val slice = java.util.Arrays.copyOfRange(vector, i * dim, (i + 1) * dim)
-      val top = topK(slice, 3)
-      top.headOption.foreach { w => if (sb.nonEmpty) sb.append(' '); sb.append(w) }
+    while (i < words.length) {
+      val v = vectors(i); val vn = norms(i)
+      var t = 0
+      while (t < maxTokens) {
+        if (qn(t) != 0.0) {
+          var dot = 0.0; var j = 0; val off = t * dim
+          while (j < dim) { dot += v(j) * vector(off + j); j += 1 }
+          val sim = if (vn == 0.0) -1.0 else dot / (vn * qn(t))
+          if (sim > bestSim(t) ||
+              (sim == bestSim(t) && bestIdx(t) >= 0 && words(i) < words(bestIdx(t)))) {
+            bestSim(t) = sim; bestIdx(t) = i
+          }
+        }
+        t += 1
+      }
       i += 1
+    }
+    val sb = new StringBuilder
+    s = 0
+    while (s < maxTokens) {
+      if (bestIdx(s) >= 0) { if (sb.nonEmpty) sb.append(' '); sb.append(words(bestIdx(s))) }
+      s += 1
     }
     sb.result()
   }

@@ -70,7 +70,7 @@ object TextProfiler {
     Some(l)
   }
 
-  def profile(df: DataFrame, textCol: String, model: EmbeddingModel,
+  def profile(df: DataFrame, textCol: String, model: Embedder,
               maxTokens: Int, rawSampleCap: Int = 10000): Option[TextStats] = {
     val spark = df.sparkSession
     val d = maxTokens * model.dim

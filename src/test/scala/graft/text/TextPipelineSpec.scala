@@ -44,6 +44,25 @@ class TextPipelineSpec extends SparkSpec {
     assert(decoded === "alpha gamma")
   }
 
+  test("batched decode ≡ per-slice topK(3).head (incl. zero slices and ties)") {
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon")
+    val m = Md5Embedder(4)
+    val vocab = new Vocab(words, words.map(m.lookup), m.dim)
+    val rng = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val mt = 1 + rng.nextInt(4)
+      val v = Array.fill(mt * m.dim)(rng.nextDouble() * 2 - 1)
+      if (rng.nextBoolean()) // zero out a slice: decode must skip it
+        java.util.Arrays.fill(v, 0, m.dim, 0.0)
+      val slices = (0 until mt).map(s =>
+        java.util.Arrays.copyOfRange(v, s * m.dim, (s + 1) * m.dim))
+      val expect = slices.flatMap(s => vocab.topK(s, 3).headOption).mkString(" ")
+      assert(vocab.decode(v, mt) === expect)
+    }
+    // vector built FROM vocab words round-trips exactly
+    assert(vocab.decode(m.lookup("delta") ++ m.lookup("beta"), 2) === "delta beta")
+  }
+
   test("text profile + MVN synthesis round-trip: moments within tolerance") {
     import spark.implicits._
     val docs = (1 to 200).map(i =>
