@@ -67,18 +67,16 @@ object Corpus {
     * agg would plan an Expand — every exploded row duplicated and the
     * partial agg keyed on (ngram, id, gid), shipping one row per
     * (partition, ngram, doc) through the shuffle; the two-step form
-    * keeps both exchanges narrow. N-grams use the same slice+concat_ws
-    * construction as [[graft.ops.Dedup.shingleStream]]. */
+    * keeps both exchanges narrow. N-grams come from the tight-loop
+    * kernel ([[graft.ops.Dedup.ngramStreamFast]]) — the HOF
+    * slice+concat_ws construction re-copied the token array per n-gram
+    * and dominated this query's cost (same finding as the minhash
+    * shingle path). */
   def ngramCounts(df: DataFrame, idCol: String, textCol: String,
                   n: Int, minCount: Long): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val w = tokens(col(textCol))
-    val perDoc = df.select(col(idCol).as("id"), w.as("w"))
-      .withColumn("gs", when(size(col("w")) >= n,
-        transform(sequence(lit(0), size(col("w")) - n),
-          i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))))
-        .otherwise(array()))
-      .select(col("id"), explode(col("gs")).as("ngram"))
+    val perDoc = df.select(col(idCol).as("id"),
+        explode(Dedup.ngramStreamFast(col(textCol).cast("string"), n)).as("ngram"))
       .groupBy("ngram", "id").agg(count(lit(1)).as("c"))
     perDoc.groupBy("ngram")
       .agg(sum(col("c")).as("cnt"), count(lit(1)).as("n_docs"))
@@ -110,11 +108,8 @@ object Corpus {
     require(passageTokens >= 1, s"passageTokens must be >= 1, got $passageTokens")
     val p = passageTokens
     val chunks = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
-      .filter(size(col("w")) > 0)
-      .select(col("id"), explode(
-        transform(sequence(lit(0), floor((size(col("w")) - 1) / lit(p)).cast("int")),
-          i => concat_ws(" ", slice(col("w"), i * p + 1, lit(p))))).as("passage"))
+      .select(col(idCol).as("id"),
+        explode(Dedup.passagesFast(col(textCol).cast("string"), p)).as("passage"))
       .select(col("id"), md5(col("passage").cast("binary")).as("fp"))
     val pairs = chunks.groupBy("id", "fp").agg(count(lit(1)).as("c"))
       .localCheckpoint()
@@ -196,11 +191,9 @@ object Corpus {
     val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
       .withColumn("n_tokens", size(col("w")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("w"))).cast("long"))
-    val bigrams = base
-      .select(col("id"), explode(zip_with(
-        slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
-        slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val bigrams = df
+      .select(col(idCol).as("id"),
+        explode(Dedup.ngramStreamFast(col(textCol).cast("string"), 2)).as("bg"))
       .groupBy("id", "bg").agg(count(lit(1)).as("cnt"))
     val topPacked = bigrams.groupBy("id").agg(
       max(concat(lpad(col("cnt").cast("string"), 10, "0"), lit(" "),

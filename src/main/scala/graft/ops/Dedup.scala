@@ -50,24 +50,30 @@ object Dedup {
     * measured); this kernel produces byte-identical shingles (same
     * split regex, same space join, same first-occurrence distinct), so
     * oracle parity is untouched. */
-  private def shingleArrayLocal(text: String, k: Int, distinct: Boolean): Array[String] = {
-    if (text == null) return Array.empty
-    // Locale.ROOT matches Spark lower()'s ASCII fast path exactly (the
-    // case that matters for [a-z0-9] tokens). Spark's non-ASCII slow
-    // path is default-locale; under a non-ROOT default locale (e.g.
-    // Turkish) mixed non-ASCII+'I' strings can diverge between the two
-    // forms — and equally between Spark and the DuckDB oracle, so ROOT
-    // is the consistent choice.
-    val toks = text.toLowerCase(java.util.Locale.ROOT)
+  // Locale.ROOT matches Spark lower()'s ASCII fast path exactly (the
+  // case that matters for [a-z0-9] tokens). Spark's non-ASCII slow
+  // path is default-locale; under a non-ROOT default locale (e.g.
+  // Turkish) mixed non-ASCII+'I' strings can diverge between the two
+  // forms — and equally between Spark and the DuckDB oracle, so ROOT
+  // is the consistent choice.
+  private def tokensLocal(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.toLowerCase(java.util.Locale.ROOT)
       .split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  /** Space-joined tokens [i, i+k). */
+  private def joinTokens(toks: Array[String], i: Int, k: Int): String = {
+    val sb = new StringBuilder(toks(i))
+    var j = 1
+    while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+    sb.result()
+  }
+
+  private def shingleArrayLocal(text: String, k: Int, distinct: Boolean): Array[String] = {
+    val toks = tokensLocal(text)
     val out =
       if (toks.length < k) Array(toks.mkString(" "))
-      else Array.tabulate(toks.length - k + 1) { i =>
-        val sb = new StringBuilder(toks(i))
-        var j = 1
-        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
-        sb.result()
-      }
+      else Array.tabulate(toks.length - k + 1)(i => joinTokens(toks, i, k))
     if (distinct) out.distinct else out
   }
 
@@ -80,6 +86,34 @@ object Dedup {
   /** UDF column form of [[shingleArrayLocal]] with set semantics. */
   def shinglesFast(c: Column, k: Int = 3): Column = {
     val f = udf((t: String) => shingleArrayLocal(t, k, distinct = true))
+    f(c)
+  }
+
+  /** Word n-grams in the n-gram-TABLE semantics — docs with fewer than
+    * `n` tokens produce NONE (no whole-text fallback, unlike
+    * [[shingleStream]]'s minhash contract). Same tight-loop kernel; the
+    * HOF slice+concat_ws form it replaces was measured 4 s-of-6 s of
+    * the minhash pipeline and the same construction dominated q54. */
+  def ngramStreamFast(c: Column, n: Int): Column = {
+    val f = udf { (t: String) =>
+      val toks = tokensLocal(t)
+      if (toks.length < n) Array.empty[String]
+      else Array.tabulate(toks.length - n + 1)(i => joinTokens(toks, i, n))
+    }
+    f(c)
+  }
+
+  /** Consecutive `p`-token passages (tail partial included; empty-token
+    * docs produce none) — the chunking kernel of
+    * [[Corpus.passageDupStats]], same tight loop. */
+  def passagesFast(c: Column, p: Int): Column = {
+    val f = udf { (t: String) =>
+      val toks = tokensLocal(t)
+      if (toks.isEmpty) Array.empty[String]
+      else Array.tabulate((toks.length + p - 1) / p) { i =>
+        joinTokens(toks, i * p, math.min(p, toks.length - i * p))
+      }
+    }
     f(c)
   }
 
