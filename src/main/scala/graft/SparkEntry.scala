@@ -851,13 +851,28 @@ object SparkEntry {
 
     // --- multimodal plumbing (stub codec, real schema/batching) ---
     "q31_multimodal_meta" -> ((s, d) => {
+      // real-codec check, oracle-replayable: serialize md5(text)-derived
+      // dimensions into an ACTUAL PNG header (even ids) or JPEG SOF0
+      // (odd ids), then parse them back with the real byte-level header
+      // reader — any mis-read byte breaks the oracle compare, whose
+      // width/height formulas never see the image bytes at all
       val docs = t(s, d, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      val ingested = Multimodal.ingest(docs, "payload", "text", "text/plain")
+      val fix = udf { (text: String, id: Long) =>
+        val dg = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        def u(i: Int) = dg(i) & 0xff
+        val w = 64 + (u(0) * 256 + u(1)) % 1985
+        val h = 64 + (u(2) * 256 + u(3)) % 1985
+        if (id % 2 == 0) Multimodal.pngFixture(w, h)
+        else Multimodal.jpegFixture(w, h)
+      }
+      val payloads = docs.select(col("doc_id"), col("text"),
+        fix(col("text"), col("doc_id")).as("payload"))
+      val ingested = Multimodal.ingest(payloads, "payload", "image", "image/*")
       Multimodal.decode(ingested, "payload")
         .select(col("doc_id"),
           col("meta.n_bytes").as("n_bytes"),
-          md5(col("payload")).as("digest"),
+          md5(encode(col("text"), "UTF-8")).as("digest"),
           col("decoded.width").as("width"),
           col("decoded.height").as("height"),
           col("decoded.duration_ms").as("duration_ms"))
@@ -1505,11 +1520,11 @@ object SparkEntry {
 
       "q31_multimodal_meta" ->
         s"""SELECT doc_id,
-           |  octet_length(encode(text)) AS n_bytes,
+           |  CAST(CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 17 END AS BIGINT) AS n_bytes,
            |  md5(text) AS digest,
            |  64 + ((${hd(1)} * 16 + ${hd(2)}) * 256 + (${hd(3)} * 16 + ${hd(4)})) % 1985 AS width,
            |  64 + ((${hd(5)} * 16 + ${hd(6)}) * 256 + (${hd(7)} * 16 + ${hd(8)})) % 1985 AS height,
-           |  1000 + ((${hd(9)} * 16 + ${hd(10)}) * 65536 + (${hd(11)} * 16 + ${hd(12)}) * 256 + (${hd(13)} * 16 + ${hd(14)})) % 600000 AS duration_ms
+           |  CAST(NULL AS BIGINT) AS duration_ms
            |FROM documents ORDER BY doc_id""".stripMargin)
   }
 

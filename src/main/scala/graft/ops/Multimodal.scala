@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with a typed metadata struct, processed in
   * batches via `mapPartitions`.
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * container): [[stubDecode]] derives deterministic fake
-  * width/height/duration from the payload's md5, so the Spark-side
-  * contract — schema, batch shape, partitioning, null behavior — is
-  * real and tested while the codec is swappable.
+  * Image decode is REAL: [[parseImageHeader]] reads PNG IHDR and JPEG
+  * SOFn headers byte-by-byte (public formats, deterministic, no
+  * library needed). Modalities whose codecs this container genuinely
+  * lacks (audio/video) fall back to [[stubDecode]], which derives
+  * deterministic fake metadata from the payload's md5 — so the
+  * Spark-side contract (schema, batch shape, partitioning, null
+  * behavior) is real and tested while those codecs stay swappable.
   *
   * Scale notes: payloads never enter a shuffle key (metadata-only
   * projections are pushed before any groupBy/join); partition sizing is
@@ -41,10 +43,92 @@ object Multimodal {
       lit(null).cast(IntegerType).as("height"),
       lit(null).cast(LongType).as("duration_ms")))
 
+  /** Parse image dimensions from REAL payload headers — the public
+    * byte layouts of PNG (8-byte signature, then the mandatory first
+    * IHDR chunk: width/height as big-endian u32 at offsets 16/20) and
+    * JPEG (SOI, then a marker-segment walk to the first SOFn frame
+    * header: height/width as big-endian u16 at segment offsets 5/7).
+    * Returns (mime, width, height); None for anything that is not a
+    * recognizable image — callers fall back to [[stubDecode]], keeping
+    * the swappable-codec contract for modalities whose libraries are
+    * genuinely absent (audio/video). CRCs are not validated — this is
+    * a header reader, not a verifier. */
+  def parseImageHeader(p: Array[Byte]): Option[(String, Int, Int)] = {
+    if (p == null || p.length < 4) return None
+    def u(i: Int): Int = p(i) & 0xff
+    if (p.length >= 24 &&
+        u(0) == 0x89 && u(1) == 0x50 && u(2) == 0x4e && u(3) == 0x47 &&
+        u(4) == 0x0d && u(5) == 0x0a && u(6) == 0x1a && u(7) == 0x0a &&
+        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R') {
+      val w = (u(16) << 24) | (u(17) << 16) | (u(18) << 8) | u(19)
+      val h = (u(20) << 24) | (u(21) << 16) | (u(22) << 8) | u(23)
+      Some(("image/png", w, h))
+    } else if (u(0) == 0xff && u(1) == 0xd8) {
+      var i = 2
+      while (i + 3 < p.length) {
+        if (u(i) != 0xff) return None
+        var m = u(i + 1)
+        while (m == 0xff && i + 2 < p.length) { i += 1; m = u(i + 1) }
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone markers
+        else if (m == 0xd9 || m == 0xda) return None      // EOI/SOS before any SOF
+        else {
+          val len = (u(i + 2) << 8) | u(i + 3)
+          if (len < 2) return None
+          // SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            if (i + 8 >= p.length) return None
+            val h = (u(i + 5) << 8) | u(i + 6)
+            val w = (u(i + 7) << 8) | u(i + 8)
+            return Some(("image/jpeg", w, h))
+          }
+          i += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Minimal VALID PNG (signature + 8-bit grayscale IHDR with a real
+    * CRC32 + empty IEND; 45 bytes) — the deterministic image fixture
+    * for specs and the oracle-replayable q31 parse check. */
+  def pngFixture(width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(45)
+    def be32(v: Long): Unit = {
+      out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+      out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      be32(data.length.toLong)
+      val body = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ data
+      out.write(body, 0, body.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(body)
+      be32(crc.getValue)
+    }
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((width >>> 24) & 0xff).toByte; ihdr(1) = ((width >>> 16) & 0xff).toByte
+    ihdr(2) = ((width >>> 8) & 0xff).toByte; ihdr(3) = (width & 0xff).toByte
+    ihdr(4) = ((height >>> 24) & 0xff).toByte; ihdr(5) = ((height >>> 16) & 0xff).toByte
+    ihdr(6) = ((height >>> 8) & 0xff).toByte; ihdr(7) = (height & 0xff).toByte
+    ihdr(8) = 8 // bit depth; color type/compression/filter/interlace = 0
+    chunk("IHDR", ihdr)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** Minimal JPEG (SOI + one-component SOF0 + EOI; 17 bytes) — the
+    * marker-walk twin of [[pngFixture]]. */
+  def jpegFixture(width: Int, height: Int): Array[Byte] =
+    Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x0b, 0x08,
+      (height >>> 8) & 0xff, height & 0xff,
+      (width >>> 8) & 0xff, width & 0xff,
+      0x01, 0x01, 0x11, 0x00, 0xff, 0xd9).map(_.toByte)
+
   /** Deterministic fake decode of a payload: width/height/duration are
-    * functions of the md5 digest — STAND-IN for a real codec. Replace
-    * the body with an actual decoder; the signature (bytes → metadata
-    * fields) is the real contract. */
+    * functions of the md5 digest — STAND-IN for the codecs this
+    * container genuinely lacks (audio/video). The real-image path is
+    * [[parseImageHeader]]; [[decode]] composes the two. */
   def stubDecode(payload: Array[Byte]): (Int, Int, Long) = {
     if (payload == null || payload.isEmpty) return (0, 0, 0L)
     val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
@@ -55,10 +139,12 @@ object Multimodal {
     (width, height, dur)
   }
 
-  /** Batch decode pass: fills width/height/duration via [[stubDecode]]
-    * over `mapPartitions` — one codec instance per partition, payloads
-    * streamed, output schema fixed. This is the slot where a real
-    * image/audio library drops in. */
+  /** Batch decode pass over `mapPartitions` — payloads streamed, output
+    * schema fixed. Recognized image headers (PNG/JPEG) parse for REAL
+    * via [[parseImageHeader]] (duration_ms is null — images have none);
+    * everything else falls back to the deterministic [[stubDecode]]
+    * stand-in. This remains the slot where further codecs (audio
+    * containers, video demuxers) drop in per partition. */
   def decode(df: DataFrame, binCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("decoded", StructType(Seq(
@@ -69,9 +155,14 @@ object Multimodal {
     df.mapPartitions { it =>
       // per-partition codec init would go here
       it.map { r =>
-        val (w, h, dur) = stubDecode(
-          if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx))
-        Row.fromSeq(r.toSeq :+ Row(w, h, dur))
+        val payload = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val dec = parseImageHeader(payload) match {
+          case Some((_, w, h)) => Row(w, h, null)
+          case None =>
+            val (w, h, dur) = stubDecode(payload)
+            Row(w, h, dur)
+        }
+        Row.fromSeq(r.toSeq :+ dec)
       }
     }(enc)
   }

@@ -45,6 +45,51 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("parseImageHeader reads real PNG and JPEG headers; rejects non-images") {
+    assert(Multimodal.parseImageHeader(Multimodal.pngFixture(640, 480))
+      === Some(("image/png", 640, 480)))
+    assert(Multimodal.parseImageHeader(Multimodal.jpegFixture(1920, 1080))
+      === Some(("image/jpeg", 1920, 1080)))
+    // extreme dims survive the byte packing
+    assert(Multimodal.parseImageHeader(Multimodal.pngFixture(1, 65535))
+      === Some(("image/png", 1, 65535)))
+    assert(Multimodal.parseImageHeader(Multimodal.jpegFixture(65535, 1))
+      === Some(("image/jpeg", 65535, 1)))
+    // JPEG with a leading APPn segment before the SOF still parses
+    val jf = Multimodal.jpegFixture(320, 240)
+    val app0 = Array(0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46).map(_.toByte)
+    val withApp = jf.take(2) ++ app0 ++ jf.drop(2)
+    assert(Multimodal.parseImageHeader(withApp) === Some(("image/jpeg", 320, 240)))
+    // non-images reject → stub fallback path
+    assert(Multimodal.parseImageHeader("plain text".getBytes("UTF-8")) === None)
+    assert(Multimodal.parseImageHeader(null) === None)
+    assert(Multimodal.parseImageHeader(Array[Byte](0xff.toByte, 0xd8.toByte)) === None)
+    // a real PNG encoder agrees: round-trip through javax.imageio
+    val img = new java.awt.image.BufferedImage(17, 23,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.parseImageHeader(bos.toByteArray) === Some(("image/png", 17, 23)))
+  }
+
+  test("decode parses real image payloads and stubs the rest (mixed batch)") {
+    val rows = Seq(
+      (1L, Multimodal.pngFixture(800, 600)),
+      (2L, Multimodal.jpegFixture(101, 99)),
+      (3L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val got = Multimodal.decode(
+        Multimodal.ingest(rows, "payload", "image", "image/*"), "payload")
+      .select(col("id"), col("decoded.width"), col("decoded.height"),
+        col("decoded.duration_ms"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got(1L) === ((800, 600, None)))   // parsed, no duration
+    assert(got(2L) === ((101, 99, None)))
+    val (sw, sh, sd) = Multimodal.stubDecode("not an image".getBytes("UTF-8"))
+    assert(got(3L) === ((sw, sh, Some(sd)))) // stub fallback
+  }
+
   test("stubDecode matches the JVM-side ground truth of the oracle formula") {
     val (w, h, d) = Multimodal.stubDecode("hello".getBytes("UTF-8"))
     val digest = java.security.MessageDigest.getInstance("MD5").digest("hello".getBytes("UTF-8"))
