@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,11 +19,15 @@ import org.apache.spark.sql.functions._
   * which materializes |matches| rows per left row before pruning).
   *
   * Scale notes: cost is a sort-merge-join-shaped shuffle of |L| + |R|
-  * rows. Per-key data must fit a task's sort spill budget (same
-  * constraint as any windowed op); for a pathologically hot key, range
-  * re-partitioning on (key, coarse time bucket) with per-bucket seed
-  * carry-in is the standard fix — not needed at the fixture's
-  * cardinalities and documented rather than speculatively built.
+  * rows. The window form funnels each key through one task (fine while
+  * per-key data fits a task's sort budget); for hot keys,
+  * [[Temporal.asofJoinBackward]] with `hotKeyRowBound` switches to the
+  * range-partitioned two-pass form: ONE repartitionByRange on
+  * (key, time) lets a hot key span many sorted partitions, a P-row
+  * boundary summary fixes the carry-in payload each partition inherits
+  * for the single key that can straddle its leading edge, and a second
+  * pass runs the running-last scan per partition. Same total order,
+  * same results, no single-task key.
   */
 object Temporal {
 
@@ -41,12 +45,19 @@ object Temporal {
     * `tolerance`: optional maximum staleness. When set, a match older
     * than `leftTime - tolerance` is discarded (payload nulled) — e.g.
     * `expr("INTERVAL 7 DAYS")` for timestamp keys.
+    *
+    * `hotKeyRowBound`: when set, the union is first profiled (one keyed
+    * count — cheap next to the join itself) and, if any key exceeds the
+    * bound, the per-key window is replaced by the range-partitioned
+    * carry-in scan ([[asofViaRangeScan]]) so no key ever funnels
+    * through a single task. Results are identical either way.
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame,
                        leftKey: String, rightKey: String,
                        leftTime: String, rightTime: String,
                        payloadCols: Seq[String], tieBreak: String,
-                       tolerance: Option[Column] = None): DataFrame = {
+                       tolerance: Option[Column] = None,
+                       hotKeyRowBound: Option[Long] = None): DataFrame = {
     val clash = payloadCols.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty,
       s"payloadCols ${clash.mkString(", ")} already exist on the left side — " +
@@ -66,16 +77,23 @@ object Temporal {
         lit(0).as("__s"), payStruct.as("__p"))
     val u = lu.withColumn("__p", lit(null).cast(ru.schema("__p").dataType))
       .unionByName(ru.withColumn("__l", lit(null).cast(lu.schema("__l").dataType)))
-    // rows sorted (time, side, tieBreak): at equal time the right row
-    // (side 0) precedes the left row it must be visible to (<= match);
-    // among tied right rows the greatest tieBreak sorts last and wins
-    // the running last().
-    val w = Window.partitionBy("__k")
-      .orderBy(col("__t").asc, col("__s").asc, col("__p.__tb").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = u
-      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__s") === 1)
+    val useHot = hotKeyRowBound.exists { bound =>
+      val m = u.groupBy("__k").count().agg(max("count")).head()
+      !m.isNullAt(0) && m.getLong(0) > bound
+    }
+    val matched =
+      if (useHot) asofViaRangeScan(u)
+      else {
+        // rows sorted (time, side, tieBreak): at equal time the right
+        // row (side 0) precedes the left row it must be visible to
+        // (<= match); among tied right rows the greatest tieBreak sorts
+        // last and wins the running last().
+        val w = Window.partitionBy("__k")
+          .orderBy(col("__t").asc, col("__s").asc, col("__p.__tb").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+          .filter(col("__s") === 1)
+      }
     val fresh = tolerance match {
       case Some(tol) => col("__m").isNotNull && col("__m.__rt") >= col("__t") - tol
       case None      => col("__m").isNotNull
@@ -83,5 +101,98 @@ object Temporal {
     matched.select(
       (left.columns.map(c => col(s"__l.$c").as(c)) ++
         payloadCols.map(c => when(fresh, col(s"__m.$c")).as(c))).toIndexedSeq: _*)
+  }
+
+  /** The hot-key form of the running-last match: instead of one window
+    * task per key, range-repartition the tagged union on
+    * (key, time, side, tieBreak) — the SAME total order the window
+    * uses, but a hot key now spans as many consecutive sorted
+    * partitions as its volume needs. Because keys are contiguous in
+    * that order, the only key whose state can straddle a partition
+    * boundary is the last key of the previous partition; pass 1
+    * collects one (lastKey, lastPayloadOfThatKey) summary row per
+    * partition (P rows to the driver, independent of data size), a
+    * prefix walk turns those into the carry-in payload each partition
+    * starts from, and pass 2 re-runs the per-partition running-last
+    * scan seeded with that carry. Output schema matches the window
+    * branch: the union columns plus the matched payload `__m`. */
+  private def asofViaRangeScan(u: DataFrame): DataFrame = {
+    val spark = u.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val sortCols = Seq(col("__k"), col("__t"), col("__s"), col("__p.__tb"))
+    val sorted = u.repartitionByRange(nPart, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      // both passes consume this exchange+sort; pin it so pass 2 reuses
+      // the shuffle files instead of re-sorting
+      .localCheckpoint()
+    val schema = sorted.schema
+    val kIdx = schema.fieldIndex("__k")
+    val pIdx = schema.fieldIndex("__p")
+    import java.util.Objects
+    // pass 1: per partition, the last key present and the last right
+    // payload within that key's trailing run (null if that run has no
+    // right rows). Empty partitions yield no row and inherit later.
+    val summaries = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var any = false
+      var lastKey: Any = null
+      var lastPay: Row = null
+      it.foreach { r =>
+        val k = r.get(kIdx)
+        if (!any || !Objects.equals(k, lastKey)) { lastKey = k; lastPay = null; any = true }
+        if (!r.isNullAt(pIdx)) lastPay = r.getStruct(pIdx)
+      }
+      if (any) Iterator((i, lastKey, lastPay)) else Iterator.empty
+    }.collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // fill empty partitions with the previous summary, then prefix-walk:
+    // partition i's carry key is partition i-1's last key; its payload
+    // is the most recent non-null payload among the contiguous earlier
+    // partitions ending in that same key.
+    val filled = new Array[(Any, Row)](nPart)
+    var prev: (Any, Row) = null
+    (0 until nPart).foreach { i =>
+      prev = summaries.get(i) match {
+        case Some(s) => s
+        case None    => prev
+      }
+      filled(i) = prev
+    }
+    val carries = new Array[(Any, Row)](math.max(nPart, 1))
+    carries(0) = null
+    (1 until nPart).foreach { i =>
+      carries(i) = filled(i - 1) match {
+        case null => null
+        case (ck, pay0) =>
+          var pay = pay0
+          var j = i - 1
+          while (pay == null && j > 0 && filled(j - 1) != null &&
+            Objects.equals(filled(j - 1)._1, ck)) { pay = filled(j - 1)._2; j -= 1 }
+          (ck, pay)
+      }
+    }
+    val carriesB = spark.sparkContext.broadcast(carries)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__m", schema.fields(pIdx).dataType, nullable = true))
+    // pass 2: running last() per partition, seeded with the carry for
+    // rows of the straddling key; resets whenever the key changes.
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      val carry = carriesB.value(i)
+      var any = false
+      var curKey: Any = null
+      var lastPay: Row = null
+      it.map { r =>
+        val k = r.get(kIdx)
+        if (!any || !Objects.equals(k, curKey)) {
+          curKey = k; any = true
+          lastPay = carry match {
+            case (ck, cp) if Objects.equals(k, ck) => cp
+            case _                                 => null
+          }
+        }
+        if (!r.isNullAt(pIdx)) lastPay = r.getStruct(pIdx)
+        Row.fromSeq(r.toSeq :+ lastPay)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema).filter(col("__s") === 1)
   }
 }

@@ -78,6 +78,49 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("hot-key path: skewed corpus (one key = 50% of rows) matches the window path, no per-key window task") {
+    val rnd = new scala.util.Random(11)
+    // half of all rows on key "hot", the rest across 20 cold keys
+    def key(i: Int) = if (i % 2 == 0) "hot" else s"k${i % 20}"
+    val ls = (1L to 2000L).map(i => (i, key(rnd.nextInt(1000)), rnd.nextInt(5000).toLong))
+    val rs = (1L to 1000L).map(i =>
+      (i + 10000L, key(rnd.nextInt(1000)), rnd.nextInt(5000).toLong, rnd.nextDouble()))
+    val lDf = ls.toDF("lid", "k", "t")
+    val rDf = rs.toDF("rid", "k", "rt", "px")
+    def results(bound: Option[Long]) =
+      Temporal.asofJoinBackward(lDf, rDf, "k", "k", "t", "rt",
+        payloadCols = Seq("rid", "px"), tieBreak = "rid", hotKeyRowBound = bound)
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4))))).toMap
+    val viaWindow = results(None)
+    val viaScan = results(Some(100L)) // hot key far exceeds 100 rows
+    assert(viaScan === viaWindow)
+    // plan assertion: the hot path must contain NO Window operator (the
+    // per-key funnel) — its match phase is the range-partitioned scan
+    val hotPlan = Temporal.asofJoinBackward(lDf, rDf, "k", "k", "t", "rt",
+      payloadCols = Seq("px"), tieBreak = "rid", hotKeyRowBound = Some(100L))
+      .queryExecution.executedPlan.toString
+    assert(!hotPlan.contains("Window"), s"hot path still windows per key:\n$hotPlan")
+    // and a bound nothing exceeds keeps the window form
+    val coldPlan = Temporal.asofJoinBackward(lDf, rDf, "k", "k", "t", "rt",
+      payloadCols = Seq("px"), tieBreak = "rid", hotKeyRowBound = Some(10000000L))
+      .queryExecution.executedPlan.toString
+    assert(coldPlan.contains("Window"), s"cold corpus should keep the window:\n$coldPlan")
+  }
+
+  test("hot-key path: carry-in crosses partitions whose middle has no right rows") {
+    // one key, rights only at the very start; lefts spread over a long
+    // timeline so the range partitioner splits the key across partitions
+    // and most partitions must inherit the carry from partition 0
+    val lDf = (1L to 500L).map(i => (i, "only", i * 10L)).toDF("lid", "k", "t")
+    val rDf = Seq((9000L, "only", 1L, 42.0)).toDF("rid", "k", "rt", "px")
+    val got = Temporal.asofJoinBackward(lDf, rDf, "k", "k", "t", "rt",
+      payloadCols = Seq("px"), tieBreak = "rid", hotKeyRowBound = Some(10L))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(got.size === 500)
+    assert(got.values.forall(_ === Some(42.0)))
+  }
+
   test("null right keys never match; plan has a single exchange on the key") {
     val rNull = quotes.unionByName(
       Seq((null.asInstanceOf[String], 40L, 1.0)).toDF("sym", "qt", "px"))
