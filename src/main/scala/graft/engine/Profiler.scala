@@ -176,10 +176,21 @@ object Profiler {
     * the same scalar formula as the oracle SQL so doubles evaluate
     * bit-identically. Quantiles are Spark's exact linear-interpolation
     * `percentile`, which buffers one group's values in aggregation
-    * state — bounded by the largest group; a group too big for that
-    * belongs in [[Quantiles]]' range-partitioned sort instead. */
+    * state — bounded by the largest group. Groups bigger than
+    * `hotGroupRowBound` do NOT take that path: a keyed pre-count (one
+    * narrow map-side-combined scan) identifies them, the percentile
+    * input is masked to null for their rows (nothing buffers), and
+    * their quantiles come from ONE fused pass of
+    * [[Quantiles.exactMulti]] — the range-partitioned sort where a
+    * dominant group's values spread across all partitions — stitched
+    * back as literal CASE expressions (hot groups are few by
+    * definition: at most |rows|/bound of them exist). Both paths use
+    * the same (n−1)·p linear interpolation. A null group key never
+    * routes hot (isin never matches null) — null groups stay on the
+    * buffered path. */
   def groupedNumericProfile(df: DataFrame, keyCol: String,
-                            valueCol: String): DataFrame = {
+                            valueCol: String,
+                            hotGroupRowBound: Long = 2000000L): DataFrame = {
     val integral = df.schema(valueCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case d: DecimalType => d.scale == 0
@@ -187,12 +198,35 @@ object Profiler {
     }
     val xd = col(valueCol).cast(DoubleType)
     val x = if (integral) col(valueCol).cast(DecimalType(38, 0)) else xd
-    val g = df.filter(xd.isNotNull).groupBy(col(keyCol)).agg(
+    val clean = df.filter(xd.isNotNull)
+    val ps = Seq(0.25, 0.5, 0.75)
+    val hot: Seq[(Any, Long)] = clean.groupBy(col(keyCol)).count()
+      .filter(col("count") > hotGroupRowBound)
+      .collect().map(r => r.get(0) -> r.getLong(1)).toSeq
+    // percentile input masked to null for hot groups — their values
+    // never enter aggregation state
+    val qIn = if (hot.isEmpty) xd
+      else when(!col(keyCol).isin(hot.map(_._1): _*), xd)
+    val qsCol = if (hot.isEmpty)
+      percentile(xd, array(ps.map(lit): _*))
+    else {
+      val hotQs = Quantiles.exactMulti(
+        clean.filter(col(keyCol).isin(hot.map(_._1): _*)),
+        hot.map { case (k, _) =>
+          s"__g_$k" -> when(col(keyCol) === lit(k), xd) },
+        ps, hot.map { case (k, n) => s"__g_$k" -> n }.toMap)
+      hot.foldLeft(percentile(qIn, array(ps.map(lit): _*))) {
+        case (acc, (k, _)) =>
+          when(col(keyCol) === lit(k),
+            array(hotQs(s"__g_$k").map(lit): _*)).otherwise(acc)
+      }
+    }
+    val g = clean.groupBy(col(keyCol)).agg(
       count(xd).as("n"),
       sum(x).as("s1"), sum(x * x).as("s2"),
       sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"),
       min(xd).as("mn"), max(xd).as("mx"),
-      percentile(xd, array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+      qsCol.as("qs"))
     val n = col("n").cast(DoubleType)
     val mean = col("s1").cast(DoubleType) / n
     val m2 = col("s2").cast(DoubleType) / n

@@ -76,4 +76,30 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(c.getDouble(2) - 1.5) < 1e-9)   // mean of 1.4, 1.6
     assert(math.abs(c.getDouble(3) - 0.1) < 1e-6)   // pop std
   }
+
+  test("grouped profile hot-group path: 90%-skewed group matches buffered path, values never buffer") {
+    import org.apache.spark.sql.functions._
+    // 90% of rows in one group; deterministic integer values so both
+    // interpolation paths agree bit-for-bit
+    val rows = (1 to 9000).map(i => ("dominant", (i * 7919 % 10000).toDouble)) ++
+      (1 to 500).map(i => ("small_a", i.toDouble)) ++
+      (1 to 500).map(i => ("small_b", (i * 3).toDouble))
+    val df = spark.createDataFrame(rows).toDF("k", "v")
+    val buffered = graft.engine.Profiler.groupedNumericProfile(df, "k", "v")
+    val hot = graft.engine.Profiler.groupedNumericProfile(df, "k", "v",
+      hotGroupRowBound = 1000L)
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(m(hot) === m(buffered))
+    // the dominant group's values are masked out of the percentile
+    // aggregate (no single-task buffering): its quantiles arrive as
+    // literal CASE arms, visible in the plan; and the percentile input
+    // is the isin-guarded CASE, not the raw value column
+    val plan = hot.queryExecution.executedPlan.toString
+    assert(plan.contains("dominant"),
+      s"hot-group literal CASE missing from plan:\n$plan")
+    assert(plan.contains("NOT k#") || plan.contains("NOT (k#") ||
+      plan.toLowerCase.contains("isin") || plan.contains("IN ("),
+      s"percentile input should be masked for hot groups:\n$plan")
+  }
 }
