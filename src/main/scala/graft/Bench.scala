@@ -46,6 +46,15 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // isolation: no query's residual cached state may tax the next
       spark.catalog.clearCache()
+      // code-cache telemetry (stderr): this bench has saturated the JIT
+      // code cache twice (240 MB at 34 queries, 1 g at 51 — late
+      // queries then run deoptimized at 6-8x their isolated time), so
+      // occupancy is printed per query to catch the third time
+      import scala.jdk.CollectionConverters._
+      val cc = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.contains("CodeHeap")).map(p =>
+          f"${p.getName}=${p.getUsage.getUsed / (1 << 20)}%dMB").mkString(" ")
+      System.err.println(f"[bench] $name%-28s $dt%7.2f s  $cc")
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

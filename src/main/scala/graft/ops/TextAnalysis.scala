@@ -174,6 +174,40 @@ object TextAnalysis {
       .select(col("id"), coalesce(concat(bits: _*), lit("0" * nBits)).as("simhash"))
   }
 
+  /** Row-wise `nBits` sketch in ONE pass over the tokens (UDF kernel):
+    * the [[simHash16]] expression form re-walks the token array once
+    * per bit (16×), and the [[simHashAgg]] form needs a groupBy — this
+    * is the map-only row-wise form for streams and per-row pipelines,
+    * and the only practical way to sketch at 64 bits row-wise.
+    * Bit-identical to [[simHashAgg]] (same md5-digit/bit family, same
+    * MSB-first '0'/'1' string). */
+  def simHashRow(c: Column, nBits: Int = 64): Column = {
+    require(nBits >= 1 && nBits <= 128, s"nBits $nBits outside md5's 128 bits")
+    val f = udf { (t: String) =>
+      val sums = new Array[Long](nBits)
+      if (t != null) {
+        val toks = t.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        toks.foreach { tok =>
+          val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var j = 0
+          while (j < nBits) {
+            val p = j % 32 // hex digit index; high nibble of each byte first
+            val digit = (d(p / 2) >> (4 * (1 - (p % 2)))) & 0xf
+            sums(j) += ((digit >> (j / 32)) & 1) * 2 - 1
+            j += 1
+          }
+        }
+      }
+      val sb = new java.lang.StringBuilder(nBits)
+      var j = 0
+      while (j < nBits) { sb.append(if (sums(j) > 0) '1' else '0'); j += 1 }
+      sb.toString
+    }
+    f(c)
+  }
+
   /** 16-bit SimHash over the token stream. Bit j is the sign of
     * Σ_tokens (2·b_j(tok) − 1) where b_j(tok) is the parity of hex digit
     * j of md5(tok) — an engine-portable LSH family member. Returned as a

@@ -91,18 +91,24 @@ object StreamingProfile {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
-  /** Streaming NEAR-dup: drop events whose 16-bit SimHash sketch
-    * collides with an earlier event inside the watermark horizon —
-    * sketch-equality near-duplicate suppression (formatting noise,
-    * small token reorders hash identically at this granularity; a
-    * production system widens the sketch). Same watermark-bounded
-    * machinery as [[streamingDedup]], keyed on the sketch instead of
-    * the exact digest. */
+  /** Streaming NEAR-dup: drop events whose SimHash sketch collides
+    * with an earlier event inside the watermark horizon —
+    * sketch-equality near-duplicate suppression (formatting noise and
+    * token reorders hash identically; SimHash is order-invariant).
+    * The 64-bit default matches the batch path's
+    * ([[graft.ops.Dedup.simhashNearDup]]): at 16 bits, 65k distinct
+    * sketch values mean genuinely different documents start colliding
+    * — and being WRONGLY dropped — once the watermark horizon holds
+    * more than a few thousand events. Sketched by the one-pass row
+    * kernel ([[graft.ops.TextAnalysis.simHashRow]]); same
+    * watermark-bounded machinery as [[streamingDedup]], keyed on the
+    * sketch instead of the exact digest. */
   def streamingNearDup(events: DataFrame, tsCol: String, textCol: String,
-                       watermark: String = "2 hours"): DataFrame =
+                       watermark: String = "2 hours",
+                       nBits: Int = 64): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .withColumn("__sh", graft.ops.TextAnalysis.simHash16(col(textCol)))
+      .withColumn("__sh", graft.ops.TextAnalysis.simHashRow(col(textCol), nBits))
       .dropDuplicatesWithinWatermark("__sh")
       .drop("__sh")
 

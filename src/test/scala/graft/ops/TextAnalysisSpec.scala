@@ -63,4 +63,25 @@ class TextAnalysisSpec extends SparkSpec {
     val row = r.collect()(0)
     assert(row.getBoolean(0)); assert(row.getBoolean(1))
   }
+
+  test("simHashRow ≡ simHashAgg (and simHash16 at 16 bits) across widths") {
+    val docs = Seq(
+      (1L, "the quick brown Fox; jumps over 42 lazy dogs!"),
+      (2L, "completely different content about spark partitions"),
+      (3L, ""), (4L, "one"), (5L, "Unicode stays out: caffè 123 naïve"))
+      .toDF("id", "text")
+    Seq(16, 32, 64, 128).foreach { nb =>
+      val viaRow = docs.select(col("id"),
+        TextAnalysis.simHashRow(col("text"), nb).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val viaAgg = TextAnalysis.simHashAgg(docs, "id", "text", nb)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("simhash")).toMap
+      assert(viaRow === viaAgg, s"row/agg sketch divergence at $nb bits")
+    }
+    val via16 = docs.select(col("id"), TextAnalysis.simHash16(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaRow16 = docs.select(col("id"), TextAnalysis.simHashRow(col("text"), 16).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaRow16 === via16)
+  }
 }
