@@ -856,15 +856,18 @@ object SparkEntry {
       // (odd ids), then parse them back with the real byte-level header
       // reader — any mis-read byte breaks the oracle compare, whose
       // width/height formulas never see the image bytes at all
-      val docs = t(s, d, "documents")
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
       val fix = udf { (text: String, id: Long) =>
-        val dg = java.security.MessageDigest.getInstance("MD5")
-          .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        def u(i: Int) = dg(i) & 0xff
-        val w = 64 + (u(0) * 256 + u(1)) % 1985
-        val h = 64 + (u(2) * 256 + u(3)) % 1985
-        if (id % 2 == 0) Multimodal.pngFixture(w, h)
-        else Multimodal.jpegFixture(w, h)
+        if (text == null) null
+        else {
+          val dg = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          def u(i: Int) = dg(i) & 0xff
+          val w = 64 + (u(0) * 256 + u(1)) % 1985
+          val h = 64 + (u(2) * 256 + u(3)) % 1985
+          if (id % 2 == 0) Multimodal.pngFixture(w, h)
+          else Multimodal.jpegFixture(w, h)
+        }
       }
       val payloads = docs.select(col("doc_id"), col("text"),
         fix(col("text"), col("doc_id")).as("payload"))
@@ -1525,7 +1528,7 @@ object SparkEntry {
            |  64 + ((${hd(1)} * 16 + ${hd(2)}) * 256 + (${hd(3)} * 16 + ${hd(4)})) % 1985 AS width,
            |  64 + ((${hd(5)} * 16 + ${hd(6)}) * 256 + (${hd(7)} * 16 + ${hd(8)})) % 1985 AS height,
            |  CAST(NULL AS BIGINT) AS duration_ms
-           |FROM documents ORDER BY doc_id""".stripMargin)
+           |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin)
   }
 
   // q34 parameters (the md5 embedding component both engines share

@@ -200,13 +200,18 @@ object Profiler {
     val x = if (integral) col(valueCol).cast(DecimalType(38, 0)) else xd
     val clean = df.filter(xd.isNotNull)
     val ps = Seq(0.25, 0.5, 0.75)
+    // a null group key never routes hot (filtered here): isin/=== can't
+    // address null rows, so a null group stays on the buffered path by
+    // construction — and the masking below must not let three-valued
+    // logic null OTHER groups out (hence the <=> true)
     val hot: Seq[(Any, Long)] = clean.groupBy(col(keyCol)).count()
-      .filter(col("count") > hotGroupRowBound)
+      .filter(col("count") > hotGroupRowBound && col(keyCol).isNotNull)
       .collect().map(r => r.get(0) -> r.getLong(1)).toSeq
     // percentile input masked to null for hot groups — their values
     // never enter aggregation state
     val qIn = if (hot.isEmpty) xd
-      else when(!col(keyCol).isin(hot.map(_._1): _*), xd)
+      else when(col(keyCol).isin(hot.map(_._1): _*) <=> lit(true),
+        lit(null).cast(DoubleType)).otherwise(xd)
     val qsCol = if (hot.isEmpty)
       percentile(xd, array(ps.map(lit): _*))
     else {

@@ -50,16 +50,8 @@ object Dedup {
     * measured); this kernel produces byte-identical shingles (same
     * split regex, same space join, same first-occurrence distinct), so
     * oracle parity is untouched. */
-  // Locale.ROOT matches Spark lower()'s ASCII fast path exactly (the
-  // case that matters for [a-z0-9] tokens). Spark's non-ASCII slow
-  // path is default-locale; under a non-ROOT default locale (e.g.
-  // Turkish) mixed non-ASCII+'I' strings can diverge between the two
-  // forms — and equally between Spark and the DuckDB oracle, so ROOT
-  // is the consistent choice.
   private def tokensLocal(text: String): Array[String] =
-    if (text == null) Array.empty
-    else text.toLowerCase(java.util.Locale.ROOT)
-      .split("[^a-z0-9]+").filter(_.nonEmpty)
+    TextAnalysis.tokensLocal(text)
 
   /** Space-joined tokens [i, i+k). */
   private def joinTokens(toks: Array[String], i: Int, k: Int): String = {

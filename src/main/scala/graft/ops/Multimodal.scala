@@ -69,6 +69,9 @@ object Multimodal {
         if (u(i) != 0xff) return None
         var m = u(i + 1)
         while (m == 0xff && i + 2 < p.length) { i += 1; m = u(i + 1) }
+        // a trailing run of 0xff fill bytes (truncated payload) must
+        // reject, not read past the array
+        if (m == 0xff || i + 3 >= p.length) return None
         if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone markers
         else if (m == 0xd9 || m == 0xda) return None      // EOI/SOS before any SOF
         else {

@@ -21,6 +21,20 @@ object TextAnalysis {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
 
+  /** JVM-side twin of [[tokens]] — THE canonical local tokenizer every
+    * tight-loop kernel (shingles, n-grams, passages, row-wise simhash)
+    * must share, so they stay byte-identical with the expression form
+    * and the DuckDB oracle. Locale.ROOT matches Spark lower()'s ASCII
+    * fast path exactly (the case that matters for [a-z0-9] tokens);
+    * Spark's non-ASCII slow path is default-locale, and under a
+    * non-ROOT default locale (e.g. Turkish) mixed non-ASCII+'I'
+    * strings can diverge between the two forms — and equally between
+    * Spark and the oracle — so ROOT is the consistent choice. */
+  private[ops] def tokensLocal(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+
   /** Whitespace token count — the cheap "how many words" estimator. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -186,8 +200,7 @@ object TextAnalysis {
     val f = udf { (t: String) =>
       val sums = new Array[Long](nBits)
       if (t != null) {
-        val toks = t.toLowerCase(java.util.Locale.ROOT)
-          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        val toks = tokensLocal(t)
         val md = java.security.MessageDigest.getInstance("MD5")
         toks.foreach { tok =>
           val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -88,12 +88,16 @@ final case class Md5Embedder(dim: Int) extends Embedder {
 }
 
 object Md5Embedder {
-  /** First 7 hex digits of md5(s) → 28-bit int → uniform [-1, 1). */
+  /** First 7 hex digits of md5(s) → 28-bit int → uniform [-1, 1).
+    * The 28-bit value is read straight off the first 3.5 digest bytes
+    * (hex digit k = nibble k, high nibble of each byte first) — no hex
+    * string on this per-(token, dim) executor hot path. */
   def component(s: String): Double = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hex = d.map(b => f"$b%02x").mkString.substring(0, 7)
-    java.lang.Long.parseLong(hex, 16).toDouble / 268435456.0 * 2.0 - 1.0
+    val v = ((d(0) & 0xff) << 20) | ((d(1) & 0xff) << 12) |
+      ((d(2) & 0xff) << 4) | ((d(3) & 0xff) >>> 4)
+    v.toDouble / 268435456.0 * 2.0 - 1.0
   }
 }
 

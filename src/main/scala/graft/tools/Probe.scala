@@ -146,17 +146,22 @@ object Probe {
     names.filter(_ == "scalelaw").foreach { _ =>
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      // each copy-set gets fully distinct tokens (per-set vowel rotation
-      // — a prefix alone leaves copies ~95% Jaccard-similar): the corpus
-      // GROWS with new content instead of stacking near-dups, so timing
-      // reflects scaling, not quadratic duplicate-pair volume
-      val rot = "abcdefghijklmnopqrstuvwxy" // period 25 > max copyset count
+      // each copy-set gets fully distinct tokens (per-set alphabet+digit
+      // rotation over LOWERCASED text — a prefix alone leaves copies
+      // ~95% Jaccard-similar, and rotating raw text would leave
+      // uppercase/unrotated chars shared across copies after the
+      // tokenizer lowercases): the corpus GROWS with new content
+      // instead of stacking near-dups, so timing reflects scaling, not
+      // quadratic duplicate-pair volume
+      val rotL = "abcdefghijklmnopqrstuvwxyz"
+      val rotD = "0123456789"
       def at(mult: Int): org.apache.spark.sql.DataFrame =
         (0 until mult).map { m =>
-          val shifted = rot.drop(m % rot.length) + rot.take(m % rot.length)
+          val sh = rotL.drop(m % rotL.length) + rotL.take(m % rotL.length) +
+            rotD.drop(m % rotD.length) + rotD.take(m % rotD.length)
           docs
             .withColumn("doc_id", col("doc_id") + lit(m * 1000000L))
-            .withColumn("text", translate(col("text"), rot, shifted))
+            .withColumn("text", translate(lower(col("text")), rotL + rotD, sh))
         }.reduce(_ unionByName _)
       // untimed warmup so x1 isn't charged for JIT/codegen compilation
       graft.ops.Dedup.lshJaccardDedup(at(1), "doc_id", "text",
@@ -176,15 +181,18 @@ object Probe {
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       // same growing-corpus generator as `scalelaw`: each copy-set gets
-      // fully distinct tokens so candidate growth measures random band
-      // collisions, not genuine near-dup volume
-      val rot = "abcdefghijklmnopqrstuvwxy"
+      // fully distinct tokens (alphabet+digit rotation over lowercased
+      // text) so candidate growth measures random band collisions, not
+      // genuine near-dup volume
+      val rotL = "abcdefghijklmnopqrstuvwxyz"
+      val rotD = "0123456789"
       def at(mult: Int): org.apache.spark.sql.DataFrame =
         (0 until mult).map { m =>
-          val shifted = rot.drop(m % rot.length) + rot.take(m % rot.length)
+          val sh = rotL.drop(m % rotL.length) + rotL.take(m % rotL.length) +
+            rotD.drop(m % rotD.length) + rotD.take(m % rotD.length)
           docs
             .withColumn("doc_id", col("doc_id") + lit(m * 1000000L))
-            .withColumn("text", translate(col("text"), rot, shifted))
+            .withColumn("text", translate(lower(col("text")), rotL + rotD, sh))
         }.reduce(_ unionByName _)
       graft.ops.Dedup.simhashCandidates(at(1), "doc_id", "text", 64, 4).count() // warmup
       Seq(32, 64).foreach { nb =>

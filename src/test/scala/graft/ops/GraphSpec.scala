@@ -98,8 +98,27 @@ class GraphSpec extends SparkSpec {
     val plan = hot.queryExecution.executedPlan.toString
     assert(plan.contains("dominant"),
       s"hot-group literal CASE missing from plan:\n$plan")
-    assert(plan.contains("NOT k#") || plan.contains("NOT (k#") ||
-      plan.toLowerCase.contains("isin") || plan.contains("IN ("),
+    // the percentile aggregate's input must be the null-masked CASE,
+    // not the raw value column (Catalyst renders the single-key isin
+    // as `(k = dominant) <=> true`)
+    assert(plan.contains("percentile(CASE WHEN"),
       s"percentile input should be masked for hot groups:\n$plan")
+  }
+
+  test("grouped profile hot-group path: dominant NULL group stays buffered, other groups unaffected") {
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 2000).map(i => (null.asInstanceOf[String], i.toDouble)) ++
+      (1 to 1500).map(i => ("hotkey", i.toDouble)) ++
+      (1 to 100).map(i => ("small", (i * 2).toDouble))
+    val df = spark.createDataFrame(rows).toDF("k", "v")
+    val buffered = graft.engine.Profiler.groupedNumericProfile(df, "k", "v")
+    val hot = graft.engine.Profiler.groupedNumericProfile(df, "k", "v",
+      hotGroupRowBound = 500L) // null (2000) and hotkey (1500) both exceed
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => Option(r.get(0)) -> r.toSeq.tail).toMap
+    // null group must neither crash the hot path nor lose its quantiles;
+    // small groups must not be nulled by three-valued isin logic
+    assert(m(hot) === m(buffered))
+    assert(m(hot).keySet === Set(None, Some("hotkey"), Some("small")))
   }
 }

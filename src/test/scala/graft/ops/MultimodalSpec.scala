@@ -64,6 +64,11 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseImageHeader("plain text".getBytes("UTF-8")) === None)
     assert(Multimodal.parseImageHeader(null) === None)
     assert(Multimodal.parseImageHeader(Array[Byte](0xff.toByte, 0xd8.toByte)) === None)
+    // truncated payload ending in 0xff fill bytes must reject, not AIOOBE
+    assert(Multimodal.parseImageHeader(
+      Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff).map(_.toByte)) === None)
+    assert(Multimodal.parseImageHeader(
+      Array(0xff, 0xd8, 0xff, 0xc0, 0x00).map(_.toByte)) === None)
     // a real PNG encoder agrees: round-trip through javax.imageio
     val img = new java.awt.image.BufferedImage(17, 23,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
