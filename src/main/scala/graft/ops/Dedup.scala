@@ -285,51 +285,77 @@ object Dedup {
     * at 100× corpus scale. The 64-bit default leaves 16-bit keys
     * (65,536 buckets per band): random band collisions stay ~linear
     * until n approaches millions of docs per content cluster, which is
-    * the regime where the docs genuinely ARE near-dups. Shuffle rows:
-    * `bands` per doc (a long each) — 100 TB-safe. */
+    * the regime where the docs genuinely ARE near-dups. Corpora that
+    * saturate even 16-bit bands can go to nBits=128 (4 bands of 32 →
+    * ~4·n²/2³² random collisions; the sketch rides as two 64-bit
+    * words, verified by a two-popcount sum). Shuffle rows: `bands`
+    * per doc (a long each) — 100 TB-safe. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxDist: Int = 3, nBits: Int = 64,
-                     bands: Int = 4): DataFrame =
-    simhashCandidates(df, idCol, textCol, nBits, bands)
-      .withColumn("dist", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+                     bands: Int = 4): DataFrame = {
+    val cand = simhashCandidates(df, idCol, textCol, nBits, bands)
+    val dist =
+      if (nBits <= 64) bit_count(col("h_a").bitwiseXOR(col("h_b")))
+      else bit_count(col("h_hi_a").bitwiseXOR(col("h_hi_b"))) +
+        bit_count(col("h_lo_a").bitwiseXOR(col("h_lo_b")))
+    cand.withColumn("dist", dist)
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
+  }
+
+  /** MSB-first '0'/'1' string (≤ 64 chars) → signed 64-bit word.
+    * conv(_, 2, 10) yields an unsigned decimal string, which overflows
+    * a signed cast once bit 0 is set at 64 bits — so words wider than
+    * 32 bits assemble from two 32-bit halves. */
+  private def bitsToLong(bits: Column, width: Int): Column =
+    if (width <= 32) conv(bits, 2, 10).cast("long")
+    else shiftleft(conv(substring(bits, 1, width - 32), 2, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(bits, width - 31, 32), 2, 10).cast("long"))
 
   /** The banded candidate pairs of [[simhashNearDup]] BEFORE the
-    * Hamming verify — distinct (id_a, h_a, id_b, h_b) sharing ≥ 1 band.
-    * Exposed separately so the candidate volume (the term that must
-    * stay ~linear in corpus size for the op to scale) is measurable on
-    * its own; `Probe simhash-scalelaw` charts it at 32 vs 64 bits. */
+    * Hamming verify — distinct ids sharing ≥ 1 band, each carrying its
+    * sketch word(s): (id_a, h_a, id_b, h_b) up to 64 bits, or hi/lo
+    * word pairs above. Sketching is a PURE MAP (the one-pass
+    * [[TextAnalysis.simHashRow]] kernel — no explode, no groupBy
+    * shuffle, no empty-doc reattach join); the only exchanges are the
+    * banded self-join's. Exposed separately so the candidate volume
+    * (the term that must stay ~linear in corpus size for the op to
+    * scale) is measurable on its own; `Probe simhash-scalelaw` charts
+    * it at 32 vs 64 bits. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         nBits: Int = 64, bands: Int = 4): DataFrame = {
     require(nBits % bands == 0, s"bands $bands must divide nBits $nBits")
-    require(nBits <= 64, s"nBits $nBits exceeds the 64-bit sketch word")
+    require(nBits <= 128, s"nBits $nBits outside md5's 128 bits")
     val bandBits = nBits / bands
-    val mask = (1L << bandBits) - 1L
-    // MSB-first bit string → signed 64-bit word. conv(_, 2, 10) yields
-    // an unsigned decimal string, which overflows a signed cast once
-    // bit 0 is set at 64 bits — so words wider than 32 bits assemble
-    // from two 32-bit halves.
-    val hExpr =
-      if (nBits <= 32) conv(col("simhash"), 2, 10).cast("long")
-      else shiftleft(conv(substring(col("simhash"), 1, nBits - 32), 2, 10).cast("long"), 32)
-        .bitwiseOR(conv(substring(col("simhash"), nBits - 31, 32), 2, 10).cast("long"))
-    val sk = graft.ops.TextAnalysis.simHashAgg(df, idCol, textCol, nBits)
-      .withColumn("h", hExpr)
-    // materialized once: both sides of the band self-join consume this
-    // frame, and its lineage is the whole sketch pipeline (tokenize +
-    // explode + per-bit-sum groupBy) — without the checkpoint the join
-    // recomputes it twice. `bands` longs per doc — cheap to pin.
-    val banded = sk.select(col("id"), col("h"),
-      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-        shiftright(col("h"), b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
-      .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val sk0 = df.select(col(idCol).as("id"),
+      graft.ops.TextAnalysis.simHashRow(col(textCol).cast("string"), nBits).as("sh"))
+    val (sk, wordCols) =
+      if (nBits <= 64)
+        (sk0.select(col("id"), bitsToLong(col("sh"), nBits).as("h"), col("sh")),
+          Seq("h"))
+      else
+        (sk0.select(col("id"),
+          bitsToLong(substring(col("sh"), 1, nBits - 64), nBits - 64).as("h_hi"),
+          bitsToLong(substring(col("sh"), nBits - 63, 64), 64).as("h_lo"),
+          col("sh")), Seq("h_hi", "h_lo"))
+    // band keys off the bit string (works at any width; a band is at
+    // most 64 bits wide so its key always fits a long)
+    val banded = sk.select(col("id") +: wordCols.map(col) :+
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          bitsToLong(substring(col("sh"), b * bandBits + 1, bandBits), bandBits)
+            .as("key"))): _*)).as("bk"): _*)
+      .select(col("id") +: wordCols.map(col) :+
+        col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
+      // materialized once: both sides of the band self-join consume
+      // this frame, whose lineage re-runs the md5-per-token sketch UDF
+      // — without the checkpoint the join computes every sketch twice.
+      // id + 1-2 longs + `bands` keys per doc — cheap to pin.
       .localCheckpoint()
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("l.h").as("h_a"),
-        col("r.id").as("id_b"), col("r.h").as("h_b"))
+      .select(col("l.id").as("id_a") +: wordCols.map(c => col(s"l.$c").as(s"${c}_a")) ++:
+        (col("r.id").as("id_b") +: wordCols.map(c => col(s"r.$c").as(s"${c}_b"))): _*)
       .distinct()
   }
 

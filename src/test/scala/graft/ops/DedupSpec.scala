@@ -79,6 +79,26 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("128-bit simhash near-dup: pigeonhole ground truth over two-word sketches") {
+    val sk = TextAnalysis.simHashAgg(docs, "id", "text", 128)
+      .collect().map { r =>
+        val s = r.getAs[String]("simhash")
+        r.getAs[Long]("id") -> ((java.lang.Long.parseUnsignedLong(s.substring(0, 64), 2),
+          java.lang.Long.parseUnsignedLong(s.substring(64), 2)))
+      }.toMap
+    val want = (for {
+      a <- sk.keys; b <- sk.keys if a < b
+      d = java.lang.Long.bitCount(sk(a)._1 ^ sk(b)._1) +
+        java.lang.Long.bitCount(sk(a)._2 ^ sk(b)._2)
+      if d <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashNearDup(docs, "id", "text", maxDist = 3, nBits = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    // exact dups still collide at full width
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)))
+  }
+
   test("boilerplate strip removes common lines, keeps order, handles all-boilerplate docs") {
     val lined = Seq(
       (1L, "HEADER\nalpha beta\nFOOTER"),
