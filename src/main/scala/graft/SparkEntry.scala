@@ -832,6 +832,21 @@ object SparkEntry {
         n = 3, minCount = 5)
         .orderBy("ngram")),
 
+    // --- n-gram contamination report: fixture = 50 verbatim leaks
+    // (contamination 1.0) + 50 alphabet-rotated twins (disjoint token
+    // space → ~0) against the full corpus as training data ---
+    "q57_ngram_contamination" -> ((s, d) => {
+      val train = t(s, d, "documents")
+      val leaked = train.filter(col("doc_id") < 50)
+      val test = leaked.unionByName(leaked
+        .withColumn("doc_id", col("doc_id") + 20000)
+        .withColumn("text", translate(lower(col("text")),
+          "abcdefghijklmnopqrstuvwxyz0123456789",
+          "bcdefghijklmnopqrstuvwxyza1234567890")))
+      Corpus.ngramContamination(train, test, "doc_id", "text", n = 5)
+        .orderBy("id")
+    }),
+
     // --- passage-level exact dedup stats (chunked substring dedup) ---
     "q55_passage_dup" -> ((s, d) =>
       Corpus.passageDupStats(
@@ -1344,6 +1359,35 @@ object SparkEntry {
            |SELECT ngram, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
            |FROM g GROUP BY ngram HAVING count(*) >= 5
            |ORDER BY ngram""".stripMargin,
+
+      "q57_ngram_contamination" ->
+        s"""WITH ts AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+           |  UNION ALL
+           |  SELECT doc_id + 20000,
+           |    translate(lower(text), 'abcdefghijklmnopqrstuvwxyz0123456789',
+           |              'bcdefghijklmnopqrstuvwxyza1234567890')
+           |  FROM documents WHERE doc_id < 50),
+           |trg AS (SELECT DISTINCT md5(g) AS fp FROM (
+           |  SELECT unnest(list_transform(range(len(w) - 4),
+           |    i -> array_to_string(w[i+1:i+5], ' '))) AS g
+           |  FROM (SELECT ${toksSql("text")} AS w FROM documents)
+           |  WHERE len(w) >= 5)),
+           |teg AS (SELECT DISTINCT doc_id, md5(g) AS fp FROM (
+           |  SELECT doc_id, unnest(list_transform(range(len(w) - 4),
+           |    i -> array_to_string(w[i+1:i+5], ' '))) AS g
+           |  FROM (SELECT doc_id, ${toksSql("text")} AS w FROM ts)
+           |  WHERE len(w) >= 5)),
+           |hits AS (
+           |  SELECT doc_id, count(*) AS n_grams,
+           |    CAST(sum(CASE WHEN fp IN (SELECT fp FROM trg) THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+           |  FROM teg GROUP BY doc_id)
+           |SELECT t.doc_id AS id,
+           |  CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_grams,
+           |  coalesce(h.n_overlap, 0) AS n_overlap,
+           |  round(coalesce(CAST(h.n_overlap AS DOUBLE) / h.n_grams, 0.0), 6) AS contamination
+           |FROM (SELECT DISTINCT doc_id FROM ts) t LEFT JOIN hits h USING (doc_id)
+           |ORDER BY id""".stripMargin,
 
       "q55_passage_dup" ->
         s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),

@@ -129,6 +129,40 @@ object Corpus {
           .as("dup_passage_frac"))
   }
 
+  /** GPT-3/Lee-et-al-style n-gram contamination report: for every doc
+    * in `test`, the fraction of its DISTINCT word n-grams occurring
+    * anywhere in `train` — the graded counterpart of the exact
+    * [[Dedup.decontaminate]], which only catches whole-document
+    * copies. A test doc with high n-gram overlap is partially leaked
+    * (quoted, spliced, lightly paraphrased) even when its content
+    * fingerprint is unique.
+    *
+    * Shape: both corpora reduce to DISTINCT md5(n-gram) digests —
+    * train globally (|distinct grams| rows), test per doc — then ONE
+    * digest-keyed equijoin and a per-doc ratio agg. Shuffle keys are
+    * 16-byte digests, never text; docs shorter than n tokens report
+    * zero grams and zero contamination. */
+  def ngramContamination(train: DataFrame, test: DataFrame, idCol: String,
+                         textCol: String, n: Int = 8): DataFrame = {
+    val trainG = train
+      .select(explode(Dedup.ngramStreamFast(col(textCol).cast("string"), n)).as("g"))
+      .select(md5(col("g").cast("binary")).as("fp")).distinct()
+    val testG = test
+      .select(col(idCol).as("id"),
+        explode(Dedup.ngramStreamFast(col(textCol).cast("string"), n)).as("g"))
+      .select(col("id"), md5(col("g").cast("binary")).as("fp")).distinct()
+    val hits = testG.join(trainG.withColumn("__hit", lit(1L)), Seq("fp"), "left")
+      .groupBy("id").agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+    test.select(col(idCol).as("id")).distinct()
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_hit").cast("double") /
+          col("n_grams").cast("double"), lit(0.0)), 6).as("contamination"))
+  }
+
   /** Per-document average token log-probability under an add-one-
     * smoothed unigram language model fit on `train` — the cheap
     * corpus-relative quality/outlier score (CCNet-style perplexity

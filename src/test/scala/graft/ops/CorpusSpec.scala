@@ -98,4 +98,29 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L)._3.contains("<EMAIL> <EMAIL>"))
     assert(out(3L)._3.contains("<PHONE>"))
   }
+
+  test("n-gram contamination: verbatim leak = 1.0, spliced quote partial, clean = 0, short doc = 0 grams") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // verbatim
+      (11L, "intro words then alpha beta gamma delta epsilon closing remark"), // spliced quote
+      (12L, "completely fresh content nothing shared with training data at all"),
+      (13L, "too short"))                                     // < n tokens
+      .toDF("doc_id", "text")
+    val got = Corpus.ngramContamination(train, test, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(10L) === ((4L, 4L, 1.0)))
+    // 11: 6 distinct 5-grams, exactly one ("alpha beta gamma delta
+    // epsilon") appears in train
+    assert(got(11L)._1 === 6L)
+    assert(got(11L)._2 === 1L)
+    assert(math.abs(got(11L)._3 - 1.0 / 6.0) < 1e-6)
+    assert(got(12L) === ((6L, 0L, 0.0)))
+    assert(got(13L) === ((0L, 0L, 0.0)))
+  }
 }
