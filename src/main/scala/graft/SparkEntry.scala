@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.{Detector, DetectorConfig, Profiler}
-import graft.ops.{Corpus, Curation, Dedup, Graph, Layout, Multimodal, Sampling, Similarity, Temporal, TextAnalysis}
+import graft.ops.{Corpus, Curation, Dedup, Graph, Layout, Multimodal, Prefix, Sampling, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract: every deterministic operator of the engine is
   * registered here as a (SparkSession, sfDir) => DataFrame query with a
@@ -832,6 +832,18 @@ object SparkEntry {
         n = 3, minCount = 5)
         .orderBy("ngram")),
 
+    // --- sequence packing (concatenate-and-cut training layout): doc →
+    // (bin, offset, crosses) via the distributed prefix sum — no
+    // single-task window; oracle replays with SUM OVER (ORDER BY) ---
+    "q58_sequence_pack" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      Prefix.packSequences(docs, "doc_id", "n_tokens", budget = 512)
+        .select(col("doc_id"), col("n_tokens"), col("cum"), col("start_pos"),
+          col("bin"), col("bin_offset"), col("crosses"))
+        .orderBy("doc_id")
+    }),
+
     // --- n-gram contamination report: fixture = 50 verbatim leaks
     // (contamination 1.0) + 50 alphabet-rotated twins (disjoint token
     // space → ~0) against the full corpus as training data ---
@@ -1359,6 +1371,24 @@ object SparkEntry {
            |SELECT ngram, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
            |FROM g GROUP BY ngram HAVING count(*) >= 5
            |ORDER BY ngram""".stripMargin,
+
+      "q58_sequence_pack" ->
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    CAST(coalesce(len(${toksSql("text")}), 0) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, n_tokens,
+           |    SUM(n_tokens) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM d)
+           |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum,
+           |  CAST(cum - n_tokens AS BIGINT) AS start_pos,
+           |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+           |  CAST((cum - n_tokens) % 512 AS BIGINT) AS bin_offset,
+           |  (floor((cum - 1) / 512.0) > floor((cum - n_tokens) / 512.0)
+           |    AND n_tokens > 0) AS crosses
+           |FROM c ORDER BY doc_id""".stripMargin,
 
       "q57_ngram_contamination" ->
         s"""WITH ts AS (
