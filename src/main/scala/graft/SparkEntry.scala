@@ -832,6 +832,13 @@ object SparkEntry {
         n = 3, minCount = 5)
         .orderBy("ngram")),
 
+    // --- weighted sample without replacement (Efraimidis–Spirakis,
+    // content-derived priorities): sample docs ∝ n_chars, k=100 ---
+    "q59_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(t(s, d, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", k = 100)
+        .orderBy("skey", "doc_id")),
+
     // --- sequence packing (concatenate-and-cut training layout): doc →
     // (bin, offset, crosses) via the distributed prefix sum — no
     // single-task window; oracle replays with SUM OVER (ORDER BY) ---
@@ -1371,6 +1378,14 @@ object SparkEntry {
            |SELECT ngram, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
            |FROM g GROUP BY ngram HAVING count(*) >= 5
            |ORDER BY ngram""".stripMargin,
+
+      "q59_weighted_sample" ->
+        s"""SELECT doc_id, n_chars, skey FROM (
+           |  SELECT doc_id, n_chars,
+           |    round(-ln((CAST(${hash31Sql("doc_id::VARCHAR || '#ws42'")} AS DOUBLE) + 0.5)
+           |      / 268435456.0) / n_chars, 6) AS skey
+           |  FROM documents WHERE n_chars > 0)
+           |ORDER BY skey, doc_id LIMIT 100""".stripMargin,
 
       "q58_sequence_pack" ->
         s"""WITH d AS (

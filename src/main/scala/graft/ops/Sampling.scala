@@ -55,6 +55,33 @@ object Sampling {
       hashBucket(col(idCol), 10000) < threshold)
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): row i gets priority key −ln(u_i)/w_i with u_i a
+    * content-derived uniform in (0,1), and the k SMALLEST keys win —
+    * distributionally identical to k sequential weighted draws (a row
+    * with twice the weight is twice as likely at every draw), but
+    * embarrassingly parallel: one narrow projection + a distributed
+    * top-k (TakeOrdered — per-partition heaps, only P·k rows move).
+    * u_i comes from the same md5 28-bit fragment as [[hashBucket]]
+    * (+0.5 so u is never 0), so the sample is reproducible across
+    * runs, partitionings, and engines — the standard "sample corpus
+    * proportional to quality score" primitive, with a replayable
+    * oracle. Rows with null id or weight ≤ 0 are excluded (zero weight
+    * means never sampled; A-ES keys would be ±inf). Appends the
+    * priority as `skey` (rounded, ascending = selected order). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (TextAnalysis.tokenHash31(
+      concat(col(idCol).cast("string"), lit(s"#ws$seed"))).cast("double") + 0.5) /
+      268435456.0
+    val key = -log(u) / col(weightCol).cast("double")
+    df.filter(col(idCol).isNotNull && col(weightCol).cast("double") > 0)
+      .withColumn("skey", round(key, 6))
+      .orderBy(col("skey").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Exact-n-per-key deterministic sample ("reservoir" semantics with a
     * content-defined priority): the n rows of each key with the lowest
     * md5(id) — reproducible across runs and engines, unlike a true

@@ -41,4 +41,35 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sampling should not shuffle:\n$plan")
   }
+
+  test("weighted sample: matches the A-ES ground truth, favors heavy weights, stable under repartitioning") {
+    val df = (1L to 1000L)
+      .map(i => (i, if (i <= 100) 50.0 else 1.0)) // 100 heavy rows, 900 light
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 100)
+      .collect().map(_.getLong(0)).toSet
+    // local ground truth: same hash → u → key formula, k smallest
+    def key(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id#ws42".getBytes("UTF-8"))
+      val v = ((md(0) & 0xff) << 20) | ((md(1) & 0xff) << 12) |
+        ((md(2) & 0xff) << 4) | ((md(3) & 0xff) >>> 4)
+      val k0 = -math.log((v.toDouble + 0.5) / 268435456.0) / w
+      BigDecimal(k0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = (1L to 1000L).map(i => (i, if (i <= 100) 50.0 else 1.0))
+      .sortBy { case (i, w) => (key(i, w), i) }.take(100).map(_._1).toSet
+    assert(got === want)
+    // heavy rows are 50x likelier per draw — they dominate the sample
+    assert(got.count(_ <= 100) > 50, s"heavy rows: ${got.count(_ <= 100)}")
+    // partition-independent
+    val again = Sampling.weightedSample(df.repartition(13), "id", "w", k = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === got)
+    // zero/negative weights never sampled
+    val withZero = df.withColumn("w", when(col("id") <= 900, col("w")).otherwise(lit(0.0)))
+    val z = Sampling.weightedSample(withZero, "id", "w", k = 100)
+      .collect().map(_.getLong(0))
+    assert(z.forall(_ <= 900))
+  }
 }
