@@ -844,7 +844,8 @@ object SparkEntry {
     // single-task window; oracle replays with SUM OVER (ORDER BY) ---
     "q58_sequence_pack" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        coalesce(TextAnalysis.tokenCount(col("text")).cast(LongType), lit(0L))
+          .as("n_tokens"))
       Prefix.packSequences(docs, "doc_id", "n_tokens", budget = 512)
         .select(col("doc_id"), col("n_tokens"), col("cum"), col("start_pos"),
           col("bin"), col("bin_offset"), col("crosses"))
@@ -1380,12 +1381,12 @@ object SparkEntry {
            |ORDER BY ngram""".stripMargin,
 
       "q59_weighted_sample" ->
-        s"""SELECT doc_id, n_chars, skey FROM (
+        s"""SELECT doc_id, n_chars, round(wskey, 6) AS skey FROM (
            |  SELECT doc_id, n_chars,
-           |    round(-ln((CAST(${hash31Sql("doc_id::VARCHAR || '#ws42'")} AS DOUBLE) + 0.5)
-           |      / 268435456.0) / n_chars, 6) AS skey
+           |    -ln((CAST(${hash31Sql("doc_id::VARCHAR || '#ws42'")} AS DOUBLE) + 0.5)
+           |      / 268435456.0) / n_chars AS wskey
            |  FROM documents WHERE n_chars > 0)
-           |ORDER BY skey, doc_id LIMIT 100""".stripMargin,
+           |ORDER BY wskey, doc_id LIMIT 100""".stripMargin,
 
       "q58_sequence_pack" ->
         s"""WITH d AS (

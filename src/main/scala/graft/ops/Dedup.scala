@@ -321,7 +321,14 @@ object Dedup {
     * banded self-join's. Exposed separately so the candidate volume
     * (the term that must stay ~linear in corpus size for the op to
     * scale) is measurable on its own; `Probe simhash-scalelaw` charts
-    * it at 32 vs 64 bits. */
+    * it at 32 vs 64 bits.
+    *
+    * PRECONDITION (all dedup operators): one row per document id. The
+    * former aggregation form silently merged the token streams of rows
+    * sharing an id; the map form sketches each row, so duplicate ids
+    * with different text would emit one sketch per row and duplicate
+    * (id_a, id_b) pairs downstream — concatenate or dedup such rows
+    * upstream. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         nBits: Int = 64, bands: Int = 4): DataFrame = {
     require(nBits % bands == 0, s"bands $bands must divide nBits $nBits")

@@ -26,6 +26,10 @@ object Prefix {
     * first (Spark ascending-null ordering). */
   def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
                    outCol: String = "cum"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input already has a column named '$outCol' — pass a different outCol")
+    require(!df.columns.contains("__v"),
+      "input already has a column named '__v' (internal scratch name)")
     val spark = df.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val sorted = df

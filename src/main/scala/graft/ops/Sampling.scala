@@ -67,8 +67,10 @@ object Sampling {
     * runs, partitionings, and engines — the standard "sample corpus
     * proportional to quality score" primitive, with a replayable
     * oracle. Rows with null id or weight ≤ 0 are excluded (zero weight
-    * means never sampled; A-ES keys would be ±inf). Appends the
-    * priority as `skey` (rounded, ascending = selected order). */
+    * means never sampled; A-ES keys would be ±inf). Selection orders by
+    * the FULL-precision key (quantizing first would collapse the
+    * Exp(w)-distributed small keys into id-ordered ties); the appended
+    * `skey` column is rounded for display/compare only. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int, seed: Long = 42L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -77,9 +79,11 @@ object Sampling {
       268435456.0
     val key = -log(u) / col(weightCol).cast("double")
     df.filter(col(idCol).isNotNull && col(weightCol).cast("double") > 0)
-      .withColumn("skey", round(key, 6))
-      .orderBy(col("skey").asc, col(idCol).asc)
+      .withColumn("__wskey", key)
+      .orderBy(col("__wskey").asc, col(idCol).asc)
       .limit(k)
+      .withColumn("skey", round(col("__wskey"), 6))
+      .drop("__wskey")
   }
 
   /** Exact-n-per-key deterministic sample ("reservoir" semantics with a

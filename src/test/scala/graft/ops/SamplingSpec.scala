@@ -49,13 +49,14 @@ class SamplingSpec extends SparkSpec {
     val got = Sampling.weightedSample(df, "id", "w", k = 100)
       .collect().map(_.getLong(0)).toSet
     // local ground truth: same hash → u → key formula, k smallest
+    // full-precision key — selection must NOT order on the rounded form
+    // (quantized Exp(w) keys collapse into id-ordered ties)
     def key(id: Long, w: Double): Double = {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$id#ws42".getBytes("UTF-8"))
       val v = ((md(0) & 0xff) << 20) | ((md(1) & 0xff) << 12) |
         ((md(2) & 0xff) << 4) | ((md(3) & 0xff) >>> 4)
-      val k0 = -math.log((v.toDouble + 0.5) / 268435456.0) / w
-      BigDecimal(k0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      -math.log((v.toDouble + 0.5) / 268435456.0) / w
     }
     val want = (1L to 1000L).map(i => (i, if (i <= 100) 50.0 else 1.0))
       .sortBy { case (i, w) => (key(i, w), i) }.take(100).map(_._1).toSet
@@ -71,5 +72,11 @@ class SamplingSpec extends SparkSpec {
     val z = Sampling.weightedSample(withZero, "id", "w", k = 100)
       .collect().map(_.getLong(0))
     assert(z.forall(_ <= 900))
+    // huge weights must not collapse selection to id order (regression:
+    // rounding keys to 6dp before the top-k quantized them all to 0)
+    val big = (1L to 1000L).map(i => (i, 1e8)).toDF("id", "w")
+    val bigSel = Sampling.weightedSample(big, "id", "w", k = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(bigSel !== (1L to 50L).toSet, "selection degenerated to id order")
   }
 }
