@@ -832,6 +832,13 @@ object SparkEntry {
         n = 3, minCount = 5)
         .orderBy("ngram")),
 
+    // --- overlapping context-window chunking (RAG/LM layout: 12-token
+    // windows, 4-token overlap) ---
+    "q60_chunk_documents" -> ((s, d) =>
+      Corpus.chunkDocuments(t(s, d, "documents"), "doc_id", "text",
+        chunkSize = 12, overlap = 4)
+        .orderBy("id", "chunk_idx")),
+
     // --- weighted sample without replacement (Efraimidis–Spirakis,
     // content-derived priorities): sample docs ∝ n_chars, k=100 ---
     "q59_weighted_sample" -> ((s, d) =>
@@ -1379,6 +1386,18 @@ object SparkEntry {
            |SELECT ngram, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
            |FROM g GROUP BY ngram HAVING count(*) >= 5
            |ORDER BY ngram""".stripMargin,
+
+      "q60_chunk_documents" ->
+        s"""WITH base AS (SELECT doc_id AS id, ${toksSql("text")} AS w FROM documents),
+           |ch AS (
+           |  SELECT id,
+           |    unnest(range(1 + greatest(0, CAST(ceil((len(w) - 12) / 8.0) AS BIGINT)))) AS chunk_idx,
+           |    unnest(list_transform(range(1 + greatest(0, CAST(ceil((len(w) - 12) / 8.0) AS BIGINT))),
+           |      i -> array_to_string(w[i*8+1 : i*8+12], ' '))) AS chunk
+           |  FROM base WHERE len(w) > 0)
+           |SELECT id, chunk_idx, chunk,
+           |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens
+           |FROM ch ORDER BY id, chunk_idx""".stripMargin,
 
       "q59_weighted_sample" ->
         s"""SELECT doc_id, n_chars, round(wskey, 6) AS skey FROM (

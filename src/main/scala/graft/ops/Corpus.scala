@@ -129,6 +129,23 @@ object Corpus {
           .as("dup_passage_frac"))
   }
 
+  /** Overlapping context-window chunking — the RAG / LM training
+    * layout where consecutive chunks share `overlap` tokens so no
+    * span loses its context at a boundary (HuggingFace
+    * return_overflowing_tokens semantics): `size`-token windows every
+    * `size − overlap` tokens, the last truncated at the document end,
+    * none emitted once a previous window already reached it. A narrow
+    * map (tight-loop kernel + posexplode) — chunking never shuffles;
+    * returns (id, chunk_idx, chunk, n_tokens). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, overlap: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(Dedup.slidingChunksFast(col(textCol).cast("string"),
+          chunkSize, overlap)).as(Seq("chunk_idx", "chunk")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tokens"))
+
   /** GPT-3/Lee-et-al-style n-gram contamination report: for every doc
     * in `test`, the fraction of its DISTINCT word n-grams occurring
     * anywhere in `train` — the graded counterpart of the exact

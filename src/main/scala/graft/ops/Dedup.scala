@@ -109,6 +109,30 @@ object Dedup {
     f(c)
   }
 
+  /** OVERLAPPING token windows (sliding chunks): `size`-token windows
+    * starting every `size − overlap` tokens, last window truncated at
+    * the end of the doc, and no window emitted once a previous one
+    * already reached the end (so no chunk is fully contained in its
+    * predecessor). Empty-token docs produce none. The RAG/LM
+    * context-window layout; same tight loop as the other kernels. */
+  def slidingChunksFast(c: Column, size: Int, overlap: Int): Column = {
+    require(size >= 1, s"size must be >= 1, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap $overlap must be in [0, size=$size)")
+    val step = size - overlap
+    val f = udf { (t: String) =>
+      val toks = tokensLocal(t)
+      if (toks.isEmpty) Array.empty[String]
+      else {
+        val n = 1 + math.max(0, (toks.length - size + step - 1) / step)
+        Array.tabulate(n) { i =>
+          joinTokens(toks, i * step, math.min(size, toks.length - i * step))
+        }
+      }
+    }
+    f(c)
+  }
+
   /** Mersenne prime modulus for the universal hash family. */
   val MinhashP: Long = 2147483647L
 

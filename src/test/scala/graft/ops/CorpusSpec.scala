@@ -99,6 +99,31 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L)._3.contains("<PHONE>"))
   }
 
+  test("overlapping chunking: window/overlap layout, truncated tail, no contained chunk, empty doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 toks, size 8 overlap 4 → [0,8) [4,10)
+      (2L, "a b c"),               // shorter than size → one chunk
+      (3L, "a b c d e f g h"),     // exactly size → one chunk
+      (4L, "!!!"))                 // zero tokens → no chunks
+      .toDF("doc_id", "text")
+    val got = Corpus.chunkDocuments(docs, "doc_id", "text", chunkSize = 8, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(got((1L, 0L)) === (("a b c d e f g h", 8L)))
+    assert(got((1L, 1L)) === (("e f g h i j", 6L)))
+    assert(got((2L, 0L)) === (("a b c", 3L)))
+    assert(got((3L, 0L)) === (("a b c d e f g h", 8L)))
+    assert(got.size === 4)         // doc 4 contributes nothing
+    // consecutive chunks share exactly `overlap` tokens
+    assert(got((1L, 0L))._1.split(" ").takeRight(4).toSeq ===
+      got((1L, 1L))._1.split(" ").take(4).toSeq)
+    // chunking is a narrow plan — no shuffle
+    val plan = Corpus.chunkDocuments(docs, "doc_id", "text", 8, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking should not shuffle:\n$plan")
+  }
+
   test("n-gram contamination: verbatim leak = 1.0, spliced quote partial, clean = 0, short doc = 0 grams") {
     import spark.implicits._
     val train = Seq(
