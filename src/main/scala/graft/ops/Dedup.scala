@@ -423,6 +423,33 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** [[decontaminate]] with the eval-set membership carried as a
+    * BLOOM FILTER instead of a broadcast join side: the test corpus's
+    * fingerprints build one sketch (`expectedItems`/`fpp` sized), and
+    * the training corpus filters MAP-SIDE against the broadcast bits —
+    * no join at all, so repeated decontamination passes (every
+    * training-data refresh, every new shard) never re-shuffle
+    * anything. The price is the documented false-positive rate: up to
+    * `fpp` of CLEAN documents are over-removed (never the reverse —
+    * Bloom filters have no false negatives, so every true leak is
+    * caught). Use the exact [[decontaminate]] when over-removal must
+    * be zero; use this when the eval set is large enough that even its
+    * digest table is worth compressing to bits. */
+  def decontaminateBloom(train: DataFrame, trainId: String, test: DataFrame,
+                         textCol: String, expectedItems: Long,
+                         fpp: Double = 0.001): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp $fpp outside (0,1)")
+    val bloom = test
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .stat.bloomFilter("fp", expectedItems, fpp)
+    val bloomB = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => fp != null && bloomB.value.mightContain(fp))
+    train
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .filter(!mightContain(col("__fp")))
+      .drop("__fp")
+  }
+
   /** End-to-end near-dup corpus dedup: sketch → candidate pairs →
     * connected components → keep ONE representative (the minimum id,
     * up to the bounded-round refinement of

@@ -134,6 +134,27 @@ class DedupSpec extends SparkSpec {
       s"anti-join should broadcast the test side:\n$plan")
   }
 
+  test("bloom decontaminate: every true leak removed (no false negatives), over-removal bounded, no join in plan") {
+    val train = (1L to 2000L).map(i => (i, s"unique training document number $i body"))
+      .toDF("id", "text")
+    // eval set = 50 of the training docs, normalized differently
+    val test = (1L to 50L).map(i => (i + 9000L, s"UNIQUE  training Document number ${i * 7} BODY"))
+      .toDF("id", "text")
+    val kept = Dedup.decontaminateBloom(train, "id", test, "text",
+      expectedItems = 100L, fpp = 0.01)
+      .collect().map(_.getLong(0)).toSet
+    val leakedIds = (1L to 50L).map(_ * 7L).toSet
+    // no false negatives: every leaked doc is gone
+    assert(kept.intersect(leakedIds).isEmpty)
+    // over-removal bounded: well under 5x the 1% fpp on 1950 clean docs
+    val overRemoved = 2000 - kept.size - leakedIds.size
+    assert(overRemoved >= 0 && overRemoved <= 100, s"over-removed $overRemoved")
+    // the scale point: map-side filter, NO join operator in the plan
+    val plan = Dedup.decontaminateBloom(train, "id", test, "text", 100L, 0.01)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"bloom decontaminate should not join:\n$plan")
+  }
+
   test("embedding near-dup finds the duplicated vector") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)),
