@@ -140,11 +140,11 @@ object Corpus {
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
                      chunkSize: Int, overlap: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        posexplode(Dedup.slidingChunksFast(col(textCol).cast("string"),
-          chunkSize, overlap)).as(Seq("chunk_idx", "chunk")))
+        posexplode(Dedup.slidingChunksWithCountsFast(col(textCol).cast("string"),
+          chunkSize, overlap)).as(Seq("chunk_idx", "c")))
       .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        col("chunk"),
-        size(split(col("chunk"), " ")).cast("long").as("n_tokens"))
+        col("c._1").as("chunk"),
+        col("c._2").cast("long").as("n_tokens"))
 
   /** GPT-3/Lee-et-al-style n-gram contamination report: for every doc
     * in `test`, the fraction of its DISTINCT word n-grams occurring

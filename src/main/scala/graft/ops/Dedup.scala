@@ -98,23 +98,22 @@ object Dedup {
   /** Consecutive `p`-token passages (tail partial included; empty-token
     * docs produce none) — the chunking kernel of
     * [[Corpus.passageDupStats]], same tight loop. */
-  def passagesFast(c: Column, p: Int): Column = {
-    val f = udf { (t: String) =>
-      val toks = tokensLocal(t)
-      if (toks.isEmpty) Array.empty[String]
-      else Array.tabulate((toks.length + p - 1) / p) { i =>
-        joinTokens(toks, i * p, math.min(p, toks.length - i * p))
-      }
-    }
-    f(c)
-  }
+  def passagesFast(c: Column, p: Int): Column = slidingChunksFast(c, p, 0)
+
+  /** Number of sliding windows over `len` tokens: one starting every
+    * `step`, last truncated at the end, none once a previous window
+    * already reached it. For step == size this is exactly ⌈len/size⌉
+    * (the non-overlapping passage count). */
+  private def chunkCount(len: Int, size: Int, step: Int): Int =
+    if (len == 0) 0 else 1 + math.max(0, (len - size + step - 1) / step)
 
   /** OVERLAPPING token windows (sliding chunks): `size`-token windows
     * starting every `size − overlap` tokens, last window truncated at
     * the end of the doc, and no window emitted once a previous one
     * already reached the end (so no chunk is fully contained in its
     * predecessor). Empty-token docs produce none. The RAG/LM
-    * context-window layout; same tight loop as the other kernels. */
+    * context-window layout; same tight loop as the other kernels.
+    * [[passagesFast]] is the overlap=0 special case. */
   def slidingChunksFast(c: Column, size: Int, overlap: Int): Column = {
     require(size >= 1, s"size must be >= 1, got $size")
     require(overlap >= 0 && overlap < size,
@@ -122,12 +121,26 @@ object Dedup {
     val step = size - overlap
     val f = udf { (t: String) =>
       val toks = tokensLocal(t)
-      if (toks.isEmpty) Array.empty[String]
-      else {
-        val n = 1 + math.max(0, (toks.length - size + step - 1) / step)
-        Array.tabulate(n) { i =>
-          joinTokens(toks, i * step, math.min(size, toks.length - i * step))
-        }
+      Array.tabulate(chunkCount(toks.length, size, step)) { i =>
+        joinTokens(toks, i * step, math.min(size, toks.length - i * step))
+      }
+    }
+    f(c)
+  }
+
+  /** (chunk, n_tokens) struct form of [[slidingChunksFast]]: the token
+    * count comes from the kernel's own window arithmetic, not a
+    * re-split of the string it just joined. */
+  def slidingChunksWithCountsFast(c: Column, size: Int, overlap: Int): Column = {
+    require(size >= 1, s"size must be >= 1, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap $overlap must be in [0, size=$size)")
+    val step = size - overlap
+    val f = udf { (t: String) =>
+      val toks = tokensLocal(t)
+      Array.tabulate(chunkCount(toks.length, size, step)) { i =>
+        val n = math.min(size, toks.length - i * step)
+        (joinTokens(toks, i * step, n), n)
       }
     }
     f(c)
@@ -432,12 +445,17 @@ object Dedup {
     * anything. The price is the documented false-positive rate: up to
     * `fpp` of CLEAN documents are over-removed (never the reverse —
     * Bloom filters have no false negatives, so every true leak is
-    * caught). Use the exact [[decontaminate]] when over-removal must
-    * be zero; use this when the eval set is large enough that even its
-    * digest table is worth compressing to bits. */
-  def decontaminateBloom(train: DataFrame, trainId: String, test: DataFrame,
+    * caught). The bound assumes `expectedItems` ≥ the eval set's true
+    * cardinality — an undersized filter saturates and over-removes far
+    * beyond `fpp`, so size it from a count (or generously; bits are
+    * cheap: 10M items at 0.1% ≈ 17 MB). Use the exact
+    * [[decontaminate]] when over-removal must be zero; use this when
+    * the eval set is large enough that even its digest table is worth
+    * compressing to bits. */
+  def decontaminateBloom(train: DataFrame, test: DataFrame,
                          textCol: String, expectedItems: Long,
                          fpp: Double = 0.001): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp $fpp outside (0,1)")
     val bloom = test
       .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))

@@ -140,9 +140,11 @@ class DedupSpec extends SparkSpec {
     // eval set = 50 of the training docs, normalized differently
     val test = (1L to 50L).map(i => (i + 9000L, s"UNIQUE  training Document number ${i * 7} BODY"))
       .toDF("id", "text")
-    val kept = Dedup.decontaminateBloom(train, "id", test, "text",
+    // construction is EAGER (the bloom build is a Spark job) — build
+    // once, reuse for both the data and the plan assertions
+    val out = Dedup.decontaminateBloom(train, test, "text",
       expectedItems = 100L, fpp = 0.01)
-      .collect().map(_.getLong(0)).toSet
+    val kept = out.collect().map(_.getLong(0)).toSet
     val leakedIds = (1L to 50L).map(_ * 7L).toSet
     // no false negatives: every leaked doc is gone
     assert(kept.intersect(leakedIds).isEmpty)
@@ -150,8 +152,7 @@ class DedupSpec extends SparkSpec {
     val overRemoved = 2000 - kept.size - leakedIds.size
     assert(overRemoved >= 0 && overRemoved <= 100, s"over-removed $overRemoved")
     // the scale point: map-side filter, NO join operator in the plan
-    val plan = Dedup.decontaminateBloom(train, "id", test, "text", 100L, 0.01)
-      .queryExecution.executedPlan.toString
+    val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"bloom decontaminate should not join:\n$plan")
   }
 
