@@ -340,6 +340,29 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Near-dup decontamination: remove from `train` every document
+    * within Hamming distance `maxDist` of ANY `test` document's sketch
+    * — the paraphrase-tolerant layer the exact [[decontaminate]] (and
+    * its bloom form) cannot provide. Both corpora sketch map-only;
+    * candidates come from a train×test band join (never a self-join,
+    * never all-pairs — same pigeonhole recall as [[simhashNearDup]]
+    * for maxDist < bands), verified by popcount; matched train ids
+    * anti-join away. Test-side ids are irrelevant (only its sketches
+    * matter), so `test` needs just the text column. */
+  def decontaminateNearDup(train: DataFrame, trainId: String,
+                           test: DataFrame, textCol: String,
+                           maxDist: Int = 3, nBits: Int = 64,
+                           bands: Int = 4): DataFrame = {
+    val (bt, words) = bandedSketch(train, trainId, textCol, nBits, bands)
+    val (be, _) = bandedSketch(
+      test.select(lit(0L).as("__tid"), col(textCol)), "__tid", textCol, nBits, bands)
+    val contaminated = bt.as("l").join(be.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .filter(hammingDist(words, "l", "r") <= maxDist)
+      .select(col("l.id").as(trainId)).distinct()
+    train.join(contaminated, Seq(trainId), "left_anti")
+  }
+
   /** MSB-first '0'/'1' string (≤ 64 chars) → signed 64-bit word.
     * conv(_, 2, 10) yields an unsigned decimal string, which overflows
     * a signed cast once bit 0 is set at 64 bits — so words wider than
@@ -368,6 +391,25 @@ object Dedup {
     * upstream. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         nBits: Int = 64, bands: Int = 4): DataFrame = {
+    val (banded, wordCols) = bandedSketch(df, idCol, textCol, nBits, bands)
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a") +: wordCols.map(c => col(s"l.$c").as(s"${c}_a")) ++:
+        (col("r.id").as("id_b") +: wordCols.map(c => col(s"r.$c").as(s"${c}_b"))): _*)
+      .distinct()
+  }
+
+  /** Sketch + band a corpus for the Hamming family: one row per
+    * (doc, band) with the doc's sketch word(s) and the band key. Band
+    * keys come off the bit string (a band is at most 64 bits wide so
+    * its key always fits a long). Materialized once (localCheckpoint):
+    * every consumer joins this frame at least twice, and its lineage
+    * re-runs the md5-per-token sketch UDF — id + 1-2 longs + `bands`
+    * keys per doc, cheap to pin. Returns (frame, sketch word column
+    * names: "h" up to 64 bits, "h_hi"/"h_lo" above). */
+  private def bandedSketch(df: DataFrame, idCol: String, textCol: String,
+                           nBits: Int, bands: Int): (DataFrame, Seq[String]) = {
     require(nBits % bands == 0, s"bands $bands must divide nBits $nBits")
     require(nBits <= 128, s"nBits $nBits outside md5's 128 bits")
     val bandBits = nBits / bands
@@ -382,26 +424,21 @@ object Dedup {
           bitsToLong(substring(col("sh"), 1, nBits - 64), nBits - 64).as("h_hi"),
           bitsToLong(substring(col("sh"), nBits - 63, 64), 64).as("h_lo"),
           col("sh")), Seq("h_hi", "h_lo"))
-    // band keys off the bit string (works at any width; a band is at
-    // most 64 bits wide so its key always fits a long)
     val banded = sk.select(col("id") +: wordCols.map(col) :+
         explode(array((0 until bands).map(b => struct(lit(b).as("band"),
           bitsToLong(substring(col("sh"), b * bandBits + 1, bandBits), bandBits)
             .as("key"))): _*)).as("bk"): _*)
       .select(col("id") +: wordCols.map(col) :+
         col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
-      // materialized once: both sides of the band self-join consume
-      // this frame, whose lineage re-runs the md5-per-token sketch UDF
-      // — without the checkpoint the join computes every sketch twice.
-      // id + 1-2 longs + `bands` keys per doc — cheap to pin.
       .localCheckpoint()
-    banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a") +: wordCols.map(c => col(s"l.$c").as(s"${c}_a")) ++:
-        (col("r.id").as("id_b") +: wordCols.map(c => col(s"r.$c").as(s"${c}_b"))): _*)
-      .distinct()
+    (banded, wordCols)
   }
+
+  /** Hamming distance between the sketch word columns of two aliased
+    * sides of a band join. */
+  private def hammingDist(wordCols: Seq[String], l: String, r: String): Column =
+    wordCols.map(c => bit_count(col(s"$l.$c").bitwiseXOR(col(s"$r.$c"))))
+      .reduce(_ + _)
 
   /** Cross-corpus exact overlap: (id_a, id_b) pairs whose normalized
     * content fingerprints match across two corpora — the detection half

@@ -134,6 +134,30 @@ class DedupSpec extends SparkSpec {
       s"anti-join should broadcast the test side:\n$plan")
   }
 
+  test("near-dup decontaminate: paraphrased eval rows remove their train twins (sketch ground truth)") {
+    // eval row 100 = normalized copy of docs 1-3's token stream (sketch
+    // distance 0 — always caught); 101 is unrelated. Whether doc 5 (the
+    // one-token paraphrase) falls inside tolerance is decided by the
+    // sketch ground truth below, not assumed.
+    val test = Seq(
+      (100L, "The QUICK brown fox jumps over the lazy dog near the river bank today!"),
+      (101L, "an eval question about something else entirely unrelated to anything"))
+      .toDF("id", "text")
+    def sketches(df: org.apache.spark.sql.DataFrame, idc: String): Map[Long, Long] =
+      TextAnalysis.simHashAgg(df, idc, "text", 64)
+        .collect().map(r => r.getAs[Long]("id") ->
+          java.lang.Long.parseUnsignedLong(r.getAs[String]("simhash"), 2)).toMap
+    val trainSk = sketches(docs, "id")
+    val testSk = sketches(test, "id")
+    val shouldDrop = trainSk.filter { case (_, h) =>
+      testSk.values.exists(t => java.lang.Long.bitCount(h ^ t) <= 3) }.keySet
+    // sanity: the normalized copy matches its train twins at distance 0
+    assert(Set(1L, 2L, 3L).subsetOf(shouldDrop))
+    val kept = Dedup.decontaminateNearDup(docs, "id", test, "text", maxDist = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === trainSk.keySet -- shouldDrop)
+  }
+
   test("bloom decontaminate: every true leak removed (no false negatives), over-removal bounded, no join in plan") {
     val train = (1L to 2000L).map(i => (i, s"unique training document number $i body"))
       .toDF("id", "text")
