@@ -832,6 +832,22 @@ object SparkEntry {
         n = 3, minCount = 5)
         .orderBy("ngram")),
 
+    // --- binned point-in-interval range join (equijoin on grid cells +
+    // exact containment — never a nested-loop): every event value
+    // against 0.1% of events as [value, value+5] intervals ---
+    "q61_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val points = ev.select(col("event_id"), col("value"))
+      val intervals = ev.filter(col("event_id") % 1000 === 0)
+        .select(col("event_id").as("interval_id"), col("value").as("lo"),
+          (col("value") + 5.0).as("hi"))
+      Temporal.rangeJoinPointInterval(points, "event_id", "value",
+        intervals, "interval_id", "lo", "hi", binWidth = 5.0)
+        .select(col("event_id"), col("interval_id"),
+          round(col("value"), 6).as("value"), round(col("lo"), 6).as("lo"))
+        .orderBy("event_id", "interval_id")
+    }),
+
     // --- overlapping context-window chunking (RAG/LM layout: 12-token
     // windows, 4-token overlap) ---
     "q60_chunk_documents" -> ((s, d) =>
@@ -1386,6 +1402,15 @@ object SparkEntry {
            |SELECT ngram, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
            |FROM g GROUP BY ngram HAVING count(*) >= 5
            |ORDER BY ngram""".stripMargin,
+
+      "q61_range_join" ->
+        """SELECT p.event_id, i.interval_id,
+          |  round(p.value, 6) AS value, round(i.lo, 6) AS lo
+          |FROM events p
+          |JOIN (SELECT event_id AS interval_id, value AS lo, value + 5.0 AS hi
+          |      FROM events WHERE event_id % 1000 = 0) i
+          |  ON p.value >= i.lo AND p.value <= i.hi
+          |ORDER BY event_id, interval_id""".stripMargin,
 
       "q60_chunk_documents" ->
         s"""WITH base AS (SELECT doc_id AS id, ${toksSql("text")} AS w FROM documents),

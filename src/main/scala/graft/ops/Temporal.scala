@@ -103,6 +103,42 @@ object Temporal {
         payloadCols.map(c => when(fresh, col(s"__m.$c")).as(c))).toIndexedSeq: _*)
   }
 
+  /** Point-in-interval range join: (point, interval) pairs where
+    * `start ≤ t ≤ end`. Spark plans the naive theta join
+    * `p.join(iv, t.between(s, e))` as a BroadcastNestedLoopJoin —
+    * O(|P|·|I|) comparisons and a broadcast of a whole side; this form
+    * BINS the domain instead: intervals explode to the grid cells they
+    * overlap, points map to their one cell, and the match becomes an
+    * EQUIJOIN on cell followed by the exact containment filter — the
+    * standard distributed range-join shape (hash-partitionable,
+    * skew-handled by AQE like any equijoin). Cost knob: `binWidth` —
+    * an interval emits ~(length/binWidth + 1) rows, a cell holds
+    * ~density·binWidth candidate points; set it near the typical
+    * interval length. Null times/bounds and inverted intervals
+    * (start > end) are dropped. */
+  def rangeJoinPointInterval(points: DataFrame, pointId: String, tCol: String,
+                             intervals: DataFrame, intervalId: String,
+                             startCol: String, endCol: String,
+                             binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    val p = points
+      .select(col(pointId).as("__pid"), col(tCol).cast("double").as("__t"))
+      .filter(col("__t").isNotNull)
+      .withColumn("__cell", floor(col("__t") / binWidth))
+    val iv = intervals
+      .select(col(intervalId).as("__iid"), col(startCol).cast("double").as("__s"),
+        col(endCol).cast("double").as("__e"))
+      .filter(col("__s").isNotNull && col("__e").isNotNull && col("__s") <= col("__e"))
+      .withColumn("__cell",
+        explode(sequence(floor(col("__s") / binWidth).cast("long"),
+          floor(col("__e") / binWidth).cast("long"))))
+    p.join(iv, Seq("__cell"))
+      .filter(col("__t") >= col("__s") && col("__t") <= col("__e"))
+      .select(col("__pid").as(pointId), col("__t").as(tCol),
+        col("__iid").as(intervalId), col("__s").as(startCol),
+        col("__e").as(endCol))
+  }
+
   /** The hot-key form of the running-last match: instead of one window
     * task per key, range-repartition the tagged union on
     * (key, time, side, tieBreak) — the SAME total order the window

@@ -121,6 +121,31 @@ class TemporalSpec extends SparkSpec {
     assert(got.values.forall(_ === Some(42.0)))
   }
 
+  test("range join: binned equijoin matches the theta-join ground truth, no nested loop in plan") {
+    val rnd = new scala.util.Random(17)
+    val pts = (1L to 2000L).map(i => (i, rnd.nextDouble() * 1000)).toDF("pid", "t")
+    val ivs = (1L to 60L).map { i =>
+      val s = rnd.nextDouble() * 990
+      (i + 5000L, s, s + rnd.nextDouble() * 30) // widths 0..30, some spanning many bins
+    }.toDF("iid", "s", "e")
+    val got = Temporal.rangeJoinPointInterval(pts, "pid", "t", ivs, "iid", "s", "e", 10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val want = pts.as("p").join(ivs.as("i"),
+        col("p.t") >= col("i.s") && col("p.t") <= col("i.e"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got === want)
+    assert(want.nonEmpty) // the comparison actually compared something
+    // inverted and null-bounded intervals are dropped, not matched
+    val bad = Seq((9000L, 50.0, 40.0)).toDF("iid", "s", "e")
+    assert(Temporal.rangeJoinPointInterval(pts, "pid", "t", bad, "iid", "s", "e", 10.0)
+      .count() === 0L)
+    // the scale point: an EQUIJOIN plans, never a nested loop/cartesian
+    val plan = Temporal.rangeJoinPointInterval(pts, "pid", "t", ivs, "iid", "s", "e", 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join fell back to a nested loop:\n$plan")
+  }
+
   test("null right keys never match; plan has a single exchange on the key") {
     val rNull = quotes.unionByName(
       Seq((null.asInstanceOf[String], 40L, 1.0)).toDF("sym", "qt", "px"))
