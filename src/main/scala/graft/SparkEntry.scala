@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.engine.{Detector, DetectorConfig, Profiler}
-import graft.ops.{Corpus, Curation, Dedup, Graph, Layout, Multimodal, Prefix, Sampling, Similarity, Temporal, TextAnalysis}
+import graft.engine.{Detector, DetectorConfig, Histogram, Profiler}
+import graft.ops.{Corpus, Curation, Dedup, Frequent, Graph, Layout, Multimodal, Prefix, Sampling, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract: every deterministic operator of the engine is
   * registered here as a (SparkSession, sfDir) => DataFrame query with a
@@ -253,6 +253,32 @@ object SparkEntry {
   // ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- exact frequent tokens (two-phase Misra-Gries: the tail never
+    // shuffles; result identical to the naive full groupBy) ---
+    "q62_frequent_tokens" -> ((s, d) =>
+      Frequent.frequentTokens(t(s, d, "documents"), "text", support = 0.001)
+        .orderBy("item")),
+
+    // --- equi-depth histogram (windowless NTILE via the two-pass
+    // distributed rank; id tie-break pins bucket edges cross-engine) ---
+    "q63_equidepth_histogram" -> ((s, d) =>
+      Histogram.equiDepth(t(s, d, "events"), "value", "event_id",
+        buckets = 8)
+        .select(col("bucket"), col("cnt"),
+          round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+        .orderBy("bucket")),
+
+    // --- pairwise correlation matrix in one scan ---
+    "q64_correlation_matrix" -> ((s, d) =>
+      Profiler.correlationMatrix(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_x", "col_y")),
+
+    // --- winsorized robust profile (quantile-clipped moments) ---
+    "q65_winsorized_profile" -> ((s, d) =>
+      Profiler.winsorizedProfile(t(s, d, "lineitem"),
+        "l_extendedprice", pLo = 0.01, pHi = 0.99)),
 
     // --- per-column statistical profiling (engine core) ---
     "q01_profile_extendedprice" -> ((s, d) => numericProfile(t(s, d, "lineitem"), "l_extendedprice")),
@@ -950,6 +976,49 @@ object SparkEntry {
     def hd(i: Int) = s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
 
     Map(
+      // exact frequent tokens: the oracle replays the NAIVE plan (full
+      // token groupBy + HAVING over the same ceil(s*n) threshold) —
+      // the two-phase MG result is exact, so the rows agree
+      "q62_frequent_tokens" ->
+        s"""WITH tk AS (SELECT u.t AS item FROM documents,
+           |       UNNEST($toks) AS u(t)),
+           |  tot AS (SELECT count(*) AS n FROM tk)
+           |SELECT item, count(*) AS cnt FROM tk, tot
+           |GROUP BY item, tot.n
+           |HAVING count(*) >= CAST(ceil(0.001 * tot.n) AS BIGINT)
+           |ORDER BY item""".stripMargin,
+
+      // equi-depth histogram: NTILE-equivalent bucket from the global
+      // (value, event_id) rank; integer division matches Spark's long/long
+      "q63_equidepth_histogram" ->
+        """WITH r AS (
+          |  SELECT value,
+          |    row_number() OVER (ORDER BY value, event_id) - 1 AS rk,
+          |    count(*) OVER () AS n
+          |  FROM events WHERE value IS NOT NULL)
+          |SELECT (rk * 8) // n AS bucket, count(*) AS cnt,
+          |  round(min(value), 6) AS lo, round(max(value), 6) AS hi
+          |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+      "q64_correlation_matrix" -> {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        (for { i <- cols.indices; j <- cols.indices if i < j } yield
+          s"""SELECT '${cols(i)}' AS col_x, '${cols(j)}' AS col_y,
+             |  round(corr(${cols(i)}, ${cols(j)}), 6) AS r FROM lineitem"""
+            .stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
+      },
+
+      "q65_winsorized_profile" ->
+        """WITH q AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+          |                  quantile_cont(l_extendedprice, 0.99) AS hi
+          |           FROM lineitem WHERE l_extendedprice IS NOT NULL)
+          |SELECT count(*) AS n,
+          |  round(avg(greatest(q.lo, least(q.hi, l_extendedprice))), 6) AS mean,
+          |  round(stddev_pop(greatest(q.lo, least(q.hi, l_extendedprice))), 6) AS std,
+          |  round(min(q.lo), 6) AS lo_cut, round(max(q.hi), 6) AS hi_cut
+          |FROM lineitem, q WHERE l_extendedprice IS NOT NULL""".stripMargin,
+
       "q01_profile_extendedprice" -> numericProfileSql("lineitem", "l_extendedprice"),
       "q02_profile_totalprice" -> numericProfileSql("orders", "o_totalprice"),
       "q03_profile_quantity" -> numericProfileSql("lineitem", "l_quantity"),

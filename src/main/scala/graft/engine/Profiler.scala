@@ -258,6 +258,53 @@ object Profiler {
       round(element_at(col("qs"), 3), 6).as("q3"))
   }
 
+  /** Pairwise Pearson correlations of `cols` in ONE aggregation pass
+    * (long format: one row per unordered pair, i < j in the given
+    * order). `corr` is an algebraic aggregate — k·(k−1)/2 pairs fuse
+    * into a single map-side-combined scan, so the cost at 100 TB is
+    * one read of the table regardless of pair count; a per-pair loop
+    * would re-scan k²/2 times. Rounded to 6 dp: the co-moment merge
+    * order differs between engines, and correlation is scale-free, so
+    * last-ulp noise is expected and harmless. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      corr(col(a).cast(DoubleType), col(b).cast(DoubleType)).as(s"$a#$b")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(pairs.map { case (a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        round(col(s"$a#$b"), 6).as("r"))
+    }: _*)).as("p")).select(col("p.col_x"), col("p.col_y"), col("p.r"))
+  }
+
+  /** Winsorized (clipped-tail) profile: mean/std after clamping the
+    * column into its [pLo, pHi] quantile range — the robust-moments
+    * summary that survives the heavy tails raw means drown in. Two
+    * scans: the cut points come from the distributed sort kernel
+    * ([[Quantiles.exactExpr]] — quantile_cont semantics, never a
+    * buffered percentile), then one moment pass over the clamped
+    * expression. Output: (n, mean, std, lo_cut, hi_cut). */
+  def winsorizedProfile(df: DataFrame, colName: String,
+                        pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val x = col(colName).cast(DoubleType)
+    val clean = df.filter(x.isNotNull)
+    val n = clean.count()
+    val cuts = Quantiles.exactExpr(clean, x, Seq(pLo, pHi), n)
+    val v = greatest(lit(cuts.head), least(lit(cuts.last), x))
+    clean.agg(
+      count(v).as("n"),
+      round(avg(v), 6).as("mean"),
+      round(stddev_pop(v), 6).as("std"),
+      round(lit(cuts.head), 6).as("lo_cut"),
+      round(lit(cuts.last), 6).as("hi_cut"))
+  }
+
   /** Bounded sample of raw string entries for bootstrap generation
     * (`raw_entries`, `Latanova_v1.py:225,306-309`). At 100 TB the raw
     * column cannot live on the driver — cap and document. */

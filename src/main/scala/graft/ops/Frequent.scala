@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Exact frequent-item mining at corpus scale — "which tokens/values
+  * appear in at least `support` fraction of the stream" without ever
+  * shuffling the long tail.
+  *
+  * The naive plan (`groupBy(item).count().filter(cnt >= s·n)`) shuffles
+  * one row per DISTINCT item: on a 100 TB corpus the token vocabulary
+  * is billions of strings, nearly all of which are about to be thrown
+  * away by the support filter. This operator never materializes the
+  * tail:
+  *
+  *  - '''Phase 1''' runs a Misra–Gries summary (capacity ⌈1/s⌉) inside
+  *    each partition — O(1/s) state, one pass, no shuffle — and ships
+  *    only the surviving candidate keys plus the partition's item count
+  *    to the driver: O(P/s) strings, independent of data size. The MG
+  *    eviction bound (≤ n_p/(cap+1) undercount per partition) sums
+  *    across partitions, so any item with global count > n/(cap+1) ≥
+  *    s·n survives in at least one partition summary — the union is a
+  *    guaranteed superset of the true frequent set (false positives
+  *    possible, false negatives not).
+  *  - '''Phase 2''' re-scans with a broadcast hash semi-join against
+  *    the candidate set (map-side filter — the tail dies at the scan)
+  *    and exact-counts only the candidates: the shuffle carries at most
+  *    P·⌈1/s⌉ groups.
+  *
+  * The result is EXACT (same rows as the naive plan), so it is
+  * DuckDB-oracle-replayable, unlike sketch-only heavy hitters.
+  */
+object Frequent {
+
+  /** All distinct values of `item` (cast to string, nulls dropped)
+    * whose exact count is ≥ ⌈support · n⌉, with that count, where n is
+    * the total non-null item count. `support` must satisfy
+    * 0 < support ≤ 1. Output: (item, cnt). */
+  def frequentItems(df: DataFrame, item: Column, support: Double): DataFrame = {
+    require(support > 0 && support <= 1,
+      s"support must be in (0, 1], got $support")
+    val spark = df.sparkSession
+    val cap = math.ceil(1.0 / support).toInt
+    val items = df.select(item.cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      // pin: phase 1 and phase 2 must see the SAME stream, and the
+      // upstream expression (often an explode of a tokenizer) is the
+      // expensive part — never evaluate it twice
+      .localCheckpoint()
+
+    // phase 1: per-partition Misra-Gries + partition counts.
+    // O(P·(1/s)) strings to the driver — scale-independent.
+    val summaries: Array[(Long, Array[String])] = items.rdd
+      .mapPartitions { it =>
+        val counts = new java.util.HashMap[String, Long](cap * 2)
+        var nP = 0L
+        it.foreach { r =>
+          val k = r.getString(0)
+          nP += 1L
+          val c = counts.get(k)
+          if (c > 0L) counts.put(k, c + 1L)
+          else if (counts.size < cap) counts.put(k, 1L)
+          else {
+            // decrement-all step: drop every counter by 1, evict zeros
+            val eit = counts.entrySet().iterator()
+            while (eit.hasNext) {
+              val e = eit.next()
+              if (e.getValue == 1L) eit.remove() else e.setValue(e.getValue - 1L)
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        Iterator((nP, counts.keySet().asScala.toArray))
+      }.collect()
+
+    val n = summaries.map(_._1).sum
+    val minCount = math.ceil(support * n).toLong
+    val candidates = summaries.flatMap(_._2).distinct
+    val candDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(candidates.toIndexedSeq.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+
+    // phase 2: broadcast semi-join kills the tail at the scan, then an
+    // exact count over ≤ P·cap groups
+    items.join(broadcast(candDf), Seq("item"), "left_semi")
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
+  /** Frequent TOKENS of a text column: the corpus-scale "build the
+    * stopword/vocab head" op. Tokenization is the shared kernel
+    * ([[TextAnalysis.tokens]]), so the result replays in the oracle. */
+  def frequentTokens(df: DataFrame, textCol: String, support: Double): DataFrame =
+    frequentItems(
+      df.select(explode(TextAnalysis.tokens(col(textCol).cast("string"))).as("tok")),
+      col("tok"), support)
+}

@@ -25,17 +25,33 @@ object Prefix {
     * a non-unique key). Null values count as 0; null order keys sort
     * first (Spark ascending-null ordering). */
   def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
-                   outCol: String = "cum"): DataFrame = {
+                   outCol: String = "cum"): DataFrame =
+    runningTotalMulti(df, Seq(orderCol), coalesce(col(valueCol).cast(LongType), lit(0L)), outCol)
+
+  /** Global 0-based row number in ascending `orderCols` order — the
+    * windowless `ROW_NUMBER() OVER (ORDER BY ...) - 1`. Deterministic
+    * when `orderCols` is a unique key. Same two-pass shape: the rank of
+    * a row is the running count of rows before it. */
+  def rowNumber(df: DataFrame, orderCols: Seq[String],
+                outCol: String = "rk"): DataFrame =
+    runningTotalMulti(df, orderCols, lit(1L), outCol)
+      .withColumn(outCol, col(outCol) - 1L)
+
+  private def runningTotalMulti(df: DataFrame, orderCols: Seq[String],
+                                value: org.apache.spark.sql.Column,
+                                outCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
     require(!df.columns.contains(outCol),
       s"input already has a column named '$outCol' — pass a different outCol")
     require(!df.columns.contains("__v"),
       "input already has a column named '__v' (internal scratch name)")
     val spark = df.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val orderExprs = orderCols.map(col)
     val sorted = df
-      .withColumn("__v", coalesce(col(valueCol).cast(LongType), lit(0L)))
-      .repartitionByRange(nPart, col(orderCol))
-      .sortWithinPartitions(col(orderCol))
+      .withColumn("__v", value)
+      .repartitionByRange(nPart, orderExprs: _*)
+      .sortWithinPartitions(orderExprs: _*)
       .localCheckpoint()
     val vIdx = sorted.schema.fieldIndex("__v")
     // pass 1: per-partition totals — O(P) longs to the driver

@@ -55,6 +55,40 @@ class ProfilerSpec extends SparkSpec {
     assert(c.counts === c.counts.sorted.reverse)
   }
 
+  test("correlationMatrix matches df.stat.corr pairwise, one row per unordered pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = Seq.fill(2000)((rnd.nextGaussian(), rnd.nextGaussian(), rnd.nextGaussian()))
+      .map { case (a, b, c) => (a, 0.7 * a + 0.3 * b, c) }
+      .toDF("x", "y", "z").repartition(8)
+    val got = Profiler.correlationMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === Set(("x", "y"), ("x", "z"), ("y", "z")))
+    for (((a, b), v) <- got)
+      assert(math.abs(v - df.stat.corr(a, b)) < 1e-6, s"corr($a,$b)")
+    assert(got(("x", "y")) > 0.8) // strongly correlated by construction
+    intercept[IllegalArgumentException] {
+      Profiler.correlationMatrix(df, Seq("x"))
+    }
+  }
+
+  test("winsorizedProfile clamps tails: hand-checked on a stream with planted outliers") {
+    import spark.implicits._
+    // 98 benign values + 2 huge outliers; p05/p95 cuts tame them
+    val base = (1 to 98).map(_.toDouble)
+    val df = (base ++ Seq(1e9, -1e9)).toDF("v").repartition(4)
+    val r = row1(Profiler.winsorizedProfile(df, "v", 0.05, 0.95))
+    assert(r("n") === 100L)
+    val lo = r("lo_cut").asInstanceOf[Double]
+    val hi = r("hi_cut").asInstanceOf[Double]
+    assert(lo > 0 && hi < 100) // cuts inside the benign range
+    val clipped = (base ++ Seq(1e9, -1e9)).map(v => math.max(lo, math.min(hi, v)))
+    val mean = clipped.sum / clipped.size
+    val std = math.sqrt(clipped.map(v => (v - mean) * (v - mean)).sum / clipped.size)
+    assert(math.abs(r("mean").asInstanceOf[Double] - mean) < 1e-4)
+    assert(math.abs(r("std").asInstanceOf[Double] - std) < 1e-4)
+  }
+
   test("datetime profile under strictFormats: ISO render format detected") {
     val detected = Detector.detect(fixture, DetectorConfig(strictFormats = true))
     val p = Profiler.profileScalars(fixture, detected)

@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FrequentSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Naive ground truth: full groupBy + threshold. */
+  private def naive(items: Seq[String], support: Double): Map[String, Long] = {
+    val n = items.size
+    val minCount = math.ceil(support * n).toLong
+    items.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= minCount).toMap
+  }
+
+  test("frequentItems is exact vs the naive full groupBy on a skewed stream") {
+    val rnd = new scala.util.Random(7)
+    // Zipf-ish: a few heavy items + a long tail of near-singletons
+    val items = Seq.fill(40000) {
+      val r = rnd.nextInt(100)
+      if (r < 30) s"heavy${rnd.nextInt(5)}"
+      else if (r < 60) s"mid${rnd.nextInt(50)}"
+      else s"tail${rnd.nextInt(20000)}"
+    }
+    val df = items.toDF("x").repartition(16)
+    val got = Frequent.frequentItems(df, col("x"), support = 0.005)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === naive(items, 0.005))
+  }
+
+  test("frequentItems: recall holds when a frequent item is spread thin across partitions") {
+    // "needle" is 2% of the stream but never locally dominant in any
+    // partition: one occurrence per 50-row slice, the MG eviction
+    // worst case. The union-of-summaries guarantee must still find it.
+    val items = (0 until 20000).map { i =>
+      if (i % 50 == 0) "needle" else s"noise${i}"
+    }
+    val df = items.toDF("x").repartition(32)
+    val got = Frequent.frequentItems(df, col("x"), support = 0.01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("needle" -> 400L))
+  }
+
+  test("frequentItems: nulls dropped, empty input and bad support handled") {
+    val df = Seq(Some("a"), None, Some("a"), Some("b")).toDF("x")
+    val got = Frequent.frequentItems(df, col("x"), support = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // n = 3 non-null, minCount = 2: only "a"
+    assert(got === Map("a" -> 2L))
+    assert(Frequent.frequentItems(df.filter(col("x").isNull), col("x"), 0.5)
+      .collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      Frequent.frequentItems(df, col("x"), 0.0)
+    }
+  }
+
+  test("frequentTokens agrees with the expression tokenizer's full count") {
+    val docs = Seq(
+      (1L, "the cat and the hat"),
+      (2L, "the dog and a log"),
+      (3L, "a cat, a hat -- and THE dog!")).toDF("id", "text")
+    val got = Frequent.frequentTokens(docs, "text", support = 0.15)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = docs.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = all.values.sum
+    val want = all.filter(_._2 >= math.ceil(0.15 * n).toLong)
+    assert(got === want)
+    assert(got.contains("the") && got.contains("and"))
+  }
+}
