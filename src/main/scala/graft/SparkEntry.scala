@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.{Detector, DetectorConfig, Histogram, Profiler}
-import graft.ops.{Corpus, Curation, Dedup, Frequent, Graph, Layout, Multimodal, Prefix, Sampling, Similarity, Temporal, TextAnalysis}
+import graft.ops.{Corpus, Curation, Dedup, Drift, Frequent, Graph, Layout, Multimodal, Prefix, Sampling, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract: every deterministic operator of the engine is
   * registered here as a (SparkSession, sfDir) => DataFrame query with a
@@ -279,6 +279,32 @@ object SparkEntry {
     "q65_winsorized_profile" -> ((s, d) =>
       Profiler.winsorizedProfile(t(s, d, "lineitem"),
         "l_extendedprice", pLo = 0.01, pHi = 0.99)),
+
+    // --- two-sample KS drift (windowless ECDF via grouped prefix sums;
+    // even/odd event split should show near-zero drift) ---
+    "q66_ks_drift" -> ((s, d) =>
+      Drift.ksTwoSample(t(s, d, "events"), col("value"),
+        col("event_id") % 2 === 0)),
+
+    // --- PSI drift over equi-depth deciles of the baseline sample ---
+    "q67_psi_drift" -> ((s, d) =>
+      Drift.psi(t(s, d, "events"), col("value"), col("event_id") % 2 === 0,
+        bins = 10)
+        .select(col("bin").cast(LongType).as("bin"), col("n_base"),
+          col("n_cur"), col("psi_contrib"))
+        .orderBy("bin")),
+
+    // --- chi-square independence over a contingency of distinct levels ---
+    "q68_chi_square" -> ((s, d) =>
+      Drift.chiSquare(t(s, d, "lineitem"), col("l_returnflag"),
+        col("l_linestatus"))),
+
+    // --- functional-dependency / candidate-key profile ---
+    "q69_functional_deps" -> ((s, d) =>
+      Drift.functionalDependencies(t(s, d, "orders"),
+        Seq("o_orderkey" -> "o_custkey", "o_custkey" -> "o_orderpriority",
+          "o_orderpriority" -> "o_orderstatus"))
+        .orderBy("det", "dep")),
 
     // --- per-column statistical profiling (engine core) ---
     "q01_profile_extendedprice" -> ((s, d) => numericProfile(t(s, d, "lineitem"), "l_extendedprice")),
@@ -976,6 +1002,73 @@ object SparkEntry {
     def hd(i: Int) = s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
 
     Map(
+      // KS: ECDF difference evaluated at complete distinct values only
+      // (ties collapse in the GROUP BY); cum/n divisions are exact-int
+      // over double — bit-identical across engines
+      "q66_ks_drift" ->
+        """WITH g AS (
+          |  SELECT value AS v,
+          |    sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+          |    sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS cb
+          |  FROM events WHERE value IS NOT NULL GROUP BY value),
+          |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM g),
+          |c AS (SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
+          |             sum(cb) OVER (ORDER BY v) AS cum_b FROM g)
+          |SELECT t.na AS n_a, t.nb AS n_b,
+          |  round(max(abs(CAST(cum_a AS DOUBLE)/t.na - CAST(cum_b AS DOUBLE)/t.nb)), 6) AS ks
+          |FROM c, t GROUP BY t.na, t.nb""".stripMargin,
+
+      "q67_psi_drift" -> {
+        val bin = (1 to 9).map(i => s"CASE WHEN r.v >= c.q$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH r AS (SELECT value AS v, (event_id % 2 = 0) AS g
+           |           FROM events WHERE value IS NOT NULL),
+           |c AS (SELECT ${(1 to 9).map(i => s"quantile_cont(v, 0.$i) AS q$i").mkString(", ")}
+           |      FROM r WHERE g),
+           |b AS (SELECT CAST($bin AS BIGINT) AS bin, r.g FROM r, c),
+           |g2 AS (SELECT bin,
+           |         CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+           |         CAST(sum(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+           |       FROM b GROUP BY bin),
+           |t AS (SELECT CAST(sum(n_base) AS DOUBLE) AS na,
+           |             CAST(sum(n_cur) AS DOUBLE) AS nc FROM g2)
+           |SELECT bin, n_base, n_cur,
+           |  round(((CAST(n_base AS DOUBLE)+0.5)/(t.na+5.0)
+           |         - (CAST(n_cur AS DOUBLE)+0.5)/(t.nc+5.0))
+           |    * ln(((CAST(n_base AS DOUBLE)+0.5)/(t.na+5.0))
+           |         / ((CAST(n_cur AS DOUBLE)+0.5)/(t.nc+5.0))), 6) AS psi_contrib
+           |FROM g2, t ORDER BY bin""".stripMargin
+      },
+
+      "q68_chi_square" ->
+        """WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS o
+          |               FROM lineitem GROUP BY 1, 2),
+          |rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+          |ct AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+          |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+          |        CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
+          |          * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof
+          |      FROM cells)
+          |SELECT t.n AS n, t.dof AS dof,
+          |  round(sum((CAST(o AS DOUBLE) - CAST(ra AS DOUBLE)*CAST(cb AS DOUBLE)/CAST(t.n AS DOUBLE))
+          |          * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE)*CAST(cb AS DOUBLE)/CAST(t.n AS DOUBLE))
+          |          / (CAST(ra AS DOUBLE)*CAST(cb AS DOUBLE)/CAST(t.n AS DOUBLE))), 6) AS chi2
+          |FROM cells JOIN rt USING (a) JOIN ct USING (b), t
+          |GROUP BY t.n, t.dof""".stripMargin,
+
+      "q69_functional_deps" -> {
+        def fd(det: String, dep: String) =
+          s"""SELECT '$det' AS det, '$dep' AS dep,
+             |  CAST(count(*) AS BIGINT) AS n_det,
+             |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+             |  (sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0) AS holds
+             |FROM (SELECT $det, count(DISTINCT $dep) AS nd FROM orders
+             |      WHERE $det IS NOT NULL AND $dep IS NOT NULL GROUP BY $det)""".stripMargin
+        Seq(fd("o_orderkey", "o_custkey"), fd("o_custkey", "o_orderpriority"),
+          fd("o_orderpriority", "o_orderstatus"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY det, dep")
+      },
+
       // exact frequent tokens: the oracle replays the NAIVE plan (full
       // token groupBy + HAVING over the same ceil(s*n) threshold) —
       // the two-phase MG result is exact, so the rows agree

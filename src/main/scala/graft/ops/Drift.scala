@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift and dependency validation — the statistical
+  * tests a curation pipeline runs between dataset versions ("did this
+  * refresh shift the data?") and the structural checks a profiler runs
+  * once ("is this column a key? does A determine B?"). The reference's
+  * validation stage compares synthetic-vs-source moments
+  * (`Latanova_v1.py:545-621`); these are the scale-shaped population
+  * analogues.
+  *
+  * Every operator here is exact and oracle-replayable, and none uses a
+  * partition-less window: ECDFs come from grouped prefix sums
+  * ([[Prefix.runningTotals]] — one range sort, O(P) driver traffic),
+  * contingency tables from narrow keyed aggs over DISTINCT levels
+  * (map-side combine absorbs the raw rows), so everything survives a
+  * 100 TB input whose distinct-value footprint fits a shuffle.
+  */
+object Drift {
+
+  /** Two-sample Kolmogorov–Smirnov statistic
+    * D = sup_x |F_a(x) − F_b(x)| between the rows where `group` is
+    * true (sample a) and false (sample b), over `value`.
+    *
+    * Shape: ONE narrow groupBy(value) computes per-distinct-value
+    * counts for both samples (the raw table never leaves the scan);
+    * the shared-sort prefix pass turns them into ECDF numerators; the
+    * max reduces. Ties are handled exactly: the ECDF difference is
+    * evaluated only at complete distinct values, never mid-run.
+    * Output (1 row): (n_a, n_b, ks). */
+  def ksTwoSample(df: DataFrame, value: Column, group: Column): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df
+      .select(value.cast("double").as("v"), group.cast("boolean").as("g"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+      .groupBy("v").agg(
+        sum(when(col("g"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("g"), 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint() // feeds the totals agg AND the prefix pass
+    val tot = counts.agg(coalesce(sum("ca"), lit(0L)),
+      coalesce(sum("cb"), lit(0L))).collect()(0)
+    val (na, nb) = (tot.getLong(0), tot.getLong(1))
+    if (na == 0L || nb == 0L)
+      return spark.range(1).select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        lit(null).cast("double").as("ks"))
+    Prefix.runningTotals(counts, Seq("v"),
+      Seq("cum_a" -> col("ca"), "cum_b" -> col("cb")))
+      .agg(max(abs(col("cum_a").cast("double") / lit(na.toDouble)
+        - col("cum_b").cast("double") / lit(nb.toDouble))).as("ks"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"), round(col("ks"), 6).as("ks"))
+  }
+
+  /** Population Stability Index between a baseline sample (`group`
+    * true) and a current sample (false), over equi-depth `bins` of the
+    * BASELINE's distribution (cut points from the distributed sort
+    * kernel — the standard "bin on the reference, score the drift"
+    * setup). Laplace-smoothed (+0.5 per bin) so empty bins stay
+    * finite; PSI = Σ (p−q)·ln(p/q). Rule of thumb: <0.1 stable,
+    * 0.1–0.25 moderate, >0.25 shifted.
+    * Output: one row per bin (bin, n_base, n_cur, psi_contrib) —
+    * Σ psi_contrib is the PSI. */
+  def psi(df: DataFrame, value: Column, group: Column, bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val rows = df
+      .select(value.cast("double").as("v"), group.cast("boolean").as("g"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+      .localCheckpoint() // two passes (cuts, counts) over one scan
+    val base = rows.filter(col("g"))
+    val nBase = base.count()
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val cuts = graft.engine.Quantiles.exactExpr(base, col("v"), ps, nBase)
+    // bin = number of cuts <= v (duplicate cuts collapse naturally)
+    val bin = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("v") >= lit(c), 1).otherwise(0)
+    }
+    val counted = rows.groupBy(bin.as("bin")).agg(
+      sum(when(col("g"), 1L).otherwise(0L)).as("n_base"),
+      sum(when(!col("g"), 1L).otherwise(0L)).as("n_cur"))
+    val tot = counted.agg(sum("n_base"), sum("n_cur")).collect()(0)
+    val (na, nc) = (tot.getLong(0), tot.getLong(1))
+    val p = (col("n_base").cast("double") + 0.5) / (lit(na.toDouble) + lit(0.5 * bins))
+    val q = (col("n_cur").cast("double") + 0.5) / (lit(nc.toDouble) + lit(0.5 * bins))
+    counted.select(col("bin"), col("n_base"), col("n_cur"),
+      round((p - q) * log(p / q), 6).as("psi_contrib"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns: contingency counts from ONE narrow keyed agg, marginals
+    * from two aggs over the (tiny) distinct-pair frame, χ² assembled
+    * with broadcast joins — the raw table is scanned once and only
+    * distinct levels shuffle. Output (1 row): (n, dof, chi2). */
+  def chiSquare(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.cast("string").as("a"), b.cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+      .localCheckpoint() // feeds three consumers below
+    val rowTot = cells.groupBy("a").agg(sum("o").as("ra"))
+    val colTot = cells.groupBy("b").agg(sum("o").as("cb"))
+    val n = cells.agg(sum("o")).collect()(0).getLong(0)
+    val dof = (rowTot.count() - 1) * (colTot.count() - 1)
+    cells
+      .join(broadcast(rowTot), "a").join(broadcast(colTot), "b")
+      .select((col("ra").cast("double") * col("cb").cast("double")
+        / lit(n.toDouble)).as("e"), col("o").cast("double").as("od"))
+      .agg(round(sum((col("od") - col("e")) * (col("od") - col("e")) / col("e")), 6).as("chi2"))
+      .select(lit(n).as("n"), lit(dof).as("dof"), col("chi2"))
+  }
+
+  /** Functional-dependency / candidate-key profile for declared column
+    * pairs: for each (det, dep), does det → dep hold, and how many
+    * determinant values violate it? One narrow two-phase agg per pair
+    * (distinct (det, dep) pairs, then per-det distinct-dep counts) —
+    * the classic one-pass FD check, unioned. A pair (col, null-dep
+    * sentinel "" ) is not supported; nulls on either side are dropped
+    * (SQL FD semantics over known values).
+    * Output: (det, dep, n_det, n_violations, holds). */
+  def functionalDependencies(df: DataFrame,
+                             pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (determinant, dependent) pair")
+    pairs.map { case (det, dep) =>
+      df.select(col(det).cast("string").as("k"), col(dep).cast("string").as("d"))
+        .filter(col("k").isNotNull && col("d").isNotNull)
+        .distinct()
+        .groupBy("k").agg(count(lit(1)).as("nd"))
+        .agg(count(lit(1)).as("n_det"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(det).as("det"), lit(dep).as("dep"),
+          col("n_det"), col("n_violations"),
+          (col("n_violations") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+}

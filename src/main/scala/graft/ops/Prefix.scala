@@ -26,7 +26,8 @@ object Prefix {
     * first (Spark ascending-null ordering). */
   def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
                    outCol: String = "cum"): DataFrame =
-    runningTotalMulti(df, Seq(orderCol), coalesce(col(valueCol).cast(LongType), lit(0L)), outCol)
+    runningTotals(df, Seq(orderCol),
+      Seq(outCol -> coalesce(col(valueCol).cast(LongType), lit(0L))))
 
   /** Global 0-based row number in ascending `orderCols` order — the
     * windowless `ROW_NUMBER() OVER (ORDER BY ...) - 1`. Deterministic
@@ -34,44 +35,66 @@ object Prefix {
     * a row is the running count of rows before it. */
   def rowNumber(df: DataFrame, orderCols: Seq[String],
                 outCol: String = "rk"): DataFrame =
-    runningTotalMulti(df, orderCols, lit(1L), outCol)
+    runningTotals(df, orderCols, Seq(outCol -> lit(1L)))
       .withColumn(outCol, col(outCol) - 1L)
 
-  private def runningTotalMulti(df: DataFrame, orderCols: Seq[String],
-                                value: org.apache.spark.sql.Column,
-                                outCol: String): DataFrame = {
+  /** SEVERAL running totals over ONE shared range sort — k independent
+    * `SUM(x_k) OVER (ORDER BY ...)` columns for the price of a single
+    * shuffle (the KS-statistic path needs the per-group ECDF counters
+    * side by side; two runningTotal calls would sort twice). */
+  def runningTotals(df: DataFrame, orderCols: Seq[String],
+                    values: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")
-    require(!df.columns.contains(outCol),
-      s"input already has a column named '$outCol' — pass a different outCol")
-    require(!df.columns.contains("__v"),
-      "input already has a column named '__v' (internal scratch name)")
+    require(values.nonEmpty, "need at least one value expression")
+    values.foreach { case (outCol, _) =>
+      require(!df.columns.contains(outCol),
+        s"input already has a column named '$outCol' — pass a different outCol")
+    }
+    require(values.map(_._1).distinct.size == values.size,
+      "duplicate output column names")
+    val scratch = values.indices.map(i => s"__v$i")
+    scratch.foreach { s =>
+      require(!df.columns.contains(s),
+        s"input already has a column named '$s' (internal scratch name)")
+    }
     val spark = df.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val orderExprs = orderCols.map(col)
-    val sorted = df
-      .withColumn("__v", value)
+    val k = values.size
+    val sorted = values.zip(scratch).foldLeft(df) {
+      case (acc, ((_, v), s)) => acc.withColumn(s, v.cast(LongType))
+    }
       .repartitionByRange(nPart, orderExprs: _*)
       .sortWithinPartitions(orderExprs: _*)
       .localCheckpoint()
-    val vIdx = sorted.schema.fieldIndex("__v")
-    // pass 1: per-partition totals — O(P) longs to the driver
-    val partSums = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L
-      it.foreach(r => s += r.getLong(vIdx))
+    val vIdx = scratch.map(sorted.schema.fieldIndex).toArray
+    // pass 1: per-partition totals — O(P·k) longs to the driver
+    val partSums: Array[Array[Long]] = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      val s = new Array[Long](k)
+      it.foreach { r =>
+        var j = 0
+        while (j < k) { if (!r.isNullAt(vIdx(j))) s(j) += r.getLong(vIdx(j)); j += 1 }
+      }
       Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _).init
+    val offsets: Array[Array[Long]] = partSums
+      .scanLeft(new Array[Long](k)) { (acc, m) =>
+        Array.tabulate(k)(j => acc(j) + m(j))
+      }.init
     val offB = spark.sparkContext.broadcast(offsets)
-    val outSchema = StructType(sorted.schema.fields.filterNot(_.name == "__v") :+
-      StructField(outCol, LongType, nullable = false))
+    val scratchSet = scratch.toSet
+    val outSchema = StructType(
+      sorted.schema.fields.filterNot(f => scratchSet(f.name)) ++
+        values.map { case (outCol, _) => StructField(outCol, LongType, nullable = false) })
     val keep = sorted.schema.fields.zipWithIndex
-      .filter(_._1.name != "__v").map(_._2)
+      .filter { case (f, _) => !scratchSet(f.name) }.map(_._2)
     // pass 2: seeded running totals per partition (shuffle reused)
     val rdd = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = offB.value(i)
+      val s = offB.value(i).clone()
       it.map { r =>
-        s += r.getLong(vIdx)
-        Row.fromSeq(keep.map(r.get).toIndexedSeq :+ s)
+        var j = 0
+        while (j < k) { if (!r.isNullAt(vIdx(j))) s(j) += r.getLong(vIdx(j)); j += 1 }
+        Row.fromSeq(keep.map(r.get).toIndexedSeq ++ s.toIndexedSeq)
       }
     }
     spark.createDataFrame(rdd, outSchema)

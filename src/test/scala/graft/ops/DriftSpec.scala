@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force two-sample KS on driver arrays (ECDF at every distinct
+    * pooled value). */
+  private def ksLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    val xs = (a ++ b).distinct.sorted
+    xs.map { x =>
+      math.abs(a.count(_ <= x).toDouble / a.size - b.count(_ <= x).toDouble / b.size)
+    }.max
+  }
+
+  test("ksTwoSample matches the brute-force ECDF sup on tied, shuffled data") {
+    val rnd = new scala.util.Random(5)
+    // integer-valued doubles → heavy ties, the case the grouped form must get right
+    val a = Seq.fill(3000)(rnd.nextInt(40).toDouble)
+    val b = Seq.fill(2000)(rnd.nextInt(40).toDouble + 4.0) // shifted
+    val df = (a.map((_, true)) ++ b.map((_, false)))
+      .toDF("v", "g").repartition(16)
+    val r = row1(Drift.ksTwoSample(df, col("v"), col("g")))
+    assert(r("n_a") === 3000L && r("n_b") === 2000L)
+    val want = ksLocal(a, b)
+    assert(math.abs(r("ks").asInstanceOf[Double] - want) < 1e-6)
+    assert(want > 0.05) // the shift is detectable
+    // identical samples → 0
+    val same = (a.map((_, true)) ++ a.map((_, false))).toDF("v", "g")
+    assert(row1(Drift.ksTwoSample(same, col("v"), col("g")))("ks") === 0.0)
+    // no Window operator anywhere in the plan
+    val plan = Drift.ksTwoSample(df, col("v"), col("g"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"KS plans a window:\n$plan")
+  }
+
+  test("ksTwoSample: empty side yields null ks") {
+    val df = Seq((1.0, true), (2.0, true)).toDF("v", "g")
+    val r = row1(Drift.ksTwoSample(df, col("v"), col("g")))
+    assert(r("n_b") === 0L && r("ks") == null)
+  }
+
+  test("psi: zero for identical halves, large for a shifted current sample") {
+    val rnd = new scala.util.Random(9)
+    val base = Seq.fill(4000)(rnd.nextGaussian())
+    val df0 = (base.map((_, true)) ++ base.map((_, false))).toDF("v", "g")
+    val psi0 = Drift.psi(df0, col("v"), col("g"), bins = 10)
+      .agg(sum("psi_contrib")).collect()(0).getDouble(0)
+    assert(math.abs(psi0) < 1e-9) // same sample in both roles
+    val shifted = base.map(_ + 1.5)
+    val df1 = (base.map((_, true)) ++ shifted.map((_, false))).toDF("v", "g")
+    val rows = Drift.psi(df1, col("v"), col("g"), bins = 10).collect()
+    val psi1 = rows.map(_.getAs[Double]("psi_contrib")).sum
+    assert(psi1 > 0.25, s"shifted distribution reads stable: $psi1")
+    // bins cover [0, 10) and baseline counts are equi-depth (±1 plus ties)
+    assert(rows.map(_.getAs[Int]("bin")).toSet.subsetOf((0 until 10).toSet))
+    assert(rows.map(_.getAs[Long]("n_base")).sum === 4000L)
+  }
+
+  test("chiSquare matches the hand formula on a small contingency, ~0 on independence") {
+    // dependent: b == a for 90% of rows
+    val rnd = new scala.util.Random(2)
+    val dep = Seq.fill(5000) {
+      val a = rnd.nextInt(3)
+      val b = if (rnd.nextInt(10) == 0) rnd.nextInt(3) else a
+      (s"a$a", s"b$b")
+    }
+    val df = dep.toDF("x", "y").repartition(8)
+    val r = row1(Drift.chiSquare(df, col("x"), col("y")))
+    assert(r("n") === 5000L && r("dof") === 4L)
+    // hand-computed chi2 from the same contingency
+    val cells = dep.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val ra = dep.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val cb = dep.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val want = cells.map { case ((x, y), o) =>
+      val e = ra(x) * cb(y) / 5000.0; (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(r("chi2").asInstanceOf[Double] - want) < 1e-4)
+    assert(want > 1000.0) // strongly dependent
+  }
+
+  test("functionalDependencies: key FD holds, many-to-many violated") {
+    val df = Seq(
+      (1L, "alice", "gold"), (2L, "bob", "gold"),
+      (3L, "carol", "silver"), (4L, "alice", "bronze"))
+      .toDF("id", "name", "tier")
+    val got = Drift.functionalDependencies(df,
+      Seq("id" -> "name", "name" -> "tier", "tier" -> "name"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(("id", "name")) === ((4L, 0L, true)))      // id is a key
+    assert(got(("name", "tier")) === ((3L, 1L, false)))   // alice → gold+bronze
+    assert(got(("tier", "name")) === ((3L, 1L, false)))   // gold → alice+bob
+  }
+}
