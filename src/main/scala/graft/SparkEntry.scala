@@ -306,6 +306,18 @@ object SparkEntry {
           "o_orderpriority" -> "o_orderstatus"))
         .orderBy("det", "dep")),
 
+    // --- completeness/cardinality/entropy summary, k columns one shuffle ---
+    "q70_column_summary" -> ((s, d) =>
+      Profiler.columnSummary(t(s, d, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+        .orderBy("col_name")),
+
+    // --- deterministic corpus shuffle + shard layout (epoch permutation) ---
+    "q71_shuffle_shards" -> ((s, d) =>
+      Corpus.shuffleShards(t(s, d, "documents"), "doc_id", shardSize = 64)
+        .select("doc_id", "shuffle_pos", "shard", "shard_offset")
+        .orderBy("doc_id")),
+
     // --- per-column statistical profiling (engine core) ---
     "q01_profile_extendedprice" -> ((s, d) => numericProfile(t(s, d, "lineitem"), "l_extendedprice")),
     "q02_profile_totalprice" -> ((s, d) => numericProfile(t(s, d, "orders"), "o_totalprice")),
@@ -1002,6 +1014,32 @@ object SparkEntry {
     def hd(i: Int) = s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
 
     Map(
+      "q70_column_summary" -> {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name, n, n_null, n_distinct,
+             |  round(CASE WHEN n > 0 THEN ln(CAST(n AS DOUBLE)) - slog / CAST(n AS DOUBLE)
+             |        ELSE CAST(0 AS DOUBLE) END, 6) AS entropy
+             |FROM (
+             |  SELECT CAST(coalesce(sum(CASE WHEN v IS NOT NULL THEN cnt END), 0) AS BIGINT) AS n,
+             |         CAST(coalesce(sum(CASE WHEN v IS NULL THEN cnt END), 0) AS BIGINT) AS n_null,
+             |         CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct,
+             |         coalesce(sum(CASE WHEN v IS NOT NULL THEN CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) END), 0.0) AS slog
+             |  FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS cnt FROM orders GROUP BY 1))"""
+            .stripMargin
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey").map(one)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      },
+
+      "q71_shuffle_shards" ->
+        """WITH r AS (
+          |  SELECT doc_id,
+          |    row_number() OVER (ORDER BY md5('epoch0' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+          |      AS shuffle_pos
+          |  FROM documents WHERE doc_id IS NOT NULL)
+          |SELECT doc_id, shuffle_pos, shuffle_pos // 64 AS shard,
+          |  shuffle_pos % 64 AS shard_offset
+          |FROM r ORDER BY doc_id""".stripMargin,
+
       // KS: ECDF difference evaluated at complete distinct values only
       // (ties collapse in the GROUP BY); cum/n divisions are exact-int
       // over double — bit-identical across engines

@@ -305,6 +305,36 @@ object Profiler {
       round(lit(cuts.last), 6).as("hi_cut"))
   }
 
+  /** Completeness / cardinality / entropy summary for several columns
+    * in ONE shuffle: rows explode to a narrow (column, value) stream
+    * (k× scan traffic, absorbed by map-side combine), distinct
+    * (column, value) counts shuffle [the only exchange — bounded by
+    * total distinct values, not rows], and per-column Shannon entropy
+    * reduces over those counts via H = ln N − (Σ cnt·ln cnt)/N, so the
+    * per-value probabilities never need a second pass or a window.
+    * Output: (col_name, n, n_null, n_distinct, entropy) — the
+    * data-quality triple (completeness, cardinality, concentration)
+    * monitoring systems track per snapshot. */
+  def columnSummary(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val pairs = cols.map(c =>
+      struct(lit(c).as("c"), col(c).cast(StringType).as("v")))
+    df.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.c").as("c"), col("p.v").as("v"))
+      .groupBy("c", "v").agg(count(lit(1)).as("cnt"))
+      .groupBy("c").agg(
+        coalesce(sum(when(col("v").isNotNull, col("cnt"))), lit(0L)).as("n"),
+        coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+        coalesce(sum(when(col("v").isNotNull,
+          col("cnt").cast(DoubleType) * log(col("cnt").cast(DoubleType)))),
+          lit(0.0)).as("slog"))
+      .select(col("c").as("col_name"), col("n"), col("n_null"), col("n_distinct"),
+        round(when(col("n") > 0,
+          log(col("n").cast(DoubleType)) - col("slog") / col("n").cast(DoubleType))
+          .otherwise(lit(0.0)), 6).as("entropy"))
+  }
+
   /** Bounded sample of raw string entries for bootstrap generation
     * (`raw_entries`, `Latanova_v1.py:225,306-309`). At 100 TB the raw
     * column cannot live on the driver — cap and document. */

@@ -264,4 +264,29 @@ object Corpus {
           col("n_bigrams").cast("double"), lit(0.0)), 6)
           .as("top_bigram_frac"))
   }
+
+  /** Deterministic global corpus shuffle + shard layout — the "shuffle
+    * once, shard for N dataloader workers" step of training-data
+    * assembly. Position = global rank in (md5(seed‖id), id) order: a
+    * content-keyed permutation that is reproducible across runs,
+    * partitionings, and engines (any engine's ROW_NUMBER over the same
+    * md5 replays it), unlike `orderBy(rand(seed))` which depends on
+    * partition layout. The rank comes from [[graft.ops.Prefix.rowNumber]]'s
+    * two-pass range sort — one shuffle, no single-task window, so the
+    * permutation of a 100 TB corpus never funnels through one executor.
+    * Changing `seed` is a fresh epoch permutation.
+    * Adds: shuffle_pos (0-based), shard = pos div shardSize,
+    * shard_offset = pos mod shardSize. Null ids are dropped (a
+    * content-keyed permutation is undefined without a key). */
+  def shuffleShards(df: DataFrame, idCol: String, shardSize: Long,
+                    seed: String = "epoch0"): DataFrame = {
+    require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
+    val keyed = df.filter(col(idCol).isNotNull)
+      .withColumn("__sk",
+        md5(concat(lit(seed), col(idCol).cast("string")).cast("binary")))
+    Prefix.rowNumber(keyed, Seq("__sk", idCol), "shuffle_pos")
+      .withColumn("shard", expr(s"shuffle_pos div ${shardSize}L"))
+      .withColumn("shard_offset", col("shuffle_pos") % shardSize)
+      .drop("__sk")
+  }
 }

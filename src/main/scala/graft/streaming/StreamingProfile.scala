@@ -155,4 +155,45 @@ object StreamingProfile {
     else deduped.filter(Sampling.hashBucket(col("id"), 10000) <
       org.apache.spark.sql.functions.lit((cfg.sampleFraction * 10000).round))
   }
+
+  /** Streaming PSI drift monitor — the incremental twin of
+    * [[graft.ops.Drift.psi]]: per tumbling window, score the live
+    * value distribution against a STATIC baseline (its equi-depth cut
+    * points and smoothed bin probabilities, computed once offline from
+    * the reference snapshot). All per-bin counts are columns of ONE
+    * windowed aggregation (bins are static, so no chained streaming
+    * agg is needed — append mode works), and the PSI assembles
+    * statelessly on top; state is one count tuple per open window.
+    * `baseProbs` must be strictly positive (pre-smoothed) and have
+    * `cuts.size + 1` entries. Output per closed window:
+    * (window_start, n, psi). */
+  def windowedPsi(stream: DataFrame, tsCol: String, valueCol: String,
+                  cuts: Seq[Double], baseProbs: Seq[Double],
+                  windowDur: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame = {
+    require(baseProbs.size == cuts.size + 1,
+      s"need cuts+1 baseline probabilities, got ${baseProbs.size} for ${cuts.size} cuts")
+    require(baseProbs.forall(_ > 0), "baseline probabilities must be > 0 (pre-smoothed)")
+    val b = baseProbs.size
+    val v = col(valueCol).cast("double")
+    val bin = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(v >= lit(c), 1).otherwise(0)
+    }
+    val aggs = (0 until b).map(i =>
+      sum(when(col("__bin") === i, 1L).otherwise(0L)).as(s"c$i"))
+    val counted = stream
+      .withWatermark(tsCol, watermark)
+      .filter(v.isNotNull)
+      .withColumn("__bin", bin)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), windowDur))
+      .agg(aggs.head, aggs.tail: _*)
+    val n = (0 until b).map(i => col(s"c$i")).reduce(_ + _)
+    val psi = (0 until b).map { i =>
+      val q = (col(s"c$i").cast("double") + 0.5) / (n.cast("double") + lit(0.5 * b))
+      val p = lit(baseProbs(i))
+      (p - q) * log(p / q)
+    }.reduce(_ + _)
+    counted.select(col("window.start").as("window_start"),
+      n.as("n"), round(psi, 6).as("psi"))
+  }
 }

@@ -89,6 +89,23 @@ class ProfilerSpec extends SparkSpec {
     assert(math.abs(r("std").asInstanceOf[Double] - std) < 1e-4)
   }
 
+  test("columnSummary: completeness, cardinality and entropy vs hand computation") {
+    import spark.implicits._
+    val df = Seq(("a", Some("x")), ("a", Some("y")), ("b", None),
+      ("a", Some("x")), ("c", Some("z"))).toDF("k", "m").repartition(4)
+    val got = Profiler.columnSummary(df, Seq("k", "m"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // k: a,a,b,a,c → H = ln 5 − (3·ln 3)/5
+    val hk = math.log(5) - 3 * math.log(3) / 5
+    assert(got("k")._1 === 5L && got("k")._2 === 0L && got("k")._3 === 3L)
+    assert(math.abs(got("k")._4 - hk) < 1e-6)
+    // m: x,y,x,z + one null → H = ln 4 − (2·ln 2)/4
+    val hm = math.log(4) - 2 * math.log(2) / 4
+    assert(got("m") === ((4L, 1L, 3L, BigDecimal(hm).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
   test("datetime profile under strictFormats: ISO render format detected") {
     val detected = Detector.detect(fixture, DetectorConfig(strictFormats = true))
     val p = Profiler.profileScalars(fixture, detected)

@@ -148,4 +148,35 @@ class CorpusSpec extends SparkSpec {
     assert(got(12L) === ((6L, 0L, 0.0)))
     assert(got(13L) === ((0L, 0L, 0.0)))
   }
+
+  test("shuffleShards: exact permutation, stable under repartitioning, fresh per seed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 500L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val a = Corpus.shuffleShards(df.repartition(16), "id", shardSize = 64)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("shuffle_pos")).toMap
+    // exact permutation of 0..n-1
+    assert(a.values.toSeq.sorted === (0L until 500L))
+    // shard arithmetic
+    val row = Corpus.shuffleShards(df, "id", shardSize = 64)
+      .filter(col("shuffle_pos") === 130L).collect()(0)
+    assert(row.getAs[Long]("shard") === 2L)
+    assert(row.getAs[Long]("shard_offset") === 2L)
+    // partition-layout independence (the orderBy(rand) failure mode)
+    val b = Corpus.shuffleShards(df.repartition(3), "id", shardSize = 64)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("shuffle_pos")).toMap
+    assert(a === b)
+    // a different seed is a different epoch permutation
+    val c = Corpus.shuffleShards(df, "id", shardSize = 64, seed = "epoch1")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("shuffle_pos")).toMap
+    assert(c !== a)
+    assert(c.values.toSeq.sorted === (0L until 500L))
+    // and it matches the single-task window ground truth
+    val want = df
+      .withColumn("k", md5(concat(lit("epoch0"), col("id").cast("string")).cast("binary")))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("id"))) - 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("pos").toLong).toMap
+    assert(a === want)
+  }
 }

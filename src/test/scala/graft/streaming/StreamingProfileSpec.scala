@@ -180,4 +180,35 @@ class StreamingProfileSpec extends SparkSpec {
       assert(spark.table("dd").count() === 2L) // normalized dups dropped
     } finally q.stop()
   }
+
+  test("windowed PSI flags the drifted window, not the baseline-like one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val df = mem.toDF().toDF("ts", "v")
+    // baseline ~ uniform over [0, 4): quartile cuts 1,2,3; equal probs
+    val cuts = Seq(1.0, 2.0, 3.0)
+    val probs = Seq(0.25, 0.25, 0.25, 0.25)
+    val q = StreamingProfile.windowedPsi(df, "ts", "v", cuts, probs,
+        windowDur = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("psi")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    try {
+      // window A (10:xx): matches the baseline; window B (11:xx): all
+      // mass in the top bin — drifted
+      val even = (0 until 40).map(i => (ts(i % 50), (i % 4) + 0.5))
+      mem.addData(even: _*)
+      q.processAllAvailable()
+      val tsB = Timestamp.valueOf("2024-01-01 11:05:00")
+      mem.addData((0 until 40).map(_ => (tsB, 3.5)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("psi").collect()
+        .map(r => r.getTimestamp(0).toString -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val (nA, psiA) = rows("2024-01-01 10:00:00.0")
+      val (nB, psiB) = rows("2024-01-01 11:00:00.0")
+      assert(nA === 40L && nB === 40L)
+      assert(math.abs(psiA) < 0.01, s"baseline-like window drifted: $psiA")
+      assert(psiB > 1.0, s"shifted window reads stable: $psiB")
+    } finally q.stop()
+  }
 }
