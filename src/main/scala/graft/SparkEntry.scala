@@ -318,6 +318,22 @@ object SparkEntry {
         .select("doc_id", "shuffle_pos", "shard", "shard_offset")
         .orderBy("doc_id")),
 
+    // --- ordered funnel (view → click → purchase, first-touch) ---
+    "q72_funnel" -> ((s, d) =>
+      Temporal.funnel(t(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+        .orderBy("step")),
+
+    // --- windowless PERCENT_RANK normalization (rank via grouped
+    // prefix sums; fact rows re-join the distinct-bounded rank table) ---
+    "q73_percent_rank" -> ((s, d) =>
+      Drift.percentRank(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity")), "l_quantity")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("pct_rank"), 6).as("pct_rank"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // --- per-column statistical profiling (engine core) ---
     "q01_profile_extendedprice" -> ((s, d) => numericProfile(t(s, d, "lineitem"), "l_extendedprice")),
     "q02_profile_totalprice" -> ((s, d) => numericProfile(t(s, d, "orders"), "o_totalprice")),
@@ -1014,6 +1030,36 @@ object SparkEntry {
     def hd(i: Int) = s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
 
     Map(
+      "q72_funnel" ->
+        """WITH s0 AS (SELECT user_id, min(ts) AS pt FROM events
+          |            WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL
+          |            GROUP BY 1),
+          |s1 AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+          |       JOIN s0 ON e.user_id = s0.user_id
+          |       WHERE e.event_type = 'click' AND e.ts >= s0.pt GROUP BY 1),
+          |s2 AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+          |       JOIN s1 ON e.user_id = s1.user_id
+          |       WHERE e.event_type = 'purchase' AND e.ts >= s1.pt GROUP BY 1),
+          |c AS (SELECT (SELECT count(*) FROM s0) AS n0,
+          |             (SELECT count(*) FROM s1) AS n1,
+          |             (SELECT count(*) FROM s2) AS n2)
+          |SELECT CAST(0 AS BIGINT) AS step, 'view' AS step_name,
+          |  CAST(n0 AS BIGINT) AS n_users, round(CAST(1.0 AS DOUBLE), 6) AS conversion FROM c
+          |UNION ALL
+          |SELECT CAST(1 AS BIGINT), 'click', CAST(n1 AS BIGINT),
+          |  round(CASE WHEN n0 = 0 THEN CAST(0 AS DOUBLE)
+          |        ELSE CAST(n1 AS DOUBLE) / n0 END, 6) FROM c
+          |UNION ALL
+          |SELECT CAST(2 AS BIGINT), 'purchase', CAST(n2 AS BIGINT),
+          |  round(CASE WHEN n1 = 0 THEN CAST(0 AS DOUBLE)
+          |        ELSE CAST(n2 AS DOUBLE) / n1 END, 6) FROM c
+          |ORDER BY step""".stripMargin,
+
+      "q73_percent_rank" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity,
+          |  round(percent_rank() OVER (ORDER BY l_quantity), 6) AS pct_rank
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
       "q70_column_summary" -> {
         def one(c: String) =
           s"""SELECT '$c' AS col_name, n, n_null, n_distinct,

@@ -86,6 +86,38 @@ object Drift {
       round((p - q) * log(p / q), 6).as("psi_contrib"))
   }
 
+  /** Windowless PERCENT_RANK over the whole table — the rank/quantile
+    * normalization feature pipelines apply before training ("replace
+    * the raw value by its population percentile"). SQL semantics
+    * exactly: ties share the rank of their first row,
+    * pct = (rank − 1) / (n − 1).
+    *
+    * Spark plans `percent_rank() OVER (ORDER BY v)` as a SINGLE-task
+    * window. Here the rank table is distinct-value-bounded: ONE narrow
+    * groupBy(value) count, a shared-sort prefix pass turns counts into
+    * ranks (rank(v) = rows before v's run), and the fact rows take the
+    * percentile back via an equi-join on value — which AQE broadcasts
+    * whenever the distinct table is small (the common case for the
+    * discrete features this transform targets). Null values pass
+    * through with a null rank. */
+  def percentRank(df: DataFrame, valueCol: String,
+                  outCol: String = "pct_rank"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input already has a column named '$outCol'")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__pr_v")).agg(count(lit(1)).as("__pr_cnt"))
+      .localCheckpoint() // feeds the total AND the prefix pass
+    val n = counts.agg(coalesce(sum("__pr_cnt"), lit(0L))).collect()(0).getLong(0)
+    val ranked = Prefix.runningTotals(counts, Seq("__pr_v"),
+      Seq("__pr_cum" -> col("__pr_cnt")))
+      .select(col("__pr_v"),
+        (when(lit(n) > 1L,
+          (col("__pr_cum") - col("__pr_cnt")).cast("double") / lit(math.max(n - 1L, 1L).toDouble))
+          .otherwise(lit(0.0))).as(outCol))
+    df.join(ranked, df(valueCol) === col("__pr_v"), "left")
+      .drop("__pr_v")
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns: contingency counts from ONE narrow keyed agg, marginals
     * from two aggs over the (tiny) distinct-pair frame, χ² assembled

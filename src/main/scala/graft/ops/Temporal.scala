@@ -231,4 +231,48 @@ object Temporal {
     }
     spark.createDataFrame(rdd, outSchema).filter(col("__s") === 1)
   }
+
+  /** Ordered funnel analysis — "of the users who did step 1, how many
+    * went on to do step 2 after it, then step 3 after that": the
+    * conversion report every event pipeline ships. Step i counts a user
+    * when some event of type `steps(i)` has `ts >= ` the user's
+    * earliest qualifying step-(i−1) time (first-touch semantics,
+    * inclusive ties — an equal timestamp counts, matching the oracle's
+    * `>=`).
+    *
+    * Shape: one narrow filtered agg per step, each joined to the
+    * previous step's per-user frame — every shuffle is keyed on the
+    * user column, so the co-partitioning is planned once and reused
+    * (no Exchange between steps after the first), and each frame holds
+    * one row per surviving user. The k per-step counts are O(k)
+    * scalars to the driver; no per-user event list is ever collected
+    * or sorted. Output: (step, step_name, n_users, conversion) with
+    * conversion = n_users / previous step's n_users (1.0 for step 0). */
+  def funnel(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val spark = df.sparkSession
+    val base = df.select(col(userCol).as("u"), col(typeCol).as("t"),
+      col(tsCol).as("ts")).filter(col("u").isNotNull && col("ts").isNotNull)
+    var frame = base.filter(col("t") === steps.head)
+      .groupBy("u").agg(min(col("ts")).as("pt"))
+    var counts = List(frame.count())
+    steps.tail.foreach { step =>
+      frame = base.filter(col("t") === step)
+        .join(frame, "u")
+        .filter(col("ts") >= col("pt"))
+        .groupBy("u").agg(min(col("ts")).as("pt"))
+      counts = frame.count() :: counts
+    }
+    val ns = counts.reverse
+    val rows = steps.zipWithIndex.map { case (name, i) =>
+      val conv = if (i == 0) 1.0
+      else if (ns(i - 1) == 0) 0.0
+      else ns(i).toDouble / ns(i - 1)
+      (i.toLong, name, ns(i), conv)
+    }
+    import spark.implicits._
+    rows.toDF("step", "step_name", "n_users", "conversion")
+      .withColumn("conversion", round(col("conversion"), 6))
+  }
 }

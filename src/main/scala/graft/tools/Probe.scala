@@ -203,6 +203,51 @@ object Probe {
         }
       }
     }
+    names.filter(_ == "newops-scalelaw").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val events = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_id"), col("value"))
+      // growing corpus: same rotation generator as `scalelaw` (each
+      // copy-set fully token-disjoint, so vocab grows with the data)
+      val rotL = "abcdefghijklmnopqrstuvwxyz"
+      val rotD = "0123456789"
+      def docsAt(mult: Int): org.apache.spark.sql.DataFrame =
+        (0 until mult).map { m =>
+          val sh = rotL.drop(m % rotL.length) + rotL.take(m % rotL.length) +
+            rotD.drop(m % rotD.length) + rotD.take(m % rotD.length)
+          docs
+            .withColumn("doc_id", col("doc_id") + lit(m * 1000000L))
+            .withColumn("text", translate(lower(col("text")), rotL + rotD, sh))
+        }.reduce(_ unionByName _)
+      // growing events: distinct values grow with the data (the KS /
+      // histogram cost driver is |distinct|, not rows)
+      def evAt(mult: Int): org.apache.spark.sql.DataFrame =
+        (0 until mult).map { m =>
+          events.withColumn("event_id", col("event_id") + lit(m * 100000000L))
+            .withColumn("value", col("value") + lit(m * 1.7e-4))
+        }.reduce(_ unionByName _)
+      def time(tag: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val n = f
+        println(f"NEWOPS-SCALELAW $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+      }
+      // warmup (untimed): JIT + codegen for all four paths
+      graft.ops.Frequent.frequentTokens(docsAt(1), "text", 0.001).count()
+      graft.ops.Drift.ksTwoSample(evAt(1), col("value"), col("event_id") % 2 === 0).count()
+      graft.engine.Histogram.equiDepth(evAt(1), "value", "event_id", 16).count()
+      graft.ops.Corpus.shuffleShards(docsAt(1), "doc_id", 1024).count()
+      Seq(1, 4, 10).foreach { m =>
+        time(s"frequent-tokens x$m")(
+          graft.ops.Frequent.frequentTokens(docsAt(m), "text", 0.001).count())
+        time(s"ks-drift x$m")(
+          graft.ops.Drift.ksTwoSample(evAt(m), col("value"),
+            col("event_id") % 2 === 0).count())
+        time(s"equidepth-hist x$m")(
+          graft.engine.Histogram.equiDepth(evAt(m), "value", "event_id", 16).count())
+        time(s"shuffle-shards x$m")(
+          graft.ops.Corpus.shuffleShards(docsAt(m), "doc_id", 1024).count())
+      }
+    }
     names.filter(_ == "zorder").foreach { _ =>
       import org.apache.spark.sql.functions._
       val dims = spark.read.parquet(s"$sfDir/events.parquet")

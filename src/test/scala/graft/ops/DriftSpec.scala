@@ -81,6 +81,29 @@ class DriftSpec extends SparkSpec {
     assert(want > 1000.0) // strongly dependent
   }
 
+  test("percentRank matches the window percent_rank, ties share rank, no Window planned") {
+    val rnd = new scala.util.Random(17)
+    val df = (1L to 4000L).map(id => (id, rnd.nextInt(50).toDouble))
+      .toDF("id", "v").repartition(8)
+    val got = Drift.percentRank(df, "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val want = df.withColumn("pr",
+      percent_rank().over(org.apache.spark.sql.expressions.Window.orderBy("v")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.size === want.size)
+    for ((id, pr) <- want)
+      assert(math.abs(got(id) - pr) < 1e-12, s"id=$id")
+    val plan = Drift.percentRank(df, "v").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"percentRank plans a window:\n$plan")
+    // null values keep a null rank
+    val withNull = Seq((1L, Some(2.0)), (2L, None), (3L, Some(1.0)))
+      .toDF("id", "v")
+    val r = Drift.percentRank(withNull, "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(r(2L) === None)
+    assert(r(3L) === Some(0.0) && r(1L) === Some(1.0))
+  }
+
   test("functionalDependencies: key FD holds, many-to-many violated") {
     val df = Seq(
       (1L, "alice", "gold"), (2L, "bob", "gold"),

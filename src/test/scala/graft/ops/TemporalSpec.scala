@@ -159,4 +159,23 @@ class TemporalSpec extends SparkSpec {
     // union + window: no join operator, no nested-loop blowup
     assert(!plan.contains("Join"), s"unexpected join in as-of plan:\n$plan")
   }
+
+  test("funnel: first-touch ordering, inclusive ties, out-of-order steps excluded") {
+    import spark.implicits._
+    // u1: full ordered funnel; u2: clicked BEFORE viewing (click must
+    // not count), then purchased after the view — but with no click
+    // after the view, the purchase can't count either; u3: view+click
+    // at the SAME ts (inclusive tie counts), no purchase; u4: only view
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "purchase", 15L),
+      (3L, "view", 7L), (3L, "click", 7L),
+      (4L, "view", 1L), (4L, "other", 2L))
+      .toDF("u", "t", "ts")
+    val got = Temporal.funnel(ev, "u", "t", "ts", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("view") === ((0L, 4L, 1.0)))
+    assert(got("click") === ((1L, 2L, 0.5)))      // u1, u3 (tie counts)
+    assert(got("purchase") === ((2L, 1L, 0.5)))   // u1 only
+  }
 }
