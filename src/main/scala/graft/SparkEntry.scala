@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.{Detector, DetectorConfig, Histogram, Profiler}
-import graft.ops.{Corpus, Curation, Dedup, Drift, Frequent, Graph, Layout, Multimodal, Prefix, Sampling, Similarity, Temporal, TextAnalysis}
+import graft.ops.{Corpus, Curation, Dedup, Drift, Frequent, Graph, Layout, Multimodal, Prefix, Sampling, Similarity, Snapshot, Temporal, TextAnalysis}
 
 /** Driver contract: every deterministic operator of the engine is
   * registered here as a (SparkSession, sfDir) => DataFrame query with a
@@ -253,6 +253,63 @@ object SparkEntry {
   // ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- snapshot diff: two deterministic derivations of orders stand
+    // in for version N / N+1; the delta classifies each key ---
+    "q74_snapshot_diff" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val old = orders.filter(col("o_orderkey") % 97 =!= 0)
+      val neu = orders.filter(col("o_orderkey") % 89 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")))
+      Snapshot.diff(old, neu, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // --- robust outlier summary (median/MAD, two sort-kernel passes) ---
+    "q75_mad_outliers" -> ((s, d) =>
+      Profiler.madProfile(t(s, d, "orders"), "o_totalprice", k = 3.0)),
+
+    // --- domain-mixture sampling rates (uniform target over sources) ---
+    "q76_mixture_weights" -> ((s, d) =>
+      Corpus.mixtureWeights(t(s, d, "documents"), "source", "n_chars")
+        .orderBy("domain")),
+
+    // --- multi-level rollup totals (region → nation → grand total) in
+    // ONE scan: ROLLUP plans a single Expand over the joined fact, so
+    // the three aggregation levels share one shuffle instead of three
+    // scans. Expressed via spark.sql: the DataFrame rollup API trips
+    // Spark 4's ambiguous-self-join detector whenever the grouping
+    // columns flow through a join (the Expand re-projects each
+    // grouping attribute once per grouping set); the SQL path carries
+    // no per-Dataset id tags and plans identically. ---
+    "q77_rollup_revenue" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("q77_orders")
+      t(s, d, "customer").createOrReplaceTempView("q77_customer")
+      t(s, d, "nation").createOrReplaceTempView("q77_nation")
+      t(s, d, "region").createOrReplaceTempView("q77_region")
+      s.sql(
+        """SELECT r_name, n_name, count(1) AS n_orders,
+          |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+          |FROM q77_orders
+          |  JOIN q77_customer ON o_custkey = c_custkey
+          |  JOIN q77_nation ON c_nationkey = n_nationkey
+          |  JOIN q77_region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP(r_name, n_name)
+          |ORDER BY r_name, n_name""".stripMargin)
+    }),
+
+    // --- cross-tab pivot: events per type per day-of-week, one shuffle
+    // (explicit pivot values — no extra distinct-collect pass) ---
+    "q78_pivot_events" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("dow", dayofweek(col("ts")).cast(LongType))
+        .groupBy("dow")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("dow")),
 
     // --- exact frequent tokens (two-phase Misra-Gries: the tail never
     // shuffles; result identical to the naive full groupBy) ---
@@ -1030,6 +1087,79 @@ object SparkEntry {
     def hd(i: Int) = s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
 
     Map(
+      "q74_snapshot_diff" ->
+        """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
+          |n AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+          |        CASE WHEN o_orderkey % 13 = 0
+          |             THEN o_totalprice * CAST(1.1 AS DOUBLE)
+          |             ELSE o_totalprice END AS o_totalprice,
+          |        o_orderdate, o_orderpriority
+          |      FROM orders WHERE o_orderkey % 89 <> 0)
+          |SELECT o_orderkey, change FROM (
+          |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+          |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+          |         WHEN n.o_orderkey IS NULL THEN 'removed'
+          |         WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+          |           OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+          |           OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+          |           OR (o.o_orderdate IS DISTINCT FROM n.o_orderdate)
+          |           OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+          |         THEN 'changed' END AS change
+          |  FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
+          |WHERE change IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+
+      "q75_mad_outliers" ->
+        """WITH c AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+          |           WHERE o_totalprice IS NOT NULL),
+          |m AS (SELECT median(x) AS med FROM c),
+          |d AS (SELECT median(abs(x - med)) AS mad FROM c, m)
+          |SELECT CAST(count(*) AS BIGINT) AS n,
+          |  round(med, 6) AS median, round(mad, 6) AS mad,
+          |  CAST(coalesce(sum(CASE WHEN abs(x - med) >
+          |    CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad
+          |    THEN 1 END), 0) AS BIGINT) AS n_outliers,
+          |  round(CAST(coalesce(sum(CASE WHEN abs(x - med) >
+          |    CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad
+          |    THEN 1 END), 0) AS DOUBLE) / count(*), 6) AS outlier_frac
+          |FROM c, m, d GROUP BY med, mad""".stripMargin,
+
+      "q76_mixture_weights" ->
+        """WITH g AS (SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+          |             CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS tokens
+          |           FROM documents WHERE source IS NOT NULL GROUP BY 1),
+          |t AS (SELECT CAST(coalesce(sum(tokens), 0) AS BIGINT) AS tot,
+          |             count(*) AS dcnt FROM g),
+          |r AS (SELECT g.domain, g.n_docs, g.tokens,
+          |        CAST(1.0 AS DOUBLE) / dcnt AS target_share,
+          |        CAST(tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS cur_share
+          |      FROM g, t),
+          |r2 AS (SELECT *, CASE WHEN cur_share > 0 THEN target_share / cur_share
+          |                      ELSE CAST(0.0 AS DOUBLE) END AS ratio FROM r),
+          |m AS (SELECT max(ratio) AS mx FROM r2)
+          |SELECT domain, n_docs, tokens, round(cur_share, 6) AS cur_share,
+          |  round(target_share, 6) AS target_share,
+          |  round(CASE WHEN mx > 0 THEN ratio / mx
+          |             ELSE CAST(0.0 AS DOUBLE) END, 6) AS sample_rate
+          |FROM r2, m ORDER BY domain""".stripMargin,
+
+      "q77_rollup_revenue" ->
+        """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
+          |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP(r_name, n_name)
+          |ORDER BY r_name, n_name""".stripMargin,
+
+      "q78_pivot_events" ->
+        """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+          |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view",
+          |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+          |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+          |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+          |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+          |FROM events GROUP BY 1 ORDER BY dow""".stripMargin,
+
       "q72_funnel" ->
         """WITH s0 AS (SELECT user_id, min(ts) AS pt FROM events
           |            WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL

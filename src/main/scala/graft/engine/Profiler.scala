@@ -305,6 +305,35 @@ object Profiler {
       round(lit(cuts.last), 6).as("hi_cut"))
   }
 
+  /** Robust outlier summary via the Median Absolute Deviation — the
+    * heavy-tail-safe alternative to z-scores (one extreme value drags
+    * a mean/std threshold arbitrarily; the median/MAD pair has a 50%
+    * breakdown point). Flags x as an outlier when
+    * |x − median| > k · 1.4826 · MAD (1.4826 = the usual normal
+    * consistency constant, so k reads like a z-score k).
+    *
+    * Shape: two distributed-sort quantile passes (median, then median
+    * of deviations — each O(P) driver scalars via the range-sort
+    * kernel, no single-task window) + one final counting agg. Output
+    * (1 row): (n, median, mad, n_outliers, outlier_frac). */
+  def madProfile(df: DataFrame, colName: String, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val x = col(colName).cast(DoubleType)
+    val clean = df.filter(x.isNotNull)
+    val n = clean.count()
+    val med = Quantiles.exactExpr(clean, x, Seq(0.5), n).head
+    val mad = Quantiles.exactExpr(clean, abs(x - med), Seq(0.5), n).head
+    // left-assoc (k * 1.4826) * mad — the oracle spells it the same way
+    val thr = k * 1.4826 * mad
+    clean.agg(
+      count(x).as("n"),
+      round(lit(med), 6).as("median"),
+      round(lit(mad), 6).as("mad"),
+      coalesce(sum(when(abs(x - med) > thr, 1L)), lit(0L)).as("n_outliers"),
+      round(coalesce(sum(when(abs(x - med) > thr, 1L)), lit(0L))
+        .cast(DoubleType) / count(x).cast(DoubleType), 6).as("outlier_frac"))
+  }
+
   /** Completeness / cardinality / entropy summary for several columns
     * in ONE shuffle: rows explode to a narrow (column, value) stream
     * (k× scan traffic, absorbed by map-side combine), distinct

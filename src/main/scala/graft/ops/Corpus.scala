@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.ops.TextAnalysis.tokens
 
@@ -288,5 +289,64 @@ object Corpus {
       .withColumn("shard", expr(s"shuffle_pos div ${shardSize}L"))
       .withColumn("shard_offset", col("shuffle_pos") % shardSize)
       .drop("__sk")
+  }
+
+  /** Per-domain sampling rates that rebalance a corpus toward a target
+    * mixture — the "what fraction of each source do I keep so the
+    * training set is X% web / Y% code / Z% books" computation every
+    * data-mixing recipe starts from. Rates are DOWNSAMPLE-ONLY
+    * (scaled so the largest stays at 1.0 — no row is duplicated), and
+    * the output feeds [[Sampling.stratifiedHashSample]] directly.
+    *
+    * `targets` maps domain → desired ABSOLUTE share of the final token
+    * mass; domains absent from the map split the remaining
+    * max(0, 1 − Σ targets) mass uniformly. An empty map means a fully
+    * uniform target.
+    *
+    * Shape: ONE narrow groupBy(domain) (map-side combine absorbs the
+    * rows; only |domains| groups shuffle), then all arithmetic runs on
+    * the ≤|domains|-row frame (two broadcast-joined scalar aggs for
+    * the total and the max ratio). Nothing driver-side, nothing that
+    * grows with row count. Output: (domain, n_docs, tokens, cur_share,
+    * target_share, sample_rate) — one row per observed domain. */
+  def mixtureWeights(df: DataFrame, domainCol: String, sizeCol: String,
+                     targets: Map[String, Double] = Map.empty): DataFrame = {
+    targets.values.foreach(w =>
+      require(w >= 0, s"target weights must be >= 0, got $w"))
+    val g = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col(sizeCol).cast(LongType)), lit(0L)).as("tokens"))
+      .localCheckpoint() // feeds three aggs below — compute the groups once
+    // raw target weight per domain: explicit entries keep their weight,
+    // the rest share the residual mass (or everything, if no map)
+    val explicitMass = targets.values.sum
+    val residual = math.max(0.0, 1.0 - explicitMass)
+    val rawW = targets.foldLeft(
+      lit(null).cast(DoubleType)) { case (acc, (dom, w)) =>
+      when(col("domain") === dom, lit(w)).otherwise(acc)
+    }
+    val w = g.withColumn("__w", rawW)
+    val totals = w.agg(
+      coalesce(sum("tokens"), lit(0L)).as("__tot"),
+      coalesce(sum(when(col("__w").isNull, 1L)), lit(0L)).as("__n_implicit"))
+    val withShares = w.crossJoin(broadcast(totals))
+      .withColumn("target_share",
+        coalesce(col("__w"),
+          when(col("__n_implicit") > 0, lit(residual) / col("__n_implicit"))
+            .otherwise(lit(0.0))))
+      .withColumn("cur_share",
+        col("tokens").cast(DoubleType) / col("__tot").cast(DoubleType))
+      .withColumn("__ratio",
+        when(col("cur_share") > 0, col("target_share") / col("cur_share"))
+          .otherwise(lit(0.0)))
+      .localCheckpoint()
+    val mx = withShares.agg(coalesce(max("__ratio"), lit(0.0)).as("__mx"))
+    withShares.crossJoin(broadcast(mx))
+      .select(col("domain"), col("n_docs"), col("tokens"),
+        round(col("cur_share"), 6).as("cur_share"),
+        round(col("target_share"), 6).as("target_share"),
+        round(when(col("__mx") > 0, col("__ratio") / col("__mx"))
+          .otherwise(lit(0.0)), 6).as("sample_rate"))
   }
 }

@@ -106,6 +106,28 @@ class ProfilerSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("madProfile: median/MAD and outlier flags vs hand computation") {
+    import spark.implicits._
+    // 1..9 plus one gross outlier; median = 5.5, deviations from 5.5
+    // are 4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5 → MAD = 2.5
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).toDF("x").repartition(4)
+    val r = Profiler.madProfile(df, "x", k = 3.0).collect()(0)
+    assert(r.getLong(0) === 10L)
+    assert(r.getDouble(1) === 5.5)
+    assert(r.getDouble(2) === 2.5)
+    // threshold = 3 · 1.4826 · 2.5 ≈ 11.12 → only 1000.0 flagged
+    assert(r.getLong(3) === 1L)
+    assert(r.getDouble(4) === 0.1)
+  }
+
+  test("madProfile: constant column has MAD 0 and no outliers") {
+    import spark.implicits._
+    val df = Seq.fill(8)(7.0).toDF("x")
+    val r = Profiler.madProfile(df, "x").collect()(0)
+    assert(r.getDouble(2) === 0.0)
+    assert(r.getLong(3) === 0L)
+  }
+
   test("datetime profile under strictFormats: ISO render format detected") {
     val detected = Detector.detect(fixture, DetectorConfig(strictFormats = true))
     val p = Profiler.profileScalars(fixture, detected)

@@ -179,4 +179,41 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("pos").toLong).toMap
     assert(a === want)
   }
+
+  test("mixtureWeights: uniform target downsamples the dominant domain only") {
+    import spark.implicits._
+    // web 800 tokens, code 150, books 50 → uniform target 1/3 each.
+    // ratios ∝ 1/cur_share: web smallest → everything else scaled so
+    // the largest ratio (books) sits at rate 1.0.
+    val df = Seq.fill(8)(("web", 100L)) ++ Seq.fill(3)(("code", 50L)) ++
+      Seq.fill(1)(("books", 50L))
+    val got = Corpus.mixtureWeights(df.toDF("src", "n_tok"), "src", "n_tok")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("web")._2 === 800L && got("code")._2 === 150L && got("books")._2 === 50L)
+    // current shares
+    assert(math.abs(got("web")._3 - 0.8) < 1e-9)
+    assert(math.abs(got("books")._3 - 0.05) < 1e-9)
+    // rates: books ratio = (1/3)/0.05 = 20/3 (max → 1.0);
+    // code = (1/3)/0.15 = 20/9 → 1/3; web = (1/3)/0.8 = 5/12 → 0.0625
+    assert(got("books")._5 === 1.0)
+    assert(math.abs(got("code")._5 - 1.0 / 3) < 1e-6)
+    assert(math.abs(got("web")._5 - 0.0625) < 1e-6)
+  }
+
+  test("mixtureWeights: explicit targets pin a domain, the rest split the residual") {
+    import spark.implicits._
+    val df = Seq(("a", 100L), ("b", 100L), ("c", 100L), ("d", 100L))
+      .toDF("src", "n_tok")
+    val got = Corpus.mixtureWeights(df, "src", "n_tok",
+      targets = Map("a" -> 0.7)).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(4), r.getDouble(5)))).toMap
+    // a pinned at 0.7; b,c,d share 0.3 → 0.1 each
+    assert(got("a")._1 === 0.7)
+    assert(got("b")._1 === 0.1 && got("c")._1 === 0.1 && got("d")._1 === 0.1)
+    // equal current shares (0.25 each): a's ratio is the max → rate 1;
+    // others = 0.1/0.7
+    assert(got("a")._2 === 1.0)
+    assert(math.abs(got("b")._2 - 0.1 / 0.7) < 1e-6)
+  }
 }
