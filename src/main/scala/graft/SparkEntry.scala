@@ -311,6 +311,26 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy("dow")),
 
+    // --- first-order event-type transition matrix (keyed window —
+    // parallel across users, never a global sort) ---
+    "q79_transitions" -> ((s, d) =>
+      Temporal.transitionMatrix(t(s, d, "events"), "user_id", "event_type",
+        "ts", "event_id")
+        .orderBy("from_type", "to_type")),
+
+    // --- gap-filled hourly resample (complete calendar spine) ---
+    "q80_resample_hourly" -> ((s, d) =>
+      Temporal.resample(t(s, d, "events"), "ts", "value", unit = "hour")
+        .orderBy("bucket")),
+
+    // --- cumulative-adoption curve (windowless running distinct-user
+    // total via the two-pass prefix sum) ---
+    "q81_cumulative_users" -> ((s, d) =>
+      Temporal.cumulativeFirstSeen(t(s, d, "events"), "user_id", "ts",
+        unit = "day")
+        .withColumnRenamed("cum_keys", "cum_users")
+        .orderBy("bucket")),
+
     // --- exact frequent tokens (two-phase Misra-Gries: the tail never
     // shuffles; result identical to the naive full groupBy) ---
     "q62_frequent_tokens" -> ((s, d) =>
@@ -1087,6 +1107,38 @@ object SparkEntry {
     def hd(i: Int) = s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
 
     Map(
+      "q79_transitions" ->
+        """WITH s AS (SELECT event_type AS ft,
+          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tt
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |p AS (SELECT ft, tt, CAST(count(*) AS BIGINT) AS n FROM s
+          |      WHERE tt IS NOT NULL GROUP BY 1, 2),
+          |f AS (SELECT ft, CAST(sum(n) AS BIGINT) AS tot FROM p GROUP BY 1)
+          |SELECT p.ft AS from_type, p.tt AS to_type, p.n,
+          |  round(CAST(p.n AS DOUBLE) / CAST(f.tot AS DOUBLE), 6) AS prob
+          |FROM p JOIN f ON p.ft = f.ft ORDER BY from_type, to_type""".stripMargin,
+
+      "q80_resample_hourly" ->
+        """WITH b AS (SELECT date_trunc('hour', ts) AS h,
+          |    CAST(count(*) AS BIGINT) AS n,
+          |    round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
+          |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+          |r AS (SELECT min(h) AS lo, max(h) AS hi FROM b),
+          |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS s FROM r)
+          |SELECT strftime(spine.s, '%Y-%m-%d %H:%M:%S') AS bucket,
+          |  coalesce(b.n, 0) AS n,
+          |  coalesce(b.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
+          |FROM spine LEFT JOIN b ON spine.s = b.h ORDER BY bucket""".stripMargin,
+
+      "q81_cumulative_users" ->
+        """WITH fs AS (SELECT user_id, min(ts) AS first_ts FROM events
+          |            WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+          |d AS (SELECT date_trunc('day', first_ts) AS day,
+          |        CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY 1)
+          |SELECT strftime(day, '%Y-%m-%d %H:%M:%S') AS bucket, n_new,
+          |  CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+          |FROM d ORDER BY bucket""".stripMargin,
+
       "q74_snapshot_diff" ->
         """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
           |n AS (SELECT o_orderkey, o_custkey, o_orderstatus,

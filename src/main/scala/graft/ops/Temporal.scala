@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Temporal joins the reference's single-table model never needed but a
   * query engine over event data does — most importantly the backward
@@ -274,5 +275,90 @@ object Temporal {
     import spark.implicits._
     rows.toDF("step", "step_name", "n_users", "conversion")
       .withColumn("conversion", round(col("conversion"), 6))
+  }
+
+  /** First-order Markov transition matrix over an event stream: for
+    * each consecutive (by `tsCol`, ties broken by `tieCol`) pair of
+    * events of the same `keyCol`, count the (from_type, to_type)
+    * transition and its row-normalized probability — the "what do
+    * users do next" summary behavioral pipelines compute per snapshot.
+    *
+    * Shape: the lead() window is PARTITIONED BY key — each user's
+    * events sort inside one task's hash bucket, so unlike a global
+    * window this parallelizes across keys (per-key volume is the only
+    * skew concern, documented). The transition counts then reduce to
+    * ≤ |types|² rows; the per-from normalizer joins on that tiny
+    * frame. */
+  def transitionMatrix(df: DataFrame, keyCol: String, typeCol: String,
+                       tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tie"))
+    val pairs = df.select(col(keyCol).as("__k"), col(typeCol).as("__t"),
+      col(tsCol).as("__ts"), col(tieCol).as("__tie"))
+      .filter(col("__k").isNotNull && col("__ts").isNotNull)
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("__t").as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds both the output and the normalizer
+    val totals = pairs.groupBy(col("from_type").as("__ft"))
+      .agg(sum("n").as("__tot"))
+    pairs.join(broadcast(totals), col("from_type") === col("__ft"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6).as("prob"))
+  }
+
+  /** Gap-filled time-bucket resample: per-`unit` (e.g. "hour") event
+    * count and value sum over a COMPLETE spine from the first to the
+    * last observed bucket — absent buckets appear with n=0 (the
+    * "regularize the series before charting/forecasting" step;
+    * a plain groupBy silently drops empty buckets).
+    *
+    * Shape: one narrow groupBy(bucket) over the raw rows (map-side
+    * combine), then everything operates on ≤|buckets| rows: the spine
+    * is sequence(min, max) exploded from the 1-row extent agg —
+    * |buckets| is calendar-bounded (data-size-independent), so the
+    * single-task explode is safe at any row count — and the fill
+    * join broadcasts the bucket aggregates against it. */
+  def resample(df: DataFrame, tsCol: String, valueCol: String,
+               unit: String = "hour"): DataFrame = {
+    val step = unit.toLowerCase match {
+      case "hour" => expr("interval 1 hour")
+      case "day" => expr("interval 1 day")
+      case "week" => expr("interval 7 day")
+      case other => throw new IllegalArgumentException(
+        s"unsupported resample unit '$other' (hour|day|week)")
+    }
+    val b = df.filter(col(tsCol).isNotNull)
+      .groupBy(date_trunc(unit, col(tsCol)).as("__b"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(valueCol).cast(DecimalType(38, 6))).cast("double"), 6)
+          .as("sum_value"))
+      .localCheckpoint() // feeds the extent agg AND the fill join
+    val spine = b.agg(min("__b").as("__lo"), max("__b").as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"), step)).as("__s"))
+    spine.join(b, col("__s") === col("__b"), "left")
+      .select(date_format(col("__s"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+  }
+
+  /** Cumulative-adoption curve: per `unit` bucket, how many keys were
+    * seen for the FIRST time, and the running total of distinct keys
+    * to date — the windowless form of
+    * `SUM(n_new) OVER (ORDER BY day)` (a global running sum is a
+    * single-task window; this rides [[Prefix.runningTotal]]'s
+    * two-pass range sort instead, and the frame it sorts is already
+    * bucket-sized, not row-sized). */
+  def cumulativeFirstSeen(df: DataFrame, keyCol: String, tsCol: String,
+                          unit: String = "day"): DataFrame = {
+    val firstSeen = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"))
+      .agg(min(col(tsCol)).as("__first"))
+      .groupBy(date_trunc(unit, col("__first")).as("__b"))
+      .agg(count(lit(1)).as("n_new"))
+    Prefix.runningTotal(firstSeen, "__b", "n_new", "cum_keys")
+      .select(date_format(col("__b"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("n_new"), col("cum_keys"))
   }
 }

@@ -178,4 +178,52 @@ class TemporalSpec extends SparkSpec {
     assert(got("click") === ((1L, 2L, 0.5)))      // u1, u3 (tie counts)
     assert(got("purchase") === ((2L, 1L, 0.5)))   // u1 only
   }
+
+  test("transitionMatrix: counts consecutive pairs per key, row-normalized") {
+    import spark.implicits._
+    // u1: a→b→a ; u2: a→b ; u3: single event (no transitions);
+    // tie at u1 ts=20 broken by id (3 before 4): a→b→a, not a→a→b
+    val ev = Seq(
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 3L), (1L, "a", 20L, 4L),
+      (2L, "a", 5L, 5L), (2L, "b", 6L, 6L),
+      (3L, "c", 1L, 7L))
+      .toDF("u", "t", "ts", "id")
+    val got = Temporal.transitionMatrix(ev, "u", "t", "ts", "id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      ("a", "b") -> ((2L, 1.0)),   // both a's lead to b
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
+  test("resample fills gaps with zero and keeps observed buckets") {
+    import spark.implicits._
+    val ev = Seq(
+      ("2024-01-01 00:10:00", 1.0), ("2024-01-01 00:50:00", 2.0),
+      ("2024-01-01 03:05:00", 4.0)) // hours 1 and 2 are empty
+      .toDF("s", "v").withColumn("ts", to_timestamp(col("s")))
+    val got = Temporal.resample(ev, "ts", "v", unit = "hour")
+      .orderBy("bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got === Array(
+      ("2024-01-01 00:00:00", 2L, 3.0),
+      ("2024-01-01 01:00:00", 0L, 0.0),
+      ("2024-01-01 02:00:00", 0L, 0.0),
+      ("2024-01-01 03:00:00", 1L, 4.0)))
+  }
+
+  test("cumulativeFirstSeen counts each key once, at its first bucket") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 09:00:00"), (1L, "2024-01-03 09:00:00"),
+      (2L, "2024-01-01 12:00:00"),
+      (3L, "2024-01-03 01:00:00"), (3L, "2024-01-04 01:00:00"))
+      .toDF("u", "s").withColumn("ts", to_timestamp(col("s")))
+    val got = Temporal.cumulativeFirstSeen(ev, "u", "ts", unit = "day")
+      .orderBy("bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array(
+      ("2024-01-01 00:00:00", 2L, 2L),
+      ("2024-01-03 00:00:00", 1L, 3L)))
+  }
 }
