@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.{Detector, DetectorConfig, Histogram, Profiler}
-import graft.ops.{Corpus, Curation, Dedup, Drift, Frequent, Graph, Layout, Multimodal, Prefix, Sampling, Similarity, Snapshot, Temporal, TextAnalysis}
+import graft.ops.{Corpus, Curation, Dedup, Drift, Expectations, Frequent, Graph, Layout, Multimodal, Prefix, Sampling, Similarity, Snapshot, Temporal, TextAnalysis}
 
 /** Driver contract: every deterministic operator of the engine is
   * registered here as a (SparkSession, sfDir) => DataFrame query with a
@@ -330,6 +330,39 @@ object SparkEntry {
         unit = "day")
         .withColumnRenamed("cum_keys", "cum_users")
         .orderBy("bucket")),
+
+    // --- declarative data-expectations report (k row rules fused into
+    // ONE scan + a distinct-count uniqueness rule) ---
+    "q82_expectations" -> ((s, d) => {
+      val df = t(s, d, "orders")
+      Expectations.report(df,
+        rules = Seq(
+          Expectations.rowRule("notnull(o_custkey)", col("o_custkey").isNotNull),
+          Expectations.rowRule("positive(o_totalprice)", col("o_totalprice") > 0),
+          Expectations.rowRule("cap(o_totalprice)", col("o_totalprice") <= 400000),
+          Expectations.rowRule("set(o_orderstatus)",
+            col("o_orderstatus").isin("O", "F", "P")),
+          Expectations.rowRule("pattern(o_orderpriority)",
+            col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$")),
+          Expectations.rowRule("recent(o_orderdate)",
+            col("o_orderdate") < lit("2000-01-01").cast("timestamp"))),
+        uniqueKeys = Seq(Seq("o_orderkey")))
+        .orderBy("rule")
+    }),
+
+    // --- fixed-iteration PageRank over the part↔supplier co-purchase
+    // graph (symmetrized; exact fixed-point sums — see Graph.pageRank) ---
+    "q83_pagerank" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val edges = li.select(
+        concat(lit("p"), col("l_partkey").cast("string")).as("a"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+      val sym = edges.unionByName(
+        edges.select(col("b").as("a"), col("a").as("b")))
+      Graph.pageRank(sym, "a", "b", iterations = 3)
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy("id")
+    }),
 
     // --- exact frequent tokens (two-phase Misra-Gries: the tail never
     // shuffles; result identical to the naive full groupBy) ---
@@ -1107,6 +1140,61 @@ object SparkEntry {
     def hd(i: Int) = s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
 
     Map(
+      "q82_expectations" -> {
+        val preds = Seq(
+          "notnull(o_custkey)" -> "o_custkey IS NOT NULL",
+          "positive(o_totalprice)" -> "o_totalprice > 0",
+          "cap(o_totalprice)" -> "o_totalprice <= 400000",
+          "set(o_orderstatus)" -> "o_orderstatus IN ('O','F','P')",
+          "pattern(o_orderpriority)" ->
+            "regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')",
+          "recent(o_orderdate)" -> "o_orderdate < TIMESTAMP '2000-01-01'")
+        val vcols = preds.zipWithIndex.map { case ((_, p), i) =>
+          s"CAST(coalesce(sum(CASE WHEN NOT coalesce($p, TRUE) THEN 1 END), 0) AS BIGINT) AS v$i"
+        }.mkString(",\n  ")
+        val rows = preds.zipWithIndex.map { case ((name, _), i) =>
+          s"""SELECT '$name' AS rule, n, v$i AS n_violations,
+             |  round(CAST(n - v$i AS DOUBLE) / n, 6) AS pass_rate FROM base""".stripMargin
+        }
+        val uniq =
+          """SELECT 'unique(o_orderkey)' AS rule,
+            |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+            |  CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS n_violations,
+            |  round(CAST(coalesce(sum(c), 0) - coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS DOUBLE)
+            |    / coalesce(sum(c), 0), 6) AS pass_rate
+            |FROM (SELECT count(*) AS c FROM orders
+            |      WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)""".stripMargin
+        s"""WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |  $vcols
+           |FROM orders)
+           |${(rows :+ uniq).mkString("\nUNION ALL\n")}
+           |ORDER BY rule""".stripMargin
+      },
+
+      "q83_pagerank" -> {
+        def iter(k: Int) =
+          s"""c$k AS (SELECT e.dst AS id,
+             |  sum(CAST(floor(r${k - 1}.pr / d.deg * 1e15) AS DECIMAL(38,0))) AS acc
+             |  FROM e JOIN d ON e.src = d.src JOIN r${k - 1} ON e.src = r${k - 1}.id
+             |  GROUP BY 1),
+             |r$k AS (SELECT nodes.id,
+             |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+             |    + CAST(0.85 AS DOUBLE) * (CAST(coalesce(c$k.acc, 0) AS DOUBLE) / 1e15) AS pr
+             |  FROM nodes CROSS JOIN nn LEFT JOIN c$k ON nodes.id = c$k.id)""".stripMargin
+        s"""WITH e0 AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+           |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+           |  FROM lineitem WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+           |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+           |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+           |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT id, round(pr, 6) AS pr FROM r3 ORDER BY id""".stripMargin
+      },
+
       "q79_transitions" ->
         """WITH s AS (SELECT event_type AS ft,
           |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tt

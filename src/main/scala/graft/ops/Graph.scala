@@ -48,4 +48,60 @@ object Graph {
     }
     labels
   }
+
+  /** Fixed-iteration PageRank over a directed edge list — the
+    * "which sources/domains matter" centrality a corpus-curation
+    * pipeline uses to weight crawl frontiers and source trust.
+    *
+    * pr⁰(v) = 1/N;  prᵏ(v) = (1−d)/N + d·Σ_{(u,v)∈E} prᵏ⁻¹(u)/deg(u).
+    *
+    * Determinism at any scale (and against the unrolled SQL oracle):
+    * the per-edge contribution pr(u)/deg(u) is a scalar double op, but
+    * its SUM over in-edges would be partition-order-dependent in
+    * double. Contributions are therefore fixed-pointed —
+    * floor(x·10¹⁵) as DECIMAL(38,0) — summed exactly (order-free),
+    * and scaled back once per round. 10¹⁵ keeps every floored value
+    * under 2⁵³, so the float→decimal conversion is exact in any
+    * engine; the floor truncation error per round is
+    * ≤ in-degree·10⁻¹⁵, far below the 6-dp output rounding.
+    *
+    * Shape per round: one keyed join (edges ⋈ ranks on src — ranks is
+    * the N-row frame, broadcastable while N fits, shuffle-joinable
+    * beyond) + one groupBy(dst) agg; lineage truncated per round like
+    * [[minLabelPropagation]]. Dangling mass: vertices with out-degree
+    * 0 (possible in a directed input) leak their rank — standard
+    * simplified PageRank; pass symmetric edges for leak-free ranks.
+    *
+    * Returns (id, pr) for every vertex that appears in an edge. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping >= 0 && damping <= 1, s"damping $damping outside [0,1]")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src").localCheckpoint() // (src, dst, deg), reused every round
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    val base = (1.0 - damping) / n
+    var ranks = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val contrib = ed.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(floor(col("pr") / col("deg") * 1e15)
+          .cast("decimal(38,0)")).as("acc"))
+      ranks = ranks.drop("pr").join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + lit(damping) *
+            (coalesce(col("acc"), lit(java.math.BigDecimal.ZERO)).cast("double") / 1e15))
+            .as("pr"))
+        .localCheckpoint()
+    }
+    ranks
+  }
 }

@@ -121,4 +121,45 @@ class GraphSpec extends SparkSpec {
     assert(m(hot) === m(buffered))
     assert(m(hot).keySet === Set(None, Some("hotkey"), Some("small")))
   }
+
+  test("pageRank: symmetric regular graph converges to uniform ranks") {
+    import spark.implicits._
+    // 4-cycle, symmetrized: every node has degree 2 — PageRank is
+    // exactly uniform 1/4 at every iteration
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("s", "t")
+    val sym = e.unionByName(e.select(col("t").as("s"), col("s").as("t")))
+    val got = Graph.pageRank(sym, "s", "t", iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set("a", "b", "c", "d"))
+    got.values.foreach(v => assert(math.abs(v - 0.25) < 1e-9))
+  }
+
+  test("pageRank: star graph matches the hand-iterated recurrence") {
+    import spark.implicits._
+    // hub h ↔ leaves l1..l3 (symmetric). N=4, d=0.85.
+    // pr⁰ = 1/4 each; hub deg 3, leaf deg 1.
+    // pr¹(h) = 0.15/4 + 0.85·(3·(1/4)/1) = 0.675
+    // pr¹(l) = 0.15/4 + 0.85·((1/4)/3)  = 0.10833…
+    // pr²(h) = 0.15/4 + 0.85·(3·0.108333…) = 0.3137499…
+    // pr²(l) = 0.15/4 + 0.85·(0.675/3)     = 0.22875
+    val e = Seq(("h", "l1"), ("h", "l2"), ("h", "l3")).toDF("s", "t")
+    val sym = e.unionByName(e.select(col("t").as("s"), col("s").as("t")))
+    val got = Graph.pageRank(sym, "s", "t", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val prL1 = 0.15 / 4 + 0.85 * (0.25 / 3)
+    assert(math.abs(got("h") - (0.15 / 4 + 0.85 * 3 * prL1)) < 1e-6)
+    assert(math.abs(got("l2") - (0.15 / 4 + 0.85 * (0.675 / 3))) < 1e-6)
+    // symmetric graph: no dangling leak — total mass stays 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
+
+  test("pageRank: duplicate input edges do not double-count") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("a", "b"), ("b", "a")).toDF("s", "t")
+    val got = Graph.pageRank(e, "s", "t", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // after dedup this is the symmetric 2-node graph → uniform 1/2
+    got.values.foreach(v => assert(math.abs(v - 0.5) < 1e-9))
+  }
 }
