@@ -364,6 +364,17 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // --- exact Jaccard similarity join via prefix filtering: same
+    // result set as brute force (no LSH false negatives) while the
+    // O(n²) pair space never materializes — the oracle verifies with
+    // an all-pairs plan, this side with the prefix-filtered join ---
+    "q84_jaccard_join_prefix" -> ((s, d) => {
+      val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
+      Dedup.jaccardJoinPrefix(dup, "doc_id", "text", minJaccard = 0.8, k = 3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- exact frequent tokens (two-phase Misra-Gries: the tail never
     // shuffles; result identical to the naive full groupBy) ---
     "q62_frequent_tokens" -> ((s, d) =>
@@ -1193,6 +1204,28 @@ object SparkEntry {
            |${iter(2)},
            |${iter(3)}
            |SELECT id, round(pr, 6) AS pr FROM r3 ORDER BY id""".stripMargin
+      },
+
+      // Brute-force all-pairs form: complete because J ≥ τ > 0 implies
+      // the pair shares ≥ 1 shingle, so the shingle equi-join finds it.
+      // The Spark side prunes candidates with the prefix filter instead;
+      // both filters are lossless, so the outputs are identical.
+      "q84_jaccard_join_prefix" -> {
+        val sh = shinglesSql("text")
+        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),
+           |sh AS (SELECT doc_id, unnest($sh) AS s FROM dup),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON sa.doc_id = id_a
+           |JOIN sizes sb ON sb.doc_id = id_b
+           |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin
       },
 
       "q79_transitions" ->

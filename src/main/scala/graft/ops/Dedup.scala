@@ -283,6 +283,15 @@ object Dedup {
       explode(shinglesFast(col(textCol).cast("string"), k)).as("s"))
       .localCheckpoint()
     val cand = candidatesFromShingleStream(sh, numHashes, bands)
+    verifyExactJaccard(sh, cand, minJaccard)
+  }
+
+  /** Shared verification tail of the candidate-based Jaccard joins:
+    * exact |A∩B| / |A∪B| over the exploded (id, shingle) stream for the
+    * given (id_a, id_b) candidate pairs only, filtered at `minJaccard`.
+    * The intersection joins re-read `sh` — callers localCheckpoint it. */
+  private def verifyExactJaccard(sh: DataFrame, cand: DataFrame,
+                                 minJaccard: Double): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val shB = sh.select(col("id").as("__idb"), col("s").as("__sb"))
     val inter = cand
@@ -297,6 +306,56 @@ object Dedup {
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** EXACT Jaccard similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family, Bayardo et al., WWW'07): every pair (a<b)
+    * of documents whose k-shingle sets have Jaccard ≥ `minJaccard` —
+    * with NO false negatives, unlike the MinHash-LSH path. The result
+    * set is bit-identical to brute force; only the candidate-generation
+    * strategy changes, so the oracle can verify it with an all-pairs
+    * plan while this side never materializes the O(n²) pair space.
+    *
+    * Prefix theorem: fix ONE global total order on shingles (here:
+    * ascending document frequency, ties by shingle text — rare-first
+    * makes prefixes maximally selective). If J(a,b) ≥ τ, then the first
+    * `|x| − ⌈τ·|x|⌉ + 1` shingles of each side (in that order) must
+    * share at least one shingle — so candidates come from an equi-join
+    * on prefix shingles only. A frequency-ordered prefix join is
+    * near-linear on real corpora: the long head of common shingles
+    * never enters any prefix, and each rare shingle's bucket is tiny.
+    *
+    * Physical shape: ONE shingle pass (localCheckpointed, shared by
+    * ranking and verification), one narrow (shingle)-keyed document-
+    * frequency agg, a per-document rank window (parallel across docs;
+    * per-doc shingle counts are doc-length-bounded), the prefix-shingle
+    * equi-join with the τ-size-ratio pruning filter
+    * (τ·|b| ≤ |a| ≤ |b|/τ is necessary for J ≥ τ), then the shared
+    * exact verification on candidates only. Shuffle payloads: shingle
+    * strings (k tokens) + ids — never documents. */
+  def jaccardJoinPrefix(df: DataFrame, idCol: String, textCol: String,
+                        minJaccard: Double, k: Int = 3): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val sh = df.select(col(idCol).as("id"),
+      explode(shinglesFast(col(textCol).cast("string"), k)).as("s"))
+      .localCheckpoint()
+    // document frequency per shingle (the stream is per-doc distinct)
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val wRank = Window.partitionBy("id").orderBy(col("__df"), col("s"))
+    val prefix = sh.join(freq, "s").join(sizes, "id")
+      .withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") <=
+        col("sz") - ceil(lit(minJaccard) * col("sz")).cast("long") + 1)
+      .select(col("id"), col("s"), col("sz"))
+    val cand = prefix.as("l").join(prefix.as("r"),
+        col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+      .filter(lit(minJaccard) * col("r.sz") <= col("l.sz") &&
+        lit(minJaccard) * col("l.sz") <= col("r.sz"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    verifyExactJaccard(sh, cand, minJaccard)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Delegates to

@@ -53,6 +53,44 @@ class DedupSpec extends SparkSpec {
     assert(!j.contains((4L, 6L))) // no shared shingles at all
   }
 
+  test("prefix-filtered jaccard join is identical to brute force at every threshold") {
+    for (tau <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val brute = Dedup.jaccardPairs(docs, "id", "text", k = 3, minJaccard = tau)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+        .toSet
+      val pref = Dedup.jaccardJoinPrefix(docs, "id", "text", minJaccard = tau, k = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+        .toSet
+      assert(pref === brute, s"tau=$tau")
+    }
+  }
+
+  test("prefix-filtered jaccard join: planted near-dup corpus parity") {
+    // 10 base docs × 4 variants with growing tail perturbations: plenty
+    // of pairs straddling the threshold in both directions
+    val rows = for {
+      i <- 0 until 10
+      v <- 0 until 4
+    } yield {
+      val base = (0 until 12).map(w => s"w${i}_$w").mkString(" ")
+      val tail = (0 until v * 3).map(w => s"x${i}_${v}_$w").mkString(" ")
+      ((i * 4 + v).toLong, s"$base $tail".trim)
+    }
+    val df = rows.toDF("id", "text")
+    val brute = Dedup.jaccardPairs(df, "id", "text", k = 3, minJaccard = 0.6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+      .toSet
+    val pref = Dedup.jaccardJoinPrefix(df, "id", "text", minJaccard = 0.6, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+      .toSet
+    assert(brute.nonEmpty)
+    assert(pref === brute)
+  }
+
   test("simhash Hamming near-dup: exact dups at dist 0, near dups within tolerance, unrelated absent") {
     val pairs = Dedup.simhashNearDup(docs, "id", "text", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
