@@ -375,6 +375,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- SemDeDup semantic dedup: k-means clusters bound the pair
+    // space (Σ|cluster|² ≈ n²/k, cluster id = the one join key), CC
+    // chains within-cluster near-dup pairs, lowest id survives ---
+    "q85_semantic_dedup" -> ((s, d) => {
+      val dup = withDups(t(s, d, "embeddings"), "vec_id", 50, 10000)
+      Similarity.semanticDedup(dup, "vec_id", "embedding", nClusters = 16,
+        threshold = 0.99, kmeansIterations = 0, ccRounds = 3)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     // --- exact frequent tokens (two-phase Misra-Gries: the tail never
     // shuffles; result identical to the naive full groupBy) ---
     "q62_frequent_tokens" -> ((s, d) =>
@@ -1227,6 +1238,24 @@ object SparkEntry {
            |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
            |ORDER BY id_a, id_b""".stripMargin
       },
+
+      "q85_semantic_dedup" ->
+        s"""WITH dup AS (SELECT * FROM ${withDupsSql("embeddings", "vec_id", 50, 10000)}),
+           |corpus AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           |           FROM dup WHERE embedding IS NOT NULL),
+           |cent AS (SELECT id AS centroid_id, v AS cv FROM corpus ORDER BY id LIMIT 16),
+           |asg AS (SELECT id, centroid_id, v FROM (
+           |  SELECT c.id, ct.centroid_id, c.v,
+           |    row_number() OVER (PARTITION BY c.id
+           |      ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.centroid_id ASC) AS rn
+           |  FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+           |e AS (SELECT l.id AS src, r.id AS dst
+           |  FROM asg l JOIN asg r ON l.centroid_id = r.centroid_id AND l.id < r.id
+           |  WHERE list_cosine_similarity(l.v, r.v) >= 0.99),
+           |${ccRoundsSql(3)},
+           |todrop AS (SELECT id FROM v3 WHERE lbl <> id)
+           |SELECT vec_id FROM dup WHERE vec_id NOT IN (SELECT id FROM todrop)
+           |ORDER BY vec_id""".stripMargin,
 
       "q79_transitions" ->
         """WITH s AS (SELECT event_type AS ft,

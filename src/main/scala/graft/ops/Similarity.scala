@@ -396,4 +396,56 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /** SemDeDup-style semantic near-duplicate PAIRS: cluster the embedding
+    * space (k-means), then compare vectors WITHIN each cluster only —
+    * cosine ≥ `threshold` pairs, (id_a < id_b, sim). The within-cluster
+    * restriction is what makes pairwise comparison tractable at corpus
+    * scale: candidate volume drops from n² to Σ|cluster|² ≈ n²/k, and
+    * the cluster id is the ONE shuffle key of the pair join — no global
+    * pair space ever materializes, and k grows with the corpus so
+    * cluster sizes stay bounded. Cross-cluster near-dups are missed by
+    * construction — the documented recall trade of this family (the
+    * hyperplane-LSH form [[cosineNearDupBucketed]] is the alternative
+    * when probabilistic per-pair recall is preferred over cluster
+    * locality). `kmeansIterations` = 0 keeps the deterministic lowest-id
+    * centroid seed (oracle-replayable); > 0 runs Lloyd refinement
+    * rounds for better cluster balance. */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         nClusters: Int, threshold: Double,
+                         kmeansIterations: Int = 0): DataFrame = {
+    val corpus = df.filter(col(vecCol).isNotNull)
+    val centroids =
+      if (kmeansIterations > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nClusters, kmeansIterations)
+      else corpus.orderBy(col(idCol)).limit(nClusters)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+    val assigned = assignToCentroid(corpus, idCol, vecCol,
+        centroids, "centroid_id", "cv")
+      .select(col("centroid_id"), col("id"), col("vec"), col("vecnorm"))
+    assigned.as("l").join(assigned.as("r"),
+        col("l.centroid_id") === col("r.centroid_id") &&
+        col("l.id") < col("r.id"))
+      .withColumn("sim",
+        pairSim(col("l.vec"), col("r.vec"), col("l.vecnorm"), col("r.vecnorm")))
+      .filter(col("sim") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("sim"))
+  }
+
+  /** SemDeDup semantic deduplication end-to-end: within-cluster cosine
+    * pairs → connected components (duplicate groups may chain across
+    * pairs) → keep the lowest-id member of each group. Returns the
+    * surviving rows of `df` with their original schema. Docs in no pair
+    * never enter the label frame — the anti-join keeps them for free
+    * (same tail as the SimHash/Jaccard corpus dedups). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int, threshold: Double,
+                    kmeansIterations: Int = 0, ccRounds: Int = 3): DataFrame = {
+    val pairs = semanticDedupPairs(df, idCol, vecCol, nClusters, threshold,
+      kmeansIterations).select("id_a", "id_b")
+    val drop = Graph.minLabelPropagation(pairs, "id_a", "id_b", ccRounds)
+      .filter(col("lbl") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -128,6 +128,46 @@ class SimilaritySpec extends SparkSpec {
     assert(bucketed === exact)             // full recall at these settings
   }
 
+  test("semantic dedup: within-cluster dups collapse to lowest id, distinct docs survive") {
+    val rnd = new scala.util.Random(7)
+    // 4 well-separated cluster directions in 8-d; 5 distinct docs per
+    // cluster + near-identical copies of the first two docs of cluster 0
+    val dirs = (0 until 4).map { c =>
+      val v = Array.fill(8)(0.0f); v(c * 2) = 1.0f; v
+    }
+    val docs = for {
+      c <- 0 until 4; i <- 0 until 5
+    } yield ((c * 10 + i).toLong,
+      dirs(c).zipWithIndex.map { case (x, j) =>
+        x + 0.15f * ((i * 31 + j * 17) % 7 - 3) / 3f })
+    val dups = Seq(
+      (100L, docs(0)._2.map(x => x + 1e-5f * rnd.nextGaussian().toFloat)),
+      (101L, docs(1)._2.map(x => x + 1e-5f * rnd.nextGaussian().toFloat)))
+    val df = (docs ++ dups).toDF("id", "v")
+    val kept = Similarity.semanticDedup(df, "id", "v", nClusters = 4,
+      threshold = 0.9999).select("id").collect().map(_.getLong(0)).toSet
+    // copies die, originals survive (lowest id in each dup group)
+    assert(kept.contains(0L) && kept.contains(1L))
+    assert(!kept.contains(100L) && !kept.contains(101L))
+    // every distinct doc survives
+    assert(docs.map(_._1).toSet.subsetOf(kept))
+  }
+
+  test("semantic dedup pairs: bounded to within-cluster comparisons") {
+    // two antipodal clusters, one seed centroid in each (ids 1, 2 are
+    // the two lowest ids): near-dup pairs INSIDE a cluster surface,
+    // and no cross-cluster pair exists above the threshold
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)),
+      (3L, Array(1.0f, 1e-6f)), (4L, Array(-1.0f, -1e-6f))).toDF("id", "v")
+    val pairs = Similarity.semanticDedupPairs(df, "id", "v", nClusters = 2,
+      threshold = 0.999).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)))
+    assert(pairs.contains((2L, 4L)))
+    assert(pairs.size === 2) // no cross-cluster pair even exists
+  }
+
   test("hyperplane LSH bucket: deterministic, groups identical vectors") {
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
       (3L, Array(-1.0f, -2.0f, -3.0f))).toDF("id", "v")
