@@ -386,6 +386,14 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // --- cohort retention matrix: cohort sizes ride the age-0 row
+    // (every key is active in its first bucket), so the only frames
+    // after the (key, bucket) distinct are calendar-bounded ---
+    "q86_retention" -> ((s, d) =>
+      Temporal.retention(t(s, d, "events"), "user_id", "ts", unit = "day")
+        .withColumn("cohort", date_format(col("cohort"), "yyyy-MM-dd"))
+        .orderBy("cohort", "age")),
+
     // --- exact frequent tokens (two-phase Misra-Gries: the tail never
     // shuffles; result identical to the naive full groupBy) ---
     "q62_frequent_tokens" -> ((s, d) =>
@@ -1256,6 +1264,19 @@ object SparkEntry {
            |todrop AS (SELECT id FROM v3 WHERE lbl <> id)
            |SELECT vec_id FROM dup WHERE vec_id NOT IN (SELECT id FROM todrop)
            |ORDER BY vec_id""".stripMargin,
+
+      "q86_retention" ->
+        """WITH a AS (SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS b
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |c AS (SELECT u, b, min(b) OVER (PARTITION BY u) AS cohort FROM a),
+          |g AS (SELECT cohort, CAST(date_diff('day', cohort, b) AS INT) AS age,
+          |        CAST(count(*) AS BIGINT) AS n_active
+          |      FROM c GROUP BY 1, 2),
+          |s AS (SELECT cohort, n_active AS n_cohort FROM g WHERE age = 0)
+          |SELECT strftime(g.cohort, '%Y-%m-%d') AS cohort, g.age, g.n_active,
+          |  s.n_cohort,
+          |  round(CAST(g.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+          |FROM g JOIN s USING (cohort) ORDER BY cohort, age""".stripMargin,
 
       "q79_transitions" ->
         """WITH s AS (SELECT event_type AS ft,

@@ -361,4 +361,44 @@ object Temporal {
       .select(date_format(col("__b"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("n_new"), col("cum_keys"))
   }
+
+  /** Cohort retention matrix: keys grouped by first-seen `unit` bucket
+    * (the cohort), then for each cohort × age (buckets since the
+    * cohort) the count and fraction of that cohort active in the aged
+    * bucket. The classic product-analytics retention grid.
+    *
+    * Shape: ONE (key, bucket) distinct (activity presence — raw event
+    * volume collapses at the scan's partial agg), a per-key min()
+    * window for the cohort (parallel across keys; a key's bucket list
+    * is calendar-bounded), one (cohort, age) count agg, and cohort
+    * sizes come FREE from the age-0 row (every key is active in its
+    * own first bucket by definition) — a calendar-bounded frame,
+    * broadcast back. No global window, no per-row join, nothing in
+    * any shuffle wider than (key, timestamp). */
+  def retention(df: DataFrame, keyCol: String, tsCol: String,
+                unit: String = "day"): DataFrame = {
+    val unitDays = unit match {
+      case "day" => 1
+      case "week" => 7
+      case u => throw new IllegalArgumentException(
+        s"retention unit must be day or week, got $u")
+    }
+    val activity = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), date_trunc(unit, col(tsCol)).as("__b"))
+      .distinct()
+    val aged = activity
+      .withColumn("cohort", min("__b").over(Window.partitionBy("__k")))
+      .withColumn("age",
+        (datediff(col("__b"), col("cohort")) / unitDays).cast("int"))
+    val counts = aged.groupBy("cohort", "age")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = counts.filter(col("age") === 0)
+      .select(col("cohort"), col("n_active").as("n_cohort"))
+    counts.join(broadcast(sizes), "cohort")
+      .withColumn("retention",
+        round(col("n_active").cast("double") / col("n_cohort"), 6))
+      .select(col("cohort"), col("age"), col("n_active"), col("n_cohort"),
+        col("retention"))
+  }
 }

@@ -226,4 +226,40 @@ class TemporalSpec extends SparkSpec {
       ("2024-01-01 00:00:00", 2L, 2L),
       ("2024-01-03 00:00:00", 1L, 3L)))
   }
+
+  test("retention: cohort sizes from age 0, fractions per cohort x age") {
+    import spark.implicits._
+    // cohort Jan-1: users 1,2 (1 returns day 1 and 2; 2 never returns)
+    // cohort Jan-2: user 3 (returns day 1)
+    val ev = Seq(
+      (1L, "2024-01-01 09:00:00"), (1L, "2024-01-02 09:00:00"),
+      (1L, "2024-01-02 10:00:00"), // same bucket twice — counted once
+      (1L, "2024-01-03 09:00:00"),
+      (2L, "2024-01-01 23:00:00"),
+      (3L, "2024-01-02 01:00:00"), (3L, "2024-01-03 01:00:00"))
+      .toDF("u", "s").withColumn("ts", to_timestamp(col("s")))
+    val got = Temporal.retention(ev, "u", "ts", unit = "day")
+      .withColumn("cohort", date_format(col("cohort"), "yyyy-MM-dd"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      ("2024-01-01", 0) -> ((2L, 2L, 1.0)),
+      ("2024-01-01", 1) -> ((1L, 2L, 0.5)),
+      ("2024-01-01", 2) -> ((1L, 2L, 0.5)),
+      ("2024-01-02", 0) -> ((1L, 1L, 1.0)),
+      ("2024-01-02", 1) -> ((1L, 1L, 1.0))))
+  }
+
+  test("retention: week unit buckets ages by whole weeks") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 09:00:00"),  // week of Jan 1 (Monday)
+      (1L, "2024-01-10 09:00:00"),  // next week → age 1
+      (2L, "2024-01-03 12:00:00"))  // same week as cohort → age 0 only
+      .toDF("u", "s").withColumn("ts", to_timestamp(col("s")))
+    val got = Temporal.retention(ev, "u", "ts", unit = "week")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toList
+      .sortBy(_._1)
+    assert(got === List((0, 2L, 2L), (1, 1L, 2L)))
+  }
 }
