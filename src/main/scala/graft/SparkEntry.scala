@@ -394,6 +394,13 @@ object SparkEntry {
         .withColumn("cohort", date_format(col("cohort"), "yyyy-MM-dd"))
         .orderBy("cohort", "age")),
 
+    // --- temperature-scaled mixture rates: target share ∝ tokens^α,
+    // the multilingual upsample-low-resource rule, no hand target map ---
+    "q87_temperature_mixture" -> ((s, d) =>
+      Corpus.temperatureWeights(t(s, d, "documents"), "lang", "n_chars",
+        alpha = 0.5)
+        .orderBy("domain")),
+
     // --- exact frequent tokens (two-phase Misra-Gries: the tail never
     // shuffles; result identical to the naive full groupBy) ---
     "q62_frequent_tokens" -> ((s, d) =>
@@ -1355,6 +1362,27 @@ object SparkEntry {
           |r AS (SELECT g.domain, g.n_docs, g.tokens,
           |        CAST(1.0 AS DOUBLE) / dcnt AS target_share,
           |        CAST(tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS cur_share
+          |      FROM g, t),
+          |r2 AS (SELECT *, CASE WHEN cur_share > 0 THEN target_share / cur_share
+          |                      ELSE CAST(0.0 AS DOUBLE) END AS ratio FROM r),
+          |m AS (SELECT max(ratio) AS mx FROM r2)
+          |SELECT domain, n_docs, tokens, round(cur_share, 6) AS cur_share,
+          |  round(target_share, 6) AS target_share,
+          |  round(CASE WHEN mx > 0 THEN ratio / mx
+          |             ELSE CAST(0.0 AS DOUBLE) END, 6) AS sample_rate
+          |FROM r2, m ORDER BY domain""".stripMargin,
+
+      "q87_temperature_mixture" ->
+        """WITH g AS (SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+          |             CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS tokens
+          |           FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+          |t AS (SELECT coalesce(sum(pow(CAST(tokens AS DOUBLE), 0.5)), 0.0) AS z,
+          |             CAST(coalesce(sum(tokens), 0) AS BIGINT) AS tot FROM g),
+          |r AS (SELECT g.domain, g.n_docs, g.tokens,
+          |        CASE WHEN z > 0 THEN pow(CAST(tokens AS DOUBLE), 0.5) / z
+          |             ELSE CAST(0.0 AS DOUBLE) END AS target_share,
+          |        CASE WHEN tot > 0 THEN CAST(tokens AS DOUBLE) / CAST(tot AS DOUBLE)
+          |             ELSE CAST(0.0 AS DOUBLE) END AS cur_share
           |      FROM g, t),
           |r2 AS (SELECT *, CASE WHEN cur_share > 0 THEN target_share / cur_share
           |                      ELSE CAST(0.0 AS DOUBLE) END AS ratio FROM r),

@@ -313,11 +313,7 @@ object Corpus {
                      targets: Map[String, Double] = Map.empty): DataFrame = {
     targets.values.foreach(w =>
       require(w >= 0, s"target weights must be >= 0, got $w"))
-    val g = df.filter(col(domainCol).isNotNull)
-      .groupBy(col(domainCol).as("domain"))
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col(sizeCol).cast(LongType)), lit(0L)).as("tokens"))
-      .localCheckpoint() // feeds three aggs below — compute the groups once
+    val g = domainGroups(df, domainCol, sizeCol)
     // raw target weight per domain: explicit entries keep their weight,
     // the rest share the residual mass (or everything, if no map)
     val explicitMass = targets.values.sum
@@ -341,6 +337,54 @@ object Corpus {
         when(col("cur_share") > 0, col("target_share") / col("cur_share"))
           .otherwise(lit(0.0)))
       .localCheckpoint()
+    finishRates(withShares)
+  }
+
+  /** Temperature-scaled mixture rates (the multilingual-corpus
+    * rebalancing rule): target share of domain l ∝ tokens_l^`alpha`,
+    * `alpha` ∈ (0, 1]. α = 1 reproduces the corpus as-is; α → 0
+    * approaches uniform — low-resource domains are upsampled RELATIVE
+    * to their natural share, high-resource ones suppressed, without
+    * any hand-written target map. Same downsample-only normalization
+    * and output schema as [[mixtureWeights]]; same physical shape (all
+    * arithmetic on the ≤|domains|-row frame). */
+  def temperatureWeights(df: DataFrame, domainCol: String, sizeCol: String,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val g = domainGroups(df, domainCol, sizeCol)
+    val totals = g.agg(
+      coalesce(sum(pow(col("tokens").cast(DoubleType), alpha)), lit(0.0)).as("__z"),
+      coalesce(sum("tokens"), lit(0L)).as("__tot"))
+    val withShares = g.crossJoin(broadcast(totals))
+      .withColumn("target_share",
+        when(col("__z") > 0,
+          pow(col("tokens").cast(DoubleType), alpha) / col("__z"))
+          .otherwise(lit(0.0)))
+      .withColumn("cur_share",
+        when(col("__tot") > 0,
+          col("tokens").cast(DoubleType) / col("__tot").cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .withColumn("__ratio",
+        when(col("cur_share") > 0, col("target_share") / col("cur_share"))
+          .otherwise(lit(0.0)))
+      .localCheckpoint()
+    finishRates(withShares)
+  }
+
+  /** Shared head of the mixture-rate ops: one narrow groupBy(domain) —
+    * map-side combine absorbs the rows, only |domains| groups shuffle —
+    * localCheckpointed because every caller feeds it to ≥ 2 aggs. */
+  private def domainGroups(df: DataFrame, domainCol: String,
+                           sizeCol: String): DataFrame =
+    df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col(sizeCol).cast(LongType)), lit(0L)).as("tokens"))
+      .localCheckpoint()
+
+  /** Shared tail: scale ratios so the largest is 1.0 (downsample-only)
+    * and emit the rounded output schema. */
+  private def finishRates(withShares: DataFrame): DataFrame = {
     val mx = withShares.agg(coalesce(max("__ratio"), lit(0.0)).as("__mx"))
     withShares.crossJoin(broadcast(mx))
       .select(col("domain"), col("n_docs"), col("tokens"),

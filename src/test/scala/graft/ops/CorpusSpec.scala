@@ -216,4 +216,24 @@ class CorpusSpec extends SparkSpec {
     assert(got("a")._2 === 1.0)
     assert(math.abs(got("b")._2 - 0.1 / 0.7) < 1e-6)
   }
+
+  test("temperatureWeights: alpha=1 reproduces shares; alpha<1 flattens toward uniform") {
+    import spark.implicits._
+    // 900 vs 100 tokens
+    val df = Seq(("big", 900L), ("small", 100L)).toDF("src", "n_tok")
+    val id = Corpus.temperatureWeights(df, "src", "n_tok", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(4), r.getDouble(5)))).toMap
+    // α=1: target == current share → every ratio 1 → all rates 1.0
+    assert(id("big") === ((0.9, 1.0)))
+    assert(id("small") === ((0.1, 1.0)))
+    val flat = Corpus.temperatureWeights(df, "src", "n_tok", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(4), r.getDouble(5)))).toMap
+    // α=0.5: targets ∝ {30, 10} → {0.75, 0.25}: small's RELATIVE share
+    // grows (0.1 → 0.25), big's shrinks; small holds rate 1.0 and big
+    // is downsampled by (0.75/0.9)/(0.25/0.1) = 1/3
+    assert(math.abs(flat("big")._1 - 0.75) < 1e-6)
+    assert(math.abs(flat("small")._1 - 0.25) < 1e-6)
+    assert(flat("small")._2 === 1.0)
+    assert(math.abs(flat("big")._2 - 1.0 / 3) < 1e-6)
+  }
 }
