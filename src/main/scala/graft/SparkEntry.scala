@@ -963,6 +963,14 @@ object SparkEntry {
         t(s, d, "documents").select("doc_id", "lang"), "lang", "doc_id", 3)
         .orderBy("doc_id")),
 
+    // --- deterministic train/val/test split: content-keyed labels,
+    // pure narrow projection, stable under corpus growth ---
+    "q88_split_assignment" -> ((s, d) =>
+      Sampling.assignSplits(
+        t(s, d, "documents").select("doc_id", "lang"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")),
+
     // --- connected components (bounded min-label propagation) over a
     // two-hop chain fixture: i — i+10000 — i+20000 ---
     "q47_cc_labels" -> ((s, d) => {
@@ -1920,6 +1928,16 @@ object SparkEntry {
         s"""SELECT doc_id, lang FROM documents
            |WHERE $bucket < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 8000
            |  WHEN 'zh' THEN 10000 ELSE 5000 END
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      "q88_split_assignment" -> {
+        val bucket = s"(${hash31Sql("CAST(doc_id AS VARCHAR)")}) % 10000"
+        s"""SELECT doc_id, lang,
+           |  CASE WHEN $bucket < 8000 THEN 'train'
+           |       WHEN $bucket < 9000 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents WHERE doc_id IS NOT NULL
            |ORDER BY doc_id""".stripMargin
       },
 

@@ -55,6 +55,37 @@ object Sampling {
       hashBucket(col(idCol), 10000) < threshold)
   }
 
+  /** Deterministic dataset split assignment (train/val/test): label
+    * each row by where its id-hash bucket falls among the cumulative
+    * fraction boundaries. Reproducible across runs, partitionings, and
+    * engines; a pure narrow projection — no shuffle, no sort, no
+    * global state, so "split the corpus" costs one scan at any size.
+    * The same id always lands in the same split even as OTHER data
+    * arrives (content-keyed, like [[hashSample]]) — the property that
+    * keeps eval sets stable across corpus versions and prevents
+    * train/test churn when a pipeline re-runs on grown data.
+    * `splits` is ordered (label, fraction); fractions must sum to 1
+    * (resolution 1/10000, the hash-bucket grain); the last label
+    * absorbs rounding slack. Null-id rows are dropped (uniform policy
+    * across this module). */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    splits.foreach { case (l, f) =>
+      require(f >= 0 && f <= 1, s"fraction $f for '$l' outside [0,1]") }
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $total")
+    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => (c * 10000).round)
+    val b = hashBucket(col(idCol), 10000)
+    val label = splits.map(_._1).zip(cuts).dropRight(1)
+      .foldRight(lit(splits.last._1): Column) {
+        case ((lbl, cut), acc) => when(b < lit(cut), lit(lbl)).otherwise(acc)
+      }
+    df.filter(col(idCol).isNotNull).withColumn("split", label)
+  }
+
   /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
     * Spirakis A-ES): row i gets priority key −ln(u_i)/w_i with u_i a
     * content-derived uniform in (0,1), and the k SMALLEST keys win —

@@ -79,4 +79,28 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(bigSel !== (1L to 50L).toSet, "selection degenerated to id order")
   }
+
+  test("assignSplits: exhaustive, disjoint, ~proportional, stable under growth and partitioning") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.assignSplits(df, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every row labeled with a declared label
+    assert(got.size === 2000)
+    assert(got.values.toSet === Set("train", "val", "test"))
+    // roughly proportional (28-bit hash, generous tolerance)
+    val counts = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 120)
+    assert(math.abs(counts("val") - 200) < 80)
+    // stable: the same id keeps its split when the corpus grows or
+    // the partitioning changes
+    val grown = Sampling.assignSplits((1L to 4000L).toDF("id").repartition(7),
+      "id", splits).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.forall { case (id, s) => grown(id) == s })
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(df, "id", Seq("a" -> 0.5, "b" -> 0.3))
+    }
+  }
 }
