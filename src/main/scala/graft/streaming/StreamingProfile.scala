@@ -121,6 +121,28 @@ object StreamingProfile {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream INTERVAL join — the impressions×conversions pattern:
+    * match left and right events on `key` where the right event's time
+    * falls in [left.ts, left.ts + maxDelay]. Both sides carry
+    * watermarks and the join condition carries the time bound, which
+    * is exactly what lets Spark derive a state-eviction horizon for
+    * EACH side: buffered state is bounded by watermark + maxDelay, not
+    * the stream's history (an equality-only stream-stream join has no
+    * such bound and would buffer both sides forever). Inner join, so
+    * append-mode safe; output columns are the left columns (aliased
+    * `l`) then the right's (`r`) — callers select/rename from there. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   maxDelay: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $maxDelay"))
+  }
+
   /** Streaming twin of [[graft.ops.Curation.curate]]: the cleaning and
     * filtering stages are stateless projections/predicates that run
     * unchanged on a stream (same Column expressions, same codegen); the

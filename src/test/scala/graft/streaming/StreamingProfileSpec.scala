@@ -211,4 +211,29 @@ class StreamingProfileSpec extends SparkSpec {
       assert(psiB > 1.0, s"shifted window reads stable: $psiB")
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches within the delay bound only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long, String)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val joined = StreamingProfile.intervalJoin(
+      imps.toDF().toDF("its", "user_id", "ad"),
+      clicks.toDF().toDF("cts", "user_id"),
+      key = "user_id", leftTs = "its", rightTs = "cts",
+      maxDelay = "10 minutes", watermark = "30 minutes")
+      .select(col("l.user_id").as("u"), col("ad"), col("cts"))
+    val q = joined.writeStream.format("memory").queryName("ij").start()
+    try {
+      imps.addData((ts(0), 1L, "adA"), (ts(0), 2L, "adB"), (ts(30), 3L, "adC"))
+      clicks.addData(
+        (ts(5), 1L),   // within 10 min of user 1's impression → match
+        (ts(25), 2L),  // 25 min later → outside the bound
+        (ts(31), 3L))  // within bound of the ts(30) impression → match
+      q.processAllAvailable()
+      val got = spark.table("ij").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === Set((1L, "adA"), (3L, "adC")))
+    } finally q.stop()
+  }
 }
