@@ -248,6 +248,57 @@ object Probe {
           graft.ops.Corpus.shuffleShards(docsAt(m), "doc_id", 1024).count())
       }
     }
+    names.filter(_ == "r4ops-scalelaw").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      // growing text corpus: same rotation generator as `scalelaw`
+      val rotL = "abcdefghijklmnopqrstuvwxyz"
+      val rotD = "0123456789"
+      def docsAt(mult: Int): org.apache.spark.sql.DataFrame =
+        (0 until mult).map { m =>
+          val sh = rotL.drop(m % rotL.length) + rotL.take(m % rotL.length) +
+            rotD.drop(m % rotD.length) + rotD.take(m % rotD.length)
+          docs
+            .withColumn("doc_id", col("doc_id") + lit(m * 1000000L))
+            .withColumn("text", translate(lower(col("text")), rotL + rotD, sh))
+        }.reduce(_ unionByName _)
+      // growing embedding corpus: copy-set m rotates each vector by m
+      // positions — an isometry (within-set pairwise cosines preserved
+      // exactly) whose directions are generic vs other sets, so no
+      // cross-set near-dups are manufactured and pair volume measures
+      // scaling, not duplicate stacking
+      val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+      def embAt(mult: Int): org.apache.spark.sql.DataFrame =
+        (0 until mult).map { m =>
+          val r = m % dim
+          val rot =
+            if (r == 0) col("embedding")
+            else concat(slice(col("embedding"), r + 1, dim - r),
+              slice(col("embedding"), 1, r))
+          emb.withColumn("vec_id", col("vec_id") + lit(m * 1000000L))
+            .withColumn("embedding", rot)
+        }.reduce(_ unionByName _)
+      def time(tag: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val n = f
+        println(f"R4OPS-SCALELAW $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+      }
+      // warmup (untimed)
+      graft.ops.Dedup.jaccardJoinPrefix(docsAt(1), "doc_id", "text", 0.8).count()
+      graft.ops.Similarity.semanticDedupPairs(embAt(1), "vec_id", "embedding", 16, 0.99).count()
+      Seq(1, 4, 10).foreach { m =>
+        time(s"prefix-jaccard x$m")(
+          graft.ops.Dedup.jaccardJoinPrefix(docsAt(m), "doc_id", "text", 0.8).count())
+        // cluster count grows with the corpus — the documented scale
+        // rule keeping cluster sizes (and the n²/k pair space) bounded.
+        // Lloyd refinement (the production mode; seeded centroids are
+        // the oracle-replay mode) so centroids track the grown corpus
+        // rather than staying inside copy-set 0's directions
+        time(s"semantic-pairs x$m")(
+          graft.ops.Similarity.semanticDedupPairs(embAt(m), "vec_id",
+            "embedding", 16 * m, 0.99, kmeansIterations = 2).count())
+      }
+    }
     names.filter(_ == "zorder").foreach { _ =>
       import org.apache.spark.sql.functions._
       val dims = spark.read.parquet(s"$sfDir/events.parquet")
