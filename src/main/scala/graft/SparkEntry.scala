@@ -331,6 +331,20 @@ object SparkEntry {
         .withColumnRenamed("cum_keys", "cum_users")
         .orderBy("bucket")),
 
+    // --- trailing moving average, windowless: each bucket explodes
+    // into the ≤window buckets it feeds; calendar-bounded frames ---
+    "q89_moving_average" -> ((s, d) =>
+      Temporal.movingAverage(t(s, d, "events"), "ts", "value",
+        unit = "day", window = 7)
+        .orderBy("bucket")),
+
+    // --- DAU/WAU engagement report: distinct (key, day) at the scan,
+    // rolling distinct via the contribution explode ---
+    "q90_active_users" -> ((s, d) =>
+      Temporal.activeUsers(t(s, d, "events"), "user_id", "ts",
+        unit = "day", window = 7)
+        .orderBy("bucket")),
+
     // --- declarative data-expectations report (k row rules fused into
     // ONE scan + a distinct-count uniqueness rule) ---
     "q82_expectations" -> ((s, d) => {
@@ -1315,6 +1329,45 @@ object SparkEntry {
           |  coalesce(b.n, 0) AS n,
           |  coalesce(b.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
           |FROM spine LEFT JOIN b ON spine.s = b.h ORDER BY bucket""".stripMargin,
+
+      "q89_moving_average" ->
+        """WITH b AS (SELECT date_trunc('day', ts) AS h,
+          |    CAST(count(*) AS BIGINT) AS n,
+          |    sum(CAST(value AS DECIMAL(38,6))) AS s
+          |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+          |r AS (SELECT min(h) AS lo, max(h) AS hi FROM b),
+          |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM r),
+          |f AS (SELECT spine.d, CAST(coalesce(b.n, 0) AS BIGINT) AS n,
+          |        coalesce(b.s, CAST(0 AS DECIMAL(38,6))) AS s
+          |      FROM spine LEFT JOIN b ON spine.d = b.h),
+          |w AS (SELECT d, n, s,
+          |        sum(s) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ms,
+          |        count(*) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS cnt
+          |      FROM f)
+          |SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS bucket, n,
+          |  round(CAST(s AS DOUBLE), 6) AS bucket_sum,
+          |  round(CAST(ms AS DOUBLE) / cnt, 6) AS moving_avg
+          |FROM w ORDER BY bucket""".stripMargin,
+
+      "q90_active_users" ->
+        """WITH a AS (SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS d
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |r AS (SELECT min(d) AS lo, max(d) AS hi FROM a),
+          |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS s FROM r),
+          |cur AS (SELECT d, CAST(count(*) AS BIGINT) AS cur FROM a GROUP BY 1),
+          |roll AS (SELECT sp.s, CAST(count(DISTINCT a.u) AS BIGINT) AS roll
+          |         FROM spine sp JOIN a
+          |           ON a.d BETWEEN sp.s - INTERVAL 6 DAY AND sp.s
+          |         GROUP BY 1)
+          |SELECT strftime(sp.s, '%Y-%m-%d %H:%M:%S') AS bucket,
+          |  CAST(coalesce(cur.cur, 0) AS BIGINT) AS active,
+          |  CAST(coalesce(roll.roll, 0) AS BIGINT) AS active_window,
+          |  round(CASE WHEN coalesce(roll.roll, 0) > 0
+          |    THEN CAST(coalesce(cur.cur, 0) AS DOUBLE) / roll.roll
+          |    ELSE CAST(0.0 AS DOUBLE) END, 6) AS stickiness
+          |FROM spine sp LEFT JOIN cur ON sp.s = cur.d
+          |  LEFT JOIN roll ON sp.s = roll.s
+          |ORDER BY bucket""".stripMargin,
 
       "q81_cumulative_users" ->
         """WITH fs AS (SELECT user_id, min(ts) AS first_ts FROM events

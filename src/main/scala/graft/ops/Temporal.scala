@@ -362,6 +362,95 @@ object Temporal {
         col("n_new"), col("cum_keys"))
   }
 
+  /** Trailing moving average over gap-filled `unit` buckets: for each
+    * calendar bucket, the mean of the last `window` bucket sums
+    * (fewer at the head — the count shrinks with the available
+    * history, it never pads). The windowless form of
+    * `AVG(s) OVER (ORDER BY bucket ROWS window-1 PRECEDING)` — a
+    * global ordered window funnels through one task; instead each
+    * bucket EXPLODES into the ≤`window` later buckets its value
+    * contributes to, and a plain groupBy re-aggregates. All frames
+    * after the first bucket agg are calendar-bounded (buckets ×
+    * window rows, data-size-independent), and bucket sums ride
+    * DECIMAL(38,6) so the moving sum is exact cross-engine. */
+  def movingAverage(df: DataFrame, tsCol: String, valueCol: String,
+                    unit: String = "day", window: Int = 7): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val (step, span) = unit.toLowerCase match {
+      case "hour" => (expr("interval 1 hour"), expr(s"interval ${window - 1} hour"))
+      case "day" => (expr("interval 1 day"), expr(s"interval ${window - 1} day"))
+      case "week" => (expr("interval 7 day"), expr(s"interval ${7 * (window - 1)} day"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported movingAverage unit '$other' (hour|day|week)")
+    }
+    val zero = lit(0).cast(DecimalType(38, 6))
+    val b = df.filter(col(tsCol).isNotNull)
+      .groupBy(date_trunc(unit, col(tsCol)).as("__b"))
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(col(valueCol).cast(DecimalType(38, 6))), zero).as("__sum"))
+      .localCheckpoint() // feeds the extent agg AND the fill join
+    val ext = b.agg(min("__b").as("__lo"), max("__b").as("__hi"))
+    val spine = ext.select(explode(sequence(col("__lo"), col("__hi"), step)).as("__s"))
+    val filled = spine.join(b, col("__s") === col("__b"), "left")
+      .crossJoin(broadcast(ext.select("__hi")))
+      .select(col("__s"), col("__hi"),
+        coalesce(col("__n"), lit(0L)).as("__n"),
+        coalesce(col("__sum"), zero).as("__sum"))
+      .localCheckpoint() // feeds the contribution explode AND the identity join
+    val moving = filled
+      .select(explode(sequence(col("__s"),
+        least(col("__s") + span, col("__hi")), step)).as("__t"), col("__sum"))
+      .groupBy("__t")
+      .agg(sum("__sum").as("__msum"), count(lit(1)).as("__cnt"))
+    filled.join(moving, col("__s") === col("__t"))
+      .select(date_format(col("__s"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("__n").as("n"),
+        round(col("__sum").cast("double"), 6).as("bucket_sum"),
+        round(col("__msum").cast("double") / col("__cnt"), 6).as("moving_avg"))
+  }
+
+  /** Daily/rolling active keys — the DAU/WAU engagement report: per
+    * calendar `unit` bucket, the count of distinct keys active IN that
+    * bucket (`active`) and over the trailing `window` buckets
+    * (`active_window`, distinct across the whole window — a key active
+    * on three days of the week counts once), plus their ratio (the
+    * "stickiness" metric). Raw event volume collapses to distinct
+    * (key, bucket) at the scan; the rolling count re-explodes each
+    * presence row into the ≤`window` buckets it covers and counts
+    * distinct keys per target — shuffles carry ≤ |keys|·window rows,
+    * and every other frame is calendar-bounded. */
+  def activeUsers(df: DataFrame, keyCol: String, tsCol: String,
+                  unit: String = "day", window: Int = 7): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val (step, span) = unit.toLowerCase match {
+      case "day" => (expr("interval 1 day"), expr(s"interval ${window - 1} day"))
+      case "hour" => (expr("interval 1 hour"), expr(s"interval ${window - 1} hour"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported activeUsers unit '$other' (hour|day)")
+    }
+    val a = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), date_trunc(unit, col(tsCol)).as("__d"))
+      .distinct()
+      .localCheckpoint() // feeds extent, per-bucket and rolling counts
+    val ext = a.agg(min("__d").as("__lo"), max("__d").as("__hi"))
+    val spine = ext.select(explode(sequence(col("__lo"), col("__hi"), step)).as("__s"))
+    val cur = a.groupBy(col("__d")).agg(count(lit(1)).as("__cur"))
+    val roll = a.crossJoin(broadcast(ext.select("__hi")))
+      .select(explode(sequence(col("__d"),
+        least(col("__d") + span, col("__hi")), step)).as("__t"), col("__k"))
+      .groupBy("__t")
+      .agg(count_distinct(col("__k")).as("__roll"))
+    spine
+      .join(cur, col("__s") === col("__d"), "left")
+      .join(roll, col("__s") === col("__t"), "left")
+      .select(date_format(col("__s"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        coalesce(col("__cur"), lit(0L)).as("active"),
+        coalesce(col("__roll"), lit(0L)).as("active_window"),
+        round(when(coalesce(col("__roll"), lit(0L)) > 0,
+          coalesce(col("__cur"), lit(0L)).cast("double") / col("__roll"))
+          .otherwise(lit(0.0)), 6).as("stickiness"))
+  }
+
   /** Cohort retention matrix: keys grouped by first-seen `unit` bucket
     * (the cohort), then for each cohort × age (buckets since the
     * cohort) the count and fraction of that cohort active in the aged

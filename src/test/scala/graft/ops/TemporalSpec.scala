@@ -227,6 +227,40 @@ class TemporalSpec extends SparkSpec {
       ("2024-01-03 00:00:00", 1L, 3L)))
   }
 
+  test("movingAverage: trailing mean over gap-filled buckets, short head windows") {
+    import spark.implicits._
+    val ev = Seq(
+      ("2024-01-01 10:00:00", 2.0), ("2024-01-01 11:00:00", 4.0), // day 1: 6
+      ("2024-01-02 10:00:00", 3.0),                               // day 2: 3
+      // day 3 empty → 0
+      ("2024-01-04 10:00:00", 9.0))                               // day 4: 9
+      .toDF("s", "v").withColumn("ts", to_timestamp(col("s")))
+    val got = Temporal.movingAverage(ev, "ts", "v", unit = "day", window = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got === Array(
+      ("2024-01-01 00:00:00", 2L, 6.0, 6.0),          // head: 1-bucket window
+      ("2024-01-02 00:00:00", 1L, 3.0, 4.5),          // (6+3)/2
+      ("2024-01-03 00:00:00", 0L, 0.0, 1.5),          // (3+0)/2 — gap counted
+      ("2024-01-04 00:00:00", 1L, 9.0, 4.5)))         // (0+9)/2
+  }
+
+  test("activeUsers: per-bucket and rolling distinct counts, stickiness") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 09:00:00"), (2L, "2024-01-01 10:00:00"),
+      (1L, "2024-01-02 09:00:00"), (1L, "2024-01-02 10:00:00"), // same day twice
+      (3L, "2024-01-03 09:00:00"))
+      .toDF("u", "s").withColumn("ts", to_timestamp(col("s")))
+    val got = Temporal.activeUsers(ev, "u", "ts", unit = "day", window = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got === Array(
+      ("2024-01-01 00:00:00", 2L, 2L, 1.0),
+      ("2024-01-02 00:00:00", 1L, 2L, 0.5),   // {1} today, {1,2} in window
+      ("2024-01-03 00:00:00", 1L, 2L, 0.5)))  // {3} today, {1,3} in window
+  }
+
   test("retention: cohort sizes from age 0, fractions per cohort x age") {
     import spark.implicits._
     // cohort Jan-1: users 1,2 (1 returns day 1 and 2; 2 never returns)
