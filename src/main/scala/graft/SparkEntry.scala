@@ -331,6 +331,31 @@ object SparkEntry {
         .withColumnRenamed("cum_keys", "cum_users")
         .orderBy("bucket")),
 
+    // --- CDC merge: changelog compacts to latest-per-key in ONE
+    // max_by shuffle, then anti-join + union against the base ---
+    "q91_cdc_merge" -> ((s, d) => {
+      val base = t(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val changes = t(s, d, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        col("o_orderpriority").as("c_mktsegment"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 < 2, lit("delete"))
+          .otherwise(lit("upsert")).as("op"))
+      Snapshot.applyChangeLog(base, changes, "c_custkey", "seq", "op")
+        .orderBy("c_custkey")
+    }),
+
+    // --- SCD-2 version history: per-key lead chains valid_from/to ---
+    "q92_scd2" -> ((s, d) =>
+      Snapshot.scd2(
+        t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        "o_custkey", "o_orderkey")
+        .select(col("o_custkey"), col("valid_from"), col("valid_to"),
+          col("is_current"), col("o_totalprice"))
+        .orderBy("o_custkey", "valid_from")),
+
     // --- trailing moving average, windowless: each bucket explodes
     // into the ≤window buckets it feeds; calendar-bounded frames ---
     "q89_moving_average" -> ((s, d) =>
@@ -1329,6 +1354,28 @@ object SparkEntry {
           |  coalesce(b.n, 0) AS n,
           |  coalesce(b.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
           |FROM spine LEFT JOIN b ON spine.s = b.h ORDER BY bucket""".stripMargin,
+
+      "q91_cdc_merge" ->
+        """WITH ch AS (SELECT o_custkey AS k, o_orderpriority AS seg,
+          |    o_totalprice AS bal, o_orderkey AS seq,
+          |    CASE WHEN o_orderkey % 10 < 2 THEN 'delete' ELSE 'upsert' END AS op
+          |  FROM orders WHERE o_custkey IS NOT NULL),
+          |latest AS (SELECT k, seg, bal, op FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+          |    FROM ch) WHERE rn = 1)
+          |SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+          |WHERE c_custkey NOT IN (SELECT k FROM latest)
+          |UNION ALL
+          |SELECT k, seg, bal FROM latest WHERE op <> 'delete'
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q92_scd2" ->
+        """SELECT o_custkey, o_orderkey AS valid_from,
+          |  lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS valid_to,
+          |  lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) IS NULL AS is_current,
+          |  o_totalprice
+          |FROM orders WHERE o_custkey IS NOT NULL
+          |ORDER BY o_custkey, valid_from""".stripMargin,
 
       "q89_moving_average" ->
         """WITH b AS (SELECT date_trunc('day', ts) AS h,

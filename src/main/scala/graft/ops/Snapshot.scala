@@ -68,4 +68,56 @@ object Snapshot {
       coalesce(sum(when(col("change") === "removed", 1L)), lit(0L)).as("n_removed"),
       coalesce(sum(when(col("change") === "changed", 1L)), lit(0L)).as("n_changed"))
   }
+
+  /** CDC MERGE: apply a changelog to a base snapshot, latest change
+    * per key wins (the compaction every incremental table format runs;
+    * `MERGE INTO` semantics with upsert + delete). `changes` must
+    * carry the base's columns plus `seqCol` (a PER-KEY-UNIQUE version
+    * number — the argmax is undefined on duplicated sequence values)
+    * and `opCol` (`deleteOp` ⇒ drop the key; anything else ⇒ upsert).
+    *
+    * Shape: ONE key shuffle compacts the changelog to its latest row
+    * per key (max_by aggregation — map-side partials, no window, no
+    * sort), then a left-anti join removes superseded/deleted base rows
+    * and the surviving upserts union back in. With a small changelog
+    * against a huge base — the steady-state CDC regime — AQE
+    * broadcasts the compacted changelog and the base never shuffles;
+    * both big ⇒ key-partitioned SMJ. Either way nothing exceeds
+    * O(|changes|) state per task. Null-key changes are dropped. */
+  def applyChangeLog(base: DataFrame, changes: DataFrame, keyCol: String,
+                     seqCol: String, opCol: String,
+                     deleteOp: String = "delete"): DataFrame = {
+    val payload = base.columns.toSeq
+    require(payload.contains(keyCol), s"base has no key column '$keyCol'")
+    require(!payload.contains(seqCol) && !payload.contains(opCol),
+      s"'$seqCol'/'$opCol' must not collide with base columns")
+    val others = payload.filterNot(_ == keyCol)
+    val latest = changes.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max_by(struct((others.map(col) :+ col(opCol)): _*), col(seqCol))
+        .as("__w"))
+      .select(col(keyCol) +:
+        others.map(c => col(s"__w.$c").as(c)) :+
+        col(s"__w.$opCol").as("__op"): _*)
+      .localCheckpoint() // feeds the anti-join AND the union arm
+    base.join(latest.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(latest.filter(col("__op") =!= lit(deleteOp)).drop("__op")
+        .select(payload.map(col): _*))
+  }
+
+  /** SCD-2 history from a changelog: every change row becomes a
+    * version with `valid_from` = its sequence value, `valid_to` = the
+    * key's next sequence value (NULL ⇒ current version, flagged
+    * `is_current`). A per-key lead window — parallel across keys, a
+    * key's version chain is the only per-task state (same bound as any
+    * keyed windowed op). `seqCol` must be per-key-unique for a
+    * deterministic chain. */
+  def scd2(changes: DataFrame, keyCol: String, seqCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(seqCol))
+    changes.filter(col(keyCol).isNotNull)
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

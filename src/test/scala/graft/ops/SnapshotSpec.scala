@@ -57,4 +57,42 @@ class SnapshotSpec extends SparkSpec {
       Snapshot.diff(old, bad, Seq("k"))
     }
   }
+
+  test("applyChangeLog: latest change wins, deletes drop, inserts appear, untouched survive") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a1", 10L, "upsert"),  // superseded...
+      (1L, "a2", 20L, "upsert"),  // ...by this (higher seq)
+      (2L, "xx", 11L, "delete"),  // key 2 removed
+      (9L, "new", 12L, "upsert"), // brand-new key
+      (4L, "gone", 13L, "delete") // delete of an absent key — no-op
+    ).toDF("k", "v", "seq", "op")
+    val got = Snapshot.applyChangeLog(base, changes, "k", "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a2", 3L -> "c", 9L -> "new"))
+  }
+
+  test("applyChangeLog: delete then re-insert resolves by sequence, not op") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "x", 1L, "delete"),
+      (1L, "back", 2L, "upsert")).toDF("k", "v", "seq", "op")
+    val got = Snapshot.applyChangeLog(base, changes, "k", "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "back"))
+  }
+
+  test("scd2 chains versions per key with an open current interval") {
+    val ch = Seq(
+      (1L, 10L, "v1"), (1L, 20L, "v2"), (1L, 30L, "v3"),
+      (2L, 15L, "only")).toDF("k", "seq", "v")
+    val got = Snapshot.scd2(ch, "k", "seq")
+      .collect().map(r => (r.getLong(0), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5))).toSet
+    assert(got === Set(
+      (1L, 10L, Some(20L), false),
+      (1L, 20L, Some(30L), false),
+      (1L, 30L, None, true),
+      (2L, 15L, None, true)))
+  }
 }
