@@ -331,6 +331,23 @@ object SparkEntry {
         .withColumnRenamed("cum_keys", "cum_users")
         .orderBy("bucket")),
 
+    // --- per-group percent rank, windowless: rank table from one
+    // shared range sort + per-group offsets; survives group skew ---
+    "q93_percent_rank_by" -> ((s, d) =>
+      Drift.percentRankBy(
+        t(s, d, "events").select("event_id", "event_type", "value")
+          .filter(col("event_type").isNotNull && col("value").isNotNull),
+        "event_type", "value")
+        .select(col("event_id"), col("event_type"),
+          round(col("pct_rank"), 6).as("pct_rank"))
+        .orderBy("event_id")),
+
+    // --- item co-occurrence matrix: distinct presence rows, per-key
+    // pair join bounded by the item vocabulary ---
+    "q94_cooccurrence" -> ((s, d) =>
+      Frequent.coOccurrence(t(s, d, "events"), "user_id", "event_type")
+        .orderBy("item_a", "item_b")),
+
     // --- CDC merge: changelog compacts to latest-per-key in ONE
     // max_by shuffle, then anti-join + union against the base ---
     "q91_cdc_merge" -> ((s, d) => {
@@ -1354,6 +1371,19 @@ object SparkEntry {
           |  coalesce(b.n, 0) AS n,
           |  coalesce(b.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
           |FROM spine LEFT JOIN b ON spine.s = b.h ORDER BY bucket""".stripMargin,
+
+      "q93_percent_rank_by" ->
+        """SELECT event_id, event_type,
+          |  round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6) AS pct_rank
+          |FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+          |ORDER BY event_id""".stripMargin,
+
+      "q94_cooccurrence" ->
+        """WITH a AS (SELECT DISTINCT user_id AS k, event_type AS i FROM events
+          |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+          |SELECT l.i AS item_a, r.i AS item_b, CAST(count(*) AS BIGINT) AS n_keys
+          |FROM a l JOIN a r ON l.k = r.k AND l.i < r.i
+          |GROUP BY 1, 2 ORDER BY item_a, item_b""".stripMargin,
 
       "q91_cdc_merge" ->
         """WITH ch AS (SELECT o_custkey AS k, o_orderpriority AS seg,

@@ -118,6 +118,45 @@ object Drift {
       .drop("__pr_v")
   }
 
+  /** [[percentRank]] within groups — "replace the value by its
+    * percentile WITHIN its segment" (per-language quality ranks,
+    * per-domain score normalization). Same windowless construction,
+    * one level deeper: the rank table is distinct-(group, value)-
+    * bounded and rides ONE shared range sort; per-group rank offsets
+    * come from a second prefix pass over the |groups|-row totals
+    * frame (rank-in-group = global cum − count − mass of prior
+    * groups). Spark's `percent_rank() OVER (PARTITION BY g ORDER BY
+    * v)` sorts each group in one task — fine for many small groups,
+    * a funnel when one group dominates; this shape never holds more
+    * than a sort partition regardless of group skew. Rows with a
+    * null group or value get a null rank. */
+  def percentRankBy(df: DataFrame, groupCol: String, valueCol: String,
+                    outCol: String = "pct_rank"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input already has a column named '$outCol'")
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint() // feeds the shared-sort pass AND the group totals
+    val cum = Prefix.runningTotals(counts, Seq("__g", "__v"),
+      Seq("__cum" -> col("__cnt")))
+    val gtot = counts.groupBy("__g").agg(sum("__cnt").as("__gt"))
+    val goff = Prefix.runningTotals(gtot, Seq("__g"),
+      Seq("__gcum" -> col("__gt")))
+      .select(col("__g"), (col("__gcum") - col("__gt")).as("__goff"),
+        col("__gt"))
+    val ranked = cum.join(broadcast(goff), "__g")
+      .select(col("__g"), col("__v"),
+        when(col("__gt") > 1L,
+          (col("__cum") - col("__cnt") - col("__goff")).cast("double") /
+            (col("__gt") - 1L).cast("double"))
+          .otherwise(lit(0.0)).as(outCol))
+    df.join(ranked,
+        df(groupCol) === col("__g") && df(valueCol) === col("__v"), "left")
+      .drop("__g", "__v")
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns: contingency counts from ONE narrow keyed agg, marginals
     * from two aggs over the (tiny) distinct-pair frame, χ² assembled

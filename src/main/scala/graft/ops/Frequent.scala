@@ -96,4 +96,24 @@ object Frequent {
     frequentItems(
       df.select(explode(TextAnalysis.tokens(col(textCol).cast("string"))).as("tok")),
       col("tok"), support)
+
+  /** Item co-occurrence matrix — for each unordered item pair, how
+    * many keys exhibit BOTH (market-basket / event-affinity lite).
+    * Raw event volume collapses to distinct (key, item) presence rows
+    * at the scan; the pair space is generated per key by a self-join
+    * keyed ONLY on the key, so its fan-out is |items-per-key|² —
+    * bounded by the item vocabulary, not the event count — and the
+    * result frame is at most |items|²/2 rows. Keys with one item
+    * produce nothing; null keys/items are excluded. */
+  def coOccurrence(df: DataFrame, keyCol: String, itemCol: String): DataFrame = {
+    val a = df
+      .filter(col(keyCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(itemCol).as("__i"))
+      .distinct()
+      .localCheckpoint() // both sides of the pair join read it
+    a.as("l").join(a.as("r"),
+        col("l.__k") === col("r.__k") && col("l.__i") < col("r.__i"))
+      .groupBy(col("l.__i").as("item_a"), col("r.__i").as("item_b"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
 }

@@ -104,6 +104,29 @@ class DriftSpec extends SparkSpec {
     assert(r(3L) === Some(0.0) && r(1L) === Some(1.0))
   }
 
+  test("percentRankBy matches the per-group window percent_rank under group skew") {
+    val rnd = new scala.util.Random(23)
+    // one dominant group (90%) + several small ones
+    val df = (1L to 3000L).map { id =>
+      val g = if (id <= 2700) "big" else s"g${id % 5}"
+      (id, g, rnd.nextInt(40).toDouble)
+    }.toDF("id", "g", "v").repartition(8)
+    val got = Drift.percentRankBy(df, "g", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val want = df.withColumn("pr", percent_rank().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("v")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.size === want.size)
+    for ((id, pr) <- want)
+      assert(math.abs(got(id) - pr) < 1e-12, s"id=$id")
+    // single-member group ranks 0.0; null group/value rank null
+    val edge = Seq((1L, Some("a"), Some(5.0)), (2L, None, Some(1.0)),
+      (3L, Some("b"), None)).toDF("id", "g", "v")
+    val r = Drift.percentRankBy(edge, "g", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(r(1L) === Some(0.0) && r(2L) === None && r(3L) === None)
+  }
+
   test("functionalDependencies: key FD holds, many-to-many violated") {
     val df = Seq(
       (1L, "alice", "gold"), (2L, "bob", "gold"),

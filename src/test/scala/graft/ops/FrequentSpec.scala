@@ -69,4 +69,19 @@ class FrequentSpec extends SparkSpec {
     assert(got === want)
     assert(got.contains("the") && got.contains("and"))
   }
+
+  test("coOccurrence counts keys sharing both items, presence-not-frequency") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view"), (1L, "view"), (1L, "buy"),     // repeat view counts once
+      (2L, "view"), (2L, "buy"), (2L, "share"),
+      (3L, "view"),                                // single item — no pairs
+      (4L, "buy"), (4L, "share")).toDF("u", "t")
+    val got = Frequent.coOccurrence(ev, "u", "t")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("buy", "view") -> 2L,     // users 1, 2
+      ("buy", "share") -> 2L,    // users 2, 4
+      ("share", "view") -> 1L))  // user 2
+  }
 }
