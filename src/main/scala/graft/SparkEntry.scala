@@ -331,6 +331,24 @@ object SparkEntry {
         .withColumnRenamed("cum_keys", "cum_users")
         .orderBy("bucket")),
 
+    // --- referential-integrity expectation: parent reduces to distinct
+    // keys, orphan probe is a broadcastable left-anti join ---
+    "q95_referential" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cust = t(s, d, "customer")
+      Expectations.checkReferential(orders, "o_custkey", cust, "c_custkey")
+        .unionByName(
+          Expectations.checkReferential(orders, "o_custkey",
+            cust.filter(col("c_custkey") < 700), "c_custkey")
+            .withColumn("rule", concat(col("rule"), lit("@lt700"))))
+        .orderBy("rule")
+    }),
+
+    // --- Benford first-digit screen: one scan, arithmetic on 9 rows ---
+    "q96_benford" -> ((s, d) =>
+      Expectations.benford(t(s, d, "orders"), "o_totalprice")
+        .orderBy("digit")),
+
     // --- per-group percent rank, windowless: rank table from one
     // shared range sort + per-group offsets; survives group skew ---
     "q93_percent_rank_by" -> ((s, d) =>
@@ -1371,6 +1389,45 @@ object SparkEntry {
           |  coalesce(b.n, 0) AS n,
           |  coalesce(b.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
           |FROM spine LEFT JOIN b ON spine.s = b.h ORDER BY bucket""".stripMargin,
+
+      "q95_referential" ->
+        """WITH c AS (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL),
+          |k1 AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IS NOT NULL),
+          |k2 AS (SELECT DISTINCT c_custkey FROM customer
+          |       WHERE c_custkey IS NOT NULL AND c_custkey < 700),
+          |r1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |         CAST(count(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM k1)) AS BIGINT) AS v
+          |       FROM c),
+          |r2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |         CAST(count(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM k2)) AS BIGINT) AS v
+          |       FROM c)
+          |SELECT 'ref(o_custkey -> c_custkey)' AS rule, n, v AS n_violations,
+          |  round(CASE WHEN n > 0 THEN CAST(n - v AS DOUBLE) / n ELSE 1.0 END, 6) AS pass_rate
+          |FROM r1
+          |UNION ALL
+          |SELECT 'ref(o_custkey -> c_custkey)@lt700', n, v,
+          |  round(CASE WHEN n > 0 THEN CAST(n - v AS DOUBLE) / n ELSE 1.0 END, 6)
+          |FROM r2
+          |ORDER BY rule""".stripMargin,
+
+      "q96_benford" ->
+        """WITH src AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+          |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+          |d AS (SELECT CAST(least(floor(v / pow(10.0, floor(log10(v)))), 9.0) AS INT) AS dg FROM src),
+          |counted AS (SELECT dg, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+          |tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS t FROM counted),
+          |digits AS (SELECT unnest(range(1, 10)) AS digit),
+          |per AS (SELECT digits.digit, CAST(coalesce(counted.n, 0) AS BIGINT) AS n,
+          |          CASE WHEN tot.t > 0 THEN CAST(coalesce(counted.n, 0) AS DOUBLE) / tot.t
+          |               ELSE CAST(0.0 AS DOUBLE) END AS obs,
+          |          log10(1.0 + 1.0 / digits.digit) AS exp
+          |        FROM digits LEFT JOIN counted ON digits.digit = counted.dg
+          |        CROSS JOIN tot),
+          |t2 AS (SELECT sum(abs(obs - exp)) / 2.0 AS tvd FROM per)
+          |SELECT CAST(per.digit AS INT) AS digit, per.n,
+          |  round(per.obs, 6) AS observed, round(per.exp, 6) AS expected,
+          |  round(t2.tvd, 6) AS tvd
+          |FROM per CROSS JOIN t2 ORDER BY digit""".stripMargin,
 
       "q93_percent_rank_by" ->
         """SELECT event_id, event_type,

@@ -78,4 +78,69 @@ object Expectations {
     uniqueKeys.foldLeft(checkRows(df, rules)) { (acc, keys) =>
       acc.unionByName(checkUnique(df, keys))
     }
+
+  /** Referential-integrity expectation: child rows whose foreign key
+    * has no match in `parent` (orphans). Same report row shape as the
+    * other rules. The parent side reduces to DISTINCT key values
+    * before the join — the join input is |parent keys|, not |parent
+    * rows| — and the left-anti probe broadcasts whenever the key set
+    * is small (the dimension-table case); both-large falls back to a
+    * key-partitioned join. NULL foreign keys are a notNull rule's
+    * business and are excluded here. */
+  def checkReferential(child: DataFrame, childKey: String,
+                       parent: DataFrame, parentKey: String): DataFrame = {
+    val name = s"ref($childKey -> $parentKey)"
+    val keys = parent.select(col(parentKey).as(childKey))
+      .filter(col(childKey).isNotNull).distinct()
+    val c = child.filter(col(childKey).isNotNull)
+      .select(col(childKey)).localCheckpoint() // feeds total AND orphan count
+    val totals = c.agg(count(lit(1)).as("n"))
+    val orphans = c.join(keys, Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    totals.crossJoin(orphans)
+      .select(lit(name).as("rule"), col("n"), col("n_violations"),
+        round(when(col("n") > 0,
+          (col("n") - col("n_violations")).cast("double") / col("n").cast("double"))
+          .otherwise(lit(1.0)), 6).as("pass_rate"))
+  }
+
+  /** Benford first-digit screen — the accounting/fraud heuristic:
+    * distribution of leading digits 1–9 of a positive numeric column
+    * against Benford's law p(d) = log10(1 + 1/d), with the total
+    * variation distance as the headline score. ONE aggregation scan
+    * (nine conditional counts); everything after is arithmetic on a
+    * 9-row frame. Rows ≤ 0 or null are excluded (Benford applies to
+    * positive magnitudes). Output: (digit, n, observed, expected),
+    * 9 rows, plus the shared `tvd` column. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    // leading digit of the decimal rendering: first char of the value
+    // scaled into [1, 10) — digit-extraction via math, not strings, so
+    // both engines compute it identically: d = floor(v / 10^floor(log10 v)).
+    // The least(…, 9) clamp guards the v = 10^k edge, where a
+    // one-ulp-low log10 would scale v to exactly 10.0 and emit digit
+    // 10; the oracle applies the identical clamp.
+    val lead = least(floor(v / pow(lit(10.0), floor(log10(v)))), lit(9.0)).cast("int")
+    val counted = df.filter(v.isNotNull && v > 0)
+      .select(lead.as("__d"))
+      .groupBy("__d").agg(count(lit(1)).as("n"))
+    val total = counted.agg(coalesce(sum("n"), lit(0L)).as("__tot"))
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val per = digits
+      .join(counted, col("digit") === col("__d"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("__tot") > 0,
+          coalesce(col("n"), lit(0L)).cast("double") / col("__tot"))
+          .otherwise(lit(0.0)).as("__obs"),
+        log10(lit(1.0) + lit(1.0) / col("digit")).as("__exp"))
+    val tvd = per.agg((sum(abs(col("__obs") - col("__exp"))) / 2.0).as("__tvd"))
+    per.crossJoin(broadcast(tvd))
+      .select(col("digit"), col("n"),
+        round(col("__obs"), 6).as("observed"),
+        round(col("__exp"), 6).as("expected"),
+        round(col("__tvd"), 6).as("tvd"))
+  }
 }

@@ -47,4 +47,44 @@ class ExpectationsSpec extends SparkSpec {
         Expectations.rowRule("r", col("v") < 0)))
     }
   }
+
+  test("checkReferential counts orphans; null FKs excluded; parent dups harmless") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 1L, 2L, 3L).toDF("pk") // dup parent key
+    val got = Expectations.checkReferential(child, "fk", parent, "pk")
+      .collect()(0)
+    assert(got.getString(0) === "ref(fk -> pk)")
+    assert(got.getLong(1) === 4L)          // null FK excluded from n
+    assert(got.getLong(2) === 1L)          // only 9 is an orphan
+    assert(math.abs(got.getDouble(3) - 0.75) < 1e-9)
+  }
+
+  test("benford: exact Benford sample scores tvd 0; skewed sample flagged") {
+    import spark.implicits._
+    // construct counts proportional to Benford within rounding: digit d
+    // appears round(1000*log10(1+1/d)) times, value d*10^(i mod 3)
+    val rows = for {
+      d <- 1 to 9
+      n = math.round(1000 * math.log10(1.0 + 1.0 / d)).toInt
+      i <- 0 until n
+    } yield d * math.pow(10.0, i % 3)
+    val good = Expectations.benford(rows.toDF("v"), "v").collect()
+    assert(good.length === 9)
+    val tvd = good.head.getDouble(4)
+    assert(tvd < 0.001, s"benford-like sample scored tvd=$tvd")
+    // digit extraction: n for digit 1 equals its planted count
+    val n1 = good.find(_.getInt(0) == 1).get.getLong(1)
+    assert(n1 === math.round(1000 * math.log10(2.0)))
+    // all-nines sample: tvd = 1 - p(9) share accounting → large
+    val bad = Expectations.benford(
+      Seq.fill(100)(9000.0).toDF("v"), "v").collect()
+    assert(bad.head.getDouble(4) > 0.5)
+    // zero/negative/null excluded
+    val edge = Expectations.benford(
+      Seq(Some(-5.0), Some(0.0), None, Some(100.0)).toDF("v"), "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(edge(1) === 1L && edge.values.sum === 1L)
+  }
 }
