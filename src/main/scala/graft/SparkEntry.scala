@@ -331,6 +331,14 @@ object SparkEntry {
         .withColumnRenamed("cum_keys", "cum_users")
         .orderBy("bucket")),
 
+    // --- exact weighted quantiles: distinct-value collapse + shared
+    // prefix pass; PERCENTILE_DISC convention, fixed-point weights ---
+    "q97_weighted_quantiles" -> ((s, d) =>
+      graft.engine.Quantiles.weightedExact(
+        t(s, d, "lineitem"), "l_extendedprice", "l_quantity",
+        Seq(0.25, 0.5, 0.75, 0.9))
+        .orderBy("quantile")),
+
     // --- referential-integrity expectation: parent reduces to distinct
     // keys, orphan probe is a broadcastable left-anti join ---
     "q95_referential" -> ((s, d) => {
@@ -1389,6 +1397,20 @@ object SparkEntry {
           |  coalesce(b.n, 0) AS n,
           |  coalesce(b.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
           |FROM spine LEFT JOIN b ON spine.s = b.h ORDER BY bucket""".stripMargin,
+
+      "q97_weighted_quantiles" ->
+        """WITH g AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+          |    CAST(sum(CAST(round(CAST(l_quantity AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS w
+          |  FROM lineitem
+          |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          |    AND round(CAST(l_quantity AS DOUBLE) * 1000000) > 0
+          |  GROUP BY 1),
+          |t AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM g),
+          |c AS (SELECT v, sum(w) OVER (ORDER BY v) AS cum FROM g)
+          |SELECT CAST(q AS DOUBLE) AS quantile,
+          |  (SELECT min(v) FROM c, t WHERE cum >= ceil(CAST(q AS DOUBLE) * wt)) AS value
+          |FROM (VALUES (0.25), (0.5), (0.75), (0.9)) AS qs(q)
+          |ORDER BY quantile""".stripMargin,
 
       "q95_referential" ->
         """WITH c AS (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL),

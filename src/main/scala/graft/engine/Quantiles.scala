@@ -131,4 +131,40 @@ object Quantiles {
       vlo + (vhi - vlo) * (h - lo)
     }
   }
+
+  /** Exact WEIGHTED quantiles, windowless: the q-th weighted quantile
+    * is the smallest value whose cumulative weight reaches q·W (the
+    * left-continuous inverse CDF — PERCENTILE_DISC convention, no
+    * interpolation). The raw table collapses to distinct (value,
+    * Σweight) at the scan; cumulative weights ride the shared
+    * range-sorted prefix pass ([[graft.ops.Prefix.runningTotals]] — no
+    * single-task window); the final pick is |qs| min-when aggregates
+    * over the distinct-value frame. Weights are fixed-point at 1e-6
+    * resolution (the prefix kernel sums longs exactly; double running
+    * sums would drift order-dependently), rows with null value/weight
+    * or weight rounding to ≤ 0 are excluded. Output: (quantile, value)
+    * rows in input order of `qs`. */
+  def weightedExact(df: DataFrame, valueCol: String, weightCol: String,
+                    qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    qs.foreach(q => require(q > 0 && q <= 1, s"quantile $q outside (0,1]"))
+    val v = col(valueCol).cast("double")
+    val wfp = round(col(weightCol).cast("double") * 1e6).cast("long")
+    val g = df.filter(v.isNotNull && col(weightCol).isNotNull && wfp > 0)
+      .groupBy(v.as("__v")).agg(sum(wfp).as("__w"))
+      .localCheckpoint() // feeds the total AND the prefix pass
+    val wTot = g.agg(coalesce(sum("__w"), lit(0L))).collect()(0).getLong(0)
+    val cum = graft.ops.Prefix.runningTotals(g, Seq("__v"),
+      Seq("__cum" -> col("__w")))
+    val picks = qs.zipWithIndex.map { case (q, i) =>
+      min(when(col("__cum") >= lit(math.ceil(q * wTot).toLong), col("__v")))
+        .as(s"__q$i")
+    }
+    val one = cum.agg(picks.head, picks.tail: _*)
+    val pairs = qs.zipWithIndex.map { case (q, i) =>
+      struct(lit(q).as("quantile"), col(s"__q$i").as("value"))
+    }
+    one.select(explode(array(pairs: _*)).as("__p"))
+      .select(col("__p.quantile").as("quantile"), col("__p.value").as("value"))
+  }
 }

@@ -59,4 +59,30 @@ class QuantilesSpec extends SparkSpec {
     assert(Quantiles.exact(five, "x", Seq(0.25, 1.0), 5L) === Seq(2.0, 5.0))
     assert(Quantiles.exact(five.filter(col("x") > 99), "x", Seq(0.5), 0L) === Seq(0.0))
   }
+
+  test("weighted quantiles: ground truth by expansion, repeated values merge, weight 0 drops") {
+    // weights are repetition counts: the weighted quantile of
+    // (v, w) equals the unweighted PERCENTILE_DISC over v repeated w
+    // times — brute-force that expansion as ground truth
+    val data = Seq((10.0, 3.0), (20.0, 1.0), (20.0, 2.0), (30.0, 4.0),
+      (5.0, 0.0), (40.0, 2.0))
+    val expanded = data.flatMap { case (v, w) =>
+      Seq.fill(w.toInt)(v) }.sorted
+    val w = data.map(_._2).sum
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 1.0)
+    val want = qs.map { q =>
+      q -> expanded(math.ceil(q * w).toInt - 1)
+    }.toMap
+    val got = Quantiles.weightedExact(
+      data.toDF("v", "w"), "v", "w", qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got === want)
+    // fractional weights at 1e-6 resolution: 0.5/1.5 weights
+    val frac = Seq((1.0, 0.5), (2.0, 1.5)).toDF("v", "w")
+    val m = Quantiles.weightedExact(frac, "v", "w", Seq(0.25, 0.26, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(m(0.25) === 1.0) // cum 0.5e6 of 2e6 exactly reaches 25%
+    assert(m(0.26) === 2.0)
+    assert(m(1.0) === 2.0)
+  }
 }
