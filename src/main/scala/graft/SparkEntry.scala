@@ -331,6 +331,15 @@ object SparkEntry {
         .withColumnRenamed("cum_keys", "cum_users")
         .orderBy("bucket")),
 
+    // --- funnel conversion-lag quantiles: one fused keyed agg for
+    // both firsts, PERCENTILE_DISC over the ≤|keys| lag frame ---
+    "q98_conversion_lag" -> ((s, d) =>
+      Temporal.conversionLag(t(s, d, "events"), "user_id", "ts",
+        "event_type", fromStep = "view", toStep = "purchase",
+        qs = Seq(0.5, 0.9, 0.99))
+        .withColumn("lag_s", col("value").cast("long")).drop("value")
+        .orderBy("quantile")),
+
     // --- exact weighted quantiles: distinct-value collapse + shared
     // prefix pass; PERCENTILE_DISC convention, fixed-point weights ---
     "q97_weighted_quantiles" -> ((s, d) =>
@@ -1397,6 +1406,22 @@ object SparkEntry {
           |  coalesce(b.n, 0) AS n,
           |  coalesce(b.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
           |FROM spine LEFT JOIN b ON spine.s = b.h ORDER BY bucket""".stripMargin,
+
+      "q98_conversion_lag" ->
+        """WITH f AS (SELECT user_id,
+          |    min(CASE WHEN event_type = 'view' THEN ts END) AS ff,
+          |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS ft
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |  GROUP BY 1),
+          |lag AS (SELECT CAST(date_diff('second', ff, ft) AS DOUBLE) AS v
+          |  FROM f WHERE ff IS NOT NULL AND ft IS NOT NULL AND ft >= ff),
+          |g AS (SELECT v, CAST(count(*) AS BIGINT) * 1000000 AS w FROM lag GROUP BY 1),
+          |t AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM g),
+          |c AS (SELECT v, sum(w) OVER (ORDER BY v) AS cum FROM g)
+          |SELECT CAST(q AS DOUBLE) AS quantile,
+          |  CAST((SELECT min(v) FROM c, t WHERE cum >= ceil(CAST(q AS DOUBLE) * wt)) AS BIGINT) AS lag_s
+          |FROM (VALUES (0.5), (0.9), (0.99)) AS qs(q)
+          |ORDER BY quantile""".stripMargin,
 
       "q97_weighted_quantiles" ->
         """WITH g AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,

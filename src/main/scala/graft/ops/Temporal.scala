@@ -451,6 +451,31 @@ object Temporal {
           .otherwise(lit(0.0)), 6).as("stickiness"))
   }
 
+  /** Conversion-lag quantiles: per key, the delay (seconds) between
+    * its FIRST `fromStep` event and its FIRST `toStep` event, counted
+    * only when the latter follows the former (first-touch semantics,
+    * matching [[funnel]]); summarized as exact PERCENTILE_DISC
+    * quantiles via the weighted-quantile kernel. ONE fused keyed agg
+    * computes both firsts (conditional mins — no join, no window);
+    * the lag frame is ≤|keys| rows and the quantile pick rides the
+    * shared prefix sort. Output: (quantile, lag_s) rows. */
+  def conversionLag(df: DataFrame, keyCol: String, tsCol: String,
+                    typeCol: String, fromStep: String, toStep: String,
+                    qs: Seq[Double]): DataFrame = {
+    val lags = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        min(when(col(typeCol) === fromStep, col(tsCol))).as("__ff"),
+        min(when(col(typeCol) === toStep, col(tsCol))).as("__ft"))
+      .filter(col("__ff").isNotNull && col("__ft").isNotNull &&
+        col("__ft") >= col("__ff"))
+      .select((unix_timestamp(col("__ft")) - unix_timestamp(col("__ff")))
+        .cast("double").as("lag_s"))
+      .withColumn("__w", lit(1.0))
+    graft.engine.Quantiles.weightedExact(lags, "lag_s", "__w", qs)
+  }
+
   /** Cohort retention matrix: keys grouped by first-seen `unit` bucket
     * (the cohort), then for each cohort × age (buckets since the
     * cohort) the count and fraction of that cohort active in the aged

@@ -261,6 +261,21 @@ class TemporalSpec extends SparkSpec {
       ("2024-01-03 00:00:00", 1L, 2L, 0.5)))  // {3} today, {1,3} in window
   }
 
+  test("conversionLag: first-touch lags, non-converters excluded, disc quantiles") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "buy", "2024-01-01 10:30:00"),
+      (1L, "buy", "2024-01-01 11:00:00"),  // later buy ignored (first-touch)
+      (2L, "view", "2024-01-01 10:00:00"), (2L, "buy", "2024-01-01 10:05:00"),
+      (3L, "buy", "2024-01-01 09:00:00"), (3L, "view", "2024-01-01 10:00:00"), // buy precedes view
+      (4L, "view", "2024-01-01 10:00:00")) // never converts
+      .toDF("u", "t", "s").withColumn("ts", to_timestamp(col("s")))
+    val got = Temporal.conversionLag(ev, "u", "ts", "t", "view", "buy",
+      qs = Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got === Map(0.5 -> 300.0, 1.0 -> 1800.0))
+  }
+
   test("retention: cohort sizes from age 0, fractions per cohort x age") {
     import spark.implicits._
     // cohort Jan-1: users 1,2 (1 returns day 1 and 2; 2 never returns)
