@@ -113,7 +113,8 @@ object SparkEntry {
     * oracle. `guarded=true` adds the degenerate-group zeroing of
     * Profiler.groupedNumericProfile (n-too-small / zero variance →
     * skew = kurt = 0). */
-  private def momentStatsSql(guarded: Boolean = false): String = {
+  private def momentStatsSql(guarded: Boolean = false,
+                             withQuantiles: Boolean = true): String = {
     val skewBody =
       """(CAST(s3 AS DOUBLE)/n - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n) + 2.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
         |    / (sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
@@ -130,13 +131,15 @@ object SparkEntry {
                else skewBody
     val kurt = if (guarded) s"CASE WHEN n > 3 AND $varPos THEN $kurtBody ELSE CAST(0 AS DOUBLE) END"
                else kurtBody
+    val qCols = if (withQuantiles)
+      ",\n  round(qs[2], 6) AS median, round(qs[1], 6) AS q1, round(qs[3], 6) AS q3"
+    else ""
     s"""n,
        |  round(CAST(s1 AS DOUBLE)/n, 6) AS mean,
        |  round(sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)), 6) AS std,
        |  round($skew, 6) AS skew,
        |  round($kurt, 6) AS kurt,
-       |  mn, mx,
-       |  round(qs[2], 6) AS median, round(qs[1], 6) AS q1, round(qs[3], 6) AS q3""".stripMargin
+       |  mn, mx$qCols""".stripMargin
   }
 
   /** Oracle-side twin of [[numericProfile]]. */
@@ -330,6 +333,13 @@ object SparkEntry {
         unit = "day")
         .withColumnRenamed("cum_keys", "cum_users")
         .orderBy("bucket")),
+
+    // --- incremental profile: per-shard exact moment partials merged
+    // into the direct single-pass profile bit-for-bit ---
+    "q99_incremental_profile" -> ((s, d) =>
+      graft.engine.Profiler.mergeMoments(
+        graft.engine.Profiler.partialMoments(
+          t(s, d, "documents"), "lang", "n_chars"))),
 
     // --- funnel conversion-lag quantiles: one fused keyed agg for
     // both firsts, PERCENTILE_DISC over the ≤|keys| lag frame ---
@@ -1406,6 +1416,19 @@ object SparkEntry {
           |  coalesce(b.n, 0) AS n,
           |  coalesce(b.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
           |FROM spine LEFT JOIN b ON spine.s = b.h ORDER BY bucket""".stripMargin,
+
+      "q99_incremental_profile" ->
+        s"""WITH s AS (
+           |  SELECT count(n_chars) AS n,
+           |         sum(n_chars) AS s1,
+           |         sum(n_chars*n_chars) AS s2,
+           |         sum(n_chars*n_chars*n_chars) AS s3,
+           |         sum(n_chars*n_chars*n_chars*n_chars) AS s4,
+           |         min(CAST(n_chars AS DOUBLE)) AS mn,
+           |         max(CAST(n_chars AS DOUBLE)) AS mx
+           |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL)
+           |SELECT ${momentStatsSql(guarded = true, withQuantiles = false)}
+           |FROM s""".stripMargin,
 
       "q98_conversion_lag" ->
         """WITH f AS (SELECT user_id,

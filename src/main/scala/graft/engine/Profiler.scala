@@ -232,6 +232,25 @@ object Profiler {
       sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"),
       min(xd).as("mn"), max(xd).as("mx"),
       qsCol.as("qs"))
+    // degenerate groups (n too small, or zero variance) report 0 like
+    // the reference's len-guards (`Latanova_v1.py:185-186`) — and the
+    // guard keeps ANSI mode from raising on the zero divisor
+    val (mean, std, skew, kurt) = momentStatCols()
+    g.select(col(keyCol), col("n"),
+      round(mean, 6).as("mean"),
+      round(std, 6).as("std"),
+      round(skew, 6).as("skew"),
+      round(kurt, 6).as("kurt"),
+      col("mn"), col("mx"),
+      round(element_at(col("qs"), 2), 6).as("median"),
+      round(element_at(col("qs"), 1), 6).as("q1"),
+      round(element_at(col("qs"), 3), 6).as("q3"))
+  }
+
+  /** Shared scalar moment formula over columns n, s1..s4 — the same
+    * expressions the whole profile family (and its oracle fragment)
+    * uses: (mean, pop-std, guarded skew, guarded excess kurtosis). */
+  private def momentStatCols(): (Column, Column, Column, Column) = {
     val n = col("n").cast(DoubleType)
     val mean = col("s1").cast(DoubleType) / n
     val m2 = col("s2").cast(DoubleType) / n
@@ -239,23 +258,59 @@ object Profiler {
     val m4 = col("s4").cast(DoubleType) / n
     val variance = m2 - mean * mean
     val std = sqrt(variance)
-    // degenerate groups (n too small, or zero variance) report 0 like
-    // the reference's len-guards (`Latanova_v1.py:185-186`) — and the
-    // guard keeps ANSI mode from raising on the zero divisor
-    g.select(col(keyCol), col("n"),
+    val skew = when(col("n") > 2 && variance > 0,
+      (m3 - lit(3.0) * mean * m2 + lit(2.0) * mean * mean * mean)
+        / (std * std * std)).otherwise(lit(0.0))
+    val kurt = when(col("n") > 3 && variance > 0,
+      (m4 - lit(4.0) * mean * m3 + lit(6.0) * mean * mean * m2
+        - lit(3.0) * mean * mean * mean * mean)
+        / (variance * variance) - lit(3.0)).otherwise(lit(0.0))
+    (mean, std, skew, kurt)
+  }
+
+  /** MERGEABLE partial profile state, per shard: the exact moment sums
+    * (n, s1..s4, min, max) of `valueCol` for each value of `shardCol`
+    * (a day, a file batch, a partition id). Integral columns sum in
+    * DECIMAL(38,0), so partials carry NO rounding and merging is
+    * associative-exact: [[mergeMoments]] over any shard subset equals
+    * the direct single-pass profile bit-for-bit — the incremental-
+    * pipeline primitive that re-profiles 100 TB after a daily append
+    * by touching ONLY the new day's raw rows. Quantiles are excluded
+    * (exact quantiles don't merge; pair with the sort kernel when
+    * needed). */
+  def partialMoments(df: DataFrame, shardCol: String,
+                     valueCol: String): DataFrame = {
+    val integral = df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0
+      case _ => false
+    }
+    val xd = col(valueCol).cast(DoubleType)
+    val x = if (integral) col(valueCol).cast(DecimalType(38, 0)) else xd
+    df.filter(xd.isNotNull && col(shardCol).isNotNull)
+      .groupBy(col(shardCol).as("shard"))
+      .agg(count(xd).as("n"),
+        sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"),
+        min(xd).as("mn"), max(xd).as("mx"))
+  }
+
+  /** Fold [[partialMoments]] rows into the final profile: one 1-row
+    * aggregation (sums of sums, min of mins) + the shared scalar
+    * formula. No raw data touched. */
+  def mergeMoments(partials: DataFrame): DataFrame = {
+    val g = partials.agg(
+      coalesce(sum("n"), lit(0L)).as("n"),
+      sum("s1").as("s1"), sum("s2").as("s2"),
+      sum("s3").as("s3"), sum("s4").as("s4"),
+      min("mn").as("mn"), max("mx").as("mx"))
+    val (mean, std, skew, kurt) = momentStatCols()
+    g.select(col("n"),
       round(mean, 6).as("mean"),
       round(std, 6).as("std"),
-      round(when(col("n") > 2 && variance > 0,
-        (m3 - lit(3.0) * mean * m2 + lit(2.0) * mean * mean * mean)
-          / (std * std * std)).otherwise(lit(0.0)), 6).as("skew"),
-      round(when(col("n") > 3 && variance > 0,
-        (m4 - lit(4.0) * mean * m3 + lit(6.0) * mean * mean * m2
-          - lit(3.0) * mean * mean * mean * mean)
-          / (variance * variance) - lit(3.0)).otherwise(lit(0.0)), 6).as("kurt"),
-      col("mn"), col("mx"),
-      round(element_at(col("qs"), 2), 6).as("median"),
-      round(element_at(col("qs"), 1), 6).as("q1"),
-      round(element_at(col("qs"), 3), 6).as("q3"))
+      round(skew, 6).as("skew"),
+      round(kurt, 6).as("kurt"),
+      col("mn"), col("mx"))
   }
 
   /** Pairwise Pearson correlations of `cols` in ONE aggregation pass

@@ -2,6 +2,7 @@ package graft.engine
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Profile parity against pandas/NumPy ground truth recorded in
   * FIXTURES.md / BASELINE.md (full 500 post-dropna rows). */
@@ -136,5 +137,30 @@ class ProfilerSpec extends SparkSpec {
     assert(d.epoch.count === 500L)
     assert(d.minDate.startsWith("20"))
     assert(d.epoch.min <= d.epoch.max)
+  }
+
+  test("partial moments merge to the direct single-pass profile bit-for-bit") {
+    import spark.implicits._
+    // integral values → DECIMAL partials: merging must be EXACT, so
+    // the merged stats equal a one-shard (direct) computation on every
+    // field including the unrounded doubles
+    val df = (1L to 997L).map(i => (i % 7, (i * i) % 1000))
+      .toDF("shard", "v").repartition(8)
+    val merged = Profiler.mergeMoments(
+      Profiler.partialMoments(df, "shard", "v")).collect()(0)
+    val direct = Profiler.mergeMoments(
+      Profiler.partialMoments(df.withColumn("shard", lit(0L)), "shard", "v"))
+      .collect()(0)
+    assert(merged === direct)
+    // sanity on the values themselves
+    val xs = (1L to 997L).map(i => ((i * i) % 1000).toDouble)
+    assert(merged.getLong(0) === 997L)
+    assert(math.abs(merged.getDouble(1) - xs.sum / xs.size) < 1e-6)
+    assert(merged.getDouble(5) === xs.min && merged.getDouble(6) === xs.max)
+    // a subset of shards is a valid profile of the subset
+    val sub = Profiler.mergeMoments(
+      Profiler.partialMoments(df.filter(col("shard") < 3), "shard", "v"))
+      .collect()(0)
+    assert(sub.getLong(0) === df.filter(col("shard") < 3).count())
   }
 }
