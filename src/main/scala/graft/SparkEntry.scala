@@ -334,6 +334,21 @@ object SparkEntry {
         .withColumnRenamed("cum_keys", "cum_users")
         .orderBy("bucket")),
 
+    // --- language confusion matrix: declared metadata vs detected
+    // langId — the metadata-QA op; ≤|langs|² frame after one scan ---
+    "q100_lang_confusion" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("lang").isNotNull)
+        .select(col("lang").as("declared"),
+          TextAnalysis.langId(col("text")).as("detected"))
+        .groupBy("declared", "detected").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val tot = docs.groupBy("declared").agg(sum("n").as("__t"))
+      docs.join(broadcast(tot), "declared")
+        .select(col("declared"), col("detected"), col("n"),
+          round(col("n").cast("double") / col("__t"), 6).as("frac"))
+        .orderBy("declared", "detected")
+    }),
+
     // --- incremental profile: per-shard exact moment partials merged
     // into the direct single-pass profile bit-for-bit ---
     "q99_incremental_profile" -> ((s, d) =>
@@ -1416,6 +1431,25 @@ object SparkEntry {
           |  coalesce(b.n, 0) AS n,
           |  coalesce(b.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
           |FROM spine LEFT JOIN b ON spine.s = b.h ORDER BY bucket""".stripMargin,
+
+      "q100_lang_confusion" -> {
+        def sw(lang: String) = s"len(list_filter($toks, x -> list_contains(${dlist(stop(lang))}, x)))"
+        s"""WITH pred AS (SELECT lang AS declared,
+           |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           |       WHEN ${sw("en")} = 0 AND ${sw("de")} = 0 AND ${sw("es")} = 0 AND ${sw("fr")} = 0 THEN 'und'
+           |       WHEN ${sw("en")} >= ${sw("de")} AND ${sw("en")} >= ${sw("es")} AND ${sw("en")} >= ${sw("fr")} THEN 'en'
+           |       WHEN ${sw("de")} >= ${sw("es")} AND ${sw("de")} >= ${sw("fr")} THEN 'de'
+           |       WHEN ${sw("es")} >= ${sw("fr")} THEN 'es'
+           |       ELSE 'fr' END AS detected
+           |  FROM documents WHERE lang IS NOT NULL),
+           |m AS (SELECT declared, detected, CAST(count(*) AS BIGINT) AS n
+           |      FROM pred GROUP BY 1, 2),
+           |t AS (SELECT declared, CAST(sum(n) AS BIGINT) AS tt FROM m GROUP BY 1)
+           |SELECT m.declared, m.detected, m.n,
+           |  round(CAST(m.n AS DOUBLE) / t.tt, 6) AS frac
+           |FROM m JOIN t USING (declared)
+           |ORDER BY declared, detected""".stripMargin
+      },
 
       "q99_incremental_profile" ->
         s"""WITH s AS (
