@@ -142,7 +142,10 @@ object Quantiles {
     * over the distinct-value frame. Weights are fixed-point at 1e-6
     * resolution (the prefix kernel sums longs exactly; double running
     * sums would drift order-dependently), rows with null value/weight
-    * or weight rounding to ≤ 0 are excluded. Output: (quantile, value)
+    * or weight rounding to ≤ 0 are excluded. Capacity: Σweight must
+    * stay under 2⁶³/1e6 ≈ 9.2e12 — ample for row-count-like weights at
+    * any SF here; corpora beyond that trade resolution for range by
+    * lowering the fixed-point scale. Output: (quantile, value)
     * rows in input order of `qs`. */
   def weightedExact(df: DataFrame, valueCol: String, weightCol: String,
                     qs: Seq[Double]): DataFrame = {
