@@ -83,4 +83,31 @@ class PropertySpec extends SparkSpec {
       assert(r.getBoolean(0) === same, s"'$a' vs '$b'")
     }
   }
+
+  test("prefix-filtered jaccard join equals brute force on random corpora") {
+    // random word-soup corpora over a small vocabulary (forces heavy
+    // shingle sharing, the regime where a buggy prefix bound would
+    // drop true pairs) at random thresholds
+    val word = Gen.oneOf((0 until 12).map(i => s"w$i"))
+    val doc = Gen.chooseNum(3, 14).flatMap(n => Gen.listOfN(n, word))
+    val corpus = Gen.listOfN(18, doc)
+    val tau = Gen.oneOf(0.2, 0.4, 0.6, 0.8, 1.0)
+    var seed = Seed(42L)
+    (1 to 4).foreach { round =>
+      val docs = corpus(Gen.Parameters.default, seed).get
+      val t = tau(Gen.Parameters.default, seed).get
+      seed = seed.next
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("id", "text")
+      def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+        .toSet
+      val brute = canon(graft.ops.Dedup.jaccardPairs(df, "id", "text",
+        k = 2, minJaccard = t))
+      val pref = canon(graft.ops.Dedup.jaccardJoinPrefix(df, "id", "text",
+        minJaccard = t, k = 2))
+      assert(pref === brute, s"round $round tau=$t")
+    }
+  }
 }
