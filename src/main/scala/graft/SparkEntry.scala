@@ -334,6 +334,30 @@ object SparkEntry {
         .withColumnRenamed("cum_keys", "cum_users")
         .orderBy("bucket")),
 
+    // --- 2-d equi-width histogram (heatmap prep): one extent agg +
+    // one (bx,by) count; frames bounded by the cell grid ---
+    "q101_hist2d" -> ((s, d) =>
+      graft.engine.Histogram.equiWidth2d(
+        t(s, d, "lineitem"), "l_quantity", "l_extendedprice", 10, 8)
+        .orderBy("bx", "by")),
+
+    // --- mutual information between categoricals: contingency from
+    // one narrow agg, MI assembled on the distinct-pair frame ---
+    "q102_mutual_info" -> ((s, d) =>
+      Drift.mutualInformation(t(s, d, "orders"),
+        col("o_orderstatus"), col("o_orderpriority"))),
+
+    // --- per-group linear trend: algebraic regr aggregates, one
+    // map-side-combined scan ---
+    "q103_trend" -> ((s, d) =>
+      graft.engine.Profiler.groupedTrend(
+        t(s, d, "events").filter(col("ts").isNotNull), "event_type",
+        (unix_timestamp(col("ts")) -
+          unix_timestamp(to_timestamp(lit("2024-01-01 00:00:00"))))
+          .cast("double") / 86400.0,
+        col("value"))
+        .orderBy("key")),
+
     // --- language confusion matrix: declared metadata vs detected
     // langId — the metadata-QA op; ≤|langs|² frame after one scan ---
     "q100_lang_confusion" -> ((s, d) => {
@@ -1431,6 +1455,41 @@ object SparkEntry {
           |  coalesce(b.n, 0) AS n,
           |  coalesce(b.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
           |FROM spine LEFT JOIN b ON spine.s = b.h ORDER BY bucket""".stripMargin,
+
+      "q101_hist2d" ->
+        """WITH r AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+          |    CAST(l_extendedprice AS DOUBLE) AS y
+          |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+          |e AS (SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi FROM r)
+          |SELECT CAST(CASE WHEN xhi = xlo THEN 0
+          |    ELSE least(floor((x - xlo) / ((xhi - xlo) / 10)), 9) END AS INT) AS bx,
+          |  CAST(CASE WHEN yhi = ylo THEN 0
+          |    ELSE least(floor((y - ylo) / ((yhi - ylo) / 8)), 7) END AS INT) AS by,
+          |  CAST(count(*) AS BIGINT) AS cnt
+          |FROM r CROSS JOIN e GROUP BY 1, 2 ORDER BY bx, by""".stripMargin,
+
+      "q102_mutual_info" ->
+        """WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+          |    CAST(count(*) AS BIGINT) AS o
+          |  FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+          |  GROUP BY 1, 2),
+          |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+          |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+          |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+          |SELECT t.n,
+          |  round(sum((CAST(o AS DOUBLE) / t.n) *
+          |    ln((CAST(o AS DOUBLE) * t.n) / (CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE)))), 6) AS mi
+          |FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN t
+          |GROUP BY t.n""".stripMargin,
+
+      "q103_trend" ->
+        """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n,
+          |  round(regr_slope(value, date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) / 86400.0), 6) AS slope,
+          |  round(regr_intercept(value, date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) / 86400.0), 6) AS intercept,
+          |  round(corr(value, date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) / 86400.0), 6) AS r
+          |FROM events
+          |WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+          |GROUP BY 1 ORDER BY key""".stripMargin,
 
       "q100_lang_confusion" -> {
         def sw(lang: String) = s"len(list_filter($toks, x -> list_contains(${dlist(stop(lang))}, x)))"

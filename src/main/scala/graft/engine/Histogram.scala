@@ -46,4 +46,33 @@ object Histogram {
       .groupBy("bucket")
       .agg(count(lit(1)).as("cnt"), min(col("v")).as("lo"), max(col("v")).as("hi"))
   }
+
+  /** 2-d equi-width histogram — heatmap prep, the two-column twin of
+    * the reference's histogram plot sink: `xBins`×`yBins` fixed-width
+    * cells over the observed extents, one count per non-empty cell.
+    * ONE extent aggregation broadcast back + one narrow (bx, by) count
+    * — every post-scan frame is ≤ xBins·yBins rows. Values at the
+    * upper edge clamp into the last bin (the identical least() rule on
+    * both engines); a degenerate extent (lo = hi) puts the column in
+    * bin 0. Null rows (either column) are dropped. */
+  def equiWidth2d(df: DataFrame, xCol: String, yCol: String,
+                  xBins: Int, yBins: Int): DataFrame = {
+    require(xBins >= 1 && yBins >= 1,
+      s"bins must be >= 1, got $xBins x $yBins")
+    val rows = df.select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val ext = rows.agg(
+      min("__x").as("__xlo"), max("__x").as("__xhi"),
+      min("__y").as("__ylo"), max("__y").as("__yhi"))
+    def bin(v: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+            hi: org.apache.spark.sql.Column, b: Int) =
+      when(hi === lo, lit(0))
+        .otherwise(least(floor((v - lo) / ((hi - lo) / b)).cast("int"),
+          lit(b - 1)))
+    rows.crossJoin(broadcast(ext))
+      .select(bin(col("__x"), col("__xlo"), col("__xhi"), xBins).as("bx"),
+        bin(col("__y"), col("__ylo"), col("__yhi"), yBins).as("by"))
+      .groupBy("bx", "by").agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -313,6 +313,23 @@ object Profiler {
       col("mn"), col("mx"))
   }
 
+  /** Per-group linear trend of `y` against `x` — OLS slope, intercept
+    * and Pearson r per key, the "is this metric drifting per segment"
+    * monitor. `regr_slope`/`regr_intercept`/`corr` are algebraic
+    * aggregates: ONE map-side-combined scan regardless of group count,
+    * shuffle carries per-group co-moment tuples only. Rounded to 6 dp
+    * (co-moment merge order differs between engines — last-ulp noise
+    * is expected). Rows with a null key, x, or y are excluded. */
+  def groupedTrend(df: DataFrame, keyCol: String,
+                   x: org.apache.spark.sql.Column,
+                   y: org.apache.spark.sql.Column): DataFrame =
+    df.filter(col(keyCol).isNotNull && x.isNotNull && y.isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"),
+        round(regr_slope(y.cast(DoubleType), x.cast(DoubleType)), 6).as("slope"),
+        round(regr_intercept(y.cast(DoubleType), x.cast(DoubleType)), 6).as("intercept"),
+        round(corr(y.cast(DoubleType), x.cast(DoubleType)), 6).as("r"))
+
   /** Pairwise Pearson correlations of `cols` in ONE aggregation pass
     * (long format: one row per unordered pair, i < j in the given
     * order). `corr` is an algebraic aggregate — k·(k−1)/2 pairs fuse

@@ -179,6 +179,33 @@ object Drift {
       .select(lit(n).as("n"), lit(dof).as("dof"), col("chi2"))
   }
 
+  /** Mutual information (nats) between two categorical columns — the
+    * information-theoretic dependence score feature selection and
+    * redundancy audits use where chi-square gives only a test
+    * statistic. Same physical shape as [[chiSquare]]: contingency
+    * counts from ONE narrow keyed agg (raw rows never leave the
+    * scan), marginals from two aggs over the tiny distinct-pair
+    * frame, MI = Σ p_ab·ln(p_ab·n² / (n_a·n_b·n)) assembled with
+    * broadcast joins. Output (1 row): (n, mi). */
+  def mutualInformation(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.cast("string").as("a"), b.cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+      .localCheckpoint() // feeds marginals + the MI sum
+    val rowTot = cells.groupBy("a").agg(sum("o").as("ra"))
+    val colTot = cells.groupBy("b").agg(sum("o").as("cb"))
+    val n = cells.agg(coalesce(sum("o"), lit(0L))).collect()(0).getLong(0)
+    val mi =
+      if (n == 0) lit(0.0)
+      else sum((col("o").cast("double") / n) *
+        log((col("o").cast("double") * n) /
+          (col("ra").cast("double") * col("cb").cast("double"))))
+    cells
+      .join(broadcast(rowTot), "a").join(broadcast(colTot), "b")
+      .agg(round(mi, 6).as("mi"))
+      .select(lit(n).as("n"), col("mi"))
+  }
+
   /** Functional-dependency / candidate-key profile for declared column
     * pairs: for each (det, dep), does det → dep hold, and how many
     * determinant values violate it? One narrow two-phase agg per pair

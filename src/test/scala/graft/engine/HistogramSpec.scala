@@ -52,4 +52,22 @@ class HistogramSpec extends SparkSpec {
     assert(one.length === 1)
     assert((one(0).getLong(1), one(0).getDouble(2), one(0).getDouble(3)) === ((3L, 1.0, 9.0)))
   }
+
+  test("2-d equi-width histogram: known cells, edge clamp, degenerate axis") {
+    // x in [0, 10], y in [0, 4]; 2x2 grid → cell width 5 and 2
+    val df = Seq(
+      (0.0, 0.0), (4.9, 1.9),   // cell (0,0)
+      (5.0, 0.0),               // cell (1,0)
+      (0.0, 2.0),               // cell (0,1)
+      (10.0, 4.0), (10.0, 4.0)) // upper edges clamp into (1,1)
+      .toDF("x", "y")
+    val got = Histogram.equiWidth2d(df, "x", "y", 2, 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === Map((0, 0) -> 2L, (1, 0) -> 1L, (0, 1) -> 1L, (1, 1) -> 2L))
+    // degenerate y extent: everything lands in by=0
+    val flat = Seq((1.0, 7.0), (2.0, 7.0)).toDF("x", "y")
+    val g2 = Histogram.equiWidth2d(flat, "x", "y", 2, 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(g2 === Map((0, 0) -> 1L, (1, 0) -> 1L))
+  }
 }

@@ -139,6 +139,20 @@ class ProfilerSpec extends SparkSpec {
     assert(d.epoch.min <= d.epoch.max)
   }
 
+  test("grouped trend recovers an exact linear relation per group") {
+    import spark.implicits._
+    // group a: y = 2x + 1 exactly; group b: y = -0.5x + 3 exactly
+    val rows = (0 until 50).flatMap { i =>
+      Seq(("a", i.toDouble, 2.0 * i + 1.0), ("b", i.toDouble, -0.5 * i + 3.0))
+    }
+    val got = Profiler.groupedTrend(rows.toDF("g", "x", "y"), "g",
+      col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("a") === ((50L, 2.0, 1.0, 1.0)))
+    assert(got("b") === ((50L, -0.5, 3.0, -1.0)))
+  }
+
   test("partial moments merge to the direct single-pass profile bit-for-bit") {
     import spark.implicits._
     // integral values → DECIMAL partials: merging must be EXACT, so

@@ -127,6 +127,19 @@ class DriftSpec extends SparkSpec {
     assert(r(1L) === Some(0.0) && r(2L) === None && r(3L) === None)
   }
 
+  test("mutual information: zero on independence, ln(k) on identity") {
+    // independent: every (a, b) pair equally likely → MI = 0
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q") }
+      yield (a, b)).toDF("a", "b")
+    val mi0 = Drift.mutualInformation(ind, col("a"), col("b")).collect()(0)
+    assert(mi0.getLong(0) === 4L)
+    assert(math.abs(mi0.getDouble(1)) < 1e-9)
+    // identical columns with 3 uniform levels → MI = H = ln(3)
+    val idc = Seq("u", "v", "w").map(s => (s, s)).toDF("a", "b")
+    val mi1 = Drift.mutualInformation(idc, col("a"), col("b")).collect()(0)
+    assert(math.abs(mi1.getDouble(1) - math.log(3.0)) < 1e-6)
+  }
+
   test("functionalDependencies: key FD holds, many-to-many violated") {
     val df = Seq(
       (1L, "alice", "gold"), (2L, "bob", "gold"),
