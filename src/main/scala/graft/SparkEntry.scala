@@ -1535,7 +1535,8 @@ object SparkEntry {
           |t AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM g),
           |c AS (SELECT v, sum(w) OVER (ORDER BY v) AS cum FROM g)
           |SELECT CAST(q AS DOUBLE) AS quantile,
-          |  CAST((SELECT min(v) FROM c, t WHERE cum >= ceil(CAST(q AS DOUBLE) * wt)) AS BIGINT) AS lag_s
+          |  CAST((SELECT min(v) FROM c, t
+          |    WHERE cum >= ceil(CAST(q AS DOUBLE) * wt - CAST(q AS DOUBLE) * wt * 1e-12)) AS BIGINT) AS lag_s
           |FROM (VALUES (0.5), (0.9), (0.99)) AS qs(q)
           |ORDER BY quantile""".stripMargin,
 
@@ -1549,7 +1550,8 @@ object SparkEntry {
           |t AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM g),
           |c AS (SELECT v, sum(w) OVER (ORDER BY v) AS cum FROM g)
           |SELECT CAST(q AS DOUBLE) AS quantile,
-          |  (SELECT min(v) FROM c, t WHERE cum >= ceil(CAST(q AS DOUBLE) * wt)) AS value
+          |  (SELECT min(v) FROM c, t
+          |   WHERE cum >= ceil(CAST(q AS DOUBLE) * wt - CAST(q AS DOUBLE) * wt * 1e-12)) AS value
           |FROM (VALUES (0.25), (0.5), (0.75), (0.9)) AS qs(q)
           |ORDER BY quantile""".stripMargin,
 
@@ -1576,7 +1578,7 @@ object SparkEntry {
       "q96_benford" ->
         """WITH src AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
           |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
-          |d AS (SELECT CAST(least(floor(v / pow(10.0, floor(log10(v)))), 9.0) AS INT) AS dg FROM src),
+          |d AS (SELECT CAST(least(greatest(floor(v / pow(10.0, floor(log10(v)))), 1.0), 9.0) AS INT) AS dg FROM src),
           |counted AS (SELECT dg, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
           |tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS t FROM counted),
           |digits AS (SELECT unnest(range(1, 10)) AS digit),

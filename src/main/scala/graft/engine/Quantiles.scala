@@ -160,7 +160,12 @@ object Quantiles {
     val cum = graft.ops.Prefix.runningTotals(g, Seq("__v"),
       Seq("__cum" -> col("__w")))
     val picks = qs.zipWithIndex.map { case (q, i) =>
-      min(when(col("__cum") >= lit(math.ceil(q * wTot).toLong), col("__v")))
+      // q·W in doubles can overshoot an exactly-reached boundary by one
+      // ulp (0.55·60e6 = 33000000.000000004 → ceil 33000001, skipping
+      // the true PERCENTILE_DISC pick); shave a relative epsilon before
+      // the ceil — the oracle applies the identical adjustment.
+      val x = q * wTot
+      min(when(col("__cum") >= lit(math.ceil(x - x * 1e-12).toLong), col("__v")))
         .as(s"__q$i")
     }
     val one = cum.agg(picks.head, picks.tail: _*)

@@ -343,16 +343,23 @@ object Dedup {
     // document frequency per shingle (the stream is per-doc distinct)
     val freq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // τ·|x| in doubles can overshoot an exactly-reached integer
+    // boundary by one ulp (0.55·100 = 55.000000000000007), which would
+    // shorten the prefix / trip the size filter and DROP a true
+    // exact-threshold pair. Shave a relative epsilon first — the
+    // relaxation only ever ADMITS extra candidates, and the exact
+    // verification prunes those; completeness is preserved.
+    def relaxed(x: Column): Column = x - x * lit(1e-12)
     val wRank = Window.partitionBy("id").orderBy(col("__df"), col("s"))
     val prefix = sh.join(freq, "s").join(sizes, "id")
       .withColumn("__rn", row_number().over(wRank))
       .filter(col("__rn") <=
-        col("sz") - ceil(lit(minJaccard) * col("sz")).cast("long") + 1)
+        col("sz") - ceil(relaxed(lit(minJaccard) * col("sz"))).cast("long") + 1)
       .select(col("id"), col("s"), col("sz"))
     val cand = prefix.as("l").join(prefix.as("r"),
         col("l.s") === col("r.s") && col("l.id") < col("r.id"))
-      .filter(lit(minJaccard) * col("r.sz") <= col("l.sz") &&
-        lit(minJaccard) * col("l.sz") <= col("r.sz"))
+      .filter(relaxed(lit(minJaccard) * col("r.sz")) <= col("l.sz") &&
+        relaxed(lit(minJaccard) * col("l.sz")) <= col("r.sz"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
     verifyExactJaccard(sh, cand, minJaccard)

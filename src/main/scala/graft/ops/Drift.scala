@@ -195,11 +195,13 @@ object Drift {
     val rowTot = cells.groupBy("a").agg(sum("o").as("ra"))
     val colTot = cells.groupBy("b").agg(sum("o").as("cb"))
     val n = cells.agg(coalesce(sum("o"), lit(0L))).collect()(0).getLong(0)
-    val mi =
-      if (n == 0) lit(0.0)
-      else sum((col("o").cast("double") / n) *
-        log((col("o").cast("double") * n) /
-          (col("ra").cast("double") * col("cb").cast("double"))))
+    // empty/all-null input: zero rows (matching the oracle's GROUP BY
+    // over an empty contingency frame), not a (0, 0.0) placeholder
+    if (n == 0)
+      return cells.select(lit(0L).as("n"), lit(0.0).as("mi")).limit(0)
+    val mi = sum((col("o").cast("double") / n) *
+      log((col("o").cast("double") * n) /
+        (col("ra").cast("double") * col("cb").cast("double"))))
     cells
       .join(broadcast(rowTot), "a").join(broadcast(colTot), "b")
       .agg(round(mi, 6).as("mi"))

@@ -117,10 +117,13 @@ object Expectations {
     // leading digit of the decimal rendering: first char of the value
     // scaled into [1, 10) — digit-extraction via math, not strings, so
     // both engines compute it identically: d = floor(v / 10^floor(log10 v)).
-    // The least(…, 9) clamp guards the v = 10^k edge, where a
-    // one-ulp-low log10 would scale v to exactly 10.0 and emit digit
-    // 10; the oracle applies the identical clamp.
-    val lead = least(floor(v / pow(lit(10.0), floor(log10(v)))), lit(9.0)).cast("int")
+    // The least/greatest clamps guard the 10^k edges: a one-ulp-low
+    // log10 would scale v to exactly 10.0 (digit 10), and a v one ulp
+    // BELOW a power of ten scales to 0.999… (digit 0, which would fall
+    // out of the 1..9 report while still counting in the total); the
+    // oracle applies the identical clamps.
+    val lead = least(greatest(floor(v / pow(lit(10.0), floor(log10(v)))),
+      lit(1.0)), lit(9.0)).cast("int")
     val counted = df.filter(v.isNotNull && v > 0)
       .select(lead.as("__d"))
       .groupBy("__d").agg(count(lit(1)).as("n"))

@@ -149,6 +149,18 @@ object Similarity {
     }
   }
 
+  /** Shared centroid source of the clustering family: the `k`
+    * lowest-id vectors (the deterministic, oracle-replayable seed) or
+    * `kmeansIterations` Lloyd rounds refining them — ONE definition so
+    * a change to the seeding rule can never leave ivfTopK and the
+    * semantic dedup computing different clusters. */
+  private def centroidsFor(corpus: DataFrame, cId: String, cVec: String,
+                           k: Int, kmeansIterations: Int): DataFrame =
+    if (kmeansIterations > 0)
+      kmeansCentroids(corpus, cId, cVec, k, kmeansIterations)
+    else corpus.orderBy(col(cId)).limit(k)
+      .select(col(cId).as("centroid_id"), col(cVec).as("cv"))
+
   /** Lloyd k-means over a vector column, pure DataFrame ops: seed
     * centroids = the `k` lowest-id vectors (deterministic), then
     * `iterations` rounds of assign-to-nearest (broadcast centroids, one
@@ -190,11 +202,7 @@ object Similarity {
               qId: String, qVec: String, cId: String, cVec: String,
               k: Int, nCentroids: Int = 16, nprobe: Int = 4,
               kmeansIterations: Int = 0): DataFrame = {
-    val centroids =
-      if (kmeansIterations > 0)
-        kmeansCentroids(corpus, cId, cVec, nCentroids, kmeansIterations)
-      else corpus.orderBy(col(cId)).limit(nCentroids)
-        .select(col(cId).as("centroid_id"), col(cVec).as("cv"))
+    val centroids = centroidsFor(corpus, cId, cVec, nCentroids, kmeansIterations)
     val assigned = assignToCentroid(corpus, cId, cVec, centroids, "centroid_id", "cv")
     // query → its nprobe nearest centroids
     val qProbes = {
@@ -415,11 +423,7 @@ object Similarity {
                          nClusters: Int, threshold: Double,
                          kmeansIterations: Int = 0): DataFrame = {
     val corpus = df.filter(col(vecCol).isNotNull)
-    val centroids =
-      if (kmeansIterations > 0)
-        kmeansCentroids(corpus, idCol, vecCol, nClusters, kmeansIterations)
-      else corpus.orderBy(col(idCol)).limit(nClusters)
-        .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+    val centroids = centroidsFor(corpus, idCol, vecCol, nClusters, kmeansIterations)
     val assigned = assignToCentroid(corpus, idCol, vecCol,
         centroids, "centroid_id", "cv")
       .select(col("centroid_id"), col("id"), col("vec"), col("vecnorm"))

@@ -77,6 +77,14 @@ class QuantilesSpec extends SparkSpec {
       data.toDF("v", "w"), "v", "w", qs)
       .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     assert(got === want)
+    // exact cumulative boundary at the fp-overshoot point: 60 unit
+    // weights, q = 0.55 → q·W = 33000000.000000004 in fixed-point
+    // doubles; PERCENTILE_DISC must still pick the 33rd value
+    // (regression: unguarded ceil skipped to the 34th)
+    val sixty = (1 to 60).map(i => (i.toDouble, 1.0)).toDF("v", "w")
+    val b = Quantiles.weightedExact(sixty, "v", "w", Seq(0.55))
+      .collect()(0).getDouble(1)
+    assert(b === 33.0)
     // fractional weights at 1e-6 resolution: 0.5/1.5 weights
     val frac = Seq((1.0, 0.5), (2.0, 1.5)).toDF("v", "w")
     val m = Quantiles.weightedExact(frac, "v", "w", Seq(0.25, 0.26, 1.0))

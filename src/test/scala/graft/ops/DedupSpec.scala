@@ -67,6 +67,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix jaccard: exact-threshold pair survives the one-ulp tau*size overshoot") {
+    // doc 1 = 55-token subset of doc 2's 100 tokens → J = 55/100 = 0.55
+    // exactly. With tau = 0.55, tau·100 = 55.000000000000007 in
+    // doubles: an unguarded ceil/size-ratio filter drops the pair
+    // (regression: caught by review, fixed with the relative-epsilon
+    // relaxation — candidates only widen, the exact verify still gates)
+    val toksB = (0 until 100).map(i => f"tok$i%03d")
+    val df = Seq(
+      (1L, toksB.take(55).mkString(" ")),
+      (2L, toksB.mkString(" "))).toDF("id", "text")
+    val brute = Dedup.jaccardPairs(df, "id", "text", k = 1, minJaccard = 0.55)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute === Set((1L, 2L)))
+    val pref = Dedup.jaccardJoinPrefix(df, "id", "text", minJaccard = 0.55, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pref === brute)
+  }
+
   test("prefix-filtered jaccard join: planted near-dup corpus parity") {
     // 10 base docs × 4 variants with growing tail perturbations: plenty
     // of pairs straddling the threshold in both directions
