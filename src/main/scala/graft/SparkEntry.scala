@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.{Detector, DetectorConfig, Histogram, Profiler}
-import graft.ops.{Corpus, Curation, Dedup, Drift, Expectations, Frequent, Graph, Layout, Multimodal, Prefix, Sampling, Similarity, Snapshot, Temporal, TextAnalysis}
+import graft.ops.{Corpus, Curation, Dedup, Drift, Expectations, Frequent, Graph, Layout, Multimodal, Prefix, Sampling, Similarity, Skew, Snapshot, Temporal, TextAnalysis}
 
 /** Driver contract: every deterministic operator of the engine is
   * registered here as a (SparkSession, sfDir) => DataFrame query with a
@@ -333,6 +333,28 @@ object SparkEntry {
         unit = "day")
         .withColumnRenamed("cum_keys", "cum_users")
         .orderBy("bucket")),
+
+    // --- salted skew join: result-invariant vs the plain join (the
+    // oracle computes the plain join — identical output proves it) ---
+    "q104_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_suppkey").as("suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      val sup = t(s, d, "supplier").select(
+        col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(li, sup, "suppkey", saltFactor = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .cast("double"), 6).as("revenue"))
+        .orderBy("s_nationkey")
+    }),
+
+    // --- hot-key diagnostic: top-N key shares, deterministic cut ---
+    "q105_skew_report" -> ((s, d) =>
+      Skew.keySkewReport(
+        t(s, d, "events").filter(col("user_id").isNotNull), "user_id", 10)),
 
     // --- 2-d equi-width histogram (heatmap prep): one extent agg +
     // one (bx,by) count; frames bounded by the cell grid ---
@@ -1455,6 +1477,20 @@ object SparkEntry {
           |  coalesce(b.n, 0) AS n,
           |  coalesce(b.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
           |FROM spine LEFT JOIN b ON spine.s = b.h ORDER BY bucket""".stripMargin,
+
+      "q104_salted_join" ->
+        """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+          |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+
+      "q105_skew_report" ->
+        """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+          |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c)
+          |SELECT user_id, cnt, round(CAST(cnt AS DOUBLE) / tot, 6) AS share
+          |FROM c CROSS JOIN t
+          |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
 
       "q101_hist2d" ->
         """WITH r AS (SELECT CAST(l_quantity AS DOUBLE) AS x,

@@ -36,7 +36,10 @@ object Skew {
     counts.crossJoin(broadcast(total))
       .withColumn("share", round(col("cnt") / col("__total"), 6))
       .drop("__total")
-      .orderBy(desc("cnt"))
+      // key tie-break: equal counts are common (uniform fixtures), and
+      // an undetermined top-N cut would differ run-to-run and engine-
+      // to-engine
+      .orderBy(desc("cnt"), col(key))
       .limit(topN)
   }
 }
