@@ -334,6 +334,34 @@ object SparkEntry {
         .withColumnRenamed("cum_keys", "cum_users")
         .orderBy("bucket")),
 
+    // --- real audio-codec check, oracle-replayable like q31: md5-text
+    // metadata serialized into ACTUAL RIFF/WAVE headers, parsed back by
+    // the real byte-level reader; the oracle computes the same
+    // channels/rate/duration arithmetic without seeing the bytes.
+    // Rates are multiples of 8 kHz so byteRate·durMs/1000 is exact and
+    // the declared duration round-trips to the millisecond ---
+    "q106_multimodal_audio" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val fix = udf { (text: String) =>
+        val dg = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        def u(i: Int) = dg(i) & 0xff
+        val rate = Array(8000, 16000, 32000, 48000)(u(0) % 4)
+        val channels = 1 + (u(1) % 2)
+        val durMs = 500L + (u(2) * 256L + u(3)) % 60000L
+        val byteRate = rate.toLong * channels * 2
+        Multimodal.wavFixture(channels, rate, byteRate * durMs / 1000L)
+      }
+      val withP = docs.select(col("doc_id"), fix(col("text")).as("payload"))
+      Multimodal.decode(withP, "payload")
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          col("decoded.channels").as("channels"),
+          col("decoded.sample_rate").as("sample_rate"),
+          col("decoded.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     // --- salted skew join: result-invariant vs the plain join (the
     // oracle computes the plain join — identical output proves it) ---
     "q104_salted_join" -> ((s, d) => {
@@ -1477,6 +1505,15 @@ object SparkEntry {
           |  coalesce(b.n, 0) AS n,
           |  coalesce(b.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
           |FROM spine LEFT JOIN b ON spine.s = b.h ORDER BY bucket""".stripMargin,
+
+      "q106_multimodal_audio" ->
+        s"""SELECT doc_id, CAST(44 AS BIGINT) AS n_bytes,
+           |  CAST(1 + ((${hd(3)} * 16 + ${hd(4)}) % 2) AS INT) AS channels,
+           |  CAST(CASE ((${hd(1)} * 16 + ${hd(2)}) % 4)
+           |    WHEN 0 THEN 8000 WHEN 1 THEN 16000
+           |    WHEN 2 THEN 32000 ELSE 48000 END AS INT) AS sample_rate,
+           |  CAST(500 + ((${hd(5)} * 16 + ${hd(6)}) * 256 + (${hd(7)} * 16 + ${hd(8)})) % 60000 AS BIGINT) AS duration_ms
+           |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
 
       "q104_salted_join" ->
         """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,

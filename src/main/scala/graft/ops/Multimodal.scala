@@ -128,10 +128,70 @@ object Multimodal {
       (width >>> 8) & 0xff, width & 0xff,
       0x01, 0x01, 0x11, 0x00, 0xff, 0xd9).map(_.toByte)
 
+  /** Parse audio metadata from a REAL RIFF/WAVE header — the public
+    * byte layout: "RIFF" + LE chunk size + "WAVE", then a word-aligned
+    * subchunk walk; the "fmt " subchunk carries channels (LE u16 at
+    * +10), sample rate (LE u32 at +12) and byte rate (LE u32 at +16),
+    * and the "data" subchunk's declared size over the byte rate gives
+    * the duration. Returns (mime, channels, sampleRate, durationMs);
+    * None for anything that is not a recognizable PCM WAV — callers
+    * fall back to [[stubDecode]]. A header reader, not a verifier: the
+    * sample body is never touched (and may be absent/truncated). */
+  def parseWavHeader(p: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    if (p == null || p.length < 44) return None
+    def u(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16)).toLong | (u(i + 3).toLong << 24)
+    if (!(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
+    var i = 12
+    var channels = -1; var rate = -1L; var byteRate = -1L; var dataBytes = -1L
+    while (i + 8 <= p.length && (channels < 0 || dataBytes < 0)) {
+      val tag = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = le32(i + 4)
+      if (tag == "fmt " && sz >= 16 && i + 8 + 16 <= p.length) {
+        if (le16(i + 8) != 1) return None // PCM only
+        channels = le16(i + 10)
+        rate = le32(i + 12)
+        byteRate = le32(i + 16)
+      } else if (tag == "data") {
+        dataBytes = sz
+      }
+      // subchunks are word-aligned; a size that walks past the array is
+      // fine for "data" (header-only payloads declare their body), but
+      // ends the walk
+      i += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (channels <= 0 || rate <= 0 || byteRate <= 0 || dataBytes < 0) None
+    else Some(("audio/wav", channels, rate.toInt, dataBytes * 1000L / byteRate))
+  }
+
+  /** Minimal canonical 44-byte PCM WAV header declaring `dataBytes` of
+    * 16-bit samples (body omitted — [[parseWavHeader]] never reads it)
+    * — the audio twin of [[pngFixture]]/[[jpegFixture]]. */
+  def wavFixture(channels: Int, sampleRate: Int, dataBytes: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(44)
+    def ascii(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+      out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+    }
+    val byteRate = sampleRate.toLong * channels * 2
+    ascii("RIFF"); le32(36L + dataBytes); ascii("WAVE")
+    ascii("fmt "); le32(16L); le16(1); le16(channels)
+    le32(sampleRate.toLong); le32(byteRate); le16(channels * 2); le16(16)
+    ascii("data"); le32(dataBytes)
+    out.toByteArray
+  }
+
   /** Deterministic fake decode of a payload: width/height/duration are
     * functions of the md5 digest — STAND-IN for the codecs this
-    * container genuinely lacks (audio/video). The real-image path is
-    * [[parseImageHeader]]; [[decode]] composes the two. */
+    * container genuinely lacks (video). The real-image path is
+    * [[parseImageHeader]], the real-audio path [[parseWavHeader]];
+    * [[decode]] composes the three. */
   def stubDecode(payload: Array[Byte]): (Int, Int, Long) = {
     if (payload == null || payload.isEmpty) return (0, 0, 0L)
     val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
@@ -144,15 +204,19 @@ object Multimodal {
 
   /** Batch decode pass over `mapPartitions` — payloads streamed, output
     * schema fixed. Recognized image headers (PNG/JPEG) parse for REAL
-    * via [[parseImageHeader]] (duration_ms is null — images have none);
-    * everything else falls back to the deterministic [[stubDecode]]
-    * stand-in. This remains the slot where further codecs (audio
-    * containers, video demuxers) drop in per partition. */
+    * via [[parseImageHeader]] (duration/channels/rate null — images
+    * have none); recognized PCM WAV headers parse for REAL via
+    * [[parseWavHeader]] (width/height null); everything else falls
+    * back to the deterministic [[stubDecode]] stand-in. This remains
+    * the slot where further codecs (video demuxers) drop in per
+    * partition. */
   def decode(df: DataFrame, binCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("decoded", StructType(Seq(
         StructField("width", IntegerType), StructField("height", IntegerType),
-        StructField("duration_ms", LongType)))))
+        StructField("duration_ms", LongType),
+        StructField("channels", IntegerType),
+        StructField("sample_rate", IntegerType)))))
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = Encoders.row(outSchema)
     df.mapPartitions { it =>
@@ -160,10 +224,13 @@ object Multimodal {
       it.map { r =>
         val payload = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
         val dec = parseImageHeader(payload) match {
-          case Some((_, w, h)) => Row(w, h, null)
-          case None =>
-            val (w, h, dur) = stubDecode(payload)
-            Row(w, h, dur)
+          case Some((_, w, h)) => Row(w, h, null, null, null)
+          case None => parseWavHeader(payload) match {
+            case Some((_, ch, rate, dur)) => Row(null, null, dur, ch, rate)
+            case None =>
+              val (w, h, dur) = stubDecode(payload)
+              Row(w, h, dur, null, null)
+          }
         }
         Row.fromSeq(r.toSeq :+ dec)
       }

@@ -95,6 +95,39 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L) === ((sw, sh, Some(sd)))) // stub fallback
   }
 
+  test("wav header: fixture round-trips, durations exact, garbage rejected") {
+    // 2ch 16 kHz, 3.5 s → dataBytes = 64000 * 3.5 = 224000
+    val wav = Multimodal.wavFixture(2, 16000, 224000L)
+    assert(wav.length === 44)
+    assert(Multimodal.parseWavHeader(wav) === Some(("audio/wav", 2, 16000, 3500L)))
+    // 1ch 8 kHz, 1 ms resolution
+    assert(Multimodal.parseWavHeader(Multimodal.wavFixture(1, 8000, 16L)) ===
+      Some(("audio/wav", 1, 8000, 1L)))
+    // not RIFF / truncated / non-PCM → None (falls to stub in decode)
+    assert(Multimodal.parseWavHeader("RIFFnope".getBytes("UTF-8")) === None)
+    assert(Multimodal.parseWavHeader(wav.take(43)) === None)
+    val nonPcm = wav.clone(); nonPcm(20) = 3 // IEEE-float format tag
+    assert(Multimodal.parseWavHeader(nonPcm) === None)
+  }
+
+  test("decode routes wav payloads through the real audio parser") {
+    val rows = Seq(
+      (1L, Multimodal.wavFixture(1, 48000, 96000L * 2)), // 2 s mono 48 kHz
+      (2L, Multimodal.pngFixture(10, 20)),
+      (3L, "neither".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val got = Multimodal.decode(rows, "payload")
+      .select(col("id"), col("decoded.duration_ms"), col("decoded.channels"),
+        col("decoded.sample_rate"), col("decoded.width"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(got(1L) === ((Some(2000L), Some(1), Some(48000), None)))
+    assert(got(2L)._4 === Some(10))          // image path untouched
+    assert(got(2L)._2 === None)              // no channels for images
+    assert(got(3L)._2 === None)              // stub: no channels either
+    assert(got(3L)._1.isDefined)             // stub fills a duration
+  }
+
   test("stubDecode matches the JVM-side ground truth of the oracle formula") {
     val (w, h, d) = Multimodal.stubDecode("hello".getBytes("UTF-8"))
     val digest = java.security.MessageDigest.getInstance("MD5").digest("hello".getBytes("UTF-8"))
