@@ -334,6 +334,12 @@ object SparkEntry {
         .withColumnRenamed("cum_keys", "cum_users")
         .orderBy("bucket")),
 
+    // --- audience overlap: Jaccard of item audiences over the same
+    // bounded presence/pair shapes as the co-occurrence matrix ---
+    "q107_audience_overlap" -> ((s, d) =>
+      Frequent.audienceOverlap(t(s, d, "events"), "user_id", "event_type")
+        .orderBy("item_a", "item_b")),
+
     // --- real audio-codec check, oracle-replayable like q31: md5-text
     // metadata serialized into ACTUAL RIFF/WAVE headers, parsed back by
     // the real byte-level reader; the oracle computes the same
@@ -1505,6 +1511,17 @@ object SparkEntry {
           |  coalesce(b.n, 0) AS n,
           |  coalesce(b.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
           |FROM spine LEFT JOIN b ON spine.s = b.h ORDER BY bucket""".stripMargin,
+
+      "q107_audience_overlap" ->
+        """WITH a AS (SELECT DISTINCT user_id AS k, event_type AS i FROM events
+          |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+          |sz AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1),
+          |p AS (SELECT l.i AS item_a, r.i AS item_b, CAST(count(*) AS BIGINT) AS n_keys
+          |      FROM a l JOIN a r ON l.k = r.k AND l.i < r.i GROUP BY 1, 2)
+          |SELECT p.item_a, p.item_b, p.n_keys, sa.n AS n_a, sb.n AS n_b,
+          |  round(CAST(p.n_keys AS DOUBLE) / (sa.n + sb.n - p.n_keys), 6) AS jaccard
+          |FROM p JOIN sz sa ON sa.i = p.item_a JOIN sz sb ON sb.i = p.item_b
+          |ORDER BY item_a, item_b""".stripMargin,
 
       "q106_multimodal_audio" ->
         s"""SELECT doc_id, CAST(44 AS BIGINT) AS n_bytes,

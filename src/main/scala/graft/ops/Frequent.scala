@@ -106,14 +106,40 @@ object Frequent {
     * result frame is at most |items|²/2 rows. Keys with one item
     * produce nothing; null keys/items are excluded. */
   def coOccurrence(df: DataFrame, keyCol: String, itemCol: String): DataFrame = {
-    val a = df
-      .filter(col(keyCol).isNotNull && col(itemCol).isNotNull)
+    val a = presence(df, keyCol, itemCol)
+    pairCounts(a)
+  }
+
+  /** Audience overlap matrix: for each unordered item pair, the
+    * JACCARD of their key audiences — |keys(a)∩keys(b)| /
+    * |keys(a)∪keys(b)| — plus the raw counts ("what fraction of either
+    * event's users do both"). Same bounded shapes as [[coOccurrence]]
+    * (whose intersection counts it reuses) with two broadcast joins
+    * against the |items|-row audience sizes. */
+  def audienceOverlap(df: DataFrame, keyCol: String, itemCol: String): DataFrame = {
+    val a = presence(df, keyCol, itemCol)
+    val sizes = a.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    pairCounts(a)
+      .join(broadcast(sizes.select(col("__i").as("item_a"), col("__n").as("n_a"))), "item_a")
+      .join(broadcast(sizes.select(col("__i").as("item_b"), col("__n").as("n_b"))), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_keys"), col("n_a"), col("n_b"),
+        round(col("n_keys").cast("double") /
+          (col("n_a") + col("n_b") - col("n_keys")), 6).as("jaccard"))
+  }
+
+  /** Distinct (key, item) presence rows — raw event volume collapses at
+    * the scan; localCheckpointed because every caller reads it ≥ 2×. */
+  private def presence(df: DataFrame, keyCol: String, itemCol: String): DataFrame =
+    df.filter(col(keyCol).isNotNull && col(itemCol).isNotNull)
       .select(col(keyCol).as("__k"), col(itemCol).as("__i"))
       .distinct()
-      .localCheckpoint() // both sides of the pair join read it
+      .localCheckpoint()
+
+  /** Per-key pair join over presence rows: fan-out bounded by the
+    * per-key item vocabulary, result ≤ |items|²/2 rows. */
+  private def pairCounts(a: DataFrame): DataFrame =
     a.as("l").join(a.as("r"),
         col("l.__k") === col("r.__k") && col("l.__i") < col("r.__i"))
       .groupBy(col("l.__i").as("item_a"), col("r.__i").as("item_b"))
       .agg(count(lit(1)).as("n_keys"))
-  }
 }

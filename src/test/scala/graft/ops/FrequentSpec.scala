@@ -84,4 +84,22 @@ class FrequentSpec extends SparkSpec {
       ("buy", "share") -> 2L,    // users 2, 4
       ("share", "view") -> 1L))  // user 2
   }
+
+  test("audienceOverlap: jaccard of audiences with exact sizes") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view"), (1L, "buy"),
+      (2L, "view"), (2L, "buy"), (2L, "share"),
+      (3L, "view"),
+      (4L, "buy"), (4L, "share")).toDF("u", "t")
+    val got = Frequent.audienceOverlap(ev, "u", "t")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // view={1,2,3}, buy={1,2,4}, share={2,4}
+    assert(got(("buy", "view")) === ((2L, 3L, 3L, 0.5)))      // 2/(3+3-2)
+    assert(got(("buy", "share")) === ((2L, 3L, 2L, round6(2.0 / 3))))
+    assert(got(("share", "view")) === ((1L, 2L, 3L, 0.25)))   // 1/(2+3-1)
+  }
+
+  private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
 }
