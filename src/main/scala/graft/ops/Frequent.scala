@@ -104,22 +104,38 @@ object Frequent {
     * keyed ONLY on the key, so its fan-out is |items-per-key|² —
     * bounded by the item vocabulary, not the event count — and the
     * result frame is at most |items|²/2 rows. Keys with one item
-    * produce nothing; null keys/items are excluded. */
-  def coOccurrence(df: DataFrame, keyCol: String, itemCol: String): DataFrame = {
-    val a = presence(df, keyCol, itemCol)
-    pairCounts(a)
+    * produce nothing; null keys/items are excluded.
+    *
+    * Heavy-key safety: when any key's item set exceeds
+    * `heavyKeyItemBound`, pair generation switches to the
+    * block-split route ([[pairCountsBlocked]]) — identical results,
+    * but no task ever materializes more than `blockSize²` pairs.
+    * `maxItemsPerKey`, when set, FIRST caps each key's item set to its
+    * M globally-most-frequent items (documented semantics change, the
+    * [[graft.text.Vocab]]-cap pattern) — for corpora whose per-key
+    * vocabularies are unboundedly fat even for legitimate keys. */
+  def coOccurrence(df: DataFrame, keyCol: String, itemCol: String,
+                   heavyKeyItemBound: Option[Long] = Some(4096L),
+                   blockSize: Int = 1024,
+                   maxItemsPerKey: Option[Int] = None): DataFrame = {
+    val a = presence(df, keyCol, itemCol, maxItemsPerKey)
+    pairCounts(a, heavyKeyItemBound, blockSize)
   }
 
   /** Audience overlap matrix: for each unordered item pair, the
     * JACCARD of their key audiences — |keys(a)∩keys(b)| /
     * |keys(a)∪keys(b)| — plus the raw counts ("what fraction of either
     * event's users do both"). Same bounded shapes as [[coOccurrence]]
-    * (whose intersection counts it reuses) with two broadcast joins
-    * against the |items|-row audience sizes. */
-  def audienceOverlap(df: DataFrame, keyCol: String, itemCol: String): DataFrame = {
-    val a = presence(df, keyCol, itemCol)
+    * (whose intersection counts it reuses, including the heavy-key
+    * block route) with two broadcast joins against the |items|-row
+    * audience sizes. */
+  def audienceOverlap(df: DataFrame, keyCol: String, itemCol: String,
+                      heavyKeyItemBound: Option[Long] = Some(4096L),
+                      blockSize: Int = 1024,
+                      maxItemsPerKey: Option[Int] = None): DataFrame = {
+    val a = presence(df, keyCol, itemCol, maxItemsPerKey)
     val sizes = a.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
-    pairCounts(a)
+    pairCounts(a, heavyKeyItemBound, blockSize)
       .join(broadcast(sizes.select(col("__i").as("item_a"), col("__n").as("n_a"))), "item_a")
       .join(broadcast(sizes.select(col("__i").as("item_b"), col("__n").as("n_b"))), "item_b")
       .select(col("item_a"), col("item_b"), col("n_keys"), col("n_a"), col("n_b"),
@@ -128,18 +144,106 @@ object Frequent {
   }
 
   /** Distinct (key, item) presence rows — raw event volume collapses at
-    * the scan; localCheckpointed because every caller reads it ≥ 2×. */
-  private def presence(df: DataFrame, keyCol: String, itemCol: String): DataFrame =
-    df.filter(col(keyCol).isNotNull && col(itemCol).isNotNull)
+    * the scan; localCheckpointed because every caller reads it ≥ 2×.
+    * `maxItemsPerKey` keeps, per key, only the M items with the highest
+    * GLOBAL presence count (ties toward the smaller item value, so the
+    * cap is deterministic and oracle-replayable). */
+  private def presence(df: DataFrame, keyCol: String, itemCol: String,
+                       maxItemsPerKey: Option[Int] = None): DataFrame = {
+    val a = df.filter(col(keyCol).isNotNull && col(itemCol).isNotNull)
       .select(col(keyCol).as("__k"), col(itemCol).as("__i"))
       .distinct()
-      .localCheckpoint()
+    val capped = maxItemsPerKey match {
+      case None => a
+      case Some(m) =>
+        require(m > 0, s"maxItemsPerKey must be > 0, got $m")
+        // global item frequencies are |items|-bounded; ranking within a
+        // key sorts |items-per-key| ROWS per task (linear, safe) — it is
+        // the PAIR space, not the row count, that the block route bounds
+        val freq = a.groupBy("__i").agg(count(lit(1)).as("__f"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("__k").orderBy(col("__f").desc, col("__i").asc)
+        a.join(freq, "__i")
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= m)
+          .select(col("__k"), col("__i"))
+    }
+    capped.localCheckpoint()
+  }
 
   /** Per-key pair join over presence rows: fan-out bounded by the
-    * per-key item vocabulary, result ≤ |items|²/2 rows. */
-  private def pairCounts(a: DataFrame): DataFrame =
-    a.as("l").join(a.as("r"),
-        col("l.__k") === col("r.__k") && col("l.__i") < col("r.__i"))
-      .groupBy(col("l.__i").as("item_a"), col("r.__i").as("item_b"))
+    * per-key item vocabulary, result ≤ |items|²/2 rows.
+    *
+    * The plain self-join puts ALL of one key's pairs in the task that
+    * owns that key's join partition — Σ|items(k)|²/2 intermediate rows,
+    * a straggler/OOM when one bot/service key touches 10⁵ items. When
+    * `heavyKeyItemBound` is set and any key exceeds it (one cheap keyed
+    * count over the checkpointed presence rows decides), the
+    * block-split route runs instead; results are identical either way,
+    * so the oracle replays both. */
+  private def pairCounts(a: DataFrame,
+                         heavyKeyItemBound: Option[Long] = None,
+                         blockSize: Int = 1024): DataFrame = {
+    val useBlocks = heavyKeyItemBound.exists { bound =>
+      val m = a.groupBy("__k").count().agg(max("count")).head()
+      !m.isNullAt(0) && m.getLong(0) > bound
+    }
+    if (useBlocks) pairCountsBlocked(a, blockSize)
+    else
+      a.as("l").join(a.as("r"),
+          col("l.__k") === col("r.__k") && col("l.__i") < col("r.__i"))
+        .groupBy(col("l.__i").as("item_a"), col("r.__i").as("item_b"))
+        .agg(count(lit(1)).as("n_keys"))
+  }
+
+  /** Heavy-key pair generation: within each key, items are ranked (one
+    * |items-per-key|-row sort task per key — LINEAR in the key's
+    * vocabulary, unlike the quadratic pair space) and cut into blocks
+    * of `blockSize`; each side replicates to the (blockA, blockB) cells
+    * it participates in and the join key becomes (key, blockA, blockB),
+    * so a key with m items spreads its m²/2 pairs over ~(m/B)²/2
+    * independently-partitioned cells of ≤ B² pairs each. Blocks follow
+    * item order, so cross-block cells satisfy itemA < itemB by
+    * construction; the strict filter only bites inside diagonal cells.
+    * Replicated row volume is m²/B per key — the price of never
+    * funneling a hot key through one task. */
+  private def pairCountsBlocked(a: DataFrame, blockSize: Int): DataFrame =
+    blockedPairs(a, blockSize)
+      .groupBy(col("__ia").as("item_a"), col("__ib").as("item_b"))
       .agg(count(lit(1)).as("n_keys"))
+
+  /** The pre-aggregation pair stream of the block route — exposed
+    * within graft so the skew spec can measure per-partition pair
+    * materialization directly. */
+  private[graft] def blockedPairs(a: DataFrame, blockSize: Int): DataFrame = {
+    require(blockSize > 0, s"blockSize must be > 0, got $blockSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy("__i")
+    val blocked = a
+      .withColumn("__b", ((row_number().over(w) - 1) / blockSize).cast("int"))
+      .withColumn("__nb",
+        max(col("__b")).over(org.apache.spark.sql.expressions.Window.partitionBy("__k")))
+      .localCheckpoint() // both sides re-read this; never rank twice
+    // Hash-partition BOTH sides by the cell key with an explicit count:
+    // the spreading must survive the planner's join choice (a broadcast
+    // join materializes each cell's pairs in whatever task streams it)
+    // and AQE's small-input coalescing — an implicit repartition could
+    // be folded back to one task on a skewed test corpus.
+    val nParts = blocked.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val lhs = blocked
+      .withColumn("__bb", explode(sequence(col("__b"), col("__nb"))))
+      .select(col("__k"), col("__i").as("__ia"), col("__b").as("__ba"), col("__bb"))
+      .repartition(nParts, col("__k"), col("__ba"), col("__bb"))
+    val rhs = blocked
+      .withColumn("__ba", explode(sequence(lit(0), col("__b"))))
+      .select(col("__k"), col("__i").as("__ib"), col("__ba"), col("__b").as("__bb"))
+      .repartition(nParts, col("__k"), col("__ba"), col("__bb"))
+    lhs.join(rhs, Seq("__k", "__ba", "__bb"))
+      .filter(col("__ia") < col("__ib"))
+  }
+
+  /** Presence rows for spec/probe use (same shape pairCounts consumes). */
+  private[graft] def presenceRows(df: DataFrame, keyCol: String, itemCol: String,
+                                  maxItemsPerKey: Option[Int] = None): DataFrame =
+    presence(df, keyCol, itemCol, maxItemsPerKey)
 }

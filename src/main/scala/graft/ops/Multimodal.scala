@@ -160,10 +160,13 @@ object Multimodal {
       }
       // subchunks are word-aligned; a size that walks past the array is
       // fine for "data" (header-only payloads declare their body), but
-      // ends the walk
-      i += 8 + sz.toInt + (sz.toInt & 1)
+      // ends the walk. Advance in Long: a malformed u32 size near 2^32
+      // must terminate the walk, not truncate to a zero/negative step.
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      if (next <= i || next > Int.MaxValue) i = p.length else i = next.toInt
     }
-    if (channels <= 0 || rate <= 0 || byteRate <= 0 || dataBytes < 0) None
+    if (channels <= 0 || channels > 65535 || rate <= 0 || rate > Int.MaxValue ||
+        byteRate <= 0 || byteRate > Int.MaxValue || dataBytes < 0) None
     else Some(("audio/wav", channels, rate.toInt, dataBytes * 1000L / byteRate))
   }
 

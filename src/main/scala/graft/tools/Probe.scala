@@ -299,6 +299,42 @@ object Probe {
             "embedding", 16 * m, 0.99, kmeansIterations = 2).count())
       }
     }
+    names.filter(_ == "pairs-scalelaw").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val events = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("user_id"), col("event_type"))
+      // growing corpus with a power-law head: copy-set m shifts user ids
+      // (audience grows with the data) and ONE bot key touches 500·m
+      // distinct items — the straggler shape the block route exists for.
+      // Pair volume for the hot key alone is (500·m)²/2, so plain-route
+      // time concentrates in one task while the blocked route spreads
+      // cells of ≤ blockSize² pairs.
+      def at(mult: Int): org.apache.spark.sql.DataFrame = {
+        val base = (0 until mult).map { m =>
+          events.withColumn("user_id", col("user_id") + lit(m * 10000000L))
+        }.reduce(_ unionByName _)
+        val hot = spark.range(500L * mult).select(lit(-1L).as("user_id"),
+          concat(lit("syn_item_"), col("id")).as("event_type"))
+        base.unionByName(hot)
+      }
+      graft.ops.Frequent.coOccurrence(at(1), "user_id", "event_type",
+        heavyKeyItemBound = Some(100L), blockSize = 256).count() // warmup
+      Seq(1, 4, 10).foreach { m =>
+        val df = at(m)
+        val t0 = System.nanoTime()
+        val nb = graft.ops.Frequent.coOccurrence(df, "user_id", "event_type",
+          heavyKeyItemBound = Some(100L), blockSize = 256).count()
+        println(f"PAIRS-SCALELAW blocked x$m: ${(System.nanoTime() - t0) / 1e9}%.1f s ($nb pairs)")
+        val t1 = System.nanoTime()
+        val np = graft.ops.Frequent.coOccurrence(df, "user_id", "event_type",
+          heavyKeyItemBound = None).count()
+        println(f"PAIRS-SCALELAW plain   x$m: ${(System.nanoTime() - t1) / 1e9}%.1f s ($np pairs)")
+        val pp = graft.ops.Frequent.blockedPairs(
+          graft.ops.Frequent.presenceRows(df, "user_id", "event_type"), 256)
+          .rdd.mapPartitions(it => Iterator(it.size.toLong)).collect()
+        println(s"PAIRS-SCALELAW maxtask x$m: ${pp.max} of ${pp.sum} pairs in the largest task")
+      }
+    }
     names.filter(_ == "zorder").foreach { _ =>
       import org.apache.spark.sql.functions._
       val dims = spark.read.parquet(s"$sfDir/events.parquet")

@@ -101,5 +101,63 @@ class FrequentSpec extends SparkSpec {
     assert(got(("share", "view")) === ((1L, 2L, 3L, 0.25)))   // 1/(2+3-1)
   }
 
+  test("coOccurrence: block route matches the plain self-join under 50% skew") {
+    // one bot key holds 400 items (50%+ of presence rows); normal keys 2-3
+    val rnd = new scala.util.Random(11)
+    val hot = (0 until 400).map(i => (0L, f"item$i%04d"))
+    val normal = (1L to 200L).flatMap { k =>
+      Seq.fill(2 + rnd.nextInt(2))((k, f"item${rnd.nextInt(400)}%04d"))
+    }
+    val ev = (hot ++ normal).toDF("u", "t").repartition(8)
+    val plain = Frequent.coOccurrence(ev, "u", "t", heavyKeyItemBound = None)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val blockRoute = Frequent.coOccurrence(ev, "u", "t",
+        heavyKeyItemBound = Some(50L), blockSize = 32)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(blockRoute === plain)
+    assert(plain.size === 400 * 399 / 2) // the hot key alone spans all pairs
+  }
+
+  test("audienceOverlap: block route parity under the same skew") {
+    val hot = (0 until 120).map(i => (0L, s"i$i"))
+    val normal = (1L to 60L).map(k => (k, s"i${k % 120}"))
+    val ev = (hot ++ normal).toDF("u", "t")
+    val plain = Frequent.audienceOverlap(ev, "u", "t", heavyKeyItemBound = None)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val blocked = Frequent.audienceOverlap(ev, "u", "t",
+        heavyKeyItemBound = Some(20L), blockSize = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(blocked === plain)
+  }
+
+  test("block route: no single task materializes a hot key's pair space") {
+    // hot key: 400 items → 79,800 pairs. blockSize=32 → 13 blocks, 91
+    // (blockA, blockB) cells of ≤ 32² = 1,024 pairs each; the join
+    // partitioner spreads cells, so no task may hold even half the
+    // pairs (the plain route would put ALL of them in one task).
+    val ev = (0 until 400).map(i => (0L, f"item$i%04d")).toDF("u", "t")
+    val a = Frequent.presenceRows(ev, "u", "t")
+    val pairs = Frequent.blockedPairs(a, blockSize = 32)
+    val perPartition = pairs.rdd
+      .mapPartitions(it => Iterator(it.size.toLong)).collect()
+    val total = perPartition.sum
+    assert(total === 400L * 399 / 2)
+    assert(perPartition.max < total / 2,
+      s"one task held ${perPartition.max} of $total pairs — hot key not spread")
+  }
+
+  test("maxItemsPerKey caps each key to its globally-most-frequent items") {
+    // global freq: a=3 keys, b=2, c=1 — key 1 has all three, cap 2 keeps a,b
+    val ev = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a")).toDF("u", "t")
+    val got = Frequent.coOccurrence(ev, "u", "t", maxItemsPerKey = Some(2))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("a", "b") -> 2L)) // c capped away everywhere it mattered
+  }
+
   private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
 }
