@@ -368,6 +368,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- real video-codec check, the MP4 twin of q106: md5-derived
+    // metadata serialized into ACTUAL ISO-BMFF boxes (ftyp + moov with
+    // mvhd/tkhd), parsed back by the real box-walk reader; timescale
+    // 1000 makes the declared duration round-trip exactly ---
+    "q108_multimodal_video" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val fix = udf { (text: String) =>
+        val dg = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        def u(i: Int) = dg(i) & 0xff
+        val w = 160 + (u(0) * 256 + u(1)) % 3681          // 160..3840
+        val h = 90 + (u(2) * 256 + u(3)) % 2071           // 90..2160
+        val durMs = 1000L + (u(4).toLong * 65536 + u(5) * 256 + u(6)) % 600000L
+        Multimodal.mp4Fixture(w, h, durMs)
+      }
+      val withP = docs.select(col("doc_id"), fix(col("text")).as("payload"))
+      Multimodal.decode(withP, "payload")
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          col("decoded.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     // --- salted skew join: result-invariant vs the plain join (the
     // oracle computes the plain join — identical output proves it) ---
     "q104_salted_join" -> ((s, d) => {
@@ -1530,6 +1555,13 @@ object SparkEntry {
            |    WHEN 0 THEN 8000 WHEN 1 THEN 16000
            |    WHEN 2 THEN 32000 ELSE 48000 END AS INT) AS sample_rate,
            |  CAST(500 + ((${hd(5)} * 16 + ${hd(6)}) * 256 + (${hd(7)} * 16 + ${hd(8)})) % 60000 AS BIGINT) AS duration_ms
+           |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+      "q108_multimodal_video" ->
+        s"""SELECT doc_id, CAST(232 AS BIGINT) AS n_bytes,
+           |  CAST(160 + ((${hd(1)} * 16 + ${hd(2)}) * 256 + (${hd(3)} * 16 + ${hd(4)})) % 3681 AS INT) AS width,
+           |  CAST(90 + ((${hd(5)} * 16 + ${hd(6)}) * 256 + (${hd(7)} * 16 + ${hd(8)})) % 2071 AS INT) AS height,
+           |  CAST(1000 + ((${hd(9)} * 16 + ${hd(10)}) * 65536 + (${hd(11)} * 16 + ${hd(12)}) * 256 + (${hd(13)} * 16 + ${hd(14)})) % 600000 AS BIGINT) AS duration_ms
            |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
 
       "q104_salted_join" ->

@@ -190,11 +190,117 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Parse video metadata from a REAL MP4/ISO-BMFF header — the public
+    * box layout (ISO/IEC 14496-12): big-endian u32 size + 4-char type,
+    * `size==1` promoting to a 64-bit largesize, `size==0` meaning
+    * to-end-of-payload; containers (`moov`, `trak`) nest children. The
+    * movie header `moov/mvhd` carries timescale + duration (v0: u32s
+    * after 8 bytes of times; v1: u64 duration after 16), and the first
+    * track header `moov/trak/tkhd` with a nonzero visual size carries
+    * width/height as 16.16 fixed-point at the end of its payload.
+    * Returns (mime, width, height, durationMs); None for anything that
+    * is not a recognizable MP4 (first box must be `ftyp`) — callers
+    * fall back to [[stubDecode]]. A header reader, not a verifier:
+    * `mdat` sample data is never touched. Malformed sizes (overflow,
+    * non-advancing, past-the-end) terminate the walk, same contract as
+    * [[parseWavHeader]]. */
+  def parseMp4Header(p: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    if (p == null || p.length < 24) return None
+    def u(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Long =
+      (u(i).toLong << 24) | (u(i + 1).toLong << 16) | (u(i + 2).toLong << 8) | u(i + 3).toLong
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def typ(i: Int): String = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (typ(4) != "ftyp") return None
+    var timescale = 0L; var duration = -1L; var width = 0; var height = 0
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val sz0 = be32(i)
+        var hdr = 8
+        val sz: Long =
+          if (sz0 == 1L) { if (i + 16 > end) return; hdr = 16; be64(i + 8) }
+          else if (sz0 == 0L) (end - i).toLong
+          else sz0
+        val next = i.toLong + sz
+        if (sz < hdr || next > end || next <= i) return // malformed: stop the walk
+        val t = typ(i + 4)
+        val body = i + hdr // payload start (version/flags for full boxes)
+        t match {
+          case "moov" | "trak" | "mdia" if depth < 4 =>
+            walk(body, next.toInt, depth + 1)
+          case "mvhd" =>
+            val v = u(body)
+            if (v == 1 && body + 32 <= next) {
+              timescale = be32(body + 20) // ver/flags 4 + times 2×8
+              duration = be64(body + 24)
+            } else if (v == 0 && body + 20 <= next) {
+              timescale = be32(body + 12) // ver/flags 4 + times 2×4
+              duration = be32(body + 16)
+            }
+          case "tkhd" if width == 0 =>
+            val v = u(body)
+            // v0 payload: ver/flags 4, times/id/rsvd/duration 20, rsvd 8,
+            // layer/alt/volume/rsvd 8, matrix 36 → width @76, height @80
+            // (16.16 fixed); v1's 64-bit times shift both by 12
+            val wOff = if (v == 1) 88 else 76
+            if (body + wOff + 8 <= next) {
+              width = (be32(body + wOff) >>> 16).toInt
+              height = (be32(body + wOff + 4) >>> 16).toInt
+            }
+          case _ => () // leaf we don't need (ftyp, mdat, free, ...)
+        }
+        i = next.toInt
+      }
+    }
+    walk(0, p.length, 0)
+    if (timescale <= 0 || duration < 0 || width <= 0 || height <= 0) None
+    else Some(("video/mp4", width, height, duration * 1000L / timescale))
+  }
+
+  /** Minimal canonical MP4: `ftyp` + `moov{mvhd + trak{tkhd}}` (232
+    * bytes, timescale 1000 so the declared duration round-trips to the
+    * millisecond) — the video twin of [[pngFixture]]/[[wavFixture]].
+    * Box sizes and payload layouts follow ISO/IEC 14496-12 v0 boxes
+    * exactly, so any compliant reader parses it. */
+  def mp4Fixture(width: Int, height: Int, durationMs: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(232)
+    def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def be32(v: Long): Unit = {
+      out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+      out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def ascii(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    // ftyp: major brand isom, minor version 0x200, no compat list
+    be32(16L); ascii("ftyp"); ascii("isom"); be32(0x200L)
+    be32(216L); ascii("moov")
+    // mvhd v0 (108 bytes): ver/flags, creation, modification, timescale,
+    // duration, rate 1.0, volume 1.0, reserved, matrix = identity,
+    // pre_defined ×6, next_track_ID
+    be32(108L); ascii("mvhd"); be32(0L); be32(0L); be32(0L)
+    be32(1000L); be32(durationMs)
+    be32(0x00010000L); be16(0x0100); be16(0); be32(0L); be32(0L)
+    Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L).foreach(be32)
+    (1 to 6).foreach(_ => be32(0L))
+    be32(2L)
+    be32(100L); ascii("trak")
+    // tkhd v0 (92 bytes): ver/flags (track enabled), creation,
+    // modification, track_ID, reserved, duration, reserved ×2,
+    // layer/alternate_group/volume/reserved, matrix, width/height 16.16
+    be32(92L); ascii("tkhd"); be32(7L); be32(0L); be32(0L)
+    be32(1L); be32(0L); be32(durationMs)
+    be32(0L); be32(0L); be16(0); be16(0); be16(0); be16(0)
+    Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L).foreach(be32)
+    be32(width.toLong << 16); be32(height.toLong << 16)
+    out.toByteArray
+  }
+
   /** Deterministic fake decode of a payload: width/height/duration are
-    * functions of the md5 digest — STAND-IN for the codecs this
-    * container genuinely lacks (video). The real-image path is
-    * [[parseImageHeader]], the real-audio path [[parseWavHeader]];
-    * [[decode]] composes the three. */
+    * functions of the md5 digest — the UNKNOWN-FORMAT fallback only;
+    * every modality with a public byte layout parses for real
+    * ([[parseImageHeader]] PNG/JPEG, [[parseWavHeader]] WAV/RIFF,
+    * [[parseMp4Header]] MP4/ISO-BMFF). [[decode]] composes them. */
   def stubDecode(payload: Array[Byte]): (Int, Int, Long) = {
     if (payload == null || payload.isEmpty) return (0, 0, 0L)
     val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
@@ -209,9 +315,10 @@ object Multimodal {
     * schema fixed. Recognized image headers (PNG/JPEG) parse for REAL
     * via [[parseImageHeader]] (duration/channels/rate null — images
     * have none); recognized PCM WAV headers parse for REAL via
-    * [[parseWavHeader]] (width/height null); everything else falls
-    * back to the deterministic [[stubDecode]] stand-in. This remains
-    * the slot where further codecs (video demuxers) drop in per
+    * [[parseWavHeader]] (width/height null); recognized MP4 headers
+    * parse for REAL via [[parseMp4Header]] (channels/rate null); only
+    * unrecognized formats fall back to the deterministic [[stubDecode]]
+    * stand-in. This remains the slot where further codecs drop in per
     * partition. */
   def decode(df: DataFrame, binCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
@@ -230,9 +337,12 @@ object Multimodal {
           case Some((_, w, h)) => Row(w, h, null, null, null)
           case None => parseWavHeader(payload) match {
             case Some((_, ch, rate, dur)) => Row(null, null, dur, ch, rate)
-            case None =>
-              val (w, h, dur) = stubDecode(payload)
-              Row(w, h, dur, null, null)
+            case None => parseMp4Header(payload) match {
+              case Some((_, w, h, dur)) => Row(w, h, dur, null, null)
+              case None =>
+                val (w, h, dur) = stubDecode(payload)
+                Row(w, h, dur, null, null)
+            }
           }
         }
         Row.fromSeq(r.toSeq :+ dec)

@@ -128,6 +128,45 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L)._1.isDefined)             // stub fills a duration
   }
 
+  test("mp4 header: fixture round-trips, malformed boxes terminate, garbage rejected") {
+    val mp4 = Multimodal.mp4Fixture(1920, 1080, 73500L)
+    assert(mp4.length === 232)
+    assert(Multimodal.parseMp4Header(mp4) === Some(("video/mp4", 1920, 1080, 73500L)))
+    // millisecond resolution survives (timescale 1000)
+    assert(Multimodal.parseMp4Header(Multimodal.mp4Fixture(160, 90, 1001L)) ===
+      Some(("video/mp4", 160, 90, 1001L)))
+    // not BMFF / truncated / missing moov → None (falls to stub in decode)
+    assert(Multimodal.parseMp4Header("not a video at all ...".getBytes("UTF-8")) === None)
+    assert(Multimodal.parseMp4Header(mp4.take(40)) === None)
+    assert(Multimodal.parseMp4Header(mp4.take(16)) === None) // ftyp alone: no mvhd/tkhd
+    // malformed box size (0xFFFFFFF8 would truncate negative in Int
+    // arithmetic) must terminate the walk, not loop or throw
+    val bad = mp4.clone()
+    bad(16) = 0xff.toByte; bad(17) = 0xff.toByte
+    bad(18) = 0xff.toByte; bad(19) = 0xf8.toByte // moov size → garbage
+    assert(Multimodal.parseMp4Header(bad) === None)
+    // size-0 (to-end) moov still parses: walk bounded by payload end
+    val toEnd = mp4.clone()
+    toEnd(16) = 0; toEnd(17) = 0; toEnd(18) = 0; toEnd(19) = 0
+    assert(Multimodal.parseMp4Header(toEnd) === Some(("video/mp4", 1920, 1080, 73500L)))
+  }
+
+  test("decode routes mp4 payloads through the real video parser") {
+    val rows = Seq(
+      (1L, Multimodal.mp4Fixture(640, 360, 15000L)),
+      (2L, Multimodal.wavFixture(1, 8000, 16000L)),
+      (3L, "neither".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val got = Multimodal.decode(rows, "payload")
+      .select(col("id"), col("decoded.width"), col("decoded.height"),
+        col("decoded.duration_ms"), col("decoded.channels"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(got(1L) === ((Some(640), Some(360), Some(15000L), None)))
+    assert(got(2L) === ((None, None, Some(1000L), Some(1)))) // audio untouched
+    assert(got(3L)._1.isDefined && got(3L)._4 === None)      // stub fallback
+  }
+
   test("stubDecode matches the JVM-side ground truth of the oracle formula") {
     val (w, h, d) = Multimodal.stubDecode("hello".getBytes("UTF-8"))
     val digest = java.security.MessageDigest.getInstance("MD5").digest("hello".getBytes("UTF-8"))
