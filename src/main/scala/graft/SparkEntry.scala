@@ -393,6 +393,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- content-real image embedding check: md5-seeded pixel rasters
+    // serialized into ACTUAL PNGs (deflate + scanline filters), decoded
+    // back pixel-exactly by the real inflater path, and reduced to a
+    // 16-bucket luminance histogram; the oracle re-derives the pixel
+    // stream from (w, h, seeds) without ever seeing the payload ---
+    "q109_image_histogram" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val fix = udf { (text: String) =>
+        val dg = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        def u(i: Int) = dg(i) & 0xff
+        val w = 8 + u(0) % 16
+        val h = 8 + u(1) % 16
+        // encoder filter varies by digest too: the decoded histogram
+        // must be invariant to how the bytes were filtered
+        Multimodal.pngPixelFixture(w, h, u(2), 1 + u(3) % 255, filterType = u(4) % 3)
+      }
+      val withP = docs.select(col("doc_id"), fix(col("text")).as("payload"))
+      withP.select(col("doc_id"),
+          posexplode(Multimodal.embedImage(col("payload"), 16)))
+        .select(col("doc_id"), col("pos").cast("int").as("bucket"),
+          round(col("col"), 6).as("frac"))
+        .orderBy("doc_id", "bucket")
+    }),
+
     // --- salted skew join: result-invariant vs the plain join (the
     // oracle computes the plain join — identical output proves it) ---
     "q104_salted_join" -> ((s, d) => {
@@ -1563,6 +1588,25 @@ object SparkEntry {
            |  CAST(90 + ((${hd(5)} * 16 + ${hd(6)}) * 256 + (${hd(7)} * 16 + ${hd(8)})) % 2071 AS INT) AS height,
            |  CAST(1000 + ((${hd(9)} * 16 + ${hd(10)}) * 65536 + (${hd(11)} * 16 + ${hd(12)}) * 256 + (${hd(13)} * 16 + ${hd(14)})) % 600000 AS BIGINT) AS duration_ms
            |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+      "q109_image_histogram" ->
+        s"""WITH d AS (SELECT doc_id,
+           |    CAST(8 + (${hd(1)} * 16 + ${hd(2)}) % 16 AS INT) AS w,
+           |    CAST(8 + (${hd(3)} * 16 + ${hd(4)}) % 16 AS INT) AS h,
+           |    CAST(${hd(5)} * 16 + ${hd(6)} AS INT) AS s0,
+           |    CAST(1 + (${hd(7)} * 16 + ${hd(8)}) % 255 AS INT) AS s1
+           |  FROM documents WHERE text IS NOT NULL),
+           |px AS (SELECT doc_id, w * h AS npx, s0, s1,
+           |    unnest(generate_series(0, w * h - 1)) AS i FROM d),
+           |pc AS (SELECT doc_id, ((s0 + i * s1) % 256) // 16 AS bucket,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM px GROUP BY 1, 2),
+           |b AS (SELECT doc_id, w * h AS npx,
+           |    unnest(generate_series(0, 15)) AS bucket FROM d)
+           |SELECT b.doc_id, CAST(b.bucket AS INT) AS bucket,
+           |  round(CAST(coalesce(pc.c, 0) AS DOUBLE) / b.npx, 6) AS frac
+           |FROM b LEFT JOIN pc ON pc.doc_id = b.doc_id AND pc.bucket = b.bucket
+           |ORDER BY 1, 2""".stripMargin,
 
       "q104_salted_join" ->
         """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,

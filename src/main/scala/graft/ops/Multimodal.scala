@@ -296,6 +296,181 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Decode an 8-bit non-interlaced PNG (grayscale or truecolor RGB)
+    * payload to (width, height, luminance bytes) — a FULL pixel decode,
+    * not just a header read: IDAT chunks are concatenated, inflated
+    * (`java.util.zip.Inflater` — zlib is in the JDK, no new deps) and
+    * the five public scanline filters (None/Sub/Up/Average/Paeth, PNG
+    * spec §9) are reversed byte-exactly. RGB reduces to integer BT.709
+    * luminance (2126·R + 7152·G + 722·B)/10000. Returns None for
+    * anything else (16-bit, palette, interlaced, malformed, truncated,
+    * oversized) — callers fall back to the md5 embedding. */
+  def decodePngLuma(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (p == null || p.length < 45) return None
+    def u(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Long =
+      (u(i).toLong << 24) | (u(i + 1).toLong << 16) | (u(i + 2).toLong << 8) | u(i + 3).toLong
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (!(0 until 8).forall(i => u(i) == sig(i))) return None
+    if (!(p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')) return None
+    val w = be32(16).toInt; val h = be32(20).toInt
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None // bound memory
+    val colorType = u(25)
+    if (u(24) != 8 || (colorType != 0 && colorType != 2) ||
+        u(26) != 0 || u(27) != 0 || u(28) != 0) return None
+    val bpp = if (colorType == 0) 1 else 3
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= p.length) {
+      val len = be32(i)
+      if (i.toLong + 12 + len > p.length) return None
+      val tag = new String(p, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (tag == "IDAT") idat.write(p, i + 8, len.toInt)
+      if (tag == "IEND") sawEnd = true
+      i += 12 + len.toInt
+    }
+    if (idat.size == 0) return None
+    val stride = w * bpp
+    val rawLen = (stride + 1) * h
+    val raw = new Array[Byte](rawLen)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < rawLen && !inf.finished()) {
+        val n = inf.inflate(raw, off, rawLen - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    if (off < rawLen) return None
+    val px = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      val rowIn = y * (stride + 1) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val rv = raw(rowIn + x) & 0xff
+        val a = if (x >= bpp) px(rowOut + x - bpp) & 0xff else 0
+        val b = if (y > 0) px(rowOut - stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) px(rowOut - stride + x - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => rv
+          case 1 => rv + a
+          case 2 => rv + b
+          case 3 => rv + (a + b) / 2
+          case 4 =>
+            val pr = a + b - c
+            val pa = math.abs(pr - a); val pb = math.abs(pr - b); val pc = math.abs(pr - c)
+            rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        px(rowOut + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val lum =
+      if (bpp == 1) px
+      else {
+        val out = new Array[Byte](w * h)
+        var j = 0
+        while (j < w * h) {
+          val r = px(3 * j) & 0xff; val g = px(3 * j + 1) & 0xff; val bl = px(3 * j + 2) & 0xff
+          out(j) = ((2126 * r + 7152 * g + 722 * bl) / 10000).toByte
+          j += 1
+        }
+        out
+      }
+    Some((w, h, lum))
+  }
+
+  /** PNG fixture WITH pixel content: 8-bit grayscale, row-major pixel
+    * raster `pixel(i) = (seed0 + i·seed1) mod 256` — deterministic, so
+    * an oracle can re-derive the full pixel stream from (w, h, seeds)
+    * without seeing a byte of the payload. `filterType` picks the
+    * scanline filter the ENCODER uses (0=None, 1=Sub, 2=Up): same
+    * pixels, different compressed bytes — the near-dup-bridge fixture
+    * pair (visually identical, md5-distinct). */
+  def pngPixelFixture(width: Int, height: Int, seed0: Int, seed1: Int,
+                      filterType: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(filterType >= 0 && filterType <= 2, s"encoder filter 0-2 only, got $filterType")
+    def pix(i: Int): Int = (seed0 + i * seed1) % 256
+    val raw = new Array[Byte]((width + 1) * height)
+    var y = 0
+    while (y < height) {
+      raw(y * (width + 1)) = filterType.toByte
+      var x = 0
+      while (x < width) {
+        val i = y * width + x
+        val enc = filterType match {
+          case 0 => pix(i)
+          case 1 => (pix(i) - (if (x > 0) pix(i - 1) else 0)) & 0xff
+          case 2 => (pix(i) - (if (y > 0) pix(i - width) else 0)) & 0xff
+        }
+        raw(y * (width + 1) + 1 + x) = enc.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    val z = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) z.write(zbuf, 0, defl.deflate(zbuf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit = {
+      out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+      out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      be32(data.length.toLong)
+      val body = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ data
+      out.write(body, 0, body.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(body)
+      be32(crc.getValue)
+    }
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((width >>> 24) & 0xff).toByte; ihdr(1) = ((width >>> 16) & 0xff).toByte
+    ihdr(2) = ((width >>> 8) & 0xff).toByte; ihdr(3) = (width & 0xff).toByte
+    ihdr(4) = ((height >>> 24) & 0xff).toByte; ihdr(5) = ((height >>> 16) & 0xff).toByte
+    ihdr(6) = ((height >>> 8) & 0xff).toByte; ihdr(7) = (height & 0xff).toByte
+    ihdr(8) = 8 // bit depth; color type/compression/filter/interlace = 0
+    chunk("IHDR", ihdr)
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** CONTENT-REAL image embedding: a `dim`-bucket luminance histogram
+    * (fractions summing to 1) over the fully-decoded pixels of a PNG
+    * payload — two visually-identical images embed identically no
+    * matter how their bytes were encoded. Payloads that are not
+    * decodable PNGs fall back to the engine-portable md5 embedding
+    * ([[embedStub]]), keeping the column total and the ANN/near-dup
+    * bridge well-defined over mixed corpora. */
+  def embedImage(payload: Column, dim: Int): Column = {
+    require(dim > 0 && dim <= 256, s"dim must be in 1..256, got $dim")
+    val hist = udf { (p: Array[Byte]) =>
+      decodePngLuma(p).map { case (w, h, lum) =>
+        val counts = new Array[Double](dim)
+        lum.foreach { b => counts(((b & 0xff) * dim) / 256) += 1.0 }
+        val n = (w.toLong * h).toDouble
+        counts.map(_ / n)
+      }.orNull
+    }
+    coalesce(hist(payload), embedStub(payload, dim))
+  }
+
   /** Deterministic fake decode of a payload: width/height/duration are
     * functions of the md5 digest — the UNKNOWN-FORMAT fallback only;
     * every modality with a public byte layout parses for real

@@ -167,6 +167,73 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L)._1.isDefined && got(3L)._4 === None)      // stub fallback
   }
 
+  test("decodePngLuma: pixel-exact round-trip across encoder filter types") {
+    for (ft <- 0 to 2) {
+      val png = Multimodal.pngPixelFixture(13, 7, seed0 = 91, seed1 = 17, filterType = ft)
+      val Some((w, h, lum)) = Multimodal.decodePngLuma(png)
+      assert((w, h) === ((13, 7)))
+      val want = (0 until 13 * 7).map(i => ((91 + i * 17) % 256).toByte)
+      assert(lum.toSeq === want, s"filterType=$ft")
+    }
+    // garbage / header-only / truncated → None (md5 fallback path)
+    assert(Multimodal.decodePngLuma("not a png".getBytes("UTF-8")) === None)
+    assert(Multimodal.decodePngLuma(Multimodal.pngFixture(4, 4)) === None) // no IDAT
+    val png = Multimodal.pngPixelFixture(8, 8, 0, 1)
+    assert(Multimodal.decodePngLuma(png.take(png.length - 20)) === None)
+  }
+
+  test("decodePngLuma agrees with a real encoder (javax.imageio, gray + RGB)") {
+    // gray: checkerboard of known bytes; ImageIO picks its own filters,
+    // exercising the Up/Average/Paeth reversal paths
+    val gimg = new java.awt.image.BufferedImage(19, 11,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 11; x <- 0 until 19) {
+      val v = (x * 13 + y * 31) % 256
+      gimg.getRaster.setSample(x, y, 0, v)
+    }
+    val gbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gimg, "png", gbos)
+    val Some((gw, gh, glum)) = Multimodal.decodePngLuma(gbos.toByteArray)
+    assert((gw, gh) === ((19, 11)))
+    val gwant = for (y <- 0 until 11; x <- 0 until 19) yield ((x * 13 + y * 31) % 256).toByte
+    assert(glum.toSeq === gwant)
+    // RGB: BT.709 integer luminance of known channels
+    val cimg = new java.awt.image.BufferedImage(9, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 9)
+      cimg.setRGB(x, y, ((x * 20) << 16) | ((y * 40) << 8) | 200)
+    val cbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(cimg, "png", cbos)
+    val Some((cw, ch, clum)) = Multimodal.decodePngLuma(cbos.toByteArray)
+    assert((cw, ch) === ((9, 5)))
+    val cwant = for (y <- 0 until 5; x <- 0 until 9)
+      yield ((2126 * (x * 20) + 7152 * (y * 40) + 722 * 200) / 10000).toByte
+    assert(clum.toSeq === cwant)
+  }
+
+  test("embedImage: content-real histograms bridge byte-distinct twins to near-dup") {
+    // same pixels, different encoder filters → different payload bytes
+    val twinA = Multimodal.pngPixelFixture(16, 16, 40, 7, filterType = 0)
+    val twinB = Multimodal.pngPixelFixture(16, 16, 40, 7, filterType = 1)
+    assert(!java.util.Arrays.equals(twinA, twinB)) // md5 embedding would split them
+    val rows = (Seq((1L, twinA), (2L, twinB),
+      // step 32 shares a factor with 256 → only 8 luminance residues, a
+      // genuinely different (non-uniform) histogram from the twins'
+      (3L, Multimodal.pngPixelFixture(16, 16, 200, 32)),
+      (4L, "not an image".getBytes("UTF-8"))))             // md5 fallback
+      .toDF("id", "payload")
+      .withColumn("emb", Multimodal.embedImage(col("payload"), 16))
+    val embs = rows.select(col("id"), col("emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(embs(1L) === embs(2L))            // visually identical → identical vectors
+    assert(embs(1L) !== embs(3L))
+    assert(math.abs(embs(1L).sum - 1.0) < 1e-9) // fractions sum to 1
+    assert(embs(4L).size === 16)             // fallback keeps the contract
+    val pairs = Similarity.cosineNearDupBucketed(rows, "id", "emb", 0.9999999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))          // the twins bucket together
+  }
+
   test("stubDecode matches the JVM-side ground truth of the oracle formula") {
     val (w, h, d) = Multimodal.stubDecode("hello".getBytes("UTF-8"))
     val digest = java.security.MessageDigest.getInstance("MD5").digest("hello".getBytes("UTF-8"))
