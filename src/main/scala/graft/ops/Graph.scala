@@ -16,9 +16,10 @@ object Graph {
     * components of diameter ≤ D carry their minimum member id.
     *
     * Each round is two keyed shuffles (neighbor-min aggregation +
-    * label join), and `localCheckpoint` truncates the otherwise
+    * label join), and [[Checkpoints.cut]] truncates the otherwise
     * exponentially-deepening iterative lineage — the standard Spark
-    * iterative-algorithm hygiene. Dedup clusters are near-cliques
+    * iterative-algorithm hygiene (executor-local by default, reliable
+    * when a checkpoint dir is configured). Dedup clusters are near-cliques
     * (diameter 1–3), so a small fixed `rounds` converges; for
     * general graphs with long chains the large-star/small-star
     * alternation (Kiveris et al., "Connected Components in MapReduce")
@@ -35,7 +36,7 @@ object Graph {
     // 26 s → 7 s on the q48 corpus-dedup query)
     val e2 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     var labels = e2.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     for (_ <- 1 to rounds) {
@@ -44,7 +45,7 @@ object Graph {
       labels = labels.join(msgs, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("ml"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .transform(Checkpoints.cut)
     }
     labels
   }
@@ -81,12 +82,12 @@ object Graph {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src").localCheckpoint() // (src, dst, deg), reused every round
+    val ed = e.join(deg, "src").transform(Checkpoints.cut) // (src, dst, deg), reused every round
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     val n = nodes.count()
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("pr", lit(1.0 / n))
@@ -100,7 +101,7 @@ object Graph {
           (lit(base) + lit(damping) *
             (coalesce(col("acc"), lit(java.math.BigDecimal.ZERO)).cast("double") / 1e15))
             .as("pr"))
-        .localCheckpoint()
+        .transform(Checkpoints.cut)
     }
     ranks
   }

@@ -166,7 +166,8 @@ object Similarity {
     * `iterations` rounds of assign-to-nearest (broadcast centroids, one
     * corpus scan) + per-cluster mean (posexplode → groupBy(cluster, pos)
     * avg → re-assembled array). Each round's centroids are
-    * localCheckpointed so lineage doesn't stack across iterations.
+    * lineage-cut ([[Checkpoints.cut]] — reliable when a checkpoint dir
+    * is set) so plans don't stack across iterations.
     * Clusters that lose every member keep their previous centroid.
     * Per round: one scan + one narrow (cluster, pos) shuffle — no
     * driver-side vectors beyond the k centroids themselves. */
@@ -175,7 +176,7 @@ object Similarity {
     var centroids = corpus.orderBy(col(cId)).limit(k)
       .select(col(cId).as("centroid_id"),
         transform(col(cVec), _.cast("double")).as("cv"))
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     var it = 0
     while (it < iterations) {
       val assigned = assignToCentroid(corpus, cId, cVec, centroids, "centroid_id", "cv")
@@ -187,7 +188,7 @@ object Similarity {
           s => s.getField("m")).as("newCv"))
       centroids = centroids.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"), coalesce(col("newCv"), col("cv")).as("cv"))
-        .localCheckpoint()
+        .transform(Checkpoints.cut)
       it += 1
     }
     centroids

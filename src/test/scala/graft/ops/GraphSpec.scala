@@ -29,6 +29,26 @@ class GraphSpec extends SparkSpec {
     assert(l6 === Set(1L))  // fully converged
   }
 
+  test("graph loops: reliable-checkpoint mode returns identical results") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (4L, 1L), (11L, 10L)).toDF("src", "dst")
+    def run() = (
+      Graph.minLabelPropagation(edges, "src", "dst", rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    val (localCc, localPr) = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      assert(spark.sparkContext.getCheckpointDir.isDefined)
+      val (relCc, relPr) = run()
+      assert(relCc === localCc)
+      assert(relPr === localPr)
+    } finally spark.sparkContext.setCheckpointDir(null)
+    assert(spark.sparkContext.getCheckpointDir.isEmpty) // back to local mode
+  }
+
   test("dedupCorpus keeps one representative per near-dup cluster and all singletons") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),

@@ -90,6 +90,20 @@ class SimilaritySpec extends SparkSpec {
     assert(kmRecall >= 0.9, s"kmeans recall $kmRecall")
   }
 
+  test("k-means centroids: reliable-checkpoint mode returns identical results") {
+    val rnd = new scala.util.Random(3)
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(4)(j => (if (j == i % 3) 1.0f else 0.0f) + 0.2f * rnd.nextFloat()))
+    }.toDF("id", "v")
+    def run() = Similarity.kmeansCentroids(corpus, "id", "v", k = 3, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val local = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try assert(run() === local)
+    finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("cosinePairsBlocked tiles a corpus larger than one block") {
     // 120 vectors in 3 directions; blockSize=25 forces the multi-block
     // path (5 blocks) — results must equal the exact join form
