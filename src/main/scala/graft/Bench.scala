@@ -60,7 +60,22 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's stdout capture preserves only a ~2,000-char tail —
+    // with 100+ queries that amputates half the per-query timings from
+    // the round artifact. Persist the FULL line in-repo: latest run
+    // overwrites BENCH_FULL.json; every run appends to BENCH_LOG.jsonl
+    // (timestamped), so round-over-round per-query audits read data,
+    // not prose. Best-effort: a read-only cwd must not fail the bench.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOG.jsonl"),
+        (s"""{"ts":"${java.time.Instant.now()}","bench":$line}""" + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
