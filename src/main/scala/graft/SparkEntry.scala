@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.{Detector, DetectorConfig, Histogram, Profiler}
-import graft.ops.{Corpus, Curation, Dedup, Drift, Expectations, Frequent, Graph, Layout, Multimodal, Prefix, Sampling, Similarity, Skew, Snapshot, Temporal, TextAnalysis}
+import graft.ops.{Bucketing, Corpus, Curation, Dedup, Drift, Expectations, Frequent, Graph, Layout, Multimodal, Prefix, Sampling, Similarity, Skew, Snapshot, Temporal, TextAnalysis}
 
 /** Driver contract: every deterministic operator of the engine is
   * registered here as a (SparkSession, sfDir) => DataFrame query with a
@@ -416,6 +416,69 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("int").as("bucket"),
           round(col("col"), 6).as("frac"))
         .orderBy("doc_id", "bucket")
+    }),
+
+    // --- Bloom decontamination, oracle-graduated: at fpp 1e-8 the
+    // false-positive over-removal on this corpus is deterministically
+    // zero, so the survivor set must EQUAL the exact anti-join's (the
+    // no-false-negative half of the contract is what the filter
+    // guarantees by construction) ---
+    "q110_decontaminate_bloom" -> ((s, d) => {
+      val train = t(s, d, "documents")
+      val test = train.filter(col("doc_id") % 10 === 0).select(col("text"))
+      Dedup.decontaminateBloom(train, test, "text",
+          expectedItems = math.max(100L, test.count()), fpp = 1e-8)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // --- bucketed join, oracle-graduated: both sides written bucketed
+    // on the join key (16 buckets) so the join plans with no Exchange
+    // (asserted in BucketingSpec); the oracle's plain join proves
+    // result parity — bucketing is a layout choice, not a semantics
+    // change ---
+    "q111_bucketed_join" -> ((s, d) => {
+      val orders = t(s, d, "orders").select(col("o_custkey"), col("o_totalprice"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Bucketing.writeBucketed(orders, "graft_q111_orders", "o_custkey", 16)
+      Bucketing.writeBucketed(cust, "graft_q111_cust", "o_custkey", 16)
+      Bucketing.bucketedJoin(s, "graft_q111_orders", "graft_q111_cust", "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast(dec)).cast("double"), 6).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // --- hyperplane-LSH bucket populations, oracle-graduated: the
+    // oracle receives the md5/FNV-seeded hyperplane components as SQL
+    // literals (computed at SQL-build time from the same public
+    // formula) and replays the sign-bit string with left-associated
+    // double arithmetic — bit strings and their populations must match
+    // exactly ---
+    "q112_hyperplane_buckets" -> ((s, d) => {
+      val e = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+      e.select(Similarity.hyperplaneBucket(col("embedding"),
+          dim = 64, nBits = 6, seed = 42L).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    // --- batch twin of the streaming interval join (same code path:
+    // StreamingProfile.intervalJoin on batch frames — watermarks are
+    // no-ops in batch, the join condition is identical), so the one
+    // streaming op without an oracle-checked twin now has one ---
+    "q113_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"))
+      graft.streaming.StreamingProfile.intervalJoin(l, r, "user_id", "ts", "pts",
+          maxDelay = "1 hour")
+        .select(col("click_id"), col("purchase_id"))
+        .orderBy("click_id", "purchase_id")
     }),
 
     // --- salted skew join: result-invariant vs the plain join (the
@@ -1607,6 +1670,44 @@ object SparkEntry {
            |  round(CAST(coalesce(pc.c, 0) AS DOUBLE) / b.npx, 6) AS frac
            |FROM b LEFT JOIN pc ON pc.doc_id = b.doc_id AND pc.bucket = b.bucket
            |ORDER BY 1, 2""".stripMargin,
+
+      "q110_decontaminate_bloom" ->
+        s"""WITH tfp AS (
+           |  SELECT DISTINCT md5(array_to_string($toks, ' ')) AS fp
+           |  FROM documents WHERE doc_id % 10 = 0)
+           |SELECT doc_id, n_chars FROM documents
+           |WHERE md5(array_to_string($toks, ' ')) NOT IN (SELECT fp FROM tfp)
+           |ORDER BY doc_id""".stripMargin,
+
+      "q111_bucketed_join" ->
+        """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+          |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS total
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+      "q112_hyperplane_buckets" -> {
+        // the same deterministic hyperplanes the Spark expression uses,
+        // baked into the SQL as double literals; addition stays
+        // left-associated in both engines, so the sign bits agree
+        // bit-for-bit
+        val bits = (0 until 6).map { b =>
+          val terms = (0 until 64).map { j =>
+            val h = graft.text.HashEmbeddings.component(s"$b#$j", 0, 42L)
+            s"CAST(embedding[${j + 1}] AS DOUBLE) * (${h})"
+          }.mkString(" + ")
+          s"(CASE WHEN $terms >= 0 THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+        s"""SELECT ($bits) AS bucket, CAST(count(*) AS BIGINT) AS n
+           |FROM embeddings WHERE embedding IS NOT NULL
+           |GROUP BY 1 ORDER BY bucket""".stripMargin
+      },
+
+      "q113_interval_join" ->
+        """SELECT l.event_id AS click_id, r.event_id AS purchase_id
+          |FROM events l JOIN events r ON l.user_id = r.user_id
+          |  AND l.event_type = 'click' AND r.event_type = 'purchase'
+          |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+          |ORDER BY 1, 2""".stripMargin,
 
       "q104_salted_join" ->
         """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
