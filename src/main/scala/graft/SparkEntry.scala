@@ -418,16 +418,17 @@ object SparkEntry {
         .orderBy("doc_id", "bucket")
     }),
 
-    // --- Bloom decontamination, oracle-graduated: at fpp 1e-8 the
-    // false-positive over-removal on this corpus is deterministically
-    // zero, so the survivor set must EQUAL the exact anti-join's (the
+    // --- Bloom decontamination, oracle-graduated: with a 20x-oversized
+    // filter at fpp 1e-9 the false-positive over-removal on this corpus
+    // is deterministically zero (verified at both scales), so the
+    // survivor set must EQUAL the exact anti-join's (the
     // no-false-negative half of the contract is what the filter
     // guarantees by construction) ---
     "q110_decontaminate_bloom" -> ((s, d) => {
       val train = t(s, d, "documents")
       val test = train.filter(col("doc_id") % 10 === 0).select(col("text"))
       Dedup.decontaminateBloom(train, test, "text",
-          expectedItems = math.max(100L, test.count()), fpp = 1e-8)
+          expectedItems = math.max(100L, 20L * test.count()), fpp = 1e-9)
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     }),
@@ -441,6 +442,19 @@ object SparkEntry {
       val orders = t(s, d, "orders").select(col("o_custkey"), col("o_totalprice"))
       val cust = t(s, d, "customer")
         .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      // a PREVIOUS session's run leaves the managed location on disk
+      // while this session's catalog has never heard of the table —
+      // saveAsTable then refuses (LOCATION_ALREADY_EXISTS); drop both
+      // the catalog entry and any stale location first
+      Seq("graft_q111_orders", "graft_q111_cust").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(wh, tbl))
+      }
       Bucketing.writeBucketed(orders, "graft_q111_orders", "o_custkey", 16)
       Bucketing.writeBucketed(cust, "graft_q111_cust", "o_custkey", 16)
       Bucketing.bucketedJoin(s, "graft_q111_orders", "graft_q111_cust", "o_custkey")
