@@ -495,6 +495,34 @@ object SparkEntry {
         .orderBy("click_id", "purchase_id")
     }),
 
+    // --- PCA, oracle-graduated via an eigenbasis-invariant check: the
+    // input is an EXACTLY rank-2 6-D embedding built from two customer
+    // columns in a rotated orthonormal basis (u = 1/√6·(1,…,1),
+    // v = 1/√6·(1,−1,…)); the top-2 PCA projection of such data is an
+    // isometry on row differences, so every pairwise projected distance
+    // must equal sqrt(Δa² + Δb²) — which the oracle computes from the
+    // coefficients without eigendecomposing anything. Rounded to 4 dp
+    // (the eigensolver's ~1e-12 noise is far below that) ---
+    "q114_pca_isometry" -> ((s, d) => {
+      val su = 1.0 / math.sqrt(6.0)
+      val base = t(s, d, "customer").filter(col("c_custkey") <= 50)
+        .select(col("c_custkey").as("id"),
+          (col("c_acctbal").cast("double") / 1000.0).as("a"),
+          (col("c_custkey").cast("double") / 10.0).as("b"))
+      val vec = array((0 until 6).map { j =>
+        col("a") * lit(su) + col("b") * lit(if (j % 2 == 0) su else -su)
+      }: _*)
+      val projected = graft.ops.Projection.pca(
+        base.select(col("id"), vec.as("emb")), "id", "emb", k = 2)
+      projected.as("l").join(projected.as("r"), col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          round(sqrt(
+            pow(element_at(col("l.pc"), 1) - element_at(col("r.pc"), 1), 2) +
+            pow(element_at(col("l.pc"), 2) - element_at(col("r.pc"), 2), 2)), 4)
+            .as("dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- salted skew join: result-invariant vs the plain join (the
     // oracle computes the plain join — identical output proves it) ---
     "q104_salted_join" -> ((s, d) => {
@@ -1721,6 +1749,16 @@ object SparkEntry {
           |FROM events l JOIN events r ON l.user_id = r.user_id
           |  AND l.event_type = 'click' AND r.event_type = 'purchase'
           |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q114_pca_isometry" ->
+        """WITH c AS (SELECT c_custkey AS id,
+          |    CAST(c_acctbal AS DOUBLE) / 1000.0 AS a,
+          |    CAST(c_custkey AS DOUBLE) / 10.0 AS b
+          |  FROM customer WHERE c_custkey <= 50)
+          |SELECT l.id AS id_a, r.id AS id_b,
+          |  round(sqrt((l.a - r.a) * (l.a - r.a) + (l.b - r.b) * (l.b - r.b)), 4) AS dist
+          |FROM c l JOIN c r ON l.id < r.id
           |ORDER BY 1, 2""".stripMargin,
 
       "q104_salted_join" ->
