@@ -523,6 +523,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- BM25 retrieval scores over the shared tokenizer: the corpus
+    // vocabulary dies at the scan (map-side term filter); per-doc
+    // totals summed in fixed term order for cross-engine determinism ---
+    "q115_bm25_scores" -> ((s, d) =>
+      Corpus.bm25(t(s, d, "documents"), "doc_id", "text",
+          Seq("spark", "shuffle", "hash", "merge", "window"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // --- salted skew join: result-invariant vs the plain join (the
     // oracle computes the plain join — identical output proves it) ---
     "q104_salted_join" -> ((s, d) => {
@@ -944,9 +953,11 @@ object SparkEntry {
       val per = t(s, d, "events")
         .groupBy("event_type", "user_id")
         .agg(sum(col("value").cast(dec)).as("total_dec"), count(lit(1)).as("n_events"))
-      val w = Window.partitionBy("event_type").orderBy(desc("total_dec"), asc("user_id"))
-      per.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      // event_type is 5-valued: a plain per-type window would sort every
+      // user of a type in ONE task at scale — the salted two-phase
+      // top-k is result-identical with bounded tasks
+      Skew.topKPerGroup(per, "event_type", col("user_id"), k = 3,
+          orderCols = Seq(desc("total_dec"), asc("user_id")))
         .select(col("event_type"), col("rank"), col("user_id"),
           round(col("total_dec").cast("double"), 6).as("total"), col("n_events"))
         .orderBy("event_type", "rank")
@@ -1760,6 +1771,33 @@ object SparkEntry {
           |  round(sqrt((l.a - r.a) * (l.a - r.a) + (l.b - r.b) * (l.b - r.b)), 4) AS dist
           |FROM c l JOIN c r ON l.id < r.id
           |ORDER BY 1, 2""".stripMargin,
+
+      "q115_bm25_scores" -> {
+        val terms = Seq("spark", "shuffle", "hash", "merge", "window")
+        val k1 = 1.2; val b = 0.75
+        val inList = terms.map(t => s"'$t'").mkString(", ")
+        // fixed term order, left-associated additions — same evaluation
+        // order as the Spark expression, so doubles agree bit-for-bit
+        val total = terms.map(t =>
+          s"coalesce(max(CASE WHEN term = '$t' THEN c END), 0.0)").mkString(" + ")
+        s"""WITH base AS (SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+           |lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
+           |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    avg(CAST(dl AS DOUBLE)) AS avgdl FROM lens),
+           |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id, unnest(w) AS term FROM base)
+           |  WHERE term IN ($inList) GROUP BY 1, 2),
+           |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           |contrib AS (SELECT doc_id, term,
+           |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+           |      (tf * ${k1 + 1.0}) /
+           |      (tf + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE) / avgdl)) AS c
+           |  FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id)
+           |  CROSS JOIN stats)
+           |SELECT doc_id, round($total, 6) AS bm25,
+           |  CAST(count(*) AS BIGINT) AS n_terms
+           |FROM contrib GROUP BY 1 ORDER BY doc_id""".stripMargin
+      },
 
       "q104_salted_join" ->
         """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,

@@ -57,6 +57,59 @@ object Corpus {
         col("tf"), col("df"), round(col("tfidf"), 6).as("tfidf"))
   }
 
+  /** BM25 relevance of every document against a fixed query-term set —
+    * the retrieval scorer a RAG / eval-harness pipeline runs over a
+    * candidate corpus.
+    *
+    * score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+    *                        (tf(t,d) + k1·(1−b + b·|d|/avgdl)),
+    * idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))
+    * (Robertson–Spärck Jones, the non-negative Lucene form).
+    *
+    * Scale shape: the query-term set is tiny, so exploded tokens are
+    * filtered to it AT THE SCAN (map-side `isin` — the corpus
+    * vocabulary never shuffles, unlike [[tfidfTopTerms]] which must see
+    * every term); per-(doc, term) tf and per-term df are |docs|·|terms|-
+    * bounded; N and avgdl ride a broadcast 1-row aggregate. Cross-engine
+    * determinism: the per-doc total is summed in FIXED term order
+    * (one conditional-max per term, left-associated additions), never an
+    * order-dependent double SUM; doc-length sums are integer-exact in
+    * double. Docs matching no term are absent (score 0 by definition).
+    *
+    * Returns (id, bm25 round 6, n_terms = matched distinct terms). */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val terms = queryTerms.distinct
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+    val lens = base.select(col("id"), size(col("__t")).cast(LongType).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast(DoubleType)).as("avgdl"))
+    val tf = base
+      .select(col("id"), explode(col("__t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // df agg + scoring join both read it
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(lens, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        log(lit(1.0) + (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast(DoubleType) / col("avgdl"))))
+    contrib.groupBy("id").agg(
+      round(terms.map(t =>
+          coalesce(max(when(col("term") === t, col("c"))), lit(0.0)))
+        .reduce(_ + _), 6).as("bm25"),
+      count(lit(1)).as("n_terms"))
+  }
+
   /** Corpus n-gram table: every word n-gram occurring at least
     * `minCount` times, with its total occurrences and document
     * frequency — the backing table for LM-style features and n-gram

@@ -26,6 +26,39 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Top-k rows per group WITHOUT a per-group window funnel: a plain
+    * `row_number().over(partitionBy(group))` puts every row of one
+    * group in a single sort task — fatal when the group key is
+    * low-cardinality (5 event types over 10¹⁰ rows = 5 tasks). Two
+    * phases instead: rows first compete inside (group, salt) cells —
+    * `saltBuckets` bounded tasks per group, each emitting its own
+    * top-k — then only the ≤ k·saltBuckets survivors per group meet in
+    * the final (tiny) per-group window. A group's global top-k rows
+    * are top-k within their own salt cell, so the result is IDENTICAL
+    * to the single-window form (parity spec; q14's oracle replays the
+    * plain form unchanged).
+    *
+    * `orderCols` must totally order rows within a group (add a
+    * tie-break column) for a deterministic result; `saltCol` is any
+    * row-distinguishing column — salting hashes it, so results don't
+    * depend on partitioning. Output = input columns + `rank` (1-based
+    * within group). */
+  def topKPerGroup(df: DataFrame, groupCol: String, saltCol: org.apache.spark.sql.Column,
+                   k: Int, orderCols: Seq[org.apache.spark.sql.Column],
+                   saltBuckets: Int = 32): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(saltBuckets > 0, s"saltBuckets must be > 0, got $saltBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val salted = df.withColumn("__salt", pmod(xxhash64(saltCol), lit(saltBuckets)))
+    val w1 = Window.partitionBy(col(groupCol), col("__salt")).orderBy(orderCols: _*)
+    val cand = salted.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    cand.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .drop("__salt", "__r1")
+  }
+
   /** Top-N heaviest keys with their share of rows — the diagnostic to
     * decide whether salting (or AQE skew handling) is worth it. */
   def keySkewReport(df: DataFrame, key: String, topN: Int = 10): DataFrame = {

@@ -236,4 +236,25 @@ class CorpusSpec extends SparkSpec {
     assert(flat("small")._2 === 1.0)
     assert(math.abs(flat("big")._2 - 1.0 / 3) < 1e-6)
   }
+
+  test("bm25: matches the textbook formula on a hand-computed corpus") {
+    // docs lens: d1=4 d2=3 d3=4 d4=0; N=4, avgdl=11/4
+    // query {apple, date}: df(apple)=2 (d1,d3), df(date)=1 (d2)
+    val got = Corpus.bm25(docs, "id", "text", Seq("apple", "date"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val n = 4.0; val avgdl = 11.0 / 4.0; val k1 = 1.2; val b = 0.75
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def term(tf: Double, df: Double, dl: Double) =
+      idf(df) * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    def r6(x: Double) = math.round(x * 1e6) / 1e6.toDouble
+    assert(got(1L) === ((r6(term(2, 2, 4)), 1L)))             // apple x2
+    assert(got(2L) === ((r6(term(1, 1, 3)), 1L)))             // date x1
+    assert(got(3L) === ((r6(term(4, 2, 4)), 1L)))             // apple x4
+    assert(!got.contains(4L))                                 // no match -> absent
+    // more matched terms never hurt: a doc holding both query terms
+    val both = docs.union(Seq((5L, "apple date")).toDF("id", "text"))
+    val g5 = Corpus.bm25(both, "id", "text", Seq("apple", "date"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(g5(5L) === 2L)
+  }
 }

@@ -32,4 +32,28 @@ class SkewSpec extends SparkSpec {
     assert(top.getLong(1) === 900L)
     assert(math.abs(top.getDouble(2) - 0.9) < 1e-6)
   }
+
+  test("topKPerGroup equals the single-window top-k under 90% group skew") {
+    val rnd = new scala.util.Random(5)
+    // one group holds 90% of rows; values collide so tie-breaks matter
+    val rows = (0 until 5000).map { i =>
+      val g = if (i < 4500) "hot" else s"g${i % 7}"
+      (g, i.toLong, rnd.nextInt(40).toDouble)
+    }
+    val df = rows.toDF("grp", "uid", "v").repartition(8)
+    val order = Seq(org.apache.spark.sql.functions.desc("v"),
+      org.apache.spark.sql.functions.asc("uid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(order: _*)
+    val plain = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Skew.topKPerGroup(df, "grp", col("uid"), k = 5, orderCols = order)
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted === plain)
+    // k larger than some groups' sizes: short groups survive intact
+    val small = Skew.topKPerGroup(df.filter(col("grp") =!= "hot"), "grp",
+        col("uid"), k = 1000, orderCols = order)
+    assert(small.count() === 500)
+  }
 }
