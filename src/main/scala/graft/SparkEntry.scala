@@ -532,6 +532,20 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // --- hard-negative mining: top-k nearest neighbors with a
+    // DIFFERENT language label, the contrastive-training pair miner;
+    // label filter applied at the scan, per-partition heap top-k ---
+    "q116_hard_negatives" -> ((s, d) => {
+      val lang = t(s, d, "documents").select(col("doc_id").as("vec_id"), col("lang"))
+      val e = t(s, d, "embeddings").join(lang, "vec_id")
+      Similarity.hardNegatives(
+          e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", "lang", "vec_id", "embedding", "lang", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // --- salted skew join: result-invariant vs the plain join (the
     // oracle computes the plain join — identical output proves it) ---
     "q104_salted_join" -> ((s, d) => {
@@ -1798,6 +1812,18 @@ object SparkEntry {
            |  CAST(count(*) AS BIGINT) AS n_terms
            |FROM contrib GROUP BY 1 ORDER BY doc_id""".stripMargin
       },
+
+      "q116_hard_negatives" ->
+        """WITH lab AS (SELECT e.vec_id, e.embedding, d.lang
+          |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id)
+          |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank
+          |  FROM (SELECT * FROM lab WHERE vec_id < 10) q
+          |  JOIN lab c ON q.lang IS DISTINCT FROM c.lang)
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
       "q104_salted_join" ->
         """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,

@@ -123,6 +123,45 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar corpus vectors carrying a DIFFERENT
+    * label (near-miss negatives — the pairs that teach an embedding to
+    * discriminate, per the standard dense-retrieval recipe). Same
+    * mechanics as [[bruteForceTopKLarge]] — broadcast queries, ONE
+    * corpus scan, per-partition bounded heaps, |Q|·k·P-row final
+    * shuffle — with the label-mismatch predicate applied at the scan,
+    * before anything shuffles (a same-label corpus row costs one
+    * comparison, never a dot product). Null labels are treated as
+    * distinct from everything including each other (null-safe
+    * inequality), ties break toward the lower neighbor id. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    qId: String, qVec: String, qLabel: String,
+                    cId: String, cVec: String, cLabel: String,
+                    k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), col(qLabel).as("__ql"),
+        transform(col(qVec), _.cast("double")).as("__qv"))
+      .withColumn("__qn", normUdf(col("__qv")))
+      .hint("broadcast")
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cLabel).as("__cl"),
+        transform(col(cVec), _.cast("double")).as("__cv"))
+      .withColumn("__cn", normUdf(col("__cv")))
+    val scored = q.crossJoin(c)
+      .filter(!(col("__ql") <=> col("__cl")))
+      .withColumn("sim", pairSim(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .select("query_id", "neighbor_id", "sim")
+    val partial = scored
+      .groupBy(col("query_id"), spark_partition_id().as("__p"))
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("sim")).as("negSim"), col("neighbor_id")))), 1, k).as("heap"))
+      .select(col("query_id"), explode(col("heap")).as("h"))
+      .select(col("query_id"), col("h.neighbor_id").as("neighbor_id"),
+        (-col("h.negSim")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** IVF assignment: nearest centroid id for each vector. `centroids`
     * must be small (broadcast). Deterministic ties → lowest centroid id.
     * For numeric centroid ids the argmax runs as a max_by aggregation —

@@ -90,6 +90,30 @@ class SimilaritySpec extends SparkSpec {
     assert(kmRecall >= 0.9, s"kmeans recall $kmRecall")
   }
 
+  test("hardNegatives: nearest different-label neighbors only, heap form exact") {
+    // two tight label clusters + one near-miss cross-label vector: the
+    // nearest SAME-label vector must be skipped, the near-miss found
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), "en"),
+      (1L, Array(0.99f, 0.1f, 0.0f), "en"),   // closest overall — same label
+      (2L, Array(0.9f, 0.2f, 0.0f), "fr"),    // closest cross-label
+      (3L, Array(0.0f, 1.0f, 0.0f), "fr"),
+      (4L, Array(0.0f, 0.9f, 0.3f), "de"))
+      .toDF("id", "v", "lang").repartition(4)
+    val got = Similarity.hardNegatives(
+        vecs.filter(col("id") === 0), vecs,
+        "id", "v", "lang", "id", "v", "lang", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 1, 2L), (0L, 2, 3L)).map {
+      case (q, rk, n) => (q, rk, n) })
+    // ground truth vs a per-query filtered brute force
+    val truth = Similarity.bruteForceTopK(
+        vecs.filter(col("id") === 0), vecs.filter(col("lang") =!= "en"),
+        "id", "v", "id", "v", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === truth.toSeq)
+  }
+
   test("k-means centroids: reliable-checkpoint mode returns identical results") {
     val rnd = new scala.util.Random(3)
     val corpus = (0 until 60).map { i =>
