@@ -546,6 +546,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // --- token-budget selection per source: greedy fill of each
+    // source's budget in the content-permuted order; per-source
+    // cumulative sums from the shared prefix pass, no per-source
+    // window; output size is budget-bounded, scale-invariant ---
+    "q117_token_budget" -> ((s, d) =>
+      Corpus.tokenBudgetSample(t(s, d, "documents"), "doc_id", "text",
+          "source", budgetPerSource = 2000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // --- salted skew join: result-invariant vs the plain join (the
     // oracle computes the plain join — identical output proves it) ---
     "q104_salted_join" -> ((s, d) => {
@@ -1824,6 +1834,17 @@ object SparkEntry {
           |  FROM (SELECT * FROM lab WHERE vec_id < 10) q
           |  JOIN lab c ON q.lang IS DISTINCT FROM c.lang)
           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "q117_token_budget" ->
+        s"""WITH b AS (SELECT doc_id, source,
+           |    CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+           |    md5('budget0' || CAST(doc_id AS VARCHAR)) AS sk
+           |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+           |c AS (SELECT doc_id, source, n_tokens,
+           |    sum(n_tokens) OVER (PARTITION BY source ORDER BY sk, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM b)
+           |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+           |WHERE cum_tokens - n_tokens < 2000 ORDER BY doc_id""".stripMargin,
 
       "q104_salted_join" ->
         """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,

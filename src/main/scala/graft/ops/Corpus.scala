@@ -344,6 +344,47 @@ object Corpus {
       .drop("__sk")
   }
 
+  /** Deterministic token-budget selection per source — the other half
+    * of data mixing: not "what RATE do I keep" ([[mixtureWeights]]) but
+    * "WHICH documents fill each source's token budget". Documents are
+    * ordered inside their source by the content-keyed md5 permutation
+    * ([[shuffleShards]]'s ordering — unbiased, reproducible across
+    * partitionings and engines, a fresh draw per `seed`) and taken
+    * greedily while the source's running token total BEFORE the
+    * document is under the budget — so the boundary-crossing document
+    * is included and any budget > 0 yields at least one document per
+    * non-empty source.
+    *
+    * Windowless at scale: the per-source cumulative token sums come
+    * from ONE shared range-sort prefix pass plus |sources|-bounded
+    * offsets (the [[Drift.percentRankBy]] shape) — never a per-source
+    * sort task, so one dominant source cannot funnel the selection.
+    *
+    * Returns (id, source, n_tokens, cum_tokens incl. the doc). */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String, budgetPerSource: Long,
+                        seed: String = "budget0"): DataFrame = {
+    require(budgetPerSource > 0,
+      s"budgetPerSource must be > 0, got $budgetPerSource")
+    val base = df.filter(col(idCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(idCol).as("id"), col(sourceCol).as("src"),
+        TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+      .withColumn("__sk",
+        md5(concat(lit(seed), col("id").cast("string")).cast("binary")))
+      .localCheckpoint() // the prefix pass and the per-source totals both read it
+    val cum = Prefix.runningTotals(base, Seq("src", "__sk", "id"),
+      Seq("__cum" -> col("n_tokens")))
+    val stot = base.groupBy("src").agg(sum("n_tokens").as("__st"))
+    val soff = Prefix.runningTotals(stot, Seq("src"),
+      Seq("__scum" -> col("__st")))
+      .select(col("src"), (col("__scum") - col("__st")).as("__soff"))
+    cum.join(broadcast(soff), "src")
+      .withColumn("cum_tokens", col("__cum") - col("__soff"))
+      .filter(col("cum_tokens") - col("n_tokens") < budgetPerSource)
+      .select(col("id"), col("src").as("source"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
   /** Per-domain sampling rates that rebalance a corpus toward a target
     * mixture — the "what fraction of each source do I keep so the
     * training set is X% web / Y% code / Z% books" computation every

@@ -257,4 +257,29 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(g5(5L) === 2L)
   }
+
+  test("tokenBudgetSample: greedy per-source fill, deterministic, boundary doc kept") {
+    val corpus = Seq(
+      (1L, "a b c d e", "web"),    // 5 tokens each
+      (2L, "a b c d e", "web"),
+      (3L, "a b c d e", "web"),
+      (4L, "a b c d e", "code"),
+      (5L, "a b c d e", "code")
+    ).toDF("id", "text", "src")
+    // budget 7: first doc (5 tok) leaves cum=5 < 7 -> second doc starts
+    // under budget and is KEPT (crossing doc included); third exceeds
+    val got = Corpus.tokenBudgetSample(corpus, "id", "text", "src", 7L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val bySrc = got.values.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(bySrc === Map("web" -> 2, "code" -> 2))
+    got.values.foreach { case (_, n, cum) => assert(n === 5L && cum <= 10L) }
+    // determinism: same seed -> same picks; different seed may differ
+    val again = Corpus.tokenBudgetSample(corpus, "id", "text", "src", 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === got.keySet)
+    // budget 1 still yields one doc per source
+    val one = Corpus.tokenBudgetSample(corpus, "id", "text", "src", 1L)
+      .collect().map(r => r.getString(1)).groupBy(identity).view.mapValues(_.size).toMap
+    assert(one === Map("web" -> 1, "code" -> 1))
+  }
 }
