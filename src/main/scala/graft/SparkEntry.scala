@@ -442,19 +442,6 @@ object SparkEntry {
       val orders = t(s, d, "orders").select(col("o_custkey"), col("o_totalprice"))
       val cust = t(s, d, "customer")
         .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
-      // a PREVIOUS session's run leaves the managed location on disk
-      // while this session's catalog has never heard of the table —
-      // saveAsTable then refuses (LOCATION_ALREADY_EXISTS); drop both
-      // the catalog entry and any stale location first
-      Seq("graft_q111_orders", "graft_q111_cust").foreach { tbl =>
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(new java.io.File(wh, tbl))
-      }
       Bucketing.writeBucketed(orders, "graft_q111_orders", "o_custkey", 16)
       Bucketing.writeBucketed(cust, "graft_q111_cust", "o_custkey", 16)
       Bucketing.bucketedJoin(s, "graft_q111_orders", "graft_q111_cust", "o_custkey")
@@ -1751,9 +1738,10 @@ object SparkEntry {
       "q110_decontaminate_bloom" ->
         s"""WITH tfp AS (
            |  SELECT DISTINCT md5(array_to_string($toks, ' ')) AS fp
-           |  FROM documents WHERE doc_id % 10 = 0)
+           |  FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL)
            |SELECT doc_id, n_chars FROM documents
-           |WHERE md5(array_to_string($toks, ' ')) NOT IN (SELECT fp FROM tfp)
+           |WHERE md5(array_to_string($toks, ' ')) IS NULL
+           |   OR md5(array_to_string($toks, ' ')) NOT IN (SELECT fp FROM tfp)
            |ORDER BY doc_id""".stripMargin,
 
       "q111_bucketed_join" ->

@@ -20,9 +20,23 @@ object Bucketing {
 
   /** Write `df` as a bucketed (optionally sorted) parquet table. Bucket
     * metadata lives in the session catalog (`saveAsTable` — a plain
-    * path write cannot carry it). */
+    * path write cannot carry it).
+    *
+    * Idempotent across SESSIONS, not just within one: a previous
+    * session's run leaves the managed location on disk while the new
+    * session's catalog has never heard of the table, and `saveAsTable`
+    * then refuses with LOCATION_ALREADY_EXISTS. Both the catalog entry
+    * and any stale location are dropped first — through the session's
+    * Hadoop FileSystem, so non-local warehouses (hdfs://, s3a://) are
+    * cleaned the same way as file:// ones. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

@@ -25,8 +25,17 @@ import org.apache.spark.sql.DataFrame
 object Checkpoints {
 
   /** Cut lineage here: reliable when a checkpoint dir is configured,
-    * executor-local otherwise. */
+    * executor-local otherwise. The reliable path persists the frame
+    * before checkpointing — a bare `checkpoint()` materializes the plan
+    * once for the eager count and then RECOMPUTES it to write the
+    * checkpoint files (Spark's documented behavior); caching makes the
+    * second pass a block read. The cache is dropped as soon as the
+    * checkpoint exists — the returned frame reads checkpoint files. */
   def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = cached.checkpoint()
+      cached.unpersist(blocking = false)
+      out
+    } else df.localCheckpoint()
 }

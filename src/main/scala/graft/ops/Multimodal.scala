@@ -254,7 +254,10 @@ object Multimodal {
       }
     }
     walk(0, p.length, 0)
-    if (timescale <= 0 || duration < 0 || width <= 0 || height <= 0) None
+    // duration bound: a v1 u64 duration above Long.MaxValue/1000 would
+    // overflow the ms conversion into garbage — malformed, reject
+    if (timescale <= 0 || duration < 0 || duration > Long.MaxValue / 1000L ||
+        width <= 0 || height <= 0) None
     else Some(("video/mp4", width, height, duration * 1000L / timescale))
   }
 
@@ -340,7 +343,9 @@ object Multimodal {
     try {
       while (off < rawLen && !inf.finished()) {
         val n = inf.inflate(raw, off, rawLen - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // zero progress = truncated stream OR a preset-dictionary (FDICT)
+        // zlib header we can't serve — both must reject, not spin
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
         off += n
       }
     } catch {

@@ -108,8 +108,16 @@ object Similarity {
       .crossJoin(withNorm(corpus, cId, cVec, "neighbor_id", "__cv", "__cn"))
       .withColumn("sim", pairSim(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
       .select("query_id", "neighbor_id", "sim")
-    // partial top-k per shuffle partition via groupBy aggregation of a
-    // bounded sorted slice, then final exact top-k
+    topKFromScored(scored, k)
+  }
+
+  /** Shared tail of the heap-form top-k family: partial top-k per
+    * shuffle partition via a bounded sorted slice, then the final exact
+    * top-k over ≤ |Q|·k·P survivor rows. One definition so a tie-break
+    * or NaN-handling fix can never diverge between the plain and the
+    * label-filtered ([[hardNegatives]]) forms. Input: (query_id,
+    * neighbor_id, sim). */
+  private def topKFromScored(scored: DataFrame, k: Int): DataFrame = {
     val partial = scored
       .groupBy(col("query_id"), spark_partition_id().as("__p"))
       .agg(slice(array_sort(collect_list(struct(
@@ -131,9 +139,11 @@ object Similarity {
     * corpus scan, per-partition bounded heaps, |Q|·k·P-row final
     * shuffle — with the label-mismatch predicate applied at the scan,
     * before anything shuffles (a same-label corpus row costs one
-    * comparison, never a dot product). Null labels are treated as
-    * distinct from everything including each other (null-safe
-    * inequality), ties break toward the lower neighbor id. */
+    * comparison, never a dot product). Null labels compare null-safely:
+    * null equals null (two unlabeled rows are NOT negatives of each
+    * other) and differs from every real label — the SQL
+    * `IS DISTINCT FROM` semantics the oracle replays. Ties break
+    * toward the lower neighbor id. */
   def hardNegatives(queries: DataFrame, corpus: DataFrame,
                     qId: String, qVec: String, qLabel: String,
                     cId: String, cVec: String, cLabel: String,
@@ -149,17 +159,7 @@ object Similarity {
       .filter(!(col("__ql") <=> col("__cl")))
       .withColumn("sim", pairSim(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
       .select("query_id", "neighbor_id", "sim")
-    val partial = scored
-      .groupBy(col("query_id"), spark_partition_id().as("__p"))
-      .agg(slice(array_sort(collect_list(struct(
-        (-col("sim")).as("negSim"), col("neighbor_id")))), 1, k).as("heap"))
-      .select(col("query_id"), explode(col("heap")).as("h"))
-      .select(col("query_id"), col("h.neighbor_id").as("neighbor_id"),
-        (-col("h.negSim")).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
-    partial.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+    topKFromScored(scored, k)
   }
 
   /** IVF assignment: nearest centroid id for each vector. `centroids`

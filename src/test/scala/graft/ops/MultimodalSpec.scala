@@ -234,6 +234,48 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))          // the twins bucket together
   }
 
+  test("decodePngLuma rejects a preset-dictionary (FDICT) zlib stream instead of spinning") {
+    // valid PNG framing, IDAT = zlib header 0x78 0x20 (FDICT set, check
+    // bits valid: (0x78*256+0x20) % 31 == 0) + dict id + garbage; the
+    // inflater reports needsDictionary() with zero progress — must
+    // return None, not loop
+    val good = Multimodal.pngPixelFixture(4, 4, 0, 1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(good, 0, 33) // signature + IHDR chunk (8 + 25)
+    val idat = Array(0x78, 0x20, 0x01, 0x02, 0x03, 0x04, 0x55, 0x66).map(_.toByte)
+    def be32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    be32(idat.length); out.write("IDAT".getBytes("US-ASCII")); out.write(idat); be32(0)
+    be32(0); out.write("IEND".getBytes("US-ASCII")); be32(0)
+    assert(Multimodal.decodePngLuma(out.toByteArray) === None)
+  }
+
+  test("parseMp4Header rejects a v1 duration that would overflow the ms conversion") {
+    // hand-rolled ftyp + moov{mvhd v1} with duration 2^60: duration*1000
+    // wraps Long — must reject, not emit garbage metadata
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit = {
+      out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+      out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def be64(v: Long): Unit = { be32(v >>> 32); be32(v & 0xffffffffL) }
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    be32(16L); ascii("ftyp"); ascii("isom"); be32(0x200L)
+    // mvhd v1 payload: ver/flags 4 + times 16 + timescale 4 + duration 8
+    // + rate/vol/rsvd/matrix/predef/next 76 = 108 → box 116; moov 124
+    be32(124L); ascii("moov")
+    be32(116L); ascii("mvhd"); out.write(1); out.write(0); out.write(0); out.write(0)
+    be64(0L); be64(0L); be32(1000L); be64(1L << 60)
+    (0 until 19).foreach(_ => be32(0L))
+    // tkhd absent → width 0 rejects anyway, but the duration bound must
+    // trip FIRST on the Long arithmetic, not after a wrap
+    assert(Multimodal.parseMp4Header(out.toByteArray) === None)
+    // sane v0 fixture still parses (guard didn't over-reject)
+    assert(Multimodal.parseMp4Header(Multimodal.mp4Fixture(64, 64, 2000L)).isDefined)
+  }
+
   test("stubDecode matches the JVM-side ground truth of the oracle formula") {
     val (w, h, d) = Multimodal.stubDecode("hello".getBytes("UTF-8"))
     val digest = java.security.MessageDigest.getInstance("MD5").digest("hello".getBytes("UTF-8"))
