@@ -746,6 +746,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- containment join: ordered pairs where ≥90% of a's shingles
+    // appear in b — the quote/boilerplate-inclusion relation Jaccard
+    // misses; snippets (first 12 tokens) of the first 100 docs are
+    // injected so true containments exist, and the oracle brute-forces
+    // all pairs while this side joins prefixes only ---
+    "q118_containment_join" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 100)
+        .select("doc_id", "text")
+      val snip = docs.select((col("doc_id") + 20000).as("doc_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 12), " ").as("text"))
+      Dedup.containmentJoinPrefix(docs.unionByName(snip), "doc_id", "text",
+          minContainment = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("containment"), 6).as("containment"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- SemDeDup semantic dedup: k-means clusters bound the pair
     // space (Σ|cluster|² ≈ n²/k, cluster id = the one join key), CC
     // chains within-cluster near-dup pairs, lowest id survives ---
@@ -1632,6 +1648,26 @@ object SparkEntry {
            |JOIN sizes sa ON sa.doc_id = id_a
            |JOIN sizes sb ON sb.doc_id = id_b
            |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      "q118_containment_join" -> {
+        val sh = shinglesSql("text")
+        val toks = toksSql("text")
+        s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+           |snip AS (SELECT doc_id + 20000 AS doc_id,
+           |    array_to_string(list_slice($toks, 1, 12), ' ') AS text FROM base),
+           |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM snip),
+           |sh AS (SELECT doc_id, unnest($sh) AS s FROM corpus),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON b.s = a.s AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  round(CAST(i AS DOUBLE) / sa.sz, 6) AS containment
+           |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           |WHERE CAST(i AS DOUBLE) / sa.sz >= 0.9
            |ORDER BY id_a, id_b""".stripMargin
       },
 

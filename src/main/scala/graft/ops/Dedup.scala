@@ -365,6 +365,61 @@ object Dedup {
     verifyExactJaccard(sh, cand, minJaccard)
   }
 
+  /** EXACT containment self-join via the ASYMMETRIC prefix filter:
+    * every ORDERED pair (a, b), a ≠ b, with
+    * C(a in b) = |A∩B| / |A| ≥ `minContainment` — the relation Jaccard
+    * structurally misses: a tweet-sized document pasted inside a long
+    * page has tiny Jaccard but containment ≈ 1, and quote/boilerplate
+    * inclusion is exactly what a crawl-dedup pass needs to see. No
+    * false negatives; result bit-identical to brute force (the oracle
+    * replays all-pairs), only candidate generation changes.
+    *
+    * Asymmetric prefix theorem: with one global shingle order
+    * (ascending document frequency, ties by text), C(a in b) ≥ τ means
+    * a misses at most (1−τ)·|A| shingles from B, so among the first
+    * |A| − ⌈τ·|A|⌉ + 1 shingles of a (the SAME prefix length as the
+    * Jaccard filter) at least one is in B — but B contributes its FULL
+    * set to the join (containment puts no prefix on the containing
+    * side, and no upper size bound either; the only size pruning is
+    * |B| ≥ τ·|A|). Prefix side stays tiny for near-1 thresholds;
+    * frequency ordering keeps common-shingle buckets out of it.
+    * Shuffle payloads: shingles + ids, never documents. */
+  def containmentJoinPrefix(df: DataFrame, idCol: String, textCol: String,
+                            minContainment: Double, k: Int = 3): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1], got $minContainment")
+    val sh = df.select(col(idCol).as("id"),
+      explode(shinglesFast(col(textCol).cast("string"), k)).as("s"))
+      .localCheckpoint()
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    def relaxed(x: Column): Column = x - x * lit(1e-12) // ulp guard, as in jaccardJoinPrefix
+    val wRank = Window.partitionBy("id").orderBy(col("__df"), col("s"))
+    val ranked = sh.join(freq, "s").join(sizes, "id")
+      .withColumn("__rn", row_number().over(wRank))
+    val prefixA = ranked
+      .filter(col("__rn") <=
+        col("sz") - ceil(relaxed(lit(minContainment) * col("sz"))).cast("long") + 1)
+      .select(col("id").as("id_a"), col("s"), col("sz").as("sz_a"))
+    val fullB = ranked.select(col("id").as("id_b"), col("s"), col("sz").as("sz_b"))
+    val cand = prefixA.join(fullB,
+        prefixA("s") === fullB("s") && col("id_a") =!= col("id_b"))
+      .filter(relaxed(lit(minContainment) * col("sz_a")) <= col("sz_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // exact verification: |A∩B| / |A| on candidates only
+    val shB = sh.select(col("id").as("__idb"), col("s").as("__sb"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(shB, col("id_b") === col("__idb") && col("s") === col("__sb"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .withColumn("containment", col("inter").cast("double") / col("sz_a"))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Delegates to
     * the Similarity kernel; see there for the scale strategy. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,

@@ -245,4 +245,44 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("containment join: finds snippet-in-doc pairs Jaccard misses, brute-force exact") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon"),            // prefix of 1: contained
+      (3L, "totally different words everywhere here now"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")) // exact dup of 1
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentJoinPrefix(docs, "doc_id", "text", minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc 2 (3 shingles) fully inside 1 and 4; 1 and 4 mutually contained
+    assert(got.keySet === Set((2L, 1L), (2L, 4L), (1L, 4L), (4L, 1L)))
+    got.values.foreach(c => assert(c === 1.0))
+    // Jaccard at the same threshold misses the snippet pair entirely
+    val jac = Dedup.jaccardJoinPrefix(docs, "doc_id", "text", minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)))
+    assert(jac.contains((1L, 4L)))
+    // brute-force parity on a randomized corpus at a lower threshold
+    val rnd = new scala.util.Random(13)
+    val words = Vector("w0","w1","w2","w3","w4","w5","w6","w7","w8","w9","wa","wb")
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ").toSeq
+      if (t.size < 3) Set(t.mkString(" "))
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val brute = (for {
+      a <- texts.keys; b <- texts.keys; if a != b
+      sa = shingles(texts(a)); sb = shingles(texts(b))
+      c = sa.intersect(sb).size.toDouble / sa.size
+      if c >= 0.5
+    } yield (a, b) -> c).toMap
+    val fast = Dedup.containmentJoinPrefix(corpus, "doc_id", "text", minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(fast === brute)
+  }
 }
