@@ -56,6 +56,22 @@ object Multimodal {
   def parseImageHeader(p: Array[Byte]): Option[(String, Int, Int)] = {
     if (p == null || p.length < 4) return None
     def u(i: Int): Int = p(i) & 0xff
+    // GIF87a/89a: 6-byte signature then LE u16 logical-screen w/h
+    if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') {
+      val w = u(6) | (u(7) << 8)
+      val h = u(8) | (u(9) << 8)
+      return if (w > 0 && h > 0) Some(("image/gif", w, h)) else None
+    }
+    // BMP: "BM" + BITMAPINFOHEADER (size ≥ 40 at offset 14): LE i32 w/h
+    // at 18/22; height may be negative (top-down rows) — take |h|
+    if (p.length >= 26 && p(0) == 'B' && p(1) == 'M' &&
+        (u(14) | (u(15) << 8) | (u(16) << 16) | (u(17) << 24)) >= 40) {
+      val w = u(18) | (u(19) << 8) | (u(20) << 16) | (u(21) << 24)
+      val h = u(22) | (u(23) << 8) | (u(24) << 16) | (u(25) << 24)
+      return if (w > 0 && h != 0 && h != Int.MinValue)
+        Some(("image/bmp", w, math.abs(h))) else None
+    }
     if (p.length >= 24 &&
         u(0) == 0x89 && u(1) == 0x50 && u(2) == 0x4e && u(3) == 0x47 &&
         u(4) == 0x0d && u(5) == 0x0a && u(6) == 0x1a && u(7) == 0x0a &&

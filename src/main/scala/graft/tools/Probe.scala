@@ -299,6 +299,61 @@ object Probe {
             "embedding", 16 * m, 0.99, kmeansIterations = 2).count())
       }
     }
+    names.filter(_ == "r5ops-scalelaw").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      // growing text corpus: rotation generator (token-disjoint copy
+      // sets) as in `scalelaw`; growing embeddings: index-rotation
+      // isometry as in `r4ops-scalelaw`
+      val rotL = "abcdefghijklmnopqrstuvwxyz"
+      val rotD = "0123456789"
+      def docsAt(mult: Int): org.apache.spark.sql.DataFrame =
+        (0 until mult).map { m =>
+          val sh = rotL.drop(m % rotL.length) + rotL.take(m % rotL.length) +
+            rotD.drop(m % rotD.length) + rotD.take(m % rotD.length)
+          docs
+            .withColumn("doc_id", col("doc_id") + lit(m * 1000000L))
+            .withColumn("text", translate(lower(col("text")), rotL + rotD, sh))
+        }.reduce(_ unionByName _)
+      val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+      def embAt(mult: Int): org.apache.spark.sql.DataFrame =
+        (0 until mult).map { m =>
+          val r = m % dim
+          val rot =
+            if (r == 0) col("embedding")
+            else concat(slice(col("embedding"), r + 1, dim - r),
+              slice(col("embedding"), 1, r))
+          emb.withColumn("vec_id", col("vec_id") + lit(m * 1000000L))
+            .withColumn("embedding", rot)
+            .withColumn("lang",
+              concat(lit("l"), (col("vec_id") % 5).cast("string")))
+        }.reduce(_ unionByName _)
+      def time(tag: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val n = f
+        println(f"R5OPS-SCALELAW $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+      }
+      // warmup (untimed)
+      graft.ops.Dedup.containmentJoinPrefix(docsAt(1), "doc_id", "text", 0.9).count()
+      graft.ops.Corpus.bm25(docsAt(1), "doc_id", "text",
+        Seq("spark", "shuffle", "hash", "merge", "window")).count()
+      Seq(1, 4, 10).foreach { m =>
+        time(s"containment-join x$m")(
+          graft.ops.Dedup.containmentJoinPrefix(docsAt(m), "doc_id", "text", 0.9).count())
+        // query terms from copy-set 0's alphabet — at x10 the corpus
+        // vocabulary is ~10x but the matched-term row count is flat
+        time(s"bm25 x$m")(
+          graft.ops.Corpus.bm25(docsAt(m), "doc_id", "text",
+            Seq("spark", "shuffle", "hash", "merge", "window")).count())
+        time(s"token-budget x$m")(
+          graft.ops.Corpus.tokenBudgetSample(docsAt(m), "doc_id", "text",
+            "source", 2000L).count())
+        time(s"hard-negatives x$m")(
+          graft.ops.Similarity.hardNegatives(
+            embAt(1).filter(col("vec_id") < 10), embAt(m),
+            "vec_id", "embedding", "lang", "vec_id", "embedding", "lang", 5).count())
+      }
+    }
     names.filter(_ == "pairs-scalelaw").foreach { _ =>
       import org.apache.spark.sql.functions._
       val events = spark.read.parquet(s"$sfDir/events.parquet")

@@ -77,6 +77,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseImageHeader(bos.toByteArray) === Some(("image/png", 17, 23)))
   }
 
+  test("parseImageHeader reads GIF and BMP headers (imageio cross-check)") {
+    // GIF: hand-rolled header (LE u16 dims)
+    val gif = ("GIF89a".getBytes("US-ASCII") ++
+      Array(0x40, 0x01, 0xf0, 0x00).map(_.toByte)) // 320 x 240
+    assert(Multimodal.parseImageHeader(gif) === Some(("image/gif", 320, 240)))
+    assert(Multimodal.parseImageHeader("GIF89a".getBytes("US-ASCII")) === None)
+    // real encoders agree
+    for ((fmt, mime) <- Seq("gif" -> "image/gif", "bmp" -> "image/bmp")) {
+      val img = new java.awt.image.BufferedImage(33, 21,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      assert(Multimodal.parseImageHeader(bos.toByteArray) === Some((mime, 33, 21)), fmt)
+    }
+    // top-down BMP (negative height) reports |h|
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val bmp = bos.toByteArray
+    val negH = -6
+    bmp(22) = (negH & 0xff).toByte; bmp(23) = ((negH >> 8) & 0xff).toByte
+    bmp(24) = ((negH >> 16) & 0xff).toByte; bmp(25) = ((negH >> 24) & 0xff).toByte
+    assert(Multimodal.parseImageHeader(bmp) === Some(("image/bmp", 8, 6)))
+  }
+
   test("decode parses real image payloads and stubs the rest (mixed batch)") {
     val rows = Seq(
       (1L, Multimodal.pngFixture(800, 600)),
