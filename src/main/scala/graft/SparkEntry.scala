@@ -543,6 +543,31 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // --- FLAC twin of q106: md5-derived metadata serialized into real
+    // STREAMINFO headers, parsed back by the byte-level reader; rates
+    // are multiples of 8 kHz so samples = rate·durMs/1000 is exact and
+    // the duration round-trips to the millisecond ---
+    "q119_multimodal_flac" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val fix = udf { (text: String) =>
+        val dg = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        def u(i: Int) = dg(i) & 0xff
+        val rate = Array(8000, 16000, 32000, 48000)(u(0) % 4)
+        val channels = 1 + (u(1) % 2)
+        val durMs = 500L + (u(2) * 256L + u(3)) % 60000L
+        Multimodal.flacFixture(channels, rate, rate.toLong * durMs / 1000L)
+      }
+      val withP = docs.select(col("doc_id"), fix(col("text")).as("payload"))
+      Multimodal.decode(withP, "payload")
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          col("decoded.channels").as("channels"),
+          col("decoded.sample_rate").as("sample_rate"),
+          col("decoded.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     // --- salted skew join: result-invariant vs the plain join (the
     // oracle computes the plain join — identical output proves it) ---
     "q104_salted_join" -> ((s, d) => {
@@ -1869,6 +1894,15 @@ object SparkEntry {
            |      ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM b)
            |SELECT doc_id, source, n_tokens, cum_tokens FROM c
            |WHERE cum_tokens - n_tokens < 2000 ORDER BY doc_id""".stripMargin,
+
+      "q119_multimodal_flac" ->
+        s"""SELECT doc_id, CAST(42 AS BIGINT) AS n_bytes,
+           |  CAST(1 + ((${hd(3)} * 16 + ${hd(4)}) % 2) AS INT) AS channels,
+           |  CAST(CASE ((${hd(1)} * 16 + ${hd(2)}) % 4)
+           |    WHEN 0 THEN 8000 WHEN 1 THEN 16000
+           |    WHEN 2 THEN 32000 ELSE 48000 END AS INT) AS sample_rate,
+           |  CAST(500 + ((${hd(5)} * 16 + ${hd(6)}) * 256 + (${hd(7)} * 16 + ${hd(8)})) % 60000 AS BIGINT) AS duration_ms
+           |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
 
       "q104_salted_join" ->
         """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,

@@ -206,6 +206,59 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Parse audio metadata from a REAL FLAC header — the public layout:
+    * "fLaC" magic, then the mandatory first STREAMINFO metadata block
+    * (type 0, 34 bytes): after 10 bytes of block/frame sizes, a packed
+    * 64-bit field carries sample rate (20 bits), channels−1 (3),
+    * bits-per-sample−1 (5) and total samples (36). Returns
+    * (mime, channels, sampleRate, durationMs); None for anything that
+    * is not recognizable FLAC — same header-reader contract as
+    * [[parseWavHeader]] (audio frames never touched). */
+  def parseFlacHeader(p: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    if (p == null || p.length < 42) return None
+    if (!(p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C')) return None
+    def u(i: Int): Int = p(i) & 0xff
+    if ((u(4) & 0x7f) != 0) return None // first block must be STREAMINFO
+    val len = (u(5) << 16) | (u(6) << 8) | u(7)
+    if (len < 34) return None
+    val base = 8 + 10 // skip min/max blocksize (2+2) + min/max framesize (3+3)
+    val rate = (u(base) << 12) | (u(base + 1) << 4) | (u(base + 2) >>> 4)
+    val channels = ((u(base + 2) >>> 1) & 0x7) + 1
+    val totalSamples =
+      ((u(base + 3) & 0xf).toLong << 32) | (u(base + 4).toLong << 24) |
+        (u(base + 5).toLong << 16) | (u(base + 6).toLong << 8) | u(base + 7).toLong
+    if (rate <= 0) None
+    else Some(("audio/flac", channels, rate, totalSamples * 1000L / rate))
+  }
+
+  /** Minimal canonical FLAC header (42 bytes: magic + last-block
+    * STREAMINFO) declaring `totalSamples` at `sampleRate` — the FLAC
+    * twin of [[wavFixture]]. */
+  def flacFixture(channels: Int, sampleRate: Int, totalSamples: Long): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"bad channels $channels")
+    require(sampleRate > 0 && sampleRate < (1 << 20), s"bad rate $sampleRate")
+    require(totalSamples >= 0 && totalSamples < (1L << 36), s"bad samples $totalSamples")
+    val out = new Array[Byte](42)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    out(4) = 0x80.toByte // last-metadata-block flag + type 0 (STREAMINFO)
+    out(7) = 34          // block length
+    // min/max blocksize 4096 (spec minimum is 16; 4096 is the common value)
+    out(8) = 0x10; out(9) = 0x00; out(10) = 0x10; out(11) = 0x00
+    // min/max framesize 0 = unknown (bytes 12..17 stay zero)
+    val base = 18
+    out(base) = ((sampleRate >>> 12) & 0xff).toByte
+    out(base + 1) = ((sampleRate >>> 4) & 0xff).toByte
+    out(base + 2) = (((sampleRate & 0xf) << 4) | ((channels - 1) << 1) |
+      (15 >>> 4)).toByte // bps-1 = 15 (16-bit): top bit 0
+    out(base + 3) = (((15 & 0xf) << 4) | ((totalSamples >>> 32) & 0xf).toInt).toByte
+    out(base + 4) = ((totalSamples >>> 24) & 0xff).toByte
+    out(base + 5) = ((totalSamples >>> 16) & 0xff).toByte
+    out(base + 6) = ((totalSamples >>> 8) & 0xff).toByte
+    out(base + 7) = (totalSamples & 0xff).toByte
+    // md5 signature bytes 26..41 stay zero (unknown)
+    out
+  }
+
   /** Parse video metadata from a REAL MP4/ISO-BMFF header — the public
     * box layout (ISO/IEC 14496-12): big-endian u32 size + 4-char type,
     * `size==1` promoting to a 64-bit largesize, `size==0` meaning
@@ -531,7 +584,7 @@ object Multimodal {
         val payload = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
         val dec = parseImageHeader(payload) match {
           case Some((_, w, h)) => Row(w, h, null, null, null)
-          case None => parseWavHeader(payload) match {
+          case None => parseWavHeader(payload).orElse(parseFlacHeader(payload)) match {
             case Some((_, ch, rate, dur)) => Row(null, null, dur, ch, rate)
             case None => parseMp4Header(payload) match {
               case Some((_, w, h, dur)) => Row(w, h, dur, null, null)

@@ -154,6 +154,25 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L)._1.isDefined)             // stub fills a duration
   }
 
+  test("flac header: fixture round-trips, durations exact, garbage rejected") {
+    val flac = Multimodal.flacFixture(2, 48000, 48000L * 7 / 2) // 3.5 s stereo
+    assert(flac.length === 42)
+    assert(Multimodal.parseFlacHeader(flac) === Some(("audio/flac", 2, 48000, 3500L)))
+    // 36-bit sample counts survive
+    assert(Multimodal.parseFlacHeader(Multimodal.flacFixture(1, 8000, (1L << 35) + 8))
+      === Some(("audio/flac", 1, 8000, ((1L << 35) + 8) * 1000L / 8000)))
+    assert(Multimodal.parseFlacHeader("fLaCnope".getBytes("UTF-8")) === None)
+    assert(Multimodal.parseFlacHeader(flac.take(41)) === None)
+    val nonInfo = flac.clone(); nonInfo(4) = 0x84.toByte // first block type 4
+    assert(Multimodal.parseFlacHeader(nonInfo) === None)
+    // decode routes it down the audio column set
+    val got = Multimodal.decode(Seq((1L, flac)).toDF("id", "payload"), "payload")
+      .select(col("decoded.channels"), col("decoded.sample_rate"),
+        col("decoded.duration_ms"), col("decoded.width")).collect()(0)
+    assert((got.getInt(0), got.getInt(1), got.getLong(2), got.isNullAt(3))
+      === ((2, 48000, 3500L, true)))
+  }
+
   test("mp4 header: fixture round-trips, malformed boxes terminate, garbage rejected") {
     val mp4 = Multimodal.mp4Fixture(1920, 1080, 73500L)
     assert(mp4.length === 232)
