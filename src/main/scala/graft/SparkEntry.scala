@@ -787,6 +787,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- incremental near-dup admission: the daily-append shape —
+    // incoming shard tested against the PRIOR corpus's persisted
+    // sketch table (one long per historical doc; history text never
+    // re-read), then intra-shard near-dups collapse via CC ---
+    "q120_incremental_admit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val prior = docs.filter(col("doc_id") < 400)
+      val incoming = docs.filter(col("doc_id") >= 400)
+        .select("doc_id", "text", "n_chars")
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 30000).as("doc_id"),
+            concat(col("text"), lit(" nearmarker")).as("text"), col("n_chars")))
+      Dedup.admitIncremental(incoming, "doc_id", "text",
+          Dedup.sketchTable(prior, "doc_id", "text"))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // --- SemDeDup semantic dedup: k-means clusters bound the pair
     // space (Σ|cluster|² ≈ n²/k, cluster id = the one join key), CC
     // chains within-cluster near-dup pairs, lowest id survives ---
@@ -1695,6 +1713,35 @@ object SparkEntry {
            |WHERE CAST(i AS DOUBLE) / sa.sz >= 0.9
            |ORDER BY id_a, id_b""".stripMargin
       },
+
+      "q120_incremental_admit" ->
+        s"""WITH inc AS (
+           |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id >= 400
+           |  UNION ALL
+           |  SELECT doc_id + 30000, text || ' nearmarker', n_chars
+           |  FROM documents WHERE doc_id < 20),
+           |skp AS (SELECT doc_id AS id, CAST(${simhashIntSql(toks, 64)} AS BIGINT) AS h
+           |  FROM documents WHERE doc_id < 400),
+           |ski AS (SELECT doc_id AS id, CAST(${simhashIntSql(toks, 64)} AS BIGINT) AS h FROM inc),
+           |bp AS (SELECT id, h, b AS band, (h >> (b * 16)) & 65535 AS key
+           |  FROM skp CROSS JOIN range(4) t(b)),
+           |bi AS (SELECT id, h, b AS band, (h >> (b * 16)) & 65535 AS key
+           |  FROM ski CROSS JOIN range(4) t(b)),
+           |hit AS (SELECT DISTINCT l.id FROM bi l JOIN bp r
+           |  ON l.band = r.band AND l.key = r.key
+           |  WHERE bit_count(xor(l.h, r.h)) <= 3),
+           |fresh AS (SELECT id FROM ski WHERE id NOT IN (SELECT id FROM hit)),
+           |cand AS (SELECT DISTINCT l.id AS id_a, l.h AS h_a, r.id AS id_b, r.h AS h_b
+           |  FROM bi l JOIN bi r ON l.band = r.band AND l.key = r.key AND l.id < r.id
+           |  WHERE l.id IN (SELECT id FROM fresh) AND r.id IN (SELECT id FROM fresh)),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM cand
+           |      WHERE bit_count(xor(h_a, h_b)) <= 3),
+           |${ccRoundsSql(3)},
+           |todrop AS (SELECT id FROM v3 WHERE lbl <> id)
+           |SELECT i.doc_id, i.n_chars FROM inc i
+           |WHERE i.doc_id IN (SELECT id FROM fresh)
+           |  AND i.doc_id NOT IN (SELECT id FROM todrop)
+           |ORDER BY doc_id""".stripMargin,
 
       "q85_semantic_dedup" ->
         s"""WITH dup AS (SELECT * FROM ${withDupsSql("embeddings", "vec_id", 50, 10000)}),

@@ -484,6 +484,61 @@ object Dedup {
     train.join(contaminated, Seq(trainId), "left_anti")
   }
 
+  /** Persistable sketch table (id, h) — the state [[admitIncremental]]
+    * tests new shards against. Write it once per corpus snapshot (and
+    * append each admitted shard's sketches); daily admissions then
+    * never touch historical TEXT at all — the table is one long per
+    * document. nBits ≤ 64 (one word). */
+  def sketchTable(df: DataFrame, idCol: String, textCol: String,
+                  nBits: Int = 64): DataFrame = {
+    require(nBits >= 1 && nBits <= 64, s"nBits $nBits outside 1..64")
+    df.select(col(idCol).as("id"),
+      bitsToLong(TextAnalysis.simHashRow(col(textCol).cast("string"), nBits),
+        nBits).as("h"))
+  }
+
+  /** Incremental near-dup ADMISSION — the daily-append production
+    * shape: sketch ONLY the incoming shard, reject anything within
+    * Hamming `maxDist` of the persisted PRIOR sketch table
+    * ([[sketchTable]] — history is never re-read, let alone
+    * re-sketched; the band join runs on arithmetic keys cut from the
+    * stored word), then collapse the shard's internal near-dups to
+    * their lowest id (pairs → connected components, the
+    * [[dedupCorpus]] tail). Returns the admitted incoming rows; append
+    * `sketchTable(admitted)` to the prior table for the next shard.
+    * Same pigeonhole recall as [[simhashNearDup]] (guaranteed for
+    * maxDist < bands). Shuffle volume: O(|shard| · bands) keyed longs
+    * against the prior table's banded longs — independent of corpus
+    * TEXT size. */
+  def admitIncremental(incoming: DataFrame, idCol: String, textCol: String,
+                       priorSketches: DataFrame, maxDist: Int = 3,
+                       nBits: Int = 64, bands: Int = 4,
+                       ccRounds: Int = 3): DataFrame = {
+    require(nBits % bands == 0, s"bands $bands must divide nBits $nBits")
+    require(nBits <= 64, s"incremental admission keeps one word: nBits $nBits > 64")
+    val bandBits = nBits / bands
+    val mask = (1L << bandBits) - 1L
+    // band keys from the STORED word — must cut the same contiguous
+    // bit blocks as bandedSketch's substring form: band b is the
+    // MSB-first block [b·w, (b+1)·w), i.e. shift (nBits − (b+1)·w)
+    val bPrior = priorSketches.select(col("id").as("__pid"), col("h").as("__ph"))
+      .select(col("__pid"), col("__ph"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("__ph"), nBits - (b + 1) * bandBits)
+            .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+      .select(col("__pid"), col("__ph"),
+        col("bk.band").as("__pband"), col("bk.key").as("__pkey"))
+    val (bIn, _) = bandedSketch(incoming, idCol, textCol, nBits, bands)
+    val hit = bIn.as("l").join(bPrior,
+        col("l.band") === col("__pband") && col("l.key") === col("__pkey"))
+      .filter(bit_count(col("l.h").bitwiseXOR(col("__ph"))) <= maxDist)
+      .select(col("l.id").as(idCol)).distinct()
+    val fresh = incoming.join(hit, Seq(idCol), "left_anti")
+    keepRepresentatives(fresh, idCol,
+      simhashNearDup(fresh, idCol, textCol, maxDist, nBits, bands)
+        .select("id_a", "id_b"), ccRounds)
+  }
+
   /** MSB-first '0'/'1' string (≤ 64 chars) → signed 64-bit word.
     * conv(_, 2, 10) yields an unsigned decimal string, which overflows
     * a signed cast once bit 0 is set at 64 bits — so words wider than

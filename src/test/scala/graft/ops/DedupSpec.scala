@@ -285,4 +285,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(fast === brute)
   }
+
+  test("admitIncremental: prior near-dups rejected from sketches alone, shard dups collapse") {
+    val prior = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "completely different historical content about other things")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // = prior 1 -> rejected
+      (11L, "brand new fresh content one two three four"),
+      (12L, "brand new fresh content one two three four"),    // dup of 11 -> collapsed
+      (13L, "another unrelated incoming document entirely today")).toDF("doc_id", "text")
+    val admitted = Dedup.admitIncremental(incoming, "doc_id", "text",
+        Dedup.sketchTable(prior, "doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(11L, 13L))
+    // the sketch-table route rejects exactly what the text-based
+    // near-dup decontamination rejects (band-key parity)
+    val viaText = Dedup.decontaminateNearDup(incoming, "doc_id",
+        prior.select("text"), "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaText === Set(11L, 12L, 13L)) // cross-corpus half only
+  }
 }
