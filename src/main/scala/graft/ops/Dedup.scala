@@ -490,11 +490,26 @@ object Dedup {
     * never touch historical TEXT at all — the table is one long per
     * document. nBits ≤ 64 (one word). */
   def sketchTable(df: DataFrame, idCol: String, textCol: String,
-                  nBits: Int = 64): DataFrame = {
+                  nBits: Int = 64): DataFrame =
+    df.select(col(idCol).as("id"), sketchWord(col(textCol), nBits).as("h"))
+
+  /** One-word SimHash sketch as a pure Column expression — the kernel
+    * behind [[sketchTable]]; streams reuse it (no state, no UDF-side
+    * driver dependence). */
+  private[graft] def sketchWord(text: Column, nBits: Int): Column = {
     require(nBits >= 1 && nBits <= 64, s"nBits $nBits outside 1..64")
-    df.select(col(idCol).as("id"),
-      bitsToLong(TextAnalysis.simHashRow(col(textCol).cast("string"), nBits),
-        nBits).as("h"))
+    bitsToLong(TextAnalysis.simHashRow(text.cast("string"), nBits), nBits)
+  }
+
+  /** Band `b`'s key cut arithmetically from a stored sketch word —
+    * the same contiguous MSB-first bit block [[bandedSketch]] cuts
+    * from the bit string, so sketch-table routes and text routes
+    * always agree. */
+  private[graft] def bandKey(h: Column, nBits: Int, bands: Int, b: Int): Column = {
+    require(nBits % bands == 0, s"bands $bands must divide nBits $nBits")
+    val bandBits = nBits / bands
+    shiftrightunsigned(h, nBits - (b + 1) * bandBits)
+      .bitwiseAND(lit((1L << bandBits) - 1L))
   }
 
   /** Incremental near-dup ADMISSION — the daily-append production
@@ -516,16 +531,10 @@ object Dedup {
                        ccRounds: Int = 3): DataFrame = {
     require(nBits % bands == 0, s"bands $bands must divide nBits $nBits")
     require(nBits <= 64, s"incremental admission keeps one word: nBits $nBits > 64")
-    val bandBits = nBits / bands
-    val mask = (1L << bandBits) - 1L
-    // band keys from the STORED word — must cut the same contiguous
-    // bit blocks as bandedSketch's substring form: band b is the
-    // MSB-first block [b·w, (b+1)·w), i.e. shift (nBits − (b+1)·w)
     val bPrior = priorSketches.select(col("id").as("__pid"), col("h").as("__ph"))
       .select(col("__pid"), col("__ph"),
         explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-          shiftrightunsigned(col("__ph"), nBits - (b + 1) * bandBits)
-            .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+          bandKey(col("__ph"), nBits, bands, b).as("key"))): _*)).as("bk"))
       .select(col("__pid"), col("__ph"),
         col("bk.band").as("__pband"), col("bk.key").as("__pkey"))
     val (bIn, _) = bandedSketch(incoming, idCol, textCol, nBits, bands)

@@ -112,6 +112,38 @@ object StreamingProfile {
       .dropDuplicatesWithinWatermark("__sh")
       .drop("__sh")
 
+  /** Streaming twin of [[graft.ops.Dedup.admitIncremental]] — admit
+    * only stream rows that are NOT near-dups of the persisted corpus
+    * sketch table and not sketch-duplicates of an earlier stream row
+    * inside the watermark horizon. The prior check is `bands` chained
+    * stream-static LEFT ANTI joins (one per band key, static side
+    * broadcast per micro-batch — a refreshed sketch snapshot under the
+    * same view is picked up without restart), each carrying the full
+    * Hamming `maxDist` verify in its join condition; a row dropped by
+    * ANY band matches the batch route's any-band semantics exactly.
+    * The intra-stream stage is sketch-EQUALITY
+    * (`dropDuplicatesWithinWatermark` on the word — watermark state
+    * cannot hold band tables), the documented weaker-than-batch
+    * tolerance shared with [[streamingNearDup]]. */
+  def streamingAdmit(events: DataFrame, tsCol: String, textCol: String,
+                     priorSketches: DataFrame, maxDist: Int = 3,
+                     nBits: Int = 64, bands: Int = 4,
+                     watermark: String = "2 hours"): DataFrame = {
+    import graft.ops.Dedup
+    var cur = events.withColumn("__sh", Dedup.sketchWord(col(textCol), nBits))
+    for (b <- 0 until bands) {
+      val pb = priorSketches.select(
+        Dedup.bandKey(col("h"), nBits, bands, b).as("__pk"), col("h").as("__ph"))
+      cur = cur.join(org.apache.spark.sql.functions.broadcast(pb),
+        Dedup.bandKey(col("__sh"), nBits, bands, b) === col("__pk") &&
+          bit_count(col("__sh").bitwiseXOR(col("__ph"))) <= maxDist,
+        "left_anti")
+    }
+    cur.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sh")
+      .drop("__sh")
+  }
+
   /** Stream-static enrichment: each streaming row picks up its
     * dimension attributes via a broadcast hash join — Structured
     * Streaming re-plans the static side per micro-batch, so a dim

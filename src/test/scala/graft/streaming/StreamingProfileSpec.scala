@@ -236,4 +236,37 @@ class StreamingProfileSpec extends SparkSpec {
       assert(got === Set((1L, "adA"), (3L, "adC")))
     } finally q.stop()
   }
+
+  test("streamingAdmit: prior sketch-table near-dups rejected, stream dups suppressed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prior = Dedup_prior
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val q = StreamingProfile.streamingAdmit(df, "ts", "text", prior)
+      .writeStream.format("memory").queryName("adm")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (ts(0), "alpha beta gamma delta epsilon zeta eta theta"),   // = prior doc -> rejected
+        (ts(1), "brand new fresh content one two three four"),      // admitted
+        (ts(2), "brand new fresh content one two three four"),      // stream dup -> suppressed
+        (ts(3), "another unrelated incoming document entirely today")) // admitted
+      q.processAllAvailable()
+      val got = spark.table("adm").select("text").collect().map(_.getString(0)).toSet
+      assert(got === Set(
+        "brand new fresh content one two three four",
+        "another unrelated incoming document entirely today"))
+    } finally q.stop()
+  }
+
+  // the persisted corpus state streamingAdmit joins against
+  private lazy val Dedup_prior = {
+    import spark.implicits._
+    graft.ops.Dedup.sketchTable(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "completely different historical content about other things"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text")
+  }
 }
