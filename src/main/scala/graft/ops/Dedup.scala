@@ -286,26 +286,63 @@ object Dedup {
     verifyExactJaccard(sh, cand, minJaccard)
   }
 
-  /** Shared verification tail of the candidate-based Jaccard joins:
-    * exact |A∩B| / |A∪B| over the exploded (id, shingle) stream for the
-    * given (id_a, id_b) candidate pairs only, filtered at `minJaccard`.
-    * The intersection joins re-read `sh` — callers localCheckpoint it. */
-  private def verifyExactJaccard(sh: DataFrame, cand: DataFrame,
-                                 minJaccard: Double): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+  /** Exact |A∩B| per (id_a, id_b) candidate pair over the exploded
+    * (id, shingle) stream — the shared verification kernel of every
+    * candidate-based set join (Jaccard and containment apply their own
+    * measure on top). The joins re-read `sh` — callers checkpoint it. */
+  private def candIntersections(sh: DataFrame, cand: DataFrame): DataFrame = {
     val shB = sh.select(col("id").as("__idb"), col("s").as("__sb"))
-    val inter = cand
+    cand
       .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
       .join(shB, col("id_b") === col("__idb") && col("s") === col("__sb"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-    inter
+  }
+
+  /** Shared verification tail of the candidate-based Jaccard joins:
+    * exact |A∩B| / |A∪B| for the candidate pairs only, filtered at
+    * `minJaccard`. */
+  private def verifyExactJaccard(sh: DataFrame, cand: DataFrame,
+                                 minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    candIntersections(sh, cand)
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Shared input of the exact prefix-filter joins: the distinct
+    * (id, shingle) stream (checkpointed — every consumer reads it
+    * ≥ 2×), per-doc set sizes, and the stream ranked inside each doc by
+    * ascending GLOBAL document frequency (ties by shingle text) — the
+    * one total order both the Jaccard and the containment prefix
+    * theorems quantify over. */
+  private def rankedPrefixInput(df: DataFrame, idCol: String, textCol: String,
+                                k: Int): (DataFrame, DataFrame, DataFrame) = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shinglesFast(col(textCol).cast("string"), k)).as("s"))
+      .localCheckpoint()
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val wRank = Window.partitionBy("id").orderBy(col("__df"), col("s"))
+    val ranked = sh.join(freq, "s").join(sizes, "id")
+      .withColumn("__rn", row_number().over(wRank))
+    (sh, sizes, ranked)
+  }
+
+  /** τ·x shaved by a relative epsilon: double arithmetic can overshoot
+    * an exactly-reached integer boundary by one ulp
+    * (0.55·100 = 55.000000000000007), which would shorten a prefix or
+    * trip a size filter and DROP a true exact-threshold pair. The
+    * relaxation only ever ADMITS extra candidates; exact verification
+    * prunes them, so completeness is preserved. ONE definition for
+    * every prefix-filter operator. */
+  private def relaxedTau(tau: Double, x: Column): Column = {
+    val t = lit(tau) * x
+    t - t * lit(1e-12)
   }
 
   /** EXACT Jaccard similarity self-join via prefix filtering (the
@@ -337,29 +374,15 @@ object Dedup {
                         minJaccard: Double, k: Int = 3): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard")
-    val sh = df.select(col(idCol).as("id"),
-      explode(shinglesFast(col(textCol).cast("string"), k)).as("s"))
-      .localCheckpoint()
-    // document frequency per shingle (the stream is per-doc distinct)
-    val freq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    // τ·|x| in doubles can overshoot an exactly-reached integer
-    // boundary by one ulp (0.55·100 = 55.000000000000007), which would
-    // shorten the prefix / trip the size filter and DROP a true
-    // exact-threshold pair. Shave a relative epsilon first — the
-    // relaxation only ever ADMITS extra candidates, and the exact
-    // verification prunes those; completeness is preserved.
-    def relaxed(x: Column): Column = x - x * lit(1e-12)
-    val wRank = Window.partitionBy("id").orderBy(col("__df"), col("s"))
-    val prefix = sh.join(freq, "s").join(sizes, "id")
-      .withColumn("__rn", row_number().over(wRank))
+    val (sh, _, ranked) = rankedPrefixInput(df, idCol, textCol, k)
+    val prefix = ranked
       .filter(col("__rn") <=
-        col("sz") - ceil(relaxed(lit(minJaccard) * col("sz"))).cast("long") + 1)
+        col("sz") - ceil(relaxedTau(minJaccard, col("sz"))).cast("long") + 1)
       .select(col("id"), col("s"), col("sz"))
     val cand = prefix.as("l").join(prefix.as("r"),
         col("l.s") === col("r.s") && col("l.id") < col("r.id"))
-      .filter(relaxed(lit(minJaccard) * col("r.sz")) <= col("l.sz") &&
-        relaxed(lit(minJaccard) * col("l.sz")) <= col("r.sz"))
+      .filter(relaxedTau(minJaccard, col("r.sz")) <= col("l.sz") &&
+        relaxedTau(minJaccard, col("l.sz")) <= col("r.sz"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
     verifyExactJaccard(sh, cand, minJaccard)
@@ -388,32 +411,18 @@ object Dedup {
                             minContainment: Double, k: Int = 3): DataFrame = {
     require(minContainment > 0.0 && minContainment <= 1.0,
       s"minContainment must be in (0, 1], got $minContainment")
-    val sh = df.select(col(idCol).as("id"),
-      explode(shinglesFast(col(textCol).cast("string"), k)).as("s"))
-      .localCheckpoint()
-    val freq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    def relaxed(x: Column): Column = x - x * lit(1e-12) // ulp guard, as in jaccardJoinPrefix
-    val wRank = Window.partitionBy("id").orderBy(col("__df"), col("s"))
-    val ranked = sh.join(freq, "s").join(sizes, "id")
-      .withColumn("__rn", row_number().over(wRank))
+    val (sh, sizes, ranked) = rankedPrefixInput(df, idCol, textCol, k)
     val prefixA = ranked
       .filter(col("__rn") <=
-        col("sz") - ceil(relaxed(lit(minContainment) * col("sz"))).cast("long") + 1)
+        col("sz") - ceil(relaxedTau(minContainment, col("sz"))).cast("long") + 1)
       .select(col("id").as("id_a"), col("s"), col("sz").as("sz_a"))
     val fullB = ranked.select(col("id").as("id_b"), col("s"), col("sz").as("sz_b"))
     val cand = prefixA.join(fullB,
         prefixA("s") === fullB("s") && col("id_a") =!= col("id_b"))
-      .filter(relaxed(lit(minContainment) * col("sz_a")) <= col("sz_b"))
+      .filter(relaxedTau(minContainment, col("sz_a")) <= col("sz_b"))
       .select("id_a", "id_b")
       .distinct()
-    // exact verification: |A∩B| / |A| on candidates only
-    val shB = sh.select(col("id").as("__idb"), col("s").as("__sb"))
-    cand
-      .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
-      .join(shB, col("id_b") === col("__idb") && col("s") === col("__sb"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
+    candIntersections(sh, cand) // exact |A∩B| / |A| on candidates only
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .withColumn("containment", col("inter").cast("double") / col("sz_a"))
       .filter(col("containment") >= minContainment)
@@ -508,7 +517,11 @@ object Dedup {
   private[graft] def bandKey(h: Column, nBits: Int, bands: Int, b: Int): Column = {
     require(nBits % bands == 0, s"bands $bands must divide nBits $nBits")
     val bandBits = nBits / bands
-    shiftrightunsigned(h, nBits - (b + 1) * bandBits)
+    // bands == 1: the key IS the word. The masked form would compute
+    // (1L << 64) - 1 = 0 (Scala shifts mod 64) and zero every key —
+    // silently admitting near-dups of the prior corpus.
+    if (bandBits == 64) h
+    else shiftrightunsigned(h, nBits - (b + 1) * bandBits)
       .bitwiseAND(lit((1L << bandBits) - 1L))
   }
 
@@ -541,11 +554,19 @@ object Dedup {
     val hit = bIn.as("l").join(bPrior,
         col("l.band") === col("__pband") && col("l.key") === col("__pkey"))
       .filter(bit_count(col("l.h").bitwiseXOR(col("__ph"))) <= maxDist)
-      .select(col("l.id").as(idCol)).distinct()
-    val fresh = incoming.join(hit, Seq(idCol), "left_anti")
-    keepRepresentatives(fresh, idCol,
-      simhashNearDup(fresh, idCol, textCol, maxDist, nBits, bands)
-        .select("id_a", "id_b"), ccRounds)
+      .select(col("l.id").as("id")).distinct()
+    // intra-shard pairs REUSE the checkpointed banded sketches (the
+    // md5-per-token sketch is the dominant map cost — never pay it
+    // twice for one shard): band self-join over surviving rows only
+    val bFresh = bIn.join(hit, Seq("id"), "left_anti")
+    val pairs = bFresh.as("l").join(bFresh.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
+      .filter(hammingDist(Seq("h"), "l", "r") <= maxDist)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val fresh = incoming.join(hit.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    keepRepresentatives(fresh, idCol, pairs, ccRounds)
   }
 
   /** MSB-first '0'/'1' string (≤ 64 chars) → signed 64-bit word.

@@ -45,14 +45,15 @@ object Multimodal {
 
   /** Parse image dimensions from REAL payload headers — the public
     * byte layouts of PNG (8-byte signature, then the mandatory first
-    * IHDR chunk: width/height as big-endian u32 at offsets 16/20) and
+    * IHDR chunk: width/height as big-endian u32 at offsets 16/20),
     * JPEG (SOI, then a marker-segment walk to the first SOFn frame
-    * header: height/width as big-endian u16 at segment offsets 5/7).
-    * Returns (mime, width, height); None for anything that is not a
-    * recognizable image — callers fall back to [[stubDecode]], keeping
-    * the swappable-codec contract for modalities whose libraries are
-    * genuinely absent (audio/video). CRCs are not validated — this is
-    * a header reader, not a verifier. */
+    * header: height/width as big-endian u16 at segment offsets 5/7),
+    * GIF87a/89a (LE u16 logical-screen dims at offsets 6/8) and BMP
+    * (BITMAPINFOHEADER: LE i32 dims at 18/22, top-down negative
+    * heights normalized to |h|). Returns (mime, width, height); None
+    * for anything that is not a recognizable image — callers fall back
+    * to [[stubDecode]]. CRCs are not validated — this is a header
+    * reader, not a verifier. */
   def parseImageHeader(p: Array[Byte]): Option[(String, Int, Int)] = {
     if (p == null || p.length < 4) return None
     def u(i: Int): Int = p(i) & 0xff
@@ -561,14 +562,14 @@ object Multimodal {
   }
 
   /** Batch decode pass over `mapPartitions` — payloads streamed, output
-    * schema fixed. Recognized image headers (PNG/JPEG) parse for REAL
-    * via [[parseImageHeader]] (duration/channels/rate null — images
-    * have none); recognized PCM WAV headers parse for REAL via
-    * [[parseWavHeader]] (width/height null); recognized MP4 headers
-    * parse for REAL via [[parseMp4Header]] (channels/rate null); only
-    * unrecognized formats fall back to the deterministic [[stubDecode]]
-    * stand-in. This remains the slot where further codecs drop in per
-    * partition. */
+    * schema fixed. Recognized image headers (PNG/JPEG/GIF/BMP) parse
+    * for REAL via [[parseImageHeader]] (duration/channels/rate null —
+    * images have none); recognized audio headers parse for REAL via
+    * [[parseWavHeader]] then [[parseFlacHeader]] (width/height null);
+    * recognized MP4 headers parse for REAL via [[parseMp4Header]]
+    * (channels/rate null); only unrecognized formats fall back to the
+    * deterministic [[stubDecode]] stand-in. This remains the slot
+    * where further codecs drop in per partition. */
   def decode(df: DataFrame, binCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("decoded", StructType(Seq(

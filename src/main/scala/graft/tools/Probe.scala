@@ -4,6 +4,45 @@ import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc local timing probe (not part of the driver contract). */
 object Probe {
+
+  // shared growing-corpus generators for the scale-law probes: each
+  // copy-set is fully token-disjoint (per-set alphabet+digit rotation
+  // over LOWERCASED text — a prefix alone leaves copies ~95%
+  // Jaccard-similar), so the corpus GROWS with new content instead of
+  // stacking near-dups; embeddings rotate indices (an isometry:
+  // within-set pairwise cosines preserved, directions generic vs other
+  // sets). The id offset 1000000L keys the copy-set and must stay in
+  // sync everywhere — hence ONE definition.
+  private val rotL = "abcdefghijklmnopqrstuvwxyz"
+  private val rotD = "0123456789"
+  private def rotatedDocs(docs: org.apache.spark.sql.DataFrame, mult: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    (0 until mult).map { m =>
+      val sh = rotL.drop(m % rotL.length) + rotL.take(m % rotL.length) +
+        rotD.drop(m % rotD.length) + rotD.take(m % rotD.length)
+      docs
+        .withColumn("doc_id", col("doc_id") + lit(m * 1000000L))
+        .withColumn("text", translate(lower(col("text")), rotL + rotD, sh))
+    }.reduce(_ unionByName _)
+  }
+  private def rotatedEmb(emb: org.apache.spark.sql.DataFrame, dim: Int, mult: Int,
+                         withLang: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    (0 until mult).map { m =>
+      val r = m % dim
+      val rot =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dim - r),
+          slice(col("embedding"), 1, r))
+      val base = emb.withColumn("vec_id", col("vec_id") + lit(m * 1000000L))
+        .withColumn("embedding", rot)
+      if (withLang)
+        base.withColumn("lang", concat(lit("l"), (col("vec_id") % 5).cast("string")))
+      else base
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = args.drop(1)
@@ -153,16 +192,7 @@ object Probe {
       // tokenizer lowercases): the corpus GROWS with new content
       // instead of stacking near-dups, so timing reflects scaling, not
       // quadratic duplicate-pair volume
-      val rotL = "abcdefghijklmnopqrstuvwxyz"
-      val rotD = "0123456789"
-      def at(mult: Int): org.apache.spark.sql.DataFrame =
-        (0 until mult).map { m =>
-          val sh = rotL.drop(m % rotL.length) + rotL.take(m % rotL.length) +
-            rotD.drop(m % rotD.length) + rotD.take(m % rotD.length)
-          docs
-            .withColumn("doc_id", col("doc_id") + lit(m * 1000000L))
-            .withColumn("text", translate(lower(col("text")), rotL + rotD, sh))
-        }.reduce(_ unionByName _)
+      def at(mult: Int): org.apache.spark.sql.DataFrame = rotatedDocs(docs, mult)
       // untimed warmup so x1 isn't charged for JIT/codegen compilation
       graft.ops.Dedup.lshJaccardDedup(at(1), "doc_id", "text",
         numHashes = 16, bands = 4, k = 3, minJaccard = 0.8).count()
@@ -184,16 +214,7 @@ object Probe {
       // fully distinct tokens (alphabet+digit rotation over lowercased
       // text) so candidate growth measures random band collisions, not
       // genuine near-dup volume
-      val rotL = "abcdefghijklmnopqrstuvwxyz"
-      val rotD = "0123456789"
-      def at(mult: Int): org.apache.spark.sql.DataFrame =
-        (0 until mult).map { m =>
-          val sh = rotL.drop(m % rotL.length) + rotL.take(m % rotL.length) +
-            rotD.drop(m % rotD.length) + rotD.take(m % rotD.length)
-          docs
-            .withColumn("doc_id", col("doc_id") + lit(m * 1000000L))
-            .withColumn("text", translate(lower(col("text")), rotL + rotD, sh))
-        }.reduce(_ unionByName _)
+      def at(mult: Int): org.apache.spark.sql.DataFrame = rotatedDocs(docs, mult)
       graft.ops.Dedup.simhashCandidates(at(1), "doc_id", "text", 64, 4).count() // warmup
       Seq(32, 64).foreach { nb =>
         Seq(1, 4, 10).foreach { m =>
@@ -210,16 +231,7 @@ object Probe {
         .select(col("event_id"), col("value"))
       // growing corpus: same rotation generator as `scalelaw` (each
       // copy-set fully token-disjoint, so vocab grows with the data)
-      val rotL = "abcdefghijklmnopqrstuvwxyz"
-      val rotD = "0123456789"
-      def docsAt(mult: Int): org.apache.spark.sql.DataFrame =
-        (0 until mult).map { m =>
-          val sh = rotL.drop(m % rotL.length) + rotL.take(m % rotL.length) +
-            rotD.drop(m % rotD.length) + rotD.take(m % rotD.length)
-          docs
-            .withColumn("doc_id", col("doc_id") + lit(m * 1000000L))
-            .withColumn("text", translate(lower(col("text")), rotL + rotD, sh))
-        }.reduce(_ unionByName _)
+      def docsAt(mult: Int): org.apache.spark.sql.DataFrame = rotatedDocs(docs, mult)
       // growing events: distinct values grow with the data (the KS /
       // histogram cost driver is |distinct|, not rows)
       def evAt(mult: Int): org.apache.spark.sql.DataFrame =
@@ -253,32 +265,14 @@ object Probe {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       // growing text corpus: same rotation generator as `scalelaw`
-      val rotL = "abcdefghijklmnopqrstuvwxyz"
-      val rotD = "0123456789"
-      def docsAt(mult: Int): org.apache.spark.sql.DataFrame =
-        (0 until mult).map { m =>
-          val sh = rotL.drop(m % rotL.length) + rotL.take(m % rotL.length) +
-            rotD.drop(m % rotD.length) + rotD.take(m % rotD.length)
-          docs
-            .withColumn("doc_id", col("doc_id") + lit(m * 1000000L))
-            .withColumn("text", translate(lower(col("text")), rotL + rotD, sh))
-        }.reduce(_ unionByName _)
+      def docsAt(mult: Int): org.apache.spark.sql.DataFrame = rotatedDocs(docs, mult)
       // growing embedding corpus: copy-set m rotates each vector by m
       // positions — an isometry (within-set pairwise cosines preserved
       // exactly) whose directions are generic vs other sets, so no
       // cross-set near-dups are manufactured and pair volume measures
       // scaling, not duplicate stacking
       val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
-      def embAt(mult: Int): org.apache.spark.sql.DataFrame =
-        (0 until mult).map { m =>
-          val r = m % dim
-          val rot =
-            if (r == 0) col("embedding")
-            else concat(slice(col("embedding"), r + 1, dim - r),
-              slice(col("embedding"), 1, r))
-          emb.withColumn("vec_id", col("vec_id") + lit(m * 1000000L))
-            .withColumn("embedding", rot)
-        }.reduce(_ unionByName _)
+      def embAt(mult: Int): org.apache.spark.sql.DataFrame = rotatedEmb(emb, dim, mult)
       def time(tag: String)(f: => Long): Unit = {
         val t0 = System.nanoTime(); val n = f
         println(f"R4OPS-SCALELAW $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
@@ -306,29 +300,9 @@ object Probe {
       // growing text corpus: rotation generator (token-disjoint copy
       // sets) as in `scalelaw`; growing embeddings: index-rotation
       // isometry as in `r4ops-scalelaw`
-      val rotL = "abcdefghijklmnopqrstuvwxyz"
-      val rotD = "0123456789"
-      def docsAt(mult: Int): org.apache.spark.sql.DataFrame =
-        (0 until mult).map { m =>
-          val sh = rotL.drop(m % rotL.length) + rotL.take(m % rotL.length) +
-            rotD.drop(m % rotD.length) + rotD.take(m % rotD.length)
-          docs
-            .withColumn("doc_id", col("doc_id") + lit(m * 1000000L))
-            .withColumn("text", translate(lower(col("text")), rotL + rotD, sh))
-        }.reduce(_ unionByName _)
+      def docsAt(mult: Int): org.apache.spark.sql.DataFrame = rotatedDocs(docs, mult)
       val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
-      def embAt(mult: Int): org.apache.spark.sql.DataFrame =
-        (0 until mult).map { m =>
-          val r = m % dim
-          val rot =
-            if (r == 0) col("embedding")
-            else concat(slice(col("embedding"), r + 1, dim - r),
-              slice(col("embedding"), 1, r))
-          emb.withColumn("vec_id", col("vec_id") + lit(m * 1000000L))
-            .withColumn("embedding", rot)
-            .withColumn("lang",
-              concat(lit("l"), (col("vec_id") % 5).cast("string")))
-        }.reduce(_ unionByName _)
+      def embAt(mult: Int): org.apache.spark.sql.DataFrame = rotatedEmb(emb, dim, mult, withLang = true)
       def time(tag: String)(f: => Long): Unit = {
         val t0 = System.nanoTime(); val n = f
         println(f"R5OPS-SCALELAW $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
