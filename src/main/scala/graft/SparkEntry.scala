@@ -568,6 +568,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- URL decomposition round-trip: md5-derived URLs assembled by
+    // concat, decomposed by Spark's REAL parse_url grammar; the oracle
+    // re-assembles the expected components from the same hex digits
+    // without ever parsing — a genuine parser check ---
+    "q121_url_parse" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val h = md5(col("text").cast("binary"))
+      val tld = element_at(array(lit("com"), lit("org"), lit("net"), lit("io")),
+        (conv(substring(h, 13, 1), 16, 10).cast("int") % 4) + 1)
+      val deep = conv(substring(h, 14, 1), 16, 10).cast("int") % 2 === 0
+      val path = when(deep,
+          concat(lit("/p"), substring(h, 7, 2), lit("/q"), substring(h, 9, 2)))
+        .otherwise(concat(lit("/p"), substring(h, 7, 2)))
+      val url = concat(lit("https://h"), substring(h, 1, 6), lit("."), tld,
+        path, lit("?x="), substring(h, 11, 2))
+      docs.select(col("doc_id"), TextAnalysis.urlParts(url).as("u"))
+        .select(col("doc_id"), col("u.host").as("host"), col("u.tld").as("tld"),
+          col("u.path").as("path"), col("u.depth").as("depth"),
+          col("u.query").as("query"))
+        .orderBy("doc_id")
+    }),
+
     // --- salted skew join: result-invariant vs the plain join (the
     // oracle computes the plain join — identical output proves it) ---
     "q104_salted_join" -> ((s, d) => {
@@ -1950,6 +1972,22 @@ object SparkEntry {
            |    WHEN 2 THEN 32000 ELSE 48000 END AS INT) AS sample_rate,
            |  CAST(500 + ((${hd(5)} * 16 + ${hd(6)}) * 256 + (${hd(7)} * 16 + ${hd(8)})) % 60000 AS BIGINT) AS duration_ms
            |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+      "q121_url_parse" ->
+        """WITH b AS (SELECT doc_id, md5(text) AS h,
+          |    CASE (instr('0123456789abcdef', substr(md5(text), 13, 1)) - 1) % 4
+          |      WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net'
+          |      ELSE 'io' END AS tld,
+          |    (instr('0123456789abcdef', substr(md5(text), 14, 1)) - 1) % 2 = 0 AS deep
+          |  FROM documents WHERE text IS NOT NULL)
+          |SELECT doc_id,
+          |  'h' || substr(h, 1, 6) || '.' || tld AS host,
+          |  tld,
+          |  CASE WHEN deep THEN '/p' || substr(h, 7, 2) || '/q' || substr(h, 9, 2)
+          |       ELSE '/p' || substr(h, 7, 2) END AS path,
+          |  CAST(CASE WHEN deep THEN 2 ELSE 1 END AS INT) AS depth,
+          |  'x=' || substr(h, 11, 2) AS query
+          |FROM b ORDER BY doc_id""".stripMargin,
 
       "q104_salted_join" ->
         """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,

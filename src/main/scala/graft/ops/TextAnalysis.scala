@@ -282,4 +282,21 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(regexp_replace(c, TagPattern, " "), UrlPattern, " "),
       "\\s+", " "))
+
+  /** Structured URL decomposition for web-corpus curation — the fields
+    * host-level dedup, blocklists, and per-domain mixing key on:
+    * (host, tld, path, depth, query). Built on Spark's native
+    * `try_parse_url` expression (the real URI grammar, null on invalid) plus
+    * regexp tld extraction; path depth counts non-empty segments.
+    * Null/unparseable inputs yield null fields (parse_url semantics). */
+  def urlParts(url: Column): Column = {
+    val host = try_parse_url(url, lit("HOST"))
+    val path = try_parse_url(url, lit("PATH"))
+    struct(
+      host.as("host"),
+      lower(regexp_extract(host, "\\.([A-Za-z0-9-]+)$", 1)).as("tld"),
+      path.as("path"),
+      size(filter(split(path, "/"), s => s =!= "")).as("depth"),
+      try_parse_url(url, lit("QUERY")).as("query"))
+  }
 }

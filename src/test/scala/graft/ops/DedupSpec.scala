@@ -306,4 +306,18 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(viaText === Set(11L, 12L, 13L)) // cross-corpus half only
   }
+
+  test("admitIncremental at bands=1: exact prior sketch-dups still rejected (mask regression)") {
+    // (1L << 64) - 1 == 0 in Scala: the single-band key must be the
+    // word itself, not a zero mask that admits everything
+    val prior = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact sketch dup
+      (11L, "entirely new content for the incoming shard")).toDF("doc_id", "text")
+    val admitted = Dedup.admitIncremental(incoming, "doc_id", "text",
+        Dedup.sketchTable(prior, "doc_id", "text"),
+        maxDist = 0, nBits = 64, bands = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(11L))
+  }
 }

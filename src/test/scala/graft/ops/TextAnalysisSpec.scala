@@ -84,4 +84,25 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(viaRow16 === via16)
   }
+
+  test("urlParts decomposes real URLs; junk yields null fields") {
+    val rows = Seq(
+      "https://www.example.com/a/b/c?x=1&y=2",
+      "http://sub.domain.io/",
+      "https://host.net",
+      "not a url at all").toDF("url")
+      .select(col("url"), TextAnalysis.urlParts(col("url")).as("u"))
+      .select(col("u.host"), col("u.tld"), col("u.path"), col("u.depth"), col("u.query"))
+      .collect()
+    assert(rows(0).getString(0) === "www.example.com")
+    assert(rows(0).getString(1) === "com")
+    assert(rows(0).getString(2) === "/a/b/c")
+    assert(rows(0).getInt(3) === 3)
+    assert(rows(0).getString(4) === "x=1&y=2")
+    assert(rows(1).getString(0) === "sub.domain.io")
+    assert(rows(1).getString(1) === "io")
+    assert(rows(1).getInt(3) === 0)
+    assert(rows(2).getString(2) === "")       // no path
+    assert(rows(3).isNullAt(0))               // unparseable -> null host
+  }
 }
