@@ -590,6 +590,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- time travel: per-key state AS OF a timestamp from the event
+    // changelog — one max_by aggregation, |keys|-row shuffle however
+    // deep the history (never a per-key window over all changes) ---
+    "q122_asof_snapshot" -> ((s, d) =>
+      Snapshot.asOf(t(s, d, "events"), "user_id", "ts", "event_id",
+          Seq("event_type", "value"), lit("2024-01-15 00:00:00").cast("timestamp"))
+        .orderBy("user_id")),
+
     // --- salted skew join: result-invariant vs the plain join (the
     // oracle computes the plain join — identical output proves it) ---
     "q104_salted_join" -> ((s, d) => {
@@ -1988,6 +1996,15 @@ object SparkEntry {
           |  CAST(CASE WHEN deep THEN 2 ELSE 1 END AS INT) AS depth,
           |  'x=' || substr(h, 11, 2) AS query
           |FROM b ORDER BY doc_id""".stripMargin,
+
+      "q122_asof_snapshot" ->
+        """SELECT user_id, ts, event_id, event_type, value FROM (
+          |  SELECT user_id, ts, event_id, event_type, value,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events
+          |  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' AND user_id IS NOT NULL)
+          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
       "q104_salted_join" ->
         """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,

@@ -19,6 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
+  /** TIME TRAVEL: reconstruct per-key state as of `asOf` from an
+    * append-only changelog — the lakehouse "AS OF" read expressed as
+    * ONE keyed aggregation: filter to changes at or before the
+    * timestamp, then `max_by` the payload struct on (ts, seq). The
+    * map-side combine keeps one candidate row per (partition, key), so
+    * the shuffle carries |keys| rows no matter how deep the history —
+    * unlike the per-key window form, which ships every historical
+    * change to the key's task. `seqCol` breaks ts ties
+    * deterministically (changelogs batch at the same timestamp).
+    * Output: key + ts + seq + payloadCols of the winning change. */
+  def asOf(changelog: org.apache.spark.sql.DataFrame, keyCol: String,
+           tsCol: String, seqCol: String, payloadCols: Seq[String],
+           asOf: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val carried = tsCol +: seqCol +: payloadCols
+    changelog
+      .filter(col(tsCol) <= asOf && col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max_by(struct(carried.map(col): _*),
+        struct(col(tsCol), col(seqCol))).as("__s"))
+      .select(col(keyCol) +: carried.map(c => col(s"__s.$c").as(c)): _*)
+  }
+
   /** Row-level delta between `oldDf` and `newDf`, keyed by `keyCols`.
     *
     * Output: the key columns plus `change` ∈

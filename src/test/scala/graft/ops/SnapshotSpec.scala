@@ -95,4 +95,23 @@ class SnapshotSpec extends SparkSpec {
       (1L, 30L, None, true),
       (2L, 15L, None, true)))
   }
+
+  test("asOf reconstructs per-key state at a timestamp with deterministic tie-break") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "created", 10.0),
+      (1L, ts("2024-01-02 10:00:00"), 2L, "updated", 20.0),
+      (1L, ts("2024-01-05 10:00:00"), 3L, "deleted", 0.0),   // after the cut
+      (2L, ts("2024-01-03 09:00:00"), 4L, "created", 5.0),
+      (2L, ts("2024-01-03 09:00:00"), 5L, "updated", 7.0),   // ts tie -> seq wins
+      (3L, ts("2024-01-08 00:00:00"), 6L, "created", 1.0))   // entirely after
+      .toDF("k", "ts", "seq", "kind", "v")
+    val got = Snapshot.asOf(log, "k", "ts", "seq", Seq("kind", "v"),
+        org.apache.spark.sql.functions.lit("2024-01-04 00:00:00").cast("timestamp"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      1L -> ((2L, "updated", 20.0)),
+      2L -> ((5L, "updated", 7.0))))   // key 3 has no state yet
+  }
 }
