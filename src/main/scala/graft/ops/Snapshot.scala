@@ -32,6 +32,12 @@ object Snapshot {
   def asOf(changelog: org.apache.spark.sql.DataFrame, keyCol: String,
            tsCol: String, seqCol: String, payloadCols: Seq[String],
            asOf: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val clash = payloadCols.toSet.intersect(Set(keyCol, tsCol, seqCol))
+    require(clash.isEmpty,
+      s"payloadCols ${clash.mkString(", ")} collide with the key/ts/seq columns — " +
+        "the carried struct would have duplicate fields")
+    require(tsCol != seqCol && keyCol != tsCol && keyCol != seqCol,
+      s"key/ts/seq columns must be distinct, got ($keyCol, $tsCol, $seqCol)")
     val carried = tsCol +: seqCol +: payloadCols
     changelog
       .filter(col(tsCol) <= asOf && col(keyCol).isNotNull)

@@ -290,11 +290,18 @@ object TextAnalysis {
     * regexp tld extraction; path depth counts non-empty segments.
     * Null/unparseable inputs yield null fields (parse_url semantics). */
   def urlParts(url: Column): Column = {
-    val host = try_parse_url(url, lit("HOST"))
+    // DNS hosts are case-insensitive — lowercase once so host-level
+    // dedup / blocklist / mixing keys never split on case
+    val host = lower(try_parse_url(url, lit("HOST")))
     val path = try_parse_url(url, lit("PATH"))
+    // tld: last dot-separated label, required to START WITH A LETTER —
+    // real TLDs all do, IPv4 octets never do (an IP host must not mix
+    // under a nonsense single-octet "tld"); nullif turns the
+    // no-match empty string into a real null (dotless hosts like
+    // localhost have NO tld, not an empty one)
     struct(
       host.as("host"),
-      lower(regexp_extract(host, "\\.([A-Za-z0-9-]+)$", 1)).as("tld"),
+      nullif(regexp_extract(host, "\\.([a-z][a-z0-9-]*)$", 1), lit("")).as("tld"),
       path.as("path"),
       size(filter(split(path, "/"), s => s =!= "")).as("depth"),
       try_parse_url(url, lit("QUERY")).as("query"))

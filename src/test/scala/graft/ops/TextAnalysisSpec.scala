@@ -104,5 +104,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(1).getInt(3) === 0)
     assert(rows(2).getString(2) === "")       // no path
     assert(rows(3).isNullAt(0))               // unparseable -> null host
+    // contract edges: case-insensitive hosts, dotless hosts, IPv4
+    val edge = Seq(
+      "https://WWW.Example.COM/a",
+      "http://localhost/x",
+      "http://192.168.0.1/a").toDF("url")
+      .select(TextAnalysis.urlParts(col("url")).as("u"))
+      .select(col("u.host"), col("u.tld")).collect()
+    assert(edge(0).getString(0) === "www.example.com") // DNS case folded
+    assert(edge(0).getString(1) === "com")
+    assert(edge(1).isNullAt(1))               // dotless: no tld, not ""
+    assert(edge(2).isNullAt(1))               // IPv4: octet is not a tld
   }
 }
