@@ -110,4 +110,78 @@ class PropertySpec extends SparkSpec {
       assert(pref === brute, s"round $round tau=$t")
     }
   }
+
+  test("containment join: complete vs brute force on random corpora (no prefix false negatives)") {
+    val words = Vector("aa","bb","cc","dd","ee","ff","gg","hh","ii","jj")
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ").toSeq.filter(_.nonEmpty)
+      if (t.isEmpty) Set.empty
+      else if (t.size < 3) Set(t.mkString(" "))
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val texts = (0 until 25).map { i =>
+        i.toLong -> Seq.fill(4 + rnd.nextInt(9))(words(rnd.nextInt(words.size))).mkString(" ")
+      }.toMap
+      val corpus = texts.toSeq.toDF("doc_id", "text")
+      for (tau <- Seq(0.4, 0.7, 1.0)) {
+        val brute = (for {
+          a <- texts.keys; b <- texts.keys; if a != b
+          sa = shingles(texts(a)); if sa.nonEmpty
+          sb = shingles(texts(b))
+          c = sa.intersect(sb).size.toDouble / sa.size
+          if c >= tau
+        } yield (a, b)).toSet
+        val fast = graft.ops.Dedup.containmentJoinPrefix(corpus, "doc_id", "text", tau)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(fast === brute, s"seed=$seed tau=$tau")
+      }
+    }
+  }
+
+  test("topKPerGroup: window parity across random skews, k values, tie densities") {
+    for (seed <- Seq(5, 6)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 800).map { i =>
+        (s"g${if (rnd.nextInt(10) < 7) 0 else rnd.nextInt(4)}", i.toLong,
+          rnd.nextInt(12).toDouble) // dense ties
+      }
+      val df = rows.toDF("grp", "uid", "v").repartition(8)
+      for (k <- Seq(1, 4, 50)) {
+        val order = Seq(desc("v"), asc("uid"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy(order: _*)
+        val plain = df.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(1))).toSet
+        val salted = graft.ops.Skew.topKPerGroup(df, "grp", col("uid"), k, order)
+          .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(1))).toSet
+        assert(salted === plain, s"seed=$seed k=$k")
+      }
+    }
+  }
+
+  test("tokenBudgetSample: invariants hold on random corpora") {
+    for (seed <- Seq(9, 10)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 120).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(20))("w" + rnd.nextInt(50)).mkString(" "),
+          s"s${rnd.nextInt(4)}")
+      }.toDF("id", "text", "src")
+      for (budget <- Seq(1L, 25L, 10000L)) {
+        val got = graft.ops.Corpus.tokenBudgetSample(docs, "id", "text", "src", budget)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        // every pick started under budget; cumulative sums are consistent
+        got.foreach { case (_, _, n, cum) =>
+          assert(cum - n < budget && n >= 1 && cum >= n)
+        }
+        // every non-empty source is represented
+        val srcs = got.map(_._2).toSet
+        assert(srcs === Set("s0", "s1", "s2", "s3"), s"seed=$seed budget=$budget")
+        // at the huge budget everything with >= 1 token is taken
+        if (budget == 10000L) assert(got.length === 120)
+      }
+    }
+  }
 }
