@@ -75,9 +75,11 @@ object Graph {
     *
     * Returns (id, pr) for every vertex that appears in an edge. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int, damping: Double = 0.85): DataFrame = {
+               iterations: Int, damping: Double = 0.85,
+               checkpointEvery: Int = 2): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping >= 0 && damping <= 1, s"damping $damping outside [0,1]")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val e = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -91,17 +93,25 @@ object Graph {
     val n = nodes.count()
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("pr", lit(1.0 / n))
-    for (_ <- 1 to iterations) {
+    // lineage cut cadence: each eager cut costs a full plan evaluation
+    // job; a per-round cut therefore doubles the job count for bounded
+    // 2-round lineages. Cutting every `checkpointEvery` rounds (and
+    // always after the last) keeps lineage depth ≤ checkpointEvery
+    // joins — same results (cuts are plan-invisible), fewer jobs.
+    for (it <- 1 to iterations) {
       val contrib = ed.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(floor(col("pr") / col("deg") * 1e15)
           .cast("decimal(38,0)")).as("acc"))
-      ranks = ranks.drop("pr").join(contrib, Seq("id"), "left")
+      val next = ranks.drop("pr").join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + lit(damping) *
             (coalesce(col("acc"), lit(java.math.BigDecimal.ZERO)).cast("double") / 1e15))
             .as("pr"))
-        .transform(Checkpoints.cut)
+      ranks =
+        if (it % checkpointEvery == 0 || it == iterations)
+          next.transform(Checkpoints.cut)
+        else next
     }
     ranks
   }
