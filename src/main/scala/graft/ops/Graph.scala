@@ -29,7 +29,8 @@ object Graph {
     *
     * Returns (id, lbl) for every vertex that appears in an edge. */
   def minLabelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                          rounds: Int): DataFrame = {
+                          rounds: Int, checkpointEvery: Int = 2): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     // materialize the edge frame ONCE: its lineage is the caller's
     // whole pair-generation pipeline (sketch + band join), and every
     // round's join would otherwise re-run it from scratch (measured
@@ -39,13 +40,17 @@ object Graph {
       .transform(Checkpoints.cut)
     var labels = e2.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-    for (_ <- 1 to rounds) {
+    // cut cadence: same trade as [[pageRank]] — one eager job per cut,
+    // lineage bounded at checkpointEvery rounds between cuts
+    for (r <- 1 to rounds) {
       val msgs = e2.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min("lbl").as("ml"))
-      labels = labels.join(msgs, Seq("id"), "left")
+      val next = labels.join(msgs, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("ml"), col("lbl"))).as("lbl"))
-        .transform(Checkpoints.cut)
+      labels =
+        if (r % checkpointEvery == 0 || r == rounds) next.transform(Checkpoints.cut)
+        else next
     }
     labels
   }

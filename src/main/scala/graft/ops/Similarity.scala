@@ -211,7 +211,9 @@ object Similarity {
     * Per round: one scan + one narrow (cluster, pos) shuffle — no
     * driver-side vectors beyond the k centroids themselves. */
   def kmeansCentroids(corpus: DataFrame, cId: String, cVec: String,
-                      k: Int, iterations: Int = 5): DataFrame = {
+                      k: Int, iterations: Int = 5,
+                      checkpointEvery: Int = 2): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     var centroids = corpus.orderBy(col(cId)).limit(k)
       .select(col(cId).as("centroid_id"),
         transform(col(cVec), _.cast("double")).as("cv"))
@@ -225,10 +227,13 @@ object Similarity {
         .groupBy("centroid_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("newCv"))
-      centroids = centroids.join(means, Seq("centroid_id"), "left")
+      val next = centroids.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"), coalesce(col("newCv"), col("cv")).as("cv"))
-        .transform(Checkpoints.cut)
       it += 1
+      // same cut cadence as the Graph loops: lineage bounded between cuts
+      centroids =
+        if (it % checkpointEvery == 0 || it == iterations) next.transform(Checkpoints.cut)
+        else next
     }
     centroids
   }
