@@ -553,7 +553,7 @@ object Multimodal {
     * [[parseMp4Header]] MP4/ISO-BMFF). [[decode]] composes them. */
   def stubDecode(payload: Array[Byte]): (Int, Int, Long) = {
     if (payload == null || payload.isEmpty) return (0, 0, 0L)
-    val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val d = graft.Digests.md5(payload)
     def u(i: Int) = d(i) & 0xff
     val width = 64 + (u(0) * 256 + u(1)) % 1985          // 64..2048
     val height = 64 + (u(2) * 256 + u(3)) % 1985

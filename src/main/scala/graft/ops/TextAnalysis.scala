@@ -201,9 +201,8 @@ object TextAnalysis {
       val sums = new Array[Long](nBits)
       if (t != null) {
         val toks = tokensLocal(t)
-        val md = java.security.MessageDigest.getInstance("MD5")
         toks.foreach { tok =>
-          val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val d = graft.Digests.md5(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           var j = 0
           while (j < nBits) {
             val p = j % 32 // hex digit index; high nibble of each byte first

@@ -93,8 +93,7 @@ object Md5Embedder {
     * (hex digit k = nibble k, high nibble of each byte first) — no hex
     * string on this per-(token, dim) executor hot path. */
   def component(s: String): Double = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = graft.Digests.md5(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val v = ((d(0) & 0xff) << 20) | ((d(1) & 0xff) << 12) |
       ((d(2) & 0xff) << 4) | ((d(3) & 0xff) >>> 4)
     v.toDouble / 268435456.0 * 2.0 - 1.0
