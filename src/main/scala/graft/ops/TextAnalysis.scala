@@ -30,10 +30,14 @@ object TextAnalysis {
     * non-ROOT default locale (e.g. Turkish) mixed non-ASCII+'I'
     * strings can diverge between the two forms — and equally between
     * Spark and the oracle — so ROOT is the consistent choice. */
+  // String.split(String) recompiles the pattern on every call — this
+  // runs per row on the sketch/shingle hot paths, so compile once
+  private val TokenSplit = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
   private[ops] def tokensLocal(text: String): Array[String] =
     if (text == null) Array.empty
-    else text.toLowerCase(java.util.Locale.ROOT)
-      .split("[^a-z0-9]+").filter(_.nonEmpty)
+    else TokenSplit.split(text.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty)
 
   /** Whitespace token count — the cheap "how many words" estimator. */
   def tokenCount(c: Column): Column = size(tokens(c))
