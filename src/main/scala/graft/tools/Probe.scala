@@ -328,6 +328,31 @@ object Probe {
             "vec_id", "embedding", "lang", "vec_id", "embedding", "lang", 5).count())
       }
     }
+    names.filter(_ == "admit-scalelaw").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      // FIXED incoming shard (one rotation set), GROWING prior corpus:
+      // admission cost must track the shard + the prior SKETCH TABLE
+      // (one long per historical doc), never the prior text — the
+      // receipts for "daily append against years of history"
+      // shard = near-dups of prior set 0 (all rejected) + rotation set
+      // 11 (never in any prior size here — all admitted): both halves
+      // of the admission path run at every prior size
+      val shard = rotatedDocs(docs, 1)
+        .withColumn("doc_id", col("doc_id") + lit(500000000L))
+        .unionByName(rotatedDocs(docs, 12)
+          .filter(col("doc_id") >= 11L * 1000000L)
+          .withColumn("doc_id", col("doc_id") + lit(600000000L)))
+      graft.ops.Dedup.admitIncremental(shard, "doc_id", "text",
+        graft.ops.Dedup.sketchTable(rotatedDocs(docs, 1), "doc_id", "text")).count() // warmup
+      Seq(1, 4, 10).foreach { m =>
+        val prior = graft.ops.Dedup.sketchTable(rotatedDocs(docs, m), "doc_id", "text")
+          .localCheckpoint() // persisted-table stand-in: sketch cost not charged
+        val t0 = System.nanoTime()
+        val n = graft.ops.Dedup.admitIncremental(shard, "doc_id", "text", prior).count()
+        println(f"ADMIT-SCALELAW prior x$m: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n admitted)")
+      }
+    }
     names.filter(_ == "pairs-scalelaw").foreach { _ =>
       import org.apache.spark.sql.functions._
       val events = spark.read.parquet(s"$sfDir/events.parquet")
