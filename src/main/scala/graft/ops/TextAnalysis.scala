@@ -39,8 +39,15 @@ object TextAnalysis {
     else TokenSplit.split(text.toLowerCase(java.util.Locale.ROOT))
       .filter(_.nonEmpty)
 
-  /** Whitespace token count — the cheap "how many words" estimator. */
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** Token count — bit-equal to `size(tokens(c))` via the native
+    * byte-scan expression ([[graft.expressions.TokenRunCount]]): no
+    * token-array materialization, no regex, one pass over the raw
+    * bytes inside WholeStageCodegen. */
+  def tokenCount(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.TokenRunCount(
+      GraftColumnBridge.expression(c.cast("string"))))
+  }
 
   /** BPE-ish subword count estimate: words + digit runs + punctuation
     * islands, the standard cheap proxy for tokenizer cost when the real
