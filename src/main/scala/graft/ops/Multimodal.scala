@@ -64,6 +64,9 @@ object Multimodal {
       val h = u(8) | (u(9) << 8)
       return if (w > 0 && h > 0) Some(("image/gif", w, h)) else None
     }
+    // TIFF: endian-marked IFD walk (II/MM + magic 42)
+    if ((p(0) == 'I' && p(1) == 'I') || (p(0) == 'M' && p(1) == 'M'))
+      return parseTiffHeader(p)
     // BMP: "BM" + BITMAPINFOHEADER (size ≥ 40 at offset 14): LE i32 w/h
     // at 18/22; height may be negative (top-down rows) — take |h|
     if (p.length >= 26 && p(0) == 'B' && p(1) == 'M' &&
@@ -106,6 +109,53 @@ object Multimodal {
       }
       None
     } else None
+  }
+
+  /** Parse TIFF dimensions — the public layout: a 2-char byte-order
+    * mark ("II" little / "MM" big endian), magic 42, then the first
+    * image file directory (IFD): a u16 entry count and 12-byte entries
+    * of (tag u16, type u16, count u32, value-or-offset u32). Width is
+    * tag 256, height tag 257, carried inline as SHORT (type 3, first
+    * two value bytes in file endianness) or LONG (type 4). Returns
+    * (mime, width, height); None for anything malformed — same
+    * header-reader contract as [[parseImageHeader]], which dispatches
+    * here. */
+  def parseTiffHeader(p: Array[Byte]): Option[(String, Int, Int)] = {
+    if (p == null || p.length < 14) return None
+    def u(i: Int): Int = p(i) & 0xff
+    val le =
+      if (p(0) == 'I' && p(1) == 'I') true
+      else if (p(0) == 'M' && p(1) == 'M') false
+      else return None
+    def u16(i: Int): Int =
+      if (le) u(i) | (u(i + 1) << 8) else (u(i) << 8) | u(i + 1)
+    def u32(i: Int): Long =
+      if (le) u(i).toLong | (u(i + 1).toLong << 8) | (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
+      else (u(i).toLong << 24) | (u(i + 1).toLong << 16) | (u(i + 2).toLong << 8) | u(i + 3).toLong
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd > p.length - 2) return None
+    val base = ifd.toInt
+    val nEntries = u16(base)
+    if (base + 2 + nEntries * 12 > p.length) return None
+    var w = 0; var h = 0
+    var e = 0
+    while (e < nEntries && (w == 0 || h == 0)) {
+      val off = base + 2 + e * 12
+      val tag = u16(off)
+      if (tag == 256 || tag == 257) {
+        val typ = u16(off + 2)
+        val cnt = u32(off + 4)
+        val v: Long =
+          if (typ == 3 && cnt == 1) u16(off + 8).toLong // SHORT rides the first 2 value bytes
+          else if (typ == 4 && cnt == 1) u32(off + 8)
+          else return None
+        if (v <= 0 || v > Int.MaxValue) return None
+        if (tag == 256) w = v.toInt else h = v.toInt
+      }
+      e += 1
+    }
+    if (w > 0 && h > 0) Some(("image/tiff", w, h)) else None
   }
 
   /** Minimal VALID PNG (signature + 8-bit grayscale IHDR with a real

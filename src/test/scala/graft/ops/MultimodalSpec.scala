@@ -103,6 +103,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseImageHeader(bmp) === Some(("image/bmp", 8, 6)))
   }
 
+  test("parseImageHeader reads TIFF (both endiannesses, imageio cross-check)") {
+    // real encoder round-trip (ImageIO writes little-endian TIFF)
+    val img = new java.awt.image.BufferedImage(47, 31,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "tiff", bos)
+    assert(Multimodal.parseImageHeader(bos.toByteArray) === Some(("image/tiff", 47, 31)))
+    // hand-rolled big-endian: MM + 42, IFD at 8 with width/height SHORTs
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def be32(v: Int): Unit = { be16(v >>> 16); be16(v & 0xffff) }
+    out.write('M'); out.write('M'); be16(42); be32(8)
+    be16(2) // two IFD entries
+    be16(256); be16(3); be32(1); be16(640); be16(0)   // width SHORT
+    be16(257); be16(3); be32(1); be16(480); be16(0)   // height SHORT
+    be32(0) // next-IFD terminator
+    assert(Multimodal.parseImageHeader(out.toByteArray) === Some(("image/tiff", 640, 480)))
+    // truncated / bad magic reject
+    assert(Multimodal.parseTiffHeader(out.toByteArray.take(10)) === None)
+    assert(Multimodal.parseImageHeader("IIxx".getBytes("US-ASCII")) === None)
+  }
+
   test("decode parses real image payloads and stubs the rest (mixed batch)") {
     val rows = Seq(
       (1L, Multimodal.pngFixture(800, 600)),
