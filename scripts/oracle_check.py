@@ -44,9 +44,11 @@ def main(sf_dir, out_dir):
         try:
             sr = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
             scols = [d[0] for d in sr.description]
+            stypes = [str(d[1]) for d in sr.description]
             srows = sr.fetchall()
             dr = con.execute(oracle[name])
             dcols = [d[0] for d in dr.description]
+            dtypes = [str(d[1]) for d in dr.description]
             drows = dr.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
@@ -54,9 +56,21 @@ def main(sf_dir, out_dir):
             continue
         sc, sv = canon(srows, scols)
         dc, dv = canon(drows, dcols)
+        # Type parity: the driver hashes TYPED values, so a DuckDB
+        # aggregate that widens (sum(BIGINT) -> HUGEINT, sum(INT) ->
+        # INT128) hash-mismatches even when every value compares equal
+        # here.  Compare DuckDB type names per sorted column to catch
+        # widening locally (this is what let q117 slip through in r5).
+        st = {c: t for c, t in zip(scols, stypes)}
+        dt = {c: t for c, t in zip(dcols, dtypes)}
+        tdiff = [(c, st[c], dt[c]) for c in sc if c in dt and st[c] != dt[c]]
         if sc != dc:
             print(f"FAIL {name}: columns {sc} vs {dc}")
             n_fail += 1
+        elif tdiff:
+            n_fail += 1
+            print(f"FAIL {name}: type mismatch " +
+                  "; ".join(f"{c}: spark={a} oracle={b}" for c, a, b in tdiff))
         elif sv != dv:
             n_fail += 1
             diffs = [i for i, (a, b) in enumerate(zip(sv, dv)) if a != b]

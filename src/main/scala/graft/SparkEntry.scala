@@ -1967,8 +1967,8 @@ object SparkEntry {
            |    md5('budget0' || CAST(doc_id AS VARCHAR)) AS sk
            |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
            |c AS (SELECT doc_id, source, n_tokens,
-           |    sum(n_tokens) OVER (PARTITION BY source ORDER BY sk, doc_id
-           |      ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM b)
+           |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY sk, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM b)
            |SELECT doc_id, source, n_tokens, cum_tokens FROM c
            |WHERE cum_tokens - n_tokens < 2000 ORDER BY doc_id""".stripMargin,
 

@@ -16,11 +16,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * Equivalence: `tokens` lowercases then splits on `[^a-z0-9]+`, so a
   * token boundary in the ORIGINAL text is exactly a maximal run of
   * ASCII alphanumerics — ASCII uppercase lowers into the kept class,
-  * every other character (punctuation, whitespace, and all non-ASCII,
-  * whose lowercase forms are still non-ASCII) lowers into a separator.
-  * Multi-byte UTF-8 continuation/lead bytes are ≥ 0x80 and can never
-  * read as ASCII alnum, so byte scanning needs no decoding.
-  * Null in → null out. */
+  * and every other character lowers into a separator, with exactly two
+  * Unicode exceptions whose lowercase forms re-enter ASCII:
+  *   - U+212A KELVIN SIGN (bytes E2 84 AA) lowers to 'k': a token
+  *     character (starts or continues a run);
+  *   - U+0130 LATIN CAPITAL I WITH DOT (bytes C4 B0) lowers to 'i'
+  *     followed by combining U+0307 (a separator): it starts a token
+  *     if outside a run, then ends the run.
+  * Both sequences are matched explicitly below. All other multi-byte
+  * UTF-8 lead/continuation bytes are ≥ 0x80, never read as ASCII
+  * alnum, and lowercase to non-ASCII, so the rest of the scan needs no
+  * decoding. Null in → null out. */
 case class TokenRunCount(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -39,11 +45,23 @@ case class TokenRunCount(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < n) {
       val b = s.getByte(i)
-      val alnum = (b >= '0' && b <= '9') || (b >= 'a' && b <= 'z') ||
-        (b >= 'A' && b <= 'Z')
-      if (alnum && !inRun) count += 1
-      inRun = alnum
-      i += 1
+      if (b == 0xE2.toByte && i + 2 < n && s.getByte(i + 1) == 0x84.toByte &&
+          s.getByte(i + 2) == 0xAA.toByte) { // U+212A KELVIN → 'k'
+        if (!inRun) count += 1
+        inRun = true
+        i += 3
+      } else if (b == 0xC4.toByte && i + 1 < n &&
+          s.getByte(i + 1) == 0xB0.toByte) { // U+0130 'İ' → 'i' + U+0307
+        if (!inRun) count += 1
+        inRun = false
+        i += 2
+      } else {
+        val alnum = (b >= '0' && b <= '9') || (b >= 'a' && b <= 'z') ||
+          (b >= 'A' && b <= 'Z')
+        if (alnum && !inRun) count += 1
+        inRun = alnum
+        i += 1
+      }
     }
     count
   }
@@ -60,13 +78,28 @@ case class TokenRunCount(child: Expression) extends UnaryExpression {
          |int $n = $c.numBytes();
          |int $cnt = 0;
          |boolean $inRun = false;
-         |for (int $i = 0; $i < $n; $i++) {
+         |int $i = 0;
+         |while ($i < $n) {
          |  byte $b = $c.getByte($i);
-         |  boolean $alnum = ($b >= (byte) '0' && $b <= (byte) '9') ||
-         |    ($b >= (byte) 'a' && $b <= (byte) 'z') ||
-         |    ($b >= (byte) 'A' && $b <= (byte) 'Z');
-         |  if ($alnum && !$inRun) $cnt++;
-         |  $inRun = $alnum;
+         |  if ($b == (byte) 0xE2 && $i + 2 < $n &&
+         |      $c.getByte($i + 1) == (byte) 0x84 &&
+         |      $c.getByte($i + 2) == (byte) 0xAA) {
+         |    if (!$inRun) $cnt++;
+         |    $inRun = true;
+         |    $i += 3;
+         |  } else if ($b == (byte) 0xC4 && $i + 1 < $n &&
+         |      $c.getByte($i + 1) == (byte) 0xB0) {
+         |    if (!$inRun) $cnt++;
+         |    $inRun = false;
+         |    $i += 2;
+         |  } else {
+         |    boolean $alnum = ($b >= (byte) '0' && $b <= (byte) '9') ||
+         |      ($b >= (byte) 'a' && $b <= (byte) 'z') ||
+         |      ($b >= (byte) 'A' && $b <= (byte) 'Z');
+         |    if ($alnum && !$inRun) $cnt++;
+         |    $inRun = $alnum;
+         |    $i++;
+         |  }
          |}
          |${ev.value} = $cnt;
        """.stripMargin

@@ -279,91 +279,98 @@ object Similarity {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("sim"))
   }
 
-  /** All pairs (a < b) with cosine ≥ threshold — blocked broadcast form.
-    * One id-range block at a time is collected to a broadcast array of
-    * primitive vectors (+norms); the full corpus streams against it,
-    * each row scanning the block in a tight loop. Same O(n²) flops as
-    * [[cosinePairs]] but ~10x faster (no per-pair join-row or UDF
-    * boxing, measured). Driver and executor memory are bounded by
-    * `blockSize` vectors, NOT the corpus: each block's surviving pairs
-    * are materialized (localCheckpoint) before the next block's
-    * broadcast is built, so exactly one block is ever live — this is
-    * the documented tiling, not just its description. Block boundaries
-    * come from approximate id quantiles (balance only; correctness
-    * holds for any cuts since blocks partition the id space).
-    * Accumulation order matches the UDF kernel → identical results. */
+  /** All pairs (a < b) with cosine ≥ threshold — blocked EXECUTOR-SIDE
+    * form. The id space is cut into blocks of ≤ `blockSize` vectors
+    * (approximate id quantiles: only O(nBlocks) scalar cut points ever
+    * reach the driver); each row is shuffled to every block PAIR it
+    * participates in — as the streaming side of pairs (b, j≥b) and as
+    * the buffered side of pairs (i≤b, b) — and each pair key cogroups
+    * one buffered block against one streamed block in a tight primitive
+    * loop. Same O(n²) flops and identical accumulation order as
+    * [[cosinePairs]], but:
+    *  - NO driver funnel: the former implementation collected every
+    *    block to the driver and broadcast it, i.e. the whole corpus
+    *    crossed the driver NIC once per run; now all data movement is
+    *    executor-to-executor shuffle of (nBlocks+1) corpus copies.
+    *  - Executor memory bounded by `blockSize` vectors (the buffered
+    *    side of one cogroup key), independent of corpus size.
+    *  - Parallelism = nBlocks·(nBlocks+1)/2 block-pair tasks; the block
+    *    count is raised above the memory-derived minimum when needed so
+    *    small corpora still fan out across the cluster.
+    * Correctness holds for ANY cuts (blocks partition the id space);
+    * quantile cuts only balance the work. At corpus sizes where
+    * (nBlocks+1)× shuffle replication is unaffordable, use the
+    * near-linear [[cosineNearDupBucketed]] (or [[cosinePairsAuto]],
+    * which routes by size). */
   def cosinePairsBlocked(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, blockSize: Int = 200000): DataFrame = {
     val spark = df.sparkSession
-    val v = withNorm(df, idCol, vecCol, "id", "v", "n")
-
-    def pairsVsBlock(block: Array[(Long, Array[Double], Double)])
-        : (DataFrame, org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Double], Double)]]) = {
-      val bc = spark.sparkContext.broadcast(block)
-      import spark.implicits._
-      val out = v.select(col("id"), col("v"), col("n")).as[(Long, Seq[Double], Double)]
-        .mapPartitions { it =>
-          val blk = bc.value
-          it.flatMap { case (ida, va, na) =>
-            val a = va.toArray
-            val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-            var idx = 0
-            while (idx < blk.length) {
-              val (idb, b, nb) = blk(idx)
-              if (idb > ida && na != 0.0 && nb != 0.0) {
-                var s = 0.0; var i = 0
-                while (i < a.length) { s += a(i) * b(i); i += 1 }
-                val sim = s / (na * nb)
-                if (sim >= threshold) res += ((ida, idb, sim))
-              }
-              idx += 1
-            }
-            res
-          }
-        }.toDF("id_a", "id_b", "sim")
-      (out, bc)
+    import spark.implicits._
+    // cuts come from an id-only scan: column pruning keeps the norm
+    // kernel and the vectors themselves out of these two passes
+    val ids = df.select(col(idCol).cast("long").as("id"))
+    val total = ids.count()
+    val byMem = math.max(1L, math.ceil(total.toDouble / blockSize).toLong)
+    // enough block pairs to occupy the cluster even when one block
+    // would fit in memory: nb(nb+1)/2 ≥ defaultParallelism
+    val byPar = math.ceil(math.sqrt(2.0 * spark.sparkContext.defaultParallelism)).toLong
+    val nBlocks = math.max(byMem, math.min(byPar, math.max(1L, total / 2))).toInt
+    val cuts: Array[Long] =
+      if (nBlocks <= 1) Array.empty
+      else ids.stat.approxQuantile("id",
+        (1 until nBlocks).map(_.toDouble / nBlocks).toArray, 0.001)
+        .map(_.toLong).distinct.sorted
+    val nb = cuts.length + 1
+    val blkOf = udf { (id: Long) =>
+      var b = 0
+      while (b < cuts.length && id >= cuts(b)) b += 1
+      b
     }
-
-    def collectBlock(part: DataFrame): Array[(Long, Array[Double], Double)] =
-      part.collect().map(r =>
-        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-        .sortBy(_._1)
-
-    // persist BEFORE the count so the norm kernel runs once — count,
-    // quantiles, and the per-block collects all read the cache
-    v.persist()
-    try {
-      val total = v.count()
-      if (total <= blockSize) {
-        // materialize before the finally-unpersist, like the multi-block
-        // branch — otherwise the caller's lazy evaluation re-runs the
-        // norm kernel on a cold cache and the broadcast is never freed
-        val (out, bc) = pairsVsBlock(collectBlock(v))
-        val checkpointed = out.localCheckpoint()
-        bc.destroy()
-        checkpointed
-      } else {
-        val nBlocks = math.ceil(total.toDouble / blockSize).toInt
-        val cuts = v.stat.approxQuantile("id",
-          (1 until nBlocks).map(_.toDouble / nBlocks).toArray, 0.001)
-          .map(_.toLong).distinct.sorted
-        val ranges: Seq[(Option[Long], Option[Long])] =
-          (None +: cuts.map(Some(_)).toSeq).zip(cuts.map(Some(_)).toSeq :+ None)
-        val parts = ranges.map { case (lo, hi) =>
-          val p = v.filter(
-            lo.map(col("id") >= _).getOrElse(lit(true)) &&
-            hi.map(col("id") < _).getOrElse(lit(true)))
-          val (out, bc) = pairsVsBlock(collectBlock(p))
-          // materialize this block's pairs so the broadcast can be freed
-          // before the next block is built — one live block at a time
-          val checkpointed = out.localCheckpoint()
-          bc.destroy()
-          checkpointed
+    val rows = withNorm(df, idCol, vecCol, "id", "v", "n")
+      .withColumn("blk", blkOf(col("id")))
+      .as[(Long, Seq[Double], Double, Int)]
+    // row in block b → streamed ("a") side of pairs (b, j) for j ≥ b,
+    // buffered ("b") side of pairs (i, b) for i ≤ b. The diagonal key
+    // (b, b) sees the block on both sides; id_a < id_b dedups it.
+    val streamed = rows.flatMap { case (id, vec, n, b) =>
+      (b until nb).map(j => (b * nb + j, id, vec, n)) }
+    val buffered = rows.flatMap { case (id, vec, n, b) =>
+      (0 to b).map(i => (i * nb + b, id, vec, n)) }
+    streamed.groupByKey(_._1).cogroup(buffered.groupByKey(_._1)) { (_, ls, rs) =>
+      val blk = rs.map { case (_, id, vec, n) => (id, vec.toArray, n) }
+        .toArray.sortBy(_._1)
+      ls.flatMap { case (_, ida, va, na) =>
+        val a = va.toArray
+        val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var idx = 0
+        while (idx < blk.length) {
+          val (idb, b, nbm) = blk(idx)
+          if (idb > ida && na != 0.0 && nbm != 0.0) {
+            var s = 0.0; var i = 0
+            while (i < a.length) { s += a(i) * b(i); i += 1 }
+            val sim = s / (na * nbm)
+            if (sim >= threshold) res += ((ida, idb, sim))
+          }
+          idx += 1
         }
-        parts.reduce(_ unionByName _)
+        res
       }
-    } finally v.unpersist()
+    }.toDF("id_a", "id_b", "sim")
   }
+
+  /** Size-routed near-dup pairs: the exact blocked kernel while the
+    * corpus is small enough that O(n²) compares are affordable, the
+    * near-linear hyperplane-LSH kernel above `maxExactRows`. The exact
+    * kernel is the oracle baseline; the bucketed kernel is the 100 TB
+    * path — this router is what production callers should use so the
+    * quadratic path is simply unreachable past the threshold. */
+  def cosinePairsAuto(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, maxExactRows: Long = 1000000L,
+                      blockSize: Int = 200000): DataFrame =
+    if (df.select(idCol).count() <= maxExactRows)
+      cosinePairsBlocked(df, idCol, vecCol, threshold, blockSize)
+    else
+      cosineNearDupBucketed(df, idCol, vecCol, threshold)
 
   /** Random-hyperplane LSH bucket for a vector column: `nBits` sign bits
     * of projections onto deterministic md5-seeded hyperplanes — the

@@ -15,9 +15,14 @@ class TokenRunCountSpec extends SparkSpec {
       "the quick brown fox", "UPPER and MiXeD case", "a1b2 c3_d4-e5",
       "", "   ", "...!!!", "émigré café naïve", "日本語テスト abc 123",
       "tabs\tand\nnewlines  here", "trailing space ", " leading",
-      "x", "42", "--hyphen--run--")
+      "x", "42", "--hyphen--run--",
+      // the two code points whose lowercase re-enters ASCII:
+      // U+212A KELVIN → 'k' (token char), U+0130 'İ' → 'i' + U+0307 (sep)
+      "K", "aKb", "300 K warm", "KK",
+      "İ", "İstanbul", "AİB", "xİİy",
+      "Kİ", "İK", "midKİdle")
     val rnd = new scala.util.Random(17)
-    val alphabet = "abcXYZ019 .,-_éü日\t\n"
+    val alphabet = "abcXYZ019 .,-_éü日Kİ\t\n"
     val randoms = Seq.fill(300)(
       (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
     val df = (fixed ++ randoms).toDF("s")

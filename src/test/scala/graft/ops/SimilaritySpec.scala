@@ -147,6 +147,25 @@ class SimilaritySpec extends SparkSpec {
     assert(single === exact)
   }
 
+  test("cosinePairsAuto routes: exact below the row threshold, bucketed above") {
+    val rnd = new scala.util.Random(29)
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val dups = (0 until 10).map { i =>
+      (1000L + i, base(i)._2.map(x => x + 1e-4f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("id", "v")
+    val exact = Similarity.cosinePairs(df, "id", "v", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // below threshold → blocked exact kernel
+    val small = Similarity.cosinePairsAuto(df, "id", "v", 0.999, maxExactRows = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(small === exact)
+    // above threshold → bucketed LSH kernel (full recall at defaults here)
+    val routed = Similarity.cosinePairsAuto(df, "id", "v", 0.999, maxExactRows = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed === exact)
+  }
+
   test("bucketed near-dup finds all near-identical pairs without an all-pairs join") {
     val rnd = new scala.util.Random(11)
     // 80 well-spread base vectors + 20 near-identical copies (the dups)
