@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.{Detector, DetectorConfig, Histogram, Profiler}
-import graft.ops.{Bucketing, Corpus, Curation, Dedup, Drift, Expectations, Frequent, Graph, Layout, Multimodal, Prefix, Sampling, Similarity, Skew, Snapshot, Temporal, TextAnalysis}
+import graft.ops.{Bucketing, Corpus, Curation, Dedup, Drift, Expectations, Frequent, Graph, Layout, Multimodal, Prefix, Sampling, Similarity, Sink, Skew, Snapshot, Temporal, TextAnalysis}
+import graft.streaming.StreamingProfile
 
 /** Driver contract: every deterministic operator of the engine is
   * registered here as a (SparkSession, sfDir) => DataFrame query with a
@@ -597,6 +598,109 @@ object SparkEntry {
       Snapshot.asOf(t(s, d, "events"), "user_id", "ts", "event_id",
           Seq("event_type", "value"), lit("2024-01-15 00:00:00").cast("timestamp"))
         .orderBy("user_id")),
+
+    // --- streaming incremental admission under a REAL micro-batch
+    // trigger: three daily shards fed through a MemoryStream into
+    // StreamingProfile.streamingAdmit (band anti-joins vs the persisted
+    // prior sketch table + watermark-bounded intra-stream sketch dedup),
+    // each shard one micro-batch, admitted rows landed by a
+    // foreachBatch parquet sink and read back. Shards are pre-deduped
+    // on exact sketch (min doc_id wins) so which-row-survives inside a
+    // micro-batch is deterministic — cross-shard suppression is the
+    // streaming query's own state, exercised end-to-end. The MemoryStream
+    // feed is a test-harness source (driver-side by design); the
+    // admission operator itself is the same distributed plan the batch
+    // twin (q120) runs. ---
+    "q123_streaming_admit" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = t(s, d, "documents")
+      val prior = Dedup.sketchTable(docs.filter(col("doc_id") < 400),
+        "doc_id", "text")
+      val shards: Seq[Seq[(Long, String, Int, java.sql.Timestamp)]] =
+        Seq((400L, 600L, 0), (600L, 800L, 1), (800L, Long.MaxValue, 2)).map {
+          case (lo, hi, b) =>
+            val shard = docs
+              .filter(col("doc_id") >= lo && col("doc_id") < hi)
+              .withColumn("__h", Dedup.sketchWord(col("text"), 64))
+            val wmin = Window.partitionBy("__h")
+            shard.withColumn("__mn", min("doc_id").over(wmin))
+              .filter(col("doc_id") === col("__mn"))
+              .select("doc_id", "text").as[(Long, String)].collect().toSeq
+              .map { case (id, tx) => (id, tx, b,
+                java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00")) }
+        }
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Int, java.sql.Timestamp)]
+      val stream = mem.toDF().toDF("doc_id", "text", "batch", "ts")
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-stream-admit").toString
+      val q = StreamingProfile.streamingAdmit(stream, "ts", "text", prior)
+        .writeStream
+        .foreachBatch { (bdf: DataFrame, _: Long) =>
+          bdf.select("doc_id", "batch").write.mode("append").parquet(outDir)
+        }
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      try {
+        shards.foreach { sh => mem.addData(sh); q.processAllAvailable() }
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .select(col("doc_id"), col("batch"))
+        .orderBy("doc_id")
+    }),
+
+    // --- small-files maintenance end-to-end: 12 shard appends leave a
+    // fragmented parquet directory (≥12 part files), compactParquet
+    // rewrites it to the size-derived file count, and the query returns
+    // aggregates over the COMPACTED directory — content parity with the
+    // source table is the oracle check, and the file-count contract
+    // (before > after == returned partition count) is enforced by a
+    // require() that reds the row if compaction ever stops working. ---
+    "q124_compact_sink" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("source").isNotNull)
+        .select("doc_id", "source", "n_chars")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-compact").toString + "/docs"
+      (0 until 12).foreach { i =>
+        docs.filter(pmod(col("doc_id"), lit(12)) === i)
+          .repartition(4).write.mode("append").parquet(dir)
+      }
+      val hPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def partFiles(): Int = fs.listStatus(hPath)
+        .count(_.getPath.getName.startsWith("part-"))
+      val before = partFiles()
+      val parts = Sink.compactParquet(s, dir, targetMB = 256)
+      val after = partFiles()
+      require(before >= 12 && after == parts && after < before,
+        s"compaction contract violated: before=$before after=$after parts=$parts")
+      s.read.parquet(dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .withColumn("files_after", lit(after))
+        .orderBy("source")
+    }),
+
+    // --- full-width text profile probe: the reference's production
+    // shape (fasttext D=100 × maxTokens=32 → 3200-dim mean/cov — 10.2M
+    // covariance cells) through the lazy-alloc treeAggregate and the
+    // driver Cholesky. No SQL oracle (a 3200-dim covariance replay is
+    // not sanely SQL-expressible — rows-only per the driver contract,
+    // like the samplers); correctness at this width is pinned by the
+    // brute-force-parity spec in TextPipelineSpec, and this entry puts
+    // the width's runtime in BENCH_LOG every round. ---
+    "q125_text_profile_wide" -> ((s, d) => {
+      import graft.text.{Md5Embedder, TextProfiler}
+      val stats = TextProfiler.profile(t(s, d, "documents"), "text",
+        Md5Embedder(100), maxTokens = 32, rawSampleCap = 1).get
+      import s.implicits._
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (0 until 8).map(i => (i, r6(stats.mean(i)), r6(stats.std(i)),
+          r6(stats.covTrace), stats.chol.isDefined, stats.count))
+        .toDF("dim_idx", "mean", "std", "cov_trace", "chol_ok", "n_docs")
+    }),
 
     // --- salted skew join: result-invariant vs the plain join (the
     // oracle computes the plain join — identical output proves it) ---
@@ -2005,6 +2109,44 @@ object SparkEntry {
           |  FROM events
           |  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' AND user_id IS NOT NULL)
           |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+      // Streaming admission replay: per-shard exact-sketch dedup (min
+      // doc_id), band near-dup rejection vs the prior corpus, then
+      // first-shard-wins sketch-equality suppression across shards —
+      // the SQL twin of what the micro-batch run admits.
+      "q123_streaming_admit" ->
+        s"""WITH s AS (SELECT doc_id,
+           |    CASE WHEN doc_id < 600 THEN 0 WHEN doc_id < 800 THEN 1
+           |         ELSE 2 END AS batch,
+           |    CAST(${simhashIntSql(toks, 64)} AS BIGINT) AS h
+           |  FROM documents WHERE doc_id >= 400),
+           |pd AS (SELECT batch, h, min(doc_id) AS doc_id
+           |  FROM s GROUP BY 1, 2),
+           |skp AS (SELECT doc_id AS id, CAST(${simhashIntSql(toks, 64)} AS BIGINT) AS h
+           |  FROM documents WHERE doc_id < 400),
+           |bp AS (SELECT id, h, b AS band, (h >> (b * 16)) & 65535 AS key
+           |  FROM skp CROSS JOIN range(4) t(b)),
+           |bi AS (SELECT doc_id, h, batch, b AS band, (h >> (b * 16)) & 65535 AS key
+           |  FROM pd CROSS JOIN range(4) t(b)),
+           |hit AS (SELECT DISTINCT l.doc_id FROM bi l JOIN bp r
+           |  ON l.band = r.band AND l.key = r.key
+           |  WHERE bit_count(xor(l.h, r.h)) <= 3),
+           |surv AS (SELECT * FROM pd
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+           |adm AS (SELECT t.* FROM surv t WHERE NOT EXISTS (
+           |  SELECT 1 FROM surv e WHERE e.h = t.h AND e.batch < t.batch))
+           |SELECT doc_id, CAST(batch AS INT) AS batch FROM adm
+           |ORDER BY doc_id""".stripMargin,
+
+      // Content parity of the compacted directory with the source table;
+      // files_after = 1 is the deterministic size-derived count at test
+      // scale (the directory is far under one 256 MB target file).
+      "q124_compact_sink" ->
+        """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(1 AS INT) AS files_after
+          |FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+          |GROUP BY 1 ORDER BY source""".stripMargin,
 
       "q104_salted_join" ->
         """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,

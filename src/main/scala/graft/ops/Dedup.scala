@@ -429,11 +429,14 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold. Delegates to
-    * the Similarity kernel; see there for the scale strategy. */
+  /** Embedding near-duplicate pairs: cosine ≥ threshold. Routes by
+    * corpus size — the exact blocked kernel while O(n²) compares are
+    * affordable, the near-linear hyperplane-LSH kernel above the
+    * threshold — so the quadratic path is unreachable for production
+    * callers at scale; see [[Similarity.cosinePairsAuto]]. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame =
-    Similarity.cosinePairs(df, idCol, vecCol, threshold)
+    Similarity.cosinePairsAuto(df, idCol, vecCol, threshold)
 
   /** SimHash near-duplicates within Hamming distance `maxDist` — the
     * tolerance-based form of the exact-sketch-match dedup. The

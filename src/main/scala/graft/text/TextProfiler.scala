@@ -16,35 +16,114 @@ import graft.engine.TextStats
   */
 object TextProfiler {
 
-  /** Moment + covariance accumulator. d is maxTokens*dim. */
+  /** Moment + covariance accumulator. d is maxTokens*dim.
+    *
+    * Arrays allocate LAZILY on first add/merge: the treeAggregate zero
+    * value is serialized into every task binary, and an eagerly
+    * allocated d²-double xxt at the reference's real width (d=3200 →
+    * 82 MB) made each stage broadcast a ~156 MB task closure — a
+    * driver-to-every-executor storm at cluster scale. Empty, the
+    * accumulator serializes to a few bytes; each task allocates its own
+    * arrays on first use. */
   private final class Acc(val d: Int) extends Serializable {
     var n: Long = 0L
-    val s1 = new Array[Double](d)  // Σx
-    val s2 = new Array[Double](d)  // Σx²
-    val s3 = new Array[Double](d)  // Σx³
-    val s4 = new Array[Double](d)  // Σx⁴
-    val xxt = new Array[Double](d * d) // Σ x xᵀ (row-major, symmetric)
+    var s1: Array[Double] = null  // Σx
+    var s2: Array[Double] = null  // Σx²
+    var s3: Array[Double] = null  // Σx³
+    var s4: Array[Double] = null  // Σx⁴
+    // Σ x xᵀ, UPPER TRIANGLE ONLY, packed row-major: cell (i, j≥i) at
+    // off(i) + j - i. The matrix is symmetric — carrying d² cells would
+    // double both the inner-loop memory traffic and (worse) the bytes
+    // serialized per partition accumulator in the tree reduction, which
+    // is the dominant cost of the whole profile at d=3200.
+    var xxt: Array[Double] = null
+    @inline private def off(i: Int): Int = i * d - i * (i - 1) / 2
+    private def alloc(): Unit = if (s1 == null) {
+      s1 = new Array[Double](d); s2 = new Array[Double](d)
+      s3 = new Array[Double](d); s4 = new Array[Double](d)
+      xxt = new Array[Double](d * (d + 1) / 2)
+    }
+    /** Packed Σxxᵀ value at (i, j) for i <= j. */
+    def xxtAt(i: Int, j: Int): Double = xxt(off(i) + j - i)
     def add(x: Array[Double]): Acc = {
+      alloc()
       n += 1
       var i = 0
       while (i < d) {
         val v = x(i); val v2 = v * v
         s1(i) += v; s2(i) += v2; s3(i) += v2 * v; s4(i) += v2 * v2
         var j = i
-        val base = i * d
+        val base = off(i) - i
         while (j < d) { xxt(base + j) += v * x(j); j += 1 }
         i += 1
       }
       this
     }
-    def merge(o: Acc): Acc = {
-      n += o.n
+    /** Rank-k Σxxᵀ update over `m` rows stored COLUMN-major in `buf`
+      * (dimension i's samples at [i·stride, i·stride+m)). A per-row
+      * rank-1 update is memory-bound — it streams the whole d²/2-cell
+      * triangle through DRAM for EVERY row (41 MB × rows at d=3200, the
+      * measured wall-time dominator of the wide profile). Summing a
+      * cache-resident row block per triangle cell streams the triangle
+      * once per m rows; the column-major layout makes the per-cell
+      * reduction two CONTIGUOUS m-element runs (the row-major variant's
+      * d-strided loads were latency-bound and slower than rank-1). */
+    def addBatch(buf: Array[Double], m: Int, stride: Int): Acc = {
+      if (m == 0) return this
+      alloc()
+      n += m
       var i = 0
-      while (i < d) { s1(i) += o.s1(i); s2(i) += o.s2(i); s3(i) += o.s3(i); s4(i) += o.s4(i); i += 1 }
+      while (i < d) {
+        val ib = i * stride
+        var r = 0
+        while (r < m) {
+          val v = buf(ib + r); val v2 = v * v
+          s1(i) += v; s2(i) += v2; s3(i) += v2 * v; s4(i) += v2 * v2
+          r += 1
+        }
+        i += 1
+      }
       i = 0
-      while (i < d * d) { xxt(i) += o.xxt(i); i += 1 }
+      while (i < d) {
+        val ib = i * stride
+        var j = i
+        val base = off(i) - i
+        while (j < d) {
+          val jb = j * stride
+          // 4 independent accumulators: a single `s +=` chain is bound
+          // by FMA latency (FP reductions are not reassociated by the
+          // JIT); splitting the chain quadruples throughput
+          var s0 = 0.0; var s1x = 0.0; var s2x = 0.0; var s3x = 0.0
+          var r = 0
+          val m4 = m - 3
+          while (r < m4) {
+            s0 += buf(ib + r) * buf(jb + r)
+            s1x += buf(ib + r + 1) * buf(jb + r + 1)
+            s2x += buf(ib + r + 2) * buf(jb + r + 2)
+            s3x += buf(ib + r + 3) * buf(jb + r + 3)
+            r += 4
+          }
+          var s = s0 + s1x + s2x + s3x
+          while (r < m) { s += buf(ib + r) * buf(jb + r); r += 1 }
+          xxt(base + j) += s
+          j += 1
+        }
+        i += 1
+      }
       this
     }
+    def merge(o: Acc): Acc =
+      if (o.n == 0) this
+      else if (n == 0) o
+      else {
+        n += o.n
+        var i = 0
+        while (i < d) { s1(i) += o.s1(i); s2(i) += o.s2(i); s3(i) += o.s3(i); s4(i) += o.s4(i); i += 1 }
+        i = 0
+        val m = d * (d + 1) / 2
+        while (i < m) { xxt(i) += o.xxt(i); i += 1 }
+        this
+      }
   }
 
   /** In-place lower Cholesky of a symmetric positive-definite matrix
@@ -54,15 +133,27 @@ object TextProfiler {
     val l = Array.ofDim[Double](d, d)
     var i = 0
     while (i < d) {
+      val li = l(i)
       var j = 0
       while (j <= i) {
-        var s = a(i * d + j)
+        val lj = l(j)
+        // 4 independent accumulators break the FP-subtract latency
+        // chain (the JIT won't reassociate it); ~3x on a 3200-dim
+        // factorization, which is O(d³) driver work
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
         var k = 0
-        while (k < j) { s -= l(i)(k) * l(j)(k); k += 1 }
+        val j4 = j - 3
+        while (k < j4) {
+          s0 += li(k) * lj(k); s1 += li(k + 1) * lj(k + 1)
+          s2 += li(k + 2) * lj(k + 2); s3 += li(k + 3) * lj(k + 3)
+          k += 4
+        }
+        var s = a(i * d + j) - s0 - s1 - s2 - s3
+        while (k < j) { s -= li(k) * lj(k); k += 1 }
         if (i == j) {
           if (s <= 0.0 || s.isNaN) return None
-          l(i)(i) = math.sqrt(s)
-        } else l(i)(j) = s / l(j)(j)
+          li(i) = math.sqrt(s)
+        } else li(j) = s / lj(j)
         j += 1
       }
       i += 1
@@ -78,9 +169,65 @@ object TextProfiler {
 
     val entries = df.filter(col(textCol).isNotNull)
       .select(col(textCol).cast("string"))
-    val acc = entries.rdd
-      .map(r => Vectorize.vectorizeLocal(bcModel.value, maxTokens)(r.getString(0)))
-      .treeAggregate(new Acc(d))((a, x) => a.add(x), (a, b) => a.merge(b))
+    // Per-partition: memoize token→vector (a pure-function embedder
+    // recomputes `dim` digests per token OCCURRENCE — at D=100 that is
+    // 3200 md5 calls per 32-token doc and dominated the profile wall
+    // time; corpora repeat tokens constantly, so a capped per-partition
+    // cache removes almost all of it), and fold rows into ONE local
+    // accumulator so only P accumulators ever serialize.
+    // Wide accumulators trade compute parallelism against the bytes the
+    // tree reduction must serialize (P × d²/2 doubles): at d=3200 a
+    // 32-partition local run ships 32 × 41 MB, which far outweighs the
+    // row work. Cap the accumulating partitions so serialized volume
+    // stays bounded while each task still folds thousands of rows.
+    val accParts = math.max(2, spark.sparkContext.defaultParallelism / 4)
+    // stage telemetry (stderr, opt-in): where does a wide profile spend
+    // its time — the distributed accumulate or the driver factorization?
+    val timing = sys.env.contains("GRAFT_PROFILE_TIMING")
+    var tMark = System.nanoTime()
+    def mark(stage: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[profile] $stage ${(now - tMark) / 1e9}%.2f s")
+      tMark = now
+    }
+    val rdd0 = entries.rdd
+    // repartition, not coalesce: a single-file table arrives as ONE
+    // partition and coalesce cannot raise parallelism — the whole
+    // accumulate would run on one core (measured: 17 s of a 21 s wide
+    // profile). The row shuffle is trivial next to the d² work.
+    val rdd = if (d >= 1024 && rdd0.getNumPartitions != accParts)
+      rdd0.repartition(accParts) else rdd0
+    val acc = rdd
+      .mapPartitions { it =>
+        val m = bcModel.value
+        val cache = new java.util.HashMap[String, Array[Double]]()
+        val cached = new Embedder {
+          val dim: Int = m.dim
+          def lookup(t: String): Array[Double] = {
+            var v = cache.get(t)
+            if (v == null) {
+              v = m.lookup(t)
+              if (cache.size < 65536) cache.put(t, v)
+            }
+            v
+          }
+        }
+        val a = new Acc(d)
+        val blockRows = 32
+        val buf = new Array[Double](blockRows * d)
+        var nb = 0
+        it.foreach { r =>
+          val x = Vectorize.vectorizeLocal(cached, maxTokens)(r.getString(0))
+          var i = 0
+          while (i < d) { buf(i * blockRows + nb) = x(i); i += 1 }
+          nb += 1
+          if (nb == blockRows) { a.addBatch(buf, nb, blockRows); nb = 0 }
+        }
+        a.addBatch(buf, nb, blockRows)
+        Iterator.single(a)
+      }
+      .treeAggregate(new Acc(d))((a, b) => a.merge(b), (a, b) => a.merge(b))
+    mark("treeAggregate")
     if (acc.n == 0) return None
 
     val n = acc.n.toDouble
@@ -107,7 +254,7 @@ object TextProfiler {
     while (i < d) {
       var j = i
       while (j < d) {
-        val c = (acc.xxt(i * d + j) - n * mean(i) * mean(j)) / denom
+        val c = (acc.xxtAt(i, j) - n * mean(i) * mean(j)) / denom
         cov(i * d + j) = c; cov(j * d + i) = c
         j += 1
       }
@@ -117,7 +264,9 @@ object TextProfiler {
     i = 0; while (i < d) { trace += cov(i * d + i); i += 1 }
     val jittered = cov.clone()
     i = 0; while (i < d) { jittered(i * d + i) += 1e-6; i += 1 }
+    mark("cov-build")
     val chol = cholesky(jittered, d)
+    mark("cholesky")
     // logdet from the Cholesky we already have — O(d) instead of a
     // second O(d³) LU like np.linalg.det (SURVEY.md §4.4)
     val logDet = chol.map(l => 2.0 * (0 until d).map(j => math.log(l(j)(j))).sum)

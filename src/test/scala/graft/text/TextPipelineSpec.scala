@@ -63,6 +63,39 @@ class TextPipelineSpec extends SparkSpec {
     assert(vocab.decode(m.lookup("delta") ++ m.lookup("beta"), 2) === "delta beta")
   }
 
+  test("full-width profile: 32 tokens x 100 dims = 3200-dim covariance path") {
+    // the reference's real shape (fasttext D=100, maxTokens=32 →
+    // (32·100)² covariance) — exercises the treeAggregate accumulator
+    // and the driver Cholesky at the width production would use
+    import spark.implicits._
+    val wide = Md5Embedder(100)
+    val docs = (1 to 60).map(i =>
+      (0 until 40).map(j => s"w${(i * 7 + j * 3) % 23}").mkString(" "))
+      .toDF("text")
+    val t0 = System.nanoTime()
+    val stats = TextProfiler.profile(docs, "text", wide, maxTokens = 32,
+      rawSampleCap = 1).get
+    val dt = (System.nanoTime() - t0) / 1e9
+    info(f"3200-dim profile took $dt%.1f s")
+    assert(stats.dim === 3200)
+    assert(stats.count === 60L)
+    // brute-force local ground truth for the mean and covariance trace
+    val local = docs.collect().map(r =>
+      Vectorize.vectorizeLocal(wide, 32)(r.getString(0)))
+    val n = local.length.toDouble
+    val meanLocal = Array.tabulate(3200)(j => local.map(_(j)).sum / n)
+    (0 until 3200 by 157).foreach(j =>
+      assert(math.abs(stats.mean(j) - meanLocal(j)) < 1e-9))
+    val traceLocal = (0 until 3200).map { j =>
+      val mu = meanLocal(j)
+      local.map(x => (x(j) - mu) * (x(j) - mu)).sum / (n - 1)
+    }.sum
+    assert(math.abs(stats.covTrace - traceLocal) < 1e-6 * math.max(1.0, math.abs(traceLocal)))
+    // jittered covariance must factor (diagonal has the 1e-6 ridge)
+    assert(stats.chol.isDefined)
+    assert(!stats.covLogDet.isNaN)
+  }
+
   test("text profile + MVN synthesis round-trip: moments within tolerance") {
     import spark.implicits._
     val docs = (1 to 200).map(i =>
