@@ -116,8 +116,11 @@ object Bench {
     // (timestamped), so round-over-round per-query audits read data,
     // not prose. Best-effort: a read-only cwd must not fail the bench.
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-        (line + "\n").getBytes("UTF-8"))
+      // headline artifact only from FULL runs — a SPARK_GRAFT_ONLY dev
+      // probe must not replace the certified 125-query line
+      if (only.isEmpty)
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+          (line + "\n").getBytes("UTF-8"))
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOG.jsonl"),
         (s"""{"ts":"${java.time.Instant.now()}","bench":$line}""" + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,

@@ -615,32 +615,54 @@ object SparkEntry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val docs = t(s, d, "documents")
-      val prior = Dedup.sketchTable(docs.filter(col("doc_id") < 400),
-        "doc_id", "text")
+      // Persist the prior sketches to parquet and stream against the
+      // FILE table — the production shape ("persisted sketch table"),
+      // and necessary for performance: Structured Streaming re-plans
+      // the static join side every micro-batch, so an unmaterialized
+      // sketch expression would recompute the digest of the whole
+      // prior corpus once per band per batch (bands × batches times).
+      val priorDir = java.nio.file.Files
+        .createTempDirectory("graft-prior-sketch").toString + "/sketches"
+      Dedup.sketchTable(docs.filter(col("doc_id") < 400), "doc_id", "text")
+        .write.mode("overwrite").parquet(priorDir)
+      val prior = s.read.parquet(priorDir)
+      // One pass prepares all three shards: shard id from the doc_id
+      // range, per-(shard, sketch) exact dedup (min doc_id wins) so
+      // which-row-survives inside a micro-batch is deterministic, one
+      // collect feeding the test-harness source.
+      val wmin = Window.partitionBy("__b", "__h")
+      val shardRows = docs.filter(col("doc_id") >= 400)
+        .withColumn("__b", when(col("doc_id") < 600, 0)
+          .when(col("doc_id") < 800, 1).otherwise(2))
+        .withColumn("__h", Dedup.sketchWord(col("text"), 64))
+        .withColumn("__mn", min("doc_id").over(wmin))
+        .filter(col("doc_id") === col("__mn"))
+        .select(col("doc_id"), col("text"), col("__b"))
+        .as[(Long, String, Int)].collect()
       val shards: Seq[Seq[(Long, String, Int, java.sql.Timestamp)]] =
-        Seq((400L, 600L, 0), (600L, 800L, 1), (800L, Long.MaxValue, 2)).map {
-          case (lo, hi, b) =>
-            val shard = docs
-              .filter(col("doc_id") >= lo && col("doc_id") < hi)
-              .withColumn("__h", Dedup.sketchWord(col("text"), 64))
-            val wmin = Window.partitionBy("__h")
-            shard.withColumn("__mn", min("doc_id").over(wmin))
-              .filter(col("doc_id") === col("__mn"))
-              .select("doc_id", "text").as[(Long, String)].collect().toSeq
-              .map { case (id, tx) => (id, tx, b,
-                java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00")) }
-        }
+        (0 to 2).map(b => shardRows.toSeq.collect { case (id, tx, `b`) =>
+          (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00")) })
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String, Int, java.sql.Timestamp)]
       val stream = mem.toDF().toDF("doc_id", "text", "batch", "ts")
       val outDir = java.nio.file.Files
         .createTempDirectory("graft-stream-admit").toString
-      val q = StreamingProfile.streamingAdmit(stream, "ts", "text", prior)
-        .writeStream
-        .foreachBatch { (bdf: DataFrame, _: Long) =>
-          bdf.select("doc_id", "batch").write.mode("append").parquet(outDir)
-        }
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      // State partition count is fixed at stream start from the global
+      // shuffle setting; 32 state-store instances each writing delta +
+      // snapshot files per micro-batch is pure fixed overhead at this
+      // feed rate. 4 keeps the same distributed plan shape with an
+      // 8x smaller per-batch state-store I/O bill; production picks
+      // this by expected horizon cardinality, not corpus size.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        StreamingProfile.streamingAdmit(stream, "ts", "text", prior)
+          .writeStream
+          .foreachBatch { (bdf: DataFrame, _: Long) =>
+            bdf.select("doc_id", "batch").write.mode("append").parquet(outDir)
+          }
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try {
         shards.foreach { sh => mem.addData(sh); q.processAllAvailable() }
       } finally q.stop()

@@ -25,7 +25,8 @@ object TextProfiler {
     * driver-to-every-executor storm at cluster scale. Empty, the
     * accumulator serializes to a few bytes; each task allocates its own
     * arrays on first use. */
-  private final class Acc(val d: Int) extends Serializable {
+  private final class Acc(var d: Int) extends java.io.Externalizable {
+    def this() = this(0) // Externalizable deserialization constructor
     var n: Long = 0L
     var s1: Array[Double] = null  // Σx
     var s2: Array[Double] = null  // Σx²
@@ -124,39 +125,115 @@ object TextProfiler {
         while (i < m) { xxt(i) += o.xxt(i); i += 1 }
         this
       }
+    // Bulk byte-buffer (de)serialization: default Java serialization
+    // moves double[] element-by-element (~0.3 GB/s) — at d=3200 each
+    // partition accumulator is a 41 MB triangle, and the tree
+    // reduction's ser+deser of P of them was a measured chunk of the
+    // whole wide profile. A bulk DoubleBuffer copy is ~memcpy speed.
+    private def writeArr(out: java.io.ObjectOutput, a: Array[Double]): Unit = {
+      val bytes = new Array[Byte](a.length * 8)
+      java.nio.ByteBuffer.wrap(bytes).asDoubleBuffer().put(a)
+      out.write(bytes)
+    }
+    private def readArr(in: java.io.ObjectInput, len: Int): Array[Double] = {
+      val bytes = new Array[Byte](len * 8)
+      in.readFully(bytes)
+      val a = new Array[Double](len)
+      java.nio.ByteBuffer.wrap(bytes).asDoubleBuffer().get(a)
+      a
+    }
+    def writeExternal(out: java.io.ObjectOutput): Unit = {
+      out.writeInt(d); out.writeLong(n); out.writeBoolean(s1 != null)
+      if (s1 != null) {
+        writeArr(out, s1); writeArr(out, s2); writeArr(out, s3); writeArr(out, s4)
+        writeArr(out, xxt)
+      }
+    }
+    def readExternal(in: java.io.ObjectInput): Unit = {
+      d = in.readInt(); n = in.readLong()
+      if (in.readBoolean()) {
+        s1 = readArr(in, d); s2 = readArr(in, d); s3 = readArr(in, d)
+        s4 = readArr(in, d); xxt = readArr(in, d * (d + 1) / 2)
+      }
+    }
   }
 
-  /** In-place lower Cholesky of a symmetric positive-definite matrix
-    * (row-major d×d). Returns None if not PD — callers then use the
-    * reference's iid-Gaussian fallback (`Latanova_v1.py:321-332`). */
+  /** Lower Cholesky of a symmetric positive-definite matrix (row-major
+    * d×d). Returns None if not PD — callers then use the reference's
+    * iid-Gaussian fallback (`Latanova_v1.py:321-332`).
+    *
+    * Blocked right-looking factorization: per 64-column panel, the
+    * diagonal block factors serially (O(d·nb²) total), then the panel
+    * solve and the trailing-triangle update — the O(d³) bulk — run
+    * row-parallel on the driver's cores via the common fork-join pool.
+    * Rows are disjoint write targets and each cell's inner reduction
+    * runs serially, so the result is deterministic regardless of
+    * thread scheduling. ~6x over the serial left-looking form at
+    * d=3200, the production width's driver-side bottleneck. */
   def cholesky(a: Array[Double], d: Int): Option[Array[Array[Double]]] = {
+    val nb = 64
     val l = Array.ofDim[Double](d, d)
     var i = 0
-    while (i < d) {
-      val li = l(i)
-      var j = 0
-      while (j <= i) {
-        val lj = l(j)
-        // 4 independent accumulators break the FP-subtract latency
-        // chain (the JIT won't reassociate it); ~3x on a 3200-dim
-        // factorization, which is O(d³) driver work
-        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
-        var k = 0
-        val j4 = j - 3
-        while (k < j4) {
-          s0 += li(k) * lj(k); s1 += li(k + 1) * lj(k + 1)
-          s2 += li(k + 2) * lj(k + 2); s3 += li(k + 3) * lj(k + 3)
-          k += 4
-        }
-        var s = a(i * d + j) - s0 - s1 - s2 - s3
-        while (k < j) { s -= li(k) * lj(k); k += 1 }
-        if (i == j) {
-          if (s <= 0.0 || s.isNaN) return None
-          li(i) = math.sqrt(s)
-        } else li(j) = s / lj(j)
-        j += 1
-      }
+    while (i < d) { // seed the lower triangle; factor in place
+      System.arraycopy(a, i * d, l(i), 0, i + 1)
       i += 1
+    }
+    // 4 independent accumulator chains in the inner reductions: the
+    // JIT won't reassociate FP sums, so a single chain is bound by
+    // add latency; splitting it ~3x'es the scalar throughput.
+    @inline def dot(x: Array[Double], y: Array[Double], from: Int, until: Int): Double = {
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+      var k = from
+      val u4 = until - 3
+      while (k < u4) {
+        s0 += x(k) * y(k); s1 += x(k + 1) * y(k + 1)
+        s2 += x(k + 2) * y(k + 2); s3 += x(k + 3) * y(k + 3)
+        k += 4
+      }
+      var s = s0 + s1 + s2 + s3
+      while (k < until) { s += x(k) * y(k); k += 1 }
+      s
+    }
+    var k0 = 0
+    while (k0 < d) {
+      val kEnd = math.min(k0 + nb, d)
+      // 1. diagonal block, serial (small: nb² cells)
+      i = k0
+      while (i < kEnd) {
+        val li = l(i)
+        var j = k0
+        while (j <= i) {
+          val s = li(j) - dot(li, l(j), k0, j)
+          if (i == j) {
+            if (s <= 0.0 || s.isNaN) return None
+            li(i) = math.sqrt(s)
+          } else li(j) = s / l(j)(j)
+          j += 1
+        }
+        i += 1
+      }
+      if (kEnd < d) {
+        // 2. panel solve, rows below the block — independent rows
+        java.util.stream.IntStream.range(kEnd, d).parallel().forEach { i =>
+          val li = l(i)
+          var j = k0
+          while (j < kEnd) {
+            li(j) = (li(j) - dot(li, l(j), k0, j)) / l(j)(j)
+            j += 1
+          }
+        }
+        // 3. trailing update: cell (i,j) -= panel_i · panel_j — reads
+        // only phase-2 output, writes only row i
+        java.util.stream.IntStream.range(kEnd, d).parallel().forEach { i =>
+          val li = l(i)
+          var j = kEnd
+          while (j <= i) {
+            li(j) -= dot(li, l(j), k0, kEnd)
+            j += 1
+          }
+        }
+      }
+      k0 = kEnd
     }
     Some(l)
   }
@@ -180,7 +257,11 @@ object TextProfiler {
     // 32-partition local run ships 32 × 41 MB, which far outweighs the
     // row work. Cap the accumulating partitions so serialized volume
     // stays bounded while each task still folds thousands of rows.
-    val accParts = math.max(2, spark.sparkContext.defaultParallelism / 4)
+    // /2, not all cores: each accumulating partition ships a d²/2
+    // triangle into the tree reduction, so partition count trades
+    // compute parallelism against merge+shuffle volume — measured
+    // fastest at half the cores for d=3200 (16 parts: 3.6 s; 32: 4.4)
+    val accParts = math.max(2, spark.sparkContext.defaultParallelism / 2)
     // stage telemetry (stderr, opt-in): where does a wide profile spend
     // its time — the distributed accumulate or the driver factorization?
     val timing = sys.env.contains("GRAFT_PROFILE_TIMING")
@@ -213,7 +294,7 @@ object TextProfiler {
           }
         }
         val a = new Acc(d)
-        val blockRows = 32
+        val blockRows = 64
         val buf = new Array[Double](blockRows * d)
         var nb = 0
         it.foreach { r =>
