@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.{Detector, DetectorConfig, Histogram, Profiler}
-import graft.ops.{Bucketing, Corpus, Curation, Dedup, Drift, Expectations, Frequent, Graph, Layout, Multimodal, Prefix, Sampling, Similarity, Sink, Skew, Snapshot, Temporal, TextAnalysis}
+import graft.ops.{Bucketing, Corpus, Curation, Dedup, Drift, Expectations, Frequent, Graph, Layout, Multimodal, Prefix, Quantize, Sampling, Similarity, Sink, Skew, Snapshot, Temporal, TextAnalysis}
 import graft.streaming.StreamingProfile
 
 /** Driver contract: every deterministic operator of the engine is
@@ -723,6 +723,20 @@ object SparkEntry {
           r6(stats.covTrace), stats.chol.isDefined, stats.count))
         .toDF("dim_idx", "mean", "std", "cov_trace", "chol_ok", "n_docs")
     }),
+
+    // --- symmetric int8 embedding quantization: the 4x storage cut in
+    // front of the ANN kernels. Pure projection (array HOFs, zero
+    // shuffle); the oracle replays scale/clamp/residual with the same
+    // double-precision operation order ---
+    "q126_quantize_int8" -> ((s, d) =>
+      Quantize.int8Symmetric(t(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")),
+
+    // --- token-distribution JS divergence per source vs the corpus:
+    // which slice reads least like the blend it feeds ---
+    "q127_token_js_divergence" -> ((s, d) =>
+      Drift.tokenJsDivergence(t(s, d, "documents"), "source", "text")
+        .orderBy("source")),
 
     // --- salted skew join: result-invariant vs the plain join (the
     // oracle computes the plain join — identical output proves it) ---
@@ -2169,6 +2183,64 @@ object SparkEntry {
           |  CAST(1 AS INT) AS files_after
           |FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
           |GROUP BY 1 ORDER BY source""".stripMargin,
+
+      // int8 quantization replay: same double-precision op order as the
+      // engine (cast-to-double, amax/127 scale, round-half-up clamp,
+      // left-fold residual sum) so every column hashes bit-equal. The
+      // residual lambda recomputes the quantized value instead of
+      // indexing qvec — no index-lambda dependence, same arithmetic.
+      "q126_quantize_int8" ->
+        """WITH v AS (SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+          |  FROM embeddings WHERE embedding IS NOT NULL),
+          |a AS (SELECT vec_id, vv,
+          |    list_max(list_transform(vv, x -> abs(x))) AS amax FROM v),
+          |s AS (SELECT vec_id, vv, amax, amax / 127.0 AS scale FROM a)
+          |SELECT vec_id, scale,
+          |  CASE WHEN amax = 0 THEN list_transform(vv, x -> CAST(0 AS TINYINT))
+          |       ELSE list_transform(vv, x -> CAST(
+          |         least(greatest(floor(x / scale + 0.5), -127.0), 127.0)
+          |         AS TINYINT)) END AS qvec,
+          |  CASE WHEN amax = 0 THEN 0
+          |       ELSE CAST(list_sum(list_transform(vv, x ->
+          |         CASE WHEN abs(floor(x / scale + 0.5)) > 127.0
+          |              THEN 1 ELSE 0 END)) AS INT) END AS n_clipped,
+          |  CASE WHEN amax = 0 THEN 0.0
+          |       ELSE round(sqrt(list_sum(list_transform(vv, x ->
+          |         (x - least(greatest(floor(x / scale + 0.5), -127.0), 127.0) * scale)
+          |         * (x - least(greatest(floor(x / scale + 0.5), -127.0), 127.0) * scale)
+          |       ))), 6) END AS err_l2
+          |FROM s ORDER BY vec_id""".stripMargin,
+
+      // JS divergence replay: present-(group, token)-pair sums plus the
+      // closed-form ln2 tail for group-absent tokens, matching the
+      // engine's formulation term for term.
+      "q127_token_js_divergence" ->
+        s"""WITH tk AS (SELECT source AS grp, u.t AS tok
+           |  FROM documents, UNNEST(${toksSql("text")}) AS u(t)
+           |  WHERE source IS NOT NULL AND text IS NOT NULL),
+           |pairs AS (SELECT grp, tok, count(*) AS c_gt FROM tk GROUP BY 1, 2),
+           |g AS (SELECT grp, CAST(sum(c_gt) AS BIGINT) AS n_tokens
+           |      FROM pairs GROUP BY 1),
+           |t AS (SELECT tok, CAST(sum(c_gt) AS BIGINT) AS c_t
+           |      FROM pairs GROUP BY 1),
+           |n AS (SELECT CAST(sum(c_gt) AS BIGINT) AS n FROM pairs),
+           |terms AS (SELECT p.grp,
+           |    CAST(p.c_gt AS DOUBLE) / CAST(g.n_tokens AS DOUBLE) AS pp,
+           |    CAST(t.c_t AS DOUBLE) / CAST(n.n AS DOUBLE) AS qq
+           |  FROM pairs p JOIN g USING (grp) JOIN t USING (tok) CROSS JOIN n),
+           |acc AS (SELECT grp,
+           |    sum(0.5 * (pp * ln(pp / ((pp + qq) / 2.0))
+           |             + qq * ln(qq / ((pp + qq) / 2.0)))) AS js_p,
+           |    sum(qq) AS q_p
+           |  FROM terms GROUP BY grp),
+           |d AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs
+           |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+           |  GROUP BY 1)
+           |SELECT acc.grp AS source, d.n_docs, g.n_tokens,
+           |  round(js_p + 0.5 * ln(2.0) * (1.0 - q_p), 6) AS js_nats
+           |FROM acc JOIN g USING (grp) JOIN d USING (grp)
+           |ORDER BY source""".stripMargin,
 
       "q104_salted_join" ->
         """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,

@@ -231,4 +231,48 @@ object Drift {
           (col("n_violations") === 0L).as("holds"))
     }.reduce(_ unionByName _)
   }
+
+  /** Jensen–Shannon divergence of each group's token unigram
+    * distribution against the whole corpus — the text-level drift
+    * check a mixture pipeline runs per source/domain ("which slice
+    * reads least like the blend it feeds?"); PSI/KS ([[psi]],
+    * [[ksTwoSample]]) are its numeric-column cousins.
+    *
+    * JS(P_g ‖ Q) with Q the corpus distribution and M = (P+Q)/2, in
+    * nats. Tokens absent from a group contribute q·ln2 to its
+    * KL(Q‖M) side; summed in closed form as ln2·(1 − Σ_present q),
+    * so only PRESENT (group, token) pairs are ever materialized: one
+    * narrow shuffle for (group, token) counts, token totals reduced
+    * from those counts (map-side combine; vocab-sized), group totals
+    * broadcast. Nothing scales with the raw token stream but the
+    * first keyed agg.
+    * Output per group: (group, n_docs, n_tokens, js_nats). */
+  def tokenJsDivergence(df: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+    val pairs = base
+      .select(col(groupCol).as("grp"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("c_gt"))
+    val gTot = pairs.groupBy("grp").agg(sum("c_gt").as("n_tokens"))
+    val tTot = pairs.groupBy("tok").agg(sum("c_gt").as("c_t"))
+    val nTot = pairs.agg(sum("c_gt").as("n"))
+    val nDocs = base.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+    val p = col("c_gt").cast("double") / col("n_tokens").cast("double")
+    val q = col("c_t").cast("double") / col("n").cast("double")
+    val m = (p + q) / 2.0
+    pairs
+      .join(broadcast(gTot), "grp")
+      .join(tTot, "tok")
+      .crossJoin(broadcast(nTot))
+      .groupBy("grp").agg(
+        first("n_tokens").as("n_tokens"),
+        sum(lit(0.5) * (p * log(p / m) + q * log(q / m))).as("__js_p"),
+        sum(q).as("__q_p"))
+      .join(broadcast(nDocs), "grp")
+      .select(col("grp").as(groupCol), col("n_docs"), col("n_tokens"),
+        round(col("__js_p") + lit(0.5) * log(lit(2.0)) * (lit(1.0) - col("__q_p")),
+          6).as("js_nats"))
+  }
 }

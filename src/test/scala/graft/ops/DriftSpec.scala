@@ -15,6 +15,48 @@ class DriftSpec extends SparkSpec {
     }.max
   }
 
+  test("tokenJsDivergence matches a brute-force local JS computation") {
+    val docs = Seq(
+      ("a", "apple banana apple cherry"),
+      ("a", "banana banana date"),
+      ("b", "cherry cherry cherry egg egg"),
+      ("b", "apple egg fig fig"),
+      ("c", "apple banana cherry date egg fig") // close to the blend
+    ).toDF("source", "text").repartition(8)
+    val out = Drift.tokenJsDivergence(docs, "source", "text")
+      .orderBy("source").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+
+    // brute force: full distributions over the whole vocab
+    val toks = Seq(
+      "a" -> "apple banana apple cherry banana banana date",
+      "b" -> "cherry cherry cherry egg egg apple egg fig fig",
+      "c" -> "apple banana cherry date egg fig"
+    ).map { case (g, t) => g -> t.split(" ").toSeq }
+    val all = toks.flatMap(_._2)
+    val vocab = all.distinct
+    val qDist = vocab.map(t => t -> all.count(_ == t).toDouble / all.size).toMap
+    def js(g: String): Double = {
+      val mine = toks.toMap.apply(g)
+      val p = vocab.map(t => t -> mine.count(_ == t).toDouble / mine.size).toMap
+      vocab.map { t =>
+        val (pp, qq) = (p(t), qDist(t)); val m = (pp + qq) / 2
+        (if (pp > 0) 0.5 * pp * math.log(pp / m) else 0.0) +
+          0.5 * qq * math.log(qq / m)
+      }.sum
+    }
+    out.foreach { r =>
+      val g = r.getString(0)
+      assert(r.getLong(2) === toks.toMap.apply(g).size.toLong, s"n_tokens $g")
+      assert(math.abs(r.getDouble(3) - js(g)) < 1e-6, s"js $g")
+    }
+    // the balanced slice reads most like the corpus
+    val byG = out.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(byG("c") < byG("a") && byG("c") < byG("b"))
+    // divergence is bounded: 0 <= JS <= ln 2
+    byG.values.foreach(v => assert(v >= 0.0 && v <= math.log(2.0) + 1e-12))
+  }
+
   test("ksTwoSample matches the brute-force ECDF sup on tied, shuffled data") {
     val rnd = new scala.util.Random(5)
     // integer-valued doubles → heavy ties, the case the grouped form must get right

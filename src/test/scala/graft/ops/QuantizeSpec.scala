@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+    (2L, Array(2.0f, 2.0f, -2.0f, 1.0f)),
+    (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)),      // zero vector: scale 0
+    (4L, Array(1e-4f, -3e-5f, 5e-5f, -1e-4f)) // tiny magnitudes
+  ).toDF("vec_id", "embedding")
+
+  test("int8Symmetric: scale, clamp range, zero vector, and round-trip error") {
+    val out = Quantize.int8Symmetric(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    assert(out.length === 4)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+
+    // scale = max|v| / 127
+    assert(math.abs(byId(1L).getDouble(1) - 1.0 / 127.0) < 1e-15)
+    assert(math.abs(byId(2L).getDouble(1) - 2.0 / 127.0) < 1e-15)
+    assert(byId(3L).getDouble(1) === 0.0)
+
+    // extreme components hit exactly ±127; zero vector quantizes to 0s
+    assert(byId(1L).getSeq[Byte](2) === Seq[Byte](64, -127, 32, 0))
+    assert(byId(2L).getSeq[Byte](2) === Seq[Byte](127, 127, -127, 64))
+    assert(byId(3L).getSeq[Byte](2) === Seq[Byte](0, 0, 0, 0))
+    assert(byId(3L).getDouble(4) === 0.0) // err_l2
+    out.foreach { r =>
+      r.getSeq[Byte](2).foreach(q => assert(q >= -127 && q <= 127))
+      assert(r.getInt(3) === 0) // n_clipped: clamp never truncates info here
+    }
+
+    // dequantized residual stays within the quantizer's error bound:
+    // |v_i - q_i*scale| <= scale/2 per component (no clipping)
+    val deq = Quantize.dequantize(
+      Quantize.int8Symmetric(vecs, "vec_id", "embedding"), "qvec", "scale")
+      .select(col("vec_id"), col("vec"), col("scale")).orderBy("vec_id").collect()
+    val orig = vecs.orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    deq.foreach { r =>
+      val vs = orig(r.getLong(0)); val scale = r.getDouble(2)
+      r.getSeq[Double](1).zip(vs).foreach { case (d, v) =>
+        assert(math.abs(d - v) <= scale / 2 + 1e-12)
+      }
+    }
+  }
+
+  test("int8Symmetric is a pure projection: no shuffle in the plan") {
+    val plan = Quantize.int8Symmetric(vecs, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("err_l2 matches a local recomputation") {
+    val out = Quantize.int8Symmetric(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    val orig = vecs.orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    out.foreach { r =>
+      val vs = orig(r.getLong(0)).map(_.toDouble)
+      val scale = r.getDouble(1)
+      val qs = r.getSeq[Byte](2)
+      val want =
+        if (scale == 0.0) 0.0
+        else math.sqrt(vs.zip(qs).map { case (v, q) =>
+          val d = v - q * scale; d * d
+        }.sum)
+      assert(math.abs(r.getDouble(4) - BigDecimal(want)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+}
