@@ -738,6 +738,31 @@ object SparkEntry {
       Drift.tokenJsDivergence(t(s, d, "documents"), "source", "text")
         .orderBy("source")),
 
+    // --- ANN directly on the quantized column: integer dot products,
+    // scales cancel from the cosine — exact arithmetic end to end ---
+    "q128_ann_int8" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Quantize.int8TopK(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- leakage-free splits: near-dup clusters (q48's fixture) never
+    // straddle train/val/test — the split key is the CC representative ---
+    "q129_leakage_free_split" -> ((s, d) => {
+      val base = t(s, d, "documents")
+      val dup = base.unionByName(base.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", concat(col("text"), lit(" nearmarker"))))
+      Sampling.assignSplitsLeakageFree(dup, "doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "rep", "split")
+        .orderBy("doc_id")
+    }),
+
     // --- salted skew join: result-invariant vs the plain join (the
     // oracle computes the plain join — identical output proves it) ---
     "q104_salted_join" -> ((s, d) => {
@@ -2242,6 +2267,33 @@ object SparkEntry {
            |FROM acc JOIN g USING (grp) JOIN d USING (grp)
            |ORDER BY source""".stripMargin,
 
+      // int8 ANN replay: the same quantizer as q126, then pure integer
+      // dot products (exact in doubles — far below 2^53), so sim is
+      // bit-identical with no float-sum-order caveat anywhere.
+      "q128_ann_int8" ->
+        """WITH v AS (SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+          |  FROM embeddings WHERE embedding IS NOT NULL),
+          |a AS (SELECT vec_id, vv,
+          |    list_max(list_transform(vv, x -> abs(x))) AS amax FROM v),
+          |s AS (SELECT vec_id, vv, amax, amax / 127.0 AS scale FROM a),
+          |qz AS (SELECT vec_id,
+          |    CASE WHEN amax = 0 THEN list_transform(vv, x -> CAST(0 AS DOUBLE))
+          |         ELSE list_transform(vv, x ->
+          |           least(greatest(floor(x / scale + 0.5), -127.0), 127.0)) END AS qv
+          |  FROM s),
+          |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nn FROM qz),
+          |q AS (SELECT * FROM n WHERE vec_id < 5 AND nn > 0),
+          |c AS (SELECT * FROM n WHERE vec_id >= 5 AND nn > 0),
+          |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    list_dot_product(q.qv, c.qv) / (sqrt(q.nn) * sqrt(c.nn)) AS sim
+          |  FROM q CROSS JOIN c)
+          |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
+          |  SELECT query_id, neighbor_id, sim,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY sim DESC, neighbor_id ASC) AS rank FROM p)
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
       "q104_salted_join" ->
         """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
           |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
@@ -3349,6 +3401,35 @@ object SparkEntry {
            |SELECT d.doc_id, d.n_chars FROM dup d
            |WHERE d.doc_id NOT IN (SELECT id FROM todrop)
            |ORDER BY doc_id""".stripMargin,
+
+      // Leakage-free splits: q48's near-dup CC chain, then the q88
+      // hash-bucket split keyed on the cluster representative.
+      "q129_leakage_free_split" -> {
+        val bucket = s"(${hash31Sql("CAST(rep AS VARCHAR)")}) % 10000"
+        s"""WITH dup AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000, text || ' nearmarker'
+           |  FROM documents WHERE doc_id < 50),
+           |sk AS (SELECT doc_id AS id, CAST(${simhashIntSql(toks, 64)} AS BIGINT) AS h FROM dup),
+           |banded AS (
+           |  SELECT id, h, b AS band, (h >> (b * 16)) & 65535 AS key
+           |  FROM sk CROSS JOIN range(4) t(b)),
+           |cand AS (
+           |  SELECT DISTINCT l.id AS id_a, l.h AS h_a, r.id AS id_b, r.h AS h_b
+           |  FROM banded l JOIN banded r
+           |    ON l.band = r.band AND l.key = r.key AND l.id < r.id),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM cand
+           |      WHERE bit_count(xor(h_a, h_b)) <= 3),
+           |${ccRoundsSql(3)},
+           |r AS (SELECT d.doc_id, CAST(coalesce(v.lbl, d.doc_id) AS BIGINT) AS rep
+           |      FROM dup d LEFT JOIN v3 v ON v.id = d.doc_id)
+           |SELECT doc_id, rep,
+           |  CASE WHEN $bucket < 8000 THEN 'train'
+           |       WHEN $bucket < 9000 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM r ORDER BY doc_id""".stripMargin
+      },
 
       "q49_grouped_profile" ->
         s"""WITH s AS (

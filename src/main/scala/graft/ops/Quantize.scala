@@ -71,4 +71,41 @@ object Quantize {
                  as: String = "vec"): DataFrame =
     df.withColumn(as,
       transform(col(qvecCol), q => q.cast("double") * col(scaleCol)))
+
+  /** Brute-force cosine top-k over int8-QUANTIZED vectors — the ANN
+    * baseline run directly on the compressed column, proving the 4x
+    * storage cut costs no join machinery. Per-vector scales cancel out
+    * of the cosine (cos(s_a·qa, s_b·qb) = qa·qb / (‖qa‖‖qb‖)), so
+    * scoring is pure integer dot products: Σq_i² and qa·qb are exact
+    * in 64-bit (and far below 2^53, so the double division is
+    * bit-identical cross-engine — no float-sum ordering anywhere).
+    * Zero-norm vectors are excluded from both sides (cosine
+    * undefined). Same shape as [[Similarity.bruteForceTopK]]: exact
+    * quadratic baseline; the quantized vectors feed the bucketed
+    * LSH/IVF kernels unchanged for the scale path. */
+  def int8TopK(queries: DataFrame, corpus: DataFrame,
+               qIdCol: String, qVecCol: String,
+               cIdCol: String, cVecCol: String, k: Int): DataFrame = {
+    def prep(df: DataFrame, id: String, vec: String,
+             idAs: String, p: String): DataFrame =
+      int8Symmetric(df, id, vec).select(
+        col(id).as(idAs), col("qvec").as(p + "q"),
+        aggregate(transform(col("qvec"), q => q.cast("long") * q.cast("long")),
+          lit(0L), _ + _).as(p + "n"))
+    val qs = prep(queries, qIdCol, qVecCol, "query_id", "q_")
+      .filter(col("q_n") > 0)
+    val cs = prep(corpus, cIdCol, cVecCol, "neighbor_id", "c_")
+      .filter(col("c_n") > 0)
+    val dot = aggregate(
+      zip_with(col("q_q"), col("c_q"), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), _ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    qs.crossJoin(cs)
+      .withColumn("sim", dot.cast("double") /
+        (sqrt(col("q_n").cast("double")) * sqrt(col("c_n").cast("double"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
 }

@@ -86,6 +86,31 @@ object Sampling {
     df.filter(col(idCol).isNotNull).withColumn("split", label)
   }
 
+  /** Leakage-free split assignment: every member of a near-duplicate
+    * CLUSTER lands in the same split, so a test document never has a
+    * near-copy in train — the contamination [[assignSplits]]' row-id
+    * hashing cannot prevent (near-dups hash independently). Clusters
+    * come from SimHash near-dup edges → min-label connected
+    * components; each row is keyed by its cluster representative
+    * (its own id when unpaired — the common case, which costs only a
+    * left join against the |pairs|-bounded label frame) and split by
+    * [[assignSplits]] on that key. Output adds (rep, split).
+    * Same determinism story as assignSplits: content-keyed, stable
+    * across runs, partitionings, and corpus growth — except when new
+    * data merges two clusters, where co-assignment (the safety
+    * property) wins over per-row stability by design. */
+  def assignSplitsLeakageFree(df: DataFrame, idCol: String, textCol: String,
+                              splits: Seq[(String, Double)],
+                              maxDist: Int = 3, rounds: Int = 3): DataFrame = {
+    val pairs = Dedup.simhashNearDup(df, idCol, textCol, maxDist)
+      .select("id_a", "id_b")
+    val labels = Graph.minLabelPropagation(pairs, "id_a", "id_b", rounds)
+      .select(col("id").as(idCol), col("lbl"))
+    val withRep = df.join(labels, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("lbl"), col(idCol))).drop("lbl")
+    assignSplits(withRep, "rep", splits)
+  }
+
   /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
     * Spirakis A-ES): row i gets priority key −ln(u_i)/w_i with u_i a
     * content-derived uniform in (0,1), and the k SMALLEST keys win —

@@ -55,6 +55,52 @@ class QuantizeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("int8TopK: exact parity with local quantized cosine; high float recall") {
+    val rnd = new scala.util.Random(11)
+    val data = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = data.filter(col("vec_id") < 3)
+    val c = data.filter(col("vec_id") >= 3)
+    val out = Quantize.int8TopK(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5).orderBy("query_id", "rank").collect()
+    assert(out.length === 15)
+
+    // local ground truth over the same quantizer
+    val local = (0L until 60L).map { i =>
+      val v = data.collect().find(_.getLong(0) == i).get.getSeq[Float](1)
+        .map(_.toDouble)
+      val amax = v.map(math.abs).max
+      val scale = amax / 127.0
+      i -> v.map(x =>
+        math.min(math.max(math.floor(x / scale + 0.5), -127.0), 127.0)).toArray
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    (0L until 3L).foreach { qid =>
+      val want = (3L until 60L).map(cid => (cid, cos(local(qid), local(cid))))
+        .sortBy { case (cid, s) => (-s, cid) }.take(5)
+      val got = out.filter(_.getLong(0) == qid)
+        .map(r => (r.getLong(2), r.getDouble(3)))
+      assert(got.map(_._1).toSeq === want.map(_._1).toSeq, s"query $qid ranks")
+      got.zip(want).foreach { case ((_, gs), (_, ws)) =>
+        assert(math.abs(gs - ws) < 1e-12) }
+    }
+
+    // quantized ranking stays close to the float ranking (recall@5 vs
+    // float top-5: at 16 dims with int8 precision, expect most overlap)
+    val floatData = data.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    (0L until 3L).foreach { qid =>
+      val floatTop = (3L until 60L)
+        .map(cid => (cid, cos(floatData(qid), floatData(cid))))
+        .sortBy { case (cid, s) => (-s, cid) }.take(5).map(_._1).toSet
+      val got = out.filter(_.getLong(0) == qid).map(_.getLong(2)).toSet
+      assert((floatTop & got).size >= 3, s"query $qid recall too low")
+    }
+  }
+
   test("err_l2 matches a local recomputation") {
     val out = Quantize.int8Symmetric(vecs, "vec_id", "embedding")
       .orderBy("vec_id").collect()

@@ -103,4 +103,40 @@ class SamplingSpec extends SparkSpec {
       Sampling.assignSplits(df, "id", Seq("a" -> 0.5, "b" -> 0.3))
     }
   }
+
+  test("assignSplitsLeakageFree: near-dup clusters never straddle splits") {
+    import spark.implicits._
+    // 200 long docs (so one appended token flips few SimHash bits);
+    // the first 40 get a near-copy
+    def body(i: Long): String =
+      (0 until 50).map(j => s"word${(i * 3 + j * 11) % 17}").mkString(" ") +
+        s" marker$i"
+    val base = (0L until 200L).map(i => (i, body(i)))
+    val dups = (0L until 40L).map(i => (i + 10000L, body(i) + " nearmarker"))
+    val df = (base ++ dups).toDF("doc_id", "text").repartition(8)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.assignSplitsLeakageFree(df, "doc_id", "text", splits)
+      .select("doc_id", "rep", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size === 240)
+    // THE property: every DETECTED near-dup pair shares rep and split
+    // (detection is SimHash's recall, not this operator's contract)
+    val pairs = Dedup.simhashNearDup(df, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length >= 20, s"fixture too weak: ${pairs.length} pairs")
+    pairs.foreach { case (a, b) =>
+      assert(out(a)._1 === out(b)._1, s"rep differs for pair ($a, $b)")
+      assert(out(a)._2 === out(b)._2, s"split differs for pair ($a, $b)")
+    }
+    // docs in no pair are their own rep
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    out.foreach { case (id, (rep, _)) =>
+      if (!paired.contains(id)) assert(rep === id) }
+    // and the assignment matches assignSplits keyed on the rep
+    val byRep = Sampling.assignSplits(
+      out.values.map(_._1).toSeq.distinct.toDF("rep"), "rep", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.values.foreach { case (rep, split) => assert(byRep(rep) === split) }
+  }
 }
