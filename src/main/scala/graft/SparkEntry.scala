@@ -763,6 +763,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- product quantization: all m per-subspace Lloyd trainings
+    // share the same jobs (subspace = grouping key); each vector
+    // becomes m codes — the stored index, raw vectors droppable ---
+    "q130_pq_codes" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cb = Quantize.pqTrain(e, "vec_id", "embedding",
+        dim = 64, m = 4, k = 8, iterations = 2)
+      Quantize.pqEncode(e, "vec_id", "embedding", cb, dim = 64, m = 4)
+        .select(col("id").as("vec_id"), col("subspace"), col("code"))
+        .orderBy("vec_id", "subspace")
+    }),
+
+    // --- PQ-ADC ANN: per-query distance tables (m·k entries,
+    // broadcast) summed over each corpus vector's codes — the scoring
+    // join never touches a raw corpus vector ---
+    "q131_pq_ann" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Quantize.pqTopKAdc(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", "vec_id", "embedding",
+        dim = 64, m = 4, k = 8, iterations = 2, topK = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("adist"), 6).as("adist"))
+        .orderBy("query_id", "rank")
+    }),
+
     // --- salted skew join: result-invariant vs the plain join (the
     // oracle computes the plain join — identical output proves it) ---
     "q104_salted_join" -> ((s, d) => {
@@ -2294,6 +2320,37 @@ object SparkEntry {
           |      ORDER BY sim DESC, neighbor_id ASC) AS rank FROM p)
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+      // PQ replay: grouped Lloyd per subspace (L2 assignment, ties →
+      // lowest centroid id — list_distance is monotone with the
+      // engine's squared form), then the code table.
+      "q130_pq_codes" ->
+        s"""WITH ${pqSql("")}
+           |SELECT id AS vec_id, CAST(subspace AS INT) AS subspace, code
+           |FROM pcodes ORDER BY vec_id, subspace""".stripMargin,
+
+      // ADC replay: per-query subspace distance tables joined to the
+      // code table; adist = sum of the m table entries.
+      "q131_pq_ann" ->
+        s"""WITH ${pqSql("WHERE vec_id >= 5")},
+           |pq AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings WHERE vec_id < 5),
+           |pqsub AS (SELECT id, s AS subspace,
+           |    v[s * $PqSubDim + 1 : s * $PqSubDim + $PqSubDim] AS sv
+           |  FROM pq CROSS JOIN range($PqM) t(s)),
+           |pdtab AS (SELECT q.id AS query_id, q.subspace,
+           |    ct.centroid_id AS code, list_distance(q.sv, ct.cv) ** 2 AS d2
+           |  FROM pqsub q JOIN pcent$PqIters ct USING (subspace)),
+           |pscore AS (SELECT d.query_id, c.id AS neighbor_id,
+           |    sum(d.d2) AS adist
+           |  FROM pcodes c JOIN pdtab d
+           |    ON c.subspace = d.subspace AND c.code = d.code
+           |  GROUP BY 1, 2)
+           |SELECT query_id, rank, neighbor_id, round(adist, 6) AS adist
+           |FROM (SELECT query_id, neighbor_id, adist,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY adist ASC, neighbor_id ASC) AS rank FROM pscore)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
       "q104_salted_join" ->
         """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
           |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
@@ -3616,6 +3673,53 @@ object SparkEntry {
     * argmax-cosine assignment plus per-(cluster, dim) mean; clusters
     * that lose every member keep the previous centroid (left join +
     * coalesce on both engines). */
+  private val PqM = 4
+  private val PqK = 8
+  private val PqIters = 2
+  private val PqSubDim = Q37Dim / PqM // 16
+
+  /** Shared CTE chain replaying [[graft.ops.Quantize.pqTrain]] +
+    * [[graft.ops.Quantize.pqEncode]]: slice into PqM subspaces, seed
+    * each with the PqK lowest-id subvectors, PqIters Lloyd rounds with
+    * ALL subspaces in one round-CTE (mirror of the engine's grouped
+    * training), then the final code assignment. `corpusFilter`
+    * selects the training corpus (q131 trains on vec_id >= 5 only). */
+  private def pqSql(corpusFilter: String): String = {
+    def round(i: Int): String =
+      s"""pasg$i AS (
+         |  SELECT id, subspace, centroid_id, sv FROM (
+         |    SELECT b.id, b.subspace, ct.centroid_id, b.sv,
+         |      row_number() OVER (PARTITION BY b.id, b.subspace
+         |        ORDER BY list_distance(b.sv, ct.cv) ASC, ct.centroid_id ASC) AS rn
+         |    FROM psub b JOIN pcent${i - 1} ct USING (subspace))
+         |  WHERE rn = 1),
+         |pm$i AS (
+         |  SELECT subspace, centroid_id, i AS pos, avg(sv[i + 1]) AS m
+         |  FROM pasg$i CROSS JOIN range($PqSubDim) t(i)
+         |  GROUP BY 1, 2, 3),
+         |pcent$i AS (
+         |  SELECT ct.subspace, ct.centroid_id, coalesce(nm.ncv, ct.cv) AS cv
+         |  FROM pcent${i - 1} ct LEFT JOIN
+         |    (SELECT subspace, centroid_id, list(m ORDER BY pos) AS ncv
+         |     FROM pm$i GROUP BY 1, 2) nm
+         |    USING (subspace, centroid_id))""".stripMargin
+    s"""pcorpus AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings $corpusFilter),
+       |psub AS (SELECT id, s AS subspace,
+       |    v[s * $PqSubDim + 1 : s * $PqSubDim + $PqSubDim] AS sv
+       |  FROM pcorpus CROSS JOIN range($PqM) t(s)),
+       |pcent0 AS (SELECT subspace, id AS centroid_id, sv AS cv FROM psub
+       |  WHERE id IN (SELECT id FROM pcorpus ORDER BY id LIMIT $PqK)),
+       |${(1 to PqIters).map(round).mkString(",\n")},
+       |pcodes AS (
+       |  SELECT id, subspace, centroid_id AS code FROM (
+       |    SELECT b.id, b.subspace, ct.centroid_id,
+       |      row_number() OVER (PARTITION BY b.id, b.subspace
+       |        ORDER BY list_distance(b.sv, ct.cv) ASC, ct.centroid_id ASC) AS rn
+       |    FROM psub b JOIN pcent$PqIters ct USING (subspace))
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   private def q38Sql: String = {
     def round(i: Int): String =
       s"""asg$i AS (

@@ -72,6 +72,130 @@ object Quantize {
     df.withColumn(as,
       transform(col(qvecCol), q => q.cast("double") * col(scaleCol)))
 
+  // ---------------------------------------------------------------
+  // Product quantization (PQ): the compression step beyond int8.
+  // ---------------------------------------------------------------
+
+  /** Sum of squared differences between two double-array columns —
+    * the L2² kernel PQ assigns and scores with (no sqrt: monotone, so
+    * rankings are identical and one transcendental cheaper). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Explode a vector column into its `m` contiguous subvectors:
+    * one row per (id, subspace). Pure projection + generator — no
+    * shuffle; the subspace id becomes an ordinary grouping key so ALL
+    * m per-subspace trainings below share the same Spark jobs. */
+  private def subvectors(df: DataFrame, idCol: String, vecCol: String,
+                         m: Int, subDim: Int): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(array((0 until m).map(s =>
+          slice(transform(col(vecCol), _.cast("double")),
+            s * subDim + 1, subDim)): _*)))
+      .withColumnRenamed("pos", "subspace")
+      .withColumnRenamed("col", "sv")
+
+  /** Nearest-centroid code per (id, subspace): broadcast-join the
+    * codebook on the subspace key, then a map-side `min_by` argmin
+    * (L2², ties → lowest centroid id). One narrow agg, no window. */
+  private def assignCodes(sub: DataFrame, codebook: DataFrame): DataFrame =
+    sub.join(broadcast(codebook), "subspace")
+      .withColumn("__d2", l2sq(col("sv"), col("cv")))
+      .groupBy("id", "subspace")
+      .agg(min_by(col("centroid_id"), struct(col("__d2"), col("centroid_id")))
+        .as("code"),
+        first(col("sv")).as("sv"))
+
+  /** Train PQ codebooks: split each vector into `m` contiguous
+    * subspaces and run Lloyd k-means in every subspace SIMULTANEOUSLY
+    * — the subspace id rides along as a grouping key, so each round
+    * is one corpus scan + one narrow (subspace, code, pos) shuffle
+    * for all m codebooks together, not m sequential trainings.
+    * Seeds = the k lowest-id vectors' subvectors (deterministic,
+    * oracle-replayable — same convention as
+    * [[Similarity.kmeansCentroids]]); clusters that lose every member
+    * keep their previous centroid. Returns (subspace, centroid_id,
+    * cv: array<double>).
+    *
+    * Scale story: a trained codebook is m·k subvectors (~KB) and each
+    * corpus vector compresses to m small codes — 64 dims of float32
+    * (256 B) become 4 codes (4 B at k ≤ 256): 64x. The ADC search
+    * ([[pqTopKAdc]]) then never touches raw vectors at all. */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int, k: Int, iterations: Int,
+              checkpointEvery: Int = 2): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val sub = subvectors(df, idCol, vecCol, m, subDim)
+    var codebook = subvectors(
+        df.orderBy(col(idCol)).limit(k), idCol, vecCol, m, subDim)
+      .select(col("subspace"), col("id").as("centroid_id"),
+        col("sv").as("cv"))
+      .transform(Checkpoints.cut)
+    var it = 0
+    while (it < iterations) {
+      val assigned = assignCodes(sub, codebook)
+      val means = assigned
+        .select(col("subspace"), col("code"), posexplode(col("sv")))
+        .groupBy("subspace", "code", "pos").agg(avg("col").as("m"))
+        .groupBy("subspace", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("newCv"))
+        .withColumnRenamed("code", "centroid_id")
+      val next = codebook.join(means, Seq("subspace", "centroid_id"), "left")
+        .select(col("subspace"), col("centroid_id"),
+          coalesce(col("newCv"), col("cv")).as("cv"))
+      it += 1
+      codebook =
+        if (it % checkpointEvery == 0 || it == iterations)
+          next.transform(Checkpoints.cut)
+        else next
+    }
+    codebook
+  }
+
+  /** PQ-encode a corpus against a trained codebook: each vector
+    * becomes m (subspace, code) rows. This IS the stored index —
+    * raw vectors can be dropped after this projection. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, dim: Int, m: Int): DataFrame =
+    assignCodes(subvectors(df, idCol, vecCol, m, dim / m), codebook)
+      .select(col("id"), col("subspace"), col("code"))
+
+  /** PQ ANN via asymmetric distance computation (ADC): per query,
+    * compute the exact L2² from each query subvector to every codebook
+    * centroid (an m·k distance table, ~KB — broadcast), then score
+    * each corpus vector as the SUM of its codes' table entries. The
+    * scoring join touches only the (id, subspace, code) index — never
+    * a raw corpus vector — so the per-query cost is m lookups per
+    * candidate regardless of dimensionality: that is the 100 TB ANN
+    * shape. Approximate by construction (quantization error), like
+    * every PQ index; [[int8TopK]]/[[Similarity.bruteForceTopK]] are
+    * the exact baselines. Returns (query_id, rank, neighbor_id,
+    * adist) with rank by ascending ADC distance, ties → lowest id. */
+  def pqTopKAdc(queries: DataFrame, corpus: DataFrame,
+                qIdCol: String, qVecCol: String,
+                cIdCol: String, cVecCol: String,
+                dim: Int, m: Int, k: Int, iterations: Int,
+                topK: Int): DataFrame = {
+    val subDim = dim / m
+    val codebook = pqTrain(corpus, cIdCol, cVecCol, dim, m, k, iterations)
+    val codes = pqEncode(corpus, cIdCol, cVecCol, codebook, dim, m)
+    val dtab = subvectors(queries, qIdCol, qVecCol, m, subDim)
+      .join(broadcast(codebook), "subspace")
+      .select(col("id").as("query_id"), col("subspace"),
+        col("centroid_id").as("code"), l2sq(col("sv"), col("cv")).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(dtab), Seq("subspace", "code"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id", "adist")
+  }
+
   /** Brute-force cosine top-k over int8-QUANTIZED vectors — the ANN
     * baseline run directly on the compressed column, proving the 4x
     * storage cut costs no join machinery. Per-vector scales cancel out

@@ -101,6 +101,86 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  private def l2sq(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("pqTrain/pqEncode: codes are the true per-subspace argmin; " +
+    "empty clusters keep their centroid") {
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val dim = 8; val m = 2; val sub = dim / m
+    val cb = Quantize.pqTrain(data, "vec_id", "embedding",
+      dim = dim, m = m, k = 4, iterations = 2)
+    val cbL = cb.collect().map(r => (r.getInt(0), r.getLong(1)) ->
+      r.getSeq[Double](2).toArray).toMap
+    assert(cbL.size === m * 4)
+    assert(cbL.keys.map(_._1).toSet === Set(0, 1))
+
+    val codes = Quantize.pqEncode(data, "vec_id", "embedding", cb, dim, m)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(codes.size === 40 * m)
+    val local = data.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    codes.foreach { case ((id, s), code) =>
+      val sv = local(id).slice(s * sub, s * sub + sub)
+      val want = cbL.collect { case ((ss, cid), cv) if ss == s =>
+        (cid, l2sq(sv, cv)) }.toSeq.sortBy { case (cid, d) => (d, cid) }.head._1
+      assert(code === want, s"vector $id subspace $s")
+    }
+  }
+
+  test("pqTopKAdc: adist equals the sum of per-subspace code distances; " +
+    "reasonable recall vs exact float top-k") {
+    val rnd = new scala.util.Random(13)
+    val data = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = data.filter(col("vec_id") < 3)
+    val c = data.filter(col("vec_id") >= 3)
+    val dim = 8; val m = 2; val sub = dim / m
+    val out = Quantize.pqTopKAdc(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", dim, m, k = 4, iterations = 2, topK = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(out.length === 15)
+
+    // replay: codebook + codes from the same deterministic training
+    val cb = Quantize.pqTrain(c, "vec_id", "embedding", dim, m, 4, 2)
+    val cbL = cb.collect().map(r => (r.getInt(0), r.getLong(1)) ->
+      r.getSeq[Double](2).toArray).toMap
+    val codes = Quantize.pqEncode(c, "vec_id", "embedding", cb, dim, m)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val local = data.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    out.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(2))
+      val want = (0 until m).map { s =>
+        val qsv = local(qid).slice(s * sub, s * sub + sub)
+        l2sq(qsv, cbL((s, codes((nid, s)))))
+      }.sum
+      assert(math.abs(r.getDouble(3) - want) < 1e-9, s"adist $qid->$nid")
+    }
+
+    // ADC ranking approximates the exact L2 ranking. With 2 subspaces
+    // x 4 centroids there are only 16 distinct code words for 57
+    // vectors — uniform random data is PQ's worst case — so assert an
+    // AGGREGATE overlap floor, not per-query recall.
+    val totalOverlap = (0L until 3L).map { qid =>
+      val exact = (3L until 60L).map(cid =>
+        (cid, l2sq(local(qid), local(cid))))
+        .sortBy { case (cid, d) => (d, cid) }.take(5).map(_._1).toSet
+      val got = out.filter(_.getLong(0) == qid).map(_.getLong(2)).toSet
+      (exact & got).size
+    }.sum
+    assert(totalOverlap >= 3, s"aggregate recall $totalOverlap/15 too low")
+  }
+
+  test("pqTrain rejects dims not divisible by m") {
+    intercept[IllegalArgumentException] {
+      Quantize.pqTrain(vecs, "vec_id", "embedding",
+        dim = 4, m = 3, k = 2, iterations = 1)
+    }
+  }
+
   test("err_l2 matches a local recomputation") {
     val out = Quantize.int8Symmetric(vecs, "vec_id", "embedding")
       .orderBy("vec_id").collect()
