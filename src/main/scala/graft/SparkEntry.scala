@@ -789,6 +789,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // --- DSIR importance weights: avg per-token log-likelihood ratio
+    // of a target-domain unigram LM vs the raw-corpus LM — the
+    // data-selection score for "reads like the target domain" ---
+    "q132_importance_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Corpus.importanceWeights(
+        docs.filter(col("source").isin("src0", "src1", "src2", "src3")),
+        docs, docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // --- salted skew join: result-invariant vs the plain join (the
     // oracle computes the plain join — identical output proves it) ---
     "q104_salted_join" -> ((s, d) => {
@@ -2350,6 +2362,42 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY query_id
            |      ORDER BY adist ASC, neighbor_id ASC) AS rank FROM pscore)
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // DSIR replay: two smoothed unigram LMs (q56's convention, each
+      // over its own corpus), per-doc tf-weighted log-RATIO average.
+      "q132_importance_weights" -> {
+        val toks = toksSql("text")
+        s"""WITH ftgt AS (
+           |  SELECT tok, count(*) AS c
+           |  FROM (SELECT unnest($toks) AS tok FROM documents
+           |        WHERE source IN ('src0', 'src1', 'src2', 'src3'))
+           |  GROUP BY tok),
+           |fraw AS (
+           |  SELECT tok, count(*) AS c
+           |  FROM (SELECT unnest($toks) AS tok FROM documents)
+           |  GROUP BY tok),
+           |mt AS (SELECT CAST(sum(c) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS vt FROM ftgt),
+           |mr AS (SELECT CAST(sum(c) AS BIGINT) AS nr, CAST(count(*) AS BIGINT) AS vr FROM fraw),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf
+           |       FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)
+           |       GROUP BY 1, 2),
+           |sc AS (SELECT t.doc_id,
+           |  CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+           |  sum(CAST(t.tf AS DOUBLE) *
+           |    (ln((coalesce(ft.c, 0) + 1) / CAST(mt.nt + mt.vt AS DOUBLE))
+           |   - ln((coalesce(fr.c, 0) + 1) / CAST(mr.nr + mr.vr AS DOUBLE))))
+           |    / CAST(sum(t.tf) AS DOUBLE) AS avg_logratio
+           |  FROM tf t
+           |  LEFT JOIN ftgt ft USING (tok)
+           |  LEFT JOIN fraw fr USING (tok)
+           |  CROSS JOIN mt CROSS JOIN mr
+           |  GROUP BY t.doc_id)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           |  round(coalesce(sc.avg_logratio, 0.0), 6) AS avg_logratio
+           |FROM documents d LEFT JOIN sc USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      },
 
       "q104_salted_join" ->
         """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,

@@ -278,6 +278,52 @@ object Corpus {
         round(coalesce(col("avg_logp"), lit(0.0)), 6).as("avg_logp"))
   }
 
+  /** DSIR-style importance weights for domain-targeted data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score every document by the average
+    * per-token log-likelihood RATIO between a target-domain unigram LM
+    * and the raw-corpus unigram LM — positive means "reads like the
+    * target domain". Both LMs use the same add-1 smoothing convention
+    * as [[unigramLogProb]] (p(t) = (c+1)/(n+|V|), each over its own
+    * corpus). Selection is then a threshold or weighted sample over
+    * `avg_logratio` ([[graft.ops.Sampling.weightedSample]] composes).
+    *
+    * Scale shape: one scan per LM + one for the scored corpus, all
+    * reductions keyed on the token (vocab-bounded); the two count
+    * scalars ride along as broadcast 1-row frames. No driver state,
+    * no vocabulary collect — the LM tables stay distributed. */
+  def importanceWeights(target: DataFrame, raw: DataFrame,
+                        score: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    def lm(df: DataFrame) = df
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val ft = lm(target)
+    val fr = lm(raw)
+    val mt = ft.agg(sum(col("c")).as("nt"), count(lit(1)).as("vt"))
+    val mr = fr.agg(sum(col("c")).as("nr"), count(lit(1)).as("vr"))
+    val tf = score
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(ft.withColumnRenamed("c", "ct"), Seq("tok"), "left")
+      .join(fr.withColumnRenamed("c", "cr"), Seq("tok"), "left")
+      .crossJoin(broadcast(mt)).crossJoin(broadcast(mr))
+      .groupBy("id").agg(
+        sum(col("tf")).as("n_tokens"),
+        (sum(col("tf").cast("double") *
+          (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("nt") + col("vt")).cast("double")) -
+           log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+            (col("nr") + col("vr")).cast("double")))) /
+          sum(col("tf")).cast("double")).as("avg_logratio"))
+    score.select(col(idCol).as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("avg_logratio"), lit(0.0)), 6).as("avg_logratio"))
+  }
+
   /** Gopher-style repetition signals per document: duplicate-token
     * fraction (1 − distinct/total) and the most frequent word bigram
     * with its share of all bigrams. High values flag boilerplate-ish /

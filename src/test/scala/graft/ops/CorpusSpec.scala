@@ -282,4 +282,33 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getString(1)).groupBy(identity).view.mapValues(_.size).toMap
     assert(one === Map("web" -> 1, "code" -> 1))
   }
+
+  test("importanceWeights: target-domain docs score higher; hand formula parity") {
+    val corpus = Seq(
+      (1L, "alpha alpha beta", "tgt"),
+      (2L, "alpha beta beta", "tgt"),
+      (3L, "gamma delta gamma", "oth"),
+      (4L, "delta gamma delta", "oth"),
+      (5L, "alpha gamma", "oth"),
+      (6L, "", "oth")
+    ).toDF("id", "text", "src")
+    val out = Corpus.importanceWeights(
+      corpus.filter(col("src") === "tgt"), corpus, corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    // target-vocab docs score above cross-domain docs
+    assert(out(1L)._2 > out(3L)._2)
+    assert(out(2L)._2 > out(4L)._2)
+    // the mixed doc sits between the pure ones
+    assert(out(5L)._2 < out(1L)._2 && out(5L)._2 > out(3L)._2)
+    // empty doc: zero tokens, zero score
+    assert(out(6L) === ((0L, 0.0)))
+
+    // hand replay of doc 1: target LM n=6 v=2; raw LM n=14 v=4
+    def lp(c: Long, n: Long, v: Long) = math.log((c + 1).toDouble / (n + v))
+    val want = (2.0 * (lp(3, 6, 2) - lp(4, 14, 4)) // alpha: tgt 3, raw 4
+              + 1.0 * (lp(3, 6, 2) - lp(3, 14, 4))) / 3.0 // beta: tgt 3, raw 3
+    assert(math.abs(out(1L)._2 -
+      BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
 }
