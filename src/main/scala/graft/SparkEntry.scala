@@ -671,6 +671,71 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- streaming drift monitor under a REAL micro-batch trigger:
+    // baseline deciles + smoothed bin probabilities computed offline
+    // from the pre-split events (the reference snapshot), then the
+    // live weeks fed through a MemoryStream into
+    // StreamingProfile.windowedPsi (per-day tumbling windows, append
+    // mode), landed by a foreachBatch parquet sink and read back. A
+    // sentinel event past the horizon advances the watermark so every
+    // real window closes; the sentinel's own window stays open and is
+    // never emitted. The MemoryStream feed is a test-harness source
+    // (driver-side by design); the windowed aggregation is the same
+    // distributed plan a Kafka source would run. ---
+    "q133_streaming_psi" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val bins = 10
+      val ev = t(s, d, "events").filter(col("value").isNotNull)
+      val split = lit("2024-01-08 00:00:00").cast("timestamp")
+      val base = ev.filter(col("ts") < split)
+        .select(col("value").cast("double").as("v"))
+      val nBase = base.count()
+      val cuts = graft.engine.Quantiles.exactExpr(base, col("v"),
+        (1 until bins).map(_.toDouble / bins), nBase)
+      val binE = cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(col("v") >= lit(c), 1).otherwise(0) }
+      val baseCounts = base.groupBy(binE.as("bin"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val probs = (0 until bins).map(i =>
+        (baseCounts.getOrElse(i, 0L) + 0.5) / (nBase + 0.5 * bins))
+      val live = ev.filter(col("ts") >= split)
+        .withColumn("__b",
+          when(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"), 0)
+          .when(col("ts") < lit("2024-01-22 00:00:00").cast("timestamp"), 1)
+          .otherwise(2))
+        .select(col("event_id"), col("ts"),
+          col("value").cast("double").as("value"), col("__b"))
+        .as[(Long, java.sql.Timestamp, Double, Int)].collect()
+      val batches: Seq[Seq[(Long, java.sql.Timestamp, Double, Int)]] =
+        (0 to 2).map(b => live.toSeq.filter(_._4 == b)) :+
+          Seq((-1L, java.sql.Timestamp.valueOf("2024-02-05 00:00:00"), 0.0, 3))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Double, Int)]
+      val stream = mem.toDF().toDF("event_id", "ts", "value", "batch")
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-stream-psi").toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        StreamingProfile.windowedPsi(stream, "ts", "value", cuts, probs,
+            windowDur = "24 hours", watermark = "24 hours")
+          .writeStream
+          .foreachBatch { (bdf: DataFrame, _: Long) =>
+            bdf.write.mode("append").parquet(outDir)
+          }
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("n"), col("psi"))
+        .orderBy("window_start")
+    }),
+
     // --- small-files maintenance end-to-end: 12 shard appends leave a
     // fragmented parquet directory (≥12 part files), compactParquet
     // rewrites it to the size-derived file count, and the query returns
@@ -2236,6 +2301,47 @@ object SparkEntry {
            |  SELECT 1 FROM surv e WHERE e.h = t.h AND e.batch < t.batch))
            |SELECT doc_id, CAST(batch AS INT) AS batch FROM adm
            |ORDER BY doc_id""".stripMargin,
+
+      // Streaming PSI replay: baseline deciles + smoothed bin probs
+      // from the pre-split week (q67's quantile_cont convention), then
+      // per-day windows of the live weeks scored with the engine's
+      // exact smoothing and Σ (p−q)·ln(p/q) formula over ALL 10 bins.
+      // The sentinel that flushes the engine's watermark lives past
+      // the horizon — its window never closes, so it has no twin here.
+      "q133_streaming_psi" -> {
+        val binExpr = (1 to 9).map(i =>
+          s"CASE WHEN r.v >= c.q$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH r AS (SELECT ts, value AS v FROM events
+           |           WHERE value IS NOT NULL),
+           |base AS (SELECT ts, v FROM r
+           |         WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+           |c AS (SELECT ${(1 to 9).map(i =>
+                   s"quantile_cont(v, 0.$i) AS q$i").mkString(", ")}
+           |      FROM base),
+           |nb AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+           |bc AS (SELECT $binExpr AS bin,
+           |         CAST(count(*) AS DOUBLE) AS cnt
+           |       FROM base r, c GROUP BY 1),
+           |p AS (SELECT t.i AS bin,
+           |        (coalesce(bc.cnt, 0) + 0.5) / (nb.n + 5.0) AS p
+           |      FROM range(10) t(i)
+           |      LEFT JOIN bc ON bc.bin = t.i CROSS JOIN nb),
+           |live AS (SELECT date_trunc('day', r.ts) AS ws,
+           |           $binExpr AS bin
+           |         FROM r, c
+           |         WHERE r.ts >= TIMESTAMP '2024-01-08 00:00:00'),
+           |lc AS (SELECT ws, bin, CAST(count(*) AS DOUBLE) AS cnt
+           |       FROM live GROUP BY 1, 2),
+           |wn AS (SELECT ws, sum(cnt) AS n FROM lc GROUP BY ws),
+           |sc AS (SELECT wn.ws, wn.n, p.p,
+           |         (coalesce(lc.cnt, 0) + 0.5) / (wn.n + 5.0) AS q
+           |       FROM wn CROSS JOIN p
+           |       LEFT JOIN lc ON lc.ws = wn.ws AND lc.bin = p.bin)
+           |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           |  CAST(n AS BIGINT) AS n,
+           |  round(sum((p - q) * ln(p / q)), 6) AS psi
+           |FROM sc GROUP BY ws, n ORDER BY window_start""".stripMargin
+      },
 
       // Content parity of the compacted directory with the source table;
       // files_after = 1 is the deterministic size-derived count at test
