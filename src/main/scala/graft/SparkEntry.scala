@@ -866,6 +866,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- collocation mining: top-k adjacent-token pairs by PMI —
+    // the phrase-induction pass of tokenizer/vocab pipelines ---
+    "q134_collocations" -> ((s, d) =>
+      Corpus.collocations(t(s, d, "documents"), "doc_id", "text",
+          minCount = 5L, k = 30)
+        .orderBy(desc("pmi"), col("w1"), col("w2"))),
+
     // --- salted skew join: result-invariant vs the plain join (the
     // oracle computes the plain join — identical output proves it) ---
     "q104_salted_join" -> ((s, d) => {
@@ -2504,6 +2511,31 @@ object SparkEntry {
            |FROM documents d LEFT JOIN sc USING (doc_id)
            |ORDER BY doc_id""".stripMargin
       },
+
+      // PMI collocations replay: unigram + bigram streams from the
+      // shared tokenizer, the engine's exact division order inside ln.
+      "q134_collocations" ->
+        s"""WITH base AS (SELECT ${toksSql("text")} AS w FROM documents),
+           |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cw
+           |       FROM (SELECT unnest(w) AS tok FROM base) GROUP BY tok),
+           |nu AS (SELECT CAST(sum(cw) AS BIGINT) AS nu FROM uc),
+           |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cxy FROM (
+           |    SELECT unnest(list_transform(range(len(w) - 1),
+           |      i -> w[i+1] || ' ' || w[i+2])) AS bg
+           |    FROM base WHERE len(w) >= 2) GROUP BY bg),
+           |nb AS (SELECT CAST(sum(cxy) AS BIGINT) AS nb FROM bc),
+           |sc AS (SELECT split_part(bg, ' ', 1) AS w1,
+           |         split_part(bg, ' ', 2) AS w2, bg, cxy
+           |       FROM bc WHERE cxy >= 5),
+           |j AS (SELECT sc.w1, sc.w2, sc.bg, sc.cxy,
+           |        ln((CAST(sc.cxy AS DOUBLE) / CAST(nb.nb AS DOUBLE)) /
+           |           ((CAST(u1.cw AS DOUBLE) / CAST(nu.nu AS DOUBLE))
+           |          * (CAST(u2.cw AS DOUBLE) / CAST(nu.nu AS DOUBLE)))) AS pmi
+           |      FROM sc JOIN uc u1 ON u1.tok = sc.w1
+           |      JOIN uc u2 ON u2.tok = sc.w2
+           |      CROSS JOIN nb CROSS JOIN nu)
+           |SELECT w1, w2, cxy, round(pmi, 6) AS pmi
+           |FROM j ORDER BY pmi DESC, bg ASC LIMIT 30""".stripMargin,
 
       "q104_salted_join" ->
         """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,

@@ -137,6 +137,46 @@ object Corpus {
       .filter(col("cnt") >= minCount)
   }
 
+  /** Collocation mining: the corpus's top-k adjacent-token pairs by
+    * pointwise mutual information — the phrase-induction signal
+    * tokenizer/vocab pipelines use to promote "new york"-style units
+    * (Mikolov et al. 2013's phrase pass uses the same score shape).
+    * PMI = ln(p(xy) / (p(x)·p(y))) with p(xy) over the bigram stream
+    * and p(x) over the token stream; `minCount` suppresses the
+    * noise floor (rare pairs otherwise dominate PMI).
+    *
+    * Shape: two narrow token scans (unigram + bigram counts, both
+    * vocab-bounded aggs), the two stream totals as broadcast 1-row
+    * frames, component-word lookups as keyed joins on the word, and a
+    * distributed top-k — no driver state at any size. */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   minCount: Long, k: Int): DataFrame = {
+    val text = col(textCol).cast("string")
+    val uni = df.select(explode(tokens(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val nu = uni.agg(sum(col("cw")).as("nu"))
+    val biAll = df
+      .select(explode(Dedup.ngramStreamFast(text, 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cxy"))
+    val nb = biAll.agg(sum(col("cxy")).as("nb"))
+    val scored = biAll.filter(col("cxy") >= minCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .withColumn("pmi",
+        log((col("cxy").cast("double") / col("nb").cast("double")) /
+          ((col("c1").cast("double") / col("nu").cast("double")) *
+           (col("c2").cast("double") / col("nu").cast("double")))))
+    // global top-k: orderBy+limit plans as TakeOrderedAndProject — a
+    // distributed per-partition top-k merged on the driver, never a
+    // single-task window
+    scored.orderBy(col("pmi").desc, col("bg").asc).limit(k)
+      .select(col("w1"), col("w2"), col("cxy"),
+        round(col("pmi"), 6).as("pmi"))
+  }
+
   /** Passage-level exact-duplicate statistics — the chunked
     * approximation of suffix-array substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): split

@@ -283,6 +283,33 @@ class CorpusSpec extends SparkSpec {
     assert(one === Map("web" -> 1, "code" -> 1))
   }
 
+  test("collocations: PMI hand parity, minCount floor, top-k order") {
+    val corpus = Seq(
+      (1L, "new york new york city"),
+      (2L, "york city hall"),
+      (3L, "new deal")
+    ).toDF("id", "text")
+    // unigrams: new 3, york 3, city 2, hall 1, deal 1 -> Nu = 10
+    // bigrams: "new york" 2, "york city" 2, others 1 -> Nb = 7
+    val out = Corpus.collocations(corpus, "id", "text", minCount = 2L, k = 5)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+    // only the two pairs at cxy >= 2 survive
+    assert(out.map(_._1).toSeq ===
+      Seq(("york", "city"), ("new", "york"))) // PMI desc
+    val m = out.toMap
+    def pmi(cxy: Long, c1: Long, c2: Long) =
+      math.log((cxy / 7.0) / ((c1 / 10.0) * (c2 / 10.0)))
+    assert(math.abs(m(("york", "city"))._2 - BigDecimal(pmi(2, 3, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(m(("new", "york"))._2 - BigDecimal(pmi(2, 3, 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(m(("york", "city"))._1 === 2L && m(("new", "york"))._1 === 2L)
+
+    // k truncates below the survivor count
+    assert(Corpus.collocations(corpus, "id", "text", 1L, 2).count() === 2)
+  }
+
   test("importanceWeights: target-domain docs score higher; hand formula parity") {
     val corpus = Seq(
       (1L, "alpha alpha beta", "tgt"),
