@@ -2497,9 +2497,11 @@ object SparkEntry {
            |sc AS (SELECT t.doc_id,
            |  CAST(sum(t.tf) AS BIGINT) AS n_tokens,
            |  sum(CAST(t.tf AS DOUBLE) *
-           |    (ln((coalesce(ft.c, 0) + 1) / CAST(mt.nt + mt.vt AS DOUBLE))
-           |   - ln((coalesce(fr.c, 0) + 1) / CAST(mr.nr + mr.vr AS DOUBLE))))
-           |    / CAST(sum(t.tf) AS DOUBLE) AS avg_logratio
+           |      ln((coalesce(ft.c, 0) + 1) / CAST(mt.nt + mt.vt AS DOUBLE)))
+           |    / CAST(sum(t.tf) AS DOUBLE) AS at,
+           |  sum(CAST(t.tf AS DOUBLE) *
+           |      ln((coalesce(fr.c, 0) + 1) / CAST(mr.nr + mr.vr AS DOUBLE)))
+           |    / CAST(sum(t.tf) AS DOUBLE) AS ar
            |  FROM tf t
            |  LEFT JOIN ftgt ft USING (tok)
            |  LEFT JOIN fraw fr USING (tok)
@@ -2507,7 +2509,10 @@ object SparkEntry {
            |  GROUP BY t.doc_id)
            |SELECT d.doc_id,
            |  CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
-           |  round(coalesce(sc.avg_logratio, 0.0), 6) AS avg_logratio
+           |  round(coalesce(sc.at, 0.0), 6) AS avg_logp_tgt,
+           |  round(coalesce(sc.ar, 0.0), 6) AS avg_logp_raw,
+           |  round(round(coalesce(sc.at, 0.0), 6)
+           |      - round(coalesce(sc.ar, 0.0), 6), 6) AS avg_logratio
            |FROM documents d LEFT JOIN sc USING (doc_id)
            |ORDER BY doc_id""".stripMargin
       },

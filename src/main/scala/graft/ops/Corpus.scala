@@ -345,6 +345,13 @@ object Corpus {
     val tf = score
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    // The two per-LM averages are computed and ROUNDED separately —
+    // each is a well-conditioned sum (≈ −7·n_tokens, no cancellation)
+    // — and the ratio is their rounded difference. Summing the
+    // per-token log-RATIO directly is numerically treacherous: for
+    // distribution-neutral documents the terms cancel to ~1e-9 where
+    // cross-engine float-summation-order noise flips the SIGN of the
+    // rounded result (±0.0 hash-mismatch, seen at sf0.1).
     val scored = tf
       .join(ft.withColumnRenamed("c", "ct"), Seq("tok"), "left")
       .join(fr.withColumnRenamed("c", "cr"), Seq("tok"), "left")
@@ -352,16 +359,21 @@ object Corpus {
       .groupBy("id").agg(
         sum(col("tf")).as("n_tokens"),
         (sum(col("tf").cast("double") *
-          (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
-            (col("nt") + col("vt")).cast("double")) -
-           log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
-            (col("nr") + col("vr")).cast("double")))) /
-          sum(col("tf")).cast("double")).as("avg_logratio"))
+          log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("nt") + col("vt")).cast("double"))) /
+          sum(col("tf")).cast("double")).as("__at"),
+        (sum(col("tf").cast("double") *
+          log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+            (col("nr") + col("vr")).cast("double"))) /
+          sum(col("tf")).cast("double")).as("__ar"))
     score.select(col(idCol).as("id")).distinct()
       .join(scored, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        round(coalesce(col("avg_logratio"), lit(0.0)), 6).as("avg_logratio"))
+        round(coalesce(col("__at"), lit(0.0)), 6).as("avg_logp_tgt"),
+        round(coalesce(col("__ar"), lit(0.0)), 6).as("avg_logp_raw"),
+        round(round(coalesce(col("__at"), lit(0.0)), 6) -
+          round(coalesce(col("__ar"), lit(0.0)), 6), 6).as("avg_logratio"))
   }
 
   /** Gopher-style repetition signals per document: duplicate-token

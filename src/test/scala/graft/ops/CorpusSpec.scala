@@ -321,21 +321,27 @@ class CorpusSpec extends SparkSpec {
     ).toDF("id", "text", "src")
     val out = Corpus.importanceWeights(
       corpus.filter(col("src") === "tgt"), corpus, corpus, "id", "text")
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
 
     // target-vocab docs score above cross-domain docs
-    assert(out(1L)._2 > out(3L)._2)
-    assert(out(2L)._2 > out(4L)._2)
+    assert(out(1L)._4 > out(3L)._4)
+    assert(out(2L)._4 > out(4L)._4)
     // the mixed doc sits between the pure ones
-    assert(out(5L)._2 < out(1L)._2 && out(5L)._2 > out(3L)._2)
-    // empty doc: zero tokens, zero score
-    assert(out(6L) === ((0L, 0.0)))
+    assert(out(5L)._4 < out(1L)._4 && out(5L)._4 > out(3L)._4)
+    // empty doc: zero tokens, zero scores
+    assert(out(6L) === ((0L, 0.0, 0.0, 0.0)))
 
-    // hand replay of doc 1: target LM n=6 v=2; raw LM n=14 v=4
+    // hand replay of doc 1: target LM n=6 v=2; raw LM n=14 v=4;
+    // the ratio is the DIFFERENCE OF THE ROUNDED per-LM averages
+    // (component rounding is the operator's numeric contract)
     def lp(c: Long, n: Long, v: Long) = math.log((c + 1).toDouble / (n + v))
-    val want = (2.0 * (lp(3, 6, 2) - lp(4, 14, 4)) // alpha: tgt 3, raw 4
-              + 1.0 * (lp(3, 6, 2) - lp(3, 14, 4))) / 3.0 // beta: tgt 3, raw 3
-    assert(math.abs(out(1L)._2 -
-      BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val at = r6((2.0 * lp(3, 6, 2) + 1.0 * lp(3, 6, 2)) / 3.0)
+    val ar = r6((2.0 * lp(4, 14, 4) + 1.0 * lp(3, 14, 4)) / 3.0)
+    assert(math.abs(out(1L)._2 - at) < 1e-9)
+    assert(math.abs(out(1L)._3 - ar) < 1e-9)
+    assert(math.abs(out(1L)._4 - r6(at - ar)) < 1e-9)
   }
 }
