@@ -866,6 +866,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- curriculum phases: blend of length percentile and inverted
+    // quality percentile, cut into 3 training stages — both ranks via
+    // the windowless distributed percent-rank kernel ---
+    "q135_curriculum" -> ((s, d) =>
+      Curation.curriculumPhases(t(s, d, "documents"), "doc_id", "text",
+          phases = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // --- collocation mining: top-k adjacent-token pairs by PMI —
     // the phrase-induction pass of tokenizer/vocab pipelines ---
     "q134_collocations" -> ((s, d) =>
@@ -2515,6 +2524,36 @@ object SparkEntry {
            |      - round(coalesce(sc.ar, 0.0), 6), 6) AS avg_logratio
            |FROM documents d LEFT JOIN sc USING (doc_id)
            |ORDER BY doc_id""".stripMargin
+      },
+
+      // Curriculum replay: q20's quality formula, SQL percent_rank for
+      // both ranks (ties share first-row rank = the kernel's rule),
+      // the engine's blend/round order, floor cut into 3 phases.
+      "q135_curriculum" -> {
+        val toks = toksSql("text")
+        val punct = s"""CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text)"""
+        val swRatio = s"CAST(len(list_filter($toks, x -> list_contains(${dlist(stop("en"))}, x))) AS DOUBLE) / len($toks)"
+        val mtl = s"CAST(list_sum(list_transform($toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len($toks)"
+        val quality =
+          s"""CAST((CASE WHEN len($toks) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.3
+             |      + (CASE WHEN $mtl >= 2.0 AND $mtl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
+             |      + (CASE WHEN $punct <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+             |      + (CASE WHEN $swRatio >= 0.01 THEN 1.0 ELSE 0.0 END) * 0.2 AS DOUBLE)""".stripMargin
+        s"""WITH b AS (SELECT doc_id,
+           |    CAST(len($toks) AS BIGINT) AS n_tokens,
+           |    round($quality, 6) AS quality
+           |  FROM documents),
+           |r AS (SELECT doc_id, n_tokens, quality,
+           |    percent_rank() OVER (ORDER BY n_tokens) AS prl,
+           |    percent_rank() OVER (ORDER BY quality) AS prq
+           |  FROM b),
+           |d AS (SELECT doc_id, n_tokens, quality,
+           |    round(prl, 6) AS pr_len, round(prq, 6) AS pr_quality,
+           |    round(0.5 * prl + 0.5 * (1.0 - prq), 6) AS difficulty
+           |  FROM r)
+           |SELECT doc_id, n_tokens, quality, pr_len, pr_quality, difficulty,
+           |  CAST(least(floor(difficulty * 3), 2) AS INT) AS phase
+           |FROM d ORDER BY doc_id""".stripMargin
       },
 
       // PMI collocations replay: unigram + bigram streams from the

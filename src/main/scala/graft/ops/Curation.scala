@@ -29,6 +29,41 @@ object Curation {
       minTokens: Int = 5,
       sampleFraction: Double = 1.0)
 
+  /** Curriculum-phase assignment for staged training: rank every
+    * document's difficulty as the blend of its length percentile
+    * (longer = harder) and its inverted quality percentile (noisier =
+    * harder), then cut the [0,1) difficulty into `phases` equal
+    * slices — phase 0 trains first. Percentiles come from
+    * [[graft.ops.Drift.percentRank]]'s windowless distributed kernel
+    * (distinct-value-bounded rank tables, no single-task window), so
+    * the assignment is deterministic, engine-portable, and survives
+    * any corpus size. Output per doc: (id, n_tokens, quality, pr_len,
+    * pr_quality, difficulty, phase). */
+  def curriculumPhases(df: DataFrame, idCol: String, textCol: String,
+                       phases: Int = 3): DataFrame = {
+    require(phases >= 2, s"phases must be >= 2, got $phases")
+    val base = df.select(col(idCol).as("id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      round(TextAnalysis.qualityScore(col(textCol)), 6).as("quality"))
+    val ranked = Drift.percentRank(
+      Drift.percentRank(base, "n_tokens", "__prl"), "quality", "__prq")
+    // The blend uses the UNROUNDED ranks: each is an exact rational
+    // k/(n−1), so 0.5·a + 0.5·(1−b) = (k−j+n−1)/(2(n−1)) can never
+    // sit exactly on a 6-decimal rounding midpoint (the denominator
+    // has a prime factor other than 2 and 5) — whereas blending the
+    // ROUNDED 6-decimal ranks with 0.5 weights mints 7th-decimal ·5
+    // boundaries where the engines' rounding modes disagree.
+    ranked
+      .withColumn("pr_len", round(col("__prl"), 6))
+      .withColumn("pr_quality", round(col("__prq"), 6))
+      .withColumn("difficulty", round(lit(0.5) * col("__prl") +
+        lit(0.5) * (lit(1.0) - col("__prq")), 6))
+      .withColumn("phase",
+        least(floor(col("difficulty") * phases), lit(phases - 1)).cast("int"))
+      .select("id", "n_tokens", "quality", "pr_len", "pr_quality",
+        "difficulty", "phase")
+  }
+
   /** Returns the curated corpus: (id, text_clean, lang, quality,
     * n_tokens) for every surviving document. */
   def curate(df: DataFrame, idCol: String, textCol: String,

@@ -45,4 +45,33 @@ class CurationSpec extends SparkSpec {
         Curation.CurationConfig(sampleFraction = 0.5))
         .collect().map(_.getLong(0)).toSet)
   }
+
+  test("curriculumPhases: difficulty blends length and inverted quality; " +
+    "phases cover the cut range") {
+    // 12 docs with strictly increasing length; the long tail of
+    // "zzz"-padded docs is low-quality (no stopwords, long mean token)
+    val good = "the quick brown fox jumps over the lazy dog again and again "
+    val docs = (1L to 12L).map(i =>
+      (i, (good * i.toInt).trim)).toDF("id", "text")
+    val out = Curation.curriculumPhases(docs, "id", "text", phases = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(5), r.getInt(6)))).toMap
+    assert(out.size === 12)
+    // monotone length => monotone pr_len; equal quality => difficulty
+    // strictly increases with doc id, and phases are nondecreasing
+    val byId = (1L to 12L).map(out)
+    assert(byId.map(_._1) === byId.map(_._1).sorted)
+    assert(byId.map(_._2) === byId.map(_._2).sorted)
+    assert(byId.map(_._3) === byId.map(_._3).sorted)
+    // uniform quality floors difficulty at 0.5 -> first phase here is 1
+    assert(byId.head._3 === 1 && byId.last._3 === 2)
+    out.values.foreach { case (_, d, p) =>
+      assert(d >= 0.0 && d <= 1.0); assert(p >= 0 && p <= 2) }
+    // equal quality for all docs => pr_quality 0 for every row =>
+    // difficulty = 0.5 * pr_len + 0.5; doc 1 has pr_len 0
+    assert(math.abs(byId.head._2 - 0.5) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Curation.curriculumPhases(docs, "id", "text", phases = 1)
+    }
+  }
 }
