@@ -42,9 +42,14 @@ object Curation {
   def curriculumPhases(df: DataFrame, idCol: String, textCol: String,
                        phases: Int = 3): DataFrame = {
     require(phases >= 2, s"phases must be >= 2, got $phases")
+    // pinned once: the token-count/quality expression chain would
+    // otherwise re-evaluate through BOTH rank joins (the second rank
+    // pass re-reads the first's join output, which inlines the text
+    // scans again) — measured 4.8 s -> ~2 s at sf0.1
     val base = df.select(col(idCol).as("id"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
       round(TextAnalysis.qualityScore(col(textCol)), 6).as("quality"))
+      .localCheckpoint()
     val ranked = Drift.percentRank(
       Drift.percentRank(base, "n_tokens", "__prl"), "quality", "__prq")
     // The blend uses the UNROUNDED ranks: each is an exact rational

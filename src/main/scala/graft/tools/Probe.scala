@@ -328,6 +328,48 @@ object Probe {
             "vec_id", "embedding", "lang", "vec_id", "embedding", "lang", 5).count())
       }
     }
+    names.filter(_ == "r6ops-scalelaw").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      def docsAt(mult: Int): org.apache.spark.sql.DataFrame = rotatedDocs(docs, mult)
+      val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+      def embAt(mult: Int): org.apache.spark.sql.DataFrame = rotatedEmb(emb, dim, mult)
+      def time(tag: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val n = f
+        println(f"R6OPS-SCALELAW $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+      }
+      // warmup (untimed)
+      graft.ops.Quantize.pqEncode(embAt(1), "vec_id", "embedding",
+        graft.ops.Quantize.pqTrain(embAt(1), "vec_id", "embedding", dim, 4, 8, 2),
+        dim, 4).count()
+      Seq(1, 4, 10).foreach { m =>
+        time(s"pq-train-encode x$m") {
+          val cb = graft.ops.Quantize.pqTrain(embAt(m), "vec_id", "embedding",
+            dim, 4, 8, 2)
+          graft.ops.Quantize.pqEncode(embAt(m), "vec_id", "embedding", cb,
+            dim, 4).count()
+        }
+        // fixed 5 queries, growing corpus: ADC cost must track the code
+        // table (m · corpus rows), never dim · corpus
+        time(s"pq-adc x$m")(
+          graft.ops.Quantize.pqTopKAdc(embAt(1).filter(col("vec_id") < 5),
+            embAt(m), "vec_id", "embedding", "vec_id", "embedding",
+            dim, 4, 8, 2, 10).count())
+        time(s"importance-weights x$m") {
+          val dm = docsAt(m)
+          graft.ops.Corpus.importanceWeights(
+            dm.filter(col("source").isin("src0", "src1", "src2", "src3")),
+            dm, dm, "doc_id", "text").count()
+        }
+        time(s"collocations x$m")(
+          graft.ops.Corpus.collocations(docsAt(m), "doc_id", "text", 5L, 30)
+            .count())
+        time(s"curriculum x$m")(
+          graft.ops.Curation.curriculumPhases(docsAt(m), "doc_id", "text", 3)
+            .count())
+      }
+    }
     names.filter(_ == "admit-scalelaw").foreach { _ =>
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
