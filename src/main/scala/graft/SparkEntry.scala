@@ -875,6 +875,13 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // --- BPE merge candidates: adjacent char pairs inside words,
+    // weighted by word frequency — tokenizer training's first
+    // iteration, run over the distinct vocabulary only ---
+    "q136_bpe_pairs" -> ((s, d) =>
+      Corpus.bpePairCounts(t(s, d, "documents"), "text", k = 50)
+        .orderBy(desc("cnt"), col("pair"))),
+
     // --- collocation mining: top-k adjacent-token pairs by PMI —
     // the phrase-induction pass of tokenizer/vocab pipelines ---
     "q134_collocations" -> ((s, d) =>
@@ -2555,6 +2562,19 @@ object SparkEntry {
            |  CAST(least(floor(difficulty * 3), 2) AS INT) AS phase
            |FROM d ORDER BY doc_id""".stripMargin
       },
+
+      // BPE pair replay: vocabulary with frequencies, char bigrams per
+      // distinct word, frequency-weighted counts. Integer-exact.
+      "q136_bpe_pairs" ->
+        s"""WITH v AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest(${toksSql("text")}) AS tok FROM documents)
+           |  GROUP BY tok),
+           |p AS (SELECT unnest(list_transform(range(length(tok) - 1),
+           |    i -> substr(tok, CAST(i + 1 AS INT), 2))) AS pair, freq
+           |  FROM v WHERE length(tok) >= 2)
+           |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+           |FROM p GROUP BY pair
+           |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
 
       // PMI collocations replay: unigram + bigram streams from the
       // shared tokenizer, the engine's exact division order inside ln.

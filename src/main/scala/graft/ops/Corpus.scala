@@ -177,6 +177,28 @@ object Corpus {
         round(col("pmi"), 6).as("pmi"))
   }
 
+  /** BPE merge-candidate statistics — the first iteration of
+    * byte-pair-encoding tokenizer training at corpus scale: count
+    * every adjacent character pair INSIDE words, weighted by word
+    * frequency, and return the top-k merge candidates (the pair a BPE
+    * trainer would merge first, then re-count). The corpus collapses
+    * to its vocabulary before any pair work — pair extraction runs
+    * over distinct words only (vocab-bounded, zero text re-scans), so
+    * a trillion-token corpus costs one token-count agg plus work
+    * proportional to |vocab|. Integer-only arithmetic: the oracle
+    * compare is exact. */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val vocab = df
+      .select(explode(tokens(col(textCol).cast("string"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    vocab.filter(length(col("w")) >= 2)
+      .select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .orderBy(desc("cnt"), col("pair")).limit(k)
+  }
+
   /** Passage-level exact-duplicate statistics — the chunked
     * approximation of suffix-array substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): split

@@ -310,6 +310,20 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.collocations(corpus, "id", "text", 1L, 2).count() === 2)
   }
 
+  test("bpePairCounts: frequency-weighted char pairs over the vocabulary") {
+    val corpus = Seq(
+      (1L, "abc abc ab"),
+      (2L, "abc xy")
+    ).toDF("id", "text")
+    // vocab: abc freq 3, ab freq 1, xy freq 1
+    // pairs: ab -> 3 (from abc) + 1 (from ab) = 4; bc -> 3; xy -> 1
+    val out = Corpus.bpePairCounts(corpus, "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toSeq === Seq("ab" -> 4L, "bc" -> 3L, "xy" -> 1L))
+    // k truncates
+    assert(Corpus.bpePairCounts(corpus, "text", k = 2).count() === 2)
+  }
+
   test("importanceWeights: target-domain docs score higher; hand formula parity") {
     val corpus = Seq(
       (1L, "alpha alpha beta", "tgt"),
