@@ -310,6 +310,13 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.collocations(corpus, "id", "text", 1L, 2).count() === 2)
   }
 
+  test("collocations plan: global top-k is TakeOrdered, not a window") {
+    val plan = Corpus.collocations(docs, "id", "text", 1L, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+  }
+
   test("bpePairCounts: frequency-weighted char pairs over the vocabulary") {
     val corpus = Seq(
       (1L, "abc abc ab"),

@@ -174,6 +174,20 @@ class QuantizeSpec extends SparkSpec {
     assert(totalOverlap >= 3, s"aggregate recall $totalOverlap/15 too low")
   }
 
+  test("pqTopKAdc plan: codebook and distance tables broadcast, " +
+    "no cartesian product") {
+    val rnd = new scala.util.Random(5)
+    val data = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val plan = Quantize.pqTopKAdc(
+      data.filter(col("vec_id") < 2), data.filter(col("vec_id") >= 2),
+      "vec_id", "embedding", "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, iterations = 1, topK = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
   test("pqTrain rejects dims not divisible by m") {
     intercept[IllegalArgumentException] {
       Quantize.pqTrain(vecs, "vec_id", "embedding",
