@@ -2366,6 +2366,45 @@ object SparkEntry {
            |FROM sc GROUP BY ws, n ORDER BY window_start""".stripMargin
       },
 
+      // Full-width (32 tokens × 100 dims) profile replay — q34's
+      // md5-embedder reconstruction made position-GENERIC (one md5 per
+      // (doc, position) row instead of one UNION branch per dimension,
+      // which at 3200 dims would be 3200 table scans): per-dim moments
+      // for the reported dims, covariance trace over ALL dims. chol_ok
+      // is the oracle's assertion that the engine's 3200² Cholesky
+      // factorization succeeded.
+      "q125_text_profile_wide" -> {
+        val d = 100; val n = d * 32
+        val hashFromM = (0 until 7).map { k =>
+          s"(instr('0123456789abcdef', substr(m, ${k + 1}, 1)) - 1) * ${1L << (4 * (6 - k))}"
+        }.mkString("(", " + ", ")")
+        s"""WITH t AS (
+           |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+           |    x -> length(x) BETWEEN 2 AND 15) AS toks
+           |  FROM documents WHERE text IS NOT NULL),
+           |v0 AS (
+           |  SELECT i, CASE WHEN len(toks) > i // $d
+           |    THEN md5(toks[i // $d + 1] || '#' || CAST(i % $d AS VARCHAR))
+           |    END AS m
+           |  FROM t CROSS JOIN range($n) r(i)),
+           |vals AS (
+           |  SELECT i AS dim_idx,
+           |    CASE WHEN m IS NULL THEN 0.0
+           |      ELSE CAST($hashFromM AS DOUBLE) / 268435456.0 * 2.0 - 1.0
+           |    END AS v
+           |  FROM v0),
+           |agg AS (SELECT dim_idx, count(*) AS n, sum(v) AS s1, sum(v*v) AS s2
+           |        FROM vals GROUP BY dim_idx),
+           |tr AS (SELECT sum((s2 - n*(s1/n)*(s1/n))/(n-1)) AS trace FROM agg)
+           |SELECT CAST(dim_idx AS INT) AS dim_idx,
+           |  round(s1/n, 6) AS mean,
+           |  round(sqrt(greatest(s2/n - (s1/n)*(s1/n), 0)), 6) AS std,
+           |  round(tr.trace, 6) AS cov_trace,
+           |  TRUE AS chol_ok,
+           |  CAST(n AS BIGINT) AS n_docs
+           |FROM agg CROSS JOIN tr WHERE dim_idx < 8 ORDER BY dim_idx""".stripMargin
+      },
+
       // Content parity of the compacted directory with the source table;
       // files_after = 1 is the deterministic size-derived count at test
       // scale (the directory is far under one 256 MB target file).
