@@ -854,6 +854,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // --- PQ recall audit: ADC top-10 vs the exact L2 top-10 — the
+    // index-quality eval a deployment runs before trusting ANN ---
+    "q137_pq_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Quantize.pqRecallAudit(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", "vec_id", "embedding",
+        dim = 64, m = 4, k = 8, iterations = 2, topK = 10)
+        .orderBy("query_id")
+    }),
+
     // --- DSIR importance weights: avg per-token log-likelihood ratio
     // of a target-domain unigram LM vs the raw-corpus LM — the
     // data-selection score for "reads like the target domain" ---
@@ -2511,25 +2522,27 @@ object SparkEntry {
       // ADC replay: per-query subspace distance tables joined to the
       // code table; adist = sum of the m table entries.
       "q131_pq_ann" ->
-        s"""WITH ${pqSql("WHERE vec_id >= 5")},
-           |pq AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-           |  FROM embeddings WHERE vec_id < 5),
-           |pqsub AS (SELECT id, s AS subspace,
-           |    v[s * $PqSubDim + 1 : s * $PqSubDim + $PqSubDim] AS sv
-           |  FROM pq CROSS JOIN range($PqM) t(s)),
-           |pdtab AS (SELECT q.id AS query_id, q.subspace,
-           |    ct.centroid_id AS code, list_distance(q.sv, ct.cv) ** 2 AS d2
-           |  FROM pqsub q JOIN pcent$PqIters ct USING (subspace)),
-           |pscore AS (SELECT d.query_id, c.id AS neighbor_id,
-           |    sum(d.d2) AS adist
-           |  FROM pcodes c JOIN pdtab d
-           |    ON c.subspace = d.subspace AND c.code = d.code
-           |  GROUP BY 1, 2)
+        s"""WITH $pqAdcSql
            |SELECT query_id, rank, neighbor_id, round(adist, 6) AS adist
-           |FROM (SELECT query_id, neighbor_id, adist,
-           |    row_number() OVER (PARTITION BY query_id
-           |      ORDER BY adist ASC, neighbor_id ASC) AS rank FROM pscore)
-           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+           |FROM pqtop ORDER BY query_id, rank""".stripMargin,
+
+      // PQ recall audit: the ADC top-10 intersected with the exact L2
+      // top-10 the same corpus would return — the eval every ANN
+      // deployment runs before trusting its index.
+      "q137_pq_recall" ->
+        s"""WITH $pqAdcSql,
+           |ex AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT q.id AS query_id, c.id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.id
+           |        ORDER BY list_distance(q.v, c.v) ASC, c.id ASC) AS rank
+           |    FROM pqq q CROSS JOIN pcorpus c)
+           |  WHERE rank <= 10)
+           |SELECT p.query_id,
+           |  CAST(count(e.neighbor_id) AS BIGINT) AS n_overlap,
+           |  round(CAST(count(e.neighbor_id) AS DOUBLE) / 10.0, 6) AS recall
+           |FROM pqtop p LEFT JOIN ex e
+           |  ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+           |GROUP BY p.query_id ORDER BY p.query_id""".stripMargin,
 
       // DSIR replay: two smoothed unigram LMs (q56's convention, each
       // over its own corpus), per-doc tf-weighted log-RATIO average.
@@ -4008,6 +4021,32 @@ object SparkEntry {
        |    FROM psub b JOIN pcent$PqIters ct USING (subspace))
        |  WHERE rn = 1)""".stripMargin
   }
+
+  /** The full PQ-ADC replay chain (training via [[pqSql]] on the
+    * vec_id >= 5 corpus, queries = vec_id < 5, top-10 by ascending
+    * ADC distance) ending in CTE `pqtop` (query_id, rank, neighbor_id,
+    * adist); also exposes `pqq` (query vectors) and `pcorpus` for
+    * downstream audits (q137). */
+  private def pqAdcSql: String =
+    s"""${pqSql("WHERE vec_id >= 5")},
+       |pqq AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 5),
+       |pqsub AS (SELECT id, s AS subspace,
+       |    v[s * $PqSubDim + 1 : s * $PqSubDim + $PqSubDim] AS sv
+       |  FROM pqq CROSS JOIN range($PqM) t(s)),
+       |pdtab AS (SELECT q.id AS query_id, q.subspace,
+       |    ct.centroid_id AS code, list_distance(q.sv, ct.cv) ** 2 AS d2
+       |  FROM pqsub q JOIN pcent$PqIters ct USING (subspace)),
+       |pscore AS (SELECT d.query_id, c.id AS neighbor_id,
+       |    sum(d.d2) AS adist
+       |  FROM pcodes c JOIN pdtab d
+       |    ON c.subspace = d.subspace AND c.code = d.code
+       |  GROUP BY 1, 2),
+       |pqtop AS (SELECT query_id, rank, neighbor_id, adist
+       |  FROM (SELECT query_id, neighbor_id, adist,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adist ASC, neighbor_id ASC) AS rank FROM pscore)
+       |  WHERE rank <= 10)""".stripMargin
 
   private def q38Sql: String = {
     def round(i: Int): String =

@@ -196,6 +196,40 @@ object Quantize {
       .select("query_id", "rank", "neighbor_id", "adist")
   }
 
+  /** Recall@k audit of the PQ-ADC index against the exact L2 top-k —
+    * the evaluation every ANN deployment runs before trusting its
+    * index (and re-runs when the embedding distribution drifts).
+    * Returns one row per query: (query_id, n_overlap, recall).
+    * The exact side is a brute-force scan over the audit query set —
+    * run it on a SAMPLED query set at scale; the PQ side is the
+    * production codes-only search being audited. */
+  def pqRecallAudit(queries: DataFrame, corpus: DataFrame,
+                    qIdCol: String, qVecCol: String,
+                    cIdCol: String, cVecCol: String,
+                    dim: Int, m: Int, k: Int, iterations: Int,
+                    topK: Int): DataFrame = {
+    val pq = pqTopKAdc(queries, corpus, qIdCol, qVecCol, cIdCol, cVecCol,
+      dim, m, k, iterations, topK)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.filter(col(qVecCol).isNotNull)
+      .select(col(qIdCol).as("query_id"),
+        transform(col(qVecCol), _.cast("double")).as("__qv"))
+    val cv = corpus.filter(col(cVecCol).isNotNull)
+      .select(col(cIdCol).as("neighbor_id"),
+        transform(col(cVecCol), _.cast("double")).as("__cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__d2").asc, col("neighbor_id").asc)
+    val exact = qv.crossJoin(cv)
+      .withColumn("__d2", l2sq(col("__qv"), col("__cv")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    pq.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id").agg(
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_overlap"))
+      .withColumn("recall",
+        round(col("n_overlap").cast("double") / lit(topK.toDouble), 6))
+  }
+
   /** Brute-force cosine top-k over int8-QUANTIZED vectors — the ANN
     * baseline run directly on the compressed column, proving the 4x
     * storage cut costs no join machinery. Per-vector scales cancel out

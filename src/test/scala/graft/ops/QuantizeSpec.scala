@@ -188,6 +188,33 @@ class QuantizeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
 
+  test("pqRecallAudit: recall bounded in [0,1]; degenerate PQ " +
+    "(every vector its own centroid) recalls exactly 1") {
+    val rnd = new scala.util.Random(23)
+    val data = (0L until 20L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val q = data.filter(col("vec_id") < 3)
+    val c = data.filter(col("vec_id") >= 3)
+    val coarse = Quantize.pqRecallAudit(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", dim = 8, m = 2, k = 4, iterations = 1, topK = 5)
+      .collect()
+    assert(coarse.length === 3)
+    coarse.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 5L)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // m=1, k=|corpus|, 0 Lloyd rounds: every corpus vector seeds its
+    // own centroid, codes identify vectors, ADC distance IS the exact
+    // L2 distance -> recall must be exactly 1 for every query
+    val exact = Quantize.pqRecallAudit(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", dim = 8, m = 1, k = 17, iterations = 0, topK = 5)
+      .collect()
+    exact.foreach { r =>
+      assert(r.getLong(1) === 5L, s"query ${r.getLong(0)}")
+      assert(r.getDouble(2) === 1.0)
+    }
+  }
+
   test("pqTrain rejects dims not divisible by m") {
     intercept[IllegalArgumentException] {
       Quantize.pqTrain(vecs, "vec_id", "embedding",
