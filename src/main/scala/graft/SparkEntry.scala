@@ -854,6 +854,13 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // --- k-anonymity: re-identification risk over quasi-identifier
+    // tuples — the governance gate before a dataset (or its synthetic
+    // twin) is released ---
+    "q138_k_anonymity" -> ((s, d) =>
+      Expectations.kAnonymity(t(s, d, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10)),
+
     // --- PQ recall audit: ADC top-10 vs the exact L2 top-10 — the
     // index-quality eval a deployment runs before trusting ANN ---
     "q137_pq_recall" -> ((s, d) => {
@@ -2525,6 +2532,18 @@ object SparkEntry {
         s"""WITH $pqAdcSql
            |SELECT query_id, rank, neighbor_id, round(adist, 6) AS adist
            |FROM pqtop ORDER BY query_id, rank""".stripMargin,
+
+      "q138_k_anonymity" ->
+        """WITH g AS (SELECT c_nationkey, c_mktsegment,
+          |    CAST(count(*) AS BIGINT) AS gn
+          |  FROM customer GROUP BY 1, 2)
+          |SELECT CAST(sum(gn) AS BIGINT) AS n_rows,
+          |  CAST(count(*) AS BIGINT) AS n_groups,
+          |  CAST(min(gn) AS BIGINT) AS min_group_size,
+          |  CAST(coalesce(sum(CASE WHEN gn < 10 THEN gn END), 0) AS BIGINT) AS rows_below_k,
+          |  round(CAST(coalesce(sum(CASE WHEN gn < 10 THEN gn END), 0) AS DOUBLE)
+          |    / CAST(sum(gn) AS DOUBLE), 6) AS share_below_k
+          |FROM g""".stripMargin,
 
       // PQ recall audit: the ADC top-10 intersected with the exact L2
       // top-10 the same corpus would return — the eval every ANN

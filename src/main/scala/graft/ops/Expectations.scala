@@ -112,6 +112,31 @@ object Expectations {
     * 9-row frame. Rows ≤ 0 or null are excluded (Benford applies to
     * positive magnitudes). Output: (digit, n, observed, expected),
     * 9 rows, plus the shared `tvd` column. */
+  /** k-anonymity report over quasi-identifier columns — the
+    * re-identification-risk gate a governance pipeline runs before a
+    * dataset (or its synthetic twin) is released: every row must hide
+    * in a group of ≥ k rows sharing its quasi-identifier tuple.
+    * Output is one row: total rows, distinct quasi groups, the
+    * smallest group, rows whose group is below k, and their share.
+    * Rows with a NULL in any quasi column form their own groups (NULL
+    * is a disclosing value too). One groupBy over the quasi tuple
+    * (distinct-tuple-bounded shuffle) + one scalar roll-up. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__gn"))
+      .agg(
+        sum(col("__gn")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("__gn")).as("min_group_size"),
+        coalesce(sum(when(col("__gn") < k, col("__gn"))), lit(0L))
+          .as("rows_below_k"))
+      .select(col("n_rows"), col("n_groups"), col("min_group_size"),
+        col("rows_below_k"),
+        round(col("rows_below_k").cast("double") /
+          col("n_rows").cast("double"), 6).as("share_below_k"))
+  }
+
   def benford(df: DataFrame, valueCol: String): DataFrame = {
     val v = col(valueCol).cast("double")
     // leading digit of the decimal rendering: first char of the value

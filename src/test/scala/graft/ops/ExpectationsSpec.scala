@@ -87,4 +87,28 @@ class ExpectationsSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(edge(1) === 1L && edge.values.sum === 1L)
   }
+
+  test("kAnonymity: group accounting, below-k rows, null quasi values") {
+    val rows = Seq(
+      ("us", "a"), ("us", "a"), ("us", "a"),   // group of 3
+      ("us", "b"), ("us", "b"),                // group of 2
+      ("de", "a"),                             // singleton
+      (null, "a")                              // NULL quasi: own group
+    ).toDF("country", "seg")
+    val r = Expectations.kAnonymity(rows, Seq("country", "seg"), k = 3)
+      .collect()(0)
+    assert(r.getLong(0) === 7L)          // n_rows
+    assert(r.getLong(1) === 4L)          // n_groups
+    assert(r.getLong(2) === 1L)          // min_group_size
+    assert(r.getLong(3) === 4L)          // rows below k=3: 2 + 1 + 1
+    assert(math.abs(r.getDouble(4) - 4.0 / 7.0) < 1e-6)
+    // fully anonymous at k=2 when every group has >= 2 rows
+    val ok = Expectations.kAnonymity(
+      rows.filter(col("seg") === "a" && col("country") === "us"),
+      Seq("country"), k = 2).collect()(0)
+    assert(ok.getLong(3) === 0L && ok.getDouble(4) === 0.0)
+    intercept[IllegalArgumentException] {
+      Expectations.kAnonymity(rows, Seq.empty, 3)
+    }
+  }
 }
