@@ -152,12 +152,17 @@ object Corpus {
   def collocations(df: DataFrame, idCol: String, textCol: String,
                    minCount: Long, k: Int): DataFrame = {
     val text = col(textCol).cast("string")
+    // both count tables feed a total AND a join — pinned once, like
+    // tfidfTopTerms' pair frame (otherwise the unigram agg runs 3x:
+    // total + two component-word joins)
     val uni = df.select(explode(tokens(text)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
+      .localCheckpoint()
     val nu = uni.agg(sum(col("cw")).as("nu"))
     val biAll = df
       .select(explode(Dedup.ngramStreamFast(text, 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cxy"))
+      .localCheckpoint()
     val nb = biAll.agg(sum(col("cxy")).as("nb"))
     val scored = biAll.filter(col("cxy") >= minCount)
       .withColumn("w1", split(col("bg"), " ").getItem(0))
@@ -357,9 +362,12 @@ object Corpus {
   def importanceWeights(target: DataFrame, raw: DataFrame,
                         score: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
+    // each LM table feeds its totals row AND the scoring join — pinned
+    // once so the token agg doesn't run twice per LM
     def lm(df: DataFrame) = df
       .select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val ft = lm(target)
     val fr = lm(raw)
     val mt = ft.agg(sum(col("c")).as("nt"), count(lit(1)).as("vt"))

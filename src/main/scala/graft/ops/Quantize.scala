@@ -173,7 +173,10 @@ object Quantize {
     * shape. Approximate by construction (quantization error), like
     * every PQ index; [[int8TopK]]/[[Similarity.bruteForceTopK]] are
     * the exact baselines. Returns (query_id, rank, neighbor_id,
-    * adist) with rank by ascending ADC distance, ties → lowest id. */
+    * adist) with rank by ascending ADC distance, ties → lowest id.
+    * The distance table scales as |queries|·m·k rows and is broadcast
+    * — size query BATCHES accordingly (thousands of queries per call
+    * is fine; the corpus side is unbounded). */
   def pqTopKAdc(queries: DataFrame, corpus: DataFrame,
                 qIdCol: String, qVecCol: String,
                 cIdCol: String, cVecCol: String,
