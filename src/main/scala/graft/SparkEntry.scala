@@ -861,6 +861,29 @@ object SparkEntry {
       Expectations.kAnonymity(t(s, d, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 10)),
 
+    // --- char-window exact-substring dedup coverage: the sliding-
+    // window form of suffix-based dedup — catches copies that cross
+    // token/passage boundaries (q55 chunks would miss them) ---
+    "q139_window_dedup" -> ((s, d) =>
+      Corpus.windowDupStats(withDups(t(s, d, "documents"), "doc_id", 50, 10000),
+        "doc_id", "text", width = 40, stride = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // --- exact dedup, keep-best canonical selection: the copy with the
+    // highest synthetic crawl stamp survives, not the min id — the
+    // production cluster-collapse rule; stamp = first two md5 hex
+    // digits of the id so the oracle can replay it ---
+    "q140_keep_best" -> ((s, d) => {
+      val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
+        .withColumn("crawl_ts",
+          (expr("instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1") * 16 +
+            expr("instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1"))
+            .cast(LongType))
+      Dedup.exactKeepBest(dup, "doc_id", "text", "crawl_ts")
+        .orderBy("fp")
+    }),
+
     // --- PQ recall audit: ADC top-10 vs the exact L2 top-10 — the
     // index-quality eval a deployment runs before trusting ANN ---
     "q137_pq_recall" -> ((s, d) => {
@@ -2544,6 +2567,45 @@ object SparkEntry {
           |  round(CAST(coalesce(sum(CASE WHEN gn < 10 THEN gn END), 0) AS DOUBLE)
           |    / CAST(sum(gn) AS DOUBLE), 6) AS share_below_k
           |FROM g""".stripMargin,
+
+      // char-window dedup coverage: generate_series replays the
+      // stride-20 window starts; everything after the substr is the
+      // same fingerprint-count algebra as q55's.
+      "q139_window_dedup" ->
+        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),
+           |w AS (SELECT doc_id, md5(substr(text, CAST(i AS INT) + 1, 40)) AS fp
+           |      FROM (SELECT doc_id, text,
+           |              unnest(generate_series(0, CAST(length(text) - 40 AS BIGINT), 20)) AS i
+           |            FROM dup WHERE text IS NOT NULL AND length(text) >= 40)),
+           |pairs AS (SELECT doc_id, fp, count(*) AS c FROM w GROUP BY 1, 2),
+           |dfreq AS (SELECT fp, count(*) AS n_docs FROM pairs GROUP BY 1),
+           |perdoc AS (SELECT doc_id,
+           |  CAST(sum(c) AS BIGINT) AS n_windows,
+           |  CAST(sum(CASE WHEN n_docs > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_windows
+           |  FROM pairs JOIN dfreq USING (fp) GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+           |  CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           |  round(coalesce(CAST(p.n_dup_windows AS DOUBLE) / p.n_windows, 0.0), 6) AS dup_window_frac
+           |FROM dup d LEFT JOIN perdoc p USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
+
+      // keep-best dedup: row_number replays the (score DESC, id ASC)
+      // arg-max the engine carries as a struct max.
+      "q140_keep_best" ->
+        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),
+           |sc AS (SELECT doc_id, text,
+           |  (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+           |  (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS score
+           |  FROM dup),
+           |r AS (SELECT md5(text) AS fp, doc_id, score,
+           |  row_number() OVER (PARTITION BY md5(text) ORDER BY score DESC, doc_id ASC) AS rn,
+           |  count(*) OVER (PARTITION BY md5(text)) AS dup_count
+           |  FROM sc)
+           |SELECT fp, CAST(doc_id AS BIGINT) AS keep_id,
+           |  CAST(score AS BIGINT) AS keep_score,
+           |  CAST(dup_count AS BIGINT) AS dup_count
+           |FROM r WHERE rn = 1 ORDER BY fp""".stripMargin,
 
       // PQ recall audit: the ADC top-10 intersected with the exact L2
       // top-10 the same corpus would return — the eval every ANN

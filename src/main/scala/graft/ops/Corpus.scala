@@ -250,6 +250,54 @@ object Corpus {
           .as("dup_passage_frac"))
   }
 
+  /** Character-window exact-substring dedup coverage — the
+    * sliding-window form of suffix-based training-data dedup: a
+    * `width`-char window (sampled every `stride` chars) that appears
+    * in more than one document marks a duplicated span, catching
+    * copies that cross token/passage boundaries where
+    * [[passageDupStats]]'s aligned chunks would miss them. Per doc:
+    * window count, windows shared with another doc, duplicated
+    * fraction.
+    *
+    * Shape: window extraction is a pure projection (sequence +
+    * transform + explode — no shuffle); each window is fingerprinted
+    * to a 32-hex md5 BEFORE the first exchange, so raw text never
+    * enters a shuffle. The (id, fp) counts / per-fp doc frequency /
+    * join-back aggs are the same three keyed shuffles as
+    * [[passageDupStats]], with the pair frame pinned once because it
+    * feeds both the frequency agg and the join. Docs shorter than
+    * `width` contribute no windows and report a 0.0 fraction.
+    */
+  def windowDupStats(df: DataFrame, idCol: String, textCol: String,
+                     width: Int, stride: Int): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val c = col(textCol).cast("string")
+    val wins = df
+      .filter(c.isNotNull && length(c) >= width)
+      .select(col(idCol).as("id"),
+        explode(expr(
+          s"transform(sequence(0, CAST(length(CAST($textCol AS STRING)) AS INT) - $width, $stride), " +
+            s"i -> substring(CAST($textCol AS STRING), i + 1, $width))")).as("win"))
+      .select(col("id"), md5(col("win").cast("binary")).as("fp"))
+    val pairs = wins.groupBy("id", "fp").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val docFreq = pairs.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+    val perDoc = pairs.join(docFreq, Seq("fp"))
+      .groupBy("id").agg(
+        sum(col("c")).as("n_windows"),
+        sum(when(col("n_docs") > 1, col("c")).otherwise(lit(0L)))
+          .as("n_dup_windows"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup_windows").cast("double") /
+          col("n_windows").cast("double"), lit(0.0)), 6)
+          .as("dup_window_frac"))
+  }
+
   /** Overlapping context-window chunking — the RAG / LM training
     * layout where consecutive chunks share `overlap` tokens so no
     * span loses its context at a boundary (HuggingFace

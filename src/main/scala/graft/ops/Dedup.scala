@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Deduplication operators for training-data pipelines, each designed
   * around Spark's shuffle model:
@@ -190,6 +191,25 @@ object Dedup {
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup keeping the BEST-scoring copy per content cluster —
+    * production canonical selection (newest crawl, highest quality)
+    * rather than [[exact]]'s min-id. Returns (fp, keep_id, keep_score,
+    * dup_count) per distinct raw text. Still one hash agg, keyed on the
+    * md5 digest: the arg-max is carried as a (score, -id) struct max,
+    * which is associative/commutative (map-side combinable) and makes
+    * the equal-score tie-break (min id) deterministic — no window, no
+    * second shuffle. */
+  def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
+                    scoreCol: String): DataFrame =
+    df.select(md5(col(textCol).cast("binary")).as("fp"),
+        col(idCol).cast(LongType).as("id"),
+        col(scoreCol).cast(LongType).as("score"))
+      .groupBy("fp")
+      .agg(max(struct(col("score"), (-col("id")).as("nid"))).as("best"),
+        count(lit(1)).as("dup_count"))
+      .select(col("fp"), (-col("best.nid")).as("keep_id"),
+        col("best.score").as("keep_score"), col("dup_count"))
 
   /** Rows surviving exact dedup (first id per content wins). */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
