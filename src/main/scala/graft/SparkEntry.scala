@@ -22,15 +22,21 @@ import graft.streaming.StreamingProfile
   */
 object SparkEntry {
 
-  /** Table loader. The events table carries TIMESTAMP(NANOS) parquet,
-    * which Spark 4 only reads as long (spark.sql.legacy.parquet
-    * .nanosAsLong, set in Verify/Bench); convert back to a (micros)
-    * timestamp here — floor(ns/1000), matching DuckDB's ns→us read. */
+  /** Table loader. The events table's `ts` physical type has varied
+    * across testdata generations: TIMESTAMP(NANOS) (Spark 4 reads it
+    * as long under spark.sql.legacy.parquet.nanosAsLong, set in
+    * Verify/Bench — floor(ns/1000) back to micros), and un-adjusted
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ under Spark 4's default
+    * inferTimestampNTZ). Normalize both to TimestampType: the session
+    * timezone is pinned to UTC, so the NTZ wall-clock cast preserves
+    * the same instants DuckDB sees reading the file natively. */
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    } else df
   }
 
   /** Flagship: full detect→profile pipeline over sf0.001 lineitem —
@@ -883,6 +889,16 @@ object SparkEntry {
       Dedup.exactKeepBest(dup, "doc_id", "text", "crawl_ts")
         .orderBy("fp")
     }),
+
+    // --- exact-substring span REMOVAL (Lee et al. 2022): duplicated
+    // windows are cut out of every doc but the globally first
+    // occurrence, and the text is rebuilt — the rewrite form of
+    // dedup, not just the q139 coverage report ---
+    "q141_span_removal" -> ((s, d) =>
+      Corpus.spanRemoval(withDups(t(s, d, "documents"), "doc_id", 50, 10000),
+        "doc_id", "text", width = 40, stride = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
 
     // --- PQ recall audit: ADC top-10 vs the exact L2 top-10 — the
     // index-quality eval a deployment runs before trusting ANN ---
@@ -2606,6 +2622,50 @@ object SparkEntry {
            |  CAST(score AS BIGINT) AS keep_score,
            |  CAST(dup_count AS BIGINT) AS dup_count
            |FROM r WHERE rn = 1 ORDER BY fp""".stripMargin,
+
+      // span removal: row_number elects the global first occurrence per
+      // fingerprint; islands-and-gaps merges removal intervals; the
+      // ordered string_agg of inter-span gaps plus the tail suffix
+      // replays the engine's fold rebuild.
+      "q141_span_removal" ->
+        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),
+           |b AS (SELECT doc_id, text FROM dup),
+           |w AS (SELECT doc_id, CAST(i AS INT) AS off,
+           |        md5(substr(text, CAST(i AS INT) + 1, 40)) AS fp
+           |      FROM (SELECT doc_id, text,
+           |              unnest(generate_series(0, CAST(length(text) - 40 AS BIGINT), 20)) AS i
+           |            FROM b WHERE text IS NOT NULL AND length(text) >= 40)),
+           |f AS (SELECT doc_id, off,
+           |        row_number() OVER (PARTITION BY fp ORDER BY doc_id, off) AS rn,
+           |        count(*) OVER (PARTITION BY fp) AS occ FROM w),
+           |rem AS (SELECT doc_id, off FROM f WHERE occ > 1 AND rn > 1),
+           |isl AS (SELECT doc_id, off,
+           |         CASE WHEN off <= coalesce(max(off + 40) OVER (PARTITION BY doc_id
+           |              ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |              -1) THEN 0 ELSE 1 END AS brk
+           |        FROM rem),
+           |g AS (SELECT doc_id, off,
+           |        sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS grp FROM isl),
+           |m AS (SELECT doc_id, grp, min(off) AS s, max(off) + 40 AS e
+           |      FROM g GROUP BY 1, 2),
+           |seg AS (SELECT doc_id, s, e,
+           |          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS p
+           |        FROM m),
+           |c1 AS (SELECT seg.doc_id,
+           |         string_agg(substr(t2.text, seg.p + 1, seg.s - seg.p), '' ORDER BY seg.s) AS gaps,
+           |         max(seg.e) AS laste,
+           |         CAST(count(*) AS BIGINT) AS n_spans
+           |       FROM seg JOIN b t2 ON seg.doc_id = t2.doc_id GROUP BY seg.doc_id)
+           |SELECT d.doc_id,
+           |  CASE WHEN c1.doc_id IS NULL THEN d.text
+           |       ELSE c1.gaps || substr(d.text, c1.laste + 1) END AS clean_text,
+           |  coalesce(c1.n_spans, 0) AS n_spans_removed,
+           |  CAST(coalesce(length(d.text), 0)
+           |    - coalesce(length(CASE WHEN c1.doc_id IS NULL THEN d.text
+           |        ELSE c1.gaps || substr(d.text, c1.laste + 1) END), 0) AS BIGINT)
+           |    AS n_chars_removed
+           |FROM b d LEFT JOIN c1 ON d.doc_id = c1.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
 
       // PQ recall audit: the ADC top-10 intersected with the exact L2
       // top-10 the same corpus would return — the eval every ANN

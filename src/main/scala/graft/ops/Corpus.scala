@@ -298,6 +298,77 @@ object Corpus {
           .as("dup_window_frac"))
   }
 
+  /** Exact-substring span REMOVAL — the text-rewriting form of
+    * training-data dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): every `width`-char window
+    * (sampled every `stride` chars) that occurs more than once in the
+    * corpus is removed from every document except the globally first
+    * occurrence (min (doc, offset)), and each surviving document's
+    * text is rebuilt with the duplicated spans cut out. Unlike
+    * [[windowDupStats]] (which only reports coverage), this returns
+    * the cleaned corpus: (id, clean_text, n_spans_removed,
+    * n_chars_removed).
+    *
+    * Shape: window offsets are a pure projection (sequence + explode,
+    * no shuffle) and each window is reduced to a 16-byte md5 before
+    * the first exchange — raw text never enters a shuffle. First-
+    * occurrence election is one hash agg keyed on the fingerprint
+    * (min (id, off) carried as a struct min: associative, map-side
+    * combinable — no window function, no skewed single task); the
+    * removal set comes back via a self-join on the same fp key (the
+    * partitioning is reused). Per-doc interval merging and text
+    * rebuild are array HOFs over each doc's own (sorted, tiny) span
+    * list — O(spans) per doc, no cross-row state. The only join that
+    * touches text again is (doc → merged intervals), keyed on the doc
+    * id; the interval side holds a few ints per duplicated doc.
+    */
+  def spanRemoval(df: DataFrame, idCol: String, textCol: String,
+                  width: Int, stride: Int): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+      col(textCol).cast("string").as("text"))
+    val wins = base
+      .filter(col("text").isNotNull && length(col("text")) >= width)
+      .select(col("id"), col("text"),
+        explode(expr(s"sequence(0, CAST(length(text) AS INT) - $width, $stride)"))
+          .as("off"))
+      .select(col("id"), col("off").cast("int").as("off"),
+        md5(expr(s"CAST(substring(text, off + 1, $width) AS BINARY)")).as("fp"))
+      .localCheckpoint() // feeds both the election agg and the join back
+    val first = wins.groupBy("fp").agg(
+      min(struct(col("id"), col("off"))).as("first"),
+      count(lit(1)).as("occ"))
+    val removed = wins.join(first, Seq("fp"))
+      .filter(col("occ") > 1 && struct(col("id"), col("off")) =!= col("first"))
+      .select(col("id"), col("off"))
+    // per-doc sorted offsets -> merged [s, e) intervals (adjacent or
+    // overlapping spans coalesce: a window starting at or before the
+    // running end extends it)
+    val spans = removed.groupBy("id")
+      .agg(sort_array(collect_list(col("off"))).as("offs"))
+      .select(col("id"), expr(
+        s"""aggregate(offs, CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>),
+           |  (acc, o) -> CASE WHEN size(acc) > 0 AND o <= element_at(acc, -1).e
+           |    THEN concat(slice(acc, 1, size(acc) - 1),
+           |         array(named_struct('s', element_at(acc, -1).s,
+           |                            'e', greatest(element_at(acc, -1).e, o + $width))))
+           |    ELSE concat(acc, array(named_struct('s', o, 'e', o + $width))) END)
+           |""".stripMargin.trim).as("merged"))
+    base.join(spans, Seq("id"), "left")
+      .select(col("id"), col("text"), col("merged"),
+        when(col("merged").isNull, col("text")).otherwise(expr(
+          """aggregate(merged, named_struct('p', 0, 'acc', CAST('' AS STRING)),
+            |  (st, iv) -> named_struct('p', iv.e,
+            |    'acc', concat(st.acc, substring(text, st.p + 1, iv.s - st.p))),
+            |  st -> concat(st.acc, substring(text, st.p + 1, length(text) - st.p)))
+            |""".stripMargin.trim)).as("clean_text"))
+      .select(col("id"), col("clean_text"),
+        coalesce(size(col("merged")), lit(0)).cast(LongType).as("n_spans_removed"),
+        coalesce(length(col("text")) - length(col("clean_text")), lit(0))
+          .cast(LongType).as("n_chars_removed"))
+  }
+
   /** Overlapping context-window chunking — the RAG / LM training
     * layout where consecutive chunks share `overlap` tokens so no
     * span loses its context at a boundary (HuggingFace

@@ -365,4 +365,49 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(out(1L)._3 - ar) < 1e-9)
     assert(math.abs(out(1L)._4 - r6(at - ar)) < 1e-9)
   }
+
+  test("windowDupStats: cross-doc shared window flagged; same-doc repeats and short docs are not") {
+    val docs = Seq(
+      (1L, "aaaabbbbccccdddd"), // windows at 0,4,8
+      (2L, "aaaabbbbzzzzyyyy"), // shares window "aaaabbbb" with doc 1
+      (3L, "short"),            // below width: no windows
+      (4L, "qqqqwwwweeeerrrr"), // all windows unique
+      (5L, "gggghhhhgggghhhh")) // repeated window only WITHIN the doc
+      .toDF("doc_id", "text")
+    val out = Corpus.windowDupStats(docs, "doc_id", "text", width = 8, stride = 4)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Double]("dup_window_frac")))).toMap
+    assert(out(1L) === ((3L, 1L, 0.333333)))
+    assert(out(2L) === ((3L, 1L, 0.333333)))
+    assert(out(3L) === ((0L, 0L, 0.0)))
+    assert(out(4L) === ((3L, 0L, 0.0)))
+    // fp seen twice in doc 5 but in no other doc: doc-frequency 1, not a dup
+    assert(out(5L) === ((3L, 0L, 0.0)))
+  }
+
+  test("spanRemoval cuts duplicated windows, keeps the global first occurrence, merges overlaps") {
+    val docs = Seq(
+      (1L, "aaaabbbbccccdddd"),
+      (2L, "aaaabbbbzzzzyyyy"),     // shares window at off 0 with doc 1
+      (3L, "mmmmnnnnooooppppqqqq"),
+      (4L, "mmmmnnnnooooppppqqqq"), // full copy of doc 3: all windows merge to one span
+      (5L, "xxxxmmmmnnnnuuuuvvvv"), // doc 3's window at a SHIFTED offset (4)
+      (6L, null.asInstanceOf[String]),
+      (7L, "tiny"))                 // below width
+      .toDF("doc_id", "text")
+    val out = Corpus.spanRemoval(docs, "doc_id", "text", width = 8, stride = 4)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_spans_removed"),
+          r.getAs[Long]("n_chars_removed")))).toMap
+    assert(out(1L) === (("aaaabbbbccccdddd", 0L, 0L))) // first occurrence survives
+    assert(out(2L) === (("zzzzyyyy", 1L, 8L)))         // prefix span cut
+    assert(out(3L) === (("mmmmnnnnooooppppqqqq", 0L, 0L)))
+    assert(out(4L) === (("", 1L, 20L)))                // overlapping spans merged, all text cut
+    assert(out(5L) === (("xxxxuuuuvvvv", 1L, 8L)))     // interior span: gap + suffix rebuild
+    assert(out(6L) === ((null, 0L, 0L)))
+    assert(out(7L) === (("tiny", 0L, 0L)))
+  }
 }

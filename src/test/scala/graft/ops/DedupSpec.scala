@@ -320,4 +320,17 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(admitted === Set(11L))
   }
+
+  test("exactKeepBest keeps the max-score copy, min id on ties") {
+    val dup = Seq(
+      (1L, "same text", 5L),
+      (2L, "same text", 9L),
+      (3L, "same text", 9L), // ties doc 2 on score: min id wins
+      (4L, "other text", 1L)).toDF("id", "text", "score")
+    val out = Dedup.exactKeepBest(dup, "id", "text", "score")
+      .collect()
+      .map(r => r.getAs[Long]("keep_id") ->
+        ((r.getAs[Long]("keep_score"), r.getAs[Long]("dup_count")))).toMap
+    assert(out === Map(2L -> ((9L, 3L)), 4L -> ((1L, 1L))))
+  }
 }
