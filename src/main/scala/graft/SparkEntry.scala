@@ -798,9 +798,15 @@ object SparkEntry {
     // --- symmetric int8 embedding quantization: the 4x storage cut in
     // front of the ANN kernels. Pure projection (array HOFs, zero
     // shuffle); the oracle replays scale/clamp/residual with the same
-    // double-precision operation order ---
+    // double-precision operation order. qvec is serialized to a
+    // comma-joined string (both engines render TINYINT identically) so
+    // the comparison harness can sort/hash the column — array-typed
+    // result columns are unhashable on the oracle side ---
     "q126_quantize_int8" -> ((s, d) =>
       Quantize.int8Symmetric(t(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          concat_ws(",", transform(col("qvec"), _.cast("string"))).as("qvec"),
+          col("n_clipped"), col("err_l2"))
         .orderBy("vec_id")),
 
     // --- token-distribution JS divergence per source vs the corpus:
@@ -2485,10 +2491,11 @@ object SparkEntry {
           |    list_max(list_transform(vv, x -> abs(x))) AS amax FROM v),
           |s AS (SELECT vec_id, vv, amax, amax / 127.0 AS scale FROM a)
           |SELECT vec_id, scale,
-          |  CASE WHEN amax = 0 THEN list_transform(vv, x -> CAST(0 AS TINYINT))
-          |       ELSE list_transform(vv, x -> CAST(
-          |         least(greatest(floor(x / scale + 0.5), -127.0), 127.0)
-          |         AS TINYINT)) END AS qvec,
+          |  CASE WHEN amax = 0 THEN array_to_string(
+          |         list_transform(vv, x -> '0'), ',')
+          |       ELSE array_to_string(list_transform(vv, x ->
+          |         CAST(CAST(least(greatest(floor(x / scale + 0.5), -127.0), 127.0)
+          |           AS TINYINT) AS VARCHAR)), ',') END AS qvec,
           |  CASE WHEN amax = 0 THEN 0
           |       ELSE CAST(list_sum(list_transform(vv, x ->
           |         CASE WHEN abs(floor(x / scale + 0.5)) > 127.0

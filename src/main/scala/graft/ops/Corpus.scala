@@ -344,16 +344,26 @@ object Corpus {
       .select(col("id"), col("off"))
     // per-doc sorted offsets -> merged [s, e) intervals (adjacent or
     // overlapping spans coalesce: a window starting at or before the
-    // running end extends it)
+    // running end extends it). With a CONSTANT width over sorted
+    // offsets the running end of a group is always its last member's
+    // offset + width, so "starts a new interval" is the purely local
+    // test offs[i] > offs[i-1] + width: compute the break positions
+    // with one filter, then build each interval with one indexed
+    // transform — O(spans) per doc with no per-step array
+    // reconstruction (a fold that slices+concats the accumulator
+    // would be O(spans²) on span-riddled docs).
     val spans = removed.groupBy("id")
       .agg(sort_array(collect_list(col("off"))).as("offs"))
+      .select(col("id"), col("offs"), expr(
+        s"""filter(sequence(1, size(offs)), i ->
+           |  i = 1 OR element_at(offs, i) > element_at(offs, i - 1) + $width)
+           |""".stripMargin.trim).as("starts"))
       .select(col("id"), expr(
-        s"""aggregate(offs, CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>),
-           |  (acc, o) -> CASE WHEN size(acc) > 0 AND o <= element_at(acc, -1).e
-           |    THEN concat(slice(acc, 1, size(acc) - 1),
-           |         array(named_struct('s', element_at(acc, -1).s,
-           |                            'e', greatest(element_at(acc, -1).e, o + $width))))
-           |    ELSE concat(acc, array(named_struct('s', o, 'e', o + $width))) END)
+        s"""transform(starts, (st, k) -> named_struct(
+           |  's', element_at(offs, st),
+           |  'e', element_at(offs, CASE WHEN k + 2 <= size(starts)
+           |         THEN element_at(starts, k + 2) - 1
+           |         ELSE size(offs) END) + $width))
            |""".stripMargin.trim).as("merged"))
     base.join(spans, Seq("id"), "left")
       .select(col("id"), col("text"), col("merged"),
