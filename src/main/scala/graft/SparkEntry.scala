@@ -917,6 +917,22 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // --- IVF-PQ ANN: q131's ADC scoring pruned by an inverted-file
+    // coarse index — each query scores codes only in its nProbe
+    // nearest cells, the composition that makes per-query cost
+    // sub-linear in the corpus at scale ---
+    "q142_ivfpq_ann" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Quantize.ivfPqTopKAdc(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", "vec_id", "embedding",
+        dim = 64, m = 4, k = 8, iterations = 2,
+        nCells = IvfCells, nProbe = IvfProbe, topK = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("adist"), 6).as("adist"))
+        .orderBy("query_id", "rank")
+    }),
+
     // --- DSIR importance weights: avg per-token log-likelihood ratio
     // of a target-domain unigram LM vs the raw-corpus LM — the
     // data-selection score for "reads like the target domain" ---
@@ -2677,6 +2693,13 @@ object SparkEntry {
       // PQ recall audit: the ADC top-10 intersected with the exact L2
       // top-10 the same corpus would return — the eval every ANN
       // deployment runs before trusting its index.
+      // IVF-PQ replay: the same ADC algebra as q131, restricted to the
+      // codes of corpus vectors in each query's probed cells.
+      "q142_ivfpq_ann" ->
+        s"""WITH $ivfPqAdcSql
+           |SELECT query_id, rank, neighbor_id, round(adist, 6) AS adist
+           |FROM ivftop ORDER BY query_id, rank""".stripMargin,
+
       "q137_pq_recall" ->
         s"""WITH $pqAdcSql,
            |ex AS (SELECT query_id, neighbor_id FROM (
@@ -4127,6 +4150,10 @@ object SparkEntry {
   private val PqK = 8
   private val PqIters = 2
   private val PqSubDim = Q37Dim / PqM // 16
+  // q142 IVF-PQ coarse index: few enough cells that the oracle's
+  // centroid CTE stays readable, probes < cells so pruning is real
+  private val IvfCells = 8
+  private val IvfProbe = 2
 
   /** Shared CTE chain replaying [[graft.ops.Quantize.pqTrain]] +
     * [[graft.ops.Quantize.pqEncode]]: slice into PqM subspaces, seed
@@ -4175,7 +4202,7 @@ object SparkEntry {
     * ADC distance) ending in CTE `pqtop` (query_id, rank, neighbor_id,
     * adist); also exposes `pqq` (query vectors) and `pcorpus` for
     * downstream audits (q137). */
-  private def pqAdcSql: String =
+  private def pqAdcPrefixSql: String =
     s"""${pqSql("WHERE vec_id >= 5")},
        |pqq AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings WHERE vec_id < 5),
@@ -4184,7 +4211,10 @@ object SparkEntry {
        |  FROM pqq CROSS JOIN range($PqM) t(s)),
        |pdtab AS (SELECT q.id AS query_id, q.subspace,
        |    ct.centroid_id AS code, list_distance(q.sv, ct.cv) ** 2 AS d2
-       |  FROM pqsub q JOIN pcent$PqIters ct USING (subspace)),
+       |  FROM pqsub q JOIN pcent$PqIters ct USING (subspace))""".stripMargin
+
+  private def pqAdcSql: String =
+    s"""$pqAdcPrefixSql,
        |pscore AS (SELECT d.query_id, c.id AS neighbor_id,
        |    sum(d.d2) AS adist
        |  FROM pcodes c JOIN pdtab d
@@ -4194,6 +4224,37 @@ object SparkEntry {
        |  FROM (SELECT query_id, neighbor_id, adist,
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY adist ASC, neighbor_id ASC) AS rank FROM pscore)
+       |  WHERE rank <= 10)""".stripMargin
+
+  /** IVF-PQ replay: [[pqAdcPrefixSql]]'s training/table CTEs plus the
+    * coarse inverted-file index (cells = the $IvfCells lowest-id corpus
+    * vectors, L2 cell assignment with ties → lowest cell, $IvfProbe
+    * probed cells per query) restricting the ADC scoring join — ends
+    * in CTE `ivftop` (query_id, rank, neighbor_id, adist). */
+  private def ivfPqAdcSql: String =
+    s"""$pqAdcPrefixSql,
+       |icells AS (SELECT id AS cell_id, v AS ccv
+       |  FROM pcorpus ORDER BY id LIMIT $IvfCells),
+       |icasg AS (SELECT id, cell_id AS cell FROM (
+       |    SELECT c.id, ce.cell_id,
+       |      row_number() OVER (PARTITION BY c.id
+       |        ORDER BY list_distance(c.v, ce.ccv) ASC, ce.cell_id ASC) AS rn
+       |    FROM pcorpus c CROSS JOIN icells ce) WHERE rn = 1),
+       |iprobe AS (SELECT query_id, cell_id FROM (
+       |    SELECT q.id AS query_id, ce.cell_id,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY list_distance(q.v, ce.ccv) ASC, ce.cell_id ASC) AS rn
+       |    FROM pqq q CROSS JOIN icells ce) WHERE rn <= $IvfProbe),
+       |iscore AS (SELECT d.query_id, c.id AS neighbor_id, sum(d.d2) AS adist
+       |  FROM pcodes c JOIN icasg a USING (id)
+       |  JOIN iprobe pr ON a.cell = pr.cell_id
+       |  JOIN pdtab d ON d.query_id = pr.query_id
+       |    AND d.subspace = c.subspace AND d.code = c.code
+       |  GROUP BY 1, 2),
+       |ivftop AS (SELECT query_id, rank, neighbor_id, adist
+       |  FROM (SELECT query_id, neighbor_id, adist,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adist ASC, neighbor_id ASC) AS rank FROM iscore)
        |  WHERE rank <= 10)""".stripMargin
 
   private def q38Sql: String = {

@@ -182,16 +182,83 @@ object Quantize {
                 cIdCol: String, cVecCol: String,
                 dim: Int, m: Int, k: Int, iterations: Int,
                 topK: Int): DataFrame = {
-    val subDim = dim / m
     val codebook = pqTrain(corpus, cIdCol, cVecCol, dim, m, k, iterations)
     val codes = pqEncode(corpus, cIdCol, cVecCol, codebook, dim, m)
-    val dtab = subvectors(queries, qIdCol, qVecCol, m, subDim)
-      .join(broadcast(codebook), "subspace")
-      .select(col("id").as("query_id"), col("subspace"),
-        col("centroid_id").as("code"), l2sq(col("sv"), col("cv")).as("d2"))
+    val dtab = adcTables(queries, qIdCol, qVecCol, codebook, m, dim / m)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
     codes.join(broadcast(dtab), Seq("subspace", "code"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id", "adist")
+  }
+
+  /** Per-query ADC distance tables: exact L2² from each query
+    * subvector to every codebook centroid — |queries|·m·k rows, the
+    * broadcast side of every ADC scoring join. */
+  private def adcTables(queries: DataFrame, qIdCol: String, qVecCol: String,
+                        codebook: DataFrame, m: Int, subDim: Int): DataFrame =
+    subvectors(queries, qIdCol, qVecCol, m, subDim)
+      .join(broadcast(codebook), "subspace")
+      .select(col("id").as("query_id"), col("subspace"),
+        col("centroid_id").as("code"), l2sq(col("sv"), col("cv")).as("d2"))
+
+  /** IVF-PQ: the coarse-pruned form of [[pqTopKAdc]] — the composition
+    * that makes a PQ index sub-linear PER QUERY at corpus scale. The
+    * corpus is partitioned once into `nCells` inverted-file cells
+    * (nearest coarse centroid by L2; centroids = the nCells lowest-id
+    * corpus vectors, the same deterministic oracle-replayable seed
+    * convention as [[graft.ops.Similarity.ivfTopK]]), and each query
+    * scores codes ONLY in its `nProbe` nearest cells: per-query work
+    * falls from |corpus|·m table lookups to ~|corpus|·m·nProbe/nCells,
+    * while the ADC scoring join still never touches a raw corpus
+    * vector. Recall < [[pqTopKAdc]]'s by construction (a true neighbor
+    * in an unprobed cell is lost — the standard IVF trade dialed by
+    * nProbe/nCells); [[pqRecallAudit]]'s exact side bounds both.
+    * Returns (query_id, rank, neighbor_id, adist), rank by ascending
+    * ADC distance, ties → lowest neighbor id. */
+  def ivfPqTopKAdc(queries: DataFrame, corpus: DataFrame,
+                   qIdCol: String, qVecCol: String,
+                   cIdCol: String, cVecCol: String,
+                   dim: Int, m: Int, k: Int, iterations: Int,
+                   nCells: Int, nProbe: Int, topK: Int): DataFrame = {
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      s"need 1 <= nProbe <= nCells, got nProbe=$nProbe nCells=$nCells")
+    val cv = corpus.filter(col(cVecCol).isNotNull)
+      .select(col(cIdCol).as("id"),
+        transform(col(cVecCol), _.cast("double")).as("__v"))
+    val cells = cv.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cell_id"), col("__v").as("ccv"))
+    // corpus → cell: broadcast the (tiny) centroid table, map-side
+    // argmin per vector — one narrow agg keyed on the corpus id
+    val assigned = cv.crossJoin(broadcast(cells))
+      .withColumn("__d2", l2sq(col("__v"), col("ccv")))
+      .groupBy("id")
+      .agg(min_by(col("cell_id"), struct(col("__d2"), col("cell_id"))).as("cell"))
+    val codebook = pqTrain(corpus, cIdCol, cVecCol, dim, m, k, iterations)
+    val codes = pqEncode(corpus, cIdCol, cVecCol, codebook, dim, m)
+    val dtab = adcTables(queries, qIdCol, qVecCol, codebook, m, dim / m)
+    // query → its nProbe nearest cells (same broadcast centroid table)
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__d2").asc, col("cell_id").asc)
+    val probes = queries.filter(col(qVecCol).isNotNull)
+      .select(col(qIdCol).as("query_id"),
+        transform(col(qVecCol), _.cast("double")).as("__qv"))
+      .crossJoin(broadcast(cells))
+      .withColumn("__d2", l2sq(col("__qv"), col("ccv")))
+      .withColumn("__rn", row_number().over(wp)).filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("cell_id"))
+    // prune-then-score: the cell join fans each corpus code out to the
+    // queries probing its cell ONLY; the ADC table join then needs the
+    // query id in its key (unlike the full-scan form, where every code
+    // row scored against every query)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    codes.join(assigned, "id")
+      .join(broadcast(probes), col("cell") === col("cell_id"))
+      .join(broadcast(dtab), Seq("query_id", "subspace", "code"))
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
       .agg(sum(col("d2")).as("adist"))
       .withColumn("rank", row_number().over(w))
@@ -210,7 +277,20 @@ object Quantize {
                     qIdCol: String, qVecCol: String,
                     cIdCol: String, cVecCol: String,
                     dim: Int, m: Int, k: Int, iterations: Int,
-                    topK: Int): DataFrame = {
+                    topK: Int,
+                    maxExactCompares: Long = 100000000L): DataFrame = {
+    // The exact side is an unavoidable |queries|·|corpus| scan — the
+    // guard makes an unsampled full-corpus audit unreachable at default
+    // settings (the cosine family's cosinePairsAuto convention): a
+    // caller auditing a big corpus must sample the query set down, or
+    // raise the bound explicitly and own the cost. Two id-only count
+    // scans — noise next to the audit itself.
+    val qn = queries.filter(col(qVecCol).isNotNull).count()
+    val cn = corpus.filter(col(cVecCol).isNotNull).count()
+    require(qn == 0 || cn <= maxExactCompares / qn,
+      s"pqRecallAudit's exact side is a brute-force |queries|x|corpus| scan " +
+        s"($qn x $cn compares > $maxExactCompares): run the audit on a " +
+        "SAMPLED query set, or raise maxExactCompares explicitly")
     val pq = pqTopKAdc(queries, corpus, qIdCol, qVecCol, cIdCol, cVecCol,
       dim, m, k, iterations, topK)
       .select(col("query_id"), col("neighbor_id"))
@@ -269,4 +349,33 @@ object Quantize {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
+
+  /** Size-routed int8 ANN — the [[Similarity.cosinePairsAuto]]
+    * convention for this family: the exact integer-kernel crossJoin
+    * ([[int8TopK]]) while the corpus is small enough that
+    * |queries|·|corpus| compares are affordable, the IVF-pruned path
+    * above `maxExactRows`. Cosine is invariant to the per-vector
+    * quantization scale, so the scale route runs
+    * [[Similarity.ivfTopK]] DIRECTLY on the quantized components (cast
+    * back to double — exact, no dequantize multiply): same
+    * (query_id, rank, neighbor_id, sim) contract, approximate recall
+    * above the threshold, dialed by nCentroids/nprobe (nprobe =
+    * nCentroids probes every cell and degenerates to the exact
+    * ranking). Production callers use THIS entry point — the quadratic
+    * kernel is simply unreachable past the threshold. */
+  def int8TopKAuto(queries: DataFrame, corpus: DataFrame,
+                   qIdCol: String, qVecCol: String,
+                   cIdCol: String, cVecCol: String, k: Int,
+                   maxExactRows: Long = 1000000L,
+                   nCentroids: Int = 256, nprobe: Int = 32): DataFrame =
+    if (corpus.select(cIdCol).count() <= maxExactRows)
+      int8TopK(queries, corpus, qIdCol, qVecCol, cIdCol, cVecCol, k)
+    else {
+      def q8d(df: DataFrame, id: String, vec: String): DataFrame =
+        int8Symmetric(df, id, vec).select(col(id),
+          transform(col("qvec"), _.cast("double")).as("__q8"))
+      Similarity.ivfTopK(
+        q8d(queries, qIdCol, qVecCol), q8d(corpus, cIdCol, cVecCol),
+        qIdCol, "__q8", cIdCol, "__q8", k, nCentroids, nprobe)
+    }
 }

@@ -370,6 +370,49 @@ object Probe {
             .count())
       }
     }
+    names.filter(_ == "r7ops-scalelaw").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      def docsAt(mult: Int): org.apache.spark.sql.DataFrame = rotatedDocs(docs, mult)
+      val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+      def embAt(mult: Int): org.apache.spark.sql.DataFrame = rotatedEmb(emb, dim, mult)
+      def time(tag: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val n = f
+        println(f"R7OPS-SCALELAW $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+      }
+      // warmup (untimed)
+      graft.ops.Corpus.windowDupStats(docsAt(1), "doc_id", "text", 40, 20).count()
+      graft.ops.Quantize.ivfPqTopKAdc(embAt(1).filter(col("vec_id") < 5),
+        embAt(1), "vec_id", "embedding", "vec_id", "embedding",
+        dim, 4, 8, 2, nCells = 16, nProbe = 2, topK = 10).count()
+      Seq(1, 4, 10).foreach { m =>
+        // char-window family: ~(len/stride) windows per doc, reduced to
+        // 16-byte fingerprints before any exchange — cost must grow with
+        // total window count (linear in corpus chars), never pairs
+        time(s"window-dedup x$m")(
+          graft.ops.Corpus.windowDupStats(docsAt(m), "doc_id", "text", 40, 20)
+            .count())
+        time(s"span-removal x$m")(
+          graft.ops.Corpus.spanRemoval(docsAt(m), "doc_id", "text", 40, 20)
+            .count())
+        time(s"keep-best x$m")(
+          graft.ops.Dedup.exactKeepBest(
+            docsAt(m).withColumn("crawl_ts", col("doc_id") % 256),
+            "doc_id", "text", "crawl_ts").count())
+        // fixed 5 queries, growing corpus: the IVF prune must keep the
+        // scoring join at ~nProbe/nCells of the full-scan ADC's row
+        // volume (same codes table, same distance tables)
+        time(s"ivfpq-adc x$m")(
+          graft.ops.Quantize.ivfPqTopKAdc(embAt(1).filter(col("vec_id") < 5),
+            embAt(m), "vec_id", "embedding", "vec_id", "embedding",
+            dim, 4, 8, 2, nCells = 16, nProbe = 2, topK = 10).count())
+        time(s"pq-adc-fullscan x$m")(
+          graft.ops.Quantize.pqTopKAdc(embAt(1).filter(col("vec_id") < 5),
+            embAt(m), "vec_id", "embedding", "vec_id", "embedding",
+            dim, 4, 8, 2, 10).count())
+      }
+    }
     names.filter(_ == "admit-scalelaw").foreach { _ =>
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -215,6 +215,94 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("int8TopKAuto route invariance: the IVF route probing every cell " +
+    "returns the exact kernel's ranking") {
+    val rnd = new scala.util.Random(31)
+    val data = (0L until 50L).map(i =>
+      (i, Array.fill(12)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = data.filter(col("vec_id") < 3)
+    val c = data.filter(col("vec_id") >= 3)
+    val exact = Quantize.int8TopK(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5).orderBy("query_id", "rank").collect()
+    // maxExactRows = 0 forces the scale route; nprobe = nCentroids
+    // probes every cell, so the only difference left is the kernel
+    val routed = Quantize.int8TopKAuto(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, maxExactRows = 0L,
+      nCentroids = 8, nprobe = 8).orderBy("query_id", "rank").collect()
+    assert(routed.length === exact.length)
+    exact.zip(routed).foreach { case (e, r) =>
+      assert((e.getLong(0), e.getInt(1), e.getLong(2)) ===
+        (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(math.abs(e.getDouble(3) - r.getDouble(3)) < 1e-9)
+    }
+    // default threshold keeps the small corpus on the exact kernel
+    val small = Quantize.int8TopKAuto(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5).orderBy("query_id", "rank").collect()
+    exact.zip(small).foreach { case (e, s) =>
+      assert(e.getLong(2) === s.getLong(2) &&
+        math.abs(e.getDouble(3) - s.getDouble(3)) < 1e-15)
+    }
+  }
+
+  test("pqRecallAudit refuses an unsampled oversized exact side") {
+    val rnd = new scala.util.Random(41)
+    val data = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Quantize.pqRecallAudit(
+        data.filter(col("vec_id") < 5), data.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", "vec_id", "embedding",
+        dim = 8, m = 2, k = 4, iterations = 1, topK = 5,
+        maxExactCompares = 10L)
+    }
+    assert(e.getMessage.contains("SAMPLED"))
+  }
+
+  test("ivfPqTopKAdc: probing every cell equals the full-scan ADC; " +
+    "pruned probes return a subset ranking with bounded loss") {
+    val rnd = new scala.util.Random(43)
+    val data = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = data.filter(col("vec_id") < 3)
+    val c = data.filter(col("vec_id") >= 3)
+    val full = Quantize.pqTopKAdc(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", 8, 2, k = 4, iterations = 2, topK = 5)
+      .orderBy("query_id", "rank").collect()
+    val allCells = Quantize.ivfPqTopKAdc(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", 8, 2, k = 4, iterations = 2,
+      nCells = 4, nProbe = 4, topK = 5).orderBy("query_id", "rank").collect()
+    assert(allCells.length === full.length)
+    full.zip(allCells).foreach { case (f, a) =>
+      assert((f.getLong(0), f.getInt(1), f.getLong(2)) ===
+        (a.getLong(0), a.getInt(1), a.getLong(2)))
+      assert(math.abs(f.getDouble(3) - a.getDouble(3)) < 1e-9)
+    }
+    // pruned: every returned neighbor must carry the same adist the
+    // full scan assigns it (pruning changes WHICH candidates are
+    // scored, never their scores)
+    val pruned = Quantize.ivfPqTopKAdc(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", 8, 2, k = 4, iterations = 2,
+      nCells = 4, nProbe = 2, topK = 5).collect()
+    val fullD = Quantize.pqTopKAdc(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", 8, 2, k = 4, iterations = 2, topK = 57)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    pruned.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(fullD.contains(key), s"pruned neighbor $key unknown to full scan")
+      assert(math.abs(fullD(key) - r.getDouble(3)) < 1e-9)
+    }
+    pruned.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 5 && rs.nonEmpty)
+    }
+  }
+
+  test("ivfPqTopKAdc rejects nProbe > nCells") {
+    intercept[IllegalArgumentException] {
+      Quantize.ivfPqTopKAdc(vecs, vecs, "vec_id", "embedding",
+        "vec_id", "embedding", 4, 2, 2, 1, nCells = 2, nProbe = 3, topK = 1)
+    }
+  }
+
   test("pqTrain rejects dims not divisible by m") {
     intercept[IllegalArgumentException] {
       Quantize.pqTrain(vecs, "vec_id", "embedding",
