@@ -873,6 +873,16 @@ object SparkEntry {
       Expectations.kAnonymity(t(s, d, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 10)),
 
+    // --- l-diversity: q138's companion release gate — every QI group
+    // must also carry >= l distinct sensitive values (homogeneity
+    // attack), with the entropy form exp(H) catching skewed groups a
+    // distinct count overstates; sensitive attr = account-balance band ---
+    "q143_l_diversity" -> ((s, d) =>
+      Expectations.lDiversity(
+        t(s, d, "customer").withColumn("bal_band",
+          floor(col("c_acctbal") / 2000).cast("int")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3)),
+
     // --- char-window exact-substring dedup coverage: the sliding-
     // window form of suffix-based dedup — catches copies that cross
     // token/passage boundaries (q55 chunks would miss them) ---
@@ -2605,6 +2615,30 @@ object SparkEntry {
           |  CAST(coalesce(sum(CASE WHEN gn < 10 THEN gn END), 0) AS BIGINT) AS rows_below_k,
           |  round(CAST(coalesce(sum(CASE WHEN gn < 10 THEN gn END), 0) AS DOUBLE)
           |    / CAST(sum(gn) AS DOUBLE), 6) AS share_below_k
+          |FROM g""".stripMargin,
+
+      // l-diversity replay: (QI, sensitive) cell counts, per-group
+      // entropy via the same ln(gn) − Σcn·ln(cn)/gn algebra, scalar
+      // roll-up; rounds to 6 after the group-min so the float-sum
+      // ordering difference between engines stays below the compare.
+      "q143_l_diversity" ->
+        """WITH cell AS (SELECT c_nationkey, c_mktsegment,
+          |    CAST(floor(c_acctbal / 2000) AS INT) AS bal_band,
+          |    CAST(count(*) AS BIGINT) AS cn
+          |  FROM customer GROUP BY 1, 2, 3),
+          |g AS (SELECT c_nationkey, c_mktsegment,
+          |    CAST(sum(cn) AS BIGINT) AS gn,
+          |    CAST(count(*) AS BIGINT) AS nd,
+          |    sum(CAST(cn AS DOUBLE) * ln(CAST(cn AS DOUBLE))) AS sl
+          |  FROM cell GROUP BY 1, 2)
+          |SELECT CAST(sum(gn) AS BIGINT) AS n_rows,
+          |  CAST(count(*) AS BIGINT) AS n_groups,
+          |  CAST(min(nd) AS BIGINT) AS min_distinct_l,
+          |  CAST(coalesce(sum(CASE WHEN nd < 3 THEN gn END), 0) AS BIGINT) AS rows_below_l,
+          |  round(CAST(coalesce(sum(CASE WHEN nd < 3 THEN gn END), 0) AS DOUBLE)
+          |    / CAST(sum(gn) AS DOUBLE), 6) AS share_below_l,
+          |  round(min(exp(ln(CAST(gn AS DOUBLE)) - sl / CAST(gn AS DOUBLE))), 6)
+          |    AS min_entropy_l
           |FROM g""".stripMargin,
 
       // char-window dedup coverage: generate_series replays the

@@ -137,6 +137,50 @@ object Expectations {
           col("n_rows").cast("double"), 6).as("share_below_k"))
   }
 
+  /** l-diversity report — [[kAnonymity]]'s companion gate: a
+    * k-anonymous group whose SENSITIVE attribute is constant still
+    * discloses that attribute for everyone in it (the homogeneity
+    * attack), so each quasi-identifier group must also carry ≥ l
+    * distinct sensitive values. Reports both the distinct form
+    * (min distinct sensitive values over groups, rows in groups below
+    * `l`) and the entropy form (min over groups of exp(H) — the
+    * "effective number of sensitive values", 1.0 for a degenerate
+    * single-value group, which a distinct count of near-unique but
+    * 99%-skewed values would overstate). NULL sensitive values are a
+    * disclosing value too and count as a value of their own; NULL
+    * quasi columns form their own groups (the [[kAnonymity]]
+    * convention). Scale shape: two keyed aggregations — shuffles
+    * bounded by distinct (quasi, sensitive) tuples then distinct quasi
+    * tuples — plus one scalar roll-up; nothing driver-side. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    val qs = quasiCols.map(col)
+    val cells = df.groupBy((qs :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("__cn"))
+    // per-group entropy without a per-row pass: H = ln(gn) − Σcn·ln(cn)/gn
+    val groups = cells.groupBy(qs: _*)
+      .agg(sum(col("__cn")).as("__gn"),
+        count(lit(1)).as("__nd"),
+        sum(col("__cn").cast("double") * log(col("__cn").cast("double")))
+          .as("__sl"))
+      .withColumn("__ent",
+        log(col("__gn").cast("double")) - col("__sl") / col("__gn").cast("double"))
+    groups.agg(
+      sum(col("__gn")).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      min(col("__nd")).as("min_distinct_l"),
+      coalesce(sum(when(col("__nd") < l, col("__gn"))), lit(0L))
+        .as("rows_below_l"),
+      min(exp(col("__ent"))).as("__mel"))
+      .select(col("n_rows"), col("n_groups"), col("min_distinct_l"),
+        col("rows_below_l"),
+        round(col("rows_below_l").cast("double") /
+          col("n_rows").cast("double"), 6).as("share_below_l"),
+        round(col("__mel"), 6).as("min_entropy_l"))
+  }
+
   def benford(df: DataFrame, valueCol: String): DataFrame = {
     val v = col(valueCol).cast("double")
     // leading digit of the decimal rendering: first char of the value

@@ -111,4 +111,39 @@ class ExpectationsSpec extends SparkSpec {
       Expectations.kAnonymity(rows, Seq.empty, 3)
     }
   }
+
+  test("lDiversity: distinct and entropy forms, degenerate and null-sensitive groups") {
+    val rows = Seq(
+      // group (us): 4 rows, sensitive = x,x,y,z -> nd=3, H = ln4 - (2ln2)/4
+      ("us", "x"), ("us", "x"), ("us", "y"), ("us", "z"),
+      // group (de): DEGENERATE, all same sensitive value -> nd=1, exp(H)=1
+      ("de", "x"), ("de", "x"), ("de", "x"),
+      // group (fr): nd=2 with a NULL sensitive value counted as a value
+      ("fr", "x"), ("fr", null)
+    ).toDF("country", "sens")
+    val r = Expectations.lDiversity(rows, Seq("country"), "sens", l = 3)
+      .collect()(0)
+    assert(r.getLong(0) === 9L)          // n_rows
+    assert(r.getLong(1) === 3L)          // n_groups
+    assert(r.getLong(2) === 1L)          // min_distinct_l (the degenerate group)
+    assert(r.getLong(3) === 5L)          // rows below l=3: de(3) + fr(2)
+    assert(math.abs(r.getDouble(4) - 5.0 / 9.0) < 1e-6)
+    // min entropy-l comes from the degenerate group: exp(0) = 1 exactly
+    assert(r.getDouble(5) === 1.0)
+
+    // without the degenerate group the entropy min is the skew-aware
+    // one: group (us) has exp(ln4 - 2*ln(2)/4) < 3 despite nd=3
+    val r2 = Expectations.lDiversity(rows.filter(col("country") =!= "de"),
+      Seq("country"), "sens", l = 2).collect()(0)
+    assert(r2.getLong(2) === 2L)
+    val hUs = math.log(4) - 2 * math.log(2) / 4
+    val expected = math.min(math.exp(hUs), math.exp(math.log(2)))
+    assert(math.abs(r2.getDouble(5) -
+      BigDecimal(expected).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9)
+
+    intercept[IllegalArgumentException] {
+      Expectations.lDiversity(rows, Seq("country"), "sens", l = 1)
+    }
+  }
 }
