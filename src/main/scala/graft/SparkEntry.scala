@@ -883,6 +883,31 @@ object SparkEntry {
           floor(col("c_acctbal") / 2000).cast("int")),
         Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3)),
 
+    // --- content-real audio embedding (the audio twin of q109):
+    // md5-seeded 16-bit PCM bodies inside REAL RIFF/WAVE containers,
+    // fully decoded back sample-by-sample and reduced to a 16-bucket
+    // amplitude histogram — the oracle re-derives every sample
+    // arithmetically from the seeds without seeing a payload byte ---
+    "q144_audio_histogram" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val fix = udf { (text: String) =>
+        val dg = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        def u(i: Int) = dg(i) & 0xff
+        val channels = 1 + (u(0) % 2)
+        val rate = Array(8000, 16000, 32000, 48000)(u(1) % 4)
+        val n = 64 + (u(2) * 256 + u(3)) % 960
+        Multimodal.wavPcmFixture(channels, rate, n,
+          u(4) * 256 + u(5), 1 + u(6) % 255)
+      }
+      val withP = docs.select(col("doc_id"), fix(col("text")).as("payload"))
+      withP.select(col("doc_id"),
+          posexplode(Multimodal.embedAudio(col("payload"), 16)))
+        .select(col("doc_id"), col("pos").cast("int").as("bucket"),
+          round(col("col"), 6).as("frac"))
+        .orderBy("doc_id", "bucket")
+    }),
+
     // --- char-window exact-substring dedup coverage: the sliding-
     // window form of suffix-based dedup — catches copies that cross
     // token/passage boundaries (q55 chunks would miss them) ---
@@ -2640,6 +2665,29 @@ object SparkEntry {
           |  round(min(exp(ln(CAST(gn AS DOUBLE)) - sl / CAST(gn AS DOUBLE))), 6)
           |    AS min_entropy_l
           |FROM g""".stripMargin,
+
+      // audio-histogram replay (q109's shape for PCM): sample i of doc
+      // d is ((s0 + i*s1) mod 65536) - 32768, so its 16-bucket index is
+      // ((s0 + i*s1) mod 65536) * 16 // 65536 — generate_series replays
+      // the stream, the histogram is pure counting.
+      "q144_audio_histogram" ->
+        s"""WITH d AS (SELECT doc_id,
+           |    CAST(64 + ((${hd(5)} * 16 + ${hd(6)}) * 256 + (${hd(7)} * 16 + ${hd(8)})) % 960 AS INT) AS n,
+           |    CAST((${hd(9)} * 16 + ${hd(10)}) * 256 + (${hd(11)} * 16 + ${hd(12)}) AS INT) AS s0,
+           |    CAST(1 + (${hd(13)} * 16 + ${hd(14)}) % 255 AS INT) AS s1
+           |  FROM documents WHERE text IS NOT NULL),
+           |px AS (SELECT doc_id, n, s0, s1,
+           |    unnest(generate_series(0, n - 1)) AS i FROM d),
+           |pc AS (SELECT doc_id,
+           |    ((s0 + i * s1) % 65536) * 16 // 65536 AS bucket,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM px GROUP BY 1, 2),
+           |b AS (SELECT doc_id, n,
+           |    unnest(generate_series(0, 15)) AS bucket FROM d)
+           |SELECT b.doc_id, CAST(b.bucket AS INT) AS bucket,
+           |  round(CAST(coalesce(pc.c, 0) AS DOUBLE) / b.n, 6) AS frac
+           |FROM b LEFT JOIN pc ON pc.doc_id = b.doc_id AND pc.bucket = b.bucket
+           |ORDER BY 1, 2""".stripMargin,
 
       // char-window dedup coverage: generate_series replays the
       // stride-20 window starts; everything after the substr is the

@@ -257,6 +257,77 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Decode a 16-bit PCM RIFF/WAVE payload to (channels, sampleRate,
+    * interleaved 16-bit samples) — a FULL body decode, not just the
+    * [[parseWavHeader]] header read: the "data" subchunk's bytes are
+    * actually read as little-endian signed 16-bit values. Returns None
+    * for anything that is not recognizable 16-bit PCM WAV with a
+    * present (non-truncated) sample body, or whose declared body
+    * exceeds the memory bound — callers fall back to the md5
+    * embedding, same contract as [[decodePngLuma]]. */
+  def decodeWavPcm(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (p == null || p.length < 44) return None
+    def u(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16)).toLong | (u(i + 3).toLong << 24)
+    if (!(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
+    var i = 12
+    var channels = -1; var rate = -1L; var bits = -1
+    var dataOff = -1; var dataBytes = -1L
+    while (i + 8 <= p.length && (channels < 0 || dataOff < 0)) {
+      val tag = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = le32(i + 4)
+      if (tag == "fmt " && sz >= 16 && i + 8 + 16 <= p.length) {
+        if (le16(i + 8) != 1) return None // PCM only
+        channels = le16(i + 10)
+        rate = le32(i + 12)
+        bits = le16(i + 22) // fmt data: format 0, channels 2, rate 4, byteRate 8, align 12, bits 14
+      } else if (tag == "data") {
+        dataOff = i + 8
+        dataBytes = sz
+      }
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      if (next <= i || next > Int.MaxValue) i = p.length else i = next.toInt
+    }
+    if (channels <= 0 || channels > 64 || rate <= 0 || rate > Int.MaxValue ||
+        bits != 16 || dataOff < 0 || dataBytes < 2) return None
+    // body must be PRESENT: a header-only payload declaring absent
+    // samples decodes nothing (metadata readers handle those)
+    if (dataOff.toLong + dataBytes > p.length) return None
+    val n = (dataBytes / 2).toInt
+    if (n > (1 << 24)) return None // bound memory
+    val out = new Array[Int](n)
+    var j = 0
+    while (j < n) {
+      out(j) = (le16(dataOff + 2 * j) << 16) >> 16 // sign-extend
+      j += 1
+    }
+    Some((channels, rate.toInt, out))
+  }
+
+  /** WAV fixture WITH a 16-bit PCM sample body: interleaved value
+    * `sample(i) = ((seed0 + i·seed1) mod 65536) − 32768` — the audio
+    * twin of [[pngPixelFixture]]: deterministic, so an oracle
+    * re-derives the full sample stream from (n, seeds) without seeing
+    * a payload byte. */
+  def wavPcmFixture(channels: Int, sampleRate: Int, nValues: Int,
+                    seed0: Int, seed1: Int): Array[Byte] = {
+    require(channels >= 1 && nValues >= 0 && seed0 >= 0 && seed1 >= 0,
+      s"bad PCM fixture args ($channels, $nValues, $seed0, $seed1)")
+    val header = wavFixture(channels, sampleRate, nValues.toLong * 2)
+    val out = java.util.Arrays.copyOf(header, header.length + nValues * 2)
+    var i = 0
+    while (i < nValues) {
+      val v = ((seed0.toLong + i.toLong * seed1) % 65536L).toInt - 32768
+      out(header.length + 2 * i) = (v & 0xff).toByte
+      out(header.length + 2 * i + 1) = ((v >>> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
   /** Parse audio metadata from a REAL FLAC header — the public layout:
     * "fLaC" magic, then the mandatory first STREAMINFO metadata block
     * (type 0, 34 bytes): after 10 bytes of block/frame sizes, a packed
@@ -596,6 +667,28 @@ object Multimodal {
     coalesce(hist(payload), embedStub(payload, dim))
   }
 
+  /** CONTENT-REAL audio embedding: a `dim`-bucket amplitude histogram
+    * (fractions summing to 1) over the fully-decoded 16-bit PCM
+    * samples of a WAV payload — the audio twin of [[embedImage]]: two
+    * streams with the same samples embed identically regardless of
+    * container bytes. Payloads that are not decodable 16-bit PCM WAV
+    * (compressed FLAC frames, video, truncated bodies) fall back to
+    * the engine-portable md5 embedding ([[embedStub]]) — that fallback
+    * slot is now down to compressed-codec content only. */
+  def embedAudio(payload: Column, dim: Int): Column = {
+    require(dim > 0 && dim <= 65536, s"dim must be in 1..65536, got $dim")
+    val hist = udf { (p: Array[Byte]) =>
+      decodeWavPcm(p).collect { case (_, _, samples) if samples.nonEmpty =>
+        val counts = new Array[Double](dim)
+        samples.foreach { s =>
+          counts(((s + 32768) * dim.toLong / 65536L).toInt) += 1.0
+        }
+        counts.map(_ / samples.length.toDouble)
+      }.orNull
+    }
+    coalesce(hist(payload), embedStub(payload, dim))
+  }
+
   /** Deterministic fake decode of a payload: width/height/duration are
     * functions of the md5 digest — the UNKNOWN-FORMAT fallback only;
     * every modality with a public byte layout parses for real
@@ -652,11 +745,14 @@ object Multimodal {
 
   /** Stub feature extractor: payload → dim-dimensional embedding,
     * deterministic in the payload bytes (components derived from md5 —
-    * engine-portable, so the DuckDB oracle replays it exactly). STAND-IN
-    * for a real image/audio encoder; the signature (binary column →
-    * Array[Double] column) is the real contract, and the output feeds
-    * the Similarity/Dedup family directly (near-dup over payloads =
-    * embedStub → cosineNearDupBucketed). Pure codegen expressions — no
+    * engine-portable, so the DuckDB oracle replays it exactly).
+    * FALLBACK slot only: decodable PNG pixels embed for real via
+    * [[embedImage]] and decodable PCM WAV samples via [[embedAudio]];
+    * what remains here is compressed-codec content (FLAC/MP4 frames)
+    * and unknown formats. The signature (binary column → Array[Double]
+    * column) is the real contract, and the output feeds the
+    * Similarity/Dedup family directly (near-dup over payloads =
+    * embed → cosineNearDupBucketed). Pure codegen expressions — no
     * UDF, no driver state. */
   def embedStub(payload: Column, dim: Int): Column = {
     val digest = md5(payload) // hex string, 128 bits of payload identity

@@ -301,6 +301,41 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))          // the twins bucket together
   }
 
+  test("decodeWavPcm + embedAudio: sample-exact round-trip; content-real " +
+    "histograms bridge byte-distinct twins; header-only payloads fall back") {
+    // same seeded sample stream, different container metadata → the
+    // payload bytes differ but the content does not
+    val twinA = Multimodal.wavPcmFixture(1, 8000, 300, 40, 7)
+    val twinB = Multimodal.wavPcmFixture(2, 16000, 300, 40, 7)
+    assert(!java.util.Arrays.equals(twinA, twinB))
+    val (ch, rate, samples) = Multimodal.decodeWavPcm(twinA).get
+    assert(ch === 1 && rate === 8000 && samples.length === 300)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(s === ((40L + i.toLong * 7) % 65536).toInt - 32768)
+    }
+    // a header-only wav declaring an absent body must NOT pixel-decode
+    // (the metadata readers own those), and garbage must not either
+    assert(Multimodal.decodeWavPcm(Multimodal.wavFixture(1, 8000, 1000)).isEmpty)
+    assert(Multimodal.decodeWavPcm("not audio".getBytes("UTF-8")).isEmpty)
+    val rows = Seq((1L, twinA), (2L, twinB),
+      // seed1 = 4096 shares a factor with 65536 → only 16 amplitude
+      // residues, a genuinely different (non-uniform) histogram
+      (3L, Multimodal.wavPcmFixture(1, 8000, 300, 7, 4096)),
+      (4L, Multimodal.flacFixture(1, 8000, 100)),  // no frames: md5 fallback
+      (5L, "not audio".getBytes("UTF-8")))         // md5 fallback
+      .toDF("id", "payload")
+      .withColumn("emb", Multimodal.embedAudio(col("payload"), 16))
+    val embs = rows.select(col("id"), col("emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(embs(1L) === embs(2L))           // same samples → identical vectors
+    assert(embs(1L) !== embs(3L))
+    assert(math.abs(embs(1L).sum - 1.0) < 1e-9)
+    assert(embs(4L).size === 16 && embs(5L).size === 16) // fallback contract
+    val pairs = Similarity.cosineNearDupBucketed(rows, "id", "emb", 0.9999999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))         // the twins bucket together
+  }
+
   test("decodePngLuma rejects a preset-dictionary (FDICT) zlib stream instead of spinning") {
     // valid PNG framing, IDAT = zlib header 0x78 0x20 (FDICT set, check
     // bits valid: (0x78*256+0x20) % 31 == 0) + dict id + garbage; the
