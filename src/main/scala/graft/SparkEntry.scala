@@ -908,6 +908,56 @@ object SparkEntry {
         .orderBy("doc_id", "bucket")
     }),
 
+    // --- stateful streaming sessionize under a REAL micro-batch
+    // trigger (q123's harness shape): the events table is fed in three
+    // time-ordered shards through mapGroupsWithState — per-user
+    // (last_ts, counts) state carries across micro-batches, so the
+    // final per-user totals must equal the batch lag-window sessionize
+    // (q18's oracle algebra). Output = each user's LAST update row
+    // (max batch id), i.e. the state after the stream drains ---
+    "q145_streaming_sessionize" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val tagged = t(s, d, "events")
+        .withColumn("__b",
+          when(col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"), 0)
+          .when(col("ts") < lit("2024-01-21 00:00:00").cast("timestamp"), 1)
+          .otherwise(2))
+        .select(col("user_id").cast("long"), unix_millis(col("ts")),
+          col("__b"))
+        .as[(Long, Long, Int)].collect()
+      val batches: Seq[Seq[(Long, Long)]] =
+        (0 to 2).map(b => tagged.toSeq.collect { case (u, ts, `b`) => (u, ts) })
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-stream-sessionize").toString
+      // same state-store sizing rationale as q123: partition count is
+      // fixed at stream start; 4 keeps the distributed plan shape with
+      // an 8x smaller per-batch state-store I/O bill at this feed rate
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        StreamingProfile.sessionize(mem.toDS(), gapMs = 1800000L)
+          .toDF()
+          .writeStream
+          .foreachBatch { (bdf: DataFrame, bid: Long) =>
+            bdf.withColumn("batch_id", lit(bid))
+              .write.mode("append").parquet(outDir)
+          }
+          // mapGroupsWithState emits updated groups per batch
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .groupBy(col("userId").as("user_id"))
+        .agg(max_by(col("nSessions"), col("batch_id")).as("n_sessions"),
+          max_by(col("nEvents"), col("batch_id")).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // --- char-window exact-substring dedup coverage: the sliding-
     // window form of suffix-based dedup — catches copies that cross
     // token/passage boundaries (q55 chunks would miss them) ---
@@ -2688,6 +2738,22 @@ object SparkEntry {
            |  round(CAST(coalesce(pc.c, 0) AS DOUBLE) / b.n, 6) AS frac
            |FROM b LEFT JOIN pc ON pc.doc_id = b.doc_id AND pc.bucket = b.bucket
            |ORDER BY 1, 2""".stripMargin,
+
+      // streaming sessionize replay: the stream's final per-user state
+      // must equal the batch lag-window sessionize over the full table
+      // (q18's algebra) — the session-increment rule depends only on
+      // consecutive timestamp gaps, which micro-batch boundaries in a
+      // time-ordered feed never change.
+      "q145_streaming_sessionize" ->
+        """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+          |  count(*) AS n_events
+          |FROM (
+          |  SELECT user_id,
+          |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+          |         THEN 1 ELSE 0 END AS new_session
+          |  FROM events)
+          |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       // char-window dedup coverage: generate_series replays the
       // stride-20 window starts; everything after the substr is the
