@@ -55,9 +55,12 @@ object Bench {
     // spiking 3-4x their steady-state time (q33 8.5 s vs 2.1-3.0
     // steady) purely from host contention — and the driver certifies
     // whichever single sample it happens to take. Guard: any query
-    // whose first sample exceeds 1.5x its historical median is re-run
-    // twice and the MEDIAN of the three samples is reported, so one
-    // noisy sample can no longer put an outlier in the round artifact.
+    // whose first sample exceeds 1.2x its historical median (the r6
+    // artifact shipped a 1.34x-noise sample the old 1.5x guard let
+    // through) is re-run twice and the MEDIAN of the three samples is
+    // reported, so one noisy sample can no longer put an outlier in
+    // the round artifact; the +0.3 s absolute slack keeps sub-second
+    // queries from re-running on scheduler jitter alone.
     val histMedian: Map[String, Double] = try {
       val p = java.nio.file.Paths.get("BENCH_LOG.jsonl")
       if (!java.nio.file.Files.exists(p)) Map.empty
@@ -87,7 +90,7 @@ object Bench {
       .map { case (name, fn) =>
       val first = timeOne(name, fn)
       val hist = histMedian.get(name)
-      val noisy = hist.exists(h => first > math.max(1.5 * h, h + 0.5))
+      val noisy = hist.exists(h => first > math.max(1.2 * h, h + 0.3))
       val dt = if (!noisy) first else {
         val reps = Seq(first, timeOne(name, fn), timeOne(name, fn)).sorted
         System.err.println(f"[bench] $name rerun (hist ${hist.get}%.2f): " +
