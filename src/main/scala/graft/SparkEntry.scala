@@ -908,6 +908,55 @@ object SparkEntry {
         .orderBy("doc_id", "bucket")
     }),
 
+    // --- content-real VIDEO embedding (closes the multimodal family:
+    // q109 image / q144 audio / this): md5-seeded monochrome frame
+    // rasters serialized into REAL YUV4MPEG2 streams (the standard
+    // uncompressed video container), every frame's luma plane decoded
+    // back pixel-exactly and reduced to a 16-bucket luminance
+    // histogram. The frame RATE varies by digest while the pixels
+    // don't depend on it — the embedding must be container-invariant,
+    // and the oracle re-derives all pixels arithmetically from the
+    // seeds without seeing a payload byte. Compressed codecs (MP4)
+    // still fall back to the md5 embedding by contract. ---
+    "q146_video_histogram" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val fix = udf { (text: String) =>
+        val dg = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        def u(i: Int) = dg(i) & 0xff
+        val w = 8 + u(0) % 8
+        val h = 8 + u(1) % 8
+        val nf = 2 + u(2) % 4
+        Multimodal.y4mFixture(w, h, nf,
+          u(3) * 256 + u(4), 1 + u(5) % 255, fpsNum = 25 + (u(6) % 2) * 5)
+      }
+      val withP = docs.select(col("doc_id"), fix(col("text")).as("payload"))
+      withP.select(col("doc_id"),
+          posexplode(Multimodal.embedVideo(col("payload"), 16)))
+        .select(col("doc_id"), col("pos").cast("int").as("bucket"),
+          round(col("col"), 6).as("frac"))
+        .orderBy("doc_id", "bucket")
+    }),
+
+    // --- the PRODUCTION route of the int8 ANN gate under the oracle:
+    // maxExactRows forced below the corpus size, so int8TopKAuto routes
+    // to IVF over the quantized components — seeded centroids (16
+    // lowest-id quantized corpus vectors), cosine cell assignment,
+    // nprobe=4 probed cells per query. q128 oracles the exact kernel;
+    // this row proves the scale route's full algebra (quantize →
+    // centroid seed → assign → probe → rank) against a SQL replay —
+    // the quadratic kernel never runs here. ---
+    "q147_ann_int8_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Quantize.int8TopKAuto(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", "vec_id", "embedding", k = 10,
+        maxExactRows = 100L, nCentroids = 16, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // --- stateful streaming sessionize under a REAL micro-batch
     // trigger (q123's harness shape): the events table is fed in three
     // time-ordered shards through mapGroupsWithState — per-user
@@ -2665,6 +2714,58 @@ object SparkEntry {
           |      ORDER BY sim DESC, neighbor_id ASC) AS rank FROM p)
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+      // int8 auto-gate IVF-route replay: q128's quantizer CTEs feed
+      // q30's IVF algebra — centroids = 16 lowest-id QUANTIZED corpus
+      // vectors, cosine assignment/probing with the zero-norm → 0.0
+      // convention of the engine's pairSim, integer dot products exact
+      // in doubles so sims are bit-identical cross-engine.
+      "q147_ann_int8_ivf" ->
+        """WITH v AS (SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+          |  FROM embeddings WHERE embedding IS NOT NULL),
+          |a AS (SELECT vec_id, vv,
+          |    list_max(list_transform(vv, x -> abs(x))) AS amax FROM v),
+          |s AS (SELECT vec_id, vv, amax, amax / 127.0 AS scale FROM a),
+          |qz AS (SELECT vec_id,
+          |    CASE WHEN amax = 0 THEN list_transform(vv, x -> CAST(0 AS DOUBLE))
+          |         ELSE list_transform(vv, x ->
+          |           least(greatest(floor(x / scale + 0.5), -127.0), 127.0)) END AS qv
+          |  FROM s),
+          |n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm FROM qz),
+          |q AS (SELECT * FROM n WHERE vec_id < 5),
+          |c AS (SELECT * FROM n WHERE vec_id >= 5),
+          |cent AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cn
+          |         FROM c ORDER BY vec_id LIMIT 16),
+          |assigned AS (
+          |  SELECT vec_id AS id, qv AS vec, nrm AS vn, centroid_id FROM (
+          |    SELECT c.vec_id, c.qv, c.nrm, ct.centroid_id,
+          |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+          |        (CASE WHEN c.nrm = 0 OR ct.cn = 0 THEN 0.0
+          |              ELSE list_dot_product(c.qv, ct.cv) / (c.nrm * ct.cn) END) DESC,
+          |        ct.centroid_id ASC) AS rn
+          |    FROM c CROSS JOIN cent ct)
+          |  WHERE rn = 1),
+          |probes AS (
+          |  SELECT vec_id AS query_id, qv, nrm AS qn, centroid_id FROM (
+          |    SELECT q.vec_id, q.qv, q.nrm, ct.centroid_id,
+          |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |        (CASE WHEN q.nrm = 0 OR ct.cn = 0 THEN 0.0
+          |              ELSE list_dot_product(q.qv, ct.cv) / (q.nrm * ct.cn) END) DESC,
+          |        ct.centroid_id ASC) AS rn
+          |    FROM q CROSS JOIN cent ct)
+          |  WHERE rn <= 4),
+          |scored AS (
+          |  SELECT p.query_id, a.id AS neighbor_id,
+          |    CASE WHEN p.qn = 0 OR a.vn = 0 THEN 0.0
+          |         ELSE list_dot_product(p.qv, a.vec) / (p.qn * a.vn) END AS sim
+          |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id)
+          |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
+          |  SELECT query_id, neighbor_id, sim,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+          |  FROM scored)
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
       // PQ replay: grouped Lloyd per subspace (L2 assignment, ties →
       // lowest centroid id — list_distance is monotone with the
       // engine's squared form), then the code table.
@@ -2730,6 +2831,32 @@ object SparkEntry {
            |    unnest(generate_series(0, n - 1)) AS i FROM d),
            |pc AS (SELECT doc_id,
            |    ((s0 + i * s1) % 65536) * 16 // 65536 AS bucket,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM px GROUP BY 1, 2),
+           |b AS (SELECT doc_id, n,
+           |    unnest(generate_series(0, 15)) AS bucket FROM d)
+           |SELECT b.doc_id, CAST(b.bucket AS INT) AS bucket,
+           |  round(CAST(coalesce(pc.c, 0) AS DOUBLE) / b.n, 6) AS frac
+           |FROM b LEFT JOIN pc ON pc.doc_id = b.doc_id AND pc.bucket = b.bucket
+           |ORDER BY 1, 2""".stripMargin,
+
+      // video-histogram replay (q109's shape over frames): pixel j of
+      // doc d — j flat over width·height·nFrames — is
+      // (s0 + j*s1) mod 256, so its 16-bucket index is
+      // ((s0 + j*s1) mod 256) * 16 // 256. The container's frame rate
+      // never appears: the embedding is content-only by construction.
+      "q146_video_histogram" ->
+        s"""WITH d AS (SELECT doc_id,
+           |    CAST((8 + (${hd(1)} * 16 + ${hd(2)}) % 8)
+           |       * (8 + (${hd(3)} * 16 + ${hd(4)}) % 8)
+           |       * (2 + (${hd(5)} * 16 + ${hd(6)}) % 4) AS BIGINT) AS n,
+           |    CAST((${hd(7)} * 16 + ${hd(8)}) * 256 + (${hd(9)} * 16 + ${hd(10)}) AS INT) AS s0,
+           |    CAST(1 + (${hd(11)} * 16 + ${hd(12)}) % 255 AS INT) AS s1
+           |  FROM documents WHERE text IS NOT NULL),
+           |px AS (SELECT doc_id, n, s0, s1,
+           |    unnest(generate_series(0, n - 1)) AS j FROM d),
+           |pc AS (SELECT doc_id,
+           |    ((s0 + j * s1) % 256) * 16 // 256 AS bucket,
            |    CAST(count(*) AS BIGINT) AS c
            |  FROM px GROUP BY 1, 2),
            |b AS (SELECT doc_id, n,
@@ -2838,9 +2965,6 @@ object SparkEntry {
            |FROM b d LEFT JOIN c1 ON d.doc_id = c1.doc_id
            |ORDER BY d.doc_id""".stripMargin,
 
-      // PQ recall audit: the ADC top-10 intersected with the exact L2
-      // top-10 the same corpus would return — the eval every ANN
-      // deployment runs before trusting its index.
       // IVF-PQ replay: the same ADC algebra as q131, restricted to the
       // codes of corpus vectors in each query's probed cells.
       "q142_ivfpq_ann" ->
@@ -2848,6 +2972,9 @@ object SparkEntry {
            |SELECT query_id, rank, neighbor_id, round(adist, 6) AS adist
            |FROM ivftop ORDER BY query_id, rank""".stripMargin,
 
+      // PQ recall audit: the ADC top-10 intersected with the exact L2
+      // top-10 the same corpus would return — the eval every ANN
+      // deployment runs before trusting its index.
       "q137_pq_recall" ->
         s"""WITH $pqAdcSql,
            |ex AS (SELECT query_id, neighbor_id FROM (

@@ -355,8 +355,13 @@ object Corpus {
     val spans = removed.groupBy("id")
       .agg(sort_array(collect_list(col("off"))).as("offs"))
       .select(col("id"), col("offs"), expr(
+        // greatest(i - 1, 1) keeps the i = 1 probe index legal even if
+        // both arms evaluate — the OR's first arm decides that row, but
+        // relying on short-circuit order to dodge element_at(offs, 0)
+        // would break under any predicate reordering
         s"""filter(sequence(1, size(offs)), i ->
-           |  i = 1 OR element_at(offs, i) > element_at(offs, i - 1) + $width)
+           |  i = 1 OR element_at(offs, i) >
+           |    element_at(offs, greatest(i - 1, 1)) + $width)
            |""".stripMargin.trim).as("starts"))
       .select(col("id"), expr(
         s"""transform(starts, (st, k) -> named_struct(

@@ -293,6 +293,9 @@ object Multimodal {
     }
     if (channels <= 0 || channels > 64 || rate <= 0 || rate > Int.MaxValue ||
         bits != 16 || dataOff < 0 || dataBytes < 2) return None
+    // an odd body size cannot be whole 16-bit samples — corrupt, not
+    // content: reject rather than silently flooring to n-1 samples
+    if ((dataBytes & 1L) != 0L) return None
     // body must be PRESENT: a header-only payload declaring absent
     // samples decodes nothing (metadata readers handle those)
     if (dataOff.toLong + dataBytes > p.length) return None
@@ -487,6 +490,158 @@ object Multimodal {
     be32(0L); be32(0L); be16(0); be16(0); be16(0); be16(0)
     Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L).foreach(be32)
     be32(width.toLong << 16); be32(height.toLong << 16)
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // Y4M (YUV4MPEG2): the standard UNCOMPRESSED video container
+  // (mjpegtools; what ffmpeg/x264 pipe raw video through). This is
+  // the video content path that needs no codec: a plain-text header
+  // line, then per frame a "FRAME" marker and raw YUV planes. MP4
+  // stays the compressed-container metadata path ([[parseMp4Header]]);
+  // Y4M frames decode pixel-for-real, the same split as PNG-vs-JPEG
+  // on the image side and WAV-vs-FLAC on the audio side.
+  // ---------------------------------------------------------------
+
+  /** Shared Y4M stream-header walk: returns (width, height, lumaBytes,
+    * frameBytes, fpsNum, fpsDen, firstFrameOffset) or None if the
+    * payload is not recognizable YUV4MPEG2 with a colorspace whose
+    * plane layout we know (mono / 420 family / 422 / 444, 8-bit). */
+  private def y4mStreamHeader(p: Array[Byte])
+  : Option[(Int, Int, Int, Int, Int, Int, Int)] = {
+    val magic = "YUV4MPEG2 "
+    if (p == null || p.length < magic.length + 4) return None
+    var i = 0
+    while (i < magic.length) {
+      if (p(i) != magic.charAt(i).toByte) return None
+      i += 1
+    }
+    var nl = magic.length
+    while (nl < p.length && p(nl) != '\n') nl += 1
+    if (nl >= p.length) return None
+    val header = new String(p, magic.length, nl - magic.length,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    var w = -1; var h = -1; var cs = "420jpeg" // spec default colorspace
+    var fpsNum = -1; var fpsDen = -1
+    header.split(' ').withFilter(_.nonEmpty).foreach { t =>
+      (t.charAt(0), t.drop(1)) match {
+        case ('W', v) => w = v.toIntOption.getOrElse(-1)
+        case ('H', v) => h = v.toIntOption.getOrElse(-1)
+        case ('C', v) => cs = v
+        case ('F', v) => v.split(':') match {
+          case Array(n, d) =>
+            fpsNum = n.toIntOption.getOrElse(-1)
+            fpsDen = d.toIntOption.getOrElse(-1)
+          case _ => ()
+        }
+        case _ => () // I (interlacing), A (aspect), X (extension) — ignored
+      }
+    }
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+    if (fpsNum <= 0 || fpsDen <= 0) return None
+    val ySize = w * h
+    val frameSize = cs match {
+      case "mono" => ySize
+      case s if s.startsWith("420") =>
+        if (w % 2 != 0 || h % 2 != 0) return None
+        ySize + 2 * ((w / 2) * (h / 2))
+      case "422" =>
+        if (w % 2 != 0) return None
+        ySize + 2 * ((w / 2) * h)
+      case "444" => 3 * ySize
+      case _ => return None // 10/12-bit, alpha etc.: unknown plane layout
+    }
+    Some((w, h, ySize, frameSize, fpsNum, fpsDen, nl + 1))
+  }
+
+  /** Step over one frame starting at `i`: validates the "FRAME" marker
+    * and its newline-terminated parameter tail, returns the offset of
+    * the frame's first plane byte, or -1 if malformed/truncated. */
+  private def y4mFrameBody(p: Array[Byte], i: Int): Int = {
+    if (i + 6 > p.length || p(i) != 'F' || p(i + 1) != 'R' ||
+        p(i + 2) != 'A' || p(i + 3) != 'M' || p(i + 4) != 'E') return -1
+    var j = i + 5
+    while (j < p.length && p(j) != '\n') j += 1
+    if (j >= p.length) -1 else j + 1
+  }
+
+  /** Header-level Y4M read: (mime, width, height, durationMs). The
+    * frame WALK runs (marker + plane-size steps — duration needs the
+    * frame count) but no plane byte is read. A stream with zero
+    * complete frames, or any malformed/truncated frame, is rejected —
+    * same strictness as [[decodeWavPcm]]'s body contract. */
+  def parseY4mHeader(p: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    y4mStreamHeader(p).flatMap { case (w, h, _, frameSize, num, den, start) =>
+      var i = start
+      var frames = 0L
+      while (i < p.length) {
+        val body = y4mFrameBody(p, i)
+        if (body < 0 || body.toLong + frameSize > p.length) return None
+        frames += 1
+        i = body + frameSize
+      }
+      if (frames == 0) None
+      else Some(("video/x-yuv4mpeg", w, h, frames * 1000L * den / num))
+    }
+  }
+
+  /** FULL Y4M pixel decode: (width, height, nFrames, luma) with the
+    * 8-bit luma planes of all frames concatenated frame-major — chroma
+    * planes are skipped, not read. Total luma is memory-bounded; None
+    * for anything unrecognizable, truncated, or over the bound —
+    * callers fall back to the md5 embedding, the [[decodePngLuma]] /
+    * [[decodeWavPcm]] contract. */
+  def decodeY4mLuma(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    y4mStreamHeader(p).flatMap { case (w, h, ySize, frameSize, _, _, start) =>
+      val luma = new java.io.ByteArrayOutputStream()
+      var i = start
+      var frames = 0
+      while (i < p.length) {
+        val body = y4mFrameBody(p, i)
+        if (body < 0 || body.toLong + frameSize > p.length) return None
+        if (luma.size.toLong + ySize > (1L << 24)) return None // bound memory
+        luma.write(p, body, ySize)
+        frames += 1
+        i = body + frameSize
+      }
+      if (frames == 0) None else Some((w, h, frames, luma.toByteArray))
+    }
+  }
+
+  /** Y4M fixture WITH pixel content: `nFrames` monochrome (`Cmono`)
+    * frames whose frame-major luma raster is
+    * `luma(j) = (seed0 + j·seed1) mod 256`, j over all
+    * width·height·nFrames pixels — the video twin of
+    * [[pngPixelFixture]]/[[wavPcmFixture]]: an oracle re-derives every
+    * pixel arithmetically from (w, h, nFrames, seeds) without seeing a
+    * payload byte. `fpsNum`/`xtag` vary the CONTAINER without touching
+    * a pixel (md5-distinct payloads, identical content) — the
+    * near-dup-bridge pair, like [[pngPixelFixture]]'s filterType. */
+  def y4mFixture(width: Int, height: Int, nFrames: Int,
+                 seed0: Int, seed1: Int, fpsNum: Int = 25,
+                 xtag: String = ""): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0 && fpsNum > 0,
+      s"bad Y4M fixture args (${width}x$height, $nFrames frames, F$fpsNum)")
+    require(seed0 >= 0 && seed1 >= 0, s"bad seeds ($seed0, $seed1)")
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val x = if (xtag.isEmpty) "" else s" X$xtag"
+    ascii(s"YUV4MPEG2 W$width H$height F$fpsNum:1 Ip A1:1 Cmono$x\n")
+    val ySize = width * height
+    var f = 0
+    while (f < nFrames) {
+      ascii("FRAME\n")
+      var i = 0
+      while (i < ySize) {
+        // Long arithmetic: the flat pixel index times seed1 can pass
+        // Int range on big rasters, and the oracle replays this in
+        // 64-bit — overflow here would diverge the two
+        out.write(((seed0.toLong + (f.toLong * ySize + i) * seed1) % 256L).toInt)
+        i += 1
+      }
+      f += 1
+    }
     out.toByteArray
   }
 
@@ -689,6 +844,29 @@ object Multimodal {
     coalesce(hist(payload), embedStub(payload, dim))
   }
 
+  /** CONTENT-REAL video embedding: a `dim`-bucket luminance histogram
+    * (fractions summing to 1) over the fully-decoded luma planes of
+    * ALL frames of a Y4M payload — the video member of the
+    * [[embedImage]]/[[embedAudio]] family: two streams with the same
+    * frames embed identically no matter how the container was
+    * parameterized (frame rate, aspect, X tags). Payloads that are not
+    * decodable uncompressed Y4M (H.264-in-MP4 and every other
+    * compressed codec, truncated streams) fall back to the
+    * engine-portable md5 embedding ([[embedStub]]) — the fallback slot
+    * is compressed-codec content only, matching the audio contract. */
+  def embedVideo(payload: Column, dim: Int): Column = {
+    require(dim > 0 && dim <= 256, s"dim must be in 1..256, got $dim")
+    val hist = udf { (p: Array[Byte]) =>
+      decodeY4mLuma(p).map { case (w, h, nf, luma) =>
+        val counts = new Array[Double](dim)
+        luma.foreach { b => counts(((b & 0xff) * dim) / 256) += 1.0 }
+        val n = w.toLong * h * nf
+        counts.map(_ / n.toDouble)
+      }.orNull
+    }
+    coalesce(hist(payload), embedStub(payload, dim))
+  }
+
   /** Deterministic fake decode of a payload: width/height/duration are
     * functions of the md5 digest — the UNKNOWN-FORMAT fallback only;
     * every modality with a public byte layout parses for real
@@ -709,10 +887,11 @@ object Multimodal {
     * for REAL via [[parseImageHeader]] (duration/channels/rate null —
     * images have none); recognized audio headers parse for REAL via
     * [[parseWavHeader]] then [[parseFlacHeader]] (width/height null);
-    * recognized MP4 headers parse for REAL via [[parseMp4Header]]
-    * (channels/rate null); only unrecognized formats fall back to the
-    * deterministic [[stubDecode]] stand-in. This remains the slot
-    * where further codecs drop in per partition. */
+    * recognized MP4 headers parse for REAL via [[parseMp4Header]] and
+    * uncompressed Y4M streams via [[parseY4mHeader]] (channels/rate
+    * null); only unrecognized formats fall back to the deterministic
+    * [[stubDecode]] stand-in. This remains the slot where further
+    * codecs drop in per partition. */
   def decode(df: DataFrame, binCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("decoded", StructType(Seq(
@@ -730,7 +909,7 @@ object Multimodal {
           case Some((_, w, h)) => Row(w, h, null, null, null)
           case None => parseWavHeader(payload).orElse(parseFlacHeader(payload)) match {
             case Some((_, ch, rate, dur)) => Row(null, null, dur, ch, rate)
-            case None => parseMp4Header(payload) match {
+            case None => parseMp4Header(payload).orElse(parseY4mHeader(payload)) match {
               case Some((_, w, h, dur)) => Row(w, h, dur, null, null)
               case None =>
                 val (w, h, dur) = stubDecode(payload)

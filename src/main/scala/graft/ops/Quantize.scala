@@ -283,13 +283,21 @@ object Quantize {
     // guard makes an unsampled full-corpus audit unreachable at default
     // settings (the cosine family's cosinePairsAuto convention): a
     // caller auditing a big corpus must sample the query set down, or
-    // raise the bound explicitly and own the cost. Two id-only count
-    // scans — noise next to the audit itself.
+    // raise the bound explicitly and own the cost. The query count is a
+    // full scan of the (by contract sampled, so small) audit set; the
+    // corpus probe is LIMIT-bounded at the refusal threshold + 1, so on
+    // a corpus far past the bound — or one that is an expensive derived
+    // pipeline — the guard stops after the first
+    // maxExactCompares/qn + 1 rows instead of materializing everything
+    // twice.
     val qn = queries.filter(col(qVecCol).isNotNull).count()
-    val cn = corpus.filter(col(cVecCol).isNotNull).count()
-    require(qn == 0 || cn <= maxExactCompares / qn,
+    val cBound = if (qn == 0) 1L
+      else math.min(maxExactCompares / qn + 1, Int.MaxValue.toLong)
+    val cn = corpus.filter(col(cVecCol).isNotNull)
+      .limit(cBound.toInt).count()
+    require(qn == 0 || cn < cBound,
       s"pqRecallAudit's exact side is a brute-force |queries|x|corpus| scan " +
-        s"($qn x $cn compares > $maxExactCompares): run the audit on a " +
+        s"($qn x >=$cn compares > $maxExactCompares): run the audit on a " +
         "SAMPLED query set, or raise maxExactCompares explicitly")
     val pq = pqTopKAdc(queries, corpus, qIdCol, qVecCol, cIdCol, cVecCol,
       dim, m, k, iterations, topK)
@@ -362,13 +370,25 @@ object Quantize {
     * above the threshold, dialed by nCentroids/nprobe (nprobe =
     * nCentroids probes every cell and degenerates to the exact
     * ranking). Production callers use THIS entry point — the quadratic
-    * kernel is simply unreachable past the threshold. */
+    * kernel is simply unreachable past the threshold.
+    *
+    * Routing cost: a caller that already knows the corpus size passes
+    * it as `corpusSizeHint` and the gate costs nothing; otherwise the
+    * probe is a LIMIT-bounded count — it scans at most
+    * `maxExactRows + 1` rows (with the same isNotNull filter the
+    * kernels apply, so null-vector rows the kernels would drop don't
+    * push a small corpus over the threshold) and stops early on a huge
+    * corpus instead of paying a full count() scan before any work. */
   def int8TopKAuto(queries: DataFrame, corpus: DataFrame,
                    qIdCol: String, qVecCol: String,
                    cIdCol: String, cVecCol: String, k: Int,
                    maxExactRows: Long = 1000000L,
-                   nCentroids: Int = 256, nprobe: Int = 32): DataFrame =
-    if (corpus.select(cIdCol).count() <= maxExactRows)
+                   nCentroids: Int = 256, nprobe: Int = 32,
+                   corpusSizeHint: Option[Long] = None): DataFrame =
+    if (corpusSizeHint.getOrElse {
+          val bound = math.min(maxExactRows + 1, Int.MaxValue.toLong).toInt
+          corpus.filter(col(cVecCol).isNotNull).limit(bound).count()
+        } <= maxExactRows)
       int8TopK(queries, corpus, qIdCol, qVecCol, cIdCol, cVecCol, k)
     else {
       def q8d(df: DataFrame, id: String, vec: String): DataFrame =

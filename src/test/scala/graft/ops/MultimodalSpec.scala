@@ -336,6 +336,63 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))         // the twins bucket together
   }
 
+  test("decodeY4mLuma + embedVideo: pixel-exact round-trip across frames; " +
+    "content-real histograms bridge container-distinct twins; " +
+    "compressed codecs fall back") {
+    // same seeded frame rasters, different container parameters (frame
+    // rate, X tag) → md5-distinct payloads, identical content
+    val twinA = Multimodal.y4mFixture(12, 10, 3, 40, 7, fpsNum = 25)
+    val twinB = Multimodal.y4mFixture(12, 10, 3, 40, 7, fpsNum = 30, xtag = "GRAFT")
+    assert(!java.util.Arrays.equals(twinA, twinB))
+    val (w, h, nf, luma) = Multimodal.decodeY4mLuma(twinA).get
+    assert(w === 12 && h === 10 && nf === 3 && luma.length === 360)
+    luma.zipWithIndex.foreach { case (b, j) =>
+      assert((b & 0xff) === ((40L + j.toLong * 7) % 256).toInt)
+    }
+    // header metadata: duration = nFrames / fps; rate-only twins differ
+    // in DURATION but not in content
+    assert(Multimodal.parseY4mHeader(twinA).get === ("video/x-yuv4mpeg", 12, 10, 120L))
+    assert(Multimodal.parseY4mHeader(twinB).get === ("video/x-yuv4mpeg", 12, 10, 100L))
+    // 420 chroma planes are skipped, not decoded: a C420 stream with
+    // the same luma decodes to the same pixels
+    val c420 = {
+      val head = s"YUV4MPEG2 W12 H10 F25:1 Ip A1:1 C420jpeg\n"
+        .getBytes("US-ASCII")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(head, 0, head.length)
+      (0 until 3).foreach { f =>
+        out.write("FRAME\n".getBytes("US-ASCII"), 0, 6)
+        (0 until 120).foreach(i => out.write(((40L + (f * 120 + i).toLong * 7) % 256).toInt))
+        (0 until 60).foreach(_ => out.write(128)) // U + V planes
+      }
+      out.toByteArray
+    }
+    assert(Multimodal.decodeY4mLuma(c420).get._4.toSeq === luma.toSeq)
+    // truncated frame body and zero-frame streams are corrupt, not content
+    assert(Multimodal.decodeY4mLuma(twinA.dropRight(1)).isEmpty)
+    assert(Multimodal.parseY4mHeader(twinA.dropRight(1)).isEmpty)
+    assert(Multimodal.decodeY4mLuma(
+      "YUV4MPEG2 W12 H10 F25:1 Cmono\n".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodeY4mLuma("not video".getBytes("UTF-8")).isEmpty)
+    val rows = Seq((1L, twinA), (2L, twinB),
+      // seed1 = 32 shares a factor with 256 → only 8 luminance
+      // residues, a genuinely different (non-uniform) histogram
+      (3L, Multimodal.y4mFixture(12, 10, 3, 200, 32)),
+      (4L, Multimodal.mp4Fixture(640, 360, 5000)), // compressed container: md5 fallback
+      (5L, "not video".getBytes("UTF-8")))         // md5 fallback
+      .toDF("id", "payload")
+      .withColumn("emb", Multimodal.embedVideo(col("payload"), 16))
+    val embs = rows.select(col("id"), col("emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(embs(1L) === embs(2L))           // same frames → identical vectors
+    assert(embs(1L) !== embs(3L))
+    assert(math.abs(embs(1L).sum - 1.0) < 1e-9)
+    assert(embs(4L).size === 16 && embs(5L).size === 16) // fallback contract
+    val pairs = Similarity.cosineNearDupBucketed(rows, "id", "emb", 0.9999999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))         // the twins bucket together
+  }
+
   test("decodePngLuma rejects a preset-dictionary (FDICT) zlib stream instead of spinning") {
     // valid PNG framing, IDAT = zlib header 0x78 0x20 (FDICT set, check
     // bits valid: (0x78*256+0x20) % 31 == 0) + dict id + garbage; the

@@ -244,6 +244,35 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("int8TopKAuto gate: size hint skips the probe; routed plan is the " +
+    "IVF shape; null vectors don't inflate the routing count") {
+    val rnd = new scala.util.Random(37)
+    val data = (0L until 40L).map(i =>
+      (i, if (i >= 30L && i % 2 == 0) null
+          else Array.fill(12)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val q = data.filter(col("vec_id") < 3 && col("embedding").isNotNull)
+    val c = data.filter(col("vec_id") >= 3)
+    // a trusted size hint below the threshold keeps the exact kernel
+    // regardless of the actual (larger) corpus
+    val hinted = Quantize.int8TopKAuto(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, maxExactRows = 10L,
+      corpusSizeHint = Some(5L))
+    assert(!hinted.queryExecution.optimizedPlan.toString.contains("centroid_id"))
+    // the probe counts NON-NULL vectors: 32 non-null corpus rows with
+    // maxExactRows = 32 stays exact even though the corpus has 37 rows
+    val cNonNull = c.filter(col("embedding").isNotNull).count()
+    val atBound = Quantize.int8TopKAuto(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, maxExactRows = cNonNull)
+    assert(!atBound.queryExecution.optimizedPlan.toString.contains("centroid_id"))
+    // one below routes to IVF — the plan carries the centroid machinery
+    // and the quadratic kernel is gone
+    val routed = Quantize.int8TopKAuto(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, maxExactRows = cNonNull - 1,
+      nCentroids = 8, nprobe = 8)
+    assert(routed.queryExecution.optimizedPlan.toString.contains("centroid_id"))
+  }
+
   test("pqRecallAudit refuses an unsampled oversized exact side") {
     val rnd = new scala.util.Random(41)
     val data = (0L until 30L).map(i =>
