@@ -957,6 +957,100 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // --- streaming NEAR-dup suppression under a REAL micro-batch
+    // trigger (q123's harness shape, minus the prior-corpus stage):
+    // near-dup copies of early documents are injected with shifted ids,
+    // the corpus is fed in three time-ordered shards, and sketch-equal
+    // rows arriving after their first occurrence are dropped by the
+    // watermark-bounded streaming state. Shards are pre-deduped on the
+    // 64-bit SimHash word (min doc_id wins) so which-row-survives
+    // inside a micro-batch is deterministic; CROSS-shard suppression is
+    // the streaming query's own state, exercised end-to-end. ---
+    "q148_streaming_neardup" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
+      val wmin = Window.partitionBy("__b", "__h")
+      val shardRows = dup
+        .withColumn("__b", when(col("doc_id") < 200, 0)
+          .when(col("doc_id") < 400, 1).otherwise(2))
+        .withColumn("__h", Dedup.sketchWord(col("text"), 64))
+        .withColumn("__mn", min("doc_id").over(wmin))
+        .filter(col("doc_id") === col("__mn"))
+        .select(col("doc_id"), col("text"), col("__b"))
+        .as[(Long, String, Int)].collect()
+      val shards: Seq[Seq[(Long, String, Int, java.sql.Timestamp)]] =
+        (0 to 2).map(b => shardRows.toSeq.collect { case (id, tx, `b`) =>
+          (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00")) })
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Int, java.sql.Timestamp)]
+      val stream = mem.toDF().toDF("doc_id", "text", "batch", "ts")
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-stream-neardup").toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        StreamingProfile.streamingNearDup(stream, "ts", "text")
+          .writeStream
+          .foreachBatch { (bdf: DataFrame, _: Long) =>
+            bdf.select("doc_id", "batch").write.mode("append").parquet(outDir)
+          }
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        shards.foreach { sh => mem.addData(sh); q.processAllAvailable() }
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .select(col("doc_id"), col("batch"))
+        .orderBy("doc_id")
+    }),
+
+    // --- streaming value_counts (the categorical profile) under a REAL
+    // micro-batch trigger (q133's harness shape): per-day tumbling
+    // windows of event_type counts, the events table fed in three
+    // weekly batches; a sentinel past the horizon advances the
+    // watermark so every real window closes, and the sentinel's own
+    // window stays open and is never emitted. ---
+    "q149_streaming_value_counts" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .withColumn("__b",
+          when(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"), 0)
+          .when(col("ts") < lit("2024-01-22 00:00:00").cast("timestamp"), 1)
+          .otherwise(2))
+        .select(col("event_id"), col("ts"), col("event_type"), col("__b"))
+        .as[(Long, java.sql.Timestamp, String, Int)].collect()
+      val batches: Seq[Seq[(Long, java.sql.Timestamp, String, Int)]] =
+        (0 to 2).map(b => ev.toSeq.filter(_._4 == b)) :+
+          Seq((-1L, java.sql.Timestamp.valueOf("2024-02-05 00:00:00"),
+            "sentinel", 3))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String, Int)]
+      val stream = mem.toDF().toDF("event_id", "ts", "event_type", "batch")
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-stream-vc").toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        StreamingProfile.windowedValueCounts(stream, "ts", "event_type",
+            window = "24 hours", watermark = "24 hours")
+          .writeStream
+          .foreachBatch { (bdf: DataFrame, _: Long) =>
+            bdf.write.mode("append").parquet(outDir)
+          }
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("cnt"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // --- stateful streaming sessionize under a REAL micro-batch
     // trigger (q123's harness shape): the events table is fed in three
     // time-ordered shards through mapGroupsWithState — per-user
@@ -2578,6 +2672,33 @@ object SparkEntry {
            |  round(sum((p - q) * ln(p / q)), 6) AS psi
            |FROM sc GROUP BY ws, n ORDER BY window_start""".stripMargin
       },
+
+      // Streaming near-dup replay (q123's tail without the prior-corpus
+      // band stage): per-shard exact-sketch dedup (min doc_id wins),
+      // then first-shard-wins sketch-equality suppression across shards.
+      "q148_streaming_neardup" ->
+        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),
+           |s AS (SELECT doc_id,
+           |    CASE WHEN doc_id < 200 THEN 0 WHEN doc_id < 400 THEN 1
+           |         ELSE 2 END AS batch,
+           |    CAST(${simhashIntSql(toks, 64)} AS BIGINT) AS h
+           |  FROM dup),
+           |pd AS (SELECT batch, h, min(doc_id) AS doc_id
+           |  FROM s GROUP BY 1, 2),
+           |adm AS (SELECT t.* FROM pd t WHERE NOT EXISTS (
+           |  SELECT 1 FROM pd e WHERE e.h = t.h AND e.batch < t.batch))
+           |SELECT doc_id, CAST(batch AS INT) AS batch FROM adm
+           |ORDER BY doc_id""".stripMargin,
+
+      // Streaming value_counts replay: every real per-day window closes
+      // under the sentinel-advanced watermark, so the emitted stream
+      // must equal the batch GROUP BY day × event_type — the sentinel's
+      // own window never closes and has no twin here.
+      "q149_streaming_value_counts" ->
+        """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  event_type, CAST(count(*) AS BIGINT) AS cnt
+          |FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // Full-width (32 tokens × 100 dims) profile replay — q34's
       // md5-embedder reconstruction made position-GENERIC (one md5 per
