@@ -1005,6 +1005,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- the MVN→decode text generator under the oracle (deterministic
+    // mode): the production sampler draws z ~ N(0, I) per row with
+    // seeded randn and decodes y = mean + L·z to nearest vocab words —
+    // replayable everywhere EXCEPT the randn draw, which no other
+    // engine reproduces. Here z comes from md5 Box-Muller pseudo-
+    // normals and (mean, L) is a fixed FNV-derived "trained" profile,
+    // so the full sampling algebra (pseudo-normal → affine MVN map →
+    // per-slot nearest-word decode over the REAL capped vocab and the
+    // REAL batched decode kernel) runs under the hard signal; only the
+    // entropy source is swapped. q32 keeps the rows-only contract for
+    // the genuinely seeded path. ---
+    "q150_mvn_text_decode" -> ((s, d) => {
+      import graft.text.{Md5Embedder, Vocab}
+      val docs = t(s, d, "documents")
+      val vocab = Vocab.build(docs, "text", Md5Embedder(Q34Dim), cap = Q35VocabCap)
+      val bcV = s.sparkContext.broadcast(vocab)
+      val mt = 2
+      val width = mt * Q34Dim
+      def u(k: Int, tag: String): Column =
+        (conv(substring(md5(concat(lit("q150z#"), col("id").cast("string"),
+          lit(s"#$k$tag")).cast("binary")), 1, 7), 16, 10).cast("double")
+          + lit(0.5)) / lit(268435456.0)
+      val z = (0 until width).map(k =>
+        sqrt(lit(-2.0) * log(u(k, "a"))) * cos(lit(2.0 * math.Pi) * u(k, "b")))
+      val y = (0 until width).map(j =>
+        (0 to j).foldLeft(lit(q150Mean(j)): Column) { (acc, k) =>
+          acc + lit(q150L(j, k)) * z(k) })
+      val dec = udf { (v: Seq[Double]) => bcV.value.decode(v.toArray, mt) }
+      s.range(Q150N)
+        .select(col("id").as("gen_id"), dec(array(y: _*)).as("decoded"))
+        .orderBy("gen_id")
+    }),
+
     // --- streaming value_counts (the categorical profile) under a REAL
     // micro-batch trigger (q133's harness shape): per-day tumbling
     // windows of event_type counts, the events table fed in three
@@ -2699,6 +2732,12 @@ object SparkEntry {
           |  event_type, CAST(count(*) AS BIGINT) AS cnt
           |FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // MVN text-generator replay (deterministic mode): md5 Box-Muller
+      // pseudo-normals, the inlined (mean, L) literals, then q35's
+      // capped-vocab decode — per slot the best (cosine desc, word asc)
+      // vocab word, md5 component embeddings replayed via hash31.
+      "q150_mvn_text_decode" -> q150Sql,
 
       // Full-width (32 tokens × 100 dims) profile replay — q34's
       // md5-embedder reconstruction made position-GENERIC (one md5 per
@@ -4478,6 +4517,23 @@ object SparkEntry {
   private val Q34Dim = 4
   private val Q35VocabCap = 16
 
+  // q150 parameters: a fixed "trained" MVN text profile — mean vector
+  // and lower-triangular Cholesky factor L (positive diagonal in
+  // (0.25, 0.75), off-diagonals in (-0.3, 0.3)) — derived from the
+  // deterministic FNV hash, so the Spark query and the SQL-build-time
+  // oracle inline bit-identical double literals. The PROFILED
+  // (mean, L) of the production path can't feed an oracle (a Cholesky
+  // factorization is not SQL-expressible); the sampler algebra is
+  // what this row pins.
+  private val Q150N = 200L
+  private def q150Mean(j: Int): Double =
+    graft.text.HashEmbeddings.component("q150mean", j, 150L)
+  private def q150L(j: Int, k: Int): Double =
+    if (k > j) 0.0
+    else if (k == j)
+      0.5 + 0.25 * graft.text.HashEmbeddings.component("q150diag", j, 150L)
+    else 0.3 * graft.text.HashEmbeddings.component(s"q150L#$j", k, 150L)
+
   private def q34Sql: String = {
     def comp(tokExpr: String, j: Int): String =
       s"CAST(${hash31Sql(s"$tokExpr || '#$j'")} AS DOUBLE) / 268435456.0 * 2.0 - 1.0"
@@ -4494,6 +4550,53 @@ object SparkEntry {
        |  round(sqrt(greatest(s2/n - (s1/n)*(s1/n), 0)), 6) AS std,
        |  round((SELECT sum((s2 - n*(s1/n)*(s1/n))/(n-1)) FROM agg), 6) AS cov_trace
        |FROM agg ORDER BY dim_idx""".stripMargin
+  }
+
+  /** Oracle twin of the q150 deterministic-mode MVN text generator:
+    * z from md5 Box-Muller (hash31 28-bit uniforms, the +0.5 offset
+    * keeping ln's argument strictly positive), y = mean + L·z with the
+    * same left-associated literal arithmetic as the Spark fold, decode
+    * = per-slot argmax cosine over q35's frequency-capped vocab. */
+  private def q150Sql: String = {
+    val width = 2 * Q34Dim
+    def dl(x: Double): String = x.toString
+    def uSql(k: Int, tag: String): String =
+      s"((CAST(${hash31Sql(s"'q150z#' || CAST(gen_id AS VARCHAR) || '#$k$tag'")} AS DOUBLE) + 0.5) / 268435456.0)"
+    def zSql(k: Int): String =
+      s"(sqrt(-2.0 * ln(${uSql(k, "a")})) * cos(${dl(2.0 * math.Pi)} * ${uSql(k, "b")}))"
+    val ys = (0 until width).map { j =>
+      val e = (0 to j).foldLeft(dl(q150Mean(j))) { (acc, k) =>
+        s"$acc + ${dl(q150L(j, k))} * ${zSql(k)}" }
+      s"($e) AS y$j"
+    }
+    val comps = (0 until Q34Dim).map(j =>
+      s"CAST(${hash31Sql(s"tok || '#$j'")} AS DOUBLE) / 268435456.0 * 2.0 - 1.0")
+    s"""WITH tk AS (
+       |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+       |                     x -> length(x) BETWEEN 2 AND 15) AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |vocab AS (
+       |  SELECT tok FROM (SELECT unnest(toks) AS tok FROM tk)
+       |  GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT $Q35VocabCap),
+       |vn AS (SELECT tok, v, sqrt(list_dot_product(v, v)) AS nn FROM (
+       |  SELECT tok, ${comps.mkString("[", ", ", "]")} AS v FROM vocab)),
+       |r AS (SELECT CAST(i AS BIGINT) AS gen_id FROM range(${Q150N}) t(i)),
+       |y AS (SELECT gen_id, ${ys.mkString(", ")} FROM r),
+       |slots AS (
+       |  SELECT gen_id, 0 AS s, [y0, y1, y2, y3] AS q FROM y
+       |  UNION ALL
+       |  SELECT gen_id, 1 AS s, [y4, y5, y6, y7] AS q FROM y),
+       |sq AS (SELECT gen_id, s, q, sqrt(list_dot_product(q, q)) AS qn FROM slots),
+       |sc AS (SELECT gen_id, s, tok,
+       |    CASE WHEN nn = 0 OR qn = 0 THEN -1.0
+       |         ELSE list_dot_product(q, v) / (nn * qn) END AS sim
+       |  FROM sq CROSS JOIN vn),
+       |best AS (SELECT gen_id, s, tok FROM (
+       |    SELECT gen_id, s, tok, row_number() OVER (PARTITION BY gen_id, s
+       |      ORDER BY sim DESC, tok ASC) AS rn FROM sc)
+       |  WHERE rn = 1)
+       |SELECT gen_id, string_agg(tok, ' ' ORDER BY s) AS decoded
+       |FROM best GROUP BY gen_id ORDER BY gen_id""".stripMargin
   }
 
   // q37 parameters: small enough that the inlined-literal oracle SQL
