@@ -1084,6 +1084,200 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // --- streaming numeric profile under a REAL micro-batch trigger
+    // (q149's harness): per-day tumbling windows of value moments per
+    // event_type — count / mean / pop-std / min / max incrementally
+    // maintained, every real window closed by the sentinel-advanced
+    // watermark. Null values ride through: the aggregates skip them,
+    // and an all-null group profiles as (0, null, ...) both sides. ---
+    "q151_streaming_numeric_profile" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .withColumn("__b",
+          when(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"), 0)
+          .when(col("ts") < lit("2024-01-22 00:00:00").cast("timestamp"), 1)
+          .otherwise(2))
+        .select(col("event_id"), col("ts"), col("event_type"),
+          col("value").cast("double"), col("__b"))
+        .as[(Long, java.sql.Timestamp, String, Option[Double], Int)].collect()
+      val batches: Seq[Seq[(Long, java.sql.Timestamp, String, Option[Double], Int)]] =
+        (0 to 2).map(b => ev.toSeq.filter(_._5 == b)) :+
+          Seq((-1L, java.sql.Timestamp.valueOf("2024-02-05 00:00:00"),
+            "sentinel", Option(0.0), 3))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String, Option[Double], Int)]
+      val stream = mem.toDF().toDF("event_id", "ts", "event_type", "value", "batch")
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-stream-np").toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        StreamingProfile.windowedNumericProfile(stream, "ts", "event_type",
+            "value", window = "24 hours", watermark = "24 hours")
+          .writeStream
+          .foreachBatch { (bdf: DataFrame, _: Long) =>
+            bdf.write.mode("append").parquet(outDir)
+          }
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("n"),
+          round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"),
+          round(col("min"), 6).as("min"), round(col("max"), 6).as("max"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // --- streaming EXACT dedup under a REAL micro-batch trigger
+    // (q148's harness keyed on the content fingerprint instead of the
+    // SimHash sketch): injected exact copies arriving in later shards
+    // are dropped by dropDuplicatesWithinWatermark state. ---
+    "q152_streaming_dedup" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
+      val wmin = Window.partitionBy("__b", "__fp")
+      val shardRows = dup
+        .withColumn("__b", when(col("doc_id") < 200, 0)
+          .when(col("doc_id") < 400, 1).otherwise(2))
+        .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("__mn", min("doc_id").over(wmin))
+        .filter(col("doc_id") === col("__mn"))
+        .select(col("doc_id"), col("text"), col("__b"))
+        .as[(Long, String, Int)].collect()
+      val shards: Seq[Seq[(Long, String, Int, java.sql.Timestamp)]] =
+        (0 to 2).map(b => shardRows.toSeq.collect { case (id, tx, `b`) =>
+          (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00")) })
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Int, java.sql.Timestamp)]
+      val stream = mem.toDF().toDF("doc_id", "text", "batch", "ts")
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-stream-dedup").toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        StreamingProfile.streamingDedup(stream, "ts", "text")
+          .writeStream
+          .foreachBatch { (bdf: DataFrame, _: Long) =>
+            bdf.select("doc_id", "batch").write.mode("append").parquet(outDir)
+          }
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        shards.foreach { sh => mem.addData(sh); q.processAllAvailable() }
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .select(col("doc_id"), col("batch"))
+        .orderBy("doc_id")
+    }),
+
+    // --- stream-static enrichment under a REAL micro-batch trigger:
+    // orders stream in three batches, the customer dimension joins by
+    // BROADCAST per micro-batch (stateless — no watermark, no state
+    // store); the emitted union must equal the batch left join. ---
+    "q153_streaming_enrich" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val dim = t(s, d, "customer").select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment"), col("c_nationkey"))
+      val ords = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 3).cast("int").as("__b"))
+        .as[(Long, Long, Int)].collect()
+      val batches: Seq[Seq[(Long, Long, Int)]] =
+        (0 to 2).map(b => ords.toSeq.filter(_._3 == b))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Int)]
+      val stream = mem.toDF().toDF("o_orderkey", "o_custkey", "batch")
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-stream-enrich").toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        StreamingProfile.enrich(stream, dim, "o_custkey")
+          .writeStream
+          .foreachBatch { (bdf: DataFrame, _: Long) =>
+            bdf.select("o_orderkey", "o_custkey", "c_mktsegment", "c_nationkey")
+              .write.mode("append").parquet(outDir)
+          }
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
+          col("c_nationkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // --- the FULL streaming curation pipeline under a REAL micro-batch
+    // trigger: q52's cleaning/filter algebra verbatim (stateless stages
+    // run unchanged on the stream), the exact-dedup stage swapped for
+    // watermark-bounded fingerprint state, the id-hash sample last.
+    // Shards pre-deduped on the CLEANED-content fingerprint (min doc_id
+    // wins) for deterministic within-batch survivorship; cross-shard
+    // suppression is the streaming state. ---
+    "q154_streaming_curate" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
+        .withColumn("text",
+          when(col("doc_id") % 4 === 0,
+            concat(lit("<html><p class=\"x\">"), col("text"),
+              lit("</p> see https://example.com/a?b=1 now</html>")))
+            .otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"),
+              lit(" contact alice.smith@example.org or +1 (415) 555-0100")))
+            .otherwise(col("text")))
+      val cleanedFp = TextAnalysis.fingerprint(
+        TextAnalysis.redactPii(TextAnalysis.stripMarkup(col("text"))))
+      val wmin = Window.partitionBy("__b", "__fp")
+      val shardRows = dup
+        .withColumn("__b", when(col("doc_id") < 200, 0)
+          .when(col("doc_id") < 400, 1).otherwise(2))
+        .withColumn("__fp", cleanedFp)
+        .withColumn("__mn", min("doc_id").over(wmin))
+        .filter(col("doc_id") === col("__mn"))
+        .select(col("doc_id"), col("text"), col("__b"))
+        .as[(Long, String, Int)].collect()
+      val shards: Seq[Seq[(Long, String, Int, java.sql.Timestamp)]] =
+        (0 to 2).map(b => shardRows.toSeq.collect { case (id, tx, `b`) =>
+          (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00")) })
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Int, java.sql.Timestamp)]
+      val stream = mem.toDF().toDF("doc_id", "text", "batch", "ts")
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-stream-curate").toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        StreamingProfile.streamingCurate(stream, "ts", "doc_id", "text",
+            Curation.CurationConfig(lang = Some("en"), minQuality = 0.5,
+              minTokens = 5, sampleFraction = 0.5))
+          .writeStream
+          .foreachBatch { (bdf: DataFrame, _: Long) =>
+            bdf.select("id", "text_clean", "lang", "quality", "n_tokens")
+              .write.mode("append").parquet(outDir)
+          }
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        shards.foreach { sh => mem.addData(sh); q.processAllAvailable() }
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .select(col("id").as("doc_id"), col("text_clean"), col("lang"),
+          round(col("quality"), 6).as("quality"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // --- stateful streaming sessionize under a REAL micro-batch
     // trigger (q123's harness shape): the events table is fed in three
     // time-ordered shards through mapGroupsWithState — per-user
@@ -2739,6 +2933,76 @@ object SparkEntry {
       // vocab word, md5 component embeddings replayed via hash31.
       "q150_mvn_text_decode" -> q150Sql,
 
+      // Streaming numeric-profile replay: every real per-day window
+      // closes under the sentinel watermark, so the emitted stream must
+      // equal the batch day × type moment aggregation (q65's round-6
+      // double-aggregate convention).
+      "q151_streaming_numeric_profile" ->
+        """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  event_type, CAST(count(value) AS BIGINT) AS n,
+          |  round(avg(value), 6) AS mean,
+          |  round(stddev_pop(value), 6) AS std,
+          |  round(min(value), 6) AS min, round(max(value), 6) AS max
+          |FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // Streaming exact-dedup replay: q148's first-shard-wins algebra
+      // keyed on the content fingerprint instead of the SimHash word.
+      "q152_streaming_dedup" ->
+        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),
+           |s AS (SELECT doc_id,
+           |    CASE WHEN doc_id < 200 THEN 0 WHEN doc_id < 400 THEN 1
+           |         ELSE 2 END AS batch,
+           |    md5(array_to_string($toks, ' ')) AS fp
+           |  FROM dup),
+           |pd AS (SELECT batch, fp, min(doc_id) AS doc_id
+           |  FROM s GROUP BY 1, 2),
+           |adm AS (SELECT t.* FROM pd t WHERE NOT EXISTS (
+           |  SELECT 1 FROM pd e WHERE e.fp = t.fp AND e.batch < t.batch))
+           |SELECT doc_id, CAST(batch AS INT) AS batch FROM adm
+           |ORDER BY doc_id""".stripMargin,
+
+      // Stream-static enrichment replay: the per-micro-batch broadcast
+      // join's union must equal the batch left join.
+      "q153_streaming_enrich" ->
+        """SELECT o_orderkey, o_custkey, c_mktsegment, c_nationkey
+          |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+          |ORDER BY o_orderkey""".stripMargin,
+
+      // Streaming curation replay: q52's cleaning/feature/filter stages
+      // verbatim (shared CTE builders), per-shard pre-thinning on the
+      // cleaned-content fingerprint, first-shard-wins suppression among
+      // FILTERED rows (the engine dedups after its filters), id-hash
+      // sampling last — the batch window-dedup swapped for exactly the
+      // state the streaming query keeps.
+      "q154_streaming_curate" -> {
+        val ctc = toksSql("text_clean")
+        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),
+           |injected AS (
+           |  SELECT doc_id AS id,
+           |    CASE WHEN doc_id % 3 = 0
+           |      THEN t2 || ' contact alice.smith@example.org or +1 (415) 555-0100'
+           |      ELSE t2 END AS text,
+           |    CASE WHEN doc_id < 200 THEN 0 WHEN doc_id < 400 THEN 1
+           |         ELSE 2 END AS batch
+           |  FROM (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+           |          THEN '<html><p class="x">' || text || '</p> see https://example.com/a?b=1 now</html>'
+           |          ELSE text END AS t2
+           |        FROM dup)),
+           |${curateCleanedSql(Seq("batch"))},
+           |thin AS (SELECT id, batch, text_clean FROM (
+           |    SELECT c.*, row_number() OVER (PARTITION BY batch,
+           |      md5(array_to_string($ctc, ' ')) ORDER BY id) AS rn
+           |    FROM cleaned c) WHERE rn = 1),
+           |${curateFeatFiltSql("thin", Seq("batch"))},
+           |adm AS (SELECT f.* FROM filt f WHERE NOT EXISTS (
+           |  SELECT 1 FROM filt e WHERE e.fp = f.fp AND e.batch < f.batch))
+           |SELECT id AS doc_id, text_clean, lang,
+           |  round(quality, 6) AS quality, n_tokens
+           |FROM adm WHERE (${hash31Sql("CAST(id AS VARCHAR)")}) % 10000 < 5000
+           |ORDER BY doc_id""".stripMargin
+      },
+
       // Full-width (32 tokens × 100 dims) profile replay — q34's
       // md5-embedder reconstruction made position-GENERIC (one md5 per
       // (doc, position) row instead of one UNION branch per dimension,
@@ -4145,17 +4409,7 @@ object SparkEntry {
            |FROM d ORDER BY doc_id""".stripMargin
       },
 
-      "q52_curation_pipeline" -> {
-        val tag = "<[^>]*>"
-        val url = "https?://[A-Za-z0-9./_%?&=#+-]+"
-        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val phone = "[+(][0-9 ()-]{6,}[0-9]"
-        val ct = toksSql("text_clean")
-        def sw(lang: String) =
-          s"len(list_filter($ct, x -> list_contains(${dlist(stop(lang))}, x)))"
-        val punct = s"""CAST(length(text_clean) - length(regexp_replace(text_clean, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text_clean)"""
-        val swRatio = s"CAST(${sw("en")} AS DOUBLE) / len($ct)"
-        val mtl = s"CAST(list_sum(list_transform($ct, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len($ct)"
+      "q52_curation_pipeline" ->
         s"""WITH injected AS (
            |  SELECT doc_id AS id,
            |    CASE WHEN doc_id % 3 = 0
@@ -4165,40 +4419,15 @@ object SparkEntry {
            |          THEN '<html><p class="x">' || text || '</p> see https://example.com/a?b=1 now</html>'
            |          ELSE text END AS t2
            |        FROM documents)),
-           |cleaned AS (
-           |  SELECT id,
-           |    regexp_replace(regexp_replace(
-           |      trim(regexp_replace(
-           |        regexp_replace(regexp_replace(text, '$tag', ' ', 'g'), '$url', ' ', 'g'),
-           |        '\\s+', ' ', 'g')),
-           |      '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS text_clean
-           |  FROM injected),
-           |feat AS (
-           |  SELECT id, text_clean,
-           |    CASE WHEN regexp_matches(text_clean, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-           |         WHEN ${sw("en")} = 0 AND ${sw("de")} = 0 AND ${sw("es")} = 0 AND ${sw("fr")} = 0 THEN 'und'
-           |         WHEN ${sw("en")} >= ${sw("de")} AND ${sw("en")} >= ${sw("es")} AND ${sw("en")} >= ${sw("fr")} THEN 'en'
-           |         WHEN ${sw("de")} >= ${sw("es")} AND ${sw("de")} >= ${sw("fr")} THEN 'de'
-           |         WHEN ${sw("es")} >= ${sw("fr")} THEN 'es'
-           |         ELSE 'fr' END AS lang,
-           |    CAST((CASE WHEN len($ct) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.3
-           |      + (CASE WHEN $mtl >= 2.0 AND $mtl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
-           |      + (CASE WHEN $punct <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
-           |      + (CASE WHEN $swRatio >= 0.01 THEN 1.0 ELSE 0.0 END) * 0.2 AS DOUBLE) AS quality,
-           |    CAST(len($ct) AS BIGINT) AS n_tokens
-           |  FROM cleaned),
-           |filt AS (
-           |  SELECT * FROM feat
-           |  WHERE lang = 'en' AND quality >= 0.5 AND n_tokens >= 5),
+           |${curateCleanedSql(Nil)},
+           |${curateFeatFiltSql("cleaned", Nil)},
            |dd AS (
-           |  SELECT *, row_number() OVER (
-           |    PARTITION BY md5(array_to_string($ct, ' ')) ORDER BY id) AS rn
+           |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY id) AS rn
            |  FROM filt)
            |SELECT id AS doc_id, text_clean, lang, round(quality, 6) AS quality, n_tokens
            |FROM dd
            |WHERE rn = 1 AND (${hash31Sql("CAST(id AS VARCHAR)")}) % 10000 < 5000
-           |ORDER BY doc_id""".stripMargin
-      },
+           |ORDER BY doc_id""".stripMargin,
 
       "q53_decontaminate" ->
         s"""WITH tfp AS (
@@ -4550,6 +4779,57 @@ object SparkEntry {
        |  round(sqrt(greatest(s2/n - (s1/n)*(s1/n), 0)), 6) AS std,
        |  round((SELECT sum((s2 - n*(s1/n)*(s1/n))/(n-1)) FROM agg), 6) AS cov_trace
        |FROM agg ORDER BY dim_idx""".stripMargin
+  }
+
+  /** Shared SQL stages of the curation replay (q52 batch, q154
+    * streaming): `cleaned` (markup strip + URL drop + PII redaction)
+    * over an upstream CTE `injected`(id, text[, carry...]), then
+    * [[curateFeatFiltSql]]'s `feat`/`filt` (langid, quality, token
+    * count, the q52 config's filters) over any stage that carries
+    * (id, text_clean[, carry...]). `feat` also emits `fp`, the
+    * cleaned-content fingerprint both engines' dedup stages key on. */
+  private def curateCleanedSql(carry: Seq[String]): String = {
+    val cy = carry.map(c => s", $c").mkString
+    val tag = "<[^>]*>"
+    val url = "https?://[A-Za-z0-9./_%?&=#+-]+"
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "[+(][0-9 ()-]{6,}[0-9]"
+    s"""cleaned AS (
+       |  SELECT id$cy,
+       |    regexp_replace(regexp_replace(
+       |      trim(regexp_replace(
+       |        regexp_replace(regexp_replace(text, '$tag', ' ', 'g'), '$url', ' ', 'g'),
+       |        '\\s+', ' ', 'g')),
+       |      '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS text_clean
+       |  FROM injected)""".stripMargin
+  }
+
+  private def curateFeatFiltSql(from: String, carry: Seq[String]): String = {
+    val cy = carry.map(c => s", $c").mkString
+    val ct = toksSql("text_clean")
+    def sw(lang: String) =
+      s"len(list_filter($ct, x -> list_contains(${dlist(stop(lang))}, x)))"
+    val punct = s"""CAST(length(text_clean) - length(regexp_replace(text_clean, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text_clean)"""
+    val swRatio = s"CAST(${sw("en")} AS DOUBLE) / len($ct)"
+    val mtl = s"CAST(list_sum(list_transform($ct, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len($ct)"
+    s"""feat AS (
+       |  SELECT id$cy, text_clean,
+       |    CASE WHEN regexp_matches(text_clean, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |         WHEN ${sw("en")} = 0 AND ${sw("de")} = 0 AND ${sw("es")} = 0 AND ${sw("fr")} = 0 THEN 'und'
+       |         WHEN ${sw("en")} >= ${sw("de")} AND ${sw("en")} >= ${sw("es")} AND ${sw("en")} >= ${sw("fr")} THEN 'en'
+       |         WHEN ${sw("de")} >= ${sw("es")} AND ${sw("de")} >= ${sw("fr")} THEN 'de'
+       |         WHEN ${sw("es")} >= ${sw("fr")} THEN 'es'
+       |         ELSE 'fr' END AS lang,
+       |    CAST((CASE WHEN len($ct) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.3
+       |      + (CASE WHEN $mtl >= 2.0 AND $mtl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
+       |      + (CASE WHEN $punct <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+       |      + (CASE WHEN $swRatio >= 0.01 THEN 1.0 ELSE 0.0 END) * 0.2 AS DOUBLE) AS quality,
+       |    CAST(len($ct) AS BIGINT) AS n_tokens,
+       |    md5(array_to_string($ct, ' ')) AS fp
+       |  FROM $from),
+       |filt AS (
+       |  SELECT * FROM feat
+       |  WHERE lang = 'en' AND quality >= 0.5 AND n_tokens >= 5)""".stripMargin
   }
 
   /** Oracle twin of the q150 deterministic-mode MVN text generator:

@@ -501,6 +501,53 @@ object Probe {
         println(f"PROBE zorder layout=$nm: $dt%.2f s, result=$n rows, scan-emitted=$scanned rows")
       }
     }
+    names.filter(_ == "ivfpq-recall").foreach { _ =>
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      // The recall/cost frontier a 100-TB ANN operator actually tunes:
+      // fixed 5-query audit set, growing corpus (x1/x4/x10 index-
+      // rotation isometry), recall@10 of the IVF-pruned ADC vs the
+      // exact L2 top-10 across nProbe in {1, 2, 4, 8} of 16 cells,
+      // with the full-scan ADC's recall as the ceiling IVF pruning is
+      // dialed against (everything above it is PQ quantization error,
+      // not cell loss). The exact side here is the audit convention:
+      // 5 queries only — never an unsampled corpus scan.
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+      def embAt(mult: Int): org.apache.spark.sql.DataFrame = rotatedEmb(emb, dim, mult)
+      val q = emb.filter(col("vec_id") < 5)
+      def l2sq(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+      Seq(1, 4, 10).foreach { m =>
+        val corpus = embAt(m).localCheckpoint()
+        val qv = q.select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+        val cv = corpus.filter(col("embedding").isNotNull)
+          .select(col("vec_id").as("neighbor_id"),
+            transform(col("embedding"), _.cast("double")).as("cv"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("d2").asc, col("neighbor_id").asc)
+        val exact = qv.crossJoin(cv).withColumn("d2", l2sq(col("qv"), col("cv")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .select("query_id", "neighbor_id").localCheckpoint()
+        Seq(1, 2, 4, 8).foreach { p =>
+          val t0 = System.nanoTime()
+          val hits = graft.ops.Quantize.ivfPqTopKAdc(q, corpus,
+              "vec_id", "embedding", "vec_id", "embedding",
+              dim, 4, 8, 2, nCells = 16, nProbe = p, topK = 10)
+            .select("query_id", "neighbor_id")
+            .join(exact, Seq("query_id", "neighbor_id")).count()
+          println(f"IVFPQ-RECALL x$m nProbe=$p: recall@10=${hits / 50.0}%.2f " +
+            f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        }
+        val ceil = graft.ops.Quantize.pqTopKAdc(q, corpus,
+            "vec_id", "embedding", "vec_id", "embedding", dim, 4, 8, 2, 10)
+          .select("query_id", "neighbor_id")
+          .join(exact, Seq("query_id", "neighbor_id")).count()
+        println(f"IVFPQ-RECALL x$m fullscan-ceiling: recall@10=${ceil / 50.0}%.2f")
+      }
+    }
     names.filter(_ == "cosine-sql").foreach { _ =>
       graft.GraftExtensions.registerInto(spark)
       spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("emb")
