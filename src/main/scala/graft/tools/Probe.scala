@@ -531,21 +531,32 @@ object Probe {
         val exact = qv.crossJoin(cv).withColumn("d2", l2sq(col("qv"), col("cv")))
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
           .select("query_id", "neighbor_id").localCheckpoint()
-        Seq(1, 2, 4, 8).foreach { p =>
-          val t0 = System.nanoTime()
-          val hits = graft.ops.Quantize.ivfPqTopKAdc(q, corpus,
-              "vec_id", "embedding", "vec_id", "embedding",
-              dim, 4, 8, 2, nCells = 16, nProbe = p, topK = 10)
+        // two codebook capacities: the q131/q142 dev shape (m=4, k=8 —
+        // 3 bits/subvector) and a finer one (m=8, k=32 — 5 bits/
+        // subvector, twice the subspaces). The sweep's lesson at dev
+        // scale: when quantization error dominates, the IVF stage acts
+        // as a geometric FILTER that can beat the full-scan ADC ranking
+        // at low nProbe, and extra probes buy nothing — recall budget
+        // goes to codebook bits first, nProbe second.
+        Seq((4, 8, 2), (8, 32, 4)).foreach { case (pm, pk, pit) =>
+          Seq(1, 2, 4, 8).foreach { p =>
+            val t0 = System.nanoTime()
+            val hits = graft.ops.Quantize.ivfPqTopKAdc(q, corpus,
+                "vec_id", "embedding", "vec_id", "embedding",
+                dim, pm, pk, pit, nCells = 16, nProbe = p, topK = 10)
+              .select("query_id", "neighbor_id")
+              .join(exact, Seq("query_id", "neighbor_id")).count()
+            println(f"IVFPQ-RECALL x$m m=$pm k=$pk nProbe=$p: " +
+              f"recall@10=${hits / 50.0}%.2f " +
+              f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+          }
+          val full = graft.ops.Quantize.pqTopKAdc(q, corpus,
+              "vec_id", "embedding", "vec_id", "embedding", dim, pm, pk, pit, 10)
             .select("query_id", "neighbor_id")
             .join(exact, Seq("query_id", "neighbor_id")).count()
-          println(f"IVFPQ-RECALL x$m nProbe=$p: recall@10=${hits / 50.0}%.2f " +
-            f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+          println(f"IVFPQ-RECALL x$m m=$pm k=$pk fullscan: " +
+            f"recall@10=${full / 50.0}%.2f")
         }
-        val ceil = graft.ops.Quantize.pqTopKAdc(q, corpus,
-            "vec_id", "embedding", "vec_id", "embedding", dim, 4, 8, 2, 10)
-          .select("query_id", "neighbor_id")
-          .join(exact, Seq("query_id", "neighbor_id")).count()
-        println(f"IVFPQ-RECALL x$m fullscan-ceiling: recall@10=${ceil / 50.0}%.2f")
       }
     }
     names.filter(_ == "cosine-sql").foreach { _ =>
