@@ -1416,6 +1416,26 @@ object SparkEntry {
       Corpus.bpePairCounts(t(s, d, "documents"), "text", k = 50)
         .orderBy(desc("cnt"), col("pair"))),
 
+    // --- FULL BPE tokenizer training (q136 is round one of this):
+    // iteratively merge the globally most frequent adjacent symbol
+    // pair and rewrite the vocabulary, ten rounds — the merge table is
+    // the trained tokenizer, and the oracle replays every round with
+    // the identical marker-string replace algebra ---
+    "q155_bpe_train" -> ((s, d) =>
+      Corpus.bpeTrain(t(s, d, "documents"), "text", nMerges = 10)
+        .orderBy("merge_rank")),
+
+    // --- BPE encode with the trained table: merges applied in rank
+    // order over the corpus vocabulary (the reference sequential
+    // segmenter), one replace-chain projection ---
+    "q156_bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = Corpus.bpeTrain(docs, "text", nMerges = 10)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      Corpus.bpeEncode(docs, "text", merges.toSeq).orderBy("w")
+    }),
+
     // --- collocation mining: top-k adjacent-token pairs by PMI —
     // the phrase-induction pass of tokenizer/vocab pipelines ---
     "q134_collocations" -> ((s, d) =>
@@ -2968,6 +2988,32 @@ object SparkEntry {
         """SELECT o_orderkey, o_custkey, c_mktsegment, c_nationkey
           |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
           |ORDER BY o_orderkey""".stripMargin,
+
+      // BPE training replay: ten unrolled merge rounds over the
+      // marker-string vocabulary state; each round's winner re-derives
+      // lhs/rhs/merged from its pair string.
+      "q155_bpe_train" -> {
+        val rows = (1 to 10).map { r =>
+          s"""SELECT $r AS merge_rank,
+             |  string_split(trim(pair, '><'), '><')[1] AS lhs,
+             |  string_split(trim(pair, '><'), '><')[2] AS rhs,
+             |  replace(trim(pair, '><'), '><', '') AS merged, cnt
+             |FROM b$r""".stripMargin
+        }
+        s"""WITH ${bpeStagesSql(10)}
+           |SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs, merged, cnt
+           |FROM (${rows.mkString("\n", "\nUNION ALL\n", "\n")})
+           |ORDER BY merge_rank""".stripMargin
+      },
+
+      // BPE encode replay: the round-10 vocabulary state IS the
+      // encoded segmentation — pieces and piece counts read off it.
+      "q156_bpe_encode" ->
+        s"""WITH ${bpeStagesSql(10)}
+           |SELECT w, freq,
+           |  replace(trim(st, '><'), '><', ' ') AS pieces,
+           |  CAST(len(string_split(trim(st, '><'), '><')) AS BIGINT) AS n_pieces
+           |FROM v10 ORDER BY w""".stripMargin,
 
       // Streaming curation replay: q52's cleaning/feature/filter stages
       // verbatim (shared CTE builders), per-shard pre-thinning on the
@@ -4779,6 +4825,39 @@ object SparkEntry {
        |  round(sqrt(greatest(s2/n - (s1/n)*(s1/n), 0)), 6) AS std,
        |  round((SELECT sum((s2 - n*(s1/n)*(s1/n))/(n-1)) FROM agg), 6) AS cov_trace
        |FROM agg ORDER BY dim_idx""".stripMargin
+  }
+
+  /** Unrolled oracle twin of [[graft.ops.Corpus.bpeTrain]]'s merge
+    * loop (the [[ccRoundsSql]] convention: both engines run the SAME
+    * number of rounds, so parity never depends on convergence): CTE
+    * stages `v0`..`v<n>` carry the marker-string vocabulary state,
+    * `b1`..`b<n>` each round's winning pair — integer counts, ties by
+    * pair string, merge application is the identical `replace`. */
+  private def bpeStagesSql(n: Int): String = {
+    val toks = toksSql("text")
+    val init =
+      s"""v0 AS (
+         |  SELECT w, freq,
+         |    '<' || array_to_string(list_transform(range(length(w)),
+         |      i -> substr(w, CAST(i + 1 AS INT), 1)), '><') || '>' AS st
+         |  FROM (SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
+         |        FROM (SELECT unnest($toks) AS tok FROM documents)
+         |        GROUP BY 1))""".stripMargin
+    val stages = (1 to n).map { r =>
+      s"""px$r AS (SELECT freq, s, unnest(range(len(s) - 1)) AS i
+         |  FROM (SELECT freq, string_split(trim(st, '><'), '><') AS s
+         |        FROM v${r - 1})),
+         |b$r AS (SELECT pair, cnt FROM (
+         |    SELECT '<' || s[CAST(i + 1 AS INT)] || '><' || s[CAST(i + 2 AS INT)] || '>' AS pair,
+         |      CAST(sum(freq) AS BIGINT) AS cnt
+         |    FROM px$r GROUP BY 1)
+         |  ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |v$r AS (SELECT w, freq,
+         |    replace(st, b.pair,
+         |      '<' || replace(trim(b.pair, '><'), '><', '') || '>') AS st
+         |  FROM v${r - 1}, b$r b)""".stripMargin
+    }
+    (init +: stages).mkString(",\n")
   }
 
   /** Shared SQL stages of the curation replay (q52 batch, q154

@@ -204,6 +204,103 @@ object Corpus {
       .orderBy(desc("cnt"), col("pair")).limit(k)
   }
 
+  /** Full byte-pair-encoding tokenizer TRAINING — the iterative loop
+    * [[bpePairCounts]] is the first round of: merge the globally most
+    * frequent adjacent symbol pair, rewrite every word, re-count,
+    * `nMerges` times (Sennrich et al. 2016). Returns the merge table
+    * (merge_rank, lhs, rhs, merged, cnt) — the trained tokenizer.
+    *
+    * Scale shape: the corpus collapses to its (word, freq) vocabulary
+    * ONCE (the only scan of the text); every round then runs over
+    * |vocab| rows — one pair-explode + one keyed agg (map-side
+    * combinable) + a driver top-1 (one row per round; the merge table
+    * IS the O(nMerges) driver artifact, like a kmeans centroid set).
+    * Lineage is cut every `checkpointEvery` rounds (the Graph-loop
+    * cadence) so the replace-chain plan never deepens unboundedly.
+    *
+    * Symbol state per word is a marker-delimited string
+    * (`<h><e><l><l><o>`): symbols are [a-z]+ (the tokenizer's
+    * alphabet), so `<`/`>` never collide and applying a merge is ONE
+    * codegen'd `replace` of `<a><b>` with `<ab>` — string replace's
+    * leftmost non-overlapping semantics are exactly BPE's greedy
+    * merge scan, and the identical call replays in any engine. */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
+               checkpointEvery: Int = 3): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var state = df
+      .select(explode(tokens(col(textCol).cast("string"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("st", concat(lit("<"),
+        concat_ws("><", transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))), lit(">")))
+      .transform(Checkpoints.cut)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val syms = split(expr("btrim(st, '><')"), "><")
+      val top = state
+        .filter(size(syms) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(0), size(syms) - 2),
+            i => concat(lit("<"), element_at(syms, i + 1), lit("><"),
+              element_at(syms, i + 2), lit(">")))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(desc("cnt"), col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true // every word fully merged
+      else {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val Array(left, right) =
+          pair.stripPrefix("<").stripSuffix(">").split("><")
+        val merged = s"<$left$right>"
+        merges += ((r, left, right, left + right, cnt))
+        val next = state.withColumn("st",
+          org.apache.spark.sql.functions.replace(
+            col("st"), lit(pair), lit(merged)))
+        state =
+          if (r % checkpointEvery == 0 || r == nMerges)
+            next.transform(Checkpoints.cut)
+          else next
+        r += 1
+      }
+    }
+    merges.result()
+      .toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** BPE ENCODE with a [[bpeTrain]]-trained merge table: apply the
+    * merges to every distinct word in rank order (sequential
+    * application in learned order is the reference BPE segmenter —
+    * Sennrich's original formulation), then join segments back to the
+    * corpus vocabulary. Returns (w, freq, pieces, n_pieces) — pieces
+    * space-joined. The merge table is a driver-side list (O(nMerges));
+    * encoding is a pure projection chain of `replace` calls over the
+    * vocab, so the whole encoder is one narrow stage at any corpus
+    * size. */
+  def bpeEncode(df: DataFrame, textCol: String,
+                mergeTable: Seq[(String, String)]): DataFrame = {
+    val vocab = df
+      .select(explode(tokens(col(textCol).cast("string"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("st", concat(lit("<"),
+        concat_ws("><", transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))), lit(">")))
+    val encoded = mergeTable.foldLeft(vocab) { case (acc, (l, rgt)) =>
+      acc.withColumn("st", org.apache.spark.sql.functions.replace(
+        col("st"), lit(s"<$l><$rgt>"), lit(s"<$l$rgt>")))
+    }
+    encoded
+      .withColumn("pieces",
+        org.apache.spark.sql.functions.replace(
+          expr("btrim(st, '><')"), lit("><"), lit(" ")))
+      .withColumn("n_pieces", size(split(col("pieces"), " ")).cast("long"))
+      .select(col("w"), col("freq"), col("pieces"), col("n_pieces"))
+  }
+
   /** Passage-level exact-duplicate statistics — the chunked
     * approximation of suffix-array substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): split

@@ -410,4 +410,34 @@ class CorpusSpec extends SparkSpec {
     assert(out(6L) === ((null, 0L, 0L)))
     assert(out(7L) === (("tiny", 0L, 0L)))
   }
+
+  test("bpeTrain: hand-computed merge order, greedy-leftmost rewrite, " +
+    "tie by pair string, early exhaustion; bpeEncode applies in rank order") {
+    import spark.implicits._
+    // vocab: ab x3, aaab x2.  Round 1: <a><b> wins 5 (vs <a><a> 4).
+    // Round 2: <a><a> ties <a><ab> at 2 — '<a><a>' < '<a><ab>' wins.
+    // Round 3: <aa><ab> merges; everything is single-symbol after.
+    val docs = Seq((1L, "ab ab ab aaab aaab")).toDF("doc_id", "text")
+    val merges = Corpus.bpeTrain(docs, "text", nMerges = 10)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // nMerges = 10 but the vocab exhausts after 3 — loop stops, no crash
+    assert(merges.toSeq === Seq(
+      (1, "a", "b", "ab", 5L),
+      (2, "a", "a", "aa", 2L),
+      (3, "aa", "ab", "aaab", 2L)))
+    val enc = Corpus.bpeEncode(docs, "text",
+        merges.toSeq.map(m => (m._2, m._3)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(enc("ab") === (("ab", 1L)))
+    assert(enc("aaab") === (("aaab", 1L)))
+    // first merge alone: aaab segments as a a ab (greedy leftmost scan)
+    val enc1 = Corpus.bpeEncode(docs, "text", Seq(("a", "b")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(enc1("aaab") === (("a a ab", 3L)))
+    assert(enc1("ab") === (("ab", 1L)))
+  }
 }
