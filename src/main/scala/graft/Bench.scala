@@ -137,7 +137,11 @@ object Bench {
       if (only.nonEmpty) results
       else {
         val names = results.map(_._1).toSet
-        val same = histRuns.filter(_.keySet == names)
+        // recency bound: only the latest 4 same-suite log runs join the
+        // median, so samples from an older code version age out within
+        // a few runs instead of masking a genuine per-query speedup or
+        // regression forever (the log itself keeps full history)
+        val same = histRuns.filter(_.keySet == names).takeRight(4)
         System.err.println(s"[bench] certifying from ${same.size + 1} " +
           "same-suite samples (this run + BENCH_LOG)")
         results.map { case (k, v) =>

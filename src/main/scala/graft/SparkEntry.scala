@@ -252,6 +252,42 @@ object SparkEntry {
     df.unionByName(df.filter(col(idCol) < below)
       .withColumn(idCol, col(idCol) + shift))
 
+  /** Shared micro-batch harness for the append-mode streaming oracle
+    * rows (q123/q133/q148–q154): feed `batches` one micro-batch at a
+    * time through a MemoryStream (a driver-side TEST source by design
+    * — the operator under test is the same distributed plan a Kafka
+    * source would run), run `build` on the streaming frame (columns
+    * named `cols`), land `outCols` of every emitted micro-batch in a
+    * temp parquet dir via foreachBatch, and return the read-back
+    * union. State-store partition count is pinned to 4 for the
+    * query's lifetime — fixed at stream start from the global shuffle
+    * setting; 32 state-store instances each writing delta + snapshot
+    * files per micro-batch is pure fixed overhead at harness feed
+    * rates, and production picks this by expected horizon cardinality
+    * — with the session's setting restored immediately after start. */
+  private def runMicroBatched[T <: Product : org.apache.spark.sql.Encoder](
+      s: SparkSession, cols: Seq[String], batches: Seq[Seq[T]],
+      tmpPrefix: String, outCols: Seq[String])(
+      build: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
+    val stream = mem.toDF().toDF(cols: _*)
+    val outDir = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      build(stream).writeStream
+        .foreachBatch { (bdf: DataFrame, _: Long) =>
+          bdf.select(outCols.map(col): _*).write.mode("append").parquet(outDir)
+        }
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    s.read.parquet(outDir)
+  }
+
   private def withDupsSql(table: String, idCol: String, below: Long, shift: Long): String =
     s"(SELECT * FROM $table UNION ALL SELECT ${"*"} REPLACE ($idCol + $shift AS $idCol) FROM $table WHERE $idCol < $below)"
 
@@ -619,7 +655,6 @@ object SparkEntry {
     // twin (q120) runs. ---
     "q123_streaming_admit" -> ((s, d) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val docs = t(s, d, "documents")
       // Persist the prior sketches to parquet and stream against the
       // FILE table — the production shape ("persisted sketch table"),
@@ -648,33 +683,10 @@ object SparkEntry {
       val shards: Seq[Seq[(Long, String, Int, java.sql.Timestamp)]] =
         (0 to 2).map(b => shardRows.toSeq.collect { case (id, tx, `b`) =>
           (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00")) })
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, Int, java.sql.Timestamp)]
-      val stream = mem.toDF().toDF("doc_id", "text", "batch", "ts")
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-stream-admit").toString
-      // State partition count is fixed at stream start from the global
-      // shuffle setting; 32 state-store instances each writing delta +
-      // snapshot files per micro-batch is pure fixed overhead at this
-      // feed rate. 4 keeps the same distributed plan shape with an
-      // 8x smaller per-batch state-store I/O bill; production picks
-      // this by expected horizon cardinality, not corpus size.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try {
+      runMicroBatched(s, Seq("doc_id", "text", "batch", "ts"), shards,
+        "graft-stream-admit", Seq("doc_id", "batch")) { stream =>
         StreamingProfile.streamingAdmit(stream, "ts", "text", prior)
-          .writeStream
-          .foreachBatch { (bdf: DataFrame, _: Long) =>
-            bdf.select("doc_id", "batch").write.mode("append").parquet(outDir)
-          }
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        shards.foreach { sh => mem.addData(sh); q.processAllAvailable() }
-      } finally q.stop()
-      s.read.parquet(outDir)
-        .select(col("doc_id"), col("batch"))
-        .orderBy("doc_id")
+      }.orderBy("doc_id")
     }),
 
     // --- streaming drift monitor under a REAL micro-batch trigger:
@@ -690,7 +702,6 @@ object SparkEntry {
     // distributed plan a Kafka source would run. ---
     "q133_streaming_psi" -> ((s, d) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val bins = 10
       val ev = t(s, d, "events").filter(col("value").isNotNull)
       val split = lit("2024-01-08 00:00:00").cast("timestamp")
@@ -717,27 +728,11 @@ object SparkEntry {
       val batches: Seq[Seq[(Long, java.sql.Timestamp, Double, Int)]] =
         (0 to 2).map(b => live.toSeq.filter(_._4 == b)) :+
           Seq((-1L, java.sql.Timestamp.valueOf("2024-02-05 00:00:00"), 0.0, 3))
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, java.sql.Timestamp, Double, Int)]
-      val stream = mem.toDF().toDF("event_id", "ts", "value", "batch")
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-stream-psi").toString
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try {
+      runMicroBatched(s, Seq("event_id", "ts", "value", "batch"), batches,
+        "graft-stream-psi", Seq("window_start", "n", "psi")) { stream =>
         StreamingProfile.windowedPsi(stream, "ts", "value", cuts, probs,
-            windowDur = "24 hours", watermark = "24 hours")
-          .writeStream
-          .foreachBatch { (bdf: DataFrame, _: Long) =>
-            bdf.write.mode("append").parquet(outDir)
-          }
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
-      } finally q.stop()
-      s.read.parquet(outDir)
-        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          windowDur = "24 hours", watermark = "24 hours")
+      }.select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"), col("n"), col("psi"))
         .orderBy("window_start")
     }),
@@ -968,7 +963,6 @@ object SparkEntry {
     // the streaming query's own state, exercised end-to-end. ---
     "q148_streaming_neardup" -> ((s, d) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
       val wmin = Window.partitionBy("__b", "__h")
       val shardRows = dup
@@ -982,35 +976,18 @@ object SparkEntry {
       val shards: Seq[Seq[(Long, String, Int, java.sql.Timestamp)]] =
         (0 to 2).map(b => shardRows.toSeq.collect { case (id, tx, `b`) =>
           (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00")) })
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, Int, java.sql.Timestamp)]
-      val stream = mem.toDF().toDF("doc_id", "text", "batch", "ts")
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-stream-neardup").toString
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try {
+      runMicroBatched(s, Seq("doc_id", "text", "batch", "ts"), shards,
+        "graft-stream-neardup", Seq("doc_id", "batch")) { stream =>
         StreamingProfile.streamingNearDup(stream, "ts", "text")
-          .writeStream
-          .foreachBatch { (bdf: DataFrame, _: Long) =>
-            bdf.select("doc_id", "batch").write.mode("append").parquet(outDir)
-          }
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        shards.foreach { sh => mem.addData(sh); q.processAllAvailable() }
-      } finally q.stop()
-      s.read.parquet(outDir)
-        .select(col("doc_id"), col("batch"))
-        .orderBy("doc_id")
+      }.orderBy("doc_id")
     }),
 
     // --- the MVN→decode text generator under the oracle (deterministic
     // mode): the production sampler draws z ~ N(0, I) per row with
     // seeded randn and decodes y = mean + L·z to nearest vocab words —
     // replayable everywhere EXCEPT the randn draw, which no other
-    // engine reproduces. Here z comes from md5 Box-Muller pseudo-
-    // normals and (mean, L) is a fixed FNV-derived "trained" profile,
+    // engine reproduces. Here z comes from md5 Irwin-Hall(12) pseudo-
+    // normals (transcendental-free, bit-identical cross-engine) and (mean, L) is a fixed FNV-derived "trained" profile,
     // so the full sampling algebra (pseudo-normal → affine MVN map →
     // per-slot nearest-word decode over the REAL capped vocab and the
     // REAL batched decode kernel) runs under the hard signal; only the
@@ -1023,12 +1000,19 @@ object SparkEntry {
       val bcV = s.sparkContext.broadcast(vocab)
       val mt = 2
       val width = mt * Q34Dim
-      def u(k: Int, tag: String): Column =
+      def u(k: Int, j: Int): Column =
         (conv(substring(md5(concat(lit("q150z#"), col("id").cast("string"),
-          lit(s"#$k$tag")).cast("binary")), 1, 7), 16, 10).cast("double")
+          lit(s"#$k#$j")).cast("binary")), 1, 7), 16, 10).cast("double")
           + lit(0.5)) / lit(268435456.0)
+      // Irwin–Hall(12) pseudo-normal: Σ of 12 md5-derived uniforms − 6
+      // (mean 0, variance 1 — the classic transcendental-free normal
+      // approximation). Each uniform is (2v+1)/2^29 — exactly
+      // representable — and the 12-term sum needs 33 mantissa bits, so
+      // z, y, and the decode argmax are BIT-identical across engines:
+      // no ln/cos whose last ulp could differ between JVM Math and
+      // another engine's libm and flip a near-tied nearest-word pick.
       val z = (0 until width).map(k =>
-        sqrt(lit(-2.0) * log(u(k, "a"))) * cos(lit(2.0 * math.Pi) * u(k, "b")))
+        (0 until 12).map(j => u(k, j)).reduce(_ + _) - lit(6.0))
       val y = (0 until width).map(j =>
         (0 to j).foldLeft(lit(q150Mean(j)): Column) { (acc, k) =>
           acc + lit(q150L(j, k)) * z(k) })
@@ -1046,7 +1030,6 @@ object SparkEntry {
     // window stays open and is never emitted. ---
     "q149_streaming_value_counts" -> ((s, d) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val ev = t(s, d, "events")
         .filter(col("ts").isNotNull && col("event_type").isNotNull)
         .withColumn("__b",
@@ -1059,27 +1042,11 @@ object SparkEntry {
         (0 to 2).map(b => ev.toSeq.filter(_._4 == b)) :+
           Seq((-1L, java.sql.Timestamp.valueOf("2024-02-05 00:00:00"),
             "sentinel", 3))
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, java.sql.Timestamp, String, Int)]
-      val stream = mem.toDF().toDF("event_id", "ts", "event_type", "batch")
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-stream-vc").toString
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try {
+      runMicroBatched(s, Seq("event_id", "ts", "event_type", "batch"), batches,
+        "graft-stream-vc", Seq("window_start", "event_type", "cnt")) { stream =>
         StreamingProfile.windowedValueCounts(stream, "ts", "event_type",
-            window = "24 hours", watermark = "24 hours")
-          .writeStream
-          .foreachBatch { (bdf: DataFrame, _: Long) =>
-            bdf.write.mode("append").parquet(outDir)
-          }
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
-      } finally q.stop()
-      s.read.parquet(outDir)
-        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          window = "24 hours", watermark = "24 hours")
+      }.select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"), col("event_type"), col("cnt"))
         .orderBy("window_start", "event_type")
     }),
@@ -1092,7 +1059,6 @@ object SparkEntry {
     // and an all-null group profiles as (0, null, ...) both sides. ---
     "q151_streaming_numeric_profile" -> ((s, d) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val ev = t(s, d, "events")
         .filter(col("ts").isNotNull && col("event_type").isNotNull)
         .withColumn("__b",
@@ -1106,27 +1072,12 @@ object SparkEntry {
         (0 to 2).map(b => ev.toSeq.filter(_._5 == b)) :+
           Seq((-1L, java.sql.Timestamp.valueOf("2024-02-05 00:00:00"),
             "sentinel", Option(0.0), 3))
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, java.sql.Timestamp, String, Option[Double], Int)]
-      val stream = mem.toDF().toDF("event_id", "ts", "event_type", "value", "batch")
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-stream-np").toString
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try {
+      runMicroBatched(s, Seq("event_id", "ts", "event_type", "value", "batch"),
+        batches, "graft-stream-np",
+        Seq("window_start", "event_type", "n", "mean", "std", "min", "max")) { stream =>
         StreamingProfile.windowedNumericProfile(stream, "ts", "event_type",
-            "value", window = "24 hours", watermark = "24 hours")
-          .writeStream
-          .foreachBatch { (bdf: DataFrame, _: Long) =>
-            bdf.write.mode("append").parquet(outDir)
-          }
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
-      } finally q.stop()
-      s.read.parquet(outDir)
-        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          "value", window = "24 hours", watermark = "24 hours")
+      }.select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"), col("event_type"), col("n"),
           round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"),
           round(col("min"), 6).as("min"), round(col("max"), 6).as("max"))
@@ -1139,7 +1090,6 @@ object SparkEntry {
     // are dropped by dropDuplicatesWithinWatermark state. ---
     "q152_streaming_dedup" -> ((s, d) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
       val wmin = Window.partitionBy("__b", "__fp")
       val shardRows = dup
@@ -1153,27 +1103,10 @@ object SparkEntry {
       val shards: Seq[Seq[(Long, String, Int, java.sql.Timestamp)]] =
         (0 to 2).map(b => shardRows.toSeq.collect { case (id, tx, `b`) =>
           (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00")) })
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, Int, java.sql.Timestamp)]
-      val stream = mem.toDF().toDF("doc_id", "text", "batch", "ts")
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-stream-dedup").toString
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try {
+      runMicroBatched(s, Seq("doc_id", "text", "batch", "ts"), shards,
+        "graft-stream-dedup", Seq("doc_id", "batch")) { stream =>
         StreamingProfile.streamingDedup(stream, "ts", "text")
-          .writeStream
-          .foreachBatch { (bdf: DataFrame, _: Long) =>
-            bdf.select("doc_id", "batch").write.mode("append").parquet(outDir)
-          }
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        shards.foreach { sh => mem.addData(sh); q.processAllAvailable() }
-      } finally q.stop()
-      s.read.parquet(outDir)
-        .select(col("doc_id"), col("batch"))
-        .orderBy("doc_id")
+      }.orderBy("doc_id")
     }),
 
     // --- stream-static enrichment under a REAL micro-batch trigger:
@@ -1182,7 +1115,6 @@ object SparkEntry {
     // store); the emitted union must equal the batch left join. ---
     "q153_streaming_enrich" -> ((s, d) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val dim = t(s, d, "customer").select(col("c_custkey").as("o_custkey"),
         col("c_mktsegment"), col("c_nationkey"))
       val ords = t(s, d, "orders")
@@ -1191,29 +1123,11 @@ object SparkEntry {
         .as[(Long, Long, Int)].collect()
       val batches: Seq[Seq[(Long, Long, Int)]] =
         (0 to 2).map(b => ords.toSeq.filter(_._3 == b))
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Long, Int)]
-      val stream = mem.toDF().toDF("o_orderkey", "o_custkey", "batch")
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-stream-enrich").toString
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try {
+      runMicroBatched(s, Seq("o_orderkey", "o_custkey", "batch"), batches,
+        "graft-stream-enrich",
+        Seq("o_orderkey", "o_custkey", "c_mktsegment", "c_nationkey")) { stream =>
         StreamingProfile.enrich(stream, dim, "o_custkey")
-          .writeStream
-          .foreachBatch { (bdf: DataFrame, _: Long) =>
-            bdf.select("o_orderkey", "o_custkey", "c_mktsegment", "c_nationkey")
-              .write.mode("append").parquet(outDir)
-          }
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
-      } finally q.stop()
-      s.read.parquet(outDir)
-        .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
-          col("c_nationkey"))
-        .orderBy("o_orderkey")
+      }.orderBy("o_orderkey")
     }),
 
     // --- the FULL streaming curation pipeline under a REAL micro-batch
@@ -1225,7 +1139,6 @@ object SparkEntry {
     // suppression is the streaming state. ---
     "q154_streaming_curate" -> ((s, d) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
         .withColumn("text",
           when(col("doc_id") % 4 === 0,
@@ -1251,29 +1164,13 @@ object SparkEntry {
       val shards: Seq[Seq[(Long, String, Int, java.sql.Timestamp)]] =
         (0 to 2).map(b => shardRows.toSeq.collect { case (id, tx, `b`) =>
           (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00")) })
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, Int, java.sql.Timestamp)]
-      val stream = mem.toDF().toDF("doc_id", "text", "batch", "ts")
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-stream-curate").toString
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try {
+      runMicroBatched(s, Seq("doc_id", "text", "batch", "ts"), shards,
+        "graft-stream-curate",
+        Seq("id", "text_clean", "lang", "quality", "n_tokens")) { stream =>
         StreamingProfile.streamingCurate(stream, "ts", "doc_id", "text",
-            Curation.CurationConfig(lang = Some("en"), minQuality = 0.5,
-              minTokens = 5, sampleFraction = 0.5))
-          .writeStream
-          .foreachBatch { (bdf: DataFrame, _: Long) =>
-            bdf.select("id", "text_clean", "lang", "quality", "n_tokens")
-              .write.mode("append").parquet(outDir)
-          }
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        shards.foreach { sh => mem.addData(sh); q.processAllAvailable() }
-      } finally q.stop()
-      s.read.parquet(outDir)
-        .select(col("id").as("doc_id"), col("text_clean"), col("lang"),
+          Curation.CurationConfig(lang = Some("en"), minQuality = 0.5,
+            minTokens = 5, sampleFraction = 0.5))
+      }.select(col("id").as("doc_id"), col("text_clean"), col("lang"),
           round(col("quality"), 6).as("quality"), col("n_tokens"))
         .orderBy("doc_id")
     }),
@@ -2947,7 +2844,7 @@ object SparkEntry {
           |FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-      // MVN text-generator replay (deterministic mode): md5 Box-Muller
+      // MVN text-generator replay (deterministic mode): md5 Irwin-Hall
       // pseudo-normals, the inlined (mean, L) literals, then q35's
       // capped-vocab decode — per slot the best (cosine desc, word asc)
       // vocab word, md5 component embeddings replayed via hash31.
@@ -4832,7 +4729,12 @@ object SparkEntry {
     * number of rounds, so parity never depends on convergence): CTE
     * stages `v0`..`v<n>` carry the marker-string vocabulary state,
     * `b1`..`b<n>` each round's winning pair — integer counts, ties by
-    * pair string, merge application is the identical `replace`. */
+    * pair string, merge application is the identical `replace`. A
+    * round with no pairs left (vocab exhausted before round n) leaves
+    * `b<r>` empty: the LEFT JOIN carries the state through unchanged
+    * and the round contributes no merge row — exactly the engine
+    * loop's early stop, so q155/q156 both stay in parity on corpora
+    * that fully merge early. */
   private def bpeStagesSql(n: Int): String = {
     val toks = toksSql("text")
     val init =
@@ -4853,9 +4755,11 @@ object SparkEntry {
          |    FROM px$r GROUP BY 1)
          |  ORDER BY cnt DESC, pair ASC LIMIT 1),
          |v$r AS (SELECT w, freq,
-         |    replace(st, b.pair,
-         |      '<' || replace(trim(b.pair, '><'), '><', '') || '>') AS st
-         |  FROM v${r - 1}, b$r b)""".stripMargin
+         |    CASE WHEN b.pair IS NULL THEN st
+         |         ELSE replace(st, b.pair,
+         |           '<' || replace(trim(b.pair, '><'), '><', '') || '>')
+         |    END AS st
+         |  FROM v${r - 1} LEFT JOIN b$r b ON TRUE)""".stripMargin
     }
     (init +: stages).mkString(",\n")
   }
@@ -4912,17 +4816,19 @@ object SparkEntry {
   }
 
   /** Oracle twin of the q150 deterministic-mode MVN text generator:
-    * z from md5 Box-Muller (hash31 28-bit uniforms, the +0.5 offset
-    * keeping ln's argument strictly positive), y = mean + L·z with the
-    * same left-associated literal arithmetic as the Spark fold, decode
-    * = per-slot argmax cosine over q35's frequency-capped vocab. */
+    * z from md5 Irwin–Hall(12) pseudo-normals (12 exact 28-bit
+    * uniforms summed, minus 6 — transcendental-free, so every
+    * intermediate is bit-identical cross-engine), y = mean + L·z with
+    * the same left-associated literal arithmetic as the Spark fold,
+    * decode = per-slot argmax cosine over q35's frequency-capped
+    * vocab. */
   private def q150Sql: String = {
     val width = 2 * Q34Dim
     def dl(x: Double): String = x.toString
-    def uSql(k: Int, tag: String): String =
-      s"((CAST(${hash31Sql(s"'q150z#' || CAST(gen_id AS VARCHAR) || '#$k$tag'")} AS DOUBLE) + 0.5) / 268435456.0)"
+    def uSql(k: Int, j: Int): String =
+      s"((CAST(${hash31Sql(s"'q150z#' || CAST(gen_id AS VARCHAR) || '#$k#$j'")} AS DOUBLE) + 0.5) / 268435456.0)"
     def zSql(k: Int): String =
-      s"(sqrt(-2.0 * ln(${uSql(k, "a")})) * cos(${dl(2.0 * math.Pi)} * ${uSql(k, "b")}))"
+      (0 until 12).map(j => uSql(k, j)).mkString("(", " + ", " - 6.0)")
     val ys = (0 until width).map { j =>
       val e = (0 to j).foldLeft(dl(q150Mean(j))) { (acc, k) =>
         s"$acc + ${dl(q150L(j, k))} * ${zSql(k)}" }

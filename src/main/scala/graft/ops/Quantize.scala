@@ -291,14 +291,19 @@ object Quantize {
     // maxExactCompares/qn + 1 rows instead of materializing everything
     // twice.
     val qn = queries.filter(col(qVecCol).isNotNull).count()
-    val cBound = if (qn == 0) 1L
-      else math.min(maxExactCompares / qn + 1, Int.MaxValue.toLong)
-    val cn = corpus.filter(col(cVecCol).isNotNull)
-      .limit(cBound.toInt).count()
-    require(qn == 0 || cn < cBound,
-      s"pqRecallAudit's exact side is a brute-force |queries|x|corpus| scan " +
-        s"($qn x >=$cn compares > $maxExactCompares): run the audit on a " +
-        "SAMPLED query set, or raise maxExactCompares explicitly")
+    val perQuery = if (qn == 0) Long.MaxValue else maxExactCompares / qn
+    // A per-query allowance at or past Int.MaxValue cannot be probed by
+    // a LIMIT count (and the caller has explicitly raised the bound to
+    // billions of corpus rows per query — they own that cost): skip the
+    // guard rather than overflow perQuery + 1 into a negative limit.
+    if (qn > 0 && perQuery < Int.MaxValue) {
+      val cBound = (perQuery + 1).toInt
+      val cn = corpus.filter(col(cVecCol).isNotNull).limit(cBound).count()
+      require(cn < cBound,
+        s"pqRecallAudit's exact side is a brute-force |queries|x|corpus| scan " +
+          s"($qn x >=$cn compares > $maxExactCompares): run the audit on a " +
+          "SAMPLED query set, or raise maxExactCompares explicitly")
+    }
     val pq = pqTopKAdc(queries, corpus, qIdCol, qVecCol, cIdCol, cVecCol,
       dim, m, k, iterations, topK)
       .select(col("query_id"), col("neighbor_id"))
@@ -386,7 +391,12 @@ object Quantize {
                    nCentroids: Int = 256, nprobe: Int = 32,
                    corpusSizeHint: Option[Long] = None): DataFrame =
     if (corpusSizeHint.getOrElse {
-          val bound = math.min(maxExactRows + 1, Int.MaxValue.toLong).toInt
+          // saturating probe: for maxExactRows at or past Int.MaxValue
+          // the LIMIT caps there (counting further is not possible and
+          // a caller explicitly allowing a >2-billion-row exact kernel
+          // owns that choice); the min keeps maxExactRows + 1 from
+          // overflowing into a negative limit
+          val bound = (math.min(maxExactRows, Int.MaxValue - 2L) + 1).toInt
           corpus.filter(col(cVecCol).isNotNull).limit(bound).count()
         } <= maxExactRows)
       int8TopK(queries, corpus, qIdCol, qVecCol, cIdCol, cVecCol, k)
