@@ -559,6 +559,22 @@ object Probe {
         }
       }
     }
+    names.filter(_ == "bpe-scalelaw").foreach { _ =>
+      // BPE training's scale claim: after the single text scan that
+      // collapses the corpus to (word, freq), every merge round is
+      // |vocab|-proportional — the rotation generator grows BOTH the
+      // corpus and the vocabulary (token-disjoint copy-sets), so cost
+      // should track the vocab growth and never the raw text volume
+      // re-scanned per round.
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def at(m: Int): org.apache.spark.sql.DataFrame = rotatedDocs(docs, m)
+      graft.ops.Corpus.bpeTrain(at(1), "text", 5).count() // warmup
+      Seq(1, 4, 10).foreach { m =>
+        val t0 = System.nanoTime()
+        val n = graft.ops.Corpus.bpeTrain(at(m), "text", 5).count()
+        println(f"BPE-SCALELAW x$m: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n merges)")
+      }
+    }
     names.filter(_ == "cosine-sql").foreach { _ =>
       graft.GraftExtensions.registerInto(spark)
       spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("emb")
