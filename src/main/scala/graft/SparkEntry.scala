@@ -963,7 +963,12 @@ object SparkEntry {
     // the streaming query's own state, exercised end-to-end. ---
     "q148_streaming_neardup" -> ((s, d) => {
       import s.implicits._
+      // null texts out up front: a null sketch is one key VALUE to the
+      // streaming dedup state but never equal to anything in the SQL
+      // replay's NOT EXISTS — the corpus has none, pinned here so that
+      // stays true by construction
       val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
+        .filter(col("text").isNotNull)
       val wmin = Window.partitionBy("__b", "__h")
       val shardRows = dup
         .withColumn("__b", when(col("doc_id") < 200, 0)
@@ -1090,7 +1095,9 @@ object SparkEntry {
     // are dropped by dropDuplicatesWithinWatermark state. ---
     "q152_streaming_dedup" -> ((s, d) => {
       import s.implicits._
+      // same null-text pin as q148
       val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
+        .filter(col("text").isNotNull)
       val wmin = Window.partitionBy("__b", "__fp")
       val shardRows = dup
         .withColumn("__b", when(col("doc_id") < 200, 0)
@@ -1139,7 +1146,9 @@ object SparkEntry {
     // suppression is the streaming state. ---
     "q154_streaming_curate" -> ((s, d) => {
       import s.implicits._
+      // same null-text pin as q148
       val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
+        .filter(col("text").isNotNull)
         .withColumn("text",
           when(col("doc_id") % 4 === 0,
             concat(lit("<html><p class=\"x\">"), col("text"),
@@ -2821,7 +2830,8 @@ object SparkEntry {
       // band stage): per-shard exact-sketch dedup (min doc_id wins),
       // then first-shard-wins sketch-equality suppression across shards.
       "q148_streaming_neardup" ->
-        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),
+        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}
+           |            WHERE text IS NOT NULL),
            |s AS (SELECT doc_id,
            |    CASE WHEN doc_id < 200 THEN 0 WHEN doc_id < 400 THEN 1
            |         ELSE 2 END AS batch,
@@ -2866,7 +2876,8 @@ object SparkEntry {
       // Streaming exact-dedup replay: q148's first-shard-wins algebra
       // keyed on the content fingerprint instead of the SimHash word.
       "q152_streaming_dedup" ->
-        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),
+        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}
+           |            WHERE text IS NOT NULL),
            |s AS (SELECT doc_id,
            |    CASE WHEN doc_id < 200 THEN 0 WHEN doc_id < 400 THEN 1
            |         ELSE 2 END AS batch,
@@ -2920,7 +2931,8 @@ object SparkEntry {
       // state the streaming query keeps.
       "q154_streaming_curate" -> {
         val ctc = toksSql("text_clean")
-        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),
+        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}
+           |            WHERE text IS NOT NULL),
            |injected AS (
            |  SELECT doc_id AS id,
            |    CASE WHEN doc_id % 3 = 0
