@@ -64,6 +64,17 @@ object Bench {
     // Per-run query->seconds maps from BENCH_LOG.jsonl, same-scale runs
     // only: an sf0.01 dev run must not set the noise reference for the
     // driver's sf0.1 certification.
+    // TRUE median: even sample counts average the two middle elements.
+    // The upper-middle shortcut (s(n/2)) reports max(a, b) for two
+    // samples — re-admitting the exact outlier the cross-run
+    // certification exists to suppress (one noisy + one calm run would
+    // certify the noisy one).
+    def median(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+
     val histRuns: List[Map[String, Double]] = try {
       val p = java.nio.file.Paths.get("BENCH_LOG.jsonl")
       if (!java.nio.file.Files.exists(p)) Nil
@@ -86,9 +97,10 @@ object Bench {
         samples(k) = v :: samples.getOrElse(k, Nil)
       })
       samples.collect { case (k, vs) if vs.size >= 2 =>
-        val s = vs.sorted; k -> s(s.size / 2)
+        k -> median(vs)
       }.toMap
     }
+
 
     import scala.jdk.CollectionConverters._
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -144,10 +156,7 @@ object Bench {
         val same = histRuns.filter(_.keySet == names).takeRight(4)
         System.err.println(s"[bench] certifying from ${same.size + 1} " +
           "same-suite samples (this run + BENCH_LOG)")
-        results.map { case (k, v) =>
-          val vs = (v :: same.map(_(k))).sorted
-          k -> vs(vs.size / 2)
-        }
+        results.map { case (k, v) => k -> median(v :: same.map(_(k))) }
       }
     println(jsonLine(certified))
     // The driver's stdout capture preserves only a ~2,000-char tail —

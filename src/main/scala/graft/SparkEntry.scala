@@ -285,7 +285,39 @@ object SparkEntry {
     try {
       batches.foreach { b => mem.addData(b); q.processAllAvailable() }
     } finally q.stop()
-    s.read.parquet(outDir)
+    // localCheckpoint materializes the read-back EAGERLY so the temp
+    // sink dir can be deleted here instead of leaking one result copy
+    // per streaming row per run (9 rows x every bench/verify execution)
+    val out = s.read.parquet(outDir).localCheckpoint()
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(outDir))
+    out
+  }
+
+  /** Shared shard prep for the streaming dedup-family harnesses
+    * (q148/q152/q154): bucket docs into three time-ordered shards by
+    * id range, pre-dedup each shard on `key` (min doc_id wins, so
+    * which-row-survives INSIDE a micro-batch is deterministic — the
+    * CROSS-shard suppression stays the streaming query's own state),
+    * and collect the timestamped feed. */
+  private def dedupShards(s: SparkSession, dup: DataFrame, key: Column)
+      : Seq[Seq[(Long, String, Int, java.sql.Timestamp)]] = {
+    import s.implicits._
+    val wmin = Window.partitionBy("__b", "__k")
+    val rows = dup
+      .withColumn("__b", when(col("doc_id") < 200, 0)
+        .when(col("doc_id") < 400, 1).otherwise(2))
+      .withColumn("__k", key)
+      .withColumn("__mn", min("doc_id").over(wmin))
+      .filter(col("doc_id") === col("__mn"))
+      .select(col("doc_id"), col("text"), col("__b"))
+      .as[(Long, String, Int)].collect()
+    (0 to 2).map(b => rows.toSeq.collect { case (id, tx, `b`) =>
+      (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00")) })
   }
 
   private def withDupsSql(table: String, idCol: String, below: Long, shift: Long): String =
@@ -969,18 +1001,7 @@ object SparkEntry {
       // stays true by construction
       val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
         .filter(col("text").isNotNull)
-      val wmin = Window.partitionBy("__b", "__h")
-      val shardRows = dup
-        .withColumn("__b", when(col("doc_id") < 200, 0)
-          .when(col("doc_id") < 400, 1).otherwise(2))
-        .withColumn("__h", Dedup.sketchWord(col("text"), 64))
-        .withColumn("__mn", min("doc_id").over(wmin))
-        .filter(col("doc_id") === col("__mn"))
-        .select(col("doc_id"), col("text"), col("__b"))
-        .as[(Long, String, Int)].collect()
-      val shards: Seq[Seq[(Long, String, Int, java.sql.Timestamp)]] =
-        (0 to 2).map(b => shardRows.toSeq.collect { case (id, tx, `b`) =>
-          (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00")) })
+      val shards = dedupShards(s, dup, Dedup.sketchWord(col("text"), 64))
       runMicroBatched(s, Seq("doc_id", "text", "batch", "ts"), shards,
         "graft-stream-neardup", Seq("doc_id", "batch")) { stream =>
         StreamingProfile.streamingNearDup(stream, "ts", "text")
@@ -1098,18 +1119,7 @@ object SparkEntry {
       // same null-text pin as q148
       val dup = withDups(t(s, d, "documents"), "doc_id", 50, 10000)
         .filter(col("text").isNotNull)
-      val wmin = Window.partitionBy("__b", "__fp")
-      val shardRows = dup
-        .withColumn("__b", when(col("doc_id") < 200, 0)
-          .when(col("doc_id") < 400, 1).otherwise(2))
-        .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
-        .withColumn("__mn", min("doc_id").over(wmin))
-        .filter(col("doc_id") === col("__mn"))
-        .select(col("doc_id"), col("text"), col("__b"))
-        .as[(Long, String, Int)].collect()
-      val shards: Seq[Seq[(Long, String, Int, java.sql.Timestamp)]] =
-        (0 to 2).map(b => shardRows.toSeq.collect { case (id, tx, `b`) =>
-          (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00")) })
+      val shards = dedupShards(s, dup, TextAnalysis.fingerprint(col("text")))
       runMicroBatched(s, Seq("doc_id", "text", "batch", "ts"), shards,
         "graft-stream-dedup", Seq("doc_id", "batch")) { stream =>
         StreamingProfile.streamingDedup(stream, "ts", "text")
@@ -1159,20 +1169,8 @@ object SparkEntry {
             concat(col("text"),
               lit(" contact alice.smith@example.org or +1 (415) 555-0100")))
             .otherwise(col("text")))
-      val cleanedFp = TextAnalysis.fingerprint(
-        TextAnalysis.redactPii(TextAnalysis.stripMarkup(col("text"))))
-      val wmin = Window.partitionBy("__b", "__fp")
-      val shardRows = dup
-        .withColumn("__b", when(col("doc_id") < 200, 0)
-          .when(col("doc_id") < 400, 1).otherwise(2))
-        .withColumn("__fp", cleanedFp)
-        .withColumn("__mn", min("doc_id").over(wmin))
-        .filter(col("doc_id") === col("__mn"))
-        .select(col("doc_id"), col("text"), col("__b"))
-        .as[(Long, String, Int)].collect()
-      val shards: Seq[Seq[(Long, String, Int, java.sql.Timestamp)]] =
-        (0 to 2).map(b => shardRows.toSeq.collect { case (id, tx, `b`) =>
-          (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00")) })
+      val shards = dedupShards(s, dup, TextAnalysis.fingerprint(
+        TextAnalysis.redactPii(TextAnalysis.stripMarkup(col("text")))))
       runMicroBatched(s, Seq("doc_id", "text", "batch", "ts"), shards,
         "graft-stream-curate",
         Seq("id", "text_clean", "lang", "quality", "n_tokens")) { stream =>

@@ -291,15 +291,17 @@ object Quantize {
     // maxExactCompares/qn + 1 rows instead of materializing everything
     // twice.
     val qn = queries.filter(col(qVecCol).isNotNull).count()
-    val perQuery = if (qn == 0) Long.MaxValue else maxExactCompares / qn
-    // A per-query allowance at or past Int.MaxValue cannot be probed by
-    // a LIMIT count (and the caller has explicitly raised the bound to
-    // billions of corpus rows per query — they own that cost): skip the
-    // guard rather than overflow perQuery + 1 into a negative limit.
-    if (qn > 0 && perQuery < Int.MaxValue) {
-      val cBound = (perQuery + 1).toInt
-      val cn = corpus.filter(col(cVecCol).isNotNull).limit(cBound).count()
-      require(cn < cBound,
+    if (qn > 0) {
+      val perQuery = maxExactCompares / qn
+      // A per-query allowance past Int.MaxValue can't be probed by a
+      // LIMIT count (and the cheap early-stop no longer matters next
+      // to a multi-billion-row audit): fall back to the full count so
+      // the bound is ENFORCED at any size, never silently skipped.
+      val cn =
+        if (perQuery < Int.MaxValue)
+          corpus.filter(col(cVecCol).isNotNull).limit(perQuery.toInt + 1).count()
+        else corpus.filter(col(cVecCol).isNotNull).count()
+      require(cn <= perQuery,
         s"pqRecallAudit's exact side is a brute-force |queries|x|corpus| scan " +
           s"($qn x >=$cn compares > $maxExactCompares): run the audit on a " +
           "SAMPLED query set, or raise maxExactCompares explicitly")
@@ -391,13 +393,14 @@ object Quantize {
                    nCentroids: Int = 256, nprobe: Int = 32,
                    corpusSizeHint: Option[Long] = None): DataFrame =
     if (corpusSizeHint.getOrElse {
-          // saturating probe: for maxExactRows at or past Int.MaxValue
-          // the LIMIT caps there (counting further is not possible and
-          // a caller explicitly allowing a >2-billion-row exact kernel
-          // owns that choice); the min keeps maxExactRows + 1 from
-          // overflowing into a negative limit
-          val bound = (math.min(maxExactRows, Int.MaxValue - 2L) + 1).toInt
-          corpus.filter(col(cVecCol).isNotNull).limit(bound).count()
+          // LIMIT-bounded probe while the threshold fits an Int; past
+          // that a LIMIT can't decide the route, so fall back to the
+          // full count — the gate must never silently route a corpus
+          // larger than the threshold to the quadratic kernel
+          if (maxExactRows < Int.MaxValue - 1L)
+            corpus.filter(col(cVecCol).isNotNull)
+              .limit(maxExactRows.toInt + 1).count()
+          else corpus.filter(col(cVecCol).isNotNull).count()
         } <= maxExactRows)
       int8TopK(queries, corpus, qIdCol, qVecCol, cIdCol, cVecCol, k)
     else {

@@ -45,7 +45,10 @@ class GraphSpec extends SparkSpec {
       val (relCc, relPr) = run()
       assert(relCc === localCc)
       assert(relPr === localPr)
-    } finally spark.sparkContext.setCheckpointDir(null)
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
+    }
     assert(spark.sparkContext.getCheckpointDir.isEmpty) // back to local mode
   }
 

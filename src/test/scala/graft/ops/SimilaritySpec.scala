@@ -125,7 +125,10 @@ class SimilaritySpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     try assert(run() === local)
-    finally spark.sparkContext.setCheckpointDir(null)
+    finally {
+      spark.sparkContext.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
+    }
   }
 
   test("cosinePairsBlocked tiles a corpus larger than one block") {
