@@ -69,8 +69,26 @@ object GraftExtensions {
       graft.expressions.InterleaveBits(widened.head, widened(1))
     })
 
+  private val dotFn: FnEntry = (
+    new FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[graft.expressions.DotProduct].getName, "graft_dot"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_dot takes exactly 2 arguments")
+      graft.expressions.DotProduct(children.head, children(1))
+    })
+
+  private val l2normFn: FnEntry = (
+    new FunctionIdentifier("graft_l2norm"),
+    new ExpressionInfo(classOf[graft.expressions.L2Norm].getName, "graft_l2norm"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_l2norm takes exactly 1 argument")
+      graft.expressions.L2Norm(children.head)
+    })
+
   private val fns: Seq[FnEntry] = Seq(
     cosineFn,
+    dotFn,
+    l2normFn,
     digitCountFn,
     interleaveFn,
     columnFn("graft_tokens", 1)(cs => TextAnalysis.tokens(cs.head)),

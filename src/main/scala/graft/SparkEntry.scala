@@ -275,8 +275,9 @@ object SparkEntry {
     val outDir = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    val built = build(stream)
     val q = try {
-      build(stream).writeStream
+      built.writeStream
         .foreachBatch { (bdf: DataFrame, _: Long) =>
           bdf.select(outCols.map(col): _*).write.mode("append").parquet(outDir)
         }
@@ -287,8 +288,13 @@ object SparkEntry {
     } finally q.stop()
     // localCheckpoint materializes the read-back EAGERLY so the temp
     // sink dir can be deleted here instead of leaking one result copy
-    // per streaming row per run (9 rows x every bench/verify execution)
-    val out = s.read.parquet(outDir).localCheckpoint()
+    // per streaming row per run (9 rows x every bench/verify execution).
+    // A query that emitted ZERO rows writes no parquet files — schema
+    // inference on the empty dir would throw; pin the read schema from
+    // the built plan's outCols so the empty case returns an empty frame.
+    val outSchema = org.apache.spark.sql.types.StructType(
+      outCols.map(c => built.schema(c)))
+    val out = s.read.schema(outSchema).parquet(outDir).localCheckpoint()
     def rm(f: java.io.File): Unit = {
       val kids = f.listFiles()
       if (kids != null) kids.foreach(rm)
@@ -1338,6 +1344,41 @@ object SparkEntry {
         .orderBy("merge_rank").collect()
         .map(r => (r.getString(1), r.getString(2)))
       Corpus.bpeEncode(docs, "text", merges.toSeq).orderBy("w")
+    }),
+
+    // --- `.vec` model-artifact load (the file-format level of
+    // `Latanova_v1.py:19`'s FastText load): a word2vec/fastText TEXT
+    // file is materialized from nation (words + exactly-representable
+    // components, so text round-trip is bit-exact), then read back
+    // through the DISTRIBUTED VecFormat.read parse; oracle recomputes
+    // the vectors straight from the table ---
+    "q157_vec_load" -> ((s, d) => {
+      val rows = t(s, d, "nation")
+        .select(
+          regexp_replace(lower(col("n_name")), "[^a-z]", "_").as("word"),
+          array(
+            col("n_nationkey") * lit(0.25d),
+            col("n_regionkey") * lit(1.5d) - lit(3.0d),
+            (col("n_nationkey") % 7) * lit(0.5d) - lit(1.5d),
+            length(col("n_name")) * lit(0.125d)).as("vec"))
+        .collect()  // 25-row dimension-table fixture write, bounded
+      val path = java.nio.file.Files.createTempFile("graft_vec", ".vec")
+      val sb = new StringBuilder
+      sb.append(rows.length).append(' ').append(4).append('\n')
+      rows.foreach { r =>
+        sb.append(r.getString(0))
+        r.getSeq[Double](1).foreach(v => sb.append(' ').append(v))
+        sb.append('\n')
+      }
+      java.nio.file.Files.write(path, sb.result().getBytes("UTF-8"))
+      // localCheckpoint materializes eagerly so the temp file can go
+      val out = graft.text.VecFormat.read(s, path.toString)
+        .select(col("word"), posexplode(col("vector")))
+        .select(col("word"), col("pos").as("j"), col("col").as("v"))
+        .orderBy("word", "j")
+        .localCheckpoint()
+      java.nio.file.Files.deleteIfExists(path)
+      out
     }),
 
     // --- collocation mining: top-k adjacent-token pairs by PMI —
@@ -2920,6 +2961,19 @@ object SparkEntry {
            |  replace(trim(st, '><'), '><', ' ') AS pieces,
            |  CAST(len(string_split(trim(st, '><'), '><')) AS BIGINT) AS n_pieces
            |FROM v10 ORDER BY w""".stripMargin,
+
+      // .vec round-trip: the oracle recomputes the vectors from nation
+      // directly — every component is exactly representable in binary
+      // (quarters/eighths), so the text-format round-trip the engine
+      // performs is bit-lossless and hashes must match.
+      "q157_vec_load" ->
+        """SELECT regexp_replace(lower(n_name), '[^a-z]', '_', 'g') AS word, j, v
+          |FROM (
+          |  SELECT n_name, 0 AS j, n_nationkey * 0.25e0 AS v FROM nation
+          |  UNION ALL SELECT n_name, 1, n_regionkey * 1.5e0 - 3.0e0 FROM nation
+          |  UNION ALL SELECT n_name, 2, (n_nationkey % 7) * 0.5e0 - 1.5e0 FROM nation
+          |  UNION ALL SELECT n_name, 3, length(n_name) * 0.125e0 FROM nation)
+          |ORDER BY word, j""".stripMargin,
 
       // Streaming curation replay: q52's cleaning/feature/filter stages
       // verbatim (shared CTE builders), per-shard pre-thinning on the

@@ -581,7 +581,15 @@ object Multimodal {
         i = body + frameSize
       }
       if (frames == 0) None
-      else Some(("video/x-yuv4mpeg", w, h, frames * 1000L * den / num))
+      else {
+        // untrusted header: frames * 1000 * den can overflow Long for a
+        // crafted rate (e.g. F1:2147483647) over millions of tiny
+        // frames, yielding a negative duration — compute exactly and
+        // reject anything that can't round-trip through a Long
+        val ms = (BigInt(frames) * 1000 * den) / num
+        if (!ms.isValidLong) None
+        else Some(("video/x-yuv4mpeg", w, h, ms.toLong))
+      }
     }
   }
 

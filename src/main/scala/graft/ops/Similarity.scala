@@ -53,21 +53,24 @@ object Similarity {
     when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
   }
 
-  /** Compiled dot-product kernel. Catalyst's higher-order array
-    * functions evaluate per element with boxing (~10x slower on a
-    * 150k-pair scan, measured); the hot pair kernels below use this
-    * tight-loop UDF instead. Left-to-right accumulation == the
-    * aggregate() expression == the oracle, so results are bit-identical. */
-  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
+  /** Native codegen dot-product kernel for the hot pair scans.
+    * Catalyst's higher-order array functions evaluate per element with
+    * boxing (~10x slower on a 150k-pair scan, measured), and a Scala
+    * UDF boxes both arrays into Seq[Double] and breaks whole-stage
+    * codegen at the call boundary; [[graft.expressions.DotProduct]]
+    * inlines the primitive loop into the generated stage instead.
+    * Left-to-right accumulation == the old UDF == the aggregate()
+    * expression == the oracle, so results are bit-identical. */
+  private def dotNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   }
 
-  private val normUdf = udf { (a: Seq[Double]) =>
-    var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i) * a(i); i += 1 }
-    math.sqrt(s)
+  private def normNative(a: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.L2Norm(
+      GraftColumnBridge.expression(a)))
   }
 
   /** Project (id, vec:double[], norm) once — every pair then costs one
@@ -75,12 +78,12 @@ object Similarity {
   private def withNorm(df: DataFrame, idCol: String, vecCol: String,
                        id: String, v: String, n: String): DataFrame =
     df.select(col(idCol).as(id), transform(col(vecCol), _.cast("double")).as(v))
-      .withColumn(n, normUdf(col(v)))
+      .withColumn(n, normNative(col(v)))
 
   /** sim = dot/(na*nb) with precomputed norms — same expression shape
     * (sqrt'd norms multiplied, then one division) as [[cosine]]. */
   private def pairSim(va: Column, vb: Column, na: Column, nb: Column): Column =
-    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dotUdf(va, vb) / (na * nb))
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dotNative(va, vb) / (na * nb))
 
   /** Exact top-k neighbors for each query vector. `queries` is collected
     * and broadcast (must be small); ties broken by corpus id ascending. */
@@ -150,11 +153,11 @@ object Similarity {
                     k: Int): DataFrame = {
     val q = queries.select(col(qId).as("query_id"), col(qLabel).as("__ql"),
         transform(col(qVec), _.cast("double")).as("__qv"))
-      .withColumn("__qn", normUdf(col("__qv")))
+      .withColumn("__qn", normNative(col("__qv")))
       .hint("broadcast")
     val c = corpus.select(col(cId).as("neighbor_id"), col(cLabel).as("__cl"),
         transform(col(cVec), _.cast("double")).as("__cv"))
-      .withColumn("__cn", normUdf(col("__cv")))
+      .withColumn("__cn", normNative(col("__cv")))
     val scored = q.crossJoin(c)
       .filter(!(col("__ql") <=> col("__cl")))
       .withColumn("sim", pairSim(col("__qv"), col("__cv"), col("__qn"), col("__cn")))

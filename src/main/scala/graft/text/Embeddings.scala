@@ -119,6 +119,86 @@ object EmbeddingModel {
   }
 }
 
+/** Reader for the public word2vec / fastText TEXT vector format
+  * (`.vec`): optional header line `"<n> <dim>"`, then one
+  * `"word v1 v2 ... v<dim>"` row per line, whitespace-separated —
+  * the format `fasttext print-word-vectors` / gensim
+  * `save_word2vec_format(binary=False)` emit. This is the file-level
+  * ingestion path for the reference's model-artifact load
+  * (`Latanova_v1.py:19` loads a gensim FastText model; a user brings
+  * the published `.vec` export of the same model here).
+  *
+  * The parse is fully distributed: `spark.read.text` splits the file
+  * across executors and every row parses in a codegen'd
+  * split/slice/cast pipeline — a 10 GB vector file never funnels
+  * through the driver. Only the dim probe reads one line. */
+object VecFormat {
+
+  /** Parse `.vec` at `path` into a (word string, vector array<double>)
+    * DataFrame. Rows whose field count doesn't match the detected dim
+    * (the header, blank lines, corrupt rows) are dropped. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+      .select(split(trim(col("value")), "\\s+").as("p"))
+      .filter(size(col("p")) >= 2)
+    // dim: from the "<n> <dim>" header when present (both fields
+    // integers), else first data row's field count - 1 (GloVe-style
+    // headerless files)
+    val header = lines
+      .filter(size(col("p")) === 2 &&
+        element_at(col("p"), 1).cast("int").isNotNull &&
+        element_at(col("p"), 2).cast("int").isNotNull)
+      .select(element_at(col("p"), 2).cast("int"))
+      .take(1)
+    val dim =
+      if (header.nonEmpty) header(0).getInt(0)
+      else lines.select(size(col("p"))).take(1)(0).getInt(0) - 1
+    require(dim > 0, s"could not detect vector dimension in $path")
+    lines.filter(size(col("p")) === dim + 1 &&
+        element_at(col("p"), 2).cast("double").isNotNull)
+      .select(element_at(col("p"), 1).as("word"),
+        transform(slice(col("p"), 2, dim), _.cast("double")).as("vector"))
+  }
+
+  /** One-call form: `.vec` file → broadcastable [[EmbeddingModel]]. */
+  def load(spark: SparkSession, path: String, seed: Long = 42L): EmbeddingModel =
+    EmbeddingModel.fromDataFrame(read(spark, path), "word", "vector", seed)
+}
+
+/** FastText-style subword OOV composition (Bojanowski et al. 2017):
+  * an out-of-vocabulary token embeds as the MEAN of its character
+  * n-gram vectors (n in [minn, maxn], over the boundary-marked form
+  * `<token>`) — the mechanism gensim FastText applies at
+  * `Latanova_v1.py:50`'s `model.wv[token]` for unseen words. A `.vec`
+  * export carries no n-gram matrix, so the gram vectors here come
+  * from the deterministic hash embedding at the model's seed; swap in
+  * a gram table to mirror a full `.bin` model. In-vocabulary tokens
+  * return their table vector unchanged. */
+final case class SubwordEmbedder(base: EmbeddingModel,
+                                 minn: Int = 3, maxn: Int = 6) extends Embedder {
+  def dim: Int = base.dim
+  def lookup(token: String): Array[Double] =
+    base.table.get(token) match {
+      case Some(v) => v
+      case None =>
+        val w = s"<$token>"
+        val grams = for {
+          n <- minn to math.min(maxn, w.length)
+          i <- 0 to w.length - n
+        } yield w.substring(i, i + n)
+        if (grams.isEmpty) base.lookup(token)
+        else {
+          val out = new Array[Double](dim)
+          grams.foreach { g =>
+            val v = HashEmbeddings.vector(g, dim, base.seed)
+            var j = 0; while (j < dim) { out(j) += v(j); j += 1 }
+          }
+          var j = 0; while (j < dim) { out(j) /= grams.length; j += 1 }
+          out
+        }
+    }
+}
+
 object Vectorize {
 
   /** entries → fixed-width concat vector: first `maxTokens` token

@@ -1,0 +1,81 @@
+package graft.text
+
+import graft.SparkSpec
+
+class VecFormatSpec extends SparkSpec {
+
+  private def writeVec(content: String): String = {
+    val p = java.nio.file.Files.createTempFile("graft_vecspec", ".vec")
+    java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  test("parses the headered word2vec/fastText text format") {
+    val path = writeVec(
+      """3 4
+        |alpha 1.0 0.5 -0.25 0.125
+        |beta 0.0 -1.0 2.0 3.5
+        |gamma -0.5 0.5 -0.5 0.5
+        |""".stripMargin)
+    val rows = VecFormat.read(spark, path).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(rows.keySet === Set("alpha", "beta", "gamma"))
+    assert(rows("alpha").toSeq === Seq(1.0, 0.5, -0.25, 0.125))
+    assert(rows("beta").toSeq === Seq(0.0, -1.0, 2.0, 3.5))
+  }
+
+  test("headerless (GloVe-style) files infer dim from the first row") {
+    val path = writeVec(
+      """alpha 1.0 2.0 3.0
+        |beta 4.0 5.0 6.0
+        |""".stripMargin)
+    val rows = VecFormat.read(spark, path).collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getSeq[Double](1).length === 3))
+  }
+
+  test("corrupt / wrong-arity rows are dropped, not fatal") {
+    val path = writeVec(
+      """2 3
+        |alpha 1.0 2.0 3.0
+        |truncated 1.0 2.0
+        |beta 4.0 5.0 6.0
+        |""".stripMargin)
+    val words = VecFormat.read(spark, path).collect().map(_.getString(0)).toSet
+    assert(words === Set("alpha", "beta"))
+  }
+
+  test("load: file -> EmbeddingModel with table lookups and OOV fallback") {
+    val path = writeVec(
+      """2 3
+        |alpha 1.0 2.0 3.0
+        |beta 4.0 5.0 6.0
+        |""".stripMargin)
+    val model = VecFormat.load(spark, path, seed = 7L)
+    assert(model.dim === 3)
+    assert(model.lookup("alpha").toSeq === Seq(1.0, 2.0, 3.0))
+    // OOV falls back to the deterministic hash vector at the model seed
+    assert(model.lookup("missing").toSeq ===
+      HashEmbeddings.vector("missing", 3, 7L).toSeq)
+  }
+
+  test("SubwordEmbedder: in-vocab unchanged; OOV = mean of char n-gram vectors") {
+    val base = EmbeddingModel(dim = 3, seed = 11L,
+      table = Map("word" -> Array(1.0, 1.0, 1.0)))
+    val sub = SubwordEmbedder(base, minn = 3, maxn = 4)
+    assert(sub.lookup("word").toSeq === Seq(1.0, 1.0, 1.0))
+    // "<oov>" (len 5): 3-grams <oo, oov, ov>; 4-grams <oov, oov>
+    val w = "<oov>"
+    val grams = (3 to 4).flatMap(n => (0 to w.length - n).map(i => w.substring(i, i + n)))
+    val expected = new Array[Double](3)
+    grams.foreach { g =>
+      val v = HashEmbeddings.vector(g, 3, 11L)
+      (0 until 3).foreach(j => expected(j) += v(j))
+    }
+    (0 until 3).foreach(j => expected(j) /= grams.length)
+    assert(sub.lookup("oov").toSeq === expected.toSeq)
+    // deterministic: two calls identical
+    assert(sub.lookup("oov").toSeq === sub.lookup("oov").toSeq)
+  }
+}
