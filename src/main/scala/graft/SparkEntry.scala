@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.util.chaining._
 
 import graft.engine.{Detector, DetectorConfig, Histogram, Profiler}
 import graft.ops.{Bucketing, Corpus, Curation, Dedup, Drift, Expectations, Frequent, Graph, Layout, Multimodal, Prefix, Quantize, Sampling, Similarity, Sink, Skew, Snapshot, Temporal, TextAnalysis}
@@ -1333,6 +1334,14 @@ object SparkEntry {
     // the identical marker-string replace algebra ---
     "q155_bpe_train" -> ((s, d) =>
       Corpus.bpeTrain(t(s, d, "documents"), "text", nMerges = 10)
+        .orderBy("merge_rank")),
+
+    // --- BPE training, production form: one distributed vocab scan +
+    // driver-local delta-recount merge loop (zero Spark jobs per merge
+    // round vs q155's one-job-per-round) — same merge table by
+    // contract, same oracle replay as q155 ---
+    "q158_bpe_train_fast" -> ((s, d) =>
+      Corpus.bpeTrainLocal(t(s, d, "documents"), "text", nMerges = 10)
         .orderBy("merge_rank")),
 
     // --- BPE encode with the trained table: merges applied in rank
@@ -4742,6 +4751,9 @@ object SparkEntry {
            |  64 + ((${hd(5)} * 16 + ${hd(6)}) * 256 + (${hd(7)} * 16 + ${hd(8)})) % 1985 AS height,
            |  CAST(NULL AS BIGINT) AS duration_ms
            |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin)
+      // q158 is bpeTrainLocal — bit-identical-by-contract to q155's
+      // bpeTrain (spec-enforced), so it shares q155's oracle replay
+      .pipe(m => m + ("q158_bpe_train_fast" -> m("q155_bpe_train")))
   }
 
   // q34 parameters (the md5 embedding component both engines share

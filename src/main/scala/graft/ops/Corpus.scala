@@ -272,6 +272,134 @@ object Corpus {
       .toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
   }
 
+  /** [[bpeTrain]] with the merge loop run DRIVER-LOCAL over the
+    * aggregated vocabulary — the production-scale form. The corpus
+    * collapses to (word, freq) in ONE distributed text scan (the only
+    * data-volume-dependent step, exactly as [[bpeTrain]]); the merge
+    * loop then runs in memory with the standard delta-recount
+    * structure (lazy max-heap over pair counts + inverted index
+    * pair → words containing it; each round touches only the words
+    * containing the merged pair) — this is how SentencePiece /
+    * HuggingFace tokenizer trainers work, and it removes [[bpeTrain]]'s
+    * one-Spark-job-plus-one-collect PER MERGE ROUND: a 32k-merge
+    * production vocab costs 32k sequential jobs there and ZERO here.
+    *
+    * Output is bit-identical to [[bpeTrain]] (spec-enforced): same
+    * tokenizer, same greedy leftmost non-overlapping merge application,
+    * and the same tie-break — count desc, then the marker-delimited
+    * pair string `<l><r>` ascending (NOT (l, r) lexicographic: `<`
+    * sorts below letters, so `<a><bc>` < `<ab><c>`).
+    *
+    * `vocabCap` bounds driver memory: top-cap words by (freq desc,
+    * word asc). Exact equivalence holds when |vocab| <= cap; a 100 TB
+    * corpus's [a-z]{2,15} vocabulary is itself bounded (well under
+    * 10^7 real words), so the default cap is a safety rail, not a
+    * sampling step. */
+  def bpeTrainLocal(df: DataFrame, textCol: String, nMerges: Int,
+                    vocabCap: Int = 2000000): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab: Array[(String, Long)] = df
+      .select(explode(tokens(col(textCol).cast("string"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("w")).limit(vocabCap)
+      .as[(String, Long)].collect()
+
+    // word state: symbol arrays; pair bookkeeping
+    val words: Array[Array[String]] =
+      vocab.map(_._1.split("").filter(_.nonEmpty))
+    val freqs: Array[Long] = vocab.map(_._2)
+    type Pair = (String, String)
+    def pairStr(p: Pair): String = s"<${p._1}><${p._2}>"
+    val counts = scala.collection.mutable.HashMap.empty[Pair, Long]
+    val where = scala.collection.mutable.HashMap.empty[Pair, scala.collection.mutable.Set[Int]]
+    // adjacent pairs of a symbol array, with multiplicity
+    def pairsOf(syms: Array[String]): Iterator[Pair] =
+      if (syms.length < 2) Iterator.empty
+      else (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+    var wi = 0
+    while (wi < words.length) {
+      pairsOf(words(wi)).foreach { p =>
+        counts(p) = counts.getOrElse(p, 0L) + freqs(wi)
+        where.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+      }
+      wi += 1
+    }
+    // lazy max-heap: entries are (count-at-push, pair); stale entries
+    // (count changed since push) are discarded at pop
+    val heapOrd: Ordering[(Long, Pair)] = Ordering.by {
+      case (c, p) => (c, ReverseStringOrd(pairStr(p)))
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Pair)](heapOrd)
+    counts.foreach { case (p, c) => heap.enqueue((c, p)) }
+
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      // pop to the first non-stale entry
+      var best: Option[(Long, Pair)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val (c, p) = heap.dequeue()
+        if (counts.get(p).contains(c) && c > 0) best = Some((c, p))
+      }
+      best match {
+        case None => exhausted = true
+        case Some((cnt, pair @ (l, rgt))) =>
+          merges += ((r, l, rgt, l + rgt, cnt))
+          val affected = where.getOrElse(pair, scala.collection.mutable.Set.empty)
+            .toArray.sorted
+          // every pair whose count changes this round gets ONE fresh
+          // heap entry at its end-of-round value — a pair that was
+          // only decremented would otherwise have nothing but stale
+          // (too-high) entries and become unfindable at pop time
+          val changed = scala.collection.mutable.Set.empty[Pair]
+          affected.foreach { i =>
+            val syms = words(i)
+            val f = freqs(i)
+            // greedy leftmost non-overlapping merge — the exact
+            // semantics of string replace on the delimited form
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == rgt) {
+                out += (l + rgt); j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            val next = out.toArray
+            // delta recount: retract this word's old pairs (with
+            // multiplicity), drop its membership, then add the new form
+            pairsOf(syms).foreach { p =>
+              val c2 = counts.getOrElse(p, 0L) - f
+              if (c2 <= 0L) counts.remove(p) else counts(p) = c2
+              changed += p
+            }
+            pairsOf(syms).toSet.foreach { (p: Pair) =>
+              where.get(p).foreach(_ -= i)
+            }
+            words(i) = next
+            pairsOf(next).foreach { p =>
+              counts(p) = counts.getOrElse(p, 0L) + f
+              where.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += i
+              changed += p
+            }
+          }
+          counts.remove(pair)
+          where.remove(pair)
+          changed.foreach(p => counts.get(p).foreach(c => heap.enqueue((c, p))))
+          r += 1
+      }
+    }
+    merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** Reverse-ordering wrapper so the max-heap's secondary key is the
+    * delimited pair string ASCENDING (count desc is primary). */
+  private case class ReverseStringOrd(s: String) extends Ordered[ReverseStringOrd] {
+    def compare(that: ReverseStringOrd): Int = that.s.compareTo(s)
+  }
+
   /** BPE ENCODE with a [[bpeTrain]]-trained merge table: apply the
     * merges to every distinct word in rank order (sequential
     * application in learned order is the reference BPE segmenter —

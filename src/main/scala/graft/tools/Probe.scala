@@ -575,6 +575,85 @@ object Probe {
         println(f"BPE-SCALELAW x$m: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n merges)")
       }
     }
+    names.filter(_ == "streaming-scalelaw").foreach { _ =>
+      // VERDICT r8 #6: the bench's top band is all streaming rows —
+      // attribute their cost to micro-batch trigger fixed overhead vs
+      // per-row work by running the SAME q154-class pipeline (full
+      // streamingCurate, 3 shards + watermark state) at 1x/4x/10x
+      // volume. Receipt: the s/row slope vs the x1 intercept.
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("text").isNotNull)
+      val cfg = graft.ops.Curation.CurationConfig(lang = Some("en"),
+        minQuality = 0.5, minTokens = 5, sampleFraction = 0.5)
+      def run(m: Int): (Int, Double) = {
+        val rows = rotatedDocs(docs0, m)
+          .select(col("doc_id"), col("text"), (col("doc_id") % 3).cast("int"))
+          .as[(Long, String, Int)].collect()
+        val batches = (0 to 2).map { b =>
+          rows.toSeq.collect { case (id, tx, `b`) =>
+            (id, tx, b, new java.sql.Timestamp(1700000000000L + b * 60000L)) }
+        }
+        val t0 = System.nanoTime()
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, Int, java.sql.Timestamp)]
+        val stream = mem.toDF().toDF("doc_id", "text", "batch", "ts")
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = try {
+          graft.streaming.StreamingProfile
+            .streamingCurate(stream, "ts", "doc_id", "text", cfg)
+            .writeStream
+            .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+              bdf.write.format("noop").mode("overwrite").save()
+            }
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .start()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        finally q.stop()
+        (rows.length, (System.nanoTime() - t0) / 1e9)
+      }
+      run(1) // warmup: state-store + streaming codegen init
+      val pts = Seq(1, 4, 10).map { m =>
+        val (n, dt) = run(m)
+        println(f"STREAM-SCALELAW x$m: $dt%6.2f s  ($n rows)")
+        (n, dt)
+      }
+      val (n1, t1) = pts.head; val (n10, t10) = pts.last
+      val slope = (t10 - t1) / (n10 - n1)
+      val fixed = t1 - slope * n1
+      println(f"STREAM-SCALELAW fit: fixed=$fixed%.2f s/run, slope=${slope * 1e6}%.1f us/row " +
+        f"(fixed share at x1: ${fixed / t1 * 100}%.0f%%)")
+    }
+    names.filter(_ == "bpe-merges-scalelaw").foreach { _ =>
+      // VERDICT r8 #4: per-merge cost law across nMerges. The
+      // distributed loop pays one Spark job + collect PER ROUND (cost
+      // ~linear in rounds, never amortizing); the driver-local
+      // delta-recount loop pays one vocab scan total, then per-round
+      // cost proportional to the words containing the merged pair
+      // (shrinking as merges specialize). Receipt: local per-merge
+      // cost must FALL with nMerges while distributed stays ~flat.
+      // rotatedDocs(10): token-disjoint copy-sets 10x the vocabulary,
+      // so 1000 merge rounds actually happen instead of exhausting
+      val docs = rotatedDocs(spark.read.parquet(s"$sfDir/documents.parquet"), 10)
+      graft.ops.Corpus.bpeTrainLocal(docs, "text", 5).count() // warmup
+      graft.ops.Corpus.bpeTrain(docs, "text", 5).count()
+      Seq(10, 100, 1000).foreach { n =>
+        val t0 = System.nanoTime()
+        val got = graft.ops.Corpus.bpeTrainLocal(docs, "text", n).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"BPE-MERGES local  n=$n%5d: $dt%7.2f s  ($got merges, ${dt / got * 1000}%.2f ms/merge)")
+      }
+      Seq(10, 100).foreach { n =>
+        val t0 = System.nanoTime()
+        val got = graft.ops.Corpus.bpeTrain(docs, "text", n).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"BPE-MERGES spark  n=$n%5d: $dt%7.2f s  ($got merges, ${dt / got * 1000}%.2f ms/merge)")
+      }
+    }
     names.filter(_ == "cosine-sql").foreach { _ =>
       graft.GraftExtensions.registerInto(spark)
       spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("emb")

@@ -440,4 +440,41 @@ class CorpusSpec extends SparkSpec {
     assert(enc1("aaab") === (("a a ab", 3L)))
     assert(enc1("ab") === (("ab", 1L)))
   }
+
+  test("bpeTrainLocal: bit-identical merge table to bpeTrain (hand case, " +
+    "tie-breaks, exhaustion) and on a realistic corpus; vocabCap bound") {
+    import spark.implicits._
+    // same hand-computed fixture as the bpeTrain test — ties and
+    // greedy-leftmost must resolve identically in the driver-local loop
+    val docs = Seq((1L, "ab ab ab aaab aaab")).toDF("doc_id", "text")
+    val local = Corpus.bpeTrainLocal(docs, "text", nMerges = 10)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(local.toSeq === Seq(
+      (1, "a", "b", "ab", 5L),
+      (2, "a", "a", "aa", 2L),
+      (3, "aa", "ab", "aaab", 2L)))
+    // realistic corpus: 40 merges over generated multi-word docs must
+    // match the distributed loop row-for-row (the q158-vs-q155 contract)
+    val corpus = spark.range(200).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        element_at(typedLit(Seq("alpha", "beta", "gamma", "delta", "epsilon")),
+          (col("id") % 5 + 1).cast("int")),
+        element_at(typedLit(Seq("red", "green", "blue")),
+          (col("id") % 3 + 1).cast("int")),
+        element_at(typedLit(Seq("apple", "banana", "cherry", "date")),
+          (col("id") % 4 + 1).cast("int"))).as("text"))
+    val a = Corpus.bpeTrain(corpus, "text", nMerges = 40)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    val b = Corpus.bpeTrainLocal(corpus, "text", nMerges = 40)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // vocabCap keeps only the top words — with cap 1 ("alpha"-family
+    // loses to nothing deterministic here, just assert it still runs
+    // and returns a valid non-empty table over the single kept word)
+    val capped = Corpus.bpeTrainLocal(corpus, "text", nMerges = 3, vocabCap = 1)
+      .collect()
+    assert(capped.nonEmpty && capped.length <= 3)
+  }
 }
