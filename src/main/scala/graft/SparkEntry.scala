@@ -1390,6 +1390,74 @@ object SparkEntry {
       out
     }),
 
+    // --- end-to-end synthetic pipeline in DETERMINISTIC mode (the
+    // q150 technique composed across ALL scalar generator families —
+    // VERDICT r8 #7): profile orders (exact decimal-sum moments,
+    // quantized at the q01/q07-proven precisions), then generate 500
+    // rows of integer/float clipped Gaussians, Bernoulli, inverse-CDF
+    // categorical, and day-rendered datetime from md5 Irwin–Hall
+    // draws. Every draw and every profile parameter is bit-identical
+    // cross-engine, so the whole pipeline hash-matches — the
+    // value-level twin q32 (genuinely seeded, rows-only by contract)
+    // cannot have. Epoch moments are computed CENTERED on min(epoch)
+    // so the decimal squares stay exact and the variance subtraction
+    // keeps ~8 significant digits instead of cancelling at 1e18. ---
+    "q159_synthetic_deterministic" -> ((s, d) => {
+      import graft.engine.{BoolFormat, DatetimeStats, Generators, NumericStats, Profiler}
+      val o = t(s, d, "orders")
+      val dec6 = DecimalType(38, 6)
+      val e = unix_timestamp(col("o_orderdate"))
+      val mnE = o.agg(min(e)).collect()(0).getLong(0)
+      val ec = e - lit(mnE)
+      val r = o.agg(
+        count(lit(1)).as("n"),
+        sum(col("o_custkey").cast(dec6)).as("s_ck"),
+        sum((col("o_custkey") * col("o_custkey")).cast(dec6)).as("ss_ck"),
+        min(col("o_custkey")).cast("double").as("mn_ck"),
+        max(col("o_custkey")).cast("double").as("mx_ck"),
+        sum(col("o_totalprice").cast(dec6)).as("s_tp"),
+        sum((col("o_totalprice") * col("o_totalprice")).cast(dec6)).as("ss_tp"),
+        min(col("o_totalprice")).as("mn_tp"),
+        max(col("o_totalprice")).as("mx_tp"),
+        sum(ec.cast(dec6)).as("s_e"),
+        sum((ec * ec).cast(DecimalType(38, 0))).as("ss_e"),
+        max(e).cast("double").as("mx_e"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("bt")
+      ).collect()(0)
+      val n = r.getLong(0).toDouble
+      // Spark SQL round semantics exactly: BigDecimal.valueOf (the
+      // shortest-repr path) + HALF_UP — what the oracle's round() must
+      // agree with, as every round(...,6) row already proves it does
+      def rnd(x: Double, dp: Int): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(dp, java.math.RoundingMode.HALF_UP).doubleValue
+      def dd(i: Int): Double = r.getDecimal(i).doubleValue
+      def stats(sIdx: Int, ssIdx: Int, mn: Double, mx: Double, dp: Int,
+                off: Double = 0.0): NumericStats = {
+        val m = dd(sIdx) / n
+        NumericStats(mean = off + rnd(m, dp),
+          std = rnd(math.sqrt(dd(ssIdx) / n - m * m), dp),
+          median = 0, min = mn, max = mx, skewness = 0, kurtosis = 0,
+          q1 = 0, q3 = 0, count = n.toLong)
+      }
+      val ckStats = stats(1, 2, r.getDouble(3), r.getDouble(4), 6)
+      val tpStats = stats(5, 6, r.getDouble(7), r.getDouble(8), 6)
+      val eStats = stats(9, 10, mnE.toDouble, r.getDouble(11), 2, off = mnE.toDouble)
+      val dtStats = DatetimeStats(eStats, "", "", "YYYY-MM-DD")
+      val pBool = r.getLong(12).toDouble / n
+      val catStats = Profiler.profileCategorical(o, "o_orderstatus")
+      val id = col("id")
+      val D = Generators.Deterministic
+      s.range(Q159N).select(
+        id.as("gen_id"),
+        D.numericInt(ckStats, "q159ck", id).as("num_int"),
+        D.numericFloat(tpStats, "q159tp", id).as("num_float"),
+        D.boolean(pBool, BoolFormat.TrueFalse, "q159b", id).as("bool_val"),
+        D.categoricalDet(catStats, "q159c", id).as("cat_val"),
+        D.datetimeDay(dtStats, "yyyy-MM-dd", "q159d", id).as("dt_val")
+      ).orderBy("gen_id")
+    }),
+
     // --- collocation mining: top-k adjacent-token pairs by PMI —
     // the phrase-induction pass of tokenizer/vocab pipelines ---
     "q134_collocations" -> ((s, d) =>
@@ -2907,6 +2975,7 @@ object SparkEntry {
       // capped-vocab decode — per slot the best (cosine desc, word asc)
       // vocab word, md5 component embeddings replayed via hash31.
       "q150_mvn_text_decode" -> q150Sql,
+      "q159_synthetic_deterministic" -> q159Sql,
 
       // Streaming numeric-profile replay: every real per-day window
       // closes under the sentinel watermark, so the emitted stream must
@@ -4774,6 +4843,7 @@ object SparkEntry {
   // factorization is not SQL-expressible); the sampler algebra is
   // what this row pins.
   private val Q150N = 200L
+  private val Q159N = 500L
   private def q150Mean(j: Int): Double =
     graft.text.HashEmbeddings.component("q150mean", j, 150L)
   private def q150L(j: Int, k: Int): Double =
@@ -4889,6 +4959,71 @@ object SparkEntry {
        |filt AS (
        |  SELECT * FROM feat
        |  WHERE lang = 'en' AND quality >= 0.5 AND n_tokens >= 5)""".stripMargin
+  }
+
+  /** Oracle twin of q159's deterministic synthetic pipeline: the SAME
+    * exact-decimal profile moments (epoch CENTERED on min), the SAME
+    * quantization (round 6 for the small-scale numerics, round 2 for
+    * epochs — the q01/q07-proven cross-engine precisions), and the
+    * SAME md5 Irwin–Hall draws, composed per generator family. Every
+    * arithmetic step is written in the same association order as the
+    * Spark expressions so doubles stay bit-identical. */
+  private def q159Sql: String = {
+    def uSql(tag: String, j: Int): String =
+      s"((CAST(${hash31Sql(s"'$tag#' || CAST(gen_id AS VARCHAR) || '#0#$j'")} AS DOUBLE) + 0.5) / 268435456.0)"
+    def zSql(tag: String): String =
+      (0 until 12).map(j => uSql(tag, j)).mkString("(", " + ", " - 6.0)")
+    s"""WITH st AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(CAST(o_custkey AS DECIMAL(38,6))) AS DOUBLE) AS s_ck,
+       |    CAST(sum(CAST(o_custkey * o_custkey AS DECIMAL(38,6))) AS DOUBLE) AS ss_ck,
+       |    CAST(min(o_custkey) AS DOUBLE) AS mn_ck,
+       |    CAST(max(o_custkey) AS DOUBLE) AS mx_ck,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s_tp,
+       |    CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS ss_tp,
+       |    min(o_totalprice) AS mn_tp, max(o_totalprice) AS mx_tp,
+       |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS DOUBLE) AS bt
+       |  FROM orders),
+       |emn AS (SELECT min(CAST(epoch(o_orderdate) AS BIGINT)) AS mn_e FROM orders),
+       |est AS (SELECT
+       |    CAST(sum(CAST(CAST(epoch(o_orderdate) AS BIGINT) - mn_e AS DECIMAL(38,6))) AS DOUBLE) AS s_e,
+       |    CAST(sum(CAST((CAST(epoch(o_orderdate) AS BIGINT) - mn_e) * (CAST(epoch(o_orderdate) AS BIGINT) - mn_e) AS DECIMAL(38,0))) AS DOUBLE) AS ss_e,
+       |    CAST(max(CAST(epoch(o_orderdate) AS BIGINT)) AS DOUBLE) AS mx_e
+       |  FROM orders, emn),
+       |p AS (SELECT
+       |    round(s_ck / n, 6) AS mean_ck,
+       |    round(sqrt(ss_ck / n - (s_ck / n) * (s_ck / n)), 6) AS std_ck,
+       |    mn_ck, mx_ck,
+       |    round(s_tp / n, 6) AS mean_tp,
+       |    round(sqrt(ss_tp / n - (s_tp / n) * (s_tp / n)), 6) AS std_tp,
+       |    mn_tp, mx_tp,
+       |    CAST(mn_e AS DOUBLE) + round(s_e / n, 2) AS mean_e,
+       |    round(sqrt(ss_e / n - (s_e / n) * (s_e / n)), 2) AS std_e,
+       |    CAST(mn_e AS DOUBLE) AS mnd_e, mx_e,
+       |    bt / n AS p_bool
+       |  FROM st, emn, est),
+       |cat AS (SELECT CAST(o_orderstatus AS VARCHAR) AS val, count(*) AS cnt
+       |  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1),
+       |cum AS (SELECT val,
+       |    CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM cat) AS pr,
+       |    row_number() OVER (ORDER BY cnt DESC, val ASC) AS rn FROM cat),
+       |cum2 AS (SELECT val, rn,
+       |    sum(pr) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS cp FROM cum),
+       |r AS (SELECT CAST(i AS BIGINT) AS gen_id FROM range($Q159N) t(i)),
+       |g AS (SELECT gen_id,
+       |    ${zSql("q159ck")} AS z_ck, ${zSql("q159tp")} AS z_tp,
+       |    ${zSql("q159d")} AS z_d,
+       |    ${uSql("q159b", 0)} AS u_b, ${uSql("q159c", 0)} AS u_c
+       |  FROM r)
+       |SELECT gen_id,
+       |  CAST(floor(least(greatest(z_ck * std_ck + mean_ck, mn_ck), mx_ck) + 0.5) AS BIGINT) AS num_int,
+       |  floor(least(greatest(z_tp * std_tp + mean_tp, mn_tp), mx_tp) * 100.0 + 0.5) / 100.0 AS num_float,
+       |  CASE WHEN u_b < p_bool THEN 'True' ELSE 'False' END AS bool_val,
+       |  coalesce(
+       |    (SELECT val FROM cum2 WHERE g.u_c < cum2.cp ORDER BY rn LIMIT 1),
+       |    (SELECT val FROM cum2 ORDER BY rn DESC LIMIT 1)) AS cat_val,
+       |  strftime(DATE '1970-01-01' + CAST(floor(least(greatest(z_d * std_e + mean_e, mnd_e), mx_e) / 86400.0) AS INTEGER), '%Y-%m-%d') AS dt_val
+       |FROM g, p ORDER BY gen_id""".stripMargin
   }
 
   /** Oracle twin of the q150 deterministic-mode MVN text generator:

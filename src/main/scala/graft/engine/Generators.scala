@@ -93,6 +93,81 @@ object Generators {
     withIdx.join(broadcast(table), "__bootstrap_idx").drop("__bootstrap_idx")
   }
 
+  /** Deterministic cross-engine mode of the sampler family (the q150
+    * technique generalized): every random draw is an md5-derived
+    * 28-bit uniform keyed on (tag, row id, stream, draw) and normals
+    * are Irwin–Hall(12) pseudo-normals (Σ of 12 exact uniforms − 6 —
+    * mean 0, variance 1, transcendental-free), so any engine that can
+    * md5 a string replays the EXACT bits: no ln/cos whose last ulp
+    * could differ between libms, no engine-private RNG stream. The
+    * seeded `rand`/`randn` forms above stay the production default
+    * (cheaper per draw); this mode exists for cross-engine audits and
+    * regression oracles, and quantized profile stats should be fed to
+    * it (the q159 contract: stats rounded at the q01/q07-proven
+    * precisions) so both engines inline bit-identical parameters. */
+  object Deterministic {
+    /** Uniform in (0,1) on the 2^-28 grid, center-offset: first 7 hex
+      * digits of md5("tag#id#k#j") → (v + 0.5) / 2^28. */
+    def uniform(tag: String, id: Column, k: Int, j: Int = 0): Column =
+      (conv(substring(md5(concat(lit(s"$tag#"), id.cast(StringType),
+        lit(s"#$k#$j")).cast(BinaryType)), 1, 7), 16, 10).cast(DoubleType)
+        + lit(0.5)) / lit(268435456.0)
+
+    /** Irwin–Hall(12) pseudo-normal: exact-dyadic uniform sum, 33
+      * mantissa bits — bit-identical cross-engine. */
+    def normal(tag: String, id: Column, k: Int = 0): Column =
+      (0 until 12).map(j => uniform(tag, id, k, j)).reduce(_ + _) - lit(6.0)
+
+    /** Clipped-Gaussian integer; half-UP rounding (floor(x+0.5)) — the
+      * documented deterministic-mode divergence from [[numeric]]'s
+      * bround half-even, because round-half-even of an arbitrary
+      * double is not portably replayable in SQL while floor is. */
+    def numericInt(stats: NumericStats, tag: String, id: Column, k: Int = 0): Column = {
+      val raw = normal(tag, id, k) * lit(stats.std) + lit(stats.mean)
+      val clipped = least(greatest(raw, lit(stats.min)), lit(stats.max))
+      floor(clipped + lit(0.5)).cast(LongType)
+    }
+
+    /** Clipped-Gaussian float at 2 decimals (floor-half-up at 1e-2). */
+    def numericFloat(stats: NumericStats, tag: String, id: Column, k: Int = 0): Column = {
+      val raw = normal(tag, id, k) * lit(stats.std) + lit(stats.mean)
+      val clipped = least(greatest(raw, lit(stats.min)), lit(stats.max))
+      floor(clipped * lit(100.0) + lit(0.5)) / lit(100.0)
+    }
+
+    /** Bernoulli with token rendering, one uniform per row. */
+    def boolean(trueProb: Double, format: BoolFormat,
+                tag: String, id: Column, k: Int = 0): Column = {
+      val b = uniform(tag, id, k) < lit(trueProb)
+      format match {
+        case BoolFormat.Native => b
+        case f => when(b, lit(f.trueToken)).otherwise(lit(f.falseToken))
+      }
+    }
+
+    /** Inverse-CDF categorical — [[categorical]]'s when-chain fed by
+      * the md5 uniform (already a materialized single draw, so the
+      * CaseWhen re-evaluation hazard of `rand` does not apply: the
+      * md5 expression is pure per (tag,id,k,j)). */
+    def categoricalDet(stats: CategoricalStats, tag: String, id: Column,
+                       k: Int = 0): Column =
+      categorical(stats, uniform(tag, id, k))
+
+    /** Clipped-Gaussian datetime rendered as a DAY string: the clipped
+      * epoch-seconds draw floors to an epoch day (identical integer
+      * arithmetic in any engine — no timezone/timestamp-render
+      * dependence) and formats from the proleptic epoch date. */
+    def datetimeDay(stats: DatetimeStats, fmt: String,
+                    tag: String, id: Column, k: Int = 0): Column = {
+      val e = stats.epoch
+      val std = if (e.std > 0) e.std else 86400.0 * 30
+      val raw = normal(tag, id, k) * lit(std) + lit(e.mean)
+      val clipped = least(greatest(raw, lit(e.min)), lit(e.max))
+      val day = floor(clipped / lit(86400.0)).cast(IntegerType)
+      date_format(date_add(to_date(lit("1970-01-01")), day), fmt)
+    }
+  }
+
   /** Pattern fallback generators when a bootstrap source is empty
     * (`Latanova_v1.py:310-316`). */
   def emailFallback(seed: Long): Column =

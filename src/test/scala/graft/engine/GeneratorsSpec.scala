@@ -88,4 +88,56 @@ class GeneratorsSpec extends SparkSpec {
     assert(df.filter(!col("e").rlike("^user\\d{4}@example\\.com$")).count() === 0L)
     assert(df.filter(!col("p").rlike("^\\+7 \\d{3} \\d{3}-\\d{2}-\\d{2}$")).count() === 0L)
   }
+
+  test("Deterministic mode: draws are reproducible, in-range, and " +
+    "distributionally faithful (uniform moments, IH-normal moments, clip)") {
+    val D = Generators.Deterministic
+    // reproducible: two evaluations of the same (tag,id,k,j) agree
+    val u2 = spark.range(2000).select(
+      D.uniform("t", col("id"), 0).as("u1"), D.uniform("t", col("id"), 0).as("u2"))
+    assert(u2.filter(col("u1") =!= col("u2")).count() === 0L)
+    // uniform: (0,1), mean ~0.5, var ~1/12
+    val um = u2.agg(min("u1"), max("u1"), avg("u1"),
+      avg(col("u1") * col("u1"))).collect()(0)
+    assert(um.getDouble(0) > 0.0 && um.getDouble(1) < 1.0)
+    assert(math.abs(um.getDouble(2) - 0.5) < 0.02)
+    assert(math.abs(um.getDouble(3) - um.getDouble(2) * um.getDouble(2) - 1.0 / 12) < 0.01)
+    // IH(12) pseudo-normal: mean ~0, var ~1, |z| <= 6 by construction
+    val zm = spark.range(4000).select(D.normal("z", col("id")).as("z"))
+      .agg(avg("z"), avg(col("z") * col("z")), max(abs(col("z")))).collect()(0)
+    assert(math.abs(zm.getDouble(0)) < 0.05)
+    assert(math.abs(zm.getDouble(1) - 1.0) < 0.08)
+    assert(zm.getDouble(2) <= 6.0)
+    // clipped int/float generators respect bounds and rounding grid
+    val ns = NumericStats(100.0, 20.0, 0, 60.0, 140.0, 0, 0, 0, 0, n)
+    val g = spark.range(2000).select(
+      D.numericInt(ns, "i", col("id")).as("i"),
+      D.numericFloat(ns, "f", col("id")).as("f"))
+    assert(g.filter(col("i") < 60 || col("i") > 140).count() === 0L)
+    assert(g.filter(col("f") < 60.0 || col("f") > 140.0).count() === 0L)
+    assert(g.filter(col("f") =!= round(col("f"), 2)).count() === 0L)
+    val gm = g.agg(avg("i"), avg("f")).collect()(0)
+    assert(math.abs(gm.getDouble(0) - 100.0) < 2.0)
+    assert(math.abs(gm.getDouble(1) - 100.0) < 2.0)
+    // Bernoulli share tracks p; categorical shares track probabilities
+    val p = 0.3
+    val b = spark.range(5000).select(
+      D.boolean(p, BoolFormat.TrueFalse, "b", col("id")).as("b"))
+    val share = b.filter(col("b") === "True").count().toDouble / 5000
+    assert(math.abs(share - p) < 0.03)
+    val cs = CategoricalStats(Seq("x", "y", "z"), Seq(0.5, 0.3, 0.2),
+      Seq(5, 3, 2), "x", 0.5, 10)
+    val c = spark.range(5000).select(
+      D.categoricalDet(cs, "c", col("id")).as("c"))
+      .groupBy("c").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(c("x") / 5000.0 - 0.5) < 0.03)
+    assert(math.abs(c("y") / 5000.0 - 0.3) < 0.03)
+    // datetime day render: format + clip window
+    val ep = NumericStats(1.6e9, 86400.0 * 50, 0, 1.59e9, 1.61e9, 0, 0, 0, 0, n)
+    val dts = DatetimeStats(ep, "", "", "YYYY-MM-DD")
+    val dt = spark.range(1000).select(
+      D.datetimeDay(dts, "yyyy-MM-dd", "d", col("id")).as("d"))
+    assert(dt.filter(!col("d").rlike("^\\d{4}-\\d{2}-\\d{2}$")).count() === 0L)
+    assert(dt.filter(col("d") < "2020-05-18" || col("d") > "2021-01-10").count() === 0L)
+  }
 }
