@@ -75,11 +75,14 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
-    // Current git sha: same-sha runs only may join the certified
-    // median — a log sample taken on older code must not mask a
-    // genuine per-query regression or speedup in the current tree.
+    // Code-version key: the git TREE hash of src/main/scala (not HEAD
+    // — committing bench logs or docs must not orphan same-code
+    // samples). Same-key runs only may join the certified median: a
+    // log sample taken on older code must not mask a genuine
+    // per-query regression or speedup in the current tree.
     val gitSha: String = try {
-      scala.sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
+      scala.sys.process.Process(
+        Seq("git", "rev-parse", "--short", "HEAD:src/main/scala")).!!.trim
     } catch { case _: Throwable => "unknown" }
 
     // (sha, query->seconds) per log run; pre-sha log lines parse with

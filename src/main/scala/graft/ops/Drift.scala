@@ -114,9 +114,21 @@ object Drift {
         (when(lit(n) > 1L,
           (col("__pr_cum") - col("__pr_cnt")).cast("double") / lit(math.max(n - 1L, 1L).toDouble))
           .otherwise(lit(0.0))).as(outCol))
-    df.join(ranked, df(valueCol) === col("__pr_v"), "left")
+    df.join(maybeBroadcastRank(ranked, counts.count()),
+        df(valueCol) === col("__pr_v"), "left")
       .drop("__pr_v")
   }
+
+  /** The rank table comes out of Prefix's RDD pass with NO catalyst
+    * stats, so AQE can't see it's tiny and plans a SortMergeJoin that
+    * shuffles the FULL base table against a 50-row frame (measured on
+    * q73: two exchanges + sort of 600k rows to join 50). Distinct-
+    * value-bounded rank tables broadcast under the cap; a continuous
+    * column at corpus scale (distinct ~ n) keeps the shuffle join —
+    * the honest route there. */
+  private val BroadcastRankLimit = 1000000L
+  private def maybeBroadcastRank(ranked: DataFrame, nDistinct: Long): DataFrame =
+    if (nDistinct <= BroadcastRankLimit) broadcast(ranked) else ranked
 
   /** [[percentRank]] within groups — "replace the value by its
     * percentile WITHIN its segment" (per-language quality ranks,
@@ -152,7 +164,7 @@ object Drift {
           (col("__cum") - col("__cnt") - col("__goff")).cast("double") /
             (col("__gt") - 1L).cast("double"))
           .otherwise(lit(0.0)).as(outCol))
-    df.join(ranked,
+    df.join(maybeBroadcastRank(ranked, counts.count()),
         df(groupCol) === col("__g") && df(valueCol) === col("__v"), "left")
       .drop("__g", "__v")
   }
