@@ -81,8 +81,13 @@ object Bench {
     // log sample taken on older code must not mask a genuine
     // per-query regression or speedup in the current tree.
     val gitSha: String = try {
-      scala.sys.process.Process(
+      val base = scala.sys.process.Process(
         Seq("git", "rev-parse", "--short", "HEAD:src/main/scala")).!!.trim
+      // a dirty source tree runs code the committed hash doesn't
+      // describe — such samples must never join a clean-tree median
+      val dirty = scala.sys.process.Process(
+        Seq("git", "status", "--porcelain", "src/main/scala")).!!.trim.nonEmpty
+      if (dirty) s"$base-dirty" else base
     } catch { case _: Throwable => "unknown" }
 
     // (sha, query->seconds) per log run; pre-sha log lines parse with
@@ -92,7 +97,7 @@ object Bench {
       if (!java.nio.file.Files.exists(p)) Nil
       else {
         val pat = java.util.regex.Pattern.compile("\"(q\\d[^\"]*)\":([0-9.eE+-]+)")
-        val shaPat = java.util.regex.Pattern.compile("\"sha\":\"([0-9a-f]+)\"")
+        val shaPat = java.util.regex.Pattern.compile("\"sha\":\"([0-9a-f]+(?:-dirty)?)\"")
         scala.jdk.CollectionConverters.IteratorHasAsScala(
           java.nio.file.Files.lines(p).iterator()).asScala
           .filter(_.contains(s""""sf":"$sfDir""""))
@@ -200,8 +205,18 @@ object Bench {
         s""""full":"BENCH_FULL.json"}"""
     }
     val rawTotal = results.map(_._2).sum
+    // degrade in steps so the line ALWAYS fits the capture window:
+    // 2dp → 1dp → no per-query map at all (totals + pointer only)
     val compact2 = compactLine(certified, rawTotal, 2)
-    println(if (compact2.length <= 1980) compact2 else compactLine(certified, rawTotal, 1))
+    val compact1 = compactLine(certified, rawTotal, 1)
+    val minimal =
+      s"""{"metric":"total","value":${compactNum(certified.map(_._2).sum, 2)},""" +
+        s""""unit":"sec","sf":"$sfDir","sha":"$gitSha",""" +
+        s""""raw_total":${compactNum(rawTotal, 2)},"full":"BENCH_FULL.json"}"""
+    println(
+      if (compact2.length <= 1980) compact2
+      else if (compact1.length <= 1980) compact1
+      else minimal)
     // The driver's stdout capture preserves only a ~2,000-char tail —
     // with 100+ queries that amputates half the per-query timings from
     // the round artifact. Persist the FULL line in-repo: latest run

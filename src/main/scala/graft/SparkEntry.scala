@@ -274,9 +274,13 @@ object SparkEntry {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
     val stream = mem.toDF().toDF(cols: _*)
     val outDir = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
+    // plan building happens BEFORE the conf pin: `build` only
+    // constructs the DataFrame (state-store partition count binds at
+    // query START), and a build-time analysis error must not escape
+    // with the session conf still pinned to 4
+    val built = build(stream)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
-    val built = build(stream)
     val q = try {
       built.writeStream
         .foreachBatch { (bdf: DataFrame, _: Long) =>
@@ -5069,7 +5073,11 @@ object SparkEntry {
        |    round(sqrt(ss_tp / n - (s_tp / n) * (s_tp / n)), 6) AS std_tp,
        |    mn_tp, mx_tp,
        |    CAST(mn_e AS DOUBLE) + round(s_e / n, 2) AS mean_e,
-       |    round(sqrt(ss_e / n - (s_e / n) * (s_e / n)), 2) AS std_e,
+       |    -- datetimeDay's sigma=0 fallback (Latanova_v1.py:411): a
+       |    -- degenerate date column generates with a 30-day spread
+       |    CASE WHEN round(sqrt(ss_e / n - (s_e / n) * (s_e / n)), 2) > 0
+       |         THEN round(sqrt(ss_e / n - (s_e / n) * (s_e / n)), 2)
+       |         ELSE 86400.0 * 30 END AS std_e,
        |    CAST(mn_e AS DOUBLE) AS mnd_e, mx_e,
        |    bt / n AS p_bool
        |  FROM st, emn, est),

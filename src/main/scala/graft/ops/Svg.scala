@@ -32,9 +32,12 @@ object Svg {
     regexp_replace(regexp_replace(regexp_replace(c.cast("string"),
       "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
 
+  private def escLocal(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
   private def header(title: String): String =
     s"""<svg xmlns="http://www.w3.org/2000/svg" width="$W" height="$H">""" +
-      s"<title>$title</title>"
+      s"<title>${escLocal(title)}</title>"
 
   /** Ordered fragment assembly: sort by the integer key, join. */
   private def assemble(df: DataFrame, key: Column, frag: Column,
@@ -69,11 +72,15 @@ object Svg {
   def barChart(df: DataFrame, labelCol: String, countCol: String,
                maxBars: Int, title: String): DataFrame = {
     require(maxBars > 0, "maxBars must be positive")
+    // materialized ONCE (≤maxBars rows): the count, the max aggregate
+    // and the assembly below all reuse it instead of re-running the
+    // sort+limit+window three times
     val top = df
       .orderBy(desc(countCol), asc(labelCol)).limit(maxBars)
       .withColumn("__idx",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(desc(countCol), asc(labelCol))) - 1)
+      .localCheckpoint()
     val k = math.max(top.count().toInt, 1)
     val barW = W / k
     val mx = top.agg(max(col(countCol).cast("long")).as("__mx"))

@@ -148,14 +148,23 @@ object VecFormat {
       .filter(size(col("p")) === 2 &&
         element_at(col("p"), 1).cast("int").isNotNull &&
         element_at(col("p"), 2).cast("int").isNotNull)
-      .select(element_at(col("p"), 2).cast("int"))
+      .select(element_at(col("p"), 1).cast("int"),
+        element_at(col("p"), 2).cast("int"))
       .take(1)
     val dim =
-      if (header.nonEmpty) header(0).getInt(0)
+      if (header.nonEmpty) header(0).getInt(1)
       else lines.select(size(col("p"))).take(1)(0).getInt(0) - 1
     require(dim > 0, s"could not detect vector dimension in $path")
-    lines.filter(size(col("p")) === dim + 1 &&
-        element_at(col("p"), 2).cast("double").isNotNull)
+    val rows = lines.filter(size(col("p")) === dim + 1 &&
+      element_at(col("p"), 2).cast("double").isNotNull)
+    // dim=1 corner: the 2-field header itself matches the data-row
+    // shape — drop the row whose raw fields equal the header exactly
+    val dataRows =
+      if (dim == 1 && header.nonEmpty)
+        rows.filter(!(element_at(col("p"), 1) === header(0).getInt(0).toString &&
+          element_at(col("p"), 2) === header(0).getInt(1).toString))
+      else rows
+    dataRows
       .select(element_at(col("p"), 1).as("word"),
         transform(slice(col("p"), 2, dim), _.cast("double")).as("vector"))
   }

@@ -136,9 +136,14 @@ object FastTextBin {
     require(version <= 12, s"unsupported fastText version $version")
     val dim = b.getInt()
     b.getInt(); b.getInt(); b.getInt(); b.getInt(); b.getInt() // ws epoch minCount neg wordNgrams
-    b.getInt(); b.getInt() // loss model
+    b.getInt() // loss
+    val model = b.getInt() // model_name: cbow=1, sg=2, sup=3
     val bucket = b.getInt()
-    val minn = b.getInt(); val maxn = b.getInt()
+    val minn = b.getInt()
+    // fastText's v11 backward-compat quirk (`FastText::loadModel`):
+    // old supervised models never used char n-grams — maxn is forced
+    // to 0 regardless of the stored value
+    val maxn = if (version == 11 && model == 3) { b.getInt(); 0 } else b.getInt()
     b.getInt() // lrUpdateRate
     b.getDouble() // t
     val size = b.getInt(); val nwords = b.getInt(); b.getInt() // nlabels

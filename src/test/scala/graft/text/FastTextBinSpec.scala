@@ -104,6 +104,32 @@ class FastTextBinSpec extends AnyFunSuite {
     assert(e.lookup("cat").toSeq === m.vector("cat").toSeq)
   }
 
+  test("v11 supervised quirk: maxn forced to 0 (FastText::loadModel compat)") {
+    val rows = Words.size + Bucket
+    val buf = ByteBuffer.allocate(1 << 16).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(FastTextBin.Magic).putInt(11)
+    buf.putInt(Dim).putInt(5).putInt(5).putInt(1).putInt(5).putInt(1)
+    buf.putInt(1).putInt(3) // loss, model = sup
+    buf.putInt(Bucket).putInt(Minn).putInt(Maxn).putInt(100)
+    buf.putDouble(1e-4)
+    buf.putInt(Words.size).putInt(Words.size).putInt(0)
+    buf.putLong(1000L).putLong(0L)
+    Words.foreach { w =>
+      buf.put(w.getBytes("UTF-8")).put(0.toByte).putLong(7L).put(0.toByte)
+    }
+    buf.put(0.toByte)
+    buf.putLong(rows.toLong).putLong(Dim.toLong)
+    (0 until rows).foreach(r => (0 until Dim).foreach(j => buf.putFloat(rowVal(r, j))))
+    val p = java.nio.file.Files.createTempFile("graft_ft_v11", ".bin")
+    java.nio.file.Files.write(p, java.util.Arrays.copyOf(buf.array(), buf.position()))
+    p.toFile.deleteOnExit()
+    val m = FastTextBin.load(p.toString)
+    assert(m.maxn === 0)
+    // no char n-grams: in-vocab vector is exactly the word row
+    assert(m.vector("cat").toSeq === (0 until Dim).map(j => rowVal(0, j).toDouble))
+    assert(m.subwordIds("cat") === Nil)
+  }
+
   test("quantized and corrupt files are rejected") {
     val p = java.nio.file.Files.createTempFile("graft_ft_bad", ".bin")
     java.nio.file.Files.write(p, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))

@@ -46,6 +46,17 @@ class VecFormatSpec extends SparkSpec {
     assert(words === Set("alpha", "beta"))
   }
 
+  test("dim=1 headered file: the header row never becomes a vocabulary word") {
+    val path = writeVec(
+      """2 1
+        |alpha 0.5
+        |beta -1.5
+        |""".stripMargin)
+    val rows = VecFormat.read(spark, path).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    assert(rows === Map("alpha" -> List(0.5), "beta" -> List(-1.5)))
+  }
+
   test("load: file -> EmbeddingModel with table lookups and OOV fallback") {
     val path = writeVec(
       """2 3
