@@ -1490,6 +1490,49 @@ object SparkEntry {
         .orderBy("plot")
     }),
 
+    // --- fastText supervised classifier inference at corpus scale
+    // (the engine behind CCNet-style language-ID / quality filters):
+    // a deterministic 2-label model (md5-derived float32-exact
+    // weights over the top-20 corpus vocabulary) round-trips through
+    // the PUBLIC .bin binary format (write → load), then classifies
+    // every document in one broadcast projection — getLine feature
+    // hashing (word ids + wrapping-uint64 word-ngram buckets), hidden
+    // mean, argmax logit. The oracle replays the FNV-1a fold, the
+    // sign-extended wrapping ngram hash, and the exact-dyadic linear
+    // algebra in SQL. ---
+    "q161_fasttext_classify" -> ((s, d) => {
+      import graft.text.{FastTextBin, FastTextClassify, Tokenize}
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val vocab = docs
+        .select(explode(Tokenize.tokens(col("text"))).as("tok"))
+        .groupBy("tok").count()
+        .orderBy(desc("count"), asc("tok")).limit(Q161Vocab)
+        .collect().map(_.getString(0))
+      require(vocab.length == Q161Vocab,
+        s"q161 expects >= $Q161Vocab distinct tokens, got ${vocab.length}")
+      val inMat = Array.tabulate((Q161Vocab + Q161Bucket) * 4) { i =>
+        q161Weight("q161w", i / 4, i % 4)
+      }
+      val outMat = Array.tabulate(2 * 4)(i => q161Weight("q161o", i / 4, i % 4))
+      val model = FastTextBin.Model(dim = 4, minn = 0, maxn = 0,
+        bucket = Q161Bucket, wordNgrams = 2,
+        words = vocab, labels = Array("__label__keep", "__label__drop"),
+        matrix = inMat, rows = (Q161Vocab + Q161Bucket).toLong,
+        output = outMat, outputRows = 2L)
+      // round-trip through the public binary format — the artifact path
+      val p = java.nio.file.Files.createTempFile("graft_q161", ".bin")
+      FastTextBin.write(model, p.toString)
+      val loaded = FastTextBin.load(p.toString)
+      val out = FastTextClassify.classify(
+          docs.select("doc_id", "text"), "text", loaded)
+        .select(col("doc_id"), col("label"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+      java.nio.file.Files.deleteIfExists(p)
+      out
+    }),
+
     // --- collocation mining: top-k adjacent-token pairs by PMI —
     // the phrase-induction pass of tokenizer/vocab pipelines ---
     "q134_collocations" -> ((s, d) =>
@@ -3009,6 +3052,7 @@ object SparkEntry {
       "q150_mvn_text_decode" -> q150Sql,
       "q159_synthetic_deterministic" -> q159Sql,
       "q160_plot_svg" -> q160Sql,
+      "q161_fasttext_classify" -> q161Sql,
 
       // Streaming numeric-profile replay: every real per-day window
       // closes under the sentinel watermark, so the emitted stream must
@@ -4877,6 +4921,22 @@ object SparkEntry {
   // what this row pins.
   private val Q150N = 200L
   private val Q159N = 500L
+  private val Q161Vocab = 20
+  private val Q161Bucket = 8
+
+  /** 28-bit md5 hash (Md5Embedder's layout — `hash31Sql` twin). */
+  private def q161Hash(s: String): Int = {
+    val d = graft.Digests.md5(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xff) << 20) | ((d(1) & 0xff) << 12) |
+      ((d(2) & 0xff) << 4) | ((d(3) & 0xff) >>> 4)
+  }
+
+  /** Fixture weight (r, j) of matrix `tag`: low 8 hash bits scaled to
+    * [-0.5, 0.496] — dyadic /256, exact in float32, so the value
+    * survives the .bin round-trip bit-for-bit and per-dim feature sums
+    * stay EXACT (order-independent) on both engines. */
+  private def q161Weight(tag: String, r: Int, j: Int): Float =
+    (((q161Hash(s"$tag#$r#$j") % 256) / 256.0) - 0.5).toFloat
   private def q150Mean(j: Int): Double =
     graft.text.HashEmbeddings.component("q150mean", j, 150L)
   private def q150L(j: Int, k: Int): Double =
@@ -4992,6 +5052,76 @@ object SparkEntry {
        |filt AS (
        |  SELECT * FROM feat
        |  WHERE lang = 'en' AND quality >= 0.5 AND n_tokens >= 5)""".stripMargin
+  }
+
+  /** Oracle twin of q161's fastText classifier: gensim tokens in
+    * order, FNV-1a-32 unrolled to 15 per-char steps (token length is
+    * tokenizer-bounded), word-ngram buckets via sign-extended WRAPPING
+    * uint64 arithmetic in HUGEINT mod 2^64, md5-derived exact-dyadic
+    * weight matrices regenerated in SQL, per-dim feature sums (exact,
+    * order-free), then the same left-associated logit algebra. */
+  private def q161Sql: String = {
+    val toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), " +
+      "x -> length(x) BETWEEN 2 AND 15)"
+    val fnvNested = (1 to 15).map { k =>
+      s"SELECT tok, CASE WHEN length(tok) >= $k THEN (xor(h, ascii(substr(tok, $k, 1))) * 16777619) % 4294967296 ELSE h END AS h FROM"
+    }.foldLeft("(SELECT DISTINCT tok, CAST(2166136261 AS BIGINT) AS h FROM tok_ord)") {
+      (inner, sel) => s"($sel $inner)"
+    }
+    def hu(x: String): String =
+      s"(CASE WHEN $x < 2147483648 THEN CAST($x AS HUGEINT) " +
+        s"ELSE CAST($x AS HUGEINT) - 4294967296 + 18446744073709551616 END)"
+    def wSql(tag: String, rv: String, jv: String): String =
+      s"CAST(${hash31Sql(s"'$tag#' || CAST($rv AS VARCHAR) || '#' || CAST($jv AS VARCHAR)")} % 256 AS DOUBLE) / 256.0 - 0.5"
+    def pivot8: String = (0 until 2).flatMap(l => (0 until 4).map(j =>
+      s"max(CASE WHEN l = $l AND j = $j THEN v END) AS o$l$j")).mkString(", ")
+    val nRows = Q161Vocab + Q161Bucket
+    s"""WITH tk AS (
+       |  SELECT doc_id, $toks AS toks FROM documents WHERE text IS NOT NULL),
+       |tok_ord AS (
+       |  SELECT doc_id, ord, toks[ord] AS tok FROM (
+       |    SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS ord FROM tk)),
+       |fnv AS (SELECT tok, h FROM $fnvNested),
+       |vocab AS (SELECT tok, rid FROM (
+       |    SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC) - 1 AS rid
+       |    FROM (SELECT tok, count(*) AS cnt FROM tok_ord GROUP BY tok))
+       |  WHERE rid < $Q161Vocab),
+       |mat AS (SELECT r, j, ${wSql("q161w", "r", "j")} AS v
+       |  FROM range($nRows) t1(r), range(4) t2(j)),
+       |ow AS (SELECT $pivot8 FROM (
+       |  SELECT l, j, ${wSql("q161o", "l", "j")} AS v
+       |  FROM range(2) t1(l), range(4) t2(j))),
+       |feats AS (
+       |  SELECT t.doc_id, v.rid AS fid FROM tok_ord t JOIN vocab v USING (tok)
+       |  UNION ALL
+       |  SELECT a.doc_id, $Q161Vocab + CAST(
+       |      ((${hu("fa.h")} * 116049371 + ${hu("fb.h")}) % 18446744073709551616)
+       |      % $Q161Bucket AS INTEGER) AS fid
+       |  FROM tok_ord a
+       |  JOIN tok_ord b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+       |  JOIN fnv fa ON fa.tok = a.tok
+       |  JOIN fnv fb ON fb.tok = b.tok),
+       |hs AS (SELECT f.doc_id, m.j, sum(m.v) AS s
+       |  FROM feats f JOIN mat m ON m.r = f.fid GROUP BY 1, 2),
+       |hn AS (SELECT doc_id, count(*) AS n FROM feats GROUP BY 1),
+       |hw AS (SELECT doc_id,
+       |    max(CASE WHEN j = 0 THEN s END) AS s0,
+       |    max(CASE WHEN j = 1 THEN s END) AS s1,
+       |    max(CASE WHEN j = 2 THEN s END) AS s2,
+       |    max(CASE WHEN j = 3 THEN s END) AS s3
+       |  FROM hs GROUP BY 1),
+       |lg AS (SELECT hw.doc_id,
+       |    o00 * (s0 / n) + o01 * (s1 / n) + o02 * (s2 / n) + o03 * (s3 / n) AS l0,
+       |    o10 * (s0 / n) + o11 * (s1 / n) + o12 * (s2 / n) + o13 * (s3 / n) AS l1
+       |  FROM hw JOIN hn USING (doc_id), ow)
+       |SELECT d.doc_id,
+       |  CASE WHEN lg.doc_id IS NULL THEN NULL
+       |       WHEN l1 > l0 THEN '__label__drop' ELSE '__label__keep' END AS label,
+       |  CASE WHEN lg.doc_id IS NULL THEN NULL
+       |       ELSE round(CASE WHEN l1 > l0 THEN l1 ELSE l0 END, 6) END AS score
+       |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+       |LEFT JOIN lg ON lg.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Oracle twin of q160's SVG plot sink: the same integer pixel

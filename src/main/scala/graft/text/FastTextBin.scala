@@ -42,8 +42,11 @@ object FastTextBin {
   final val Eow = ">"
 
   final case class Model(dim: Int, minn: Int, maxn: Int, bucket: Int,
-                         words: Array[String],
-                         matrix: Array[Float], rows: Long) {
+                         wordNgrams: Int,
+                         words: Array[String], labels: Array[String],
+                         matrix: Array[Float], rows: Long,
+                         output: Array[Float] = Array.empty,
+                         outputRows: Long = 0L) {
     private[text] val wordIndex: Map[String, Int] =
       words.iterator.zipWithIndex.toMap
     def nwords: Int = words.length
@@ -110,6 +113,76 @@ object FastTextBin {
       def dim: Int = Model.this.dim
       def lookup(token: String): Array[Double] = vector(token)
     }
+
+    /** Supervised-line feature ids — fastText `Dictionary::getLine` +
+      * `addWordNgrams` exactly: per word token, its subword ids
+      * (in-vocab: the word id, plus char n-grams when maxn>0; OOV:
+      * char n-grams only — nothing when maxn=0); then word-n-gram
+      * bucket ids over the SIGN-EXTENDED uint32 token hashes with the
+      * published rolling 116049371 fold in WRAPPING uint64 arithmetic
+      * (the int32→uint64 sign extension and the wraparound are part of
+      * the on-disk-model contract — a clean-room "fix" would address
+      * different buckets than every trained model in the wild). */
+    def lineFeatures(tokens: Seq[String]): Seq[Int] = {
+      val feats = Seq.newBuilder[Int]
+      val hashes = Seq.newBuilder[Int]
+      tokens.foreach { tok =>
+        if (!tok.startsWith("__label__")) {
+          wordIndex.get(tok) match {
+            case Some(wid) =>
+              if (maxn <= 0) feats += wid
+              else {
+                feats += wid
+                if (tok != Eos) feats ++= subwordIds(tok)
+              }
+            case None =>
+              if (tok != Eos) feats ++= subwordIds(tok) // empty when maxn=0
+          }
+          hashes += fnv1a32(tok.getBytes("UTF-8"))
+        }
+      }
+      val hs = hashes.result()
+      var i = 0
+      while (i < hs.size) {
+        var h = hs(i).toLong // int32 -> uint64 sign-extension, as C++
+        var j = i + 1
+        while (j < hs.size && j < i + wordNgrams) {
+          h = h * 116049371L + hs(j).toLong // uint64 wraparound == Long
+          feats += nwords + java.lang.Long.remainderUnsigned(h, bucket.toLong).toInt
+          j += 1
+        }
+        i += 1
+      }
+      feats.result()
+    }
+
+    /** Top-1 supervised prediction: hidden = mean of the feature rows,
+      * logits = output × hidden, argmax (ties → lower label index, the
+      * heap-insertion order fastText resolves to). Returns the label
+      * and its RAW LOGIT — argmax-equivalent to fastText's
+      * log-softmax top-1 (softmax is monotone) but engine-portable:
+      * no exp/log whose last ulp differs across libms. None when the
+      * line has no known features or the model has no output matrix. */
+    def predictArgmax(tokens: Seq[String]): Option[(String, Double)] = {
+      if (labels.isEmpty || output.isEmpty) return None
+      val feats = lineFeatures(tokens)
+      if (feats.isEmpty) return None
+      val hidden = new Array[Double](dim)
+      feats.foreach { f => addRow(hidden, f) }
+      var j = 0
+      while (j < dim) { hidden(j) /= feats.size; j += 1 }
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var l = 0
+      while (l < labels.length) {
+        var s = 0.0
+        var j2 = 0
+        while (j2 < dim) { s += output(l * dim + j2) * hidden(j2); j2 += 1 }
+        if (s > bestScore) { bestScore = s; best = l }
+        l += 1
+      }
+      Some((labels(best), bestScore))
+    }
   }
 
   /** `Dictionary::hash`: FNV-1a 32-bit with SIGNED-char fold. */
@@ -135,7 +208,8 @@ object FastTextBin {
     val version = b.getInt()
     require(version <= 12, s"unsupported fastText version $version")
     val dim = b.getInt()
-    b.getInt(); b.getInt(); b.getInt(); b.getInt(); b.getInt() // ws epoch minCount neg wordNgrams
+    b.getInt(); b.getInt(); b.getInt(); b.getInt() // ws epoch minCount neg
+    val wordNgrams = b.getInt()
     b.getInt() // loss
     val model = b.getInt() // model_name: cbow=1, sg=2, sup=3
     val bucket = b.getInt()
@@ -149,28 +223,83 @@ object FastTextBin {
     val size = b.getInt(); val nwords = b.getInt(); b.getInt() // nlabels
     b.getLong() // ntokens
     val pruneidxSize = b.getLong()
-    val words = new Array[String](size)
+    val entries = new Array[(String, Byte)](size)
     var i = 0
     while (i < size) {
       val sb = new java.io.ByteArrayOutputStream()
       var c = b.get()
       while (c != 0) { sb.write(c); c = b.get() }
-      words(i) = new String(sb.toByteArray, "UTF-8")
+      val w = new String(sb.toByteArray, "UTF-8")
       b.getLong() // count
-      b.get()     // entry type (word/label)
+      entries(i) = (w, b.get()) // entry type: 0 word, 1 label
       i += 1
     }
     var p = 0L
     while (p < math.max(pruneidxSize, 0L)) { b.getInt(); b.getInt(); p += 1 }
     val quant = b.get()
     require(quant == 0, "quantized (.ftz) fastText models are not supported")
-    val rows = b.getLong(); val cols = b.getLong()
-    require(cols == dim, s"matrix cols $cols != dim $dim")
-    require(rows * cols <= Int.MaxValue.toLong,
-      s"input matrix too large for one array (${rows}x$cols)")
-    val m = new Array[Float]((rows * cols).toInt)
-    b.asFloatBuffer().get(m)
-    // only the first nwords entries are words (labels excluded)
-    Model(dim, minn, maxn, bucket, words.take(nwords), m, rows)
+    def denseMatrix(): (Array[Float], Long) = {
+      val rows = b.getLong(); val cols = b.getLong()
+      require(cols == dim, s"matrix cols $cols != dim $dim")
+      require(rows * cols <= Int.MaxValue.toLong,
+        s"matrix too large for one array (${rows}x$cols)")
+      val m = new Array[Float]((rows * cols).toInt)
+      val fb = b.asFloatBuffer(); fb.get(m)
+      b.position(b.position() + m.length * 4)
+      (m, rows)
+    }
+    val (m, rows) = denseMatrix()
+    // output matrix (label classifier / context vectors) — optional
+    // tail for truncated fixtures; real files always carry it
+    val (out, outRows) =
+      if (b.remaining() > 0) {
+        val qout = b.get()
+        require(qout == 0, "quantized output matrices are not supported")
+        denseMatrix()
+      } else (Array.empty[Float], 0L)
+    val words = entries.filter(_._2 == 0).map(_._1)
+    val labels = entries.filter(_._2 == 1).map(_._1)
+    require(words.length == nwords,
+      s"dictionary word-type count ${words.length} != nwords $nwords")
+    Model(dim, minn, maxn, bucket, wordNgrams, words, labels, m, rows,
+      out, outRows)
+  }
+
+  /** Write a model in the same binary layout (version 12, unquantized)
+    * — the export half of the artifact story: a profile-derived or
+    * externally-trained classifier/embedding table round-trips through
+    * the public format, so downstream fastText tooling can load it. */
+  def write(model: Model, path: String): Unit = {
+    val wordBytes = model.words.map(_.getBytes("UTF-8"))
+    val labelBytes = model.labels.map(_.getBytes("UTF-8"))
+    val dataLen = 128 + wordBytes.map(_.length + 10).sum +
+      labelBytes.map(_.length + 10).sum +
+      (model.matrix.length + model.output.length) * 4 + 64
+    val b = ByteBuffer.allocate(dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(Magic).putInt(12)
+    b.putInt(model.dim).putInt(5).putInt(5).putInt(1).putInt(5)
+    b.putInt(model.wordNgrams)
+    b.putInt(1).putInt(if (model.labels.nonEmpty) 3 else 1) // loss, model
+    b.putInt(model.bucket).putInt(model.minn).putInt(model.maxn).putInt(100)
+    b.putDouble(1e-4)
+    val size = model.words.length + model.labels.length
+    b.putInt(size).putInt(model.words.length).putInt(model.labels.length)
+    b.putLong(0L).putLong(0L) // ntokens, pruneidx
+    model.words.foreach { w =>
+      b.put(w.getBytes("UTF-8")).put(0.toByte).putLong(1L).put(0.toByte)
+    }
+    model.labels.foreach { w =>
+      b.put(w.getBytes("UTF-8")).put(0.toByte).putLong(1L).put(1.toByte)
+    }
+    b.put(0.toByte) // quant_input
+    b.putLong(model.rows).putLong(model.dim.toLong)
+    model.matrix.foreach(b.putFloat)
+    if (model.output.nonEmpty) {
+      b.put(0.toByte) // qout
+      b.putLong(model.outputRows).putLong(model.dim.toLong)
+      model.output.foreach(b.putFloat)
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      java.util.Arrays.copyOf(b.array(), b.position()))
   }
 }

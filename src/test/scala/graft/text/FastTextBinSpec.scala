@@ -130,6 +130,67 @@ class FastTextBinSpec extends AnyFunSuite {
     assert(m.subwordIds("cat") === Nil)
   }
 
+  test("write -> load round-trip with labels and output matrix") {
+    val m0 = FastTextBin.Model(dim = 3, minn = 0, maxn = 0, bucket = 8,
+      wordNgrams = 2,
+      words = Array("cat", "dog"), labels = Array("__label__a", "__label__b"),
+      matrix = Array.tabulate(10 * 3)(i => i * 0.25f), rows = 10L,
+      output = Array.tabulate(2 * 3)(i => 1.0f - i * 0.125f), outputRows = 2L)
+    val p = java.nio.file.Files.createTempFile("graft_ft_rt", ".bin")
+    p.toFile.deleteOnExit()
+    FastTextBin.write(m0, p.toString)
+    val m1 = FastTextBin.load(p.toString)
+    assert(m1.dim === m0.dim && m1.bucket === m0.bucket)
+    assert(m1.wordNgrams === 2)
+    assert(m1.words.toSeq === m0.words.toSeq)
+    assert(m1.labels.toSeq === m0.labels.toSeq)
+    assert(m1.matrix.toSeq === m0.matrix.toSeq)
+    assert(m1.output.toSeq === m0.output.toSeq && m1.outputRows === 2L)
+  }
+
+  test("lineFeatures: getLine + addWordNgrams semantics (sup model, maxn=0)") {
+    val m = FastTextBin.Model(dim = 2, minn = 0, maxn = 0, bucket = 8,
+      wordNgrams = 2,
+      words = Array("cat", "dog"), labels = Array("__label__a"),
+      matrix = new Array[Float](10 * 2), rows = 10L,
+      output = new Array[Float](1 * 2), outputRows = 1L)
+    def h(s: String) = FastTextBin.fnv1a32(s.getBytes("UTF-8"))
+    def ngramId(a: String, b: String): Int =
+      2 + java.lang.Long.remainderUnsigned(
+        h(a).toLong * 116049371L + h(b).toLong, 8L).toInt
+    // in-vocab words contribute their id; OOV (maxn=0) contributes no
+    // subword feature but its HASH joins the word-ngram stream
+    assert(m.lineFeatures(Seq("cat", "dog")) ===
+      Seq(0, 1, ngramId("cat", "dog")))
+    assert(m.lineFeatures(Seq("cat", "bird", "dog")) ===
+      Seq(0, 1, ngramId("cat", "bird"), ngramId("bird", "dog")))
+    // label tokens never enter features or hashes
+    assert(m.lineFeatures(Seq("__label__a", "cat")) === Seq(0))
+    // wordNgrams=1 → no ngram features at all
+    assert(m.copy(wordNgrams = 1).lineFeatures(Seq("cat", "dog")) === Seq(0, 1))
+  }
+
+  test("predictArgmax: hidden mean + argmax logit, fp order preserved") {
+    // dim=2, 2 words + 4 buckets = 6 input rows, 2 labels
+    val input = Array[Float](
+      1f, 0f,   // row 0: cat
+      0f, 1f,   // row 1: dog
+      2f, 2f, 0.5f, 0.25f, 4f, 1f, 0f, 0f) // bucket rows 2..5
+    val output = Array[Float](1f, 0f, 0f, 1f) // label a = x, label b = y
+    val m = FastTextBin.Model(dim = 2, minn = 0, maxn = 0, bucket = 4,
+      wordNgrams = 1,
+      words = Array("cat", "dog"), labels = Array("__label__a", "__label__b"),
+      matrix = input, rows = 6L, output = output, outputRows = 2L)
+    // tokens cat,dog -> features [0,1], hidden = (0.5, 0.5): tie on
+    // logits -> first label wins (fastText heap order)
+    assert(m.predictArgmax(Seq("cat", "dog")) === Some(("__label__a", 0.5)))
+    // cat alone -> hidden (1,0) -> label a logit 1
+    assert(m.predictArgmax(Seq("cat")) === Some(("__label__a", 1.0)))
+    // no known features -> None
+    assert(m.predictArgmax(Seq("bird")) === None)
+    assert(m.predictArgmax(Nil) === None)
+  }
+
   test("quantized and corrupt files are rejected") {
     val p = java.nio.file.Files.createTempFile("graft_ft_bad", ".bin")
     java.nio.file.Files.write(p, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
