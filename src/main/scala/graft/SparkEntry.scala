@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import scala.util.chaining._
 
 import graft.engine.{Detector, DetectorConfig, Histogram, Profiler}
-import graft.ops.{Bucketing, Corpus, Curation, Dedup, Drift, Expectations, Frequent, Graph, Layout, Multimodal, Prefix, Quantize, Sampling, Similarity, Sink, Skew, Snapshot, Svg, Temporal, TextAnalysis}
+import graft.ops.{Bucketing, Corpus, Curation, Dedup, Drift, Expectations, Frequent, Graph, Layout, Multimodal, Prefix, Quantize, Sampling, Similarity, Sink, Sketch, Skew, Snapshot, Svg, Temporal, TextAnalysis}
 import graft.streaming.StreamingProfile
 
 /** Driver contract: every deterministic operator of the engine is
@@ -297,6 +297,52 @@ object SparkEntry {
     // A query that emitted ZERO rows writes no parquet files — schema
     // inference on the empty dir would throw; pin the read schema from
     // the built plan's outCols so the empty case returns an empty frame.
+    val outSchema = org.apache.spark.sql.types.StructType(
+      outCols.map(c => built.schema(c)))
+    val out = s.read.schema(outSchema).parquet(outDir).localCheckpoint()
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(outDir))
+    out
+  }
+
+  /** Two-source sibling of [[runMicroBatched]] for STREAM–STREAM
+    * operators (watermarked joins): both MemoryStreams receive their
+    * i-th micro-batch before each processAllAvailable, so rows that
+    * must match across sides-and-batches exercise the join state (a
+    * row from batch 0 held in the state store until its partner lands
+    * in batch 2). Same conf pin / temp-sink / empty-schema handling. */
+  private def runMicroBatched2[A <: Product : org.apache.spark.sql.Encoder,
+                               B <: Product : org.apache.spark.sql.Encoder](
+      s: SparkSession, colsA: Seq[String], batchesA: Seq[Seq[A]],
+      colsB: Seq[String], batchesB: Seq[Seq[B]],
+      tmpPrefix: String, outCols: Seq[String])(
+      build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val memA = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
+    val memB = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[B]
+    val outDir = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
+    val built = build(memA.toDF().toDF(colsA: _*), memB.toDF().toDF(colsB: _*))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      built.writeStream
+        .foreachBatch { (bdf: DataFrame, _: Long) =>
+          bdf.select(outCols.map(col): _*).write.mode("append").parquet(outDir)
+        }
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      batchesA.zipAll(batchesB, Seq.empty[A], Seq.empty[B]).foreach {
+        case (ba, bb) =>
+          if (ba.nonEmpty) { memA.addData(ba); () }
+          if (bb.nonEmpty) { memB.addData(bb); () }
+          q.processAllAvailable()
+      }
+    } finally q.stop()
     val outSchema = org.apache.spark.sql.types.StructType(
       outCols.map(c => built.schema(c)))
     val out = s.read.schema(outSchema).parquet(outDir).localCheckpoint()
@@ -1531,6 +1577,126 @@ object SparkEntry {
         .localCheckpoint()
       java.nio.file.Files.deleteIfExists(p)
       out
+    }),
+
+    // --- KMV bottom-k distinct sketches: four lineitem columns in ONE
+    // scan. The value stream never shuffles — per-task capped TreeSets
+    // emit their bottom-k, the global merge sees ≤ P·k digests per
+    // column — so the count_distinct replacement carries O(k) state
+    // per column at ANY corpus size; md5-keyed, so the kth hash and
+    // the estimate itself replay exactly in the oracle ---
+    "q162_kmv_distinct" -> ((s, d) =>
+      Sketch.kmvDistinct(t(s, d, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"), k = 256)
+        .orderBy("col_name")),
+
+    // --- count–min frequency sketch over the corpus token stream: one
+    // map-side-combining agg whose group space is depth·width rows
+    // REGARDLESS of corpus size — the fixed-memory frequency summary
+    // that replaces a vocab-sized count table at 100 TB ---
+    "q163_countmin_sketch" -> ((s, d) =>
+      Sketch.countMin(
+          t(s, d, "documents").filter(col("text").isNotNull)
+            .select(explode(TextAnalysis.tokens(col("text"))).as("item")),
+          "item", depth = 4, width = 64, salt = "cm")
+        .orderBy("r", "b")),
+
+    // --- count–min point estimates vs ground truth for the top-20
+    // tokens: est = min over rows of the hashed counters, joined to
+    // the exact counts — overcount ≥ 0 EVERYWHERE is the CM guarantee,
+    // exhibited per item, not just asserted. The sketch broadcasts
+    // (≤ depth·width rows); candidates never shuffle ---
+    "q164_countmin_estimate" -> ((s, d) => {
+      val toks = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("item"))
+      val sketch = Sketch.countMin(toks, "item", depth = 4, width = 64, salt = "cm")
+      val truth = toks.groupBy("item").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(desc("true_cnt"), asc("item")).limit(20)
+        .localCheckpoint() // feeds the probe AND the compare join
+      Sketch.countMinEstimate(sketch, truth, "item", depth = 4, width = 64,
+          salt = "cm")
+        .join(truth, Seq("item"))
+        .select(col("item"), col("true_cnt"), col("est"),
+          (col("est") - col("true_cnt")).as("overcount"))
+        .orderBy("item")
+    }),
+
+    // --- hybrid retrieval via reciprocal-rank fusion: the BM25 sparse
+    // ranker (q115's scorer, top-50) fused with the dense cosine
+    // ranker (q28's heap-form top-k, query = vec 0) — rank-only
+    // combination, no score calibration, the standard hybrid-search
+    // recipe. Both candidate tables are k-bounded before the fuse ---
+    "q165_rrf_hybrid" -> ((s, d) => {
+      val sparse = Corpus.bm25(t(s, d, "documents"), "doc_id", "text",
+          Seq("spark", "shuffle", "hash", "merge", "window"))
+        .orderBy(desc("bm25"), asc("id")).limit(50)
+        .select(col("id"), col("bm25").as("score"))
+      val emb = t(s, d, "embeddings")
+      val dense = Similarity.bruteForceTopKLarge(
+          emb.filter(col("vec_id") === 0), emb,
+          "vec_id", "embedding", "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("id"), col("sim").as("score"))
+      Similarity.rrfFuse(Seq(sparse, dense), "id", "score", k0 = 60)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(desc("rrf"), asc("doc_id"))
+    }),
+
+    // --- chunk-level dedup REWRITE: first-(doc,pos)-occurrence wins
+    // over non-overlapping 12-token chunks; duplicated spans are
+    // DELETED and each doc's survivors re-joined — the span-removal
+    // transform of exact-substring training-data dedup (q55 only
+    // reports the rate). Chunk text never shuffles for the election:
+    // md5 fingerprints carry it ---
+    "q166_chunk_dedup" -> ((s, d) =>
+      Dedup.chunkDedupRewrite(
+          withDups(t(s, d, "documents"), "doc_id", 50, 10000),
+          "doc_id", "text", chunkTokens = 12)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // --- bigram-LM scoring: add-one-smoothed transition model fit on
+    // the even-id half, every doc scored by avg bigram log-prob — one
+    // Markov order above q56's unigram scorer, the word-salad detector
+    // unigram stats can't see. Same train/score split so unseen
+    // transitions are genuinely exercised ---
+    "q167_bigram_logprob" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+      Corpus.bigramLogProb(docs.filter(col("doc_id") % 2 === 0), docs,
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // --- STREAM–STREAM watermarked interval join under a real
+    // micro-batch trigger: clicks and views as two independent
+    // streams, inner-joined per user on "view within the hour before
+    // the click". Cross-batch matches exercise the join STATE (a
+    // batch-0 click pairs with a batch-2 view); the long watermark
+    // keeps eviction out of the oracle window while the plumbing —
+    // two watermarks + interval condition, the production state-bound
+    // — is the real plan. Must equal the batch interval join. ---
+    "q168_streaming_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      def side(tpe: String) = ev.filter(col("event_type") === tpe)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("event_id") % 3).cast("int").as("__b"))
+        .as[(Long, Long, java.sql.Timestamp, Int)].collect()
+      val clicks = side("click"); val views = side("view")
+      def batches(rows: Array[(Long, Long, java.sql.Timestamp, Int)]) =
+        (0 to 2).map(b => rows.toSeq.filter(_._4 == b))
+      runMicroBatched2(s,
+          Seq("click_id", "user_id", "c_ts", "cb"), batches(clicks),
+          Seq("view_id", "v_user_id", "v_ts", "vb"), batches(views),
+          "graft-stream-join",
+          Seq("user_id", "click_id", "view_id")) { (a, b) =>
+        a.withWatermark("c_ts", "365 days")
+          .join(b.withWatermark("v_ts", "365 days"),
+            expr("user_id = v_user_id AND " +
+              "v_ts >= c_ts - interval 1 hour AND v_ts <= c_ts"))
+          .select(col("user_id"), col("click_id"), col("view_id"))
+      }.orderBy("user_id", "click_id", "view_id")
     }),
 
     // --- collocation mining: top-k adjacent-token pairs by PMI —
@@ -3053,6 +3219,179 @@ object SparkEntry {
       "q159_synthetic_deterministic" -> q159Sql,
       "q160_plot_svg" -> q160Sql,
       "q161_fasttext_classify" -> q161Sql,
+
+      // KMV bottom-k replay: the global bottom-k of each column's
+      // distinct md5 digests IS the merged sketch (the KMV merge
+      // property), so rank-and-keep-k over the distinct digest set
+      // reproduces n_kept, the kth hash, and the (k−1)/frac estimate
+      // digit-for-digit.
+      "q162_kmv_distinct" -> {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+        val src = cols.map(c =>
+          s"SELECT '$c' AS col_name, md5(CAST($c AS VARCHAR)) AS h FROM lineitem WHERE $c IS NOT NULL")
+          .mkString("\n  UNION ALL ")
+        s"""WITH src AS ($src),
+           |d AS (SELECT DISTINCT col_name, h FROM src),
+           |r AS (SELECT col_name, h,
+           |        row_number() OVER (PARTITION BY col_name ORDER BY h) AS rk FROM d),
+           |kk AS (SELECT col_name, CAST(count(*) AS INT) AS n_kept, max(h) AS kth_hash
+           |       FROM r WHERE rk <= 256 GROUP BY 1)
+           |SELECT col_name, CAST(256 AS INT) AS k, n_kept, kth_hash,
+           |  round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+           |             ELSE 255.0 / ${Sketch.kmvFracSql("kth_hash")} END, 6) AS est
+           |FROM kk ORDER BY col_name""".stripMargin
+      },
+
+      // Count–min replay: each depth row's bucket is the 28-bit md5
+      // prefix of the salted item mod width, decoded positionally.
+      "q163_countmin_sketch" -> {
+        val rows = (0 until 4).map(r =>
+          s"SELECT $r AS r, ${Sketch.cmBucketSql("item", r, 64, "cm")} AS b FROM toks")
+          .mkString("\n  UNION ALL ")
+        s"""WITH toks AS (SELECT unnest(${toksSql("text")}) AS item
+           |  FROM documents WHERE text IS NOT NULL),
+           |e AS ($rows)
+           |SELECT CAST(r AS INT) AS r, b, CAST(count(*) AS BIGINT) AS cnt
+           |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      },
+
+      // CM point-estimate replay: min over depth rows of the bucket
+      // counters for the exact top-20 tokens; overcount = est − truth.
+      "q164_countmin_estimate" -> {
+        val rows = (0 until 4).map(r =>
+          s"SELECT $r AS r, ${Sketch.cmBucketSql("item", r, 64, "cm")} AS b FROM toks")
+          .mkString("\n  UNION ALL ")
+        val probe = (0 until 4).map(r =>
+          s"SELECT item, true_cnt, $r AS r, ${Sketch.cmBucketSql("item", r, 64, "cm")} AS b FROM truth")
+          .mkString("\n  UNION ALL ")
+        s"""WITH toks AS (SELECT unnest(${toksSql("text")}) AS item
+           |  FROM documents WHERE text IS NOT NULL),
+           |sk AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cnt
+           |       FROM ($rows) GROUP BY 1, 2),
+           |truth AS (SELECT item, CAST(count(*) AS BIGINT) AS true_cnt FROM toks
+           |          GROUP BY 1 ORDER BY true_cnt DESC, item ASC LIMIT 20),
+           |pr AS ($probe),
+           |est AS (SELECT item, min(coalesce(cnt, 0)) AS est
+           |        FROM pr LEFT JOIN sk USING (r, b) GROUP BY 1)
+           |SELECT t.item, t.true_cnt, e.est, e.est - t.true_cnt AS overcount
+           |FROM truth t JOIN est e USING (item) ORDER BY item""".stripMargin
+      },
+
+      // RRF replay: the two rankers' global ranks (row_number by score
+      // desc, id asc — the same tie-break as the engine), top-50 each,
+      // fused as coalesce(1/(60+r_bm25),0) + coalesce(1/(60+r_cos),0)
+      // in that fixed order.
+      "q165_rrf_hybrid" -> {
+        val terms = Seq("spark", "shuffle", "hash", "merge", "window")
+        val k1 = 1.2; val b = 0.75
+        val inL = terms.map(t => s"'$t'").mkString(", ")
+        val total = terms.map(t =>
+          s"coalesce(max(CASE WHEN term = '$t' THEN c END), 0.0)").mkString(" + ")
+        s"""WITH base AS (SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+           |lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
+           |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    avg(CAST(dl AS DOUBLE)) AS avgdl FROM lens),
+           |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id, unnest(w) AS term FROM base)
+           |  WHERE term IN ($inL) GROUP BY 1, 2),
+           |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           |contrib AS (SELECT doc_id, term,
+           |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+           |      (tf * ${k1 + 1.0}) /
+           |      (tf + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE) / avgdl)) AS c
+           |  FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id)
+           |  CROSS JOIN stats),
+           |bm AS (SELECT doc_id AS id, round($total, 6) AS score
+           |       FROM contrib GROUP BY 1),
+           |bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS r FROM bm),
+           |bmc AS (SELECT id, 1.0 / (60.0 + CAST(r AS DOUBLE)) AS c0 FROM bmr WHERE r <= 50),
+           |dn AS (SELECT e.vec_id AS id,
+           |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS s
+           |  FROM embeddings e
+           |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+           |dnr AS (SELECT id, row_number() OVER (ORDER BY s DESC, id ASC) AS r FROM dn),
+           |dnc AS (SELECT id, 1.0 / (60.0 + CAST(r AS DOUBLE)) AS c1 FROM dnr WHERE r <= 50)
+           |SELECT coalesce(b.id, d.id) AS doc_id,
+           |  round(coalesce(b.c0, 0.0) + coalesce(d.c1, 0.0), 6) AS rrf,
+           |  CAST((CASE WHEN b.c0 IS NOT NULL THEN 1 ELSE 0 END) +
+           |       (CASE WHEN d.c1 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_rankers
+           |FROM bmc b FULL OUTER JOIN dnc d ON b.id = d.id
+           |ORDER BY rrf DESC, doc_id ASC""".stripMargin
+      },
+
+      // Chunk-dedup-rewrite replay: same ⌈len/12⌉ non-overlapping
+      // chunking as q55's passage form, first (doc, idx) occurrence
+      // per fingerprint wins, survivors re-joined in position order.
+      "q166_chunk_dedup" ->
+        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),
+           |base AS (SELECT doc_id, ${toksSql("text")} AS w FROM dup WHERE doc_id IS NOT NULL),
+           |ch AS (SELECT doc_id, i AS idx,
+           |    array_to_string(w[i*12+1 : i*12+12], ' ') AS chunk
+           |  FROM (SELECT doc_id, w,
+           |          unnest(range(((len(w) - 1) // 12) + 1)) AS i
+           |        FROM base WHERE len(w) > 0)),
+           |k AS (SELECT doc_id, idx, chunk,
+           |    row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+           |  FROM ch),
+           |per AS (SELECT doc_id,
+           |    CAST(count(*) AS BIGINT) AS n_chunks,
+           |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |    string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx) AS text_clean
+           |  FROM k GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+           |  CAST(coalesce(p.n_kept, 0) AS BIGINT) AS n_kept,
+           |  coalesce(p.text_clean, '') AS text_clean
+           |FROM (SELECT DISTINCT doc_id FROM dup WHERE doc_id IS NOT NULL) d
+           |LEFT JOIN per p USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
+
+      // Bigram-LM replay: q56's ladder one Markov order up — bigram
+      // counts from the even-id half, context counts derived from
+      // them, V = train unigram vocab, add-one smoothing.
+      "q167_bigram_logprob" -> {
+        val toks = toksSql("text")
+        val bgs = s"unnest(list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]))"
+        s"""WITH base AS (SELECT doc_id, $toks AS w FROM documents WHERE doc_id IS NOT NULL),
+           |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM (
+           |    SELECT $bgs AS bg FROM base WHERE doc_id % 2 = 0 AND len(w) >= 2)
+           |  GROUP BY 1),
+           |cx AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+           |       FROM bc GROUP BY 1),
+           |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+           |       FROM (SELECT unnest(w) AS tok FROM base WHERE doc_id % 2 = 0)),
+           |tf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf FROM (
+           |    SELECT doc_id, $bgs AS bg FROM base WHERE len(w) >= 2)
+           |  GROUP BY 1, 2),
+           |sc AS (SELECT t.doc_id,
+           |    CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+           |    sum(CAST(t.tf AS DOUBLE) *
+           |        ln(CAST(coalesce(b.c12, 0) + 1 AS DOUBLE) /
+           |           CAST(coalesce(x.c1, 0) + v.v AS DOUBLE)))
+           |      / CAST(sum(t.tf) AS DOUBLE) AS avg_logp
+           |  FROM tf t LEFT JOIN bc b USING (bg)
+           |  LEFT JOIN cx x ON x.w1 = split_part(t.bg, ' ', 1)
+           |  CROSS JOIN vv v GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           |  round(coalesce(sc.avg_logp, 0.0), 6) AS avg_logp
+           |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+           |LEFT JOIN sc USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      // Stream–stream join replay: every match eventually forms (the
+      // 365-day watermark evicts nothing inside the data's range), so
+      // the emitted stream must equal the batch interval self-join.
+      "q168_streaming_join" ->
+        """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+          |FROM events c JOIN events v
+          |  ON c.user_id = v.user_id
+          | AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts
+          |WHERE c.event_type = 'click' AND v.event_type = 'view'
+          |  AND c.ts IS NOT NULL AND v.ts IS NOT NULL
+          |  AND c.user_id IS NOT NULL
+          |ORDER BY 1, 2, 3""".stripMargin,
 
       // Streaming numeric-profile replay: every real per-day window
       // closes under the sentinel watermark, so the emitted stream must

@@ -704,6 +704,61 @@ object Corpus {
         round(coalesce(col("avg_logp"), lit(0.0)), 6).as("avg_logp"))
   }
 
+  /** Per-document average bigram log-probability under an add-one-
+    * smoothed bigram language model fit on `train` — one Markov order
+    * above [[unigramLogProb]], the cheapest model that punishes
+    * word-salad documents whose unigrams look fine but whose
+    * transitions never occur in the reference corpus (the q43
+    * repetition / q20 quality signals miss exactly that case).
+    *
+    * p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V) with c(w1 ·) = the
+    * count of train bigrams starting at w1 and V = train unigram
+    * vocabulary size — add-one over the vocabulary, so an unseen
+    * context scores ln(1/V) and nothing blows up.
+    * avg_logp = Σ tf·ln p / Σ tf over the document's bigram stream;
+    * documents with < 2 tokens score 0 with n_bigrams = 0.
+    *
+    * Shape mirrors [[unigramLogProb]]: the model is one bigram agg
+    * over train (vocab²-bounded in principle, observed-bigram-bounded
+    * in fact), context counts derive from it with a second narrow agg,
+    * V rides in-plan as a broadcast 1-row frame, and scoring joins the
+    * per-doc bigram tf table on the bigram key. Bigrams come from the
+    * tight-loop kernel ([[graft.ops.Dedup.ngramStreamFast]]). No
+    * driver state at any size. */
+  def bigramLogProb(train: DataFrame, score: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val big = train
+      .select(explode(Dedup.ngramStreamFast(col(textCol).cast("string"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // feeds the context agg AND the scoring join
+    val ctx = big
+      .select(split(col("bg"), " ").getItem(0).as("w1"), col("c12"))
+      .groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = train
+      .select(explode(tokens(col(textCol).cast("string"))).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val tf = score
+      .select(col(idCol).as("id"),
+        explode(Dedup.ngramStreamFast(col(textCol).cast("string"), 2)).as("bg"))
+      .groupBy("id", "bg").agg(count(lit(1)).as("tf"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val scored = tf
+      .join(big, Seq("bg"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy("id").agg(
+        sum(col("tf")).as("n_bigrams"),
+        (sum(col("tf").cast("double") *
+          log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))) /
+          sum(col("tf")).cast("double")).as("avg_logp"))
+    score.select(col(idCol).as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("avg_logp"), lit(0.0)), 6).as("avg_logp"))
+  }
+
   /** DSIR-style importance weights for domain-targeted data selection
     * (Xie et al. 2023, "Data Selection for Language Models via
     * Importance Resampling"): score every document by the average

@@ -814,4 +814,52 @@ object Dedup {
       .select(col("id"), coalesce(col("text_clean"), lit("")).as("text_clean"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
+
+  /** Chunk-level dedup REWRITE — first-occurrence-wins over the
+    * corpus's non-overlapping `chunkTokens`-token chunks: every chunk
+    * whose fingerprint already occurred at a lexicographically smaller
+    * (doc, position) is deleted, and each document's surviving chunks
+    * are re-joined in order. This is the span-removal transform of
+    * exact-substring training-data dedup (the chunk-granular form of
+    * Lee et al. 2022's "Deduplicating Training Data Makes Language
+    * Models Better" — drop the REPEATED span, keep its first copy),
+    * where [[graft.ops.Corpus.passageDupStats]] only reports the
+    * duplication rate.
+    *
+    * Chunks come from [[passagesFast]] (tail partial included; docs
+    * with no tokens produce none and survive with empty text).
+    * Repeats WITHIN one document dedup too (only the smallest
+    * position survives). Returns (id, n_chunks, n_kept, text_clean).
+    *
+    * Shape: chunks are fingerprinted to md5 digests at the scan; the
+    * owner-election groupBy ships (fp, id, idx) only — never chunk
+    * text; the winners join back fp-keyed; the per-doc rebuild is one
+    * collect_list agg keyed on the doc (text rides exactly one
+    * shuffle, unavoidable for a rewrite). No windows, no driver
+    * state. */
+  def chunkDedupRewrite(df: DataFrame, idCol: String, textCol: String,
+                        chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val chunks = df
+      .select(col(idCol).as("id"),
+        posexplode(passagesFast(col(textCol).cast("string"), chunkTokens)))
+      .select(col("id"), col("pos").as("idx"), col("col").as("chunk"),
+        md5(col("col").cast("binary")).as("fp"))
+      .localCheckpoint() // feeds the owner election AND the join-back
+    val owners = chunks
+      .groupBy("fp").agg(min(struct(col("id"), col("idx"))).as("o"))
+    val kept = chunks.join(owners, Seq("fp"))
+      .filter(struct(col("id"), col("idx")) === col("o"))
+    kept.groupBy("id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+      .join(chunks.groupBy("id").agg(count(lit(1)).as("n_chunks")), Seq("id"), "right")
+      .join(df.select(col(idCol).as("id")).distinct(), Seq("id"), "right")
+      .select(col("id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

@@ -507,4 +507,43 @@ object Similarity {
       .select(col("id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Reciprocal-rank fusion of ranker outputs (Cormack, Clarke &
+    * Büttcher, SIGIR 2009): each ranker contributes 1/(k0 + rank) for
+    * the documents it returned, and the fused score is the fixed-order
+    * sum of contributions — the standard way to combine a sparse (BM25)
+    * and a dense (embedding-cosine) retriever without score
+    * calibration, since only RANKS enter the formula.
+    *
+    * `rankings` are candidate tables (id, score); rank_i is
+    * row_number by (score desc, id asc) WITHIN table i. CONTRACT: each
+    * input is a ranker's top-N output (k-bounded — e.g.
+    * [[bruteForceTopK]] / [[graft.ops.Corpus.bm25]]+limit), so the
+    * single-partition rank window orders N rows, not a corpus — same
+    * bound as a TakeOrderedAndProject result. The fuse itself is an
+    * id-keyed outer join over ≤ Σ N rows. Contributions add in
+    * `rankings` order, left-associated, so the double sum is
+    * evaluation-order-identical cross-engine.
+    *
+    * Returns (id, rrf round 6, n_rankers), one row per id seen by any
+    * ranker. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
+              k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rankings must be non-empty")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    val ranked = rankings.zipWithIndex.map { case (df, i) =>
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+      df.select(col(idCol).as("id"), col(scoreCol))
+        .withColumn(s"__c$i",
+          lit(1.0) / (lit(k0.toDouble) + row_number().over(w).cast("double")))
+        .select(col("id"), col(s"__c$i"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    joined.select(col("id"),
+      round(rankings.indices.map(i => coalesce(col(s"__c$i"), lit(0.0)))
+        .reduce(_ + _), 6).as("rrf"),
+      rankings.indices.map(i =>
+          when(col(s"__c$i").isNotNull, 1).otherwise(0))
+        .reduce(_ + _).as("n_rankers"))
+  }
 }

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable data sketches for corpus-scale statistics — the summaries
+  * a 100 TB profile pass computes when the exact answer would shuffle
+  * the full distinct universe:
+  *
+  *  - '''KMV (k-minimum-values) distinct sketch''' — cardinality
+  *    estimation from the k smallest value hashes (Bar-Yossef et al.
+  *    2002; the bottom-k form surveyed in Beyer et al., SIGMOD 2007,
+  *    "On synopses for distinct-value estimation under multiset
+  *    operations"). Per-partition state is a capped ordered set of k
+  *    16-byte digests, merge is set-union-then-truncate, so the plan
+  *    ships O(P·k) digests instead of shuffling |distinct| rows the
+  *    way `count_distinct` does. The estimator is deterministic
+  *    (md5-keyed), so unlike HyperLogLog's implementation-defined
+  *    registers it replays bit-for-bit in the DuckDB oracle.
+  *  - '''Count–min sketch''' — fixed-size (depth × width) frequency
+  *    summary (Cormode & Muthukrishnan 2005). The sketch build is one
+  *    map-side-combining aggregation whose group space is bounded by
+  *    d·w REGARDLESS of corpus size; point estimates never
+  *    underestimate (min over d counters ≥ true count).
+  *
+  * Both sketches hash with md5 only, so every number they emit is
+  * oracle-replayable — the engine's sketch row and the SQL replay
+  * agree exactly, not just statistically.
+  */
+object Sketch {
+
+  /** Bits of the digest used when a hash must become a number: the
+    * first 48 (12 hex digits) — exactly representable in a double, and
+    * decodable digit-by-digit in the oracle. */
+  private val FracBits = 48
+  private val FracDenom = math.pow(2.0, FracBits) // 2^48, exact
+
+  /** KMV distinct-count sketches for `colNames` of `df`, all built in
+    * ONE scan. Output, one row per column:
+    * (col_name, k, n_kept, kth_hash, est) where
+    *  - n_kept = |bottom-k set| (< k ⟺ the column's true distinct
+    *    count is n_kept, and est is then exact),
+    *  - kth_hash = the largest kept digest,
+    *  - est = (k−1) / frac(kth_hash) with frac = the digest's first 48
+    *    bits as a fraction of 2^48 — the classic KMV estimator.
+    *
+    * Scale shape: the value stream never shuffles. Each task keeps one
+    * capped TreeSet of ≤ k digests per column (O(cols·k·16B) state),
+    * emits its bottom-k, and the global merge sees ≤ P·k rows per
+    * column — the union's k smallest ARE the global bottom-k, the
+    * standard KMV merge property, so the result is identical to a
+    * single-machine pass. Nulls are excluded (count_distinct
+    * semantics). Values hash as md5(CAST(v AS STRING)) — the oracle
+    * replays the exact digests, not just the estimate. */
+  def kmvDistinct(df: DataFrame, colNames: Seq[String], k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(colNames.nonEmpty, "colNames must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df.select(explode(array(colNames.map(c =>
+        struct(lit(c).as("n"),
+          md5(col(c).cast("string").cast("binary")).as("h"))): _*)).as("x"))
+      .select(col("x.n").as("n"), col("x.h").as("h"))
+      .filter(col("h").isNotNull)
+      .as[(String, String)]
+    // per-partition bottom-k: bounded state, no shuffle of the stream
+    val partial = pairs.mapPartitions { it =>
+      val state = new java.util.HashMap[String, java.util.TreeSet[String]]()
+      it.foreach { case (name, h) =>
+        var s = state.get(name)
+        if (s == null) { s = new java.util.TreeSet[String](); state.put(name, s) }
+        if (s.add(h) && s.size > k) { s.pollLast(); () }
+      }
+      import scala.jdk.CollectionConverters._
+      state.asScala.iterator.flatMap { case (n, s) =>
+        s.asScala.iterator.map(h => (n, h)) }
+    }.toDF("col_name", "h")
+    // global merge over ≤ P·k digests per column: dedup (keyed shuffle
+    // of sketch-sized input), then rank-and-keep-k. The window is one
+    // task per column over ≤ P·k rows — bounded by the task count, not
+    // the corpus — and unlike a collect_set it streams+spills instead
+    // of materializing one giant array row.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("col_name").orderBy("h")
+    val merged = partial.dropDuplicates("col_name", "h")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .groupBy("col_name")
+      .agg(count(lit(1)).cast("int").as("n_kept"), max(col("h")).as("kth_hash"))
+    val frac = conv(substring(col("kth_hash"), 1, FracBits / 4), 16, 10)
+      .cast("long").cast("double") / lit(FracDenom)
+    merged.select(
+      col("col_name"), lit(k).as("k"), col("n_kept"), col("kth_hash"),
+      round(when(col("n_kept") < k, col("n_kept").cast("double"))
+        .otherwise(lit((k - 1).toDouble) / frac), 6).as("est"))
+  }
+
+  /** Count–min sketch table of an item stream: (r, b, cnt) for r in
+    * [0, depth), b = H_r(item) in [0, width). ONE aggregation whose
+    * map-side combine collapses every partition to ≤ depth·width
+    * partial rows — the shuffle is sketch-sized, never corpus-sized.
+    * H_r(item) = first 28 bits of md5("<salt><r>#" + item) mod width
+    * (the [[TextAnalysis.tokenHash31]] digest family — the oracle
+    * replays it digit-by-digit). Null items are excluded. */
+  def countMin(items: DataFrame, itemCol: String, depth: Int, width: Int,
+               salt: String): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val it = items.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    it.select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cmBucket(col("item"), r, width, salt).as("b"))): _*)).as("x"))
+      .groupBy(col("x.r").as("r"), col("x.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a count–min sketch for a (small) candidate
+    * item frame: est(item) = min over r of sketch(r, H_r(item)) — the
+    * CM upper bound (≥ true count, never below). The sketch is
+    * ≤ depth·width rows, so the probe join broadcasts it; candidates
+    * never shuffle. Output: (item, est). */
+  def countMinEstimate(sketch: DataFrame, candidates: DataFrame,
+                       itemCol: String, depth: Int, width: Int,
+                       salt: String): DataFrame = {
+    val cand = candidates.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    cand.select(col("item"), explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cmBucket(col("item"), r, width, salt).as("b"))): _*)).as("x"))
+      .select(col("item"), col("x.r").as("r"), col("x.b").as("b"))
+      .join(broadcast(sketch), Seq("r", "b"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Row-r count–min bucket of an item: 28-bit md5 prefix mod width. */
+  private def cmBucket(item: org.apache.spark.sql.Column, r: Int, width: Int,
+                       salt: String): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat(lit(s"$salt$r#"), item).cast("binary")), 1, 7), 16, 10)
+      .cast("long"), lit(width.toLong)).cast("int")
+
+  /** The DuckDB fragment that replays [[kmvDistinct]]'s frac(kth_hash)
+    * — first 12 hex digits decoded positionally. Kept beside the Spark
+    * expression so the two can never drift apart. */
+  def kmvFracSql(hashExpr: String): String = {
+    val digits = (0 until FracBits / 4).map { i =>
+      s"(instr('0123456789abcdef', substr($hashExpr, ${i + 1}, 1)) - 1) * ${math.pow(16.0, (FracBits / 4 - 1 - i).toDouble).toLong}"
+    }.mkString("(", " + ", ")")
+    s"(CAST($digits AS DOUBLE) / ${FracDenom.toLong}.0)"
+  }
+
+  /** The DuckDB fragment that replays [[cmBucket]]. */
+  def cmBucketSql(itemExpr: String, r: Int, width: Int, salt: String): String = {
+    val h = s"md5('$salt$r#' || $itemExpr)"
+    val v = (0 until 7).map { i =>
+      s"(instr('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${1L << (4 * (6 - i))}"
+    }.mkString("(", " + ", ")")
+    s"CAST($v % $width AS INT)"
+  }
+}

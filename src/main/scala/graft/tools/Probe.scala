@@ -413,6 +413,34 @@ object Probe {
             dim, 4, 8, 2, 10).count())
       }
     }
+    names.filter(_ == "r9ops-scalelaw").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def docsAt(mult: Int): org.apache.spark.sql.DataFrame = rotatedDocs(docs, mult)
+      def time(tag: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val n = f
+        println(f"R9OPS-SCALELAW $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+      }
+      def toks(df: org.apache.spark.sql.DataFrame) = df
+        .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("item"))
+      // warmup (untimed)
+      graft.ops.Sketch.kmvDistinct(docsAt(1), Seq("text", "lang"), 256).count()
+      graft.ops.Sketch.countMin(toks(docsAt(1)), "item", 4, 64, "p").count()
+      Seq(1, 4, 10).foreach { m =>
+        // sketches: cost must be ONE linear scan (state O(k) / O(d·w)
+        // per task); output row count constant as the corpus grows
+        time(s"kmv x$m")(
+          graft.ops.Sketch.kmvDistinct(docsAt(m), Seq("text", "lang"), 256).count())
+        time(s"countmin x$m")(
+          graft.ops.Sketch.countMin(toks(docsAt(m)), "item", 4, 64, "p").count())
+        // rewrite: linear in chunks; election ships fingerprints only
+        time(s"chunk-dedup x$m")(
+          graft.ops.Dedup.chunkDedupRewrite(docsAt(m), "doc_id", "text", 12).count())
+        // bigram LM: vocab²-bounded model, corpus-linear scoring scan
+        time(s"bigram-lm x$m")(
+          graft.ops.Corpus.bigramLogProb(docsAt(m), docsAt(m), "doc_id", "text").count())
+      }
+    }
     names.filter(_ == "admit-scalelaw").foreach { _ =>
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -477,4 +477,29 @@ class CorpusSpec extends SparkSpec {
       .collect()
     assert(capped.nonEmpty && capped.length <= 3)
   }
+
+  test("bigramLogProb scores seen transitions above unseen, add-one exact") {
+    val train = Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("id", "text")
+    val score = Seq((10L, "the cat"), (11L, "cat the"), (12L, "x"))
+      .toDF("id", "text")
+    val got = Corpus.bigramLogProb(train, score, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // train bigrams: "the cat"×2, "cat sat", "cat ran"; V=5 (the,cat,sat,ran...
+    // tokens: the,cat,sat,ran → V=4); c(the ·)=2, c(cat ·)=2
+    def rnd6(x: Double) = math.round(x * 1e6) / 1e6
+    val pSeen = (2.0 + 1.0) / (2.0 + 4.0)   // p(cat|the) = 3/6
+    val pUnseen = (0.0 + 1.0) / (2.0 + 4.0) // p(the|cat) = 1/6
+    assert(got(10L) === ((1L, rnd6(math.log(pSeen)))))
+    assert(got(11L) === ((1L, rnd6(math.log(pUnseen)))))
+    assert(got(12L) === ((0L, 0.0))) // <2 tokens → no bigrams
+  }
+
+  test("bigramLogProb: unseen context scores ln(1/V)") {
+    val train = Seq((1L, "a b")).toDF("id", "text")
+    val score = Seq((10L, "z q")).toDF("id", "text") // context z unseen
+    val got = Corpus.bigramLogProb(train, score, "id", "text").collect()(0)
+    // V = 2 (a, b); p(q|z) = (0+1)/(0+2) = 1/2
+    assert(got.getLong(1) === 1L)
+    assert(math.abs(got.getDouble(2) - math.log(0.5)) < 1e-6)
+  }
 }

@@ -333,4 +333,28 @@ class DedupSpec extends SparkSpec {
         ((r.getAs[Long]("keep_score"), r.getAs[Long]("dup_count")))).toMap
     assert(out === Map(2L -> ((9L, 3L)), 4L -> ((1L, 1L))))
   }
+
+  test("chunkDedupRewrite deletes repeated chunks, first (doc,pos) wins") {
+    // doc 1: chunks [a b][c d]; doc 2 repeats [a b] then new [e f];
+    // doc 3 repeats doc 1 entirely → rewritten to empty
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b e f"), (3L, "a b c d"),
+      (4L, "")).toDF("id", "text")
+    val got = Dedup.chunkDedupRewrite(df, "id", "text", chunkTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((2L, 2L, "a b c d")))
+    assert(got(2L) === ((2L, 1L, "e f")))
+    assert(got(3L) === ((2L, 0L, "")))
+    assert(got(4L) === ((0L, 0L, ""))) // no tokens → no chunks, survives
+  }
+
+  test("chunkDedupRewrite dedups repeats WITHIN one doc and keeps tail partials") {
+    val df = Seq((7L, "x y x y z")).toDF("id", "text")
+    val got = Dedup.chunkDedupRewrite(df, "id", "text", chunkTokens = 2)
+      .collect()(0)
+    // chunks: [x y][x y][z] → second [x y] deleted, tail partial kept
+    assert((got.getLong(1), got.getLong(2), got.getString(3)) ===
+      ((3L, 2L, "x y z")))
+  }
 }

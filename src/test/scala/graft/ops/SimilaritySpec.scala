@@ -237,4 +237,24 @@ class SimilaritySpec extends SparkSpec {
     assert(m(1L) !== m(3L)) // antipodal vectors flip every bit
     assert(m(1L).length === 8 && m(1L).forall(c => c == '0' || c == '1'))
   }
+
+  test("rrfFuse: known ranks fuse to exact reciprocal sums") {
+    // ranker A: doc1 > doc2 > doc3; ranker B: doc3 > doc1 (doc2 absent)
+    val a = Seq((1L, 9.0), (2L, 5.0), (3L, 1.0)).toDF("id", "s")
+    val b = Seq((3L, 0.9), (1L, 0.2)).toDF("id", "s")
+    val got = Similarity.rrfFuse(Seq(a, b), "id", "s", k0 = 60)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    def rr(r: Int) = 1.0 / (60.0 + r)
+    def rnd6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(got(1L) === ((rnd6(rr(1) + rr(2)), 2)))
+    assert(got(2L) === ((rnd6(rr(2)), 1)))
+    assert(got(3L) === ((rnd6(rr(3) + rr(1)), 2)))
+  }
+
+  test("rrfFuse breaks score ties by ascending id") {
+    val a = Seq((5L, 1.0), (2L, 1.0), (9L, 1.0)).toDF("id", "s")
+    val got = Similarity.rrfFuse(Seq(a), "id", "s")
+      .orderBy(desc("rrf")).collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L, 5L, 9L)) // rank 1,2,3 → contributions descend
+  }
 }

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmvDistinct is exact below k (n_kept = true distinct, est exact)") {
+    val df = (0 until 1000).map(i => (i % 37, s"s${i % 11}"))
+      .toDF("a", "b").repartition(8)
+    val got = Sketch.kmvDistinct(df, Seq("a", "b"), k = 256)
+      .collect().map(r => r.getString(0) -> (r.getInt(2), r.getDouble(4))).toMap
+    assert(got("a") === ((37, 37.0)))
+    assert(got("b") === ((11, 11.0)))
+  }
+
+  test("kmvDistinct estimate lands near the true cardinality above k") {
+    val df = (0 until 20000).map(i => i.toLong).toDF("x").repartition(16)
+    val r = Sketch.kmvDistinct(df, Seq("x"), k = 256).collect()(0)
+    assert(r.getInt(2) === 256) // kept exactly k
+    val est = r.getDouble(4)
+    // KMV relative error ~ 1/sqrt(k) ≈ 6%; allow 4 sigma
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.25, s"est=$est")
+  }
+
+  test("kmvDistinct merge is partition-invariant (same digests any layout)") {
+    val vals = (0 until 5000).map(i => s"v$i")
+    val a = Sketch.kmvDistinct(vals.toDF("x").repartition(1), Seq("x"), 64)
+      .collect()(0)
+    val b = Sketch.kmvDistinct(vals.toDF("x").repartition(32), Seq("x"), 64)
+      .collect()(0)
+    assert(a.getString(3) === b.getString(3)) // kth hash identical
+    assert(a.getDouble(4) === b.getDouble(4))
+  }
+
+  test("kmvDistinct excludes nulls and handles all-null columns") {
+    val df = Seq((Some(1), Option.empty[String]), (None, None), (Some(2), None))
+      .toDF("a", "b")
+    val got = Sketch.kmvDistinct(df, Seq("a", "b"), k = 16)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(got("a") === 2)
+    assert(!got.contains("b")) // no non-null values → no sketch row
+  }
+
+  test("countMin point estimates never underestimate and are exact for unique buckets") {
+    val items = Seq.fill(500)("heavy") ++ (0 until 300).map(i => s"tail$i")
+    val df = items.toDF("item").repartition(8)
+    val sk = Sketch.countMin(df, "item", depth = 4, width = 128, salt = "t")
+    val cand = Seq("heavy", "tail0", "absent").toDF("item")
+    val est = Sketch.countMinEstimate(sk, cand, "item", 4, 128, "t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("heavy") >= 500L)
+    assert(est("tail0") >= 1L)
+    assert(est("absent") >= 0L) // may collide upward, never negative
+    // total mass per depth row equals the stream size
+    val mass = sk.groupBy("r").agg(sum("cnt").as("m"))
+      .collect().map(_.getLong(1)).toSet
+    assert(mass === Set(800L))
+  }
+
+  test("countMin sketch size is bounded by depth*width regardless of stream size") {
+    val df = (0 until 10000).map(i => s"w$i").toDF("item").repartition(16)
+    val sk = Sketch.countMin(df, "item", depth = 2, width = 32, salt = "s")
+    assert(sk.count() <= 64)
+  }
+}
