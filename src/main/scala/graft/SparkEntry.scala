@@ -1667,6 +1667,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- HyperLogLog distinct sketches, md5-registered so the
+    // registers AND the estimate replay in the oracle (unlike
+    // approx_count_distinct's implementation-defined sketch). One
+    // (column, bucket)-keyed agg with a |cols|·256-row group space at
+    // any corpus size; Z accumulates as an exact integer so the
+    // estimate rounds once from identical values cross-engine. The
+    // four columns span both estimator regimes: l_returnflag/l_suppkey
+    // hit linear counting, the keys hit the raw α·m²/Z path ---
+    "q169_hll_distinct" -> ((s, d) =>
+      Sketch.hllDistinct(t(s, d, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"))
+        .orderBy("col_name")),
+
+    // --- character-level Shannon entropy, the quality signal q20's
+    // token heuristics can't see (base64/minified payloads score
+    // near-uniform, spam runs score near-zero); order-deterministic
+    // left fold over sorted distinct chars, one codegen'd projection,
+    // no shuffle at all ---
+    "q170_char_entropy" -> ((s, d) =>
+      t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
+          round(TextAnalysis.charEntropy(col("text")), 6).as("entropy"))
+        .orderBy("doc_id")),
+
+    // --- gap-based sessionization of the event stream (30-min gap):
+    // one per-user window pass + keyed agg, all time arithmetic in
+    // integer epoch-millis so sessions replay exactly ---
+    "q171_sessionize" -> ((s, d) =>
+      Temporal.sessionize(t(s, d, "events"), "user_id", "event_id", "ts",
+          gapMs = 30L * 60 * 1000)
+        .withColumnRenamed("k", "user_id")
+        .orderBy("user_id", "session_idx")),
+
     // --- STREAM–STREAM watermarked interval join under a real
     // micro-batch trigger: clicks and views as two independent
     // streams, inner-joined per user on "view within the hour before
@@ -3379,6 +3413,75 @@ object SparkEntry {
            |LEFT JOIN sc USING (doc_id)
            |ORDER BY doc_id""".stripMargin
       },
+
+      // HLL replay: bucket/rank from positional md5 decode, register
+      // maxes, the exact-integer Z accumulator, and both estimator
+      // regimes (raw α·m²/Z and linear counting) re-derived in SQL.
+      "q169_hll_distinct" -> {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+        val src = cols.map(c =>
+          s"SELECT '$c' AS col_name, md5(CAST($c AS VARCHAR)) AS h FROM lineitem WHERE $c IS NOT NULL")
+          .mkString("\n  UNION ALL ")
+        val twoTo49 = s"(CAST(1 AS BIGINT) << 49)"
+        s"""WITH src AS ($src),
+           |reg AS (SELECT col_name,
+           |    CAST(${Sketch.hexIntSql("h", 1, 2)} AS INT) AS bucket,
+           |    ${Sketch.hexIntSql("h", 3, 12)} AS w
+           |  FROM src),
+           |mr AS (SELECT col_name, bucket,
+           |    max(49 - length(ltrim(bin(w), '0'))) AS mrank
+           |  FROM reg GROUP BY 1, 2),
+           |sm AS (SELECT col_name, CAST(count(*) AS INT) AS n_buckets,
+           |    CAST(max(mrank) AS INT) AS max_rank,
+           |    sum(CAST(1 AS BIGINT) << CAST(49 - mrank AS INT)) AS s_present
+           |  FROM mr GROUP BY 1),
+           |est AS (SELECT *,
+           |    (${Sketch.hllAlphaM2Literal} * CAST($twoTo49 AS DOUBLE)) /
+           |      CAST(s_present + (256 - CAST(n_buckets AS BIGINT)) * $twoTo49 AS DOUBLE) AS raw
+           |  FROM sm)
+           |SELECT col_name, CAST(256 AS INT) AS m, n_buckets, max_rank,
+           |  round(CASE WHEN raw <= 640.0 AND (256 - n_buckets) > 0
+           |    THEN 256.0 * ln(256.0 / CAST(256 - n_buckets AS DOUBLE))
+           |    ELSE raw END, 6) AS est
+           |FROM est ORDER BY col_name""".stripMargin
+      },
+
+      // Char-entropy replay: same sorted-distinct left fold — the
+      // engine's (0+t1)+t2+… and the oracle's first-element fold agree
+      // bit-for-bit because 0.0 + x = x exactly.
+      "q170_char_entropy" ->
+        """WITH base AS (SELECT doc_id, coalesce(text, '') AS t
+          |  FROM documents WHERE doc_id IS NOT NULL),
+          |c AS (SELECT doc_id, len(t) AS n,
+          |    list_transform(range(1, len(t) + 1), i -> substr(t, i, 1)) AS chars
+          |  FROM base)
+          |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+          |  round(CASE WHEN n > 0 THEN 0.0 - list_reduce(
+          |      list_transform(list_sort(list_distinct(chars)),
+          |        d -> (CAST(len(list_filter(chars, x -> x = d)) AS DOUBLE) / CAST(n AS DOUBLE)) *
+          |             ln(CAST(len(list_filter(chars, x -> x = d)) AS DOUBLE) / CAST(n AS DOUBLE))),
+          |      (a, b) -> a + b)
+          |    ELSE 0.0 END, 6) AS entropy
+          |FROM c ORDER BY doc_id""".stripMargin,
+
+      // Sessionization replay: identical lag/running-sum window over
+      // (ts, event_id) order, epoch-millis integers end to end.
+      "q171_sessionize" ->
+        """WITH b AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+          |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |f AS (SELECT user_id, event_id, ms,
+          |    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+          |s AS (SELECT user_id, ms,
+          |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+          |                     ROWS UNBOUNDED PRECEDING) AS session_idx
+          |  FROM f)
+          |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          |  CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(min(ms) AS BIGINT) AS start_ms, CAST(max(ms) AS BIGINT) AS end_ms,
+          |  CAST(max(ms) - min(ms) AS BIGINT) AS duration_ms
+          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // Stream–stream join replay: every match eventually forms (the
       // 365-day watermark evicts nothing inside the data's range), so

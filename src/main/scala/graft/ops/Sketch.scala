@@ -94,6 +94,67 @@ object Sketch {
         .otherwise(lit((k - 1).toDouble) / frac), 6).as("est"))
   }
 
+  /** HyperLogLog distinct sketches for `colNames`, all in ONE scan —
+    * the Flajolet–Fu­sy–Gandouet–Meunier 2007 estimator with md5 as
+    * the hash, which makes every register value (and therefore the
+    * estimate itself) deterministic and oracle-replayable, unlike
+    * `approx_count_distinct`'s implementation-defined registers.
+    *
+    * Register layout per value: bucket = first 8 hash bits (m = 256
+    * registers), w = the next 48 bits, register update
+    * M[bucket] = max(rank) with rank = (leading zeros of w) + 1
+    * ∈ [1, 49] — computed as 49 − bitlength via `length(ltrim(bin(w),
+    * '0'))`, the same closed form both engines evaluate.
+    *
+    * Cross-engine float strategy: Z = Σ 2^−M[j] is accumulated as the
+    * INTEGER S = Σ 2^(49−M[j]) (≤ m·2^49 < 2^58, exact in a long both
+    * engines), so the raw estimate α·m²·2^49 / S rounds exactly once
+    * from identical integers. Small-range correction: if E ≤ 2.5 m and
+    * V = empty registers > 0, E = m·ln(m/V) (linear counting) — `ln`
+    * parity is already proven by the LM-score oracles.
+    *
+    * Scale shape: the value stream feeds ONE aggregation keyed on
+    * (column, bucket) whose group space is |cols|·m regardless of
+    * corpus size — partial aggregation collapses every task to ≤ m
+    * rows per column before the (sketch-sized) shuffle. Returns one
+    * row per column: (col_name, m, n_buckets, max_rank, est). Columns
+    * with no non-null values produce no row (count_distinct = 0). */
+  def hllDistinct(df: DataFrame, colNames: Seq[String]): DataFrame = {
+    require(colNames.nonEmpty, "colNames must be non-empty")
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val pairs = df.select(explode(array(colNames.map(c =>
+        struct(lit(c).as("n"),
+          md5(col(c).cast("string").cast("binary")).as("h"))): _*)).as("x"))
+      .select(col("x.n").as("col_name"), col("x.h").as("h"))
+      .filter(col("h").isNotNull)
+    val regs = pairs
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+      .withColumn("w", conv(substring(col("h"), 3, 12), 16, 10).cast("long"))
+      .withColumn("rank", lit(49) - length(regexp_replace(bin(col("w")), "^0+", "")))
+      .groupBy("col_name", "bucket").agg(max(col("rank")).as("mrank"))
+    val sums = regs.groupBy("col_name").agg(
+      count(lit(1)).cast("int").as("n_buckets"),
+      max(col("mrank")).as("max_rank"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - mrank)")).as("s_present"))
+    val s = col("s_present") +
+      (lit(m.toLong) - col("n_buckets")) * lit(1L << 49)
+    val v = lit(m) - col("n_buckets") // empty registers
+    val rawEst = lit(alpha * m * m) * lit((1L << 49).toDouble) / s.cast("double")
+    sums.select(
+      col("col_name"), lit(m).as("m"), col("n_buckets"), col("max_rank"),
+      round(when(rawEst <= lit(2.5 * m) && v > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+        .otherwise(rawEst), 6).as("est"))
+  }
+
+  /** The exact double literal of [[hllDistinct]]'s α·m² pre-factor,
+    * rendered so the oracle evaluates the SAME IEEE constant. */
+  def hllAlphaM2Literal: String = {
+    val m = 256
+    (0.7213 / (1.0 + 1.079 / m) * m * m).toString
+  }
+
   /** Count–min sketch table of an item stream: (r, b, cnt) for r in
     * [0, depth), b = H_r(item) in [0, width). ONE aggregation whose
     * map-side combine collapses every partition to ≤ depth·width
@@ -136,6 +197,14 @@ object Sketch {
                        salt: String): org.apache.spark.sql.Column =
     pmod(conv(substring(md5(concat(lit(s"$salt$r#"), item).cast("binary")), 1, 7), 16, 10)
       .cast("long"), lit(width.toLong)).cast("int")
+
+  /** DuckDB fragment decoding `nDigits` hex digits of `hexExpr`
+    * starting at 1-based `start` into a BIGINT — the positional form
+    * shared by every hash-replay oracle here. */
+  def hexIntSql(hexExpr: String, start: Int, nDigits: Int): String =
+    (0 until nDigits).map { i =>
+      s"(instr('0123456789abcdef', substr($hexExpr, ${start + i}, 1)) - 1) * ${1L << (4 * (nDigits - 1 - i))}"
+    }.mkString("(", " + ", ")")
 
   /** The DuckDB fragment that replays [[kmvDistinct]]'s frac(kth_hash)
     * — first 12 hex digits decoded positionally. Kept beside the Spark

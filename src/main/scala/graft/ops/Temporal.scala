@@ -515,4 +515,43 @@ object Temporal {
       .select(col("cohort"), col("age"), col("n_active"), col("n_cohort"),
         col("retention"))
   }
+
+  /** Gap-based sessionization: per key, a new session starts at the
+    * first event and whenever the gap to the previous event exceeds
+    * `gapMs` milliseconds — the standard clickstream session
+    * definition. Returns one row per (key, session): session ordinal
+    * (1-based in event-time order), event count, start/end/duration
+    * in epoch millis (integer-exact cross-engine; no float time
+    * arithmetic anywhere).
+    *
+    * Shape: ONE window pass partitioned by the key (lag + running sum
+    * share the same (ts, id)-ordered frame — Spark plans one sort),
+    * then a keyed agg on (key, session). Parallelism is across keys;
+    * per-key state is that key's event count, which is the floor any
+    * gap-based definition needs (each event's session depends on the
+    * full prior chain). A pathological single hot key would serialize
+    * — for clickstream keys (users/devices) cardinality is high and
+    * per-key volume is bounded, the regime this targets. Ordering ties
+    * break on `idCol`, so results are deterministic under replay. */
+  def sessionize(df: DataFrame, keyCol: String, idCol: String,
+                 tsCol: String, gapMs: Long): DataFrame = {
+    require(gapMs >= 1, s"gapMs must be >= 1, got $gapMs")
+    val base = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("k"), col(idCol).as("id"),
+        unix_millis(col(tsCol)).as("ms"))
+    val w = Window.partitionBy("k").orderBy(col("ms"), col("id"))
+    base
+      .withColumn("new_s",
+        when(lag(col("ms"), 1).over(w).isNull ||
+          col("ms") - lag(col("ms"), 1).over(w) > gapMs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
+      .select(col("k"), col("session_idx"), col("n_events"),
+        col("start_ms"), col("end_ms"),
+        (col("end_ms") - col("start_ms")).as("duration_ms"))
+  }
 }

@@ -139,6 +139,32 @@ object TextAnalysis {
     (lenOk * 0.3 + shapeOk * 0.3 + punctOk * 0.2 + stopOk * 0.2)
   }
 
+  /** Shannon entropy (nats) of the document's CHARACTER distribution —
+    * the quality signal [[qualityScore]]'s token heuristics can't see:
+    * base64/hex blobs and minified payloads sit at the high end
+    * (near-uniform bytes), single-char runs and trivial spam at the
+    * low end, prose in a stable mid band. H = −Σ p(ch)·ln p(ch).
+    *
+    * Cross-engine determinism: the sum folds LEFT over the SORTED
+    * distinct characters ((0+t₁)+t₂)+… — both engines evaluate the
+    * identical association, and 0.0 + x = x exactly, so the oracle's
+    * first-element fold matches — and the `0.0 − Σ` form (not unary
+    * minus) keeps an all-zero sum at +0.0 in both engines. Per-row
+    * cost is O(distinct·len) inside one codegen'd projection; empty /
+    * null text scores 0.0. */
+  def charEntropy(c: Column): Column = {
+    val t = coalesce(c.cast("string"), lit(""))
+    val n = length(t)
+    val chars = transform(sequence(lit(1), greatest(n, lit(1))),
+      i => t.substr(i, lit(1)))
+    val nd = n.cast("double")
+    def p(d: Column) = size(filter(chars, x => x === d)).cast("double") / nd
+    when(n > 0,
+      lit(0.0) - aggregate(array_sort(array_distinct(chars)), lit(0.0),
+        (acc, d) => acc + p(d) * log(p(d))))
+      .otherwise(lit(0.0))
+  }
+
   // ---- fingerprinting ----
 
   /** Canonical content fingerprint: md5 over the whitespace-normalized,

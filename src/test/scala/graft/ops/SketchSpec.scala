@@ -64,4 +64,41 @@ class SketchSpec extends SparkSpec {
     val sk = Sketch.countMin(df, "item", depth = 2, width = 32, salt = "s")
     assert(sk.count() <= 64)
   }
+
+  test("hllDistinct estimate lands near the truth for large cardinality") {
+    val df = (0 until 50000).map(i => s"u$i").toDF("x").repartition(16)
+    val r = Sketch.hllDistinct(df, Seq("x")).collect()(0)
+    val est = r.getDouble(4)
+    // m=256 → std err ~1.04/sqrt(256) ≈ 6.5%; allow 4 sigma
+    assert(math.abs(est - 50000.0) / 50000.0 < 0.26, s"est=$est")
+    assert(r.getInt(2) === 256) // every register hit at 50k distinct
+  }
+
+  test("hllDistinct small range uses linear counting and is near-exact") {
+    val df = (0 until 1000).map(i => i % 20).toDF("x").repartition(8)
+    val r = Sketch.hllDistinct(df, Seq("x")).collect()(0)
+    // 20 distinct, 256 registers: collisions unlikely → n_buckets ≈ 20,
+    // linear counting m·ln(m/V) within a couple of percent
+    assert(r.getInt(2) >= 18 && r.getInt(2) <= 20)
+    assert(math.abs(r.getDouble(4) - 20.0) < 2.5, s"est=${r.getDouble(4)}")
+  }
+
+  test("hllDistinct is partition-invariant (registers are a commutative max)") {
+    val vals = (0 until 3000).map(i => s"k$i")
+    val a = Sketch.hllDistinct(vals.toDF("x").repartition(1), Seq("x")).collect()(0)
+    val b = Sketch.hllDistinct(vals.toDF("x").repartition(32), Seq("x")).collect()(0)
+    assert(a.getInt(2) === b.getInt(2))
+    assert(a.getInt(3) === b.getInt(3))
+    assert(a.getDouble(4) === b.getDouble(4))
+  }
+
+  test("hllDistinct sketches several columns in one scan, excluding nulls") {
+    val df = Seq((Some("a"), Some(1)), (Some("b"), None), (Some("a"), Some(2)))
+      .toDF("s", "n")
+    val got = Sketch.hllDistinct(df, Seq("s", "n"))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // linear counting is exact at this size barring a 2-in-256 collision
+    assert(math.abs(got("s") - 2.0) < 0.1)
+    assert(math.abs(got("n") - 2.0) < 0.1)
+  }
 }

@@ -311,4 +311,31 @@ class TemporalSpec extends SparkSpec {
       .sortBy(_._1)
     assert(got === List((0, 2L, 2L), (1, 1L, 2L)))
   }
+
+  test("sessionize splits on gaps, counts sessions per key in time order") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    // user 1: events at 0,10,20 min (one session), then 60,65 (second);
+    // user 2: single event
+    val ev = Seq(
+      (1L, 100L, ts(0)), (1L, 101L, ts(10)), (1L, 102L, ts(20)),
+      (1L, 103L, ts(60)), (1L, 104L, ts(65)),
+      (2L, 200L, ts(5))).toDF("u", "id", "ts")
+    val got = Temporal.sessionize(ev, "u", "id", "ts", gapMs = 30 * 60000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(5)))).toMap
+    assert(got((1L, 1L)) === ((3L, 20 * 60000L)))
+    assert(got((1L, 2L)) === ((2L, 5 * 60000L)))
+    assert(got((2L, 1L)) === ((1L, 0L)))
+  }
+
+  test("sessionize: a gap of exactly gapMs does NOT split (strict >)") {
+    import java.sql.Timestamp
+    val ev = Seq((1L, 1L, new Timestamp(0L)), (1L, 2L, new Timestamp(1000L)))
+      .toDF("u", "id", "ts")
+    val one = Temporal.sessionize(ev, "u", "id", "ts", gapMs = 1000L).collect()
+    assert(one.length === 1 && one(0).getLong(2) === 2L)
+    val two = Temporal.sessionize(ev, "u", "id", "ts", gapMs = 999L).collect()
+    assert(two.length === 2)
+  }
 }

@@ -116,4 +116,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(edge(1).isNullAt(1))               // dotless: no tld, not ""
     assert(edge(2).isNullAt(1))               // IPv4: octet is not a tld
   }
+
+  test("charEntropy: hand-computed values, degenerate and null inputs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("aaaa")),          // single symbol → 0
+      (2L, Some("abab")),          // uniform over 2 → ln 2
+      (3L, Some("abcd")),          // uniform over 4 → ln 4
+      (4L, Some("aab")),           // 2/3,1/3 mix
+      (5L, Some("")), (6L, Option.empty[String]))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.charEntropy(col("t")).as("h"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 0.0 && !got(1L).toString.startsWith("-")) // +0.0, not -0.0
+    assert(math.abs(got(2L) - math.log(2)) < 1e-12)
+    assert(math.abs(got(3L) - math.log(4)) < 1e-12)
+    val expected4 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(got(4L) - expected4) < 1e-12)
+    assert(got(5L) === 0.0 && got(6L) === 0.0)
+  }
 }
