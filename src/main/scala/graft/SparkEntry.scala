@@ -192,6 +192,29 @@ object SparkEntry {
   private def toksSql(c: String): String =
     s"list_filter(regexp_split_to_array(lower($c), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** Shared HLL-replay CTE chain (q172/q174): expects an upstream CTE
+    * `src(g, h)` of keyed md5 digests; ends in `fin(g, m, n_buckets,
+    * max_rank, est)` — the register/estimate ladder of
+    * [[graft.ops.Sketch.hllDistinct]] keyed on g. */
+  private def hllSqlTail: String =
+    s"""reg AS (SELECT g, CAST(${graft.ops.Sketch.hexIntSql("h", 1, 2)} AS INT) AS bucket,
+       |    ${graft.ops.Sketch.hexIntSql("h", 3, 12)} AS w FROM src),
+       |mr AS (SELECT g, bucket, max(49 - length(ltrim(bin(w), '0'))) AS mrank
+       |  FROM reg GROUP BY 1, 2),
+       |sm AS (SELECT g, CAST(count(*) AS INT) AS n_buckets,
+       |    CAST(max(mrank) AS INT) AS max_rank,
+       |    sum(CAST(1 AS BIGINT) << CAST(49 - mrank AS INT)) AS s_present
+       |  FROM mr GROUP BY 1),
+       |est0 AS (SELECT *,
+       |    (${graft.ops.Sketch.hllAlphaM2Literal} * CAST((CAST(1 AS BIGINT) << 49) AS DOUBLE)) /
+       |      CAST(s_present + (256 - CAST(n_buckets AS BIGINT)) *
+       |           (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS raw
+       |  FROM sm),
+       |fin AS (SELECT g, CAST(256 AS INT) AS m, n_buckets, max_rank,
+       |  round(CASE WHEN raw <= 640.0 AND (256 - n_buckets) > 0
+       |    THEN 256.0 * ln(256.0 / CAST(256 - n_buckets AS DOUBLE))
+       |    ELSE raw END, 6) AS est FROM est0)""".stripMargin
+
   /** DuckDB twin of TextAnalysis.tokenHash31 (7 hex digits of md5). */
   private def hash31Sql(tok: String): String =
     (0 until 7).map { i =>
@@ -268,7 +291,9 @@ object SparkEntry {
     * — with the session's setting restored immediately after start. */
   private def runMicroBatched[T <: Product : org.apache.spark.sql.Encoder](
       s: SparkSession, cols: Seq[String], batches: Seq[Seq[T]],
-      tmpPrefix: String, outCols: Seq[String])(
+      tmpPrefix: String, outCols: Seq[String],
+      mode: org.apache.spark.sql.streaming.OutputMode =
+        org.apache.spark.sql.streaming.OutputMode.Append())(
       build: DataFrame => DataFrame): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
@@ -286,7 +311,7 @@ object SparkEntry {
         .foreachBatch { (bdf: DataFrame, _: Long) =>
           bdf.select(outCols.map(col): _*).write.mode("append").parquet(outDir)
         }
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        .outputMode(mode).start()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       batches.foreach { b => mem.addData(b); q.processAllAvailable() }
@@ -1691,6 +1716,54 @@ object SparkEntry {
           length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
           round(TextAnalysis.charEntropy(col("text")), 6).as("entropy"))
         .orderBy("doc_id")),
+
+    // --- per-GROUP HLL: distinct users per event type from one
+    // (group, bucket)-keyed register agg — each group's sketch merges
+    // independently; group space |groups|·256 at any size ---
+    "q172_hll_by_group" -> ((s, d) =>
+      Sketch.hllDistinctBy(t(s, d, "events"), "event_type", "user_id")
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")),
+
+    // --- KMV set operations: union cardinality, Jaccard resemblance,
+    // and intersection estimate between the even-doc and odd-doc
+    // token VOCABULARIES, computed from the two bottom-k sketches
+    // alone — "how much do these corpora overlap" without joining
+    // the corpora ---
+    "q173_kmv_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      def toks(p: Int) = docs.filter(col("doc_id") % 2 === p)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      Sketch.kmvJaccard(toks(0), toks(1), "tok", k = 256)
+    }),
+
+    // --- STREAMING HLL: the register table maintained as REAL
+    // streaming aggregation state (update-mode groupBy on the
+    // stream), per-trigger register updates landed by the harness,
+    // final estimate from the max-merge of all emissions — HLL union
+    // mergeability demonstrated under a live micro-batch trigger; the
+    // estimate must equal the batch sketch of the same stream ---
+    "q174_streaming_hll" -> ((s, d) => {
+      import s.implicits._
+      val rows = t(s, d, "events").filter(col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          (col("event_id") % 3).cast("int").as("__b"))
+        .as[(Long, Long, Int)].collect()
+      val batches = (0 to 2).map(b => rows.toSeq.filter(_._3 == b))
+      val perTrigger = runMicroBatched(s,
+          Seq("event_id", "user_id", "batch"), batches,
+          "graft-stream-hll", Seq("bucket", "mrank"),
+          org.apache.spark.sql.streaming.OutputMode.Update()) { stream =>
+        Sketch.hllRegisters(
+          stream.select(md5(col("user_id").cast("string").cast("binary")).as("h")),
+          Seq.empty)
+      }
+      Sketch.hllEstimate(
+          perTrigger.groupBy("bucket").agg(max(col("mrank")).as("mrank")),
+          Seq.empty)
+        .withColumnRenamed("__m", "m")
+    }),
 
     // --- gap-based sessionization of the event stream (30-min gap):
     // one per-user window pass + keyed agg, all time arithmetic in
@@ -3463,6 +3536,52 @@ object SparkEntry {
           |      (a, b) -> a + b)
           |    ELSE 0.0 END, 6) AS entropy
           |FROM c ORDER BY doc_id""".stripMargin,
+
+      // Grouped-HLL replay: q169's ladder keyed on the group column.
+      "q172_hll_by_group" ->
+        s"""WITH src AS (SELECT event_type AS g, md5(CAST(user_id AS VARCHAR)) AS h
+           |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+           |$hllSqlTail
+           |SELECT g AS event_type, m, n_buckets, max_rank, est
+           |FROM fin ORDER BY 1""".stripMargin,
+
+      // KMV set-operation replay: per-set distinct-digest bottom-k,
+      // merged bottom-k, membership flags, and the three estimators
+      // from the identical unrounded expressions.
+      "q173_kmv_jaccard" -> {
+        val frac = Sketch.kmvFracSql("kth_hash")
+        s"""WITH base AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok
+           |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+           |ha AS (SELECT h FROM (SELECT DISTINCT md5(tok) AS h FROM base WHERE doc_id % 2 = 0)
+           |       ORDER BY h LIMIT 256),
+           |hb AS (SELECT h FROM (SELECT DISTINCT md5(tok) AS h FROM base WHERE doc_id % 2 = 1)
+           |       ORDER BY h LIMIT 256),
+           |u AS (SELECT h FROM (SELECT DISTINCT h FROM
+           |        (SELECT h FROM ha UNION ALL SELECT h FROM hb))
+           |      ORDER BY h LIMIT 256),
+           |ag AS (SELECT CAST(count(*) AS INT) AS n_kept, max(u.h) AS kth_hash,
+           |    CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+           |  FROM u LEFT JOIN ha a ON u.h = a.h LEFT JOIN hb b ON u.h = b.h)
+           |SELECT CAST(256 AS INT) AS k, n_kept, kth_hash,
+           |  round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+           |        ELSE 255.0 / $frac END, 6) AS d_union_est,
+           |  n_common,
+           |  round(CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE), 6) AS jaccard_est,
+           |  round((CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE)) *
+           |        (CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+           |         ELSE 255.0 / $frac END), 6) AS d_intersect_est
+           |FROM ag""".stripMargin
+      },
+
+      // Streaming-HLL replay: the max-merge of per-trigger register
+      // updates IS the batch register table (HLL union), so the batch
+      // sketch of the whole stream is the oracle.
+      "q174_streaming_hll" ->
+        s"""WITH src AS (SELECT 0 AS g, md5(CAST(user_id AS VARCHAR)) AS h
+           |  FROM events WHERE user_id IS NOT NULL),
+           |$hllSqlTail
+           |SELECT m, n_buckets, max_rank, est FROM fin""".stripMargin,
 
       // Sessionization replay: identical lag/running-sum window over
       // (ts, event_id) order, epoch-millis integers end to end.

@@ -121,19 +121,51 @@ object Sketch {
     * with no non-null values produce no row (count_distinct = 0). */
   def hllDistinct(df: DataFrame, colNames: Seq[String]): DataFrame = {
     require(colNames.nonEmpty, "colNames must be non-empty")
-    val m = 256
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
     val pairs = df.select(explode(array(colNames.map(c =>
         struct(lit(c).as("n"),
           md5(col(c).cast("string").cast("binary")).as("h"))): _*)).as("x"))
       .select(col("x.n").as("col_name"), col("x.h").as("h"))
       .filter(col("h").isNotNull)
-    val regs = pairs
+    hllEstimate(hllRegisters(pairs, Seq("col_name")), Seq("col_name"))
+      .withColumnRenamed("__m", "m")
+  }
+
+  /** Per-GROUP HyperLogLog distinct counts — [[hllDistinct]] with the
+    * register space keyed on (group, bucket): distinct `valueCol`
+    * values per `groupCol`, each group's sketch merging independently
+    * (register max is commutative within AND across groups). Group
+    * space is |groups|·m regardless of corpus size. Returns
+    * (group, m, n_buckets, max_rank, est), one row per non-null
+    * group with ≥ 1 non-null value. */
+  def hllDistinctBy(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val pairs = df
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        md5(col(valueCol).cast("string").cast("binary")).as("h"))
+      .filter(col("h").isNotNull)
+    hllEstimate(hllRegisters(pairs, Seq("g")), Seq("g"))
+      .withColumnRenamed("__m", "m")
+  }
+
+  /** HLL register table of a keyed digest stream: (keys..., bucket,
+    * mrank). The shared first half of every HLL variant (including
+    * the streaming per-micro-batch emission, where the caller merges
+    * register tables by a further max — the HLL union). */
+  def hllRegisters(pairs: DataFrame, keyCols: Seq[String]): DataFrame =
+    pairs
       .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
       .withColumn("w", conv(substring(col("h"), 3, 12), 16, 10).cast("long"))
       .withColumn("rank", lit(49) - length(regexp_replace(bin(col("w")), "^0+", "")))
-      .groupBy("col_name", "bucket").agg(max(col("rank")).as("mrank"))
-    val sums = regs.groupBy("col_name").agg(
+      .groupBy((keyCols :+ "bucket").map(col): _*).agg(max(col("rank")).as("mrank"))
+
+  /** Estimate from an HLL register table: the exact-integer Z
+    * accumulator + both estimator regimes (see [[hllDistinct]]).
+    * Returns (keys..., __m, n_buckets, max_rank, est). */
+  def hllEstimate(regs: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val m = HllM
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val sums = regs.groupBy(keyCols.map(col): _*).agg(
       count(lit(1)).cast("int").as("n_buckets"),
       max(col("mrank")).as("max_rank"),
       sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - mrank)")).as("s_present"))
@@ -141,11 +173,60 @@ object Sketch {
       (lit(m.toLong) - col("n_buckets")) * lit(1L << 49)
     val v = lit(m) - col("n_buckets") // empty registers
     val rawEst = lit(alpha * m * m) * lit((1L << 49).toDouble) / s.cast("double")
-    sums.select(
-      col("col_name"), lit(m).as("m"), col("n_buckets"), col("max_rank"),
+    sums.select(keyCols.map(col) ++ Seq(
+      lit(m).as("__m"), col("n_buckets"), col("max_rank"),
       round(when(rawEst <= lit(2.5 * m) && v > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
-        .otherwise(rawEst), 6).as("est"))
+        .otherwise(rawEst), 6).as("est")): _*)
+  }
+
+  /** Register count of [[hllRegisters]] (m = 2^8). */
+  val HllM = 256
+
+  /** KMV SET OPERATIONS between two value multisets — the property
+    * that makes bottom-k sketches more than counters (Beyer et al.,
+    * SIGMOD 2007): from A's and B's bottom-k digest sets alone,
+    * estimate |A ∪ B| (KMV on the merged bottom-k), the Jaccard
+    * resemblance ρ = |K_k(A∪B) ∩ K(A) ∩ K(B)| / |K_k(A∪B)|, and
+    * |A ∩ B| ≈ ρ·|A ∪ B| — the sketch-level answer to "how much do
+    * these two corpora's vocabularies overlap" without ever joining
+    * the corpora. When the union keeps fewer than k digests the sets
+    * are complete and every output is EXACT.
+    *
+    * Scale: each side reduces to distinct digests (value-universe-
+    * bounded) then a TakeOrderedAndProject bottom-k (per-partition
+    * top-k, no global sort); everything after runs on ≤ 2k rows.
+    * Returns one row: (k, n_kept, kth_hash, d_union_est, n_common,
+    * jaccard_est, d_intersect_est). */
+  def kmvJaccard(a: DataFrame, b: DataFrame, valueCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    def bottomK(df: DataFrame) = df
+      .select(md5(col(valueCol).cast("string").cast("binary")).as("h"))
+      .filter(col("h").isNotNull).distinct()
+      .orderBy("h").limit(k)
+    val ha = bottomK(a).localCheckpoint() // feeds union AND membership
+    val hb = bottomK(b).localCheckpoint()
+    val u = ha.unionByName(hb).distinct().orderBy("h").limit(k)
+    val agg = u
+      .join(ha.withColumn("ina", lit(1)), Seq("h"), "left")
+      .join(hb.withColumn("inb", lit(1)), Seq("h"), "left")
+      .agg(
+        count(lit(1)).cast("int").as("n_kept"),
+        max(col("h")).as("kth_hash"),
+        sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"))
+    val frac = conv(substring(col("kth_hash"), 1, FracBits / 4), 16, 10)
+      .cast("long").cast("double") / lit(FracDenom)
+    val dUnion = when(col("n_kept") < k, col("n_kept").cast("double"))
+      .otherwise(lit((k - 1).toDouble) / frac)
+    val jac = col("n_common").cast("double") / col("n_kept").cast("double")
+    agg.select(
+      lit(k).as("k"), col("n_kept"), col("kth_hash"),
+      round(dUnion, 6).as("d_union_est"),
+      col("n_common"),
+      round(jac, 6).as("jaccard_est"),
+      round(jac * dUnion, 6).as("d_intersect_est"))
   }
 
   /** The exact double literal of [[hllDistinct]]'s α·m² pre-factor,

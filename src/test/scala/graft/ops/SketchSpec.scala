@@ -101,4 +101,43 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(got("s") - 2.0) < 0.1)
     assert(math.abs(got("n") - 2.0) < 0.1)
   }
+
+  test("hllDistinctBy tracks per-group truth; groups never bleed") {
+    val rows = (0 until 4000).map { i =>
+      val g = s"g${i % 4}"
+      // group g0 has 10 distinct values, g1 100, g2 500, g3 1000
+      // (i/4 enumerates 0..999 within each group — no stride aliasing)
+      val card = Seq(10, 100, 500, 1000)(i % 4)
+      (g, s"$g-v${(i / 4) % card}")
+    }
+    val got = Sketch.hllDistinctBy(rows.toDF("g", "v").repartition(16), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(math.abs(got("g0") - 10.0) < 1.0)      // linear counting, near-exact
+    assert(math.abs(got("g1") - 100.0) / 100.0 < 0.15)
+    assert(math.abs(got("g2") - 500.0) / 500.0 < 0.25)
+    assert(math.abs(got("g3") - 1000.0) / 1000.0 < 0.25)
+  }
+
+  test("kmvJaccard is EXACT when both vocabularies fit below k") {
+    // A = {a..j} (10), B = {f..o} (10), A∩B = {f..j} (5), A∪B = 15
+    val a = ('a' to 'j').map(_.toString).toDF("v")
+    val b = ('f' to 'o').map(_.toString).toDF("v")
+    val r = Sketch.kmvJaccard(a, b, "v", k = 256).collect()(0)
+    assert(r.getInt(1) === 15)                        // n_kept = |union|
+    assert(r.getDouble(3) === 15.0)                   // union exact
+    assert(r.getLong(4) === 5L)                       // n_common
+    assert(math.abs(r.getDouble(5) - 5.0 / 15) < 1e-6) // jaccard exact
+    assert(math.abs(r.getDouble(6) - 5.0) < 1e-6)     // intersection exact
+  }
+
+  test("kmvJaccard estimates overlap within sketch error above k") {
+    // |A|=6000, |B|=6000, |A∩B|=2000 → union 10000, J = 0.2
+    val a = (0 until 6000).map(i => s"x$i").toDF("v").repartition(8)
+    val b = (4000 until 10000).map(i => s"x$i").toDF("v").repartition(8)
+    val r = Sketch.kmvJaccard(a, b, "v", k = 256).collect()(0)
+    assert(r.getInt(1) === 256)
+    assert(math.abs(r.getDouble(3) - 10000.0) / 10000.0 < 0.25, s"union=${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(5) - 0.2) < 0.1, s"jac=${r.getDouble(5)}")
+    assert(math.abs(r.getDouble(6) - 2000.0) / 2000.0 < 0.5, s"inter=${r.getDouble(6)}")
+  }
 }
