@@ -1765,6 +1765,19 @@ object SparkEntry {
         .withColumnRenamed("__m", "m")
     }),
 
+    // --- Gopher-style quality rules (Rae et al. 2021 Table A1
+    // subset): five per-doc flags + the composite pass, each ratio a
+    // single exact-integer division — the published-recipe filter
+    // beside q20's ad-hoc score ---
+    "q175_gopher_rules" -> ((s, d) =>
+      t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          TextAnalysis.gopherFlags(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+          col("g.wc_ok"), col("g.mwl_ok"), col("g.sym_ok"),
+          col("g.alpha_ok"), col("g.stop_ok"), col("g.pass"))
+        .orderBy("doc_id")),
+
     // --- gap-based sessionization of the event stream (30-min gap):
     // one per-user window pass + keyed agg, all time arithmetic in
     // integer epoch-millis so sessions replay exactly ---
@@ -3582,6 +3595,45 @@ object SparkEntry {
            |  FROM events WHERE user_id IS NOT NULL),
            |$hllSqlTail
            |SELECT m, n_buckets, max_rank, est FROM fin""".stripMargin,
+
+      // Gopher-rules replay: whitespace words, the same five guarded
+      // integer-ratio rules, stopword probes on the alnum tokenizer.
+      "q175_gopher_rules" -> {
+        val stopSum = TextAnalysis.GopherStopwords.map(sw =>
+          s"(CASE WHEN list_contains(toks, '$sw') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH base AS (SELECT doc_id, coalesce(text, '') AS t
+           |  FROM documents WHERE doc_id IS NOT NULL),
+           |w AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(t, '\\s+'), x -> len(x) > 0) AS ws,
+           |    ${toksSql("t")} AS toks
+           |  FROM base),
+           |m AS (SELECT doc_id, len(ws) AS nw,
+           |    CASE WHEN len(ws) > 0
+           |         THEN CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) /
+           |              CAST(len(ws) AS DOUBLE)
+           |         ELSE 0.0 END AS mwl,
+           |    len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...'))) AS nsym,
+           |    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+           |    $stopSum AS nstop
+           |  FROM w),
+           |f AS (SELECT doc_id, nw, mwl,
+           |    CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END AS wc_ok,
+           |    CASE WHEN nw > 0 AND mwl >= 3.0 AND mwl <= 10.0 THEN 1 ELSE 0 END AS mwl_ok,
+           |    CASE WHEN nw > 0 AND CAST(nsym AS DOUBLE) / CAST(nw AS DOUBLE) <= 0.1
+           |         THEN 1 ELSE 0 END AS sym_ok,
+           |    CASE WHEN nw > 0 AND CAST(nalpha AS DOUBLE) / CAST(nw AS DOUBLE) >= 0.8
+           |         THEN 1 ELSE 0 END AS alpha_ok,
+           |    CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS stop_ok
+           |  FROM m)
+           |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, round(mwl, 6) AS mean_word_len,
+           |  CAST(wc_ok AS INT) AS wc_ok, CAST(mwl_ok AS INT) AS mwl_ok,
+           |  CAST(sym_ok AS INT) AS sym_ok, CAST(alpha_ok AS INT) AS alpha_ok,
+           |  CAST(stop_ok AS INT) AS stop_ok,
+           |  CAST(CASE WHEN wc_ok + mwl_ok + sym_ok + alpha_ok + stop_ok = 5
+           |       THEN 1 ELSE 0 END AS INT) AS pass
+           |FROM f ORDER BY doc_id""".stripMargin
+      },
 
       // Sessionization replay: identical lag/running-sum window over
       // (ts, event_id) order, epoch-millis integers end to end.

@@ -165,6 +165,56 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Gopher-style repetition-free quality rules (Rae et al. 2021,
+    * "Scaling Language Models: … Gopher", Table A1 — the subset whose
+    * signals exist in a single text column, adapted where the paper
+    * counts raw symbols: the symbol rule here flags WORDS containing
+    * '#' or '…'-style ellipses). Words are WHITESPACE tokens (the
+    * paper's definition — distinct from [[tokens]]' alnum tokenizer,
+    * which still feeds the stopword rule). Rules:
+    *   wc_ok    50 ≤ word count ≤ 100 000
+    *   mwl_ok   3 ≤ mean word length ≤ 10
+    *   sym_ok   symbol-word ratio ≤ 0.1
+    *   alpha_ok ≥ 80 % of words contain an alphabetic char
+    *   stop_ok  ≥ 2 distinct common stopwords present
+    * Returns a struct (n_words, mean_word_len, wc_ok … pass) with
+    * flags as 0/1 ints; `pass` = all five. Every ratio divides two
+    * exact integers once, so cross-engine parity is trivial; all
+    * ratio rules are explicitly nw > 0-guarded (an empty document
+    * fails every rule, without NaN semantics entering the compare).
+    * One codegen'd projection, no shuffle. */
+  def gopherFlags(c: Column): Column = {
+    val t = coalesce(c.cast("string"), lit(""))
+    val words = filter(split(t, "\\s+"), w => length(w) > 0)
+    val nw = size(words)
+    val nwd = nw.cast("double")
+    val mwl = when(nw > 0,
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / nwd)
+      .otherwise(lit(0.0))
+    val nSym = size(filter(words, w => w.contains("#") || w.contains("...")))
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val toks = tokens(t)
+    val nStop = GopherStopwords
+      .map(sw => when(array_contains(toks, sw), 1).otherwise(0))
+      .reduce(_ + _)
+    val wcOk = when(nw >= 50 && nw <= 100000, 1).otherwise(0)
+    val mwlOk = when(nw > 0 && mwl >= 3.0 && mwl <= 10.0, 1).otherwise(0)
+    val symOk = when(nw > 0 && nSym.cast("double") / nwd <= 0.1, 1).otherwise(0)
+    val alphaOk = when(nw > 0 && nAlpha.cast("double") / nwd >= 0.8, 1).otherwise(0)
+    val stopOk = when(nStop >= 2, 1).otherwise(0)
+    struct(
+      nw.cast("long").as("n_words"),
+      round(mwl, 6).as("mean_word_len"),
+      wcOk.as("wc_ok"), mwlOk.as("mwl_ok"), symOk.as("sym_ok"),
+      alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
+      when(wcOk + mwlOk + symOk + alphaOk + stopOk === 5, 1).otherwise(0)
+        .as("pass"))
+  }
+
+  /** The stopword list [[gopherFlags]]' stop_ok rule probes. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   // ---- fingerprinting ----
 
   /** Canonical content fingerprint: md5 over the whitespace-normalized,

@@ -135,4 +135,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got(4L) - expected4) < 1e-12)
     assert(got(5L) === 0.0 && got(6L) === 0.0)
   }
+
+  test("gopherFlags: each rule trips on its own violation") {
+    import spark.implicits._
+    val goodText = ("the quick brown fox jumps over a lazy dog and we " +
+      "have plenty of words that with time keep going on and on ") * 3 // 66 words, stopwords present
+    val df = Seq(
+      (1L, goodText),                                  // passes all
+      (2L, "short text"),                              // wc fails (2 words)
+      (3L, Seq.fill(60)("a").mkString(" ")),           // mwl fails (len 1)
+      (4L, Seq.fill(60)("#tag#").mkString(" ")),       // sym + stop fail
+      (5L, ("the of and that be to have with " +
+        Seq.fill(52)("12345").mkString(" ")))          // alpha fails (52/60 digits)
+    ).toDF("id", "t")
+      .select(col("id"), TextAnalysis.gopherFlags(col("t")).as("g"))
+      .select(col("id"), col("g.wc_ok"), col("g.mwl_ok"), col("g.sym_ok"),
+        col("g.alpha_ok"), col("g.stop_ok"), col("g.pass"))
+    val got = df.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    assert(got(1L) === ((1, 1, 1, 1, 1, 1)))
+    assert(got(2L)._1 === 0 && got(2L)._6 === 0)       // word count
+    assert(got(3L)._2 === 0)                           // mean word length
+    assert(got(4L)._3 === 0 && got(4L)._5 === 0)       // symbols, stopwords
+    assert(got(5L)._4 === 0)                           // alphabetic fraction
+  }
+
+  test("gopherFlags: empty and null text fail every ratio rule without NaN") {
+    import spark.implicits._
+    val got = Seq((1L, Some("")), (2L, Option.empty[String]))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.gopherFlags(col("t")).as("g"))
+      .select(col("id"), col("g.n_words"), col("g.pass"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got(1L) === ((0L, 0)))
+    assert(got(2L) === ((0L, 0)))
+  }
 }
