@@ -1765,6 +1765,22 @@ object SparkEntry {
         .withColumnRenamed("__m", "m")
     }),
 
+    // --- pairwise SOURCE-OVERLAP matrix from per-source KMV
+    // sketches: which sources share vocabulary, estimated for all
+    // 190 source pairs from ONE corpus scan reduced to ≤ 20·64
+    // digests — the sketch-powered answer to "which crawls duplicate
+    // each other" that never joins the corpora ---
+    "q176_source_overlap" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .filter(col("source").isNotNull && col("text").isNotNull)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      Sketch.kmvJaccardByGroup(toks, "source", "tok", k = 64)
+        .withColumnRenamed("ga", "source_a")
+        .withColumnRenamed("gb", "source_b")
+        .orderBy("source_a", "source_b")
+    }),
+
     // --- Gopher-style quality rules (Rae et al. 2021 Table A1
     // subset): five per-doc flags + the composite pass, each ratio a
     // single exact-integer division — the published-recipe filter
@@ -3595,6 +3611,40 @@ object SparkEntry {
            |  FROM events WHERE user_id IS NOT NULL),
            |$hllSqlTail
            |SELECT m, n_buckets, max_rank, est FROM fin""".stripMargin,
+
+      // Source-overlap replay: per-group bottom-k, the pair-expanded
+      // unions, membership flags, and the shared estimator ladder.
+      "q176_source_overlap" -> {
+        val frac = Sketch.kmvFracSql("kth_hash")
+        val dU = s"CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE) ELSE 63.0 / $frac END"
+        s"""WITH base AS (SELECT source AS g, unnest(${toksSql("text")}) AS tok
+           |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+           |d AS (SELECT DISTINCT g, md5(tok) AS h FROM base),
+           |hk AS (SELECT g, h FROM (SELECT g, h,
+           |    row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM d)
+           |  WHERE rk <= 64),
+           |gs AS (SELECT DISTINCT g FROM hk),
+           |pr AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+           |u0 AS (SELECT DISTINCT ga, gb, h FROM (
+           |    SELECT pr.ga, pr.gb, hk.h FROM pr JOIN hk ON hk.g = pr.ga
+           |    UNION ALL SELECT pr.ga, pr.gb, hk.h FROM pr JOIN hk ON hk.g = pr.gb)),
+           |u AS (SELECT ga, gb, h FROM (SELECT ga, gb, h,
+           |    row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk FROM u0)
+           |  WHERE rk <= 64),
+           |m AS (SELECT u.ga, u.gb, CAST(count(*) AS INT) AS n_kept,
+           |    max(u.h) AS kth_hash,
+           |    CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+           |  FROM u LEFT JOIN hk a ON a.g = u.ga AND a.h = u.h
+           |         LEFT JOIN hk b ON b.g = u.gb AND b.h = u.h
+           |  GROUP BY 1, 2)
+           |SELECT ga AS source_a, gb AS source_b, CAST(64 AS INT) AS k,
+           |  n_kept, kth_hash,
+           |  round($dU, 6) AS d_union_est, n_common,
+           |  round(CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE), 6) AS jaccard_est,
+           |  round((CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE)) * ($dU), 6) AS d_intersect_est
+           |FROM m ORDER BY 1, 2""".stripMargin
+      },
 
       // Gopher-rules replay: whitespace words, the same five guarded
       // integer-ratio rules, stopword probes on the alnum tokenizer.

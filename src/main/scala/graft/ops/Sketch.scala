@@ -216,17 +216,74 @@ object Sketch {
         max(col("h")).as("kth_hash"),
         sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L)
           .otherwise(0L)).as("n_common"))
+    kmvSetEstimates(agg, k, Seq.empty)
+  }
+
+  /** Pairwise [[kmvJaccard]] across the GROUPS of one frame — the
+    * corpus-overlap MATRIX (which sources share vocabulary, which
+    * crawls duplicate each other) computed entirely from per-group
+    * bottom-k sketches: the raw values reduce to ≤ |groups|·k digests
+    * once, and every pairwise union/membership/estimate runs on that
+    * sketch table. Pair space is |groups|²/2 ROWS (not values) —
+    * trivial for the hundreds-of-sources regime this targets; the
+    * corpus itself is scanned exactly once.
+    *
+    * Returns (ga, gb, k, n_kept, kth_hash, d_union_est, n_common,
+    * jaccard_est, d_intersect_est) for every unordered group pair
+    * ga < gb; exact whenever the pair's union fits below k. */
+  def kmvJaccardByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("h")
+    val hk = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        md5(col(valueCol).cast("string").cast("binary")).as("h"))
+      .filter(col("h").isNotNull).dropDuplicates("g", "h")
+      .withColumn("rk", row_number().over(wg)).filter(col("rk") <= k)
+      .select("g", "h")
+      .localCheckpoint() // feeds pair expansion twice + membership twice
+    val groups = hk.select("g").distinct()
+    val pairs = groups.as("a").join(groups.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("ga"), col("b.g").as("gb"))
+    val aSide = pairs.join(hk.withColumnRenamed("g", "ga"), Seq("ga"))
+      .select("ga", "gb", "h")
+    val bSide = pairs.join(hk.withColumnRenamed("g", "gb"), Seq("gb"))
+      .select("ga", "gb", "h")
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("ga", "gb").orderBy("h")
+    val u = aSide.unionByName(bSide).dropDuplicates("ga", "gb", "h")
+      .withColumn("rk", row_number().over(wp)).filter(col("rk") <= k)
+    val agg = u
+      .join(hk.select(col("g").as("ga"), col("h"), lit(1).as("ina")),
+        Seq("ga", "h"), "left")
+      .join(hk.select(col("g").as("gb"), col("h"), lit(1).as("inb")),
+        Seq("gb", "h"), "left")
+      .groupBy("ga", "gb").agg(
+        count(lit(1)).cast("int").as("n_kept"),
+        max(col("h")).as("kth_hash"),
+        sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"))
+    kmvSetEstimates(agg, k, Seq("ga", "gb"))
+  }
+
+  /** Shared estimator tail of the KMV set-operation family: from
+    * (keys..., n_kept, kth_hash, n_common) to the union / Jaccard /
+    * intersection estimates — ONE definition so the single-pair and
+    * matrix forms can never drift. */
+  private def kmvSetEstimates(agg: DataFrame, k: Int,
+                              keyCols: Seq[String]): DataFrame = {
     val frac = conv(substring(col("kth_hash"), 1, FracBits / 4), 16, 10)
       .cast("long").cast("double") / lit(FracDenom)
     val dUnion = when(col("n_kept") < k, col("n_kept").cast("double"))
       .otherwise(lit((k - 1).toDouble) / frac)
     val jac = col("n_common").cast("double") / col("n_kept").cast("double")
-    agg.select(
+    agg.select(keyCols.map(col) ++ Seq(
       lit(k).as("k"), col("n_kept"), col("kth_hash"),
       round(dUnion, 6).as("d_union_est"),
       col("n_common"),
       round(jac, 6).as("jaccard_est"),
-      round(jac * dUnion, 6).as("d_intersect_est"))
+      round(jac * dUnion, 6).as("d_intersect_est")): _*)
   }
 
   /** The exact double literal of [[hllDistinct]]'s α·m² pre-factor,

@@ -130,6 +130,28 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - 5.0) < 1e-6)     // intersection exact
   }
 
+  test("kmvJaccardByGroup matches pairwise kmvJaccard for every pair") {
+    val rows =
+      (0 until 100).map(i => ("s1", s"a$i")) ++
+      (0 until 100).map(i => ("s2", s"a${i + 50}")) ++   // 50 shared with s1
+      (0 until 30).map(i => ("s3", s"z$i"))              // disjoint
+    val df = rows.toDF("g", "v").repartition(8)
+    val matrix = Sketch.kmvJaccardByGroup(df, "g", "v", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getInt(3), r.getLong(6), r.getDouble(7)))).toMap
+    for (Seq(a, b) <- Seq("s1", "s2", "s3").combinations(2)) {
+      val pw = Sketch.kmvJaccard(
+          df.filter(col("g") === a).select("v"),
+          df.filter(col("g") === b).select("v"), "v", k = 64)
+        .collect()(0)
+      assert(matrix((a, b)) === ((pw.getInt(1), pw.getLong(4), pw.getDouble(5))),
+        s"pair ($a,$b)")
+    }
+    // disjoint pair estimates zero overlap
+    assert(matrix(("s1", "s3"))._2 === 0L)
+    assert(matrix(("s1", "s3"))._3 === 0.0)
+  }
+
   test("kmvJaccard estimates overlap within sketch error above k") {
     // |A|=6000, |B|=6000, |A∩B|=2000 → union 10000, J = 0.2
     val a = (0 until 6000).map(i => s"x$i").toDF("v").repartition(8)
