@@ -1765,6 +1765,14 @@ object SparkEntry {
         .withColumnRenamed("__m", "m")
     }),
 
+    // --- robust outlier census: per-event-type median/MAD fences
+    // (Hampel identifier, k=3) — exact element picks, no interpolated
+    // floats, the breakdown-resistant twin of z-score screens ---
+    "q177_mad_outliers" -> ((s, d) =>
+      Drift.madOutliers(t(s, d, "events"), "event_type", "value", k = 3.0)
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")),
+
     // --- pairwise SOURCE-OVERLAP matrix from per-source KMV
     // sketches: which sources share vocabulary, estimated for all
     // 190 source pairs from ONE corpus scan reduced to ≤ 20·64
@@ -3611,6 +3619,28 @@ object SparkEntry {
            |  FROM events WHERE user_id IS NOT NULL),
            |$hllSqlTail
            |SELECT m, n_buckets, max_rank, est FROM fin""".stripMargin,
+
+      // MAD replay: identical rank-picked lower medians (integer floor
+      // division both sides), |x−med| deviations, k·MAD fence.
+      "q177_mad_outliers" ->
+        """WITH b AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+          |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+          |c AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+          |    count(*) OVER (PARTITION BY g) AS n FROM b),
+          |med AS (SELECT g, v AS med FROM c WHERE rk = (n + 1) // 2),
+          |dev AS (SELECT b.g, b.v, abs(b.v - med.med) AS d, med.med
+          |  FROM b JOIN med ON b.g = med.g),
+          |dc AS (SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY d) AS rk,
+          |    count(*) OVER (PARTITION BY g) AS n FROM dev),
+          |mad AS (SELECT g, d AS mad FROM dc WHERE rk = (n + 1) // 2)
+          |SELECT dev.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+          |  round(max(dev.med), 6) AS median, round(max(mad.mad), 6) AS mad,
+          |  CAST(sum(CASE WHEN dev.d > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_outliers,
+          |  round(CAST(sum(CASE WHEN dev.d > 3.0 * mad.mad THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / CAST(count(*) AS DOUBLE), 6) AS outlier_frac
+          |FROM dev JOIN mad ON dev.g = mad.g
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // Source-overlap replay: per-group bottom-k, the pair-expanded
       // unions, membership flags, and the shared estimator ladder.

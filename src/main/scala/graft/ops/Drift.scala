@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift and dependency validation — the statistical
@@ -286,5 +287,49 @@ object Drift {
       .select(col("grp").as(groupCol), col("n_docs"), col("n_tokens"),
         round(col("__js_p") + lit(0.5) * log(lit(2.0)) * (lit(1.0) - col("__q_p")),
           6).as("js_nats"))
+  }
+
+  /** Robust per-group outlier census via median/MAD — the
+    * breakdown-point-0.5 alternative to z-scores (a few extreme values
+    * corrupt a mean/std fence but not this one; Hampel's classic
+    * identifier). Per group: the LOWER median (the element at position
+    * ⌊(n+1)/2⌋ of the sorted values — an exact element pick, no
+    * interpolated floats anywhere), the median absolute deviation
+    * computed the same way over |x − med|, and the count of values
+    * with |x − med| > k·MAD.
+    *
+    * Shape: two (group-partitioned sort + rank-pick) window passes and
+    * one keyed agg — parallel across groups; a group's pass is its own
+    * sort, the floor for any exact-median definition (for FEW massive
+    * groups route through the distributed Quantiles kernel instead —
+    * this form targets the many-groups regime). Determinism: the
+    * element pick depends only on the sorted multiset (ties don't
+    * matter), and k·MAD is a single multiplication of exact doubles. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+    def medianOf(in: DataFrame, c: String): DataFrame = {
+      val w = Window.partitionBy("g").orderBy(col(c))
+      in.withColumn("__rk", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("g")))
+        .filter(col("__rk") === floor((col("__n") + 1) / lit(2)).cast("long"))
+        .select(col("g"), col(c).as(s"__med_$c"))
+    }
+    val med = medianOf(base, "v")
+    val dev = base.join(med, Seq("g"))
+      .withColumn("d", abs(col("v") - col("__med_v")))
+    val mad = medianOf(dev.select("g", "d"), "d")
+    dev.join(mad, Seq("g"))
+      .groupBy("g").agg(
+        count(lit(1)).as("n"),
+        round(max(col("__med_v")), 6).as("median"),
+        round(max(col("__med_d")), 6).as("mad"),
+        sum(when(col("d") > lit(k) * col("__med_d"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_frac",
+        round(col("n_outliers").cast("double") / col("n").cast("double"), 6))
   }
 }

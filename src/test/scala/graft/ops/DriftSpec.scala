@@ -195,4 +195,18 @@ class DriftSpec extends SparkSpec {
     assert(got(("name", "tier")) === ((3L, 1L, false)))   // alice → gold+bronze
     assert(got(("tier", "name")) === ((3L, 1L, false)))   // gold → alice+bob
   }
+
+  test("madOutliers: hand-computed median/MAD fence, robust to the outlier itself") {
+    import spark.implicits._
+    // g1: values 1..9 plus a wild 1000 → median of 10 values = 5 (lower),
+    // deviations |v-5| = {4,3,2,1,0,1,2,3,4,995} sorted {0,1,1,2,2,3,3,4,4,995}
+    // → MAD (lower median, rank 5) = 2; fence 3*2=6 → only 1000 is out
+    val rows = ((1 to 9).map(v => ("g1", v.toDouble)) :+ (("g1", 1000.0))) ++
+      Seq(("g2", 7.0), ("g2", 7.0), ("g2", 7.0)) // constant group: MAD 0
+    val got = Drift.madOutliers(rows.toDF("g", "v"), "g", "v", k = 3.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got("g1") === ((10L, 5.0, 2.0, 1L)))
+    assert(got("g2") === ((3L, 7.0, 0.0, 0L))) // 0 > 3*0 false → no outliers
+  }
 }
