@@ -1773,6 +1773,74 @@ object SparkEntry {
         .withColumnRenamed("g", "event_type")
         .orderBy("event_type")),
 
+    // --- per-domain document cap (RefinedWeb-style): md5-derived
+    // hosts with subdomains + multi-part public suffixes, capped at 4
+    // docs per REGISTRABLE domain preferring longest text — the
+    // WindowGroupLimit plan pre-limits per map task before the
+    // exchange, so the shuffle is cap-bounded, not corpus-bounded ---
+    "q178_domain_cap" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val h = md5(col("text").cast("binary"))
+      val suffix = element_at(
+        array(lit("com"), lit("org"), lit("co.uk"), lit("com.au")),
+        (conv(substring(h, 2, 1), 16, 10).cast("int") % 4) + 1)
+      val sub = element_at(array(lit(""), lit("www."), lit("cdn.")),
+        (conv(substring(h, 3, 1), 16, 10).cast("int") % 3) + 1)
+      val host = concat(sub, lit("d"), substring(h, 1, 1), lit("."), suffix)
+      Curation.domainCap(docs.withColumn("host", host),
+          "doc_id", "host", "n_chars", maxPerDomain = 4)
+        .orderBy("domain", "rnk")
+    }),
+
+    // --- Unicode NFC cleanup through the native codegen expression:
+    // md5-picked decomposed letter+combining-mark pairs, control
+    // chars and whitespace runs injected, then cleaned — composition
+    // must shrink the codepoint count exactly as DuckDB's
+    // utf8proc nfc_normalize says ---
+    "q179_nfc_clean" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val h = md5(col("text").cast("binary"))
+      val letter = element_at(array(lit("a"), lit("e"), lit("o")),
+        (conv(substring(h, 4, 1), 16, 10).cast("int") % 3) + 1)
+      val mark = element_at(
+        array(lit("\u0301"), lit("\u0300"), lit("\u0308")),
+        (conv(substring(h, 5, 1), 16, 10).cast("int") % 3) + 1)
+      val raw = concat(substring(col("text"), 1, 12), lit("\u0007 "),
+        letter, mark, lit("\t x\r"), lit("  tail "))
+      docs.select(col("doc_id"), length(raw).as("n_raw"),
+          TextAnalysis.cleanText(raw).as("cleaned"),
+          length(TextAnalysis.cleanText(raw)).as("n_clean"))
+        .orderBy("doc_id")
+    }),
+
+    // --- soft deduplication: every doc keeps a 1/dup_count training
+    // weight over its exact-content cluster (clustered on the first-8
+    // -char truncation so clusters actually form) — one digest-keyed
+    // window, no join-back, text never shuffles ---
+    "q180_soft_dedup" -> ((s, d) =>
+      Dedup.softDedupWeights(
+          t(s, d, "documents").filter(col("text").isNotNull)
+            .select(col("doc_id"), substring(col("text"), 1, 8).as("content")),
+          "doc_id", "content", alpha = 1.0)
+        .orderBy("id")),
+
+    // --- fill-in-the-middle training transform: deterministic 50%
+    // gate on (seed, id), content-derived cut points, PSM re-emit —
+    // pure projection, zero shuffles, character arithmetic replayed
+    // exactly by the oracle ---
+    "q181_fim_split" -> ((s, d) =>
+      Corpus.fimSplit(t(s, d, "documents").filter(col("text").isNotNull),
+          "doc_id", "text", fimRate = 0.5, seed = "fim0")
+        .orderBy("id")),
+
+    // --- mergeable histogram quantile sketch: 256 fixed bins over
+    // the (min,max) frame, partials merge by adding counts, quantile
+    // read-off interpolates in the first bin reaching ceil(q·n) —
+    // the constant-state percentile path for a 100 TB profile ---
+    "q182_hist_quantiles" -> ((s, d) =>
+      Sketch.histQuantiles(t(s, d, "lineitem"), "l_extendedprice",
+        nBins = 256, qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99))),
+
     // --- pairwise SOURCE-OVERLAP matrix from per-source KMV
     // sketches: which sources share vocabulary, estimated for all
     // 190 source pairs from ONE corpus scan reduced to ≤ 20·64
@@ -3641,6 +3709,107 @@ object SparkEntry {
           |    / CAST(count(*) AS DOUBLE), 6) AS outlier_frac
           |FROM dev JOIN mad ON dev.g = mad.g
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Domain-cap replay: same md5-derived host pieces; the
+      // registrable domain is dlabel.suffix by construction (the
+      // subdomain never survives extraction), so the oracle ranks
+      // directly on it.
+      "q178_domain_cap" ->
+        s"""WITH b AS (SELECT doc_id, n_chars,
+           |    'd' || substr(md5(text), 1, 1) ||  '.' ||
+           |    CASE ${hd(2)} % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+           |      WHEN 2 THEN 'co.uk' ELSE 'com.au' END AS domain
+           |  FROM documents WHERE text IS NOT NULL),
+           |r AS (SELECT doc_id AS id, domain, n_chars AS score,
+           |    CAST(row_number() OVER (PARTITION BY domain
+           |      ORDER BY n_chars DESC, doc_id) AS INT) AS rnk
+           |  FROM b)
+           |SELECT id, domain, score, rnk FROM r WHERE rnk <= 4
+           |ORDER BY domain, rnk""".stripMargin,
+
+      // NFC-clean replay: identical raw construction (chr() for the
+      // control char and combining marks), then utf8proc
+      // nfc_normalize + the same strip/collapse/trim regex ladder.
+      "q179_nfc_clean" -> {
+        val clean = "trim(regexp_replace(regexp_replace(nfc_normalize(raw), " +
+          "'[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'), '[ \\t]+', ' ', 'g'))"
+        s"""WITH r AS (SELECT doc_id,
+           |    substr(text, 1, 12) || chr(7) || ' ' ||
+           |    CASE ${hd(4)} % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'e'
+           |      ELSE 'o' END ||
+           |    CASE ${hd(5)} % 3 WHEN 0 THEN chr(769) WHEN 1 THEN chr(768)
+           |      ELSE chr(776) END ||
+           |    chr(9) || ' x' || chr(13) || '  tail ' AS raw
+           |  FROM documents WHERE text IS NOT NULL)
+           |SELECT doc_id, CAST(length(raw) AS INT) AS n_raw,
+           |  $clean AS cleaned, CAST(length($clean) AS INT) AS n_clean
+           |FROM r ORDER BY doc_id""".stripMargin
+      },
+
+      // Soft-dedup replay: cluster key is the token-normalized
+      // 8-char truncation (the fingerprint preimage); weight is the
+      // exact 1/count division.
+      "q180_soft_dedup" ->
+        s"""WITH b AS (SELECT doc_id AS id,
+           |    array_to_string(${toksSql("substr(text, 1, 8)")}, ' ') AS k
+           |  FROM documents WHERE text IS NOT NULL)
+           |SELECT id, count(*) OVER (PARTITION BY k) AS dup_count,
+           |  CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY k) AS weight
+           |FROM b ORDER BY id""".stripMargin,
+
+      // FIM replay: 16-bit md5 gate on (seed,id), cut points from the
+      // text digest mod (len+1), identical substr arithmetic and PSM
+      // sentinel layout.
+      "q181_fim_split" -> {
+        val gate = graft.ops.Sketch.hexIntSql(
+          "md5('fim0' || CAST(doc_id AS VARCHAR))", 1, 4)
+        val a = graft.ops.Sketch.hexIntSql("md5(text)", 1, 4)
+        val b = graft.ops.Sketch.hexIntSql("md5(text)", 5, 4)
+        s"""WITH r AS (SELECT doc_id, text, length(text) AS len,
+           |    $gate < 32768 AS is_fim,
+           |    least($a % (length(text) + 1), $b % (length(text) + 1)) AS i,
+           |    greatest($a % (length(text) + 1), $b % (length(text) + 1)) AS j
+           |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+           |SELECT doc_id AS id, is_fim,
+           |  CASE WHEN is_fim THEN i END AS cut_i,
+           |  CASE WHEN is_fim THEN j END AS cut_j,
+           |  CASE WHEN is_fim THEN
+           |    '<PRE>' || substr(text, 1, i) || '<SUF>' ||
+           |    substr(text, j + 1, len - j) || '<MID>' ||
+           |    substr(text, i + 1, j - i)
+           |  ELSE text END AS out
+           |FROM r ORDER BY id""".stripMargin
+      },
+
+      // Histogram-sketch replay: same two-pass frame, the identical
+      // divide-then-scale bin expression, RANGE cumulative sum over
+      // unique bins, and the pinned interpolation order.
+      "q182_hist_quantiles" ->
+        """WITH x AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+          |    FROM lineitem WHERE l_extendedprice IS NOT NULL
+          |      AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+          |f AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM x),
+          |b AS (SELECT CASE WHEN hi = lo THEN 0
+          |      ELSE least(greatest(CAST(floor((x - lo) / (hi - lo) * 256)
+          |        AS BIGINT), 0), 255) END AS bin
+          |    FROM x, f),
+          |c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+          |cc AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM c),
+          |qs AS (SELECT unnest([CAST(0.01 AS DOUBLE), CAST(0.25 AS DOUBLE),
+          |    CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE),
+          |    CAST(0.99 AS DOUBLE)]) AS q),
+          |t AS (SELECT q, n, lo, hi,
+          |    greatest(CAST(ceil(q * n) AS BIGINT), 1) AS target_rank
+          |  FROM qs, f),
+          |pick AS (SELECT t.q, t.n, t.lo, t.hi, t.target_rank,
+          |    min(cc.bin) AS bin
+          |  FROM t JOIN cc ON cc.cum >= t.target_rank
+          |  GROUP BY 1, 2, 3, 4, 5)
+          |SELECT p.q, p.n, p.target_rank, p.bin,
+          |  p.lo + (p.bin + CAST(p.target_rank - (cc.cum - cc.cnt) AS DOUBLE)
+          |    / cc.cnt) * ((p.hi - p.lo) / 256) AS est
+          |FROM pick p JOIN cc ON cc.bin = p.bin
+          |ORDER BY p.q""".stripMargin,
 
       // Source-overlap replay: per-group bottom-k, the pair-expanded
       // unions, membership flags, and the shared estimator ladder.

@@ -626,6 +626,46 @@ object Corpus {
         col("c._1").as("chunk"),
         col("c._2").cast("long").as("n_tokens"))
 
+  /** Fill-in-the-middle (FIM) training transform (Bavarian et al.
+    * 2022): for a deterministic `fimRate` share of documents, cut the
+    * text at two content-derived points i ≤ j and re-emit it in PSM
+    * order — `<PRE>prefix<SUF>suffix<MID>middle` — so an autoregressive
+    * model learns infilling; the rest pass through unchanged. Both the
+    * document gate and the cut points derive from md5 (gate from
+    * (seed, id) so re-crawled identical text in different rows gates
+    * independently; cuts from the TEXT so the same content always cuts
+    * at the same character offsets), making the transform reproducible
+    * run-to-run, engine-portable, and shuffle-free — one projection,
+    * character arithmetic only, the tail dies at the scan.
+    *
+    * `fimRate` is quantized to 1/65536ths (16-bit hash gate).
+    * Returns (id, is_fim, cut_i, cut_j, out) — out is the PSM string
+    * for gated rows, the original text otherwise. */
+  def fimSplit(df: DataFrame, idCol: String, textCol: String,
+               fimRate: Double = 0.5, seed: String = "fim0"): DataFrame = {
+    require(fimRate >= 0.0 && fimRate <= 1.0,
+      s"fimRate must be in [0,1], got $fimRate")
+    val gateLimit = math.floor(fimRate * 65536.0).toLong
+    val text = col(textCol).cast("string")
+    val gate = conv(substring(md5(concat(lit(seed),
+      col(idCol).cast("string")).cast("binary")), 1, 4), 16, 10)
+      .cast("long") < gateLimit
+    val ht = md5(text.cast("binary"))
+    val len = length(text)
+    val a = conv(substring(ht, 1, 4), 16, 10).cast("long") % (len + 1)
+    val b = conv(substring(ht, 5, 4), 16, 10).cast("long") % (len + 1)
+    val i = least(a, b)
+    val j = greatest(a, b)
+    val psm = concat(lit("<PRE>"), text.substr(lit(1), i),
+      lit("<SUF>"), text.substr(j + 1, len - j),
+      lit("<MID>"), text.substr(i + 1, j - i))
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), gate.as("is_fim"),
+        when(gate, i).otherwise(lit(null)).cast("long").as("cut_i"),
+        when(gate, j).otherwise(lit(null)).cast("long").as("cut_j"),
+        when(gate, psm).otherwise(text).as("out"))
+  }
+
   /** GPT-3/Lee-et-al-style n-gram contamination report: for every doc
     * in `test`, the fraction of its DISTINCT word n-grams occurring
     * anywhere in `train` — the graded counterpart of the exact

@@ -69,6 +69,37 @@ object Curation {
         "difficulty", "phase")
   }
 
+  /** Per-domain document cap — the RefinedWeb/C4-style guard that stops
+    * any single site from dominating a crawl-derived corpus: keep at
+    * most `maxPerDomain` documents per REGISTRABLE domain (eTLD+1 via
+    * [[TextAnalysis.registrableDomain]], so subdomain-minting can't
+    * dodge the cap), preferring the highest `scoreCol` and breaking
+    * ties on min id (fully deterministic).
+    *
+    * Scale shape: one row_number window keyed on the domain — Spark
+    * rewrites the rank-≤-cap filter into WindowGroupLimit, so every
+    * map task pre-limits its own (domain → cap) rows BEFORE the
+    * exchange and the shuffle carries at most cap·|domains| rows per
+    * task, not the corpus. Only (id, domain, score) ever shuffles;
+    * text stays behind in the scan. A skew-proof alternative for a
+    * pathological single-domain corpus is the salted two-level top-k,
+    * but the group-limit already bounds any one task's output, so the
+    * plain window is the right default.
+    *
+    * Returns the SURVIVORS: (id, domain, score, rnk), rnk 1..cap. */
+  def domainCap(df: DataFrame, idCol: String, hostCol: String,
+                scoreCol: String, maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain >= 1, s"maxPerDomain must be >= 1, got $maxPerDomain")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("score").desc, col("id"))
+    df.select(col(idCol).as("id"),
+        TextAnalysis.registrableDomain(lower(col(hostCol))).as("domain"),
+        col(scoreCol).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= maxPerDomain)
+  }
+
   /** Returns the curated corpus: (id, text_clean, lang, quality,
     * n_tokens) for every surviving document. */
   def curate(df: DataFrame, idCol: String, textCol: String,

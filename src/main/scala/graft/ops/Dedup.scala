@@ -211,6 +211,37 @@ object Dedup {
       .select(col("fp"), (-col("best.nid")).as("keep_id"),
         col("best.score").as("keep_score"), col("dup_count"))
 
+  /** Soft deduplication (SoftDeDup-style): instead of DELETING
+    * duplicates, every document gets a training-sampling weight
+    * `dup_count^(-alpha)` over its exact-content cluster — alpha=1
+    * makes each distinct content contribute unit mass however often it
+    * was crawled, 0<alpha<1 lets genuinely popular content count
+    * somewhat more. Keeps the corpus intact for loss-weighting
+    * pipelines that down-weight rather than drop.
+    *
+    * Shape: project (id, digest) — text never leaves the scan — then
+    * ONE count window partitioned by the digest (single shuffle of
+    * 16-byte keys; no join-back needed because the window keeps every
+    * row). Returns (id, dup_count, weight) per input row.
+    *
+    * Cross-engine note: alpha=1.0 (exact 1/c division) and alpha=0.5
+    * (1/sqrt(c), correctly rounded in IEEE-754) are bit-portable to
+    * the oracle; other alphas go through pow(), whose last ulp may
+    * differ between libm implementations. */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String,
+                       alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val w = Window.partitionBy(col("fp"))
+    val c = count(lit(1)).over(w)
+    val weight =
+      if (alpha == 1.0) lit(1.0) / c
+      else if (alpha == 0.5) lit(1.0) / sqrt(c)
+      else pow(c, -alpha)
+    df.select(col(idCol).as("id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .select(col("id"), c.as("dup_count"), weight.as("weight"))
+  }
+
   /** Rows surviving exact dedup (first id per content wins). */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))

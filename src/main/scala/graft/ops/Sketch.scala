@@ -330,6 +330,66 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Mergeable fixed-bin histogram quantile sketch — the constant-state
+    * alternative to exact rank selection when a 100 TB profile pass
+    * wants approximate percentiles in one combine-friendly aggregation:
+    * given a (min, max) frame, every partition reduces to ≤ `nBins`
+    * (bin → count) rows, partial maps merge by ADDING counts (the
+    * mergeability property t-digest/KLL buy with randomness — here the
+    * bin frame is fixed, so the sketch is fully deterministic and
+    * oracle-replayable), and the quantile read-off interpolates inside
+    * the first bin whose cumulative count reaches ceil(q·n).
+    *
+    * Two scans by design: one for the (min, max, n) frame, one for the
+    * bin counts (a production pipeline reuses an already-known frame
+    * and pays ONE). Estimation error is bounded by one bin width
+    * (max−min)/nBins. All arithmetic is integer until each final
+    * division/interpolation, in a pinned association order, so the
+    * estimates are bit-portable across engines.
+    *
+    * Output, one row per requested quantile: (q, n, target_rank, bin,
+    * est) ordered by q. Constant column (min = max) puts every row in
+    * bin 0 and every estimate at the constant. Nulls are excluded. */
+  def histQuantiles(df: DataFrame, valueCol: String, nBins: Int,
+                    qs: Seq[Double]): DataFrame = {
+    require(nBins >= 2 && nBins <= 65536, s"nBins must be in [2,65536], got $nBins")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1], got $qs")
+    import org.apache.spark.sql.expressions.Window
+    val x = df.select(col(valueCol).cast("double").as("x"))
+      .filter(col("x").isNotNull && !isnan(col("x")))
+    val frame = x.agg(min("x").as("lo"), max("x").as("hi"),
+      count(lit(1)).as("n"))
+    // bin index: floor(((x−lo)/(hi−lo))·nBins) clamped into [0,nBins−1]
+    // — the expression shape (divide FIRST, then scale) is part of the
+    // cross-engine contract
+    val bins = x.crossJoin(broadcast(frame))
+      .select(when(col("hi") === col("lo"), lit(0L))
+        .otherwise(least(greatest(
+          floor((col("x") - col("lo")) / (col("hi") - col("lo")) * nBins),
+          lit(0L)), lit(nBins - 1L))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val cum = bins.withColumn("cum",
+      sum("cnt").over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val qdf = qs.distinct.sorted.foldLeft(Seq.empty[org.apache.spark.sql.Column]) {
+      (acc, q) => acc :+ lit(q)
+    }
+    val quants = frame.select(explode(array(qdf: _*)).as("q"), col("n"), col("lo"), col("hi"))
+      .withColumn("target_rank", greatest(ceil(col("q") * col("n")), lit(1L)))
+    // first bin whose cumulative count reaches the target rank — the
+    // probe side is ≤ nBins rows, so the join broadcasts
+    quants.join(broadcast(cum), col("cum") >= col("target_rank"))
+      .groupBy("q", "n", "lo", "hi", "target_rank")
+      .agg(min(struct(col("bin"), col("cnt"), col("cum"))).as("b"))
+      .select(col("q"), col("n"), col("target_rank"), col("b.bin").as("bin"),
+        (col("lo") + (col("b.bin") +
+          (col("target_rank") - (col("b.cum") - col("b.cnt"))).cast("double") /
+            col("b.cnt")) *
+          ((col("hi") - col("lo")) / nBins)).as("est"))
+      .orderBy("q")
+  }
+
   /** Row-r count–min bucket of an item: 28-bit md5 prefix mod width. */
   private def cmBucket(item: org.apache.spark.sql.Column, r: Int, width: Int,
                        salt: String): org.apache.spark.sql.Column =

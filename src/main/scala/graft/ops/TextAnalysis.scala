@@ -392,4 +392,58 @@ object TextAnalysis {
       size(filter(split(path, "/"), s => s =!= "")).as("depth"),
       try_parse_url(url, lit("QUERY")).as("query"))
   }
+
+  // ---- Unicode normalization / cleaning ----
+
+  /** Unicode NFC normalization via the native codegen expression
+    * ([[graft.expressions.NfcNormalize]]) — decomposed "e"+U+0301 and
+    * composed "é" must fingerprint, tokenize, and dedup identically,
+    * so NFC is step zero of the cleaning ladder. DuckDB mirror:
+    * `nfc_normalize(c)` (utf8proc — same UAX #15 algorithm). */
+  def nfcNormalize(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.NfcNormalize(
+      GraftColumnBridge.expression(c.cast("string"))))
+  }
+
+  /** Standard web-corpus text cleanup: NFC normalize, strip C0/DEL
+    * control characters (keeping \t and \n, which carry layout; \r
+    * dies with the rest), then collapse horizontal whitespace runs and
+    * trim. Order matters and is part of the contract: NFC FIRST (so a
+    * combining mark orphaned by control-char removal can't compose
+    * with the wrong base), controls second, whitespace last. Pure
+    * column expression — one projection, no shuffle, the tail dies at
+    * the scan. */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfcNormalize(c),
+        "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+
+  // ---- registrable-domain extraction ----
+
+  /** Multi-part public suffixes the extractor must treat as a single
+    * TLD unit. The real public-suffix list has ~9k entries and ships as
+    * a data file; the extraction ALGORITHM (longest-matching suffix,
+    * then one more label) is identical — this subset keeps the operator
+    * self-contained and oracle-checkable. */
+  val multiPartSuffixes: Seq[String] =
+    Seq("co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br")
+
+  /** Registrable domain ("eTLD+1") of an already-lowercased host:
+    * the last TWO labels, or the last THREE when the last two form a
+    * listed multi-part public suffix ("a.b.co.uk" → "b.co.uk", while
+    * "a.b.com" → "b.com"). Hosts with a single label (localhost) pass
+    * through unchanged. This is the key every per-domain cap, mixing
+    * weight, and crawl-politeness policy groups on — grouping on the
+    * raw host would let one site dodge its cap by minting subdomains. */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val lastThree = concat_ws(".", element_at(labels, -3), lastTwo)
+    when(n <= 1, host)
+      .when(n >= 3 && lastTwo.isin(multiPartSuffixes.map(lit): _*), lastThree)
+      .otherwise(lastTwo)
+  }
 }

@@ -502,4 +502,48 @@ class CorpusSpec extends SparkSpec {
     assert(got.getLong(1) === 1L)
     assert(math.abs(got.getDouble(2) - math.log(0.5)) < 1e-6)
   }
+
+  test("fimSplit: PSM reassembles the original; passthrough unchanged") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "kl"), (3L, ""), (4L, "x"))
+      .toDF("id", "t")
+    val out = Corpus.fimSplit(docs, "id", "t", fimRate = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    out.foreach { case (id, (isFim, i, j, psm)) =>
+      assert(isFim, s"rate=1.0 must gate every row (id=$id)")
+      val orig = Map(1L -> "abcdefghij", 2L -> "kl", 3L -> "", 4L -> "x")(id)
+      assert(i >= 0 && i <= j && j <= orig.length)
+      // <PRE>p<SUF>s<MID>m with p+m+s == original
+      val m = "(?s)<PRE>(.*)<SUF>(.*)<MID>(.*)".r
+      psm match {
+        case m(p, s2, mid) => assert(p + mid + s2 === orig)
+        case _ => fail(s"bad PSM shape: $psm")
+      }
+    }
+    // rate 0: nothing gated, text passes through with null cuts
+    val none = Corpus.fimSplit(docs, "id", "t", fimRate = 0.0).collect()
+    assert(none.forall(r => !r.getBoolean(1) && r.isNullAt(2) &&
+      r.getString(4) === Map(1L -> "abcdefghij", 2L -> "kl", 3L -> "",
+        4L -> "x")(r.getLong(0))))
+    intercept[IllegalArgumentException] {
+      Corpus.fimSplit(docs, "id", "t", fimRate = 1.5)
+    }
+  }
+
+  test("fimSplit: gate is (seed,id)-keyed and content cuts are stable") {
+    val docs = (1L to 200L).map(i => (i, s"document number $i padding text"))
+      .toDF("id", "t")
+    val a = Corpus.fimSplit(docs, "id", "t", fimRate = 0.5, seed = "s1")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val b = Corpus.fimSplit(docs, "id", "t", fimRate = 0.5, seed = "s2")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // different seeds flip some gates; same seed is deterministic
+    assert(a != b)
+    val a2 = Corpus.fimSplit(docs, "id", "t", fimRate = 0.5, seed = "s1")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(a === a2)
+    // the gated fraction is near the rate (16-bit gate, 200 draws)
+    val frac = a.values.count(identity).toDouble / a.size
+    assert(frac > 0.3 && frac < 0.7, s"gated frac $frac")
+  }
 }

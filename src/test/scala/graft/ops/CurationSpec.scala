@@ -74,4 +74,34 @@ class CurationSpec extends SparkSpec {
       Curation.curriculumPhases(docs, "id", "text", phases = 1)
     }
   }
+
+  test("domainCap: registrable-domain grouping, score ranking, cap") {
+    val docs = Seq(
+      // foo.co.uk family: 3 docs across subdomains, cap 2 keeps the
+      // two longest (multi-part suffix must group them together)
+      (1L, "www.foo.co.uk", 10L), (2L, "foo.co.uk", 30L),
+      (3L, "cdn.a.foo.co.uk", 20L),
+      // bar.com family: subdomain minting must not dodge the cap
+      (4L, "a.bar.com", 5L), (5L, "b.bar.com", 5L), (6L, "bar.com", 9L),
+      // single-label host passes through
+      (7L, "localhost", 1L)
+    ).toDF("id", "host", "score")
+    val out = Curation.domainCap(docs, "id", "host", "score", maxPerDomain = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    assert(out === Set(
+      (2L, "foo.co.uk", 1), (3L, "foo.co.uk", 2),
+      (6L, "bar.com", 1), (4L, "bar.com", 2), // tie 5 vs 5 -> min id 4
+      (7L, "localhost", 1)))
+    intercept[IllegalArgumentException] {
+      Curation.domainCap(docs, "id", "host", "score", maxPerDomain = 0)
+    }
+  }
+
+  test("domainCap: host case-folds before extraction") {
+    val docs = Seq((1L, "A.EXample.COM", 2L), (2L, "b.example.com", 1L))
+      .toDF("id", "host", "score")
+    val out = Curation.domainCap(docs, "id", "host", "score", 1).collect()
+    assert(out.length === 1 && out(0).getLong(0) === 1L &&
+      out(0).getString(1) === "example.com")
+  }
 }

@@ -357,4 +357,29 @@ class DedupSpec extends SparkSpec {
     assert((got.getLong(1), got.getLong(2), got.getString(3)) ===
       ((3L, 2L, "x y z")))
   }
+
+  test("softDedupWeights: unit mass per distinct content at alpha=1") {
+    val docs = Seq(
+      (1L, "same text"), (2L, "same  TEXT"), (3L, "same text!"),
+      (4L, "unique one"), (5L, "another unique")
+    ).toDF("id", "t")
+    // fingerprint normalizes case/whitespace/punct -> ids 1,2,3 cluster
+    val out = Dedup.softDedupWeights(docs, "id", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) === ((3L, 1.0 / 3)) && out(2L) === ((3L, 1.0 / 3)) &&
+      out(3L) === ((3L, 1.0 / 3)))
+    assert(out(4L) === ((1L, 1.0)) && out(5L) === ((1L, 1.0)))
+    // total sampling mass = number of distinct contents
+    assert(math.abs(out.values.map(_._2).sum - 3.0) < 1e-12)
+  }
+
+  test("softDedupWeights: alpha=0.5 uses exact 1/sqrt; bad alpha rejected") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a")).toDF("id", "t")
+    val w = Dedup.softDedupWeights(docs, "id", "t", alpha = 0.5)
+      .collect().map(_.getDouble(2)).toSet
+    assert(w === Set(0.5)) // 1/sqrt(4), exactly representable
+    intercept[IllegalArgumentException] {
+      Dedup.softDedupWeights(docs, "id", "t", alpha = 0.0)
+    }
+  }
 }

@@ -162,4 +162,41 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - 0.2) < 0.1, s"jac=${r.getDouble(5)}")
     assert(math.abs(r.getDouble(6) - 2000.0) / 2000.0 < 0.5, s"inter=${r.getDouble(6)}")
   }
+
+  test("histQuantiles: exact on uniform data, error bounded by bin width") {
+    // 0..9999 uniform: q50 ~ 5000, q99 ~ 9900; bin width 10000/256 ~ 39
+    val df = (0 until 10000).map(_.toDouble).toDF("v").repartition(8)
+    val out = Sketch.histQuantiles(df, "v", nBins = 256,
+      qs = Seq(0.5, 0.99, 0.01)).collect()
+    assert(out.map(_.getDouble(0)).toSeq === Seq(0.01, 0.5, 0.99)) // sorted
+    val got = out.map(r => r.getDouble(0) -> r.getDouble(4)).toMap
+    val binW = 9999.0 / 256
+    assert(math.abs(got(0.5) - 5000.0) <= binW, s"q50=${got(0.5)}")
+    assert(math.abs(got(0.99) - 9900.0) <= binW, s"q99=${got(0.99)}")
+    assert(math.abs(got(0.01) - 100.0) <= binW, s"q01=${got(0.01)}")
+  }
+
+  test("histQuantiles: constant column, nulls/NaN excluded, bad args") {
+    val df = Seq(Some(7.0), Some(7.0), None, Some(Double.NaN))
+      .toDF("v")
+    val out = Sketch.histQuantiles(df, "v", nBins = 16, qs = Seq(0.0, 1.0))
+      .collect()
+    assert(out.forall(_.getDouble(4) === 7.0))
+    assert(out.forall(_.getLong(1) === 2L)) // n counts the two real values
+    intercept[IllegalArgumentException] {
+      Sketch.histQuantiles(df, "v", nBins = 1, qs = Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.histQuantiles(df, "v", nBins = 16, qs = Seq(1.5))
+    }
+  }
+
+  test("histQuantiles: partition-count invariant (mergeable bin counts)") {
+    val vals = (0 until 5000).map(i => (i * 37 % 1000).toDouble)
+    val one = Sketch.histQuantiles(vals.toDF("v").repartition(1), "v", 64,
+      Seq(0.25, 0.75)).collect().map(_.getDouble(4)).toSeq
+    val many = Sketch.histQuantiles(vals.toDF("v").repartition(13), "v", 64,
+      Seq(0.25, 0.75)).collect().map(_.getDouble(4)).toSeq
+    assert(one === many)
+  }
 }
