@@ -1841,6 +1841,59 @@ object SparkEntry {
       Sketch.histQuantiles(t(s, d, "lineitem"), "l_extendedprice",
         nBins = 256, qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99))),
 
+    // --- retrieval-quality certification: IVF (nprobe=4/16) scored
+    // against the exact brute-force truth — per-query recall@10,
+    // MRR@10, binary nDCG@10; DCG folds left-associated over sorted
+    // hit ranks so no float sum rides on partition order ---
+    "q183_retrieval_metrics" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val c = e.filter(col("vec_id") >= 5)
+      val truth = Similarity.bruteForceTopKLarge(q, c,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      val retr = Similarity.ivfTopK(q, c,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, nCentroids = 16, nprobe = 4)
+      Similarity.retrievalMetrics(truth, retr, k = 10)
+        .select(col("query_id"), col("n_truth"), col("n_hits"),
+          round(col("recall"), 6).as("recall"),
+          round(col("mrr"), 6).as("mrr"),
+          round(col("dcg"), 6).as("dcg"),
+          round(col("ndcg"), 6).as("ndcg"))
+        .orderBy("query_id")
+    }),
+
+    // --- tokenizer fertility by language: the trained 10-merge BPE
+    // vocab scored per lang — pieces-per-word / chars-per-piece from
+    // integer sums over the vocabulary-bounded (lang, word) join ---
+    "q184_bpe_fertility" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = Corpus.bpeTrainLocal(docs, "text", nMerges = 10)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      Corpus.bpeFertility(docs, "text", "lang", merges.toSeq)
+        .withColumnRenamed("g", "lang")
+        .orderBy("lang")
+    }),
+
+    // --- ZCA whitening of the first 4 embedding dims: exact
+    // DECIMAL(38,12) moment sums → driver-side Cholesky (pinned
+    // association order) → map-only forward substitution with μ/L as
+    // literals; the oracle recomputes the whole chain in SQL ---
+    "q185_whiten_embeddings" -> ((s, d) =>
+      graft.ops.Projection.whiten(t(s, d, "embeddings"), "vec_id", "embedding",
+          d = 4)
+        .orderBy("vec_id")),
+
+    // --- epochs-per-domain under a 300k-token budget (τ=0.5
+    // temperature shares, ≤4 epochs): the data-constrained repeat
+    // plan, all arithmetic on the |domains|-row mixture frame ---
+    "q186_token_epochs" -> ((s, d) =>
+      Corpus.epochsPerDomain(t(s, d, "documents"), "lang", "n_chars",
+          budgetTokens = 300000L, alpha = 0.5, maxEpochs = 4.0)
+        .withColumnRenamed("domain", "lang")
+        .orderBy("lang")),
+
     // --- pairwise SOURCE-OVERLAP matrix from per-source KMV
     // sketches: which sources share vocabulary, estimated for all
     // 190 source pairs from ONE corpus scan reduced to ≤ 20·64
@@ -3810,6 +3863,162 @@ object SparkEntry {
           |    / cc.cnt) * ((p.hi - p.lo) / 256) AS est
           |FROM pick p JOIN cc ON cc.bin = p.bin
           |ORDER BY p.q""".stripMargin,
+
+      // Retrieval-metrics replay: exact truth (brute-force CTE) +
+      // the q30 IVF chain, then the same left join, sorted-hit-list
+      // DCG fold (list_reduce starts at the first gain — equal to
+      // the 0.0-seeded left fold because 0.0 + x = x), and exact
+      // recall/MRR divisions.
+      "q183_retrieval_metrics" -> {
+        val gainFold = (l: String) =>
+          s"CASE WHEN coalesce(len($l), 0) = 0 THEN 0.0 ELSE list_reduce(" +
+            s"list_transform($l, r -> ln(2) / ln(r + 1.0)), (a, x) -> a + x) END"
+        s"""WITH corpus AS (SELECT * FROM embeddings WHERE vec_id >= 5),
+           |q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+           |tr AS (SELECT query_id, neighbor_id, rank AS t_rank FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+           |        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank
+           |  FROM q CROSS JOIN corpus c) WHERE rank <= 10),
+           |cent AS (SELECT vec_id AS centroid_id, embedding AS cv
+           |  FROM corpus ORDER BY vec_id LIMIT 16),
+           |assigned AS (
+           |  SELECT vec_id AS id, centroid_id, embedding AS vec FROM (
+           |    SELECT c.vec_id, ct.centroid_id, c.embedding,
+           |      row_number() OVER (PARTITION BY c.vec_id
+           |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+           |          CAST(ct.cv AS DOUBLE[])) DESC, ct.centroid_id ASC) AS rn
+           |    FROM corpus c CROSS JOIN cent ct)
+           |  WHERE rn = 1),
+           |probes AS (
+           |  SELECT vec_id AS query_id, embedding AS qv, centroid_id FROM (
+           |    SELECT q.vec_id, q.embedding, ct.centroid_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+           |          CAST(ct.cv AS DOUBLE[])) DESC, ct.centroid_id ASC) AS rn
+           |    FROM q CROSS JOIN cent ct)
+           |  WHERE rn <= 4),
+           |re AS (SELECT query_id, neighbor_id, rank AS r_rank FROM (
+           |  SELECT p.query_id, a.id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY p.query_id
+           |      ORDER BY list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+           |        CAST(a.vec AS DOUBLE[])) DESC, a.id ASC) AS rank
+           |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id)
+           |  WHERE rank <= 10),
+           |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+           |  FROM tr GROUP BY 1),
+           |j AS (SELECT re.query_id, re.r_rank, tr.t_rank
+           |  FROM re LEFT JOIN tr ON re.query_id = tr.query_id
+           |    AND re.neighbor_id = tr.neighbor_id),
+           |pq AS (SELECT query_id,
+           |    CAST(sum(CASE WHEN t_rank IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_hits,
+           |    min(CASE WHEN t_rank IS NOT NULL THEN r_rank END) AS first_hit,
+           |    list_sort(list(r_rank) FILTER (WHERE t_rank IS NOT NULL))
+           |      AS hit_ranks
+           |  FROM j GROUP BY 1)
+           |SELECT p.query_id, nt.n_truth, p.n_hits,
+           |  round(CAST(p.n_hits AS DOUBLE) / nt.n_truth, 6) AS recall,
+           |  round(coalesce(CAST(1.0 AS DOUBLE) / p.first_hit, 0.0), 6) AS mrr,
+           |  round(${gainFold("p.hit_ranks")}, 6) AS dcg,
+           |  round(${gainFold("p.hit_ranks")} /
+           |    ${gainFold("range(1, least(nt.n_truth, 10) + 1)")}, 6) AS ndcg
+           |FROM pq p JOIN nt ON p.query_id = nt.query_id
+           |ORDER BY p.query_id""".stripMargin
+      },
+
+      // Fertility replay: the 10-stage BPE CTE chain (shared with
+      // q155/q156/q158), piece counts from the final segmentation,
+      // integer sums, two exact final divisions.
+      "q184_bpe_fertility" ->
+        s"""WITH ${bpeStagesSql(10)},
+           |enc AS (SELECT w,
+           |    CAST(len(string_split(trim(st, '><'), '><')) AS BIGINT)
+           |      AS n_pieces
+           |  FROM v10),
+           |gw AS (SELECT lang AS g, tok AS w, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (SELECT lang, unnest(${toksSql("text")}) AS tok
+           |        FROM documents WHERE lang IS NOT NULL)
+           |  GROUP BY 1, 2),
+           |ag AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_words,
+           |    CAST(sum(cnt * n_pieces) AS BIGINT) AS n_pieces,
+           |    CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars
+           |  FROM gw JOIN enc USING (w) GROUP BY 1)
+           |SELECT g AS lang, n_words, n_pieces,
+           |  round(CAST(n_pieces AS DOUBLE) / n_words, 6) AS pieces_per_word,
+           |  round(CAST(n_chars AS DOUBLE) / n_pieces, 6) AS chars_per_piece
+           |FROM ag ORDER BY lang""".stripMargin,
+
+      // Whitening replay: exact decimal moment sums, the pinned
+      // covariance/Cholesky/substitution association order, lateral
+      // aliases carrying each L entry and y component.
+      "q185_whiten_embeddings" -> {
+        val d = 4
+        val xs = (0 until d).map(i =>
+          s"CAST(embedding[${i + 1}] AS DOUBLE) AS x$i").mkString(", ")
+        val s1 = (0 until d).map(i =>
+          s"sum(CAST(x$i AS DECIMAL(38,12))) AS s1_$i").mkString(", ")
+        val s2 = (for { i <- 0 until d; j <- i until d } yield
+          s"sum(CAST(x$i * x$j AS DECIMAL(38,12))) AS s2_${i}_$j")
+          .mkString(", ")
+        val ms = (0 until d).map(i =>
+          s"CAST(s1_$i AS DOUBLE) / n AS m$i").mkString(", ")
+        def cN(i: Int, j: Int) = if (i <= j) s"c_${i}_$j" else s"c_${j}_$i"
+        val cs = (for { i <- 0 until d; j <- i until d } yield
+          s"(CAST(s2_${i}_$j AS DOUBLE) - CAST(s1_$i AS DOUBLE) * " +
+            s"CAST(s1_$j AS DOUBLE) / n) / (n - 1) AS c_${i}_$j")
+          .mkString(", ")
+        val ls = (for { i <- 0 until d; j <- 0 to i } yield {
+          val acc = new StringBuilder(cN(i, j))
+          for (k <- 0 until j) acc.insert(0, "(").append(
+            s" - l_${i}_$k * l_${j}_$k)")
+          val e = if (i == j) s"sqrt($acc)" else s"$acc / l_${j}_$j"
+          s"$e AS l_${i}_$j"
+        }).mkString(", ")
+        val ys = (0 until d).map { i =>
+          val acc = new StringBuilder(s"(x$i - m$i)")
+          for (k <- 0 until i) acc.insert(0, "(").append(
+            s" - l_${i}_$k * yy$k)")
+          s"$acc / l_${i}_$i AS yy$i"
+        }.mkString(", ")
+        s"""WITH x AS (SELECT vec_id AS id, $xs
+           |  FROM embeddings
+           |  WHERE embedding IS NOT NULL AND len(embedding) >= $d),
+           |s AS (SELECT CAST(count(*) AS BIGINT) AS n, $s1, $s2 FROM x),
+           |c AS (SELECT n, $ms, $cs FROM s),
+           |l AS (SELECT *, $ls FROM c),
+           |y AS (SELECT id, $ys FROM x, l)
+           |SELECT id AS vec_id,
+           |  ${(0 until d).map(i => s"round(yy$i, 6) AS y${i + 1}")
+                .mkString(", ")}
+           |FROM y ORDER BY vec_id""".stripMargin
+      },
+
+      // Epochs replay: the q87 temperature-share chain, shares
+      // entering the budget arithmetic ROUNDED exactly as the engine
+      // emits them.
+      "q186_token_epochs" ->
+        """WITH g AS (SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+          |             CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS tokens
+          |           FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+          |t AS (SELECT coalesce(sum(pow(CAST(tokens AS DOUBLE), 0.5)), 0.0) AS z
+          |      FROM g),
+          |r AS (SELECT g.domain, g.tokens,
+          |        round(CASE WHEN z > 0
+          |          THEN pow(CAST(tokens AS DOUBLE), 0.5) / z
+          |          ELSE CAST(0.0 AS DOUBLE) END, 6) AS ts
+          |      FROM g, t)
+          |SELECT domain AS lang, tokens, ts AS target_share,
+          |  round(ts * CAST(300000 AS DOUBLE), 6) AS budget_tokens,
+          |  round(least(ts * CAST(300000 AS DOUBLE) / CAST(tokens AS DOUBLE),
+          |    CAST(4 AS DOUBLE)), 6) AS epochs,
+          |  round(least(ts * CAST(300000 AS DOUBLE),
+          |    CAST(tokens AS DOUBLE) * CAST(4 AS DOUBLE)), 6)
+          |    AS effective_tokens,
+          |  ts * CAST(300000 AS DOUBLE) >
+          |    CAST(tokens AS DOUBLE) * CAST(4 AS DOUBLE) AS truncated
+          |FROM r ORDER BY lang""".stripMargin,
 
       // Source-overlap replay: per-group bottom-k, the pair-expanded
       // unions, membership flags, and the shared estimator ladder.

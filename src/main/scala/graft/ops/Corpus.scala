@@ -429,6 +429,38 @@ object Corpus {
       .select(col("w"), col("freq"), col("pieces"), col("n_pieces"))
   }
 
+  /** Tokenizer fertility report — the per-group quality gauge of a
+    * trained BPE vocabulary: pieces-per-word (fertility; high values
+    * mean the vocab serves that group badly and its documents cost
+    * more sequence length per content) and chars-per-piece, grouped by
+    * `groupCol` (typically language — the multilingual-tokenizer
+    * fairness report).
+    *
+    * Shape: the token stream pre-aggregates to DISTINCT (group, word)
+    * counts BEFORE joining the |vocab|-row encode table — the join
+    * input is vocabulary-bounded, not corpus-bounded, and all sums are
+    * integers until the two final divisions (exact cross-engine).
+    * Returns (g, n_words, n_pieces, pieces_per_word, chars_per_piece). */
+  def bpeFertility(df: DataFrame, textCol: String, groupCol: String,
+                   mergeTable: Seq[(String, String)]): DataFrame = {
+    val enc = bpeEncode(df, textCol, mergeTable)
+      .select(col("w"), col("n_pieces"))
+    val gw = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        explode(tokens(col(textCol).cast("string"))).as("w"))
+      .groupBy("g", "w").agg(count(lit(1)).as("cnt"))
+    gw.join(enc, "w")
+      .groupBy("g")
+      .agg(sum("cnt").as("n_words"),
+        sum(col("cnt") * col("n_pieces")).as("n_pieces"),
+        sum(col("cnt") * length(col("w")).cast("long")).as("n_chars"))
+      .select(col("g"), col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / col("n_words"), 6)
+          .as("pieces_per_word"),
+        round(col("n_chars").cast("double") / col("n_pieces"), 6)
+          .as("chars_per_piece"))
+  }
+
   /** Passage-level exact-duplicate statistics — the chunked
     * approximation of suffix-array substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): split
@@ -1045,6 +1077,34 @@ object Corpus {
           .otherwise(lit(0.0)))
       .localCheckpoint()
     finishRates(withShares)
+  }
+
+  /** Epochs-per-domain plan under a fixed training-token budget — the
+    * "how many times does each source repeat" computation of
+    * data-constrained scaling (Muennighoff et al. 2023): each domain
+    * gets `budgetTokens · target_share` tokens (temperature-weighted
+    * share, [[temperatureWeights]]), which its corpus fills by
+    * repeating up to `maxEpochs` times; demand beyond that cap is
+    * truncated (flagged — the signal to go collect more of that
+    * domain). All arithmetic runs on the ≤|domains|-row mixture frame;
+    * shares enter ROUNDED (6 dp) exactly as the mixture op emits them,
+    * so every downstream product/division replays bit-for-bit.
+    * Returns (domain, tokens, target_share, budget_tokens, epochs,
+    * effective_tokens, truncated). */
+  def epochsPerDomain(df: DataFrame, domainCol: String, sizeCol: String,
+                      budgetTokens: Long, alpha: Double,
+                      maxEpochs: Double): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    require(maxEpochs >= 1.0, s"maxEpochs must be >= 1, got $maxEpochs")
+    val bt = col("target_share") * lit(budgetTokens.toDouble)
+    val cap = col("tokens").cast(DoubleType) * lit(maxEpochs)
+    temperatureWeights(df, domainCol, sizeCol, alpha)
+      .select(col("domain"), col("tokens"), col("target_share"),
+        round(bt, 6).as("budget_tokens"),
+        round(least(bt / col("tokens").cast(DoubleType), lit(maxEpochs)), 6)
+          .as("epochs"),
+        round(least(bt, cap), 6).as("effective_tokens"),
+        (bt > cap).as("truncated"))
   }
 
   /** Shared head of the mixture-rate ops: one narrow groupBy(domain) —

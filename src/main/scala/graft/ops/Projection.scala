@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.ml.feature.PCA
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dimensionality reduction for visualization prep — the reference's
@@ -23,6 +23,64 @@ object Projection {
       .fit(withVec)
     model.transform(withVec)
       .select(col(idCol), vector_to_array(col("__pc")).as("pc"))
+  }
+
+  /** ZCA-style whitening of the first `d` embedding dimensions:
+    * y = L⁻¹(x − μ) where C = LLᵀ is the Cholesky factor of the sample
+    * covariance — the decorrelation step in front of quantizers and
+    * linear probes (whitened space makes Euclidean = Mahalanobis).
+    *
+    * Determinism is the design driver: the moment sums accumulate in
+    * DECIMAL(38,12) (exact, partition-order-free), the covariance /
+    * Cholesky / forward-substitution formulas are pinned to one
+    * left-to-right association (Cholesky–Banachiewicz row order), and
+    * the tiny d×d factorization runs driver-side from the EXACT sums
+    * (O(d²) state — the same shape spark.ml's PCA uses for its
+    * Gramian). The transform itself is a map-only projection with μ/L
+    * inlined as literals: no shuffle, no UDF, survives any row count.
+    *
+    * `d` is capped at 8: the unrolled substitution expression tree
+    * grows with d², and past that the packed-triangle Aggregator path
+    * ([[graft.text.TextProfiler]]) plus a mapPartitions solve is the
+    * right tool. Rows with null / short vectors are excluded.
+    * Returns (idCol, y1..yd) rounded to 6 dp. */
+  def whiten(df: DataFrame, idCol: String, vecCol: String, d: Int): DataFrame = {
+    require(d >= 2 && d <= 8, s"d must be in [2,8], got $d")
+    import org.apache.spark.sql.types.DecimalType
+    val base = df.filter(col(vecCol).isNotNull && size(col(vecCol)) >= d)
+    def xi(i: Int) = element_at(col(vecCol), i + 1).cast("double")
+    val sumAggs =
+      (0 until d).map(i => sum(xi(i).cast(DecimalType(38, 12))).as(s"s1_$i")) ++
+      (for { i <- 0 until d; j <- i until d }
+        yield sum((xi(i) * xi(j)).cast(DecimalType(38, 12))).as(s"s2_${i}_$j"))
+    val r = base.agg(count(lit(1)).as("n"), sumAggs: _*).collect()(0)
+    val n = r.getLong(0)
+    require(n > d, s"need more than $d rows to estimate a $d-dim covariance")
+    def dec(name: String): Double =
+      r.getDecimal(r.fieldIndex(name)).doubleValue
+    val s1 = (0 until d).map(i => dec(s"s1_$i"))
+    def s2(i: Int, j: Int): Double =
+      if (i <= j) dec(s"s2_${i}_$j") else dec(s"s2_${j}_$i")
+    val m = (0 until d).map(i => s1(i) / n)
+    // c_ij = (S2_ij − S1_i·S1_j/n)/(n−1) — this exact order is the
+    // cross-engine contract (the oracle repeats it verbatim)
+    def cov(i: Int, j: Int): Double = (s2(i, j) - s1(i) * s1(j) / n) / (n - 1)
+    val L = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- 0 to i) {
+      var acc = cov(i, j)
+      for (k <- 0 until j) acc -= L(i)(k) * L(j)(k) // left-to-right
+      L(i)(j) = if (i == j) math.sqrt(acc) else acc / L(j)(j)
+      require(!L(i)(j).isNaN && (i != j || L(i)(j) > 0),
+        s"covariance not positive definite at ($i,$j)")
+    }
+    // forward substitution, unrolled: y_i = (x_i − μ_i − Σ_{k<i} L_ik·y_k)/L_ii
+    val ys = (0 until d).foldLeft(Vector.empty[Column]) { (acc, i) =>
+      var e = xi(i) - lit(m(i))
+      for (k <- 0 until i) e = e - lit(L(i)(k)) * acc(k)
+      acc :+ (e / lit(L(i)(i)))
+    }
+    base.select(col(idCol) +:
+      (0 until d).map(i => round(ys(i), 6).as(s"y${i + 1}")): _*)
   }
 
   /** The reference's exact viz prep: union original + synthetic vector

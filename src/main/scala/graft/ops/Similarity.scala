@@ -546,4 +546,54 @@ object Similarity {
           when(col(s"__c$i").isNotNull, 1).otherwise(0))
         .reduce(_ + _).as("n_rankers"))
   }
+
+  /** Retrieval-quality metrics — the evaluation half of the ANN family:
+    * given a ground-truth ranking (brute-force exact top-k) and a
+    * candidate retrieval (IVF/PQ/LSH), per-query recall@k, MRR@k, and
+    * binary-relevance nDCG@k. This is how an ANN index's speed/recall
+    * trade-off is certified before it replaces the exact path at scale.
+    *
+    * Both inputs use the family schema (query_id, rank, neighbor_id).
+    * Shape: one (query_id, neighbor_id)-keyed left join (both sides
+    * already k-bounded per query, so the join input is |Q|·k rows —
+    * broadcastable at any corpus size) + one per-query aggregation.
+    *
+    * Cross-engine determinism: DCG sums fold LEFT-ASSOCIATED over the
+    * SORTED hit-rank list (ln(2)/ln(r+1) gains — same libm-exact ln(2)
+    * both engines), never a float SUM whose partition order can drift;
+    * recall and MRR are single exact divisions. Queries absent from
+    * `retrieved` are absent from the output (an ANN that returns
+    * nothing for a query is a routing bug its recall audit — q137 —
+    * catches upstream). Returns (query_id, n_truth, n_hits, recall,
+    * mrr, dcg, ndcg). */
+  def retrievalMetrics(truth: DataFrame, retrieved: DataFrame,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ln2 = lit(math.log(2.0)) // 0.6931471805599453, libm-exact in any engine
+    def gainOf(r: Column): Column = ln2 / log(r.cast("double") + lit(1.0))
+    def foldGains(ranks: Column): Column =
+      coalesce(aggregate(transform(ranks, gainOf(_)), lit(0.0), (a, x) => a + x),
+        lit(0.0))
+    val tr = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("__t_rank"))
+    val re = retrieved.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("__r_rank"))
+    val nt = tr.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+    val perQ = re.join(tr, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("__t_rank").isNotNull, 1).otherwise(0)).as("n_hits"),
+        min(when(col("__t_rank").isNotNull, col("__r_rank")))
+          .as("__first_hit"),
+        sort_array(collect_list(when(col("__t_rank").isNotNull,
+          col("__r_rank")))).as("__hit_ranks"))
+    perQ.join(nt, Seq("query_id"))
+      .select(col("query_id"), col("n_truth"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth")).as("recall"),
+        coalesce(lit(1.0) / col("__first_hit"), lit(0.0)).as("mrr"),
+        foldGains(col("__hit_ranks")).as("dcg"),
+        (foldGains(col("__hit_ranks")) /
+          foldGains(sequence(lit(1L), least(col("n_truth"), lit(k.toLong)))))
+          .as("ndcg"))
+  }
 }

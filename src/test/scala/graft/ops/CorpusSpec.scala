@@ -546,4 +546,53 @@ class CorpusSpec extends SparkSpec {
     val frac = a.values.count(identity).toDouble / a.size
     assert(frac > 0.3 && frac < 0.7, s"gated frac $frac")
   }
+
+  test("bpeFertility: hand-computed per-group piece economics") {
+    import spark.implicits._
+    // corpus: "ab ab cd" twice in g1; "ab" once in g2.
+    // pairs: (a,b) freq over distinct-vocab {ab:?}; with 1 merge "ab"
+    // becomes one piece, "cd" stays... train 1 merge and hand-check.
+    val docs = Seq(("g1", "ab ab cd"), ("g1", "ab cd cd"), ("g2", "ab"))
+      .toDF("g", "text")
+    val merges = Corpus.bpeTrainLocal(docs, "text", nMerges = 1)
+      .orderBy("merge_rank").collect().map(r => (r.getString(1), r.getString(2)))
+    assert(merges.length === 1) // one winning pair
+    val out = Corpus.bpeFertility(docs, "text", "g", merges.toSeq)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // the winning merge is (a,b) or (c,d) — freq 3 each, tie-break picks one;
+    // merged word -> 1 piece, the other 2-char word -> 2 pieces
+    val (nw1, np1, ppw1, cpp1) = out("g1")
+    assert(nw1 === 6L)              // 6 word tokens in g1
+    assert(np1 === 3 * 1 + 3 * 2)   // 3 merged (1 piece) + 3 unmerged (2)
+    assert(math.abs(ppw1 - np1.toDouble / 6) < 1e-6) // op rounds 6 dp
+    assert(math.abs(cpp1 - 12.0 / np1) < 1e-6) // 12 chars; op rounds 6 dp
+    val (nw2, np2, _, _) = out("g2")
+    assert(nw2 === 1L && (np2 === 1L || np2 === 2L))
+  }
+
+  test("epochsPerDomain: budget split, epoch cap, truncation flag") {
+    import spark.implicits._
+    // two domains, tokens 100 and 400; alpha=1 -> proportional shares
+    val df = Seq(("a", 100L), ("b", 400L)).toDF("dom", "sz")
+    val out = Corpus.epochsPerDomain(df, "dom", "sz",
+        budgetTokens = 1000L, alpha = 1.0, maxEpochs = 3.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    // shares: a=0.2, b=0.8 -> budgets 200, 800
+    val (ba, ea, fa, ta) = out("a")
+    assert(ba === 200.0 && ea === 2.0 && fa === 200.0 && !ta)
+    val (bb, eb, fb, tb) = out("b")
+    assert(bb === 800.0 && eb === 2.0 && fb === 800.0 && !tb)
+    // tight cap: budget 1000 all to one 100-token domain, cap 3 epochs
+    val one = Seq(("a", 100L)).toDF("dom", "sz")
+    val r2 = Corpus.epochsPerDomain(one, "dom", "sz", 1000L, 1.0, 3.0)
+      .collect()(0)
+    assert(r2.getDouble(4) === 3.0 && r2.getDouble(5) === 300.0 &&
+      r2.getBoolean(6)) // truncated: demand 1000 > 300 capacity
+    intercept[IllegalArgumentException] {
+      Corpus.epochsPerDomain(one, "dom", "sz", 0L, 1.0, 3.0)
+    }
+  }
 }

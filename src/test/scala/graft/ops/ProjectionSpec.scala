@@ -31,4 +31,53 @@ class ProjectionSpec extends SparkSpec {
     assert(rows.map(_.getString(1)).toSet === Set("original", "synthetic"))
     assert(rows.forall(_.getSeq[Double](2).length == 2))
   }
+
+  test("whiten: output is zero-mean with identity covariance") {
+    import spark.implicits._
+    // deterministic correlated 3-dim data: x2 = x0-ish mix
+    val rows = (0 until 400).map { i =>
+      val a = math.sin(i * 0.7) * 2.0
+      val b = math.cos(i * 1.3)
+      val c = 0.8 * a + 0.3 * b + math.sin(i * 2.9) * 0.1
+      (i.toLong, Array(a.toFloat, b.toFloat, c.toFloat))
+    }
+    val df = rows.toDF("id", "vec")
+    val out = Projection.whiten(df, "id", "vec", d = 3)
+      .collect().map(r => Array(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val n = out.length
+    assert(n === 400)
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val mi = out.map(_(i)).sum / n
+      val cij = out.map(v => (v(i) - mi) * (v(j) - mi)).sum / (n - 1)
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(cij - want) < 0.02, s"cov($i,$j)=$cij")
+    }
+    for (i <- 0 until 3)
+      assert(math.abs(out.map(_(i)).sum / n) < 1e-5)
+  }
+
+  test("whiten: partition-count invariant (decimal sums are exact)") {
+    import spark.implicits._
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array((i % 17).toFloat / 7f, (i % 5).toFloat, (i % 3).toFloat - 1f))
+    }
+    val a = Projection.whiten(rows.toDF("id", "vec").repartition(1),
+      "id", "vec", 3).collect().map(r => (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3))).sortBy(_._1).toSeq
+    val b = Projection.whiten(rows.toDF("id", "vec").repartition(11),
+      "id", "vec", 3).collect().map(r => (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3))).sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
+  test("whiten: rejects degenerate inputs") {
+    import spark.implicits._
+    val dup = (0 until 50).map(i => (i.toLong, Array(1f, 2f, 3f)))
+    intercept[IllegalArgumentException] { // constant -> zero variance
+      Projection.whiten(dup.toDF("id", "vec"), "id", "vec", 3)
+    }
+    intercept[IllegalArgumentException] { // d out of range
+      Projection.whiten(dup.toDF("id", "vec"), "id", "vec", 1)
+    }
+  }
 }

@@ -257,4 +257,40 @@ class SimilaritySpec extends SparkSpec {
       .orderBy(desc("rrf")).collect().map(_.getLong(0)).toSeq
     assert(got === Seq(2L, 5L, 9L)) // rank 1,2,3 → contributions descend
   }
+
+  test("retrievalMetrics: hand-computed recall/MRR/DCG/nDCG") {
+    def ranks(rows: Seq[(Long, Int, Long)]) =
+      rows.toDF("query_id", "rank", "neighbor_id")
+    // truth for q1: neighbors 101..105 (k=5)
+    val truth = ranks((1 to 5).map(r => (1L, r, 100L + r)))
+    // retrieved: rank1=101 (hit), rank2=999 (miss), rank3=103 (hit),
+    // rank4=998 (miss), rank5=105 (hit)
+    val retr = ranks(Seq((1L, 1, 101L), (1L, 2, 999L), (1L, 3, 103L),
+      (1L, 4, 998L), (1L, 5, 105L)))
+    val r = Similarity.retrievalMetrics(truth, retr, k = 5).collect()(0)
+    assert(r.getLong(1) === 5L && r.getLong(2) === 3L)
+    assert(r.getDouble(3) === 3.0 / 5)                 // recall
+    assert(r.getDouble(4) === 1.0)                     // MRR: first hit rank 1
+    val ln2 = math.log(2.0)
+    def g(x: Int) = ln2 / math.log(x + 1.0)
+    val dcg = g(1) + g(3) + g(5)
+    val idcg = (1 to 5).map(g).sum
+    assert(math.abs(r.getDouble(5) - dcg) < 1e-12)
+    assert(math.abs(r.getDouble(6) - dcg / idcg) < 1e-12)
+  }
+
+  test("retrievalMetrics: zero hits and k-truncation") {
+    def ranks(rows: Seq[(Long, Int, Long)]) =
+      rows.toDF("query_id", "rank", "neighbor_id")
+    val truth = ranks(Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L)))
+    // rank-4 truth beyond k must not count as relevant at k=3
+    val retr = ranks(Seq((1L, 1, 99L), (1L, 2, 98L), (1L, 3, 97L)))
+    val r = Similarity.retrievalMetrics(truth, retr, k = 3).collect()(0)
+    assert(r.getLong(2) === 0L && r.getDouble(3) === 0.0 &&
+      r.getDouble(4) === 0.0 && r.getDouble(5) === 0.0 &&
+      r.getDouble(6) === 0.0)
+    intercept[IllegalArgumentException] {
+      Similarity.retrievalMetrics(truth, retr, k = 0)
+    }
+  }
 }
