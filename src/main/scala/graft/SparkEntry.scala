@@ -1894,6 +1894,36 @@ object SparkEntry {
         .withColumnRenamed("domain", "lang")
         .orderBy("lang")),
 
+    // --- STREAMING histogram-quantile sketch: the 64-bin count table
+    // lives as update-mode streaming aggregation state under a live
+    // trigger (known (lo,hi) frame — the production one-pass mode);
+    // per-trigger emissions max-merge to the batch bin table, and the
+    // shared read-off must equal the batch sketch of the same rows ---
+    "q187_streaming_histq" -> ((s, d) => {
+      import s.implicits._
+      val sub = t(s, d, "lineitem")
+        .filter(col("l_extendedprice").isNotNull &&
+          col("l_orderkey") % 20 === 0)
+        .select(col("l_extendedprice").cast("double").as("value"),
+          (col("l_orderkey") % 3).cast("int").as("__b"))
+      val fr = sub.agg(min("value").as("lo"), max("value").as("hi"),
+        count(lit(1)).as("n")).collect()(0)
+      val (lo, hi, n) = (fr.getDouble(0), fr.getDouble(1), fr.getLong(2))
+      val rows = sub.as[(Double, Int)].collect()
+      val batches = (0 to 2).map(b => rows.toSeq.filter(_._2 == b))
+      val perTrigger = runMicroBatched(s, Seq("value", "batch"), batches,
+          "graft-stream-histq", Seq("bin", "cnt"),
+          org.apache.spark.sql.streaming.OutputMode.Update()) { stream =>
+        stream.groupBy(Sketch.histBin(col("value"), lit(lo), lit(hi), 64)
+            .as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      val bins = perTrigger.groupBy("bin").agg(max("cnt").as("cnt"))
+      val frame = Seq((lo, hi, n)).toDF("lo", "hi", "n")
+      Sketch.histQuantileReadoff(frame, bins, 64,
+        qs = Seq(0.25, 0.5, 0.9, 0.99))
+    }),
+
     // --- pairwise SOURCE-OVERLAP matrix from per-source KMV
     // sketches: which sources share vocabulary, estimated for all
     // 190 source pairs from ONE corpus scan reduced to ≤ 20·64
@@ -4019,6 +4049,35 @@ object SparkEntry {
           |  ts * CAST(300000 AS DOUBLE) >
           |    CAST(tokens AS DOUBLE) * CAST(4 AS DOUBLE) AS truncated
           |FROM r ORDER BY lang""".stripMargin,
+
+      // Streaming-histq replay: the update-mode state max-merges to
+      // the plain batch bin table, so the batch sketch of the same
+      // subset (64 bins, known frame) is the oracle.
+      "q187_streaming_histq" ->
+        """WITH x AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+          |    FROM lineitem WHERE l_extendedprice IS NOT NULL
+          |      AND l_orderkey % 20 = 0),
+          |f AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM x),
+          |b AS (SELECT CASE WHEN hi = lo THEN 0
+          |      ELSE least(greatest(CAST(floor((x - lo) / (hi - lo) * 64)
+          |        AS BIGINT), 0), 63) END AS bin
+          |    FROM x, f),
+          |c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+          |cc AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM c),
+          |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+          |    CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q),
+          |t AS (SELECT q, n, lo, hi,
+          |    greatest(CAST(ceil(q * n) AS BIGINT), 1) AS target_rank
+          |  FROM qs, f),
+          |pick AS (SELECT t.q, t.n, t.lo, t.hi, t.target_rank,
+          |    min(cc.bin) AS bin
+          |  FROM t JOIN cc ON cc.cum >= t.target_rank
+          |  GROUP BY 1, 2, 3, 4, 5)
+          |SELECT p.q, p.n, p.target_rank, p.bin,
+          |  p.lo + (p.bin + CAST(p.target_rank - (cc.cum - cc.cnt) AS DOUBLE)
+          |    / cc.cnt) * ((p.hi - p.lo) / 64) AS est
+          |FROM pick p JOIN cc ON cc.bin = p.bin
+          |ORDER BY p.q""".stripMargin,
 
       // Source-overlap replay: per-group bottom-k, the pair-expanded
       // unions, membership flags, and the shared estimator ladder.

@@ -362,20 +362,30 @@ object Sketch {
       count(lit(1)).as("n"))
     // bin index: floor(((x−lo)/(hi−lo))·nBins) clamped into [0,nBins−1]
     // — the expression shape (divide FIRST, then scale) is part of the
-    // cross-engine contract
+    // cross-engine contract; one definition ([[histBin]]) shared with
+    // the streaming variant
     val bins = x.crossJoin(broadcast(frame))
-      .select(when(col("hi") === col("lo"), lit(0L))
-        .otherwise(least(greatest(
-          floor((col("x") - col("lo")) / (col("hi") - col("lo")) * nBins),
-          lit(0L)), lit(nBins - 1L))).as("bin"))
+      .select(histBin(col("x"), col("lo"), col("hi"), nBins).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    histQuantileReadoff(frame, bins, nBins, qs)
+  }
+
+  /** Quantile read-off from an already-built (bin, cnt) table and a
+    * 1-row (lo, hi, n) frame — shared by the batch [[histQuantiles]]
+    * and the streaming variant (whose bin table is live aggregation
+    * state): interpolate inside the first bin whose cumulative count
+    * reaches ceil(q·n). Everything here runs on sketch-sized frames
+    * (≤ nBins rows), so the global-order window and the joins are
+    * broadcast-cheap at any corpus size. */
+  def histQuantileReadoff(frame: DataFrame, bins: DataFrame, nBins: Int,
+                          qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cum = bins.withColumn("cum",
       sum("cnt").over(Window.orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val qdf = qs.distinct.sorted.foldLeft(Seq.empty[org.apache.spark.sql.Column]) {
-      (acc, q) => acc :+ lit(q)
-    }
-    val quants = frame.select(explode(array(qdf: _*)).as("q"), col("n"), col("lo"), col("hi"))
+    val quants = frame.select(
+        explode(array(qs.distinct.sorted.map(lit): _*)).as("q"),
+        col("n"), col("lo"), col("hi"))
       .withColumn("target_rank", greatest(ceil(col("q") * col("n")), lit(1L)))
     // first bin whose cumulative count reaches the target rank — the
     // probe side is ≤ nBins rows, so the join broadcasts
@@ -389,6 +399,17 @@ object Sketch {
           ((col("hi") - col("lo")) / nBins)).as("est"))
       .orderBy("q")
   }
+
+  /** The bin-index expression of [[histQuantiles]], exposed so the
+    * streaming variant bins rows with the IDENTICAL formula (divide
+    * first, then scale — the cross-engine contract). `lo`/`hi` are the
+    * known frame bounds. */
+  def histBin(x: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+              hi: org.apache.spark.sql.Column, nBins: Int)
+      : org.apache.spark.sql.Column =
+    when(hi === lo, lit(0L))
+      .otherwise(least(greatest(
+        floor((x - lo) / (hi - lo) * nBins), lit(0L)), lit(nBins - 1L)))
 
   /** Row-r count–min bucket of an item: 28-bit md5 prefix mod width. */
   private def cmBucket(item: org.apache.spark.sql.Column, r: Int, width: Int,
