@@ -149,20 +149,17 @@ object TextAnalysis {
     * distinct characters ((0+t₁)+t₂)+… — both engines evaluate the
     * identical association, and 0.0 + x = x exactly, so the oracle's
     * first-element fold matches — and the `0.0 − Σ` form (not unary
-    * minus) keeps an all-zero sum at +0.0 in both engines. Per-row
-    * cost is O(distinct·len) inside one codegen'd projection; empty /
-    * null text scores 0.0. */
+    * minus) keeps an all-zero sum at +0.0 in both engines. Computed by
+    * the native one-pass expression ([[graft.expressions.CharEntropy]],
+    * O(len + distinct·log distinct) per row inside WholeStageCodegen —
+    * the original expression-chain form re-scanned the materialized
+    * char array once per distinct char and measured 162 s over sf0.1;
+    * the kernel pins the identical fold order and division, so the
+    * output is bit-equal). Empty / null text scores 0.0. */
   def charEntropy(c: Column): Column = {
-    val t = coalesce(c.cast("string"), lit(""))
-    val n = length(t)
-    val chars = transform(sequence(lit(1), greatest(n, lit(1))),
-      i => t.substr(i, lit(1)))
-    val nd = n.cast("double")
-    def p(d: Column) = size(filter(chars, x => x === d)).cast("double") / nd
-    when(n > 0,
-      lit(0.0) - aggregate(array_sort(array_distinct(chars)), lit(0.0),
-        (acc, d) => acc + p(d) * log(p(d))))
-      .otherwise(lit(0.0))
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.CharEntropy(
+      GraftColumnBridge.expression(coalesce(c.cast("string"), lit("")))))
   }
 
   /** Gopher-style repetition-free quality rules (Rae et al. 2021,
