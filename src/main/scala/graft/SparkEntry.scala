@@ -1924,6 +1924,55 @@ object SparkEntry {
         qs = Seq(0.25, 0.5, 0.9, 0.99))
     }),
 
+    // --- STREAMING count–min: the SAME Sketch.countMin operator code
+    // runs as update-mode aggregation state under a live trigger
+    // (depth×width group space is stream-safe by construction);
+    // per-trigger counter emissions max-merge to exactly the batch
+    // sketch — the third mergeable sketch proven under a trigger ---
+    "q188_streaming_countmin" -> ((s, d) => {
+      import s.implicits._
+      val rows = t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("item"),
+          (col("doc_id") % 3).cast("int").as("__b"))
+        .as[(String, Int)].collect()
+      val batches = (0 to 2).map(b => rows.toSeq.filter(_._2 == b))
+      val perTrigger = runMicroBatched(s, Seq("item", "batch"), batches,
+          "graft-stream-cm", Seq("r", "b", "cnt"),
+          org.apache.spark.sql.streaming.OutputMode.Update()) { stream =>
+        Sketch.countMin(stream, "item", depth = 4, width = 64, salt = "cm9")
+      }
+      perTrigger.groupBy("r", "b").agg(max("cnt").as("cnt"))
+        .orderBy("r", "b")
+    }),
+
+    // --- LSH banding calibration: the (bands, rows)·similarity
+    // detection-probability table every near-dup run is tuned from —
+    // 1−(1−s^r)^b over all divisor splits of 16 hashes plus the s50
+    // threshold, pure arithmetic, nothing scans ---
+    "q189_lsh_calibration" -> ((s, d) =>
+      Dedup.lshCalibration(s, numHashes = 16,
+        sGrid = Seq(0.1, 0.3, 0.5, 0.7, 0.8, 0.9))),
+
+    // --- encoding-health audit: U+FFFD, double-decoded "Ã?"
+    // mojibake pairs, and control chars counted per doc over
+    // md5-gated synthetic corruption — the re-decode triage signal,
+    // one codegen projection ---
+    "q190_encoding_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val g = (conv(substring(md5(col("text").cast("binary")), 6, 1), 16, 10)
+        .cast("int") % 8)
+      val injected = when(g <= 2, concat(col("text"), lit(" x\u00C3\u00A9y")))
+        .when(g === 3, concat(col("text"), lit("\uFFFD\uFFFD")))
+        .when(g === 4, concat(lit("\u0007"), col("text")))
+        .otherwise(col("text"))
+      docs.select(col("doc_id"),
+          TextAnalysis.encodingAudit(injected).as("a"))
+        .select(col("doc_id"), col("a.n_replacement"), col("a.n_mojibake"),
+          col("a.n_ctrl"), col("a.encoding_ok"))
+        .orderBy("doc_id")
+    }),
+
     // --- pairwise SOURCE-OVERLAP matrix from per-source KMV
     // sketches: which sources share vocabulary, estimated for all
     // 190 source pairs from ONE corpus scan reduced to ≤ 20·64
@@ -4078,6 +4127,60 @@ object SparkEntry {
           |    / cc.cnt) * ((p.hi - p.lo) / 64) AS est
           |FROM pick p JOIN cc ON cc.bin = p.bin
           |ORDER BY p.q""".stripMargin,
+
+      // Streaming count–min replay: update-mode counters max-merge to
+      // the plain batch sketch, so the batch CM of the same token
+      // stream (salt cm9) is the oracle.
+      "q188_streaming_countmin" -> {
+        val rows = (0 until 4).map(r =>
+          s"SELECT $r AS r, ${Sketch.cmBucketSql("item", r, 64, "cm9")} AS b FROM toks")
+          .mkString("\n  UNION ALL ")
+        s"""WITH toks AS (SELECT unnest(${toksSql("text")}) AS item
+           |  FROM documents WHERE text IS NOT NULL)
+           |SELECT r, CAST(b AS INT) AS b, CAST(count(*) AS BIGINT) AS cnt
+           |FROM ($rows) GROUP BY 1, 2 ORDER BY r, b""".stripMargin
+      },
+
+      // LSH calibration replay: same divisor grid, same two pow()
+      // forms, rounded at 6 both sides.
+      "q189_lsh_calibration" ->
+        """WITH cfg AS (SELECT * FROM (VALUES (1, 16), (2, 8), (4, 4),
+          |    (8, 2), (16, 1)) AS t(bands, rows_per_band)),
+          |sv AS (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.3 AS DOUBLE),
+          |    CAST(0.5 AS DOUBLE), CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE),
+          |    CAST(0.9 AS DOUBLE)]) AS s)
+          |SELECT CAST(16 AS INT) AS n_hashes, CAST(bands AS INT) AS bands,
+          |  CAST(rows_per_band AS INT) AS rows_per_band, s,
+          |  round(CAST(1.0 AS DOUBLE) -
+          |    pow(CAST(1.0 AS DOUBLE) - pow(s, rows_per_band), bands), 6)
+          |    AS p_detect,
+          |  round(pow(CAST(1.0 AS DOUBLE) / bands,
+          |    CAST(1.0 AS DOUBLE) / rows_per_band), 6) AS s50
+          |FROM cfg, sv ORDER BY bands, s""".stripMargin,
+
+      // Encoding-audit replay: identical md5 gate and injected
+      // corruption (chr-built), the same three strip-count regexes
+      // (RE2 hex classes ≡ the Java classes), same //2 fold.
+      "q190_encoding_audit" ->
+        s"""WITH r AS (SELECT doc_id,
+           |    CASE WHEN ${hd(6)} % 8 <= 2
+           |        THEN text || ' x' || chr(195) || chr(169) || 'y'
+           |      WHEN ${hd(6)} % 8 = 3 THEN text || chr(65533) || chr(65533)
+           |      WHEN ${hd(6)} % 8 = 4 THEN chr(7) || text
+           |      ELSE text END AS t
+           |  FROM documents WHERE text IS NOT NULL)
+           |SELECT doc_id,
+           |  CAST(length(t) - length(regexp_replace(t, '\\x{FFFD}', '', 'g'))
+           |    AS INT) AS n_replacement,
+           |  CAST((length(t) - length(regexp_replace(t,
+           |    '\\x{C3}[\\x{80}-\\x{BF}]', '', 'g'))) // 2 AS INT)
+           |    AS n_mojibake,
+           |  CAST(length(t) - length(regexp_replace(t,
+           |    '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g')) AS INT) AS n_ctrl,
+           |  CAST(CASE WHEN length(t) = length(regexp_replace(t,
+           |      '\\x{FFFD}|\\x{C3}[\\x{80}-\\x{BF}]|[\\x00-\\x08\\x0B-\\x1F\\x7F]',
+           |      '', 'g')) THEN 1 ELSE 0 END AS INT) AS encoding_ok
+           |FROM r ORDER BY doc_id""".stripMargin,
 
       // Source-overlap replay: per-group bottom-k, the pair-expanded
       // unions, membership flags, and the shared estimator ladder.

@@ -162,6 +162,42 @@ object Dedup {
       (a, b)
     }
 
+  /** LSH banding calibration table — the design tool that picks
+    * (bands, rows-per-band) BEFORE a 100 TB near-dup run: for every
+    * divisor split b·r = `numHashes` and every similarity level s in
+    * `sGrid`, the detection probability of the banded scheme,
+    * P(candidate | sim = s) = 1 − (1 − s^r)^b, plus the band
+    * threshold s50 = (1/b)^(1/r) where the S-curve crosses ~50%.
+    * Wider bands (small r) catch low-similarity pairs but explode the
+    * candidate count; this table is how that trade-off is chosen
+    * against a recall target instead of folklore.
+    *
+    * Computed as Spark column arithmetic over an exploded literal
+    * grid (|divisors|·|sGrid| rows — nothing scans), rounded to 6 dp
+    * so the pow() calls stay oracle-comparable. */
+  def lshCalibration(spark: org.apache.spark.sql.SparkSession,
+                     numHashes: Int, sGrid: Seq[Double]): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(sGrid.nonEmpty && sGrid.forall(s => s > 0.0 && s < 1.0),
+      s"sGrid must be inside (0,1), got $sGrid")
+    val configs = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => struct(lit(b).as("bands"),
+        lit(numHashes / b).as("rows_per_band")))
+    spark.range(1)
+      .select(explode(array(configs: _*)).as("c"))
+      .select(col("c.bands").as("bands"),
+        col("c.rows_per_band").as("rows_per_band"))
+      .select(lit(numHashes).as("n_hashes"), col("bands"),
+        col("rows_per_band"),
+        explode(array(sGrid.distinct.sorted.map(lit): _*)).as("s"))
+      .withColumn("p_detect", round(lit(1.0) -
+        pow(lit(1.0) - pow(col("s"), col("rows_per_band")), col("bands")), 6))
+      .withColumn("s50",
+        round(pow(lit(1.0) / col("bands"),
+          lit(1.0) / col("rows_per_band")), 6))
+      .orderBy("bands", "s")
+  }
+
   /** MinHash signature as an array column: min over shingles of
     * h_i(hash31(shingle)) per hash function. Map-only. */
   def minhashSignature(c: Column, numHashes: Int = 16, k: Int = 3): Column = {

@@ -417,6 +417,40 @@ object TextAnalysis {
         "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
       "[ \\t]+", " "))
 
+  // ---- encoding / mojibake audit ----
+
+  /** Encoding-health audit of a text column — the triage signal that
+    * decides whether a crawl shard needs re-decoding before it enters
+    * the corpus. Three independent counters plus the composite flag:
+    *
+    *  - `n_replacement` — U+FFFD replacement characters (a decoder
+    *    already gave up on those bytes);
+    *  - `n_mojibake` — "Ã?" pairs (U+00C3 followed by U+0080–U+00BF),
+    *    the signature of 2-byte UTF-8 sequences re-decoded as
+    *    Latin-1/Windows-1252 ("é" → "Ã©") — each pair is one mangled
+    *    original character, so the count divides by 2;
+    *  - `n_ctrl` — C0/DEL control characters ([[cleanText]]'s strip
+    *    class: \t and \n exempt).
+    *
+    * All three are length-difference counts over regexp strips — pure
+    * codegen projection, no shuffle, identical RE2/Java character
+    * classes. Null text audits as empty (all-zero, ok). */
+  def encodingAudit(c: Column): Column = {
+    val t = coalesce(c.cast("string"), lit(""))
+    val nRepl = length(t) - length(regexp_replace(t, "\uFFFD", ""))
+    // Column./ is double division; the diff is always even, so the
+    // int cast is exact \u2014 keeps the counter integral like its siblings
+    val nMoji = ((length(t) -
+      length(regexp_replace(t, "\u00C3[\u0080-\u00BF]", ""))) / 2)
+      .cast("int")
+    val nCtrl = length(t) -
+      length(regexp_replace(t, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""))
+    struct(nRepl.as("n_replacement"), nMoji.as("n_mojibake"),
+      nCtrl.as("n_ctrl"),
+      (nRepl === 0 && nMoji === 0 && nCtrl === 0).cast("int")
+        .as("encoding_ok"))
+  }
+
   // ---- registrable-domain extraction ----
 
   /** Multi-part public suffixes the extractor must treat as a single

@@ -382,4 +382,26 @@ class DedupSpec extends SparkSpec {
       Dedup.softDedupWeights(docs, "id", "t", alpha = 0.0)
     }
   }
+
+  test("lshCalibration: S-curve shape, thresholds, config coverage") {
+    val out = Dedup.lshCalibration(spark, numHashes = 16,
+        sGrid = Seq(0.2, 0.5, 0.8))
+      .collect().map(r => ((r.getInt(1), r.getDouble(3)),
+        (r.getDouble(4), r.getDouble(5)))).toMap
+    // all 5 divisor splits x 3 s-levels
+    assert(out.size === 15)
+    // detection probability rises with s for a fixed config
+    val cfg = (4, 0.2) :: (4, 0.5) :: (4, 0.8) :: Nil
+    val ps = cfg.map(out(_)._1)
+    assert(ps === ps.sorted)
+    // b=16,r=1 is the permissive extreme: p = 1-(1-s)^16
+    assert(math.abs(out((16, 0.5))._1 - (1 - math.pow(0.5, 16))) < 1e-6)
+    // b=1,r=16 is the strict extreme: p = s^16
+    assert(math.abs(out((1, 0.5))._1 - math.pow(0.5, 16)) < 1e-6)
+    // s50 of (4,4) is (1/4)^(1/4) ~ 0.7071
+    assert(math.abs(out((4, 0.5))._2 - math.pow(0.25, 0.25)) < 1e-6)
+    intercept[IllegalArgumentException] {
+      Dedup.lshCalibration(spark, 16, Seq(1.5))
+    }
+  }
 }

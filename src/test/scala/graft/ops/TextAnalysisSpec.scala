@@ -170,4 +170,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) === ((0L, 0)))
     assert(got(2L) === ((0L, 0)))
   }
+
+  test("encodingAudit: counts replacements, mojibake pairs, controls") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some("clean prose text")),
+      (2L, Some("bad \uFFFD here \uFFFD")),         // 2 replacements
+      (3L, Some("caf\u00C3\u00A9 na\u00C3\u00AFve")), // 2 mojibake pairs
+      (4L, Some("ding\u0007 and\u0000")),           // 2 control chars
+      (5L, Some("tab\tok\nnewline ok")),            // exempt whitespace
+      (6L, Option.empty[String]))                     // null -> all zero, ok
+    val got = rows.toDF("id", "t")
+      .select(col("id"), TextAnalysis.encodingAudit(col("t")).as("a"))
+      .select(col("id"), col("a.n_replacement"), col("a.n_mojibake"),
+        col("a.n_ctrl"), col("a.encoding_ok"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got(1L) === ((0, 0, 0, 1)))
+    assert(got(2L) === ((2, 0, 0, 0)))
+    assert(got(3L) === ((0, 2, 0, 0)))
+    assert(got(4L) === ((0, 0, 2, 0)))
+    assert(got(5L) === ((0, 0, 0, 1)))
+    assert(got(6L) === ((0, 0, 0, 1)))
+  }
 }
