@@ -1954,6 +1954,44 @@ object SparkEntry {
       Dedup.lshCalibration(s, numHashes = 16,
         sGrid = Seq(0.1, 0.3, 0.5, 0.7, 0.8, 0.9))),
 
+    // --- Aho–Corasick blocklist scan: per-term overlapping substring
+    // counts for a 6-term list in ONE automaton pass per doc (native
+    // expression carrying the automaton as a codegen reference) —
+    // the shape that holds when the blocklist has 10k terms ---
+    "q191_blocklist_scan" -> ((s, d) => {
+      val terms = Seq("spark", "shuffle", "window", "merge", "the", "a big")
+      val counts = TextAnalysis.termCounts(col("text"), terms)
+      t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id") +: counts.as("c") +: Nil: _*)
+        .select(col("doc_id") +:
+          terms.zipWithIndex.map { case (tm, i) =>
+            element_at(col("c"), i + 1).as("n_" + tm.replace(" ", "_"))
+          } :+
+          aggregate(col("c"), lit(0), (a, x) => a + x).as("total") :+
+          (aggregate(col("c"), lit(0), (a, x) => a + x) > 0).cast("int")
+            .as("flagged"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // --- composed safety/keep decision: encoding health + quality
+    // floor + token-count band + zero blocklist hits, every signal an
+    // already-oracled operator — the end-to-end corpus admission
+    // verdict in one codegen projection ---
+    "q192_safety_filter" -> ((s, d) => {
+      val bad = Seq("merge", "window")
+      val text = col("text")
+      val q = TextAnalysis.qualityScore(text)
+      val nt = TextAnalysis.tokenCount(text).cast("long")
+      val enc = TextAnalysis.encodingAudit(text).getField("encoding_ok")
+      val hits = TextAnalysis.blocklistHits(text, bad)
+      t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), round(q, 6).as("quality"), nt.as("n_tokens"),
+          enc.as("encoding_ok"), hits.as("blocklist_hits"),
+          (enc === 1 && q >= 0.5 && nt >= 10 && nt <= 10000 &&
+            (hits === 0)).cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // --- encoding-health audit: U+FFFD, double-decoded "Ã?"
     // mojibake pairs, and control chars counted per doc over
     // md5-gated synthetic corruption — the re-decode triage signal,
@@ -4157,6 +4195,56 @@ object SparkEntry {
           |  round(pow(CAST(1.0 AS DOUBLE) / bands,
           |    CAST(1.0 AS DOUBLE) / rows_per_band), 6) AS s50
           |FROM cfg, sv ORDER BY bands, s""".stripMargin,
+
+      // Blocklist replay: overlapping substring counts per term via a
+      // position scan (substr at every start offset) over the same
+      // lowercased text — exactly the automaton's match semantics.
+      "q191_blocklist_scan" -> {
+        val terms = Seq("spark", "shuffle", "window", "merge", "the", "a big")
+        def cnt(tm: String) =
+          s"CAST(len(list_filter(range(length(t) - ${tm.length} + 1), " +
+            s"i -> substr(t, CAST(i + 1 AS INT), ${tm.length}) = '$tm')) AS INT)"
+        val cols = terms.map(tm =>
+          s"${cnt(tm)} AS n_${tm.replace(" ", "_")}").mkString(",\n  ")
+        val total = terms.map(cnt).mkString("(", " + ", ")")
+        s"""WITH b AS (SELECT doc_id, lower(text) AS t
+           |  FROM documents WHERE text IS NOT NULL)
+           |SELECT doc_id,
+           |  $cols,
+           |  CAST($total AS INT) AS total,
+           |  CAST(CASE WHEN $total > 0 THEN 1 ELSE 0 END AS INT) AS flagged
+           |FROM b ORDER BY doc_id""".stripMargin
+      },
+
+      // Safety-filter replay: q20's quality chain, token band, the
+      // q190 encoding regex ladder on the RAW text, and the q191
+      // position-scan blocklist counts — conjoined exactly as the
+      // engine's keep predicate.
+      "q192_safety_filter" -> {
+        val punct = s"""CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text)"""
+        val swRatio = s"CAST(len(list_filter($toks, x -> list_contains(${dlist(stop("en"))}, x))) AS DOUBLE) / len($toks)"
+        val mtl = s"CAST(list_sum(list_transform($toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len($toks)"
+        val quality = s"""CAST((CASE WHEN len($toks) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.3
+           |      + (CASE WHEN $mtl >= 2.0 AND $mtl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
+           |      + (CASE WHEN $punct <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+           |      + (CASE WHEN $swRatio >= 0.01 THEN 1.0 ELSE 0.0 END) * 0.2 AS DOUBLE)""".stripMargin
+        val encOk = "CASE WHEN length(text) = length(regexp_replace(text, " +
+          "'\\x{FFFD}|\\x{C3}[\\x{80}-\\x{BF}]|[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g')) " +
+          "THEN 1 ELSE 0 END"
+        def cnt(tm: String) =
+          s"len(list_filter(range(length(lower(text)) - ${tm.length} + 1), " +
+            s"i -> substr(lower(text), CAST(i + 1 AS INT), ${tm.length}) = '$tm'))"
+        val hits = s"(${cnt("merge")} + ${cnt("window")})"
+        s"""SELECT doc_id,
+           |  round($quality, 6) AS quality,
+           |  CAST(len($toks) AS BIGINT) AS n_tokens,
+           |  CAST($encOk AS INT) AS encoding_ok,
+           |  CAST($hits AS INT) AS blocklist_hits,
+           |  CAST(CASE WHEN ($encOk) = 1 AND $quality >= 0.5
+           |      AND len($toks) BETWEEN 10 AND 10000 AND $hits = 0
+           |    THEN 1 ELSE 0 END AS INT) AS keep
+           |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+      },
 
       // Encoding-audit replay: identical md5 gate and injected
       // corruption (chr-built), the same three strip-count regexes

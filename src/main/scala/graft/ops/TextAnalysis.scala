@@ -417,6 +417,24 @@ object TextAnalysis {
         "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
       "[ \\t]+", " "))
 
+  // ---- multi-term (blocklist) matching ----
+
+  /** Per-term SUBSTRING occurrence counts (overlaps included) of a
+    * fixed term list over the lowercased text, via the native
+    * Aho–Corasick expression ([[graft.expressions.MultiTermCount]]) —
+    * one automaton pass per document regardless of blocklist size,
+    * where N `contains()` predicates would cost O(N·L). Returns
+    * array<int> aligned with `terms`. */
+  def termCounts(c: Column, terms: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.MultiTermCount(
+      GraftColumnBridge.expression(lower(c.cast("string"))), terms))
+  }
+
+  /** Total blocklist hits — the scalar gate form of [[termCounts]]. */
+  def blocklistHits(c: Column, terms: Seq[String]): Column =
+    aggregate(termCounts(c, terms), lit(0), (a, x) => a + x)
+
   // ---- encoding / mojibake audit ----
 
   /** Encoding-health audit of a text column — the triage signal that
