@@ -692,6 +692,43 @@ object Probe {
           |ORDER BY other""".stripMargin).collect()
       rows.foreach(r => println(s"PROBE cosine-sql: $r"))
     }
+    // Aho–Corasick scale law: blocklist cost vs term count, against
+    // the N-contains() chain it replaces. Terms are corpus-derived
+    // 3-grams so the automaton actually matches.
+    names.filter(_ == "ac-scalelaw").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("text").isNotNull).localCheckpoint()
+      val base = Seq("spark", "shuffle", "window", "merge", "batch", "table",
+        "value", "data", "query", "row")
+      def termSet(n: Int): Seq[String] =
+        (0 until n).map(i => base(i % base.size) +
+          (if (i < base.size) "" else s" ${base((i / base.size) % base.size)}"))
+          .distinct.take(n) ++
+          (0 until math.max(0, n - 99)).map(i => f"zz$i%04d")
+      def time(tag: String)(f: => Long): Unit = (1 to 3).foreach { i =>
+        val t0 = System.nanoTime(); val r = f
+        println(f"AC-SCALELAW $tag run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s (sum=$r)")
+      }
+      Seq(10, 100, 1000).foreach { n =>
+        val ts = termSet(n).distinct
+        time(s"automaton n=${ts.size}") {
+          docs.select(graft.ops.TextAnalysis
+            .blocklistHits(col("text"), ts).as("h"))
+            .agg(sum("h")).collect()(0).getLong(0)
+        }
+      }
+      Seq(10, 100).foreach { n =>
+        val ts = termSet(n).distinct
+        time(s"contains-chain n=${ts.size}") {
+          val t = lower(col("text"))
+          docs.select(ts.map(tm =>
+              when(t.contains(tm), 1).otherwise(0))
+              .reduce(_ + _).as("h"))
+            .agg(sum("h")).collect()(0).getLong(0)
+        }
+      }
+    }
     names.filter(_.startsWith("plan:")).foreach { n =>
       val q = n.stripPrefix("plan:")
       println(s"===== PLAN $q =====")
