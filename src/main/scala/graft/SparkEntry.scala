@@ -1954,6 +1954,28 @@ object SparkEntry {
       Dedup.lshCalibration(s, numHashes = 16,
         sGrid = Seq(0.1, 0.3, 0.5, 0.7, 0.8, 0.9))),
 
+    // --- STREAMING KMV via flatMapGroupsWithState — the CUSTOM-state
+    // streaming sketch (bottom-k needs an ordered capped set no
+    // built-in agg expresses); per-trigger sketch emissions min-merge
+    // to the batch bottom-k, read off by the shared estimator ---
+    "q193_streaming_kmv" -> ((s, d) => {
+      import s.implicits._
+      val rows = t(s, d, "events").filter(col("user_id").isNotNull)
+        .select(md5(col("user_id").cast("string").cast("binary")).as("h"),
+          (col("event_id") % 3).cast("int").as("__b"))
+        .as[(String, Int)].collect()
+      val batches = (0 to 2).map(b => rows.toSeq.filter(_._2 == b))
+      val perTrigger = runMicroBatched(s, Seq("h", "batch"), batches,
+          "graft-stream-kmv", Seq("key", "h_out"),
+          org.apache.spark.sql.streaming.OutputMode.Update()) { stream =>
+        graft.streaming.StreamingProfile.streamingKmv(
+          stream.select(lit("user_id").as("k"), col("h"))
+            .as[(String, String)], k = 64)
+          .toDF("key", "h_out")
+      }
+      Sketch.kmvFinish(perTrigger, "h_out", k = 64)
+    }),
+
     // --- Aho–Corasick blocklist scan: per-term overlapping substring
     // counts for a 6-term list in ONE automaton pass per doc (native
     // expression carrying the automaton as a codegen reference) —
@@ -4195,6 +4217,24 @@ object SparkEntry {
           |  round(pow(CAST(1.0 AS DOUBLE) / bands,
           |    CAST(1.0 AS DOUBLE) / rows_per_band), 6) AS s50
           |FROM cfg, sv ORDER BY bands, s""".stripMargin,
+
+      // Streaming-KMV replay: per-trigger bottom-k emissions min-merge
+      // to the batch bottom-k (any digest in the true bottom-k enters
+      // the state on arrival and survives), so the batch KMV of the
+      // same digest stream is the oracle.
+      "q193_streaming_kmv" -> {
+        val frac = Sketch.kmvFracSql("kth_hash")
+        s"""WITH d AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+           |  FROM events WHERE user_id IS NOT NULL),
+           |hk AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+           |    AS rk FROM d) WHERE rk <= 64),
+           |ag AS (SELECT CAST(count(*) AS INT) AS n_kept, max(h) AS kth_hash
+           |  FROM hk)
+           |SELECT CAST(64 AS INT) AS k, n_kept, kth_hash,
+           |  round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+           |    ELSE 63.0 / $frac END, 6) AS est
+           |FROM ag""".stripMargin
+      },
 
       // Blocklist replay: overlapping substring counts per term via a
       // position scan (substr at every start offset) over the same

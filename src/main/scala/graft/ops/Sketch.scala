@@ -330,6 +330,26 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** KMV estimate row from a frame of digests (the read-off shared by
+    * the batch sketch's final stanza and the streaming variant's
+    * merged emissions): distinct → bottom-k → (k, n_kept, kth_hash,
+    * est) with the exact [[kmvDistinct]] estimator (n_kept below k is
+    * the exact count; at k the (k−1)/frac(kth) estimate). All frames
+    * here are sketch-sized. */
+  def kmvFinish(hashes: DataFrame, hCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val frac = conv(substring(col("kth_hash"), 1, FracBits / 4), 16, 10)
+      .cast("long").cast("double") / lit(FracDenom)
+    hashes.select(col(hCol).as("h")).distinct()
+      .withColumn("rk", row_number().over(Window.orderBy("h")))
+      .filter(col("rk") <= k)
+      .agg(count(lit(1)).cast("int").as("n_kept"), max(col("h")).as("kth_hash"))
+      .select(lit(k).as("k"), col("n_kept"), col("kth_hash"),
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / frac), 6).as("est"))
+  }
+
   /** Mergeable fixed-bin histogram quantile sketch — the constant-state
     * alternative to exact rank selection when a 100 TB profile pass
     * wants approximate percentiles in one combine-friendly aggregation:

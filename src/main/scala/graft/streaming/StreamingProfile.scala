@@ -76,6 +76,41 @@ object StreamingProfile {
       }
   }
 
+  /** Bottom-k state for [[streamingKmv]] — the sorted digest list IS
+    * the whole sketch (≤ k 32-hex strings per key). */
+  case class KmvState(hs: List[String])
+
+  /** STREAMING KMV distinct sketch with `flatMapGroupsWithState` —
+    * the custom-state form the sketch family's other streaming proofs
+    * (HLL/histogram/count–min, which ride built-in update-mode aggs)
+    * can't express: bottom-k needs an ORDERED capped set, so the
+    * state is explicit. Each trigger folds the batch's digests into
+    * the per-key bottom-k TreeSet and EMITS the current sketch rows
+    * (flatMap — many rows per group per trigger); because min-merge
+    * is the KMV union, the bottom-k of all emissions equals the batch
+    * sketch of the full stream, which is what the oracle checks.
+    *
+    * `keys` in production are column names ([[graft.ops.Sketch
+    * .kmvDistinct]]'s layout) — state stays k-bounded per key however
+    * long the stream runs. Input: (key, md5-hex digest). */
+  def streamingKmv(hashes: Dataset[(String, String)], k: Int)
+  : Dataset[(String, String)] = {
+    import hashes.sparkSession.implicits._
+    hashes.groupByKey(_._1)
+      .flatMapGroupsWithState[KmvState, (String, String)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, batch, state: GroupState[KmvState]) =>
+          val set = new java.util.TreeSet[String]()
+          state.getOption.foreach(_.hs.foreach(set.add))
+          batch.foreach { case (_, h) =>
+            if (set.add(h) && set.size > k) { set.pollLast(); () }
+          }
+          import scala.jdk.CollectionConverters._
+          state.update(KmvState(set.asScala.toList))
+          set.asScala.toList.iterator.map(h => (key, h))
+      }
+  }
+
   /** Streaming exact-dedup: drop events whose content fingerprint was
     * already seen within the watermark horizon.
     * `dropDuplicatesWithinWatermark` (NOT plain `dropDuplicates`, whose

@@ -269,4 +269,28 @@ class StreamingProfileSpec extends SparkSpec {
         .toDF("doc_id", "text"),
       "doc_id", "text")
   }
+
+  test("streaming KMV keeps bottom-k state and min-merges to the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val q = StreamingProfile.streamingKmv(mem.toDS(), k = 4)
+      .toDF("key", "h_out")
+      .writeStream.format("memory").queryName("kmv")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      val all = (1 to 20).map(i => ("c", h(s"v$i")))
+      mem.addData(all.take(10): _*); q.processAllAvailable()
+      mem.addData(all.drop(10): _*); q.processAllAvailable()
+      val emitted = spark.table("kmv").collect().map(_.getString(1)).toSet
+      // min-merge of ALL emissions reaches the true bottom-4
+      val bottom4 = all.map(_._2).distinct.sorted.take(4).toSet
+      assert(emitted.toSeq.sorted.take(4).toSet === bottom4)
+      // each trigger emitted at most k rows (state is capped)
+      val lastBatch = spark.table("kmv").collect()
+      assert(lastBatch.length <= 8) // 2 triggers x <= 4 rows
+    } finally q.stop()
+  }
 }
