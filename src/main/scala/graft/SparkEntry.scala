@@ -1908,20 +1908,26 @@ object SparkEntry {
           (col("l_orderkey") % 3).cast("int").as("__b"))
       val fr = sub.agg(min("value").as("lo"), max("value").as("hi"),
         count(lit(1)).as("n")).collect()(0)
-      val (lo, hi, n) = (fr.getDouble(0), fr.getDouble(1), fr.getLong(2))
-      val rows = sub.as[(Double, Int)].collect()
-      val batches = (0 to 2).map(b => rows.toSeq.filter(_._2 == b))
-      val perTrigger = runMicroBatched(s, Seq("value", "batch"), batches,
-          "graft-stream-histq", Seq("bin", "cnt"),
-          org.apache.spark.sql.streaming.OutputMode.Update()) { stream =>
-        stream.groupBy(Sketch.histBin(col("value"), lit(lo), lit(hi), 64)
-            .as("bin"))
-          .agg(count(lit(1)).as("cnt"))
+      if (fr.isNullAt(0)) // empty subset: no frame, empty sketch
+        Sketch.histQuantileReadoff(
+          Seq.empty[(Double, Double, Long)].toDF("lo", "hi", "n"),
+          Seq.empty[(Long, Long)].toDF("bin", "cnt"), 64, Seq(0.5))
+      else {
+        val (lo, hi, n) = (fr.getDouble(0), fr.getDouble(1), fr.getLong(2))
+        val rows = sub.as[(Double, Int)].collect()
+        val batches = (0 to 2).map(b => rows.toSeq.filter(_._2 == b))
+        val perTrigger = runMicroBatched(s, Seq("value", "batch"), batches,
+            "graft-stream-histq", Seq("bin", "cnt"),
+            org.apache.spark.sql.streaming.OutputMode.Update()) { stream =>
+          stream.groupBy(Sketch.histBin(col("value"), lit(lo), lit(hi), 64)
+              .as("bin"))
+            .agg(count(lit(1)).as("cnt"))
+        }
+        val bins = perTrigger.groupBy("bin").agg(max("cnt").as("cnt"))
+        val frame = Seq((lo, hi, n)).toDF("lo", "hi", "n")
+        Sketch.histQuantileReadoff(frame, bins, 64,
+          qs = Seq(0.25, 0.5, 0.9, 0.99))
       }
-      val bins = perTrigger.groupBy("bin").agg(max("cnt").as("cnt"))
-      val frame = Seq((lo, hi, n)).toDF("lo", "hi", "n")
-      Sketch.histQuantileReadoff(frame, bins, 64,
-        qs = Seq(0.25, 0.5, 0.9, 0.99))
     }),
 
     // --- STREAMING count–min: the SAME Sketch.countMin operator code

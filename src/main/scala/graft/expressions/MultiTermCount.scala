@@ -21,45 +21,48 @@ import org.apache.spark.unsafe.types.UTF8String
   * failure chain so the scan itself never walks fail links for
   * output — the standard construction). */
 final class AcAutomaton(terms: Array[String]) extends Serializable {
-  import scala.collection.mutable.ArrayBuffer
 
-  private val gotoM = ArrayBuffer(new java.util.HashMap[Character, Integer]())
-  private val outB = ArrayBuffer(ArrayBuffer.empty[Int])
-  // trie phase
-  terms.zipWithIndex.foreach { case (t, ti) =>
-    require(t.nonEmpty, "blocklist terms must be non-empty")
-    var st = 0
-    t.foreach { ch =>
-      val nx = gotoM(st).get(ch)
-      st = if (nx != null) nx.intValue
-      else {
-        gotoM += new java.util.HashMap[Character, Integer]()
-        outB += ArrayBuffer.empty[Int]
-        gotoM(st).put(ch, gotoM.size - 1)
-        gotoM.size - 1
+  // gotoM/fail/outArr are the ONLY serialized state — the build-time
+  // per-state output buffers are constructor-local scratch, so a
+  // 10k-term automaton ships to executors as the compact arrays alone
+  private val (gotoM, fail, outArr) = {
+    import scala.collection.mutable.ArrayBuffer
+    val g = ArrayBuffer(new java.util.HashMap[Character, Integer]())
+    val outB = ArrayBuffer(ArrayBuffer.empty[Int])
+    // trie phase
+    terms.zipWithIndex.foreach { case (t, ti) =>
+      require(t.nonEmpty, "blocklist terms must be non-empty")
+      var st = 0
+      t.foreach { ch =>
+        val nx = g(st).get(ch)
+        st = if (nx != null) nx.intValue
+        else {
+          g += new java.util.HashMap[Character, Integer]()
+          outB += ArrayBuffer.empty[Int]
+          g(st).put(ch, g.size - 1)
+          g.size - 1
+        }
       }
+      outB(st) += ti
     }
-    outB(st) += ti
-  }
-  private val fail = new Array[Int](gotoM.size)
-  // BFS failure links; outputs merged down the fail chain as we go
-  locally {
+    val f = new Array[Int](g.size)
+    // BFS failure links; outputs merged down the fail chain as we go
     val q = new java.util.ArrayDeque[Int]()
-    gotoM(0).forEach { (_, s) => fail(s) = 0; q.add(s); () }
+    g(0).forEach { (_, s) => f(s) = 0; q.add(s); () }
     while (!q.isEmpty) {
       val u = q.poll()
-      outB(u) ++= outB(fail(u))
-      gotoM(u).forEach { (ch, v) =>
-        var f = fail(u)
-        while (f != 0 && !gotoM(f).containsKey(ch)) f = fail(f)
-        val nf = gotoM(f).get(ch)
-        fail(v) = if (nf != null && nf != v) nf.intValue else 0
+      outB(u) ++= outB(f(u))
+      g(u).forEach { (ch, v) =>
+        var fu = f(u)
+        while (fu != 0 && !g(fu).containsKey(ch)) fu = f(fu)
+        val nf = g(fu).get(ch)
+        f(v) = if (nf != null && nf != v) nf.intValue else 0
         q.add(v)
         ()
       }
     }
+    (g.toArray, f, outB.map(_.toArray).toArray)
   }
-  private val outArr: Array[Array[Int]] = outB.map(_.toArray).toArray
   val nTerms: Int = terms.length
 
   /** Per-term occurrence counts (all matches, overlaps included). */

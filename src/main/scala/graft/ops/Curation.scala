@@ -96,6 +96,9 @@ object Curation {
     df.select(col(idCol).as("id"),
         TextAnalysis.registrableDomain(lower(col(hostCol))).as("domain"),
         col(scoreCol).as("score"))
+      // null/unparseable hosts have no domain to cap under — dropping
+      // them beats pooling every null-host row into one shared cap
+      .filter(col("domain").isNotNull)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= maxPerDomain)
   }

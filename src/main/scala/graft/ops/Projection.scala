@@ -56,8 +56,14 @@ object Projection {
     val r = base.agg(count(lit(1)).as("n"), sumAggs: _*).collect()(0)
     val n = r.getLong(0)
     require(n > d, s"need more than $d rows to estimate a $d-dim covariance")
-    def dec(name: String): Double =
-      r.getDecimal(r.fieldIndex(name)).doubleValue
+    def dec(name: String): Double = {
+      val v = r.getDecimal(r.fieldIndex(name))
+      // non-ANSI Spark returns null on decimal-sum overflow — surface
+      // it as an actionable error, not an NPE three frames later
+      require(v != null,
+        s"moment sum $name overflowed DECIMAL(38,12) — rescale the input")
+      v.doubleValue
+    }
     val s1 = (0 until d).map(i => dec(s"s1_$i"))
     def s2(i: Int, j: Int): Double =
       if (i <= j) dec(s"s2_${i}_$j") else dec(s"s2_${j}_$i")

@@ -427,8 +427,11 @@ object TextAnalysis {
     * array<int> aligned with `terms`. */
   def termCounts(c: Column, terms: Seq[String]): Column = {
     import org.apache.spark.sql.GraftColumnBridge
+    // the scanned text is lowercased, so the automaton must be too —
+    // an uppercase term would otherwise silently never match
     GraftColumnBridge.column(graft.expressions.MultiTermCount(
-      GraftColumnBridge.expression(lower(c.cast("string"))), terms))
+      GraftColumnBridge.expression(lower(c.cast("string"))),
+      terms.map(_.toLowerCase(java.util.Locale.ROOT))))
   }
 
   /** Total blocklist hits — the scalar gate form of [[termCounts]]. */
@@ -485,13 +488,25 @@ object TextAnalysis {
     * "a.b.com" → "b.com"). Hosts with a single label (localhost) pass
     * through unchanged. This is the key every per-domain cap, mixing
     * weight, and crawl-politeness policy groups on — grouping on the
-    * raw host would let one site dodge its cap by minting subdomains. */
+    * raw host would let one site dodge its cap by minting subdomains.
+    *
+    * Malformed-host hygiene (routine in crawl data): EMPTY labels are
+    * dropped before extraction, so a trailing-dot FQDN
+    * ("example.com.") and doubled dots ("a..com") canonicalize to
+    * their real domain instead of all colliding on a shared ".com"/
+    * "com." key — which would let one malformed site family consume
+    * another's cap. Null hosts stay null (callers drop them). */
   def registrableDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
-    val n = size(labels)
+    val labels = filter(split(host, "\\."), l => l =!= "")
+    // coalesce: size(null) is null under non-legacy semantics — fold
+    // the null-host case into the 0-label branch below
+    val n = coalesce(size(labels), lit(0))
     val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
     val lastThree = concat_ws(".", element_at(labels, -3), lastTwo)
-    when(n <= 1, host)
+    // n <= 0 covers both the "."-only/empty host (0 labels) and the
+    // null host (size(null) = -1): no domain either way
+    when(n <= 0, lit(null).cast("string"))
+      .when(n === 1, element_at(labels, -1)) // bare label, dot-cleaned
       .when(n >= 3 && lastTwo.isin(multiPartSuffixes.map(lit): _*), lastThree)
       .otherwise(lastTwo)
   }

@@ -701,11 +701,11 @@ object Probe {
         .filter(col("text").isNotNull).localCheckpoint()
       val base = Seq("spark", "shuffle", "window", "merge", "batch", "table",
         "value", "data", "query", "row")
-      def termSet(n: Int): Seq[String] =
-        (0 until n).map(i => base(i % base.size) +
-          (if (i < base.size) "" else s" ${base((i / base.size) % base.size)}"))
-          .distinct.take(n) ++
-          (0 until math.max(0, n - 99)).map(i => f"zz$i%04d")
+      def termSet(n: Int): Seq[String] = {
+        val combos = base ++ (for (a <- base; b <- base) yield s"$a $b")
+        val real = combos.distinct.take(n)
+        real ++ (0 until (n - real.size)).map(i => f"zz$i%04d") // exactly n
+      }
       def time(tag: String)(f: => Long): Unit = (1 to 3).foreach { i =>
         val t0 = System.nanoTime(); val r = f
         println(f"AC-SCALELAW $tag run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s (sum=$r)")

@@ -48,4 +48,8 @@ class MultiTermCountSpec extends SparkSpec {
       counts("x", Seq(""))
     }
   }
+
+  test("uppercase terms match: wrapper folds term case with the text") {
+    assert(counts("viagra and SPAM", Seq("Viagra", "spam")) === Seq(1, 1))
+  }
 }

@@ -104,4 +104,18 @@ class CurationSpec extends SparkSpec {
     assert(out.length === 1 && out(0).getLong(0) === 1L &&
       out(0).getString(1) === "example.com")
   }
+
+  test("domainCap: malformed hosts canonicalize instead of colliding") {
+    val docs = Seq(
+      (1L, "a..com", 5L), (2L, "b..com", 5L),     // doubled dot
+      (3L, "example.com.", 9L),                   // trailing-dot FQDN
+      (4L, "example.com", 8L),
+      (5L, null.asInstanceOf[String], 7L)         // null host: dropped
+    ).toDF("id", "host", "score")
+    val out = Curation.domainCap(docs, "id", "host", "score", 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // a..com / b..com are DIFFERENT sites (a.com vs b.com), both kept;
+    // trailing-dot host shares its real domain with id 4 (cap trips)
+    assert(out === Set((1L, "a.com"), (2L, "b.com"), (3L, "example.com")))
+  }
 }
