@@ -199,4 +199,25 @@ class SketchSpec extends SparkSpec {
       Seq(0.25, 0.75)).collect().map(_.getDouble(4)).toSeq
     assert(one === many)
   }
+
+  test("kmvFinish agrees with kmvDistinct's estimator row") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 3000).map(i => s"u$i").toDF("v").repartition(6)
+    val viaOp = Sketch.kmvDistinct(df, Seq("v"), k = 128).collect()(0)
+    val hashes = df.select(md5(col("v").cast("binary")).as("h"))
+    val viaFinish = Sketch.kmvFinish(hashes, "h", k = 128).collect()(0)
+    // (k, n_kept, kth_hash, est) must match the batch sketch exactly
+    assert(viaFinish.getInt(0) === 128)
+    assert(viaFinish.getInt(1) === viaOp.getInt(2))
+    assert(viaFinish.getString(2) === viaOp.getString(3))
+    assert(viaFinish.getDouble(3) === viaOp.getDouble(4))
+  }
+
+  test("kmvFinish is exact below k") {
+    import org.apache.spark.sql.functions._
+    val hashes = (0 until 50).map(i => s"x$i").toDF("v")
+      .select(md5(col("v").cast("binary")).as("h"))
+    val r = Sketch.kmvFinish(hashes, "h", k = 128).collect()(0)
+    assert(r.getInt(1) === 50 && r.getDouble(3) === 50.0)
+  }
 }
