@@ -1960,6 +1960,19 @@ object SparkEntry {
       Dedup.lshCalibration(s, numHashes = 16,
         sGrid = Seq(0.1, 0.3, 0.5, 0.7, 0.8, 0.9))),
 
+    // --- KNN-density scores over the embedding corpus (D4-style
+    // pruning signal): self-retrieval top-11, self-match dropped,
+    // avg cosine of the 10 nearest folded in rank order — outliers
+    // score high, clump members low ---
+    "q194_knn_density" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.knnDensity(
+          Similarity.bruteForceTopKLarge(e, e,
+            "vec_id", "embedding", "vec_id", "embedding", k = 11),
+          k = 10)
+        .orderBy("id")
+    }),
+
     // --- STREAMING KMV via flatMapGroupsWithState — the CUSTOM-state
     // streaming sketch (bottom-k needs an ordered capped set no
     // built-in agg expresses); per-trigger sketch emissions min-merge
@@ -4223,6 +4236,33 @@ object SparkEntry {
           |  round(pow(CAST(1.0 AS DOUBLE) / bands,
           |    CAST(1.0 AS DOUBLE) / rows_per_band), 6) AS s50
           |FROM cfg, sv ORDER BY bands, s""".stripMargin,
+
+      // KNN-density replay: rank over ALL neighbors (self included,
+      // exactly the engine's rank space), drop self, rank-sorted
+      // 10-slice, 0-seeded left fold, one division.
+      "q194_knn_density" ->
+        """WITH r0 AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+          |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |      CAST(c.embedding AS DOUBLE[])) AS sim,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank
+          |  FROM embeddings q CROSS JOIN embeddings c),
+          |nb AS (SELECT qid, rank, sim FROM r0
+          |  WHERE rank <= 11 AND nid <> qid),
+          |ag AS (SELECT qid AS id,
+          |    CAST(least(count(*), 10) AS BIGINT) AS n_neighbors,
+          |    list_sort(list({'r': rank, 's': sim})) AS l
+          |  FROM nb GROUP BY qid),
+          |f AS (SELECT id, n_neighbors,
+          |    list_reduce(list_transform(l[1:10], x -> x.s),
+          |      (a, b) -> a + b) AS fs
+          |  FROM ag)
+          |SELECT id, n_neighbors,
+          |  round(fs / CAST(n_neighbors AS DOUBLE), 6) AS avg_sim,
+          |  round(CAST(1.0 AS DOUBLE) - fs / CAST(n_neighbors AS DOUBLE), 6)
+          |    AS density_score
+          |FROM f ORDER BY id""".stripMargin,
 
       // Streaming-KMV replay: per-trigger bottom-k emissions min-merge
       // to the batch bottom-k (any digest in the true bottom-k enters

@@ -547,6 +547,36 @@ object Similarity {
         .reduce(_ + _).as("n_rankers"))
   }
 
+  /** KNN-density score per point — the embedding-space signal behind
+    * density/diversity pruning (the D4-style step after SemDeDup):
+    * a point whose k nearest neighbors are all far away is an
+    * outlier/OOD candidate; a point in an ultra-dense clump is
+    * redundant. Input is any ANN-family frame (query_id, rank,
+    * neighbor_id, sim) from a SELF-retrieval with k+1 requested (the
+    * self-match is dropped here) — brute-force for exactness, or
+    * [[ivfTopK]] for the corpus-scale path, so the density pass
+    * inherits whatever retrieval shape the corpus size demands.
+    *
+    * avg_sim folds LEFT-ASSOCIATED over the rank-sorted top-k slice
+    * (the q183 discipline — no partition-order float sums), so the
+    * score is bit-stable and oracle-replayable. Returns (id,
+    * n_neighbors, avg_sim, density_score = 1 − avg_sim). */
+  def knnDensity(selfTopK: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val slice0 = slice(sort_array(collect_list(
+      struct(col("rank"), col("sim")))), 1, k)
+    val foldSum = aggregate(transform(slice0, x => x.getField("sim")),
+      lit(0.0), (a, x) => a + x)
+    selfTopK.filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id").as("id"))
+      .agg(least(count(lit(1)), lit(k.toLong)).as("n_neighbors"),
+        (foldSum / least(count(lit(1)), lit(k.toLong)).cast("double"))
+          .as("__avg"))
+      .select(col("id"), col("n_neighbors"),
+        round(col("__avg"), 6).as("avg_sim"),
+        round(lit(1.0) - col("__avg"), 6).as("density_score"))
+  }
+
   /** Retrieval-quality metrics — the evaluation half of the ANN family:
     * given a ground-truth ranking (brute-force exact top-k) and a
     * candidate retrieval (IVF/PQ/LSH), per-query recall@k, MRR@k, and

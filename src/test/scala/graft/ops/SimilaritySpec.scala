@@ -293,4 +293,32 @@ class SimilaritySpec extends SparkSpec {
       Similarity.retrievalMetrics(truth, retr, k = 0)
     }
   }
+
+  test("knnDensity: outliers score high, clump members low, self dropped") {
+    import spark.implicits._
+    // 5 near-identical vectors + 1 orthogonal outlier
+    val vecs = (0L to 4L).map(i => (i, Array(1f, 0.01f * i, 0f))) :+
+      (5L, Array(0f, 0f, 1f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopKLarge(df, df,
+      "vec_id", "embedding", "vec_id", "embedding", k = 4)
+    val out = Similarity.knnDensity(topk, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.size === 6)
+    out.foreach { case (_, (n, _, _)) => assert(n === 3L) }
+    val clumpScores = (0L to 4L).map(out(_)._3)
+    val outlierScore = out(5L)._3
+    // the outlier is far from everything: highest density score
+    assert(outlierScore > clumpScores.max + 0.5,
+      s"outlier $outlierScore vs clump ${clumpScores.max}")
+    // clump members are nearly coincident: avg_sim ~ 1, score ~ 0
+    assert(clumpScores.forall(_ < 0.01))
+    // avg_sim + density_score = 1 by construction (round-trip)
+    out.values.foreach { case (_, a, d) =>
+      assert(math.abs(a + d - 1.0) < 2e-6) }
+    intercept[IllegalArgumentException] {
+      Similarity.knnDensity(topk, k = 0)
+    }
+  }
 }
