@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify stdout must reach the caller VERBATIM: the driver
+// certifies a short stdout tail and json-parses its last line, so the
+// forked JVM's output must not be re-logged with "[info] " prefixes
+// (which make the JSON line unparseable) and sbt's own
+// "[success] Total time ..." epilogue must not land after it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

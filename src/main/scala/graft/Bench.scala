@@ -213,10 +213,10 @@ object Bench {
       s"""{"metric":"total","value":${compactNum(certified.map(_._2).sum, 2)},""" +
         s""""unit":"sec","sf":"$sfDir","sha":"$gitSha",""" +
         s""""raw_total":${compactNum(rawTotal, 2)},"full":"BENCH_FULL.json"}"""
-    println(
+    val stdoutLine =
       if (compact2.length <= 1980) compact2
       else if (compact1.length <= 1980) compact1
-      else minimal)
+      else minimal
     // The driver's stdout capture preserves only a ~2,000-char tail —
     // with 100+ queries that amputates half the per-query timings from
     // the round artifact. Persist the FULL line in-repo: latest run
@@ -235,6 +235,15 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
+    // stop BEFORE printing the summary: the compact JSON line must be
+    // the process's final stdout line (the driver json-parses the last
+    // line of a ~2,000-char stdout tail — three rounds of
+    // "parsed": null came from sbt's "[info] " prefix + "[success]"
+    // epilogue landing around/after it; build.sbt now forwards forked
+    // stdout verbatim and suppresses the epilogue, and printing after
+    // spark.stop() keeps any session-shutdown output ahead of it too)
     spark.stop()
+    println(stdoutLine)
+    System.out.flush()
   }
 }

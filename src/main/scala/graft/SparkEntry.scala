@@ -1911,7 +1911,8 @@ object SparkEntry {
       if (fr.isNullAt(0)) // empty subset: no frame, empty sketch
         Sketch.histQuantileReadoff(
           Seq.empty[(Double, Double, Long)].toDF("lo", "hi", "n"),
-          Seq.empty[(Long, Long)].toDF("bin", "cnt"), 64, Seq(0.5))
+          Seq.empty[(Long, Long)].toDF("bin", "cnt"), 64,
+          qs = Seq(0.25, 0.5, 0.9, 0.99)) // same list as the live path
       else {
         val (lo, hi, n) = (fr.getDouble(0), fr.getDouble(1), fr.getLong(2))
         val rows = sub.as[(Double, Int)].collect()
@@ -1969,6 +1970,24 @@ object SparkEntry {
       Similarity.knnDensity(
           Similarity.bruteForceTopKLarge(e, e,
             "vec_id", "embedding", "vec_id", "embedding", k = 11),
+          k = 10)
+        .orderBy("id")
+    }),
+
+    // --- the PRODUCTION route of the density score: the same
+    // knnDensity read-off fed by the GATED int8→IVF self-retrieval
+    // (q147's plan shape) — maxExactRows forced below the corpus size
+    // so the quadratic kernel never runs; the plan is centroid-seeded
+    // cell assignment + nprobe-bounded probing, per-query cost
+    // ~nprobe/nCells of the corpus. q194 keeps the exact kernel as
+    // ground truth; THIS row certifies the composition a 100 TB corpus
+    // actually executes ---
+    "q195_knn_density_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.knnDensity(
+          Quantize.int8TopKAuto(e, e,
+            "vec_id", "embedding", "vec_id", "embedding", k = 11,
+            maxExactRows = 100L, nCentroids = 16, nprobe = 4),
           k = 10)
         .orderBy("id")
     }),
@@ -3968,14 +3987,14 @@ object SparkEntry {
            |  CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY k) AS weight
            |FROM b ORDER BY id""".stripMargin,
 
-      // FIM replay: 16-bit md5 gate on (seed,id), cut points from the
-      // text digest mod (len+1), identical substr arithmetic and PSM
-      // sentinel layout.
+      // FIM replay: 16-bit md5 gate on (seed,id), 48-bit cut draws
+      // from the text digest mod (len+1), identical substr arithmetic
+      // and PSM sentinel layout.
       "q181_fim_split" -> {
         val gate = graft.ops.Sketch.hexIntSql(
           "md5('fim0' || CAST(doc_id AS VARCHAR))", 1, 4)
-        val a = graft.ops.Sketch.hexIntSql("md5(text)", 1, 4)
-        val b = graft.ops.Sketch.hexIntSql("md5(text)", 5, 4)
+        val a = graft.ops.Sketch.hexIntSql("md5(text)", 1, 12)
+        val b = graft.ops.Sketch.hexIntSql("md5(text)", 13, 12)
         s"""WITH r AS (SELECT doc_id, text, length(text) AS len,
            |    $gate < 32768 AS is_fim,
            |    least($a % (length(text) + 1), $b % (length(text) + 1)) AS i,
@@ -4264,6 +4283,67 @@ object SparkEntry {
           |    AS density_score
           |FROM f ORDER BY id""".stripMargin,
 
+      // Production-route density replay: q147's int8→IVF CTEs with
+      // queries = corpus = the whole table (self-retrieval, k=11),
+      // then q194's density read-off (drop self, rank-sorted 10-slice,
+      // 0-seeded left fold). Certifies the gated composition the
+      // corpus-scale pass runs — no quadratic kernel anywhere.
+      "q195_knn_density_ivf" ->
+        """WITH v AS (SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+          |  FROM embeddings WHERE embedding IS NOT NULL),
+          |amx AS (SELECT vec_id, vv,
+          |    list_max(list_transform(vv, x -> abs(x))) AS amax FROM v),
+          |sc AS (SELECT vec_id, vv, amax, amax / 127.0 AS scale FROM amx),
+          |qz AS (SELECT vec_id,
+          |    CASE WHEN amax = 0 THEN list_transform(vv, x -> CAST(0 AS DOUBLE))
+          |         ELSE list_transform(vv, x ->
+          |           least(greatest(floor(x / scale + 0.5), -127.0), 127.0)) END AS qv
+          |  FROM sc),
+          |n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm FROM qz),
+          |cent AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cn
+          |         FROM n ORDER BY vec_id LIMIT 16),
+          |assigned AS (
+          |  SELECT vec_id AS id, qv AS vec, nrm AS vn, centroid_id FROM (
+          |    SELECT c.vec_id, c.qv, c.nrm, ct.centroid_id,
+          |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+          |        (CASE WHEN c.nrm = 0 OR ct.cn = 0 THEN 0.0
+          |              ELSE list_dot_product(c.qv, ct.cv) / (c.nrm * ct.cn) END) DESC,
+          |        ct.centroid_id ASC) AS rn
+          |    FROM n c CROSS JOIN cent ct)
+          |  WHERE rn = 1),
+          |probes AS (
+          |  SELECT vec_id AS query_id, qv, nrm AS qn, centroid_id FROM (
+          |    SELECT q.vec_id, q.qv, q.nrm, ct.centroid_id,
+          |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |        (CASE WHEN q.nrm = 0 OR ct.cn = 0 THEN 0.0
+          |              ELSE list_dot_product(q.qv, ct.cv) / (q.nrm * ct.cn) END) DESC,
+          |        ct.centroid_id ASC) AS rn
+          |    FROM n q CROSS JOIN cent ct)
+          |  WHERE rn <= 4),
+          |scored AS (
+          |  SELECT p.query_id, a.id AS neighbor_id,
+          |    CASE WHEN p.qn = 0 OR a.vn = 0 THEN 0.0
+          |         ELSE list_dot_product(p.qv, a.vec) / (p.qn * a.vn) END AS sim
+          |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id),
+          |r0 AS (SELECT query_id AS qid, neighbor_id AS nid, sim,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored),
+          |nb AS (SELECT qid, rank, sim FROM r0 WHERE rank <= 11 AND nid <> qid),
+          |ag AS (SELECT qid AS id,
+          |    CAST(least(count(*), 10) AS BIGINT) AS n_neighbors,
+          |    list_sort(list({'r': rank, 's': sim})) AS l
+          |  FROM nb GROUP BY qid),
+          |f AS (SELECT id, n_neighbors,
+          |    list_reduce(list_transform(l[1:10], x -> x.s),
+          |      (a, b) -> a + b) AS fs
+          |  FROM ag)
+          |SELECT id, n_neighbors,
+          |  round(fs / CAST(n_neighbors AS DOUBLE), 6) AS avg_sim,
+          |  round(CAST(1.0 AS DOUBLE) - fs / CAST(n_neighbors AS DOUBLE), 6)
+          |    AS density_score
+          |FROM f ORDER BY id""".stripMargin,
+
       // Streaming-KMV replay: per-trigger bottom-k emissions min-merge
       // to the batch bottom-k (any digest in the true bottom-k enters
       // the state on arrival and survives), so the batch KMV of the
@@ -4407,7 +4487,8 @@ object SparkEntry {
            |         THEN CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) /
            |              CAST(len(ws) AS DOUBLE)
            |         ELSE 0.0 END AS mwl,
-           |    len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...'))) AS nsym,
+           |    len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...')
+           |      OR contains(x, chr(8230)))) AS nsym,
            |    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
            |    $stopSum AS nstop
            |  FROM w),

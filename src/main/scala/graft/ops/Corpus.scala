@@ -684,8 +684,13 @@ object Corpus {
       .cast("long") < gateLimit
     val ht = md5(text.cast("binary"))
     val len = length(text)
-    val a = conv(substring(ht, 1, 4), 16, 10).cast("long") % (len + 1)
-    val b = conv(substring(ht, 5, 4), 16, 10).cast("long") % (len + 1)
+    // 48-bit cut draws (12 hex digits, the FracBits width): a 16-bit
+    // draw mod (len+1) can only land cuts in the first 65536 positions
+    // and carries large modulo bias near that length; at 48 bits the
+    // bias is ≤ len/2^48 and cuts reach any position of any realistic
+    // document
+    val a = conv(substring(ht, 1, 12), 16, 10).cast("long") % (len + 1)
+    val b = conv(substring(ht, 13, 12), 16, 10).cast("long") % (len + 1)
     val i = least(a, b)
     val j = greatest(a, b)
     val psm = concat(lit("<PRE>"), text.substr(lit(1), i),

@@ -907,7 +907,13 @@ object Dedup {
   def chunkDedupRewrite(df: DataFrame, idCol: String, textCol: String,
                         chunkTokens: Int): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
-    val chunks = df
+    // null ids are excluded up front: a null id cannot anchor a stable
+    // (doc, position) ownership claim — it sorts FIRST in the
+    // min(struct(id, idx)) election, so one null-id row would silently
+    // steal ownership of every chunk it shares, and the row itself has
+    // no usable identity for the per-doc rebuild
+    val in = df.filter(col(idCol).isNotNull)
+    val chunks = in
       .select(col(idCol).as("id"),
         posexplode(passagesFast(col(textCol).cast("string"), chunkTokens)))
       .select(col("id"), col("pos").as("idx"), col("col").as("chunk"),
@@ -923,7 +929,7 @@ object Dedup {
           s => s.getField("chunk")), " ").as("text_clean"),
         count(lit(1)).as("n_kept"))
       .join(chunks.groupBy("id").agg(count(lit(1)).as("n_chunks")), Seq("id"), "right")
-      .join(df.select(col(idCol).as("id")).distinct(), Seq("id"), "right")
+      .join(in.select(col(idCol).as("id")).distinct(), Seq("id"), "right")
       .select(col("id"),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -222,11 +222,14 @@ object Sketch {
   /** Pairwise [[kmvJaccard]] across the GROUPS of one frame — the
     * corpus-overlap MATRIX (which sources share vocabulary, which
     * crawls duplicate each other) computed entirely from per-group
-    * bottom-k sketches: the raw values reduce to ≤ |groups|·k digests
-    * once, and every pairwise union/membership/estimate runs on that
-    * sketch table. Pair space is |groups|²/2 ROWS (not values) —
-    * trivial for the hundreds-of-sources regime this targets; the
-    * corpus itself is scanned exactly once.
+    * bottom-k sketches: each task reduces the raw value stream to a
+    * capped per-group bottom-k (the [[kmvDistinct]] TreeSet partial —
+    * bounded state, no shuffle of the stream), so the group-ranked
+    * merge window runs on ≤ P·k digests per group, never the group's
+    * vocabulary; every pairwise union/membership/estimate runs on
+    * that ≤ |groups|·k sketch table. Pair space is |groups|²/2 ROWS
+    * (not values) — trivial for the hundreds-of-sources regime this
+    * targets; the corpus itself is scanned exactly once.
     *
     * Returns (ga, gb, k, n_kept, kth_hash, d_union_est, n_common,
     * jaccard_est, d_intersect_est) for every unordered group pair
@@ -234,12 +237,31 @@ object Sketch {
   def kmvJaccardByGroup(df: DataFrame, groupCol: String, valueCol: String,
                         k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val wg = org.apache.spark.sql.expressions.Window
-      .partitionBy("g").orderBy("h")
-    val hk = df.filter(col(groupCol).isNotNull)
+    val pairs0 = df.filter(col(groupCol).isNotNull)
       .select(col(groupCol).as("g"),
         md5(col(valueCol).cast("string").cast("binary")).as("h"))
-      .filter(col("h").isNotNull).dropDuplicates("g", "h")
+      .filter(col("h").isNotNull)
+    // per-partition capped bottom-k per group (group type preserved —
+    // Row-encoded, keys compared via their own equals/hashCode): the
+    // bottom-k of a union is the union's bottom-k, so capping each
+    // task's contribution at k loses nothing
+    val enc = org.apache.spark.sql.Encoders.row(pairs0.schema)
+    val partial = pairs0.mapPartitions { it =>
+      val state = new java.util.HashMap[Any, java.util.TreeSet[String]]()
+      it.foreach { row =>
+        val g = row.get(0)
+        val h = row.getString(1)
+        var s = state.get(g)
+        if (s == null) { s = new java.util.TreeSet[String](); state.put(g, s) }
+        if (s.add(h) && s.size > k) { s.pollLast(); () }
+      }
+      import scala.jdk.CollectionConverters._
+      state.asScala.iterator.flatMap { case (g, s) =>
+        s.asScala.iterator.map(h => org.apache.spark.sql.Row(g, h)) }
+    }(enc)
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("h")
+    val hk = partial.dropDuplicates("g", "h")
       .withColumn("rk", row_number().over(wg)).filter(col("rk") <= k)
       .select("g", "h")
       .localCheckpoint() // feeds pair expansion twice + membership twice

@@ -188,7 +188,8 @@ object TextAnalysis {
     val mwl = when(nw > 0,
       aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / nwd)
       .otherwise(lit(0.0))
-    val nSym = size(filter(words, w => w.contains("#") || w.contains("...")))
+    val nSym = size(filter(words, w =>
+      w.contains("#") || w.contains("...") || w.contains("…")))
     val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]")))
     val toks = tokens(t)
     val nStop = GopherStopwords
