@@ -1992,6 +1992,33 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // --- the PCA scatter FIGURE under a byte-level oracle (the last
+    // artifact of Latanova_v1.py:496-628 without one): q114's
+    // isometric 6-dim embedding → spark.ml PCA → canonical planar
+    // realization (centroid + min-id rotation + reflection, which
+    // erases every eigensolver artifact) → fixed-point scatter
+    // render. The oracle re-derives the canonical coords from the
+    // generating (a,b) plane directly — no eigensolver in SQL — and
+    // replays the identical micro-unit quantization + integer pixel
+    // grid, so the SVG documents match byte-for-byte ---
+    "q196_pca_scatter_svg" -> ((s, d) => {
+      val su = 1.0 / math.sqrt(6.0)
+      val base = t(s, d, "customer").filter(col("c_custkey") <= 50)
+        .select(col("c_custkey").as("id"),
+          (col("c_acctbal").cast("double") / 1000.0).as("a"),
+          (col("c_custkey").cast("double") / 10.0).as("b"))
+      val vec = array((0 until 6).map { j =>
+        col("a") * lit(su) + col("b") * lit(if (j % 2 == 0) su else -su)
+      }: _*)
+      val scores = graft.ops.Projection.pca(
+          base.select(col("id"), vec.as("emb")), "id", "emb", k = 2)
+        .select(col("id"), element_at(col("pc"), 1).as("px"),
+          element_at(col("pc"), 2).as("py"))
+      val canon = graft.ops.Projection.canonical2d(scores, "id", "px", "py")
+      Svg.scatter(canon, "x", "y", "id", "pca projection")
+        .select(lit("scatter_pca").as("plot"), col("svg"))
+    }),
+
     // --- STREAMING KMV via flatMapGroupsWithState — the CUSTOM-state
     // streaming sketch (bottom-k needs an ordered capped set no
     // built-in agg expresses); per-trigger sketch emissions min-merge
@@ -4343,6 +4370,46 @@ object SparkEntry {
           |  round(CAST(1.0 AS DOUBLE) - fs / CAST(n_neighbors AS DOUBLE), 6)
           |    AS density_score
           |FROM f ORDER BY id""".stripMargin,
+
+      // PCA-scatter replay: the canonical planar realization is a
+      // pure function of the point geometry, so the oracle derives it
+      // from the generating (a,b) plane (the 6-dim embedding is an
+      // isometric image of it — q114's contract) and never runs an
+      // eigensolver; quantization + pixel grid are the engine's exact
+      // integer arithmetic. Eigensolver float noise (~1e-12) is far
+      // below the 1e-6 quantization step.
+      "q196_pca_scatter_svg" -> {
+        val hdr = """<svg xmlns="http://www.w3.org/2000/svg" width="1000" height="600">""" +
+          "<title>pca projection</title>"
+        s"""WITH c AS (SELECT c_custkey AS id,
+           |    CAST(c_acctbal AS DOUBLE) / 1000.0 AS a,
+           |    CAST(c_custkey AS DOUBLE) / 10.0 AS b
+           |  FROM customer WHERE c_custkey <= 50),
+           |cen AS (SELECT avg(a) AS ca, avg(b) AS cb FROM c),
+           |ctr AS (SELECT id, a - ca AS u, b - cb AS v FROM c, cen),
+           |r1 AS (SELECT u AS u1, v AS v1 FROM ctr ORDER BY id LIMIT 1),
+           |r2 AS (SELECT u AS u2, v AS v2 FROM ctr ORDER BY id LIMIT 1 OFFSET 1),
+           |rot AS (SELECT u1 / sqrt(u1 * u1 + v1 * v1) AS cth,
+           |               v1 / sqrt(u1 * u1 + v1 * v1) AS sth FROM r1),
+           |fl AS (SELECT CASE WHEN -u2 * sth + v2 * cth < 0
+           |         THEN -1.0 ELSE 1.0 END AS f FROM r2, rot),
+           |xy AS (SELECT id, u * cth + v * sth AS x,
+           |    (u * (-sth) + v * cth) * f AS y FROM ctr, rot, fl),
+           |q AS (SELECT id, CAST(floor(x * 1000000.0) AS BIGINT) AS qx,
+           |    CAST(floor(y * 1000000.0) AS BIGINT) AS qy FROM xy),
+           |ext AS (SELECT min(qx) AS x0, max(qx) AS x1,
+           |    min(qy) AS y0, max(qy) AS y1 FROM q),
+           |pxl AS (SELECT id,
+           |    CASE WHEN x1 = x0 THEN 500
+           |      ELSE 50 + CAST(((qx - x0) * 899) // (x1 - x0) AS INTEGER) END AS cx,
+           |    550 - (CASE WHEN y1 = y0 THEN 250
+           |      ELSE CAST(((qy - y0) * 499) // (y1 - y0) AS INTEGER) END) AS cy
+           |  FROM q, ext)
+           |SELECT 'scatter_pca' AS plot,
+           |  '$hdr' || string_agg(printf('<circle cx="%d" cy="%d" r="3"/>', cx, cy),
+           |    '' ORDER BY id) || '</svg>' AS svg
+           |FROM pxl""".stripMargin
+      },
 
       // Streaming-KMV replay: per-trigger bottom-k emissions min-merge
       // to the batch bottom-k (any digest in the true bottom-k enters

@@ -89,6 +89,43 @@ object Projection {
       (0 until d).map(i => round(ys(i), 6).as(s"y${i + 1}")): _*)
   }
 
+  /** Canonical planar realization of a 2-D score set — removes the
+    * eigenbasis ambiguity of PCA output (component signs, rotation
+    * within an eigenspace, and spark.ml's uncentered x·V offset are
+    * all solver artifacts) by mapping the configuration to a canonical
+    * congruent copy that depends only on the point GEOMETRY:
+    *  1. center on the score centroid;
+    *  2. rotate the minimum-id point onto the positive x-axis;
+    *  3. reflect so the second-minimum-id point has y ≥ 0.
+    * Any two isometric realizations of the same points canonicalize to
+    * the same coordinates (up to solver float noise ~1e-12), which is
+    * what lets a PCA FIGURE sit behind a cross-engine hash oracle: the
+    * oracle re-derives the canonical coords from the generating data
+    * without ever running an eigensolver.
+    *
+    * The two reference rows are a driver-bounded limit(2) collect.
+    * Requires ≥ 2 points and the min-id point off-centroid. Returns
+    * (idCol, x, y) doubles. */
+  def canonical2d(df: DataFrame, idCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val cen = df.agg(avg(col(xCol).cast("double")).as("__cx"),
+      avg(col(yCol).cast("double")).as("__cy"))
+    val centered = df.crossJoin(broadcast(cen))
+      .select(col(idCol), (col(xCol).cast("double") - col("__cx")).as("__u"),
+        (col(yCol).cast("double") - col("__cy")).as("__v"))
+    val refs = centered.orderBy(col(idCol)).limit(2).collect()
+    require(refs.length >= 2, "canonical2d needs at least 2 points")
+    val (u1, v1) = (refs(0).getDouble(1), refs(0).getDouble(2))
+    val n1 = math.sqrt(u1 * u1 + v1 * v1)
+    require(n1 > 0, "canonical2d: min-id point coincides with the centroid")
+    val (cth, sth) = (u1 / n1, v1 / n1)
+    val y2 = -refs(1).getDouble(1) * sth + refs(1).getDouble(2) * cth
+    val fl = if (y2 < 0) -1.0 else 1.0
+    centered.select(col(idCol),
+      (col("__u") * lit(cth) + col("__v") * lit(sth)).as("x"),
+      ((col("__u") * lit(-sth) + col("__v") * lit(cth)) * lit(fl)).as("y"))
+  }
+
   /** The reference's exact viz prep: union original + synthetic vector
     * frames (tagged), fit PCA on the union, project both
     * (`np.vstack` + fit + separate transforms, `Latanova_v1.py:541-546`). */

@@ -95,21 +95,35 @@ object Svg {
   }
 
   /** Scatter (the PCA-projection figure): (x, y) doubles mapped onto
-    * the integer grid by min/max normalization — `floor` of an exact
-    * scale division, so coordinates stay engine-portable. */
+    * the integer grid by FIXED-POINT min/max normalization — each
+    * coordinate is first quantized to micro-units (floor(v·10⁶), a
+    * single well-defined float op), and the pixel position is then
+    * pure integer arithmetic ((q−lo)·(span−1) div (hi−lo)), the
+    * histogram renderer's discipline. No float division ever reaches
+    * the grid, so the rendered bytes are bit-identical in any engine
+    * that replays the quantization — the scatter document can sit
+    * behind a hash oracle like the other two renderers. (The integer
+    * ratio is evaluated as floor of a double quotient: both operands
+    * are exact in doubles — |num| ≤ range·span < 2⁵³ — and a
+    * non-divisible quotient is ≥ 1/den away from an integer, far
+    * beyond double rounding, so it equals true integer division.) */
   def scatter(df: DataFrame, xCol: String, yCol: String, idCol: String,
               title: String): DataFrame = {
-    val ext = df.agg(
-      min(col(xCol).cast("double")).as("__x0"), max(col(xCol).cast("double")).as("__x1"),
-      min(col(yCol).cast("double")).as("__y0"), max(col(yCol).cast("double")).as("__y1"))
+    def quant(c: Column): Column =
+      floor(c.cast("double") * lit(1e6)).cast("long")
+    val q = df.select(col(idCol).as("__id"),
+      quant(col(xCol)).as("__qx"), quant(col(yCol)).as("__qy"))
+    val ext = q.agg(
+      min(col("__qx")).as("__x0"), max(col("__qx")).as("__x1"),
+      min(col("__qy")).as("__y0"), max(col("__qy")).as("__y1"))
     def px(v: Column, lo: Column, hi: Column, span: Int, off: Int): Column =
       when(hi === lo, lit(off + span / 2)).otherwise(
-        lit(off) + floor((v.cast("double") - lo) / (hi - lo) * lit(span - 1))
-          .cast("int"))
+        lit(off) + floor(((v - lo) * lit(span - 1)).cast("double") /
+          (hi - lo).cast("double")).cast("int"))
     val frag = format_string("""<circle cx="%d" cy="%d" r="3"/>""",
-      px(col(xCol), col("__x0"), col("__x1"), W - 100, 50),
+      px(col("__qx"), col("__x0"), col("__x1"), W - 100, 50),
       // SVG y grows downward; flip so larger y plots higher
-      lit(H - 50) - (px(col(yCol), col("__y0"), col("__y1"), PlotH, 0)))
-    assemble(df.crossJoin(broadcast(ext)), col(idCol), frag, title)
+      lit(H - 50) - (px(col("__qy"), col("__y0"), col("__y1"), PlotH, 0)))
+    assemble(q.crossJoin(broadcast(ext)), col("__id"), frag, title)
   }
 }

@@ -70,6 +70,36 @@ class ProjectionSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("canonical2d: invariant under rotation, reflection, translation") {
+    import spark.implicits._
+    // fixed irregular point set (no symmetry that could make the
+    // canonical frame ambiguous)
+    val pts = Seq((1L, 0.3, 1.7), (2L, -2.1, 0.4), (3L, 1.9, -0.8),
+      (4L, 0.0, -2.5), (5L, 2.8, 2.2))
+    def canon(rows: Seq[(Long, Double, Double)]) =
+      Projection.canonical2d(rows.toDF("id", "x", "y"), "id", "x", "y")
+        .collect().map(r => (r.getLong(0),
+          math.round(r.getDouble(1) * 1e9), math.round(r.getDouble(2) * 1e9)))
+        .sortBy(_._1).toSeq
+    val base = canon(pts)
+    val th = 1.234
+    val (c, s) = (math.cos(th), math.sin(th))
+    val moved = pts.map { case (id, x, y) => // rotate + reflect y + translate
+      (id, x * c - y * s + 5.5, -(x * s + y * c) - 3.25)
+    }
+    val got = canon(moved)
+    base.zip(got).foreach { case ((ia, xa, ya), (ib, xb, yb)) =>
+      assert(ia === ib)
+      assert(math.abs(xa - xb) <= 50, s"x drift at id $ia: $xa vs $xb") // ≤5e-8
+      assert(math.abs(ya - yb) <= 50, s"y drift at id $ia: $ya vs $yb")
+    }
+    // canonical frame properties: min-id point on the +x axis, second
+    // point in the upper half-plane
+    assert(base.find(_._1 == 1L).get._3.abs <= 2) // y₁ ≈ 0
+    assert(base.find(_._1 == 1L).get._2 > 0)      // x₁ > 0
+    assert(base.find(_._1 == 2L).get._3 >= 0)     // y₂ ≥ 0
+  }
+
   test("whiten: rejects degenerate inputs") {
     import spark.implicits._
     val dup = (0 until 50).map(i => (i.toLong, Array(1f, 2f, 3f)))
