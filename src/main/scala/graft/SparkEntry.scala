@@ -1347,6 +1347,18 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // --- MAXIMAL duplicated substrings (Lee et al. 2022 ExactSubstr,
+    // the suffix-array-grade report): every span of length >= 40 that
+    // occurs more than once in the corpus, per occurrence, at its
+    // full maximal extent — stride-1 duplicated-L-gram runs ARE the
+    // SA/LCP answer (equivalence proven brute-force in CorpusSpec),
+    // with no suffix array built and text never entering a shuffle ---
+    "q197_max_dup_spans" -> ((s, d) =>
+      Corpus.maxDupSpans(withDups(t(s, d, "documents"), "doc_id", 50, 10000),
+        "doc_id", "text", minLen = 40)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "span_start")),
+
     // --- PQ recall audit: ADC top-10 vs the exact L2 top-10 — the
     // index-quality eval a deployment runs before trusting ANN ---
     "q137_pq_recall" -> ((s, d) => {
@@ -5105,6 +5117,33 @@ object SparkEntry {
            |    AS n_chars_removed
            |FROM b d LEFT JOIN c1 ON d.doc_id = c1.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+
+      // Maximal-dup-span replay: stride-1 L-gram marking (ALL
+      // occurrences of a duplicated gram), islands-and-gaps union of
+      // the marked windows — the SQL image of the engine's
+      // constant-width merge.
+      "q197_max_dup_spans" ->
+        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),
+           |w AS (SELECT doc_id, CAST(i AS INT) AS off,
+           |        md5(substr(text, CAST(i AS INT) + 1, 40)) AS fp
+           |      FROM (SELECT doc_id, text,
+           |              unnest(generate_series(0, CAST(length(text) - 40 AS BIGINT), 1)) AS i
+           |            FROM dup WHERE doc_id IS NOT NULL
+           |              AND text IS NOT NULL AND length(text) >= 40)),
+           |dfp AS (SELECT fp FROM w GROUP BY fp HAVING count(*) > 1),
+           |m AS (SELECT doc_id, off FROM w JOIN dfp USING (fp)),
+           |isl AS (SELECT doc_id, off,
+           |         CASE WHEN off <= coalesce(max(off + 40) OVER (PARTITION BY doc_id
+           |              ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |              -1) THEN 0 ELSE 1 END AS brk
+           |        FROM m),
+           |g AS (SELECT doc_id, off,
+           |        sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS grp FROM isl)
+           |SELECT doc_id, CAST(min(off) AS BIGINT) AS span_start,
+           |  CAST(max(off) + 40 AS BIGINT) AS span_end,
+           |  CAST(max(off) + 40 - min(off) AS BIGINT) AS span_len
+           |FROM g GROUP BY doc_id, grp
+           |ORDER BY doc_id, span_start""".stripMargin,
 
       // IVF-PQ replay: the same ADC algebra as q131, restricted to the
       // codes of corpus vectors in each query's probed cells.

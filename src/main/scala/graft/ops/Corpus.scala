@@ -599,18 +599,38 @@ object Corpus {
     val removed = wins.join(first, Seq("fp"))
       .filter(col("occ") > 1 && struct(col("id"), col("off")) =!= col("first"))
       .select(col("id"), col("off"))
-    // per-doc sorted offsets -> merged [s, e) intervals (adjacent or
-    // overlapping spans coalesce: a window starting at or before the
-    // running end extends it). With a CONSTANT width over sorted
-    // offsets the running end of a group is always its last member's
-    // offset + width, so "starts a new interval" is the purely local
-    // test offs[i] > offs[i-1] + width: compute the break positions
-    // with one filter, then build each interval with one indexed
-    // transform — O(spans) per doc with no per-step array
-    // reconstruction (a fold that slices+concats the accumulator
-    // would be O(spans²) on span-riddled docs).
-    val spans = removed.groupBy("id")
-      .agg(sort_array(collect_list(col("off"))).as("offs"))
+    val spans = mergeConstWidthOffsets(
+      removed.groupBy("id")
+        .agg(sort_array(collect_list(col("off"))).as("offs")),
+      width)
+    base.join(spans, Seq("id"), "left")
+      .select(col("id"), col("text"), col("merged"),
+        when(col("merged").isNull, col("text")).otherwise(expr(
+          """aggregate(merged, named_struct('p', 0, 'acc', CAST('' AS STRING)),
+            |  (st, iv) -> named_struct('p', iv.e,
+            |    'acc', concat(st.acc, substring(text, st.p + 1, iv.s - st.p))),
+            |  st -> concat(st.acc, substring(text, st.p + 1, length(text) - st.p)))
+            |""".stripMargin.trim)).as("clean_text"))
+      .select(col("id"), col("clean_text"),
+        coalesce(size(col("merged")), lit(0)).cast(LongType).as("n_spans_removed"),
+        coalesce(length(col("text")) - length(col("clean_text")), lit(0))
+          .cast(LongType).as("n_chars_removed"))
+  }
+
+  /** Per-doc merge of constant-width marked offsets into maximal
+    * [s, e) intervals — the shared tail of the exact-substring dedup
+    * family. Input: (id, offs) with offs SORTED ascending; a window
+    * starting at or before the running end extends it. With a
+    * CONSTANT width over sorted offsets the running end of a group is
+    * always its last member's offset + width, so "starts a new
+    * interval" is the purely local test offs[i] > offs[i-1] + width:
+    * break positions via one filter, each interval via one indexed
+    * transform — O(spans) per doc, no per-step array reconstruction
+    * (a fold that slices+concats the accumulator would be O(spans²)
+    * on span-riddled docs). Returns (id, merged: array<struct<s,e>>). */
+  private def mergeConstWidthOffsets(grouped: DataFrame,
+                                     width: Int): DataFrame =
+    grouped
       .select(col("id"), col("offs"), expr(
         // greatest(i - 1, 1) keeps the i = 1 probe index legal even if
         // both arms evaluate — the OR's first arm decides that row, but
@@ -627,18 +647,59 @@ object Corpus {
            |         THEN element_at(starts, k + 2) - 1
            |         ELSE size(offs) END) + $width))
            |""".stripMargin.trim).as("merged"))
-    base.join(spans, Seq("id"), "left")
-      .select(col("id"), col("text"), col("merged"),
-        when(col("merged").isNull, col("text")).otherwise(expr(
-          """aggregate(merged, named_struct('p', 0, 'acc', CAST('' AS STRING)),
-            |  (st, iv) -> named_struct('p', iv.e,
-            |    'acc', concat(st.acc, substring(text, st.p + 1, iv.s - st.p))),
-            |  st -> concat(st.acc, substring(text, st.p + 1, length(text) - st.p)))
-            |""".stripMargin.trim)).as("clean_text"))
-      .select(col("id"), col("clean_text"),
-        coalesce(size(col("merged")), lit(0)).cast(LongType).as("n_spans_removed"),
-        coalesce(length(col("text")) - length(col("clean_text")), lit(0))
-          .cast(LongType).as("n_chars_removed"))
+
+  /** MAXIMAL duplicated substrings of length ≥ `minLen` — the
+    * suffix-array-grade report of exact-substring training-data dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", §4 ExactSubstr): every character span that
+    * occurs more than once in the corpus (across documents OR
+    * repeated within one) and cannot be extended while staying
+    * duplicated, reported per occurrence.
+    *
+    * NO suffix array is built. The equivalence this rests on: a span
+    * of length m ≥ L is duplicated iff each of its m−L+1 stride-1
+    * L-grams is duplicated, and a maximal duplicated span is exactly
+    * a maximal run of duplicated-L-gram start positions — so the
+    * union of the marked windows [i, i+L) IS the SA/LCP answer
+    * (matches ≥ L merge into maximal repeats; nothing shorter than L
+    * can mark a window). The spec proves this against a brute-force
+    * O(n²·L) maximal-repeat search.
+    *
+    * Shape at scale: stride-1 window extraction is a pure projection
+    * (sequence + explode — one output row per character, the same
+    * cardinality as Lee et al.'s suffix-array entries); each window
+    * is reduced to a 16-byte md5 BEFORE the first exchange, so the
+    * shuffle carries (id, off, fp) — never text. Duplicate marking is
+    * one fp-keyed count agg (map-side combinable) + one join back on
+    * the same key (partitioning reused); the interval union is the
+    * shared constant-width merge, O(marked) per doc. Returns one row
+    * per span occurrence: (id, span_start, span_end, span_len),
+    * span char range [span_start, span_end) 0-based. */
+  def maxDupSpans(df: DataFrame, idCol: String, textCol: String,
+                  minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val base = df
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).cast("string").as("text"))
+      .filter(col("text").isNotNull && length(col("text")) >= minLen)
+    val wins = base
+      .select(col("id"),
+        explode(expr(s"sequence(0, CAST(length(text) AS INT) - $minLen, 1)"))
+          .as("off"),
+        col("text"))
+      .select(col("id"), col("off").cast("int").as("off"),
+        md5(expr(s"CAST(substring(text, off + 1, $minLen) AS BINARY)")).as("fp"))
+      .localCheckpoint() // feeds both the dup-mark agg and the join back
+    val dupFp = wins.groupBy("fp").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1).select("fp")
+    val marked = wins.join(dupFp, Seq("fp")).select("id", "off")
+    val grouped = marked.groupBy("id")
+      .agg(sort_array(collect_list(col("off"))).as("offs"))
+    mergeConstWidthOffsets(grouped, minLen)
+      .select(col("id"), explode(col("merged")).as("sp"))
+      .select(col("id"), col("sp.s").cast("long").as("span_start"),
+        col("sp.e").cast("long").as("span_end"),
+        (col("sp.e") - col("sp.s")).cast("long").as("span_len"))
   }
 
   /** Overlapping context-window chunking — the RAG / LM training

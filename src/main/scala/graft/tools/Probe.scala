@@ -729,6 +729,85 @@ object Probe {
         }
       }
     }
+    // Sketch-family scale law: KMV / HLL (md5 + xxhash64) / count–min
+    // / histogram quantiles / per-group KMV overlap at x1/x4/x10 —
+    // every sketch's cost should be ~linear in the scan with
+    // sketch-sized (not data-sized) shuffles; the md5-vs-xxhash64 pair
+    // measures what the oracle-replayable digest costs over the
+    // production hash on the SAME input and register layout.
+    names.filter(_ == "sketch-scalelaw").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+          "l_extendedprice")
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+      def docsAt(m: Int): org.apache.spark.sql.DataFrame = rotatedDocs(docs, m)
+      // growing lineitem: keys shift per copy so distinct counts grow
+      // with the data (the HLL/KMV cost driver is values hashed)
+      def liAt(mult: Int): org.apache.spark.sql.DataFrame =
+        (0 until mult).map { m =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(m * 100000000L))
+            .withColumn("l_partkey", col("l_partkey") + lit(m * 100000000L))
+            .withColumn("l_suppkey", col("l_suppkey") + lit(m * 100000000L))
+        }.reduce(_ unionByName _)
+      def time(tag: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val n = f
+        println(f"SKETCH-SCALELAW $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+      }
+      def toks(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("source").isNotNull && col("text").isNotNull)
+        .select(col("source"),
+          explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+      // warmup (untimed): JIT + codegen for every path
+      graft.ops.Sketch.kmvDistinct(liAt(1), cols, 64).count()
+      graft.ops.Sketch.hllDistinct(liAt(1), cols).count()
+      graft.ops.Sketch.hllDistinctFast(liAt(1), cols).count()
+      graft.ops.Sketch.countMin(toks(docsAt(1)).select(col("tok").as("item")),
+        "item", 4, 64, salt = "cm").count()
+      graft.ops.Sketch.histQuantiles(liAt(1), "l_extendedprice", 256,
+        Seq(0.5)).count()
+      graft.ops.Sketch.kmvJaccardByGroup(toks(docsAt(1)), "source", "tok", 64).count()
+      Seq(1, 4, 10).foreach { m =>
+        time(s"kmv-distinct x$m")(
+          graft.ops.Sketch.kmvDistinct(liAt(m), cols, 64).count())
+        time(s"hll-md5 x$m")(
+          graft.ops.Sketch.hllDistinct(liAt(m), cols).count())
+        time(s"hll-xxhash64 x$m")(
+          graft.ops.Sketch.hllDistinctFast(liAt(m), cols).count())
+        time(s"countmin x$m")(
+          graft.ops.Sketch.countMin(
+            toks(docsAt(m)).select(col("tok").as("item")),
+            "item", 4, 64, salt = "cm").count())
+        time(s"hist-quantiles x$m")(
+          graft.ops.Sketch.histQuantiles(liAt(m), "l_extendedprice", 256,
+            Seq(0.25, 0.5, 0.9, 0.99)).count())
+        time(s"kmv-group-overlap x$m")(
+          graft.ops.Sketch.kmvJaccardByGroup(toks(docsAt(m)),
+            "source", "tok", 64).count())
+      }
+    }
+    // Maximal-dup-span scale law: stride-1 exact-substring dedup at
+    // x1/x4/x10 on the rotated (token-disjoint) corpus plus injected
+    // cross-copy duplicates, so span volume stays proportional.
+    names.filter(_ == "dupspan-scalelaw").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def at(m: Int): org.apache.spark.sql.DataFrame = {
+        val grown = rotatedDocs(docs, m)
+        // inject dups: every 10th doc cloned at a shifted id (the
+        // q139/q141/q197 withDups shape, applied per copy-set)
+        grown.unionByName(
+          grown.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(500000L)))
+      }
+      graft.ops.Corpus.maxDupSpans(at(1), "doc_id", "text", 40).count() // warmup
+      Seq(1, 4, 10).foreach { m =>
+        val t0 = System.nanoTime()
+        val n = graft.ops.Corpus.maxDupSpans(at(m), "doc_id", "text", 40).count()
+        println(f"DUPSPAN-SCALELAW maxDupSpans x$m: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n spans)")
+      }
+    }
     names.filter(_.startsWith("plan:")).foreach { n =>
       val q = n.stripPrefix("plan:")
       println(s"===== PLAN $q =====")

@@ -595,4 +595,56 @@ class CorpusSpec extends SparkSpec {
       Corpus.epochsPerDomain(one, "dom", "sz", 0L, 1.0, 3.0)
     }
   }
+
+  test("maxDupSpans: equals brute-force union of ALL duplicated spans >= L") {
+    // Independent ground truth: enumerate EVERY span [s, e) of EVERY
+    // length >= L, test duplication by direct substring occurrence
+    // counting (overlaps included), union the duplicated ones per doc.
+    // maxDupSpans only ever looks at length-L grams — agreeing with
+    // this proves the stride-1 run equivalence the operator rests on.
+    def brute(docs: Seq[(Long, String)], L: Int): Seq[(Long, Long, Long)] = {
+      def occ(sub: String): Int = docs.iterator.map { case (_, t) =>
+        var c = 0; var i = t.indexOf(sub)
+        while (i >= 0) { c += 1; i = t.indexOf(sub, i + 1) }
+        c
+      }.sum
+      docs.flatMap { case (id, t) =>
+        val dupChar = Array.fill(t.length)(false)
+        for {
+          s <- 0 until t.length
+          e <- (s + L) to t.length
+          if occ(t.substring(s, e)) > 1
+        } (s until e).foreach(dupChar(_) = true)
+        // maximal runs of covered chars
+        val spans = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+        var i = 0
+        while (i < t.length) {
+          if (dupChar(i)) {
+            var j = i
+            while (j < t.length && dupChar(j)) j += 1
+            spans += ((id, i.toLong, j.toLong))
+            i = j
+          } else i += 1
+        }
+        spans
+      }.sortBy(x => (x._1, x._2))
+    }
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "a document with the quick brown fox inside it and more",
+      3L -> "unique text nothing shared with anything else here",
+      4L -> "tail overlap case: over the lazy dog today is repeated",
+      5L -> "zzzzzzzzzzzzzzzz", // self-repeat within one doc
+      6L -> "a document with the quick brown fox inside it and more")
+    val L = 8
+    val got = Corpus.maxDupSpans(docs.toDF("id", "t"), "id", "t", L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got === brute(docs, L))
+    assert(got.nonEmpty) // fixture really exercises the path
+    // span_len column is e - s
+    val lens = Corpus.maxDupSpans(docs.toDF("id", "t"), "id", "t", L)
+      .collect().map(r => (r.getLong(2) - r.getLong(1), r.getLong(3)))
+    assert(lens.forall { case (d, l) => d === l })
+  }
 }

@@ -102,6 +102,40 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(got("n") - 2.0) < 0.1)
   }
 
+  test("hllDistinctFast (xxhash64) matches hllDistinct's error envelope") {
+    val df = (0 until 50000).map(i => s"u$i").toDF("x").repartition(16)
+    val r = Sketch.hllDistinctFast(df, Seq("x")).collect()(0)
+    val est = r.getDouble(4)
+    // same register layout, same estimator — same 4-sigma envelope as
+    // the md5 form (the hash differs, the statistics must not)
+    assert(math.abs(est - 50000.0) / 50000.0 < 0.26, s"est=$est")
+    assert(r.getInt(2) === 256)
+    // small range: linear counting near-exact
+    val s = Sketch.hllDistinctFast(
+      (0 until 1000).map(i => i % 20).toDF("x").repartition(8), Seq("x"))
+      .collect()(0)
+    assert(s.getInt(2) >= 18 && s.getInt(2) <= 20)
+    assert(math.abs(s.getDouble(4) - 20.0) < 2.5, s"est=${s.getDouble(4)}")
+  }
+
+  test("hllDistinctFast excludes nulls (xxhash64(NULL) = seed trap)") {
+    val df = Seq((Some("a"), Some(1)), (Some("b"), None), (Some("a"), Some(2)))
+      .toDF("s", "n")
+    val got = Sketch.hllDistinctFast(df, Seq("s", "n"))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(math.abs(got("s") - 2.0) < 0.1)
+    assert(math.abs(got("n") - 2.0) < 0.1) // a counted null would read 3
+  }
+
+  test("hllDistinctFast is partition-invariant") {
+    val vals = (0 until 3000).map(i => s"k$i")
+    val a = Sketch.hllDistinctFast(vals.toDF("x").repartition(1), Seq("x")).collect()(0)
+    val b = Sketch.hllDistinctFast(vals.toDF("x").repartition(32), Seq("x")).collect()(0)
+    assert(a.getInt(2) === b.getInt(2))
+    assert(a.getInt(3) === b.getInt(3))
+    assert(a.getDouble(4) === b.getDouble(4))
+  }
+
   test("hllDistinctBy tracks per-group truth; groups never bleed") {
     val rows = (0 until 4000).map { i =>
       val g = s"g${i % 4}"
