@@ -289,7 +289,7 @@ object SparkEntry {
     * files per micro-batch is pure fixed overhead at harness feed
     * rates, and production picks this by expected horizon cardinality
     * — with the session's setting restored immediately after start. */
-  private def runMicroBatched[T <: Product : org.apache.spark.sql.Encoder](
+  private[graft] def runMicroBatched[T <: Product : org.apache.spark.sql.Encoder](
       s: SparkSession, cols: Seq[String], batches: Seq[Seq[T]],
       tmpPrefix: String, outCols: Seq[String],
       mode: org.apache.spark.sql.streaming.OutputMode =
@@ -340,7 +340,7 @@ object SparkEntry {
     * must match across sides-and-batches exercise the join state (a
     * row from batch 0 held in the state store until its partner lands
     * in batch 2). Same conf pin / temp-sink / empty-schema handling. */
-  private def runMicroBatched2[A <: Product : org.apache.spark.sql.Encoder,
+  private[graft] def runMicroBatched2[A <: Product : org.apache.spark.sql.Encoder,
                                B <: Product : org.apache.spark.sql.Encoder](
       s: SparkSession, colsA: Seq[String], batchesA: Seq[Seq[A]],
       colsB: Seq[String], batchesB: Seq[Seq[B]],

@@ -476,12 +476,27 @@ object TextAnalysis {
   // ---- registrable-domain extraction ----
 
   /** Multi-part public suffixes the extractor must treat as a single
-    * TLD unit. The real public-suffix list has ~9k entries and ships as
-    * a data file; the extraction ALGORITHM (longest-matching suffix,
-    * then one more label) is identical — this subset keeps the operator
-    * self-contained and oracle-checkable. */
-  val multiPartSuffixes: Seq[String] =
-    Seq("co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br")
+    * TLD unit — loaded from the checked-in fixture
+    * `public_suffix_multipart.txt` (classpath root; provenance,
+    * coverage note and line format documented in the file itself), so
+    * a deployment swaps in the full ~9k-entry publicsuffix.org list by
+    * replacing the file, no code change. The extraction ALGORITHM
+    * (match a listed suffix on the last two labels, keep one more
+    * label) is size-independent; with the full PSL the `isin` below
+    * compiles to an O(1)-lookup InSet, so the cost stays one hash
+    * probe per row. Falls back to the built-in 6-entry subset if the
+    * resource is missing from the classpath. */
+  val multiPartSuffixes: Seq[String] = {
+    val fallback = Seq("co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br")
+    Option(getClass.getResourceAsStream("/public_suffix_multipart.txt"))
+      .map { in =>
+        try {
+          val ls = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toList
+          if (ls.nonEmpty) ls else fallback
+        } finally in.close()
+      }.getOrElse(fallback)
+  }
 
   /** Registrable domain ("eTLD+1") of an already-lowercased host:
     * the last TWO labels, or the last THREE when the last two form a
