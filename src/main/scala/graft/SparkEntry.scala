@@ -1359,6 +1359,17 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "span_start")),
 
+    // --- the REWRITE at the same full precision: q141's span-removal
+    // operator at stride 1, so no duplicate can hide off the stride
+    // grid — every repeat >= the window length is cut at its maximal
+    // extent from all but the globally first occurrence. q197 reports
+    // what a suffix array would; this row cuts it ---
+    "q198_exact_substr_rewrite" -> ((s, d) =>
+      Corpus.spanRemoval(withDups(t(s, d, "documents"), "doc_id", 50, 10000),
+        "doc_id", "text", width = 40, stride = 1)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // --- PQ recall audit: ADC top-10 vs the exact L2 top-10 — the
     // index-quality eval a deployment runs before trusting ANN ---
     "q137_pq_recall" -> ((s, d) => {
@@ -5144,6 +5155,49 @@ object SparkEntry {
            |  CAST(max(off) + 40 - min(off) AS BIGINT) AS span_len
            |FROM g GROUP BY doc_id, grp
            |ORDER BY doc_id, span_start""".stripMargin,
+
+      // Stride-1 span-removal replay: q141's SQL with step 1 — the
+      // full-precision rewrite (first occurrence elected per
+      // fingerprint, islands-and-gaps merge, gap string_agg rebuild).
+      "q198_exact_substr_rewrite" ->
+        s"""WITH dup AS (SELECT * FROM ${withDupsSql("documents", "doc_id", 50, 10000)}),
+           |b AS (SELECT doc_id, text FROM dup),
+           |w AS (SELECT doc_id, CAST(i AS INT) AS off,
+           |        md5(substr(text, CAST(i AS INT) + 1, 40)) AS fp
+           |      FROM (SELECT doc_id, text,
+           |              unnest(generate_series(0, CAST(length(text) - 40 AS BIGINT), 1)) AS i
+           |            FROM b WHERE text IS NOT NULL AND length(text) >= 40)),
+           |f AS (SELECT doc_id, off,
+           |        row_number() OVER (PARTITION BY fp ORDER BY doc_id, off) AS rn,
+           |        count(*) OVER (PARTITION BY fp) AS occ FROM w),
+           |rem AS (SELECT doc_id, off FROM f WHERE occ > 1 AND rn > 1),
+           |isl AS (SELECT doc_id, off,
+           |         CASE WHEN off <= coalesce(max(off + 40) OVER (PARTITION BY doc_id
+           |              ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |              -1) THEN 0 ELSE 1 END AS brk
+           |        FROM rem),
+           |g AS (SELECT doc_id, off,
+           |        sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS grp FROM isl),
+           |m AS (SELECT doc_id, grp, min(off) AS s, max(off) + 40 AS e
+           |      FROM g GROUP BY 1, 2),
+           |seg AS (SELECT doc_id, s, e,
+           |          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS p
+           |        FROM m),
+           |c1 AS (SELECT seg.doc_id,
+           |         string_agg(substr(t2.text, seg.p + 1, seg.s - seg.p), '' ORDER BY seg.s) AS gaps,
+           |         max(seg.e) AS laste,
+           |         CAST(count(*) AS BIGINT) AS n_spans
+           |       FROM seg JOIN b t2 ON seg.doc_id = t2.doc_id GROUP BY seg.doc_id)
+           |SELECT d.doc_id,
+           |  CASE WHEN c1.doc_id IS NULL THEN d.text
+           |       ELSE c1.gaps || substr(d.text, c1.laste + 1) END AS clean_text,
+           |  coalesce(c1.n_spans, 0) AS n_spans_removed,
+           |  CAST(coalesce(length(d.text), 0)
+           |    - coalesce(length(CASE WHEN c1.doc_id IS NULL THEN d.text
+           |        ELSE c1.gaps || substr(d.text, c1.laste + 1) END), 0) AS BIGINT)
+           |    AS n_chars_removed
+           |FROM b d LEFT JOIN c1 ON d.doc_id = c1.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
 
       // IVF-PQ replay: the same ADC algebra as q131, restricted to the
       // codes of corpus vectors in each query's probed cells.
