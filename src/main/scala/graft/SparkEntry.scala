@@ -1370,6 +1370,39 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // --- 1-bit sign binarization: the compression endpoint of the
+    // quantization family (float32 → int8 → PQ → 1 bit/dim); 32 dims
+    // per BIGINT word, a pure codegen'd projection ---
+    "q199_binary_sign" -> ((s, d) =>
+      Quantize.binarySign(t(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("words"), _.cast("string"))).as("words"),
+          col("n_pos"))
+        .orderBy("vec_id")),
+
+    // --- binary ANN: Hamming candidate scan over the packed sign bits
+    // (16 bytes/vector at d=64), exact cosine rerank of the candidate
+    // set only — hash proposes, float arithmetic decides ---
+    "q200_hamming_ann" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Quantize.hammingTopK(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", "vec_id", "embedding", k = 10, cand = 40)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("hd"), round(col("sim"), 6).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- simplified silhouette over q38's kmeans clusters: the
+    // linear-time (one broadcast-centroid pass, no pairwise distances)
+    // cluster-quality certification — per-cluster mean of
+    // (b − a)/max(a,b) with a/b = cosine distance to own / nearest
+    // other centroid ---
+    "q201_silhouette" -> ((s, d) =>
+      Similarity.simplifiedSilhouette(t(s, d, "embeddings"),
+        "vec_id", "embedding", k = Q38K, iterations = Q38Iters)
+        .orderBy("centroid_id")),
+
     // --- PQ recall audit: ADC top-10 vs the exact L2 top-10 — the
     // index-quality eval a deployment runs before trusting ANN ---
     "q137_pq_recall" -> ((s, d) => {
@@ -5199,6 +5232,60 @@ object SparkEntry {
            |FROM b d LEFT JOIN c1 ON d.doc_id = c1.doc_id
            |ORDER BY d.doc_id""".stripMargin,
 
+      // 1-bit sign packing replay: the same 32-dim BIGINT words, same
+      // shifts, same tie-at-zero → 0 convention, word list rendered
+      // through the same comma join.
+      "q199_binary_sign" ->
+        """WITH v AS (SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+          |  FROM embeddings WHERE embedding IS NOT NULL)
+          |SELECT vec_id,
+          |  array_to_string(list_transform(
+          |    range(0, CAST(ceil(len(vv) / 32.0) AS INT)), w ->
+          |      CAST(CAST(coalesce(list_sum(list_transform(
+          |        range(w * 32, CAST(least(w * 32 + 32, len(vv)) AS INT)), i ->
+          |          CASE WHEN vv[i + 1] > 0 THEN (CAST(1 AS BIGINT) << (i - w * 32))
+          |               ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS VARCHAR)),
+          |    ',') AS words,
+          |  CAST(coalesce(list_sum(list_transform(vv, x ->
+          |    CASE WHEN x > 0 THEN 1 ELSE 0 END)), 0) AS INT) AS n_pos
+          |FROM v ORDER BY vec_id""".stripMargin,
+
+      // Binary ANN replay: the identical two-stage contract — Hamming
+      // top-40 on the packed words (integer xor/popcount, id
+      // tie-break), exact double-cosine rerank over the candidates.
+      "q200_hamming_ann" ->
+        """WITH v AS (SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+          |  FROM embeddings WHERE embedding IS NOT NULL),
+          |b AS (SELECT vec_id, vv,
+          |    list_transform(range(0, CAST(ceil(len(vv) / 32.0) AS INT)), w ->
+          |      CAST(coalesce(list_sum(list_transform(
+          |        range(w * 32, CAST(least(w * 32 + 32, len(vv)) AS INT)), i ->
+          |          CASE WHEN vv[i + 1] > 0 THEN (CAST(1 AS BIGINT) << (i - w * 32))
+          |               ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)) AS words
+          |  FROM v),
+          |q AS (SELECT * FROM b WHERE vec_id < 5),
+          |c AS (SELECT * FROM b WHERE vec_id >= 5),
+          |hd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    q.vv AS qv, c.vv AS cv,
+          |    CAST(coalesce(list_sum(list_transform(
+          |      range(0, CAST(len(q.words) AS INT)), i ->
+          |        CAST(bit_count(xor(q.words[i + 1], c.words[i + 1])) AS BIGINT))),
+          |      0) AS BIGINT) AS hd
+          |  FROM q CROSS JOIN c),
+          |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY hd ASC, neighbor_id ASC) AS crank FROM hd),
+          |rr AS (SELECT query_id, neighbor_id, hd,
+          |    list_cosine_similarity(qv, cv) AS sim FROM cand WHERE crank <= 40)
+          |SELECT query_id, rank, neighbor_id, hd, round(sim, 6) AS sim FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY sim DESC, neighbor_id ASC) AS rank FROM rr)
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // Simplified-silhouette replay (shared kmeans CTE chain with q38).
+      "q201_silhouette" -> q201Sql,
+
       // IVF-PQ replay: the same ADC algebra as q131, restricted to the
       // codes of corpus vectors in each query's probed cells.
       "q142_ivfpq_ann" ->
@@ -7089,7 +7176,10 @@ object SparkEntry {
        |        ORDER BY adist ASC, neighbor_id ASC) AS rank FROM iscore)
        |  WHERE rank <= 10)""".stripMargin
 
-  private def q38Sql: String = {
+  /** The kmeans replay CTE chain shared by q38 (centroid dump) and
+    * q201 (silhouette): `corpus`, `cent0`, Lloyd rounds, ending with
+    * `cent$Q38Iters` available for the caller's SELECT. */
+  private def kmeansCtesSql: String = {
     def round(i: Int): String =
       s"""asg$i AS (
          |  SELECT id, centroid_id, v FROM (
@@ -7107,14 +7197,41 @@ object SparkEntry {
          |  FROM cent${i - 1} ct LEFT JOIN
          |    (SELECT centroid_id, list(m ORDER BY pos) AS ncv FROM m$i GROUP BY 1) nm
          |    USING (centroid_id))""".stripMargin
-    s"""WITH corpus AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""corpus AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cent0 AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
        |          FROM embeddings ORDER BY vec_id LIMIT $Q38K),
-       |${(1 to Q38Iters).map(round).mkString(",\n")}
+       |${(1 to Q38Iters).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private def q38Sql: String =
+    s"""WITH $kmeansCtesSql
        |SELECT centroid_id, i AS pos, round(cv[i + 1], 6) AS v
        |FROM cent$Q38Iters CROSS JOIN range($Q37Dim) t(i)
        |ORDER BY centroid_id, pos""".stripMargin
-  }
+
+  /** Simplified-silhouette replay over the same kmeans chain: per
+    * point the best and runner-up centroid cosine (same tie-break as
+    * the engine's sorted-slice), a/b cosine distances, s in pure
+    * double arithmetic, DECIMAL(38,12) sum for the per-cluster mean. */
+  private def q201Sql: String =
+    s"""WITH $kmeansCtesSql,
+       |ssims AS (SELECT c.id, ct.centroid_id,
+       |    list_cosine_similarity(c.v, ct.cv) AS sim
+       |  FROM corpus c CROSS JOIN cent$Q38Iters ct),
+       |ranked AS (SELECT id, centroid_id, sim,
+       |    row_number() OVER (PARTITION BY id
+       |      ORDER BY sim DESC, centroid_id ASC) AS rn FROM ssims),
+       |pt AS (SELECT a.id, a.centroid_id,
+       |    1 - a.sim AS da, 1 - b.sim AS db
+       |  FROM ranked a JOIN ranked b ON a.id = b.id
+       |  WHERE a.rn = 1 AND b.rn = 2),
+       |sil AS (SELECT id, centroid_id,
+       |    CASE WHEN greatest(da, db) = 0 THEN CAST(0 AS DOUBLE)
+       |         ELSE (db - da) / greatest(da, db) END AS s FROM pt)
+       |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n,
+       |  round(CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+       |    AS mean_sil
+       |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val annTopkSql: String =
     """SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding compression for vector-heavy training corpora. At 100 TB
@@ -386,6 +387,116 @@ object Quantize {
     * kernels apply, so null-vector rows the kernels would drop don't
     * push a small corpus over the threshold) and stops early on a huge
     * corpus instead of paying a full count() scan before any work. */
+  // ---------------------------------------------------------------
+  // Binary (1-bit) sign quantization: the compression endpoint.
+  // ---------------------------------------------------------------
+
+  /** Sign-bit binarization (Charikar 2002 SRP with the identity
+    * hyperplanes): dimension i contributes bit (v_i > 0), packed
+    * 32 dims per BIGINT word — a 64-dim float vector becomes two
+    * longs, a 32x storage cut. Ties at exactly 0.0 pack as 0. Words
+    * hold values in [0, 2^32), so the packing involves no sign-bit
+    * edge cases in either engine (the DuckDB oracle replays the same
+    * shifts on BIGINT).
+    *
+    * Pure projection (one array HOF chain, codegen'd, no shuffle).
+    * Output: (id, words: array<bigint> of ceil(d/32), n_pos). Rows
+    * with a null vector are dropped; a zero-length vector packs to an
+    * empty word array. */
+  def binarySign(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .withColumn("words",
+        when(size(col("__v")) === 0, expr("CAST(array() AS ARRAY<BIGINT>)"))
+          .otherwise(expr(
+            """transform(sequence(0, CAST(ceil(size(__v) / 32.0) AS INT) - 1), w ->
+              |  aggregate(sequence(w * 32, least(w * 32 + 31, size(__v) - 1)),
+              |    CAST(0 AS BIGINT),
+              |    (acc, i) -> acc + IF(element_at(__v, i + 1) > 0.0D,
+              |      shiftleft(CAST(1 AS BIGINT), i - w * 32),
+              |      CAST(0 AS BIGINT))))""".stripMargin)))
+      .withColumn("n_pos",
+        aggregate(col("__v"), lit(0),
+          (acc, x) => acc + when(x > 0.0, 1).otherwise(0)))
+      .select(col(idCol), col("words"), col("n_pos"))
+
+  /** Hamming distance between two packed sign-bit columns (equal word
+    * counts): sum of per-word popcounts of the XOR. Integer-only —
+    * exact, branch-free, and the kernel a binary index scans with at
+    * memory bandwidth. */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Two-stage binary ANN — the standard hash-then-rerank pipeline
+    * (scan compact sign bits for candidates, re-score only candidates
+    * with exact float cosine):
+    *
+    *  1. '''Candidate scan''': queries' packed words broadcast against
+    *     the corpus' packed words (16 bytes/vector at d=64 — the whole
+    *     binary index for a billion vectors fits a few executors'
+    *     memory); per-query `cand` nearest by Hamming distance, ties
+    *     toward the lower neighbor id. The scan shuffles per-partition
+    *     bounded heaps only (|Q|·cand·P rows — the
+    *     [[Similarity.bruteForceTopKLarge]] discipline), never the
+    *     |Q|·|C| score space.
+    *  2. '''Rerank''': the |Q|·cand candidate id pairs broadcast-join
+    *     back to the full float vectors and re-score with exact double
+    *     cosine; final top-k by (sim desc, neighbor_id asc).
+    *
+    * sign(cos) concentrates around the true angle (P[bit differs] =
+    * θ/π per Goemans–Williamson), so Hamming rank ≈ cosine rank and
+    * `cand` ≈ 4k recovers most of the exact top-k; the output contract
+    * is DEFINED as this two-stage result (deterministic, both stages
+    * pinned by integer arithmetic + id tie-breaks), so the row is
+    * hash-replayable in the oracle — same discipline as the LSH
+    * dedup family (sketch proposes, exact arithmetic decides).
+    * Output: (query_id, rank, neighbor_id, hd, sim). */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame,
+                  qIdCol: String, qVecCol: String,
+                  cIdCol: String, cVecCol: String,
+                  k: Int, cand: Int): DataFrame = {
+    require(cand >= k, s"cand ($cand) must be >= k ($k)")
+    val qb = binarySign(queries, qIdCol, qVecCol)
+      .select(col(qIdCol).as("query_id"), col("words").as("__qw"))
+      .hint("broadcast")
+    val cb = binarySign(corpus, cIdCol, cVecCol)
+      .select(col(cIdCol).as("neighbor_id"), col("words").as("__cw"))
+    val scored = qb.crossJoin(cb)
+      .withColumn("hd", hammingDist(col("__qw"), col("__cw")))
+      .select("query_id", "neighbor_id", "hd")
+    // per-partition bounded ascending heaps, then the exact global
+    // top-cand over the |Q|·cand·P survivors
+    val partial = scored
+      .groupBy(col("query_id"), spark_partition_id().as("__p"))
+      .agg(slice(array_sort(collect_list(struct(col("hd"), col("neighbor_id")))),
+        1, cand).as("heap"))
+      .select(col("query_id"), explode(col("heap")).as("h"))
+      .select(col("query_id"), col("h.neighbor_id").as("neighbor_id"),
+        col("h.hd").as("hd"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("hd").asc, col("neighbor_id").asc)
+    val cands = partial.withColumn("__crank", row_number().over(wc))
+      .filter(col("__crank") <= cand)
+      .select("query_id", "neighbor_id", "hd")
+    // rerank: fetch full vectors for the candidate ids only
+    val qv = queries.filter(col(qVecCol).isNotNull)
+      .select(col(qIdCol).as("query_id"),
+        transform(col(qVecCol), _.cast("double")).as("__qv"))
+    val cv = corpus.filter(col(cVecCol).isNotNull)
+      .select(col(cIdCol).as("neighbor_id"),
+        transform(col(cVecCol), _.cast("double")).as("__cv"))
+    val wk = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    broadcast(cands)
+      .join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("sim", Similarity.cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "hd", "sim")
+  }
+
   def int8TopKAuto(queries: DataFrame, corpus: DataFrame,
                    qIdCol: String, qVecCol: String,
                    cIdCol: String, cVecCol: String, k: Int,

@@ -577,6 +577,52 @@ object Similarity {
         round(lit(1.0) - col("__avg"), 6).as("density_score"))
   }
 
+  /** Simplified silhouette (centroid-based, cosine distance) — the
+    * linear-time cluster-quality certification a corpus-scale
+    * clustering (semantic dedup cells, IVF coarse index, curriculum
+    * clusters) runs instead of the O(n²) full silhouette: per point,
+    * a = cosine distance to its OWN centroid, b = distance to the
+    * nearest OTHER centroid, s = (b − a) / max(a, b) — the standard
+    * simplified-silhouette form (Hruschka et al. 2004), which needs
+    * one broadcast centroid pass, never pairwise distances.
+    *
+    * Centroids come from the family's shared deterministic source
+    * ([[kmeansCentroids]] — seed = k lowest ids, `iterations` Lloyd
+    * rounds), so the whole chain replays in the oracle. Per-point s is
+    * pure double arithmetic (bit-stable cross-engine); the per-cluster
+    * mean sums via DECIMAL(38,12) so no partition-order float
+    * accumulation enters the result. Per-id top-2 centroid selection
+    * is a k-bounded sorted slice inside one aggregation — no window,
+    * map-side combinable. Requires k ≥ 2 (b is undefined for one
+    * cluster). Returns (centroid_id, n, mean_sil); clusters that own
+    * no points are absent. */
+  def simplifiedSilhouette(corpus: DataFrame, idCol: String, vecCol: String,
+                           k: Int, iterations: Int): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2 clusters, got $k")
+    val cents = kmeansCentroids(corpus, idCol, vecCol, k, iterations)
+    val sims = withNorm(corpus, idCol, vecCol, "id", "__v", "__n")
+      .crossJoin(broadcast(withNorm(cents, "centroid_id", "cv",
+        "centroid_id", "__cv", "__cn")))
+      .withColumn("sim", pairSim(col("__v"), col("__cv"), col("__n"), col("__cn")))
+      .select("id", "centroid_id", "sim")
+    // own = best (sim desc, centroid_id asc); b from the runner-up —
+    // one k-bounded collect per id, ordered by the same tie-break
+    val top2 = sims.groupBy("id")
+      .agg(slice(array_sort(collect_list(
+        struct((-col("sim")).as("ns"), col("centroid_id")))), 1, 2).as("t"))
+      .select(col("id"),
+        col("t")(0).getField("centroid_id").as("centroid_id"),
+        (lit(1.0) - (-col("t")(0).getField("ns"))).as("__a"),
+        (lit(1.0) - (-col("t")(1).getField("ns"))).as("__b"))
+    val s = when(greatest(col("__a"), col("__b")) === 0.0, lit(0.0))
+      .otherwise((col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+    top2.withColumn("__s", s)
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__s").cast("decimal(38,12)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_sil"))
+  }
+
   /** Retrieval-quality metrics — the evaluation half of the ANN family:
     * given a ground-truth ranking (brute-force exact top-k) and a
     * candidate retrieval (IVF/PQ/LSH), per-query recall@k, MRR@k, and

@@ -357,4 +357,100 @@ class QuantizeSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
     }
   }
+
+  // --- binary (1-bit) sign quantization + Hamming ANN ---
+
+  private def localWords(v: Array[Double]): Array[Long] = {
+    val n = math.ceil(v.length / 32.0).toInt
+    val words = new Array[Long](n)
+    v.zipWithIndex.foreach { case (x, i) =>
+      if (x > 0.0) words(i / 32) |= 1L << (i % 32)
+    }
+    words
+  }
+
+  test("binarySign: packed words match a local bit computation") {
+    val rnd = new scala.util.Random(7)
+    // 70 dims: exercises a full word, a partial word, and the 3-word
+    // boundary arithmetic; include exact zeros (tie -> bit 0)
+    val data = (0L until 20L).map(i =>
+      (i, Array.fill(70)(if (rnd.nextInt(5) == 0) 0.0f
+                         else rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val out = Quantize.binarySign(data, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    val orig = data.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out.length === 20)
+    out.foreach { r =>
+      val v = orig(r.getLong(0)).map(_.toDouble).toArray
+      assert(r.getSeq[Long](1) === localWords(v).toSeq)
+      assert(r.getInt(2) === v.count(_ > 0.0))
+    }
+  }
+
+  test("binarySign is a pure projection: no shuffle; empty vector packs empty") {
+    val df = Seq((1L, Array.empty[Float]), (2L, Array(1.0f))).toDF("vec_id", "embedding")
+    val out = Quantize.binarySign(df, "vec_id", "embedding")
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = out.orderBy("vec_id").collect()
+    assert(rows(0).getSeq[Long](1).isEmpty && rows(0).getInt(2) === 0)
+    assert(rows(1).getSeq[Long](1) === Seq(1L) && rows(1).getInt(2) === 1)
+  }
+
+  test("hammingDist matches local popcount of differing sign bits") {
+    val a = Array(0.3, -0.2, 0.0, 1.5, -4.0)
+    val b = Array(-0.3, -0.2, 2.0, 1.5, 4.0)
+    val df = Seq((localWords(a), localWords(b))).toDF("wa", "wb")
+    val got = df.select(Quantize.hammingDist(col("wa"), col("wb"))).head().getLong(0)
+    val want = a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }
+    assert(got === want.toLong)
+  }
+
+  test("hammingTopK with cand = |corpus| equals the exact cosine top-k") {
+    val rnd = new scala.util.Random(23)
+    val data = (0L until 50L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = data.filter(col("vec_id") < 4)
+    val c = data.filter(col("vec_id") >= 4)
+    // rerank over ALL candidates reduces stage 1 to a no-op filter, so
+    // the two-stage contract must collapse to the exact brute force
+    val got = Quantize.hammingTopK(q, c, "vec_id", "embedding",
+        "vec_id", "embedding", k = 8, cand = 46)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank").collect()
+    val want = Similarity.bruteForceTopK(q, c, "vec_id", "embedding",
+        "vec_id", "embedding", k = 8)
+      .orderBy("query_id", "rank").collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) === w.getLong(0))
+      assert(g.getInt(1) === w.getInt(1))
+      assert(g.getLong(2) === w.getLong(2))
+      assert(math.abs(g.getDouble(3) - w.getDouble(3)) < 1e-12)
+    }
+  }
+
+  test("hammingTopK: narrow candidate sets keep high recall and bounded size") {
+    val rnd = new scala.util.Random(31)
+    val data = (0L until 120L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = data.filter(col("vec_id") < 5)
+    val c = data.filter(col("vec_id") >= 5)
+    val approx = Quantize.hammingTopK(q, c, "vec_id", "embedding",
+        "vec_id", "embedding", k = 10, cand = 40).collect()
+    val exact = Similarity.bruteForceTopK(q, c, "vec_id", "embedding",
+        "vec_id", "embedding", k = 10).collect()
+    assert(approx.groupBy(_.getLong(0)).forall(_._2.length == 10))
+    val overlap = approx.map(r => (r.getLong(0), r.getLong(2))).toSet
+      .intersect(exact.map(r => (r.getLong(0), r.getLong(2))).toSet).size
+    // SRP on random 64-dim vectors: Hamming top-40 of 115 recovers most
+    // of the cosine top-10 (deterministic given the fixed seed)
+    assert(overlap >= 35, s"recall too low: $overlap / 50")
+  }
+
+  test("hammingTopK rejects cand < k") {
+    intercept[IllegalArgumentException] {
+      Quantize.hammingTopK(vecs, vecs, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, cand = 4)
+    }
+  }
 }

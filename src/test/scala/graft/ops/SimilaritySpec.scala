@@ -321,4 +321,52 @@ class SimilaritySpec extends SparkSpec {
       Similarity.knnDensity(topk, k = 0)
     }
   }
+
+  test("simplifiedSilhouette matches a local recomputation and separates clean clusters") {
+    val rnd = new scala.util.Random(41)
+    // two well-separated direction clusters in 8 dims
+    def around(base: Array[Float]): Array[Float] =
+      base.map(x => x + rnd.nextFloat() * 0.05f)
+    val a = Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f, 0f, 0f, 1f, 0f)
+    val data = (0L until 30L).map(i =>
+      (i, if (i % 2 == 0) around(a) else around(b))).toDF("vec_id", "embedding")
+    val out = Similarity.simplifiedSilhouette(data, "vec_id", "embedding",
+      k = 2, iterations = 3).orderBy("centroid_id").collect()
+    assert(out.length === 2)
+    assert(out.map(_.getLong(1)).sum === 30L)
+    // clean separation: strongly positive mean silhouette everywhere
+    out.foreach(r => assert(r.getDouble(2) > 0.5, r.toString))
+
+    // local parity: recompute per-point s from the SAME centroids
+    val cents = Similarity.kmeansCentroids(data, "vec_id", "embedding", 2, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      val nx = math.sqrt(x.map(p => p * p).sum)
+      val ny = math.sqrt(y.map(p => p * p).sum)
+      if (nx == 0 || ny == 0) 0.0 else d / (nx * ny)
+    }
+    val pts = data.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val per = pts.map { case (_, v) =>
+      val sims = cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+      val own = sims(0); val other = sims(1)
+      val da = 1 - own._2; val db = 1 - other._2
+      (own._1, if (math.max(da, db) == 0) 0.0 else (db - da) / math.max(da, db))
+    }
+    val want = per.groupBy(_._1).map { case (cid, xs) =>
+      cid -> (xs.length.toLong, xs.map(_._2).sum / xs.length)
+    }
+    out.foreach { r =>
+      val (n, m) = want(r.getLong(0))
+      assert(r.getLong(1) === n)
+      assert(math.abs(r.getDouble(2) - m) < 1e-6)
+    }
+
+    intercept[IllegalArgumentException] {
+      Similarity.simplifiedSilhouette(data, "vec_id", "embedding", 1, 1)
+    }
+  }
 }
