@@ -1403,6 +1403,25 @@ object SparkEntry {
         "vec_id", "embedding", k = Q38K, iterations = Q38Iters)
         .orderBy("centroid_id")),
 
+    // --- conjunctive (AND) retrieval: docs containing EVERY query
+    // term, BM25-ranked top-20 — the posting intersection realized as
+    // term counting, global top-k via TakeOrderedAndProject ---
+    "q202_conjunctive_search" -> ((s, d) =>
+      Corpus.conjunctiveTopK(t(s, d, "documents"), "doc_id", "text",
+        Q202Terms, k = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("rank")),
+
+    // --- exact-phrase search: positional phrase queries collapsed to
+    // one fused conjunctive predicate per window start — one corpus
+    // scan for all phrases, no postings table, no shuffle before the
+    // hit filter ---
+    "q203_phrase_search" -> ((s, d) =>
+      TextAnalysis.phraseSearch(t(s, d, "documents"), "doc_id", "text",
+        Q203Phrases)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "phrase")),
+
     // --- PQ recall audit: ADC top-10 vs the exact L2 top-10 — the
     // index-quality eval a deployment runs before trusting ANN ---
     "q137_pq_recall" -> ((s, d) => {
@@ -3557,29 +3576,44 @@ object SparkEntry {
 
       "q115_bm25_scores" -> {
         val terms = Seq("spark", "shuffle", "hash", "merge", "window")
-        val k1 = 1.2; val b = 0.75
-        val inList = terms.map(t => s"'$t'").mkString(", ")
-        // fixed term order, left-associated additions — same evaluation
-        // order as the Spark expression, so doubles agree bit-for-bit
-        val total = terms.map(t =>
-          s"coalesce(max(CASE WHEN term = '$t' THEN c END), 0.0)").mkString(" + ")
-        s"""WITH base AS (SELECT doc_id, ${toksSql("text")} AS w FROM documents),
-           |lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
-           |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           |    avg(CAST(dl AS DOUBLE)) AS avgdl FROM lens),
-           |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-           |  FROM (SELECT doc_id, unnest(w) AS term FROM base)
-           |  WHERE term IN ($inList) GROUP BY 1, 2),
-           |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-           |contrib AS (SELECT doc_id, term,
-           |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
-           |      (tf * ${k1 + 1.0}) /
-           |      (tf + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE) / avgdl)) AS c
-           |  FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id)
-           |  CROSS JOIN stats)
-           |SELECT doc_id, round($total, 6) AS bm25,
+        s"""WITH ${bm25CtesSql(terms)}
+           |SELECT doc_id, round(${bm25TotalSql(terms)}, 6) AS bm25,
            |  CAST(count(*) AS BIGINT) AS n_terms
            |FROM contrib GROUP BY 1 ORDER BY doc_id""".stripMargin
+      },
+
+      // Conjunctive retrieval replay: the same BM25 contrib chain,
+      // AND realized as n_terms = |terms|, global top-20 on the
+      // rounded score with the id tie-break.
+      "q202_conjunctive_search" -> {
+        val terms = Q202Terms
+        s"""WITH ${bm25CtesSql(terms)},
+           |agg AS (SELECT doc_id AS id, round(${bm25TotalSql(terms)}, 6) AS bm25,
+           |    count(*) AS n_terms FROM contrib GROUP BY 1),
+           |conj AS (SELECT id, bm25 FROM agg WHERE n_terms = ${terms.size})
+           |SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, id ASC) AS INT)
+           |    AS rank, id AS doc_id, bm25
+           |FROM conj ORDER BY bm25 DESC, id ASC LIMIT 20""".stripMargin
+      },
+
+      // Phrase-search replay: per phrase, count window starts whose
+      // fused token conjunction matches (overlaps count), hits only.
+      "q203_phrase_search" -> {
+        val branches = Q203Phrases.map { p =>
+          val m = p.length
+          val cond = p.zipWithIndex.map { case (w, i) =>
+            s"t[j + $i] = '$w'" }.mkString(" AND ")
+          s"""SELECT doc_id, '${p.mkString(" ")}' AS phrase,
+             |  CAST(coalesce(list_sum(list_transform(
+             |    range(1, CAST(len(t) AS INT) - $m + 2), j ->
+             |      CASE WHEN $cond THEN 1 ELSE 0 END)), 0) AS BIGINT)
+             |    AS n_occur FROM d""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH d AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents
+           |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+           |pc AS ($branches)
+           |SELECT doc_id, phrase, n_occur FROM pc WHERE n_occur > 0
+           |ORDER BY doc_id, phrase""".stripMargin
       },
 
       "q116_hard_negatives" ->
@@ -7175,6 +7209,39 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY adist ASC, neighbor_id ASC) AS rank FROM iscore)
        |  WHERE rank <= 10)""".stripMargin
+
+  private val Q202Terms = Seq("spark", "vector", "window")
+  private val Q203Phrases =
+    Seq(Seq("table", "table"), Seq("value", "table", "part"),
+      Seq("fast", "spark"))
+
+  /** BM25 replay CTE chain over `documents` for a fixed term set
+    * (shared by q115 and q202): `base`/`lens`/`stats`/`tf`/`dfq`,
+    * ending at `contrib(doc_id, term, c)`. */
+  private def bm25CtesSql(terms: Seq[String],
+                          k1: Double = 1.2, b: Double = 0.75): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""base AS (SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+       |lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    avg(CAST(dl AS DOUBLE)) AS avgdl FROM lens),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(w) AS term FROM base)
+       |  WHERE term IN ($inList) GROUP BY 1, 2),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |contrib AS (SELECT doc_id, term,
+       |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+       |      (tf * ${k1 + 1.0}) /
+       |      (tf + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE) / avgdl)) AS c
+       |  FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id)
+       |  CROSS JOIN stats)""".stripMargin
+  }
+
+  /** Fixed term order, left-associated additions — same evaluation
+    * order as the Spark expression, so doubles agree bit-for-bit. */
+  private def bm25TotalSql(terms: Seq[String]): String =
+    terms.map(t =>
+      s"coalesce(max(CASE WHEN term = '$t' THEN c END), 0.0)").mkString(" + ")
 
   /** The kmeans replay CTE chain shared by q38 (centroid dump) and
     * q201 (silhouette): `corpus`, `cent0`, Lloyd rounds, ending with

@@ -110,6 +110,37 @@ object Corpus {
       count(lit(1)).as("n_terms"))
   }
 
+  /** Conjunctive (AND-semantics) retrieval: the top-`k` documents
+    * containing EVERY query term, ranked by BM25 — the inverted-index
+    * intersection query an eval harness or RAG gate runs when a match
+    * on any single term is too weak a signal.
+    *
+    * The posting-list intersection is realized as counting: [[bm25]]
+    * already emits n_terms = distinct matched terms per doc (its tf
+    * table IS the query-filtered inverted index — the `isin` filter
+    * kills the vocabulary tail at the scan, so only postings of the
+    * |terms| query terms ever shuffle), so the AND is one predicate,
+    * n_terms = |terms|. Global top-k runs as orderBy+limit — Spark
+    * plans TakeOrderedAndProject (per-partition heaps + driver merge
+    * of P·k rows), never a single-task sort of the match set; the
+    * rank column is a window over the ≤ k surviving rows only.
+    * Ties break toward the lower id on the ROUNDED score — the same
+    * 6-decimal value both engines rank, so the order is engine-free.
+    * Returns (rank, id, bm25). */
+  def conjunctiveTopK(df: DataFrame, idCol: String, textCol: String,
+                      queryTerms: Seq[String], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = queryTerms.distinct.size
+    val top = bm25(df, idCol, textCol, queryTerms, k1, b)
+      .filter(col("n_terms") === n)
+      .orderBy(desc("bm25"), col("id"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(desc("bm25"), col("id"))))
+      .select("rank", "id", "bm25")
+  }
+
   /** Corpus n-gram table: every word n-gram occurring at least
     * `minCount` times, with its total occurrences and document
     * frequency — the backing table for LM-style features and n-gram

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -525,5 +525,44 @@ object TextAnalysis {
       .when(n === 1, element_at(labels, -1)) // bare label, dot-cleaned
       .when(n >= 3 && lastTwo.isin(multiPartSuffixes.map(lit): _*), lastThree)
       .otherwise(lastTwo)
+  }
+
+  /** Occurrences of an exact token phrase in a token-array column:
+    * the number of start positions j where toks[j..j+m) equals the
+    * phrase (overlapping matches count — "a a a" contains "a a"
+    * twice). The positional-postings phrase query of an inverted
+    * index, collapsed to a pure projection: the phrase is a literal,
+    * so the position-list intersection unrolls into one fused
+    * conjunctive predicate per window start — no postings table, no
+    * shuffle, codegen end to end. Zero when the doc is shorter than
+    * the phrase. */
+  def phraseCount(toks: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val m = phrase.length
+    when(size(toks) < m, lit(0L)).otherwise(
+      aggregate(sequence(lit(1), size(toks) - (m - 1)), lit(0L), (acc, j) =>
+        acc + when(phrase.zipWithIndex.map { case (w, i) =>
+            element_at(toks, j + lit(i)) === lit(w)
+          }.reduce(_ && _), lit(1L)).otherwise(lit(0L))))
+  }
+
+  /** Exact-phrase search over a text column for a set of query
+    * phrases: one row per (doc, phrase) with the phrase's occurrence
+    * count, hit rows only. ONE corpus scan for ALL phrases — each is
+    * an independent [[phraseCount]] projection over the same token
+    * array, fanned out row-wise (|phrases|-bounded) and filtered
+    * before anything leaves the scan. Returns (id, phrase, n_occur),
+    * phrase rendered space-joined. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty, "phrases must be non-empty")
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+      .select(col("id"), explode(array(phrases.map(p =>
+        struct(lit(p.mkString(" ")).as("phrase"),
+          phraseCount(col("__t"), p).as("n_occur"))): _*)).as("pc"))
+      .select(col("id"), col("pc.phrase").as("phrase"),
+        col("pc.n_occur").as("n_occur"))
+      .filter(col("n_occur") > 0)
   }
 }

@@ -647,4 +647,29 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => (r.getLong(2) - r.getLong(1), r.getLong(3)))
     assert(lens.forall { case (d, l) => d === l })
   }
+
+  test("conjunctiveTopK: AND semantics, BM25 order, k bound") {
+    val docs = Seq(
+      (1L, "spark window spark window spark"), // both terms, spark-heavy
+      (2L, "spark spark spark"),               // missing 'window'
+      (3L, "window spark"),                    // both, fewer hits
+      (4L, "merge join sort"),                 // neither
+      (5L, "spark window")).toDF("doc_id", "text")
+    val out = Corpus.conjunctiveTopK(docs, "doc_id", "text",
+      Seq("spark", "window"), k = 2).orderBy("rank").collect()
+    // only docs 1/3/5 contain BOTH; k=2 keeps the top 2 by score
+    assert(out.length === 2)
+    assert(out.map(_.getInt(0)).toSeq === Seq(1, 2))
+    val ids = out.map(_.getLong(1)).toSet
+    assert(ids.subsetOf(Set(1L, 3L, 5L)) && !ids.contains(2L))
+    // scores ranked descending
+    assert(out(0).getDouble(2) >= out(1).getDouble(2))
+    // widening k surfaces every conjunctive match, and no others
+    val all = Corpus.conjunctiveTopK(docs, "doc_id", "text",
+      Seq("spark", "window"), k = 10).collect()
+    assert(all.map(_.getLong(1)).toSet === Set(1L, 3L, 5L))
+    intercept[IllegalArgumentException] {
+      Corpus.conjunctiveTopK(docs, "doc_id", "text", Seq("spark"), k = 0)
+    }
+  }
 }

@@ -193,4 +193,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(5L) === ((0, 0, 0, 1)))
     assert(got(6L) === ((0, 0, 0, 1)))
   }
+
+  test("phraseCount: overlapping matches, boundaries, and short docs") {
+    val rows = Seq(
+      (1L, "a a a b"),        // "a a" twice (overlap), "a a a" once
+      (2L, "the cat sat"),    // no match
+      (3L, "b a a"),          // phrase at the end
+      (4L, "a"),              // shorter than the phrase
+      (5L, "A, a! b"))        // tokenizer lowercases + strips punct
+    val df = rows.toDF("id", "t")
+      .select(col("id"), TextAnalysis.tokens(col("t")).as("toks"))
+    def counts(p: Seq[String]): Map[Long, Long] =
+      df.select(col("id"), TextAnalysis.phraseCount(col("toks"), p).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = counts(Seq("a", "a"))
+    assert(two === Map(1L -> 2L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
+    val three = counts(Seq("a", "a", "a"))
+    assert(three === Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.phraseCount(col("toks"), Seq.empty)
+    }
+  }
+
+  test("phraseSearch: one scan over all phrases, hits only, no shuffle") {
+    val docs = Seq(
+      (1L, "fast spark table table value table part"),
+      (2L, "slow merge join"),
+      (3L, "value table part value table part")).toDF("doc_id", "text")
+    val out = TextAnalysis.phraseSearch(docs, "doc_id", "text",
+      Seq(Seq("table", "table"), Seq("value", "table", "part")))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (1L, "table table") -> 1L,
+      (1L, "value table part") -> 1L,
+      (3L, "value table part") -> 2L))
+  }
 }
