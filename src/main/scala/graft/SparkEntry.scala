@@ -1422,6 +1422,37 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "phrase")),
 
+    // --- calibration audit of the langid router: confidence = winning
+    // language's share of stopword hits, reliability bins + per-bin
+    // ECE contributions — the check a threshold-gated classifier
+    // filter needs before "drop below 0.9" means anything ---
+    "q204_calibration_ece" -> ((s, d) => {
+      val c = col("text")
+      val scored = t(s, d, "documents").select(
+          col("doc_id"), col("lang").as("lang_actual"), c,
+          TextAnalysis.stopwordCount(c, "en").as("sw_en"),
+          TextAnalysis.stopwordCount(c, "de").as("sw_de"),
+          TextAnalysis.stopwordCount(c, "es").as("sw_es"),
+          TextAnalysis.stopwordCount(c, "fr").as("sw_fr"))
+        .withColumn("lang_pred", TextAnalysis.langIdFromCounts(c,
+          col("sw_en"), col("sw_de"), col("sw_es"), col("sw_fr")))
+        .filter(col("lang_pred").isin("en", "de", "es", "fr"))
+        // confidence = Laplace-smoothed posterior share of the winning
+        // language, (win + 1)/(total + 4): the Dirichlet(1,1,1,1)
+        // posterior mean over the four candidates — evidence-aware
+        // (one stopword hit is a weak win, twenty are near-certain),
+        // never divides by zero, and spreads across bins where the
+        // raw share degenerates to 1.0 on single-language text
+        .select(
+          ((greatest(col("sw_en"), col("sw_de"), col("sw_es"), col("sw_fr"))
+            + lit(1)).cast("double") /
+            (col("sw_en") + col("sw_de") + col("sw_es") + col("sw_fr")
+              + lit(4)).cast("double")).as("conf"),
+          (col("lang_pred") === col("lang_actual")).cast("int").as("correct"))
+      Drift.calibrationReport(scored, "conf", "correct", nBins = 10)
+        .orderBy("bin")
+    }),
+
     // --- PQ recall audit: ADC top-10 vs the exact L2 top-10 — the
     // index-quality eval a deployment runs before trusting ANN ---
     "q137_pq_recall" -> ((s, d) => {
@@ -5319,6 +5350,40 @@ object SparkEntry {
 
       // Simplified-silhouette replay (shared kmeans CTE chain with q38).
       "q201_silhouette" -> q201Sql,
+
+      // Calibration replay: q21's langid chain, confidence = winning
+      // share of stopword hits, equal-width bins, DECIMAL confidence
+      // sums, wgap = |Σcorrect − Σconf| / N per bin.
+      "q204_calibration_ece" -> {
+        def sw(lang: String) =
+          s"len(list_filter(${toksSql("text")}, x -> list_contains(${dlist(stop(lang))}, x)))"
+        s"""WITH sw AS (SELECT doc_id, lang AS lang_actual, text,
+           |    ${sw("en")} AS se, ${sw("de")} AS sd,
+           |    ${sw("es")} AS ss, ${sw("fr")} AS sf FROM documents),
+           |pred AS (SELECT *,
+           |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           |         WHEN se = 0 AND sd = 0 AND ss = 0 AND sf = 0 THEN 'und'
+           |         WHEN se >= sd AND se >= ss AND se >= sf THEN 'en'
+           |         WHEN sd >= ss AND sd >= sf THEN 'de'
+           |         WHEN ss >= sf THEN 'es'
+           |         ELSE 'fr' END AS lang_pred
+           |  FROM sw),
+           |sel AS (SELECT
+           |    CAST(greatest(se, sd, ss, sf) + 1 AS DOUBLE) /
+           |      CAST(se + sd + ss + sf + 4 AS DOUBLE) AS p,
+           |    CASE WHEN lang_pred = lang_actual THEN 1 ELSE 0 END AS c
+           |  FROM pred WHERE lang_pred IN ('en', 'de', 'es', 'fr')),
+           |b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, c
+           |  FROM sel WHERE p IS NOT NULL AND p >= 0 AND p <= 1),
+           |tot AS (SELECT count(*) AS nt FROM b)
+           |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           |  round(CAST(sum(CAST(p AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+           |    AS avg_conf,
+           |  round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS acc,
+           |  round(CAST(abs(CAST(sum(c) AS DECIMAL(38,12))
+           |      - sum(CAST(p AS DECIMAL(38,12)))) AS DOUBLE) / nt, 6) AS wgap
+           |FROM b CROSS JOIN tot GROUP BY bin, nt ORDER BY bin""".stripMargin
+      },
 
       // IVF-PQ replay: the same ADC algebra as q131, restricted to the
       // codes of corpus vectors in each query's probed cells.

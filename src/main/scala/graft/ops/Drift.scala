@@ -332,4 +332,49 @@ object Drift {
       .withColumn("outlier_frac",
         round(col("n_outliers").cast("double") / col("n").cast("double"), 6))
   }
+
+  /** Reliability diagram + expected-calibration-error terms for any
+    * classifier feeding a curation gate (langid router, quality
+    * filter, safety classifier): confidence in [0, 1] cut into
+    * `nBins` equal-width bins, per bin the count, mean confidence,
+    * accuracy, and the bin's ECE contribution
+    * wgap = n_b/N · |acc_b − conf_b| — so ECE (Naeini et al. 2015,
+    * Guo et al. 2017) is the sum of the wgap column, and a
+    * calibrated classifier shows acc ≈ avg_conf in every row. A gate
+    * whose threshold assumes calibrated scores ("drop below 0.9")
+    * silently mis-filters when this drifts — the audit is one scan.
+    *
+    * Shape: one groupBy over ≤ nBins groups (map-side combinable) +
+    * a broadcast 1-row total; nothing data-proportional shuffles.
+    * Cross-engine determinism: confidence sums via DECIMAL(38,12)
+    * (no partition-order float accumulation); accuracy and wgap are
+    * exact-integer and decimal-difference arithmetic divided once.
+    * Rows with null/out-of-range confidence are dropped (a classifier
+    * emitting them is broken upstream); conf = 1.0 joins the top bin.
+    * Returns (bin, n, avg_conf, acc, wgap), bins with no rows absent. */
+  def calibrationReport(df: DataFrame, probCol: String, correctCol: String,
+                        nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val p = col(probCol).cast("double")
+    val base = df
+      .filter(p.isNotNull && p >= 0.0 && p <= 1.0 &&
+        col(correctCol).isNotNull)
+      .select(
+        least(floor(p * nBins).cast("int"), lit(nBins - 1)).as("bin"),
+        p.as("__p"), col(correctCol).cast("int").as("__c"))
+    val total = base.agg(count(lit(1)).as("__n_total"))
+    base.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__p").cast("decimal(38,12)")).as("__sp"),
+        sum(col("__c")).cast("long").as("__sc"))
+      .crossJoin(broadcast(total))
+      .select(col("bin"), col("n"),
+        round(col("__sp").cast("double") / col("n").cast("double"), 6)
+          .as("avg_conf"),
+        round(col("__sc").cast("double") / col("n").cast("double"), 6)
+          .as("acc"),
+        round(abs(col("__sc").cast("decimal(38,12)") - col("__sp"))
+            .cast("double") / col("__n_total").cast("double"), 6)
+          .as("wgap"))
+  }
 }

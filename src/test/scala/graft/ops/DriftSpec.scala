@@ -209,4 +209,37 @@ class DriftSpec extends SparkSpec {
     assert(got("g1") === ((10L, 5.0, 2.0, 1L)))
     assert(got("g2") === ((3L, 7.0, 0.0, 0L))) // 0 > 3*0 false → no outliers
   }
+
+  test("calibrationReport: bins, per-bin stats, and ECE terms match a local fold") {
+    val rows = Seq(
+      (0.05, 0), (0.08, 1),           // bin 0
+      (0.52, 1), (0.55, 0), (0.58, 1), // bin 5
+      (0.95, 1), (0.99, 1),           // bin 9
+      (1.00, 1),                      // p = 1.0 joins the TOP bin, not bin 10
+      (1.50, 1), (-0.2, 0))           // out of range: dropped
+    val out = Drift.calibrationReport(rows.toDF("p", "c"), "p", "c", nBins = 10)
+      .orderBy("bin").collect()
+    val kept = rows.filter { case (p, _) => p >= 0 && p <= 1 }
+    val n = kept.size
+    val local = kept.groupBy { case (p, _) => math.min((p * 10).toInt, 9) }
+    assert(out.map(_.getInt(0)).toSeq === local.keys.toSeq.sorted)
+    out.foreach { r =>
+      val xs = local(r.getInt(0))
+      assert(r.getLong(1) === xs.size.toLong)
+      val avgConf = xs.map(_._1).sum / xs.size
+      val acc = xs.map(_._2).sum.toDouble / xs.size
+      assert(math.abs(r.getDouble(2) - avgConf) < 1e-6)
+      assert(math.abs(r.getDouble(3) - acc) < 1e-6)
+      val wgap = math.abs(xs.map(_._2).sum - xs.map(_._1).sum) / n
+      assert(math.abs(r.getDouble(4) - wgap) < 1e-6)
+    }
+    // ECE == sum of the wgap column (the documented read-off)
+    val ece = out.map(_.getDouble(4)).sum
+    val localEce = local.values.map(xs =>
+      math.abs(xs.map(_._2).sum - xs.map(_._1).sum) / n).sum
+    assert(math.abs(ece - localEce) < 1e-5)
+    intercept[IllegalArgumentException] {
+      Drift.calibrationReport(rows.toDF("p", "c"), "p", "c", nBins = 0)
+    }
+  }
 }
