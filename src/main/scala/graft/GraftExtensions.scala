@@ -85,10 +85,19 @@ object GraftExtensions {
       graft.expressions.L2Norm(children.head)
     })
 
+  private val hammingFn: FnEntry = (
+    new FunctionIdentifier("graft_hamming"),
+    new ExpressionInfo(classOf[graft.expressions.HammingDistance].getName, "graft_hamming"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_hamming takes exactly 2 arguments")
+      graft.expressions.HammingDistance(children.head, children(1))
+    })
+
   private val fns: Seq[FnEntry] = Seq(
     cosineFn,
     dotFn,
     l2normFn,
+    hammingFn,
     digitCountFn,
     interleaveFn,
     columnFn("graft_tokens", 1)(cs => TextAnalysis.tokens(cs.head)),

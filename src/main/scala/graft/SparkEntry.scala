@@ -1453,6 +1453,14 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // --- corpus datasheet: the one-call (metric, value) summary a
+    // dataset card wants — counts, token spread, short/dup fractions,
+    // mean quality, lang/source cardinalities; one scan + one agg ---
+    "q205_corpus_report" -> ((s, d) =>
+      Curation.corpusReport(t(s, d, "documents"), "doc_id", "text",
+        "lang", "source")
+        .orderBy("metric")),
+
     // --- PQ recall audit: ADC top-10 vs the exact L2 top-10 — the
     // index-quality eval a deployment runs before trusting ANN ---
     "q137_pq_recall" -> ((s, d) => {
@@ -5350,6 +5358,51 @@ object SparkEntry {
 
       // Simplified-silhouette replay (shared kmeans CTE chain with q38).
       "q201_silhouette" -> q201Sql,
+
+      // Corpus datasheet replay: the same per-doc kernels (token
+      // count, quality ladder, token fingerprint), one aggregate,
+      // UNION ALL unpivot to (metric, value).
+      "q205_corpus_report" -> {
+        val punct = s"""CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text)"""
+        val swRatio = s"CAST(len(list_filter(${toksSql("text")}, x -> list_contains(${dlist(stop("en"))}, x))) AS DOUBLE) / len(${toksSql("text")})"
+        val mtl = s"CAST(list_sum(list_transform(${toksSql("text")}, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(${toksSql("text")})"
+        val quality =
+          s"""CAST((CASE WHEN len(${toksSql("text")}) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.3
+             |  + (CASE WHEN $mtl >= 2.0 AND $mtl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
+             |  + (CASE WHEN $punct <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+             |  + (CASE WHEN $swRatio >= 0.01 THEN 1.0 ELSE 0.0 END) * 0.2 AS DOUBLE)""".stripMargin
+        s"""WITH b AS (SELECT text, lang, source,
+           |    CASE WHEN text IS NOT NULL
+           |         THEN CAST(len(${toksSql("text")}) AS BIGINT) END AS nt,
+           |    CASE WHEN text IS NOT NULL THEN $quality END AS q,
+           |    CASE WHEN text IS NOT NULL
+           |         THEN md5(array_to_string(${toksSql("text")}, ' ')) END AS fp
+           |  FROM documents WHERE doc_id IS NOT NULL),
+           |a AS (SELECT count(*) AS nd,
+           |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nn,
+           |    count(nt) AS ntx, sum(nt) AS tt, min(nt) AS mn, max(nt) AS mx,
+           |    sum(CASE WHEN nt < 50 THEN 1 ELSE 0 END) AS ns,
+           |    sum(CAST(q AS DECIMAL(38,12))) AS sq,
+           |    count(DISTINCT fp) AS nfp, count(DISTINCT lang) AS nl,
+           |    count(DISTINCT source) AS nsr FROM b)
+           |SELECT metric, value FROM (
+           |  SELECT 'n_docs' AS metric, CAST(nd AS DOUBLE) AS value FROM a
+           |  UNION ALL SELECT 'n_null_text', CAST(nn AS DOUBLE) FROM a
+           |  UNION ALL SELECT 'total_tokens', CAST(tt AS DOUBLE) FROM a
+           |  UNION ALL SELECT 'mean_tokens',
+           |    round(CAST(tt AS DOUBLE) / nullif(ntx, 0), 6) FROM a
+           |  UNION ALL SELECT 'min_tokens', CAST(mn AS DOUBLE) FROM a
+           |  UNION ALL SELECT 'max_tokens', CAST(mx AS DOUBLE) FROM a
+           |  UNION ALL SELECT 'short_frac',
+           |    round(CAST(ns AS DOUBLE) / nullif(ntx, 0), 6) FROM a
+           |  UNION ALL SELECT 'mean_quality',
+           |    round(CAST(sq AS DOUBLE) / nullif(ntx, 0), 6) FROM a
+           |  UNION ALL SELECT 'dup_frac',
+           |    round(1.0 - CAST(nfp AS DOUBLE) / nullif(ntx, 0), 6) FROM a
+           |  UNION ALL SELECT 'n_langs', CAST(nl AS DOUBLE) FROM a
+           |  UNION ALL SELECT 'n_sources', CAST(nsr AS DOUBLE) FROM a)
+           |ORDER BY metric""".stripMargin
+      },
 
       // Calibration replay: q21's langid chain, confidence = winning
       // share of stopword hits, equal-width bins, DECIMAL confidence

@@ -133,4 +133,58 @@ object Curation {
     if (cfg.sampleFraction >= 1.0) deduped
     else Sampling.hashSample(deduped, "id", cfg.sampleFraction)
   }
+
+  /** One-call corpus datasheet — the summary table a dataset card /
+    * ingestion review wants before any deeper audit: doc and
+    * null-text counts, token totals and spread, the short-doc share,
+    * mean quality, the exact-dup fraction (distinct token
+    * fingerprints vs text-bearing docs), and language/source
+    * cardinalities. One (metric, value) row each, so downstream
+    * tooling diffs two corpus versions with a single keyed join.
+    *
+    * Shape: ONE scan computing the per-doc features (token count,
+    * quality, fingerprint — all scan-local projections), then a
+    * single global aggregate; the three exact count-distincts share
+    * the agg via Spark's Expand (3x narrow rows — the honest price of
+    * exact cardinalities in a one-call report; the sketch family
+    * (q162/q169) is the 100 TB substitute when approximate is
+    * acceptable). Quality means sum via DECIMAL(38,12); every ratio
+    * divides by a nullif-guarded count, so an empty corpus reports
+    * null metrics instead of throwing under ANSI. */
+  def corpusReport(df: DataFrame, idCol: String, textCol: String,
+                   langCol: String, sourceCol: String): DataFrame = {
+    val t = col("__t")
+    val base = df.filter(col(idCol).isNotNull)
+      .select(col(textCol).as("__t"), col(langCol).as("__lang"),
+        col(sourceCol).as("__src"))
+      .withColumn("__nt", when(t.isNotNull,
+        TextAnalysis.tokenCount(t).cast("long")))
+      .withColumn("__q", when(t.isNotNull, TextAnalysis.qualityScore(t)))
+      .withColumn("__fp", when(t.isNotNull, TextAnalysis.fingerprint(t)))
+    base.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(t.isNull, 1L).otherwise(0L)).as("n_null"),
+        count(col("__nt")).as("n_text"),
+        sum(col("__nt")).as("tot_toks"),
+        min(col("__nt")).as("min_toks"),
+        max(col("__nt")).as("max_toks"),
+        sum(when(col("__nt") < 50, 1L).otherwise(0L)).as("n_short"),
+        sum(col("__q").cast("decimal(38,12)")).as("sq"),
+        count_distinct(col("__fp")).as("n_fp"),
+        count_distinct(col("__lang")).as("n_langs"),
+        count_distinct(col("__src")).as("n_sources"))
+      .select(expr(
+        """stack(11,
+          |  'n_docs', CAST(n_docs AS DOUBLE),
+          |  'n_null_text', CAST(n_null AS DOUBLE),
+          |  'total_tokens', CAST(tot_toks AS DOUBLE),
+          |  'mean_tokens', round(CAST(tot_toks AS DOUBLE) / nullif(n_text, 0), 6),
+          |  'min_tokens', CAST(min_toks AS DOUBLE),
+          |  'max_tokens', CAST(max_toks AS DOUBLE),
+          |  'short_frac', round(CAST(n_short AS DOUBLE) / nullif(n_text, 0), 6),
+          |  'mean_quality', round(CAST(sq AS DOUBLE) / nullif(n_text, 0), 6),
+          |  'dup_frac', round(1.0 - CAST(n_fp AS DOUBLE) / nullif(n_text, 0), 6),
+          |  'n_langs', CAST(n_langs AS DOUBLE),
+          |  'n_sources', CAST(n_sources AS DOUBLE)) AS (metric, value)""".stripMargin))
+  }
 }

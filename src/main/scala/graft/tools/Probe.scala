@@ -808,6 +808,63 @@ object Probe {
         println(f"DUPSPAN-SCALELAW maxDupSpans x$m: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n spans)")
       }
     }
+    names.filter(_ == "r10ops-scalelaw").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val q = emb.filter(col("vec_id") < 5).localCheckpoint()
+      // warmup both kernels once
+      graft.ops.Quantize.hammingTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", 10, 40).count()
+      graft.ops.Similarity.bruteForceTopKLarge(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", 10).count()
+      Seq(1, 4, 10).foreach { m =>
+        val c = rotatedEmb(emb, dim, m).localCheckpoint()
+        val t0 = System.nanoTime()
+        val nh = graft.ops.Quantize.hammingTopK(q, c, "vec_id", "embedding",
+          "vec_id", "embedding", 10, 40).count()
+        val t1 = System.nanoTime()
+        val ne = graft.ops.Similarity.bruteForceTopKLarge(q, c,
+          "vec_id", "embedding", "vec_id", "embedding", 10).count()
+        val t2 = System.nanoTime()
+        println(f"R10-SCALELAW hamming x$m: ${(t1 - t0) / 1e9}%.2f s " +
+          f"($nh rows) vs exact ${(t2 - t1) / 1e9}%.2f s ($ne rows)")
+      }
+      // wide config: enough pairs (200 q x 10x corpus) that the scan
+      // kernel, not stage overhead, is what's timed
+      locally {
+        val c = rotatedEmb(emb, dim, 10).localCheckpoint()
+        val qw = emb.filter(col("vec_id") < 200).localCheckpoint()
+        val t0 = System.nanoTime()
+        val nh = graft.ops.Quantize.hammingTopK(qw, c, "vec_id", "embedding",
+          "vec_id", "embedding", 10, 40).count()
+        val t1 = System.nanoTime()
+        val ne = graft.ops.Similarity.bruteForceTopKLarge(qw, c,
+          "vec_id", "embedding", "vec_id", "embedding", 10).count()
+        val t2 = System.nanoTime()
+        println(f"R10-SCALELAW hamming wide (200q x 10x): " +
+          f"${(t1 - t0) / 1e9}%.2f s ($nh rows) vs exact " +
+          f"${(t2 - t1) / 1e9}%.2f s ($ne rows)")
+      }
+      val phrases = Seq(Seq("table", "table"),
+        Seq("value", "table", "part"), Seq("fast", "spark"))
+      graft.ops.TextAnalysis.phraseSearch(docs, "doc_id", "text", phrases).count()
+      graft.ops.Corpus.conjunctiveTopK(docs, "doc_id", "text",
+        Seq("spark", "vector", "window"), 20).count()
+      Seq(1, 4, 10).foreach { m =>
+        val d = rotatedDocs(docs, m).localCheckpoint()
+        val t0 = System.nanoTime()
+        val np = graft.ops.TextAnalysis.phraseSearch(d, "doc_id", "text",
+          phrases).count()
+        val t1 = System.nanoTime()
+        val nc = graft.ops.Corpus.conjunctiveTopK(d, "doc_id", "text",
+          Seq("spark", "vector", "window"), 20).count()
+        val t2 = System.nanoTime()
+        println(f"R10-SCALELAW phrase x$m: ${(t1 - t0) / 1e9}%.2f s " +
+          f"($np hits); conjunctive: ${(t2 - t1) / 1e9}%.2f s ($nc rows)")
+      }
+    }
     names.filter(_.startsWith("plan:")).foreach { n =>
       val q = n.stripPrefix("plan:")
       println(s"===== PLAN $q =====")

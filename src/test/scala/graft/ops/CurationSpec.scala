@@ -118,4 +118,31 @@ class CurationSpec extends SparkSpec {
     // trailing-dot host shares its real domain with id 4 (cap trips)
     assert(out === Set((1L, "a.com"), (2L, "b.com"), (3L, "example.com")))
   }
+
+  test("corpusReport: counts, spreads, dup fraction, cardinalities") {
+    val prose = ("the quick brown fox jumps over the lazy dog and then " * 5).trim
+    val docs = Seq(
+      (1L, prose, "en", "s1"),                       // long, quality-bearing
+      (2L, prose, "en", "s2"),                       // exact dup of doc 1
+      (3L, "tiny doc", "de", "s1"),                  // short (< 50 tokens)
+      (4L, null.asInstanceOf[String], "de", "s3"),   // null text
+      (5L, "another short one here", null, "s1"))    // null lang
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Curation.corpusReport(docs, "doc_id", "text", "lang", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("n_docs") === 5.0)
+    assert(got("n_null_text") === 1.0)
+    assert(got("n_langs") === 2.0)   // en, de — null lang not counted
+    assert(got("n_sources") === 3.0)
+    // 4 text-bearing docs, one an exact dup -> 3 distinct fingerprints
+    assert(got("dup_frac") === 0.25)
+    assert(got("short_frac") === 0.5) // docs 3 and 5 of the 4 with text
+    val nts = Seq(prose, prose, "tiny doc", "another short one here")
+      .map(_.split(" ").length.toLong)
+    assert(got("total_tokens") === nts.sum.toDouble)
+    assert(got("min_tokens") === nts.min.toDouble)
+    assert(got("max_tokens") === nts.max.toDouble)
+    assert(math.abs(got("mean_tokens") - nts.sum.toDouble / 4) < 1e-6)
+    assert(got("mean_quality") >= 0.0 && got("mean_quality") <= 1.0)
+  }
 }
