@@ -1426,31 +1426,41 @@ object SparkEntry {
     // language's share of stopword hits, reliability bins + per-bin
     // ECE contributions — the check a threshold-gated classifier
     // filter needs before "drop below 0.9" means anything ---
-    "q204_calibration_ece" -> ((s, d) => {
-      val c = col("text")
-      val scored = t(s, d, "documents").select(
-          col("doc_id"), col("lang").as("lang_actual"), c,
-          TextAnalysis.stopwordCount(c, "en").as("sw_en"),
-          TextAnalysis.stopwordCount(c, "de").as("sw_de"),
-          TextAnalysis.stopwordCount(c, "es").as("sw_es"),
-          TextAnalysis.stopwordCount(c, "fr").as("sw_fr"))
-        .withColumn("lang_pred", TextAnalysis.langIdFromCounts(c,
-          col("sw_en"), col("sw_de"), col("sw_es"), col("sw_fr")))
-        .filter(col("lang_pred").isin("en", "de", "es", "fr"))
-        // confidence = Laplace-smoothed posterior share of the winning
-        // language, (win + 1)/(total + 4): the Dirichlet(1,1,1,1)
-        // posterior mean over the four candidates — evidence-aware
-        // (one stopword hit is a weak win, twenty are near-certain),
-        // never divides by zero, and spreads across bins where the
-        // raw share degenerates to 1.0 on single-language text
-        .select(
-          ((greatest(col("sw_en"), col("sw_de"), col("sw_es"), col("sw_fr"))
-            + lit(1)).cast("double") /
-            (col("sw_en") + col("sw_de") + col("sw_es") + col("sw_fr")
-              + lit(4)).cast("double")).as("conf"),
-          (col("lang_pred") === col("lang_actual")).cast("int").as("correct"))
-      Drift.calibrationReport(scored, "conf", "correct", nBins = 10)
-        .orderBy("bin")
+    "q204_calibration_ece" -> ((s, d) =>
+      Drift.calibrationReport(calibScored(s, d), "conf", "correct",
+          nBins = 10)
+        .orderBy("bin")),
+
+    // --- STREAMING calibration twin: the per-bin (count, DECIMAL
+    // conf sum, correct sum) state is a bounded-group streaming
+    // aggregation (≤ nBins keys); per-trigger cumulative emissions
+    // max-merge to the batch sums, and the SHARED readoff must equal
+    // the batch report of the same rows — proven by reusing q204's
+    // oracle verbatim ---
+    "q206_streaming_calibration" -> ((s, d) => {
+      import s.implicits._
+      val rows = calibScored(s, d)
+        .filter(col("conf").isNotNull && col("conf") >= 0.0 &&
+          col("conf") <= 1.0 && col("correct").isNotNull)
+        .select(col("doc_id"), col("conf"), col("correct"))
+        .as[(Long, Double, Int)].collect()
+      val batches = (0 to 2).map(b =>
+        rows.toSeq.filter(_._1 % 3 == b).map { case (_, p, c) => (p, c) })
+      val perTrigger = runMicroBatched(s, Seq("p", "c"), batches,
+          "graft-stream-calib", Seq("bin", "n", "sp", "sc"),
+          org.apache.spark.sql.streaming.OutputMode.Update()) { stream =>
+        stream.groupBy(
+            least(floor(col("p") * 10).cast("int"), lit(9)).as("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("p").cast("decimal(38,12)")).as("sp"),
+            sum(col("c")).cast("long").as("sc"))
+      }
+      val fin = perTrigger.groupBy("bin")
+        .agg(max_by(struct(col("n"), col("sp"), col("sc")), col("n")).as("f"))
+        .select(col("bin"), col("f.n").as("n"),
+          col("f.sp").cast("decimal(38,12)").as("__sp"),
+          col("f.sc").as("__sc"))
+      Drift.calibrationReadoff(fin).orderBy("bin")
     }),
 
     // --- corpus datasheet: the one-call (metric, value) summary a
@@ -5407,36 +5417,12 @@ object SparkEntry {
       // Calibration replay: q21's langid chain, confidence = winning
       // share of stopword hits, equal-width bins, DECIMAL confidence
       // sums, wgap = |Σcorrect − Σconf| / N per bin.
-      "q204_calibration_ece" -> {
-        def sw(lang: String) =
-          s"len(list_filter(${toksSql("text")}, x -> list_contains(${dlist(stop(lang))}, x)))"
-        s"""WITH sw AS (SELECT doc_id, lang AS lang_actual, text,
-           |    ${sw("en")} AS se, ${sw("de")} AS sd,
-           |    ${sw("es")} AS ss, ${sw("fr")} AS sf FROM documents),
-           |pred AS (SELECT *,
-           |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-           |         WHEN se = 0 AND sd = 0 AND ss = 0 AND sf = 0 THEN 'und'
-           |         WHEN se >= sd AND se >= ss AND se >= sf THEN 'en'
-           |         WHEN sd >= ss AND sd >= sf THEN 'de'
-           |         WHEN ss >= sf THEN 'es'
-           |         ELSE 'fr' END AS lang_pred
-           |  FROM sw),
-           |sel AS (SELECT
-           |    CAST(greatest(se, sd, ss, sf) + 1 AS DOUBLE) /
-           |      CAST(se + sd + ss + sf + 4 AS DOUBLE) AS p,
-           |    CASE WHEN lang_pred = lang_actual THEN 1 ELSE 0 END AS c
-           |  FROM pred WHERE lang_pred IN ('en', 'de', 'es', 'fr')),
-           |b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, c
-           |  FROM sel WHERE p IS NOT NULL AND p >= 0 AND p <= 1),
-           |tot AS (SELECT count(*) AS nt FROM b)
-           |SELECT bin, CAST(count(*) AS BIGINT) AS n,
-           |  round(CAST(sum(CAST(p AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
-           |    AS avg_conf,
-           |  round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS acc,
-           |  round(CAST(abs(CAST(sum(c) AS DECIMAL(38,12))
-           |      - sum(CAST(p AS DECIMAL(38,12)))) AS DOUBLE) / nt, 6) AS wgap
-           |FROM b CROSS JOIN tot GROUP BY bin, nt ORDER BY bin""".stripMargin
-      },
+      "q204_calibration_ece" -> q204Sql,
+
+      // The streaming twin's per-trigger emissions max-merge to the
+      // SAME per-bin sums, so the identical oracle certifies
+      // stream == batch == DuckDB in one row.
+      "q206_streaming_calibration" -> q204Sql,
 
       // IVF-PQ replay: the same ADC algebra as q131, restricted to the
       // codes of corpus vectors in each query's probed cells.
@@ -7360,6 +7346,68 @@ object SparkEntry {
   private def bm25TotalSql(terms: Seq[String]): String =
     terms.map(t =>
       s"coalesce(max(CASE WHEN term = '$t' THEN c END), 0.0)").mkString(" + ")
+
+  /** Calibration replay shared by q204 (batch) and q206 (streaming
+    * twin — same merged sums, same readoff): q21's langid chain,
+    * Laplace-smoothed winning share, equal-width bins, DECIMAL
+    * confidence sums, wgap = |Σcorrect − Σconf| / N per bin. */
+  private def q204Sql: String = {
+    def sw(lang: String) =
+      s"len(list_filter(${toksSql("text")}, x -> list_contains(${dlist(stop(lang))}, x)))"
+    s"""WITH sw AS (SELECT doc_id, lang AS lang_actual, text,
+       |    ${sw("en")} AS se, ${sw("de")} AS sd,
+       |    ${sw("es")} AS ss, ${sw("fr")} AS sf FROM documents),
+       |pred AS (SELECT *,
+       |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |         WHEN se = 0 AND sd = 0 AND ss = 0 AND sf = 0 THEN 'und'
+       |         WHEN se >= sd AND se >= ss AND se >= sf THEN 'en'
+       |         WHEN sd >= ss AND sd >= sf THEN 'de'
+       |         WHEN ss >= sf THEN 'es'
+       |         ELSE 'fr' END AS lang_pred
+       |  FROM sw),
+       |sel AS (SELECT
+       |    CAST(greatest(se, sd, ss, sf) + 1 AS DOUBLE) /
+       |      CAST(se + sd + ss + sf + 4 AS DOUBLE) AS p,
+       |    CASE WHEN lang_pred = lang_actual THEN 1 ELSE 0 END AS c
+       |  FROM pred WHERE lang_pred IN ('en', 'de', 'es', 'fr')),
+       |b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, c
+       |  FROM sel WHERE p IS NOT NULL AND p >= 0 AND p <= 1),
+       |tot AS (SELECT count(*) AS nt FROM b)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |  round(CAST(sum(CAST(p AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+       |    AS avg_conf,
+       |  round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS acc,
+       |  round(CAST(abs(CAST(sum(c) AS DECIMAL(38,12))
+       |      - sum(CAST(p AS DECIMAL(38,12)))) AS DOUBLE) / nt, 6) AS wgap
+       |FROM b CROSS JOIN tot GROUP BY bin, nt ORDER BY bin""".stripMargin
+  }
+
+  /** Shared calibration-row derivation (q204 batch report, q206
+    * streaming twin): langid over the four stopword counts,
+    * confidence = Laplace-smoothed posterior share of the winning
+    * language, (win + 1)/(total + 4) — the Dirichlet(1,1,1,1)
+    * posterior mean over the candidates: evidence-aware (one stopword
+    * hit is a weak win, twenty are near-certain), never divides by
+    * zero, and spreads across bins where the raw share degenerates to
+    * 1.0 on single-language text. Returns (doc_id, conf, correct). */
+  private def calibScored(s: SparkSession, d: String): DataFrame = {
+    val c = col("text")
+    t(s, d, "documents").select(
+        col("doc_id"), col("lang").as("lang_actual"), c,
+        TextAnalysis.stopwordCount(c, "en").as("sw_en"),
+        TextAnalysis.stopwordCount(c, "de").as("sw_de"),
+        TextAnalysis.stopwordCount(c, "es").as("sw_es"),
+        TextAnalysis.stopwordCount(c, "fr").as("sw_fr"))
+      .withColumn("lang_pred", TextAnalysis.langIdFromCounts(c,
+        col("sw_en"), col("sw_de"), col("sw_es"), col("sw_fr")))
+      .filter(col("lang_pred").isin("en", "de", "es", "fr"))
+      .select(col("doc_id"),
+        ((greatest(col("sw_en"), col("sw_de"), col("sw_es"), col("sw_fr"))
+          + lit(1)).cast("double") /
+          (col("sw_en") + col("sw_de") + col("sw_es") + col("sw_fr")
+            + lit(4)).cast("double")).as("conf"),
+        (col("lang_pred") === col("lang_actual")).cast("int").as("correct"))
+  }
 
   /** The kmeans replay CTE chain shared by q38 (centroid dump) and
     * q201 (silhouette): `corpus`, `cent0`, Lloyd rounds, ending with

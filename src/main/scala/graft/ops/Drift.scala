@@ -362,12 +362,21 @@ object Drift {
       .select(
         least(floor(p * nBins).cast("int"), lit(nBins - 1)).as("bin"),
         p.as("__p"), col(correctCol).cast("int").as("__c"))
-    val total = base.agg(count(lit(1)).as("__n_total"))
-    base.groupBy("bin")
+    calibrationReadoff(base.groupBy("bin")
       .agg(count(lit(1)).as("n"),
         sum(col("__p").cast("decimal(38,12)")).as("__sp"),
-        sum(col("__c")).cast("long").as("__sc"))
-      .crossJoin(broadcast(total))
+        sum(col("__c")).cast("long").as("__sc")))
+  }
+
+  /** Shared finalize of the calibration family: per-bin sums →
+    * (bin, n, avg_conf, acc, wgap). Input schema: (bin, n,
+    * __sp = DECIMAL(38,12) confidence sum, __sc = long correct sum).
+    * ONE definition so the batch report and the streaming twin (whose
+    * state is exactly these mergeable per-bin sums) can never diverge
+    * in the finalize arithmetic. */
+  def calibrationReadoff(bins: DataFrame): DataFrame = {
+    val total = bins.agg(sum(col("n")).as("__n_total"))
+    bins.crossJoin(broadcast(total))
       .select(col("bin"), col("n"),
         round(col("__sp").cast("double") / col("n").cast("double"), 6)
           .as("avg_conf"),
