@@ -1463,6 +1463,21 @@ object SparkEntry {
       Drift.calibrationReadoff(fin).orderBy("bin")
     }),
 
+    // --- IVF-pruned binary ANN: the corpus-scale route of q200 —
+    // each query Hamming-scans only its nprobe nearest cells' packed
+    // words, candidates rerank through the shared exact-cosine tail
+    // (the q30/q147 gate discipline applied to sign bits) ---
+    "q207_hamming_ann_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Quantize.hammingTopKIvf(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", "vec_id", "embedding", k = 10, cand = 40,
+        nCentroids = 16, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("hd"), round(col("sim"), 6).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // --- corpus datasheet: the one-call (metric, value) summary a
     // dataset card wants — counts, token spread, short/dup fractions,
     // mean quality, lang/source cardinalities; one scan + one agg ---
@@ -5368,6 +5383,60 @@ object SparkEntry {
 
       // Simplified-silhouette replay (shared kmeans CTE chain with q38).
       "q201_silhouette" -> q201Sql,
+
+      // IVF-pruned binary ANN replay: q30's coarse-index CTEs (seed
+      // centroids, cell assignment, nprobe probes) + the packed-word
+      // Hamming rank restricted to probed cells + the shared
+      // exact-cosine rerank.
+      "q207_hamming_ann_ivf" ->
+        """WITH corpus AS (SELECT * FROM embeddings WHERE vec_id >= 5),
+          |q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+          |cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM corpus ORDER BY vec_id LIMIT 16),
+          |assigned AS (
+          |  SELECT vec_id AS id, centroid_id FROM (
+          |    SELECT c.vec_id, ct.centroid_id,
+          |      row_number() OVER (PARTITION BY c.vec_id
+          |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(ct.cv AS DOUBLE[])) DESC, ct.centroid_id ASC) AS rn
+          |    FROM corpus c CROSS JOIN cent ct)
+          |  WHERE rn = 1),
+          |probes AS (
+          |  SELECT vec_id AS query_id, centroid_id FROM (
+          |    SELECT q.vec_id, ct.centroid_id,
+          |      row_number() OVER (PARTITION BY q.vec_id
+          |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(ct.cv AS DOUBLE[])) DESC, ct.centroid_id ASC) AS rn
+          |    FROM q CROSS JOIN cent ct)
+          |  WHERE rn <= 4),
+          |v AS (SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+          |  FROM embeddings WHERE embedding IS NOT NULL),
+          |b AS (SELECT vec_id, vv,
+          |    list_transform(range(0, CAST(ceil(len(vv) / 32.0) AS INT)), w ->
+          |      CAST(coalesce(list_sum(list_transform(
+          |        range(w * 32, CAST(least(w * 32 + 32, len(vv)) AS INT)), i ->
+          |          CASE WHEN vv[i + 1] > 0 THEN (CAST(1 AS BIGINT) << (i - w * 32))
+          |               ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)) AS words
+          |  FROM v),
+          |hd AS (SELECT p.query_id, a.id AS neighbor_id,
+          |    CAST(coalesce(list_sum(list_transform(
+          |      range(0, CAST(len(bq.words) AS INT)), i ->
+          |        CAST(bit_count(xor(bq.words[i + 1], bc.words[i + 1])) AS BIGINT))),
+          |      0) AS BIGINT) AS hd
+          |  FROM probes p
+          |  JOIN assigned a ON p.centroid_id = a.centroid_id
+          |  JOIN b bq ON bq.vec_id = p.query_id
+          |  JOIN b bc ON bc.vec_id = a.id),
+          |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY hd ASC, neighbor_id ASC) AS crank FROM hd),
+          |rr AS (SELECT c.query_id, c.neighbor_id, c.hd,
+          |    list_cosine_similarity(vq.vv, vc.vv) AS sim
+          |  FROM cand c
+          |  JOIN v vq ON vq.vec_id = c.query_id
+          |  JOIN v vc ON vc.vec_id = c.neighbor_id
+          |  WHERE c.crank <= 40)
+          |SELECT query_id, rank, neighbor_id, hd, round(sim, 6) AS sim FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY sim DESC, neighbor_id ASC) AS rank FROM rr)
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
       // Corpus datasheet replay: the same per-doc kernels (token
       // count, quality ladder, token fingerprint), one aggregate,

@@ -485,7 +485,18 @@ object Quantize {
     val cands = partial.withColumn("__crank", row_number().over(wc))
       .filter(col("__crank") <= cand)
       .select("query_id", "neighbor_id", "hd")
-    // rerank: fetch full vectors for the candidate ids only
+    cosineRerank(cands, queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol, k)
+  }
+
+  /** Shared rerank tail of the binary-ANN family: the |Q|·cand
+    * candidate id pairs broadcast-join back to the full float vectors
+    * and re-score with exact double cosine; final top-k by
+    * (sim desc, neighbor_id asc). ONE definition so the flat-scan and
+    * IVF-pruned routes can never diverge in the rerank contract. */
+  private def cosineRerank(cands: DataFrame,
+                           queries: DataFrame, qIdCol: String, qVecCol: String,
+                           corpus: DataFrame, cIdCol: String, cVecCol: String,
+                           k: Int): DataFrame = {
     val qv = queries.filter(col(qVecCol).isNotNull)
       .select(col(qIdCol).as("query_id"),
         transform(col(qVecCol), _.cast("double")).as("__qv"))
@@ -500,6 +511,70 @@ object Quantize {
       .withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "hd", "sim")
+  }
+
+  /** IVF-pruned binary ANN — the corpus-scale route of
+    * [[hammingTopK]], completing the family's gate discipline (each
+    * ANN variant pairs its exact/flat kernel with an inverted-file
+    * composition: q30 for floats, q147 for int8, this for sign bits):
+    * the binary index is annotated with its coarse cell (the shared
+    * deterministic centroid source — seed = lowest ids, optional Lloyd
+    * rounds), each query Hamming-scans ONLY its `nprobe` nearest
+    * cells' words (~nprobe/nCentroids of the index per query instead
+    * of all of it), candidates rerank through the shared exact-cosine
+    * tail. Per-query cost: nCentroids probe dots + the probed cells'
+    * popcounts + cand rerank dots. Both stages pinned by the same
+    * tie-breaks as the flat route, so the output contract stays
+    * deterministic and oracle-replayable. */
+  def hammingTopKIvf(queries: DataFrame, corpus: DataFrame,
+                     qIdCol: String, qVecCol: String,
+                     cIdCol: String, cVecCol: String,
+                     k: Int, cand: Int,
+                     nCentroids: Int = 16, nprobe: Int = 4,
+                     kmeansIterations: Int = 0): DataFrame = {
+    require(cand >= k, s"cand ($cand) must be >= k ($k)")
+    require(nprobe >= 1 && nprobe <= nCentroids,
+      s"nprobe ($nprobe) must be in [1, nCentroids=$nCentroids]")
+    val cents = Similarity.centroidsFor(corpus, cIdCol, cVecCol,
+      nCentroids, kmeansIterations)
+    val cb = binarySign(corpus, cIdCol, cVecCol)
+      .select(col(cIdCol).as("neighbor_id"), col("words").as("__cw"))
+      .join(Similarity.assignToCentroid(corpus, cIdCol, cVecCol, cents,
+          "centroid_id", "cv")
+        .select(col("id").as("neighbor_id"), col("centroid_id").as("cell")),
+        "neighbor_id")
+    val qProbes = {
+      val cvs = cents.select(col("centroid_id").as("cell"),
+        transform(col("cv"), _.cast("double")).as("__ccv"))
+      val j = queries.filter(col(qVecCol).isNotNull)
+        .select(col(qIdCol).as("query_id"),
+          transform(col(qVecCol), _.cast("double")).as("__qv"))
+        .crossJoin(broadcast(cvs))
+        .withColumn("__sim", Similarity.cosine(col("__qv"), col("__ccv")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("__sim").desc, col("cell").asc)
+      j.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= nprobe)
+        .select("query_id", "cell")
+    }
+    val qb = binarySign(queries, qIdCol, qVecCol)
+      .select(col(qIdCol).as("query_id"), col("words").as("__qw"))
+    val scored = qb.join(qProbes, "query_id").hint("broadcast")
+      .join(cb, "cell")
+      .withColumn("hd", hammingDist(col("__qw"), col("__cw")))
+      .select("query_id", "neighbor_id", "hd")
+    val partial = scored
+      .groupBy(col("query_id"), spark_partition_id().as("__p"))
+      .agg(slice(array_sort(collect_list(struct(col("hd"), col("neighbor_id")))),
+        1, cand).as("heap"))
+      .select(col("query_id"), explode(col("heap")).as("h"))
+      .select(col("query_id"), col("h.neighbor_id").as("neighbor_id"),
+        col("h.hd").as("hd"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("hd").asc, col("neighbor_id").asc)
+    val cands = partial.withColumn("__crank", row_number().over(wc))
+      .filter(col("__crank") <= cand)
+      .select("query_id", "neighbor_id", "hd")
+    cosineRerank(cands, queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol, k)
   }
 
   def int8TopKAuto(queries: DataFrame, corpus: DataFrame,

@@ -196,7 +196,7 @@ object Similarity {
     * `kmeansIterations` Lloyd rounds refining them — ONE definition so
     * a change to the seeding rule can never leave ivfTopK and the
     * semantic dedup computing different clusters. */
-  private def centroidsFor(corpus: DataFrame, cId: String, cVec: String,
+  private[ops] def centroidsFor(corpus: DataFrame, cId: String, cVec: String,
                            k: Int, kmeansIterations: Int): DataFrame =
     if (kmeansIterations > 0)
       kmeansCentroids(corpus, cId, cVec, k, kmeansIterations)

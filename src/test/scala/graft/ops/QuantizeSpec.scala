@@ -453,4 +453,37 @@ class QuantizeSpec extends SparkSpec {
         "vec_id", "embedding", k = 5, cand = 4)
     }
   }
+
+  test("hammingTopKIvf: probing every cell equals the flat scan; pruned probes stay k-bounded") {
+    val rnd = new scala.util.Random(37)
+    val data = (0L until 120L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = data.filter(col("vec_id") < 5)
+    val c = data.filter(col("vec_id") >= 5)
+    // nprobe = nCentroids scans every cell: identical contract to the
+    // flat route (same candidate set, same rerank)
+    val full = Quantize.hammingTopKIvf(q, c, "vec_id", "embedding",
+        "vec_id", "embedding", k = 8, cand = 30, nCentroids = 8, nprobe = 8)
+      .orderBy("query_id", "rank").collect()
+    val flat = Quantize.hammingTopK(q, c, "vec_id", "embedding",
+        "vec_id", "embedding", k = 8, cand = 30)
+      .orderBy("query_id", "rank").collect()
+    assert(full.length === flat.length)
+    full.zip(flat).foreach { case (a, b) =>
+      assert(a.getLong(0) === b.getLong(0))
+      assert(a.getInt(1) === b.getInt(1))
+      assert(a.getLong(2) === b.getLong(2))
+      assert(a.getLong(3) === b.getLong(3))
+      assert(math.abs(a.getDouble(4) - b.getDouble(4)) < 1e-12)
+    }
+    // pruned: k rows per query, each from the probed subset
+    val pruned = Quantize.hammingTopKIvf(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", k = 8, cand = 30, nCentroids = 8, nprobe = 2)
+      .collect()
+    assert(pruned.groupBy(_.getLong(0)).forall(_._2.length == 8))
+    intercept[IllegalArgumentException] {
+      Quantize.hammingTopKIvf(q, c, "vec_id", "embedding",
+        "vec_id", "embedding", k = 8, cand = 30, nCentroids = 4, nprobe = 5)
+    }
+  }
 }
