@@ -1478,6 +1478,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // --- JL random projection (Achlioptas ±1 signs): 64 → 16 dims as
+    // one map-only literal-matrix projection — the sketching step in
+    // front of LSH/clustering when d is large ---
+    "q208_jl_projection" -> ((s, d) =>
+      graft.ops.Projection.jlTransform(t(s, d, "embeddings"), "vec_id", "embedding",
+        inDim = 64, outDim = 16)
+        .select(col("vec_id"), col("j"), round(col("out"), 6).as("out"))
+        .orderBy("vec_id", "j")),
+
     // --- corpus datasheet: the one-call (metric, value) summary a
     // dataset card wants — counts, token spread, short/dup fractions,
     // mean quality, lang/source cardinalities; one scan + one agg ---
@@ -5437,6 +5446,27 @@ object SparkEntry {
           |  SELECT *, row_number() OVER (PARTITION BY query_id
           |    ORDER BY sim DESC, neighbor_id ASC) AS rank FROM rr)
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // JL projection replay: the same md5-parity sign matrix
+      // (±1/√16 = ±0.25, exact dyadic) rebuilt in SQL, left-fold sum.
+      "q208_jl_projection" ->
+        """WITH v AS (SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+          |  FROM embeddings WHERE embedding IS NOT NULL),
+          |S AS (SELECT j, list(sgn ORDER BY i) AS sv FROM (
+          |    SELECT j, i,
+          |      CASE WHEN substr(md5('jl0:' || i || ':' || j), 1, 1)
+          |             IN ('0','1','2','3','4','5','6','7')
+          |           THEN CAST(0.25 AS DOUBLE)
+          |           ELSE CAST(-0.25 AS DOUBLE) END AS sgn
+          |    FROM range(16) t(j) CROSS JOIN range(64) u(i)) GROUP BY j),
+          |p AS (SELECT vec_id, j,
+          |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |      list_transform(range(64), i -> vv[i + 1] * sv[i + 1])),
+          |      (acc, x) -> acc + x) AS pj
+          |  FROM v CROSS JOIN S)
+          |SELECT vec_id, CAST(j AS INT) AS j, round(pj, 6) AS out
+          |FROM p ORDER BY vec_id, j""".stripMargin,
 
       // Corpus datasheet replay: the same per-doc kernels (token
       // count, quality ladder, token fingerprint), one aggregate,

@@ -140,4 +140,46 @@ object Projection {
     model.transform(withVec)
       .select(col(idCol), col("source"), vector_to_array(col("__pc")).as("pc"))
   }
+
+  /** Johnson–Lindenstrauss random projection with Rademacher (±1)
+    * entries (Achlioptas 2003 — database-friendly projections: the
+    * sign matrix preserves pairwise distances with the same JL
+    * guarantee as Gaussian entries, no transcendentals needed):
+    * out_j = (1/√m) Σ_i v_i · s(i,j), s(i,j) = ±1 keyed by
+    * md5(seed:i:j)'s first hex digit. The sketching step in front of
+    * LSH / clustering when d is large: a 768-dim corpus projects to
+    * m=64 at 12x less ANN scan cost with bounded distortion.
+    *
+    * The matrix depends only on (seed, i, j) — derived DRIVER-SIDE
+    * once (m·d md5 calls, no data pass) and shipped as one literal,
+    * so the transform is a pure map-only projection (no shuffle, no
+    * broadcast table, whole-stage codegen) and the whole chain
+    * replays in the oracle from the same md5 parity. Sum order is a
+    * left fold over i — bit-stable cross-engine. Returns one row per
+    * (id, j, out) — out UNROUNDED; callers round for display.
+    * Rows with null vectors are dropped; vectors shorter than
+    * `inDim` zero-pad implicitly (zip stops at the vector length). */
+  def jlTransform(df: DataFrame, idCol: String, vecCol: String,
+                  inDim: Int, outDim: Int, seed: String = "jl0"): DataFrame = {
+    require(inDim >= 1 && outDim >= 1,
+      s"dims must be >= 1, got inDim=$inDim outDim=$outDim")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    def sign(i: Int, j: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$i:$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) scale else -scale
+    }
+    val signs = typedLit((0 until outDim).map(j =>
+      (0 until inDim).map(i => sign(i, j))))
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(outDim - 1)), j =>
+          aggregate(
+            zip_with(col("__v"), element_at(signs, j + 1), (x, s) => x * s),
+            lit(0.0), (acc, x) => acc + x))))
+      .select(col(idCol), col("pos").cast("int").as("j"),
+        col("col").as("out"))
+  }
 }

@@ -110,4 +110,61 @@ class ProjectionSpec extends SparkSpec {
       Projection.whiten(dup.toDF("id", "vec"), "id", "vec", 1)
     }
   }
+
+  test("jlTransform: local parity, determinism, seed sensitivity, distance sanity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val data = (0L until 25L).map(i =>
+      (i, Array.fill(32)(rnd.nextFloat() * 2 - 1))).toDF("id", "vec")
+    val m = 8
+    val out = Projection.jlTransform(data, "id", "vec", inDim = 32, outDim = m)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out.size === 25 * m)
+
+    // local parity: same md5-parity signs, same left fold
+    val scale = 1.0 / math.sqrt(m.toDouble)
+    def sign(i: Int, j: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl0:$i:$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) scale else -scale
+    }
+    val orig = data.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    orig.foreach { case (id, v) =>
+      (0 until m).foreach { j =>
+        var acc = 0.0
+        v.zipWithIndex.foreach { case (x, i) => acc += x * sign(i, j) }
+        assert(java.lang.Double.doubleToLongBits(out((id, j))) ===
+          java.lang.Double.doubleToLongBits(acc), s"id=$id j=$j")
+      }
+    }
+
+    // determinism + seed sensitivity
+    val again = Projection.jlTransform(data, "id", "vec", 32, m)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(again === out)
+    val other = Projection.jlTransform(data, "id", "vec", 32, m, seed = "jl1")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(other !== out)
+
+    // JL sanity: squared-distance distortion ratios concentrate near 1
+    // (E[ratio] = 1, sd ≈ √(2/m) — loose band at m=8, but every pair
+    // must stay within a constant factor and the mean must center)
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted.take(10)
+    val pairs = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val ratios = pairs.map { case (a, b) =>
+      d2((0 until m).map(j => out((a, j))), (0 until m).map(j => out((b, j)))) /
+        d2(orig(a), orig(b))
+    }
+    val meanR = ratios.sum / ratios.size
+    assert(meanR > 0.7 && meanR < 1.3, s"mean distortion off-center: $meanR")
+    assert(ratios.forall(r => r > 0.15 && r < 3.5),
+      s"pair distortion outside constant band: min=${ratios.min} max=${ratios.max}")
+
+    intercept[IllegalArgumentException] {
+      Projection.jlTransform(data, "id", "vec", 32, 0)
+    }
+  }
 }
