@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -707,7 +707,28 @@ object Corpus {
     * per span occurrence: (id, span_start, span_end, span_len),
     * span char range [span_start, span_end) 0-based. */
   def maxDupSpans(df: DataFrame, idCol: String, textCol: String,
-                  minLen: Int): DataFrame = {
+                  minLen: Int): DataFrame =
+    maxDupSpansWithFp(df, idCol, textCol, minLen,
+      sub => md5(sub.cast("binary")))
+
+  /** Production-hash variant of [[maxDupSpans]]: identical span
+    * semantics and plan shape, window fingerprints via xxhash64
+    * (8-byte integer digests — no hex string, ~half the shuffle key
+    * width; the [[graft.ops.Sketch.hllDistinctFast]] convention).
+    * Measured at sf0.1 the two are at parity (R10-SCALELAW — the
+    * explode + fp shuffle dominates, not the hash), so the value of
+    * this form is the narrower shuffle key at real corpus scale, not
+    * local speed. A 64-bit collision would mark one extra L-gram
+    * duplicated — negligible below ~2³² windows per corpus and
+    * acceptable for a REWRITE gate (the registered q197 row keeps md5
+    * so the oracle replays). */
+  def maxDupSpansFast(df: DataFrame, idCol: String, textCol: String,
+                      minLen: Int): DataFrame =
+    maxDupSpansWithFp(df, idCol, textCol, minLen, sub => xxhash64(sub))
+
+  private def maxDupSpansWithFp(df: DataFrame, idCol: String, textCol: String,
+                                minLen: Int,
+                                fp: Column => Column): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     val base = df
       .filter(col(idCol).isNotNull)
@@ -719,7 +740,7 @@ object Corpus {
           .as("off"),
         col("text"))
       .select(col("id"), col("off").cast("int").as("off"),
-        md5(expr(s"CAST(substring(text, off + 1, $minLen) AS BINARY)")).as("fp"))
+        fp(expr(s"substring(text, off + 1, $minLen)")).as("fp"))
       .localCheckpoint() // feeds both the dup-mark agg and the join back
     val dupFp = wins.groupBy("fp").agg(count(lit(1)).as("occ"))
       .filter(col("occ") > 1).select("fp")

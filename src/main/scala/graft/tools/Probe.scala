@@ -847,6 +847,21 @@ object Probe {
           f"${(t1 - t0) / 1e9}%.2f s ($nh rows) vs exact " +
           f"${(t2 - t1) / 1e9}%.2f s ($ne rows)")
       }
+      // md5 vs xxhash64 on the dup-span one-row-per-character path
+      locally {
+        val dup = docs.unionByName(
+          docs.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + lit(500000L)))
+          .localCheckpoint()
+        graft.ops.Corpus.maxDupSpans(dup, "doc_id", "text", 40).count() // warm
+        val t0 = System.nanoTime()
+        val nm = graft.ops.Corpus.maxDupSpans(dup, "doc_id", "text", 40).count()
+        val t1 = System.nanoTime()
+        val nx = graft.ops.Corpus.maxDupSpansFast(dup, "doc_id", "text", 40).count()
+        val t2 = System.nanoTime()
+        println(f"R10-SCALELAW dupspan md5: ${(t1 - t0) / 1e9}%.2f s ($nm) " +
+          f"vs xxhash64: ${(t2 - t1) / 1e9}%.2f s ($nx)")
+      }
       val phrases = Seq(Seq("table", "table"),
         Seq("value", "table", "part"), Seq("fast", "spark"))
       graft.ops.TextAnalysis.phraseSearch(docs, "doc_id", "text", phrases).count()
