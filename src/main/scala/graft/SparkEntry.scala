@@ -5452,7 +5452,8 @@ object SparkEntry {
       "q208_jl_projection" ->
         """WITH v AS (SELECT vec_id,
           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-          |  FROM embeddings WHERE embedding IS NOT NULL),
+          |  FROM embeddings
+          |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
           |S AS (SELECT j, list(sgn ORDER BY i) AS sv FROM (
           |    SELECT j, i,
           |      CASE WHEN substr(md5('jl0:' || i || ':' || j), 1, 1)

@@ -157,8 +157,11 @@ object Projection {
     * replays in the oracle from the same md5 parity. Sum order is a
     * left fold over i — bit-stable cross-engine. Returns one row per
     * (id, j, out) — out UNROUNDED; callers round for display.
-    * Rows with null vectors are dropped; vectors shorter than
-    * `inDim` zero-pad implicitly (zip stops at the vector length). */
+    * Rows with null vectors OR a length ≠ `inDim` are DROPPED:
+    * zip_with null-pads mismatched arrays (it does NOT stop at the
+    * shorter one), which would silently null the whole projection —
+    * a mixed-dimension corpus is an upstream bug this surfaces by
+    * omission (diff the row counts to count the drops). */
   def jlTransform(df: DataFrame, idCol: String, vecCol: String,
                   inDim: Int, outDim: Int, seed: String = "jl0"): DataFrame = {
     require(inDim >= 1 && outDim >= 1,
@@ -171,7 +174,7 @@ object Projection {
     }
     val signs = typedLit((0 until outDim).map(j =>
       (0 until inDim).map(i => sign(i, j))))
-    df.filter(col(vecCol).isNotNull)
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === inDim)
       .select(col(idCol),
         transform(col(vecCol), _.cast("double")).as("__v"))
       .select(col(idCol),

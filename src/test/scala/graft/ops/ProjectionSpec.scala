@@ -163,6 +163,14 @@ class ProjectionSpec extends SparkSpec {
     assert(ratios.forall(r => r > 0.15 && r < 3.5),
       s"pair distortion outside constant band: min=${ratios.min} max=${ratios.max}")
 
+    // mismatched-dimension rows are dropped (zip_with would null-pad
+    // and poison the fold otherwise), matched rows unaffected
+    val mixed = data.unionByName(
+      Seq((999L, Array.fill(16)(1.0f))).toDF("id", "vec"))
+    val mixedOut = Projection.jlTransform(mixed, "id", "vec", 32, m).collect()
+    assert(!mixedOut.exists(_.getLong(0) == 999L))
+    assert(mixedOut.length === 25 * m)
+
     intercept[IllegalArgumentException] {
       Projection.jlTransform(data, "id", "vec", 32, 0)
     }
