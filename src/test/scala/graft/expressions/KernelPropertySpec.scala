@@ -81,4 +81,56 @@ class KernelPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("HammingDistance: metric axioms + popcount model on randomized words") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.GraftColumnBridge
+    def hd(x: String, y: String) =
+      GraftColumnBridge.column(HammingDistance(
+        GraftColumnBridge.expression(col(x)),
+        GraftColumnBridge.expression(col(y))))
+    val tripleGen = Gen.chooseNum(1, 4).flatMap { n =>
+      val w = Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+        .map(_.toArray)
+      Gen.zip(w, Gen.zip(w, w))
+    }
+    val ts = samples(tripleGen, 200, 21L).map { case (a, (b, c)) => (a, b, c) }
+    val rows = ts.toDF("a", "b", "c")
+      .select(hd("a", "b").as("ab"), hd("b", "a").as("ba"),
+        hd("a", "a").as("aa"), hd("a", "c").as("ac"), hd("c", "b").as("cb"))
+      .collect()
+    rows.zip(ts).foreach { case (r, (a, b, c)) =>
+      val model = a.zip(b).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y).toLong }.sum
+      assert(r.getLong(0) === model)                       // popcount model
+      assert(r.getLong(0) === r.getLong(1))                // symmetry
+      assert(r.getLong(2) === 0L)                          // identity
+      assert(r.getLong(0) <= r.getLong(3) + r.getLong(4),  // triangle
+        s"ab=${r.getLong(0)} ac=${r.getLong(3)} cb=${r.getLong(4)}")
+      assert(r.getLong(0) <= 64L * a.length)               // word bound
+    }
+  }
+
+  test("binarySign is invariant under positive per-vector scaling") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecGen = Gen.chooseNum(1, 70).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.chooseNum(-1.0f, 1.0f),
+        1 -> Gen.const(0.0f))).map(_.toArray))
+    val scaleGen = Gen.oneOf(0.25f, 1.0f, 3.5f, 1e4f)
+    val vs = samples(Gen.zip(vecGen, scaleGen), 120, 33L)
+    val df = vs.zipWithIndex
+      .map { case ((v, s), i) => (i.toLong, v, v.map(_ * s)) }
+      .toDF("id", "v", "vs")
+    val a = graft.ops.Quantize.binarySign(df, "id", "v")
+      .select(col("id"), col("words").as("wa"), col("n_pos").as("na"))
+    val b = graft.ops.Quantize.binarySign(df, "id", "vs")
+      .select(col("id"), col("words").as("wb"), col("n_pos").as("nb"))
+    a.join(b, "id").collect().foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](3), s"id=${r.getLong(0)}")
+      assert(r.getInt(2) === r.getInt(4))
+    }
+  }
 }
