@@ -1989,6 +1989,15 @@ object SparkEntry {
       Sketch.histQuantiles(t(s, d, "lineitem"), "l_extendedprice",
         nBins = 256, qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99))),
 
+    // --- per-group histogram quantiles: the grouped profile pass
+    // (p25/p50/p90/p99 per return flag) — every stage keyed, sketch
+    // state |groups|·nBins, raw values scanned exactly twice ---
+    "q209_hist_quantiles_by" -> ((s, d) =>
+      Sketch.histQuantilesBy(t(s, d, "lineitem"), "l_returnflag",
+          "l_extendedprice", nBins = 64, qs = Seq(0.25, 0.5, 0.9, 0.99))
+        .withColumnRenamed("g", "l_returnflag")
+        .orderBy("l_returnflag", "q")),
+
     // --- retrieval-quality certification: IVF (nprobe=4/16) scored
     // against the exact brute-force truth — per-query recall@10,
     // MRR@10, binary nDCG@10; DCG folds left-associated over sorted
@@ -4230,6 +4239,39 @@ object SparkEntry {
           |    / cc.cnt) * ((p.hi - p.lo) / 256) AS est
           |FROM pick p JOIN cc ON cc.bin = p.bin
           |ORDER BY p.q""".stripMargin,
+
+      // Per-group histogram-quantile replay: q182's ladder with the
+      // group key threaded through frame, bins, cumulative window,
+      // and pick — same bin formula, same interpolation.
+      "q209_hist_quantiles_by" ->
+        """WITH x AS (SELECT l_returnflag AS g,
+          |    CAST(l_extendedprice AS DOUBLE) AS x
+          |    FROM lineitem WHERE l_returnflag IS NOT NULL
+          |      AND l_extendedprice IS NOT NULL
+          |      AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+          |f AS (SELECT g, min(x) AS lo, max(x) AS hi, count(*) AS n
+          |    FROM x GROUP BY g),
+          |b AS (SELECT x.g, CASE WHEN f.hi = f.lo THEN 0
+          |      ELSE least(greatest(CAST(floor((x.x - f.lo) / (f.hi - f.lo) * 64)
+          |        AS BIGINT), 0), 63) END AS bin
+          |    FROM x JOIN f ON x.g = f.g),
+          |c AS (SELECT g, bin, count(*) AS cnt FROM b GROUP BY g, bin),
+          |cc AS (SELECT g, bin, cnt,
+          |    sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum FROM c),
+          |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+          |    CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q),
+          |t AS (SELECT f.g, q, n, lo, hi,
+          |    greatest(CAST(ceil(q * n) AS BIGINT), 1) AS target_rank
+          |  FROM qs, f),
+          |pick AS (SELECT t.g, t.q, t.n, t.lo, t.hi, t.target_rank,
+          |    min(cc.bin) AS bin
+          |  FROM t JOIN cc ON cc.g = t.g AND cc.cum >= t.target_rank
+          |  GROUP BY 1, 2, 3, 4, 5, 6)
+          |SELECT p.g AS l_returnflag, p.q, p.n, p.target_rank, p.bin,
+          |  p.lo + (p.bin + CAST(p.target_rank - (cc.cum - cc.cnt) AS DOUBLE)
+          |    / cc.cnt) * ((p.hi - p.lo) / 64) AS est
+          |FROM pick p JOIN cc ON cc.g = p.g AND cc.bin = p.bin
+          |ORDER BY l_returnflag, p.q""".stripMargin,
 
       // Retrieval-metrics replay: exact truth (brute-force CTE) +
       // the q30 IVF chain, then the same left join, sorted-hit-list

@@ -446,6 +446,53 @@ object Sketch {
     histQuantileReadoff(frame, bins, nBins, qs)
   }
 
+  /** Per-group [[histQuantiles]] — the grouped profile pass a corpus
+    * runs per source/language/domain ("p50/p99 document length by
+    * source") without one job per group: the (lo, hi, n) frame
+    * becomes one row PER GROUP, bins become (g, bin) keys, and the
+    * read-off's cumulative window partitions by group — so every
+    * stage is a keyed aggregation over ≤ |groups|·nBins sketch rows,
+    * and the raw values still cross the wire exactly twice (frame
+    * scan + bin scan), regardless of group count. Same estimator,
+    * same bin formula ([[histBin]]), same interpolation arithmetic as
+    * the global form — per-group results equal running
+    * [[histQuantiles]] on each group's rows alone (spec-enforced).
+    * Null groups and null/NaN values are excluded. Output, one row
+    * per (g, q): (g, q, n, target_rank, bin, est). */
+  def histQuantilesBy(df: DataFrame, groupCol: String, valueCol: String,
+                      nBins: Int, qs: Seq[Double]): DataFrame = {
+    require(nBins >= 2 && nBins <= 65536, s"nBins must be in [2,65536], got $nBins")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1], got $qs")
+    import org.apache.spark.sql.expressions.Window
+    val x = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("double").as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull && !isnan(col("x")))
+    val frame = x.groupBy("g").agg(min("x").as("lo"), max("x").as("hi"),
+      count(lit(1)).as("n"))
+    val bins = x.join(frame, "g")
+      .select(col("g"), histBin(col("x"), col("lo"), col("hi"), nBins).as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("cnt"))
+    val cum = bins.withColumn("cum",
+      sum("cnt").over(Window.partitionBy("g").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val quants = frame.select(col("g"),
+        explode(array(qs.distinct.sorted.map(lit): _*)).as("q"),
+        col("n"), col("lo"), col("hi"))
+      .withColumn("target_rank", greatest(ceil(col("q") * col("n")), lit(1L)))
+    quants.join(cum.withColumnRenamed("g", "__cg"),
+        col("g") === col("__cg") && col("cum") >= col("target_rank"))
+      .groupBy("g", "q", "n", "lo", "hi", "target_rank")
+      .agg(min(struct(col("bin"), col("cnt"), col("cum"))).as("b"))
+      .select(col("g"), col("q"), col("n"), col("target_rank"),
+        col("b.bin").as("bin"),
+        (col("lo") + (col("b.bin") +
+          (col("target_rank") - (col("b.cum") - col("b.cnt"))).cast("double") /
+            col("b.cnt")) *
+          ((col("hi") - col("lo")) / nBins)).as("est"))
+      .orderBy("g", "q")
+  }
+
   /** Quantile read-off from an already-built (bin, cnt) table and a
     * 1-row (lo, hi, n) frame — shared by the batch [[histQuantiles]]
     * and the streaming variant (whose bin table is live aggregation

@@ -254,4 +254,35 @@ class SketchSpec extends SparkSpec {
     val r = Sketch.kmvFinish(hashes, "h", k = 128).collect()(0)
     assert(r.getInt(1) === 50 && r.getDouble(3) === 50.0)
   }
+
+  test("histQuantilesBy equals the global sketch run per group") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 600).map { i =>
+      val g = s"g${i % 3}"
+      // distinct per-group shapes so frames genuinely differ
+      val v = (i % 3) match {
+        case 0 => rnd.nextDouble() * 100
+        case 1 => 500 + rnd.nextGaussian() * 20
+        case _ => math.exp(rnd.nextDouble() * 5)
+      }
+      (g, v)
+    } :+ (("gnull", Double.NaN)) :+ ((null.asInstanceOf[String], 1.0))
+    val df = rows.toDF("g", "v")
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val by = Sketch.histQuantilesBy(df, "g", "v", nBins = 32, qs = qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // null group dropped; NaN-only group has no surviving rows
+    assert(by.keys.map(_._1).toSet === Set("g0", "g1", "g2"))
+    Seq("g0", "g1", "g2").foreach { g =>
+      val solo = Sketch.histQuantiles(df.filter(col("g") === g), "v",
+          nBins = 32, qs = qs)
+        .collect().map(r => r.getDouble(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      qs.foreach { q =>
+        assert(by((g, q)) === solo(q), s"g=$g q=$q")
+      }
+    }
+  }
 }
