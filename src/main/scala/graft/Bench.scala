@@ -228,17 +228,25 @@ object Bench {
     // planning, sink commit — fixed per run, not per row; the per-row
     // slope a production stream pays is ~245 µs, Probe
     // streaming-scalelaw). Measure the fixed cost HERE, in this JVM,
-    // by timing the same harness on a 3-batch no-op stream, and
-    // report the split beside the wall totals so the headline's
-    // streaming seconds are attributable: operator cost ≈ wall −
-    // fixed. min of 2 warm runs — the floor IS the fixed cost.
+    // by timing the same harness on a 3-batch MINIMAL STATEFUL stream
+    // — a 1-key update-mode count, so the probe pays what the real
+    // streaming rows pay (state-store provider init + per-trigger
+    // delta/snapshot commits across the shuffle partitions), not just
+    // source/sink plumbing; a stateless identity probe measured the
+    // fixed cost low and so overstated the operator-attributable
+    // share. min of 2 warm runs — the floor IS the fixed cost.
     val streamingSplit: String = if (only.nonEmpty) "" else try {
       import spark.implicits._
+      import org.apache.spark.sql.functions.{col => fcol, count => fcount, lit => flit}
       def once(): Double = {
         val t0 = System.nanoTime()
         SparkEntry.runMicroBatched(spark, Seq("id"),
           Seq(Seq(Tuple1(1L)), Seq(Tuple1(2L)), Seq(Tuple1(3L))),
-          "graft-bench-fixed", Seq("id"))(identity).count()
+          "graft-bench-fixed", Seq("k", "n"),
+          org.apache.spark.sql.streaming.OutputMode.Update()) { stream =>
+          stream.groupBy((fcol("id") % 1L).as("k"))
+            .agg(fcount(flit(1)).as("n"))
+        }.count()
         (System.nanoTime() - t0) / 1e9
       }
       once() // warmup (codegen + state-store provider classes)

@@ -1449,11 +1449,11 @@ object SparkEntry {
       val perTrigger = runMicroBatched(s, Seq("p", "c"), batches,
           "graft-stream-calib", Seq("bin", "n", "sp", "sc"),
           org.apache.spark.sql.streaming.OutputMode.Update()) { stream =>
-        stream.groupBy(
-            least(floor(col("p") * 10).cast("int"), lit(9)).as("bin"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("p").cast("decimal(38,12)")).as("sp"),
-            sum(col("c")).cast("long").as("sc"))
+        // the SHARED bin/aggregate definitions — the streaming state
+        // is byte-for-byte the batch report's per-bin sums
+        val (n, sp, sc) = Drift.calibrationAggs(col("p"), col("c"))
+        stream.groupBy(Drift.calibrationBin(col("p"), 10).as("bin"))
+          .agg(n.as("n"), sp.as("sp"), sc.as("sc"))
       }
       val fin = perTrigger.groupBy("bin")
         .agg(max_by(struct(col("n"), col("sp"), col("sc")), col("n")).as("f"))
@@ -4596,7 +4596,8 @@ object SparkEntry {
            |r2 AS (SELECT u AS u2, v AS v2 FROM ctr ORDER BY id LIMIT 1 OFFSET 1),
            |rot AS (SELECT u1 / sqrt(u1 * u1 + v1 * v1) AS cth,
            |               v1 / sqrt(u1 * u1 + v1 * v1) AS sth FROM r1),
-           |fl AS (SELECT CASE WHEN -u2 * sth + v2 * cth < 0
+           |fl AS (SELECT CASE WHEN -u2 * sth + v2 * cth
+           |           < ${-graft.ops.Projection.CanonReflectEps}
            |         THEN -1.0 ELSE 1.0 END AS f FROM r2, rot),
            |xy AS (SELECT id, u * cth + v * sth AS x,
            |    (u * (-sth) + v * cth) * f AS y FROM ctr, rot, fl),
@@ -4659,7 +4660,9 @@ object SparkEntry {
       // position-scan blocklist counts — conjoined exactly as the
       // engine's keep predicate.
       "q192_safety_filter" -> {
-        val punct = s"""CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text)"""
+        // zero-guarded like the engine's punctRatio when(n === 0, 0.0)
+        // branch: an empty-string doc must not diverge on 0/0
+        val punct = s"""CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text) END"""
         val swRatio = s"CAST(len(list_filter($toks, x -> list_contains(${dlist(stop("en"))}, x))) AS DOUBLE) / len($toks)"
         val mtl = s"CAST(list_sum(list_transform($toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len($toks)"
         val quality = s"""CAST((CASE WHEN len($toks) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.3
@@ -5515,7 +5518,9 @@ object SparkEntry {
       // count, quality ladder, token fingerprint), one aggregate,
       // UNION ALL unpivot to (metric, value).
       "q205_corpus_report" -> {
-        val punct = s"""CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text)"""
+        // zero-guarded like the engine's punctRatio when(n === 0, 0.0)
+        // branch: an empty-string doc must not diverge on 0/0
+        val punct = s"""CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text) END"""
         val swRatio = s"CAST(len(list_filter(${toksSql("text")}, x -> list_contains(${dlist(stop("en"))}, x))) AS DOUBLE) / len(${toksSql("text")})"
         val mtl = s"CAST(list_sum(list_transform(${toksSql("text")}, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(${toksSql("text")})"
         val quality =
@@ -5637,7 +5642,9 @@ object SparkEntry {
       // the engine's blend/round order, floor cut into 3 phases.
       "q135_curriculum" -> {
         val toks = toksSql("text")
-        val punct = s"""CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text)"""
+        // zero-guarded like the engine's punctRatio when(n === 0, 0.0)
+        // branch: an empty-string doc must not diverge on 0/0
+        val punct = s"""CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text) END"""
         val swRatio = s"CAST(len(list_filter($toks, x -> list_contains(${dlist(stop("en"))}, x))) AS DOUBLE) / len($toks)"
         val mtl = s"CAST(list_sum(list_transform($toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len($toks)"
         val quality =
@@ -6324,7 +6331,9 @@ object SparkEntry {
            |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q20_quality_scores" -> {
-        val punct = s"""CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text)"""
+        // zero-guarded like the engine's punctRatio when(n === 0, 0.0)
+        // branch: an empty-string doc must not diverge on 0/0
+        val punct = s"""CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text) END"""
         val swRatio = s"CAST(len(list_filter($toks, x -> list_contains(${dlist(stop("en"))}, x))) AS DOUBLE) / len($toks)"
         val mtl = s"CAST(list_sum(list_transform($toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len($toks)"
         s"""SELECT doc_id,

@@ -359,14 +359,25 @@ object Drift {
     val base = df
       .filter(p.isNotNull && p >= 0.0 && p <= 1.0 &&
         col(correctCol).isNotNull)
-      .select(
-        least(floor(p * nBins).cast("int"), lit(nBins - 1)).as("bin"),
+      .select(calibrationBin(p, nBins).as("bin"),
         p.as("__p"), col(correctCol).cast("int").as("__c"))
+    val (n, sp, sc) = calibrationAggs(col("__p"), col("__c"))
     calibrationReadoff(base.groupBy("bin")
-      .agg(count(lit(1)).as("n"),
-        sum(col("__p").cast("decimal(38,12)")).as("__sp"),
-        sum(col("__c")).cast("long").as("__sc")))
+      .agg(n.as("n"), sp.as("__sp"), sc.as("__sc")))
   }
+
+  /** The bin-index expression of [[calibrationReport]], exposed so
+    * the streaming twin bins with the IDENTICAL formula (floor-scale
+    * with the 1.0-joins-top-bin clamp). */
+  def calibrationBin(p: Column, nBins: Int): Column =
+    least(floor(p * nBins).cast("int"), lit(nBins - 1))
+
+  /** The per-bin aggregate expressions of [[calibrationReport]] —
+    * (count, DECIMAL(38,12) confidence sum, long correct sum) — ONE
+    * definition so a change to the decimal cast or the sum types can
+    * never diverge the streaming twin's state from the batch bins. */
+  def calibrationAggs(p: Column, c: Column): (Column, Column, Column) =
+    (count(lit(1)), sum(p.cast("decimal(38,12)")), sum(c).cast("long"))
 
   /** Shared finalize of the calibration family: per-bin sums →
     * (bin, n, avg_conf, acc, wgap). Input schema: (bin, n,

@@ -106,6 +106,10 @@ object Projection {
     * The two reference rows are a driver-bounded limit(2) collect.
     * Requires ≥ 2 points and the min-id point off-centroid. Returns
     * (idCol, x, y) doubles. */
+  /** Reflection dead-band of [[canonical2d]] — shared with the q196
+    * oracle SQL so both engines apply the identical threshold. */
+  val CanonReflectEps: Double = 1e-9
+
   def canonical2d(df: DataFrame, idCol: String, xCol: String,
                   yCol: String): DataFrame = {
     val cen = df.agg(avg(col(xCol).cast("double")).as("__cx"),
@@ -113,6 +117,11 @@ object Projection {
     val centered = df.crossJoin(broadcast(cen))
       .select(col(idCol), (col(xCol).cast("double") - col("__cx")).as("__u"),
         (col(yCol).cast("double") - col("__cy")).as("__v"))
+      // materialized once: the refs collect below and the returned
+      // projection would otherwise each re-execute the upstream plan
+      // (for q196 that includes the spark.ml PCA transform — measured
+      // as the whole chain running twice)
+      .localCheckpoint()
     val refs = centered.orderBy(col(idCol)).limit(2).collect()
     require(refs.length >= 2, "canonical2d needs at least 2 points")
     val (u1, v1) = (refs(0).getDouble(1), refs(0).getDouble(2))
@@ -120,7 +129,14 @@ object Projection {
     require(n1 > 0, "canonical2d: min-id point coincides with the centroid")
     val (cth, sth) = (u1 / n1, v1 / n1)
     val y2 = -refs(1).getDouble(1) * sth + refs(1).getDouble(2) * cth
-    val fl = if (y2 < 0) -1.0 else 1.0
+    // ε-guarded reflection: when the second point is (near-)collinear
+    // with the rotation axis, y2 is 0 up to solver noise (~1e-12) that
+    // DIFFERS between the eigensolver side and the oracle's exact
+    // arithmetic — a strict `< 0` would then mirror the whole figure
+    // on one engine only. 1e-9 sits well above the noise and well
+    // below the 1e-6 quantization step; the oracle applies the same
+    // threshold, so both engines pick +1 in the degenerate band.
+    val fl = if (y2 < -CanonReflectEps) -1.0 else 1.0
     centered.select(col(idCol),
       (col("__u") * lit(cth) + col("__v") * lit(sth)).as("x"),
       ((col("__u") * lit(-sth) + col("__v") * lit(cth)) * lit(fl)).as("y"))

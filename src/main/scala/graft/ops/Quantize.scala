@@ -471,8 +471,17 @@ object Quantize {
     val scored = qb.crossJoin(cb)
       .withColumn("hd", hammingDist(col("__qw"), col("__cw")))
       .select("query_id", "neighbor_id", "hd")
-    // per-partition bounded ascending heaps, then the exact global
-    // top-cand over the |Q|·cand·P survivors
+    cosineRerank(hammingTopCand(scored, cand),
+      queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol, k)
+  }
+
+  /** Shared candidate-selection tail of the binary-ANN family:
+    * per-partition bounded ascending heaps over (query_id,
+    * neighbor_id, hd), then the exact global top-`cand` over the
+    * |Q|·cand·P survivors — ties toward the lower neighbor id. ONE
+    * definition (like [[cosineRerank]]) so the flat and IVF routes
+    * can never diverge in the candidate contract. */
+  private def hammingTopCand(scored: DataFrame, cand: Int): DataFrame = {
     val partial = scored
       .groupBy(col("query_id"), spark_partition_id().as("__p"))
       .agg(slice(array_sort(collect_list(struct(col("hd"), col("neighbor_id")))),
@@ -482,10 +491,9 @@ object Quantize {
         col("h.hd").as("hd"))
     val wc = Window.partitionBy("query_id")
       .orderBy(col("hd").asc, col("neighbor_id").asc)
-    val cands = partial.withColumn("__crank", row_number().over(wc))
+    partial.withColumn("__crank", row_number().over(wc))
       .filter(col("__crank") <= cand)
       .select("query_id", "neighbor_id", "hd")
-    cosineRerank(cands, queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol, k)
   }
 
   /** Shared rerank tail of the binary-ANN family: the |Q|·cand
@@ -562,19 +570,8 @@ object Quantize {
       .join(cb, "cell")
       .withColumn("hd", hammingDist(col("__qw"), col("__cw")))
       .select("query_id", "neighbor_id", "hd")
-    val partial = scored
-      .groupBy(col("query_id"), spark_partition_id().as("__p"))
-      .agg(slice(array_sort(collect_list(struct(col("hd"), col("neighbor_id")))),
-        1, cand).as("heap"))
-      .select(col("query_id"), explode(col("heap")).as("h"))
-      .select(col("query_id"), col("h.neighbor_id").as("neighbor_id"),
-        col("h.hd").as("hd"))
-    val wc = Window.partitionBy("query_id")
-      .orderBy(col("hd").asc, col("neighbor_id").asc)
-    val cands = partial.withColumn("__crank", row_number().over(wc))
-      .filter(col("__crank") <= cand)
-      .select("query_id", "neighbor_id", "hd")
-    cosineRerank(cands, queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol, k)
+    cosineRerank(hammingTopCand(scored, cand),
+      queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol, k)
   }
 
   def int8TopKAuto(queries: DataFrame, corpus: DataFrame,

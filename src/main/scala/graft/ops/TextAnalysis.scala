@@ -488,14 +488,20 @@ object TextAnalysis {
     * resource is missing from the classpath. */
   val multiPartSuffixes: Seq[String] = {
     val fallback = Seq("co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br")
-    Option(getClass.getResourceAsStream("/public_suffix_multipart.txt"))
-      .map { in =>
-        try {
-          val ls = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-            .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toList
-          if (ls.nonEmpty) ls else fallback
-        } finally in.close()
-      }.getOrElse(fallback)
+    // the whole load sits inside Try: a read error mid-stream (not
+    // just a missing resource) must degrade to the fallback subset,
+    // never escape a val initializer as ExceptionInInitializerError
+    // and poison every TextAnalysis member on that JVM
+    scala.util.Try {
+      Option(getClass.getResourceAsStream("/public_suffix_multipart.txt"))
+        .map { in =>
+          try {
+            val ls = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toList
+            if (ls.nonEmpty) ls else fallback
+          } finally in.close()
+        }.getOrElse(fallback)
+    }.getOrElse(fallback)
   }
 
   /** Registrable domain ("eTLD+1") of an already-lowercased host:
