@@ -689,5 +689,12 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Corpus.conjunctiveTopK(docs, "doc_id", "text", Seq("spark"), k = 0)
     }
+    // a term absent from the corpus empties the conjunction entirely
+    assert(Corpus.conjunctiveTopK(docs, "doc_id", "text",
+      Seq("spark", "nonexistentterm"), k = 5).count() === 0L)
+    // duplicate query terms must not inflate the required match count
+    val dupTerms = Corpus.conjunctiveTopK(docs, "doc_id", "text",
+      Seq("spark", "window", "spark"), k = 10).collect()
+    assert(dupTerms.map(_.getLong(1)).toSet === Set(1L, 3L, 5L))
   }
 }

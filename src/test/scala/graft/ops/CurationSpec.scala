@@ -145,4 +145,34 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(got("mean_tokens") - nts.sum.toDouble / 4) < 1e-6)
     assert(got("mean_quality") >= 0.0 && got("mean_quality") <= 1.0)
   }
+
+  test("corpusReport: all-null-text and empty corpora hit the nullif guards, not ANSI errors") {
+    // every text null: the ratio denominators are 0 — metrics must be
+    // null, never a DIVIDE_BY_ZERO
+    val allNull = Seq(
+      (1L, null.asInstanceOf[String], "en", "s1"),
+      (2L, null.asInstanceOf[String], "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r1 = Curation.corpusReport(allNull, "doc_id", "text", "lang", "source")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(r1("n_docs") === Some(2.0))
+    assert(r1("n_null_text") === Some(2.0))
+    assert(r1("mean_tokens") === None)
+    assert(r1("mean_quality") === None)
+    assert(r1("dup_frac") === None)
+    assert(r1("short_frac") === None)
+    assert(r1("n_langs") === Some(2.0))
+
+    // fully empty corpus: 11 metric rows, counts zero, ratios null
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val r2 = Curation.corpusReport(empty, "doc_id", "text", "lang", "source")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(r2.size === 11)
+    assert(r2("n_docs") === Some(0.0))
+    assert(r2("total_tokens") === None) // sum over no rows is null
+    assert(r2("mean_tokens") === None)
+  }
 }

@@ -242,4 +242,19 @@ class DriftSpec extends SparkSpec {
       Drift.calibrationReport(rows.toDF("p", "c"), "p", "c", nBins = 0)
     }
   }
+
+  test("calibrationReport: empty and all-out-of-range inputs yield no rows") {
+    assert(Drift.calibrationReport(
+      Seq.empty[(Double, Int)].toDF("p", "c"), "p", "c", 10).count() === 0L)
+    assert(Drift.calibrationReport(
+      Seq((1.7, 1), (-0.4, 0)).toDF("p", "c"), "p", "c", 10).count() === 0L)
+    // a perfectly calibrated single bin: wgap reflects |sum c - sum p|/N
+    val one = Drift.calibrationReport(
+      Seq((0.5, 1), (0.5, 0)).toDF("p", "c"), "p", "c", 10)
+      .collect()
+    assert(one.length === 1)
+    assert(one(0).getInt(0) === 5 && one(0).getLong(1) === 2L)
+    assert(one(0).getDouble(2) === 0.5 && one(0).getDouble(3) === 0.5)
+    assert(one(0).getDouble(4) === 0.0)
+  }
 }

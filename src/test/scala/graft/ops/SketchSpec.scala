@@ -255,6 +255,24 @@ class SketchSpec extends SparkSpec {
     assert(r.getInt(1) === 50 && r.getDouble(3) === 50.0)
   }
 
+  test("histQuantilesBy: constant group collapses to bin 0 at the constant; empty input yields no rows") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("c", 7.5), ("c", 7.5), ("c", 7.5), ("m", 1.0), ("m", 2.0))
+      .toDF("g", "v")
+    val out = Sketch.histQuantilesBy(df, "g", "v", nBins = 16,
+        qs = Seq(0.5, 0.99))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(4), r.getDouble(5)))).toMap
+    // hi = lo: every row in bin 0, every estimate exactly the constant
+    assert(out(("c", 0.5)) === ((0L, 7.5)))
+    assert(out(("c", 0.99)) === ((0L, 7.5)))
+    // the two-point group still interpolates inside its bins
+    assert(out(("m", 0.5))._2 >= 1.0 && out(("m", 0.5))._2 <= 2.0)
+    val none = Sketch.histQuantilesBy(
+      Seq.empty[(String, Double)].toDF("g", "v"), "g", "v", 16, Seq(0.5))
+    assert(none.count() === 0L)
+  }
+
   test("histQuantilesBy equals the global sketch run per group") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(47)

@@ -230,4 +230,20 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "value table part") -> 1L,
       (3L, "value table part") -> 2L))
   }
+
+  test("phraseSearch: a single-token phrase degenerates to the term count") {
+    val docs = Seq((1L, "spark and spark and more spark"),
+      (2L, "no match here")).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(docs, "doc_id", "text",
+        Seq(Seq("spark")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 3L))
+    // null text and null id rows are dropped, not errors
+    val withNulls = Seq((Some(3L), Some("spark")),
+      (Some(4L), None), (None, Some("spark")))
+      .map { case (i, t) => (i.map(Long.box).orNull, t.orNull) }
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.phraseSearch(withNulls, "doc_id", "text",
+      Seq(Seq("spark"))).collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
 }
