@@ -175,4 +175,23 @@ class ProjectionSpec extends SparkSpec {
       Projection.jlTransform(data, "id", "vec", 32, 0)
     }
   }
+
+  test("jlTransform: power-of-two input scaling scales outputs exactly; zero vector maps to zero") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val base = (0L until 10L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val both = (base.map { case (i, v) => (i, v) } ++
+      base.map { case (i, v) => (i + 100L, v.map(_ * 4.0f)) }) :+
+      ((999L, Array.fill(16)(0.0f)))
+    val out = Projection.jlTransform(both.toDF("id", "vec"), "id", "vec", 16, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    base.foreach { case (i, _) =>
+      (0 until 8).foreach { j =>
+        // x4 is exact in binary floating point, so the fold scales exactly
+        assert(java.lang.Double.doubleToLongBits(out((i + 100L, j))) ===
+          java.lang.Double.doubleToLongBits(out((i, j)) * 4.0), s"i=$i j=$j")
+      }
+    }
+    (0 until 8).foreach(j => assert(out((999L, j)) === 0.0))
+  }
 }

@@ -486,4 +486,21 @@ class QuantizeSpec extends SparkSpec {
         "vec_id", "embedding", k = 8, cand = 30, nCentroids = 4, nprobe = 5)
     }
   }
+
+  test("binary ANN plans: no CartesianProduct; candidate scan is the broadcast nested loop") {
+    val rnd = new scala.util.Random(59)
+    val data = (0L until 80L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = data.filter(col("vec_id") < 3)
+    val c = data.filter(col("vec_id") >= 3)
+    val flat = Quantize.hammingTopK(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, cand = 20)
+      .queryExecution.executedPlan.toString
+    assert(!flat.contains("CartesianProduct"), flat)
+    assert(flat.contains("BroadcastNestedLoopJoin"), flat)
+    val ivf = Quantize.hammingTopKIvf(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, cand = 20, nCentroids = 4, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!ivf.contains("CartesianProduct"), ivf)
+  }
 }

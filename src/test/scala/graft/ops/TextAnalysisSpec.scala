@@ -246,4 +246,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.phraseSearch(withNulls, "doc_id", "text",
       Seq(Seq("spark"))).collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
+
+  test("phraseCount matches a local sliding-window model on randomized token streams") {
+    val rnd = new scala.util.Random(53)
+    val vocab = Array("a", "b", "c")
+    val docs = (0L until 80L).map { i =>
+      (i, Array.fill(rnd.nextInt(25))(vocab(rnd.nextInt(3))).mkString(" "))
+    }
+    val phrases = Seq(Seq("a"), Seq("a", "b"), Seq("b", "b"), Seq("a", "b", "a"))
+    def localCount(toks: Array[String], p: Seq[String]): Long =
+      if (toks.length < p.length) 0L
+      else (0 to toks.length - p.length)
+        .count(j => p.indices.forall(i => toks(j + i) == p(i))).toLong
+    val df = docs.toDF("id", "t")
+      .select(col("id"), TextAnalysis.tokens(col("t")).as("toks"))
+    phrases.foreach { p =>
+      val got = df.select(col("id"), TextAnalysis.phraseCount(col("toks"), p))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        assert(got(id) === localCount(toks, p),
+          s"id=$id phrase=$p text='$text'")
+      }
+    }
+  }
 }
