@@ -48,4 +48,43 @@ class MicroBatchHarnessSpec extends SparkSpec {
     assert(out.count() === 0L)
     assert(out.columns.toSeq === Seq("id", "va"))
   }
+
+  test("streaming calibration state is batch-split invariant (mergeability)") {
+    // the q206 composition: update-mode per-bin sums, max-merged, then
+    // the shared readoff — the FINAL result must not depend on how the
+    // rows were cut into micro-batches (that is what makes the state
+    // a mergeable summary rather than an order artifact)
+    val rnd = new scala.util.Random(67)
+    val rows = (0 until 90).map(_ => (rnd.nextDouble(), rnd.nextInt(2)))
+    def run(splits: Seq[Seq[(Double, Int)]]): Seq[(Int, Long, Double, Double, Double)] = {
+      val perTrigger = SparkEntry.runMicroBatched(spark, Seq("p", "c"),
+          splits, "graft-test-calib", Seq("bin", "n", "sp", "sc"),
+          OutputMode.Update()) { stream =>
+        val (n, sp, sc) = graft.ops.Drift.calibrationAggs(col("p"), col("c"))
+        stream.groupBy(graft.ops.Drift.calibrationBin(col("p"), 10).as("bin"))
+          .agg(n.as("n"), sp.as("sp"), sc.as("sc"))
+      }
+      val fin = perTrigger.groupBy("bin")
+        .agg(max_by(struct(col("n"), col("sp"), col("sc")), col("n")).as("f"))
+        .select(col("bin"), col("f.n").as("n"),
+          col("f.sp").cast("decimal(38,12)").as("__sp"),
+          col("f.sc").as("__sc"))
+      graft.ops.Drift.calibrationReadoff(fin).orderBy("bin").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSeq
+    }
+    val evenSplit = run(rows.grouped(30).toSeq)
+    val skewSplit = run(Seq(rows.take(5), rows.slice(5, 80), rows.drop(80)))
+    val oneBatch = run(Seq(rows))
+    assert(evenSplit === skewSplit)
+    assert(evenSplit === oneBatch)
+    // and all three equal the BATCH report of the same rows
+    import spark.implicits._
+    val batch = graft.ops.Drift.calibrationReport(
+        rows.toDF("p", "c"), "p", "c", 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(evenSplit === batch)
+  }
 }
