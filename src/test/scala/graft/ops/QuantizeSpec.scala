@@ -487,6 +487,25 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("binary ANN routes drop null-vector rows instead of failing") {
+    val rnd = new scala.util.Random(71)
+    val good = (0L until 40L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val data = (good :+ ((999L, null.asInstanceOf[Array[Float]])))
+      .toDF("vec_id", "embedding")
+    val q = data.filter(col("vec_id") < 3)
+    val c = data.filter(col("vec_id") >= 3) // includes the null row
+    val flat = Quantize.hammingTopK(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, cand = 10).collect()
+    assert(flat.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    assert(!flat.exists(_.getLong(2) == 999L))
+    val ivf = Quantize.hammingTopKIvf(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, cand = 10, nCentroids = 4, nprobe = 4)
+      .collect()
+    assert(ivf.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    assert(!ivf.exists(_.getLong(2) == 999L))
+  }
+
   test("binary ANN plans: no CartesianProduct; candidate scan is the broadcast nested loop") {
     val rnd = new scala.util.Random(59)
     val data = (0L until 80L).map(i =>
