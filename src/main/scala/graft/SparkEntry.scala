@@ -1495,6 +1495,19 @@ object SparkEntry {
         "lang", "source")
         .orderBy("metric")),
 
+    // --- cross-corpus exact-substring DECONTAMINATION rewrite: every
+    // train span whose 40-grams all occur in the test slice is cut at
+    // maximal extent from EVERY train doc (no election — benchmark
+    // text must survive nowhere); the action form of q57's report ---
+    "q210_decontaminate_rewrite" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Corpus.decontaminateSubstrings(docs,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        minLen = 40)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // --- PQ recall audit: ADC top-10 vs the exact L2 top-10 — the
     // index-quality eval a deployment runs before trusting ANN ---
     "q137_pq_recall" -> ((s, d) => {
@@ -5570,6 +5583,51 @@ object SparkEntry {
       // SAME per-bin sums, so the identical oracle certifies
       // stream == batch == DuckDB in one row.
       "q206_streaming_calibration" -> q204Sql,
+
+      // Decontamination-rewrite replay: q198's islands-and-gaps chain
+      // with the marking swapped to "fp occurs in the test slice's
+      // distinct window fingerprints" and NO first-occurrence
+      // election.
+      "q210_decontaminate_rewrite" ->
+        """WITH b AS (SELECT doc_id, text FROM documents),
+          |tw AS (SELECT DISTINCT md5(substr(text, CAST(i AS INT) + 1, 40)) AS fp
+          |       FROM (SELECT text,
+          |               unnest(generate_series(0, CAST(length(text) - 40 AS BIGINT), 1)) AS i
+          |             FROM documents WHERE doc_id % 10 = 0
+          |               AND text IS NOT NULL AND length(text) >= 40)),
+          |w AS (SELECT doc_id, CAST(i AS INT) AS off,
+          |        md5(substr(text, CAST(i AS INT) + 1, 40)) AS fp
+          |      FROM (SELECT doc_id, text,
+          |              unnest(generate_series(0, CAST(length(text) - 40 AS BIGINT), 1)) AS i
+          |            FROM b WHERE text IS NOT NULL AND length(text) >= 40)),
+          |rem AS (SELECT doc_id, off FROM w WHERE fp IN (SELECT fp FROM tw)),
+          |isl AS (SELECT doc_id, off,
+          |         CASE WHEN off <= coalesce(max(off + 40) OVER (PARTITION BY doc_id
+          |              ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |              -1) THEN 0 ELSE 1 END AS brk
+          |        FROM rem),
+          |g AS (SELECT doc_id, off,
+          |        sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS grp FROM isl),
+          |m AS (SELECT doc_id, grp, min(off) AS s, max(off) + 40 AS e
+          |      FROM g GROUP BY 1, 2),
+          |seg AS (SELECT doc_id, s, e,
+          |          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS p
+          |        FROM m),
+          |c1 AS (SELECT seg.doc_id,
+          |         string_agg(substr(t2.text, seg.p + 1, seg.s - seg.p), '' ORDER BY seg.s) AS gaps,
+          |         max(seg.e) AS laste,
+          |         CAST(count(*) AS BIGINT) AS n_spans
+          |       FROM seg JOIN b t2 ON seg.doc_id = t2.doc_id GROUP BY seg.doc_id)
+          |SELECT d.doc_id,
+          |  CASE WHEN c1.doc_id IS NULL THEN d.text
+          |       ELSE c1.gaps || substr(d.text, c1.laste + 1) END AS clean_text,
+          |  coalesce(c1.n_spans, 0) AS n_spans_removed,
+          |  CAST(coalesce(length(d.text), 0)
+          |    - coalesce(length(CASE WHEN c1.doc_id IS NULL THEN d.text
+          |        ELSE c1.gaps || substr(d.text, c1.laste + 1) END), 0) AS BIGINT)
+          |    AS n_chars_removed
+          |FROM b d LEFT JOIN c1 ON d.doc_id = c1.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
 
       // IVF-PQ replay: the same ADC algebra as q131, restricted to the
       // codes of corpus vectors in each query's probed cells.

@@ -630,6 +630,16 @@ object Corpus {
     val removed = wins.join(first, Seq("fp"))
       .filter(col("occ") > 1 && struct(col("id"), col("off")) =!= col("first"))
       .select(col("id"), col("off"))
+    cutSpans(base, removed, width)
+  }
+
+  /** Shared cut-and-rebuild tail of the span-removal family: merge the
+    * marked constant-width offsets per doc, cut every merged interval
+    * out, and rebuild the text from the gaps — one keyed join back to
+    * the text, array HOFs per doc. Input `removed`: (id, off).
+    * Returns (id, clean_text, n_spans_removed, n_chars_removed). */
+  private def cutSpans(base: DataFrame, removed: DataFrame,
+                       width: Int): DataFrame = {
     val spans = mergeConstWidthOffsets(
       removed.groupBy("id")
         .agg(sort_array(collect_list(col("off"))).as("offs")),
@@ -646,6 +656,49 @@ object Corpus {
         coalesce(size(col("merged")), lit(0)).cast(LongType).as("n_spans_removed"),
         coalesce(length(col("text")) - length(col("clean_text")), lit(0))
           .cast(LongType).as("n_chars_removed"))
+  }
+
+  /** Cross-corpus exact-substring DECONTAMINATION rewrite — the action
+    * form of [[ngramContamination]]'s report and the benchmark-leak
+    * counterpart of [[spanRemoval]]: every train-corpus character span
+    * whose every stride-1 `minLen`-gram also occurs ANYWHERE in the
+    * test corpus is cut from the train text at its maximal extent (no
+    * first-occurrence election — leaked benchmark text must survive
+    * NOWHERE in the training set, per the GPT-3 / Lee et al. 2022
+    * decontamination recipe, applied at character level so paraphrase
+    * punctuation or casing differences don't hide a verbatim core).
+    *
+    * Shape: both corpora reduce their stride-1 windows to md5
+    * fingerprints at the scan (text never shuffles); the test side
+    * collapses to DISTINCT fps; marking is ONE fp-keyed left-semi
+    * join; the cut is the shared constant-width merge + gap rebuild.
+    * Test-corpus size bounds the semi-join's build side — for a
+    * benchmark-sized test set it broadcasts.
+    * Returns (id, clean_text, n_spans_removed, n_chars_removed) for
+    * EVERY train doc (clean docs pass through unchanged). */
+  def decontaminateSubstrings(train: DataFrame, test: DataFrame,
+                              idCol: String, textCol: String,
+                              minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val base = train.select(col(idCol).cast(LongType).as("id"),
+      col(textCol).cast("string").as("text"))
+    def windows(df: DataFrame, withId: Boolean): DataFrame = {
+      val cols = if (withId) Seq(col("id"), col("text")) else Seq(col("text"))
+      df.filter(col("text").isNotNull && length(col("text")) >= minLen)
+        .select(cols :+
+          explode(expr(s"sequence(0, CAST(length(text) AS INT) - $minLen, 1)"))
+            .as("off"): _*)
+        .withColumn("fp",
+          md5(expr(s"CAST(substring(text, off + 1, $minLen) AS BINARY)")))
+    }
+    val testFp = windows(
+      test.select(col(textCol).cast("string").as("text")), withId = false)
+      .select("fp").distinct()
+    val marked = windows(base, withId = true)
+      .select(col("id"), col("off").cast("int").as("off"), col("fp"))
+      .join(testFp, Seq("fp"), "left_semi")
+      .select("id", "off")
+    cutSpans(base, marked, minLen)
   }
 
   /** Per-doc merge of constant-width marked offsets into maximal

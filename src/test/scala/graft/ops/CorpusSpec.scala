@@ -666,6 +666,42 @@ class CorpusSpec extends SparkSpec {
     assert(fastSpans === md5Spans)
   }
 
+  test("decontaminateSubstrings: test spans cut everywhere, clean text untouched, no election") {
+    val leak = "THE SECRET BENCHMARK ANSWER SEQUENCE XYZ"  // 40 chars
+    assert(leak.length === 40)
+    val train = Seq(
+      (1L, s"prefix one $leak suffix one"),     // embeds the leak
+      (2L, s"prefix two $leak suffix two"),     // second occurrence: ALSO cut
+      (3L, "completely clean training document here"),
+      (4L, leak),                                // the leak verbatim
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val test = Seq((100L, s"question: $leak please answer")).toDF("id", "t")
+    val out = Corpus.decontaminateSubstrings(train, test, "id", "t", 40)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)),
+          r.getLong(2), r.getLong(3))).toMap
+    assert(out.size === 5)
+    // both embedding docs lose the leak at MAXIMAL extent (no
+    // first-occurrence survivor): the test doc also flanks the leak
+    // with spaces, so the shared span is " leak " — 42 chars
+    assert(out(1L)._1 === "prefix onesuffix one")
+    assert(out(2L)._1 === "prefix twosuffix two")
+    assert(out(1L)._2 === 1L && out(1L)._3 === 42L)
+    assert(out(2L)._2 === 1L && out(2L)._3 === 42L)
+    // clean doc untouched, verbatim-leak doc fully emptied, null passthrough
+    assert(out(3L) === (("completely clean training document here", 0L, 0L)))
+    assert(out(4L) === (("", 1L, 40L)))
+    assert(out(5L) === ((null, 0L, 0L)))
+    // spans extend maximally: a longer shared region is cut as ONE span
+    val train2 = Seq((1L, s"aa $leak TAIL MORE SHARED CONTEXT zz")).toDF("id", "t")
+    val test2 = Seq((9L, s"$leak TAIL MORE SHARED CONTEXT")).toDF("id", "t")
+    val got2 = Corpus.decontaminateSubstrings(train2, test2, "id", "t", 40)
+      .collect()(0)
+    assert(got2.getString(1) === "aa  zz")
+    assert(got2.getLong(2) === 1L)
+  }
+
   test("conjunctiveTopK: AND semantics, BM25 order, k bound") {
     val docs = Seq(
       (1L, "spark window spark window spark"), // both terms, spark-heavy
