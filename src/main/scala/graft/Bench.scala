@@ -260,12 +260,35 @@ object Bench {
         f""""streaming_minus_fixed_sec":${math.max(0.0, sTotal - stream.size * fixed)}%.2f,""" +
         f""""batch_wall_sec":$bTotal%.2f}"""
     } catch { case _: Throwable => "" }
+    // Per-query regression gate (r10 verdict #6): the round-10 diffuse
+    // slowdown was only visible because a judge diffed BENCH_LOG by
+    // hand. Compare each certified time against its CROSS-SHA same-sf
+    // BENCH_LOG median (histMedian — host noise and code drift both
+    // show up against it; new queries have no history and are counted,
+    // not flagged) and persist the >1.5x offenders as data in
+    // BENCH_FULL.json. The +0.3 s absolute slack keeps sub-second
+    // queries from flagging on scheduler jitter alone — the same slack
+    // the in-run rerun guard uses.
+    val regressionGate: String = if (only.nonEmpty) "" else {
+      val flagged = certified.flatMap { case (k, v) =>
+        histMedian.get(k) match {
+          case Some(h) if v > math.max(1.5 * h, h + 0.3) =>
+            Some(f"""{"q":"$k","sec":$v%.2f,"hist_median":$h%.2f,"ratio":${v / h}%.2f}""")
+          case _ => None
+        }
+      }
+      val noHist = certified.count { case (k, _) => !histMedian.contains(k) }
+      s""","regression_gate":{"threshold":1.5,"abs_slack_sec":0.3,""" +
+        s""""n_compared":${certified.size - noHist},"n_no_history":$noHist,""" +
+        s""""flagged":[${flagged.mkString(",")}]}"""
+    }
     try {
       // headline artifact only from FULL runs — a SPARK_GRAFT_ONLY dev
       // probe must not replace the certified full-suite line
       if (only.isEmpty)
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-          (jsonLine(certified).stripSuffix("}") + streamingSplit + "}\n")
+          (jsonLine(certified).stripSuffix("}") + streamingSplit +
+            regressionGate + "}\n")
             .getBytes("UTF-8"))
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOG.jsonl"),
         (s"""{"ts":"${java.time.Instant.now()}","sha":"$gitSha","bench":$rawLine}""" + "\n")

@@ -281,14 +281,23 @@ object SparkEntry {
     * time through a MemoryStream (a driver-side TEST source by design
     * — the operator under test is the same distributed plan a Kafka
     * source would run), run `build` on the streaming frame (columns
-    * named `cols`), land `outCols` of every emitted micro-batch in a
-    * temp parquet dir via foreachBatch, and return the read-back
-    * union. State-store partition count is pinned to 4 for the
-    * query's lifetime — fixed at stream start from the global shuffle
-    * setting; 32 state-store instances each writing delta + snapshot
+    * named `cols`), collect `outCols` of every emitted micro-batch
+    * into a driver buffer via foreachBatch, and return the union.
+    * The buffer replaced a temp-parquet sink + read-back (r10 verdict
+    * #5): each parquet write is a full job with file-commit protocol,
+    * so 15 streaming rows paid ~45 write/read/delete jobs of pure
+    * harness cost per run. Collecting is safe HERE by construction —
+    * the feeds are driver-sized fixture batches; a production stream
+    * lands in a real sink (ops/Sink.scala), not this harness.
+    * State-store partition count is pinned to 1 for the query's
+    * lifetime — fixed at stream start from the global shuffle
+    * setting; N state-store instances each writing delta + snapshot
     * files per micro-batch is pure fixed overhead at harness feed
-    * rates, and production picks this by expected horizon cardinality
-    * — with the session's setting restored immediately after start. */
+    * rates (4 was measured at 1.07 s/run fixed cost; state updates
+    * are per-key, so the partition count never changes emitted
+    * values), and production picks this by expected horizon
+    * cardinality — with the session's setting restored immediately
+    * after start. */
   private[graft] def runMicroBatched[T <: Product : org.apache.spark.sql.Encoder](
       s: SparkSession, cols: Seq[String], batches: Seq[Seq[T]],
       tmpPrefix: String, outCols: Seq[String],
@@ -298,40 +307,33 @@ object SparkEntry {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
     val stream = mem.toDF().toDF(cols: _*)
-    val outDir = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     // plan building happens BEFORE the conf pin: `build` only
     // constructs the DataFrame (state-store partition count binds at
     // query START), and a build-time analysis error must not escape
-    // with the session conf still pinned to 4
+    // with the session conf still pinned to 1
     val built = build(stream)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
     val q = try {
       built.writeStream
         .foreachBatch { (bdf: DataFrame, _: Long) =>
-          bdf.select(outCols.map(col): _*).write.mode("append").parquet(outDir)
+          val rows = bdf.select(outCols.map(col): _*).collect()
+          buf.synchronized { buf ++= rows; () }
         }
         .outputMode(mode).start()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       batches.foreach { b => mem.addData(b); q.processAllAvailable() }
     } finally q.stop()
-    // localCheckpoint materializes the read-back EAGERLY so the temp
-    // sink dir can be deleted here instead of leaking one result copy
-    // per streaming row per run (9 rows x every bench/verify execution).
-    // A query that emitted ZERO rows writes no parquet files — schema
-    // inference on the empty dir would throw; pin the read schema from
-    // the built plan's outCols so the empty case returns an empty frame.
+    // schema pinned from the built plan so the zero-emission case
+    // returns a correctly-typed empty frame
     val outSchema = org.apache.spark.sql.types.StructType(
       outCols.map(c => built.schema(c)))
-    val out = s.read.schema(outSchema).parquet(outDir).localCheckpoint()
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(outDir))
-    out
+    s.createDataFrame(
+      buf.synchronized(new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(buf).asJava)),
+      outSchema)
   }
 
   /** Two-source sibling of [[runMicroBatched]] for STREAM–STREAM
@@ -339,7 +341,8 @@ object SparkEntry {
     * i-th micro-batch before each processAllAvailable, so rows that
     * must match across sides-and-batches exercise the join state (a
     * row from batch 0 held in the state store until its partner lands
-    * in batch 2). Same conf pin / temp-sink / empty-schema handling. */
+    * in batch 2). Same conf pin / driver-buffer sink / empty-schema
+    * handling as [[runMicroBatched]]. */
   private[graft] def runMicroBatched2[A <: Product : org.apache.spark.sql.Encoder,
                                B <: Product : org.apache.spark.sql.Encoder](
       s: SparkSession, colsA: Seq[String], batchesA: Seq[Seq[A]],
@@ -349,14 +352,15 @@ object SparkEntry {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val memA = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
     val memB = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[B]
-    val outDir = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     val built = build(memA.toDF().toDF(colsA: _*), memB.toDF().toDF(colsB: _*))
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
     val q = try {
       built.writeStream
         .foreachBatch { (bdf: DataFrame, _: Long) =>
-          bdf.select(outCols.map(col): _*).write.mode("append").parquet(outDir)
+          val rows = bdf.select(outCols.map(col): _*).collect()
+          buf.synchronized { buf ++= rows; () }
         }
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -370,14 +374,10 @@ object SparkEntry {
     } finally q.stop()
     val outSchema = org.apache.spark.sql.types.StructType(
       outCols.map(c => built.schema(c)))
-    val out = s.read.schema(outSchema).parquet(outDir).localCheckpoint()
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(outDir))
-    out
+    s.createDataFrame(
+      buf.synchronized(new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(buf).asJava)),
+      outSchema)
   }
 
   /** Shared shard prep for the streaming dedup-family harnesses
@@ -1506,6 +1506,78 @@ object SparkEntry {
         minLen = 40)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // --- size-gated binary ANN: the auto-route of the sign-bit
+    // family (the int8 q128 gate discipline applied to packed words).
+    // maxFlatRows = 100 < the 495-vector corpus, so the gate's
+    // LIMIT-bounded probe routes THIS registration to the IVF-pruned
+    // scan — the production path; flat-route parity is q200's row and
+    // the route-invariance spec ---
+    "q211_hamming_ann_auto" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Quantize.hammingTopKAuto(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", "vec_id", "embedding", k = 10, cand = 40,
+        maxFlatRows = 100L, nCentroids = 16, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("hd"), round(col("sim"), 6).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- cross-document LINE-level boilerplate removal (CCNet /
+    // RefinedWeb): lines whose trimmed text recurs in >= 30 distinct
+    // docs are dropped from every doc. The corpus has no newlines, so
+    // the fixture derives multi-line docs in-query (the ' table '
+    // token becomes '\n'; every doc_id % 3 == 0 doc gains a shared
+    // footer line) — the oracle replays the same derivation ---
+    "q212_line_boilerplate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(regexp_replace(col("text"), " table ", "\n"),
+              lit("\nsubscribe to our newsletter")))
+            .otherwise(regexp_replace(col("text"), " table ", "\n")))
+      Corpus.lineDedup(docs, "doc_id", "text", minDocs = 30)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // --- PII detection + redaction: emails / IPv4s / US-style phones
+    // counted on the original text and rewritten <EMAIL>/<IP>/<PHONE>
+    // in one codegen'd projection. The synthetic corpus carries no
+    // PII, so the fixture injects a deterministic contact tail per
+    // doc (email always; IP on even ids; phone on ids % 5 == 0) —
+    // replayed verbatim by the oracle ---
+    "q213_pii_redact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("text", concat(
+          col("text"),
+          lit(" reach user"), col("doc_id").cast("string"),
+          lit("@mail.example.org"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" from 10.1."), (col("doc_id") % 200).cast("string"),
+              lit(".9"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" call 555-123-4567"))
+            .otherwise(lit(""))))
+      TextAnalysis.piiRedact(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // --- bootstrap percentile CI for an eval accuracy: 200 md5-seeded
+    // resample replicas over a deterministic probe metric (label
+    // parity vs sign of dim 1), exact interpolated percentiles — the
+    // error bar a benchmark delta needs before it means anything ---
+    "q214_bootstrap_ci" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+        .withColumn("correct",
+          (col("label") % 2 ===
+            when(element_at(col("embedding"), 1) > 0f, 1).otherwise(0))
+            .cast("int"))
+      Drift.bootstrapAccuracyCI(e, "vec_id", "correct",
+        nBoot = 200, seed = "bs0", alpha = 0.05)
     }),
 
     // --- PQ recall audit: ADC top-10 vs the exact L2 top-10 — the
@@ -5455,55 +5527,98 @@ object SparkEntry {
       // centroids, cell assignment, nprobe probes) + the packed-word
       // Hamming rank restricted to probed cells + the shared
       // exact-cosine rerank.
-      "q207_hamming_ann_ivf" ->
-        """WITH corpus AS (SELECT * FROM embeddings WHERE vec_id >= 5),
-          |q AS (SELECT * FROM embeddings WHERE vec_id < 5),
-          |cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM corpus ORDER BY vec_id LIMIT 16),
-          |assigned AS (
-          |  SELECT vec_id AS id, centroid_id FROM (
-          |    SELECT c.vec_id, ct.centroid_id,
-          |      row_number() OVER (PARTITION BY c.vec_id
-          |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(ct.cv AS DOUBLE[])) DESC, ct.centroid_id ASC) AS rn
-          |    FROM corpus c CROSS JOIN cent ct)
-          |  WHERE rn = 1),
-          |probes AS (
-          |  SELECT vec_id AS query_id, centroid_id FROM (
-          |    SELECT q.vec_id, ct.centroid_id,
-          |      row_number() OVER (PARTITION BY q.vec_id
-          |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(ct.cv AS DOUBLE[])) DESC, ct.centroid_id ASC) AS rn
-          |    FROM q CROSS JOIN cent ct)
-          |  WHERE rn <= 4),
-          |v AS (SELECT vec_id,
-          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-          |  FROM embeddings WHERE embedding IS NOT NULL),
-          |b AS (SELECT vec_id, vv,
-          |    list_transform(range(0, CAST(ceil(len(vv) / 32.0) AS INT)), w ->
-          |      CAST(coalesce(list_sum(list_transform(
-          |        range(w * 32, CAST(least(w * 32 + 32, len(vv)) AS INT)), i ->
-          |          CASE WHEN vv[i + 1] > 0 THEN (CAST(1 AS BIGINT) << (i - w * 32))
-          |               ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)) AS words
-          |  FROM v),
-          |hd AS (SELECT p.query_id, a.id AS neighbor_id,
-          |    CAST(coalesce(list_sum(list_transform(
-          |      range(0, CAST(len(bq.words) AS INT)), i ->
-          |        CAST(bit_count(xor(bq.words[i + 1], bc.words[i + 1])) AS BIGINT))),
-          |      0) AS BIGINT) AS hd
-          |  FROM probes p
-          |  JOIN assigned a ON p.centroid_id = a.centroid_id
-          |  JOIN b bq ON bq.vec_id = p.query_id
-          |  JOIN b bc ON bc.vec_id = a.id),
-          |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
-          |    ORDER BY hd ASC, neighbor_id ASC) AS crank FROM hd),
-          |rr AS (SELECT c.query_id, c.neighbor_id, c.hd,
-          |    list_cosine_similarity(vq.vv, vc.vv) AS sim
-          |  FROM cand c
-          |  JOIN v vq ON vq.vec_id = c.query_id
-          |  JOIN v vc ON vc.vec_id = c.neighbor_id
-          |  WHERE c.crank <= 40)
-          |SELECT query_id, rank, neighbor_id, hd, round(sim, 6) AS sim FROM (
-          |  SELECT *, row_number() OVER (PARTITION BY query_id
-          |    ORDER BY sim DESC, neighbor_id ASC) AS rank FROM rr)
-          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      "q207_hamming_ann_ivf" -> q207HammingIvfSql,
+
+      // The auto-gate registration routes to the SAME IVF plan
+      // (maxFlatRows 100 < 495 corpus vectors), so the oracle IS
+      // q207's replay — the gate may pick a route, never change it.
+      "q211_hamming_ann_auto" -> q207HammingIvfSql,
+
+      // Line-boilerplate replay: same in-query multi-line derivation,
+      // split on chr(10) keeping empties, trimmed-line distinct-doc
+      // threshold, anti-join rebuild with ordered string_agg.
+      "q212_line_boilerplate" ->
+        """WITH d AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 3 = 0
+          |      THEN regexp_replace(text, ' table ', chr(10), 'g')
+          |           || chr(10) || 'subscribe to our newsletter'
+          |      ELSE regexp_replace(text, ' table ', chr(10), 'g') END AS text
+          |  FROM documents),
+          |parts AS (SELECT doc_id,
+          |    unnest(range(len(ls))) AS i, unnest(ls) AS line FROM (
+          |    SELECT doc_id, string_split(text, chr(10)) AS ls FROM d
+          |    WHERE text IS NOT NULL)),
+          |bad AS (SELECT trim(line) AS k FROM parts
+          |  WHERE len(trim(line)) > 0
+          |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 30),
+          |badpos AS (SELECT doc_id, i FROM parts
+          |  JOIN bad ON trim(parts.line) = bad.k),
+          |nrem AS (SELECT doc_id, count(*) AS n FROM badpos GROUP BY 1),
+          |kept AS (SELECT p.doc_id, p.i, p.line FROM parts p
+          |  ANTI JOIN badpos b ON p.doc_id = b.doc_id AND p.i = b.i),
+          |clean AS (SELECT doc_id,
+          |    coalesce(string_agg(line, chr(10) ORDER BY i), '') AS ct
+          |  FROM kept GROUP BY 1)
+          |SELECT d.doc_id,
+          |  CASE WHEN nrem.n IS NULL THEN d.text
+          |       ELSE coalesce(clean.ct, '') END AS clean_text,
+          |  coalesce(nrem.n, 0) AS n_lines_removed
+          |FROM d LEFT JOIN nrem USING (doc_id) LEFT JOIN clean USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
+
+      // PII replay: identical RE2/Java-compatible patterns, same
+      // injected contact tail, counts on the original text, chained
+      // global replaces email -> IP -> phone.
+      "q213_pii_redact" ->
+        """WITH d AS (SELECT doc_id, text
+          |    || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+          |    || CASE WHEN doc_id % 2 = 0
+          |         THEN ' from 10.1.' || CAST(doc_id % 200 AS VARCHAR) || '.9'
+          |         ELSE '' END
+          |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END
+          |    AS text FROM documents)
+          |SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS clean_text,
+          |  CAST(len(regexp_extract_all(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text,
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+          |  CAST(len(regexp_extract_all(text,
+          |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones
+          |FROM d ORDER BY doc_id""".stripMargin,
+
+      // Bootstrap-CI replay: same md5 6-hex-digit resample indices,
+      // same replica means, quantile_cont ≡ Spark's exact percentile.
+      "q214_bootstrap_ci" ->
+        """WITH base AS (SELECT vec_id,
+          |    CASE WHEN (label % 2) =
+          |      (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+          |      THEN 1 ELSE 0 END AS c
+          |  FROM embeddings
+          |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+          |    AND vec_id IS NOT NULL),
+          |idx AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i2, c
+          |  FROM base),
+          |n AS (SELECT count(*) AS n FROM base),
+          |draws AS (SELECT tb.range AS b,
+          |    ((instr('0123456789abcdef', substr(md5('bs0:' || CAST(tb.range AS VARCHAR) || ':' || CAST(ti.i2 AS VARCHAR)), 1, 1)) - 1) * 1048576
+          |   + (instr('0123456789abcdef', substr(md5('bs0:' || CAST(tb.range AS VARCHAR) || ':' || CAST(ti.i2 AS VARCHAR)), 2, 1)) - 1) * 65536
+          |   + (instr('0123456789abcdef', substr(md5('bs0:' || CAST(tb.range AS VARCHAR) || ':' || CAST(ti.i2 AS VARCHAR)), 3, 1)) - 1) * 4096
+          |   + (instr('0123456789abcdef', substr(md5('bs0:' || CAST(tb.range AS VARCHAR) || ':' || CAST(ti.i2 AS VARCHAR)), 4, 1)) - 1) * 256
+          |   + (instr('0123456789abcdef', substr(md5('bs0:' || CAST(tb.range AS VARCHAR) || ':' || CAST(ti.i2 AS VARCHAR)), 5, 1)) - 1) * 16
+          |   + (instr('0123456789abcdef', substr(md5('bs0:' || CAST(tb.range AS VARCHAR) || ':' || CAST(ti.i2 AS VARCHAR)), 6, 1)) - 1))
+          |    % (SELECT n FROM n) AS i2
+          |  FROM range(200) tb CROSS JOIN (SELECT i2 FROM idx) ti),
+          |reps AS (SELECT d.b, avg(x.c) AS racc
+          |  FROM draws d JOIN idx x USING (i2) GROUP BY d.b)
+          |SELECT (SELECT n FROM n) AS n, 200 AS n_boot,
+          |  round((SELECT avg(c) FROM base), 6) AS acc,
+          |  round(quantile_cont(racc, 0.025), 6) AS ci_lo,
+          |  round(quantile_cont(racc, 0.975), 6) AS ci_hi
+          |FROM reps""".stripMargin,
 
       // JL projection replay: the same md5-parity sign matrix
       // (±1/√16 = ±0.25, exact dyadic) rebuilt in SQL, left-fold sum.
@@ -7650,6 +7765,59 @@ object SparkEntry {
        |SELECT centroid_id, i AS pos, round(cv[i + 1], 6) AS v
        |FROM cent$Q38Iters CROSS JOIN range($Q37Dim) t(i)
        |ORDER BY centroid_id, pos""".stripMargin
+
+  /** DuckDB replay of the IVF-pruned binary ANN (q207) — also the
+    * oracle of the auto-gate registration q211, which routes to the
+    * identical IVF plan. */
+  private def q207HammingIvfSql: String =
+    """WITH corpus AS (SELECT * FROM embeddings WHERE vec_id >= 5),
+          |q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+          |cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM corpus ORDER BY vec_id LIMIT 16),
+          |assigned AS (
+          |  SELECT vec_id AS id, centroid_id FROM (
+          |    SELECT c.vec_id, ct.centroid_id,
+          |      row_number() OVER (PARTITION BY c.vec_id
+          |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(ct.cv AS DOUBLE[])) DESC, ct.centroid_id ASC) AS rn
+          |    FROM corpus c CROSS JOIN cent ct)
+          |  WHERE rn = 1),
+          |probes AS (
+          |  SELECT vec_id AS query_id, centroid_id FROM (
+          |    SELECT q.vec_id, ct.centroid_id,
+          |      row_number() OVER (PARTITION BY q.vec_id
+          |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(ct.cv AS DOUBLE[])) DESC, ct.centroid_id ASC) AS rn
+          |    FROM q CROSS JOIN cent ct)
+          |  WHERE rn <= 4),
+          |v AS (SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+          |  FROM embeddings WHERE embedding IS NOT NULL),
+          |b AS (SELECT vec_id, vv,
+          |    list_transform(range(0, CAST(ceil(len(vv) / 32.0) AS INT)), w ->
+          |      CAST(coalesce(list_sum(list_transform(
+          |        range(w * 32, CAST(least(w * 32 + 32, len(vv)) AS INT)), i ->
+          |          CASE WHEN vv[i + 1] > 0 THEN (CAST(1 AS BIGINT) << (i - w * 32))
+          |               ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)) AS words
+          |  FROM v),
+          |hd AS (SELECT p.query_id, a.id AS neighbor_id,
+          |    CAST(coalesce(list_sum(list_transform(
+          |      range(0, CAST(len(bq.words) AS INT)), i ->
+          |        CAST(bit_count(xor(bq.words[i + 1], bc.words[i + 1])) AS BIGINT))),
+          |      0) AS BIGINT) AS hd
+          |  FROM probes p
+          |  JOIN assigned a ON p.centroid_id = a.centroid_id
+          |  JOIN b bq ON bq.vec_id = p.query_id
+          |  JOIN b bc ON bc.vec_id = a.id),
+          |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY hd ASC, neighbor_id ASC) AS crank FROM hd),
+          |rr AS (SELECT c.query_id, c.neighbor_id, c.hd,
+          |    list_cosine_similarity(vq.vv, vc.vv) AS sim
+          |  FROM cand c
+          |  JOIN v vq ON vq.vec_id = c.query_id
+          |  JOIN v vc ON vc.vec_id = c.neighbor_id
+          |  WHERE c.crank <= 40)
+          |SELECT query_id, rank, neighbor_id, hd, round(sim, 6) AS sim FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY sim DESC, neighbor_id ASC) AS rank FROM rr)
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** Simplified-silhouette replay over the same kmeans chain: per
     * point the best and runner-up centroid cosine (same tie-break as

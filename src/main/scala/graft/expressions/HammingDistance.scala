@@ -20,7 +20,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * kernel a binary index actually runs, at memory bandwidth.
   *
   * Word-count mismatch → min-length prefix (same convention as
-  * [[DotProduct]]). Null in → null out. */
+  * [[DotProduct]]). Null in → null out — including a null ELEMENT
+  * inside either array's compared prefix: the zip_with/aggregate HOF
+  * form this expression claims bit-parity with propagates an element
+  * null into the whole sum, and graft_hamming is a registered SQL
+  * function, so arbitrary arrays (not just binarySign output, which
+  * never holds null slots) can reach it. Reading a null slot via
+  * getLong would silently yield an arbitrary word instead. */
 case class HammingDistance(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -33,6 +39,9 @@ case class HammingDistance(left: Expression, right: Expression)
     }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hamming"
+  // a non-null pair can still produce null (null element in a compared
+  // slot), so nullability must not collapse to the children's
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -40,7 +49,11 @@ case class HammingDistance(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var hd = 0L
     var i = 0
-    while (i < n) { hd += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      hd += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
     hd
   }
 
@@ -53,6 +66,7 @@ case class HammingDistance(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $hd = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $hd += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
          |}
          |${ev.value} = $hd;

@@ -616,14 +616,24 @@ object Corpus {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val base = df.select(col(idCol).cast(LongType).as("id"),
       col(textCol).cast("string").as("text"))
-    val wins = base
+    val winsAll = base
       .filter(col("text").isNotNull && length(col("text")) >= width)
       .select(col("id"), col("text"),
         explode(expr(s"sequence(0, CAST(length(text) AS INT) - $width, $stride)"))
           .as("off"))
       .select(col("id"), col("off").cast("int").as("off"),
         md5(expr(s"CAST(substring(text, off + 1, $width) AS BINARY)")).as("fp"))
-      .localCheckpoint() // feeds both the election agg and the join back
+      .withColumn("__ph", xxhash64(col("fp")))
+      .localCheckpoint() // feeds bloom build, the election agg, and the join back
+    // map-side singleton pruning (r10 verdict #2): provably-singleton
+    // windows die at the scan instead of riding the fp exchange; the
+    // exact occ-count over the survivors still decides duplication,
+    // so bloom collisions cost shuffle rows, never correctness
+    val bloom = df.sparkSession.sparkContext.broadcast(
+      buildDupBloom(winsAll, "__ph", estimateWindows(base, "text", width)))
+    val mightDup = udf((h: Long) => bloom.value.mightBeDup(h))
+    val wins = winsAll.filter(mightDup(col("__ph")))
+      .select("id", "off", "fp")
     val first = wins.groupBy("fp").agg(
       min(struct(col("id"), col("off"))).as("first"),
       count(lit(1)).as("occ"))
@@ -640,10 +650,7 @@ object Corpus {
     * Returns (id, clean_text, n_spans_removed, n_chars_removed). */
   private def cutSpans(base: DataFrame, removed: DataFrame,
                        width: Int): DataFrame = {
-    val spans = mergeConstWidthOffsets(
-      removed.groupBy("id")
-        .agg(sort_array(collect_list(col("off"))).as("offs")),
-      width)
+    val spans = mergeOffsetsSegmented(removed, width)
     base.join(spans, Seq("id"), "left")
       .select(col("id"), col("text"), col("merged"),
         when(col("merged").isNull, col("text")).otherwise(expr(
@@ -672,13 +679,28 @@ object Corpus {
     * fingerprints at the scan (text never shuffles); the test side
     * collapses to DISTINCT fps; marking is ONE fp-keyed left-semi
     * join; the cut is the shared constant-width merge + gap rebuild.
-    * Test-corpus size bounds the semi-join's build side — for a
-    * benchmark-sized test set it broadcasts.
+    *
+    * The marking join is explicitly SIZE-GATED (r10 verdict #8) —
+    * the original form assumed a benchmark-sized test corpus and
+    * would silently tip into a full shuffle of per-character train
+    * windows if handed a large one. A cheap Σ max(len − minLen + 1,
+    * 0) agg estimates the test window count (exact for stride 1):
+    * at or under `maxBroadcastWindows` (default 4M ≈ 160 MB of hex
+    * fps — benchmark suites are orders of magnitude smaller) the
+    * distinct test fps BROADCAST and the train side never shuffles;
+    * above it, a [[DupBloom]] membership filter over the test fps
+    * (32 MiB broadcast, built map-side) kills provably-clean train
+    * windows at the scan, and only the surviving fraction rides the
+    * shuffled semi-join against the distinct test fps — the exact
+    * join still decides marking, so bloom collisions cost shuffle
+    * rows, never results. Both routes mark the same set
+    * (spec-enforced route parity).
     * Returns (id, clean_text, n_spans_removed, n_chars_removed) for
     * EVERY train doc (clean docs pass through unchanged). */
   def decontaminateSubstrings(train: DataFrame, test: DataFrame,
                               idCol: String, textCol: String,
-                              minLen: Int): DataFrame = {
+                              minLen: Int,
+                              maxBroadcastWindows: Long = 4000000L): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     val base = train.select(col(idCol).cast(LongType).as("id"),
       col(textCol).cast("string").as("text"))
@@ -691,13 +713,23 @@ object Corpus {
         .withColumn("fp",
           md5(expr(s"CAST(substring(text, off + 1, $minLen) AS BINARY)")))
     }
-    val testFp = windows(
-      test.select(col(textCol).cast("string").as("text")), withId = false)
-      .select("fp").distinct()
-    val marked = windows(base, withId = true)
+    val testBase = test.select(col(textCol).cast("string").as("text"))
+    val testFp = windows(testBase, withId = false).select("fp").distinct()
+    val trainWins = windows(base, withId = true)
       .select(col("id"), col("off").cast("int").as("off"), col("fp"))
-      .join(testFp, Seq("fp"), "left_semi")
-      .select("id", "off")
+    val testWinEst = estimateWindows(testBase, "text", minLen)
+    val marked =
+      (if (testWinEst <= maxBroadcastWindows)
+         trainWins.join(broadcast(testFp), Seq("fp"), "left_semi")
+       else {
+         val testHashed = windows(testBase, withId = false)
+           .select(xxhash64(col("fp")).as("__ph"))
+         val bloom = train.sparkSession.sparkContext.broadcast(
+           buildDupBloom(testHashed, "__ph", testWinEst))
+         val mightHit = udf((h: Long) => bloom.value.mightContain(h))
+         trainWins.filter(mightHit(xxhash64(col("fp"))))
+           .join(testFp, Seq("fp"), "left_semi")
+       }).select("id", "off")
     cutSpans(base, marked, minLen)
   }
 
@@ -711,11 +743,13 @@ object Corpus {
     * break positions via one filter, each interval via one indexed
     * transform — O(spans) per doc, no per-step array reconstruction
     * (a fold that slices+concats the accumulator would be O(spans²)
-    * on span-riddled docs). Returns (id, merged: array<struct<s,e>>). */
-  private def mergeConstWidthOffsets(grouped: DataFrame,
-                                     width: Int): DataFrame =
+    * on span-riddled docs). `keyCols` pass through (the segmented
+    * caller keys on (id, segment)). Returns
+    * (keyCols..., merged: array<struct<s,e>>). */
+  private def mergeConstWidthOffsets(grouped: DataFrame, width: Int,
+                                     keyCols: Seq[String] = Seq("id")): DataFrame =
     grouped
-      .select(col("id"), col("offs"), expr(
+      .select(keyCols.map(col) :+ col("offs") :+ expr(
         // greatest(i - 1, 1) keeps the i = 1 probe index legal even if
         // both arms evaluate — the OR's first arm decides that row, but
         // relying on short-circuit order to dodge element_at(offs, 0)
@@ -723,14 +757,144 @@ object Corpus {
         s"""filter(sequence(1, size(offs)), i ->
            |  i = 1 OR element_at(offs, i) >
            |    element_at(offs, greatest(i - 1, 1)) + $width)
-           |""".stripMargin.trim).as("starts"))
-      .select(col("id"), expr(
+           |""".stripMargin.trim).as("starts"): _*)
+      .select(keyCols.map(col) :+ expr(
         s"""transform(starts, (st, k) -> named_struct(
            |  's', element_at(offs, st),
            |  'e', element_at(offs, CASE WHEN k + 2 <= size(starts)
            |         THEN element_at(starts, k + 2) - 1
            |         ELSE size(offs) END) + $width))
-           |""".stripMargin.trim).as("merged"))
+           |""".stripMargin.trim).as("merged"): _*)
+
+  /** Segmented per-doc merge of constant-width marked offsets — the
+    * bounded-state form of groupBy(id) + [[mergeConstWidthOffsets]]
+    * (r10 verdict #4). A span-riddled long document (100 MB of
+    * boilerplate, every window marked) used to build ONE
+    * collect_list row holding every raw offset (4 bytes/char — a
+    * multi-hundred-MB aggregation row) before the HOF merge. Here
+    * offsets first group by (id, off div `segChars`): each such group
+    * holds ≤ segChars raw offsets, merges to intervals locally, and
+    * only the merged INTERVALS reach the per-doc group — for the
+    * pathological all-duplicated doc that is ONE interval per
+    * segment (doc_len / segChars structs instead of doc_len ints).
+    * A doc with genuinely many disjoint spans still carries one
+    * struct per span — that is the output's own cardinality, not
+    * amplification.
+    *
+    * Stitching is exact, by construction: with segChars ≥ width,
+    * (a) within a segment merged intervals are strictly disjoint
+    * (next.s > prev.e — the merge's break condition), (b) an
+    * interval can only overlap/touch intervals of the ADJACENT
+    * segment (it extends < width past its segment), and (c) interval
+    * ends are strictly increasing in the (seg, s)-sorted flattened
+    * list (B.s ≥ A's last raw offset + 1 ⟹ B.e = B_last + width >
+    * A.e), so the purely LOCAL pairwise test s_i ≤ e_(i−1) decides
+    * every run and the run's last member carries its max end — the
+    * same filter/transform discipline as the inner merge, and
+    * provably the same intervals the unsegmented merge produces
+    * (adjacency s = prev_e merges in both: the inner break is
+    * strictly `>` width-gap, the stitch is strictly `>` prev.e).
+    * Input: (id, off); returns (id, merged: array<struct<s,e>>). */
+  private def mergeOffsetsSegmented(removed: DataFrame, width: Int,
+                                    segChars: Int = 1 << 16): DataFrame = {
+    val seg = math.max(segChars, width)
+    val within = mergeConstWidthOffsets(
+      removed
+        .withColumn("__seg", expr(s"CAST(off DIV $seg AS INT)"))
+        .groupBy("id", "__seg")
+        .agg(sort_array(collect_list(col("off"))).as("offs")),
+      width, keyCols = Seq("id", "__seg"))
+    within
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("__seg"), col("merged"))))
+        .as("__parts"))
+      .select(col("id"),
+        flatten(expr("transform(__parts, p -> p.merged)")).as("ivs"))
+      .select(col("id"), col("ivs"), expr(
+        """filter(sequence(1, size(ivs)), i ->
+          |  i = 1 OR element_at(ivs, i).s >
+          |    element_at(ivs, greatest(i - 1, 1)).e)
+          |""".stripMargin.trim).as("starts"))
+      .select(col("id"), expr(
+        """transform(starts, (st, k) -> named_struct(
+          |  's', element_at(ivs, st).s,
+          |  'e', element_at(ivs, CASE WHEN k + 2 <= size(starts)
+          |         THEN element_at(starts, k + 2) - 1
+          |         ELSE size(ivs) END).e))
+          |""".stripMargin.trim).as("merged"))
+  }
+
+  /** Build a [[DupBloom]] over `hashCol` (BIGINT) of `wins` — one
+    * map-side pass + a logarithmic treeAggregate merge, no shuffle of
+    * the rows themselves. Sized from `expectedAdds` (callers estimate
+    * window counts as Σ max(len − L + 1, 0) — a cheap agg, no
+    * explode). */
+  private def buildDupBloom(wins: DataFrame, hashCol: String,
+                            expectedAdds: Long): DupBloom = {
+    val logSlots = DupBloom.logSlotsFor(expectedAdds)
+    wins.select(col(hashCol)).rdd
+      .treeAggregate(new DupBloom(logSlots))(
+        (f, row) => { f.add(row.getLong(0)); f },
+        (a, b) => a.merge(b),
+        depth = 2)
+  }
+
+  /** Window-count estimate for [[DupBloom]] sizing: Σ max(len − L +
+    * 1, 0) over the text column — exact for stride 1, an upper bound
+    * for stride > 1 (oversizing only wastes filter bits). */
+  private def estimateWindows(df: DataFrame, textCol: String,
+                              width: Int): Long =
+    df.select(coalesce(sum(greatest(
+        length(col(textCol).cast("string")) - width + 1, lit(0))
+        .cast(LongType)), lit(0L)))
+      .head().getLong(0)
+
+  /** Cross-document LINE-level boilerplate removal — the CCNet /
+    * RefinedWeb cleaning step between document dedup and substring
+    * dedup: a line whose TRIMMED text is nonempty and occurs in at
+    * least `minDocs` DISTINCT documents is navigation/footer
+    * boilerplate ("subscribe to our newsletter") and is dropped from
+    * EVERY document; each document is rebuilt from its surviving
+    * lines in order (original separators collapse to '\n').
+    *
+    * Shape: line explosion is a pure projection (split + posexplode);
+    * the frequency count is one hash agg keyed on the trimmed line
+    * (map-side combinable); the boilerplate set is countDistinct-
+    * thresholded and BROADCASTS back (boilerplate vocabularies are
+    * small by definition — lines above a distinct-doc threshold);
+    * marked positions group per doc and the rebuild is one array HOF
+    * over the doc's own split — no cross-row state, text never enters
+    * a shuffle key. Returns (id, clean_text, n_lines_removed) for
+    * every input doc (null text passes through). */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+      col(textCol).cast("string").as("text"))
+    val lines = base.filter(col("text").isNotNull)
+      .select(col("id"), posexplode(split(col("text"), "\n", -1)))
+      .select(col("id"), col("pos"), col("col").as("line"))
+    val bad = lines
+      .filter(length(trim(col("line"))) > 0)
+      .groupBy(trim(col("line")).as("k"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("k")
+    val badPos = lines.join(broadcast(bad), trim(col("line")) === col("k"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("pos"))).as("bad_pos"))
+    base.join(badPos, Seq("id"), "left")
+      .withColumn("__parts", split(col("text"), "\n", -1))
+      .select(col("id"),
+        when(col("text").isNull, lit(null).cast("string"))
+          .when(col("bad_pos").isNull, col("text"))
+          .otherwise(array_join(
+            filter(col("__parts"),
+              (_, i) => not(array_contains(col("bad_pos"), i))),
+            "\n")).as("clean_text"),
+        coalesce(size(col("bad_pos")), lit(0)).cast(LongType)
+          .as("n_lines_removed"))
+  }
 
   /** MAXIMAL duplicated substrings of length ≥ `minLen` — the
     * suffix-array-grade report of exact-substring training-data dedup
@@ -787,20 +951,32 @@ object Corpus {
       .filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).cast("string").as("text"))
       .filter(col("text").isNotNull && length(col("text")) >= minLen)
-    val wins = base
+    val winsAll = base
       .select(col("id"),
         explode(expr(s"sequence(0, CAST(length(text) AS INT) - $minLen, 1)"))
           .as("off"),
         col("text"))
       .select(col("id"), col("off").cast("int").as("off"),
         fp(expr(s"substring(text, off + 1, $minLen)")).as("fp"))
-      .localCheckpoint() // feeds both the dup-mark agg and the join back
+      .withColumn("__ph", xxhash64(col("fp")))
+      .localCheckpoint() // feeds bloom build, the dup-mark agg, and the join back
+    // map-side singleton pruning (r10 verdict #2): one fp row per
+    // corpus CHARACTER rides this family's exchanges — the correct
+    // cardinality (it IS the suffix-array entry count), but the
+    // overwhelmingly common case is a singleton fp that can never
+    // mark a span. The broadcast two-level bloom kills
+    // provably-singleton windows at the checkpoint scan; the exact
+    // occ > 1 count over the survivors is unchanged (every occurrence
+    // of a true duplicate survives), so collisions cost shuffle rows,
+    // never results.
+    val bloom = df.sparkSession.sparkContext.broadcast(
+      buildDupBloom(winsAll, "__ph", estimateWindows(base, "text", minLen)))
+    val mightDup = udf((h: Long) => bloom.value.mightBeDup(h))
+    val wins = winsAll.filter(mightDup(col("__ph"))).select("id", "off", "fp")
     val dupFp = wins.groupBy("fp").agg(count(lit(1)).as("occ"))
       .filter(col("occ") > 1).select("fp")
     val marked = wins.join(dupFp, Seq("fp")).select("id", "off")
-    val grouped = marked.groupBy("id")
-      .agg(sort_array(collect_list(col("off"))).as("offs"))
-    mergeConstWidthOffsets(grouped, minLen)
+    mergeOffsetsSegmented(marked, minLen)
       .select(col("id"), explode(col("merged")).as("sp"))
       .select(col("id"), col("sp.s").cast("long").as("span_start"),
         col("sp.e").cast("long").as("span_end"),

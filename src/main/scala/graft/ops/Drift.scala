@@ -397,4 +397,52 @@ object Drift {
             .cast("double") / col("__n_total").cast("double"), 6)
           .as("wgap"))
   }
+
+  /** Bootstrap percentile confidence interval for a binary eval
+    * metric (accuracy) — the error bar every benchmark readout needs
+    * before a 0.3-point delta means anything (Efron 1979; standard
+    * eval-harness practice). `nBoot` replicas; replica b draws n rows
+    * WITH replacement, the resample indices a pure function of
+    * (seed, b, draw): the first 6 hex digits of
+    * md5("seed:b:i") as an integer, mod n — the repo's deterministic
+    * md5-PRNG discipline ([[graft.engine.Generators]]), so the whole
+    * CI replays bit-for-bit in the oracle. Accuracy per replica, then
+    * exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`) at alpha/2 and 1−alpha/2.
+    *
+    * Shape: rows index by a dense rank over `orderCol` (an eval set
+    * is benchmark-sized by nature — the global window is the
+    * documented bound, same as [[calibrationReport]]'s readoff); the
+    * replica×draw grid is a `spark.range`-style cross of two small
+    * sequences joined back to the indexed rows on the md5 index; one
+    * groupBy(replica) mean + one global percentile agg. Returns ONE
+    * row: (n, n_boot, acc, ci_lo, ci_hi). */
+  def bootstrapAccuracyCI(df: DataFrame, orderCol: String,
+                          correctCol: String, nBoot: Int,
+                          seed: String, alpha: Double): DataFrame = {
+    require(nBoot >= 2, s"nBoot must be >= 2, got $nBoot")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val base = df.filter(col(orderCol).isNotNull && col(correctCol).isNotNull)
+      .select(col(orderCol).as("__o"),
+        col(correctCol).cast("int").as("__c"))
+    val n = base.count()
+    require(n >= 1, "bootstrapAccuracyCI needs at least one row")
+    val indexed = base
+      .withColumn("__idx",
+        row_number().over(Window.orderBy(col("__o"))).cast("long") - 1)
+    val spark = df.sparkSession
+    val draws = spark.range(nBoot).select(col("id").cast("int").as("b"))
+      .crossJoin(spark.range(n).select(col("id").as("i")))
+      .withColumn("__idx",
+        conv(substring(md5(concat(lit(seed + ":"), col("b"),
+          lit(":"), col("i"))), 1, 6), 16, 10).cast("long") % n)
+    val reps = draws.join(indexed, "__idx")
+      .groupBy("b").agg(avg(col("__c")).as("racc"))
+    val acc = base.agg(avg(col("__c"))).head().getDouble(0)
+    reps.agg(
+        round(expr(s"percentile(racc, ${alpha / 2})"), 6).as("ci_lo"),
+        round(expr(s"percentile(racc, ${1 - alpha / 2})"), 6).as("ci_hi"))
+      .select(lit(n).as("n"), lit(nBoot).as("n_boot"),
+        round(lit(acc), 6).as("acc"), col("ci_lo"), col("ci_hi"))
+  }
 }

@@ -167,15 +167,20 @@ object Projection {
     * m=64 at 12x less ANN scan cost with bounded distortion.
     *
     * The matrix depends only on (seed, i, j) — derived DRIVER-SIDE
-    * once (m·d md5 calls, no data pass) and shipped as one literal,
-    * so the transform is a pure map-only projection (no shuffle, no
-    * broadcast table, whole-stage codegen) and the whole chain
-    * replays in the oracle from the same md5 parity. Sum order is a
-    * left fold over i — bit-stable cross-engine. Returns one row per
+    * once (m·d md5 calls, no data pass) and shipped as a BROADCAST
+    * variable, so the transform is a pure map-only projection (no
+    * shuffle) and the whole chain replays in the oracle from the same
+    * md5 parity. A plan-literal matrix (typedLit) was the first form;
+    * at real embedding widths (3200-in × 256-out) that embeds ~820k
+    * doubles in every plan string — the broadcast keeps the plan
+    * constant-size and ships the matrix once per executor. The matvec
+    * runs as one tight primitive-double loop per row (no per-element
+    * boxing, ~d·m FMAs — faster than the zip_with/aggregate HOF chain
+    * it replaces), summing in ascending i per j: the SAME left fold
+    * over i as before — bit-stable cross-engine, q208's oracle
+    * replays unchanged. Returns one row per
     * (id, j, out) — out UNROUNDED; callers round for display.
     * Rows with null vectors OR a length ≠ `inDim` are DROPPED:
-    * zip_with null-pads mismatched arrays (it does NOT stop at the
-    * shorter one), which would silently null the whole projection —
     * a mixed-dimension corpus is an upstream bug this surfaces by
     * omission (diff the row counts to count the drops). */
   def jlTransform(df: DataFrame, idCol: String, vecCol: String,
@@ -188,16 +193,24 @@ object Projection {
         .digest(s"$seed:$i:$j".getBytes("UTF-8"))
       if (((h(0) >> 4) & 0xf) < 8) scale else -scale
     }
-    val signs = typedLit((0 until outDim).map(j =>
-      (0 until inDim).map(i => sign(i, j))))
+    // row-major [j][i] so the inner loop walks one matrix row linearly
+    val mat: Array[Array[Double]] = Array.tabulate(outDim, inDim)((j, i) => sign(i, j))
+    val bc = df.sparkSession.sparkContext.broadcast(mat)
+    val project = udf { (v: scala.collection.Seq[Double]) =>
+      val m = bc.value
+      val x = v.toArray
+      Array.tabulate(m.length) { j =>
+        val row = m(j)
+        var acc = 0.0
+        var i = 0
+        while (i < x.length) { acc += x(i) * row(i); i += 1 }
+        acc
+      }
+    }
     df.filter(col(vecCol).isNotNull && size(col(vecCol)) === inDim)
       .select(col(idCol),
         transform(col(vecCol), _.cast("double")).as("__v"))
-      .select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(outDim - 1)), j =>
-          aggregate(
-            zip_with(col("__v"), element_at(signs, j + 1), (x, s) => x * s),
-            lit(0.0), (acc, x) => acc + x))))
+      .select(col(idCol), posexplode(project(col("__v"))))
       .select(col(idCol), col("pos").cast("int").as("j"),
         col("col").as("out"))
   }

@@ -394,7 +394,8 @@ object Quantize {
   /** Sign-bit binarization (Charikar 2002 SRP with the identity
     * hyperplanes): dimension i contributes bit (v_i > 0), packed
     * 32 dims per BIGINT word — a 64-dim float vector becomes two
-    * longs, a 32x storage cut. Ties at exactly 0.0 pack as 0. Words
+    * longs, a 16x storage cut vs float32 (256 B -> 16 B; 32x only vs
+    * float64). Ties at exactly 0.0 pack as 0. Words
     * hold values in [0, 2^32), so the packing involves no sign-bit
     * edge cases in either engine (the DuckDB oracle replays the same
     * shifts on BIGINT).
@@ -476,11 +477,21 @@ object Quantize {
   }
 
   /** Shared candidate-selection tail of the binary-ANN family:
-    * per-partition bounded ascending heaps over (query_id,
-    * neighbor_id, hd), then the exact global top-`cand` over the
-    * |Q|·cand·P survivors — ties toward the lower neighbor id. ONE
-    * definition (like [[cosineRerank]]) so the flat and IVF routes
-    * can never diverge in the candidate contract. */
+    * per-partition candidate selection over (query_id, neighbor_id,
+    * hd), then the exact global top-`cand` over the |Q|·cand·P
+    * survivors — ties toward the lower neighbor id. ONE definition
+    * (like [[cosineRerank]]) so the flat and IVF routes can never
+    * diverge in the candidate contract.
+    *
+    * Memory bound, honestly: collect_list materializes every
+    * candidate of a (query_id, partition) group before the
+    * array_sort + slice, so per-group memory is O(candidates in that
+    * partition), not O(cand) — the same discipline as
+    * [[Similarity]]'s topKFromScored. Flat scans split the corpus
+    * across partitions so each group is |C|/P; the IVF route can put
+    * one whole probed cell per query into a group — keep cells
+    * bounded (nCentroids sized to corpus / target-cell-size) if that
+    * becomes a pressure point. */
   private def hammingTopCand(scored: DataFrame, cand: Int): DataFrame = {
     val partial = scored
       .groupBy(col("query_id"), spark_partition_id().as("__p"))
@@ -573,6 +584,43 @@ object Quantize {
     cosineRerank(hammingTopCand(scored, cand),
       queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol, k)
   }
+
+  /** Size-gated binary ANN — the auto-route of the sign-bit family,
+    * completing the gate discipline ([[int8TopKAuto]]'s contract for
+    * packed words): flat [[hammingTopK]] is O(|Q|·|C|) popcounts and
+    * nothing else stops a caller pointing it at a billion-row corpus.
+    * At or below `maxFlatRows` non-null-vector corpus rows the flat
+    * scan runs (exact Hamming candidates — the ground-truth contract);
+    * above it the scan is pruned to `nprobe` of `nCentroids` IVF
+    * cells ([[hammingTopKIvf]]). Routing cost mirrors the int8 gate:
+    * `corpusSizeHint` skips the probe entirely; otherwise a
+    * LIMIT-bounded count scans at most maxFlatRows + 1 rows (same
+    * isNotNull filter the kernels apply) and stops early on a huge
+    * corpus. At nprobe = nCentroids the two routes are spec-proven
+    * identical (every cell probed — the q147/q207 parity pattern), so
+    * the gate can never change results for a corpus that straddles
+    * the threshold with full probing. */
+  def hammingTopKAuto(queries: DataFrame, corpus: DataFrame,
+                      qIdCol: String, qVecCol: String,
+                      cIdCol: String, cVecCol: String,
+                      k: Int, cand: Int,
+                      maxFlatRows: Long = 1000000L,
+                      nCentroids: Int = 16, nprobe: Int = 4,
+                      corpusSizeHint: Option[Long] = None): DataFrame =
+    if (corpusSizeHint.getOrElse {
+          // LIMIT-bounded probe while the threshold fits an Int; past
+          // that a LIMIT can't decide the route, so fall back to the
+          // full count — the gate must never silently route a corpus
+          // larger than the threshold to the quadratic kernel
+          if (maxFlatRows < Int.MaxValue - 1L)
+            corpus.filter(col(cVecCol).isNotNull)
+              .limit(maxFlatRows.toInt + 1).count()
+          else corpus.filter(col(cVecCol).isNotNull).count()
+        } <= maxFlatRows)
+      hammingTopK(queries, corpus, qIdCol, qVecCol, cIdCol, cVecCol, k, cand)
+    else
+      hammingTopKIvf(queries, corpus, qIdCol, qVecCol, cIdCol, cVecCol,
+        k, cand, nCentroids, nprobe)
 
   def int8TopKAuto(queries: DataFrame, corpus: DataFrame,
                    qIdCol: String, qVecCol: String,

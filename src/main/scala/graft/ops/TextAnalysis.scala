@@ -571,4 +571,41 @@ object TextAnalysis {
         col("pc.n_occur").as("n_occur"))
       .filter(col("n_occur") > 0)
   }
+
+  /** PII patterns shared by [[piiRedact]] and its oracle: restricted
+    * to constructs with IDENTICAL semantics in Java regex and RE2
+    * (character classes, bounded repetition, ASCII \b), so the DuckDB
+    * replay is bit-equal. Deliberately high-precision/ASCII-simple —
+    * production recall tuning swaps patterns, not plumbing. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII detection + redaction — the pre-training privacy scrub
+    * (emails, IPv4s, US-style phone numbers) every public-corpus
+    * pipeline runs before tokenization. Counts are taken per type on
+    * the ORIGINAL text (independent patterns — the audit metric), the
+    * rewrite applies email → IP → phone in a fixed order so nested
+    * matches resolve deterministically (an IPv4 inside an email's
+    * domain is already `<EMAIL>` by the time the IP pass runs).
+    *
+    * Pure projection: three regexp_extract_all counts + three chained
+    * regexp_replace, all inside one codegen'd map — no shuffle, no
+    * UDF. Returns (id, clean_text, n_emails, n_ips, n_phones); null
+    * text passes through with zero counts. */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol).cast("string")
+    def n(re: String) =
+      coalesce(size(regexp_extract_all(t, lit(re), lit(0))), lit(0))
+        .cast("long")
+    df.select(col(idCol).as("id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, PiiEmailRe, "<EMAIL>"),
+          PiiIpRe, "<IP>"),
+        PiiPhoneRe, "<PHONE>").as("clean_text"),
+      n(PiiEmailRe).as("n_emails"),
+      n(PiiIpRe).as("n_ips"),
+      n(PiiPhoneRe).as("n_phones"))
+  }
 }

@@ -880,6 +880,83 @@ object Probe {
           f"($np hits); conjunctive: ${(t2 - t1) / 1e9}%.2f s ($nc rows)")
       }
     }
+    // R11 receipt (r10 verdict #2): shuffle-byte reduction from the
+    // map-side singleton bloom prune of the stride-1 substring family.
+    // The unpruned twin reproduces the r10 pipeline verbatim (explode
+    // -> md5 fp -> groupBy occ -> join back -> per-doc collect+merge),
+    // so the delta is the r11 rework (bloom prune + segmented merge);
+    // both variants must agree on the span count (exactness receipt).
+    names.filter(_ == "prune-scalelaw").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            shuffleBytes.addAndGet(
+              s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten); ()
+          }
+        })
+      def measure(f: => Long): (Long, Long, Double) = {
+        Thread.sleep(500); shuffleBytes.set(0L)
+        val t0 = System.nanoTime()
+        val n = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500) // let straggler stage-completed events land
+        (n, shuffleBytes.get(), dt)
+      }
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def at(m: Int): org.apache.spark.sql.DataFrame = {
+        val grown = rotatedDocs(docs, m)
+        grown.unionByName(
+          grown.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(500000L)))
+      }
+      val L = 40
+      // the r10 (unpruned) marked-offset pipeline, inlined
+      def unprunedSpans(df: org.apache.spark.sql.DataFrame): Long = {
+        val base = df.filter(col("doc_id").isNotNull)
+          .select(col("doc_id").as("id"), col("text").cast("string").as("text"))
+          .filter(col("text").isNotNull && length(col("text")) >= L)
+        val wins = base
+          .select(col("id"),
+            explode(expr(s"sequence(0, CAST(length(text) AS INT) - $L, 1)")).as("off"),
+            col("text"))
+          .select(col("id"), col("off").cast("int").as("off"),
+            md5(expr(s"substring(text, off + 1, $L)").cast("binary")).as("fp"))
+          .localCheckpoint()
+        val dupFp = wins.groupBy("fp").agg(count(lit(1)).as("occ"))
+          .filter(col("occ") > 1).select("fp")
+        val marked = wins.join(dupFp, Seq("fp")).select("id", "off")
+        val grouped = marked.groupBy("id")
+          .agg(sort_array(collect_list(col("off"))).as("offs"))
+        grouped
+          .select(col("id"), col("offs"), expr(
+            s"""filter(sequence(1, size(offs)), i ->
+               |  i = 1 OR element_at(offs, i) >
+               |    element_at(offs, greatest(i - 1, 1)) + $L)""".stripMargin.trim)
+            .as("starts"))
+          .select(col("id"), expr(
+            s"""transform(starts, (st, k) -> named_struct(
+               |  's', element_at(offs, st),
+               |  'e', element_at(offs, CASE WHEN k + 2 <= size(starts)
+               |         THEN element_at(starts, k + 2) - 1
+               |         ELSE size(offs) END) + $L))""".stripMargin.trim).as("merged"))
+          .select(col("id"), explode(col("merged")).as("sp"))
+          .count()
+      }
+      graft.ops.Corpus.maxDupSpans(at(1), "doc_id", "text", L).count() // warm
+      unprunedSpans(at(1))
+      Seq(1, 4, 10).foreach { m =>
+        val d = at(m).localCheckpoint()
+        val (np, bp, tp) = measure(
+          graft.ops.Corpus.maxDupSpans(d, "doc_id", "text", L).count())
+        val (nu, bu, tu) = measure(unprunedSpans(d))
+        println(f"PRUNE-SCALELAW x$m: pruned $tp%.2f s ${bp / 1e6}%.1f MB shuffle " +
+          f"($np spans) vs unpruned $tu%.2f s ${bu / 1e6}%.1f MB ($nu spans) " +
+          f"-> bytes x${bu.toDouble / math.max(1L, bp)}%.1f")
+      }
+    }
     names.filter(_.startsWith("plan:")).foreach { n =>
       val q = n.stripPrefix("plan:")
       println(s"===== PLAN $q =====")

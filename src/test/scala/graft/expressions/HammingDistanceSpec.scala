@@ -38,6 +38,40 @@ class HammingDistanceSpec extends SparkSpec {
       .collect()(0).isNullAt(0))
   }
 
+  test("null ELEMENT in a compared slot -> null (HOF parity), both exec paths") {
+    // graft_hamming is a registered SQL function: arbitrary arrays with
+    // null slots can reach it (binarySign never emits them). Reading a
+    // null slot via getLong would silently yield an arbitrary word; the
+    // contract is the HOF form's: element null poisons the sum -> null.
+    GraftExtensions.registerInto(spark)
+    val cases = Seq(
+      ("SELECT graft_hamming(array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT)), " +
+        "array(CAST(0 AS BIGINT), CAST(0 AS BIGINT))) AS h", true),
+      ("SELECT graft_hamming(array(CAST(1 AS BIGINT), CAST(0 AS BIGINT)), " +
+        "array(CAST(0 AS BIGINT), CAST(NULL AS BIGINT))) AS h", true),
+      // null element BEYOND the min-length compared prefix is ignored
+      ("SELECT graft_hamming(array(CAST(1 AS BIGINT)), " +
+        "array(CAST(0 AS BIGINT), CAST(NULL AS BIGINT))) AS h", false))
+    // literal arrays constant-fold -> the INTERPRETED nullSafeEval runs
+    cases.foreach { case (sql, expectNull) =>
+      assert(spark.sql(sql).collect()(0).isNullAt(0) === expectNull, sql)
+    }
+    // non-literal data -> the GENERATED loop runs (both codegen modes)
+    val df = Seq(
+      (Seq[Option[Long]](Some(1L), None), Seq[Option[Long]](Some(0L), Some(0L)), true),
+      (Seq[Option[Long]](Some(1L)), Seq[Option[Long]](Some(0L), None), false))
+      .toDF("a", "b", "expect_null").cache()
+    try for (wholeStage <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", wholeStage)
+      df.select(hdCol(col("a"), col("b")).as("h"), col("expect_null"))
+        .collect().foreach(r =>
+          assert(r.isNullAt(0) === r.getBoolean(1), s"wholeStage=$wholeStage"))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      df.unpersist(); ()
+    }
+  }
+
   test("whole-stage codegen path equals interpreted path") {
     val rnd = new scala.util.Random(29)
     val df = (0 until 50).map(_ =>

@@ -702,6 +702,99 @@ class CorpusSpec extends SparkSpec {
     assert(got2.getLong(2) === 1L)
   }
 
+  test("maxDupSpans: multi-segment all-duplicated doc collapses to one span (bounded merge state)") {
+    // The r10 verdict #4 pathology: a long doc whose EVERY window is
+    // duplicated used to build one collect_list row holding every raw
+    // offset (~4 bytes/char). The segmented merge turns that into one
+    // interval per 64 KiB segment before the per-doc group. 150k chars
+    // spans 3 segments at the default width — the closed-form answer
+    // is a single maximal span covering the whole doc, which also
+    // proves the cross-segment stitch merges a 3-segment run.
+    val t = "ab" * 75000
+    val docs = Seq((1L, t), (2L, t)).toDF("id", "t")
+    val got = Corpus.maxDupSpans(docs, "id", "t", 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1L, 0L, 150000L), (2L, 0L, 150000L)))
+  }
+
+  test("maxDupSpans: duplicated block crossing the 64 KiB segment boundary stitches to one span") {
+    // unique 10-char chunks -> no accidental duplicate 20-grams inside
+    // the fillers; the only shared content is the 200-char block, which
+    // straddles offset 65536 in doc 1 (starts at 65500), so its run of
+    // marked windows lives in two segments and must stitch back into
+    // ONE maximal span.
+    // chunk = 2 prefix letters + 8 counter digits: the char RIGHT
+    // before the block is a counter digit chosen to differ between
+    // docs ('9' vs '0') and the chars right after are the prefix pair
+    // ("cc" vs "dd") — so no 20-gram crossing a block boundary is
+    // shared cross-doc and the span cannot (correctly) extend past
+    // the block. Earlier fixture shapes DID share flanks (a common
+    // 'Z' terminator, 8 leading counter zeros) and the operator
+    // rightly extended the span — the fixture, not the op, was wrong.
+    def filler(prefix: String, chunks: Int): String =
+      (0 until chunks).map(i => f"$prefix$prefix$i%08d").mkString
+    val block = (0 until 20).map(i => f"Q$i%03dWXYZmn").mkString
+    assert(block.length === 200)
+    val doc1 = filler("a", 6550) + block + filler("c", 430)
+    val doc2 = filler("b", 51) + block + filler("d", 400)
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("id", "t")
+    val got = Corpus.maxDupSpans(docs, "id", "t", 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1L, 65500L, 65700L), (2L, 510L, 710L)))
+  }
+
+  test("decontaminateSubstrings: bloom-prefiltered shuffle route equals the broadcast route") {
+    val leak = "THE SECRET BENCHMARK ANSWER SEQUENCE XYZ"
+    val train = Seq(
+      (1L, s"prefix one $leak suffix one"),
+      (2L, s"prefix two $leak suffix two"),
+      (3L, "completely clean training document here"),
+      (4L, leak),
+      (5L, null.asInstanceOf[String])).toDF("id", "t")
+    val test = Seq((100L, s"question: $leak please answer")).toDF("id", "t")
+    def rows(maxBroadcast: Long) =
+      Corpus.decontaminateSubstrings(train, test, "id", "t", 40, maxBroadcast)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1),
+          r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    // maxBroadcastWindows = 0 forces the large-test route: DupBloom
+    // membership prune at the scan + shuffled left-semi join. The gate
+    // may only change the PLAN, never the marking.
+    assert(rows(0L) === rows(4000000L))
+  }
+
+  test("lineDedup: cross-doc boilerplate lines removed, trim-keyed, null/empty edges") {
+    val docs = Seq(
+      (1L, "real content one\nSubscribe Now\nmore text"),
+      (2L, "other body\n  Subscribe Now  \nfooter stays? no"),
+      (3L, "third doc\nSubscribe Now"),
+      (4L, "Subscribe Now"),            // the whole doc is boilerplate
+      (5L, "unique doc, no shared lines"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val out = Corpus.lineDedup(docs, "id", "t", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)), r.getLong(2))).toMap
+    assert(out.size === 6)
+    // 'Subscribe Now' appears (trimmed) in docs 1-4 -> removed everywhere;
+    // doc 2's padded variant matches via the trim key
+    assert(out(1L) === (("real content one\nmore text", 1L)))
+    assert(out(2L) === (("other body\nfooter stays? no", 1L)))
+    assert(out(3L) === (("third doc", 1L)))
+    assert(out(4L) === (("", 1L)))      // all lines removed -> empty doc
+    assert(out(5L) === (("unique doc, no shared lines", 0L)))
+    assert(out(6L) === ((null, 0L)))
+    // below threshold: nothing removed
+    val none = Corpus.lineDedup(docs, "id", "t", minDocs = 5)
+      .collect().map(_.getLong(2)).sum
+    assert(none === 0L)
+    intercept[IllegalArgumentException] {
+      Corpus.lineDedup(docs, "id", "t", minDocs = 1)
+    }
+  }
+
   test("conjunctiveTopK: AND semantics, BM25 order, k bound") {
     val docs = Seq(
       (1L, "spark window spark window spark"), // both terms, spark-heavy

@@ -257,4 +257,31 @@ class DriftSpec extends SparkSpec {
     assert(one(0).getDouble(2) === 0.5 && one(0).getDouble(3) === 0.5)
     assert(one(0).getDouble(4) === 0.0)
   }
+
+  test("bootstrapAccuracyCI: degenerate metrics pin the CI; deterministic; seed-sensitive") {
+    val allRight = (0L until 40L).map(i => (i, 1)).toDF("id", "c")
+    val r1 = Drift.bootstrapAccuracyCI(allRight, "id", "c",
+      nBoot = 50, seed = "s", alpha = 0.05).collect()(0)
+    assert(r1.getLong(0) === 40L && r1.getInt(1) === 50)
+    assert(r1.getDouble(2) === 1.0 && r1.getDouble(3) === 1.0 &&
+      r1.getDouble(4) === 1.0)
+    val allWrong = (0L until 40L).map(i => (i, 0)).toDF("id", "c")
+    val r0 = Drift.bootstrapAccuracyCI(allWrong, "id", "c",
+      nBoot = 50, seed = "s", alpha = 0.05).collect()(0)
+    assert(r0.getDouble(2) === 0.0 && r0.getDouble(3) === 0.0 &&
+      r0.getDouble(4) === 0.0)
+    // mixed: ordered bounds around the point estimate, deterministic
+    // across calls, different under a different seed
+    val mixed = (0L until 60L).map(i => (i, if (i % 3 == 0) 1 else 0))
+      .toDF("id", "c")
+    def run(seed: String) = Drift.bootstrapAccuracyCI(mixed, "id", "c",
+      nBoot = 80, seed = seed, alpha = 0.1).collect()(0)
+    val a = run("sA"); val b = run("sA"); val c = run("sB")
+    assert(a.getDouble(3) <= a.getDouble(2) && a.getDouble(2) <= a.getDouble(4))
+    assert(a.getDouble(3) === b.getDouble(3) && a.getDouble(4) === b.getDouble(4))
+    assert((c.getDouble(3) !== a.getDouble(3)) || (c.getDouble(4) !== a.getDouble(4)))
+    intercept[IllegalArgumentException] {
+      Drift.bootstrapAccuracyCI(mixed, "id", "c", 1, "s", 0.05)
+    }
+  }
 }

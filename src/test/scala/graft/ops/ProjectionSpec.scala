@@ -111,6 +111,19 @@ class ProjectionSpec extends SparkSpec {
     }
   }
 
+  test("jlTransform: projection matrix rides a broadcast, not a plan literal") {
+    // r10 verdict #7: the typedLit form embedded inDim·outDim doubles
+    // in every plan string (~820k literals at 3200x256). At a width
+    // where the literal matrix would be ~2.9M chars of plan text, the
+    // analyzed plan must stay constant-size.
+    import spark.implicits._
+    val data = Seq((1L, Array.fill(512)(0.5f))).toDF("id", "vec")
+    val out = Projection.jlTransform(data, "id", "vec", inDim = 512, outDim = 64)
+    val plan = out.queryExecution.analyzed.toString
+    assert(plan.length < 10000, s"plan unexpectedly large: ${plan.length} chars")
+    assert(out.count() === 64L)
+  }
+
   test("jlTransform: local parity, determinism, seed sensitivity, distance sanity") {
     import spark.implicits._
     val rnd = new scala.util.Random(43)

@@ -487,6 +487,36 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("hammingTopKAuto: gate routes by corpus size; routes agree at full probe") {
+    val rnd = new scala.util.Random(41)
+    val data = (0L until 120L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = data.filter(col("vec_id") < 5)
+    val c = data.filter(col("vec_id") >= 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          math.rint(r.getDouble(4) * 1e9))).toSeq
+    // small corpus (LIMIT-bounded probe counts 115 <= threshold) -> flat
+    val small = rows(Quantize.hammingTopKAuto(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", k = 8, cand = 30, maxFlatRows = 1000L,
+      nCentroids = 8, nprobe = 8))
+    val flat = rows(Quantize.hammingTopK(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", k = 8, cand = 30))
+    assert(small === flat)
+    // over threshold -> IVF route; at nprobe = nCentroids every cell is
+    // probed, so the gate flipping routes cannot change results
+    val big = rows(Quantize.hammingTopKAuto(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", k = 8, cand = 30, maxFlatRows = 10L,
+      nCentroids = 8, nprobe = 8))
+    assert(big === flat)
+    // corpusSizeHint skips the probe and decides the route alone
+    val hinted = rows(Quantize.hammingTopKAuto(q, c, "vec_id", "embedding",
+      "vec_id", "embedding", k = 8, cand = 30, maxFlatRows = 10L,
+      nCentroids = 8, nprobe = 8, corpusSizeHint = Some(5L)))
+    assert(hinted === flat)
+  }
+
   test("binary ANN routes drop null-vector rows instead of failing") {
     val rnd = new scala.util.Random(71)
     val good = (0L until 40L).map(i =>

@@ -270,4 +270,28 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("piiRedact: counts on original text, fixed redaction order, null passthrough") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@sub.example.org now"),
+      (2L, "server at 192.168.0.1 port open"),
+      (3L, "call 555-123-4567 or 555 987 6543"),
+      (4L, "a@10.1.2.3.com hides an ip in its domain"),
+      (5L, "clean text with no pii at all"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val out = TextAnalysis.piiRedact(df, "id", "t")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)),
+          r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) === (("mail <EMAIL> now", 1L, 0L, 0L)))
+    assert(out(2L) === (("server at <IP> port open", 0L, 1L, 0L)))
+    assert(out(3L) === (("call <PHONE> or <PHONE>", 0L, 0L, 2L)))
+    // counts are independent per type on the ORIGINAL text: the IPv4
+    // inside the email's domain counts as an IP, but the REWRITE
+    // applies email first, so the whole address is <EMAIL>
+    assert(out(4L) === (("<EMAIL> hides an ip in its domain", 1L, 1L, 0L)))
+    assert(out(5L) === (("clean text with no pii at all", 0L, 0L, 0L)))
+    assert(out(6L) === ((null, 0L, 0L, 0L)))
+  }
 }

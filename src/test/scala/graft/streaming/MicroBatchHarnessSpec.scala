@@ -6,9 +6,10 @@ import org.apache.spark.sql.streaming.OutputMode
 
 /** End-to-end guards for the shared micro-batch oracle harness —
   * specifically the empty-sink path: a streaming query whose every
-  * batch is filtered away writes NO parquet files, and the read-back
-  * must return an empty, correctly-schema'd frame (not throw schema
-  * inference's AnalysisException on the empty dir). */
+  * batch is filtered away contributes NO rows to the driver buffer,
+  * and the result must be an empty, correctly-schema'd frame (the
+  * schema pinned from the built plan, since nothing was emitted to
+  * infer it from). */
 class MicroBatchHarnessSpec extends SparkSpec {
   import spark.implicits._
 
