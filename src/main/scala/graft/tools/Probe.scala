@@ -957,6 +957,138 @@ object Probe {
           f"-> bytes x${bu.toDouble / math.max(1L, bp)}%.1f")
       }
     }
+    // Fixed-cost probe of the micro-batch harness (r10 verdict #5):
+    // the same minimal 3-trigger 1-key stateful stream Bench's
+    // streaming_split times — run standalone to compare checkpoint
+    // backends / sink forms without a full bench.
+    names.filter(_ == "stream-fixed").foreach { _ =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      import spark.implicits._
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.SparkEntry.runMicroBatched(spark, Seq("id"),
+          Seq(Seq(Tuple1(1L)), Seq(Tuple1(2L)), Seq(Tuple1(3L))),
+          "probe-stream-fixed", Seq("k", "n"),
+          org.apache.spark.sql.streaming.OutputMode.Update()) { st =>
+          st.groupBy((col("id") % 1L).as("k")).agg(count(lit(1)).as("n"))
+        }.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 6).foreach(i => println(f"STREAM-FIXED run$i: ${once()}%.2f s"))
+    }
+    // Where does q154's wall go? Split feed prep (dedupShards window +
+    // collect — batch work charged to the streaming row) from the
+    // micro-batch execution itself.
+    names.filter(_ == "q154-split").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      (1 to 2).foreach { run =>
+        val t0 = System.nanoTime()
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val dup = docs.unionByName(
+            docs.filter(col("doc_id") < 50)
+              .withColumn("doc_id", col("doc_id") + 10000))
+          .filter(col("text").isNotNull)
+          .withColumn("text",
+            when(col("doc_id") % 4 === 0,
+              concat(lit("<html><p class=\"x\">"), col("text"),
+                lit("</p> see https://example.com/a?b=1 now</html>")))
+              .otherwise(col("text")))
+          .withColumn("text",
+            when(col("doc_id") % 3 === 0,
+              concat(col("text"),
+                lit(" contact alice.smith@example.org or +1 (415) 555-0100")))
+              .otherwise(col("text")))
+        val key = graft.ops.TextAnalysis.fingerprint(
+          graft.ops.TextAnalysis.redactPii(
+            graft.ops.TextAnalysis.stripMarkup(col("text"))))
+        val wmin = Window.partitionBy("__b", "__k")
+        val rows = dup
+          .withColumn("__b", when(col("doc_id") < 200, 0)
+            .when(col("doc_id") < 400, 1).otherwise(2))
+          .withColumn("__k", key)
+          .withColumn("__mn", min("doc_id").over(wmin))
+          .filter(col("doc_id") === col("__mn"))
+          .select(col("doc_id"), col("text"), col("__b"))
+          .as[(Long, String, Int)].collect()
+        val shards = (0 to 2).map(b => rows.toSeq.collect {
+          case (id, tx, `b`) =>
+            (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00"))
+        })
+        val t1 = System.nanoTime()
+        val n = graft.SparkEntry.runMicroBatched(spark,
+          Seq("doc_id", "text", "batch", "ts"), shards,
+          "probe-q154", Seq("id", "text_clean", "lang", "quality", "n_tokens")) {
+          stream =>
+            graft.streaming.StreamingProfile.streamingCurate(stream, "ts",
+              "doc_id", "text",
+              graft.ops.Curation.CurationConfig(lang = Some("en"),
+                minQuality = 0.5, minTokens = 5, sampleFraction = 0.5))
+        }.count()
+        val t2 = System.nanoTime()
+        println(f"Q154-SPLIT run$run: prep ${(t1 - t0) / 1e9}%.2f s, " +
+          f"stream ${(t2 - t1) / 1e9}%.2f s ($n rows)")
+      }
+    }
+    // Per-trigger duration breakdown of the q154 stream (planning vs
+    // execution vs state commit) straight from StreamingQueryProgress.
+    names.filter(_ == "q154-triggers").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val dup = docs.unionByName(
+          docs.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + 10000))
+        .filter(col("text").isNotNull)
+      val key = graft.ops.TextAnalysis.fingerprint(
+        graft.ops.TextAnalysis.redactPii(
+          graft.ops.TextAnalysis.stripMarkup(col("text"))))
+      val wmin = Window.partitionBy("__b", "__k")
+      val rows = dup
+        .withColumn("__b", when(col("doc_id") < 200, 0)
+          .when(col("doc_id") < 400, 1).otherwise(2))
+        .withColumn("__k", key)
+        .withColumn("__mn", min("doc_id").over(wmin))
+        .filter(col("doc_id") === col("__mn"))
+        .select(col("doc_id"), col("text"), col("__b"))
+        .as[(Long, String, Int)].collect()
+      val shards = (0 to 2).map(b => rows.toSeq.collect {
+        case (id, tx, `b`) =>
+          (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00"))
+      })
+      (1 to 2).foreach { run =>
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, Int, java.sql.Timestamp)]
+        val built = graft.streaming.StreamingProfile.streamingCurate(
+          mem.toDF().toDF("doc_id", "text", "batch", "ts"), "ts",
+          "doc_id", "text",
+          graft.ops.Curation.CurationConfig(lang = Some("en"),
+            minQuality = 0.5, minTokens = 5, sampleFraction = 0.5))
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("PROBE_STREAM_PARTS", "1"))
+        val q = try built.writeStream
+          .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+            bdf.count(); ()
+          }.outputMode("append").start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        val t0 = System.nanoTime()
+        try shards.foreach { b => mem.addData(b); q.processAllAvailable() }
+        finally {
+          q.recentProgress.foreach { p =>
+            val d = p.durationMs
+            println(s"  trigger batch=${p.batchId} rows=${p.numInputRows} " +
+              s"durations=$d")
+          }
+          q.stop()
+        }
+        println(f"Q154-TRIGGERS run$run total ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          s"(parts=${sys.env.getOrElse("PROBE_STREAM_PARTS", "1")})")
+      }
+    }
     names.filter(_.startsWith("plan:")).foreach { n =>
       val q = n.stripPrefix("plan:")
       println(s"===== PLAN $q =====")
