@@ -815,8 +815,10 @@ object SparkEntry {
       // the static join side every micro-batch, so an unmaterialized
       // sketch expression would recompute the digest of the whole
       // prior corpus once per band per batch (bands × batches times).
-      val priorDir = java.nio.file.Files
-        .createTempDirectory("graft-prior-sketch").toString + "/sketches"
+      // tmpfs scratch (same backing as the harness checkpoints): the
+      // static join side is re-read once per band per micro-batch
+      val priorDir = tmpCheckpointDir("graft-prior-sketch").toString +
+        "/sketches"
       Dedup.sketchTable(docs.filter(col("doc_id") < 400), "doc_id", "text")
         .write.mode("overwrite").parquet(priorDir)
       val prior = s.read.parquet(priorDir)
