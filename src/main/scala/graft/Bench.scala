@@ -270,14 +270,18 @@ object Bench {
     // queries from flagging on scheduler jitter alone — the same slack
     // the in-run rerun guard uses.
     val regressionGate: String = if (only.nonEmpty) "" else {
+      // medians below 0.01 s (times log at %.2f, so 0.00 is possible)
+      // carry no signal and would render ratio as the non-JSON token
+      // Infinity — treat them as no-history
       val flagged = certified.flatMap { case (k, v) =>
         histMedian.get(k) match {
-          case Some(h) if v > math.max(1.5 * h, h + 0.3) =>
+          case Some(h) if h >= 0.01 && v > math.max(1.5 * h, h + 0.3) =>
             Some(f"""{"q":"$k","sec":$v%.2f,"hist_median":$h%.2f,"ratio":${v / h}%.2f}""")
           case _ => None
         }
       }
-      val noHist = certified.count { case (k, _) => !histMedian.contains(k) }
+      val noHist = certified.count { case (k, _) =>
+        histMedian.get(k).forall(_ < 0.01) }
       s""","regression_gate":{"threshold":1.5,"abs_slack_sec":0.3,""" +
         s""""n_compared":${certified.size - noHist},"n_no_history":$noHist,""" +
         s""""flagged":[${flagged.mkString(",")}]}"""

@@ -382,8 +382,8 @@ object SparkEntry {
       colsB: Seq[String], batchesB: Seq[Seq[B]],
       tmpPrefix: String, outCols: Seq[String])(
       build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     // same source-parallelism rationale as runMicroBatched
+
     val srcParts = math.min(8, s.sparkContext.defaultParallelism)
     val memA = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[A](s, srcParts)
@@ -816,9 +816,12 @@ object SparkEntry {
       // sketch expression would recompute the digest of the whole
       // prior corpus once per band per batch (bands × batches times).
       // tmpfs scratch (same backing as the harness checkpoints): the
-      // static join side is re-read once per band per micro-batch
-      val priorDir = tmpCheckpointDir("graft-prior-sketch").toString +
-        "/sketches"
+      // static join side is re-read once per band per micro-batch.
+      // Deleted after the harness returns — the result is driver-
+      // buffered by then, and leaked tmpfs pages would shrink the
+      // memory the benchmarks measure.
+      val priorRoot = tmpCheckpointDir("graft-prior-sketch")
+      val priorDir = priorRoot.toString + "/sketches"
       Dedup.sketchTable(docs.filter(col("doc_id") < 400), "doc_id", "text")
         .write.mode("overwrite").parquet(priorDir)
       val prior = s.read.parquet(priorDir)
@@ -838,10 +841,12 @@ object SparkEntry {
       val shards: Seq[Seq[(Long, String, Int, java.sql.Timestamp)]] =
         (0 to 2).map(b => shardRows.toSeq.collect { case (id, tx, `b`) =>
           (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00")) })
-      runMicroBatched(s, Seq("doc_id", "text", "batch", "ts"), shards,
-        "graft-stream-admit", Seq("doc_id", "batch")) { stream =>
-        StreamingProfile.streamingAdmit(stream, "ts", "text", prior)
-      }.orderBy("doc_id")
+      try {
+        runMicroBatched(s, Seq("doc_id", "text", "batch", "ts"), shards,
+          "graft-stream-admit", Seq("doc_id", "batch")) { stream =>
+          StreamingProfile.streamingAdmit(stream, "ts", "text", prior)
+        }.orderBy("doc_id")
+      } finally rmTree(priorRoot)
     }),
 
     // --- streaming drift monitor under a REAL micro-batch trigger:
@@ -1314,7 +1319,6 @@ object SparkEntry {
     // (max batch id), i.e. the state after the stream drains ---
     "q145_streaming_sessionize" -> ((s, d) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val tagged = t(s, d, "events")
         .withColumn("__b",
           when(col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"), 0)
@@ -1334,12 +1338,7 @@ object SparkEntry {
           math.min(8, s.sparkContext.defaultParallelism))
       val buf = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Long, Long)]
-      val ckpt = java.nio.file.Files.createTempDirectory(
-        (if (new java.io.File("/dev/shm").canWrite)
-           java.nio.file.Paths.get("/dev/shm")
-         else java.nio.file.Paths.get(
-           System.getProperty("java.io.tmpdir"))),
-        "graft-stream-sessionize").toFile
+      val ckpt = tmpCheckpointDir("graft-stream-sessionize")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "1")
       val q = try {
@@ -1357,15 +1356,7 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try {
         batches.foreach { b => mem.addData(b); q.processAllAvailable() }
-      } finally {
-        q.stop()
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rm)
-          f.delete(): Unit
-        }
-        rm(ckpt)
-      }
+      } finally { q.stop(); rmTree(ckpt) }
       buf.synchronized(buf.toSeq)
         .toDF("userId", "nSessions", "nEvents", "batch_id")
         .groupBy(col("userId").as("user_id"))

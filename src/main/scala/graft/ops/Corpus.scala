@@ -685,8 +685,11 @@ object Corpus {
     * would silently tip into a full shuffle of per-character train
     * windows if handed a large one. A cheap Σ max(len − minLen + 1,
     * 0) agg estimates the test window count (exact for stride 1):
-    * at or under `maxBroadcastWindows` (default 4M ≈ 160 MB of hex
-    * fps — benchmark suites are orders of magnitude smaller) the
+    * at or under `maxBroadcastWindows` (default 1M; each distinct fp
+    * costs ~56 B as a broadcast UnsafeRow — 32-byte hex UTF8 + row
+    * overhead — so the forced broadcast tops out near 56 MB, safe on
+    * an ordinary driver; benchmark suites are orders of magnitude
+    * smaller still) the
     * distinct test fps BROADCAST and the train side never shuffles;
     * above it, a [[DupBloom]] membership filter over the test fps
     * (32 MiB broadcast, built map-side) kills provably-clean train
@@ -700,7 +703,7 @@ object Corpus {
   def decontaminateSubstrings(train: DataFrame, test: DataFrame,
                               idCol: String, textCol: String,
                               minLen: Int,
-                              maxBroadcastWindows: Long = 4000000L): DataFrame = {
+                              maxBroadcastWindows: Long = 1000000L): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     val base = train.select(col(idCol).cast(LongType).as("id"),
       col(textCol).cast("string").as("text"))

@@ -180,9 +180,12 @@ object Projection {
     * over i as before — bit-stable cross-engine, q208's oracle
     * replays unchanged. Returns one row per
     * (id, j, out) — out UNROUNDED; callers round for display.
-    * Rows with null vectors OR a length ≠ `inDim` are DROPPED:
-    * a mixed-dimension corpus is an upstream bug this surfaces by
-    * omission (diff the row counts to count the drops). */
+    * Rows with null vectors, a length ≠ `inDim`, OR a null element
+    * inside the vector are DROPPED (element nulls null-propagate to
+    * a null projection, exactly as the HOF fold did; posexplode then
+    * skips the row): a mixed-dimension or null-holed corpus is an
+    * upstream bug this surfaces by omission (diff the row counts to
+    * count the drops). */
   def jlTransform(df: DataFrame, idCol: String, vecCol: String,
                   inDim: Int, outDim: Int, seed: String = "jl0"): DataFrame = {
     require(inDim >= 1 && outDim >= 1,
@@ -196,14 +199,26 @@ object Projection {
     // row-major [j][i] so the inner loop walks one matrix row linearly
     val mat: Array[Array[Double]] = Array.tabulate(outDim, inDim)((j, i) => sign(i, j))
     val bc = df.sparkSession.sparkContext.broadcast(mat)
-    val project = udf { (v: scala.collection.Seq[Double]) =>
+    // boxed element type: a null SLOT inside the array must propagate
+    // to a null output (the zip_with/aggregate form this replaced
+    // nulled the fold; posexplode then drops the row) — Seq[Double]
+    // would NPE in the deserializer instead
+    val project = udf { (v: scala.collection.Seq[java.lang.Double]) =>
       val m = bc.value
-      val x = v.toArray
-      Array.tabulate(m.length) { j =>
+      val n = v.length
+      val x = new Array[Double](n)
+      var ok = true
+      var i = 0
+      while (ok && i < n) {
+        val e = v(i)
+        if (e == null) ok = false else { x(i) = e.doubleValue(); i += 1 }
+      }
+      if (!ok) null
+      else Array.tabulate(m.length) { j =>
         val row = m(j)
         var acc = 0.0
-        var i = 0
-        while (i < x.length) { acc += x(i) * row(i); i += 1 }
+        var k = 0
+        while (k < n) { acc += x(k) * row(k); k += 1 }
         acc
       }
     }

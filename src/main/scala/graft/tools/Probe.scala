@@ -43,6 +43,49 @@ object Probe {
     }.reduce(_ unionByName _)
   }
 
+  /** Shared q154 fixture for the streaming probes: dup-injected docs
+    * with the markup/PII text injections q154 itself applies, bucketed
+    * into three time-ordered shards and pre-deduped per shard on the
+    * curate key (min doc_id wins) — ONE definition so q154-split and
+    * q154-triggers measure the SAME stream q154 runs. */
+  private def q154Shards(spark: SparkSession, sfDir: String)
+      : Seq[Seq[(Long, String, Int, java.sql.Timestamp)]] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dup = docs.unionByName(
+        docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      .filter(col("text").isNotNull)
+      .withColumn("text",
+        when(col("doc_id") % 4 === 0,
+          concat(lit("<html><p class=\"x\">"), col("text"),
+            lit("</p> see https://example.com/a?b=1 now</html>")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" contact alice.smith@example.org or +1 (415) 555-0100")))
+          .otherwise(col("text")))
+    val key = graft.ops.TextAnalysis.fingerprint(
+      graft.ops.TextAnalysis.redactPii(
+        graft.ops.TextAnalysis.stripMarkup(col("text"))))
+    val wmin = Window.partitionBy("__b", "__k")
+    val rows = dup
+      .withColumn("__b", when(col("doc_id") < 200, 0)
+        .when(col("doc_id") < 400, 1).otherwise(2))
+      .withColumn("__k", key)
+      .withColumn("__mn", min("doc_id").over(wmin))
+      .filter(col("doc_id") === col("__mn"))
+      .select(col("doc_id"), col("text"), col("__b"))
+      .as[(Long, String, Int)].collect()
+    (0 to 2).map(b => rows.toSeq.collect {
+      case (id, tx, `b`) =>
+        (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00"))
+    })
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = args.drop(1)
@@ -980,42 +1023,10 @@ object Probe {
     // collect — batch work charged to the streaming row) from the
     // micro-batch execution itself.
     names.filter(_ == "q154-split").foreach { _ =>
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
       import spark.implicits._
       (1 to 2).foreach { run =>
         val t0 = System.nanoTime()
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        val dup = docs.unionByName(
-            docs.filter(col("doc_id") < 50)
-              .withColumn("doc_id", col("doc_id") + 10000))
-          .filter(col("text").isNotNull)
-          .withColumn("text",
-            when(col("doc_id") % 4 === 0,
-              concat(lit("<html><p class=\"x\">"), col("text"),
-                lit("</p> see https://example.com/a?b=1 now</html>")))
-              .otherwise(col("text")))
-          .withColumn("text",
-            when(col("doc_id") % 3 === 0,
-              concat(col("text"),
-                lit(" contact alice.smith@example.org or +1 (415) 555-0100")))
-              .otherwise(col("text")))
-        val key = graft.ops.TextAnalysis.fingerprint(
-          graft.ops.TextAnalysis.redactPii(
-            graft.ops.TextAnalysis.stripMarkup(col("text"))))
-        val wmin = Window.partitionBy("__b", "__k")
-        val rows = dup
-          .withColumn("__b", when(col("doc_id") < 200, 0)
-            .when(col("doc_id") < 400, 1).otherwise(2))
-          .withColumn("__k", key)
-          .withColumn("__mn", min("doc_id").over(wmin))
-          .filter(col("doc_id") === col("__mn"))
-          .select(col("doc_id"), col("text"), col("__b"))
-          .as[(Long, String, Int)].collect()
-        val shards = (0 to 2).map(b => rows.toSeq.collect {
-          case (id, tx, `b`) =>
-            (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00"))
-        })
+        val shards = q154Shards(spark, sfDir)
         val t1 = System.nanoTime()
         val n = graft.SparkEntry.runMicroBatched(spark,
           Seq("doc_id", "text", "batch", "ts"), shards,
@@ -1034,30 +1045,8 @@ object Probe {
     // Per-trigger duration breakdown of the q154 stream (planning vs
     // execution vs state commit) straight from StreamingQueryProgress.
     names.filter(_ == "q154-triggers").foreach { _ =>
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
       import spark.implicits._
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val dup = docs.unionByName(
-          docs.filter(col("doc_id") < 50)
-            .withColumn("doc_id", col("doc_id") + 10000))
-        .filter(col("text").isNotNull)
-      val key = graft.ops.TextAnalysis.fingerprint(
-        graft.ops.TextAnalysis.redactPii(
-          graft.ops.TextAnalysis.stripMarkup(col("text"))))
-      val wmin = Window.partitionBy("__b", "__k")
-      val rows = dup
-        .withColumn("__b", when(col("doc_id") < 200, 0)
-          .when(col("doc_id") < 400, 1).otherwise(2))
-        .withColumn("__k", key)
-        .withColumn("__mn", min("doc_id").over(wmin))
-        .filter(col("doc_id") === col("__mn"))
-        .select(col("doc_id"), col("text"), col("__b"))
-        .as[(Long, String, Int)].collect()
-      val shards = (0 to 2).map(b => rows.toSeq.collect {
-        case (id, tx, `b`) =>
-          (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00"))
-      })
+      val shards = q154Shards(spark, sfDir)
       (1 to 2).foreach { run =>
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
         val mem = org.apache.spark.sql.execution.streaming.runtime

@@ -207,4 +207,18 @@ class ProjectionSpec extends SparkSpec {
     }
     (0 until 8).foreach(j => assert(out((999L, j)) === 0.0))
   }
+
+  test("jlTransform: a null ELEMENT inside the vector drops the row (HOF null-propagation parity)") {
+    import spark.implicits._
+    // right length, one null slot — passes the isNotNull/size filter;
+    // the zip_with/aggregate form this replaced nulled the whole fold
+    // and posexplode then dropped the row, so no output rows may appear
+    val holed = Seq(
+      (1L, Array[java.lang.Float](1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array[java.lang.Float](1.0f, null, 3.0f, 4.0f))
+    ).toDF("id", "vec")
+    val out = Projection.jlTransform(holed, "id", "vec", 4, 3).collect()
+    assert(out.forall(_.getLong(0) == 1L))
+    assert(out.length === 3)
+  }
 }
