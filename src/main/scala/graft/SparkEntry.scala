@@ -1631,6 +1631,33 @@ object SparkEntry {
         nBoot = 200, seed = "bs0", alpha = 0.05)
     }),
 
+    // --- matryoshka (prefix-dim) recall curve: exact cosine top-10
+    // over the first 8/16/32/64 dims vs the full-width top-10 as
+    // ground truth — the MRL truncation audit ("how many dims can
+    // storage drop"), all widths scored in ONE corpus scan ---
+    "q215_matryoshka_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.matryoshkaRecall(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", "vec_id", "embedding",
+        dims = Seq(8, 16, 32, 64), topK = 10)
+        .orderBy("query_id", "m")
+    }),
+
+    // --- per-source frequent tokens: each source's own token head at
+    // its own support (q62's global two-phase Misra-Gries discipline,
+    // keyed per group — a small domain's head is not drowned by a
+    // large one) ---
+    "q216_frequent_tokens_by" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Frequent.frequentItemsByGroup(
+        docs.select(col("source"),
+          explode(TextAnalysis.tokens(col("text").cast("string"))).as("tok")),
+        col("source"), col("tok"), support = 0.005)
+        .withColumnRenamed("grp", "source")
+        .orderBy("source", "item")
+    }),
+
     // --- PQ recall audit: ADC top-10 vs the exact L2 top-10 — the
     // index-quality eval a deployment runs before trusting ANN ---
     "q137_pq_recall" -> ((s, d) => {
@@ -5670,6 +5697,49 @@ object SparkEntry {
           |  round(quantile_cont(racc, 0.025), 6) AS ci_lo,
           |  round(quantile_cont(racc, 0.975), 6) AS ci_hi
           |FROM reps""".stripMargin,
+
+      // Matryoshka replay: exact cosine ranking per prefix width (same
+      // split and tie-break as q28's oracle), overlap vs the m = 64
+      // rows as ground truth.
+      "q215_matryoshka_recall" -> {
+        val ranked = Seq(8, 16, 32, 64).map { m =>
+          s"""SELECT $m AS m, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(list_slice(q.v, 1, $m),
+             |        list_slice(c.v, 1, $m)) DESC, c.vec_id ASC) AS rank
+             |  FROM qv q CROSS JOIN cv c""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH qv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings
+           |  WHERE vec_id < 5 AND embedding IS NOT NULL AND len(embedding) >= 64),
+           |cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings
+           |  WHERE vec_id >= 5 AND embedding IS NOT NULL AND len(embedding) >= 64),
+           |ranked AS ($ranked),
+           |top AS (SELECT * FROM ranked WHERE rank <= 10),
+           |truth AS (SELECT query_id, neighbor_id FROM top WHERE m = 64)
+           |SELECT t.query_id, CAST(t.m AS INT) AS m,
+           |  CAST(count(x.neighbor_id) AS BIGINT) AS n_overlap,
+           |  round(CAST(count(x.neighbor_id) AS DOUBLE) / 10.0, 6) AS recall
+           |FROM top t LEFT JOIN truth x
+           |  ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+           |GROUP BY t.query_id, t.m ORDER BY t.query_id, t.m""".stripMargin
+      },
+
+      // Per-source frequent tokens replay: exact per-group counts with
+      // each group's own ceil(support * n_g) floor.
+      "q216_frequent_tokens_by" -> {
+        val toks = toksSql("text")
+        s"""WITH tk AS (SELECT source AS grp, u.t AS item
+           |    FROM documents, UNNEST($toks) AS u(t)
+           |    WHERE source IS NOT NULL),
+           |  tot AS (SELECT grp, count(*) AS n FROM tk GROUP BY grp)
+           |SELECT tk.grp AS source, tk.item, count(*) AS cnt
+           |FROM tk JOIN tot USING (grp)
+           |GROUP BY tk.grp, tk.item, tot.n
+           |HAVING count(*) >= CAST(ceil(0.005 * tot.n) AS BIGINT)
+           |ORDER BY source, item""".stripMargin
+      },
 
       // JL projection replay: the same md5-parity sign matrix
       // (±1/√16 = ±0.25, exact dyadic) rebuilt in SQL, left-fold sum.

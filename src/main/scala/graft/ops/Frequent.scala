@@ -97,6 +97,94 @@ object Frequent {
       df.select(explode(TextAnalysis.tokens(col(textCol).cast("string"))).as("tok")),
       col("tok"), support)
 
+  /** PER-GROUP frequent items — "each domain/language/source's own
+    * head", the grouped completion of [[frequentItems]] (the same
+    * relationship per-group histogram quantiles bear to the global
+    * sketch). Support is evaluated against EACH group's item count:
+    * an item qualifies in group g iff count(g, item) ≥
+    * ⌈support · n_g⌉, so a small domain's head is not drowned by a
+    * large one.
+    *
+    * Same two-phase discipline as the global op, with the Misra–Gries
+    * summary keyed per group inside each partition: phase-1 state is
+    * O(groups-seen-per-partition · ⌈1/s⌉) and the driver collects
+    * O(P · G · ⌈1/s⌉) candidate strings — G must be a metadata-sized
+    * dimension (sources, languages, domains), NOT a high-cardinality
+    * key; the item vocabulary per group stays unbounded and its tail
+    * still never shuffles. The per-group eviction bound is the
+    * per-group restriction of the global argument (each group's
+    * stream within a partition runs its own MG), so the candidate
+    * union is again a guaranteed superset — phase 2's broadcast
+    * semi-join + exact count keeps the result EXACT and
+    * oracle-replayable. Output: (grp, item, cnt). */
+  def frequentItemsByGroup(df: DataFrame, group: Column, item: Column,
+                           support: Double): DataFrame = {
+    require(support > 0 && support <= 1,
+      s"support must be in (0, 1], got $support")
+    val spark = df.sparkSession
+    val cap = math.ceil(1.0 / support).toInt
+    val rows = df
+      .select(group.cast("string").as("grp"), item.cast("string").as("item"))
+      .filter(col("grp").isNotNull && col("item").isNotNull)
+      .localCheckpoint() // both phases must see the SAME stream
+
+    // phase 1: per-partition, per-group Misra-Gries + per-group counts
+    val summaries: Array[(String, Long, Array[String])] = rows.rdd
+      .mapPartitions { it =>
+        val state = new java.util.HashMap[String, (java.util.HashMap[String, Long], Array[Long])]()
+        it.foreach { r =>
+          val g = r.getString(0); val k = r.getString(1)
+          var s = state.get(g)
+          if (s == null) {
+            s = (new java.util.HashMap[String, Long](cap * 2), Array(0L))
+            state.put(g, s)
+          }
+          val (counts, nP) = s
+          nP(0) += 1L
+          val c = counts.get(k)
+          if (c > 0L) counts.put(k, c + 1L)
+          else if (counts.size < cap) counts.put(k, 1L)
+          else {
+            val eit = counts.entrySet().iterator()
+            while (eit.hasNext) {
+              val e = eit.next()
+              if (e.getValue == 1L) eit.remove() else e.setValue(e.getValue - 1L)
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        state.entrySet().iterator().asScala.map { e =>
+          (e.getKey, e.getValue._2(0), e.getValue._1.keySet().asScala.toArray)
+        }
+      }.collect()
+
+    val totals: Map[String, Long] =
+      summaries.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sum }
+    val candidates = summaries
+      .flatMap { case (g, _, ks) => ks.map(k => (g, k)) }.distinct
+    import org.apache.spark.sql.types.{StructType, StructField, StringType, LongType}
+    val candDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        candidates.toIndexedSeq.map { case (g, k) =>
+          org.apache.spark.sql.Row(g, k) }, 1),
+      StructType(Seq(StructField("grp", StringType, nullable = false),
+        StructField("item", StringType, nullable = false))))
+    val minDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        totals.toIndexedSeq.map { case (g, n) =>
+          org.apache.spark.sql.Row(g, math.ceil(support * n).toLong) }, 1),
+      StructType(Seq(StructField("grp", StringType, nullable = false),
+        StructField("__min", LongType, nullable = false))))
+
+    // phase 2: the tail dies at the scan; exact counts only for
+    // candidates, per-group support applied via the broadcast minima
+    rows.join(broadcast(candDf), Seq("grp", "item"), "left_semi")
+      .groupBy("grp", "item").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(minDf), Seq("grp"))
+      .filter(col("cnt") >= col("__min"))
+      .select("grp", "item", "cnt")
+  }
+
   /** Item co-occurrence matrix — for each unordered item pair, how
     * many keys exhibit BOTH (market-basket / event-affinity lite).
     * Raw event volume collapses to distinct (key, item) presence rows

@@ -117,21 +117,81 @@ object Similarity {
   /** Shared tail of the heap-form top-k family: partial top-k per
     * shuffle partition via a bounded sorted slice, then the final exact
     * top-k over ≤ |Q|·k·P survivor rows. One definition so a tie-break
-    * or NaN-handling fix can never diverge between the plain and the
-    * label-filtered ([[hardNegatives]]) forms. Input: (query_id,
-    * neighbor_id, sim). */
-  private def topKFromScored(scored: DataFrame, k: Int): DataFrame = {
+    * or NaN-handling fix can never diverge between the plain, the
+    * label-filtered ([[hardNegatives]]), and the per-prefix-dim
+    * ([[matryoshkaRecall]]) forms. Input: (keyCols..., neighbor_id,
+    * sim); `keyCols` is the per-list key (default the single
+    * query_id). */
+  private def topKFromScored(scored: DataFrame, k: Int,
+                             keyCols: Seq[String] = Seq("query_id")): DataFrame = {
+    val keys = keyCols.map(col)
     val partial = scored
-      .groupBy(col("query_id"), spark_partition_id().as("__p"))
+      .groupBy(keys :+ spark_partition_id().as("__p"): _*)
       .agg(slice(array_sort(collect_list(struct(
         (-col("sim")).as("negSim"), col("neighbor_id")))), 1, k).as("heap"))
-      .select(col("query_id"), explode(col("heap")).as("h"))
-      .select(col("query_id"), col("h.neighbor_id").as("neighbor_id"),
-        (-col("h.negSim")).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+      .select(keys :+ explode(col("heap")).as("h"): _*)
+      .select(keys :+ col("h.neighbor_id").as("neighbor_id") :+
+        (-col("h.negSim")).as("sim"): _*)
+    val w = Window.partitionBy(keys: _*).orderBy(desc("sim"), col("neighbor_id"))
     partial.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+      .select(keyCols.map(col) ++ Seq(col("rank"), col("neighbor_id"), col("sim")): _*)
+  }
+
+  /** Matryoshka (prefix-dimension) retrieval audit — for each query
+    * and each prefix length m in `dims`, the recall@`topK` of exact
+    * cosine retrieval over the FIRST m dimensions against the
+    * full-width (`dims.max`) exact top-k as ground truth. The curve
+    * this emits is the decision input for MRL-style embedding
+    * truncation ("how many dims can storage drop before recall
+    * falls"), the same audit shape as [[graft.ops.Quantize]]'s PQ
+    * recall (q137) with prefix-slicing as the compressor.
+    *
+    * ONE corpus scan scores every prefix width: queries are exploded
+    * |dims|-fold BEFORE the broadcast (|Q|·|dims| rows, each carrying
+    * its pre-sliced, pre-normed prefix), the corpus side slices and
+    * norms per pair row, and per-(query, m) bounded heaps ride the
+    * shared [[topKFromScored]] tail — |Q|·|dims|·k·P survivor rows,
+    * never the score space. Prefix dot products and norms left-fold
+    * ascending (the [[dot]]/[[norm]] kernels), so ranks replay
+    * bit-stable in the oracle. Ties break toward the lower neighbor
+    * id; zero-norm prefixes score 0 (the [[cosine]] guard). Rows with
+    * null vectors or length < dims.max are dropped from both sides.
+    * Output: (query_id, m, n_overlap, recall) — recall ∈ [0,1]
+    * rounded to 6; the m = dims.max row is the self-audit 1.0. */
+  def matryoshkaRecall(queries: DataFrame, corpus: DataFrame,
+                       qId: String, qVec: String, cId: String, cVec: String,
+                       dims: Seq[Int], topK: Int): DataFrame = {
+    require(dims.nonEmpty && dims == dims.sorted && dims.distinct == dims &&
+      dims.head >= 1, s"dims must be distinct ascending positive, got $dims")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val full = dims.max
+    val q = queries
+      .filter(col(qVec).isNotNull && size(col(qVec)) >= full)
+      .select(col(qId).as("query_id"),
+        transform(col(qVec), _.cast("double")).as("__qfull"))
+      .withColumn("m", explode(typedLit(dims)))
+      .withColumn("__qv", slice(col("__qfull"), lit(1), col("m")))
+      .withColumn("__qn", normNative(col("__qv")))
+      .drop("__qfull")
+    val c = corpus
+      .filter(col(cVec).isNotNull && size(col(cVec)) >= full)
+      .select(col(cId).as("neighbor_id"),
+        transform(col(cVec), _.cast("double")).as("__cv"))
+    val scored = q.hint("broadcast").crossJoin(c)
+      .withColumn("__cs", slice(col("__cv"), lit(1), col("m")))
+      .withColumn("sim",
+        pairSim(col("__qv"), col("__cs"), col("__qn"), normNative(col("__cs"))))
+      .select("query_id", "m", "neighbor_id", "sim")
+    val top = topKFromScored(scored, topK, Seq("query_id", "m"))
+      .localCheckpoint() // truth + overlap both read it; never rescan
+    val truth = top.filter(col("m") === full)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    top.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id", "m")
+      .agg(count(col("__hit")).as("n_overlap"))
+      .withColumn("recall",
+        round(col("n_overlap").cast("double") / topK, 6))
   }
 
   /** Hard-negative mining for contrastive training: for each query

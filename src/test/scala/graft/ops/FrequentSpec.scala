@@ -160,4 +160,52 @@ class FrequentSpec extends SparkSpec {
   }
 
   private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
+
+  test("frequentItemsByGroup is exact vs the naive per-group groupBy on skewed groups") {
+    val rnd = new scala.util.Random(11)
+    // one big group with its own head+tail, one tiny group whose head
+    // would be globally rare — per-group support must surface it
+    val big = Seq.fill(30000) {
+      val r = rnd.nextInt(100)
+      if (r < 25) s"bh${rnd.nextInt(4)}" else s"bt${rnd.nextInt(15000)}"
+    }.map(("big", _))
+    val tiny = Seq.fill(200)(
+      if (rnd.nextInt(100) < 50) "tinyhead" else s"tt${rnd.nextInt(500)}")
+      .map(("tiny", _))
+    val all = rnd.shuffle(big ++ tiny)
+    val df = all.toDF("g", "x").repartition(16)
+    val got = Frequent.frequentItemsByGroup(df, col("g"), col("x"), 0.01)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expected = all.groupBy(_._1).flatMap { case (g, xs) =>
+      val minCount = math.ceil(0.01 * xs.size).toLong
+      xs.groupBy(_._2).view.mapValues(_.size.toLong)
+        .filter(_._2 >= minCount).map { case (x, c) => (g, x) -> c }
+    }.toMap
+    assert(got === expected)
+    assert(got.keys.exists { case (g, x) => g == "tiny" && x == "tinyhead" })
+    // tinyhead is ~100/30200 globally (< 1%): only per-group support finds it
+    assert(Frequent.frequentItems(df.select(col("x")), col("x"), 0.01)
+      .collect().forall(_.getString(0) != "tinyhead"))
+  }
+
+  test("frequentItemsByGroup: spread-thin recall per group, nulls dropped, bad support") {
+    // the MG eviction worst case of the global spec, run inside each of
+    // two interleaved groups: the needle is never locally dominant
+    val items = (0 until 20000).flatMap { i =>
+      val g = if (i % 2 == 0) "g0" else "g1"
+      Seq((g, if (i % 50 == 0) "needle" else s"noise$i"))
+    }
+    val df = items.toDF("g", "x").repartition(32)
+    val got = Frequent.frequentItemsByGroup(df, col("g"), col("x"), 0.01)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("g0", "needle") -> 400L)) // i%50==0 is always even
+    val withNulls = Seq((null, "a"), ("g", null), ("g", "a"), ("g", "a"))
+      .toDF("g", "x")
+    assert(Frequent.frequentItemsByGroup(withNulls, col("g"), col("x"), 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("g", "a", 2L)))
+    intercept[IllegalArgumentException] {
+      Frequent.frequentItemsByGroup(df, col("g"), col("x"), 1.5)
+    }
+  }
 }

@@ -369,4 +369,62 @@ class SimilaritySpec extends SparkSpec {
       Similarity.simplifiedSilhouette(data, "vec_id", "embedding", 1, 1)
     }
   }
+
+  test("matryoshkaRecall matches a local brute-force replay; full width is the 1.0 self-audit") {
+    val rnd = new scala.util.Random(17)
+    val dim = 16
+    def vec() = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+    val qs = (0L until 3L).map(i => (i, vec()))
+    val cs = (10L until 40L).map(i => (i, vec()))
+    val dims = Seq(2, 4, 8, 16)
+    val k = 5
+    val out = Similarity.matryoshkaRecall(
+      qs.toDF("id", "v"), cs.toDF("id", "v"), "id", "v", "id", "v", dims, k)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+
+    def topk(m: Int, q: Array[Float]): Seq[Long] = {
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      }
+      val qd = q.take(m).map(_.toDouble).toSeq
+      cs.map { case (cid, cv) =>
+        (cid, cos(qd, cv.take(m).map(_.toDouble).toSeq)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(k).map(_._1)
+    }
+    qs.foreach { case (qid, qv) =>
+      val truth = topk(dim, qv).toSet
+      dims.foreach { m =>
+        val overlap = topk(m, qv).count(truth.contains).toLong
+        val (gotN, gotR) = out((qid, m))
+        assert(gotN === overlap, s"q=$qid m=$m")
+        assert(math.abs(gotR - overlap.toDouble / k) < 1e-9)
+      }
+      assert(out((qid, dim))._2 === 1.0) // full width vs itself
+    }
+    assert(out.size === qs.size * dims.length)
+  }
+
+  test("matryoshkaRecall: short/null vectors dropped, dims validated") {
+    val qs = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val cs = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(1.0f, 0.0f)),                   // too short: dropped
+      (12L, null.asInstanceOf[Array[Float]])      // null: dropped
+    ).toDF("id", "v")
+    val rows = Similarity.matryoshkaRecall(qs, cs, "id", "v", "id", "v",
+      Seq(2, 4), topK = 5).collect()
+    assert(rows.length === 2)
+    // only neighbor 10 survives, so overlap is 1 of min(k, corpus)=1 at both widths
+    assert(rows.forall(_.getLong(2) === 1L))
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaRecall(qs, cs, "id", "v", "id", "v", Seq(4, 2), 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaRecall(qs, cs, "id", "v", "id", "v", Seq(2, 4), 0)
+    }
+  }
 }
