@@ -1631,6 +1631,20 @@ object SparkEntry {
         nBoot = 200, seed = "bs0", alpha = 0.05)
     }),
 
+    // --- exact ROC-AUC (rank-sum / Mann-Whitney, average-rank ties):
+    // the classifier-eval headline number without a global fact sort —
+    // the rank table is distinct-score-bounded, the statistic is one
+    // tiny agg over it. Score = first embedding dim nudged by the
+    // label so the curve is non-trivial; deterministic, oracle-replayed ---
+    "q217_auc_roc" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+        .select((col("label") % 2).cast("int").as("y"),
+          (element_at(col("embedding"), 1).cast("double") +
+            (col("label") % 2).cast("double") * 0.3).as("score"))
+      Drift.aucRoc(e, "score", "y")
+    }),
+
     // --- matryoshka (prefix-dim) recall curve: exact cosine top-10
     // over the first 8/16/32/64 dims vs the full-width top-10 as
     // ground truth — the MRL truncation audit ("how many dims can
@@ -5697,6 +5711,30 @@ object SparkEntry {
           |  round(quantile_cont(racc, 0.025), 6) AS ci_lo,
           |  round(quantile_cont(racc, 0.975), 6) AS ci_hi
           |FROM reps""".stripMargin,
+
+      // ROC-AUC replay: same rank-sum identity over the grouped score
+      // table, window cumsum standing in for the prefix pass; exact
+      // DECIMAL(38,0) accumulation, one double division, round 6.
+      "q217_auc_roc" ->
+        """WITH b AS (SELECT CAST(label % 2 AS INT) AS y,
+          |    CAST(embedding[1] AS DOUBLE)
+          |      + CAST(label % 2 AS DOUBLE) * 0.3 AS s
+          |  FROM embeddings
+          |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+          |c AS (SELECT s, count(*) AS cnt, sum(y) AS pos FROM b GROUP BY s),
+          |r AS (SELECT cnt, pos, sum(cnt) OVER (ORDER BY s) AS cum FROM c),
+          |a AS (SELECT CAST(sum(pos) AS BIGINT) AS np,
+          |    CAST(sum(cnt) AS BIGINT) AS n,
+          |    sum(CAST(pos AS DECIMAL(38,0)) *
+          |        (CAST(cum AS DECIMAL(38,0)) * 2 - cnt + 1)) AS twoR
+          |  FROM r)
+          |SELECT n_pos, n_neg, auc, round(auc * 2 - 1, 6) AS gini FROM (
+          |  SELECT np AS n_pos, n - np AS n_neg,
+          |    round(CASE WHEN np > 0 AND n > np THEN
+          |      CAST(twoR - CAST(np AS DECIMAL(38,0)) * (np + 1) AS DOUBLE)
+          |      / CAST(CAST(np AS DECIMAL(38,0)) * 2 * (n - np) AS DOUBLE)
+          |      END, 6) AS auc
+          |  FROM a)""".stripMargin,
 
       // Matryoshka replay: exact cosine ranking per prefix width (same
       // split and tie-break as q28's oracle), overlap vs the m = 64

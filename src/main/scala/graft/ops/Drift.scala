@@ -445,4 +445,54 @@ object Drift {
       .select(lit(n).as("n"), lit(nBoot).as("n_boot"),
         round(lit(acc), 6).as("acc"), col("ci_lo"), col("ci_hi"))
   }
+
+  /** Exact ROC-AUC by the rank-sum (Mann–Whitney U) identity with
+    * SQL-standard average-rank tie handling:
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) where R⁺ is the sum of the
+    * ascending-score ranks of the positives and a tied run shares the
+    * mean of its rank range — equivalently, the probability a random
+    * positive outscores a random negative counting ties as ½, i.e.
+    * the area under the ROC curve with trapezoidal tie segments.
+    *
+    * Shape: NO global sort of fact rows (`rank() OVER (ORDER BY s)`
+    * would be one task at corpus scale). Like [[percentRank]], the
+    * rank table is distinct-score-bounded: one narrow
+    * groupBy(score) → (cnt, pos), the shared [[graft.ops.Prefix]]
+    * sort turns counts into cumulative row positions, and the whole
+    * statistic collapses in ONE tiny agg over that frame:
+    * 2·R⁺ = Σ_v pos(v)·(2·cum(v) − cnt(v) + 1) (a tied run's rank
+    * range [cum−cnt+1, cum] has mean (2cum−cnt+1)/2). All sums ride
+    * DECIMAL(38,0) exact-integer accumulation (n⁺·cum products
+    * overflow a long near 10¹⁹ pair-rows), and the single final
+    * division is the only float op — bit-identical cross-engine.
+    * Null scores/labels are dropped; labels coerce via cast to int
+    * (nonzero = positive must be pre-mapped by the caller). Returns
+    * ONE row (n_pos, n_neg, auc, gini); auc is null when either
+    * class is empty (undefined, not 0). */
+  def aucRoc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("int").as("__y"))
+    val counts = base.groupBy("__s")
+      .agg(count(lit(1)).as("__cnt"),
+        sum(col("__y").cast("long")).as("__pos"))
+    val cum = Prefix.runningTotals(counts, Seq("__s"),
+      Seq("__cum" -> col("__cnt")))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    cum.agg(
+        coalesce(sum(col("__pos")), lit(0L)).cast("long").as("__np"),
+        coalesce(sum(col("__cnt")), lit(0L)).cast("long").as("__n"),
+        coalesce(sum(d(col("__pos")) *
+          (d(col("__cum")) * 2 - d(col("__cnt")) + 1)), d(lit(0)))
+          .cast("decimal(38,0)").as("__twoR"))
+      .select(col("__np").as("n_pos"),
+        (col("__n") - col("__np")).as("n_neg"),
+        round(when(col("__np") > 0L && col("__n") > col("__np"),
+          (col("__twoR") - d(col("__np")) * (d(col("__np")) + 1))
+            .cast("double") /
+            (d(col("__np")) * 2 * (d(col("__n")) - d(col("__np"))))
+              .cast("double")), 6).as("auc"))
+      .withColumn("gini", round(col("auc") * 2 - 1, 6))
+  }
 }

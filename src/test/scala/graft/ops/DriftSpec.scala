@@ -284,4 +284,45 @@ class DriftSpec extends SparkSpec {
       Drift.bootstrapAccuracyCI(mixed, "id", "c", 1, "s", 0.05)
     }
   }
+
+  test("aucRoc: hand-computed ties case, perfect/reversed/constant scores, empty class") {
+    // scores 1,2,2,3 labels 0,0,1,1: ranks 1, 2.5, 2.5, 4 ->
+    // R+ = 6.5, AUC = (6.5 - 3) / (2*2) = 0.875
+    val tied = Seq((1.0, 0), (2.0, 0), (2.0, 1), (3.0, 1)).toDF("s", "y")
+    val r = Drift.aucRoc(tied, "s", "y").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === (2L, 2L))
+    assert(r.getDouble(2) === 0.875)
+    assert(r.getDouble(3) === 0.75)
+
+    val perfect = Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)).toDF("s", "y")
+    assert(Drift.aucRoc(perfect, "s", "y").collect()(0).getDouble(2) === 1.0)
+    val reversed = Seq((1.0, 1), (2.0, 1), (3.0, 0), (4.0, 0)).toDF("s", "y")
+    assert(Drift.aucRoc(reversed, "s", "y").collect()(0).getDouble(2) === 0.0)
+    val constant = Seq((5.0, 0), (5.0, 1), (5.0, 0), (5.0, 1)).toDF("s", "y")
+    assert(Drift.aucRoc(constant, "s", "y").collect()(0).getDouble(2) === 0.5)
+
+    val onlyPos = Seq((1.0, 1), (2.0, 1)).toDF("s", "y")
+    val op = Drift.aucRoc(onlyPos, "s", "y").collect()(0)
+    assert(op.isNullAt(2) && op.isNullAt(3))
+  }
+
+  test("aucRoc matches the local pair-counting definition on random data with heavy ties") {
+    val rnd = new scala.util.Random(23)
+    // quantized scores force tie runs; mild signal keeps AUC off 0.5
+    val rows = Seq.fill(4000) {
+      val y = rnd.nextInt(2)
+      val s = math.floor((rnd.nextDouble() + 0.25 * y) * 20) / 20
+      (s, y)
+    }
+    val got = Drift.aucRoc(rows.toDF("s", "y").repartition(16), "s", "y")
+      .collect()(0)
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    // P(pos > neg) + P(pos == neg)/2, counted over all pairs
+    val wins = (for (p <- pos; q <- neg)
+      yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+    val want = math.round(wins / (pos.size.toLong * neg.size) * 1e6) / 1e6
+    assert((got.getLong(0), got.getLong(1)) === (pos.size.toLong, neg.size.toLong))
+    assert(got.getDouble(2) === want)
+  }
 }
