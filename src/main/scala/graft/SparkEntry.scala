@@ -1631,6 +1631,42 @@ object SparkEntry {
         nBoot = 200, seed = "bs0", alpha = 0.05)
     }),
 
+    // --- Cohen's kappa: chance-corrected agreement between two label
+    // columns — the acceptance gate for crowdsourced/model-assisted
+    // training labels. Rater B = rater A nudged on every 7th row, so
+    // the statistic is non-trivial; confusion cells are the only
+    // data-sized shuffle ---
+    "q218_cohen_kappa" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .filter(col("label").isNotNull && col("vec_id").isNotNull)
+        .select((col("label") % 3).cast("int").as("a"),
+          ((col("label") + when(col("vec_id") % 7 === 0, 1).otherwise(0)) % 3)
+            .cast("int").as("b"))
+      Drift.cohenKappa(e, "a", "b")
+    }),
+
+    // --- fenced-code-block extraction: per-(doc, language) block and
+    // char counts — the code-data prep pass of a mixed-corpus
+    // pipeline. The corpus has no fences, so the fixture injects
+    // deterministic python/untagged/sql blocks (oracle replays) ---
+    "q219_code_fences" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("text", concat(
+          col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("\n```python\nprint("),
+              (col("doc_id") % 100).cast("string"),
+              lit(")\nx = 1\n```\nand\n```\nplain block\n```")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 6 === 0,
+            concat(lit("\n```sql\nSELECT "),
+              (col("doc_id") % 10).cast("string"), lit(";\n```")))
+            .otherwise(lit(""))))
+      TextAnalysis.codeFences(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "lang")
+    }),
+
     // --- exact ROC-AUC (rank-sum / Mann-Whitney, average-rank ties):
     // the classifier-eval headline number without a global fact sort —
     // the rank table is distinct-score-bounded, the statistic is one
@@ -5711,6 +5747,56 @@ object SparkEntry {
           |  round(quantile_cont(racc, 0.025), 6) AS ci_lo,
           |  round(quantile_cont(racc, 0.975), 6) AS ci_hi
           |FROM reps""".stripMargin,
+
+      // Cohen's kappa replay: confusion cells, full-outer marginal
+      // join, DECIMAL(38,0) products; po/pe rounded to 6 FIRST and
+      // kappa derived from the rounded values (the engine's order).
+      "q218_cohen_kappa" ->
+        """WITH base AS (SELECT CAST(label % 3 AS INT) AS a,
+          |    CAST((label + CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) % 3
+          |      AS INT) AS bb
+          |  FROM embeddings
+          |  WHERE label IS NOT NULL AND vec_id IS NOT NULL),
+          |cells AS (SELECT a, bb, count(*) AS c FROM base GROUP BY 1, 2),
+          |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+          |    CAST(coalesce(sum(CASE WHEN a = bb THEN c END), 0) AS BIGINT)
+          |      AS agree FROM cells),
+          |ma AS (SELECT a AS k, sum(c) AS na FROM cells GROUP BY 1),
+          |mb AS (SELECT bb AS k, sum(c) AS nb FROM cells GROUP BY 1),
+          |pe AS (SELECT sum(CAST(coalesce(na, 0) AS DECIMAL(38,0)) *
+          |    CAST(coalesce(nb, 0) AS DECIMAL(38,0))) AS pen
+          |  FROM ma FULL OUTER JOIN mb USING (k))
+          |SELECT n, agree AS n_agree, po, pe2 AS pe,
+          |  round(CASE WHEN pe2 < 1.0 THEN (po - pe2) / (1.0 - pe2) END, 6)
+          |    AS kappa
+          |FROM (SELECT n, agree,
+          |    round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+          |    round(CAST(pen AS DOUBLE) /
+          |      CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE), 6) AS pe2
+          |  FROM tot, pe)""".stripMargin,
+
+      // Code-fence replay: same RE2-safe pattern, parallel unnest of
+      // the two capture groups zips positionally like arrays_zip.
+      "q219_code_fences" ->
+        """WITH d AS (SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || '```python' ||
+          |      chr(10) || 'print(' || CAST(doc_id % 100 AS VARCHAR) ||
+          |      ')' || chr(10) || 'x = 1' || chr(10) || '```' || chr(10) ||
+          |      'and' || chr(10) || '```' || chr(10) || 'plain block' ||
+          |      chr(10) || '```' ELSE '' END ||
+          |    CASE WHEN doc_id % 6 = 0 THEN chr(10) || '```sql' ||
+          |      chr(10) || 'SELECT ' || CAST(doc_id % 10 AS VARCHAR) ||
+          |      ';' || chr(10) || '```' ELSE '' END AS text
+          |  FROM documents WHERE text IS NOT NULL),
+          |m AS (SELECT doc_id,
+          |    unnest(regexp_extract_all(text,
+          |      '(?s)```([a-zA-Z0-9+_-]*)\n(.*?)```', 1)) AS lang,
+          |    unnest(regexp_extract_all(text,
+          |      '(?s)```([a-zA-Z0-9+_-]*)\n(.*?)```', 2)) AS body
+          |  FROM d)
+          |SELECT doc_id, lang, count(*) AS n_blocks,
+          |  CAST(coalesce(sum(length(body)), 0) AS BIGINT) AS n_code_chars
+          |FROM m GROUP BY 1, 2 ORDER BY doc_id, lang""".stripMargin,
 
       // ROC-AUC replay: same rank-sum identity over the grouped score
       // table, window cumsum standing in for the prefix pass; exact

@@ -469,6 +469,53 @@ object Drift {
     * (nonzero = positive must be pre-mapped by the caller). Returns
     * ONE row (n_pos, n_neg, auc, gini); auc is null when either
     * class is empty (undefined, not 0). */
+  /** Cohen's kappa — chance-corrected agreement between two label
+    * columns (two annotators, or model-vs-human on a labeling run):
+    * κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement rate
+    * and p_e = Σ_k p_a(k)·p_b(k) the agreement expected from each
+    * side's marginals (Cohen 1960) — the acceptance gate for
+    * crowdsourced/model-assisted training labels.
+    *
+    * Shape: ONE groupBy over the (a, b) confusion cells — the shuffle
+    * is label-vocab²-bounded regardless of row count (map-side
+    * combine does the data-sized work); marginals and the expected-
+    * agreement sum are tiny aggs over that frame (full-outer on the
+    * label so a value one side never uses contributes a 0 marginal).
+    * Counts stay exact integers; marginal products ride DECIMAL(38,0)
+    * (n_a·n_b ≤ n² overflows a long past ~3·10⁹ rows); p_o, p_e and
+    * κ are each ONE double division/expression over exact sums —
+    * bit-identical cross-engine. Null labels on either side are
+    * dropped (an unlabeled row is not a disagreement). Returns ONE
+    * row (n, n_agree, po, pe, kappa); kappa is null when p_e = 1
+    * (both raters constant — agreement is undefined, not perfect). */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+    val cells = base.groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // totals, agree, and both marginals read it
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val tot = cells.agg(
+      coalesce(sum("__c"), lit(0L)).cast("long").as("__n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__c"))), lit(0L))
+        .cast("long").as("__agree"))
+    val ma = cells.groupBy(col("__a").as("__k")).agg(sum("__c").as("__na"))
+    val mb = cells.groupBy(col("__b").as("__k")).agg(sum("__c").as("__nb"))
+    val peSum = ma.join(mb, Seq("__k"), "full_outer")
+      .agg(coalesce(sum(d(coalesce(col("__na"), lit(0L))) *
+        d(coalesce(col("__nb"), lit(0L)))), d(lit(0)))
+        .cast("decimal(38,0)").as("__pe_num"))
+    tot.crossJoin(peSum)
+      .select(col("__n").as("n"), col("__agree").as("n_agree"),
+        round(col("__agree").cast("double") / col("__n").cast("double"), 6)
+          .as("po"),
+        round(col("__pe_num").cast("double") /
+          (d(col("__n")) * d(col("__n"))).cast("double"), 6).as("pe"))
+      .withColumn("kappa",
+        round(when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe"))), 6))
+  }
+
   def aucRoc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val base = df
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)

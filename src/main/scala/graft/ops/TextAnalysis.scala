@@ -608,4 +608,34 @@ object TextAnalysis {
       n(PiiIpRe).as("n_ips"),
       n(PiiPhoneRe).as("n_phones"))
   }
+
+  /** Markdown fenced-code-block pattern: ``` + optional language tag,
+    * newline, lazily up to the closing ``` — `(?s)` so bodies span
+    * lines. RE2-safe (lazy quantifier, no backrefs), so DuckDB
+    * replays it verbatim. */
+  private val CodeFenceRe = "(?s)```([a-zA-Z0-9+_-]*)\\n(.*?)```"
+
+  /** Fenced-code-block extraction — the code-data prep pass of a
+    * mixed-corpus pipeline ("how much code is in this crawl, in which
+    * languages"): every ```lang ... ``` block is counted per
+    * (doc, language), with total body characters. An untagged fence
+    * reports lang '' (callers decide whether to lang-id the body).
+    * Pure projection + one explode: the two capture groups are pulled
+    * by parallel regexp_extract_all calls zipped positionally (same
+    * match list, so indices align by construction); docs without
+    * fences produce no rows. Output: (id, lang, n_blocks,
+    * n_code_chars), one row per (doc, language). */
+  def codeFences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol).cast("string")
+    df.filter(t.isNotNull)
+      .select(col(idCol).as("id"),
+        explode(arrays_zip(
+          regexp_extract_all(t, lit(CodeFenceRe), lit(1)).as("lang"),
+          regexp_extract_all(t, lit(CodeFenceRe), lit(2)).as("body")))
+          .as("f"))
+      .groupBy(col("id"), col("f.lang").as("lang"))
+      .agg(count(lit(1)).as("n_blocks"),
+        coalesce(sum(length(col("f.body"))), lit(0L)).cast("long")
+          .as("n_code_chars"))
+  }
 }

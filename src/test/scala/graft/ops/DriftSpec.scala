@@ -285,6 +285,32 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("cohenKappa: textbook example, degenerate raters, disjoint label sets") {
+    // a: y y n n, b: y n n n -> po = 3/4; marginals a(y)=2 a(n)=2,
+    // b(y)=1 b(n)=3 -> pe = (2*1 + 2*3)/16 = 0.5 -> kappa = 0.5
+    val ex = Seq(("y", "y"), ("y", "n"), ("n", "n"), ("n", "n")).toDF("a", "b")
+    val r = Drift.cohenKappa(ex, "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === (4L, 3L))
+    assert(r.getDouble(2) === 0.75 && r.getDouble(3) === 0.5)
+    assert(r.getDouble(4) === 0.5)
+
+    // both raters constant and equal: pe = 1 -> kappa undefined (null)
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val c = Drift.cohenKappa(const, "a", "b").collect()(0)
+    assert(c.getDouble(2) === 1.0 && c.getDouble(3) === 1.0 && c.isNullAt(4))
+
+    // disjoint label vocabularies (full-outer marginal path): each
+    // side's marginal for the other's label is 0 -> pe = 0, kappa = po = 0
+    val disj = Seq(("p", "q"), ("p", "q")).toDF("a", "b")
+    val dj = Drift.cohenKappa(disj, "a", "b").collect()(0)
+    assert(dj.getLong(1) === 0L && dj.getDouble(3) === 0.0 && dj.getDouble(4) === 0.0)
+
+    // null labels dropped, not counted as disagreement
+    val withNull = Seq((Some("y"), Some("y")), (None, Some("y")),
+      (Some("y"), None)).toDF("a", "b")
+    assert(Drift.cohenKappa(withNull, "a", "b").collect()(0).getLong(0) === 1L)
+  }
+
   test("aucRoc: hand-computed ties case, perfect/reversed/constant scores, empty class") {
     // scores 1,2,2,3 labels 0,0,1,1: ranks 1, 2.5, 2.5, 4 ->
     // R+ = 6.5, AUC = (6.5 - 3) / (2*2) = 0.875

@@ -294,4 +294,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) === (("clean text with no pii at all", 0L, 0L, 0L)))
     assert(out(6L) === ((null, 0L, 0L, 0L)))
   }
+
+  test("codeFences: tagged/untagged blocks per doc, lazy bodies, fence-free docs absent") {
+    val docs = Seq(
+      (1L, "intro\n```python\nx = 1\ny = 2\n```\nmid\n```python\nz\n```\nand\n```\nraw\n```"),
+      (2L, "no code here at all"),
+      (3L, "```sql\nSELECT 1;\n```"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val out = TextAnalysis.codeFences(docs, "id", "t").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // two python blocks: bodies "x = 1\ny = 2\n" (12) + "z\n" (2); the
+    // lazy quantifier must NOT swallow the text between blocks
+    assert(out((1L, "python")) === ((2L, 14L)))
+    assert(out((1L, "")) === ((1L, 4L)))     // untagged "raw\n"
+    assert(out((3L, "sql")) === ((1L, 10L))) // "SELECT 1;\n"
+    assert(out.size === 3)                   // docs 2 and 4 emit nothing
+  }
 }
