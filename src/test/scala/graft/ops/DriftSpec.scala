@@ -332,6 +332,45 @@ class DriftSpec extends SparkSpec {
     assert(op.isNullAt(2) && op.isNullAt(3))
   }
 
+  test("aucRoc properties: negation complement, monotone-transform invariance") {
+    val rnd = new scala.util.Random(29)
+    // scores on an exact dyadic grid (multiples of 1/8): ties are EXACT
+    // equalities, never 1-ulp near-misses that a transform could
+    // collapse or split
+    val rows = Seq.fill(1500)(
+      (rnd.nextInt(30) / 8.0 + 0.25 * rnd.nextInt(2), rnd.nextInt(2)))
+    val df = rows.toDF("s", "y").repartition(8)
+    def auc(d: org.apache.spark.sql.DataFrame) =
+      Drift.aucRoc(d, "s", "y").collect()(0).getDouble(2)
+    val a = auc(df)
+    // reversing the score order maps every (avg) rank r -> n + 1 - r,
+    // so AUC complements exactly even under ties
+    assert(math.abs(a + auc(df.withColumn("s", -col("s"))) - 1.0) < 2e-6)
+    // AUC depends on order only. The transform must preserve the TIE
+    // structure bit-for-bit, so use an exact binary-FP affine map
+    // (power-of-two scale): a transcendental like exp() can collapse
+    // two 1-ulp-apart scores into a new tie and legitimately move AUC.
+    assert(auc(df.withColumn("s", col("s") * 4.0 + 8.0)) === a)
+  }
+
+  test("cohenKappa properties: rater symmetry, label-renaming invariance") {
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.fill(2000) {
+      val a = rnd.nextInt(4)
+      val b = if (rnd.nextInt(10) < 7) a else rnd.nextInt(4)
+      (s"l$a", s"l$b")
+    }
+    val df = rows.toDF("a", "b").repartition(8)
+    def kappa(d: org.apache.spark.sql.DataFrame, x: String, y: String) =
+      Drift.cohenKappa(d, x, y).collect()(0).getDouble(4)
+    val k = kappa(df, "a", "b")
+    assert(kappa(df, "b", "a") === k) // po and pe are both symmetric
+    // bijective label renaming changes nothing (kappa sees identity only)
+    val renamed = df.select(concat(lit("x_"), col("a")).as("a"),
+      concat(lit("x_"), col("b")).as("b"))
+    assert(kappa(renamed, "a", "b") === k)
+  }
+
   test("aucRoc matches the local pair-counting definition on random data with heavy ties") {
     val rnd = new scala.util.Random(23)
     // quantized scores force tie runs; mild signal keeps AUC off 0.5
