@@ -188,6 +188,24 @@ class FrequentSpec extends SparkSpec {
       .collect().forall(_.getString(0) != "tinyhead"))
   }
 
+  test("frequentItemsByGroup: each group's result equals the global op run on that group alone") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(8000) {
+      val g = s"g${rnd.nextInt(3)}"
+      val x = if (rnd.nextInt(100) < 20) s"$g-head${rnd.nextInt(3)}"
+              else s"t${rnd.nextInt(4000)}"
+      (g, x)
+    }
+    val df = rows.toDF("g", "x").repartition(16)
+    val grouped = Frequent.frequentItemsByGroup(df, col("g"), col("x"), 0.02)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val perGroup = Seq("g0", "g1", "g2").flatMap { g =>
+      Frequent.frequentItems(df.filter(col("g") === g).select("x"), col("x"), 0.02)
+        .collect().map(r => (g, r.getString(0)) -> r.getLong(1))
+    }.toMap
+    assert(grouped === perGroup)
+  }
+
   test("frequentItemsByGroup: spread-thin recall per group, nulls dropped, bad support") {
     // the MG eviction worst case of the global spec, run inside each of
     // two interleaved groups: the needle is never locally dominant

@@ -408,6 +408,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.size === qs.size * dims.length)
   }
 
+  test("matryoshkaRecall ignores dimensions beyond dims.max entirely") {
+    val rnd = new scala.util.Random(37)
+    def vec(n: Int) = Array.fill(n)(rnd.nextFloat() - 0.5f)
+    val qs = (0L until 3L).map(i => (i, vec(8)))
+    val cs = (10L until 30L).map(i => (i, vec(8)))
+    def run(q: Seq[(Long, Array[Float])], c: Seq[(Long, Array[Float])]) =
+      Similarity.matryoshkaRecall(q.toDF("id", "v"), c.toDF("id", "v"),
+        "id", "v", "id", "v", Seq(2, 4, 8), topK = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+    val base = run(qs, cs)
+    // junk tail past dims.max = 8 must be invisible (slices read 1..m)
+    val junked = run(qs.map { case (i, v) => (i, v ++ vec(5)) },
+      cs.map { case (i, v) => (i, v ++ vec(5)) })
+    assert(junked === base)
+  }
+
   test("matryoshkaRecall: short/null vectors dropped, dims validated") {
     val qs = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
     val cs = Seq(
