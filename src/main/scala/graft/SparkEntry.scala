@@ -340,33 +340,39 @@ object SparkEntry {
     val stream = mem.toDF().toDF(cols: _*)
     val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     val ckpt = tmpCheckpointDir(tmpPrefix)
-    // plan building happens BEFORE the conf pin: `build` only
-    // constructs the DataFrame (state-store partition count binds at
-    // query START), and a build-time analysis error must not escape
-    // with the session conf still pinned to 1
-    val built = build(stream)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "1")
-    val q = try {
-      built.writeStream
-        .option("checkpointLocation", ckpt.getAbsolutePath)
-        .foreachBatch { (bdf: DataFrame, _: Long) =>
-          val rows = bdf.select(outCols.map(col): _*).collect()
-          buf.synchronized { buf ++= rows; () }
-        }
-        .outputMode(mode).start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // EVERYTHING from here rides inside try/finally { rmTree(ckpt) }:
+    // a build-time analysis error or a failed start() must not leak
+    // the tmpfs checkpoint dir (/dev/shm pages the benchmarks would
+    // then measure)
     try {
-      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
-    } finally { q.stop(); rmTree(ckpt) }
-    // schema pinned from the built plan so the zero-emission case
-    // returns a correctly-typed empty frame
-    val outSchema = org.apache.spark.sql.types.StructType(
-      outCols.map(c => built.schema(c)))
-    s.createDataFrame(
-      buf.synchronized(new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(buf).asJava)),
-      outSchema)
+      // plan building happens BEFORE the conf pin: `build` only
+      // constructs the DataFrame (state-store partition count binds at
+      // query START), and a build-time analysis error must not escape
+      // with the session conf still pinned to 1
+      val built = build(stream)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      val q = try {
+        built.writeStream
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .foreachBatch { (bdf: DataFrame, _: Long) =>
+            val rows = bdf.select(outCols.map(col): _*).collect()
+            buf.synchronized { buf ++= rows; () }
+          }
+          .outputMode(mode).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      // schema pinned from the built plan so the zero-emission case
+      // returns a correctly-typed empty frame
+      val outSchema = org.apache.spark.sql.types.StructType(
+        outCols.map(c => built.schema(c)))
+      s.createDataFrame(
+        buf.synchronized(new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(buf).asJava)),
+        outSchema)
+    } finally rmTree(ckpt)
   }
 
   /** Two-source sibling of [[runMicroBatched]] for STREAM–STREAM
@@ -391,32 +397,36 @@ object SparkEntry {
       .MemoryStream[B](s, srcParts)
     val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     val ckpt = tmpCheckpointDir(tmpPrefix)
-    val built = build(memA.toDF().toDF(colsA: _*), memB.toDF().toDF(colsB: _*))
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "1")
-    val q = try {
-      built.writeStream
-        .option("checkpointLocation", ckpt.getAbsolutePath)
-        .foreachBatch { (bdf: DataFrame, _: Long) =>
-          val rows = bdf.select(outCols.map(col): _*).collect()
-          buf.synchronized { buf ++= rows; () }
-        }
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // same leak guard as runMicroBatched: rmTree covers failed
+    // build/start, not just the feed loop
     try {
-      batchesA.zipAll(batchesB, Seq.empty[A], Seq.empty[B]).foreach {
-        case (ba, bb) =>
-          if (ba.nonEmpty) { memA.addData(ba); () }
-          if (bb.nonEmpty) { memB.addData(bb); () }
-          q.processAllAvailable()
-      }
-    } finally { q.stop(); rmTree(ckpt) }
-    val outSchema = org.apache.spark.sql.types.StructType(
-      outCols.map(c => built.schema(c)))
-    s.createDataFrame(
-      buf.synchronized(new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(buf).asJava)),
-      outSchema)
+      val built = build(memA.toDF().toDF(colsA: _*), memB.toDF().toDF(colsB: _*))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      val q = try {
+        built.writeStream
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .foreachBatch { (bdf: DataFrame, _: Long) =>
+            val rows = bdf.select(outCols.map(col): _*).collect()
+            buf.synchronized { buf ++= rows; () }
+          }
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        batchesA.zipAll(batchesB, Seq.empty[A], Seq.empty[B]).foreach {
+          case (ba, bb) =>
+            if (ba.nonEmpty) { memA.addData(ba); () }
+            if (bb.nonEmpty) { memB.addData(bb); () }
+            q.processAllAvailable()
+        }
+      } finally q.stop()
+      val outSchema = org.apache.spark.sql.types.StructType(
+        outCols.map(c => built.schema(c)))
+      s.createDataFrame(
+        buf.synchronized(new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(buf).asJava)),
+        outSchema)
+    } finally rmTree(ckpt)
   }
 
   /** Shared shard prep for the streaming dedup-family harnesses
@@ -822,6 +832,7 @@ object SparkEntry {
       // memory the benchmarks measure.
       val priorRoot = tmpCheckpointDir("graft-prior-sketch")
       val priorDir = priorRoot.toString + "/sketches"
+      try {
       Dedup.sketchTable(docs.filter(col("doc_id") < 400), "doc_id", "text")
         .write.mode("overwrite").parquet(priorDir)
       val prior = s.read.parquet(priorDir)
@@ -841,12 +852,11 @@ object SparkEntry {
       val shards: Seq[Seq[(Long, String, Int, java.sql.Timestamp)]] =
         (0 to 2).map(b => shardRows.toSeq.collect { case (id, tx, `b`) =>
           (id, tx, b, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$b:00")) })
-      try {
-        runMicroBatched(s, Seq("doc_id", "text", "batch", "ts"), shards,
-          "graft-stream-admit", Seq("doc_id", "batch")) { stream =>
-          StreamingProfile.streamingAdmit(stream, "ts", "text", prior)
-        }.orderBy("doc_id")
-      } finally rmTree(priorRoot)
+      runMicroBatched(s, Seq("doc_id", "text", "batch", "ts"), shards,
+        "graft-stream-admit", Seq("doc_id", "batch")) { stream =>
+        StreamingProfile.streamingAdmit(stream, "ts", "text", prior)
+      }.orderBy("doc_id")
+      } finally rmTree(priorRoot) // covers the sketch write too
     }),
 
     // --- streaming drift monitor under a REAL micro-batch trigger:
@@ -1339,24 +1349,28 @@ object SparkEntry {
       val buf = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Long, Long)]
       val ckpt = tmpCheckpointDir("graft-stream-sessionize")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "1")
-      val q = try {
-        StreamingProfile.sessionize(mem.toDS(), gapMs = 1800000L)
-          .toDF()
-          .writeStream
-          .option("checkpointLocation", ckpt.getAbsolutePath)
-          .foreachBatch { (bdf: DataFrame, bid: Long) =>
-            val rows = bdf.collect().map(r =>
-              (r.getLong(0), r.getLong(1), r.getLong(2), bid))
-            buf.synchronized { buf ++= rows; () }
-          }
-          // mapGroupsWithState emits updated groups per batch
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // rmTree covers a failed start() too, not just the feed loop
+      // (same leak guard as runMicroBatched)
       try {
-        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
-      } finally { q.stop(); rmTree(ckpt) }
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "1")
+        val q = try {
+          StreamingProfile.sessionize(mem.toDS(), gapMs = 1800000L)
+            .toDF()
+            .writeStream
+            .option("checkpointLocation", ckpt.getAbsolutePath)
+            .foreachBatch { (bdf: DataFrame, bid: Long) =>
+              val rows = bdf.collect().map(r =>
+                (r.getLong(0), r.getLong(1), r.getLong(2), bid))
+              buf.synchronized { buf ++= rows; () }
+            }
+            // mapGroupsWithState emits updated groups per batch
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        } finally q.stop()
+      } finally rmTree(ckpt)
       buf.synchronized(buf.toSeq)
         .toDF("userId", "nSessions", "nEvents", "batch_id")
         .groupBy(col("userId").as("user_id"))
@@ -5749,8 +5763,9 @@ object SparkEntry {
           |FROM reps""".stripMargin,
 
       // Cohen's kappa replay: confusion cells, full-outer marginal
-      // join, DECIMAL(38,0) products; po/pe rounded to 6 FIRST and
-      // kappa derived from the rounded values (the engine's order).
+      // join, DECIMAL(38,0) products; kappa derived from the
+      // UNROUNDED po/pe (the engine's order — rounding only the
+      // published columns), identical double ops on exact sums.
       "q218_cohen_kappa" ->
         """WITH base AS (SELECT CAST(label % 3 AS INT) AS a,
           |    CAST((label + CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) % 3
@@ -5766,13 +5781,14 @@ object SparkEntry {
           |pe AS (SELECT sum(CAST(coalesce(na, 0) AS DECIMAL(38,0)) *
           |    CAST(coalesce(nb, 0) AS DECIMAL(38,0))) AS pen
           |  FROM ma FULL OUTER JOIN mb USING (k))
-          |SELECT n, agree AS n_agree, po, pe2 AS pe,
-          |  round(CASE WHEN pe2 < 1.0 THEN (po - pe2) / (1.0 - pe2) END, 6)
+          |SELECT n, agree AS n_agree, round(po0, 6) AS po,
+          |  round(pe0, 6) AS pe,
+          |  round(CASE WHEN pe0 < 1.0 THEN (po0 - pe0) / (1.0 - pe0) END, 6)
           |    AS kappa
           |FROM (SELECT n, agree,
-          |    round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
-          |    round(CAST(pen AS DOUBLE) /
-          |      CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE), 6) AS pe2
+          |    CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po0,
+          |    CAST(pen AS DOUBLE) /
+          |      CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE) AS pe0
           |  FROM tot, pe)""".stripMargin,
 
       // Code-fence replay: same RE2-safe pattern, parallel unnest of
@@ -5861,7 +5877,8 @@ object SparkEntry {
            |SELECT tk.grp AS source, tk.item, count(*) AS cnt
            |FROM tk JOIN tot USING (grp)
            |GROUP BY tk.grp, tk.item, tot.n
-           |HAVING count(*) >= CAST(ceil(0.005 * tot.n) AS BIGINT)
+           |HAVING count(*) >=
+           |  CAST(ceil(CAST(0.005 AS DOUBLE) * tot.n) AS BIGINT)
            |ORDER BY source, item""".stripMargin
       },
 

@@ -410,13 +410,16 @@ object Drift {
     * exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     * `quantile_cont`) at alpha/2 and 1−alpha/2.
     *
-    * Shape: rows index by a dense rank over `orderCol` (an eval set
-    * is benchmark-sized by nature — the global window is the
-    * documented bound, same as [[calibrationReport]]'s readoff); the
-    * replica×draw grid is a `spark.range`-style cross of two small
-    * sequences joined back to the indexed rows on the md5 index; one
-    * groupBy(replica) mean + one global percentile agg. Returns ONE
-    * row: (n, n_boot, acc, ci_lo, ci_hi). */
+    * Shape: rows index by the windowless [[graft.ops.Prefix]] global
+    * row number over `orderCol` (the q73/q93/aucRoc discipline — a
+    * bare `row_number() OVER (ORDER BY ...)` would funnel the whole
+    * eval set through ONE task); `orderCol` MUST be a unique key
+    * (enforced) — with duplicates the index-to-row mapping, and so the
+    * resample itself, would be engine-dependent. The replica×draw grid
+    * is a `spark.range`-style cross of two small sequences joined back
+    * to the indexed rows on the md5 index; one groupBy(replica) mean +
+    * one global percentile agg. Returns ONE row:
+    * (n, n_boot, acc, ci_lo, ci_hi). */
   def bootstrapAccuracyCI(df: DataFrame, orderCol: String,
                           correctCol: String, nBoot: Int,
                           seed: String, alpha: Double): DataFrame = {
@@ -425,11 +428,14 @@ object Drift {
     val base = df.filter(col(orderCol).isNotNull && col(correctCol).isNotNull)
       .select(col(orderCol).as("__o"),
         col(correctCol).cast("int").as("__c"))
-    val n = base.count()
+    // one agg for both: the row count and the unique-key contract
+    val hdr = base.agg(count(lit(1)), countDistinct(col("__o"))).head()
+    val n = hdr.getLong(0)
     require(n >= 1, "bootstrapAccuracyCI needs at least one row")
-    val indexed = base
-      .withColumn("__idx",
-        row_number().over(Window.orderBy(col("__o"))).cast("long") - 1)
+    require(hdr.getLong(1) == n,
+      s"orderCol '$orderCol' must be a unique key (the resample " +
+        "index-to-row mapping is undefined under duplicates)")
+    val indexed = Prefix.rowNumber(base, Seq("__o"), "__idx")
     val spark = df.sparkSession
     val draws = spark.range(nBoot).select(col("id").cast("int").as("b"))
       .crossJoin(spark.range(n).select(col("id").as("i")))
@@ -444,6 +450,59 @@ object Drift {
         round(expr(s"percentile(racc, ${1 - alpha / 2})"), 6).as("ci_hi"))
       .select(lit(n).as("n"), lit(nBoot).as("n_boot"),
         round(lit(acc), 6).as("acc"), col("ci_lo"), col("ci_hi"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two label
+    * columns (two annotators, or model-vs-human on a labeling run):
+    * κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement rate
+    * and p_e = Σ_k p_a(k)·p_b(k) the agreement expected from each
+    * side's marginals (Cohen 1960) — the acceptance gate for
+    * crowdsourced/model-assisted training labels.
+    *
+    * Shape: ONE groupBy over the (a, b) confusion cells — the shuffle
+    * is label-vocab²-bounded regardless of row count (map-side
+    * combine does the data-sized work); marginals and the expected-
+    * agreement sum are tiny aggs over that frame (full-outer on the
+    * label so a value one side never uses contributes a 0 marginal).
+    * Counts stay exact integers; marginal products ride DECIMAL(38,0)
+    * (n_a·n_b ≤ n² overflows a long past ~3·10⁹ rows); p_o, p_e and
+    * κ are each ONE double division/expression over exact sums —
+    * bit-identical cross-engine. κ derives from the UNROUNDED p_o/p_e
+    * (rounding first would null out kappa for a true p_e in
+    * (0.9999995, 1) and amplify the error by ~1/(1−p_e) near the
+    * pole); only the published columns round to 6. Null labels on
+    * either side are dropped (an unlabeled row is not a
+    * disagreement). Returns ONE row (n, n_agree, po, pe, kappa);
+    * kappa is null when p_e = 1 exactly (both raters constant —
+    * agreement is undefined, not perfect). */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+    val cells = base.groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // totals, agree, and both marginals read it
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val tot = cells.agg(
+      coalesce(sum("__c"), lit(0L)).cast("long").as("__n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__c"))), lit(0L))
+        .cast("long").as("__agree"))
+    val ma = cells.groupBy(col("__a").as("__k")).agg(sum("__c").as("__na"))
+    val mb = cells.groupBy(col("__b").as("__k")).agg(sum("__c").as("__nb"))
+    val peSum = ma.join(mb, Seq("__k"), "full_outer")
+      .agg(coalesce(sum(d(coalesce(col("__na"), lit(0L))) *
+        d(coalesce(col("__nb"), lit(0L)))), d(lit(0)))
+        .cast("decimal(38,0)").as("__pe_num"))
+    tot.crossJoin(peSum)
+      .withColumn("__po",
+        col("__agree").cast("double") / col("__n").cast("double"))
+      .withColumn("__pe", col("__pe_num").cast("double") /
+        (d(col("__n")) * d(col("__n"))).cast("double"))
+      .select(col("__n").as("n"), col("__agree").as("n_agree"),
+        round(col("__po"), 6).as("po"), round(col("__pe"), 6).as("pe"),
+        round(when(col("__pe") < 1.0,
+          (col("__po") - col("__pe")) / (lit(1.0) - col("__pe"))), 6)
+          .as("kappa"))
   }
 
   /** Exact ROC-AUC by the rank-sum (Mann–Whitney U) identity with
@@ -469,53 +528,6 @@ object Drift {
     * (nonzero = positive must be pre-mapped by the caller). Returns
     * ONE row (n_pos, n_neg, auc, gini); auc is null when either
     * class is empty (undefined, not 0). */
-  /** Cohen's kappa — chance-corrected agreement between two label
-    * columns (two annotators, or model-vs-human on a labeling run):
-    * κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement rate
-    * and p_e = Σ_k p_a(k)·p_b(k) the agreement expected from each
-    * side's marginals (Cohen 1960) — the acceptance gate for
-    * crowdsourced/model-assisted training labels.
-    *
-    * Shape: ONE groupBy over the (a, b) confusion cells — the shuffle
-    * is label-vocab²-bounded regardless of row count (map-side
-    * combine does the data-sized work); marginals and the expected-
-    * agreement sum are tiny aggs over that frame (full-outer on the
-    * label so a value one side never uses contributes a 0 marginal).
-    * Counts stay exact integers; marginal products ride DECIMAL(38,0)
-    * (n_a·n_b ≤ n² overflows a long past ~3·10⁹ rows); p_o, p_e and
-    * κ are each ONE double division/expression over exact sums —
-    * bit-identical cross-engine. Null labels on either side are
-    * dropped (an unlabeled row is not a disagreement). Returns ONE
-    * row (n, n_agree, po, pe, kappa); kappa is null when p_e = 1
-    * (both raters constant — agreement is undefined, not perfect). */
-  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val base = df
-      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
-      .select(col(aCol).cast("string").as("__a"),
-        col(bCol).cast("string").as("__b"))
-    val cells = base.groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
-      .localCheckpoint() // totals, agree, and both marginals read it
-    val d = (c: Column) => c.cast("decimal(38,0)")
-    val tot = cells.agg(
-      coalesce(sum("__c"), lit(0L)).cast("long").as("__n"),
-      coalesce(sum(when(col("__a") === col("__b"), col("__c"))), lit(0L))
-        .cast("long").as("__agree"))
-    val ma = cells.groupBy(col("__a").as("__k")).agg(sum("__c").as("__na"))
-    val mb = cells.groupBy(col("__b").as("__k")).agg(sum("__c").as("__nb"))
-    val peSum = ma.join(mb, Seq("__k"), "full_outer")
-      .agg(coalesce(sum(d(coalesce(col("__na"), lit(0L))) *
-        d(coalesce(col("__nb"), lit(0L)))), d(lit(0)))
-        .cast("decimal(38,0)").as("__pe_num"))
-    tot.crossJoin(peSum)
-      .select(col("__n").as("n"), col("__agree").as("n_agree"),
-        round(col("__agree").cast("double") / col("__n").cast("double"), 6)
-          .as("po"),
-        round(col("__pe_num").cast("double") /
-          (d(col("__n")) * d(col("__n"))).cast("double"), 6).as("pe"))
-      .withColumn("kappa",
-        round(when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe"))), 6))
-  }
-
   def aucRoc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val base = df
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)

@@ -283,6 +283,12 @@ class DriftSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Drift.bootstrapAccuracyCI(mixed, "id", "c", 1, "s", 0.05)
     }
+    // orderCol must be a unique key: under duplicates the resample
+    // index-to-row mapping is engine-dependent, so the call refuses
+    val dup = (0L until 10L).map(i => (i % 5, 1)).toDF("id", "c")
+    intercept[IllegalArgumentException] {
+      Drift.bootstrapAccuracyCI(dup, "id", "c", 10, "s", 0.05)
+    }
   }
 
   test("cohenKappa: textbook example, degenerate raters, disjoint label sets") {
@@ -309,6 +315,16 @@ class DriftSpec extends SparkSpec {
     val withNull = Seq((Some("y"), Some("y")), (None, Some("y")),
       (Some("y"), None)).toDF("a", "b")
     assert(Drift.cohenKappa(withNull, "a", "b").collect()(0).getLong(0) === 1L)
+
+    // kappa derives from the UNROUNDED po/pe: n = 7, agree = 2,
+    // Σ na·nb = 13 gives kappa = (2/7 − 13/49)/(1 − 13/49) = 1/36
+    // exactly -> round 0.027778; deriving from the 6-rounded po/pe
+    // (the pre-r12 order) yields 0.020408/0.734694 -> 0.027777
+    val frac = Seq(("x", "w"), ("y", "x"), ("y", "y"), ("y", "y"),
+      ("y", "w"), ("y", "w"), ("y", "w")).toDF("a", "b")
+    val fr = Drift.cohenKappa(frac, "a", "b").collect()(0)
+    assert((fr.getLong(0), fr.getLong(1)) === (7L, 2L))
+    assert(fr.getDouble(4) === 0.027778)
   }
 
   test("aucRoc: hand-computed ties case, perfect/reversed/constant scores, empty class") {
