@@ -827,19 +827,26 @@ object Corpus {
           |""".stripMargin.trim).as("merged"))
   }
 
-  /** Build a [[DupBloom]] over `hashCol` (BIGINT) of `wins` — one
-    * map-side pass + a logarithmic treeAggregate merge, no shuffle of
-    * the rows themselves. Sized from `expectedAdds` (callers estimate
-    * window counts as Σ max(len − L + 1, 0) — a cheap agg, no
-    * explode). */
+  /** Build a [[ShardedDupBloom]] over `hashCol` (BIGINT) of `wins` —
+    * one map-side pass + a logarithmic treeReduce merge, no shuffle of
+    * the rows themselves. Geometry from `expectedAdds` (callers
+    * estimate window counts as Σ max(len − L + 1, 0) — a cheap agg,
+    * no explode): one sub-2^27 filter at probe/benchmark widths,
+    * key-range shards past the single-filter cap. */
   private def buildDupBloom(wins: DataFrame, hashCol: String,
-                            expectedAdds: Long): DupBloom = {
-    val logSlots = DupBloom.logSlotsFor(expectedAdds)
-    wins.select(col(hashCol)).rdd
-      .treeAggregate(new DupBloom(logSlots))(
-        (f, row) => { f.add(row.getLong(0)); f },
-        (a, b) => a.merge(b),
-        depth = 2)
+                            expectedAdds: Long): ShardedDupBloom = {
+    val (nShards, logSlots) = ShardedDupBloom.geometryFor(expectedAdds)
+    // build the per-partition filter INSIDE the task (mapPartitions +
+    // treeReduce) rather than shipping a zero-value: a sharded
+    // filter's zero is up to 512 MiB of empty bitsets, and
+    // treeAggregate would serialize it into every task closure
+    val rdd = wins.select(col(hashCol)).rdd
+    if (rdd.getNumPartitions == 0) new ShardedDupBloom(nShards, logSlots)
+    else rdd.mapPartitions { it =>
+        val f = new ShardedDupBloom(nShards, logSlots)
+        it.foreach(row => f.add(row.getLong(0)))
+        Iterator(f)
+      }.treeReduce((a, b) => a.merge(b), depth = 2)
   }
 
   /** Window-count estimate for [[DupBloom]] sizing: Σ max(len − L +
@@ -862,15 +869,26 @@ object Corpus {
     *
     * Shape: line explosion is a pure projection (split + posexplode);
     * the frequency count is one hash agg keyed on the trimmed line
-    * (map-side combinable); the boilerplate set is countDistinct-
-    * thresholded and BROADCASTS back (boilerplate vocabularies are
-    * small by definition — lines above a distinct-doc threshold);
-    * marked positions group per doc and the rebuild is one array HOF
+    * (map-side combinable); the thresholded boilerplate set
+    * localCheckpoints (it feeds the route gate, the filter build, and
+    * the join — one computation) and its EXACT size picks the route
+    * (the q210 discipline — CCNet's line-hash tables are sharded
+    * precisely because this set is corpus-sized at web scale, so a
+    * forced broadcast would be a driver/executor OOM): at or under
+    * `maxBroadcastLines` distinct boilerplate lines the set BROADCASTS
+    * into a semi-join (zero shuffle of the line stream); above it a
+    * [[ShardedDupBloom]] membership filter over the set's xxhash64
+    * keys kills provably-clean lines at the scan and only the
+    * surviving fraction rides a shuffled semi-join — the exact join
+    * still decides marking, so filter collisions cost shuffle rows,
+    * never results (both routes mark the same set, spec-enforced).
+    * Marked positions group per doc and the rebuild is one array HOF
     * over the doc's own split — no cross-row state, text never enters
     * a shuffle key. Returns (id, clean_text, n_lines_removed) for
     * every input doc (null text passes through). */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-                minDocs: Int): DataFrame = {
+                minDocs: Int,
+                maxBroadcastLines: Long = 1000000L): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val base = df.select(col(idCol).cast(LongType).as("id"),
       col(textCol).cast("string").as("text"))
@@ -883,8 +901,21 @@ object Corpus {
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("k")
-    val badPos = lines.join(broadcast(bad), trim(col("line")) === col("k"))
-      .groupBy("id")
+      .localCheckpoint() // read by the gate count, filter build, and join
+    val nBad = bad.count()
+    val hit =
+      if (nBad <= maxBroadcastLines)
+        lines.join(broadcast(bad), trim(col("line")) === col("k"),
+          "left_semi")
+      else {
+        val bloom = df.sparkSession.sparkContext.broadcast(
+          buildDupBloom(bad.select(xxhash64(col("k")).as("__ph")),
+            "__ph", nBad))
+        val mightHit = udf((h: Long) => bloom.value.mightContain(h))
+        lines.filter(mightHit(xxhash64(trim(col("line")))))
+          .join(bad, trim(col("line")) === col("k"), "left_semi")
+      }
+    val badPos = hit.groupBy("id")
       .agg(sort_array(collect_list(col("pos"))).as("bad_pos"))
     base.join(badPos, Seq("id"), "left")
       .withColumn("__parts", split(col("text"), "\n", -1))

@@ -1084,6 +1084,91 @@ object Probe {
       println(qs(q)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
+    // r11 verdict #5 receipt: prune ratio at 10x the single-filter cap's
+    // key budget (2^27 slots / 8 slots-per-key = ~16.8M keys). Driver-
+    // only: the filter kernel is identical on executors; what's under
+    // test is the geometry, not the treeReduce.
+    names.filter(_ == "bloom-shard").foreach { _ =>
+      @inline def mix(i: Long): Long = { // splitmix64: deterministic keys
+        var z = i + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      val n = (1L << 27) / 8 * 10 // 167,772,160 singleton adds
+      def fill(add: Long => Unit): Double = {
+        val t0 = System.nanoTime()
+        var i = 0L
+        while (i < n) { add(mix(i)); i += 1 }
+        (System.nanoTime() - t0) / 1e9
+      }
+      def fpRate(might: Long => Boolean): Double = {
+        var hits = 0L; var i = 0L
+        while (i < 2000000L) { if (might(mix(i * 83L % n))) hits += 1; i += 1 }
+        hits / 2e6
+      }
+      val single = new graft.ops.DupBloom(27)
+      val tS = fill(single.add)
+      val fpS = fpRate(single.mightBeDup)
+      val (nsh, ls) = graft.ops.ShardedDupBloom.geometryFor(n)
+      val sharded = new graft.ops.ShardedDupBloom(nsh, ls)
+      val tH = fill(sharded.add)
+      val fpH = fpRate(sharded.mightBeDup)
+      // no-false-negative sanity on a re-added slice
+      var i = 0L
+      while (i < 100000L) { sharded.add(mix(i)); i += 1 }
+      var fn = 0L; i = 0L
+      while (i < 100000L) { if (!sharded.mightBeDup(mix(i))) fn += 1; i += 1 }
+      println(f"BLOOM-SHARD n=$n: capped single 2^27 fp=$fpS%.4f " +
+        f"(${tS}%.1f s) vs sharded ${nsh}x2^$ls fp=$fpH%.4f (${tH}%.1f s); " +
+        s"false negatives after re-add: $fn")
+    }
+
+    // r11 verdict #1 receipt: lineDedup's gated routes on the grown
+    // corpus — boilerplate injected so the duplicated-line set is
+    // non-trivial at every multiplier (each rotated copy-set carries
+    // its own translated boilerplate, still >= minDocs within the set).
+    names.filter(_ == "linededup-scalelaw").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            shuffleBytes.addAndGet(
+              s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten); ()
+          }
+        })
+      def measure(f: => Long): (Long, Long, Double) = {
+        Thread.sleep(500); shuffleBytes.set(0L)
+        val t0 = System.nanoTime()
+        val n = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500)
+        (n, shuffleBytes.get(), dt)
+      }
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("text").isNotNull)
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit("\nSubscribe To Our Newsletter"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit("\nCopyright 2024 Example Corp\nAll Rights Reserved"))
+            .otherwise(lit(""))))
+      def removed(df: org.apache.spark.sql.DataFrame, maxB: Long): Long =
+        graft.ops.Corpus.lineDedup(df, "doc_id", "text", minDocs = 3, maxB)
+          .agg(sum("n_lines_removed")).head().getLong(0)
+      removed(rotatedDocs(docs, 1).localCheckpoint(), 1000000L) // warm
+      Seq(1, 4, 10).foreach { m =>
+        val d = rotatedDocs(docs, m).localCheckpoint()
+        val (rb, bb, tb) = measure(removed(d, 1000000L)) // broadcast route
+        val (rs, bs, ts) = measure(removed(d, 0L))       // bloom + shuffled
+        println(f"LINEDEDUP-SCALELAW x$m: broadcast $tb%.2f s ${bb / 1e6}%.1f MB " +
+          f"($rb removed) vs bloomed $ts%.2f s ${bs / 1e6}%.1f MB ($rs removed)" +
+          (if (rb != rs) "  ROUTE MISMATCH!" else ""))
+      }
+    }
+
     names.filter(_ == "entry").foreach { _ =>
       val rows = graft.SparkEntry.entry(spark).collect()
       println(s"PROBE entry: ${rows.length} rows")

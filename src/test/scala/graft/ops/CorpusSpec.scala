@@ -795,6 +795,29 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("lineDedup: broadcast and bloom-prefiltered shuffled routes mark the same set") {
+    // several boilerplate lines at different doc counts + near-miss
+    // lines (2 docs under minDocs = 3) that the bloom route must NOT
+    // let through, + trim-variant hits
+    val docs = (0L until 60L).map { i =>
+      val boiler =
+        (if (i % 2 == 0) "\nSubscribe Now" else "") +
+          (if (i % 3 == 0) "\n  Copyright Footer  " else "") +
+          (if (i % 25 == 0) "\nrare pair line" else "") // 3 docs: 0,25,50
+      (i, s"unique body $i$boiler\ntail $i")
+    }.toDF("id", "t")
+    def rows(maxBroadcast: Long) =
+      Corpus.lineDedup(docs, "id", "t", minDocs = 3, maxBroadcast)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    // maxBroadcastLines = 0 forces the large-set route: ShardedDupBloom
+    // membership prune at the scan + shuffled left-semi join. The gate
+    // may only change the PLAN, never the marking.
+    val broadcastRoute = rows(1000000L)
+    assert(rows(0L) === broadcastRoute)
+    assert(broadcastRoute.map(_._3).sum > 0L)
+  }
+
   test("conjunctiveTopK: AND semantics, BM25 order, k bound") {
     val docs = Seq(
       (1L, "spark window spark window spark"), // both terms, spark-heavy
