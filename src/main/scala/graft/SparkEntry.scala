@@ -333,7 +333,11 @@ object SparkEntry {
     // partitions is the production shape (many source partitions, few
     // state partitions); every consumer is arrival-order-insensitive
     // by contract (sorted within key, or commutative state updates) —
-    // the oracle gate holds under any input split.
+    // the oracle gate holds under any input split. (An r12 experiment
+    // dropped tiny feeds to 2 source partitions to save ~50 ms of task
+    // launches per trigger; a same-host A/B showed q123 +1.9 s — the
+    // per-ROW scan-side work of small feeds still wants the cores, so
+    // 8 stays unconditionally.)
     val srcParts = math.min(8, s.sparkContext.defaultParallelism)
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[T](s, srcParts)
@@ -389,7 +393,6 @@ object SparkEntry {
       tmpPrefix: String, outCols: Seq[String])(
       build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     // same source-parallelism rationale as runMicroBatched
-
     val srcParts = math.min(8, s.sparkContext.defaultParallelism)
     val memA = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[A](s, srcParts)

@@ -1019,6 +1019,63 @@ object Probe {
       }
       (1 to 6).foreach(i => println(f"STREAM-FIXED run$i: ${once()}%.2f s"))
     }
+    // Phase breakdown of the harness fixed cost: where do the ~1.5 s
+    // go — query start, each processAllAvailable, stop?
+    names.filter(_ == "stream-phases").foreach { _ =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      import spark.implicits._
+      def once(srcParts: Int): String = {
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[Tuple1[Long]](spark, srcParts)
+        val ckpt = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/dev/shm"), "probe-phases").toFile
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        val t0 = System.nanoTime()
+        val q = try {
+          mem.toDF().toDF("id")
+            .groupBy((col("id") % 1L).as("k")).agg(count(lit(1)).as("n"))
+            .writeStream
+            .option("checkpointLocation", ckpt.getAbsolutePath)
+            .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+              bdf.collect(); ()
+            }
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+            .start()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        val t1 = System.nanoTime()
+        val ts = (1 to 3).map { i =>
+          mem.addData(Tuple1(i.toLong)); q.processAllAvailable()
+          System.nanoTime()
+        }
+        q.recentProgress.foreach { p =>
+          println(s"  trigger ${p.batchId} rows=${p.numInputRows} " +
+            s"durations=${p.durationMs}")
+        }
+        q.stop()
+        val t2 = System.nanoTime()
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(ckpt)
+        f"src=$srcParts start ${(t1 - t0) / 1e9}%.2f " +
+          f"b1 ${(ts(0) - t1) / 1e9}%.2f b2 ${(ts(1) - ts(0)) / 1e9}%.2f " +
+          f"b3 ${(ts(2) - ts(1)) / 1e9}%.2f stop ${(t2 - ts(2)) / 1e9}%.2f"
+      }
+      once(8) // warm
+      (1 to 3).foreach(i => println(s"STREAM-PHASES run$i: ${once(8)}"))
+      // checkpoint logs ride FileContext (fs.AbstractFileSystem.*) —
+      // swap its local impl to RawLocalFs (no .crc shadow writes) and
+      // compare; parquet IO uses the FileSystem API and is untouched
+      spark.sparkContext.hadoopConfiguration.set(
+        "fs.AbstractFileSystem.file.impl",
+        "org.apache.hadoop.fs.local.RawLocalFs")
+      (1 to 3).foreach(i => println(s"STREAM-PHASES-RAWFS run$i: ${once(8)}"))
+      spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+      spark.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "100")
+      (1 to 3).foreach(i => println(s"STREAM-PHASES-RETAIN2 run$i: ${once(8)}"))
+    }
     // Where does q154's wall go? Split feed prep (dedupShards window +
     // collect — batch work charged to the streaming row) from the
     // micro-batch execution itself.
@@ -1083,6 +1140,66 @@ object Probe {
       println(s"===== PLAN $q =====")
       println(qs(q)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+    }
+    // Where does q133's wall go? prep (base quantile cuts + bin
+    // probabilities + live collect) vs the 4-trigger stream itself.
+    names.filter(_ == "q133-split").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      (1 to 3).foreach { run =>
+        val t0 = System.nanoTime()
+        val bins = 10
+        val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+        val ev = (ev0.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            ev0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ => ev0.withColumn("ts", col("ts").cast("timestamp"))
+        }).filter(col("value").isNotNull)
+        val split = lit("2024-01-08 00:00:00").cast("timestamp")
+        val base = ev.filter(col("ts") < split)
+          .select(col("value").cast("double").as("v"))
+        val nBase = base.count()
+        val t1 = System.nanoTime()
+        val cuts = graft.engine.Quantiles.exactExpr(base, col("v"),
+          (1 until bins).map(_.toDouble / bins), nBase)
+        val t2 = System.nanoTime()
+        val binE = cuts.foldLeft(lit(0)) { (acc, c) =>
+          acc + when(col("v") >= lit(c), 1).otherwise(0) }
+        val baseCounts = base.groupBy(binE.as("bin"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val probs = (0 until bins).map(i =>
+          (baseCounts.getOrElse(i, 0L) + 0.5) / (nBase + 0.5 * bins))
+        val t3 = System.nanoTime()
+        val live = ev.filter(col("ts") >= split)
+          .withColumn("__b",
+            when(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"), 0)
+            .when(col("ts") < lit("2024-01-22 00:00:00").cast("timestamp"), 1)
+            .otherwise(2))
+          .select(col("event_id"), col("ts"),
+            col("value").cast("double").as("value"), col("__b"))
+          .as[(Long, java.sql.Timestamp, Double, Int)].collect()
+        val batches = (0 to 2).map(b => live.toSeq.filter(_._4 == b)) :+
+          Seq((-1L, java.sql.Timestamp.valueOf("2024-02-05 00:00:00"), 0.0, 3))
+        val t4 = System.nanoTime()
+        def streamOver(bs: Seq[Seq[(Long, java.sql.Timestamp, Double, Int)]]): Long =
+          graft.SparkEntry.runMicroBatched(spark,
+            Seq("event_id", "ts", "value", "batch"), bs,
+            "probe-q133", Seq("window_start", "n", "psi")) { stream =>
+            graft.streaming.StreamingProfile.windowedPsi(stream, "ts", "value",
+              cuts, probs, windowDur = "24 hours", watermark = "24 hours")
+          }.count()
+        val n = streamOver(batches)
+        val t5 = System.nanoTime()
+        val thin = batches.map(_.zipWithIndex.collect {
+          case (r, i) if i % 100 == 0 => r })
+        streamOver(thin)
+        val t6 = System.nanoTime()
+        println(f"Q133-SPLIT run$run: count ${(t1 - t0) / 1e9}%.2f " +
+          f"quantiles ${(t2 - t1) / 1e9}%.2f bins ${(t3 - t2) / 1e9}%.2f " +
+          f"collect ${(t4 - t3) / 1e9}%.2f stream ${(t5 - t4) / 1e9}%.2f " +
+          f"thin-stream ${(t6 - t5) / 1e9}%.2f ($n rows, ${live.length} live)")
+      }
     }
     // r11 verdict #5 receipt: prune ratio at 10x the single-filter cap's
     // key budget (2^27 slots / 8 slots-per-key = ~16.8M keys). Driver-
