@@ -3206,15 +3206,52 @@ object SparkEntry {
     }),
 
     // --- full reference pipeline: profile → synthesize → validate.
-    // Samplers are non-SQL-expressible (contract: rows-only check) ---
+    // The samplers are non-SQL-expressible, so the row can never be
+    // value-replayed (the deterministic twin q159 is); since r12 the
+    // row still carries a CHECKED signal beyond its row count: it
+    // returns the reference's own validation readout
+    // (`validate_synthetic_data`, Latanova_v1.py:425-494) as a verdict
+    // frame — per generated column, the exact sample count and a
+    // within-tolerance flag at the spec-enforced bands
+    // (SyntheticPipelineSpec §5 tolerances) — and the oracle asserts
+    // every flag TRUE and n = nSamples. The run is seeded, so the
+    // verdict is deterministic; a sampler regression (bias, wrong
+    // moments, dropped rows) flips a flag or the count and reds the
+    // row. ---
     "q32_synthetic_pipeline" -> ((s, d) => {
-      import graft.engine.{SyntheticPipeline, DetectorConfig}
+      import graft.engine.{SyntheticPipeline, DetectorConfig, SemanticType}
       val orders = t(s, d, "orders")
       val cfg = SyntheticPipeline.Config(
         detector = DetectorConfig(strictFormats = true),
         nSamples = 1000, seed = 42, textColumns = false)
       val result = SyntheticPipeline.run(orders, cfg)
-      result.synthetic
+      val nRows = result.synthetic.count()
+      import s.implicits._
+      result.validation.toSeq.map { case (name, m) =>
+        val p = result.profiles(name)
+        val ok = p.semanticType match {
+          case SemanticType.Integer | SemanticType.Float =>
+            // constant columns (std = 0) generate constants: non-strict
+            // bound keeps 0 <= 0 true
+            val std = p.numeric.get.std
+            m("mean_error") <= 0.1 * std && m("std_error") <= 0.15 * std
+          case SemanticType.Boolean => m("true_prob_error") < 0.05
+          case SemanticType.Categorical =>
+            // probability-error band only: top-category IDENTITY is not
+            // a stable statistic when the source is near-uniform
+            // (o_orderpriority is ~0.2 x 5 — any draw can flip the
+            // argmax while every probability is within band)
+            m("avg_prob_error") < 0.05
+          case SemanticType.Datetime =>
+            m("mean_epoch_error") <= p.datetime.get.epoch.std
+          case _ => // text/email/phone: embedding-space moment bands
+            val o = p.text.get
+            m("mean_error") < math.max(0.05, math.abs(o.overallMean) * 0.5) &&
+              m("std_error") < math.max(0.05, o.overallStd * 0.5)
+        }
+        (name, p.semanticType.name, nRows, ok)
+      }.sortBy(_._1)
+        .toDF("col_name", "semantic_type", "n_rows", "within_band")
     }),
 
     // --- text vector-space profile (TextProfiler math, oracle-checked):
@@ -4088,6 +4125,24 @@ object SparkEntry {
       // vocab word, md5 component embeddings replayed via hash31.
       "q150_mvn_text_decode" -> q150Sql,
       "q159_synthetic_deterministic" -> q159Sql,
+
+      // q32 distributional verdict (r11 verdict #6): the seeded
+      // production pipeline's validation readout must say every
+      // generated orders column is within the spec-enforced moment
+      // bands at exactly nSamples rows. The expected column/type set
+      // is the strict-format detection of the orders table (pinned:
+      // a detection change is a signal, not noise). The samplers
+      // themselves stay non-SQL-expressible — the deterministic twin
+      // q159 carries the value-level hash.
+      "q32_synthetic_pipeline" ->
+        """SELECT col_name, semantic_type,
+          |  CAST(1000 AS BIGINT) AS n_rows, true AS within_band
+          |FROM (VALUES
+          |  ('o_custkey', 'integer'), ('o_orderdate', 'datetime'),
+          |  ('o_orderkey', 'integer'), ('o_orderpriority', 'categorical'),
+          |  ('o_orderstatus', 'categorical'), ('o_totalprice', 'float'))
+          |  AS t(col_name, semantic_type)
+          |ORDER BY col_name""".stripMargin,
       "q160_plot_svg" -> q160Sql,
       "q161_fasttext_classify" -> q161Sql,
 
