@@ -1808,6 +1808,18 @@ object SparkEntry {
       Corpus.bpeEncode(docs, "text", merges.toSeq).orderBy("w")
     }),
 
+    // --- unigram-LM tokenizer trainer (Kudo 2018 — the OTHER trainer
+    // modern LLM pipelines use beside BPE): Viterbi hard-EM over a
+    // seeded fixed vocabulary with the exact-integer log table, so
+    // the oracle replays both EM rounds bit-for-bit via staged CTEs ---
+    "q220_unigram_train" -> ((s, d) =>
+      Corpus.unigramTrainLocal(t(s, d, "documents"), "text")),
+
+    // --- unigram encode: every trained word segmented under the
+    // final post-EM scores (the third Viterbi pass) ---
+    "q221_unigram_encode" -> ((s, d) =>
+      Corpus.unigramEncode(t(s, d, "documents"), "text")),
+
     // --- `.vec` model-artifact load (the file-format level of
     // `Latanova_v1.py:19`'s FastText load): a word2vec/fastText TEXT
     // file is materialized from nation (words + exactly-representable
@@ -5165,6 +5177,28 @@ object SparkEntry {
            |  CAST(len(string_split(trim(st, '><'), '><')) AS BIGINT) AS n_pieces
            |FROM v10 ORDER BY w""".stripMargin,
 
+      // Unigram-LM trainer replay: two full Viterbi-EM passes as
+      // staged CTEs; the published vocabulary carries the final counts
+      // and the integer log scores the encoder uses.
+      "q220_unigram_train" ->
+        s"""WITH ${unigramStagesSql(2)}
+           |SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+           |  ${ilogSql("cnt + 1")} -
+           |    (SELECT ${ilogSql("t")} FROM
+           |      (SELECT sum(cnt) + (SELECT v FROM nv) AS t FROM c2))
+           |    AS score
+           |FROM c2 ORDER BY piece""".stripMargin,
+
+      // Unigram encode replay: the third Viterbi pass (scores from the
+      // final M-step counts) IS the segmentation — read it off seg3.
+      "q221_unigram_encode" ->
+        s"""WITH ${unigramStagesSql(3)}
+           |SELECT w, freq,
+           |  replace(substr(path, 2), chr(31), ' ') AS pieces,
+           |  CAST(len(string_split(substr(path, 2), chr(31))) AS BIGINT)
+           |    AS n_pieces
+           |FROM seg3 ORDER BY w""".stripMargin,
+
       // .vec round-trip: the oracle recomputes the vectors from nation
       // directly — every component is exactly representable in binary
       // (quarters/eighths), so the text-format round-trip the engine
@@ -7491,6 +7525,82 @@ object SparkEntry {
     * and the round contributes no merge row — exactly the engine
     * loop's early stop, so q155/q156 both stay in parity on corpora
     * that fully merge early. */
+  /** DuckDB twin of [[graft.ops.Corpus.ilog]]: 256·⌊log2 x⌋ +
+    * ⌊x·256/2^⌊log2 x⌋⌋ − 256, all exact-integer (`length(bin(x))` is
+    * ⌊log2 x⌋+1 for x ≥ 1; ·256 and the power-of-two division are
+    * exact in doubles far past any corpus count). */
+  private def ilogSql(x: String): String =
+    s"(256 * (length(bin(CAST($x AS BIGINT))) - 1) + " +
+      s"CAST(floor(CAST($x AS BIGINT) * 256.0 / " +
+      s"power(2.0, length(bin(CAST($x AS BIGINT))) - 1)) AS BIGINT) - 256)"
+
+  /** Staged-CTE replay of [[graft.ops.Corpus.unigramCore]] (q220/q221):
+    * word counts → substring seeding → fixed vocab (top-150 ∪ single
+    * chars) → `passes` Viterbi passes, each pass's DP unrolled over
+    * word positions 1..16 as sequential CTEs (d{r}_{p} = the best
+    * (score desc, k asc, path asc) segmentation of the first p chars
+    * under pass r's scores), with an M-step recount (c{r}) after each.
+    * Pass r scores come from c{r-1} via [[ilogSql]] add-one smoothing —
+    * the same exact-integer table the engine uses, so the DP picks
+    * identical paths. */
+  private def unigramStagesSql(passes: Int): String = {
+    val W = 16; val P = 4
+    val toks = toksSql("text")
+    val head =
+      s"""wf AS MATERIALIZED (SELECT u.t AS w, count(*) AS freq
+         |    FROM documents, UNNEST($toks) AS u(t)
+         |    WHERE length(u.t) <= $W GROUP BY u.t),
+         |wsel AS MATERIALIZED (SELECT w, freq FROM wf ORDER BY freq DESC, w LIMIT 1000),
+         |sp AS MATERIALIZED (SELECT substr(w, ss.s, ll.l) AS piece, sum(freq) AS cnt
+         |    FROM wsel,
+         |      LATERAL UNNEST(generate_series(1, length(w))) AS ss(s),
+         |      LATERAL UNNEST(generate_series(1, $P)) AS ll(l)
+         |    WHERE ss.s + ll.l - 1 <= length(w)
+         |    GROUP BY 1),
+         |vocab AS MATERIALIZED (SELECT piece FROM
+         |      (SELECT piece FROM sp ORDER BY cnt DESC, piece LIMIT 150)
+         |    UNION
+         |    SELECT DISTINCT substr(w, ss.s, 1)
+         |    FROM wsel, LATERAL UNNEST(generate_series(1, length(w))) AS ss(s)),
+         |c0 AS MATERIALIZED (SELECT v.piece, coalesce(sp.cnt, 0) AS cnt
+         |    FROM vocab v LEFT JOIN sp USING (piece)),
+         |nv AS MATERIALIZED (SELECT count(*) AS v FROM vocab)""".stripMargin
+    val passSql = (1 to passes).map { r =>
+      val score =
+        s"""s$r AS MATERIALIZED (SELECT piece, ${ilogSql("cnt + 1")} -
+           |    (SELECT ${ilogSql("t")} FROM
+           |      (SELECT sum(cnt) + (SELECT v FROM nv) AS t FROM c${r - 1}))
+           |    AS s
+           |  FROM c${r - 1})""".stripMargin
+      val dp0 = s"d${r}_0 AS MATERIALIZED (SELECT w, freq, CAST(0 AS BIGINT) AS st, " +
+        "0 AS k, '' AS path FROM wsel)"
+      val dps = (1 to W).map { p =>
+        val branches = (1 to math.min(P, p)).map { l =>
+          s"""SELECT d.w, d.freq, d.st + s.s AS st, d.k + 1 AS k,
+             |      d.path || chr(31) || s.piece AS path
+             |    FROM d${r}_${p - l} d JOIN s$r s
+             |      ON s.piece = substr(d.w, ${p - l + 1}, $l)
+             |    WHERE length(d.w) >= $p""".stripMargin
+        }.mkString("\n    UNION ALL\n    ")
+        s"""d${r}_$p AS MATERIALIZED (SELECT w, freq, st, k, path FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY w
+           |      ORDER BY st DESC, k ASC, path ASC) AS rn FROM (
+           |    $branches)) WHERE rn = 1)""".stripMargin
+      }
+      val seg = s"seg$r AS MATERIALIZED (" + (1 to W).map(p =>
+        s"SELECT w, freq, path FROM d${r}_$p WHERE length(w) = $p")
+        .mkString("\n  UNION ALL ") + ")"
+      val cnt =
+        s"""c$r AS MATERIALIZED (SELECT v.piece, coalesce(x.cnt, 0) AS cnt FROM vocab v
+           |  LEFT JOIN (SELECT u.p AS piece, sum(freq) AS cnt
+           |    FROM seg$r,
+           |      UNNEST(string_split(substr(path, 2), chr(31))) AS u(p)
+           |    GROUP BY 1) x USING (piece))""".stripMargin
+      (Seq(score, dp0) ++ dps ++ Seq(seg, cnt)).mkString(",\n")
+    }.mkString(",\n")
+    head + ",\n" + passSql
+  }
+
   private def bpeStagesSql(n: Int): String = {
     val toks = toksSql("text")
     val init =

@@ -460,6 +460,169 @@ object Corpus {
       .select(col("w"), col("freq"), col("pieces"), col("n_pieces"))
   }
 
+  // ---- unigram-LM tokenizer (the OTHER trainer modern LLM pipelines
+  // use beside BPE): Kudo 2018 "Subword Regularization", trained here
+  // by Viterbi hard-EM over a fixed seeded piece vocabulary ----
+
+  /** Integer log2 table of the unigram trainer: for x ≥ 1,
+    * L(x) = 256·b + ⌊x·256 / 2^b⌋ − 256 with b = ⌊log2 x⌋ — a
+    * monotone fixed-point approximation of 256·log2 x (max error
+    * ~0.09 bits; the fastText log-table discipline). Chosen so every
+    * EM quantity is an exact INTEGER: Viterbi comparisons and
+    * re-estimated scores replay bit-identically in the DuckDB oracle
+    * (`length(bin(x))` + exact dyadic division), where a float `ln`
+    * could flip a near-tie in the last ulp between engines. Exact for
+    * x < 2^55 (the shift headroom) — far above any corpus count. */
+  private[graft] def ilog(x: Long): Long = {
+    require(x >= 1, s"ilog needs x >= 1, got $x")
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    256L * b + ((x << 8) >> b) - 256L
+  }
+
+  /** Shared core of [[unigramTrainLocal]]/[[unigramEncode]] — the
+    * driver-local EM (the [[bpeTrainLocal]] discipline: ONE distributed
+    * text scan collapses the corpus to (word, freq), everything after
+    * runs in memory; zero per-iteration Spark jobs).
+    *
+    * Algorithm: seed pieces = every substring of length ≤ maxPieceLen
+    * of the top-`wordCap` words (overlapping occurrences, frequency-
+    * weighted); vocabulary = top-`pieceCap` seeds by (count desc,
+    * piece asc) ∪ all single characters (coverage guarantee — Viterbi
+    * always has a path). Each EM iteration: E = Viterbi-segment every
+    * word under piece scores L(c+1) − L(T+V) (add-one smoothing keeps
+    * unused pieces scoreable; T = Σ counts, V = vocab size); M =
+    * piece counts re-estimated from the segmentations. The vocabulary
+    * is FIXED after seeding (no pruning schedule) — a documented
+    * simplification of Kudo's shrink-loop that keeps both engines on
+    * one exact-integer replay. Viterbi tie-break: max score, then
+    * fewest pieces, then lexicographically smallest separator-joined
+    * path — all-ASCII tokens, so JVM UTF-16 and DuckDB byte order
+    * agree. Returns (words, vocab sorted, final counts, final total,
+    * segmenter under the final scores). */
+  private def unigramCore(df: DataFrame, textCol: String, wordCap: Int,
+                          pieceCap: Int, maxPieceLen: Int, maxWordLen: Int,
+                          iterations: Int)
+      : (Array[(String, Long)], Array[String], Map[String, Long], Long,
+         String => Seq[String]) = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(maxPieceLen >= 1 && maxWordLen >= 1, "piece/word caps must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words: Array[(String, Long)] = df
+      .select(explode(tokens(col(textCol).cast("string"))).as("w"))
+      .filter(length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("w")).limit(wordCap)
+      .as[(String, Long)].collect()
+    val seed = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (w, f) =>
+      var s = 0
+      while (s < w.length) {
+        var l = 1
+        while (l <= maxPieceLen && s + l <= w.length) {
+          val p = w.substring(s, s + l)
+          seed(p) = seed.getOrElse(p, 0L) + f
+          l += 1
+        }
+        s += 1
+      }
+    }
+    val top = seed.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(pieceCap).map(_._1)
+    val chars = words.iterator.flatMap(_._1.iterator.map(_.toString)).toSet
+    val vocab: Array[String] = (top.toSet ++ chars).toArray.sorted
+    val vSize = vocab.length
+    def scoresOf(cnts: Map[String, Long]): (Map[String, Long], Long) = {
+      val t = cnts.valuesIterator.sum + vSize
+      (cnts.map { case (p, c) => p -> (ilog(c + 1) - ilog(t)) }, t)
+    }
+    def viterbi(sc: Map[String, Long])(w: String): Seq[String] = {
+      val n = w.length
+      val dpScore = new Array[Long](n + 1)
+      val dpK = new Array[Int](n + 1)
+      val dpPath = new Array[String](n + 1)
+      dpPath(0) = ""
+      var p = 1
+      while (p <= n) {
+        var bestScore = Long.MinValue; var bestK = 0
+        var bestPath: String = null
+        var l = 1
+        while (l <= maxPieceLen && l <= p) {
+          val piece = w.substring(p - l, p)
+          sc.get(piece) match {
+            case Some(s0) =>
+              val cand = dpScore(p - l) + s0
+              val candK = dpK(p - l) + 1
+              val candPath = dpPath(p - l) + "\u001f" + piece
+              if (bestPath == null || cand > bestScore ||
+                  (cand == bestScore && (candK < bestK ||
+                    (candK == bestK && candPath.compareTo(bestPath) < 0)))) {
+                bestScore = cand; bestK = candK; bestPath = candPath
+              }
+            case None => ()
+          }
+          l += 1
+        }
+        dpScore(p) = bestScore; dpK(p) = bestK; dpPath(p) = bestPath
+        p += 1
+      }
+      if (n == 0) Seq.empty
+      else dpPath(n).substring(1).split("\u001f", -1).toSeq
+    }
+    var counts: Map[String, Long] =
+      vocab.iterator.map(p => p -> seed(p)).toMap
+    var it = 0
+    while (it < iterations) {
+      val (sc, _) = scoresOf(counts)
+      val next = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (w, f) =>
+        viterbi(sc)(w).foreach(p => next(p) = next.getOrElse(p, 0L) + f)
+      }
+      counts = vocab.iterator.map(p => p -> next.getOrElse(p, 0L)).toMap
+      it += 1
+    }
+    val (finalScores, finalTotal) = scoresOf(counts)
+    (words, vocab, counts, finalTotal, viterbi(finalScores))
+  }
+
+  /** Unigram-LM tokenizer trainer (SentencePiece's model family).
+    * Returns the trained vocabulary after `iterations` Viterbi-EM
+    * rounds: (piece, cnt, score) — cnt the final E-step usage count,
+    * score the integer log-probability L(cnt+1) − L(T+V) the encoder
+    * segments with. See [[unigramCore]] for the algorithm and the
+    * exact-integer replay contract. Reference scope: the reference
+    * ships no tokenizer trainer — this extends the LLM-pipeline
+    * surface beside [[bpeTrainLocal]] (r11 verdict #7). */
+  def unigramTrainLocal(df: DataFrame, textCol: String, wordCap: Int = 1000,
+                        pieceCap: Int = 150, maxPieceLen: Int = 4,
+                        maxWordLen: Int = 16, iterations: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (_, vocab, counts, total, _) = unigramCore(df, textCol, wordCap,
+      pieceCap, maxPieceLen, maxWordLen, iterations)
+    vocab.toSeq.map { p =>
+      (p, counts(p), ilog(counts(p) + 1) - ilog(total))
+    }.toDF("piece", "cnt", "score").orderBy("piece")
+  }
+
+  /** Viterbi encoding under the trained unigram vocabulary: the
+    * collected words segmented with the FINAL post-EM scores (the
+    * third Viterbi pass for iterations = 2). Returns
+    * (w, freq, pieces, n_pieces), pieces space-joined — the [[bpeEncode]]
+    * output shape. */
+  def unigramEncode(df: DataFrame, textCol: String, wordCap: Int = 1000,
+                    pieceCap: Int = 150, maxPieceLen: Int = 4,
+                    maxWordLen: Int = 16, iterations: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (words, _, _, _, segment) = unigramCore(df, textCol, wordCap,
+      pieceCap, maxPieceLen, maxWordLen, iterations)
+    words.toSeq.map { case (w, f) =>
+      val ps = segment(w)
+      (w, f, ps.mkString(" "), ps.size.toLong)
+    }.toDF("w", "freq", "pieces", "n_pieces").orderBy("w")
+  }
+
   /** Tokenizer fertility report — the per-group quality gauge of a
     * trained BPE vocabulary: pieces-per-word (fertility; high values
     * mean the vocab serves that group badly and its documents cost
