@@ -2377,16 +2377,23 @@ object SparkEntry {
     // knnDensity read-off fed by the GATED int8→IVF self-retrieval
     // (q147's plan shape) — maxExactRows forced below the corpus size
     // so the quadratic kernel never runs; the plan is centroid-seeded
-    // cell assignment + nprobe-bounded probing, per-query cost
-    // ~nprobe/nCells of the corpus. q194 keeps the exact kernel as
-    // ground truth; THIS row certifies the composition a 100 TB corpus
-    // actually executes ---
+    // cell assignment + nprobe-bounded probing. The centroid count is
+    // SIZED TO THE CORPUS (nCentroidsFor: constant ~1250-vector cells,
+    // so per-query candidates stay ~nprobe·1250 at any width — the r12
+    // SF1-SCALELAW run caught the previous pinned K=16 going wall
+    // ×23.5 at data ×10; at benchmark scale the floor keeps K=16, so
+    // the oracle row and history are unchanged). q194 keeps the exact
+    // kernel as ground truth; THIS row certifies the composition a
+    // 100 TB corpus actually executes ---
     "q195_knn_density_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
+      val n = e.filter(col("embedding").isNotNull).count()
       Similarity.knnDensity(
           Quantize.int8TopKAuto(e, e,
             "vec_id", "embedding", "vec_id", "embedding", k = 11,
-            maxExactRows = 100L, nCentroids = 16, nprobe = 4),
+            maxExactRows = 100L,
+            nCentroids = Quantize.nCentroidsFor(n), nprobe = 4,
+            corpusSizeHint = Some(n)),
           k = 10)
         .orderBy("id")
     }),

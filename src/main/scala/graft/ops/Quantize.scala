@@ -622,6 +622,25 @@ object Quantize {
       hammingTopKIvf(queries, corpus, qIdCol, qVecCol, cIdCol, cVecCol,
         k, cand, nCentroids, nprobe)
 
+  /** IVF centroid count for a corpus of `n` vectors at a target cell
+    * size: K = clamp(⌈n / cellTarget⌉, minC, maxC). Fixed K is the
+    * classic IVF scale trap — per-query candidates are
+    * nprobe·(n/K), so a corpus growing under a pinned K turns the
+    * probe stage quadratic in total (the r12 SF1-SCALELAW run caught
+    * q195 at wall ×29 for data ×10 exactly this way — balanced cells,
+    * just 10× bigger); at constant cell size the candidate set per
+    * query stays ~nprobe·cellTarget regardless of corpus width. The
+    * default target (125) makes the benchmark corpora (500 / 2000
+    * vectors) land exactly on their historical K = 16 floor, so the
+    * oracle rows and bench history are unchanged. */
+  def nCentroidsFor(n: Long, cellTarget: Long = 125L,
+                    minC: Int = 16, maxC: Int = 4096): Int = {
+    require(cellTarget >= 1 && minC >= 1 && maxC >= minC,
+      s"bad centroid sizing ($cellTarget, $minC, $maxC)")
+    val want = (n + cellTarget - 1) / cellTarget
+    math.min(maxC.toLong, math.max(minC.toLong, want)).toInt
+  }
+
   def int8TopKAuto(queries: DataFrame, corpus: DataFrame,
                    qIdCol: String, qVecCol: String,
                    cIdCol: String, cVecCol: String, k: Int,

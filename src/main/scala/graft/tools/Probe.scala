@@ -1141,6 +1141,113 @@ object Probe {
       println(qs(q)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
+    // r11 verdict #2: materialize an sf1 tree (10x sf0.1) for the
+    // scale-law run. documents/embeddings grow CONTENT-disjoint (the
+    // shared rotation generators); lineitem copies shift every key
+    // column so joins/graphs/distincts grow 10x instead of stacking
+    // duplicates. Pass the SOURCE sf dir as args(0); writes to
+    // SPARK_GRAFT_SF1_DIR (default /tmp/graft_sf1).
+    names.filter(_ == "make-sf1").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      rotatedDocs(docs, 10).write.mode("overwrite")
+        .parquet(s"$out/documents.parquet")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      rotatedEmb(emb, 64, 10).write.mode("overwrite")
+        .parquet(s"$out/embeddings.parquet")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      (0 until 10).map { m =>
+        val off = m * 100000000L
+        li.withColumn("l_orderkey", col("l_orderkey") + off)
+          .withColumn("l_partkey", col("l_partkey") + off)
+          .withColumn("l_suppkey", col("l_suppkey") + off)
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      println(s"MAKE-SF1 wrote $out: " +
+        Seq("documents", "embeddings", "lineitem").map { t =>
+          s"$t=${spark.read.parquet(s"$out/$t.parquet").count()}"
+        }.mkString(" "))
+    }
+
+    // r11 verdict #2: headline heavy queries at sf0.1 vs sf1 — wall +
+    // shuffle bytes; sub-linear families should show it, anything
+    // super-linear is next round's list.
+    names.filter(_ == "sf1-scalelaw").foreach { _ =>
+      val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            shuffleBytes.addAndGet(
+              s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten); ()
+          }
+        })
+      val heavy = Seq("q83_pagerank", "q169_hll_distinct", "q125",
+        "q197_max_dup_spans", "q198_exact_substr_rewrite",
+        "q210_decontaminate_rewrite", "q28", "q30_ann_ivf",
+        "q142_ivfpq", "q199", "q207", "q211", "q195")
+      val only = sys.env.get("SPARK_GRAFT_SF1_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      val sel = qs.keys.filter(n => heavy.exists(n.startsWith))
+        .filter(n => only.forall(_.exists(n.startsWith))).toSeq.sorted
+      sel.foreach { name =>
+        val rows = Seq(sfDir, sf1).map { dir =>
+          Thread.sleep(500); shuffleBytes.set(0L)
+          val t0 = System.nanoTime()
+          try qs(name)(spark, dir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[sf1] $name@$dir failed: ${e.getMessage}")
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          Thread.sleep(1500)
+          (dt, shuffleBytes.get())
+        }
+        val (t01, b01) = rows(0); val (t1, b1) = rows(1)
+        println(f"SF1-SCALELAW $name%-28s sf0.1 $t01%7.2f s ${b01 / 1e6}%9.1f MB" +
+          f" | sf1 $t1%7.2f s ${b1 / 1e6}%9.1f MB | wall x${t1 / math.max(0.01, t01)}%.1f" +
+          f" bytes x${b1.toDouble / math.max(1L, b01)}%.1f")
+      }
+    }
+
+    // Where does q195's sf1 wall go? cell-size histogram + per-stage
+    // counts/times of the int8->IVF self-retrieval.
+    names.filter(_ == "q195-split").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val n = e.filter(col("embedding").isNotNull).count()
+      val kC = graft.ops.Quantize.nCentroidsFor(n)
+      println(s"Q195-SPLIT n=$n nCentroids=$kC")
+      def tt[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"Q195-SPLIT $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val q8 = graft.ops.Quantize.int8Symmetric(e, "vec_id", "embedding")
+        .select(col("vec_id"),
+          transform(col("qvec"), _.cast("double")).as("__q8"))
+        .localCheckpoint()
+      val cents = tt("centroids")(
+        q8.orderBy(col("vec_id")).limit(kC)
+          .select(col("vec_id").as("centroid_id"), col("__q8").as("cv"))
+          .localCheckpoint())
+      val assigned = tt("assign")(
+        graft.ops.Similarity.assignToCentroid(q8, "vec_id", "__q8",
+          cents, "centroid_id", "cv").localCheckpoint())
+      val hist = assigned.groupBy("centroid_id").count()
+        .agg(max("count"), expr("percentile(count, 0.5)"), sum("count"))
+        .head()
+      println(s"Q195-SPLIT cells: max=${hist.get(0)} median=${hist.get(1)} " +
+        s"total=${hist.get(2)}")
+      val top = tt("ivfTopK")(
+        graft.ops.Similarity.ivfTopK(q8, q8, "vec_id", "__q8",
+          "vec_id", "__q8", k = 11, nCentroids = kC, nprobe = 4)
+          .count())
+      println(s"Q195-SPLIT topk rows=$top")
+    }
+
     // Where does q133's wall go? prep (base quantile cuts + bin
     // probabilities + live collect) vs the 4-trigger stream itself.
     names.filter(_ == "q133-split").foreach { _ =>

@@ -215,6 +215,18 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("nCentroidsFor: constant cell size, clamped at both ends") {
+    // benchmark-scale corpora stay on the historical K = 16 floor
+    assert(Quantize.nCentroidsFor(500L) === 16)
+    assert(Quantize.nCentroidsFor(2000L) === 16)
+    // past the floor the cell size pins at ~cellTarget (ceil division)
+    assert(Quantize.nCentroidsFor(20000L) === 160)
+    assert(Quantize.nCentroidsFor(20001L) === 161)
+    // ceiling
+    assert(Quantize.nCentroidsFor(1L << 40) === 4096)
+    intercept[IllegalArgumentException](Quantize.nCentroidsFor(10L, 0L))
+  }
+
   test("int8TopKAuto route invariance: the IVF route probing every cell " +
     "returns the exact kernel's ranking") {
     val rnd = new scala.util.Random(31)
