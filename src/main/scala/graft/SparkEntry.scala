@@ -1682,6 +1682,27 @@ object SparkEntry {
       Drift.cohenKappa(e, "a", "b")
     }),
 
+    // --- Krippendorff's alpha (nominal): the multi-rater,
+    // missing-data agreement gate — three simulated raters over the
+    // embeddings labels, raters 1/2 skipping units (vec_id%4==0 /
+    // %3==1 respectively), so units can carry 1..3 ratings and the
+    // single-rating exclusion path is exercised ---
+    "q222_krippendorff_alpha" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .filter(col("label").isNotNull && col("vec_id").isNotNull)
+      val r0 = e.select(col("vec_id").as("unit"),
+        (col("label") % 3).cast("string").as("v"))
+      val r1 = e.filter(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id").as("unit"),
+          ((col("label") + when(col("vec_id") % 7 === 0, 1).otherwise(0)) % 3)
+            .cast("string").as("v"))
+      val r2 = e.filter(col("vec_id") % 3 =!= 1)
+        .select(col("vec_id").as("unit"),
+          ((col("label") + when(col("vec_id") % 11 === 0, 2).otherwise(0)) % 3)
+            .cast("string").as("v"))
+      Drift.krippendorffAlpha(r0.union(r1).union(r2), "unit", "v")
+    }),
+
     // --- fenced-code-block extraction: per-(doc, language) block and
     // char counts — the code-data prep pass of a mixed-corpus
     // pipeline. The corpus has no fences, so the fixture injects
@@ -5203,6 +5224,49 @@ object SparkEntry {
            |  replace(trim(st, '><'), '><', ' ') AS pieces,
            |  CAST(len(string_split(trim(st, '><'), '><')) AS BIGINT) AS n_pieces
            |FROM v10 ORDER BY w""".stripMargin,
+
+      // Krippendorff replay: same three-rater simulation, coincidence
+      // identities in exact integers (lcm-cleared D_o numerator,
+      // integer D_e), alpha from the two unrounded double ratios.
+      "q222_krippendorff_alpha" ->
+        """WITH rows0 AS (
+          |  SELECT vec_id AS u, CAST(label % 3 AS VARCHAR) AS v
+          |    FROM embeddings WHERE label IS NOT NULL AND vec_id IS NOT NULL
+          |  UNION ALL
+          |  SELECT vec_id,
+          |    CAST((label + CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) % 3
+          |      AS VARCHAR)
+          |    FROM embeddings WHERE label IS NOT NULL AND vec_id IS NOT NULL
+          |      AND vec_id % 4 <> 0
+          |  UNION ALL
+          |  SELECT vec_id,
+          |    CAST((label + CASE WHEN vec_id % 11 = 0 THEN 2 ELSE 0 END) % 3
+          |      AS VARCHAR)
+          |    FROM embeddings WHERE label IS NOT NULL AND vec_id IS NOT NULL
+          |      AND vec_id % 3 <> 1),
+          |cells AS (SELECT u, v, count(*) AS c FROM rows0 GROUP BY 1, 2),
+          |units AS (SELECT u, sum(c) AS m, sum(c * c) AS ss
+          |  FROM cells GROUP BY u HAVING sum(c) >= 2),
+          |byM AS (SELECT m, sum(m * m - ss) AS a FROM units GROUP BY m),
+          |don AS (SELECT CAST(coalesce(sum(
+          |    CAST(27720 // (m - 1) AS DECIMAL(38,0)) *
+          |    CAST(a AS DECIMAL(38,0))), 0) AS DECIMAL(38,0)) AS do_num
+          |  FROM byM),
+          |marg AS (SELECT v, sum(c) AS nc FROM cells
+          |  WHERE u IN (SELECT u FROM units) GROUP BY v),
+          |tot AS (SELECT CAST(coalesce(sum(nc), 0) AS BIGINT) AS n,
+          |    CAST(coalesce(sum(CAST(nc AS DECIMAL(38,0)) *
+          |      CAST(nc AS DECIMAL(38,0))), 0) AS DECIMAL(38,0)) AS ncsq
+          |  FROM marg),
+          |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_units FROM units)
+          |SELECT n_units, n, round(do0, 6) AS "do", round(de0, 6) AS de,
+          |  round(CASE WHEN de0 > 0.0 THEN 1.0 - do0 / de0 END, 6) AS alpha
+          |FROM (SELECT n_units, n,
+          |    CAST(do_num AS DOUBLE) /
+          |      CAST(CAST(n AS DECIMAL(38,0)) * 27720 AS DOUBLE) AS do0,
+          |    CAST(CAST(n AS DECIMAL(38,0)) * n - ncsq AS DOUBLE) /
+          |      CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE) AS de0
+          |  FROM tot, don, nu)""".stripMargin,
 
       // Unigram-LM trainer replay: two full Viterbi-EM passes as
       // staged CTEs; the published vocabulary carries the final counts

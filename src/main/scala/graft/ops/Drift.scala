@@ -554,4 +554,74 @@ object Drift {
               .cast("double")), 6).as("auc"))
       .withColumn("gini", round(col("auc") * 2 - 1, 6))
   }
+
+  /** Krippendorff's alpha (nominal) — the multi-rater, missing-data
+    * generalization of [[cohenKappa]]: THE labeling-QA statistic when
+    * more than two annotators rate training data and not every
+    * annotator rates every unit (Krippendorff 2004). Rater identity is
+    * irrelevant by design; input is (unit, value) rating rows, units
+    * with fewer than two ratings are excluded (the standard treatment
+    * of missing data), and α = 1 − D_o/D_e over the coincidence
+    * matrix.
+    *
+    * Exact-integer shape: the coincidence marginal for value c is just
+    * its total count n_c over qualifying units, so
+    * D_e·n(n−1) = n² − Σ_c n_c² is pure integers; the only fractional
+    * piece, D_o·n = Σ_u (m_u² − Σ_c n_uc²)/(m_u − 1), clears its
+    * denominators through lcm(1..12) = 27720 after grouping units by
+    * m_u (every per-m sum is an exact integer and 27720 is divisible
+    * by every m−1 ≤ 12 — hence the enforced ≤ 13 raters per unit;
+    * real annotation runs use 2–5). Everything to the final α is
+    * DECIMAL(38,0)-exact; α itself is computed from the two unrounded
+    * double ratios ([[cohenKappa]]'s r12 lesson) and only the
+    * published columns round — bit-identical cross-engine.
+    *
+    * Shuffle shape: ONE data-sized groupBy (unit, value) with map-side
+    * combine; everything after is unit-bounded then vocab-bounded.
+    * Returns ONE row (n_units, n, do, de, alpha); alpha is null when
+    * D_e = 0 (every rating the same single value — agreement
+    * undefined, not perfect). */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+                        valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(unitCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(unitCol).cast("string").as("__u"),
+        col(valueCol).cast("string").as("__v"))
+    val cells = base.groupBy("__u", "__v").agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // read by the unit stats and the marginals
+    val units = cells.groupBy("__u")
+      .agg(sum("__c").as("__m"),
+        sum(col("__c") * col("__c")).as("__ss"))
+      .filter(col("__m") >= 2)
+      .localCheckpoint() // read by the m-grouped sums and the bound check
+    val maxM = units.agg(coalesce(max("__m"), lit(0L))).head().getLong(0)
+    require(maxM <= 13,
+      s"krippendorffAlpha supports at most 13 ratings per unit " +
+        s"(lcm-exact denominators), got a unit with $maxM")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    // D_o numerator over the common denominator 27720·n:
+    // Σ_m (27720/(m−1)) · Σ_{u: m_u = m} (m² − Σ_c n_uc²)
+    val byM = units.groupBy("__m")
+      .agg(sum(col("__m") * col("__m") - col("__ss")).as("__A"))
+    val doNum = byM.agg(coalesce(sum(
+        d(expr("27720 DIV (__m - 1)")) * d(col("__A"))), d(lit(0)))
+        .cast("decimal(38,0)").as("__do_num"))
+    val marg = cells.join(units.select("__u"), Seq("__u"), "left_semi")
+      .groupBy("__v").agg(sum("__c").as("__nc"))
+    val tot = marg.agg(
+      coalesce(sum("__nc"), lit(0L)).cast("long").as("__n"),
+      coalesce(sum(d(col("__nc")) * d(col("__nc"))), d(lit(0)))
+        .cast("decimal(38,0)").as("__ncsq"))
+    val nUnits = units.count()
+    tot.crossJoin(doNum)
+      .withColumn("__do", col("__do_num").cast("double") /
+        (d(col("__n")) * 27720).cast("double"))
+      .withColumn("__de",
+        (d(col("__n")) * d(col("__n")) - col("__ncsq")).cast("double") /
+          (d(col("__n")) * (d(col("__n")) - 1)).cast("double"))
+      .select(lit(nUnits).as("n_units"), col("__n").as("n"),
+        round(col("__do"), 6).as("do"), round(col("__de"), 6).as("de"),
+        round(when(col("__de") > 0.0,
+          lit(1.0) - col("__do") / col("__de")), 6).as("alpha"))
+  }
 }

@@ -327,6 +327,42 @@ class DriftSpec extends SparkSpec {
     assert(fr.getDouble(4) === 0.027778)
   }
 
+  test("krippendorffAlpha: hand-computed example, missing data, degenerate cases") {
+    // u1: a,a (agree)  u2: a,b (disagree)  u3: b,b,b  u4: single (drop)
+    // n = 7; D_o = (1/7)·Σ A_u/(m−1) = (1/7)·(0 + 2 + 0) = 2/7
+    // n_a = 3, n_b = 4; D_e = (49 − 25)/(7·6) = 4/7; α = 1 − 1/2 = 0.5
+    val ratings = Seq(
+      ("u1", "a"), ("u1", "a"),
+      ("u2", "a"), ("u2", "b"),
+      ("u3", "b"), ("u3", "b"), ("u3", "b"),
+      ("u4", "a")).toDF("unit", "v")
+    val r = Drift.krippendorffAlpha(ratings, "unit", "v").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === (3L, 7L)) // u4 excluded
+    assert(r.getDouble(2) === 0.285714 && r.getDouble(3) === 0.571429)
+    assert(r.getDouble(4) === 0.5)
+
+    // perfect agreement over >1 value: D_o = 0 -> alpha = 1
+    val perfect = Seq(("u1", "x"), ("u1", "x"), ("u2", "y"), ("u2", "y"))
+      .toDF("unit", "v")
+    assert(Drift.krippendorffAlpha(perfect, "unit", "v")
+      .collect()(0).getDouble(4) === 1.0)
+
+    // one single value everywhere: D_e = 0 -> alpha undefined (null)
+    val const = Seq(("u1", "x"), ("u1", "x"), ("u2", "x"), ("u2", "x"))
+      .toDF("unit", "v")
+    assert(Drift.krippendorffAlpha(const, "unit", "v").collect()(0).isNullAt(4))
+
+    // nulls dropped; >13 ratings per unit refused (lcm-exact bound)
+    val withNull = Seq((Some("u1"), Some("a")), (Some("u1"), None),
+      (None, Some("a")), (Some("u1"), Some("b"))).toDF("unit", "v")
+    assert(Drift.krippendorffAlpha(withNull, "unit", "v")
+      .collect()(0).getLong(1) === 2L)
+    val wide = (0 until 14).map(i => ("u1", s"v$i")).toDF("unit", "v")
+    intercept[IllegalArgumentException] {
+      Drift.krippendorffAlpha(wide, "unit", "v")
+    }
+  }
+
   test("aucRoc: hand-computed ties case, perfect/reversed/constant scores, empty class") {
     // scores 1,2,2,3 labels 0,0,1,1: ranks 1, 2.5, 2.5, 4 ->
     // R+ = 6.5, AUC = (6.5 - 3) / (2*2) = 0.875
