@@ -2419,10 +2419,10 @@ object SparkEntry {
     // (q147's plan shape) — maxExactRows forced below the corpus size
     // so the quadratic kernel never runs; the plan is centroid-seeded
     // cell assignment + nprobe-bounded probing. The centroid count is
-    // SIZED TO THE CORPUS (nCentroidsFor: constant ~1250-vector cells,
-    // so per-query candidates stay ~nprobe·1250 at any width — the r12
+    // SIZED TO THE CORPUS (nCentroidsFor: constant ~125-vector cells,
+    // so per-query candidates stay ~nprobe·125 at any width — the r12
     // SF1-SCALELAW run caught the previous pinned K=16 going wall
-    // ×23.5 at data ×10; at benchmark scale the floor keeps K=16, so
+    // ×29 at data ×10; at benchmark scale the floor keeps K=16, so
     // the oracle row and history are unchanged). q194 keeps the exact
     // kernel as ground truth; THIS row certifies the composition a
     // 100 TB corpus actually executes ---

@@ -563,6 +563,14 @@ object Corpus {
           }
           l += 1
         }
+        // every position is reachable for trained words (all single
+        // chars are vocab pieces); fail FAST if the segmenter is ever
+        // handed an out-of-vocab character — an unreachable dp state
+        // would otherwise overflow Long.MinValue + score into a huge
+        // positive value and emit a "null"-contaminated path
+        require(bestPath != null,
+          s"unigram viterbi: position $p of '$w' unreachable " +
+            "(out-of-vocabulary character?)")
         dpScore(p) = bestScore; dpK(p) = bestK; dpPath(p) = bestPath
         p += 1
       }
