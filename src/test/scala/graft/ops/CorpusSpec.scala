@@ -816,6 +816,15 @@ class CorpusSpec extends SparkSpec {
     val broadcastRoute = rows(1000000L)
     assert(rows(0L) === broadcastRoute)
     assert(broadcastRoute.map(_._3).sum > 0L)
+
+    // empty boilerplate set through the bloom route: a threshold no
+    // line reaches must pass every doc through unchanged (the filter
+    // builds over an EMPTY frame — geometry floor, zero adds)
+    val untouched = Corpus.lineDedup(docs, "id", "t", minDocs = 100, 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(untouched.forall(_._3 === 0L))
+    assert(untouched.map(_._2).sorted ===
+      docs.collect().map(_.getString(1)).sorted)
   }
 
   test("conjunctiveTopK: AND semantics, BM25 order, k bound") {

@@ -361,6 +361,14 @@ class DriftSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Drift.krippendorffAlpha(wide, "unit", "v")
     }
+    // the 13-rater boundary itself is allowed (lcm(1..12) covers m-1
+    // = 12): 13 all-distinct ratings on one unit + a twin unit with
+    // 13 agreeing ones — finite alpha, no throw
+    val edge = (0 until 13).map(i => ("u1", s"v$i")).toDF("unit", "v")
+      .union((0 until 13).map(_ => ("u2", "v0")).toDF("unit", "v"))
+    val er = Drift.krippendorffAlpha(edge, "unit", "v").collect()(0)
+    assert(er.getLong(0) === 2L && er.getLong(1) === 26L)
+    assert(!er.isNullAt(4))
   }
 
   test("aucRoc: hand-computed ties case, perfect/reversed/constant scores, empty class") {
