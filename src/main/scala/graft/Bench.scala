@@ -182,13 +182,18 @@ object Bench {
       if (only.nonEmpty) results
       else {
         val names = results.map(_._1).toSet
-        // same-SHA, same-suite runs only (latest 4): a log sample from
-        // an older code version must never join the median — it would
-        // under-report a genuine regression or speedup of the current
-        // tree. Recency bound keeps the log's full history harmless.
+        // same-SHA, same-suite runs only — ALL of them, not a recency
+        // window: a log sample from an older code version must never
+        // join the median (it would under-report a genuine regression
+        // or speedup of the current tree), but among same-code samples
+        // recency carries no information — only host noise differs, and
+        // the whole point of the cross-run median is to suppress it.
+        // The r12 takeRight(4) window let one hot CLOSING window move
+        // the shipped number by ±5% (287.5 in-run vs 275.3–284.6
+        // across seed refreshes); the all-samples median is stable
+        // under any single window (r13, verdict #8).
         val same = histRuns
           .collect { case (sha, run) if sha == gitSha && run.keySet == names => run }
-          .takeRight(4)
         System.err.println(s"[bench] certifying from ${same.size + 1} " +
           s"same-suite same-sha($gitSha) samples (this run + BENCH_LOG)")
         results.map { case (k, v) => k -> median(v :: same.map(_(k))) }

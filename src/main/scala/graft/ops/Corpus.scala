@@ -600,7 +600,15 @@ object Corpus {
     * segments with. See [[unigramCore]] for the algorithm and the
     * exact-integer replay contract. Reference scope: the reference
     * ships no tokenizer trainer — this extends the LLM-pipeline
-    * surface beside [[bpeTrainLocal]] (r11 verdict #7). */
+    * surface beside [[bpeTrainLocal]] (r11 verdict #7).
+    *
+    * ASCII replay contract: input text may be arbitrary, but the word
+    * stream is [[graft.text.Tokenize.tokens]] — every token matches
+    * `[a-z]{2,15}` by construction, so all pieces are single-byte
+    * ASCII and the lexicographic tie-break agrees between JVM UTF-16
+    * `compareTo` and DuckDB byte order (and substring/length mean the
+    * same thing in both engines). Swapping in a tokenizer that can
+    * emit non-ASCII tokens voids the cross-engine parity guarantee. */
   def unigramTrainLocal(df: DataFrame, textCol: String, wordCap: Int = 1000,
                         pieceCap: Int = 150, maxPieceLen: Int = 4,
                         maxWordLen: Int = 16, iterations: Int = 2): DataFrame = {
@@ -1072,22 +1080,35 @@ object Corpus {
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("k")
-      .localCheckpoint() // read by the gate count, filter build, and join
+      .localCheckpoint(eager = false) // read by the filter build and join
+    // LAZY checkpoint + count: the count is the materializing action,
+    // so gate count and checkpoint cost ONE job (an eager checkpoint
+    // followed by count would run two).
     val nBad = bad.count()
-    val hit =
-      if (nBad <= maxBroadcastLines)
+    val badPos =
+      if (nBad <= maxBroadcastLines) {
         lines.join(broadcast(bad), trim(col("line")) === col("k"),
-          "left_semi")
-      else {
+            "left_semi")
+          .groupBy("id")
+          .agg(sort_array(collect_list(col("pos"))).as("bad_pos"))
+      } else {
         val bloom = df.sparkSession.sparkContext.broadcast(
           buildDupBloom(bad.select(xxhash64(col("k")).as("__ph")),
             "__ph", nBad))
         val mightHit = udf((h: Long) => bloom.value.mightContain(h))
-        lines.filter(mightHit(xxhash64(trim(col("line")))))
+        // Materialize the marking EAGERLY (unit-bounded: one row per
+        // affected doc) so the up-to-512 MiB filter broadcast can be
+        // destroyed before returning — a long-lived session calling
+        // lineDedup repeatedly must not accumulate dead filter blocks
+        // on the executors.
+        val bp = lines.filter(mightHit(xxhash64(trim(col("line")))))
           .join(bad, trim(col("line")) === col("k"), "left_semi")
+          .groupBy("id")
+          .agg(sort_array(collect_list(col("pos"))).as("bad_pos"))
+          .localCheckpoint()
+        bloom.destroy()
+        bp
       }
-    val badPos = hit.groupBy("id")
-      .agg(sort_array(collect_list(col("pos"))).as("bad_pos"))
     base.join(badPos, Seq("id"), "left")
       .withColumn("__parts", split(col("text"), "\n", -1))
       .select(col("id"),

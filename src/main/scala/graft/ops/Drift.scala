@@ -570,11 +570,18 @@ object Drift {
     * piece, D_o·n = Σ_u (m_u² − Σ_c n_uc²)/(m_u − 1), clears its
     * denominators through lcm(1..12) = 27720 after grouping units by
     * m_u (every per-m sum is an exact integer and 27720 is divisible
-    * by every m−1 ≤ 12 — hence the enforced ≤ 13 raters per unit;
-    * real annotation runs use 2–5). Everything to the final α is
+    * by every m−1 ≤ 12 — real annotation runs use 2–5 raters). Above
+    * 13 raters per unit no practical lcm fits, so the per-m terms
+    * switch to 10^18-scaled integer floor division
+    * (⌊A_m·10^18/(m−1)⌋, still DECIMAL(38,0)-exact and
+    * order-independent): per-term error < 1e-18, total < m·1e-18 —
+    * twelve orders below the published 6-decimal rounding, and
+    * deterministic (unlike a double accumulation, whose partial-sum
+    * order varies across partitions). Everything to the final α is
     * DECIMAL(38,0)-exact; α itself is computed from the two unrounded
     * double ratios ([[cohenKappa]]'s r12 lesson) and only the
-    * published columns round — bit-identical cross-engine.
+    * published columns round — bit-identical cross-engine on the
+    * ≤13-rater lcm route (the oracle-replayed one).
     *
     * Shuffle shape: ONE data-sized groupBy (unit, value) with map-side
     * combine; everything after is unit-bounded then vocab-bounded.
@@ -595,17 +602,23 @@ object Drift {
       .filter(col("__m") >= 2)
       .localCheckpoint() // read by the m-grouped sums and the bound check
     val maxM = units.agg(coalesce(max("__m"), lit(0L))).head().getLong(0)
-    require(maxM <= 13,
-      s"krippendorffAlpha supports at most 13 ratings per unit " +
-        s"(lcm-exact denominators), got a unit with $maxM")
     val d = (c: Column) => c.cast("decimal(38,0)")
-    // D_o numerator over the common denominator 27720·n:
-    // Σ_m (27720/(m−1)) · Σ_{u: m_u = m} (m² − Σ_c n_uc²)
+    // D_o numerator: Σ_m w_m(A_m) with A_m = Σ_{u: m_u = m}
+    // (m² − Σ_c n_uc²), published as __do = doNum / (n·DEN).
+    // DEN = 27720 (the exact-lcm route, bit-replayed by the oracle)
+    // while every m−1 ≤ 12; above 13 raters DEN = 10^6 and each term
+    // is the DECIMAL(38,6) division (A_m·10^6)/(m−1) — deterministic
+    // half-even-free decimal arithmetic (no double partial-sum order),
+    // per-term error ≤ 0.5e-6 in DEN units so |Δ__do| ≤ m·5e-13/n —
+    // seven orders below the published 6-decimal rounding.
     val byM = units.groupBy("__m")
       .agg(sum(col("__m") * col("__m") - col("__ss")).as("__A"))
-    val doNum = byM.agg(coalesce(sum(
-        d(expr("27720 DIV (__m - 1)")) * d(col("__A"))), d(lit(0)))
-        .cast("decimal(38,0)").as("__do_num"))
+    val denom: Double = if (maxM <= 13) 27720.0 else 1e6
+    val termW: Column =
+      if (maxM <= 13) d(expr("27720 DIV (__m - 1)")) * d(col("__A"))
+      else (d(col("__A")) * d(lit(1000000L))) / (col("__m") - lit(1))
+    val doNum = byM.agg(coalesce(sum(termW).cast("decimal(38,6)"),
+        lit(0).cast("decimal(38,6)")).as("__do_num"))
     val marg = cells.join(units.select("__u"), Seq("__u"), "left_semi")
       .groupBy("__v").agg(sum("__c").as("__nc"))
     val tot = marg.agg(
@@ -613,12 +626,17 @@ object Drift {
       coalesce(sum(d(col("__nc")) * d(col("__nc"))), d(lit(0)))
         .cast("decimal(38,0)").as("__ncsq"))
     val nUnits = units.count()
+    // n = 0 (zero qualifying units — every unit single-rated) would
+    // publish NaN through 0/0; the documented degenerate treatment is
+    // null for do/de/alpha, so gate every ratio on n > 0 (qualifying
+    // units have m ≥ 2, so n > 0 implies n ≥ 2 and de's n−1 is safe).
     tot.crossJoin(doNum)
-      .withColumn("__do", col("__do_num").cast("double") /
-        (d(col("__n")) * 27720).cast("double"))
-      .withColumn("__de",
+      .withColumn("__do", when(col("__n") > 0L,
+        col("__do_num").cast("double") /
+          (d(col("__n")).cast("double") * denom)))
+      .withColumn("__de", when(col("__n") > 0L,
         (d(col("__n")) * d(col("__n")) - col("__ncsq")).cast("double") /
-          (d(col("__n")) * (d(col("__n")) - 1)).cast("double"))
+          (d(col("__n")) * (d(col("__n")) - 1)).cast("double")))
       .select(lit(nUnits).as("n_units"), col("__n").as("n"),
         round(col("__do"), 6).as("do"), round(col("__de"), 6).as("de"),
         round(when(col("__de") > 0.0,

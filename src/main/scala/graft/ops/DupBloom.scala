@@ -149,11 +149,17 @@ object ShardedDupBloom {
     * budget fits under the 2^27 cap, then 2^27-slot shards, count
     * capped at 16 (512 MiB broadcast). */
   def geometryFor(expectedAdds: Long): (Int, Int) = {
-    val slotsWanted = math.max(1L, expectedAdds) * 8
-    if (slotsWanted <= (1L << 27)) (1, DupBloom.logSlotsFor(expectedAdds))
+    // Clamp before the *8 and before narrowing: expectedAdds >= 2^60
+    // would overflow the multiply, and a raw `.toInt` of the shifted
+    // shard count wraps negative past 2^55 adds. Past 16 shards the
+    // geometry saturates anyway (documented graceful degradation), so
+    // clamping adds to 2^31 keys (16 shards exactly) loses nothing.
+    val adds = math.min(math.max(1L, expectedAdds), 1L << 31)
+    val slotsWanted = adds * 8
+    if (slotsWanted <= (1L << 27)) (1, DupBloom.logSlotsFor(adds))
     else {
-      val n = ((slotsWanted + (1L << 27) - 1) >> 27).toInt
-      (math.min(16, n), 27)
+      val n = math.min(16L, (slotsWanted + (1L << 27) - 1) >> 27).toInt
+      (n, 27)
     }
   }
 }

@@ -352,15 +352,50 @@ class DriftSpec extends SparkSpec {
       .toDF("unit", "v")
     assert(Drift.krippendorffAlpha(const, "unit", "v").collect()(0).isNullAt(4))
 
-    // nulls dropped; >13 ratings per unit refused (lcm-exact bound)
+    // nulls dropped
     val withNull = Seq((Some("u1"), Some("a")), (Some("u1"), None),
       (None, Some("a")), (Some("u1"), Some("b"))).toDF("unit", "v")
     assert(Drift.krippendorffAlpha(withNull, "unit", "v")
       .collect()(0).getLong(1) === 2L)
-    val wide = (0 until 14).map(i => ("u1", s"v$i")).toDF("unit", "v")
-    intercept[IllegalArgumentException] {
-      Drift.krippendorffAlpha(wide, "unit", "v")
-    }
+
+    // zero qualifying units (every unit single-rated): the documented
+    // degenerate treatment is null do/de/alpha, NOT NaN through 0/0
+    val singles = Seq(("u1", "a"), ("u2", "b"), ("u3", "a"))
+      .toDF("unit", "v")
+    val sr = Drift.krippendorffAlpha(singles, "unit", "v").collect()(0)
+    assert(sr.getLong(0) === 0L && sr.getLong(1) === 0L)
+    assert(sr.isNullAt(2) && sr.isNullAt(3) && sr.isNullAt(4))
+
+    // >13 raters per unit: the 10^6-scaled decimal route (r13 —
+    // generalizes the r12 lcm bound). 20-rater units, hand-computed:
+    // u1: 10×a + 10×b (A = 400 − 200 = 200, m−1 = 19)
+    // u2: 20×a (A = 0)  -> D_o = (200/19)/40 = 5/19
+    // n = 40, n_a = 30, n_b = 10 -> D_e = (1600−1000)/(40·39) = 5/13
+    // α = 1 − (5/19)/(5/13) = 1 − 13/19 = 6/19 = 0.315789...
+    val wide = ((0 until 10).map(_ => ("u1", "a")) ++
+      (0 until 10).map(_ => ("u1", "b")) ++
+      (0 until 20).map(_ => ("u2", "a"))).toDF("unit", "v")
+    val wr = Drift.krippendorffAlpha(wide, "unit", "v").collect()(0)
+    assert((wr.getLong(0), wr.getLong(1)) === (2L, 40L))
+    assert(wr.getDouble(2) === math.rint(5.0 / 19 * 1e6) / 1e6 ||
+      wr.getDouble(2) === 0.263158)
+    assert(wr.getDouble(3) === 0.384615)
+    assert(math.abs(wr.getDouble(4) - 6.0 / 19) < 1e-6)
+
+    // route consistency: a ≤13-rater dataset forced through the
+    // decimal route (by adding a wide dummy unit whose ratings all
+    // agree — A = 0 contributes nothing to D_o) shifts alpha only
+    // through the marginals, and the decimal arithmetic agrees with
+    // the exact lcm value to well under the published rounding
+    val both = Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "b"))
+      .toDF("unit", "v")
+    val exact = Drift.krippendorffAlpha(both, "unit", "v").collect()(0)
+    val forced = Drift.krippendorffAlpha(
+      both.union((0 until 14).map(_ => ("u9", "zz")).toDF("unit", "v")),
+      "unit", "v").collect()(0)
+    // same D_o numerator structure: u9 adds A = 0; verify D_o agrees
+    // after rescaling by the n change (4 -> 18): do_forced = do_exact·4/18
+    assert(math.abs(forced.getDouble(2) - exact.getDouble(2) * 4 / 18) < 2e-6)
     // the 13-rater boundary itself is allowed (lcm(1..12) covers m-1
     // = 12): 13 all-distinct ratings on one unit + a twin unit with
     // 13 agreeing ones — finite alpha, no throw
