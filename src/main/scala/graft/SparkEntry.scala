@@ -1861,6 +1861,20 @@ object SparkEntry {
     "q221_unigram_encode" -> ((s, d) =>
       Corpus.unigramEncode(t(s, d, "documents"), "text")),
 
+    // --- interpolated modified-Kneser-Ney 3-gram perplexity scoring
+    // (the KenLM slot of the CCNet quality stack, r12 verdict #2):
+    // model fit on the even-id half with counts-of-counts discounts +
+    // continuation-count lower orders, every doc scored by avg
+    // trigram log-prob. Same train/score split as q167 so unseen
+    // trigrams, contexts, and words all exercise the backoff chain ---
+    "q223_kn_trigram_logprob" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+      Corpus.knTrigramLogProb(docs.filter(col("doc_id") % 2 === 0), docs,
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // --- `.vec` model-artifact load (the file-format level of
     // `Latanova_v1.py:19`'s FastText load): a word2vec/fastText TEXT
     // file is materialized from nation (words + exactly-representable
@@ -5289,6 +5303,137 @@ object SparkEntry {
            |  CAST(len(string_split(substr(path, 2), chr(31))) AS BIGINT)
            |    AS n_pieces
            |FROM seg3 ORDER BY w""".stripMargin,
+
+      // Modified-KN trigram replay: the whole estimator re-derived in
+      // SQL — trigram counts, continuation tables, Chen-Goodman
+      // discounts from count-of-count bands, per-context gamma
+      // numerators, and the three-level interpolated probability with
+      // pure backoff (gamma = 1) on unseen contexts. Reused stages
+      // are MATERIALIZED (the r12 DP-unroll lesson).
+      "q223_kn_trigram_logprob" -> {
+        val toks = toksSql("text")
+        val tgs = "unnest(list_transform(range(len(w) - 2), " +
+          "i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))"
+        // Chen-Goodman discount triple from a band row (n1..n4):
+        // Y = n1/(n1+2n2); the modified triple applies only when all
+        // bands are nonzero AND every D_k > 0; else flat absolute
+        // discounting D = Y (or 0.5 when n1 = 0) — mirrors
+        // Corpus.knTrigramLogProb's bands()
+        def dsql(p: String) =
+          s"""SELECT
+             |  CASE WHEN valid THEN d1m ELSE fb END AS ${p}1,
+             |  CASE WHEN valid THEN d2m ELSE fb END AS ${p}2,
+             |  CASE WHEN valid THEN d3m ELSE fb END AS ${p}3
+             |FROM (SELECT *,
+             |    (n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND
+             |     d1m > 0 AND d2m > 0 AND d3m > 0) AS valid,
+             |    CASE WHEN n1 > 0 THEN y ELSE CAST(0.5 AS DOUBLE) END AS fb
+             |  FROM (SELECT *,
+             |      CASE WHEN n1 > 0 THEN 1.0 - 2.0 * y *
+             |        CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS d1m,
+             |      CASE WHEN n2 > 0 THEN 2.0 - 3.0 * y *
+             |        CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS d2m,
+             |      CASE WHEN n3 > 0 THEN 3.0 - 4.0 * y *
+             |        CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE) END AS d3m
+             |    FROM (SELECT *,
+             |        CASE WHEN n1 + 2*n2 > 0 THEN CAST(n1 AS DOUBLE) /
+             |          CAST(n1 + 2*n2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE)
+             |        END AS y
+             |      FROM __BANDS__)))""".stripMargin
+        def bsql(src: String, c: String) =
+          s"""SELECT
+             |  CAST(sum(CASE WHEN $c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |  CAST(sum(CASE WHEN $c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |  CAST(sum(CASE WHEN $c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             |  CAST(sum(CASE WHEN $c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+             |FROM $src""".stripMargin
+        s"""WITH base AS MATERIALIZED (
+           |  SELECT doc_id, $toks AS w FROM documents WHERE doc_id IS NOT NULL),
+           |tg AS MATERIALIZED (
+           |  SELECT tg, CAST(count(*) AS BIGINT) AS c3,
+           |    split_part(tg, ' ', 1) AS w1, split_part(tg, ' ', 2) AS w2,
+           |    split_part(tg, ' ', 3) AS w3
+           |  FROM (SELECT $tgs AS tg
+           |        FROM base WHERE doc_id % 2 = 0 AND len(w) >= 3)
+           |  GROUP BY 1),
+           |cc2 AS MATERIALIZED (
+           |  SELECT w2, w3, CAST(count(*) AS BIGINT) AS cc FROM tg GROUP BY 1, 2),
+           |cu AS MATERIALIZED (
+           |  SELECT w3, CAST(count(*) AS BIGINT) AS cu FROM cc2 GROUP BY 1),
+           |d3 AS (${dsql("d3").replace("__BANDS__", s"(${bsql("tg", "c3")})")}),
+           |d2 AS (${dsql("d2").replace("__BANDS__", s"(${bsql("cc2", "cc")})")}),
+           |d1 AS (${dsql("d1").replace("__BANDS__", s"(${bsql("cu", "cu")})")}),
+           |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+           |       FROM (SELECT unnest(w) AS tok FROM base WHERE doc_id % 2 = 0)),
+           |lvl1 AS (SELECT CAST(sum(cu) AS BIGINT) AS cut,
+           |    CAST(sum(CASE WHEN cu = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+           |    CAST(sum(CASE WHEN cu = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+           |    CAST(sum(CASE WHEN cu >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m3
+           |  FROM cu),
+           |scal AS (SELECT d3.*, d2.*, d1.*, vv.v, lvl1.cut,
+           |    (d11 * m1 + d12 * m2 + d13 * m3) / CAST(cut AS DOUBLE) AS g1
+           |  FROM d3, d2, d1, vv, lvl1),
+           |ctx3 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS t3,
+           |    CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+           |    CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+           |    CAST(sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+           |  FROM tg GROUP BY 1, 2),
+           |ctx2 AS (SELECT w2, CAST(sum(cc) AS BIGINT) AS t2,
+           |    CAST(sum(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+           |    CAST(sum(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS e2,
+           |    CAST(sum(CASE WHEN cc >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS e3
+           |  FROM cc2 GROUP BY 1),
+           |tf AS (SELECT doc_id, tg, CAST(count(*) AS BIGINT) AS tf,
+           |    split_part(tg, ' ', 1) AS w1, split_part(tg, ' ', 2) AS w2,
+           |    split_part(tg, ' ', 3) AS w3
+           |  FROM (SELECT doc_id, $tgs AS tg FROM base WHERE len(w) >= 3)
+           |  GROUP BY 1, 2),
+           |pp AS (SELECT t.doc_id, t.tf,
+           |    (CASE WHEN x3.t3 IS NOT NULL THEN
+           |        greatest(CAST(coalesce(g.c3, 0) AS DOUBLE) -
+           |          (CASE WHEN coalesce(g.c3, 0) >= 3 THEN s.d33
+           |                WHEN coalesce(g.c3, 0) = 2 THEN s.d32
+           |                WHEN coalesce(g.c3, 0) = 1 THEN s.d31
+           |                ELSE CAST(0.0 AS DOUBLE) END),
+           |          CAST(0.0 AS DOUBLE)) / CAST(x3.t3 AS DOUBLE)
+           |      ELSE CAST(0.0 AS DOUBLE) END) +
+           |    coalesce((s.d31 * x3.b1 + s.d32 * x3.b2 + s.d33 * x3.b3) /
+           |        CAST(x3.t3 AS DOUBLE), CAST(1.0 AS DOUBLE)) *
+           |    ((CASE WHEN x2.t2 IS NOT NULL THEN
+           |        greatest(CAST(coalesce(c.cc, 0) AS DOUBLE) -
+           |          (CASE WHEN coalesce(c.cc, 0) >= 3 THEN s.d23
+           |                WHEN coalesce(c.cc, 0) = 2 THEN s.d22
+           |                WHEN coalesce(c.cc, 0) = 1 THEN s.d21
+           |                ELSE CAST(0.0 AS DOUBLE) END),
+           |          CAST(0.0 AS DOUBLE)) / CAST(x2.t2 AS DOUBLE)
+           |      ELSE CAST(0.0 AS DOUBLE) END) +
+           |     coalesce((s.d21 * x2.e1 + s.d22 * x2.e2 + s.d23 * x2.e3) /
+           |         CAST(x2.t2 AS DOUBLE), CAST(1.0 AS DOUBLE)) *
+           |     (greatest(CAST(coalesce(u.cu, 0) AS DOUBLE) -
+           |          (CASE WHEN coalesce(u.cu, 0) >= 3 THEN s.d13
+           |                WHEN coalesce(u.cu, 0) = 2 THEN s.d12
+           |                WHEN coalesce(u.cu, 0) = 1 THEN s.d11
+           |                ELSE CAST(0.0 AS DOUBLE) END),
+           |          CAST(0.0 AS DOUBLE)) / CAST(s.cut AS DOUBLE) +
+           |      s.g1 / CAST(s.v AS DOUBLE))) AS p
+           |  FROM tf t
+           |  LEFT JOIN tg g USING (tg)
+           |  LEFT JOIN ctx3 x3 ON x3.w1 = t.w1 AND x3.w2 = t.w2
+           |  LEFT JOIN cc2 c ON c.w2 = t.w2 AND c.w3 = t.w3
+           |  LEFT JOIN ctx2 x2 ON x2.w2 = t.w2
+           |  LEFT JOIN cu u ON u.w3 = t.w3
+           |  CROSS JOIN scal s),
+           |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+           |    sum(CAST(tf AS DOUBLE) * ln(p)) / CAST(sum(tf) AS DOUBLE)
+           |      AS avg_logp
+           |  FROM pp GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           |  round(coalesce(sc.avg_logp, 0.0), 6) AS avg_logp
+           |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+           |LEFT JOIN sc USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      },
 
       // .vec round-trip: the oracle recomputes the vectors from nation
       // directly — every component is exactly representable in binary

@@ -1404,6 +1404,163 @@ object Corpus {
         round(coalesce(col("avg_logp"), lit(0.0)), 6).as("avg_logp"))
   }
 
+  /** Per-document average trigram log-probability under an
+    * interpolated MODIFIED KNESER–NEY 3-gram language model fit on
+    * `train` — the perplexity filter of the CCNet/RefinedWeb quality
+    * stack (Wenzek et al. 2020 pair a fastText classifier — q161's
+    * role here — with a KenLM n-gram model; Chen & Goodman 1999 §3 define
+    * the modified-KN estimator used here). Two Markov orders above
+    * [[unigramLogProb]], one above [[bigramLogProb]], and — unlike
+    * their add-one smoothing — the discount mass is ESTIMATED FROM THE
+    * CORPUS via counts-of-counts, with lower orders backed by
+    * continuation counts (how many distinct contexts a word follows),
+    * the property that makes KN the standard: frequent-but-context-
+    * bound words ("Francisco") stop inflating the backoff.
+    *
+    * Estimator, per level ℓ ∈ {3,2,1} with count table K_ℓ:
+    *   K_3 = raw trigram counts; K_2(w2w3) = |{w1 : K_3 > 0}|;
+    *   K_1(w3) = |{w2 : K_2 > 0}| (continuation counts).
+    *   Discounts (Chen–Goodman): Y = n1/(n1+2n2), D_1 = 1 − 2Y·n2/n1,
+    *   D_2 = 2 − 3Y·n3/n2, D_3+ = 3 − 4Y·n4/n3 over K_ℓ's
+    *   count-of-count bands n_k; a level whose bands are degenerate
+    *   (any n_k = 0 or any D_k ≤ 0 — where KenLM aborts) falls back to
+    *   flat absolute discounting D = Y, or D = 0.5 if n1 = 0, keeping
+    *   every discount strictly positive (deterministic, documented).
+    *   p_ℓ(w|ctx) = max(K−D(K),0)/K(ctx·) + γ_ℓ(ctx)·p_{ℓ−1}(w|ctx′)
+    *   γ_ℓ(ctx) = (D_1·N_1(ctx) + D_2·N_2(ctx) + D_3+·N_3+(ctx))/K(ctx·)
+    *   base case p_0 = 1/V (V = train unigram vocab). An UNSEEN
+    *   context contributes term 0 with γ = 1 (pure backoff), so no
+    *   probability is ever 0 and ln never blows up.
+    *   avg_logp = Σ tf·ln p / Σ tf over the doc's trigram stream;
+    *   documents with < 3 tokens score 0 with n_trigrams = 0.
+    *
+    * Shape: ONE trigram agg over train is the whole model — every
+    * other table (continuation bigrams/unigrams, per-context N-bands,
+    * count-of-count scalars) derives from it by narrow keyed aggs, so
+    * the expensive scan happens once ([[bpeTrainLocal]]'s one-scan
+    * discipline, but nothing collects: all tables stay distributed,
+    * observed-ngram-bounded). Discount constants ride in-plan as ONE
+    * broadcast 1-row frame; scoring joins the per-doc trigram tf
+    * table to the model tables on their n-gram keys (AQE broadcasts
+    * them at any corpus size where they fit; above that they are
+    * ordinary shuffled equi-joins on high-cardinality keys). All
+    * probabilities are ratios of exact integer counts and the three
+    * clamped discount doubles — identical IEEE expressions replay in
+    * the oracle. */
+  def knTrigramLogProb(train: DataFrame, score: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val w = (i: Int) => split(col("tg"), " ").getItem(i)
+    val tg = train
+      .select(explode(Dedup.ngramStreamFast(col(textCol).cast("string"), 3)).as("tg"))
+      .groupBy("tg").agg(count(lit(1)).as("c3"))
+      .select(col("tg"), col("c3"), w(0).as("w1"), w(1).as("w2"), w(2).as("w3"))
+      .localCheckpoint() // feeds bands, ctx stats, continuations, scoring
+    // continuation tables: tg rows are DISTINCT trigrams, so count(*)
+    // per (w2,w3) IS the distinct-left-extension count
+    val cc2 = tg.groupBy("w2", "w3").agg(count(lit(1)).as("cc"))
+      .localCheckpoint() // feeds its bands, ctx2, cu, scoring
+    val cu = cc2.groupBy("w3").agg(count(lit(1)).as("cu"))
+      .localCheckpoint() // feeds level-1 bands + totals, scoring
+    // Chen–Goodman discounts from count-of-count bands. The modified
+    // triple is VALID only when all four bands are nonzero and every
+    // D_k comes out positive (D_k ≤ k holds by construction; KenLM
+    // aborts outright on invalid bands — small or synthetic corpora
+    // with non-Zipfian count distributions hit this, and a discount
+    // clamped to 0 would zero the backoff mass and emit p = 0).
+    // Fallback: flat absolute discounting D = Y ∈ (0,1] (Ney et al.),
+    // and D = 0.5 when even n1 = 0 — every discount strictly
+    // positive, so gamma > 0 for any seen context and ln never sees 0.
+    def bands(df: DataFrame, cCol: String, p: String): DataFrame = {
+      val b = df.agg(
+        sum(when(col(cCol) === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col(cCol) === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col(cCol) === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col(cCol) === 4, 1L).otherwise(0L)).as("n4"))
+      val y = when(col("n1") + lit(2) * col("n2") > 0,
+        col("n1").cast("double") /
+          (col("n1") + lit(2) * col("n2")).cast("double")).otherwise(lit(0.0))
+      val d1m = when(col("n1") > 0, lit(1.0) -
+        lit(2.0) * y * col("n2").cast("double") / col("n1").cast("double"))
+      val d2m = when(col("n2") > 0, lit(2.0) -
+        lit(3.0) * y * col("n3").cast("double") / col("n2").cast("double"))
+      val d3m = when(col("n3") > 0, lit(3.0) -
+        lit(4.0) * y * col("n4").cast("double") / col("n3").cast("double"))
+      val valid = col("n1") > 0 && col("n2") > 0 && col("n3") > 0 &&
+        col("n4") > 0 && d1m > 0 && d2m > 0 && d3m > 0
+      val fb = when(col("n1") > 0, y).otherwise(lit(0.5))
+      b.select(
+        when(valid, d1m).otherwise(fb).as(p + "1"),
+        when(valid, d2m).otherwise(fb).as(p + "2"),
+        when(valid, d3m).otherwise(fb).as(p + "3"))
+    }
+    val vocab = train
+      .select(explode(tokens(col(textCol).cast("string"))).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val lvl1 = cu.agg(sum(col("cu")).as("cut"),
+      sum(when(col("cu") === 1, 1L).otherwise(0L)).as("m1"),
+      sum(when(col("cu") === 2, 1L).otherwise(0L)).as("m2"),
+      sum(when(col("cu") >= 3, 1L).otherwise(0L)).as("m3"))
+    val scal = bands(tg, "c3", "d3").crossJoin(bands(cc2, "cc", "d2"))
+      .crossJoin(bands(cu, "cu", "d1")).crossJoin(vocab).crossJoin(lvl1)
+      .withColumn("g1",
+        (col("d11") * col("m1") + col("d12") * col("m2") +
+          col("d13") * col("m3")) / col("cut").cast("double"))
+    val ctx3 = tg.groupBy("w1", "w2").agg(sum(col("c3")).as("t3"),
+      sum(when(col("c3") === 1, 1L).otherwise(0L)).as("b1"),
+      sum(when(col("c3") === 2, 1L).otherwise(0L)).as("b2"),
+      sum(when(col("c3") >= 3, 1L).otherwise(0L)).as("b3"))
+    val ctx2 = cc2.groupBy("w2").agg(sum(col("cc")).as("t2"),
+      sum(when(col("cc") === 1, 1L).otherwise(0L)).as("e1"),
+      sum(when(col("cc") === 2, 1L).otherwise(0L)).as("e2"),
+      sum(when(col("cc") >= 3, 1L).otherwise(0L)).as("e3"))
+    val tf = score
+      .select(col(idCol).as("id"),
+        explode(Dedup.ngramStreamFast(col(textCol).cast("string"), 3)).as("tg"))
+      .groupBy("id", "tg").agg(count(lit(1)).as("tf"))
+      .select(col("id"), col("tg"), col("tf"),
+        w(0).as("w1"), w(1).as("w2"), w(2).as("w3"))
+    def disc(c: Column, k1: Column, k2: Column, k3: Column): Column =
+      when(c >= 3, k3).when(c === 2, k2).when(c === 1, k1).otherwise(lit(0.0))
+    val c3v = coalesce(col("c3"), lit(0L))
+    val term3 = when(col("t3").isNotNull,
+      greatest(c3v.cast("double") -
+        disc(c3v, col("d31"), col("d32"), col("d33")), lit(0.0)) /
+        col("t3").cast("double")).otherwise(lit(0.0))
+    val g3 = coalesce(
+      (col("d31") * col("b1") + col("d32") * col("b2") +
+        col("d33") * col("b3")) / col("t3").cast("double"), lit(1.0))
+    val ccv = coalesce(col("cc"), lit(0L))
+    val term2 = when(col("t2").isNotNull,
+      greatest(ccv.cast("double") -
+        disc(ccv, col("d21"), col("d22"), col("d23")), lit(0.0)) /
+        col("t2").cast("double")).otherwise(lit(0.0))
+    val g2 = coalesce(
+      (col("d21") * col("e1") + col("d22") * col("e2") +
+        col("d23") * col("e3")) / col("t2").cast("double"), lit(1.0))
+    val cuv = coalesce(col("cu"), lit(0L))
+    val term1 = greatest(cuv.cast("double") -
+      disc(cuv, col("d11"), col("d12"), col("d13")), lit(0.0)) /
+      col("cut").cast("double")
+    val p1 = term1 + col("g1") / col("v").cast("double")
+    val p = term3 + g3 * (term2 + g2 * p1)
+    val scored = tf
+      .join(tg.select("tg", "c3"), Seq("tg"), "left")
+      .join(ctx3, Seq("w1", "w2"), "left")
+      .join(cc2, Seq("w2", "w3"), "left")
+      .join(ctx2, Seq("w2"), "left")
+      .join(cu, Seq("w3"), "left")
+      .crossJoin(broadcast(scal))
+      .groupBy("id").agg(
+        sum(col("tf")).as("n_trigrams"),
+        (sum(col("tf").cast("double") * log(p)) /
+          sum(col("tf")).cast("double")).as("avg_logp"))
+    score.select(col(idCol).as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        round(coalesce(col("avg_logp"), lit(0.0)), 6).as("avg_logp"))
+  }
+
   /** DSIR-style importance weights for domain-targeted data selection
     * (Xie et al. 2023, "Data Selection for Language Models via
     * Importance Resampling"): score every document by the average

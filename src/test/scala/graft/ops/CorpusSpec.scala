@@ -503,6 +503,54 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(got.getDouble(2) - math.log(0.5)) < 1e-6)
   }
 
+  test("knTrigramLogProb: hand-computed modified-KN on a tiny corpus, " +
+      "fallback discounts, backoff chain, short docs") {
+    // train: "a b a b a c" → trigrams "a b a"×2, "b a b", "b a c"
+    // level-3 bands (2,1,0,0) → invalid → flat D = Y = 2/(2+2) = 0.5
+    // cc2: (b,a)=1 (a,b)=1 (a,c)=1 → bands (3,0,0,0) → D = Y = 1.0
+    // cu: a=1 b=1 c=1 → D = 1.0; cut=3, g1 = 3/3 = 1; V = 3
+    // → p1 = 0 + 1/3 for EVERY word; γ2 = 1 everywhere → p2 chain
+    //   collapses: p2 = term2 + 1/3 with term2 = (cc−1)/t2 = 0
+    // ctx3: (a,b): t3=2 b2=1 → γ3 = 0.5/2 = 0.25
+    //        (b,a): t3=2 b1=2 → γ3 = (0.5·2)/2 = 0.5
+    // p("a b a") = (2−0.5)/2 + 0.25/3 = 5/6
+    // p("b a b") = p("b a c") = (1−0.5)/2 + 0.5/3 = 5/12
+    val train = Seq((2L, "a b a b a c")).toDF("id", "text")
+    val score = Seq(
+      (2L, "a b a b a c"),   // all-seen doc: avg = (ln(5/6)+ln(5/12))/2
+      (3L, "c c b a b"),     // unseen ctx (c,c),(c,b) → pure backoff 1/3
+      (5L, "a b")).toDF("id", "text") // <3 tokens → 0 trigrams
+    val got = Corpus.knTrigramLogProb(train, score, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def rnd6(x: Double) = math.round(x * 1e6) / 1e6
+    val seen = (2 * math.log(5.0 / 6) + 2 * math.log(5.0 / 12)) / 4
+    assert(got(2L) === ((4L, rnd6(seen))))
+    // doc 3: (c,c,b) ctx unseen → γ3=1 → p2(b|c): (c,b) unseen, ctx2(c)
+    // unseen → γ2=1 → p = 1/3; (c,b,a) same 1/3; (b,a,b) seen 5/12
+    val back = (2 * math.log(1.0 / 3) + math.log(5.0 / 12)) / 3
+    assert(got(3L) === ((3L, rnd6(back))))
+    assert(got(5L) === ((0L, 0.0)))
+  }
+
+  test("knTrigramLogProb: valid Chen-Goodman bands take the modified " +
+      "discounts; every probability stays positive") {
+    // Zipf-ish corpus engineered so trigram bands n1..n4 are all >0 and
+    // the modified discounts are positive → the non-fallback path runs.
+    val reps = Seq.fill(1)("p q r") ++ Seq.fill(2)("s t u") ++
+      Seq.fill(3)("v w x") ++ Seq.fill(4)("y z a") ++ Seq.fill(5)("b c d")
+    val train = reps.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    // bands over trigram counts {1,2,3,4,5}: n1=n2=n3=n4=1, Y=1/3,
+    // D1 = 1−2/3 = 1/3 > 0, D2 = 2−1 = 1 > 0, D3 = 3−4/3 = 5/3 > 0
+    val score = Seq((100L, "p q r"), (101L, "q p r")).toDF("id", "text")
+    val got = Corpus.knTrigramLogProb(train, score, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // seen singleton trigram: term3 = (1 − 1/3)/1 discounted but > 0;
+    // unseen context: pure backoff — both finite and negative
+    assert(got(100L) > got(101L))
+    assert(got.values.forall(v => !v.isNaN && !v.isInfinite && v < 0))
+  }
+
   test("fimSplit: PSM reassembles the original; passthrough unchanged") {
     val docs = Seq((1L, "abcdefghij"), (2L, "kl"), (3L, ""), (4L, "x"))
       .toDF("id", "t")
