@@ -1849,6 +1849,29 @@ object SparkEntry {
       Corpus.bpeEncode(docs, "text", merges.toSeq).orderBy("w")
     }),
 
+    // --- BYTE-level BPE training (GPT-2/tiktoken base alphabet, r12
+    // verdict #4): whitespace words, UTF-8 bytes as hex symbols, so
+    // nothing is ever OOV and merges cross multibyte boundaries. The
+    // fixture text is ASCII, so e→é is injected identically in both
+    // engines to make the multibyte path real: é's two bytes (c3 a9)
+    // appear in every affected word and must coalesce via merges ---
+    "q224_bpe_bytes_train" -> ((s, d) =>
+      Corpus.bpeTrainBytesLocal(
+        t(s, d, "documents").withColumn("text",
+          regexp_replace(col("text"), "e", "\u00e9")),
+        "text", nMerges = 10).orderBy("merge_rank")),
+
+    // --- byte-level encode with the trained table: the corpus
+    // vocabulary segmented to hex-byte pieces in merge-rank order ---
+    "q225_bpe_bytes_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("text",
+        regexp_replace(col("text"), "e", "\u00e9"))
+      val merges = Corpus.bpeTrainBytesLocal(docs, "text", nMerges = 10)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      Corpus.bpeEncodeBytes(docs, "text", merges.toSeq)
+    }),
+
     // --- unigram-LM tokenizer trainer (Kudo 2018 — the OTHER trainer
     // modern LLM pipelines use beside BPE): Viterbi hard-EM over a
     // seeded fixed vocabulary with the exact-integer log table, so
@@ -5239,6 +5262,31 @@ object SparkEntry {
            |  CAST(len(string_split(trim(st, '><'), '><')) AS BIGINT) AS n_pieces
            |FROM v10 ORDER BY w""".stripMargin,
 
+      // Byte-level BPE train replay: identical merge-stage algebra on
+      // hex-byte symbols over the e→é-injected whitespace vocabulary.
+      "q224_bpe_bytes_train" -> {
+        val rows = (1 to 10).map { r =>
+          s"""SELECT $r AS merge_rank,
+             |  string_split(trim(pair, '><'), '><')[1] AS lhs,
+             |  string_split(trim(pair, '><'), '><')[2] AS rhs,
+             |  replace(trim(pair, '><'), '><', '') AS merged, cnt
+             |FROM b$r""".stripMargin
+        }
+        s"""WITH ${bpeBytesStagesSql(10)}
+           |SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs, merged, cnt
+           |FROM (${rows.mkString("\n", "\nUNION ALL\n", "\n")})
+           |ORDER BY merge_rank""".stripMargin
+      },
+
+      // Byte-level encode replay: round-10 state read off as hex
+      // pieces.
+      "q225_bpe_bytes_encode" ->
+        s"""WITH ${bpeBytesStagesSql(10)}
+           |SELECT w, freq,
+           |  replace(trim(st, '><'), '><', ' ') AS pieces,
+           |  CAST(len(string_split(trim(st, '><'), '><')) AS BIGINT) AS n_pieces
+           |FROM v10 ORDER BY w""".stripMargin,
+
       // Krippendorff replay: same three-rater simulation, coincidence
       // identities in exact integers (lcm-cleared D_o numerator,
       // integer D_e), alpha from the two unrounded double ratios.
@@ -7847,6 +7895,29 @@ object SparkEntry {
          |  FROM (SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
          |        FROM (SELECT unnest($toks) AS tok FROM documents)
          |        GROUP BY 1))""".stripMargin
+    bpeStageChain(init, n)
+  }
+
+  /** Byte-level variant of [[bpeStagesSql]]: whitespace words of the
+    * e→é-injected documents text, symbols = lowercase hex byte pairs
+    * (graft.ops.Corpus.bpeTrainBytesLocal's published form). The merge
+    * stages are IDENTICAL — the pair/replace algebra never looks
+    * inside a symbol. */
+  private def bpeBytesStagesSql(n: Int): String = {
+    val words = "list_filter(regexp_split_to_array(" +
+      "regexp_replace(text, 'e', chr(233), 'g'), '\\s+'), x -> x <> '')"
+    val init =
+      s"""v0 AS (
+         |  SELECT w, freq,
+         |    regexp_replace(lower(hex(w)), '([0-9a-f]{2})', '<\\1>', 'g') AS st
+         |  FROM (SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
+         |        FROM (SELECT unnest($words) AS tok
+         |              FROM documents WHERE text IS NOT NULL)
+         |        GROUP BY 1))""".stripMargin
+    bpeStageChain(init, n)
+  }
+
+  private def bpeStageChain(init: String, n: Int): String = {
     val stages = (1 to n).map { r =>
       s"""px$r AS (SELECT freq, s, unnest(range(len(s) - 1)) AS i
          |  FROM (SELECT freq, string_split(trim(st, '><'), '><') AS s

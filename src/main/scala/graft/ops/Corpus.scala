@@ -336,11 +336,22 @@ object Corpus {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), col("w")).limit(vocabCap)
       .as[(String, Long)].collect()
+    bpeMergeLoop(vocab.map(_._1.split("").filter(_.nonEmpty)),
+        vocab.map(_._2), nMerges)
+      .toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
+  }
 
-    // word state: symbol arrays; pair bookkeeping
-    val words: Array[Array[String]] =
-      vocab.map(_._1.split("").filter(_.nonEmpty))
-    val freqs: Array[Long] = vocab.map(_._2)
+  /** The driver-local delta-recount merge loop shared by
+    * [[bpeTrainLocal]] (char symbols) and [[bpeTrainBytesLocal]] (hex
+    * byte symbols): lazy max-heap over pair counts + inverted index
+    * pair → words containing it; each round touches only the words
+    * containing the merged pair. Tie-break: count desc, then the
+    * marker-delimited pair string `<l><r>` ascending. */
+  private def bpeMergeLoop(wordSyms: Array[Array[String]],
+                           wordFreqs: Array[Long], nMerges: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    val words: Array[Array[String]] = wordSyms
+    val freqs: Array[Long] = wordFreqs
     type Pair = (String, String)
     def pairStr(p: Pair): String = s"<${p._1}><${p._2}>"
     val counts = scala.collection.mutable.HashMap.empty[Pair, Long]
@@ -422,7 +433,74 @@ object Corpus {
           r += 1
       }
     }
-    merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
+    merges.result()
+  }
+
+  /** Byte-level BPE trainer (the GPT-2 / tiktoken-family base
+    * representation): words are WHITESPACE-split — case, punctuation,
+    * and non-ASCII survive, unlike [[tokens]]' `[a-z]` stream — and
+    * each word becomes its UTF-8 byte sequence with a 256-symbol base
+    * alphabet, so NOTHING is ever out-of-vocabulary: any string in
+    * any script decomposes to bytes. Merges then run exactly as in
+    * [[bpeTrainLocal]] (same [[bpeMergeLoop]], same count-desc /
+    * pair-asc tie-break), so a merge can span UTF-8 continuation
+    * bytes and multibyte characters coalesce like any other pair.
+    *
+    * Symbols are published as 2-hex-digit-per-byte lowercase strings
+    * ("c3a9" = é) rather than raw bytes: hex is pure ASCII, so JVM
+    * string order = DuckDB byte order and the oracle replay is exact
+    * for ARBITRARY input text — the vocabulary-cap and tie-break
+    * orderings compare hex strings, never raw multibyte words (the
+    * UTF-16-vs-UTF-8 collation trap the unigram trainer documents).
+    *
+    * Scale shape: identical to [[bpeTrainLocal]] — ONE distributed
+    * scan collapses the corpus to (word, freq); the merge loop is
+    * driver-local with delta recounts. */
+  def bpeTrainBytesLocal(df: DataFrame, textCol: String, nMerges: Int,
+                         vocabCap: Int = 2000000): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab: Array[(String, Long)] = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(filter(split(col(textCol).cast("string"), "\\s+"),
+        t => length(t) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("hx", lower(hex(encode(col("w"), "UTF-8"))))
+      .orderBy(desc("freq"), col("hx"))
+      .limit(vocabCap)
+      .select("hx", "freq")
+      .as[(String, Long)].collect()
+    bpeMergeLoop(vocab.map(_._1.grouped(2).toArray), vocab.map(_._2),
+        nMerges)
+      .toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** Byte-level BPE ENCODE with a [[bpeTrainBytesLocal]] merge table:
+    * the corpus vocabulary (whitespace words) in hex-byte form, merges
+    * applied in rank order as a replace-chain projection (the
+    * [[bpeEncode]] algebra on hex symbols). Returns (w, freq, pieces,
+    * n_pieces) with pieces space-joined lowercase hex. */
+  def bpeEncodeBytes(df: DataFrame, textCol: String,
+                     mergeTable: Seq[(String, String)]): DataFrame = {
+    val vocab = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(filter(split(col(textCol).cast("string"), "\\s+"),
+        t => length(t) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("st", regexp_replace(
+        lower(hex(encode(col("w"), "UTF-8"))),
+        "([0-9a-f]{2})", "<$1>"))
+    val encoded = mergeTable.foldLeft(vocab) { case (acc, (l, rgt)) =>
+      acc.withColumn("st", org.apache.spark.sql.functions.replace(
+        col("st"), lit(s"<$l><$rgt>"), lit(s"<$l$rgt>")))
+    }
+    encoded
+      .withColumn("pieces",
+        org.apache.spark.sql.functions.replace(
+          expr("btrim(st, '><')"), lit("><"), lit(" ")))
+      .withColumn("n_pieces", size(split(col("pieces"), " ")).cast("long"))
+      .select(col("w"), col("freq"), col("pieces"), col("n_pieces"))
   }
 
   /** Reverse-ordering wrapper so the max-heap's secondary key is the

@@ -503,6 +503,32 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(got.getDouble(2) - math.log(0.5)) < 1e-6)
   }
 
+  test("bpeTrainBytesLocal: hand-computed byte merges across UTF-8 " +
+      "boundaries; encode leaves nothing OOV") {
+    // "héé"×2 + "aa": héé = 68 c3 a9 c3 a9 — (c3,a9) counts 4 (twice
+    // per word), then (68,c3a9) ties (c3a9,c3a9) at 2 and wins on
+    // pair-string asc, then the collapsed word, then aa's (61,61).
+    val docs = Seq((1L, "héé héé aa")).toDF("id", "text")
+    val got = Corpus.bpeTrainBytesLocal(docs, "text", nMerges = 10)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got === Array(
+      (1, "c3", "a9", "c3a9", 4L),
+      (2, "68", "c3a9", "68c3a9", 2L),
+      (3, "68c3a9", "c3a9", "68c3a9c3a9", 2L),
+      (4, "61", "61", "6161", 1L))) // then exhausted: 4 rows, not 10
+    val table = got.map(m => (m._2, m._3)).toSeq
+    // trained words collapse to single pieces; an UNSEEN word with a
+    // partially-covered byte mix still encodes (byte base = no OOV)
+    val enc = Corpus.bpeEncodeBytes(
+        Seq((1L, "héé éz")).toDF("id", "text"),
+        "text", table)
+      .collect().map(r => r.getString(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(enc("héé") === (("68c3a9c3a9", 1L)))
+    assert(enc("éz") === (("c3a9 7a", 2L))) // merge 1 applies, z stays a raw byte
+  }
+
   test("knTrigramLogProb: hand-computed modified-KN on a tiny corpus, " +
       "fallback discounts, backoff chain, short docs") {
     // train: "a b a b a c" → trigrams "a b a"×2, "b a b", "b a c"
