@@ -1872,6 +1872,27 @@ object SparkEntry {
       Corpus.bpeEncodeBytes(docs, "text", merges.toSeq)
     }),
 
+    // --- Bradley-Terry preference aggregation (r12 verdict #6): a
+    // 7-item round-robin derived from orders — matchup (key%7 vs
+    // (key DIV 7)%7), higher index wins except every 4th order
+    // (upsets) — 20 integer-exact MM rounds recover the monotone
+    // strength ladder. Complements kappa/alpha: agreement vs WHICH
+    // item wins and by how much ---
+    "q226_bradley_terry" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderkey").isNotNull)
+        .select((col("o_orderkey") % 7).as("a"),
+          (expr("o_orderkey DIV 7") % 7).as("b"),
+          (col("o_orderkey") % 4 === 0).as("up"))
+        .filter(col("a") =!= col("b"))
+        .select(
+          when(col("up"), least(col("a"), col("b")))
+            .otherwise(greatest(col("a"), col("b"))).as("winner"),
+          when(col("up"), greatest(col("a"), col("b")))
+            .otherwise(least(col("a"), col("b"))).as("loser"))
+      Drift.bradleyTerry(o, "winner", "loser", iterations = 20)
+        .orderBy("item")
+    }),
+
     // --- unigram-LM tokenizer trainer (Kudo 2018 — the OTHER trainer
     // modern LLM pipelines use beside BPE): Viterbi hard-EM over a
     // seeded fixed vocabulary with the exact-integer log table, so
@@ -5329,6 +5350,63 @@ object SparkEntry {
           |    CAST(CAST(n AS DECIMAL(38,0)) * n - ncsq AS DOUBLE) /
           |      CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE) AS de0
           |  FROM tot, don, nu)""".stripMargin,
+
+      // Bradley-Terry replay: the same 20 integer-exact MM rounds
+      // unrolled as CTE stages — HUGEINT carries the multiplies, //
+      // is the same positive floor division, so every P_i replays
+      // bit-for-bit and the one double op (final normalize) rounds
+      // from identical integers.
+      "q226_bradley_terry" -> {
+        val rounds = (1 to 20).map { r =>
+          s"""s$r AS MATERIALIZED (SELECT e.id,
+             |    sum(CAST(nij AS HUGEINT) * 1000000000000000 //
+             |        (pi.p + pj.p)) AS s
+             |  FROM edges e
+             |  JOIN p${r - 1} pi ON pi.id = e.id
+             |  JOIN p${r - 1} pj ON pj.id = e.opp
+             |  GROUP BY 1),
+             |u$r AS MATERIALIZED (SELECT i.id,
+             |    coalesce(CAST(wi AS HUGEINT) * 1000000000000000 // s.s,
+             |      CAST(0 AS HUGEINT)) AS p1
+             |  FROM items i LEFT JOIN s$r s USING (id)),
+             |p$r AS MATERIALIZED (SELECT id,
+             |    greatest(CAST(p1 AS HUGEINT) * (SELECT n FROM nn) *
+             |        1000000 // (SELECT sum(p1) FROM u$r),
+             |      CAST(1000 AS HUGEINT)) AS p
+             |  FROM u$r)""".stripMargin
+        }
+        s"""WITH mt AS MATERIALIZED (
+           |  SELECT CAST(CASE WHEN up THEN least(a, b)
+           |              ELSE greatest(a, b) END AS VARCHAR) AS w,
+           |         CAST(CASE WHEN up THEN greatest(a, b)
+           |              ELSE least(a, b) END AS VARCHAR) AS l
+           |  FROM (SELECT o_orderkey % 7 AS a, (o_orderkey // 7) % 7 AS b,
+           |          o_orderkey % 4 = 0 AS up
+           |        FROM orders WHERE o_orderkey IS NOT NULL)
+           |  WHERE a <> b),
+           |pairs AS MATERIALIZED (
+           |  SELECT least(w, l) AS i, greatest(w, l) AS j,
+           |    CAST(count(*) AS BIGINT) AS nij
+           |  FROM mt GROUP BY 1, 2),
+           |edges AS MATERIALIZED (
+           |  SELECT i AS id, j AS opp, nij FROM pairs
+           |  UNION ALL SELECT j, i, nij FROM pairs),
+           |wins AS (SELECT w AS id, CAST(count(*) AS BIGINT) AS wi
+           |  FROM mt GROUP BY 1),
+           |itm0 AS (SELECT id, CAST(sum(nij) AS BIGINT) AS ni
+           |  FROM edges GROUP BY 1),
+           |items AS MATERIALIZED (
+           |  SELECT itm0.id, CAST(coalesce(wi, 0) AS BIGINT) AS wi, ni
+           |  FROM itm0 LEFT JOIN wins USING (id)),
+           |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM items),
+           |p0 AS (SELECT id, CAST(1000000 AS HUGEINT) AS p FROM items),
+           |${rounds.mkString(",\n")}
+           |SELECT i.id AS item, wi AS wins, ni AS n_matches,
+           |  round(CAST(p AS DOUBLE) /
+           |    (SELECT CAST(sum(p) AS DOUBLE) FROM p20), 6) AS strength
+           |FROM items i JOIN p20 USING (id)
+           |ORDER BY item""".stripMargin
+      },
 
       // Unigram-LM trainer replay: two full Viterbi-EM passes as
       // staged CTEs; the published vocabulary carries the final counts

@@ -642,4 +642,95 @@ object Drift {
         round(when(col("__de") > 0.0,
           lit(1.0) - col("__do") / col("__de")), 6).as("alpha"))
   }
+
+  /** Bradley–Terry preference-strength aggregation — the pairwise-
+    * comparison → per-item strength fit of reward-model / RLHF data QA
+    * (Bradley & Terry 1952; the model beneath most "chatbot arena"
+    * rankings): P(i beats j) = π_i/(π_i+π_j), fit by Hunter 2004's MM
+    * iteration π_i ← W_i / Σ_j n_ij/(π_i+π_j) with W_i = i's total
+    * wins and n_ij = matches between i and j. Complements
+    * [[cohenKappa]]/[[krippendorffAlpha]] (agreement says raters are
+    * consistent; BT says WHICH item they prefer and by how much).
+    *
+    * Exactness discipline (beyond q83's fixed-point contributions):
+    * the loop is INTEGER-ONLY. π rides as P = ⌊π·10⁶⌋; each MM round
+    * is three exact integer steps — T_ij = (n_ij·10¹⁵) div (P_i+P_j),
+    * S_i = Σ_j T_ij (exact, order-free), P_i′ = (W_i·10¹⁵) div S_i —
+    * then a mean-1 renormalize P″ = (P′·N·10⁶) div ΣP′ and the
+    * strength floor P ≥ 10³ (ε = 10⁻³: regularizes zero-win items and
+    * bounds every divisor away from 0). No double appears inside the
+    * loop, so there is NO float-summation-order or float→decimal
+    * conversion surface anywhere (doubles above 2⁵³ convert to
+    * DECIMAL by shortest-repr on the JVM but by exact binary value in
+    * DuckDB — measured, this is why fixed-pointing the double like
+    * pageRank does would NOT replay here); multiplications ride
+    * DECIMAL(38,0) and the div results land in LONG (T_ij bound:
+    * n_ij ≤ 1.8·10⁷ even with BOTH strengths at the ε floor, ~10³×
+    * any real per-pair annotation volume). The published strength is
+    * the single double op P_i/ΣP, rounded 6dp.
+    *
+    * Shape: one groupBy builds the unordered pair table (map-side
+    * combinable, pair-type-bounded); each round is one keyed join of
+    * the symmetric edge view against the N-row strength frame + one
+    * groupBy(id) — [[graft.ops.Graph.pageRank]]'s iteration shape,
+    * lineage cut on the same cadence. Ties/self-matches are dropped;
+    * a winner always exists per row, so every playing pair has a
+    * positive-strength member and divisors stay positive even before
+    * the ε floor. Returns (item, wins, n_matches, strength). */
+  def bradleyTerry(matches: DataFrame, winnerCol: String,
+                   loserCol: String, iterations: Int = 20,
+                   checkpointEvery: Int = 4): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val m = matches
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull)
+      .select(col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"))
+      .filter(col("w") =!= col("l"))
+    val pairs = m.groupBy(least(col("w"), col("l")).as("i"),
+        greatest(col("w"), col("l")).as("j"))
+      .agg(count(lit(1)).as("nij"))
+    // symmetric edge view (id, opp, nij) — reused every round
+    val edges = pairs
+      .select(col("i").as("id"), col("j").as("opp"), col("nij"))
+      .unionByName(pairs
+        .select(col("j").as("id"), col("i").as("opp"), col("nij")))
+      .transform(Checkpoints.cut)
+    val wins = m.groupBy(col("w").as("id")).agg(count(lit(1)).as("wi"))
+    val items = edges.groupBy("id").agg(sum(col("nij")).as("ni"))
+      .join(wins, Seq("id"), "left")
+      .select(col("id"), coalesce(col("wi"), lit(0L)).as("wi"), col("ni"))
+      .transform(Checkpoints.cut)
+    val nItems = items.count()
+    var pi = items.select(col("id"), lit(1000000L).as("p"))
+    for (it <- 1 to iterations) {
+      val s = edges
+        .join(pi.select(col("id").as("opp"), col("p").as("pj")), Seq("opp"))
+        .join(pi, Seq("id"))
+        .groupBy("id")
+        .agg(sum(expr("CAST(nij AS DECIMAL(38,0)) * 1000000000000000 " +
+          "DIV (p + pj)").cast("decimal(38,0)")).as("s"))
+      val upd = items.join(s, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(expr("CAST(wi AS DECIMAL(38,0)) * 1000000000000000 " +
+            "DIV s"), lit(0L)).as("p1"))
+      val tot = upd.agg(sum(col("p1")).as("t"))
+      val next = upd.crossJoin(broadcast(tot))
+        .select(col("id"),
+          greatest(expr(s"CAST(p1 AS DECIMAL(38,0)) * ${nItems * 1000000L} " +
+            "DIV t"), lit(1000L)).as("p"))
+      pi =
+        if (it % checkpointEvery == 0 || it == iterations)
+          next.transform(Checkpoints.cut)
+        else next
+    }
+    val fin = pi.agg(sum(col("p")).as("pt"))
+    items.join(pi, Seq("id"))
+      .crossJoin(broadcast(fin))
+      .select(col("id").as("item"), col("wi").as("wins"),
+        col("ni").as("n_matches"),
+        round(col("p").cast("double") / col("pt").cast("double"), 6)
+          .as("strength"))
+  }
 }

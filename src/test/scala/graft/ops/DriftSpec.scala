@@ -485,4 +485,57 @@ class DriftSpec extends SparkSpec {
     assert((got.getLong(0), got.getLong(1)) === (pos.size.toLong, neg.size.toLong))
     assert(got.getDouble(2) === want)
   }
+
+  test("bradleyTerry: hand-solved 3-item tournament, one exact MM round") {
+    // a beats b twice, b beats c once, c beats a once. From P = 10^6:
+    // S_a = 2e15 div 2e6 + 1e15 div 2e6 = 1.5e9 -> P_a' = 2e15 div 1.5e9
+    //     = 1333333; P_b' = 666666; P_c' = 1e15 div 1e9 = 1000000.
+    // Renormalize (t = 2999999, N = 3): floors leave P unchanged.
+    // strengths: 1333333/2999999, 666666/2999999, 1000000/2999999.
+    val m = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("c", "a"))
+      .toDF("win", "lose")
+    val one = Drift.bradleyTerry(m, "win", "lose", iterations = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(one("a") === ((2L, 3L, 0.444444)))
+    assert(one("b") === ((1L, 3L, 0.222222)))
+    assert(one("c") === ((1L, 2L, 0.333333)))
+  }
+
+  test("bradleyTerry: 20 rounds converge to the double MM fit; " +
+      "ties/self-matches dropped; zero-win item floors at epsilon") {
+    val m = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("c", "a"),
+      ("a", "a")).toDF("win", "lose") // self-match dropped
+    val got = Drift.bradleyTerry(m, "win", "lose", iterations = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // driver-side double MM reference (same mean-1 renormalize, no
+    // quantization): strengths must agree to ~1e-4 after 20 rounds
+    val n = Map(("a", "b") -> 2.0, ("b", "c") -> 1.0, ("a", "c") -> 1.0)
+    def nij(x: String, y: String) =
+      n.getOrElse((x, y), n.getOrElse((y, x), 0.0))
+    val w = Map("a" -> 2.0, "b" -> 1.0, "c" -> 1.0)
+    var pi = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    for (_ <- 1 to 20) {
+      val nxt = Seq("a", "b", "c").map { i =>
+        val s = Seq("a", "b", "c").filter(_ != i)
+          .map(j => nij(i, j) / (pi(i) + pi(j))).sum
+        i -> w(i) / s
+      }.toMap
+      val t = nxt.values.sum
+      pi = nxt.map { case (k, v) => k -> v * 3 / t }
+    }
+    val t = pi.values.sum
+    val ref = pi.map { case (k, v) => k -> v / t }
+    Seq("a", "b", "c").foreach { k =>
+      assert(math.abs(got(k) - ref(k)) < 1e-4, s"$k: ${got(k)} vs ${ref(k)}")
+    }
+    assert(got("a") > got("c") && got("c") > got("b"))
+
+    // an item that never wins gets the epsilon floor, not 0/NaN
+    val z = Seq(("a", "z"), ("a", "z"), ("z", "b") /* z wins once */,
+      ("a", "b")).toDF("win", "lose")
+    val gz = Drift.bradleyTerry(z, "win", "lose", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(gz("b") > 0.0 && gz("b") < gz("z") && gz("z") < gz("a"))
+  }
 }
