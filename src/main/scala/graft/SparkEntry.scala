@@ -1872,6 +1872,29 @@ object SparkEntry {
       Corpus.bpeEncodeBytes(docs, "text", merges.toSeq)
     }),
 
+    // --- HTML main-content extraction (r12 verdict #7): documents
+    // wrapped in a nav-header / share-bar / copyright-footer page
+    // shell — identical construction in both engines — then block-
+    // split and scored with jusText's signals as integer gates. The
+    // article block survives; every boilerplate block fails length,
+    // link-density, or the stopword gate ---
+    "q227_html_main_content" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+      val html = docs.select(col("doc_id"), concat(
+        lit("<header><ul><li><a href=\"/\">Home</a></li>" +
+          "<li><a href=\"/about\">About Us</a></li>" +
+          "<li><a href=\"/contact\">Contact</a></li></ul></header>" +
+          "<article><p>"),
+        coalesce(col("text"), lit("")),
+        lit("</p></article><div>Share this page: <a href=\"#\">Tweet</a>" +
+          " <a href=\"#\">Like</a></div>" +
+          "<footer>Copyright 2024 Example Corp - All rights reserved" +
+          "</footer>")).as("html"))
+      TextAnalysis.htmlMainContent(html, "doc_id", "html")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // --- Bradley-Terry preference aggregation (r12 verdict #6): a
     // 7-item round-robin derived from orders — matchup (key%7 vs
     // (key DIV 7)%7), higher index wins except every 4th order
@@ -5350,6 +5373,55 @@ object SparkEntry {
           |    CAST(CAST(n AS DECIMAL(38,0)) * n - ncsq AS DOUBLE) /
           |      CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE) AS de0
           |  FROM tot, don, nu)""".stripMargin,
+
+      // HTML main-content replay: same page shell, same block split,
+      // same per-block integer gates (length / 3x link density / >= 1
+      // stopword over TextAnalysis.tokens' alnum token stream).
+      "q227_html_main_content" -> {
+        val shellPre = "<header><ul><li><a href=\"/\">Home</a></li>" +
+          "<li><a href=\"/about\">About Us</a></li>" +
+          "<li><a href=\"/contact\">Contact</a></li></ul></header>" +
+          "<article><p>"
+        val shellPost = "</p></article><div>Share this page: " +
+          "<a href=\"#\">Tweet</a> <a href=\"#\">Like</a></div>" +
+          "<footer>Copyright 2024 Example Corp - All rights reserved" +
+          "</footer>"
+        val blockTag = "(?i)</?(?:div|p|ul|ol|li|nav|footer|header|" +
+          "aside|section|article|table|thead|tbody|tr|td|th|h[1-6]|" +
+          "blockquote|form|main|br)[^>]*>"
+        val clean = (x: String) =>
+          s"trim(regexp_replace(regexp_replace($x, '<[^>]*>', ' ', 'g'), " +
+            "'\\s+', ' ', 'g'))"
+        val toks = (x: String) =>
+          s"list_filter(regexp_split_to_array(lower($x), '[^a-z0-9]+'), " +
+            "t -> t <> '')"
+        val stopList =
+          "['the','a','and','of','to','in','is','it','you','that']"
+        s"""WITH src AS (
+           |  SELECT doc_id, '$shellPre' || coalesce(text, '') ||
+           |    '$shellPost' AS html
+           |  FROM documents WHERE doc_id IS NOT NULL),
+           |blk AS (SELECT doc_id,
+           |    list_filter(list_transform(
+           |      regexp_split_to_array(html, '$blockTag'),
+           |      x -> struct_pack(
+           |        txt := ${clean("x")},
+           |        n := length(${clean("x")}),
+           |        ln := coalesce(length(${clean(
+          "array_to_string(regexp_extract_all(x, '(?is)<a[^>]*>(.*?)</a>', 1), ' ')")}), 0),
+           |        sw := len(list_filter(${toks(clean("x"))},
+           |          t -> list_contains($stopList, t))))),
+           |      s -> s.n > 0) AS b
+           |  FROM src)
+           |SELECT doc_id,
+           |  coalesce(array_to_string(list_transform(
+           |    list_filter(b, s -> s.n >= 25 AND s.ln * 3 <= s.n
+           |      AND s.sw >= 1), s -> s.txt), chr(10)), '') AS main_text,
+           |  CAST(len(b) AS BIGINT) AS n_blocks,
+           |  CAST(len(list_filter(b, s -> s.n >= 25 AND s.ln * 3 <= s.n
+           |    AND s.sw >= 1)) AS BIGINT) AS n_kept
+           |FROM blk ORDER BY doc_id""".stripMargin
+      },
 
       // Bradley-Terry replay: the same 20 integer-exact MM rounds
       // unrolled as CTE stages — HUGEINT carries the multiplies, //

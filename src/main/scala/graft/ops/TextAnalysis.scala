@@ -367,6 +367,64 @@ object TextAnalysis {
       regexp_replace(regexp_replace(c, TagPattern, " "), UrlPattern, " "),
       "\\s+", " "))
 
+  /** Block-level HTML tags: the boundaries main-content extraction
+    * scores between. Inline tags (<a>, <b>, <span>…) stay INSIDE a
+    * block — that is what makes link density measurable per block. */
+  val BlockTagPattern: String =
+    "(?i)</?(?:div|p|ul|ol|li|nav|footer|header|aside|section|article|" +
+      "table|thead|tbody|tr|td|th|h[1-6]|blockquote|form|main|br)[^>]*>"
+
+  /** Main-content extraction from raw HTML — the block-level
+    * boilerplate removal (jusText, Pomikálek 2011; trafilatura) that
+    * web curation runs BEFORE any quality rule: q51's whole-document
+    * tag strip keeps nav bars, share buttons, and footers glued to the
+    * article text, and every downstream signal (lang-id, quality,
+    * dedup fingerprints) inherits that noise. The page is split at
+    * block-level tag boundaries ([[BlockTagPattern]]) and each block
+    * is scored with jusText's core signals, reduced to INTEGER-ONLY
+    * gates (no float thresholds → nothing to round cross-engine):
+    * a block is content iff
+    *   text length ≥ minChars  AND  3·linkTextLen ≤ textLen (link
+    *   density ≤ ⅓ — navigation is mostly anchor text)  AND
+    *   ≥ 1 English stopword ([[stopwords]]("en") over [[tokens]]) —
+    *   prose has function words; "Home About Contact" and copyright
+    *   lines do not.
+    * Returns (id, main_text, n_blocks, n_kept): kept block texts
+    * newline-joined, counted over nonempty blocks. Null html passes
+    * through with null main_text and zero counts.
+    *
+    * Scale shape: a PURE PROJECTION — split + per-block regex/array
+    * HOFs, no shuffle, no state; trivially linear and
+    * partition-parallel at any corpus size. A real DOM parser is a
+    * codec concern (the Multimodal decoder-slot pattern); the regex
+    * block model is the standard scrape-cleaning approximation. */
+  def htmlMainContent(df: DataFrame, idCol: String, htmlCol: String,
+                      minChars: Int = 25): DataFrame = {
+    def cleanTxt(b: Column): Column =
+      trim(regexp_replace(regexp_replace(b, TagPattern, " "), "\\s+", " "))
+    def linkTxt(b: Column): Column =
+      cleanTxt(array_join(
+        regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " "))
+    val scored = transform(split(col(htmlCol).cast("string"), BlockTagPattern),
+      b => struct(cleanTxt(b).as("txt"), length(cleanTxt(b)).as("n"),
+        length(linkTxt(b)).as("ln"),
+        size(filter(tokens(cleanTxt(b)), t =>
+          t.isin(stopwords("en").map(lit): _*))).as("sw")))
+    def good(s: Column): Column =
+      s.getField("n") >= minChars &&
+        s.getField("ln") * 3 <= s.getField("n") && s.getField("sw") >= 1
+    df.select(col(idCol).as("id"), col(htmlCol))
+      .withColumn("__b", filter(scored, s => s.getField("n") > 0))
+      .select(col("id"),
+        when(col(htmlCol).isNull, lit(null).cast("string"))
+          .otherwise(array_join(
+            transform(filter(col("__b"), good _), s => s.getField("txt")),
+            "\n")).as("main_text"),
+        coalesce(size(col("__b")), lit(0)).cast("long").as("n_blocks"),
+        coalesce(size(filter(col("__b"), good _)), lit(0)).cast("long")
+          .as("n_kept"))
+  }
+
   /** Structured URL decomposition for web-corpus curation — the fields
     * host-level dedup, blocklists, and per-domain mixing key on:
     * (host, tld, path, depth, query). Built on Spark's native

@@ -312,4 +312,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((3L, "sql")) === ((1L, 10L))) // "SELECT 1;\n"
     assert(out.size === 3)                   // docs 2 and 4 emit nothing
   }
+
+  test("htmlMainContent: nav/share/footer blocks drop, article text " +
+      "survives; per-gate behavior; null passthrough") {
+    val prose = "The quick brown fox jumps over the lazy dog and " +
+      "keeps running through the quiet field"
+    val page = "<header><ul><li><a href=\"/\">Home</a></li>" +
+      "<li><a href=\"/about\">About Us</a></li></ul></header>" +
+      s"<article><p>$prose</p></article>" +
+      "<div>Share: <a href=\"#\">Tweet</a> <a href=\"#\">Like</a></div>" +
+      "<footer>Copyright 2024 Example Corp - All rights reserved</footer>"
+    // a long LINK-HEAVY block: passes length + stopwords, fails the
+    // 3x link-density gate (most of its text is anchor text)
+    val navPage = "<div>the index of <a href=\"/a\">all the articles " +
+      "that you could want to read in the archive</a></div>"
+    val df = Seq((1L, page), (2L, navPage), (3L, null.asInstanceOf[String]))
+      .toDF("id", "html")
+    val got = TextAnalysis.htmlMainContent(df, "id", "html")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2), r.getLong(3)))).toMap
+    // page: blocks Home / About Us / article / Share / footer; only
+    // the article passes (length >= 25, no links, has stopwords)
+    assert(got(1L) === ((Some(prose), 5L, 1L)))
+    // link-heavy block: len(text) = 82 >= 25, stopwords present, but
+    // link text is 59 chars -> 3*59 > 82 -> dropped
+    assert(got(2L) === ((Some(""), 1L, 0L)))
+    // null html: null text, zero counts
+    assert(got(3L) === ((None, 0L, 0L)))
+  }
 }
