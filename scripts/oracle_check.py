@@ -1,12 +1,17 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle compare.
 
-Usage: oracle_check.py <sfDir> <outDir>
+Usage: oracle_check.py <sfDir> <outDir> [perQueryTimeoutSec]
 Reads <outDir>/<name>/ parquet (Spark results) + <outDir>/oracle_sql.json,
 runs each SQL in DuckDB against the sfDir tables, and diffs values with
 columns sorted by name and rows sorted by all columns.
+
+The optional timeout (sf1-scale runs: some oracles brute-force what the
+engine computes bucketed, so DuckDB cost is quadratic where Spark's
+isn't) interrupts a long oracle and records TIMEOUT — an unverified
+row, not a failure; the driver's sf0.01 gate stays the authority.
 """
-import sys, os, json, glob
+import sys, os, json, glob, threading
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -26,14 +31,14 @@ def canon(rows, cols):
     out.sort()
     return [cols[i] for i in order], out
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, timeout_sec=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_timeout = 0
     for name in sorted(oracle):
         spark_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{spark_dir}/*.parquet")
@@ -41,6 +46,14 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
+        timer = None
+        timed_out = []
+        if timeout_sec:
+            def interrupt():
+                timed_out.append(True)
+                con.interrupt()
+            timer = threading.Timer(timeout_sec, interrupt)
+            timer.start()
         try:
             sr = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
             scols = [d[0] for d in sr.description]
@@ -51,9 +64,18 @@ def main(sf_dir, out_dir):
             dtypes = [str(d[1]) for d in dr.description]
             drows = dr.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
-            n_fail += 1
+            if timed_out:
+                n_timeout += 1
+                print(f"TIMEOUT {name}: oracle exceeded {timeout_sec}s")
+            else:
+                print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+                n_fail += 1
+            if timer:
+                timer.cancel()
             continue
+        finally:
+            if timer:
+                timer.cancel()
         sc, sv = canon(srows, scols)
         dc, dv = canon(drows, dcols)
         # Type parity: the driver hashes TYPED values, so a DuckDB
@@ -89,8 +111,10 @@ def main(sf_dir, out_dir):
         else:
             n_pass += 1
             print(f"PASS {name} ({len(sv)} rows)")
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    extra = f" / {n_timeout} timeout" if n_timeout else ""
+    print(f"\n{n_pass} pass / {n_fail} fail{extra}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    to = float(sys.argv[3]) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], to))
