@@ -676,61 +676,140 @@ object Drift {
     * lineage cut on the same cadence. Ties/self-matches are dropped;
     * a winner always exists per row, so every playing pair has a
     * positive-strength member and divisors stay positive even before
-    * the ε floor. Returns (item, wins, n_matches, strength). */
+    * the ε floor. Returns (item, wins, n_matches, strength).
+    *
+    * Routing ([[graft.ops.Corpus.lineDedup]]'s size-gate discipline):
+    * the sufficient statistic is the DIRECTED pair table (w, l, n) —
+    * bounded by distinct items squared, never by match volume (the
+    * one groupBy that builds it absorbs any row count map-side; win
+    * totals and unordered pair counts both derive from it). When it
+    * holds ≤ `maxDriverPairs` rows the 20 rounds run as a
+    * driver-local BigInt loop over the collected table: the integer
+    * recurrence is replicated op-for-op (div = truncating division on
+    * positives; S=0 and T=0 degenerate steps mirror SQL's
+    * null→coalesce/greatest-skips-null), and the ONLY double — the
+    * final P/ΣP round — is evaluated by the same Spark expression
+    * over the computed Long carriers, so both routes are bit-identical
+    * (route-parity spec). Above the gate the loop runs distributed
+    * with a lineage cut EVERY round: each round references the
+    * strength frame four times (two joins + the renormalize total),
+    * so k uncut rounds put 4^k copies of it in the plan — at the old
+    * cut-every-4 cadence the nested broadcast subplans re-executed
+    * exponentially often (measured 258 s on a 7-item fixture; cut
+    * every round it is linear, ~20 tiny jobs). */
   def bradleyTerry(matches: DataFrame, winnerCol: String,
                    loserCol: String, iterations: Int = 20,
-                   checkpointEvery: Int = 4): DataFrame = {
+                   checkpointEvery: Int = 1,
+                   maxDriverPairs: Long = 1L << 20): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val spark = matches.sparkSession
     val m = matches
       .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull)
       .select(col(winnerCol).cast("string").as("w"),
         col(loserCol).cast("string").as("l"))
       .filter(col("w") =!= col("l"))
-    val pairs = m.groupBy(least(col("w"), col("l")).as("i"),
-        greatest(col("w"), col("l")).as("j"))
-      .agg(count(lit(1)).as("nij"))
-    // symmetric edge view (id, opp, nij) — reused every round
-    val edges = pairs
-      .select(col("i").as("id"), col("j").as("opp"), col("nij"))
-      .unionByName(pairs
-        .select(col("j").as("id"), col("i").as("opp"), col("nij")))
+    // ONE scan of the matches: the directed pair table (w, l, n) is
+    // the sufficient statistic — unordered pair counts AND per-item
+    // win totals both derive from it without touching the raw rows
+    // again (it is pair-type-bounded, so the derivations are cheap)
+    val directed = m.groupBy(col("w"), col("l")).agg(count(lit(1)).as("n"))
       .transform(Checkpoints.cut)
-    val wins = m.groupBy(col("w").as("id")).agg(count(lit(1)).as("wi"))
-    val items = edges.groupBy("id").agg(sum(col("nij")).as("ni"))
-      .join(wins, Seq("id"), "left")
-      .select(col("id"), coalesce(col("wi"), lit(0L)).as("wi"), col("ni"))
-      .transform(Checkpoints.cut)
-    val nItems = items.count()
-    var pi = items.select(col("id"), lit(1000000L).as("p"))
-    for (it <- 1 to iterations) {
-      val s = edges
-        .join(pi.select(col("id").as("opp"), col("p").as("pj")), Seq("opp"))
-        .join(pi, Seq("id"))
-        .groupBy("id")
-        .agg(sum(expr("CAST(nij AS DECIMAL(38,0)) * 1000000000000000 " +
-          "DIV (p + pj)").cast("decimal(38,0)")).as("s"))
-      val upd = items.join(s, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(expr("CAST(wi AS DECIMAL(38,0)) * 1000000000000000 " +
-            "DIV s"), lit(0L)).as("p1"))
-      val tot = upd.agg(sum(col("p1")).as("t"))
-      val next = upd.crossJoin(broadcast(tot))
-        .select(col("id"),
-          greatest(expr(s"CAST(p1 AS DECIMAL(38,0)) * ${nItems * 1000000L} " +
-            "DIV t"), lit(1000L)).as("p"))
-      pi =
-        if (it % checkpointEvery == 0 || it == iterations)
-          next.transform(Checkpoints.cut)
-        else next
+    val nDirected = directed.count() // route gate; also the materialize
+    if (nDirected <= maxDriverPairs) {
+      // ---- driver route: exact BigInt MM over the collected pairs ----
+      val de = directed.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2)))
+      val wi = de.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._3).sum }
+      val pe = de.map { case (w, l, n) =>
+          (if (w <= l) (w, l) else (l, w)) -> n }
+        .groupBy(_._1).toSeq
+        .map { case ((i, j), vs) => (i, j, vs.map(_._2).sum) }
+      val ids = pe.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      val nItems = ids.length.toLong
+      val ni = scala.collection.mutable.Map.empty[String, Long]
+      pe.foreach { case (i, j, n) =>
+        ni(i) = ni.getOrElse(i, 0L) + n; ni(j) = ni.getOrElse(j, 0L) + n
+      }
+      val E15 = BigInt(10).pow(15)
+      var p = ids.map(_ -> BigInt(1000000L)).toMap
+      for (_ <- 1 to iterations) {
+        val s = scala.collection.mutable.Map.empty[String, BigInt]
+        pe.foreach { case (i, j, nij) =>
+          val t = (BigInt(nij) * E15) / (p(i) + p(j))
+          s(i) = s.getOrElse(i, BigInt(0)) + t
+          s(j) = s.getOrElse(j, BigInt(0)) + t
+        }
+        val p1 = ids.map { id =>
+          val si = s.getOrElse(id, BigInt(0))
+          // SQL: x DIV 0 → null → coalesce 0
+          id -> (if (si == 0) BigInt(0)
+                 else BigInt(wi.getOrElse(id, 0L)) * E15 / si)
+        }.toMap
+        val t = p1.values.sum
+        p = ids.map { id =>
+          // SQL: DIV null when t=0; greatest skips nulls → the floor
+          id -> (if (t == 0) BigInt(1000L)
+                 else (p1(id) * (nItems * 1000000L) / t).max(BigInt(1000L)))
+        }.toMap
+      }
+      val pt = p.values.sum
+      // Long carriers are exact here: P ≤ N·10⁶ and ΣP ≤ N²·10⁶, and
+      // the gate bounds N ≤ 2·maxDriverPairs — both under 2⁶³ by margins
+      val rows = ids.toSeq.map(id =>
+        (id, wi.getOrElse(id, 0L), ni(id), p(id).toLong, pt.toLong))
+      import spark.implicits._
+      rows.toDF("item", "wins", "n_matches", "p", "pt")
+        .select(col("item"), col("wins"), col("n_matches"),
+          round(col("p").cast("double") / col("pt").cast("double"), 6)
+            .as("strength"))
+    } else {
+      // ---- distributed route: the same recurrence, cut every round ----
+      val pairs = directed.groupBy(least(col("w"), col("l")).as("i"),
+          greatest(col("w"), col("l")).as("j"))
+        .agg(sum(col("n")).as("nij"))
+      val wins = directed.groupBy(col("w").as("id")).agg(sum(col("n")).as("wi"))
+      // symmetric edge view (id, opp, nij) — reused every round
+      val edges = pairs
+        .select(col("i").as("id"), col("j").as("opp"), col("nij"))
+        .unionByName(pairs
+          .select(col("j").as("id"), col("i").as("opp"), col("nij")))
+        .transform(Checkpoints.cut)
+      val items = edges.groupBy("id").agg(sum(col("nij")).as("ni"))
+        .join(wins, Seq("id"), "left")
+        .select(col("id"), coalesce(col("wi"), lit(0L)).as("wi"), col("ni"))
+        .transform(Checkpoints.cut)
+      val nItems = items.count()
+      var pi = items.select(col("id"), lit(1000000L).as("p"))
+      for (it <- 1 to iterations) {
+        val s = edges
+          .join(pi.select(col("id").as("opp"), col("p").as("pj")), Seq("opp"))
+          .join(pi, Seq("id"))
+          .groupBy("id")
+          .agg(sum(expr("CAST(nij AS DECIMAL(38,0)) * 1000000000000000 " +
+            "DIV (p + pj)").cast("decimal(38,0)")).as("s"))
+        val upd = items.join(s, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(expr("CAST(wi AS DECIMAL(38,0)) * 1000000000000000 " +
+              "DIV s"), lit(0L)).as("p1"))
+        val tot = upd.agg(sum(col("p1")).as("t"))
+        val next = upd.crossJoin(broadcast(tot))
+          .select(col("id"),
+            greatest(expr(s"CAST(p1 AS DECIMAL(38,0)) * ${nItems * 1000000L} " +
+              "DIV t"), lit(1000L)).as("p"))
+        pi =
+          if (it % checkpointEvery == 0 || it == iterations)
+            next.transform(Checkpoints.cut)
+          else next
+      }
+      val fin = pi.agg(sum(col("p")).as("pt"))
+      items.join(pi, Seq("id"))
+        .crossJoin(broadcast(fin))
+        .select(col("id").as("item"), col("wi").as("wins"),
+          col("ni").as("n_matches"),
+          round(col("p").cast("double") / col("pt").cast("double"), 6)
+            .as("strength"))
     }
-    val fin = pi.agg(sum(col("p")).as("pt"))
-    items.join(pi, Seq("id"))
-      .crossJoin(broadcast(fin))
-      .select(col("id").as("item"), col("wi").as("wins"),
-        col("ni").as("n_matches"),
-        round(col("p").cast("double") / col("pt").cast("double"), 6)
-          .as("strength"))
   }
 }

@@ -538,4 +538,25 @@ class DriftSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(gz("b") > 0.0 && gz("b") < gz("z") && gz("z") < gz("a"))
   }
+
+  test("bradleyTerry: driver and distributed routes are bit-identical") {
+    // 5 items, uneven match counts, a zero-win item (e) and a
+    // degenerate-heavy shape — the route gate must be invisible
+    val rnd = new scala.util.Random(7)
+    val items = Seq("a", "b", "c", "d", "e")
+    val m = Seq.fill(300) {
+      val i = items(rnd.nextInt(5)); val j = items(rnd.nextInt(5))
+      // bias: earlier letters win more; e never wins
+      if (i <= j && i != "e") (i, j) else (j, i)
+    }.filter(p => p._1 != p._2).toDF("win", "lose")
+    def run(gate: Long) =
+      Drift.bradleyTerry(m, "win", "lose", iterations = 20,
+          maxDriverPairs = gate)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(_._1).toSeq
+    val driver = run(1L << 20)   // pairs ≤ 10 → driver route
+    val dist = run(0L)           // gate 0 → distributed route
+    assert(driver === dist)
+    assert(driver.map(_._4).sum > 0.99) // strengths normalize
+  }
 }
