@@ -319,6 +319,18 @@ object SparkEntry {
     f.delete(): Unit
   }
 
+  /** r13 streaming fixed-cost cut: skip Spark's watermark-advance
+    * NO-DATA micro-batches (a full offset-WAL + commit-WAL + planning
+    * cycle after EVERY data batch of a watermarked query) and feed one
+    * trailing EMPTY data batch instead — same per-batch watermark
+    * values, same emitted-row union (all 15 streaming oracle rows
+    * verified green both ways), ~half the trigger count.
+    * GRAFT_STREAM_NODATA_SKIP=0 restores the stock behavior (A/B
+    * lever; also the escape hatch if a future operator's emissions
+    * ever depend on the no-data trigger itself). */
+  private[graft] var skipNoDataBatches: Boolean =
+    sys.env.get("GRAFT_STREAM_NODATA_SKIP").forall(_ != "0")
+
   private[graft] def runMicroBatched[T <: Product : org.apache.spark.sql.Encoder](
       s: SparkSession, cols: Seq[String], batches: Seq[Seq[T]],
       tmpPrefix: String, outCols: Seq[String],
@@ -354,8 +366,29 @@ object SparkEntry {
       // query START), and a build-time analysis error must not escape
       // with the session conf still pinned to 1
       val built = build(stream)
+      // Watermarked queries run a NO-DATA micro-batch after every data
+      // batch (Spark's watermark-advance trigger): a second offset-WAL
+      // write, commit-WAL write, and batch planning per feed — pure
+      // fixed cost at harness feed rates. Emissions depend only on the
+      // per-batch watermark VALUES, and those are identical with the
+      // no-data batches skipped (the watermark updates at data-batch
+      // end either way; late-row filtering and state eviction read the
+      // same value in the following batch). So: disable no-data
+      // batches for watermarked plans and feed ONE trailing empty
+      // batch — a real data batch with zero rows — whose watermark
+      // equals what the final no-data batch would have seen, emitting
+      // any windows the last feed finalized. Union of emitted rows is
+      // unchanged (oracle rows stay green); batches drop ~2N -> N+1.
+      val hasWatermark = skipNoDataBatches && {
+        built.queryExecution.logical.collectFirst {
+          case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
+        }.isDefined
+      }
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevNoData = s.conf.get(noDataKey)
       s.conf.set("spark.sql.shuffle.partitions", "1")
+      if (hasWatermark) s.conf.set(noDataKey, "false")
       val q = try {
         built.writeStream
           .option("checkpointLocation", ckpt.getAbsolutePath)
@@ -364,9 +397,13 @@ object SparkEntry {
             buf.synchronized { buf ++= rows; () }
           }
           .outputMode(mode).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set(noDataKey, prevNoData)
+      }
       try {
         batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        if (hasWatermark) { mem.addData(Seq.empty[T]); q.processAllAvailable() }
       } finally q.stop()
       // schema pinned from the built plan so the zero-emission case
       // returns a correctly-typed empty frame
@@ -404,8 +441,20 @@ object SparkEntry {
     // build/start, not just the feed loop
     try {
       val built = build(memA.toDF().toDF(colsA: _*), memB.toDF().toDF(colsB: _*))
+      // same no-data-batch rationale as runMicroBatched (both join
+      // sides are watermarked; the trailing empty batch feeds BOTH
+      // sources so the final watermark computation sees fresh offsets
+      // on each)
+      val hasWatermark = skipNoDataBatches && {
+        built.queryExecution.logical.collectFirst {
+          case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
+        }.isDefined
+      }
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevNoData = s.conf.get(noDataKey)
       s.conf.set("spark.sql.shuffle.partitions", "1")
+      if (hasWatermark) s.conf.set(noDataKey, "false")
       val q = try {
         built.writeStream
           .option("checkpointLocation", ckpt.getAbsolutePath)
@@ -414,13 +463,20 @@ object SparkEntry {
             buf.synchronized { buf ++= rows; () }
           }
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set(noDataKey, prevNoData)
+      }
       try {
         batchesA.zipAll(batchesB, Seq.empty[A], Seq.empty[B]).foreach {
           case (ba, bb) =>
             if (ba.nonEmpty) { memA.addData(ba); () }
             if (bb.nonEmpty) { memB.addData(bb); () }
             q.processAllAvailable()
+        }
+        if (hasWatermark) {
+          memA.addData(Seq.empty[A]); memB.addData(Seq.empty[B])
+          q.processAllAvailable()
         }
       } finally q.stop()
       val outSchema = org.apache.spark.sql.types.StructType(
@@ -1701,6 +1757,50 @@ object SparkEntry {
           ((col("label") + when(col("vec_id") % 11 === 0, 2).otherwise(0)) % 3)
             .cast("string").as("v"))
       Drift.krippendorffAlpha(r0.union(r1).union(r2), "unit", "v")
+    }),
+
+    // --- Krippendorff's alpha, INTERVAL metric: the Likert-scale
+    // agreement gate where disagreeing 1-vs-5 must cost more than
+    // 1-vs-2. Same 3-rater simulation as q222 on a 1..5 scale; the
+    // closed per-unit-moment form needs no value-pair table at all ---
+    "q228_krippendorff_interval" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .filter(col("label").isNotNull && col("vec_id").isNotNull)
+      val r0 = e.select(col("vec_id").as("unit"),
+        (col("label") % 5 + 1).cast("long").as("v"))
+      val r1 = e.filter(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id").as("unit"),
+          ((col("label") + when(col("vec_id") % 7 === 0, 1).otherwise(0)) % 5 + 1)
+            .cast("long").as("v"))
+      val r2 = e.filter(col("vec_id") % 3 =!= 1)
+        .select(col("vec_id").as("unit"),
+          ((col("label") + when(col("vec_id") % 11 === 0, 3).otherwise(0)) % 5 + 1)
+            .cast("long").as("v"))
+      Drift.krippendorffAlphaMetric(r0.union(r1).union(r2), "unit", "v",
+        "interval")
+    }),
+
+    // --- Krippendorff's alpha, ORDINAL metric: rank distances
+    // weighted by how often intermediate scale points were used
+    // (Krippendorff's own recommendation for Likert data) — the V×V
+    // Q table rides the coincidence marginals, so the same ratings
+    // give a DIFFERENT alpha than q228 when the scale is used
+    // unevenly ---
+    "q229_krippendorff_ordinal" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .filter(col("label").isNotNull && col("vec_id").isNotNull)
+      val r0 = e.select(col("vec_id").as("unit"),
+        (col("label") % 5 + 1).cast("long").as("v"))
+      val r1 = e.filter(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id").as("unit"),
+          ((col("label") + when(col("vec_id") % 7 === 0, 1).otherwise(0)) % 5 + 1)
+            .cast("long").as("v"))
+      val r2 = e.filter(col("vec_id") % 3 =!= 1)
+        .select(col("vec_id").as("unit"),
+          ((col("label") + when(col("vec_id") % 11 === 0, 3).otherwise(0)) % 5 + 1)
+            .cast("long").as("v"))
+      Drift.krippendorffAlphaMetric(r0.union(r1).union(r2), "unit", "v",
+        "ordinal")
     }),
 
     // --- fenced-code-block extraction: per-(doc, language) block and
@@ -5373,6 +5473,114 @@ object SparkEntry {
           |    CAST(CAST(n AS DECIMAL(38,0)) * n - ncsq AS DOUBLE) /
           |      CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE) AS de0
           |  FROM tot, don, nu)""".stripMargin,
+
+      // Interval-metric alpha replay: same per-m lcm clearing as q222;
+      // the D_o numerator is the closed unit-moment form
+      // A_u = 2(m·Σv² − (Σv)²), D_e the global-moment twin.
+      "q228_krippendorff_interval" ->
+        """WITH rows0 AS (
+          |  SELECT vec_id AS u, CAST(label % 5 + 1 AS BIGINT) AS v
+          |    FROM embeddings WHERE label IS NOT NULL AND vec_id IS NOT NULL
+          |  UNION ALL
+          |  SELECT vec_id,
+          |    CAST((label + CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) % 5 + 1
+          |      AS BIGINT)
+          |    FROM embeddings WHERE label IS NOT NULL AND vec_id IS NOT NULL
+          |      AND vec_id % 4 <> 0
+          |  UNION ALL
+          |  SELECT vec_id,
+          |    CAST((label + CASE WHEN vec_id % 11 = 0 THEN 3 ELSE 0 END) % 5 + 1
+          |      AS BIGINT)
+          |    FROM embeddings WHERE label IS NOT NULL AND vec_id IS NOT NULL
+          |      AND vec_id % 3 <> 1),
+          |cells AS (SELECT u, v, count(*) AS c FROM rows0 GROUP BY 1, 2),
+          |units AS (SELECT u, sum(c) AS m, sum(c * v) AS sv,
+          |    sum(c * v * v) AS svv
+          |  FROM cells GROUP BY u HAVING sum(c) >= 2),
+          |byM AS (SELECT m,
+          |    sum(CAST(2 AS DECIMAL(38,0)) *
+          |      (CAST(m AS DECIMAL(38,0)) * CAST(svv AS DECIMAL(38,0)) -
+          |       CAST(sv AS DECIMAL(38,0)) * CAST(sv AS DECIMAL(38,0)))) AS a
+          |  FROM units GROUP BY m),
+          |don AS (SELECT CAST(coalesce(sum(
+          |    CAST(27720 // (m - 1) AS DECIMAL(38,0)) *
+          |    CAST(a AS DECIMAL(38,0))), 0) AS DECIMAL(38,6)) AS do_num
+          |  FROM byM),
+          |tot AS (SELECT CAST(coalesce(sum(m), 0) AS BIGINT) AS n,
+          |    CAST(coalesce(sum(CAST(sv AS DECIMAL(38,0))), 0)
+          |      AS DECIMAL(38,0)) AS gsv,
+          |    CAST(coalesce(sum(CAST(svv AS DECIMAL(38,0))), 0)
+          |      AS DECIMAL(38,0)) AS gsvv
+          |  FROM units),
+          |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_units FROM units)
+          |SELECT n_units, n, round(do0, 6) AS "do", round(de0, 6) AS de,
+          |  round(CASE WHEN de0 > 0.0 THEN 1.0 - do0 / de0 END, 6) AS alpha
+          |FROM (SELECT n_units, n,
+          |    CASE WHEN n > 0 THEN CAST(do_num AS DOUBLE) /
+          |      (CAST(n AS DOUBLE) * 27720) END AS do0,
+          |    CASE WHEN n > 0 THEN
+          |      CAST(CAST(2 AS DECIMAL(38,0)) *
+          |        (CAST(n AS DECIMAL(38,0)) * gsvv - gsv * gsv) AS DOUBLE) /
+          |      CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE) END AS de0
+          |  FROM tot, don, nu)""".stripMargin,
+
+      // Ordinal-metric alpha replay: Q_ck = (2·(cum_k − cum_c) + n_c −
+      // n_k)² = 4·δ²_ord over the coincidence marginals; the 4 and the
+      // ordered-pair doubling cancel to the published /2 scales.
+      "q229_krippendorff_ordinal" ->
+        """WITH rows0 AS (
+          |  SELECT vec_id AS u, CAST(label % 5 + 1 AS BIGINT) AS v
+          |    FROM embeddings WHERE label IS NOT NULL AND vec_id IS NOT NULL
+          |  UNION ALL
+          |  SELECT vec_id,
+          |    CAST((label + CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) % 5 + 1
+          |      AS BIGINT)
+          |    FROM embeddings WHERE label IS NOT NULL AND vec_id IS NOT NULL
+          |      AND vec_id % 4 <> 0
+          |  UNION ALL
+          |  SELECT vec_id,
+          |    CAST((label + CASE WHEN vec_id % 11 = 0 THEN 3 ELSE 0 END) % 5 + 1
+          |      AS BIGINT)
+          |    FROM embeddings WHERE label IS NOT NULL AND vec_id IS NOT NULL
+          |      AND vec_id % 3 <> 1),
+          |cells AS (SELECT u, v, count(*) AS c FROM rows0 GROUP BY 1, 2),
+          |units AS (SELECT u, sum(c) AS m FROM cells GROUP BY u
+          |  HAVING sum(c) >= 2),
+          |qcells AS (SELECT * FROM cells WHERE u IN (SELECT u FROM units)),
+          |marg AS (SELECT v, sum(c) AS nc FROM qcells GROUP BY v),
+          |cum AS (SELECT a.v AS v, max(a.nc) AS nc, sum(b.nc) AS cum
+          |  FROM marg a JOIN marg b ON b.v <= a.v GROUP BY a.v),
+          |qs AS (SELECT a.v AS vc, b.v AS vk, a.nc AS ncc, b.nc AS nck,
+          |    CAST((2 * (b.cum - a.cum) + a.nc - b.nc) *
+          |         (2 * (b.cum - a.cum) + a.nc - b.nc)
+          |      AS DECIMAL(38,0)) AS q
+          |  FROM cum a JOIN cum b ON a.v < b.v),
+          |en AS (SELECT CAST(coalesce(sum(
+          |    CAST(ncc AS DECIMAL(38,0)) * CAST(nck AS DECIMAL(38,0)) * q),
+          |    0) AS DECIMAL(38,0)) AS e FROM qs),
+          |pairs AS (SELECT x.u AS u, x.v AS vc, y.v AS vk,
+          |    CAST(x.c AS DECIMAL(38,0)) * CAST(y.c AS DECIMAL(38,0)) AS cc
+          |  FROM qcells x JOIN qcells y ON x.u = y.u AND x.v < y.v),
+          |perB AS (SELECT u, CAST(coalesce(sum(cc * q), 0)
+          |    AS DECIMAL(38,0)) AS b
+          |  FROM pairs JOIN qs USING (vc, vk) GROUP BY u),
+          |byM AS (SELECT m, coalesce(sum(b), CAST(0 AS DECIMAL(38,0))) AS a
+          |  FROM units LEFT JOIN perB USING (u) GROUP BY m),
+          |don AS (SELECT CAST(coalesce(sum(
+          |    CAST(27720 // (m - 1) AS DECIMAL(38,0)) *
+          |    CAST(a AS DECIMAL(38,0))), 0) AS DECIMAL(38,6)) AS do_num
+          |  FROM byM),
+          |tot AS (SELECT CAST(coalesce(sum(m), 0) AS BIGINT) AS n FROM units),
+          |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_units FROM units)
+          |SELECT n_units, n, round(do0, 6) AS "do", round(de0, 6) AS de,
+          |  round(CASE WHEN de0 > 0.0 THEN 1.0 - do0 / de0 END, 6) AS alpha
+          |FROM (SELECT n_units, n,
+          |    CASE WHEN n > 0 THEN CAST(do_num AS DOUBLE) /
+          |      (CAST(n AS DOUBLE) * 27720 * 2.0) END AS do0,
+          |    CASE WHEN n > 0 THEN CAST(e AS DOUBLE) /
+          |      CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE) / 2.0
+          |      END AS de0
+          |  FROM tot, don, en, nu)""".stripMargin,
 
       // HTML main-content replay: same page shell, same block split,
       // same per-block integer gates (length / 3x link density / >= 1

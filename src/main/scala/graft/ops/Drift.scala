@@ -643,6 +643,157 @@ object Drift {
           lit(1.0) - col("__do") / col("__de")), 6).as("alpha"))
   }
 
+  /** Krippendorff's alpha with a GRADED difference metric — the
+    * Likert-scale (ordered-rating) form of [[krippendorffAlpha]], where
+    * disagreeing by one scale point should cost less than disagreeing
+    * by four (Krippendorff 2004 §11.3). `metric` selects the squared
+    * difference function over the (integer-coded) values:
+    *
+    *  - `"interval"`: δ²(c,k) = (c − k)². Closed form — no pair table
+    *    at all: Σ_{c≠k} n_uc·n_uk·(c−k)² = 2(m_u·Σv² − (Σv)²), so the
+    *    per-unit D_o contribution needs only the unit's (m, Σv, Σv²)
+    *    moments, and D_e needs only the global (n, ΣV, ΣV²). Works at
+    *    ANY value cardinality.
+    *  - `"ordinal"`: δ²(c,k) = (Σ_{g=c..k} n_g − (n_c + n_k)/2)² over
+    *    the coincidence marginals n_g — rank distances weighted by how
+    *    often intermediate points were used. The half stays exact by
+    *    carrying Q_ck = (2·Σ n_g − n_c − n_k)² = 4δ² everywhere (the
+    *    4 cancels in D_o/D_e). Needs the V×V value-pair table (V =
+    *    scale cardinality — 5, 7, maybe 11; bounded by the nature of
+    *    an ordinal scale, asserted ≤ 1000) and a per-unit value-pair
+    *    frame (≤ units·V² rows) joined against it broadcast.
+    *
+    * Same exact-integer shape as the nominal route: values are
+    * integer-coded (cast to long; rater UIs emit 1..V), every D_o/D_e
+    * numerator is a DECIMAL(38,0) integer, the only fractional piece
+    * Σ_u A_u/(m_u−1) clears denominators through lcm(1..12) = 27720
+    * after grouping by m_u (above 13 raters: the same 10^6-scaled
+    * DECIMAL division fallback, deterministic and order-independent).
+    * α is computed from two unrounded double ratios; only the
+    * published columns round. ONE data-sized groupBy (unit, value);
+    * everything after is unit- then vocab-bounded.
+    * Returns ONE row (n_units, n, do, de, alpha); alpha null when
+    * D_e = 0 (zero value variance — agreement undefined). */
+  def krippendorffAlphaMetric(df: DataFrame, unitCol: String,
+                              valueCol: String,
+                              metric: String): DataFrame = {
+    require(metric == "interval" || metric == "ordinal",
+      s"metric must be interval|ordinal, got $metric")
+    val base = df
+      .filter(col(unitCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(unitCol).cast("string").as("__u"),
+        col(valueCol).cast("long").as("__v"))
+    val cells = base.groupBy("__u", "__v").agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // read by unit stats, marginals, and (ordinal) pairs
+    val units = cells.groupBy("__u")
+      .agg(sum("__c").as("__m"),
+        sum(col("__c") * col("__v")).as("__sv"),
+        sum(col("__c") * col("__v") * col("__v")).as("__svv"))
+      .filter(col("__m") >= 2)
+      .localCheckpoint() // read by the m-grouped sums, marginals, count
+    val maxM = units.agg(coalesce(max("__m"), lit(0L))).head().getLong(0)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val nUnits = units.count()
+    val qCells = cells.join(units.select("__u"), Seq("__u"), "left_semi")
+    if (metric == "interval") {
+      // A_u = 2(m·Σv² − (Σv)²); D_e numerator 2(n·ΣV²grand − ΣVgrand²)
+      val perUnitA = units.select(col("__u"), col("__m"),
+        (d(lit(2)) * (d(col("__m")) * d(col("__svv")) -
+          d(col("__sv")) * d(col("__sv")))).as("__A"))
+      val byM = perUnitA.groupBy("__m")
+        .agg(sum(col("__A")).as("__A"))
+      val denom: Double = if (maxM <= 13) 27720.0 else 1e6
+      val termW: Column =
+        if (maxM <= 13) d(expr("27720 DIV (__m - 1)")) * d(col("__A"))
+        else (d(col("__A")) * d(lit(1000000L))) / (col("__m") - lit(1))
+      val doNum = byM.agg(coalesce(sum(termW).cast("decimal(38,6)"),
+        lit(0).cast("decimal(38,6)")).as("__do_num"))
+      val tot = units.agg(
+        coalesce(sum("__m"), lit(0L)).cast("long").as("__n"),
+        coalesce(sum(d(col("__sv"))), d(lit(0)))
+          .cast("decimal(38,0)").as("__SV"),
+        coalesce(sum(d(col("__svv"))), d(lit(0)))
+          .cast("decimal(38,0)").as("__SVV"))
+      tot.crossJoin(doNum)
+        .withColumn("__do", when(col("__n") > 0L,
+          col("__do_num").cast("double") /
+            (d(col("__n")).cast("double") * denom)))
+        .withColumn("__de", when(col("__n") > 0L,
+          (d(lit(2)) * (d(col("__n")) * col("__SVV") -
+            col("__SV") * col("__SV"))).cast("double") /
+            (d(col("__n")) * (d(col("__n")) - 1)).cast("double")))
+        .select(lit(nUnits).as("n_units"), col("__n").as("n"),
+          round(col("__do"), 6).as("do"), round(col("__de"), 6).as("de"),
+          round(when(col("__de") > 0.0,
+            lit(1.0) - col("__do") / col("__de")), 6).as("alpha"))
+    } else {
+      // ordinal: coincidence marginals + cumulative rank mass
+      val marg = qCells.groupBy("__v").agg(sum("__c").as("__nc"))
+      val vCount = marg.count()
+      require(vCount <= 1000,
+        s"ordinal metric expects a scale-bounded value set, got $vCount " +
+          "distinct values — use metric=interval for continuous scores")
+      // cumulative rank mass via a triangular self-join (≤ V² rows —
+      // no partition-less window, keeping the module's contract)
+      val cum = marg.as("a").join(marg.as("b"), col("b.__v") <= col("a.__v"))
+        .groupBy(col("a.__v").as("__v"))
+        .agg(max(col("a.__nc")).as("__nc"), // f.d. on __v; max = the value
+          sum(col("b.__nc")).as("__cum"))
+      // Q_ck = (2(cum_k − cum_c) + n_c − n_k)² for c < k  (= 4·δ²_ck)
+      val qs = cum.as("a").join(cum.as("b"),
+          col("a.__v") < col("b.__v"))
+        .select(col("a.__v").as("__vc"), col("b.__v").as("__vk"),
+          col("a.__nc").as("__ncc"), col("b.__nc").as("__nck"),
+          (d(lit(2)) * (d(col("b.__cum")) - d(col("a.__cum"))) +
+            d(col("a.__nc")) - d(col("b.__nc"))).as("__q2r"))
+        .select(col("__vc"), col("__vk"), col("__ncc"), col("__nck"),
+          (col("__q2r") * col("__q2r")).cast("decimal(38,0)").as("__Q"))
+        .localCheckpoint() // tiny (≤ V²/2 rows); read by D_o and D_e
+      // D_e numerator E = Σ_{c<k} n_c·n_k·Q_ck (ordered pairs halved —
+      // the same half as Q = 4δ² folds into the published 2n(n−1) scale)
+      val eNum = qs.agg(coalesce(sum(d(col("__ncc")) * d(col("__nck")) *
+          col("__Q")), d(lit(0))).cast("decimal(38,0)").as("__E"))
+      // per-unit value pairs joined against broadcast Q
+      val pairs = qCells.as("x").join(qCells.as("y"),
+          col("x.__u") === col("y.__u") && col("x.__v") < col("y.__v"))
+        .select(col("x.__u").as("__u"), col("x.__v").as("__vc"),
+          col("y.__v").as("__vk"),
+          (d(col("x.__c")) * d(col("y.__c"))).as("__cc"))
+        .join(broadcast(qs.select("__vc", "__vk", "__Q")),
+          Seq("__vc", "__vk"))
+      val perUnitB = pairs.groupBy("__u")
+        .agg(coalesce(sum(col("__cc") * col("__Q")), d(lit(0)))
+          .cast("decimal(38,0)").as("__B"))
+      // units with zero within-unit disagreement pairs still contribute
+      // m to n but 0 to B — right-join keeps them (B null → 0)
+      val byM = units.join(perUnitB, Seq("__u"), "left")
+        .groupBy("__m")
+        .agg(coalesce(sum(col("__B")), d(lit(0))).as("__A"))
+      val denom: Double = if (maxM <= 13) 27720.0 else 1e6
+      val termW: Column =
+        if (maxM <= 13) d(expr("27720 DIV (__m - 1)")) * d(col("__A"))
+        else (d(col("__A")) * d(lit(1000000L))) / (col("__m") - lit(1))
+      val doNum = byM.agg(coalesce(sum(termW).cast("decimal(38,6)"),
+        lit(0).cast("decimal(38,6)")).as("__do_num"))
+      val tot = units.agg(
+        coalesce(sum("__m"), lit(0L)).cast("long").as("__n"))
+      // D_o = Σ_u B_u/(m_u−1) / (2n)   [B = Σ n_uc·n_uk·Q, c<k; Q=4δ²
+      //   and ordered-pair doubling cancel to the single 1/2]
+      // D_e = E / (2n(n−1))
+      tot.crossJoin(doNum).crossJoin(eNum)
+        .withColumn("__do", when(col("__n") > 0L,
+          col("__do_num").cast("double") /
+            (d(col("__n")).cast("double") * denom * 2.0)))
+        .withColumn("__de", when(col("__n") > 0L,
+          col("__E").cast("double") /
+            (d(col("__n")) * (d(col("__n")) - 1)).cast("double") / 2.0))
+        .select(lit(nUnits).as("n_units"), col("__n").as("n"),
+          round(col("__do"), 6).as("do"), round(col("__de"), 6).as("de"),
+          round(when(col("__de") > 0.0,
+            lit(1.0) - col("__do") / col("__de")), 6).as("alpha"))
+    }
+  }
+
   /** Bradley–Terry preference-strength aggregation — the pairwise-
     * comparison → per-item strength fit of reward-model / RLHF data QA
     * (Bradley & Terry 1952; the model beneath most "chatbot arena"

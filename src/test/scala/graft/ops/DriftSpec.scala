@@ -406,6 +406,84 @@ class DriftSpec extends SparkSpec {
     assert(!er.isNullAt(4))
   }
 
+  test("krippendorffAlphaMetric: interval and ordinal hand-computed, degenerate and graded cases") {
+    // u1: {1,3}  u2: {2,3}  u3: {1} (dropped) — n = 4
+    // INTERVAL: A_u1 = 2(2·10 − 16) = 8, A_u2 = 2(2·13 − 25) = 2
+    //   D_o = (8 + 2)/4 = 2.5; marginals SV = 9, SVV = 23
+    //   D_e = 2(4·23 − 81)/(4·3) = 22/12; α = 1 − 2.5·12/22 = −0.363636
+    val likert = Seq(("u1", 1L), ("u1", 3L), ("u2", 2L), ("u2", 3L),
+      ("u3", 1L)).toDF("unit", "v")
+    val ir = Drift.krippendorffAlphaMetric(likert, "unit", "v", "interval")
+      .collect()(0)
+    assert((ir.getLong(0), ir.getLong(1)) === (2L, 4L))
+    assert(ir.getDouble(2) === 2.5)
+    assert(ir.getDouble(3) === 1.833333)
+    assert(ir.getDouble(4) === -0.363636)
+    // ORDINAL: marginals n1=1, n2=1, n3=2; cum 1,2,4
+    //   Q(1,2) = (2·1 + 0)² = 4   Q(1,3) = (2·3 + 1 − 2)² = 25
+    //   Q(2,3) = (2·2 + 1 − 2)² = 9
+    //   B_u1 = Q(1,3) = 25, B_u2 = Q(2,3) = 9 → D_o = 34/(2·4) = 4.25
+    //   E = 1·1·4 + 1·2·25 + 1·2·9 = 72 → D_e = 72/(2·4·3) = 3
+    //   α = 1 − 4.25/3 = −0.416667 (≠ interval's on the same data)
+    val or0 = Drift.krippendorffAlphaMetric(likert, "unit", "v", "ordinal")
+      .collect()(0)
+    assert((or0.getLong(0), or0.getLong(1)) === (2L, 4L))
+    assert(or0.getDouble(2) === 4.25)
+    assert(or0.getDouble(3) === 3.0)
+    assert(or0.getDouble(4) === -0.416667)
+
+    // graded distance: 1-vs-2 disagreement scores BETTER than 1-vs-5
+    // on both metrics (the whole point vs the nominal form, which
+    // cannot tell them apart)
+    def alphaOf(pairs: Seq[(String, Long)], m: String): Double =
+      Drift.krippendorffAlphaMetric(pairs.toDF("unit", "v"), "unit", "v", m)
+        .collect()(0).getDouble(4)
+    val near = Seq(("a", 1L), ("a", 2L), ("b", 4L), ("b", 5L),
+      ("c", 1L), ("c", 1L), ("d", 5L), ("d", 5L))
+    val far = Seq(("a", 1L), ("a", 5L), ("b", 5L), ("b", 1L),
+      ("c", 1L), ("c", 1L), ("d", 5L), ("d", 5L))
+    assert(alphaOf(near, "interval") > alphaOf(far, "interval"))
+    assert(alphaOf(near, "ordinal") > alphaOf(far, "ordinal"))
+
+    // perfect agreement -> 1; zero variance -> null; single-rated
+    // units excluded and zero qualifying units -> all-null readout
+    val perfect = Seq(("u1", 2L), ("u1", 2L), ("u2", 5L), ("u2", 5L))
+      .toDF("unit", "v")
+    val const = Seq(("u1", 3L), ("u1", 3L), ("u2", 3L), ("u2", 3L))
+      .toDF("unit", "v")
+    val singles = Seq(("u1", 1L), ("u2", 2L)).toDF("unit", "v")
+    for (m <- Seq("interval", "ordinal")) {
+      assert(Drift.krippendorffAlphaMetric(perfect, "unit", "v", m)
+        .collect()(0).getDouble(4) === 1.0)
+      assert(Drift.krippendorffAlphaMetric(const, "unit", "v", m)
+        .collect()(0).isNullAt(4))
+      val sr = Drift.krippendorffAlphaMetric(singles, "unit", "v", m)
+        .collect()(0)
+      assert(sr.getLong(0) === 0L && sr.getLong(1) === 0L && sr.isNullAt(4))
+    }
+
+    // >13-rater decimal route (shared machinery): 20-rater unit u1
+    // with 10×1 + 10×2 plus a 20×1 unit u2, interval metric —
+    // u1: sv = 30, svv = 50, A = 2(20·50 − 900) = 200; u2: A = 0
+    // D_o = (200/19)/40 = 5/19; n = 40, SV = 50, SVV = 70
+    // D_e = 2(40·70 − 2500)/(40·39) = 600/1560 = 5/13
+    // α = 1 − (5/19)/(5/13) = 6/19 — same value as the nominal wide
+    // case by construction (adjacent values 1,2 make interval ≡ nominal)
+    val wide = ((0 until 10).map(_ => ("u1", 1L)) ++
+      (0 until 10).map(_ => ("u1", 2L)) ++
+      (0 until 20).map(_ => ("u2", 1L))).toDF("unit", "v")
+    val wr = Drift.krippendorffAlphaMetric(wide, "unit", "v", "interval")
+      .collect()(0)
+    assert((wr.getLong(0), wr.getLong(1)) === (2L, 40L))
+    assert(wr.getDouble(3) === 0.384615)
+    assert(math.abs(wr.getDouble(4) - 6.0 / 19) < 1e-6)
+
+    // bad metric name rejected
+    intercept[IllegalArgumentException] {
+      Drift.krippendorffAlphaMetric(likert, "unit", "v", "nominal")
+    }
+  }
+
   test("aucRoc: hand-computed ties case, perfect/reversed/constant scores, empty class") {
     // scores 1,2,2,3 labels 0,0,1,1: ranks 1, 2.5, 2.5, 4 ->
     // R+ = 6.5, AUC = (6.5 - 3) / (2*2) = 0.875

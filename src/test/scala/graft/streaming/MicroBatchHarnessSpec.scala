@@ -50,6 +50,69 @@ class MicroBatchHarnessSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("id", "va"))
   }
 
+  test("no-data-batch skip: fewer triggers, identical emitted union for a watermarked append agg") {
+    // a watermarked 10s-window count in append mode — the operator
+    // class whose emissions RIDE the watermark (windows finalize when
+    // it passes their end). With the skip on, Spark runs no
+    // watermark-advance no-data batches; the trailing empty feed
+    // supplies the final emission instead. The UNION must be
+    // bit-identical; the trigger count must strictly drop.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val batchCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit =
+        { batchCounter.incrementAndGet(); () }
+      override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    // ts spread over 3 windows; each batch advances the watermark past
+    // the previous batch's windows so intermediate emissions happen
+    val batches = Seq(
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01")),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05"))),
+      Seq((3L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"))),
+      Seq((4L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"))))
+    def run(skip: Boolean): (Int, Seq[(Long, Long)]) = {
+      val prev = SparkEntry.skipNoDataBatches
+      SparkEntry.skipNoDataBatches = skip
+      batchCounter.set(0)
+      spark.streams.addListener(listener)
+      try {
+        val out = SparkEntry.runMicroBatched(spark, Seq("id", "ts"),
+          batches, "graft-test-nodata", Seq("wstart", "n"),
+          OutputMode.Append()) { stream =>
+          stream.withWatermark("ts", "1 second")
+            .groupBy(window(col("ts"), "10 seconds").as("w"))
+            .agg(count(lit(1)).as("n"))
+            .select(unix_timestamp(col("w.start")).as("wstart"), col("n"))
+        }
+        // drain async listener events before reading the counter
+        spark.streams.resetTerminated()
+        Thread.sleep(500)
+        (batchCounter.get(),
+          out.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+      } finally {
+        spark.streams.removeListener(listener)
+        SparkEntry.skipNoDataBatches = prev
+      }
+    }
+    val (nSkip, rowsSkip) = run(skip = true)
+    val (nFull, rowsFull) = run(skip = false)
+    // the two finalized windows emit ([0,10) and [60,70)); the last
+    // window's end (130 s) is past the final watermark in BOTH routes,
+    // so it stays in state — exactly why the real harness feeds a
+    // sentinel inside its last batch
+    assert(rowsSkip === rowsFull)
+    assert(rowsSkip.map(_._2) === Seq(2L, 1L))
+    // skip route: 3 data + 1 trailing empty = 4; stock route: 3 data +
+    // >= 2 no-data watermark advances (Spark may coalesce) — strictly more
+    assert(nSkip < nFull, s"expected fewer triggers, got $nSkip vs $nFull")
+    assert(nSkip === 4)
+  }
+
   test("streaming calibration state is batch-split invariant (mergeability)") {
     // the q206 composition: update-mode per-bin sums, max-merged, then
     // the shared readoff — the FINAL result must not depend on how the
