@@ -54,8 +54,17 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      // isolation: no query's residual cached state may tax the next
+      // isolation: no query's residual cached state may tax the next.
+      // clearCache covers SQL-cached relations; localCheckpoint blocks
+      // (Checkpoints.cut, the prefix/range-sort kernels) are plain
+      // persisted RDDs the ContextCleaner only reaps at GC time — at
+      // the 10x tree they are 10x bigger and were observed lingering
+      // across dozens of queries (storage pressure + old-gen growth
+      // taxing mid-suite queries with multi-second GC pauses), so they
+      // are unpersisted explicitly
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       dt
     }
 
@@ -155,7 +164,16 @@ object Bench {
       val cc = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
         .filter(_.getName.contains("CodeHeap")).map(p =>
           f"${p.getName}=${p.getUsage.getUsed / (1 << 20)}%dMB").mkString(" ")
-      System.err.println(f"[bench] $name%-28s $dt%7.2f s  $cc")
+      // GC telemetry: cumulative collector wall so a post-hoc diff
+      // shows which queries were taxed by pauses (the sf1 full-suite
+      // diagnosis lever — in-suite walls 3-8x isolated walls with no
+      // plan difference point at the JVM, not the query)
+      val gcMs = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      val heapMb = java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed / (1 << 20)
+      System.err.println(
+        f"[bench] $name%-28s $dt%7.2f s  gc=${gcMs}ms heap=${heapMb}MB  $cc")
       name -> dt
     }
     def jsonLine(rs: Seq[(String, Double)]): String = {

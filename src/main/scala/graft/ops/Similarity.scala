@@ -426,14 +426,28 @@ object Similarity {
     * near-linear hyperplane-LSH kernel above `maxExactRows`. The exact
     * kernel is the oracle baseline; the bucketed kernel is the 100 TB
     * path — this router is what production callers should use so the
-    * quadratic path is simply unreachable past the threshold. */
+    * quadratic path is simply unreachable past the threshold. The
+    * default gate (100k rows → 1e10 compares ≈ minutes at the
+    * measured in-block pair rate) is the largest corpus where "exact
+    * because we can afford it" still holds; the old 1M default meant
+    * 1e12 compares — hours — before the router ever flipped. */
   def cosinePairsAuto(df: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double, maxExactRows: Long = 1000000L,
-                      blockSize: Int = 200000): DataFrame =
-    if (df.select(idCol).count() <= maxExactRows)
+                      threshold: Double, maxExactRows: Long = 100000L,
+                      blockSize: Int = 200000): DataFrame = {
+    val n = df.select(idCol).count()
+    if (n <= maxExactRows)
       cosinePairsBlocked(df, idCol, vecCol, threshold, blockSize)
-    else
-      cosineNearDupBucketed(df, idCol, vecCol, threshold)
+    else {
+      // bucket-count sizing (the nCentroidsFor discipline): with a
+      // FIXED nBits the per-bucket mass grows with the corpus and the
+      // within-bucket candidate volume decays to n²/2^nBits — size the
+      // bit count so expected bucket occupancy stays ~64 vectors and
+      // candidates grow ~linearly instead
+      val nBits = math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, n / 64L - 1L)))
+      cosineNearDupBucketed(df, idCol, vecCol, threshold, nBits = nBits)
+    }
+  }
 
   /** Random-hyperplane LSH bucket for a vector column: `nBits` sign bits
     * of projections onto deterministic md5-seeded hyperplanes — the

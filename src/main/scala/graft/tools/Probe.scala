@@ -1135,11 +1135,64 @@ object Probe {
           s"(parts=${sys.env.getOrElse("PROBE_STREAM_PARTS", "1")})")
       }
     }
+    // Where does q63's sf1 wall go? equiDepth = count + range-sort
+    // checkpoint + two RDD passes + 8-group agg, all linear on paper.
+    names.filter(_ == "q63-split").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      def tt[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"Q63-SPLIT $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      (1 to 2).foreach { run =>
+        println(s"Q63-SPLIT run $run")
+        val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+        val rows = tt("scan+select")(
+          ev0.select(col("value").cast("double").as("v"), col("event_id").as("id"))
+            .filter(col("v").isNotNull).localCheckpoint())
+        val n = tt("count")(rows.count())
+        val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val sorted = tt("rangeSort+ckpt")(
+          rows.withColumn("__v0", lit(1L))
+            .repartitionByRange(nPart, col("v"), col("id"))
+            .sortWithinPartitions(col("v"), col("id"))
+            .localCheckpoint())
+        val vIdx = sorted.schema.fieldIndex("__v0")
+        val p1 = tt("pass1")(
+          sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+            var s = 0L; it.foreach { r => if (!r.isNullAt(vIdx)) s += r.getLong(vIdx) }
+            Iterator((i, s))
+          }.collect())
+        println(s"Q63-SPLIT n=$n parts=${p1.length}")
+        val full = tt("full-equiDepth")(
+          graft.engine.Histogram.equiDepth(ev0, "value", "event_id", 8).collect())
+        println(s"Q63-SPLIT buckets=${full.length}")
+      }
+    }
     names.filter(_.startsWith("plan:")).foreach { n =>
       val q = n.stripPrefix("plan:")
       println(s"===== PLAN $q =====")
       println(qs(q)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+    }
+    // parts — scan-partition counts per table (file bin-packing check)
+    names.filter(_ == "parts").foreach { _ =>
+      Seq("documents", "embeddings", "events", "orders", "lineitem",
+        "customer").foreach { t =>
+        val df = spark.read.parquet(s"$sfDir/$t.parquet")
+        println(s"PARTS $t partitions=${df.rdd.getNumPartitions}")
+      }
+    }
+    // time:qNNN — the bench's exact per-query path (registration fn +
+    // noop write + clearCache), 3 samples, for isolating in-suite walls
+    names.filter(_.startsWith("time:")).foreach { n =>
+      val q = n.stripPrefix("time:")
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        qs(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        println(f"TIME $q run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     // r11 verdict #2: materialize an sf1 tree (10x sf0.1) for the
     // scale-law run. documents/embeddings grow CONTENT-disjoint (the
