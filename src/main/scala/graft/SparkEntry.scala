@@ -3006,9 +3006,18 @@ object SparkEntry {
     // graph (symmetrized; exact fixed-point sums — see Graph.pageRank) ---
     "q83_pagerank" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      val edges = li.select(
-        concat(lit("p"), col("l_partkey").cast("string")).as("a"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+      // distinct on the LONG key pair BEFORE the string build and
+      // symmetrization: "p"+partkey is injective, so the edge set is
+      // identical, but the dedup shuffle moves |lineitem| 16-byte key
+      // pairs instead of 2·|lineitem| ~30-byte strings — at the 10×
+      // tree that one change is ~10 s of the query's ~28 s (r13
+      // q83-split receipt; pageRank's internal distinct then re-keys
+      // the already-unique 11.8M sym edges, not 120M raw rows)
+      val pairs = li.select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = pairs.select(
+        concat(lit("p"), col("pk").cast("string")).as("a"),
+        concat(lit("s"), col("sk").cast("string")).as("b"))
       val sym = edges.unionByName(
         edges.select(col("b").as("a"), col("a").as("b")))
       Graph.pageRank(sym, "a", "b", iterations = 3)

@@ -91,7 +91,20 @@ object Graph {
       .distinct()
       .transform(Checkpoints.cut)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src").transform(Checkpoints.cut) // (src, dst, deg), reused every round
+    // (src, dst, deg), reused every round. Pre-partitioned AND
+    // pre-sorted on the join key BEFORE the lineage cut: localCheckpoint
+    // (and reliable checkpoint) preserve the physical partitioning and
+    // ordering in the LogicalRDD, so every round's rank join reuses
+    // this one exchange+sort — only the node-bounded rank frame moves
+    // per round. Without this the sort-merge join re-shuffled the FULL
+    // edge table every iteration (the r13 sf1 run measured q83 at
+    // ~12x for data x10; edges dominate nodes by orders of magnitude
+    // at any real graph scale, so shuffling edges once, not per round,
+    // is the difference between iteration cost O(E) disk+network per
+    // round and O(V)).
+    val ed = e.join(deg, "src")
+      .repartition(col("src")).sortWithinPartitions("src")
+      .transform(Checkpoints.cut)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
       .transform(Checkpoints.cut)

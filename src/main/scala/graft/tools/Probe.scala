@@ -1175,6 +1175,55 @@ object Probe {
       println(qs(q)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
+    // q83-split: where does pageRank's sf1 wall go? edge distinct+cut,
+    // degree join cut, node count, then each MM round.
+    names.filter(_ == "q83-split").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      def tt[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"Q83-SPLIT $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      (1 to 2).foreach { run =>
+        println(s"Q83-SPLIT run $run")
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val edges = li.select(
+          concat(lit("p"), col("l_partkey").cast("string")).as("a"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        val sym = edges.unionByName(
+          edges.select(col("b").as("a"), col("a").as("b")))
+        val e = tt("distinct+cut")(
+          sym.filter(col("a").isNotNull && col("b").isNotNull)
+            .select(col("a").as("src"), col("b").as("dst"))
+            .distinct().transform(graft.ops.Checkpoints.cut))
+        val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        val ed = tt("ed join+repart+cut")(
+          e.join(deg, "src").repartition(col("src"))
+            .sortWithinPartitions("src").transform(graft.ops.Checkpoints.cut))
+        val nodes = tt("nodes distinct+cut")(
+          e.select(col("src").as("id"))
+            .unionByName(e.select(col("dst").as("id"))).distinct()
+            .transform(graft.ops.Checkpoints.cut))
+        val n = tt("node count")(nodes.count())
+        println(s"Q83-SPLIT nodes=$n edges=" + ed.count())
+        var ranks = nodes.withColumn("pr", lit(1.0 / n))
+        (1 to 3).foreach { it =>
+          ranks = tt(s"round $it") {
+            val contrib = ed.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+              .groupBy(col("dst").as("id"))
+              .agg(sum(floor(col("pr") / col("deg") * 1e15)
+                .cast("decimal(38,0)")).as("acc"))
+            val next = ranks.drop("pr").join(contrib, Seq("id"), "left")
+              .select(col("id"), (lit(0.15 / n) + lit(0.85) *
+                (coalesce(col("acc"), lit(java.math.BigDecimal.ZERO))
+                  .cast("double") / 1e15)).as("pr"))
+            val cut = if (it % 2 == 0 || it == 3)
+              next.transform(graft.ops.Checkpoints.cut) else next
+            cut.count(); cut
+          }
+        }
+      }
+    }
     // parts — scan-partition counts per table (file bin-packing check)
     names.filter(_ == "parts").foreach { _ =>
       Seq("documents", "embeddings", "events", "orders", "lineitem",
