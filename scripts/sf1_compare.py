@@ -14,14 +14,16 @@ gate, as are sub-0.3 s sf0.1 rows where the ratio is scheduler jitter.
 """
 import json, sys, statistics
 
-sha = sys.argv[1] if len(sys.argv) > 1 else None
+# sha may be comma-separated to pool runs across code-identical trees
+# (e.g. a "-dirty" twin taken before recompiling, or doc-only commits)
+shas = set(sys.argv[1].split(",")) if len(sys.argv) > 1 else None
 gate = float(sys.argv[2]) if len(sys.argv) > 2 else 4.0
 
 runs = {"/root/testdata/sf0.1": [], "/tmp/graft_sf1": []}
 for line in open("BENCH_LOG.jsonl"):
     j = json.loads(line)
     b = j["bench"]
-    if sha and j.get("sha") != sha:
+    if shas and j.get("sha") not in shas:
         continue
     if b["sf"] in runs:
         runs[b["sf"]].append(b["queries"])
@@ -35,7 +37,7 @@ def medians(rs):
 
 m01 = medians(runs["/root/testdata/sf0.1"])
 m1 = medians(runs["/tmp/graft_sf1"])
-print(f"sha={sha} runs: sf0.1={len(runs['/root/testdata/sf0.1'])} "
+print(f"sha={sorted(shas) if shas else None} runs: sf0.1={len(runs['/root/testdata/sf0.1'])} "
       f"sf1={len(runs['/tmp/graft_sf1'])}")
 common = sorted(set(m01) & set(m1), key=lambda q: -(m1[q] / max(m01[q], 1e-9)))
 flagged = []
