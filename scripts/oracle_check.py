@@ -25,7 +25,7 @@ def canon(rows, cols):
         for i in order:
             v = r[i]
             if isinstance(v, float):
-                v = round(v, 9)
+                v = round(v, 9) + 0.0  # also folds IEEE -0.0 into 0.0
             vals.append(repr(v))
         out.append(tuple(vals))
     out.sort()
@@ -35,8 +35,11 @@ def main(sf_dir, out_dir, timeout_sec=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if os.path.isdir(p):  # Spark-written table dir: glob the parts
+            p = f"{p}/part-*.parquet"
+        elif not os.path.exists(p):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_timeout = 0
     for name in sorted(oracle):

@@ -1133,11 +1133,26 @@ object SparkEntry {
         Multimodal.wavPcmFixture(channels, rate, n,
           u(4) * 256 + u(5), 1 + u(6) % 255)
       }
-      val withP = docs.select(col("doc_id"), fix(col("text")).as("payload"))
-      withP.select(col("doc_id"),
+      // n recomputed expression-side (same md5 digits as the fixture)
+      // so the published fraction rounds through INTEGER arithmetic:
+      // the count c is recovered exactly from frac·n, and
+      // round-half-up(c/n, 6) = (2·c·10⁶ + n) div (2n), an identical
+      // integer on both engines — a plain double round(c/n, 6) splits
+      // ties like 41/640 = 0.0640625 differently across engines
+      // (caught by the r13 sf1 verify: 43 rows off at the 7th digit;
+      // sf0.01/sf0.1 never landed on a tie). Non-tie values are
+      // unchanged, so the sf0.01 oracle row is identical.
+      val nSamp = (lit(64) +
+        conv(substring(md5(col("text")), 5, 4), 16, 10).cast("long") % 960)
+        .cast("int")
+      val withP = docs.select(col("doc_id"), fix(col("text")).as("payload"),
+        nSamp.as("__n"))
+      withP.select(col("doc_id"), col("__n"),
           posexplode(Multimodal.embedAudio(col("payload"), 16)))
+        .withColumn("__c", round(col("col") * col("__n"), 0).cast("long"))
         .select(col("doc_id"), col("pos").cast("int").as("bucket"),
-          round(col("col"), 6).as("frac"))
+          (expr("(__c * 2000000 + __n) div (2 * __n)").cast("double") / 1e6)
+            .as("frac"))
         .orderBy("doc_id", "bucket")
     }),
 
@@ -3591,7 +3606,11 @@ object SparkEntry {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       docs.select(col("doc_id"),
           posexplode(Multimodal.embedStub(col("payload"), 4)))
-        .select(col("doc_id"), col("pos").as("j"), round(col("col"), 6).as("v"))
+        // + 0.0: IEEE -0.0 → 0.0 (mirrored in the oracle; one sf1 row
+        // rounded to zero from below and the engines disagreed on the
+        // sign of zero)
+        .select(col("doc_id"), col("pos").as("j"),
+          (round(col("col"), 6) + lit(0.0)).as("v"))
         .orderBy("doc_id", "j")
     }),
 
@@ -6194,7 +6213,8 @@ object SparkEntry {
            |b AS (SELECT doc_id, n,
            |    unnest(generate_series(0, 15)) AS bucket FROM d)
            |SELECT b.doc_id, CAST(b.bucket AS INT) AS bucket,
-           |  round(CAST(coalesce(pc.c, 0) AS DOUBLE) / b.n, 6) AS frac
+           |  CAST((coalesce(pc.c, 0) * 2000000 + b.n) // (2 * b.n)
+           |    AS DOUBLE) / 1000000.0 AS frac
            |FROM b LEFT JOIN pc ON pc.doc_id = b.doc_id AND pc.bucket = b.bucket
            |ORDER BY 1, 2""".stripMargin,
 
@@ -7784,9 +7804,12 @@ object SparkEntry {
           |  FROM documents) WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
 
       "q50_zorder" -> {
-        // 16-bit-per-dimension arithmetic replay of InterleaveBits
-        // (fixture dims < 2^16; higher Spark-side bits are zero)
-        val z = (0 until 16).map { j =>
+        // 30-bit-per-dimension arithmetic replay of InterleaveBits
+        // (bit j of a lands at 2j ≤ 58, of b at 2j+1 ≤ 59 — BIGINT-safe
+        // on both engines; was 16 bits, which silently truncated the
+        // 10x tree's 1e8-shifted user ids — caught by the r13 sf1
+        // verify, 900k differing rows; dims here stay < 2^30)
+        val z = (0 until 30).map { j =>
           s"(((a >> $j) & 1) * ${1L << (2 * j)} + ((b >> $j) & 1) * ${1L << (2 * j + 1)})"
         }.mkString("(", " + ", ")")
         s"""SELECT event_id, CAST($z AS BIGINT) AS z FROM (
@@ -8110,9 +8133,13 @@ object SparkEntry {
 
       "q34_text_vector_profile" -> q34Sql,
 
+      // + 0.0 normalizes IEEE negative zero: a stub component rounding
+      // to zero from below published -0.0 on one engine and 0.0 on the
+      // other (one row in the r13 sf1 verify); identity for every
+      // other value, mirrored on the Spark side
       "q36_multimodal_embed" ->
         (0 until 4).map { j =>
-          s"SELECT doc_id, $j AS j, round(CAST(${hash31Sql(s"md5(text) || '#$j'")} AS DOUBLE) / 268435456.0 * 2.0 - 1.0, 6) AS v FROM documents"
+          s"SELECT doc_id, $j AS j, round(CAST(${hash31Sql(s"md5(text) || '#$j'")} AS DOUBLE) / 268435456.0 * 2.0 - 1.0, 6) + 0.0 AS v FROM documents"
         }.mkString("", " UNION ALL ", " ORDER BY doc_id, j"),
 
       "q35_decode_roundtrip" ->
