@@ -51,12 +51,23 @@ def main(sf_dir, out_dir, timeout_sec=None):
             continue
         timer = None
         timed_out = []
+        done = []  # set before leaving the try: a timer firing after
+        # the last fetch must NOT con.interrupt() an idle connection
+        # (the interrupt would abort the NEXT query's execute and
+        # misreport it as FAIL)
         if timeout_sec:
             def interrupt():
-                timed_out.append(True)
-                con.interrupt()
+                if not done:
+                    timed_out.append(True)
+                    con.interrupt()
             timer = threading.Timer(timeout_sec, interrupt)
             timer.start()
+            # absorb any stale interrupt a prior query's timer race
+            # may have left pending on the shared connection
+            try:
+                con.execute("SELECT 1").fetchall()
+            except Exception:
+                pass
         try:
             sr = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
             scols = [d[0] for d in sr.description]
@@ -66,6 +77,7 @@ def main(sf_dir, out_dir, timeout_sec=None):
             dcols = [d[0] for d in dr.description]
             dtypes = [str(d[1]) for d in dr.description]
             drows = dr.fetchall()
+            done.append(True)
         except Exception as e:
             if timed_out:
                 n_timeout += 1

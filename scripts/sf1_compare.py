@@ -29,8 +29,10 @@ for line in open("BENCH_LOG.jsonl"):
         runs[b["sf"]].append(b["queries"])
 
 def medians(rs):
+    # union of keys across ALL runs: a query missing from the first
+    # (failed/partial) run must still enter the scale-law table
     out = {}
-    for q in rs[0] if rs else {}:
+    for q in (set().union(*[set(r) for r in rs]) if rs else set()):
         vals = [r[q] for r in rs if q in r]
         out[q] = statistics.median(vals)
     return out

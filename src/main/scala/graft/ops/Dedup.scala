@@ -475,6 +475,41 @@ object Dedup {
     verifyExactJaccard(sh, cand, minJaccard)
   }
 
+  /** Size-routed Jaccard similarity self-join — the q194/q195 twin
+    * pattern applied to the set-similarity family. At or below
+    * `maxExactDocs` this is [[jaccardJoinPrefix]]: EXACT AllPairs, no
+    * false negatives, the oracle ground truth. Above the gate it
+    * auto-routes to [[lshJaccardDedup]] (MinHash-LSH candidates +
+    * exact verification — the q24 machinery): per-pair recall
+    * 1−(1−s^r)^b rather than 1, but candidate volume near-linear in
+    * the corpus instead of the exact filter's worst case. The r13
+    * full-suite sf1 run measured the exact route ×7.7 at data ×10 on
+    * a rotation-disjoint corpus — linear-work saturation, not a
+    * quadratic trap (candidates provably grew ×10), but a corpus 100×
+    * wider pays the same cliff, and this router is what makes it
+    * unreachable: production callers get the banded route past the
+    * gate while the exact kernel stays the ≤N ground truth. Both
+    * routes END in the same exact verification kernel, so every
+    * emitted pair's jaccard value is exact; only recall differs, and
+    * only above the gate. Exact-duplicate pairs (J = 1) have
+    * identical MinHash signatures, hence identical band buckets —
+    * they are detected with probability 1 on BOTH routes (the
+    * route-parity anchor the boundary spec asserts). */
+  def jaccardJoinAuto(df: DataFrame, idCol: String, textCol: String,
+                      minJaccard: Double, k: Int = 3,
+                      maxExactDocs: Long = 8192L,
+                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    // LIMIT-bounded route probe (the hammingTopKAuto discipline): the
+    // gate must never silently route a corpus larger than the
+    // threshold to the exact kernel
+    val n =
+      if (maxExactDocs < Int.MaxValue - 1L)
+        df.limit(maxExactDocs.toInt + 1).count()
+      else df.count()
+    if (n <= maxExactDocs) jaccardJoinPrefix(df, idCol, textCol, minJaccard, k)
+    else lshJaccardDedup(df, idCol, textCol, numHashes, bands, k, minJaccard)
+  }
+
   /** EXACT containment self-join via the ASYMMETRIC prefix filter:
     * every ORDERED pair (a, b), a ≠ b, with
     * C(a in b) = |A∩B| / |A| ≥ `minContainment` — the relation Jaccard

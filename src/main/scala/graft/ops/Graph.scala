@@ -65,11 +65,19 @@ object Graph {
     * the per-edge contribution pr(u)/deg(u) is a scalar double op, but
     * its SUM over in-edges would be partition-order-dependent in
     * double. Contributions are therefore fixed-pointed —
-    * floor(x·10¹⁵) as DECIMAL(38,0) — summed exactly (order-free),
+    * floor(x·10¹⁵) as a primitive LONG — summed exactly (order-free),
     * and scaled back once per round. 10¹⁵ keeps every floored value
-    * under 2⁵³, so the float→decimal conversion is exact in any
-    * engine; the floor truncation error per round is
-    * ≤ in-degree·10⁻¹⁵, far below the 6-dp output rounding.
+    * under 2⁵³ (double→long exact in any engine), and the LONG sum
+    * cannot overflow BY CONSTRUCTION: Σ_edges floor(pr(u)/deg(u)·10¹⁵)
+    * ≤ 10¹⁵·Σ_u pr(u) ≤ 10¹⁵ ≪ 2⁶³ — ranks are a (sub-)probability
+    * mass, so even the GLOBAL contribution sum fits a long. The long
+    * carrier replaces the r13 DECIMAL(38,0) carrier: identical exact
+    * integer sums (same values, oracle row unchanged), but summed as
+    * a codegen primitive instead of one Decimal allocation per edge
+    * per round — the r13 sf1 run measured 58 s cumulative GC by q83,
+    * attributed to exactly that allocation pressure. The floor
+    * truncation error per round is ≤ in-degree·10⁻¹⁵, far below the
+    * 6-dp output rounding.
     *
     * Shape per round: one keyed join (edges ⋈ ranks on src — ranks is
     * the N-row frame, broadcastable while N fits, shuffle-joinable
@@ -120,11 +128,11 @@ object Graph {
       val contrib = ed.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(floor(col("pr") / col("deg") * 1e15)
-          .cast("decimal(38,0)")).as("acc"))
+          .cast("long")).as("acc"))
       val next = ranks.drop("pr").join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + lit(damping) *
-            (coalesce(col("acc"), lit(java.math.BigDecimal.ZERO)).cast("double") / 1e15))
+            (coalesce(col("acc"), lit(0L)).cast("double") / 1e15))
             .as("pr"))
       ranks =
         if (it % checkpointEvery == 0 || it == iterations)

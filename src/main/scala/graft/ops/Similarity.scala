@@ -506,7 +506,8 @@ object Similarity {
     * corpus. */
   def cosineNearDupBucketed(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, nBits: Int = 8,
-                            nTables: Int = 4, seed: Long = 42L): DataFrame = {
+                            nTables: Int = 4, seed: Long = 42L,
+                            maxBucketRows: Long = 1024L): DataFrame = {
     val spark = df.sparkSession
     // materialize (id, vec, norm) once: the nTables bucket scans and the
     // two verification joins would otherwise each re-evaluate the norm
@@ -517,11 +518,46 @@ object Similarity {
     val dim = df.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol)).as("d")).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
+    // Hot-bucket re-split (r14, the q27 sf1 lesson): on a CLUSTERED
+    // corpus the sign-bit buckets are skewed — bucket occupancy m
+    // contributes m(m−1)/2 candidate pairs, so one hot bucket
+    // dominates the whole verify join (measured ×8.9 at data ×10 on
+    // the rotated-copy sf1 corpus). Every row therefore also carries
+    // `extBits` EXTENSION sign bits from independent hyperplanes
+    // (seed-offset), and buckets above `maxBucketRows` are re-split by
+    // appending ceil(log2(m/256)) of them — enough to bring expected
+    // occupancy back to ~256 when the hot bucket is a diffuse cluster.
+    // EXACT duplicates have identical sign bits under EVERY hyperplane,
+    // so a re-split can never separate them (recall 1.0 for J=1 pairs
+    // stays); near-but-not-identical pairs in a split bucket keep
+    // multi-table recall (each table re-splits independently). A
+    // bucket of true exact copies cannot split (identical extensions)
+    // — its verify work is genuine duplicate mass, not skew.
+    val extBits = 16
     val tabled = (0 until nTables).map { t =>
       val bucket = hyperplaneBucketFast(spark, dim, nBits, seed + t)
-      v.select(col("id"), lit(t).as("tbl"), bucket(col("v")).as("bucket"))
+      val ext = hyperplaneBucketFast(spark, dim, extBits, seed + 7791L + t)
+      v.select(col("id"), lit(t).as("tbl"), bucket(col("v")).as("bucket"),
+        ext(col("v")).as("__ext"))
     }.reduce(_ unionByName _)
-    val cand = tabled.as("l").join(tabled.as("r"),
+    val counts = tabled.groupBy("tbl", "bucket").agg(count(lit(1)).as("__m"))
+    // candidate-volume audit receipt (stderr): the counts frame is
+    // ≤ nTables·2^nBits rows — bounded driver state
+    try {
+      val a = counts.agg(max("__m").as("mx"),
+        sum(col("__m") * (col("__m") - 1) / 2).as("cand")).collect()(0)
+      System.err.println(s"[cosineNearDupBucketed] maxBucket=${a.get(0)} " +
+        s"rawCandidates=${a.get(1)} (cap=$maxBucketRows, resplit<=$extBits bits)")
+    } catch { case _: Throwable => () }
+    val refined = tabled.join(counts, Seq("tbl", "bucket"))
+      .withColumn("__need",
+        when(col("__m") <= maxBucketRows, lit(0))
+          .otherwise(least(lit(extBits), greatest(lit(1),
+            ceil(log(2.0, col("__m").cast("double") / 256.0)).cast("int")))))
+      .withColumn("bucket",
+        concat(col("bucket"), expr("substring(__ext, 1, __need)")))
+      .select("id", "tbl", "bucket")
+    val cand = refined.as("l").join(refined.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))

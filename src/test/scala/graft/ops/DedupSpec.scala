@@ -109,6 +109,30 @@ class DedupSpec extends SparkSpec {
     assert(pref === brute)
   }
 
+  test("jaccardJoinAuto: route parity at the gate boundary (exact-dup anchors)") {
+    // the q194/q195 twin contract for the set-similarity family: the
+    // gate flips exact-AllPairs → MinHash-LSH, and the flip must not
+    // lose the pairs the operator exists to find. Fixture: 12 distinct
+    // docs each with one EXACT copy (J=1 — identical signatures,
+    // detected w.p. 1 on both routes) and no near-threshold pairs, so
+    // the assertion certifies the route flip, not LSH luck.
+    val rows = (0 until 12).flatMap { i =>
+      val text = (0 until 10).map(w => s"w${i}_$w").mkString(" ")
+      Seq((i.toLong, text), (100L + i, text))
+    }
+    val df = rows.toDF("id", "text")
+    def run(gate: Long) =
+      Dedup.jaccardJoinAuto(df, "id", "text", minJaccard = 0.8, k = 3,
+          maxExactDocs = gate)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+        .toSet
+    val exactRoute = run(1000L) // 24 docs <= gate: prefix-filter kernel
+    val lshRoute = run(4L)      // 24 docs  > gate: MinHash-LSH kernel
+    assert(exactRoute === (0 until 12).map(i => (i.toLong, 100L + i, 1000000000L)).toSet)
+    assert(lshRoute === exactRoute)
+  }
+
   test("simhash Hamming near-dup: exact dups at dist 0, near dups within tolerance, unrelated absent") {
     val pairs = Dedup.simhashNearDup(docs, "id", "text", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap

@@ -637,4 +637,45 @@ class DriftSpec extends SparkSpec {
     assert(driver === dist)
     assert(driver.map(_._4).sum > 0.99) // strengths normalize
   }
+
+  test("bradleyTerry distributed route: 90%-skew celebrity fixture, no single-task funnel") {
+    // arena-data reality: one celebrity model appears in ~90% of all
+    // comparisons. The distributed route's per-round state is keyed by
+    // item id, so the celebrity's row receives one T_ij term per
+    // opponent — the skew lands in a groupBy(id).agg(sum(...)), which
+    // Spark plans with MAP-SIDE PARTIAL aggregation: each input
+    // partition pre-sums its celebrity terms and the exchange carries
+    // one partial row per partition, never the full edge list to one
+    // task. The parity assertion certifies values under skew; the plan
+    // assertion certifies the combinable-aggregate shape that makes
+    // the skew harmless (a collect_list/struct carrier would lose it).
+    val celeb = "c"
+    val others = (0 until 40).map(i => f"x$i%02d")
+    val m = (others.zipWithIndex.flatMap { case (x, i) =>
+      // celebrity plays everyone, uneven counts, some upsets
+      Seq.fill(15 + i % 7)((celeb, x)) ++ Seq.fill(i % 3)((x, celeb))
+    } ++ others.sliding(2).flatMap {                 // sparse x-vs-x tail
+      case Seq(a, b) => Seq((a, b)); case _ => Nil
+    }).toDF("win", "lose")
+    def run(gate: Long) =
+      Drift.bradleyTerry(m, "win", "lose", iterations = 20,
+          maxDriverPairs = gate)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(_._1).toSeq
+    val driver = run(1L << 20)
+    val dist = run(0L)
+    assert(driver === dist)
+    val cRow = driver.find(_._1 == celeb).get
+    assert(cRow._3 > driver.filter(_._1 != celeb).map(_._3).max * 5,
+      "fixture must actually be celebrity-skewed")
+    // shape receipt: the round aggregation (same groupBy(id).agg(sum)
+    // form as Drift.bradleyTerry's distributed round) plans as a
+    // partial+final aggregate pair — the map-side combine that absorbs
+    // per-key skew before the exchange
+    val edges = m.groupBy(col("win").as("id"), col("lose").as("opp"))
+      .agg(count(lit(1)).as("nij"))
+    val roundShape = edges.groupBy("id").agg(sum(col("nij")).as("s"))
+    assert(roundShape.queryExecution.executedPlan.toString.contains("partial_sum"),
+      "distributed BT round aggregation must be map-side combinable")
+  }
 }

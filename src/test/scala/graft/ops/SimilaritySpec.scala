@@ -188,6 +188,37 @@ class SimilaritySpec extends SparkSpec {
     assert(bucketed === exact)             // full recall at these settings
   }
 
+  test("cosineNearDupBucketed: hot-bucket re-split keeps exact parity on a clustered corpus") {
+    // the q27 sf1 failure shape: a clustered corpus concentrates sign
+    // buckets, and occupancy m costs m(m-1)/2 candidates. Fixture: two
+    // true-duplicate groups of 30 POSITIVE-SCALED copies each (scaling
+    // never flips a projection sign, so each group shares every base
+    // AND extension bucket — the un-splittable true-dup mass) plus 40
+    // diffuse cluster members (sim ~0.9, below threshold — the
+    // splittable skew). maxBucketRows=8 forces the re-split path to
+    // execute on every hot bucket; the output must still equal the
+    // exact kernel's: re-splitting can separate only pairs that exact
+    // verification would reject anyway in this fixture (identical-sign
+    // dup groups ride together at any bit count).
+    val rnd = new scala.util.Random(41)
+    val u1 = Array(1.0f, 0.8f, -0.3f, 0.5f, -0.9f, 0.2f, 0.7f, -0.4f)
+    val u2 = u1.map(x => -x)
+    val grp1 = (0 until 30).map(i => ((100 + i).toLong, u1.map(_ * (1.0f + i))))
+    val grp2 = (0 until 30).map(i => ((200 + i).toLong, u2.map(_ * (1.0f + i))))
+    val diffuse = (0 until 40).map { i =>
+      (300L + i, u1.map(x => x + 0.5f * rnd.nextGaussian().toFloat))
+    }
+    val df = (grp1 ++ grp2 ++ diffuse).toDF("id", "v")
+    val exact = Similarity.cosinePairs(df, "id", "v", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.cosineNearDupBucketed(df, "id", "v", 0.99,
+        maxBucketRows = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both 30-copy groups: all 435 within-group pairs, cosine exactly 1
+    assert(exact.size >= 870)
+    assert(bucketed === exact)
+  }
+
   test("semantic dedup: within-cluster dups collapse to lowest id, distinct docs survive") {
     val rnd = new scala.util.Random(7)
     // 4 well-separated cluster directions in 8-d; 5 distinct docs per

@@ -89,9 +89,18 @@ class MicroBatchHarnessSpec extends SparkSpec {
             .agg(count(lit(1)).as("n"))
             .select(unix_timestamp(col("w.start")).as("wstart"), col("n"))
         }
-        // drain async listener events before reading the counter
+        // drain async listener events before reading the counter:
+        // poll until the count has been stable for 500 ms (a single
+        // fixed sleep races late-delivered progress events on a
+        // loaded host and makes the exact-count assertion flaky)
         spark.streams.resetTerminated()
-        Thread.sleep(500)
+        var last = -1
+        var stableSince = System.nanoTime()
+        while ({
+          val cur = batchCounter.get()
+          if (cur != last) { last = cur; stableSince = System.nanoTime() }
+          System.nanoTime() - stableSince < 500L * 1000 * 1000
+        }) Thread.sleep(50)
         (batchCounter.get(),
           out.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
       } finally {
