@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import scala.util.chaining._
 
 import graft.engine.{Detector, DetectorConfig, Histogram, Profiler}
-import graft.ops.{Bucketing, Corpus, Curation, Dedup, Drift, Expectations, Frequent, Graph, Layout, Multimodal, Prefix, Quantize, Sampling, Similarity, Sink, Sketch, Skew, Snapshot, Svg, Temporal, TextAnalysis}
+import graft.ops.{Bucketing, Corpus, Curation, Dedup, Drift, Expectations, Frequent, Graph, IvfIndex, Layout, Multimodal, Prefix, Quantize, Sampling, Similarity, Sink, Sketch, Skew, Snapshot, Svg, Temporal, TextAnalysis}
 import graft.streaming.StreamingProfile
 
 /** Driver contract: every deterministic operator of the engine is
@@ -3031,22 +3031,30 @@ object SparkEntry {
     // graph (symmetrized; exact fixed-point sums — see Graph.pageRank) ---
     "q83_pagerank" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      // distinct on the LONG key pair BEFORE the string build and
-      // symmetrization: "p"+partkey is injective, so the edge set is
-      // identical, but the dedup shuffle moves |lineitem| 16-byte key
-      // pairs instead of 2·|lineitem| ~30-byte strings — at the 10×
-      // tree that one change is ~10 s of the query's ~28 s (r13
-      // q83-split receipt; pageRank's internal distinct then re-keys
-      // the already-unique 11.8M sym edges, not 120M raw rows)
+      // LONG keys end-to-end (r14): the whole iteration runs on packed
+      // long vertex ids — part k ↦ 2k, supplier k ↦ 2k+1 (a bijection:
+      // the p/s namespaces are disjoint by parity) — decoded to the
+      // published "p…"/"s…" strings only in the final projection.
+      // Ranks are a pure function of graph structure, so values are
+      // bit-identical under the bijection, but every internal shuffle
+      // (degree agg, contribution agg, rank joins ×3 rounds) moves
+      // 8-byte keys instead of ~10-char strings. The distinct runs on
+      // the raw (pk, sk) pairs BEFORE symmetrization (|lineitem| rows,
+      // narrowest form), and pageRank is told assumeDistinct — the
+      // union of a distinct directed set with its parity-disjoint
+      // reverse is provably duplicate-free, so the internal re-dedup
+      // of 11.8M sym edges is skipped outright.
       val pairs = li.select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
       val edges = pairs.select(
-        concat(lit("p"), col("pk").cast("string")).as("a"),
-        concat(lit("s"), col("sk").cast("string")).as("b"))
+        (col("pk") * 2).as("a"), (col("sk") * 2 + 1).as("b"))
       val sym = edges.unionByName(
         edges.select(col("b").as("a"), col("a").as("b")))
-      Graph.pageRank(sym, "a", "b", iterations = 3)
-        .select(col("id"), round(col("pr"), 6).as("pr"))
+      Graph.pageRank(sym, "a", "b", iterations = 3, assumeDistinct = true)
+        .select(
+          concat(when(pmod(col("id"), lit(2)) === 0, lit("p")).otherwise(lit("s")),
+            expr("CAST(id DIV 2 AS STRING)")).as("id"),
+          round(col("pr"), 6).as("pr"))
         .orderBy("id")
     }),
 
@@ -3961,6 +3969,49 @@ object SparkEntry {
           col("decoded.height").as("height"),
           col("decoded.duration_ms").as("duration_ms"))
         .orderBy("doc_id")
+    }),
+
+    // --- persistable/appendable IVF index: build on the LOW-id half,
+    // admit the high-id half by assignment-only append (no retraining
+    // — the daily-shard shape), search the persisted tables. The low
+    // half contains the union's 16 lowest ids, so the frozen centroids
+    // EQUAL a full rebuild's — the oracle replays rebuild-then-search
+    // over the union (q30's plan) and the row proves append-then-search
+    // ≡ rebuild-then-search value-for-value ---
+    "q230_ivf_index_append" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 5)
+      val cut = corpus.agg(expr("(max(vec_id) + 1) DIV 2")).collect()(0).getLong(0)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(d.hashCode)}"
+      IvfIndex.build(corpus.filter(col("vec_id") < cut),
+        "vec_id", "embedding", path, nCells = 16)
+      IvfIndex.append(s, path, corpus.filter(col("vec_id") >= cut),
+        "vec_id", "embedding")
+      IvfIndex.search(s, path, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- the index's retrain trigger: per-cell PSI of the appended
+    // generations against the build-time cell population (categorical
+    // Laplace-smoothed PSI over the K trained cells) — the drift
+    // instrument that says when assignment-only admission has decayed
+    // the quantizer enough to rebuild ---
+    "q231_ivf_index_drift" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 5)
+      val cut = corpus.agg(expr("(max(vec_id) + 1) DIV 2")).collect()(0).getLong(0)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfd_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(d.hashCode)}"
+      IvfIndex.build(corpus.filter(col("vec_id") < cut),
+        "vec_id", "embedding", path, nCells = 16)
+      IvfIndex.append(s, path, corpus.filter(col("vec_id") >= cut),
+        "vec_id", "embedding")
+      IvfIndex.driftReport(s, path, threshold = 0.2)
+        .orderBy("centroid_id")
     }))
 
   // ---------------------------------------------------------------
@@ -5100,15 +5151,24 @@ object SparkEntry {
 
       // KNN-density replay: rank over ALL neighbors (self included,
       // exactly the engine's rank space), drop self, rank-sorted
-      // 10-slice, 0-seeded left fold, one division.
+      // 10-slice, 0-seeded left fold, one division. The QUERY side
+      // replays the engine's certification-sample contract dynamically
+      // (r14): stride 1 under the 2048-query gate (bench corpora —
+      // identical to the unsampled replay), ceil(n/2048) id-stride
+      // above, so the sf1 sweep value-checks the sampled ground truth
+      // instead of timing out on the full n² window.
       "q194_knn_density" ->
-        """WITH r0 AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        """WITH qs AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+          |  AND vec_id % (SELECT CASE WHEN count(*) <= 2048 THEN 1
+          |                            ELSE (count(*) + 2047) // 2048 END
+          |                FROM embeddings WHERE embedding IS NOT NULL) = 0),
+          |r0 AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
           |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
           |      CAST(c.embedding AS DOUBLE[])) AS sim,
           |    row_number() OVER (PARTITION BY q.vec_id
           |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
           |        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank
-          |  FROM embeddings q CROSS JOIN embeddings c),
+          |  FROM qs q CROSS JOIN embeddings c),
           |nb AS (SELECT qid, rank, sim FROM r0
           |  WHERE rank <= 11 AND nid <> qid),
           |ag AS (SELECT qid AS id,
@@ -5144,7 +5204,11 @@ object SparkEntry {
           |  FROM sc),
           |n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm FROM qz),
           |cent AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cn
-          |         FROM n ORDER BY vec_id LIMIT 16),
+          |         FROM n ORDER BY vec_id
+          |         LIMIT (SELECT CASE WHEN count(*) <= 2048 THEN 16
+          |                            ELSE least(4096, greatest(16,
+          |                              (count(*) + 124) // 125)) END
+          |                FROM n)),
           |assigned AS (
           |  SELECT vec_id AS id, qv AS vec, nrm AS vn, centroid_id FROM (
           |    SELECT c.vec_id, c.qv, c.nrm, ct.centroid_id,
@@ -7889,12 +7953,19 @@ object SparkEntry {
            |FROM g GROUP BY ngram HAVING count(*) >= 5
            |ORDER BY ngram""".stripMargin,
 
+      // interval stride is DYNAMIC (r14): greatest(1000, n/100) — the
+      // exact engine formula — so this ONE replay is value-valid at
+      // every scale (1000 at the bench corpora, 10000 at the 10x tree;
+      // the r13 sf1 sweep had to book this row as a designed
+      // divergence against the pinned 1000)
       "q61_range_join" ->
         """SELECT p.event_id, i.interval_id,
           |  round(p.value, 6) AS value, round(i.lo, 6) AS lo
           |FROM events p
           |JOIN (SELECT event_id AS interval_id, value AS lo, value + 5.0 AS hi
-          |      FROM events WHERE event_id % 1000 = 0) i
+          |      FROM events
+          |      WHERE event_id % (SELECT greatest(1000, count(*) // 100)
+          |                        FROM events) = 0) i
           |  ON p.value >= i.lo AND p.value <= i.hi
           |ORDER BY event_id, interval_id""".stripMargin,
 
@@ -8109,6 +8180,73 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
           |  FROM scored)
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // Append-parity replay: REBUILD-then-search over the union —
+      // q30's IVF plan verbatim. The engine side built on the low half
+      // and appended the high half; the low half holds the union's 16
+      // lowest ids, so the frozen centroids equal the rebuild's and
+      // this replay must match value-for-value.
+      "q230_ivf_index_append" ->
+        """WITH corpus AS (SELECT * FROM embeddings WHERE vec_id >= 5),
+          |q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+          |cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM corpus ORDER BY vec_id LIMIT 16),
+          |assigned AS (
+          |  SELECT vec_id AS id, centroid_id, embedding AS vec FROM (
+          |    SELECT c.vec_id, ct.centroid_id, c.embedding,
+          |      row_number() OVER (PARTITION BY c.vec_id
+          |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(ct.cv AS DOUBLE[])) DESC, ct.centroid_id ASC) AS rn
+          |    FROM corpus c CROSS JOIN cent ct)
+          |  WHERE rn = 1),
+          |probes AS (
+          |  SELECT vec_id AS query_id, embedding AS qv, centroid_id FROM (
+          |    SELECT q.vec_id, q.embedding, ct.centroid_id,
+          |      row_number() OVER (PARTITION BY q.vec_id
+          |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(ct.cv AS DOUBLE[])) DESC, ct.centroid_id ASC) AS rn
+          |    FROM q CROSS JOIN cent ct)
+          |  WHERE rn <= 4),
+          |scored AS (
+          |  SELECT p.query_id, a.id AS neighbor_id,
+          |    list_cosine_similarity(CAST(p.qv AS DOUBLE[]), CAST(a.vec AS DOUBLE[])) AS sim
+          |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id)
+          |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
+          |  SELECT query_id, neighbor_id, sim,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+          |  FROM scored)
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // Drift-trigger replay: assign the WHOLE corpus to the low-half
+      // centroids, split the per-cell counts at the build/append cut,
+      // and replay the categorical Laplace-smoothed PSI (+0.5 over the
+      // 16 trained cells) with the same double formula.
+      "q231_ivf_index_drift" ->
+        """WITH corpus AS (SELECT * FROM embeddings WHERE vec_id >= 5),
+          |cutv AS (SELECT (max(vec_id) + 1) // 2 AS cut FROM corpus),
+          |cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM corpus
+          |         WHERE vec_id < (SELECT cut FROM cutv)
+          |         ORDER BY vec_id LIMIT 16),
+          |asg AS (SELECT id, centroid_id FROM (
+          |    SELECT c.vec_id AS id, ct.centroid_id,
+          |      row_number() OVER (PARTITION BY c.vec_id
+          |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(ct.cv AS DOUBLE[])) DESC, ct.centroid_id ASC) AS rn
+          |    FROM corpus c CROSS JOIN cent ct)
+          |  WHERE rn = 1),
+          |counted AS (SELECT centroid_id,
+          |    CAST(sum(CASE WHEN id < (SELECT cut FROM cutv) THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+          |    CAST(sum(CASE WHEN id >= (SELECT cut FROM cutv) THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+          |  FROM asg GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n_base) AS DOUBLE) AS na,
+          |               CAST(sum(n_cur) AS DOUBLE) AS nc FROM counted),
+          |c2 AS (SELECT centroid_id, n_base, n_cur,
+          |    ((CAST(n_base AS DOUBLE) + 0.5) / (na + 8.0)
+          |      - (CAST(n_cur AS DOUBLE) + 0.5) / (nc + 8.0))
+          |    * ln(((CAST(n_base AS DOUBLE) + 0.5) / (na + 8.0))
+          |         / ((CAST(n_cur AS DOUBLE) + 0.5) / (nc + 8.0))) AS contrib
+          |  FROM counted CROSS JOIN tot)
+          |SELECT centroid_id, n_base, n_cur,
+          |  round(contrib, 6) AS psi_contrib,
+          |  round(sum(contrib) OVER (), 6) AS psi_total,
+          |  sum(contrib) OVER () > 0.2 AS retrain
+          |FROM c2 ORDER BY centroid_id""".stripMargin,
 
       "q33_detect_types_events" -> {
         // one-row ladder replay per column; dtype-static branches inlined
@@ -8795,14 +8933,23 @@ object SparkEntry {
        |  WHERE rank <= 10)""".stripMargin
 
   /** IVF-PQ replay: [[pqAdcPrefixSql]]'s training/table CTEs plus the
-    * coarse inverted-file index (cells = the $IvfCells lowest-id corpus
-    * vectors, L2 cell assignment with ties → lowest cell, $IvfProbe
-    * probed cells per query) restricting the ADC scoring join — ends
-    * in CTE `ivftop` (query_id, rank, neighbor_id, adist). */
+    * coarse inverted-file index (cells = the lowest-id corpus vectors,
+    * L2 cell assignment with ties → lowest cell, $IvfProbe probed
+    * cells per query) restricting the ADC scoring join — ends in CTE
+    * `ivftop` (query_id, rank, neighbor_id, adist). The cell COUNT is
+    * the engine's exact sizing formula, evaluated dynamically:
+    * $IvfCells under the 2048-row gate, corpus-sized (~125/cell,
+    * clamped [$IvfCells, 4096]) above — so this one replay is
+    * value-valid at every scale (r14; the r13 sf1 sweep had to book
+    * q142 as a designed divergence against the pinned LIMIT). */
   private def ivfPqAdcSql: String =
     s"""$pqAdcPrefixSql,
        |icells AS (SELECT id AS cell_id, v AS ccv
-       |  FROM pcorpus ORDER BY id LIMIT $IvfCells),
+       |  FROM pcorpus ORDER BY id
+       |  LIMIT (SELECT CASE WHEN count(*) <= 2048 THEN $IvfCells
+       |                     ELSE least(4096, greatest($IvfCells,
+       |                       (count(*) + 124) // 125)) END
+       |         FROM pcorpus)),
        |icasg AS (SELECT id, cell_id AS cell FROM (
        |    SELECT c.id, ce.cell_id,
        |      row_number() OVER (PARTITION BY c.id

@@ -494,11 +494,17 @@ object Dedup {
     * only above the gate. Exact-duplicate pairs (J = 1) have
     * identical MinHash signatures, hence identical band buckets —
     * they are detected with probability 1 on BOTH routes (the
-    * route-parity anchor the boundary spec asserts). */
+    * route-parity anchor the boundary spec asserts). Banding default
+    * is rows-per-band r = 2 over b = 8 bands (vs q24's r = 4 / b = 4
+    * candidate generator): per-pair detection 1−(1−s²)⁸ ≈ 0.9997 at
+    * s = 0.8 — measured 4 misses / 2615 true pairs at r = 4 / b = 4
+    * on the 10× corpus vs ~0 at r = 2 — at the price of more random
+    * band collisions (s² vs s⁴ per band), which the exact verify
+    * absorbs. */
   def jaccardJoinAuto(df: DataFrame, idCol: String, textCol: String,
                       minJaccard: Double, k: Int = 3,
                       maxExactDocs: Long = 8192L,
-                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                      numHashes: Int = 16, bands: Int = 8): DataFrame = {
     // LIMIT-bounded route probe (the hammingTopKAuto discipline): the
     // gate must never silently route a corpus larger than the
     // threshold to the exact kernel

@@ -86,17 +86,29 @@ object Graph {
     * 0 (possible in a directed input) leak their rank — standard
     * simplified PageRank; pass symmetric edges for leak-free ranks.
     *
-    * Returns (id, pr) for every vertex that appears in an edge. */
+    * Returns (id, pr) for every vertex that appears in an edge.
+    *
+    * Key representation matters at scale: every internal shuffle
+    * (edge distinct, degree agg, the per-round contribution agg) is
+    * keyed by the vertex id — callers with string ids should pack
+    * them into longs where a bijection exists and decode on output
+    * (a long key halves shuffle bytes and hashes ~3× faster than a
+    * short string; ranks are a pure function of graph structure, so
+    * the values are bit-identical under any key bijection).
+    * `assumeDistinct = true` skips the internal edge dedup for
+    * callers whose edge list is already unique — one full-width
+    * shuffle of the edge table saved. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, damping: Double = 0.85,
-               checkpointEvery: Int = 2): DataFrame = {
+               checkpointEvery: Int = 2,
+               assumeDistinct: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping >= 0 && damping <= 1, s"damping $damping outside [0,1]")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
-    val e = edges
+    val e0 = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
+    val e = (if (assumeDistinct) e0 else e0.distinct())
       .transform(Checkpoints.cut)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // (src, dst, deg), reused every round. Pre-partitioned AND

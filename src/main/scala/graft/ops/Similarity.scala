@@ -75,14 +75,14 @@ object Similarity {
 
   /** Project (id, vec:double[], norm) once — every pair then costs one
     * dot product instead of re-walking both arrays for norms. */
-  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+  private[ops] def withNorm(df: DataFrame, idCol: String, vecCol: String,
                        id: String, v: String, n: String): DataFrame =
     df.select(col(idCol).as(id), transform(col(vecCol), _.cast("double")).as(v))
       .withColumn(n, normNative(col(v)))
 
   /** sim = dot/(na*nb) with precomputed norms — same expression shape
     * (sqrt'd norms multiplied, then one division) as [[cosine]]. */
-  private def pairSim(va: Column, vb: Column, na: Column, nb: Column): Column =
+  private[ops] def pairSim(va: Column, vb: Column, na: Column, nb: Column): Column =
     when(na === 0.0 || nb === 0.0, 0.0).otherwise(dotNative(va, vb) / (na * nb))
 
   /** Exact top-k neighbors for each query vector. `queries` is collected
@@ -507,7 +507,7 @@ object Similarity {
   def cosineNearDupBucketed(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, nBits: Int = 8,
                             nTables: Int = 4, seed: Long = 42L,
-                            maxBucketRows: Long = 1024L): DataFrame = {
+                            maxBucketRows: Long = 256L): DataFrame = {
     val spark = df.sparkSession
     // materialize (id, vec, norm) once: the nTables bucket scans and the
     // two verification joins would otherwise each re-evaluate the norm
@@ -534,12 +534,16 @@ object Similarity {
     // bucket of true exact copies cannot split (identical extensions)
     // — its verify work is genuine duplicate mass, not skew.
     val extBits = 16
+    // materialized once: counts, the audit, and BOTH sides of the
+    // candidate self-join read this frame — unmaterialized, each
+    // consumer re-runs the (nBits+extBits)·dim hyperplane projections
+    // over the corpus (measured ~3 s/scan at the 10× tree, ~4 scans)
     val tabled = (0 until nTables).map { t =>
       val bucket = hyperplaneBucketFast(spark, dim, nBits, seed + t)
       val ext = hyperplaneBucketFast(spark, dim, extBits, seed + 7791L + t)
       v.select(col("id"), lit(t).as("tbl"), bucket(col("v")).as("bucket"),
         ext(col("v")).as("__ext"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).localCheckpoint()
     val counts = tabled.groupBy("tbl", "bucket").agg(count(lit(1)).as("__m"))
     // candidate-volume audit receipt (stderr): the counts frame is
     // ≤ nTables·2^nBits rows — bounded driver state
@@ -553,21 +557,30 @@ object Similarity {
       .withColumn("__need",
         when(col("__m") <= maxBucketRows, lit(0))
           .otherwise(least(lit(extBits), greatest(lit(1),
-            ceil(log(2.0, col("__m").cast("double") / 256.0)).cast("int")))))
+            ceil(log(2.0, col("__m").cast("double") / 64.0)).cast("int")))))
       .withColumn("bucket",
         concat(col("bucket"), expr("substring(__ext, 1, __need)")))
       .select("id", "tbl", "bucket")
-    val cand = refined.as("l").join(refined.as("r"),
+    // Verification rides the bucket self-join itself (r14): vectors are
+    // carried INTO the join, the cosine is computed on the spot, and
+    // only pairs PASSING the threshold reach the distinct. The previous
+    // shape (id-only candidates → distinct → two corpus-wide fetch
+    // joins) shuffled the skew-inflated candidate table three times —
+    // measured as the dominant term of the sf1 ×8.9 (2.7M candidates
+    // for a 20k corpus). Payload trade: the self-join shuffles
+    // nTables·n vector rows (dim·8 B each) instead of O(candidates)
+    // id rows + 2 corpus joins — the carried form wins whenever
+    // candidates/n exceeds ~nTables (always true once buckets are
+    // occupied), and duplicate cross-table candidates cost one extra
+    // multiply-add pass each instead of an extra shuffled row.
+    val rv = refined.join(v, Seq("id"))
+    rv.as("l").join(rv.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
         col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
-    cand
-      .join(v.select(col("id").as("id_a"), col("v").as("__va"), col("n").as("__na")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("v").as("__vb"), col("n").as("__nb")), "id_b")
-      .withColumn("sim", pairSim(col("__va"), col("__vb"), col("__na"), col("__nb")))
+      .withColumn("sim", pairSim(col("l.v"), col("r.v"), col("l.n"), col("r.n")))
       .filter(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("sim"))
+      .distinct()
   }
 
   /** SemDeDup-style semantic near-duplicate PAIRS: cluster the embedding

@@ -1224,6 +1224,83 @@ object Probe {
         }
       }
     }
+    // q27-split: where does the LSH near-dup route's sf1 wall go?
+    // Replicates cosineNearDupBucketed's stages inline (route gate,
+    // norm checkpoint, bucket tables, occupancy counts, refined
+    // self-join + verify) so each is timed behind its own action.
+    names.filter(_ == "q27-split").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      def tt[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"Q27-SPLIT $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      (1 to 2).foreach { run =>
+        println(s"Q27-SPLIT run $run")
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val dup = e.unionByName(
+          e.filter(col("vec_id") < 50).withColumn("vec_id", col("vec_id") + 10000))
+        val n = tt("route-gate count")(dup.select("vec_id").count())
+        val nBits = math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1L, n / 64L - 1L))).toInt
+        val v = tt("norm checkpoint") {
+          val w = dup.filter(col("embedding").isNotNull)
+            .select(col("vec_id").as("id"), col("embedding").as("v"))
+            .withColumn("n", sqrt(aggregate(transform(col("v"),
+              x => x.cast("double") * x.cast("double")),
+              lit(0.0), (a, x) => a + x)))
+            .localCheckpoint()
+          w.count(); w
+        }
+        val dim = 64
+        val tabled = tt("bucket tables") {
+          val t0 = (0 until 4).map { t =>
+            val b1 = graft.ops.Similarity.hyperplaneBucket(col("v"), dim, nBits, 42L + t)
+            v.select(col("id"), lit(t).as("tbl"), b1.as("bucket"))
+          }.reduce(_ unionByName _)
+          t0.write.format("noop").mode("overwrite").save(); t0
+        }
+        tt("occupancy counts")(
+          tabled.groupBy("tbl", "bucket").agg(count(lit(1)).as("m"))
+            .agg(max("m"), sum(col("m") * (col("m") - 1) / 2)).collect())
+        tt("end-to-end op")(
+          graft.ops.Similarity.cosineNearDupBucketed(dup, "vec_id", "embedding",
+            0.99, nBits = nBits)
+            .write.format("noop").mode("overwrite").save())
+      }
+    }
+    // ivf-append-split: the persisted-index receipt — append cost vs
+    // full rebuild cost at this sf (append assigns ONLY the shard
+    // against frozen centroids; rebuild re-trains + re-assigns all).
+    names.filter(_ == "ivf-append-split").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      def tt[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"IVF-APPEND $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      (1 to 2).foreach { run =>
+        println(s"IVF-APPEND run $run")
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val corpus = e.filter(col("vec_id") >= 5)
+        // daily-append shape: history = 95% of ids, shard = the top 5%
+        val cut = corpus.agg(expr("(max(vec_id) * 19 DIV 20)"))
+          .collect()(0).getLong(0)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-ivf-probe").toString
+        tt("build history (95%)")(graft.ops.IvfIndex.build(
+          corpus.filter(col("vec_id") < cut), "vec_id", "embedding",
+          s"$base/i1", nCells = 16))
+        tt("append shard (5%)")(graft.ops.IvfIndex.append(spark,
+          s"$base/i1", corpus.filter(col("vec_id") >= cut),
+          "vec_id", "embedding"))
+        tt("full rebuild")(graft.ops.IvfIndex.build(
+          corpus, "vec_id", "embedding", s"$base/i2", nCells = 16))
+        tt("search appended")(graft.ops.IvfIndex.search(spark, s"$base/i1",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10, 4)
+          .write.format("noop").mode("overwrite").save())
+      }
+    }
     // parts — scan-partition counts per table (file bin-packing check)
     names.filter(_ == "parts").foreach { _ =>
       Seq("documents", "embeddings", "events", "orders", "lineitem",
