@@ -4012,6 +4012,35 @@ object SparkEntry {
         "vec_id", "embedding")
       IvfIndex.driftReport(s, path, threshold = 0.2)
         .orderBy("centroid_id")
+    }),
+
+    // --- the PQ-CODED persisted index (the 100 TB storage shape: m
+    // small ints per vector instead of dim doubles): build trains the
+    // coarse cells + PQ codebook on the low half, append admits the
+    // high half by encode-and-assign only, search is ADC over the
+    // persisted (cell, codes) tables. iterations = 0 keeps the
+    // codebook at the deterministic lowest-id seed, so the frozen
+    // index EQUALS a rebuild's (Lloyd refinement would differ by
+    // construction — the documented approximation driftReport governs)
+    // and the oracle replays REBUILD-then-search over the union ---
+    "q232_ivfpq_index_append" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 5)
+      val cut = corpus.agg(expr("(max(vec_id) + 1) DIV 2")).collect()(0).getLong(0)
+      val n = corpus.filter(col("embedding").isNotNull).count()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(d.hashCode)}"
+      IvfIndex.buildPq(corpus.filter(col("vec_id") < cut), "vec_id", "embedding",
+        path, dim = 64, m = 4, k = 8, iterations = 0,
+        nCells = if (n <= 2048L) IvfCells
+                 else Quantize.nCentroidsFor(n, minC = IvfCells))
+      IvfIndex.appendPq(s, path, corpus.filter(col("vec_id") >= cut),
+        "vec_id", "embedding", dim = 64, m = 4)
+      IvfIndex.searchPq(s, path, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", dim = 64, m = 4, nProbe = IvfProbe, topK = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("adist"), 6).as("adist"))
+        .orderBy("query_id", "rank")
     }))
 
   // ---------------------------------------------------------------
@@ -6892,7 +6921,7 @@ object SparkEntry {
       // IVF-PQ replay: the same ADC algebra as q131, restricted to the
       // codes of corpus vectors in each query's probed cells.
       "q142_ivfpq_ann" ->
-        s"""WITH $ivfPqAdcSql
+        s"""WITH ${ivfPqAdcSql()}
            |SELECT query_id, rank, neighbor_id, round(adist, 6) AS adist
            |FROM ivftop ORDER BY query_id, rank""".stripMargin,
 
@@ -8214,6 +8243,16 @@ object SparkEntry {
           |  FROM scored)
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+      // PQ-index append-parity replay: REBUILD-then-search over the
+      // union — q142's IVF-PQ plan at ZERO training iterations (the
+      // codebook is the lowest-id seed, which the low-half build shard
+      // contains, so the engine's frozen codebook/cells equal the
+      // rebuild's and the values must match exactly).
+      "q232_ivfpq_index_append" ->
+        s"""WITH ${ivfPqAdcSql(0)}
+           |SELECT query_id, rank, neighbor_id, round(adist, 6) AS adist
+           |FROM ivftop ORDER BY query_id, rank""".stripMargin,
+
       // Drift-trigger replay: assign the WHOLE corpus to the low-half
       // centroids, split the per-cell counts at the build/append cut,
       // and replay the categorical Laplace-smoothed PSI (+0.5 over the
@@ -8867,7 +8906,7 @@ object SparkEntry {
     * ALL subspaces in one round-CTE (mirror of the engine's grouped
     * training), then the final code assignment. `corpusFilter`
     * selects the training corpus (q131 trains on vec_id >= 5 only). */
-  private def pqSql(corpusFilter: String): String = {
+  private def pqSql(corpusFilter: String, iters: Int = PqIters): String = {
     def round(i: Int): String =
       s"""pasg$i AS (
          |  SELECT id, subspace, centroid_id, sv FROM (
@@ -8893,13 +8932,12 @@ object SparkEntry {
        |  FROM pcorpus CROSS JOIN range($PqM) t(s)),
        |pcent0 AS (SELECT subspace, id AS centroid_id, sv AS cv FROM psub
        |  WHERE id IN (SELECT id FROM pcorpus ORDER BY id LIMIT $PqK)),
-       |${(1 to PqIters).map(round).mkString(",\n")},
-       |pcodes AS (
+       |${if (iters > 0) (1 to iters).map(round).mkString(",\n") + ",\n" else ""}pcodes AS (
        |  SELECT id, subspace, centroid_id AS code FROM (
        |    SELECT b.id, b.subspace, ct.centroid_id,
        |      row_number() OVER (PARTITION BY b.id, b.subspace
        |        ORDER BY list_distance(b.sv, ct.cv) ASC, ct.centroid_id ASC) AS rn
-       |    FROM psub b JOIN pcent$PqIters ct USING (subspace))
+       |    FROM psub b JOIN pcent$iters ct USING (subspace))
        |  WHERE rn = 1)""".stripMargin
   }
 
@@ -8908,8 +8946,8 @@ object SparkEntry {
     * ADC distance) ending in CTE `pqtop` (query_id, rank, neighbor_id,
     * adist); also exposes `pqq` (query vectors) and `pcorpus` for
     * downstream audits (q137). */
-  private def pqAdcPrefixSql: String =
-    s"""${pqSql("WHERE vec_id >= 5")},
+  private def pqAdcPrefixSql(iters: Int = PqIters): String =
+    s"""${pqSql("WHERE vec_id >= 5", iters)},
        |pqq AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings WHERE vec_id < 5),
        |pqsub AS (SELECT id, s AS subspace,
@@ -8917,10 +8955,10 @@ object SparkEntry {
        |  FROM pqq CROSS JOIN range($PqM) t(s)),
        |pdtab AS (SELECT q.id AS query_id, q.subspace,
        |    ct.centroid_id AS code, list_distance(q.sv, ct.cv) ** 2 AS d2
-       |  FROM pqsub q JOIN pcent$PqIters ct USING (subspace))""".stripMargin
+       |  FROM pqsub q JOIN pcent$iters ct USING (subspace))""".stripMargin
 
   private def pqAdcSql: String =
-    s"""$pqAdcPrefixSql,
+    s"""${pqAdcPrefixSql()},
        |pscore AS (SELECT d.query_id, c.id AS neighbor_id,
        |    sum(d.d2) AS adist
        |  FROM pcodes c JOIN pdtab d
@@ -8942,8 +8980,8 @@ object SparkEntry {
     * clamped [$IvfCells, 4096]) above — so this one replay is
     * value-valid at every scale (r14; the r13 sf1 sweep had to book
     * q142 as a designed divergence against the pinned LIMIT). */
-  private def ivfPqAdcSql: String =
-    s"""$pqAdcPrefixSql,
+  private def ivfPqAdcSql(iters: Int = PqIters): String =
+    s"""${pqAdcPrefixSql(iters)},
        |icells AS (SELECT id AS cell_id, v AS ccv
        |  FROM pcorpus ORDER BY id
        |  LIMIT (SELECT CASE WHEN count(*) <= 2048 THEN $IvfCells

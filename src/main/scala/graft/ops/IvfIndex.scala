@@ -115,6 +115,107 @@ object IvfIndex {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  // ------------------------------------------------------------------
+  // PQ-coded variant: the index stores (centroid, code) tables ONLY —
+  // m small ints per vector instead of dim doubles (64-dim float ≈
+  // 256 B → 4 B at m=4). This is the storage shape a 100 TB corpus
+  // actually persists; the IVF-flat tables above are the exact-scoring
+  // sibling for corpora whose vectors fit the budget.
+  // ------------------------------------------------------------------
+
+  /** Train (coarse cells + PQ codebook) on `corpus` and persist:
+    * `cells/` (cell_id, ccv), `codebook/` (subspace, centroid_id, cv),
+    * `codes/` (id, codes: int[m] subspace-ordered, gen) partitioned by
+    * `cell`. With `iterations = 0` the codebook is the deterministic
+    * lowest-id seed (training-free): append-then-search is then
+    * BIT-IDENTICAL to rebuild-then-search whenever the build shard
+    * holds the union's seed ids — the q232 oracle contract. Lloyd
+    * refinement (> 0) trains a better codebook but makes the frozen
+    * index an approximation of a rebuild by construction (refinement
+    * means depend on the training corpus); [[driftReport]] on the
+    * cell populations is the signal for when to pay the rebuild. */
+  def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
+              path: String, dim: Int, m: Int, k: Int, iterations: Int,
+              nCells: Int): Unit = {
+    val cv = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("__v"))
+    val cells = cv.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cell_id"), col("__v").as("ccv"))
+    cells.coalesce(1).write.mode("overwrite").parquet(s"$path/cells")
+    val codebook = Quantize.pqTrain(corpus, idCol, vecCol, dim, m, k, iterations)
+    codebook.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    encodeGen(corpus, idCol, vecCol, cells, codebook, dim, m, gen = 0)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Admit a shard against the FROZEN cells + codebook (assignment and
+    * encoding only — no retraining; cost ∝ shard). */
+  def appendPq(spark: SparkSession, path: String, shard: DataFrame,
+               idCol: String, vecCol: String, dim: Int, m: Int): Unit = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val nextGen = spark.read.parquet(s"$path/codes")
+      .agg(coalesce(max("gen"), lit(0)).cast("int")).collect()(0).getInt(0) + 1
+    encodeGen(shard, idCol, vecCol, cells, codebook, dim, m, nextGen)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** (id, codes int[m], gen, cell) for one generation: PQ-encode with
+    * the given codebook (nearest sub-centroid per subspace, ties →
+    * lowest code — [[Quantize.pqEncode]]'s rule) and assign the coarse
+    * cell by L2 argmin (ties → lowest cell — ivfPqTopKAdc's rule). */
+  private def encodeGen(df: DataFrame, idCol: String, vecCol: String,
+                        cells: DataFrame, codebook: DataFrame,
+                        dim: Int, m: Int, gen: Int): DataFrame = {
+    val cv = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("__v"))
+    val assigned = cv.crossJoin(broadcast(cells))
+      .withColumn("__d2", Quantize.l2sq(col("__v"), col("ccv")))
+      .groupBy("id")
+      .agg(min_by(col("cell_id"), struct(col("__d2"), col("cell_id"))).as("cell"))
+    val codeArr = Quantize.pqEncode(df, idCol, vecCol, codebook, dim, m)
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    codeArr.join(assigned, "id")
+      .select(col("id"), col("codes"), lit(gen).as("gen"), col("cell"))
+  }
+
+  /** ADC top-k against the persisted PQ index: queries probe their
+    * nProbe nearest cells (L2 to the frozen coarse centroids), the
+    * codes scan is restricted to those cells (partition pruning on
+    * the `cell` layout), and scoring is the standard asymmetric
+    * distance sum over the per-query (subspace, code) → d2 table —
+    * no raw corpus vector is ever read. Same probe/score/tie rules
+    * as [[Quantize.ivfPqTopKAdc]]. */
+  def searchPq(spark: SparkSession, path: String, queries: DataFrame,
+               qId: String, qVec: String, dim: Int, m: Int,
+               nProbe: Int, topK: Int): DataFrame = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val codes = spark.read.parquet(s"$path/codes")
+    val dtab = Quantize.adcTables(queries, qId, qVec, codebook, m, dim / m)
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__d2").asc, col("cell_id").asc)
+    val probes = queries.filter(col(qVec).isNotNull)
+      .select(col(qId).as("query_id"), transform(col(qVec), _.cast("double")).as("__qv"))
+      .crossJoin(broadcast(cells))
+      .withColumn("__d2", Quantize.l2sq(col("__qv"), col("ccv")))
+      .withColumn("__rn", row_number().over(wp)).filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("cell_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    codes
+      .join(broadcast(probes), col("cell") === col("cell_id"))
+      .select(col("query_id"), col("id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+      .join(broadcast(dtab), Seq("query_id", "subspace", "code"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id", "adist")
+  }
+
   /** Per-cell drift of the admitted generations against the build:
     * (centroid_id, n_base, n_cur, psi_contrib, psi_total, retrain).
     * PSI over the cell CATEGORIES (Laplace +0.5/cell over the K
@@ -123,9 +224,12 @@ object IvfIndex {
     * 0.25 "shifted" rules, the conservative side for an index whose
     * probe recall decays monotonically with cell skew). */
   def driftReport(spark: SparkSession, path: String,
-                  threshold: Double = 0.2): DataFrame = {
-    val k = spark.read.parquet(s"$path/centroids").count()
+                  threshold: Double = 0.2,
+                  cellCol: String = "centroid_id",
+                  cellsDir: String = "centroids"): DataFrame = {
+    val k = spark.read.parquet(s"$path/$cellsDir").count()
     val counted = spark.read.parquet(s"$path/codes")
+      .withColumnRenamed(cellCol, "centroid_id")
       .groupBy("centroid_id")
       .agg(sum(when(col("gen") === 0, 1L).otherwise(0L)).as("n_base"),
         sum(when(col("gen") > 0, 1L).otherwise(0L)).as("n_cur"))

@@ -80,7 +80,7 @@ object Quantize {
   /** Sum of squared differences between two double-array columns —
     * the L2² kernel PQ assigns and scores with (no sqrt: monotone, so
     * rankings are identical and one transcendental cheaper). */
-  private def l2sq(a: Column, b: Column): Column =
+  private[ops] def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
   /** Explode a vector column into its `m` contiguous subvectors:
@@ -199,7 +199,7 @@ object Quantize {
   /** Per-query ADC distance tables: exact L2² from each query
     * subvector to every codebook centroid — |queries|·m·k rows, the
     * broadcast side of every ADC scoring join. */
-  private def adcTables(queries: DataFrame, qIdCol: String, qVecCol: String,
+  private[ops] def adcTables(queries: DataFrame, qIdCol: String, qVecCol: String,
                         codebook: DataFrame, m: Int, subDim: Int): DataFrame =
     subvectors(queries, qIdCol, qVecCol, m, subDim)
       .join(broadcast(codebook), "subspace")

@@ -61,6 +61,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(!rep.head.getAs[Boolean]("retrain"))
   }
 
+  test("PQ index: append-then-search equals rebuild ivfPqTopKAdc at zero training iterations") {
+    val path = tmpPath("pq")
+    IvfIndex.buildPq(corpus.filter(col("id") < 20), "id", "v", path,
+      dim = 8, m = 2, k = 4, iterations = 0, nCells = 4)
+    IvfIndex.appendPq(spark, path, corpus.filter(col("id") >= 20), "id", "v",
+      dim = 8, m = 2)
+    val got = IvfIndex.searchPq(spark, path, queries, "id", "v",
+        dim = 8, m = 2, nProbe = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))).toSet
+    val rebuilt = Quantize.ivfPqTopKAdc(queries, corpus, "id", "v", "id", "v",
+        dim = 8, m = 2, k = 4, iterations = 0, nCells = 4, nProbe = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))).toSet
+    assert(got === rebuilt)
+    assert(got.nonEmpty)
+    // the persisted code rows carry NO raw vectors — the m-int storage
+    // shape is the point of the PQ variant
+    val cols = spark.read.parquet(s"$path/codes").columns.toSet
+    assert(cols === Set("id", "codes", "gen", "cell"))
+    // drift report reads the PQ layout through the shared machinery
+    val rep = IvfIndex.driftReport(spark, path, cellCol = "cell", cellsDir = "cells")
+      .collect()
+    assert(rep.map(_.getAs[Long]("n_base")).sum === 20L)
+    assert(rep.map(_.getAs[Long]("n_cur")).sum === 20L)
+  }
+
   test("drift report flags a genuinely shifted append") {
     val path = tmpPath("shift")
     IvfIndex.build(corpus.filter(col("id") < 20), "id", "v", path, nCells = 4)
