@@ -125,17 +125,40 @@ object Similarity {
   private def topKFromScored(scored: DataFrame, k: Int,
                              keyCols: Seq[String] = Seq("query_id")): DataFrame = {
     val keys = keyCols.map(col)
-    val partial = scored
-      .groupBy(keys :+ spark_partition_id().as("__p"): _*)
-      .agg(slice(array_sort(collect_list(struct(
-        (-col("sim")).as("negSim"), col("neighbor_id")))), 1, k).as("heap"))
-      .select(keys :+ explode(col("heap")).as("h"): _*)
-      .select(keys :+ col("h.neighbor_id").as("neighbor_id") :+
-        (-col("h.negSim")).as("sim"): _*)
-    val w = Window.partitionBy(keys: _*).orderBy(desc("sim"), col("neighbor_id"))
-    partial.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(keyCols.map(col) ++ Seq(col("rank"), col("neighbor_id"), col("sim")): _*)
+    if (scored.schema("neighbor_id").dataType ==
+        org.apache.spark.sql.types.LongType) {
+      // Native path: ONE mergeable bounded-heap aggregate
+      // ([[graft.expressions.BoundedTopK]]) — k primitives of state
+      // per group at all times, partial-aggregated map-side, rank =
+      // array position. The legacy form below buffered EVERY scored
+      // candidate per (group, partition) as a boxed struct before
+      // sorting (10M allocations on the 20k-query sf1 IVF
+      // self-retrieval) and paid a rank window on the survivors.
+      import org.apache.spark.sql.GraftColumnBridge
+      val agg = GraftColumnBridge.column(
+        graft.expressions.BoundedTopK(
+          GraftColumnBridge.expression(col("sim")),
+          GraftColumnBridge.expression(col("neighbor_id")), k)
+          .toAggregateExpression())
+      scored.groupBy(keys: _*).agg(agg.as("__top"))
+        .select(keys :+ posexplode(col("__top")).as(Seq("__pos", "__t")): _*)
+        .select(keyCols.map(col) ++ Seq(
+          (col("__pos") + 1).cast("int").as("rank"),
+          col("__t.id").as("neighbor_id"), col("__t.sim").as("sim")): _*)
+    } else {
+      // generic-id fallback: per-partition sorted slices + rank window
+      val partial = scored
+        .groupBy(keys :+ spark_partition_id().as("__p"): _*)
+        .agg(slice(array_sort(collect_list(struct(
+          (-col("sim")).as("negSim"), col("neighbor_id")))), 1, k).as("heap"))
+        .select(keys :+ explode(col("heap")).as("h"): _*)
+        .select(keys :+ col("h.neighbor_id").as("neighbor_id") :+
+          (-col("h.negSim")).as("sim"): _*)
+      val w = Window.partitionBy(keys: _*).orderBy(desc("sim"), col("neighbor_id"))
+      partial.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(keyCols.map(col) ++ Seq(col("rank"), col("neighbor_id"), col("sim")): _*)
+    }
   }
 
   /** Matryoshka (prefix-dimension) retrieval audit — for each query
@@ -312,23 +335,34 @@ object Similarity {
               kmeansIterations: Int = 0): DataFrame = {
     val centroids = centroidsFor(corpus, cId, cVec, nCentroids, kmeansIterations)
     val assigned = assignToCentroid(corpus, cId, cVec, centroids, "centroid_id", "cv")
-    // query → its nprobe nearest centroids
-    val qProbes = {
-      val j = withNorm(queries, qId, qVec, "query_id", "__qv", "__qn")
-        .crossJoin(broadcast(withNorm(centroids, "centroid_id", "cv", "centroid_id", "__cv", "__cn")))
-        .withColumn("sim", pairSim(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
-      val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("centroid_id"))
-      j.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= nprobe)
-        .select(col("query_id"), col("__qv"), col("__qn"), col("centroid_id"))
-    }
+    // query → its nprobe nearest centroids. A MAP-SIDE group-top, not
+    // a rank window: the window form shuffled |Q|·K rows EACH CARRYING
+    // the query vector through a per-query sort (r14 q195 receipt:
+    // 20k queries × 160 centroids × 64-dim arrays ≈ GBs through one
+    // exchange); the groupBy form partial-aggregates the top-nprobe
+    // struct slice per partition, so the exchange moves one bounded
+    // row per query. Ordering semantics identical (struct sort by
+    // (-sim, centroid_id) == ORDER BY sim DESC, centroid_id ASC).
+    val qProbes = withNorm(queries, qId, qVec, "query_id", "__qv", "__qn")
+      .crossJoin(broadcast(withNorm(centroids, "centroid_id", "cv",
+        "centroid_id", "__cv", "__cn")))
+      .withColumn("sim", pairSim(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .groupBy("query_id")
+      .agg(first(col("__qv")).as("__qv"), first(col("__qn")).as("__qn"),
+        slice(array_sort(collect_list(struct(
+          (-col("sim")).as("negSim"), col("centroid_id")))), 1, nprobe).as("__top"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        explode(col("__top")).as("__t"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        col("__t.centroid_id").as("centroid_id"))
     val scored = qProbes.hint("broadcast")
       .join(assigned, "centroid_id")
       .withColumn("sim", pairSim(col("__qv"), col("vec"), col("__qn"), col("vecnorm")))
       .select(col("query_id"), col("id").as("neighbor_id"), col("sim"))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+    // final top-k via the shared heap form (partial per-partition
+    // slices + one tiny merge) — the probe join's |Q|·nprobe·cellSize
+    // scored rows never cross a full per-query sort exchange
+    topKFromScored(scored, k)
   }
 
   /** All pairs (a < b) with cosine ≥ threshold. Exact O(n²) form —

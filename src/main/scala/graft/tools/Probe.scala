@@ -1301,6 +1301,39 @@ object Probe {
           .write.format("noop").mode("overwrite").save())
       }
     }
+    // q195-split: where does the density-over-int8-IVF wall go at sf1?
+    names.filter(_ == "q195-split").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      def tt[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"Q195-SPLIT $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      (1 to 2).foreach { run =>
+        println(s"Q195-SPLIT run $run")
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val n = e.filter(col("embedding").isNotNull).count()
+        val q8 = tt("int8 quantize + checkpoint") {
+          val w = graft.ops.Quantize.int8Symmetric(e, "vec_id", "embedding")
+            .select(col("vec_id"),
+              transform(col("qvec"), _.cast("double")).as("__q8"))
+            .localCheckpoint()
+          w.count(); w
+        }
+        val nc = if (n <= 2048L) 16 else graft.ops.Quantize.nCentroidsFor(n)
+        val topk = tt("ivfTopK (inner op)") {
+          val t = graft.ops.Similarity.ivfTopK(q8, q8, "vec_id", "__q8",
+            "vec_id", "__q8", k = 11, nCentroids = nc, nprobe = 4)
+          t.write.format("noop").mode("overwrite").save(); t
+        }
+        tt("knnDensity read-off")(
+          graft.ops.Similarity.knnDensity(topk, k = 10)
+            .write.format("noop").mode("overwrite").save())
+        tt("full q195 registration")(
+          graft.SparkEntry.queries("q195_knn_density_ivf")(spark, sfDir)
+            .write.format("noop").mode("overwrite").save())
+      }
+    }
     // parts — scan-partition counts per table (file bin-packing check)
     names.filter(_ == "parts").foreach { _ =>
       Seq("documents", "embeddings", "events", "orders", "lineitem",
