@@ -2586,16 +2586,28 @@ object SparkEntry {
     // sketch — the third mergeable sketch proven under a trigger ---
     "q188_streaming_countmin" -> ((s, d) => {
       import s.implicits._
+      // Feed DOCUMENTS, tokenize INSIDE the stream: the tokenize +
+      // explode runs on the 8 source partitions per trigger (the
+      // production shape — a Kafka source carries documents, not
+      // pre-exploded tokens), and the driver feed carries one row per
+      // doc instead of one per token. The r14 sf1 run measured the
+      // token-collect form at ×9.9 wall at data ×10 — ~5M token
+      // strings boxed through the driver; per-doc it is ~20k rows.
+      // Emissions are identical: same token→batch mapping (batch =
+      // doc_id % 3 either way), and the update-mode (r, b) counters
+      // depend only on which batch each token arrives in.
       val rows = t(s, d, "documents")
         .filter(col("text").isNotNull)
-        .select(explode(TextAnalysis.tokens(col("text"))).as("item"),
+        .select(col("doc_id"), col("text"),
           (col("doc_id") % 3).cast("int").as("__b"))
-        .as[(String, Int)].collect()
-      val batches = (0 to 2).map(b => rows.toSeq.filter(_._2 == b))
-      val perTrigger = runMicroBatched(s, Seq("item", "batch"), batches,
-          "graft-stream-cm", Seq("r", "b", "cnt"),
+        .as[(Long, String, Int)].collect()
+      val batches = (0 to 2).map(b => rows.toSeq.filter(_._3 == b))
+      val perTrigger = runMicroBatched(s, Seq("doc_id", "text", "batch"),
+          batches, "graft-stream-cm", Seq("r", "b", "cnt"),
           org.apache.spark.sql.streaming.OutputMode.Update()) { stream =>
-        Sketch.countMin(stream, "item", depth = 4, width = 64, salt = "cm9")
+        Sketch.countMin(
+          stream.select(explode(TextAnalysis.tokens(col("text"))).as("item")),
+          "item", depth = 4, width = 64, salt = "cm9")
       }
       perTrigger.groupBy("r", "b").agg(max("cnt").as("cnt"))
         .orderBy("r", "b")
