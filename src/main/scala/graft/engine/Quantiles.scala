@@ -175,4 +175,75 @@ object Quantiles {
     one.select(explode(array(pairs: _*)).as("__p"))
       .select(col("__p.quantile").as("quantile"), col("__p.value").as("value"))
   }
+
+  /** Exact PER-GROUP element pick at a count-derived rank — the grouped
+    * twin of [[exactMulti]], for "median per category"-shaped reads
+    * (Hampel/MAD fences, per-type robust centers). A
+    * `Window.partitionBy(group)` rank funnels each group's every row
+    * through ONE task — the 100 TB killer when one group holds most of
+    * the data; here ONE range-partitioned shuffle on (group, value)
+    * sorts every group across ALL partitions simultaneously,
+    * per-(partition, group) counts (O(P·|G|) scalars) fix global rank
+    * offsets on the driver, and a shuffle-reusing second pass emits
+    * only each group's picked row.
+    *
+    * `rank1Of(n)` maps a group's row count to the 1-indexed rank to
+    * pick (e.g. `n => (n + 1) / 2` = the lower-median element pick).
+    * Output: one (group, `outCol`) row per group, group column typed
+    * as in the input. Contract: the RESULT is group-cardinality-sized
+    * and driver-collected (exactMulti's discipline — the rows at
+    * needed ranks, nothing data-proportional); callers broadcast-join
+    * it back. Null groups/values are excluded; NaN is a value and
+    * sorts last (matching count semantics). */
+  def groupedPick(df: DataFrame, gCol: String, vCol: String,
+                  rank1Of: Long => Long, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val base = df
+      .filter(col(gCol).isNotNull && col(vCol).isNotNull)
+      .select(col(gCol).as("__g"), col(vCol).cast("double").as("__v"))
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val sorted = base.repartitionByRange(nPart, col("__g"), col("__v"))
+      .sortWithinPartitions("__g", "__v")
+      .rdd.map(r => (r.get(0), r.getDouble(1)))
+      // persist across the two passes (exactMulti's rationale: only the
+      // map stage of the shuffle is reused, the post-shuffle sort would
+      // re-run)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts: Array[Map[Any, Long]] = sorted
+        .mapPartitionsWithIndex { (i, it) =>
+          val m = scala.collection.mutable.Map.empty[Any, Long]
+          it.foreach { case (g, _) => m.update(g, m.getOrElse(g, 0L) + 1L) }
+          Iterator((i, m.toMap))
+        }.collect().sortBy(_._1).map(_._2)
+      val scan = counts.scanLeft(Map.empty[Any, Long]) { (acc, m) =>
+        (acc.keySet ++ m.keySet).iterator
+          .map(k => k -> (acc.getOrElse(k, 0L) + m.getOrElse(k, 0L))).toMap
+      }
+      val offsets: Array[Map[Any, Long]] = scan.init
+      // 0-indexed rank to emit per group
+      val needed: Map[Any, Long] =
+        scan.last.map { case (g, n) => g -> (rank1Of(n) - 1L) }
+      val neededB = spark.sparkContext.broadcast(needed)
+      val offB = spark.sparkContext.broadcast(offsets)
+      val picked: Array[(Any, Double)] = sorted
+        .mapPartitionsWithIndex { (i, it) =>
+          val off = scala.collection.mutable.Map[Any, Long](
+            offB.value(i).toSeq: _*)
+          val nd = neededB.value
+          it.flatMap { case (g, v) =>
+            val r = off.getOrElse(g, 0L)
+            off.update(g, r + 1L)
+            if (nd.get(g).contains(r)) Iterator((g, v)) else Iterator.empty
+          }
+        }.collect()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        base.schema("__g").copy(name = gCol),
+        org.apache.spark.sql.types.StructField(
+          outCol, org.apache.spark.sql.types.DoubleType)))
+      spark.createDataFrame(
+        java.util.Arrays.asList(picked.map { case (g, v) =>
+          org.apache.spark.sql.Row(g, v) }: _*), schema)
+    } finally { sorted.unpersist(blocking = false); () }
+  }
 }

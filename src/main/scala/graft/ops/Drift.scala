@@ -311,18 +311,20 @@ object Drift {
     val base = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
-    def medianOf(in: DataFrame, c: String): DataFrame = {
-      val w = Window.partitionBy("g").orderBy(col(c))
-      in.withColumn("__rk", row_number().over(w))
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy("g")))
-        .filter(col("__rk") === floor((col("__n") + 1) / lit(2)).cast("long"))
-        .select(col("g"), col(c).as(s"__med_$c"))
-    }
+    // Exact lower-median ELEMENT pick per group — by the distributed
+    // rank-pick (one range-partitioned sort spread over all partitions;
+    // Quantiles.groupedPick), not a Window.partitionBy(g) rank: a
+    // skewed group ("90% of events are clicks") would funnel its every
+    // row through one sort task. The pick frames are |G|-sized, so
+    // they broadcast back onto the row stream.
+    def medianOf(in: DataFrame, c: String): DataFrame =
+      graft.engine.Quantiles.groupedPick(
+        in, "g", c, n => (n + 1) / 2, s"__med_$c")
     val med = medianOf(base, "v")
-    val dev = base.join(med, Seq("g"))
+    val dev = base.join(broadcast(med), Seq("g"))
       .withColumn("d", abs(col("v") - col("__med_v")))
     val mad = medianOf(dev.select("g", "d"), "d")
-    dev.join(mad, Seq("g"))
+    dev.join(broadcast(mad), Seq("g"))
       .groupBy("g").agg(
         count(lit(1)).as("n"),
         round(max(col("__med_v")), 6).as("median"),

@@ -93,4 +93,31 @@ class QuantilesSpec extends SparkSpec {
     assert(m(0.26) === 2.0)
     assert(m(1.0) === 2.0)
   }
+
+  test("groupedPick: window-rank parity under 90% skew, ties, sub-rank groups") {
+    val rnd = new scala.util.Random(11)
+    // one celebrity group holds 90% of the rows (the shape a
+    // Window.partitionBy rank serializes); heavy ties via rounding;
+    // a 1-row and a 2-row group exercise the rank edges
+    val rows = (0 until 9000).map(i => ("hot", math.floor(rnd.nextDouble() * 20) / 4.0)) ++
+      (0 until 950).map(i => ("warm", rnd.nextGaussian())) ++
+      Seq(("one", 7.5), ("two", 1.0), ("two", 2.0)) ++
+      (0 until 47).map(i => ("cold", i.toDouble))
+    val df = rows.toDF("g", "v").repartition(7).cache()
+    try {
+      val got = Quantiles.groupedPick(df, "g", "v",
+          n => (n + 1) / 2, "med")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("g").orderBy(col("v"))
+      val want = df
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+        .filter(col("rk") === floor((col("n") + 1) / lit(2)).cast("long"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got === want)
+      assert(got("one") === 7.5)   // n=1 → rank 1
+      assert(got("two") === 1.0)   // n=2 → lower median
+    } finally df.unpersist()
+  }
 }
