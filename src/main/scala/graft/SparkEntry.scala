@@ -3994,17 +3994,89 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       val corpus = e.filter(col("vec_id") >= 5)
       val cut = corpus.agg(expr("(max(vec_id) + 1) DIV 2")).collect()(0).getLong(0)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
-        s"${ProcessHandle.current().pid()}_${math.abs(d.hashCode)}"
-      IvfIndex.build(corpus.filter(col("vec_id") < cut),
-        "vec_id", "embedding", path, nCells = 16)
-      IvfIndex.append(s, path, corpus.filter(col("vec_id") >= cut),
-        "vec_id", "embedding")
-      IvfIndex.search(s, path, e.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 10, nprobe = 4)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("sim"), 6).as("sim"))
-        .orderBy("query_id", "rank")
+      // index scratch rides the streaming-checkpoint discipline (r11):
+      // tmpfs-backed temp dir, eager materialization of the (tiny)
+      // result, rmTree in finally — no graft_ivf* residue survives
+      val scratch = tmpCheckpointDir("graft_ivf_")
+      try {
+        val path = s"$scratch/idx"
+        IvfIndex.build(corpus.filter(col("vec_id") < cut),
+          "vec_id", "embedding", path, nCells = 16)
+        IvfIndex.append(s, path, corpus.filter(col("vec_id") >= cut),
+          "vec_id", "embedding")
+        IvfIndex.search(s, path, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nprobe = 4)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally rmTree(scratch)
+    }),
+
+    // --- the index's CDC shape: a change batch DELETES some admitted
+    // ids and UPSERTS others (assignment against the frozen centroids,
+    // tombstone-superseding their old rows), compaction folds the
+    // tombstones into the code files, and search over the compacted
+    // index must equal a REBUILD over the edited corpus — the oracle
+    // replays exactly that (delete-then-search ≡
+    // rebuild-without-deleted, upsert-then-search ≡
+    // rebuild-with-the-new-vectors). Edits touch only ids above the
+    // centroid seed range, so the frozen quantizer equals the
+    // rebuild's and parity is value-for-value ---
+    "q233_ivf_index_cdc" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 5)
+      val cut = corpus.agg(expr("(max(vec_id) + 1) DIV 2")).collect()(0).getLong(0)
+      val scratch = tmpCheckpointDir("graft_ivfc_")
+      try {
+        val path = s"$scratch/idx"
+        IvfIndex.build(corpus.filter(col("vec_id") < cut),
+          "vec_id", "embedding", path, nCells = 16)
+        IvfIndex.append(s, path, corpus.filter(col("vec_id") >= cut),
+          "vec_id", "embedding")
+        // one CDC batch over the appended half: vec_id ≡ 0 (mod 7)
+        // deletes, vec_id ≡ 3 (mod 7) upserts its REVERSED embedding
+        // (SQL-replayable via list_reverse)
+        val changes = corpus
+          .filter(col("vec_id") >= cut &&
+            (col("vec_id") % 7 === 0 || col("vec_id") % 7 === 3))
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+            lit(1L).as("seq"),
+            when(col("vec_id") % 7 === 0, lit("delete"))
+              .otherwise(lit("upsert")).as("op"))
+        IvfIndex.applyChanges(s, path, changes,
+          "vec_id", "embedding", "seq", "op")
+        IvfIndex.compact(s, path)
+        IvfIndex.search(s, path, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nprobe = 4)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally rmTree(scratch)
+    }),
+
+    // --- the REFINED persisted build: Lloyd-trained coarse quantizer
+    // (kmeansIterations > 0) frozen into the index, searched
+    // end-to-end — the oracle replays the full Lloyd recursion (q38's
+    // seeded-centroid machinery) and then the IVF probe/score/top-k
+    // over the refined centroids, value-checking the production build
+    // mode the lifecycle spec drives ---
+    "q234_ivf_index_refined" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 5)
+      val scratch = tmpCheckpointDir("graft_ivfr_")
+      try {
+        val path = s"$scratch/idx"
+        IvfIndex.build(corpus, "vec_id", "embedding", path,
+          nCells = 16, kmeansIterations = 2)
+        IvfIndex.search(s, path, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nprobe = 4)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally rmTree(scratch)
     }),
 
     // --- the index's retrain trigger: per-cell PSI of the appended
@@ -4016,14 +4088,17 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       val corpus = e.filter(col("vec_id") >= 5)
       val cut = corpus.agg(expr("(max(vec_id) + 1) DIV 2")).collect()(0).getLong(0)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfd_" +
-        s"${ProcessHandle.current().pid()}_${math.abs(d.hashCode)}"
-      IvfIndex.build(corpus.filter(col("vec_id") < cut),
-        "vec_id", "embedding", path, nCells = 16)
-      IvfIndex.append(s, path, corpus.filter(col("vec_id") >= cut),
-        "vec_id", "embedding")
-      IvfIndex.driftReport(s, path, threshold = 0.2)
-        .orderBy("centroid_id")
+      val scratch = tmpCheckpointDir("graft_ivfd_")
+      try {
+        val path = s"$scratch/idx"
+        IvfIndex.build(corpus.filter(col("vec_id") < cut),
+          "vec_id", "embedding", path, nCells = 16)
+        IvfIndex.append(s, path, corpus.filter(col("vec_id") >= cut),
+          "vec_id", "embedding")
+        IvfIndex.driftReport(s, path, threshold = 0.2)
+          .orderBy("centroid_id")
+          .localCheckpoint(true)
+      } finally rmTree(scratch)
     }),
 
     // --- the PQ-CODED persisted index (the 100 TB storage shape: m
@@ -4040,19 +4115,22 @@ object SparkEntry {
       val corpus = e.filter(col("vec_id") >= 5)
       val cut = corpus.agg(expr("(max(vec_id) + 1) DIV 2")).collect()(0).getLong(0)
       val n = corpus.filter(col("embedding").isNotNull).count()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
-        s"${ProcessHandle.current().pid()}_${math.abs(d.hashCode)}"
-      IvfIndex.buildPq(corpus.filter(col("vec_id") < cut), "vec_id", "embedding",
-        path, dim = 64, m = 4, k = 8, iterations = 0,
-        nCells = if (n <= 2048L) IvfCells
-                 else Quantize.nCentroidsFor(n, minC = IvfCells))
-      IvfIndex.appendPq(s, path, corpus.filter(col("vec_id") >= cut),
-        "vec_id", "embedding", dim = 64, m = 4)
-      IvfIndex.searchPq(s, path, e.filter(col("vec_id") < 5),
-          "vec_id", "embedding", dim = 64, m = 4, nProbe = IvfProbe, topK = 10)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("adist"), 6).as("adist"))
-        .orderBy("query_id", "rank")
+      val scratch = tmpCheckpointDir("graft_ivfpq_")
+      try {
+        val path = s"$scratch/idx"
+        IvfIndex.buildPq(corpus.filter(col("vec_id") < cut), "vec_id", "embedding",
+          path, dim = 64, m = 4, k = 8, iterations = 0,
+          nCells = if (n <= 2048L) IvfCells
+                   else Quantize.nCentroidsFor(n, minC = IvfCells))
+        IvfIndex.appendPq(s, path, corpus.filter(col("vec_id") >= cut),
+          "vec_id", "embedding", dim = 64, m = 4)
+        IvfIndex.searchPq(s, path, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", dim = 64, m = 4, nProbe = IvfProbe, topK = 10)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("adist"), 6).as("adist"))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally rmTree(scratch)
     }))
 
   // ---------------------------------------------------------------
@@ -5247,8 +5325,11 @@ object SparkEntry {
           |cent AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cn
           |         FROM n ORDER BY vec_id
           |         LIMIT (SELECT CASE WHEN count(*) <= 2048 THEN 16
-          |                            ELSE least(4096, greatest(16,
-          |                              (count(*) + 124) // 125)) END
+          |                            WHEN (count(*) + 124) // 125 <= 4096
+          |                            THEN greatest(16, (count(*) + 124) // 125)
+          |                            ELSE CAST(ceil(sqrt(
+          |                              ((count(*) + 124) // 125) * 4096.0))
+          |                              AS BIGINT) END
           |                FROM n)),
           |assigned AS (
           |  SELECT vec_id AS id, qv AS vec, nrm AS vn, centroid_id FROM (
@@ -8255,6 +8336,82 @@ object SparkEntry {
           |  FROM scored)
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+      // CDC-parity replay: REBUILD-then-search over the EDITED corpus
+      // (mod-7 ≡ 0 high-half ids deleted, mod-7 ≡ 3 upserted with the
+      // reversed embedding) — q230's IVF plan over the post-change
+      // rows. The engine side went build → append → applyChanges
+      // (tombstones) → compact → search; edits stay above the
+      // 16-lowest-id seed range, so the frozen centroids equal this
+      // rebuild's and delete/upsert-then-search must match
+      // value-for-value.
+      "q233_ivf_index_cdc" ->
+        """WITH corpus0 AS (SELECT * FROM embeddings WHERE vec_id >= 5),
+          |cutv AS (SELECT (max(vec_id) + 1) // 2 AS cut FROM corpus0),
+          |corpus AS (
+          |  SELECT vec_id,
+          |    CASE WHEN vec_id >= (SELECT cut FROM cutv) AND vec_id % 7 = 3
+          |         THEN list_reverse(embedding) ELSE embedding END AS embedding
+          |  FROM corpus0
+          |  WHERE NOT (vec_id >= (SELECT cut FROM cutv) AND vec_id % 7 = 0)),
+          |q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+          |cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM corpus ORDER BY vec_id LIMIT 16),
+          |assigned AS (
+          |  SELECT vec_id AS id, centroid_id, embedding AS vec FROM (
+          |    SELECT c.vec_id, ct.centroid_id, c.embedding,
+          |      row_number() OVER (PARTITION BY c.vec_id
+          |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(ct.cv AS DOUBLE[])) DESC, ct.centroid_id ASC) AS rn
+          |    FROM corpus c CROSS JOIN cent ct)
+          |  WHERE rn = 1),
+          |probes AS (
+          |  SELECT vec_id AS query_id, embedding AS qv, centroid_id FROM (
+          |    SELECT q.vec_id, q.embedding, ct.centroid_id,
+          |      row_number() OVER (PARTITION BY q.vec_id
+          |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(ct.cv AS DOUBLE[])) DESC, ct.centroid_id ASC) AS rn
+          |    FROM q CROSS JOIN cent ct)
+          |  WHERE rn <= 4),
+          |scored AS (
+          |  SELECT p.query_id, a.id AS neighbor_id,
+          |    list_cosine_similarity(CAST(p.qv AS DOUBLE[]), CAST(a.vec AS DOUBLE[])) AS sim
+          |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id)
+          |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
+          |  SELECT query_id, neighbor_id, sim,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+          |  FROM scored)
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // Refined-build replay: the full Lloyd recursion (q38's seeded
+      // machinery, K = 16, 2 rounds, corpus = the non-query rows) and
+      // then the IVF probe/score/top-k over the REFINED centroids —
+      // value-checking the production (kmeansIterations > 0) persisted
+      // build end-to-end.
+      "q234_ivf_index_refined" ->
+        s"""WITH ${kmeansCtesSql(16, 2, "WHERE vec_id >= 5")},
+           |q AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           |      FROM embeddings WHERE vec_id < 5),
+           |probes AS (
+           |  SELECT id AS query_id, v AS qv, centroid_id FROM (
+           |    SELECT q.id, q.v, ct.centroid_id,
+           |      row_number() OVER (PARTITION BY q.id
+           |        ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.centroid_id ASC) AS rn
+           |    FROM q CROSS JOIN cent2 ct)
+           |  WHERE rn <= 4),
+           |fasg AS (
+           |  SELECT id, centroid_id, v FROM (
+           |    SELECT c.id, ct.centroid_id, c.v,
+           |      row_number() OVER (PARTITION BY c.id
+           |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.centroid_id ASC) AS rn
+           |    FROM corpus c CROSS JOIN cent2 ct)
+           |  WHERE rn = 1),
+           |scored AS (
+           |  SELECT p.query_id, a.id AS neighbor_id,
+           |    list_cosine_similarity(p.qv, a.v) AS sim
+           |  FROM probes p JOIN fasg a USING (centroid_id))
+           |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
+           |  SELECT query_id, neighbor_id, sim,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+           |  FROM scored)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
       // PQ-index append-parity replay: REBUILD-then-search over the
       // union — q142's IVF-PQ plan at ZERO training iterations (the
       // codebook is the lowest-id seed, which the low-half build shard
@@ -8989,7 +9146,8 @@ object SparkEntry {
     * `ivftop` (query_id, rank, neighbor_id, adist). The cell COUNT is
     * the engine's exact sizing formula, evaluated dynamically:
     * $IvfCells under the 2048-row gate, corpus-sized (~125/cell,
-    * clamped [$IvfCells, 4096]) above — so this one replay is
+    * floor $IvfCells, sqrt-scaled past the 4096 soft cap) above — so
+    * this one replay is
     * value-valid at every scale (r14; the r13 sf1 sweep had to book
     * q142 as a designed divergence against the pinned LIMIT). */
   private def ivfPqAdcSql(iters: Int = PqIters): String =
@@ -8997,8 +9155,10 @@ object SparkEntry {
        |icells AS (SELECT id AS cell_id, v AS ccv
        |  FROM pcorpus ORDER BY id
        |  LIMIT (SELECT CASE WHEN count(*) <= 2048 THEN $IvfCells
-       |                     ELSE least(4096, greatest($IvfCells,
-       |                       (count(*) + 124) // 125)) END
+       |                     WHEN (count(*) + 124) // 125 <= 4096
+       |                     THEN greatest($IvfCells, (count(*) + 124) // 125)
+       |                     ELSE CAST(ceil(sqrt(
+       |                       ((count(*) + 124) // 125) * 4096.0)) AS BIGINT) END
        |         FROM pcorpus)),
        |icasg AS (SELECT id, cell_id AS cell FROM (
        |    SELECT c.id, ce.cell_id,
@@ -9117,10 +9277,13 @@ object SparkEntry {
         (col("lang_pred") === col("lang_actual")).cast("int").as("correct"))
   }
 
-  /** The kmeans replay CTE chain shared by q38 (centroid dump) and
-    * q201 (silhouette): `corpus`, `cent0`, Lloyd rounds, ending with
-    * `cent$Q38Iters` available for the caller's SELECT. */
-  private def kmeansCtesSql: String = {
+  /** The kmeans replay CTE chain shared by q38 (centroid dump), q201
+    * (silhouette), and q234 (refined persisted IVF index): `corpus`,
+    * `cent0`, Lloyd rounds, ending with `cent$iters` available for
+    * the caller's SELECT. `where` filters the corpus (and the seed)
+    * — empty replays the full table (q38/q201's historical shape). */
+  private def kmeansCtesSql(k: Int = Q38K, iters: Int = Q38Iters,
+                            where: String = ""): String = {
     def round(i: Int): String =
       s"""asg$i AS (
          |  SELECT id, centroid_id, v FROM (
@@ -9138,14 +9301,14 @@ object SparkEntry {
          |  FROM cent${i - 1} ct LEFT JOIN
          |    (SELECT centroid_id, list(m ORDER BY pos) AS ncv FROM m$i GROUP BY 1) nm
          |    USING (centroid_id))""".stripMargin
-    s"""corpus AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""corpus AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings $where),
        |cent0 AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-       |          FROM embeddings ORDER BY vec_id LIMIT $Q38K),
-       |${(1 to Q38Iters).map(round).mkString(",\n")}""".stripMargin
+       |          FROM embeddings $where ORDER BY vec_id LIMIT $k),
+       |${(1 to iters).map(round).mkString(",\n")}""".stripMargin
   }
 
   private def q38Sql: String =
-    s"""WITH $kmeansCtesSql
+    s"""WITH ${kmeansCtesSql()}
        |SELECT centroid_id, i AS pos, round(cv[i + 1], 6) AS v
        |FROM cent$Q38Iters CROSS JOIN range($Q37Dim) t(i)
        |ORDER BY centroid_id, pos""".stripMargin
@@ -9208,7 +9371,7 @@ object SparkEntry {
     * the engine's sorted-slice), a/b cosine distances, s in pure
     * double arithmetic, DECIMAL(38,12) sum for the per-cluster mean. */
   private def q201Sql: String =
-    s"""WITH $kmeansCtesSql,
+    s"""WITH ${kmeansCtesSql()},
        |ssims AS (SELECT c.id, ct.centroid_id,
        |    list_cosine_similarity(c.v, ct.cv) AS sim
        |  FROM corpus c CROSS JOIN cent$Q38Iters ct),

@@ -82,17 +82,22 @@ object Quantiles {
     val neededB = spark.sparkContext.broadcast(neededMap)
     val offB = spark.sparkContext.broadcast(offsets)
     // pass 2 (shuffle reuse): emit only rows whose global rank is needed
-    val vals: Map[(String, Long), Double] = sorted
-      .mapPartitionsWithIndex { (i, it) =>
-        val off = scala.collection.mutable.Map[String, Long](offB.value(i).toSeq: _*)
-        val nd = neededB.value
-        it.flatMap { case (c, v) =>
-          val r = off.getOrElse(c, 0L)
-          off.update(c, r + 1L)
-          if (nd.get(c).exists(_.contains(r))) Iterator(((c, r), v))
-          else Iterator.empty
-        }
-      }.collect().toMap
+    val vals: Map[(String, Long), Double] =
+      try {
+        sorted.mapPartitionsWithIndex { (i, it) =>
+          val off = scala.collection.mutable.Map[String, Long](offB.value(i).toSeq: _*)
+          val nd = neededB.value
+          it.flatMap { case (c, v) =>
+            val r = off.getOrElse(c, 0L)
+            off.update(c, r + 1L)
+            if (nd.get(c).exists(_.contains(r))) Iterator(((c, r), v))
+            else Iterator.empty
+          }
+        }.collect().toMap
+      } finally {
+        // single-use: release driver+executor copies immediately
+        neededB.destroy(); offB.destroy()
+      }
     values.map { case (name, _) =>
       val n = ns.getOrElse(name, 0L)
       name -> (if (n == 0) ps.map(_ => 0.0)
@@ -198,8 +203,12 @@ object Quantiles {
   def groupedPick(df: DataFrame, gCol: String, vCol: String,
                   rank1Of: Long => Long, outCol: String): DataFrame = {
     val spark = df.sparkSession
+    // filter on the CAST value, not the raw column: a non-null input
+    // whose double cast yields null (e.g. a non-numeric string) would
+    // otherwise survive to getDouble → NPE (exactMulti's rule). NaN
+    // casts to NaN, not null, so the NaN-is-a-value policy holds.
     val base = df
-      .filter(col(gCol).isNotNull && col(vCol).isNotNull)
+      .filter(col(gCol).isNotNull && col(vCol).cast("double").isNotNull)
       .select(col(gCol).as("__g"), col(vCol).cast("double").as("__v"))
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val sorted = base.repartitionByRange(nPart, col("__g"), col("__v"))
@@ -221,22 +230,36 @@ object Quantiles {
           .map(k => k -> (acc.getOrElse(k, 0L) + m.getOrElse(k, 0L))).toMap
       }
       val offsets: Array[Map[Any, Long]] = scan.init
-      // 0-indexed rank to emit per group
+      // 0-indexed rank to emit per group; an out-of-range rank would
+      // silently emit NO row for the group (a caller joining back
+      // would misread absence as "group not in input"), so fail fast
       val needed: Map[Any, Long] =
-        scan.last.map { case (g, n) => g -> (rank1Of(n) - 1L) }
+        scan.last.map { case (g, n) =>
+          val r = rank1Of(n)
+          require(r >= 1 && r <= n,
+            s"rank1Of($n) = $r outside [1, $n] for group $g")
+          g -> (r - 1L)
+        }
       val neededB = spark.sparkContext.broadcast(needed)
       val offB = spark.sparkContext.broadcast(offsets)
-      val picked: Array[(Any, Double)] = sorted
-        .mapPartitionsWithIndex { (i, it) =>
-          val off = scala.collection.mutable.Map[Any, Long](
-            offB.value(i).toSeq: _*)
-          val nd = neededB.value
-          it.flatMap { case (g, v) =>
-            val r = off.getOrElse(g, 0L)
-            off.update(g, r + 1L)
-            if (nd.get(g).contains(r)) Iterator((g, v)) else Iterator.empty
-          }
-        }.collect()
+      val picked: Array[(Any, Double)] =
+        try {
+          sorted.mapPartitionsWithIndex { (i, it) =>
+            val off = scala.collection.mutable.Map[Any, Long](
+              offB.value(i).toSeq: _*)
+            val nd = neededB.value
+            it.flatMap { case (g, v) =>
+              val r = off.getOrElse(g, 0L)
+              off.update(g, r + 1L)
+              if (nd.get(g).contains(r)) Iterator((g, v)) else Iterator.empty
+            }
+          }.collect()
+        } finally {
+          // single-use broadcasts: release driver+executor copies now
+          // rather than letting 4 per madOutliers call pile up across
+          // a 232-query suite
+          neededB.destroy(); offB.destroy()
+        }
       val schema = org.apache.spark.sql.types.StructType(Seq(
         base.schema("__g").copy(name = gCol),
         org.apache.spark.sql.types.StructField(

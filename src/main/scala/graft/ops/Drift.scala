@@ -298,13 +298,20 @@ object Drift {
     * computed the same way over |x − med|, and the count of values
     * with |x − med| > k·MAD.
     *
-    * Shape: two (group-partitioned sort + rank-pick) window passes and
-    * one keyed agg — parallel across groups; a group's pass is its own
-    * sort, the floor for any exact-median definition (for FEW massive
-    * groups route through the distributed Quantiles kernel instead —
-    * this form targets the many-groups regime). Determinism: the
-    * element pick depends only on the sorted multiset (ties don't
-    * matter), and k·MAD is a single multiplication of exact doubles. */
+    * Shape: two distributed rank-picks ([[graft.engine.Quantiles
+    * .groupedPick]] — a range-partitioned sort over (group, value)
+    * spread across ALL partitions, never a per-group window funnel)
+    * plus one keyed agg. Driver-side contract inherited from
+    * groupedPick: each pick collects O(P·|G|) per-partition count-map
+    * entries plus the |G|-sized pick frame to the driver and
+    * broadcasts the pick back onto the row stream — so group
+    * CARDINALITY, not group size, is the bound; a groupCol with
+    * millions of distinct values belongs in an approximate kernel
+    * (percentile_approx per group), not here. Skew-immune in the
+    * other direction: one group holding 90% of the rows costs nothing
+    * extra. Determinism: the element pick depends only on the sorted
+    * multiset (ties don't matter), and k·MAD is a single
+    * multiplication of exact doubles. */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   k: Double = 3.0): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")

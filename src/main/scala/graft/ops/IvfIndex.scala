@@ -86,34 +86,73 @@ object IvfIndex {
     * those cells — with the partitionBy layout that restriction is
     * PARTITION PRUNING on disk, not a post-scan filter. Same probe
     * rule, scoring expression, and tie-breaks as
-    * [[Similarity.ivfTopK]]. */
+    * [[Similarity.ivfTopK]], and since r15 the same KERNELS: probe
+    * selection is a map-side group-top (bounded struct slice per
+    * query — never a |Q|·K rank-window sort carrying query vectors),
+    * and the final top-k rides the mergeable bounded-heap aggregate
+    * ([[graft.expressions.BoundedTopK]] via
+    * [[Similarity.topKFromScored]]) — k primitives of state per query
+    * at all times, no Window anywhere in the plan.
+    *
+    * Probe-side broadcast is GATED on the query-batch size: the probe
+    * frame carries nprobe copies of every query vector, so a large
+    * batch (≳100k × dim 100 ≈ GBs) would blow the broadcast ceiling —
+    * above `maxBroadcastQueries` the probes join the codes by shuffle
+    * instead ([[Quantize.int8TopKAuto]]'s LIMIT-probe discipline: the
+    * routing count scans at most maxBroadcastQueries + 1 query rows;
+    * `querySizeHint` skips the probe). Both routes are value-identical
+    * — the join key and every downstream expression are the same.
+    *
+    * Rows superseded or deleted by [[applyChanges]] are dropped via
+    * the tombstone table AFTER cell pruning (a broadcast anti-filter
+    * over the bounded candidate set — see [[applyChanges]] for the
+    * tombstone-size contract; [[compact]] folds them away). */
   def search(spark: SparkSession, path: String, queries: DataFrame,
-             qId: String, qVec: String, k: Int, nprobe: Int): DataFrame = {
+             qId: String, qVec: String, k: Int, nprobe: Int,
+             maxBroadcastQueries: Long = 100000L,
+             querySizeHint: Option[Long] = None): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val codes = spark.read.parquet(s"$path/codes")
-    val qProbes = {
-      val j = Similarity.withNorm(queries, qId, qVec, "query_id", "__qv", "__qn")
-        .crossJoin(broadcast(
-          Similarity.withNorm(centroids, "centroid_id", "cv",
-            "centroid_id", "__cv", "__cn")))
-        .withColumn("sim",
-          Similarity.pairSim(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(desc("sim"), col("centroid_id"))
-      j.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= nprobe)
-        .select(col("query_id"), col("__qv"), col("__qn"), col("centroid_id"))
-    }
-    val scored = qProbes.hint("broadcast")
-      .join(codes, "centroid_id")
+    // map-side group-top probe pick (ivfTopK's form): struct sort by
+    // (-sim, centroid_id) == ORDER BY sim DESC, centroid_id ASC
+    val qProbes = Similarity.withNorm(queries, qId, qVec, "query_id", "__qv", "__qn")
+      .crossJoin(broadcast(
+        Similarity.withNorm(centroids, "centroid_id", "cv",
+          "centroid_id", "__cv", "__cn")))
+      .withColumn("sim",
+        Similarity.pairSim(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .groupBy("query_id")
+      .agg(first(col("__qv")).as("__qv"), first(col("__qn")).as("__qn"),
+        slice(array_sort(collect_list(struct(
+          (-col("sim")).as("negSim"), col("centroid_id")))), 1, nprobe).as("__top"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        explode(col("__top")).as("__t"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        col("__t.centroid_id").as("centroid_id"))
+    val probesJoined =
+      if (smallBatch(queries, qVec, maxBroadcastQueries, querySizeHint))
+        qProbes.hint("broadcast").join(codes, "centroid_id")
+      else qProbes.join(codes, "centroid_id")
+    val scored = dropTombstoned(spark, path, probesJoined)
       .withColumn("sim",
         Similarity.pairSim(col("__qv"), col("vec"), col("__qn"), col("vecnorm")))
       .select(col("query_id"), col("id").as("neighbor_id"), col("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+    Similarity.topKFromScored(scored, k)
   }
+
+  /** LIMIT-bounded query-batch routing probe (the
+    * [[Quantize.int8TopKAuto]] discipline): scans at most
+    * `maxBroadcast + 1` query rows to decide, never the full batch —
+    * unless the threshold exceeds Int range, where a LIMIT can't
+    * decide and the full count is the only safe answer. */
+  private def smallBatch(queries: DataFrame, qVec: String,
+                         maxBroadcast: Long, hint: Option[Long]): Boolean =
+    hint.getOrElse {
+      if (maxBroadcast < Int.MaxValue - 1L)
+        queries.filter(col(qVec).isNotNull)
+          .limit(maxBroadcast.toInt + 1).count()
+      else queries.filter(col(qVec).isNotNull).count()
+    } <= maxBroadcast
 
   // ------------------------------------------------------------------
   // PQ-coded variant: the index stores (centroid, code) tables ONLY —
@@ -190,31 +229,204 @@ object IvfIndex {
     * as [[Quantize.ivfPqTopKAdc]]. */
   def searchPq(spark: SparkSession, path: String, queries: DataFrame,
                qId: String, qVec: String, dim: Int, m: Int,
-               nProbe: Int, topK: Int): DataFrame = {
+               nProbe: Int, topK: Int,
+               maxBroadcastQueries: Long = 100000L,
+               querySizeHint: Option[Long] = None): DataFrame = {
     val cells = spark.read.parquet(s"$path/cells")
     val codebook = spark.read.parquet(s"$path/codebook")
     val codes = spark.read.parquet(s"$path/codes")
     val dtab = Quantize.adcTables(queries, qId, qVec, codebook, m, dim / m)
-    val wp = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("__d2").asc, col("cell_id").asc)
+    // map-side group-top probe pick: struct sort by (d2, cell_id) ==
+    // ORDER BY d2 ASC, cell_id ASC — no per-query rank window
     val probes = queries.filter(col(qVec).isNotNull)
       .select(col(qId).as("query_id"), transform(col(qVec), _.cast("double")).as("__qv"))
       .crossJoin(broadcast(cells))
       .withColumn("__d2", Quantize.l2sq(col("__qv"), col("ccv")))
-      .withColumn("__rn", row_number().over(wp)).filter(col("__rn") <= nProbe)
-      .select(col("query_id"), col("cell_id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
-    codes
-      .join(broadcast(probes), col("cell") === col("cell_id"))
+      .groupBy("query_id")
+      .agg(slice(array_sort(collect_list(struct(
+        col("__d2"), col("cell_id")))), 1, nProbe).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__t"))
+      .select(col("query_id"), col("__t.cell_id").as("cell_id"))
+    // the probe/dtab frames hold only scalars (no query vectors), but
+    // they still scale with |Q| — gate their broadcast on batch size
+    // like [[search]]; the shuffled route is value-identical
+    val small = smallBatch(queries, qVec, maxBroadcastQueries, querySizeHint)
+    val cand = dropTombstoned(spark, path,
+      if (small) codes.join(broadcast(probes), col("cell") === col("cell_id"))
+      else codes.join(probes, col("cell") === col("cell_id")))
+    val expl = cand
       .select(col("query_id"), col("id"), posexplode(col("codes")).as(Seq("subspace", "code")))
-      .join(broadcast(dtab), Seq("query_id", "subspace", "code"))
+    val scored = (if (small) expl.join(broadcast(dtab), Seq("query_id", "subspace", "code"))
+                  else expl.join(dtab, Seq("query_id", "subspace", "code")))
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
       .agg(sum(col("d2")).as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("query_id", "rank", "neighbor_id", "adist")
+      // heap kernel orders (sim DESC, id ASC); adist ASC == -adist
+      // DESC, and double negation round-trips bit-exactly
+      .select(col("query_id"), col("neighbor_id"), (-col("adist")).as("sim"))
+    Similarity.topKFromScored(scored, topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (-col("sim")).as("adist"))
   }
+
+  // ------------------------------------------------------------------
+  // CDC: deletes + upserts over the persisted code tables. A parquet
+  // layout can't rewrite rows in place, so changes land as TOMBSTONES
+  // (`tombstones/` — (id, tomb_gen)): batch g tombstones every changed
+  // key at gen g (killing that id's rows with gen < g) and appends the
+  // upserted vectors at gen g — so a delete drops the id, an upsert
+  // atomically supersedes every older generation of it, and a
+  // re-insert after a delete works because the new row's gen is never
+  // below its tombstone's. Search applies the tombstone filter AFTER
+  // cell pruning as a broadcast anti-filter — O(|tombstones|) extra
+  // state, the steady-state CDC regime ([[Snapshot.applyChangeLog]]'s
+  // contract); when deletes accumulate, [[compact]] folds them into
+  // the code files and clears the table.
+  // ------------------------------------------------------------------
+
+  /** Apply one CDC batch to the IVF-flat index at `path`. `changes`
+    * carries (idCol, vecCol, seqCol, opCol): rows compact to their
+    * latest per key by `seqCol` (max_by — no window), `opCol` ==
+    * `deleteOp` deletes the key, anything else upserts it (assignment
+    * against the FROZEN centroids — no retraining, cost ∝ batch).
+    * Note [[driftReport]] counts tombstoned rows until [[compact]]
+    * runs — drift is about what the quantizer ADMITTED, and a
+    * delete-heavy workload should compact before reading drift. */
+  def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
+                   idCol: String, vecCol: String, seqCol: String,
+                   opCol: String, deleteOp: String = "delete"): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val g = nextGenAfter(spark, path)
+    val latest = latestPerKey(changes, idCol, vecCol, seqCol, opCol)
+    latest.select(col("id"), lit(g).as("tomb_gen"))
+      .write.mode("append").parquet(s"$path/tombstones")
+    assignGen(latest.filter(col("__op") =!= lit(deleteOp)), "id", "__vec",
+        centroids, g)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/codes")
+  }
+
+  /** [[applyChanges]] for the PQ index: upserts encode against the
+    * FROZEN cells + codebook (cost ∝ batch). */
+  def applyChangesPq(spark: SparkSession, path: String, changes: DataFrame,
+                     idCol: String, vecCol: String, seqCol: String,
+                     opCol: String, dim: Int, m: Int,
+                     deleteOp: String = "delete"): Unit = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val g = nextGenAfter(spark, path)
+    val latest = latestPerKey(changes, idCol, vecCol, seqCol, opCol)
+    latest.select(col("id"), lit(g).as("tomb_gen"))
+      .write.mode("append").parquet(s"$path/tombstones")
+    encodeGen(latest.filter(col("__op") =!= lit(deleteOp)), "id", "__vec",
+        cells, codebook, dim, m, g)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Latest change row per key ([[Snapshot.applyChangeLog]]'s max_by
+    * compaction): (id, __vec, __op). Null keys are dropped. */
+  private def latestPerKey(changes: DataFrame, idCol: String, vecCol: String,
+                           seqCol: String, opCol: String): DataFrame =
+    changes.filter(col(idCol).isNotNull)
+      .groupBy(col(idCol).as("id"))
+      .agg(max_by(struct(col(vecCol).as("v"), col(opCol).as("o")),
+        col(seqCol)).as("__w"))
+      .select(col("id"), col("__w.v").as("__vec"), col("__w.o").as("__op"))
+
+  /** Next generation number: one past the max across code rows AND
+    * tombstones (a delete-only batch advances the clock too — two
+    * batches must never share a gen, or the second's upserts would be
+    * killed by the first's tombstones). */
+  private def nextGenAfter(spark: SparkSession, path: String): Int = {
+    val codeMax = spark.read.parquet(s"$path/codes")
+      .agg(coalesce(max("gen"), lit(0)).cast("int")).collect()(0).getInt(0)
+    val tombMax = tombstonesOpt(spark, path) match {
+      case Some(t) =>
+        t.agg(coalesce(max("tomb_gen"), lit(0)).cast("int")).collect()(0).getInt(0)
+      case None => 0
+    }
+    math.max(codeMax, tombMax) + 1
+  }
+
+  private def tombstonesOpt(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Drop candidate rows superseded/deleted by tombstones: a row dies
+    * iff some tombstone for its id has tomb_gen > gen. Applied after
+    * cell pruning, so the join input is the bounded candidate set; the
+    * tombstone side collapses to one row per deleted id and
+    * broadcasts. No tombstone table ⇒ pass-through (zero cost for the
+    * append-only lifecycle). */
+  private def dropTombstoned(spark: SparkSession, path: String,
+                             cand: DataFrame): DataFrame =
+    tombstonesOpt(spark, path) match {
+      case None => cand
+      case Some(t) =>
+        val latest = t.groupBy("id").agg(max("tomb_gen").as("__tg"))
+        cand.join(broadcast(latest), Seq("id"), "left")
+          .filter(col("__tg").isNull || col("gen") >= col("__tg"))
+          .drop("__tg")
+    }
+
+  /** Retrain the IVF-flat index IN PLACE from its own live rows — the
+    * lifecycle step [[driftReport]]'s `retrain` flag asks for: the
+    * flat code rows carry the raw vectors, so build → append → drift
+    * → rebuild → search needs no access to the original corpus. The
+    * new index trains on the live set (tombstones applied), writes to
+    * a sibling dir while the old tables are still being read, then
+    * swaps and clears tombstones — generation resets to 0 (the
+    * rebuild IS the new base population the next drift reads
+    * against). The PQ index has no in-place twin by construction (its
+    * code rows hold m ints, not vectors — re-run [[buildPq]] on the
+    * corpus). */
+  def rebuild(spark: SparkSession, path: String, nCells: Int,
+              kmeansIterations: Int = 0): Unit = {
+    val live = dropTombstoned(spark, path, spark.read.parquet(s"$path/codes"))
+      .select(col("id"), col("vec"))
+    val tmp = s"$path/__rebuilding"
+    // build reads $path/codes (via `live`) WHILE writing to the
+    // sibling — no self-overwrite; the swap is rename-only
+    build(live, "id", "vec", tmp, nCells, kmeansIterations)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (d <- Seq("centroids", "codes")) {
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$d")
+      fs.delete(dst, true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$d"), dst))
+        throw new java.io.IOException(s"rebuild swap failed for $path/$d")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true): Unit
+  }
+
+  /** Fold tombstones into the code files: rewrite `codes/` keeping
+    * only live rows (same filter [[search]] applies), preserving the
+    * cell partitioning and the gen stamps (drift history survives),
+    * then drop the tombstone table. The swap is write-to-sibling +
+    * rename ([[Sink.compactParquet]]'s discipline). `cellCol` =
+    * "centroid_id" for the flat index, "cell" for the PQ index. */
+  def compact(spark: SparkSession, path: String,
+              cellCol: String = "centroid_id"): Unit =
+    tombstonesOpt(spark, path) match {
+      case None => ()
+      case Some(t) =>
+        val latest = t.groupBy("id").agg(max("tomb_gen").as("__tg"))
+        val live = spark.read.parquet(s"$path/codes")
+          .join(broadcast(latest), Seq("id"), "left")
+          .filter(col("__tg").isNull || col("gen") >= col("__tg"))
+          .drop("__tg")
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/codes__compacting")
+        live.write.mode("overwrite").partitionBy(cellCol).parquet(tmp.toString)
+        fs.delete(codesPath, true)
+        if (!fs.rename(tmp, codesPath))
+          throw new java.io.IOException(s"compaction swap failed for $path/codes")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true): Unit
+    }
 
   /** Per-cell drift of the admitted generations against the build:
     * (centroid_id, n_base, n_cur, psi_contrib, psi_total, retrain).

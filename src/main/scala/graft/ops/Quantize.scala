@@ -623,22 +623,43 @@ object Quantize {
         k, cand, nCentroids, nprobe)
 
   /** IVF centroid count for a corpus of `n` vectors at a target cell
-    * size: K = clamp(⌈n / cellTarget⌉, minC, maxC). Fixed K is the
-    * classic IVF scale trap — per-query candidates are
-    * nprobe·(n/K), so a corpus growing under a pinned K turns the
-    * probe stage quadratic in total (the r12 SF1-SCALELAW run caught
-    * q195 at wall ×29 for data ×10 exactly this way — balanced cells,
-    * just 10× bigger); at constant cell size the candidate set per
-    * query stays ~nprobe·cellTarget regardless of corpus width. The
-    * default target (125) makes the benchmark corpora (500 / 2000
-    * vectors) land exactly on their historical K = 16 floor, so the
-    * oracle rows and bench history are unchanged. */
+    * size: K = max(minC, ⌈n / cellTarget⌉) while that stays within
+    * `maxC`, then √-scaled past it (below). Fixed K is the classic
+    * IVF scale trap — per-query candidates are nprobe·(n/K), so a
+    * corpus growing under a pinned K turns the probe stage quadratic
+    * in total (the r12 SF1-SCALELAW run caught q195 at wall ×29 for
+    * data ×10 exactly this way — balanced cells, just 10× bigger); at
+    * constant cell size the candidate set per query stays
+    * ~nprobe·cellTarget regardless of corpus width. `maxC` is a SOFT
+    * cap on the centroid broadcast: past it K grows as
+    * √(⌈n/cellTarget⌉·maxC), splitting the growth evenly between
+    * broadcast size and cell size (each ∝ √n) instead of letting
+    * either regrow linearly. The default target (125) makes the
+    * benchmark corpora (500 / 2000 vectors) land exactly on their
+    * historical K = 16 floor, so the oracle rows and bench history
+    * are unchanged. */
   def nCentroidsFor(n: Long, cellTarget: Long = 125L,
                     minC: Int = 16, maxC: Int = 4096): Int = {
     require(cellTarget >= 1 && minC >= 1 && maxC >= minC,
       s"bad centroid sizing ($cellTarget, $minC, $maxC)")
     val want = (n + cellTarget - 1) / cellTarget
-    math.min(maxC.toLong, math.max(minC.toLong, want)).toInt
+    if (want <= maxC.toLong) math.max(minC.toLong, want).toInt
+    else {
+      // Past the soft cap, a HARD clamp is the trap it exists to
+      // avoid, one scale up: K pinned at maxC regrows cells linearly
+      // (at cellTarget=125/maxC=4096 the cap binds at ~512k vectors,
+      // and ~×250 later the q195 shape is back). Classic IVF sizing
+      // says K ∝ √n there — take K = √(want·maxC), the geometric mean
+      // of the linear rule and the cap: continuous at the crossover
+      // (want = maxC ⇒ K = maxC), and BOTH the centroid broadcast (K)
+      // and the per-query candidate set (nprobe·n/K =
+      // nprobe·cellTarget·√(want/maxC)) now grow as √n instead of one
+      // of them growing linearly. Int range holds to want·maxC <
+      // 2⁶² — beyond any corpus this addresses.
+      math.max(minC.toLong,
+        math.ceil(math.sqrt(want.toDouble * maxC.toDouble)).toLong)
+        .min(Int.MaxValue.toLong).toInt
+    }
   }
 
   def int8TopKAuto(queries: DataFrame, corpus: DataFrame,

@@ -122,8 +122,8 @@ object Similarity {
     * ([[matryoshkaRecall]]) forms. Input: (keyCols..., neighbor_id,
     * sim); `keyCols` is the per-list key (default the single
     * query_id). */
-  private def topKFromScored(scored: DataFrame, k: Int,
-                             keyCols: Seq[String] = Seq("query_id")): DataFrame = {
+  private[ops] def topKFromScored(scored: DataFrame, k: Int,
+                                  keyCols: Seq[String] = Seq("query_id")): DataFrame = {
     val keys = keyCols.map(col)
     if (scored.schema("neighbor_id").dataType ==
         org.apache.spark.sql.types.LongType) {

@@ -88,6 +88,161 @@ class IvfIndexSpec extends SparkSpec {
     assert(rep.map(_.getAs[Long]("n_cur")).sum === 20L)
   }
 
+  test("both search paths ride the BoundedTopK heap — no Window anywhere in the plan") {
+    val path = tmpPath("plan")
+    IvfIndex.build(corpus, "id", "v", path, nCells = 4)
+    val plan = IvfIndex.search(spark, path, queries, "id", "v", k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bounded_top_k"), s"flat search lost the heap kernel:\n$plan")
+    assert(!plan.contains("Window"), s"flat search reintroduced a rank window:\n$plan")
+    val pqPath = tmpPath("planpq")
+    IvfIndex.buildPq(corpus, "id", "v", pqPath, dim = 8, m = 2, k = 4,
+      iterations = 0, nCells = 4)
+    val pqPlan = IvfIndex.searchPq(spark, pqPath, queries, "id", "v",
+        dim = 8, m = 2, nProbe = 2, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(pqPlan.contains("bounded_top_k"), s"PQ search lost the heap kernel:\n$pqPlan")
+    assert(!pqPlan.contains("Window"), s"PQ search reintroduced a rank window:\n$pqPlan")
+  }
+
+  test("query-batch broadcast gate: forced shuffled route is value-identical on both paths") {
+    val path = tmpPath("gate")
+    IvfIndex.build(corpus, "id", "v", path, nCells = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))).toSet
+    val bc = IvfIndex.search(spark, path, queries, "id", "v", k = 5, nprobe = 2)
+    // maxBroadcastQueries = 0 forces the shuffled probe join (the
+    // large-batch route); the LIMIT probe decides from ≤ 1 query row
+    val sh = IvfIndex.search(spark, path, queries, "id", "v", k = 5, nprobe = 2,
+      maxBroadcastQueries = 0L)
+    assert(rows(bc) === rows(sh))
+    assert(rows(bc).nonEmpty)
+    val pqPath = tmpPath("gatepq")
+    IvfIndex.buildPq(corpus, "id", "v", pqPath, dim = 8, m = 2, k = 4,
+      iterations = 0, nCells = 4)
+    val pbc = IvfIndex.searchPq(spark, pqPath, queries, "id", "v",
+      dim = 8, m = 2, nProbe = 2, topK = 5)
+    val psh = IvfIndex.searchPq(spark, pqPath, queries, "id", "v",
+      dim = 8, m = 2, nProbe = 2, topK = 5, maxBroadcastQueries = 0L)
+    assert(rows(pbc) === rows(psh))
+    assert(rows(pbc).nonEmpty)
+  }
+
+  test("CDC: delete+upsert-then-search equals rebuild over the edited corpus; " +
+    "compact folds tombstones; re-insert after delete works") {
+    val path = tmpPath("cdc")
+    IvfIndex.build(corpus.filter(col("id") < 20), "id", "v", path, nCells = 4)
+    IvfIndex.append(spark, path, corpus.filter(col("id") >= 20), "id", "v")
+    // one batch: delete ids 36..39, upsert id 20 into cluster-2's
+    // direction — all edits above the 4-lowest-id centroid seed range
+    val newVec = { val a = Array.fill(8)(0.0f); a(4) = 1.0f; a }
+    val changes = ((36 to 39).map(i => (i.toLong, Array.empty[Float], 1L, "delete")) :+
+      ((20L, newVec, 1L, "upsert"))).toDF("id", "v", "seq", "op")
+    IvfIndex.applyChanges(spark, path, changes, "id", "v", "seq", "op")
+    val edited = corpus.filter(col("id") < 36 && col("id") =!= 20L)
+      .unionByName(Seq((20L, newVec)).toDF("id", "v"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))).toSet
+    val got = rows(IvfIndex.search(spark, path, queries, "id", "v", k = 5, nprobe = 2))
+    val want = rows(Similarity.ivfTopK(queries, edited, "id", "v", "id", "v",
+      k = 5, nCentroids = 4, nprobe = 2))
+    assert(got === want)
+    // deleted ids never surface, the upserted row surfaces at its NEW
+    // location: full-probe search over everything
+    val all = IvfIndex.search(spark, path, corpus.select("id", "v"), "id", "v",
+      k = 40, nprobe = 4)
+    assert(rows(all).forall { case (_, _, n, _) => n < 36 })
+    // compaction: tombstones fold into the code files, results unchanged
+    assert(new java.io.File(s"$path/tombstones").exists())
+    IvfIndex.compact(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(spark.read.parquet(s"$path/codes").count() === 36)
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("id") === 20L).count() === 1)
+    assert(rows(IvfIndex.search(spark, path, queries, "id", "v", k = 5, nprobe = 2))
+      === want)
+    // re-insert a deleted id in a SECOND batch (delete-only clocks
+    // advance too — the tombstone from batch 1 must not kill it)
+    IvfIndex.applyChanges(spark, path,
+      Seq((37L, newVec, 2L, "upsert")).toDF("id", "v", "seq", "op"),
+      "id", "v", "seq", "op")
+    val back = IvfIndex.search(spark, path, corpus.select("id", "v"), "id", "v",
+      k = 40, nprobe = 4)
+    assert(rows(back).exists { case (_, _, n, _) => n == 37L })
+  }
+
+  test("PQ CDC: delete+upsert-then-searchPq equals rebuild ivfPqTopKAdc over the edited corpus") {
+    val path = tmpPath("cdcpq")
+    IvfIndex.buildPq(corpus.filter(col("id") < 20), "id", "v", path,
+      dim = 8, m = 2, k = 4, iterations = 0, nCells = 4)
+    IvfIndex.appendPq(spark, path, corpus.filter(col("id") >= 20), "id", "v",
+      dim = 8, m = 2)
+    val newVec = { val a = Array.fill(8)(0.0f); a(4) = 1.0f; a }
+    val changes = ((36 to 39).map(i => (i.toLong, Array.empty[Float], 1L, "delete")) :+
+      ((20L, newVec, 1L, "upsert"))).toDF("id", "v", "seq", "op")
+    IvfIndex.applyChangesPq(spark, path, changes, "id", "v", "seq", "op",
+      dim = 8, m = 2)
+    val edited = corpus.filter(col("id") < 36 && col("id") =!= 20L)
+      .unionByName(Seq((20L, newVec)).toDF("id", "v"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))).toSet
+    val got = rows(IvfIndex.searchPq(spark, path, queries, "id", "v",
+      dim = 8, m = 2, nProbe = 2, topK = 5))
+    val want = rows(Quantize.ivfPqTopKAdc(queries, edited, "id", "v", "id", "v",
+      dim = 8, m = 2, k = 4, iterations = 0, nCells = 4, nProbe = 2, topK = 5))
+    assert(got === want)
+    // compaction preserves the PQ layout (cell partitioning) + results
+    IvfIndex.compact(spark, path, cellCol = "cell")
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(spark.read.parquet(s"$path/codes").count() === 36)
+    assert(rows(IvfIndex.searchPq(spark, path, queries, "id", "v",
+      dim = 8, m = 2, nProbe = 2, topK = 5)) === want)
+  }
+
+  test("lifecycle: refined build → shifted append → drift fires → rebuild → recall recovers") {
+    val path = tmpPath("life")
+    // production build mode: Lloyd-refined coarse quantizer, frozen
+    IvfIndex.build(corpus.filter(col("id") < 20), "id", "v", path,
+      nCells = 4, kmeansIterations = 2)
+    // the admitted shard is a NEW direction (e1 + 0.3·e2) the frozen
+    // quantizer never trained on — it collapses into one cell
+    val shard = (20 until 40).map { i =>
+      val a = Array.fill(8)(0.0f); a(1) = 1.0f; a(2) = 0.3f; (i.toLong, a)
+    }.toDF("id", "v")
+    IvfIndex.append(spark, path, shard, "id", "v")
+    // the drift instrument fires: admitted population vs build
+    val rep = IvfIndex.driftReport(spark, path).collect()
+    assert(rep.head.getAs[Double]("psi_total") > 0.2)
+    assert(rep.head.getAs[Boolean]("retrain"))
+    // a query aimed at the new direction, pulled slightly toward e0:
+    // the STALE quantizer routes it to the e0 cell (no shard members),
+    // the retrained one routes it to the shard's cell
+    val q2 = Seq((200L, { val a = Array.fill(8)(0.0f); a(0) = 0.3f; a(1) = 1.0f; a }))
+      .toDF("id", "v")
+    val live = corpus.filter(col("id") < 20).unionByName(shard)
+    val truth = Similarity.bruteForceTopK(q2, live, "id", "v", "id", "v", 5)
+      .collect().map(_.getLong(2)).toSet
+    def recallAt5(res: org.apache.spark.sql.DataFrame): Double = {
+      val got = res.collect().map(_.getLong(2)).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val pre = recallAt5(IvfIndex.search(spark, path, q2, "id", "v", k = 5, nprobe = 1))
+    IvfIndex.rebuild(spark, path, nCells = 4, kmeansIterations = 2)
+    val post = recallAt5(IvfIndex.search(spark, path, q2, "id", "v", k = 5, nprobe = 1))
+    assert(pre === 0.0, s"stale-quantizer recall unexpectedly fine: $pre")
+    assert(post === 1.0, s"rebuilt-quantizer recall: $post")
+    // rebuild resets the generation clock — the retrained index IS the
+    // new base population the next driftReport reads against
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.select("gen").distinct().as[Int].collect().toSeq === Seq(0))
+    assert(codes.count() === 40)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(!new java.io.File(s"$path/__rebuilding").exists())
+  }
+
   test("drift report flags a genuinely shifted append") {
     val path = tmpPath("shift")
     IvfIndex.build(corpus.filter(col("id") < 20), "id", "v", path, nCells = 4)

@@ -215,15 +215,33 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
-  test("nCentroidsFor: constant cell size, clamped at both ends") {
+  test("nCentroidsFor: constant cell size, floor clamp, sqrt growth past the soft cap") {
     // benchmark-scale corpora stay on the historical K = 16 floor
     assert(Quantize.nCentroidsFor(500L) === 16)
     assert(Quantize.nCentroidsFor(2000L) === 16)
     // past the floor the cell size pins at ~cellTarget (ceil division)
     assert(Quantize.nCentroidsFor(20000L) === 160)
     assert(Quantize.nCentroidsFor(20001L) === 161)
-    // ceiling
-    assert(Quantize.nCentroidsFor(1L << 40) === 4096)
+    // the soft cap is CONTINUOUS at the crossover: want = maxC gives
+    // exactly maxC (n = maxC·cellTarget = 512000)
+    assert(Quantize.nCentroidsFor(4096L * 125L) === 4096)
+    // past the cap K grows as sqrt(want·maxC) — neither pinned (the
+    // linear-cell-regrowth trap) nor linear (the broadcast blowup):
+    // at 100× the crossover corpus, K ≈ 10·maxC and cells ≈
+    // 10·cellTarget — each side carries sqrt(100) of the growth
+    val kBig = Quantize.nCentroidsFor(100L * 4096L * 125L)
+    assert(kBig === math.ceil(math.sqrt(409600.0 * 4096.0)).toInt) // 40960
+    val cellBig = (100L * 4096L * 125L).toDouble / kBig
+    assert(cellBig > 1100 && cellBig < 1300) // ~10·cellTarget
+    // per-query candidate growth is sqrt(n/crossover), NOT n/crossover:
+    // ×250 data (the r14 verdict's trap point) costs ~×16 candidates
+    val n250 = 250L * 4096L * 125L
+    val cand250 = n250.toDouble / Quantize.nCentroidsFor(n250)
+    assert(cand250 / 125.0 > 10 && cand250 / 125.0 < 20)
+    // monotone in n across the crossover
+    val ks = Seq(400000L, 512000L, 600000L, 5120000L, 51200000L)
+      .map(Quantize.nCentroidsFor(_).toLong)
+    assert(ks === ks.sorted)
     intercept[IllegalArgumentException](Quantize.nCentroidsFor(10L, 0L))
   }
 
