@@ -331,6 +331,21 @@ object SparkEntry {
   private[graft] var skipNoDataBatches: Boolean =
     sys.env.get("GRAFT_STREAM_NODATA_SKIP").forall(_ != "0")
 
+  /** Bench-only bounded sink for the micro-batch harnesses
+    * (GRAFT_STREAM_SINK=noop, set by scripts/bench.sh): each emitted
+    * batch lands in the `noop` batch sink — every projected column is
+    * fully computed on the executors (same reason Bench's outer
+    * timing uses noop over count: nothing prunes), but NO row is
+    * serialized to the driver, so the benchmark measures the
+    * streaming OPERATORS, not the O(emitted-rows) driver ArrayBuffer
+    * the correctness harness needs for the oracle frame (r14 receipt:
+    * the per-row-feed streaming rows' sf1 ratios were sink-dominated
+    * at ×4.4–×5.4). Verify never sets it, so every oracle row still
+    * rides the full driver sink. In noop mode the harness returns a
+    * correctly-typed EMPTY frame — bench discards it. */
+  private[graft] var streamNoopSink: Boolean =
+    sys.env.get("GRAFT_STREAM_SINK").contains("noop")
+
   private[graft] def runMicroBatched[T <: Product : org.apache.spark.sql.Encoder](
       s: SparkSession, cols: Seq[String], batches: Seq[Seq[T]],
       tmpPrefix: String, outCols: Seq[String],
@@ -393,8 +408,13 @@ object SparkEntry {
         built.writeStream
           .option("checkpointLocation", ckpt.getAbsolutePath)
           .foreachBatch { (bdf: DataFrame, _: Long) =>
-            val rows = bdf.select(outCols.map(col): _*).collect()
-            buf.synchronized { buf ++= rows; () }
+            if (streamNoopSink)
+              bdf.select(outCols.map(col): _*)
+                .write.format("noop").mode("overwrite").save()
+            else {
+              val rows = bdf.select(outCols.map(col): _*).collect()
+              buf.synchronized { buf ++= rows; () }
+            }
           }
           .outputMode(mode).start()
       } finally {
@@ -459,8 +479,13 @@ object SparkEntry {
         built.writeStream
           .option("checkpointLocation", ckpt.getAbsolutePath)
           .foreachBatch { (bdf: DataFrame, _: Long) =>
-            val rows = bdf.select(outCols.map(col): _*).collect()
-            buf.synchronized { buf ++= rows; () }
+            if (streamNoopSink)
+              bdf.select(outCols.map(col): _*)
+                .write.format("noop").mode("overwrite").save()
+            else {
+              val rows = bdf.select(outCols.map(col): _*).collect()
+              buf.synchronized { buf ++= rows; () }
+            }
           }
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
       } finally {
@@ -1454,9 +1479,13 @@ object SparkEntry {
             .writeStream
             .option("checkpointLocation", ckpt.getAbsolutePath)
             .foreachBatch { (bdf: DataFrame, bid: Long) =>
-              val rows = bdf.collect().map(r =>
-                (r.getLong(0), r.getLong(1), r.getLong(2), bid))
-              buf.synchronized { buf ++= rows; () }
+              if (streamNoopSink)
+                bdf.write.format("noop").mode("overwrite").save()
+              else {
+                val rows = bdf.collect().map(r =>
+                  (r.getLong(0), r.getLong(1), r.getLong(2), bid))
+                buf.synchronized { buf ++= rows; () }
+              }
             }
             // mapGroupsWithState emits updated groups per batch
             .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()

@@ -253,15 +253,31 @@ object TextProfiler {
     // cache removes almost all of it), and fold rows into ONE local
     // accumulator so only P accumulators ever serialize.
     // Wide accumulators trade compute parallelism against the bytes the
-    // tree reduction must serialize (P × d²/2 doubles): at d=3200 a
-    // 32-partition local run ships 32 × 41 MB, which far outweighs the
-    // row work. Cap the accumulating partitions so serialized volume
-    // stays bounded while each task still folds thousands of rows.
-    // /2, not all cores: each accumulating partition ships a d²/2
-    // triangle into the tree reduction, so partition count trades
-    // compute parallelism against merge+shuffle volume — measured
-    // fastest at half the cores for d=3200 (16 parts: 3.6 s; 32: 4.4)
-    val accParts = math.max(2, spark.sparkContext.defaultParallelism / 2)
+    // tree reduction must serialize (P × d²/2 doubles): at d=3200 each
+    // accumulating partition ships a 41 MB triangle, so partition count
+    // trades row-work parallelism (T_rows ∝ n/P) against merge+shuffle
+    // volume (T_ship ∝ P). Both unit costs scale as d², so the optimum
+    // P* = √(n·c_row/c_ship) has a d-INDEPENDENT constant — measured at
+    // d=3200: c_row ≈ 4 ms/doc/core, c_ship ≈ 60 ms/accumulator →
+    // P* ≈ √(n/16). The r14 fixed cores/2 was tuned on the sf0.1
+    // corpus (ship-dominated, 16 parts: 3.6 s vs 32: 4.4) but starved
+    // the 10× corpus where row work dominates (13.8 s treeAggregate at
+    // 16 parts, sf1 ratio ×4.9) — √n picks both regimes correctly and
+    // keeps ship volume growing sublinearly on a real cluster. The
+    // count is one narrow scan, trivial next to the d² row work.
+    val accParts = sys.env.get("GRAFT_PROFILE_PARTS").map(_.toInt).getOrElse {
+      val cores = spark.sparkContext.defaultParallelism
+      if (d < 1024) math.max(2, cores / 2)
+      else {
+        // LIMIT-bounded sizing probe (the auto-gate discipline): scans
+        // at most 131072 rows at ANY corpus size; past the cap
+        // √(131072/20) ≈ 81 ≥ any local core count, so huge corpora
+        // size straight to all cores without a full count
+        val nRows = entries.limit(131072).count()
+        math.min(cores.toLong,
+          math.max(2L, math.round(math.sqrt(nRows / 20.0)))).toInt
+      }
+    }
     // stage telemetry (stderr, opt-in): where does a wide profile spend
     // its time — the distributed accumulate or the driver factorization?
     val timing = sys.env.contains("GRAFT_PROFILE_TIMING")
