@@ -125,6 +125,47 @@ object Probe {
         println(graft.engine.Quantiles.exact(df, "l_extendedprice", Seq(0.25, 0.5, 0.75), 600572L)))
       time("builtin-percentile")(df.agg(percentile(x, array(lit(0.25), lit(0.5), lit(0.75)))).collect())
     }
+    // Receipt probe for nCentroidsFor's sqrt rule past the soft cap:
+    // force maxC far below the corpus's want, then measure the ACTUAL
+    // per-query candidate load (sum of probed-cell sizes, nprobe=4)
+    // and the ivfTopK wall under the old hard clamp vs the sqrt rule.
+    names.filter(_ == "ivf-cand").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.{Similarity, Quantize}
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val corpus = e.filter(col("vec_id") >= 5 && col("embedding").isNotNull)
+      val q = e.filter(col("vec_id") < 5)
+      val n = corpus.count()
+      val maxC = 16
+      val want = (n + 124) / 125
+      val kOld = math.min(maxC.toLong, math.max(16L, want)).toInt
+      val kNew = Quantize.nCentroidsFor(n, minC = 16, maxC = maxC)
+      for ((tag, k) <- Seq("clamped" -> kOld, "sqrt" -> kNew)) {
+        val cent = corpus.orderBy(col("vec_id")).limit(k)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+        val assigned = Similarity.assignToCentroid(
+          corpus, "vec_id", "embedding", cent, "centroid_id", "cv")
+        val sizes = assigned.groupBy("centroid_id").count()
+        val pr = q.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          .crossJoin(broadcast(cent))
+          .withColumn("sim", Similarity.cosine(col("qv"), col("cv")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(desc("sim"), col("centroid_id"))))
+          .filter(col("rn") <= 4).select("qid", "centroid_id")
+        val cand = pr.join(sizes, "centroid_id")
+          .groupBy("qid").agg(sum("count").as("cand"))
+          .agg(avg("cand"), max("cand")).collect()(0)
+        val t0 = System.nanoTime()
+        Similarity.ivfTopK(q, corpus, "vec_id", "embedding", "vec_id",
+            "embedding", k = 10, nCentroids = k, nprobe = 4)
+          .write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"IVF-CAND $tag: n=$n want=$want K=$k " +
+          f"avgCandPerQuery=${cand.getDouble(0)}%.0f maxCandPerQuery=${cand.getLong(1)} " +
+          f"ivfTopK=$wall%.2f s")
+      }
+    }
     val qs = graft.SparkEntry.queries
     names.filter(_ == "pipeline-stress").foreach { _ =>
       import graft.engine.{SyntheticPipeline, DetectorConfig}
