@@ -29,6 +29,11 @@ object Bench {
       // points checkpoints at durable storage with its own integrity.
       .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
         "org.apache.hadoop.fs.local.RawLocalFs")
+      // streaming state store: default HDFS-backed map;
+      // GRAFT_STATE_STORE=rocksdb switches the whole streaming family
+      // to the disk-bounded RocksDB provider (see StateStores)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        graft.streaming.StateStores.providerClass)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -109,6 +114,15 @@ object Bench {
       if (dirty) s"$base-dirty" else base
     } catch { case _: Throwable => "unknown" }
 
+    // Effective streaming-sink / state-store modes for this run —
+    // recorded in every BENCH_LOG line (r15 advice: pre-r16 rows carry
+    // no field and are admitted as-is; from r16 on, a row RECORDED
+    // under a different sink or store mode can never pool with this
+    // run as like-for-like).
+    val curStreamSink =
+      if (sys.env.get("GRAFT_STREAM_SINK").contains("noop")) "noop" else "driver"
+    val curStateStore = graft.streaming.StateStores.tag
+
     // (sha, query->seconds) per log run; pre-sha log lines parse with
     // sha "" and therefore never match the current sha (they age out).
     val histRuns: List[(String, Map[String, Double])] = try {
@@ -117,9 +131,14 @@ object Bench {
       else {
         val pat = java.util.regex.Pattern.compile("\"(q\\d[^\"]*)\":([0-9.eE+-]+)")
         val shaPat = java.util.regex.Pattern.compile("\"sha\":\"([0-9a-f]+(?:-dirty)?)\"")
+        def modeOk(line: String, field: String, cur: String): Boolean =
+          !line.contains("\"" + field + "\":") ||
+            line.contains(s""""$field":"$cur"""")
         scala.jdk.CollectionConverters.IteratorHasAsScala(
           java.nio.file.Files.lines(p).iterator()).asScala
           .filter(_.contains(s""""sf":"$sfDir""""))
+          .filter(l => modeOk(l, "stream_sink", curStreamSink) &&
+            modeOk(l, "state_store", curStateStore))
           .map { line =>
             val m = pat.matcher(line)
             val b = Map.newBuilder[String, Double]
@@ -376,8 +395,14 @@ object Bench {
           (jsonLine(certified).stripSuffix("}") + streamingSplit +
             regressionGate + certProvenance + "}\n")
             .getBytes("UTF-8"))
+      // provenance fields (r15 advice): the EFFECTIVE streaming sink
+      // and state-store provider, so cross-round comparisons can never
+      // silently mix sink/store semantics as like-for-like
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOG.jsonl"),
-        (s"""{"ts":"${java.time.Instant.now()}","sha":"$gitSha","bench":$rawLine}""" + "\n")
+        (s"""{"ts":"${java.time.Instant.now()}","sha":"$gitSha",""" +
+          s""""stream_sink":"$curStreamSink",""" +
+          s""""state_store":"$curStateStore",""" +
+          s""""bench":$rawLine}""" + "\n")
           .getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)

@@ -4160,6 +4160,40 @@ object SparkEntry {
           .orderBy("query_id", "rank")
           .localCheckpoint(true)
       } finally rmTree(scratch)
+    }),
+
+    // --- the full maintenance lifecycle: build → append → driftReport
+    // (the instrument MATERIALIZED, not just constructed) → REBUILD
+    // (Lloyd-refined retrain from the index's own live code rows —
+    // no access to the original corpus — under the crash-recoverable
+    // staged swap) → search. The rebuild trains on the union corpus,
+    // so the oracle is exactly q234's kmeans-replay (K = 16, 2 Lloyd
+    // rounds over the non-query rows) followed by the IVF
+    // probe/score/top-k: the lifecycle's end state must equal a
+    // refined build from scratch, value for value ---
+    "q235_ivf_index_rebuild" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 5)
+      val cut = corpus.agg(expr("(max(vec_id) + 1) DIV 2")).collect()(0).getLong(0)
+      val scratch = tmpCheckpointDir("graft_ivfrb_")
+      try {
+        val path = s"$scratch/idx"
+        IvfIndex.build(corpus.filter(col("vec_id") < cut),
+          "vec_id", "embedding", path, nCells = 16)
+        IvfIndex.append(s, path, corpus.filter(col("vec_id") >= cut),
+          "vec_id", "embedding")
+        // the retrain instrument runs end-to-end regardless of its
+        // verdict — the lifecycle under test is drift → rebuild
+        IvfIndex.driftReport(s, path, threshold = 0.2)
+          .write.format("noop").mode("overwrite").save()
+        IvfIndex.rebuild(s, path, nCells = 16, kmeansIterations = 2)
+        IvfIndex.search(s, path, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nprobe = 4)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally rmTree(scratch)
     }))
 
   // ---------------------------------------------------------------
@@ -8414,6 +8448,39 @@ object SparkEntry {
       // value-checking the production (kmeansIterations > 0) persisted
       // build end-to-end.
       "q234_ivf_index_refined" ->
+        s"""WITH ${kmeansCtesSql(16, 2, "WHERE vec_id >= 5")},
+           |q AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           |      FROM embeddings WHERE vec_id < 5),
+           |probes AS (
+           |  SELECT id AS query_id, v AS qv, centroid_id FROM (
+           |    SELECT q.id, q.v, ct.centroid_id,
+           |      row_number() OVER (PARTITION BY q.id
+           |        ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.centroid_id ASC) AS rn
+           |    FROM q CROSS JOIN cent2 ct)
+           |  WHERE rn <= 4),
+           |fasg AS (
+           |  SELECT id, centroid_id, v FROM (
+           |    SELECT c.id, ct.centroid_id, c.v,
+           |      row_number() OVER (PARTITION BY c.id
+           |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.centroid_id ASC) AS rn
+           |    FROM corpus c CROSS JOIN cent2 ct)
+           |  WHERE rn = 1),
+           |scored AS (
+           |  SELECT p.query_id, a.id AS neighbor_id,
+           |    list_cosine_similarity(p.qv, a.v) AS sim
+           |  FROM probes p JOIN fasg a USING (centroid_id))
+           |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
+           |  SELECT query_id, neighbor_id, sim,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+           |  FROM scored)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // Lifecycle replay: the engine went build(low) → append(high) →
+      // drift → REBUILD (Lloyd retrain from the index's own live rows)
+      // → search; the rebuild trains on the full union, so the oracle
+      // is q234's refined-build replay verbatim — the lifecycle's end
+      // state must equal a refined build from scratch.
+      "q235_ivf_index_rebuild" ->
         s"""WITH ${kmeansCtesSql(16, 2, "WHERE vec_id >= 5")},
            |q AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
            |      FROM embeddings WHERE vec_id < 5),

@@ -22,6 +22,11 @@ object Verify {
       // points checkpoints at durable storage with its own integrity.
       .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
         "org.apache.hadoop.fs.local.RawLocalFs")
+      // streaming state store: default HDFS-backed map;
+      // GRAFT_STATE_STORE=rocksdb switches the whole streaming family
+      // to the disk-bounded RocksDB provider (see StateStores)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        graft.streaming.StateStores.providerClass)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

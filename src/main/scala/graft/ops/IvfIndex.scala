@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Persistable, appendable IVF index — the capability gap between
   * "run ANN search as a query" ([[Similarity.ivfTopK]], which re-trains
@@ -15,14 +16,36 @@ import org.apache.spark.sql.functions._
   * On-disk layout under `path` (plain parquet, readable by any engine):
   *  - `centroids/` — (centroid_id, cv: double[]) — the trained coarse
   *    quantizer, frozen at build time;
-  *  - `codes/` — (id, vec: double[], vecnorm, gen, centroid_id),
-  *    PARTITIONED BY centroid_id: a search that probes `nprobe` cells
-  *    reads exactly those partitions' files (partition pruning — the
-  *    scan cost is nprobe/K of the corpus, on disk as in memory), and
-  *    an append writes only new files (parquet append, no rewrite).
-  *    `gen` stamps the build (0) vs each append (1, 2, …) — the drift
-  *    report reads it to compare the build-time cell distribution
-  *    against everything admitted since.
+  *  - `codes/gen=G/centroid_id=C/…` — (id, vec: double[], vecnorm),
+  *    hive-partitioned by (gen, centroid_id): a search that probes
+  *    `nprobe` cells reads exactly those cells' files (partition
+  *    pruning — the scan cost is nprobe/K of the corpus, on disk as in
+  *    memory), and each generation owns its OWN directory. `gen`
+  *    stamps the build (0) vs each append/CDC batch (1, 2, …) — the
+  *    drift report reads it to compare the build-time cell
+  *    distribution against everything admitted since.
+  *
+  * Concurrency contract:
+  *  - Generation numbers are minted by [[allocateGen]]: claim files
+  *    under `_gens/` created with create-no-overwrite (atomic on HDFS
+  *    and the object-store committers; additionally serialized under a
+  *    JVM-wide per-path lock, so concurrent writers sharing a driver —
+  *    the common Spark shape — can never mint the same gen). Two
+  *    concurrent appends therefore land as two DISTINCT generations.
+  *  - The physical append writes only its own `codes/gen=G/` directory
+  *    — no shared `_temporary` staging with any other writer — so
+  *    concurrent appends cannot corrupt each other, and a CRASHED
+  *    append is invisible (its gen directory holds only uncommitted
+  *    task files, which readers ignore; the claimed gen is simply
+  *    skipped).
+  *  - Maintenance ops ([[rebuild]], [[compact]]) swap whole tables and
+  *    require exclusive access — single maintenance writer, no
+  *    concurrent appends during the swap. The swap itself is
+  *    crash-recoverable (staged sibling + commit marker, repaired by
+  *    [[repairIfNeeded]] on every subsequent open) — a crash anywhere
+  *    leaves either the OLD index intact (pre-marker) or a repairable
+  *    committed swap (post-marker); never a silently-filtered or
+  *    half-missing index.
   *
   * Search parity contract: [[search]] over build(A) + append(B) is
   * bit-identical to [[Similarity.ivfTopK]] over A∪B whenever A
@@ -43,56 +66,126 @@ import org.apache.spark.sql.functions._
   * — cell sizes skew, probe recall decays, rebuild. */
 object IvfIndex {
 
+  private val StagedDir = "__staged"
+
+  /** JVM-wide per-path gen-allocation locks (see class doc). */
+  private val genLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Train the coarse quantizer on `corpus` and persist the index.
-    * Overwrites any index at `path`. */
+    * Overwrites any index at `path` — including tombstones, gen
+    * claims, and any staged maintenance leftovers. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             path: String, nCells: Int, kmeansIterations: Int = 0): Unit = {
+    val fs = fsFor(corpus.sparkSession, path)
+    for (d <- Seq("codes", "tombstones", "_gens", StagedDir, s"$StagedDir.commit"))
+      fs.delete(new Path(s"$path/$d"), true)
     val centroids = Similarity.centroidsFor(
       corpus.filter(col(vecCol).isNotNull), idCol, vecCol,
       nCells, kmeansIterations)
       .select(col("centroid_id"), transform(col("cv"), _.cast("double")).as("cv"))
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    assignGen(corpus, idCol, vecCol, centroids, gen = 0)
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$path/codes")
+    writeGen(assignGen(corpus, idCol, vecCol, centroids), s"$path/codes",
+      gen = 0, "centroid_id")
   }
 
   /** Admit a shard: assign against the PERSISTED centroids (one
     * broadcast pass over the shard — cost independent of the
-    * historical corpus) and append its code rows as the next
-    * generation. No existing file is touched. */
+    * historical corpus) and append its code rows as an atomically
+    * allocated next generation, written into that generation's OWN
+    * directory (no existing file or shared staging dir is touched —
+    * see the class-doc concurrency contract). */
   def append(spark: SparkSession, path: String, shard: DataFrame,
              idCol: String, vecCol: String): Unit = {
+    repairIfNeeded(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
-    val nextGen = spark.read.parquet(s"$path/codes")
-      .agg(coalesce(max("gen"), lit(0)).cast("int")).collect()(0).getInt(0) + 1
-    assignGen(shard, idCol, vecCol, centroids, nextGen)
-      .write.mode("append").partitionBy("centroid_id")
-      .parquet(s"$path/codes")
+    val g = allocateGen(spark, path)
+    writeGen(assignGen(shard, idCol, vecCol, centroids), s"$path/codes",
+      g, "centroid_id")
   }
 
-  /** (id, vec, vecnorm, gen, centroid_id) for one generation —
-    * [[Similarity.assignToCentroid]]'s deterministic nearest-centroid
-    * rule (ties → lowest cell id), the same rule ivfTopK applies. */
+  /** (id, vec, vecnorm, centroid_id) — [[Similarity.assignToCentroid]]'s
+    * deterministic nearest-centroid rule (ties → lowest cell id), the
+    * same rule ivfTopK applies. The generation is NOT a data column —
+    * it is the directory the rows land in ([[writeGen]]). */
   private def assignGen(df: DataFrame, idCol: String, vecCol: String,
-                        centroids: DataFrame, gen: Int): DataFrame =
+                        centroids: DataFrame): DataFrame =
     Similarity.assignToCentroid(df.filter(col(vecCol).isNotNull),
         idCol, vecCol, centroids, "centroid_id", "cv")
-      .select(col("id"), col("vec"), col("vecnorm"),
-        lit(gen).as("gen"), col("centroid_id"))
+      .select(col("id"), col("vec"), col("vecnorm"), col("centroid_id"))
+
+  /** Write one generation's rows to `codesDir/gen=G/`, hive-partitioned
+    * by the cell column below that — the layout readers discover as
+    * (…data…, gen, cellCol) partitions. Each generation owns its own
+    * directory: appends never share write staging with each other or
+    * with history. */
+  private def writeGen(df: DataFrame, codesDir: String, gen: Int,
+                       cellCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(cellCol)
+      .parquet(s"$codesDir/gen=$gen")
+
+  /** Mint the next generation number atomically: one past the max of
+    * (claim files under `_gens/`, code-row gens, tombstone gens — the
+    * latter two so a delete-only batch advances the clock and a
+    * pre-claim-era index keeps counting), claimed by create-no-
+    * overwrite under the JVM-wide per-path lock. Two concurrent
+    * writers can never mint the same gen (class-doc contract). */
+  private[ops] def allocateGen(spark: SparkSession, path: String): Int = {
+    val lock = genLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      val fs = fsFor(spark, path)
+      val dir = new Path(s"$path/_gens")
+      fs.mkdirs(dir)
+      val claimed = fs.listStatus(dir).iterator.map(_.getPath.getName)
+        .collect { case n if n.startsWith("gen-") => n.drop(4).toInt }
+        .foldLeft(0)(math.max)
+      var g = math.max(claimed, persistedGenMax(spark, path)) + 1
+      var claimedOk = false
+      var attempts = 0
+      while (!claimedOk) {
+        try {
+          fs.create(new Path(dir, f"gen-$g%08d"), false).close()
+          claimedOk = true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException =>
+            // claimed by a concurrent out-of-JVM writer — take the next
+            attempts += 1
+            require(attempts < 10000, s"gen allocation livelock at $path")
+            g += 1
+        }
+      }
+      g
+    }
+  }
+
+  /** Max generation visible in the persisted tables (0 when empty). */
+  private def persistedGenMax(spark: SparkSession, path: String): Int = {
+    val codeMax = spark.read.parquet(s"$path/codes")
+      .agg(coalesce(max("gen"), lit(0)).cast("int")).collect()(0).getInt(0)
+    val tombMax = tombstonesOpt(spark, path) match {
+      case Some(t) =>
+        t.agg(coalesce(max("tomb_gen"), lit(0)).cast("int")).collect()(0).getInt(0)
+      case None => 0
+    }
+    math.max(codeMax, tombMax)
+  }
 
   /** Top-k search against the persisted index: queries probe their
     * `nprobe` nearest centroids, and the codes scan is restricted to
-    * those cells — with the partitionBy layout that restriction is
+    * those cells — with the partitioned layout that restriction is
     * PARTITION PRUNING on disk, not a post-scan filter. Same probe
     * rule, scoring expression, and tie-breaks as
-    * [[Similarity.ivfTopK]], and since r15 the same KERNELS: probe
-    * selection is a map-side group-top (bounded struct slice per
-    * query — never a |Q|·K rank-window sort carrying query vectors),
-    * and the final top-k rides the mergeable bounded-heap aggregate
-    * ([[graft.expressions.BoundedTopK]] via
-    * [[Similarity.topKFromScored]]) — k primitives of state per query
-    * at all times, no Window anywhere in the plan.
+    * [[Similarity.ivfTopK]], and the same KERNELS end to end: both the
+    * probe pick and the final top-k ride the mergeable bounded-heap
+    * aggregate ([[graft.expressions.BoundedTopK]] via
+    * [[Similarity.probeTopAgg]] / [[Similarity.topKFromScored]]) —
+    * O(nprobe) probe state and O(k) result state per query at all
+    * times (never the K buffered centroid structs a √-rule cell count
+    * would make of a collect_list), no Window anywhere in the plan.
     *
     * Probe-side broadcast is GATED on the query-batch size: the probe
     * frame carries nprobe copies of every query vector, so a large
@@ -111,10 +204,11 @@ object IvfIndex {
              qId: String, qVec: String, k: Int, nprobe: Int,
              maxBroadcastQueries: Long = 100000L,
              querySizeHint: Option[Long] = None): DataFrame = {
+    repairIfNeeded(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
     val codes = spark.read.parquet(s"$path/codes")
-    // map-side group-top probe pick (ivfTopK's form): struct sort by
-    // (-sim, centroid_id) == ORDER BY sim DESC, centroid_id ASC
+    val cellIsLong = centroids.schema("centroid_id").dataType ==
+      org.apache.spark.sql.types.LongType
     val qProbes = Similarity.withNorm(queries, qId, qVec, "query_id", "__qv", "__qn")
       .crossJoin(broadcast(
         Similarity.withNorm(centroids, "centroid_id", "cv",
@@ -123,12 +217,12 @@ object IvfIndex {
         Similarity.pairSim(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
       .groupBy("query_id")
       .agg(first(col("__qv")).as("__qv"), first(col("__qn")).as("__qn"),
-        slice(array_sort(collect_list(struct(
-          (-col("sim")).as("negSim"), col("centroid_id")))), 1, nprobe).as("__top"))
+        Similarity.probeTopAgg(col("sim"), col("centroid_id"), nprobe,
+          cellIsLong).as("__top"))
       .select(col("query_id"), col("__qv"), col("__qn"),
         explode(col("__top")).as("__t"))
       .select(col("query_id"), col("__qv"), col("__qn"),
-        col("__t.centroid_id").as("centroid_id"))
+        col("__t.id").as("centroid_id"))
     val probesJoined =
       if (smallBatch(queries, qVec, maxBroadcastQueries, querySizeHint))
         qProbes.hint("broadcast").join(codes, "centroid_id")
@@ -164,18 +258,21 @@ object IvfIndex {
 
   /** Train (coarse cells + PQ codebook) on `corpus` and persist:
     * `cells/` (cell_id, ccv), `codebook/` (subspace, centroid_id, cv),
-    * `codes/` (id, codes: int[m] subspace-ordered, gen) partitioned by
-    * `cell`. With `iterations = 0` the codebook is the deterministic
-    * lowest-id seed (training-free): append-then-search is then
-    * BIT-IDENTICAL to rebuild-then-search whenever the build shard
-    * holds the union's seed ids — the q232 oracle contract. Lloyd
-    * refinement (> 0) trains a better codebook but makes the frozen
-    * index an approximation of a rebuild by construction (refinement
-    * means depend on the training corpus); [[driftReport]] on the
-    * cell populations is the signal for when to pay the rebuild. */
+    * `codes/gen=G/cell=C/…` (id, codes: int[m] subspace-ordered). With
+    * `iterations = 0` the codebook is the deterministic lowest-id seed
+    * (training-free): append-then-search is then BIT-IDENTICAL to
+    * rebuild-then-search whenever the build shard holds the union's
+    * seed ids — the q232 oracle contract. Lloyd refinement (> 0)
+    * trains a better codebook but makes the frozen index an
+    * approximation of a rebuild by construction (refinement means
+    * depend on the training corpus); [[driftReport]] on the cell
+    * populations is the signal for when to pay the rebuild. */
   def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
               path: String, dim: Int, m: Int, k: Int, iterations: Int,
               nCells: Int): Unit = {
+    val fs = fsFor(corpus.sparkSession, path)
+    for (d <- Seq("codes", "tombstones", "_gens", StagedDir, s"$StagedDir.commit"))
+      fs.delete(new Path(s"$path/$d"), true)
     val cv = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("__v"))
     val cells = cv.orderBy(col("id")).limit(nCells)
@@ -183,29 +280,30 @@ object IvfIndex {
     cells.coalesce(1).write.mode("overwrite").parquet(s"$path/cells")
     val codebook = Quantize.pqTrain(corpus, idCol, vecCol, dim, m, k, iterations)
     codebook.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    encodeGen(corpus, idCol, vecCol, cells, codebook, dim, m, gen = 0)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    writeGen(encodeGen(corpus, idCol, vecCol, cells, codebook, dim, m),
+      s"$path/codes", gen = 0, "cell")
   }
 
   /** Admit a shard against the FROZEN cells + codebook (assignment and
-    * encoding only — no retraining; cost ∝ shard). */
+    * encoding only — no retraining; cost ∝ shard). Same atomic gen
+    * allocation + own-directory write as [[append]]. */
   def appendPq(spark: SparkSession, path: String, shard: DataFrame,
                idCol: String, vecCol: String, dim: Int, m: Int): Unit = {
+    repairIfNeeded(spark, path)
     val cells = spark.read.parquet(s"$path/cells")
     val codebook = spark.read.parquet(s"$path/codebook")
-    val nextGen = spark.read.parquet(s"$path/codes")
-      .agg(coalesce(max("gen"), lit(0)).cast("int")).collect()(0).getInt(0) + 1
-    encodeGen(shard, idCol, vecCol, cells, codebook, dim, m, nextGen)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    val g = allocateGen(spark, path)
+    writeGen(encodeGen(shard, idCol, vecCol, cells, codebook, dim, m),
+      s"$path/codes", g, "cell")
   }
 
-  /** (id, codes int[m], gen, cell) for one generation: PQ-encode with
-    * the given codebook (nearest sub-centroid per subspace, ties →
-    * lowest code — [[Quantize.pqEncode]]'s rule) and assign the coarse
-    * cell by L2 argmin (ties → lowest cell — ivfPqTopKAdc's rule). */
+  /** (id, codes int[m], cell) for one generation: PQ-encode with the
+    * given codebook (nearest sub-centroid per subspace, ties → lowest
+    * code — [[Quantize.pqEncode]]'s rule) and assign the coarse cell
+    * by L2 argmin (ties → lowest cell — ivfPqTopKAdc's rule). */
   private def encodeGen(df: DataFrame, idCol: String, vecCol: String,
                         cells: DataFrame, codebook: DataFrame,
-                        dim: Int, m: Int, gen: Int): DataFrame = {
+                        dim: Int, m: Int): DataFrame = {
     val cv = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("__v"))
     val assigned = cv.crossJoin(broadcast(cells))
@@ -217,7 +315,7 @@ object IvfIndex {
       .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
         s => s.getField("code")).as("codes"))
     codeArr.join(assigned, "id")
-      .select(col("id"), col("codes"), lit(gen).as("gen"), col("cell"))
+      .select(col("id"), col("codes"), col("cell"))
   }
 
   /** ADC top-k against the persisted PQ index: queries probe their
@@ -226,27 +324,32 @@ object IvfIndex {
     * the `cell` layout), and scoring is the standard asymmetric
     * distance sum over the per-query (subspace, code) → d2 table —
     * no raw corpus vector is ever read. Same probe/score/tie rules
-    * as [[Quantize.ivfPqTopKAdc]]. */
+    * as [[Quantize.ivfPqTopKAdc]]; the probe pick rides the same
+    * O(nProbe)-state heap aggregate as [[search]]. */
   def searchPq(spark: SparkSession, path: String, queries: DataFrame,
                qId: String, qVec: String, dim: Int, m: Int,
                nProbe: Int, topK: Int,
                maxBroadcastQueries: Long = 100000L,
                querySizeHint: Option[Long] = None): DataFrame = {
+    repairIfNeeded(spark, path)
     val cells = spark.read.parquet(s"$path/cells")
     val codebook = spark.read.parquet(s"$path/codebook")
     val codes = spark.read.parquet(s"$path/codes")
+    val cellIsLong = cells.schema("cell_id").dataType ==
+      org.apache.spark.sql.types.LongType
     val dtab = Quantize.adcTables(queries, qId, qVec, codebook, m, dim / m)
-    // map-side group-top probe pick: struct sort by (d2, cell_id) ==
-    // ORDER BY d2 ASC, cell_id ASC — no per-query rank window
+    // heap probe pick: sim = -d2 makes the heap's (sim DESC, id ASC)
+    // exactly ORDER BY d2 ASC, cell_id ASC — no per-query rank window,
+    // O(nProbe) aggregation state per query
     val probes = queries.filter(col(qVec).isNotNull)
       .select(col(qId).as("query_id"), transform(col(qVec), _.cast("double")).as("__qv"))
       .crossJoin(broadcast(cells))
       .withColumn("__d2", Quantize.l2sq(col("__qv"), col("ccv")))
       .groupBy("query_id")
-      .agg(slice(array_sort(collect_list(struct(
-        col("__d2"), col("cell_id")))), 1, nProbe).as("__top"))
+      .agg(Similarity.probeTopAgg(-col("__d2"), col("cell_id"), nProbe,
+        cellIsLong).as("__top"))
       .select(col("query_id"), explode(col("__top")).as("__t"))
-      .select(col("query_id"), col("__t.cell_id").as("cell_id"))
+      .select(col("query_id"), col("__t.id").as("cell_id"))
     // the probe/dtab frames hold only scalars (no query vectors), but
     // they still scale with |Q| — gate their broadcast on batch size
     // like [[search]]; the shuffled route is value-identical
@@ -281,6 +384,14 @@ object IvfIndex {
   // state, the steady-state CDC regime ([[Snapshot.applyChangeLog]]'s
   // contract); when deletes accumulate, [[compact]] folds them into
   // the code files and clears the table.
+  //
+  // Write ordering (crash safety): the upserted CODE rows land first,
+  // the tombstones last. A crash between the two leaves the upserted
+  // ids temporarily DUPLICATED (old + new generation both live — the
+  // next successful batch, or a re-run of this one, supersedes both),
+  // never silently deleted, which is what the tombstones-first order
+  // risked (tombstones without their upserts convert the batch's
+  // upserts into deletes).
   // ------------------------------------------------------------------
 
   /** Apply one CDC batch to the IVF-flat index at `path`. `changes`
@@ -294,32 +405,32 @@ object IvfIndex {
   def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
                    idCol: String, vecCol: String, seqCol: String,
                    opCol: String, deleteOp: String = "delete"): Unit = {
+    repairIfNeeded(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
-    val g = nextGenAfter(spark, path)
+    val g = allocateGen(spark, path)
     val latest = latestPerKey(changes, idCol, vecCol, seqCol, opCol)
+    writeGen(assignGen(latest.filter(col("__op") =!= lit(deleteOp)),
+      "id", "__vec", centroids), s"$path/codes", g, "centroid_id")
     latest.select(col("id"), lit(g).as("tomb_gen"))
       .write.mode("append").parquet(s"$path/tombstones")
-    assignGen(latest.filter(col("__op") =!= lit(deleteOp)), "id", "__vec",
-        centroids, g)
-      .write.mode("append").partitionBy("centroid_id")
-      .parquet(s"$path/codes")
   }
 
   /** [[applyChanges]] for the PQ index: upserts encode against the
-    * FROZEN cells + codebook (cost ∝ batch). */
+    * FROZEN cells + codebook (cost ∝ batch). Same codes-first,
+    * tombstones-last write ordering. */
   def applyChangesPq(spark: SparkSession, path: String, changes: DataFrame,
                      idCol: String, vecCol: String, seqCol: String,
                      opCol: String, dim: Int, m: Int,
                      deleteOp: String = "delete"): Unit = {
+    repairIfNeeded(spark, path)
     val cells = spark.read.parquet(s"$path/cells")
     val codebook = spark.read.parquet(s"$path/codebook")
-    val g = nextGenAfter(spark, path)
+    val g = allocateGen(spark, path)
     val latest = latestPerKey(changes, idCol, vecCol, seqCol, opCol)
+    writeGen(encodeGen(latest.filter(col("__op") =!= lit(deleteOp)),
+      "id", "__vec", cells, codebook, dim, m), s"$path/codes", g, "cell")
     latest.select(col("id"), lit(g).as("tomb_gen"))
       .write.mode("append").parquet(s"$path/tombstones")
-    encodeGen(latest.filter(col("__op") =!= lit(deleteOp)), "id", "__vec",
-        cells, codebook, dim, m, g)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
   /** Latest change row per key ([[Snapshot.applyChangeLog]]'s max_by
@@ -332,23 +443,8 @@ object IvfIndex {
         col(seqCol)).as("__w"))
       .select(col("id"), col("__w.v").as("__vec"), col("__w.o").as("__op"))
 
-  /** Next generation number: one past the max across code rows AND
-    * tombstones (a delete-only batch advances the clock too — two
-    * batches must never share a gen, or the second's upserts would be
-    * killed by the first's tombstones). */
-  private def nextGenAfter(spark: SparkSession, path: String): Int = {
-    val codeMax = spark.read.parquet(s"$path/codes")
-      .agg(coalesce(max("gen"), lit(0)).cast("int")).collect()(0).getInt(0)
-    val tombMax = tombstonesOpt(spark, path) match {
-      case Some(t) =>
-        t.agg(coalesce(max("tomb_gen"), lit(0)).cast("int")).collect()(0).getInt(0)
-      case None => 0
-    }
-    math.max(codeMax, tombMax) + 1
-  }
-
   private def tombstonesOpt(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val p = new Path(s"$path/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
@@ -370,45 +466,99 @@ object IvfIndex {
           .drop("__tg")
     }
 
+  // ------------------------------------------------------------------
+  // Maintenance swaps (rebuild, compact): crash-recoverable via a
+  // staged sibling + commit marker. Protocol:
+  //   1. write the replacement tables COMPLETELY under `__staged/`
+  //      (the live tables are still being read — no self-overwrite);
+  //   2. create the `__staged.commit` marker (the commit point);
+  //   3. rename each staged child over its live twin, drop the
+  //      tombstones and gen claims the staged tables folded in/reset,
+  //      drop the staging dir and the marker.
+  // A crash before (2) leaves the OLD index fully intact (the orphan
+  // staging dir is discarded on the next open); a crash after (2) is
+  // completed by [[repairIfNeeded]] on the next open — each step of
+  // (3) is idempotent (a child already renamed has no staged twin
+  // left), so repair can itself crash and re-run. At no point can a
+  // reader see rebuilt rows paired with stale tombstones, or a missing
+  // codes table.
+  // ------------------------------------------------------------------
+
+  /** Detect and repair a half-finished maintenance swap (see the
+    * protocol above). Called by every public entry point — two
+    * existence probes on the no-op path. */
+  private def repairIfNeeded(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(spark, path)
+    val staged = new Path(s"$path/$StagedDir")
+    val marker = new Path(s"$path/$StagedDir.commit")
+    if (fs.exists(marker)) completeSwap(fs, path, staged, marker)
+    else if (fs.exists(staged))
+      // uncommitted staging from a crashed maintenance op — the live
+      // tables were never touched; discard the orphan
+      fs.delete(staged, true): Unit
+  }
+
+  /** Steps (2)–(3) of the swap protocol: mark, rename, clean. */
+  private def commitSwap(fs: FileSystem, path: String): Unit = {
+    val staged = new Path(s"$path/$StagedDir")
+    val marker = new Path(s"$path/$StagedDir.commit")
+    fs.create(marker, false).close()
+    completeSwap(fs, path, staged, marker)
+  }
+
+  /** Step (3): idempotent completion — safe to re-run after a crash at
+    * any point (repair path). */
+  private def completeSwap(fs: FileSystem, path: String,
+                           staged: Path, marker: Path): Unit = {
+    if (fs.exists(staged)) {
+      for (st <- fs.listStatus(staged)) {
+        val dst = new Path(path, st.getPath.getName)
+        fs.delete(dst, true)
+        if (!fs.rename(st.getPath, dst))
+          throw new java.io.IOException(s"maintenance swap failed for $dst")
+      }
+    }
+    // the staged tables folded tombstones in (compact) or reset the
+    // generation clock (rebuild) — both invalidate the old tombstones
+    // and gen claims; the allocator re-seeds from the persisted max
+    fs.delete(new Path(s"$path/tombstones"), true)
+    fs.delete(new Path(s"$path/_gens"), true)
+    fs.delete(staged, true)
+    fs.delete(marker, true): Unit
+  }
+
   /** Retrain the IVF-flat index IN PLACE from its own live rows — the
     * lifecycle step [[driftReport]]'s `retrain` flag asks for: the
     * flat code rows carry the raw vectors, so build → append → drift
     * → rebuild → search needs no access to the original corpus. The
     * new index trains on the live set (tombstones applied), writes to
-    * a sibling dir while the old tables are still being read, then
-    * swaps and clears tombstones — generation resets to 0 (the
-    * rebuild IS the new base population the next drift reads
-    * against). The PQ index has no in-place twin by construction (its
-    * code rows hold m ints, not vectors — re-run [[buildPq]] on the
-    * corpus). */
+    * the staged sibling while the old tables are still being read,
+    * then swaps under the crash-recoverable protocol above —
+    * generation resets to 0 (the rebuild IS the new base population
+    * the next drift reads against). The PQ index has no in-place twin
+    * by construction (its code rows hold m ints, not vectors — re-run
+    * [[buildPq]] on the corpus). Requires exclusive access (class-doc
+    * concurrency contract). */
   def rebuild(spark: SparkSession, path: String, nCells: Int,
               kmeansIterations: Int = 0): Unit = {
+    repairIfNeeded(spark, path)
     val live = dropTombstoned(spark, path, spark.read.parquet(s"$path/codes"))
       .select(col("id"), col("vec"))
-    val tmp = s"$path/__rebuilding"
-    // build reads $path/codes (via `live`) WHILE writing to the
+    // build reads $path/codes (via `live`) WHILE writing to the staged
     // sibling — no self-overwrite; the swap is rename-only
-    build(live, "id", "vec", tmp, nCells, kmeansIterations)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (d <- Seq("centroids", "codes")) {
-      val dst = new org.apache.hadoop.fs.Path(s"$path/$d")
-      fs.delete(dst, true)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$d"), dst))
-        throw new java.io.IOException(s"rebuild swap failed for $path/$d")
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true): Unit
+    build(live, "id", "vec", s"$path/$StagedDir", nCells, kmeansIterations)
+    commitSwap(fsFor(spark, path), path)
   }
 
   /** Fold tombstones into the code files: rewrite `codes/` keeping
     * only live rows (same filter [[search]] applies), preserving the
-    * cell partitioning and the gen stamps (drift history survives),
-    * then drop the tombstone table. The swap is write-to-sibling +
-    * rename ([[Sink.compactParquet]]'s discipline). `cellCol` =
-    * "centroid_id" for the flat index, "cell" for the PQ index. */
+    * (gen, cell) partitioning — drift history survives — then drop
+    * the tombstone table, all under the crash-recoverable swap
+    * protocol above. `cellCol` = "centroid_id" for the flat index,
+    * "cell" for the PQ index. Requires exclusive access. */
   def compact(spark: SparkSession, path: String,
-              cellCol: String = "centroid_id"): Unit =
+              cellCol: String = "centroid_id"): Unit = {
+    repairIfNeeded(spark, path)
     tombstonesOpt(spark, path) match {
       case None => ()
       case Some(t) =>
@@ -417,16 +567,11 @@ object IvfIndex {
           .join(broadcast(latest), Seq("id"), "left")
           .filter(col("__tg").isNull || col("gen") >= col("__tg"))
           .drop("__tg")
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
-        val tmp = new org.apache.hadoop.fs.Path(s"$path/codes__compacting")
-        live.write.mode("overwrite").partitionBy(cellCol).parquet(tmp.toString)
-        fs.delete(codesPath, true)
-        if (!fs.rename(tmp, codesPath))
-          throw new java.io.IOException(s"compaction swap failed for $path/codes")
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true): Unit
+        live.write.mode("overwrite").partitionBy("gen", cellCol)
+          .parquet(s"$path/$StagedDir/codes")
+        commitSwap(fsFor(spark, path), path)
     }
+  }
 
   /** Per-cell drift of the admitted generations against the build:
     * (centroid_id, n_base, n_cur, psi_contrib, psi_total, retrain).
@@ -439,6 +584,7 @@ object IvfIndex {
                   threshold: Double = 0.2,
                   cellCol: String = "centroid_id",
                   cellsDir: String = "centroids"): DataFrame = {
+    repairIfNeeded(spark, path)
     val k = spark.read.parquet(s"$path/$cellsDir").count()
     val counted = spark.read.parquet(s"$path/codes")
       .withColumnRenamed(cellCol, "centroid_id")

@@ -161,6 +161,28 @@ object Similarity {
     }
   }
 
+  /** Per-group top-`n` cells under (sim DESC, cell ASC) for the probe
+    * picks of the IVF family — the SAME bounded-heap kernel as the
+    * final top-k ([[graft.expressions.BoundedTopK]]) when the cell id
+    * is a long: O(n) primitives of aggregation state per group,
+    * partial-aggregated map-side, so a √-rule centroid count
+    * ([[nCentroidsFor]] reaches tens of thousands of cells at corpus
+    * scale) never buffers K structs per query. Non-long cell ids keep
+    * the bounded sorted-slice form (O(K) buffered per group —
+    * acceptable only at small fixed K, and the only shape a generic
+    * id type supports). Both forms order identically and expose the
+    * picked cell at `__t.id` after explode. */
+  private[ops] def probeTopAgg(sim: Column, cell: Column, n: Int,
+                               cellIsLong: Boolean): Column =
+    if (cellIsLong) {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(graft.expressions.BoundedTopK(
+        GraftColumnBridge.expression(sim),
+        GraftColumnBridge.expression(cell), n).toAggregateExpression())
+    } else
+      slice(array_sort(collect_list(struct(
+        (-sim).as("negSim"), cell.as("id")))), 1, n)
+
   /** Matryoshka (prefix-dimension) retrieval audit — for each query
     * and each prefix length m in `dims`, the recall@`topK` of exact
     * cosine retrieval over the FIRST m dimensions against the
@@ -339,22 +361,24 @@ object Similarity {
     // a rank window: the window form shuffled |Q|·K rows EACH CARRYING
     // the query vector through a per-query sort (r14 q195 receipt:
     // 20k queries × 160 centroids × 64-dim arrays ≈ GBs through one
-    // exchange); the groupBy form partial-aggregates the top-nprobe
-    // struct slice per partition, so the exchange moves one bounded
-    // row per query. Ordering semantics identical (struct sort by
-    // (-sim, centroid_id) == ORDER BY sim DESC, centroid_id ASC).
+    // exchange); [[probeTopAgg]] partial-aggregates the top-nprobe
+    // heap per partition (O(nprobe) state per query — never the K
+    // buffered structs the old slice form held), so the exchange
+    // moves one bounded row per query. Ordering semantics identical
+    // ((sim DESC, centroid_id ASC) both forms).
+    val cellIsLong = centroids.schema("centroid_id").dataType ==
+      org.apache.spark.sql.types.LongType
     val qProbes = withNorm(queries, qId, qVec, "query_id", "__qv", "__qn")
       .crossJoin(broadcast(withNorm(centroids, "centroid_id", "cv",
         "centroid_id", "__cv", "__cn")))
       .withColumn("sim", pairSim(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
       .groupBy("query_id")
       .agg(first(col("__qv")).as("__qv"), first(col("__qn")).as("__qn"),
-        slice(array_sort(collect_list(struct(
-          (-col("sim")).as("negSim"), col("centroid_id")))), 1, nprobe).as("__top"))
+        probeTopAgg(col("sim"), col("centroid_id"), nprobe, cellIsLong).as("__top"))
       .select(col("query_id"), col("__qv"), col("__qn"),
         explode(col("__top")).as("__t"))
       .select(col("query_id"), col("__qv"), col("__qn"),
-        col("__t.centroid_id").as("centroid_id"))
+        col("__t.id").as("centroid_id"))
     val scored = qProbes.hint("broadcast")
       .join(assigned, "centroid_id")
       .withColumn("sim", pairSim(col("__qv"), col("vec"), col("__qn"), col("vecnorm")))

@@ -101,16 +101,41 @@ object Md5Embedder {
 }
 
 object EmbeddingModel {
+  /** Driver-Map vocabulary bound for [[fromDataFrame]]: 500k words ×
+    * 100 dims ≈ 400 MB of doubles before Map overhead — the most a
+    * default driver heap should ever be asked to hold. Real published
+    * sets run far larger (2M words × 300 dims ≈ 4.8 GB), which is
+    * exactly what the bound refuses: past it, keep the table
+    * distributed and vectorize by join ([[Vectorize.vectorizeJoin]]). */
+  val DefaultMaxWords: Int = 500000
+
   /** Load a real vectors table — the pluggable replacement for the
     * reference's unpublished FastText artifact (`Latanova_v1.py:19`,
     * SURVEY.md §2.1): a (word string, vector array) DataFrame, e.g.
     * `ml.feature.Word2Vec.getVectors` or a parsed vectors file.
-    * OOV still falls back to the deterministic hash vector. */
+    * OOV still falls back to the deterministic hash vector.
+    *
+    * The collect is BOUNDED: at most `maxWords + 1` rows ever reach
+    * the driver (a LIMIT probe, the auto-gate discipline), and a
+    * table past the bound fails fast with the distributed
+    * alternative named — never an unbounded driver materialization
+    * ([[Embedder]]'s "bounded table or pure function" contract,
+    * enforced here rather than assumed). */
   def fromDataFrame(vectors: org.apache.spark.sql.DataFrame,
-                    wordCol: String, vecCol: String, seed: Long = 42L): EmbeddingModel = {
+                    wordCol: String, vecCol: String, seed: Long = 42L,
+                    maxWords: Int = DefaultMaxWords): EmbeddingModel = {
     import org.apache.spark.sql.functions._
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
+    require(maxWords < Int.MaxValue, "maxWords must leave room for the +1 probe")
     val rows = vectors.select(col(wordCol).cast("string"),
-        transform(col(vecCol), _.cast("double"))).collect()
+        transform(col(vecCol), _.cast("double")))
+      .limit(maxWords + 1).collect()
+    require(rows.length <= maxWords,
+      s"vectors table exceeds maxWords=$maxWords: the driver-Map embedder is for BOUNDED " +
+        "vocabularies (words × dim × 8 bytes of driver heap, plus Map overhead). Raise " +
+        "maxWords explicitly only if the driver affords it; otherwise keep the table " +
+        "distributed and vectorize by join (Vectorize.vectorizeJoin), or use a stateless " +
+        "embedder (Md5Embedder / SubwordEmbedder).")
     val table = rows.map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
     val dim = table.headOption.map(_._2.length).getOrElse(0)
     require(dim > 0, "vectors table is empty")
@@ -169,9 +194,14 @@ object VecFormat {
         transform(slice(col("p"), 2, dim), _.cast("double")).as("vector"))
   }
 
-  /** One-call form: `.vec` file → broadcastable [[EmbeddingModel]]. */
-  def load(spark: SparkSession, path: String, seed: Long = 42L): EmbeddingModel =
-    EmbeddingModel.fromDataFrame(read(spark, path), "word", "vector", seed)
+  /** One-call form: `.vec` file → broadcastable [[EmbeddingModel]].
+    * Bounded by `maxWords` ([[EmbeddingModel.fromDataFrame]]'s
+    * contract — fails fast past the bound instead of OOMing the
+    * driver; vocabularies above it stay distributed via
+    * [[VecFormat.read]] + [[Vectorize.vectorizeJoin]]). */
+  def load(spark: SparkSession, path: String, seed: Long = 42L,
+           maxWords: Int = EmbeddingModel.DefaultMaxWords): EmbeddingModel =
+    EmbeddingModel.fromDataFrame(read(spark, path), "word", "vector", seed, maxWords)
 }
 
 /** FastText-style subword OOV composition (Bojanowski et al. 2017):
@@ -232,6 +262,50 @@ object Vectorize {
       else vectorizeLocal(bc.value, maxTokens)(entry)
     }
     c => f(c)
+  }
+
+  /** Join-based `vectorise_entries` for vocabularies too large to hold
+    * in one driver Map ([[EmbeddingModel.fromDataFrame]]'s `maxWords`
+    * bound): SAME output as [[vectorizeUdf]] with an [[EmbeddingModel]]
+    * over the same table — first `maxTokens` token vectors, zero-padded
+    * to maxTokens·dim, concatenated in token order, OOV falling back to
+    * the deterministic hash vector at `seed` — but the vectors stay a
+    * DataFrame and tokens look up by JOIN, so no vector ever crosses
+    * the driver. The join strategy is the optimizer's: a small vectors
+    * side broadcasts (AQE), a corpus-scale one shuffles on the token
+    * key — both fine at 100 TB, where the driver-Map path is not.
+    *
+    * Contract: `vectors` rows are (word, dim-wide array) with UNIQUE
+    * words — a duplicate word would multiply its token rows. `idCol`
+    * must be unique per input row (it keys the token reassembly).
+    * Null/empty/token-free text yields the all-zero vector, exactly as
+    * [[vectorizeUdf]] does. */
+  def vectorizeJoin(df: DataFrame, idCol: String, textCol: String,
+                    vectors: DataFrame, wordCol: String, vecCol: String,
+                    maxTokens: Int, dim: Int, seed: Long,
+                    outCol: String): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val hashVec = udf((token: String) => HashEmbeddings.vector(token, dim, seed))
+    val toks = df.select(col(idCol).as("__id"),
+        posexplode(slice(Tokenize.tokens(col(textCol)), 1, maxTokens))
+          .as(Seq("__pos", "__tok")))
+    val vecs = vectors.select(col(wordCol).cast("string").as("__tok"),
+      transform(col(vecCol), _.cast("double")).as("__v"))
+    val assembled = toks.join(vecs, Seq("__tok"), "left")
+      .select(col("__id"), col("__pos"),
+        coalesce(col("__v"), hashVec(col("__tok"))).as("__v"))
+      .groupBy("__id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__v")))),
+        s => s.getField("__v"))).as("__cat"))
+      .select(col("__id"),
+        concat(col("__cat"), array_repeat(lit(0.0),
+          lit(maxTokens * dim) - size(col("__cat")))).as("__vecout"))
+    df.join(assembled, col(idCol) === assembled("__id"), "left")
+      .withColumn(outCol,
+        coalesce(col("__vecout"), array_repeat(lit(0.0), lit(maxTokens * dim))))
+      .drop("__id", "__vecout")
   }
 
   /** Mean-pool variant (`get_vectorised_entries`, `Latanova_v1.py:23-43`

@@ -265,7 +265,14 @@ object TextProfiler {
     // 16 parts, sf1 ratio ×4.9) — √n picks both regimes correctly and
     // keeps ship volume growing sublinearly on a real cluster. The
     // count is one narrow scan, trivial next to the d² row work.
-    val accParts = sys.env.get("GRAFT_PROFILE_PARTS").map(_.toInt).getOrElse {
+    // validated override: a non-numeric or < 2 value must fail HERE
+    // with a usable message, not deep inside repartition
+    val accParts = sys.env.get("GRAFT_PROFILE_PARTS").map { raw =>
+      val v = raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"GRAFT_PROFILE_PARTS must be an integer >= 2, got '$raw'"))
+      require(v >= 2, s"GRAFT_PROFILE_PARTS must be >= 2, got $v")
+      v
+    }.getOrElse {
       val cores = spark.sparkContext.defaultParallelism
       if (d < 1024) math.max(2, cores / 2)
       else {

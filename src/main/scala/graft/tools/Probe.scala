@@ -95,6 +95,8 @@ object Probe {
       .config("spark.sql.shuffle.partitions", cpus.toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        graft.streaming.StateStores.providerClass)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -47,9 +47,14 @@ class IvfIndexSpec extends SparkSpec {
     val codes = spark.read.parquet(s"$path/codes")
     assert(codes.select("gen").distinct().as[Int].collect().sorted.toSeq === Seq(0, 1, 2))
     assert(codes.count() === 40)
-    // the on-disk layout is cell-partitioned — the physical property
+    // the on-disk layout is (gen, cell)-partitioned: each generation
+    // owns its own directory (concurrent appends never share write
+    // staging) and within it the cell dirs are the physical property
     // the search's probed-cells restriction prunes on
-    val dirs = new java.io.File(s"$path/codes").listFiles()
+    val genDirs = new java.io.File(s"$path/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("gen="))
+    assert(genDirs.sorted.toSeq === Seq("gen=0", "gen=1", "gen=2"))
+    val dirs = new java.io.File(s"$path/codes/gen=0").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("centroid_id="))
     assert(dirs.length === 4)
     val rep = IvfIndex.driftReport(spark, path).collect()
@@ -240,7 +245,88 @@ class IvfIndexSpec extends SparkSpec {
     assert(codes.select("gen").distinct().as[Int].collect().toSeq === Seq(0))
     assert(codes.count() === 40)
     assert(!new java.io.File(s"$path/tombstones").exists())
-    assert(!new java.io.File(s"$path/__rebuilding").exists())
+    // the staged swap left no residue: staging dir, commit marker, and
+    // gen claims are all gone (the gen clock restarts from the rebuilt
+    // tables)
+    assert(!new java.io.File(s"$path/__staged").exists())
+    assert(!new java.io.File(s"$path/__staged.commit").exists())
+    assert(!new java.io.File(s"$path/_gens").exists())
+    // and the clock did restart: the next append is gen 1
+    IvfIndex.append(spark, path, queries, "id", "v")
+    assert(spark.read.parquet(s"$path/codes")
+      .select("gen").distinct().as[Int].collect().sorted.toSeq === Seq(0, 1))
+  }
+
+  test("concurrent appends mint distinct serialized generations (atomic allocator)") {
+    val path = tmpPath("conc")
+    IvfIndex.build(corpus.filter(col("id") < 20), "id", "v", path, nCells = 4)
+    // two appends racing on one index: the allocator must serialize
+    // their generation claims, and the per-generation directories keep
+    // their physical writes disjoint
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val a = Future(IvfIndex.append(spark, path,
+      corpus.filter(col("id") >= 20 && col("id") < 30), "id", "v"))
+    val b = Future(IvfIndex.append(spark, path,
+      corpus.filter(col("id") >= 30), "id", "v"))
+    Await.result(a, 120.seconds); Await.result(b, 120.seconds)
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.select("gen").distinct().as[Int].collect().sorted.toSeq === Seq(0, 1, 2))
+    assert(codes.count() === 40)
+    assert(codes.select("id").distinct().count() === 40)
+    // the raw allocator, hammered in-JVM: every claim distinct
+    val claims = (1 to 8).map(_ => Future(IvfIndex.allocateGen(spark, path)))
+    val gens = claims.map(Await.result(_, 60.seconds))
+    assert(gens.distinct.size === 8)
+  }
+
+  test("crash repair: an uncommitted staged dir is discarded, the live index untouched") {
+    val path = tmpPath("crash1")
+    IvfIndex.build(corpus, "id", "v", path, nCells = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))).toSet
+    val before = rows(IvfIndex.search(spark, path, queries, "id", "v", k = 5, nprobe = 2))
+    // a maintenance op crashed AFTER staging but BEFORE the commit
+    // marker: garbage under __staged, no marker
+    val staged = new java.io.File(s"$path/__staged/codes")
+    staged.mkdirs()
+    java.nio.file.Files.write(staged.toPath.resolve("junk"), Array[Byte](1, 2, 3))
+    val after = rows(IvfIndex.search(spark, path, queries, "id", "v", k = 5, nprobe = 2))
+    assert(after === before)
+    assert(!new java.io.File(s"$path/__staged").exists())
+  }
+
+  test("crash repair: a committed swap is completed on the next open — " +
+    "rebuilt rows are never paired with stale tombstones") {
+    val path = tmpPath("crash2")
+    IvfIndex.build(corpus.filter(col("id") < 20), "id", "v", path, nCells = 4)
+    IvfIndex.append(spark, path, corpus.filter(col("id") >= 20), "id", "v")
+    // delete ids 36..39 → tombstones exist
+    IvfIndex.applyChanges(spark, path,
+      (36 to 39).map(i => (i.toLong, Array.empty[Float], 1L, "delete"))
+        .toDF("id", "v", "seq", "op"),
+      "id", "v", "seq", "op")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))).toSet
+    val want = rows(IvfIndex.search(spark, path, queries, "id", "v", k = 5, nprobe = 2))
+    // simulate compact() crashing right after its commit point: the
+    // staged live-rows table and the marker exist, nothing renamed yet
+    val live = spark.read.parquet(s"$path/codes").filter(col("id") < 36)
+    live.write.mode("overwrite").partitionBy("gen", "centroid_id")
+      .parquet(s"$path/__staged/codes")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$path/__staged.commit"))
+    // next open repairs: swap completed, tombstones + claims cleared,
+    // search results identical to the pre-crash tombstone-filtered view
+    val got = rows(IvfIndex.search(spark, path, queries, "id", "v", k = 5, nprobe = 2))
+    assert(got === want)
+    assert(!new java.io.File(s"$path/__staged").exists())
+    assert(!new java.io.File(s"$path/__staged.commit").exists())
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(spark.read.parquet(s"$path/codes").count() === 36)
   }
 
   test("drift report flags a genuinely shifted append") {

@@ -71,6 +71,53 @@ class VecFormatSpec extends SparkSpec {
       HashEmbeddings.vector("missing", 3, 7L).toSeq)
   }
 
+  test("fromDataFrame maxWords: at-cap loads; over-cap fails fast with the join path named") {
+    import spark.implicits._
+    val vecs = (1 to 4).map(i => (s"w$i", Array(i.toDouble, 0.0))).toDF("word", "vector")
+    // at the cap: loads normally
+    val atCap = EmbeddingModel.fromDataFrame(vecs, "word", "vector",
+      seed = 3L, maxWords = 4)
+    assert(atCap.table.size === 4)
+    assert(atCap.lookup("w2").toSeq === Seq(2.0, 0.0))
+    // one past the cap: refuses — the driver Map is for BOUNDED
+    // vocabularies, and the error names the distributed alternative
+    val err = intercept[IllegalArgumentException] {
+      EmbeddingModel.fromDataFrame(vecs, "word", "vector",
+        seed = 3L, maxWords = 3)
+    }
+    assert(err.getMessage.contains("maxWords"))
+    assert(err.getMessage.contains("vectorizeJoin"))
+  }
+
+  test("vectorizeJoin equals vectorizeUdf: in-vocab, OOV hash fallback, zero-pad, null text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dim = 3; val maxTokens = 4; val seed = 7L
+    val vecs = Seq(
+      ("alpha", Array(1.0, 2.0, 3.0)),
+      ("beta", Array(4.0, 5.0, 6.0))).toDF("word", "vector")
+    val docs = Seq(
+      (1L, "alpha beta missing alpha extra dropped"), // > maxTokens → truncate
+      (2L, "beta"),                                   // < maxTokens → zero-pad
+      (3L, ""),                                       // token-free → all zeros
+      (4L, null.asInstanceOf[String]))                // null → all zeros
+      .toDF("id", "text")
+    val model = EmbeddingModel.fromDataFrame(vecs, "word", "vector", seed)
+    val viaUdf = docs
+      .withColumn("v", Vectorize.vectorizeUdf(spark, model, maxTokens)(col("text")))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    val viaJoin = Vectorize.vectorizeJoin(docs, "id", "text",
+        vecs, "word", "vector", maxTokens, dim, seed, "v")
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    assert(viaJoin.keySet === Set(1L, 2L, 3L, 4L))
+    assert(viaJoin === viaUdf)
+    assert(viaJoin.values.forall(_.length === maxTokens * dim))
+    assert(viaJoin(3L).forall(_ === 0.0))
+    assert(viaJoin(4L).forall(_ === 0.0))
+  }
+
   test("SubwordEmbedder: in-vocab unchanged; OOV = mean of char n-gram vectors") {
     val base = EmbeddingModel(dim = 3, seed = 11L,
       table = Map("word" -> Array(1.0, 1.0, 1.0)))
