@@ -476,36 +476,25 @@ object Quantize {
       queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol, k)
   }
 
-  /** Shared candidate-selection tail of the binary-ANN family:
-    * per-partition candidate selection over (query_id, neighbor_id,
-    * hd), then the exact global top-`cand` over the |Q|·cand·P
-    * survivors — ties toward the lower neighbor id. ONE definition
-    * (like [[cosineRerank]]) so the flat and IVF routes can never
-    * diverge in the candidate contract.
+  /** Shared candidate-selection tail of the binary-ANN family: exact
+    * global top-`cand` per query over (query_id, neighbor_id, hd),
+    * ties toward the lower neighbor id. ONE definition (like
+    * [[cosineRerank]]) so the flat and IVF routes can never diverge
+    * in the candidate contract.
     *
-    * Memory bound, honestly: collect_list materializes every
-    * candidate of a (query_id, partition) group before the
-    * array_sort + slice, so per-group memory is O(candidates in that
-    * partition), not O(cand) — the same discipline as
-    * [[Similarity]]'s topKFromScored. Flat scans split the corpus
-    * across partitions so each group is |C|/P; the IVF route can put
-    * one whole probed cell per query into a group — keep cells
-    * bounded (nCentroids sized to corpus / target-cell-size) if that
-    * becomes a pressure point. */
-  private def hammingTopCand(scored: DataFrame, cand: Int): DataFrame = {
-    val partial = scored
-      .groupBy(col("query_id"), spark_partition_id().as("__p"))
-      .agg(slice(array_sort(collect_list(struct(col("hd"), col("neighbor_id")))),
-        1, cand).as("heap"))
-      .select(col("query_id"), explode(col("heap")).as("h"))
-      .select(col("query_id"), col("h.neighbor_id").as("neighbor_id"),
-        col("h.hd").as("hd"))
-    val wc = Window.partitionBy("query_id")
-      .orderBy(col("hd").asc, col("neighbor_id").asc)
-    partial.withColumn("__crank", row_number().over(wc))
-      .filter(col("__crank") <= cand)
-      .select("query_id", "neighbor_id", "hd")
-  }
+    * Rides [[Similarity.topKFromScored]]'s mergeable bounded-heap
+    * kernel with sim = −hd (hd ASC, neighbor ASC ≡ sim DESC, id ASC;
+    * small-int negation and the double round-trip are exact):
+    * O(cand) primitives of aggregation state per query at all times —
+    * the previous per-(query, partition) collect_list buffered every
+    * candidate in the group (a whole probed cell on the IVF route)
+    * and paid a rank Window over the survivors. */
+  private def hammingTopCand(scored: DataFrame, cand: Int): DataFrame =
+    Similarity.topKFromScored(
+        scored.select(col("query_id"), col("neighbor_id"),
+          (-col("hd")).cast("double").as("sim")), cand)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("sim")).cast("long").as("hd"))
 
   /** Shared rerank tail of the binary-ANN family: the |Q|·cand
     * candidate id pairs broadcast-join back to the full float vectors

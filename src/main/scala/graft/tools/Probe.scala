@@ -1393,6 +1393,12 @@ object Probe {
         val t0 = System.nanoTime()
         qs(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
+        // Bench's isolation rule: localCheckpoint blocks are plain
+        // persisted RDDs the ContextCleaner only reaps at GC time —
+        // at the 10x/100x trees they linger large enough to tax the
+        // next sample with GC pressure
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         println(f"TIME $q run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
@@ -1448,6 +1454,40 @@ object Probe {
         }.mkString(" "))
     }
 
+    // r15 verdict #1: the SECOND untested decade — a 100x tree (pass
+    // sf0.1 as args(0) → "sf10") for the heavy-family scale receipt.
+    // Heavy tables only (documents, embeddings, lineitem): the sf10
+    // query set (q197/q198/q210, q125, q83, q142/q195, q230–q235)
+    // reads nothing else, and the full-table tree belongs to make-sf1.
+    // Same generators as sf1, factor 100: content rotations cycle at
+    // 26 (letters) / 64 (dims), so a 100x corpus carries genuine
+    // exact-duplicate families (~4 identical copies per doc) — the
+    // realistic shape of a crawl at that scale, and a deliberately
+    // HARDER dedup input than self-similar copies. lineitem shifts
+    // every key by m·1e8 per copy: joins/graphs/distincts grow 100x
+    // as 100 key-disjoint copy-sets, never stacked duplicate keys.
+    names.filter(_ == "make-sf10").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val out = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft_sf10")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      rotatedDocs(docs, 100).write.mode("overwrite")
+        .parquet(s"$out/documents.parquet")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      rotatedEmb(emb, 64, 100).write.mode("overwrite")
+        .parquet(s"$out/embeddings.parquet")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      (0 until 100).map { m =>
+        val off = m * 100000000L
+        Seq("l_orderkey", "l_partkey", "l_suppkey")
+          .foldLeft(li)((d, c) => d.withColumn(c, col(c) + off))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      println(s"MAKE-SF10 wrote $out: " +
+        Seq("documents", "embeddings", "lineitem").map { t =>
+          s"$t=${spark.read.parquet(s"$out/$t.parquet").count()}"
+        }.mkString(" "))
+    }
+
     // r11 verdict #2: headline heavy queries at sf0.1 vs sf1 — wall +
     // shuffle bytes; sub-linear families should show it, anything
     // super-linear is next round's list.
@@ -1465,7 +1505,10 @@ object Probe {
       val heavy = Seq("q83_pagerank", "q169_hll_distinct", "q125",
         "q197_max_dup_spans", "q198_exact_substr_rewrite",
         "q210_decontaminate_rewrite", "q28", "q30_ann_ivf",
-        "q142_ivfpq", "q199", "q207", "q211", "q195")
+        "q142_ivfpq", "q199", "q207", "q211", "q195",
+        // r16: the persisted-index lifecycle family joins the scale
+        // receipt (build/append/CDC/refined/rebuild at both decades)
+        "q230", "q231", "q232", "q233", "q234", "q235")
       val only = sys.env.get("SPARK_GRAFT_SF1_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       val sel = qs.keys.filter(n => heavy.exists(n.startsWith))
@@ -1484,8 +1527,10 @@ object Probe {
           (dt, shuffleBytes.get())
         }
         val (t01, b01) = rows(0); val (t1, b1) = rows(1)
-        println(f"SF1-SCALELAW $name%-28s sf0.1 $t01%7.2f s ${b01 / 1e6}%9.1f MB" +
-          f" | sf1 $t1%7.2f s ${b1 / 1e6}%9.1f MB | wall x${t1 / math.max(0.01, t01)}%.1f" +
+        // "lo" = args(0)'s tree, "hi" = SPARK_GRAFT_SF1_DIR — the probe
+        // compares ANY adjacent decade pair (sf0.1→sf1, sf1→sf10)
+        println(f"SF1-SCALELAW $name%-28s lo $t01%7.2f s ${b01 / 1e6}%9.1f MB" +
+          f" | hi $t1%7.2f s ${b1 / 1e6}%9.1f MB | wall x${t1 / math.max(0.01, t01)}%.1f" +
           f" bytes x${b1.toDouble / math.max(1L, b01)}%.1f")
       }
     }
