@@ -1093,17 +1093,41 @@ object Corpus {
   private def buildDupBloom(wins: DataFrame, hashCol: String,
                             expectedAdds: Long): ShardedDupBloom = {
     val (nShards, logSlots) = ShardedDupBloom.geometryFor(expectedAdds)
-    // build the per-partition filter INSIDE the task (mapPartitions +
-    // treeReduce) rather than shipping a zero-value: a sharded
-    // filter's zero is up to 512 MiB of empty bitsets, and
-    // treeAggregate would serialize it into every task closure
     val rdd = wins.select(col(hashCol)).rdd
     if (rdd.getNumPartitions == 0) new ShardedDupBloom(nShards, logSlots)
-    else rdd.mapPartitions { it =>
+    else if (nShards == 1)
+      // single filter (≤ 32 MiB): build per partition INSIDE the task
+      // (mapPartitions + treeReduce) — no shuffle of the key rows, and
+      // no zero-value serialized into every task closure
+      rdd.mapPartitions { it =>
         val f = new ShardedDupBloom(nShards, logSlots)
         it.foreach(row => f.add(row.getLong(0)))
         Iterator(f)
       }.treeReduce((a, b) => a.merge(b), depth = 2)
+    else {
+      // SHARDED geometry: one build task per SHARD, keys routed by the
+      // filter's own shard function, so task memory is ONE shard's
+      // 32 MiB — never the whole nShards × 32 MiB filter. The per-map-
+      // task form allocated the full sharded filter in EVERY scan task
+      // (at 16 shards × 32 cores that is 16 GiB of concurrent zero
+      // bitsets — the r16 sf10 receipt's q197 executor OOM, invisible
+      // at sf1 where the 3-shard geometry fit). Costs one exchange of
+      // the 8-byte keys — the same order as the fp-count shuffle that
+      // follows the filter anyway.
+      val built = rdd.map(row => {
+          val h = row.getLong(0)
+          (ShardedDupBloom.shardOf(h, nShards), h)
+        })
+        .partitionBy(new org.apache.spark.HashPartitioner(nShards))
+        .mapPartitionsWithIndex { (shard, it) =>
+          val f = new DupBloom(logSlots)
+          it.foreach { case (_, h) => f.add(h) }
+          Iterator((shard, f))
+        }.collect()
+      val out = new ShardedDupBloom(nShards, logSlots)
+      built.foreach { case (shard, f) => out.shards(shard).merge(f) }
+      out
+    }
   }
 
   /** Window-count estimate for [[DupBloom]] sizing: Σ max(len − L +

@@ -123,13 +123,8 @@ final class ShardedDupBloom(val nShards: Int, val logSlots: Int)
   require(nShards >= 1 && nShards <= 64, s"nShards out of range: $nShards")
   val shards: Array[DupBloom] = Array.fill(nShards)(new DupBloom(logSlots))
 
-  @inline private def shardOf(h: Long): Int = {
-    // odd-multiplier mix (xxhash64 prime2), top bits folded — disjoint
-    // from DupBloom.mix's splitmix64 constants so a slot collision in
-    // one shard says nothing about shard routing
-    val m = h * 0xC2B2AE3D27D4EB4FL
-    (((m ^ (m >>> 29)) & Long.MaxValue) % nShards).toInt
-  }
+  @inline private def shardOf(h: Long): Int =
+    ShardedDupBloom.shardOf(h, nShards)
 
   def add(h: Long): Unit = shards(shardOf(h)).add(h)
   def mightBeDup(h: Long): Boolean = shards(shardOf(h)).mightBeDup(h)
@@ -145,6 +140,18 @@ final class ShardedDupBloom(val nShards: Int, val logSlots: Int)
 }
 
 object ShardedDupBloom {
+  /** Shard routing: odd-multiplier mix (xxhash64 prime2), top bits
+    * folded — disjoint from DupBloom.mix's splitmix64 constants so a
+    * slot collision in one shard says nothing about shard routing.
+    * Exposed on the object so build sites can PARTITION the key
+    * stream by shard and build each shard in its own task (one
+    * 32 MiB filter of task memory) instead of allocating the whole
+    * nShards × 32 MiB sharded filter per map task. */
+  @inline def shardOf(h: Long, nShards: Int): Int = {
+    val m = h * 0xC2B2AE3D27D4EB4FL
+    (((m ^ (m >>> 29)) & Long.MaxValue) % nShards).toInt
+  }
+
   /** (nShards, logSlots) holding ~8 slots/key: one filter while the
     * budget fits under the 2^27 cap, then 2^27-slot shards, count
     * capped at 16 (512 MiB broadcast). */

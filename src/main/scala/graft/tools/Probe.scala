@@ -1671,6 +1671,30 @@ object Probe {
         s"false negatives after re-add: $fn")
     }
 
+    // r16 sf10 adjudication receipt: the duplicated-window fraction of
+    // a documents tree — the denominator behind q197/q198's wall at a
+    // given scale (cost ∝ windows + duplicated windows + span rows; a
+    // tree whose dup fraction approaches 1, like sf10's 26-letter
+    // rotation cycle at 100 copies, grows OUTPUT superlinearly while
+    // the kernel stays linear in its own input+output).
+    names.filter(_ == "dupfrac").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val minLen = 40
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").as("id"), col("text").cast("string").as("text"))
+        .filter(col("text").isNotNull && length(col("text")) >= minLen)
+      val wins = base.select(col("id"),
+          explode(expr(s"sequence(0, CAST(length(text) AS INT) - $minLen, 1)")).as("off"),
+          expr(s"xxhash64(substring(text, off + 1, $minLen))").as("fp"))
+      val agg = wins.groupBy("fp").agg(count(lit(1)).as("occ"))
+        .agg(sum("occ").as("wins"),
+          sum(when(col("occ") > 1, col("occ")).otherwise(0L)).as("dupwins"))
+        .collect()(0)
+      val (w, d) = (agg.getLong(0), agg.getLong(1))
+      val spans = graft.ops.Corpus.maxDupSpansFast(base, "id", "text", minLen).count()
+      println(f"DUPFRAC $sfDir windows=$w dup_windows=$d frac=${d.toDouble / w}%.4f span_rows=$spans")
+    }
+
     // r11 verdict #1 receipt: lineDedup's gated routes on the grown
     // corpus — boilerplate injected so the duplicated-line set is
     // non-trivial at every multiplier (each rotated copy-set carries
