@@ -14,6 +14,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // BENCH defaults the streaming sink to noop (the honest-timing
+    // sink scripts/bench.sh has exported since r15) even when the env
+    // var is absent — the r16 round artifact was recorded by a caller
+    // that did NOT source bench.sh, ran on the driver sink, and so
+    // could not pool with any of the six same-sha noop samples in
+    // BENCH_LOG (a 1-sample certification). The sink mode is a
+    // property of the BENCHMARK, not of the caller's environment; an
+    // explicit GRAFT_STREAM_SINK=driver still A/Bs the old sink.
+    // Verify is untouched — oracle rows always ride the driver sink.
+    sys.env.get("GRAFT_STREAM_SINK") match {
+      case Some(v) => SparkEntry.streamNoopSink = v == "noop"
+      case None    => SparkEntry.streamNoopSink = true
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -120,12 +133,17 @@ object Bench {
     // under a different sink or store mode can never pool with this
     // run as like-for-like).
     val curStreamSink =
-      if (sys.env.get("GRAFT_STREAM_SINK").contains("noop")) "noop" else "driver"
+      if (SparkEntry.streamNoopSink) "noop" else "driver"
     val curStateStore = graft.streaming.StateStores.tag
 
-    // (sha, query->seconds) per log run; pre-sha log lines parse with
-    // sha "" and therefore never match the current sha (they age out).
-    val histRuns: List[(String, Map[String, Double])] = try {
+    // (sha, modeOk, query->seconds) per log run; pre-sha log lines
+    // parse with sha "" and therefore never match the current sha
+    // (they age out). modeOk = the run's recorded sink/state-store
+    // modes match this run's (pre-r16 rows carry no field and are
+    // admitted as-is); mode-mismatched runs are kept in the parse so
+    // the certification can COUNT what it excluded — the r16 artifact
+    // silently certified from 1 sample while 6 sat excluded.
+    val allRuns: List[(String, Boolean, Map[String, Double])] = try {
       val p = java.nio.file.Paths.get("BENCH_LOG.jsonl")
       if (!java.nio.file.Files.exists(p)) Nil
       else {
@@ -137,18 +155,21 @@ object Bench {
         scala.jdk.CollectionConverters.IteratorHasAsScala(
           java.nio.file.Files.lines(p).iterator()).asScala
           .filter(_.contains(s""""sf":"$sfDir""""))
-          .filter(l => modeOk(l, "stream_sink", curStreamSink) &&
-            modeOk(l, "state_store", curStateStore))
           .map { line =>
             val m = pat.matcher(line)
             val b = Map.newBuilder[String, Double]
             while (m.find()) b += (m.group(1) -> m.group(2).toDouble)
             val sm = shaPat.matcher(line)
             val sha = if (sm.find()) sm.group(1) else ""
-            (sha, b.result())
+            (sha,
+              modeOk(line, "stream_sink", curStreamSink) &&
+                modeOk(line, "state_store", curStateStore),
+              b.result())
           }.toList
       }
     } catch { case _: Throwable => Nil }
+    val histRuns: List[(String, Map[String, Double])] =
+      allRuns.collect { case (sha, true, run) => (sha, run) }
     // Noise reference for the in-run rerun guard: ANY same-sf run may
     // contribute here (host noise is code-version-independent), only
     // the certified medians below are sha-restricted.
@@ -252,6 +273,22 @@ object Bench {
         // under any single window (r13, verdict #8).
         val same = histRuns
           .collect { case (sha, run) if sha == gitSha && run.keySet == names => run }
+        // Closing-discipline enforcement (r16 verdict #2): same-sha,
+        // same-suite samples sitting in BENCH_LOG under a DIFFERENT
+        // sink/state-store mode can never pool — if any exist, this
+        // artifact is measuring a different thing than the history
+        // around it. Stamp the exclusion count in the cert block and
+        // shout on stderr; a certification that says
+        // same_sha_samples:1, mode_mismatch_excluded:6 indicts itself.
+        val modeExcluded = allRuns.count { case (sha, ok, run) =>
+          !ok && sha == gitSha && run.keySet == names }
+        if (modeExcluded > 0)
+          System.err.println(s"[bench] WARNING: $modeExcluded same-sha " +
+            s"full-suite samples in BENCH_LOG are EXCLUDED by mode " +
+            s"(this run: stream_sink=$curStreamSink, " +
+            s"state_store=$curStateStore) — this certification cannot " +
+            "pool with them; re-run under the history's mode or accept " +
+            "a thinner cert.")
         // pooled trees: same-suite runs only (a suite change means the
         // query set itself moved — those runs never mix in)
         val pooledRuns: List[(String, Map[String, Double])] = histRuns
@@ -279,7 +316,9 @@ object Bench {
         certProvenance =
           s""","cert":{"same_sha_samples":${same.size + 1},""" +
             s""""pooled":[$poolJson],"per_query_samples_min":${perQueryN.min},""" +
-            s""""per_query_samples_max":${perQueryN.max}}"""
+            s""""per_query_samples_max":${perQueryN.max},""" +
+            s""""stream_sink":"$curStreamSink","state_store":"$curStateStore",""" +
+            s""""mode_mismatch_excluded":$modeExcluded}"""
         cert
       }
     // Driver contract: the driver certifies a 2,000-char stdout TAIL

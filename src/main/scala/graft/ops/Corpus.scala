@@ -1123,9 +1123,18 @@ object Corpus {
           val f = new DupBloom(logSlots)
           it.foreach { case (_, h) => f.add(h) }
           Iterator((shard, f))
-        }.collect()
+        }
       val out = new ShardedDupBloom(nShards, logSlots)
-      built.foreach { case (shard, f) => out.shards(shard).merge(f) }
+      // toLocalIterator, not collect(): the driver must hold the merged
+      // nShards × 32 MiB filter anyway (it broadcasts it), but a
+      // collect() would ALSO stage every per-shard filter at once —
+      // roughly doubling the driver's transient heap at max geometry
+      // (16 × 32 MiB on top of the 512 MiB merged filter). One filter
+      // in flight at a time; the shuffle map stage runs once and each
+      // per-partition fetch is a result-stage-only job against it.
+      built.toLocalIterator.foreach { case (shard, f) =>
+        out.shards(shard).merge(f): Unit
+      }
       out
     }
   }

@@ -39,13 +39,40 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    task files, which readers ignore; the claimed gen is simply
   *    skipped).
   *  - Maintenance ops ([[rebuild]], [[compact]]) swap whole tables and
-  *    require exclusive access — single maintenance writer, no
-  *    concurrent appends during the swap. The swap itself is
-  *    crash-recoverable (staged sibling + commit marker, repaired by
-  *    [[repairIfNeeded]] on every subsequent open) — a crash anywhere
-  *    leaves either the OLD index intact (pre-marker) or a repairable
-  *    committed swap (post-marker); never a silently-filtered or
-  *    half-missing index.
+  *    require exclusive write access. The exclusivity is ENFORCED, not
+  *    just documented: maintenance takes the `_maintenance.lock` claim
+  *    file (create-no-overwrite, the gen allocator's atomicity
+  *    discipline) and every mutating entry point ([[append]],
+  *    [[appendPq]], [[applyChanges]], [[applyChangesPq]]) FAILS LOUDLY
+  *    while it is held — an append racing a swap would otherwise write
+  *    its gen directory into a tree the swap then deletes wholesale
+  *    (silent row loss, the failure the old prose-only contract could
+  *    not catch). A maintenance op that CRASHED leaves the lock behind
+  *    by design: writers stay blocked (loudly, with the recovery step
+  *    named in the error) until an operator confirms the process is
+  *    dead and calls [[releaseMaintenanceLock]]; the next entry point
+  *    then repairs the swap state. READ paths ([[search]],
+  *    [[searchPq]], [[driftReport]]) are never blocked: they complete
+  *    a COMMITTED swap if they find one (idempotent, tolerant of a
+  *    racing completer) and otherwise read the live tables — they
+  *    never touch an uncommitted `__staged` dir, so a reader racing a
+  *    live rebuild cannot delete its in-flight staging.
+  *  - The swap itself is crash-recoverable (staged sibling + commit
+  *    marker): the marker is created only after the expected staged
+  *    tables are verified present ([[commitSwap]]), so a crash
+  *    anywhere leaves either the OLD index intact (pre-marker; orphan
+  *    staging is swept by the next maintenance op, under the lock) or
+  *    a completable committed swap (post-marker, completed by any
+  *    entry point) — never a silently-filtered or half-missing index.
+  *
+  * Filesystem contract (claim files + commit marker): the atomicity of
+  * `create(…, overwrite = false)` is what gen allocation, the
+  * maintenance lock, and the swap commit point rely on. That holds on
+  * HDFS and local filesystems (and object stores fronted by an atomic
+  * metadata layer); it does NOT hold on plain S3A without a committer
+  * — S3 PUT is last-writer-wins, so two writers can both "create" the
+  * same claim. On plain S3, serialize writers externally or run under
+  * an S3A committer/consistency layer.
   *
   * Search parity contract: [[search]] over build(A) + append(B) is
   * bit-identical to [[Similarity.ivfTopK]] over A∪B whenever A
@@ -67,21 +94,68 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object IvfIndex {
 
   private val StagedDir = "__staged"
+  private val MaintLockName = "_maintenance.lock"
 
-  /** JVM-wide per-path gen-allocation locks (see class doc). */
-  private val genLocks =
+  /** JVM-wide per-path locks: gen allocation and swap completion each
+    * serialize within a JVM (the local / shared-driver shape); the
+    * cross-JVM story is the claim-file protocol (see class doc). */
+  private val pathLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(key: String): Object =
+    pathLocks.computeIfAbsent(key, _ => new Object)
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def maintLock(path: String): Path =
+    new Path(s"$path/$MaintLockName")
+
+  /** Take the maintenance lock (create-no-overwrite — atomic on the
+    * filesystems named in the class-doc contract). Loud failure when
+    * held: the holder is either a LIVE maintenance op (wait for it) or
+    * a CRASHED one (confirm the process is dead, then
+    * [[releaseMaintenanceLock]]). */
+  private def acquireMaintenanceLock(fs: FileSystem, path: String): Unit =
+    try fs.create(maintLock(path), false).close()
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.PathExistsException =>
+        throw new IllegalStateException(
+          s"index at $path is locked by a maintenance op " +
+            s"($MaintLockName present): another rebuild/compact is " +
+            "running, or a previous one crashed. If the holder is dead, " +
+            "recover with IvfIndex.releaseMaintenanceLock(spark, path).")
+    }
+
+  /** Release a maintenance lock left behind by a CRASHED rebuild or
+    * compact. Operator escape hatch — only call after confirming the
+    * locking process is dead; releasing under a live maintenance op
+    * re-opens the lost-append window the lock exists to close. The
+    * next entry point repairs any half-finished swap state. */
+  def releaseMaintenanceLock(spark: SparkSession, path: String): Unit =
+    fsFor(spark, path).delete(maintLock(path), false): Unit
+
+  /** Loud write-path gate (class-doc contract): mutating entry points
+    * must not run while a maintenance swap may delete their output. */
+  private def requireNoMaintenanceLock(fs: FileSystem, path: String): Unit =
+    if (fs.exists(maintLock(path)))
+      throw new IllegalStateException(
+        s"cannot write to index at $path: a maintenance op holds " +
+          s"$MaintLockName (rebuild/compact would silently drop rows " +
+          "written during its swap). Wait for it to finish; if it " +
+          "crashed, recover with IvfIndex.releaseMaintenanceLock.")
+
   /** Train the coarse quantizer on `corpus` and persist the index.
     * Overwrites any index at `path` — including tombstones, gen
-    * claims, and any staged maintenance leftovers. */
+    * claims, the maintenance lock, and any staged maintenance
+    * leftovers (a destructive full reset by definition — do not run
+    * it concurrently with anything). */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             path: String, nCells: Int, kmeansIterations: Int = 0): Unit = {
     val fs = fsFor(corpus.sparkSession, path)
-    for (d <- Seq("codes", "tombstones", "_gens", StagedDir, s"$StagedDir.commit"))
+    for (d <- Seq("codes", "tombstones", "_gens", StagedDir,
+        s"$StagedDir.commit", s"$StagedDir.old", MaintLockName))
       fs.delete(new Path(s"$path/$d"), true)
     val centroids = Similarity.centroidsFor(
       corpus.filter(col(vecCol).isNotNull), idCol, vecCol,
@@ -100,7 +174,7 @@ object IvfIndex {
     * see the class-doc concurrency contract). */
   def append(spark: SparkSession, path: String, shard: DataFrame,
              idCol: String, vecCol: String): Unit = {
-    repairIfNeeded(spark, path)
+    repairWrite(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
     val g = allocateGen(spark, path)
     writeGen(assignGen(shard, idCol, vecCol, centroids), s"$path/codes",
@@ -127,22 +201,58 @@ object IvfIndex {
     df.write.mode("overwrite").partitionBy(cellCol)
       .parquet(s"$codesDir/gen=$gen")
 
+  /** Gen of a pure claim file name (`gen-N`), None for anything else
+    * (in-flight CDC intents `gen-N.cdc` are NOT claims here — they
+    * carry their own gen via the prefix and must survive pruning). */
+  private def claimGen(name: String): Option[Int] =
+    if (name.startsWith("gen-") && name.drop(4).forall(_.isDigit))
+      name.drop(4).toIntOption
+    else None
+
+  /** Any gen number a `_gens/` entry references (claims AND intents) —
+    * the allocation floor must clear both. */
+  private def anyGen(name: String): Option[Int] =
+    if (name.startsWith("gen-"))
+      name.drop(4).takeWhile(_.isDigit).toIntOption
+    else None
+
   /** Mint the next generation number atomically: one past the max of
-    * (claim files under `_gens/`, code-row gens, tombstone gens — the
-    * latter two so a delete-only batch advances the clock and a
+    * (claim/intent files under `_gens/`, code-row gens, tombstone gens
+    * — the latter two so a delete-only batch advances the clock and a
     * pre-claim-era index keeps counting), claimed by create-no-
     * overwrite under the JVM-wide per-path lock. Two concurrent
-    * writers can never mint the same gen (class-doc contract). */
+    * writers can never mint the same gen (class-doc contract).
+    *
+    * Housekeeping + safety, both piggybacked on the listing this call
+    * already pays for:
+    *  - pure claim files at or below the persisted max are PRUNED —
+    *    their data has landed, they carry no information the persisted
+    *    tables don't, and on a long-lived append-only index they would
+    *    otherwise grow the listing cost of every allocation linearly
+    *    with batch count. A claim ABOVE the persisted max (an in-flight
+    *    or crashed writer) is never touched, and `.cdc` intents are
+    *    never pruned (they are the in-flight CDC signal
+    *    [[requireNoInflightWriters]] reads).
+    *  - after claiming, the maintenance lock is re-checked: if a
+    *    rebuild/compact acquired it after our entry gate, our claim may
+    *    have landed after its in-flight scan — back out (delete the
+    *    claim) and fail loudly rather than write rows its swap would
+    *    delete. Either the scan sees our claim or we see its lock;
+    *    both orders are safe. */
   private[ops] def allocateGen(spark: SparkSession, path: String): Int = {
-    val lock = genLocks.computeIfAbsent(path, _ => new Object)
+    val lock = lockFor(path)
     lock.synchronized {
       val fs = fsFor(spark, path)
       val dir = new Path(s"$path/_gens")
       fs.mkdirs(dir)
-      val claimed = fs.listStatus(dir).iterator.map(_.getPath.getName)
-        .collect { case n if n.startsWith("gen-") => n.drop(4).toInt }
-        .foldLeft(0)(math.max)
-      var g = math.max(claimed, persistedGenMax(spark, path)) + 1
+      val names = fs.listStatus(dir).map(_.getPath.getName)
+      val persisted = persistedGenMax(spark, path)
+      names.foreach { n =>
+        if (claimGen(n).exists(_ <= persisted))
+          fs.delete(new Path(dir, n), false): Unit
+      }
+      val claimed = names.flatMap(anyGen).foldLeft(0)(math.max)
+      var g = math.max(claimed, persisted) + 1
       var claimedOk = false
       var attempts = 0
       while (!claimedOk) {
@@ -157,6 +267,13 @@ object IvfIndex {
             require(attempts < 10000, s"gen allocation livelock at $path")
             g += 1
         }
+      }
+      if (fs.exists(maintLock(path))) {
+        fs.delete(new Path(dir, f"gen-$g%08d"), false)
+        throw new IllegalStateException(
+          s"aborting write to $path: a maintenance op took " +
+            s"$MaintLockName during gen allocation — rows written now " +
+            "could be dropped by its swap. Retry after it finishes.")
       }
       g
     }
@@ -199,12 +316,16 @@ object IvfIndex {
     * Rows superseded or deleted by [[applyChanges]] are dropped via
     * the tombstone table AFTER cell pruning (a broadcast anti-filter
     * over the bounded candidate set — see [[applyChanges]] for the
-    * tombstone-size contract; [[compact]] folds them away). */
+    * tombstone-size contract; [[compact]] folds them away). One
+    * documented exception: after a CDC batch crashed between its codes
+    * and tombstone writes, an upserted id is live in two generations
+    * until the batch is re-run, and search can return it at two ranks
+    * (the CDC section's write-ordering note has the full contract). */
   def search(spark: SparkSession, path: String, queries: DataFrame,
              qId: String, qVec: String, k: Int, nprobe: Int,
              maxBroadcastQueries: Long = 100000L,
              querySizeHint: Option[Long] = None): DataFrame = {
-    repairIfNeeded(spark, path)
+    repairRead(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
     val codes = spark.read.parquet(s"$path/codes")
     val cellIsLong = centroids.schema("centroid_id").dataType ==
@@ -271,7 +392,8 @@ object IvfIndex {
               path: String, dim: Int, m: Int, k: Int, iterations: Int,
               nCells: Int): Unit = {
     val fs = fsFor(corpus.sparkSession, path)
-    for (d <- Seq("codes", "tombstones", "_gens", StagedDir, s"$StagedDir.commit"))
+    for (d <- Seq("codes", "tombstones", "_gens", StagedDir,
+        s"$StagedDir.commit", s"$StagedDir.old", MaintLockName))
       fs.delete(new Path(s"$path/$d"), true)
     val cv = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("__v"))
@@ -289,7 +411,7 @@ object IvfIndex {
     * allocation + own-directory write as [[append]]. */
   def appendPq(spark: SparkSession, path: String, shard: DataFrame,
                idCol: String, vecCol: String, dim: Int, m: Int): Unit = {
-    repairIfNeeded(spark, path)
+    repairWrite(spark, path)
     val cells = spark.read.parquet(s"$path/cells")
     val codebook = spark.read.parquet(s"$path/codebook")
     val g = allocateGen(spark, path)
@@ -331,7 +453,7 @@ object IvfIndex {
                nProbe: Int, topK: Int,
                maxBroadcastQueries: Long = 100000L,
                querySizeHint: Option[Long] = None): DataFrame = {
-    repairIfNeeded(spark, path)
+    repairRead(spark, path)
     val cells = spark.read.parquet(s"$path/cells")
     val codebook = spark.read.parquet(s"$path/codebook")
     val codes = spark.read.parquet(s"$path/codes")
@@ -387,11 +509,18 @@ object IvfIndex {
   //
   // Write ordering (crash safety): the upserted CODE rows land first,
   // the tombstones last. A crash between the two leaves the upserted
-  // ids temporarily DUPLICATED (old + new generation both live — the
-  // next successful batch, or a re-run of this one, supersedes both),
-  // never silently deleted, which is what the tombstones-first order
-  // risked (tombstones without their upserts convert the batch's
-  // upserts into deletes).
+  // ids temporarily DUPLICATED (old + new generation both live), never
+  // silently deleted, which is what the tombstones-first order risked
+  // (tombstones without their upserts convert the batch's upserts into
+  // deletes). The duplicate window is part of search's contract: until
+  // the crashed batch is RE-RUN (the re-run's higher-gen tombstones
+  // supersede both copies), a search can return the same neighbor_id
+  // at two ranks — stale and new vector. The window is detectable (the
+  // batch's `.cdc` intent file survives the crash, and maintenance
+  // refuses to run while one exists) and the remedy is always "re-run
+  // the batch"; search does not pay a per-query max-gen dedup exchange
+  // for a state that only a crash can produce and only until its
+  // documented repair.
   // ------------------------------------------------------------------
 
   /** Apply one CDC batch to the IVF-flat index at `path`. `changes`
@@ -405,14 +534,16 @@ object IvfIndex {
   def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
                    idCol: String, vecCol: String, seqCol: String,
                    opCol: String, deleteOp: String = "delete"): Unit = {
-    repairIfNeeded(spark, path)
+    repairWrite(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
     val g = allocateGen(spark, path)
-    val latest = latestPerKey(changes, idCol, vecCol, seqCol, opCol)
-    writeGen(assignGen(latest.filter(col("__op") =!= lit(deleteOp)),
-      "id", "__vec", centroids), s"$path/codes", g, "centroid_id")
-    latest.select(col("id"), lit(g).as("tomb_gen"))
-      .write.mode("append").parquet(s"$path/tombstones")
+    withCdcIntent(spark, path, g) {
+      val latest = latestPerKey(changes, idCol, vecCol, seqCol, opCol)
+      writeGen(assignGen(latest.filter(col("__op") =!= lit(deleteOp)),
+        "id", "__vec", centroids), s"$path/codes", g, "centroid_id")
+      latest.select(col("id"), lit(g).as("tomb_gen"))
+        .write.mode("append").parquet(s"$path/tombstones")
+    }
   }
 
   /** [[applyChanges]] for the PQ index: upserts encode against the
@@ -422,15 +553,39 @@ object IvfIndex {
                      idCol: String, vecCol: String, seqCol: String,
                      opCol: String, dim: Int, m: Int,
                      deleteOp: String = "delete"): Unit = {
-    repairIfNeeded(spark, path)
+    repairWrite(spark, path)
     val cells = spark.read.parquet(s"$path/cells")
     val codebook = spark.read.parquet(s"$path/codebook")
     val g = allocateGen(spark, path)
-    val latest = latestPerKey(changes, idCol, vecCol, seqCol, opCol)
-    writeGen(encodeGen(latest.filter(col("__op") =!= lit(deleteOp)),
-      "id", "__vec", cells, codebook, dim, m), s"$path/codes", g, "cell")
-    latest.select(col("id"), lit(g).as("tomb_gen"))
-      .write.mode("append").parquet(s"$path/tombstones")
+    withCdcIntent(spark, path, g) {
+      val latest = latestPerKey(changes, idCol, vecCol, seqCol, opCol)
+      writeGen(encodeGen(latest.filter(col("__op") =!= lit(deleteOp)),
+        "id", "__vec", cells, codebook, dim, m), s"$path/codes", g, "cell")
+      latest.select(col("id"), lit(g).as("tomb_gen"))
+        .write.mode("append").parquet(s"$path/tombstones")
+    }
+  }
+
+  /** Bracket a CDC batch with an in-flight intent file
+    * (`_gens/gen-G.cdc`): created before the batch's first table write,
+    * removed after its last. [[requireNoInflightWriters]] reads these —
+    * a CDC batch is TWO writes (codes, then tombstones), and the bare
+    * gen claim stops protecting it the moment the codes land (the claim
+    * is then at/below the persisted max), so maintenance needs a signal
+    * that spans the whole batch. A crash mid-batch leaves the intent
+    * behind ON PURPOSE: maintenance then fails loudly instead of
+    * folding a half-applied batch into a rebuild (the error names the
+    * file; re-run the batch — which supersedes the partial writes —
+    * then delete the stale intent). */
+  private def withCdcIntent(spark: SparkSession, path: String, g: Int)
+                           (body: => Unit): Unit = {
+    val fs = fsFor(spark, path)
+    val intent = new Path(s"$path/_gens", f"gen-$g%08d.cdc")
+    fs.create(intent, false).close()
+    body
+    // success path only: a thrown body is a crashed batch — keep the
+    // intent so maintenance stays blocked until the batch is re-run
+    fs.delete(intent, false): Unit
   }
 
   /** Latest change row per key ([[Snapshot.applyChangeLog]]'s max_by
@@ -484,48 +639,132 @@ object IvfIndex {
   // codes table.
   // ------------------------------------------------------------------
 
-  /** Detect and repair a half-finished maintenance swap (see the
-    * protocol above). Called by every public entry point — two
-    * existence probes on the no-op path. */
-  private def repairIfNeeded(spark: SparkSession, path: String): Unit = {
+  /** Read-path repair: complete a COMMITTED swap if one is pending,
+    * touch nothing else. One existence probe on the no-op path.
+    * Uncommitted staging (no marker) is a LIVE maintenance op's
+    * in-flight work — or a crashed one's orphan, swept by the next
+    * maintenance op under the lock — and a read path must never
+    * delete it (r16 advice: a reader racing a live rebuild used to
+    * discard its staging). */
+  private def repairRead(spark: SparkSession, path: String): Unit = {
     val fs = fsFor(spark, path)
-    val staged = new Path(s"$path/$StagedDir")
     val marker = new Path(s"$path/$StagedDir.commit")
-    if (fs.exists(marker)) completeSwap(fs, path, staged, marker)
-    else if (fs.exists(staged))
-      // uncommitted staging from a crashed maintenance op — the live
-      // tables were never touched; discard the orphan
-      fs.delete(staged, true): Unit
+    if (fs.exists(marker))
+      completeSwap(fs, path, new Path(s"$path/$StagedDir"), marker)
   }
 
-  /** Steps (2)–(3) of the swap protocol: mark, rename, clean. */
-  private def commitSwap(fs: FileSystem, path: String): Unit = {
+  /** Write-path gate + repair: fail loudly while a maintenance op
+    * holds the lock (class-doc contract — the gate that turns
+    * silent row loss into an error), then complete any committed
+    * swap a crashed-and-unlocked maintenance op left pending. */
+  private def repairWrite(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(spark, path)
+    requireNoMaintenanceLock(fs, path)
+    val marker = new Path(s"$path/$StagedDir.commit")
+    if (fs.exists(marker))
+      completeSwap(fs, path, new Path(s"$path/$StagedDir"), marker)
+  }
+
+  /** Abort maintenance while any append/CDC writer may be in flight:
+    * a bare gen claim above the persisted max is an append whose data
+    * has not landed (or a crashed one), a `.cdc` intent is a CDC batch
+    * between its codes and tombstone writes (or a crashed one) — a
+    * swap racing either would delete its rows (append) or strand its
+    * tombstones against a reset generation clock (CDC). Runs AFTER the
+    * lock is taken: any writer that starts later sees the lock
+    * (entry gate + [[allocateGen]]'s post-claim re-check) and aborts
+    * itself, so the scan-vs-claim race has no unsafe interleaving. */
+  private def requireNoInflightWriters(fs: FileSystem, spark: SparkSession,
+                                       path: String): Unit = {
+    val dir = new Path(s"$path/_gens")
+    if (!fs.exists(dir)) return
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    val intents = names.filter(_.endsWith(".cdc")).sorted
+    if (intents.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot run maintenance on $path: in-flight (or crashed) CDC " +
+          s"batch intents present under _gens/: ${intents.mkString(", ")}. " +
+          "Wait for live batches; for a crashed batch, re-run it (the " +
+          "re-run supersedes its partial writes), then delete the stale " +
+          "intent file.")
+    val persisted = persistedGenMax(spark, path)
+    val open = names.filter(n => claimGen(n).exists(_ > persisted)).sorted
+    if (open.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot run maintenance on $path: gen claims with no persisted " +
+          s"data under _gens/: ${open.mkString(", ")} — an append is in " +
+          "flight (wait for it) or crashed (its claim is safe to delete " +
+          "after confirming the writer is dead).")
+  }
+
+  /** Steps (2)–(3) of the swap protocol: verify the staged tables the
+    * caller promised are actually present, then mark and complete.
+    * Verifying BEFORE the marker is what makes completeSwap's
+    * post-marker cleanup unconditional-and-correct: a marker can never
+    * commit a half-staged swap (r16 advice — e.g. new codes paired
+    * with old centroids), so once it exists, renaming everything under
+    * `__staged/` and clearing tombstones + gen claims is always the
+    * right completion, no matter how many times it is re-run. */
+  private def commitSwap(fs: FileSystem, path: String,
+                         expected: Seq[String]): Unit = {
     val staged = new Path(s"$path/$StagedDir")
     val marker = new Path(s"$path/$StagedDir.commit")
+    val missing = expected.filterNot(c => fs.exists(new Path(staged, c)))
+    if (missing.nonEmpty)
+      throw new java.io.IOException(
+        s"refusing to commit maintenance swap at $path: staged tables " +
+          s"missing ${missing.mkString(", ")} — the staging write did " +
+          "not complete; the live index is untouched.")
     fs.create(marker, false).close()
     completeSwap(fs, path, staged, marker)
   }
 
   /** Step (3): idempotent completion — safe to re-run after a crash at
-    * any point (repair path). */
+    * any point, and tolerant of CONCURRENT completers (a reader that
+    * saw the marker races the maintenance writer's own completion; on
+    * a crashed post-marker swap, several readers may race each other).
+    * Rename-first protocol: the live twin moves to a `__staged.old/`
+    * trash dir before the staged table moves in — at no point does a
+    * failed racer leave the destination DELETED (the old delete-then-
+    * rename form let a slow racer delete the table its faster twin had
+    * just renamed in). In-JVM racers are fully serialized by the
+    * per-path lock; cross-JVM racers rely on rename atomicity only. */
   private def completeSwap(fs: FileSystem, path: String,
-                           staged: Path, marker: Path): Unit = {
-    if (fs.exists(staged)) {
-      for (st <- fs.listStatus(staged)) {
-        val dst = new Path(path, st.getPath.getName)
-        fs.delete(dst, true)
-        if (!fs.rename(st.getPath, dst))
-          throw new java.io.IOException(s"maintenance swap failed for $dst")
+                           staged: Path, marker: Path): Unit =
+    lockFor(s"$path#swap").synchronized {
+      if (!fs.exists(marker)) return // a racer finished the whole swap
+      val trash = new Path(s"$path/$StagedDir.old")
+      if (fs.exists(staged)) {
+        fs.mkdirs(trash)
+        for (st <- fs.listStatus(staged)) {
+          val name = st.getPath.getName
+          val dst = new Path(path, name)
+          val old = new Path(trash, name)
+          if (fs.exists(dst)) {
+            // a stale trash twin from a crashed prior attempt blocks
+            // the rename — clear it first
+            fs.delete(old, true)
+            if (!fs.rename(dst, old) && fs.exists(dst))
+              throw new java.io.IOException(
+                s"maintenance swap at $path: cannot move live $name aside")
+          }
+          if (!fs.rename(st.getPath, dst) &&
+              !(fs.exists(dst) && !fs.exists(st.getPath)))
+            throw new java.io.IOException(
+              s"maintenance swap failed for $dst")
+        }
       }
+      // the staged tables folded tombstones in (compact) or reset the
+      // generation clock (rebuild) — both invalidate the old
+      // tombstones and gen claims. The commit-time verification above
+      // makes this unconditional cleanup correct whenever the marker
+      // exists, including re-runs that renamed nothing.
+      fs.delete(trash, true)
+      fs.delete(new Path(s"$path/tombstones"), true)
+      fs.delete(new Path(s"$path/_gens"), true)
+      fs.delete(staged, true)
+      fs.delete(marker, true): Unit
     }
-    // the staged tables folded tombstones in (compact) or reset the
-    // generation clock (rebuild) — both invalidate the old tombstones
-    // and gen claims; the allocator re-seeds from the persisted max
-    fs.delete(new Path(s"$path/tombstones"), true)
-    fs.delete(new Path(s"$path/_gens"), true)
-    fs.delete(staged, true)
-    fs.delete(marker, true): Unit
-  }
 
   /** Retrain the IVF-flat index IN PLACE from its own live rows — the
     * lifecycle step [[driftReport]]'s `retrain` flag asks for: the
@@ -541,13 +780,22 @@ object IvfIndex {
     * concurrency contract). */
   def rebuild(spark: SparkSession, path: String, nCells: Int,
               kmeansIterations: Int = 0): Unit = {
-    repairIfNeeded(spark, path)
-    val live = dropTombstoned(spark, path, spark.read.parquet(s"$path/codes"))
-      .select(col("id"), col("vec"))
-    // build reads $path/codes (via `live`) WHILE writing to the staged
-    // sibling — no self-overwrite; the swap is rename-only
-    build(live, "id", "vec", s"$path/$StagedDir", nCells, kmeansIterations)
-    commitSwap(fsFor(spark, path), path)
+    val fs = fsFor(spark, path)
+    acquireMaintenanceLock(fs, path)
+    try {
+      // under the lock: finish a committed swap a crashed predecessor
+      // left, sweep its uncommitted staging, and refuse to race any
+      // writer that got in before the lock
+      repairRead(spark, path)
+      fs.delete(new Path(s"$path/$StagedDir"), true)
+      requireNoInflightWriters(fs, spark, path)
+      val live = dropTombstoned(spark, path, spark.read.parquet(s"$path/codes"))
+        .select(col("id"), col("vec"))
+      // build reads $path/codes (via `live`) WHILE writing to the staged
+      // sibling — no self-overwrite; the swap is rename-only
+      build(live, "id", "vec", s"$path/$StagedDir", nCells, kmeansIterations)
+      commitSwap(fs, path, expected = Seq("centroids", "codes"))
+    } finally releaseMaintenanceLock(spark, path)
   }
 
   /** Fold tombstones into the code files: rewrite `codes/` keeping
@@ -558,19 +806,25 @@ object IvfIndex {
     * "cell" for the PQ index. Requires exclusive access. */
   def compact(spark: SparkSession, path: String,
               cellCol: String = "centroid_id"): Unit = {
-    repairIfNeeded(spark, path)
-    tombstonesOpt(spark, path) match {
-      case None => ()
-      case Some(t) =>
-        val latest = t.groupBy("id").agg(max("tomb_gen").as("__tg"))
-        val live = spark.read.parquet(s"$path/codes")
-          .join(broadcast(latest), Seq("id"), "left")
-          .filter(col("__tg").isNull || col("gen") >= col("__tg"))
-          .drop("__tg")
-        live.write.mode("overwrite").partitionBy("gen", cellCol)
-          .parquet(s"$path/$StagedDir/codes")
-        commitSwap(fsFor(spark, path), path)
-    }
+    val fs = fsFor(spark, path)
+    acquireMaintenanceLock(fs, path)
+    try {
+      repairRead(spark, path)
+      fs.delete(new Path(s"$path/$StagedDir"), true)
+      requireNoInflightWriters(fs, spark, path)
+      tombstonesOpt(spark, path) match {
+        case None => ()
+        case Some(t) =>
+          val latest = t.groupBy("id").agg(max("tomb_gen").as("__tg"))
+          val live = spark.read.parquet(s"$path/codes")
+            .join(broadcast(latest), Seq("id"), "left")
+            .filter(col("__tg").isNull || col("gen") >= col("__tg"))
+            .drop("__tg")
+          live.write.mode("overwrite").partitionBy("gen", cellCol)
+            .parquet(s"$path/$StagedDir/codes")
+          commitSwap(fs, path, expected = Seq("codes"))
+      }
+    } finally releaseMaintenanceLock(spark, path)
   }
 
   /** Per-cell drift of the admitted generations against the build:
@@ -584,7 +838,7 @@ object IvfIndex {
                   threshold: Double = 0.2,
                   cellCol: String = "centroid_id",
                   cellsDir: String = "centroids"): DataFrame = {
-    repairIfNeeded(spark, path)
+    repairRead(spark, path)
     val k = spark.read.parquet(s"$path/$cellsDir").count()
     val counted = spark.read.parquet(s"$path/codes")
       .withColumnRenamed(cellCol, "centroid_id")

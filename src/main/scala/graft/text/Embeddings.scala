@@ -290,8 +290,18 @@ object Vectorize {
     val toks = df.select(col(idCol).as("__id"),
         posexplode(slice(Tokenize.tokens(col(textCol)), 1, maxTokens))
           .as(Seq("__pos", "__tok")))
+    // fail-fast on a mis-sized vocabulary vector (the fromDataFrame
+    // maxWords discipline): without this, a wrong-length row makes the
+    // zero-pad arithmetic below silently produce a wrong-length output
+    // vector (maxTokens·dim − size(__cat) goes negative → empty pad)
     val vecs = vectors.select(col(wordCol).cast("string").as("__tok"),
-      transform(col(vecCol), _.cast("double")).as("__v"))
+      when(size(col(vecCol)) === dim,
+          transform(col(vecCol), _.cast("double")))
+        .otherwise(raise_error(concat(
+          lit(s"vectorizeJoin: vocabulary vector for word '"),
+          col(wordCol).cast("string"),
+          lit(s"' has length "), size(col(vecCol)).cast("string"),
+          lit(s", expected dim=$dim")))).as("__v"))
     val assembled = toks.join(vecs, Seq("__tok"), "left")
       .select(col("__id"), col("__pos"),
         coalesce(col("__v"), hashVec(col("__tok"))).as("__v"))

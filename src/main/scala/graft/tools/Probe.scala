@@ -86,6 +86,32 @@ object Probe {
     })
   }
 
+  /** Append one probe measurement to PROBE_LOG.jsonl (cwd, committed
+    * alongside BENCH_LOG.jsonl). Every Probe TIMING result lands here
+    * — the r16 sf10 table was quoted in SURVEY prose with no logged
+    * row behind it; from r17 on a scale claim without a PROBE_LOG line
+    * does not exist. Best-effort: a read-only cwd must not fail the
+    * probe itself. Fields: ts, sha (src/main/scala TREE hash, the
+    * bench pooling key), probe (the subcommand), sf (the dir the
+    * sample ran against), q, run, sec + free-form extras. */
+  private def probeLog(probe: String, sf: String, q: String, run: Int,
+                       sec: Double, extra: (String, String)*): Unit = try {
+    val sha = try {
+      val base = scala.sys.process.Process(
+        Seq("git", "rev-parse", "--short", "HEAD:src/main/scala")).!!.trim
+      val dirty = scala.sys.process.Process(
+        Seq("git", "status", "--porcelain", "src/main/scala")).!!.trim.nonEmpty
+      if (dirty) s"$base-dirty" else base
+    } catch { case _: Throwable => "unknown" }
+    val extras = extra.map { case (k, v) => s""","$k":$v""" }.mkString
+    java.nio.file.Files.write(java.nio.file.Paths.get("PROBE_LOG.jsonl"),
+      (f"""{"ts":"${java.time.Instant.now()}","sha":"$sha",""" +
+        f""""probe":"$probe","sf":"$sf","q":"$q","run":$run,""" +
+        f""""sec":$sec%.3f$extras}""" + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND): Unit
+  } catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = args.drop(1)
@@ -1399,7 +1425,9 @@ object Probe {
         // next sample with GC pressure
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        println(f"TIME $q run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val dt = (System.nanoTime() - t0) / 1e9
+        probeLog("time", sfDir, q, i, dt)
+        println(f"TIME $q run$i: $dt%.2f s")
       }
     }
     // r11 verdict #2: materialize an sf1 tree (10x sf0.1) for the
@@ -1529,6 +1557,10 @@ object Probe {
         val (t01, b01) = rows(0); val (t1, b1) = rows(1)
         // "lo" = args(0)'s tree, "hi" = SPARK_GRAFT_SF1_DIR — the probe
         // compares ANY adjacent decade pair (sf0.1→sf1, sf1→sf10)
+        probeLog("sf1-scalelaw", sfDir, name, 1, t01,
+          "shuffle_mb" -> f"${b01 / 1e6}%.1f")
+        probeLog("sf1-scalelaw", sf1, name, 1, t1,
+          "shuffle_mb" -> f"${b1 / 1e6}%.1f")
         println(f"SF1-SCALELAW $name%-28s lo $t01%7.2f s ${b01 / 1e6}%9.1f MB" +
           f" | hi $t1%7.2f s ${b1 / 1e6}%9.1f MB | wall x${t1 / math.max(0.01, t01)}%.1f" +
           f" bytes x${b1.toDouble / math.max(1L, b01)}%.1f")

@@ -281,21 +281,118 @@ class IvfIndexSpec extends SparkSpec {
     assert(gens.distinct.size === 8)
   }
 
-  test("crash repair: an uncommitted staged dir is discarded, the live index untouched") {
+  test("crash repair: readers IGNORE an uncommitted staged dir (a live rebuild's " +
+    "in-flight staging is never a reader's to delete); maintenance sweeps it") {
     val path = tmpPath("crash1")
     IvfIndex.build(corpus, "id", "v", path, nCells = 4)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
         math.round(r.getDouble(3) * 1e9))).toSet
     val before = rows(IvfIndex.search(spark, path, queries, "id", "v", k = 5, nprobe = 2))
-    // a maintenance op crashed AFTER staging but BEFORE the commit
-    // marker: garbage under __staged, no marker
+    // either a maintenance op crashed AFTER staging but BEFORE the
+    // commit marker, or a LIVE one is mid-staging: garbage under
+    // __staged, no marker — indistinguishable to a reader, so the
+    // read path must neither fail nor touch it (r16 advice: the old
+    // read-path repair deleted a live rebuild's staging)
     val staged = new java.io.File(s"$path/__staged/codes")
     staged.mkdirs()
     java.nio.file.Files.write(staged.toPath.resolve("junk"), Array[Byte](1, 2, 3))
     val after = rows(IvfIndex.search(spark, path, queries, "id", "v", k = 5, nprobe = 2))
     assert(after === before)
+    assert(new java.io.File(s"$path/__staged/codes/junk").exists(),
+      "read path must leave uncommitted staging alone")
+    // the next maintenance op owns the staging dir (it holds the lock)
+    // and sweeps the orphan before staging its own work
+    IvfIndex.rebuild(spark, path, nCells = 4)
     assert(!new java.io.File(s"$path/__staged").exists())
+    assert(rows(IvfIndex.search(spark, path, queries, "id", "v", k = 5, nprobe = 2))
+      === before)
+  }
+
+  test("maintenance exclusivity: writers fail loudly under _maintenance.lock; " +
+    "releaseMaintenanceLock recovers; rebuild releases its own lock") {
+    val path = tmpPath("lock")
+    IvfIndex.build(corpus.filter(col("id") < 20), "id", "v", path, nCells = 4)
+    // a maintenance op holds the lock (live, or crashed without release)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$path/_maintenance.lock"))
+    val shard = corpus.filter(col("id") >= 20)
+    val e1 = intercept[IllegalStateException] {
+      IvfIndex.append(spark, path, shard, "id", "v")
+    }
+    assert(e1.getMessage.contains("_maintenance.lock"))
+    val e2 = intercept[IllegalStateException] {
+      IvfIndex.applyChanges(spark, path,
+        Seq((5L, Array.empty[Float], 1L, "delete")).toDF("id", "v", "seq", "op"),
+        "id", "v", "seq", "op")
+    }
+    assert(e2.getMessage.contains("_maintenance.lock"))
+    // a second maintenance op must refuse too (single maintenance writer)
+    val e3 = intercept[IllegalStateException] {
+      IvfIndex.rebuild(spark, path, nCells = 4)
+    }
+    assert(e3.getMessage.contains("releaseMaintenanceLock"))
+    // operator confirms the holder is dead → release → writers flow again
+    IvfIndex.releaseMaintenanceLock(spark, path)
+    IvfIndex.append(spark, path, shard, "id", "v")
+    assert(spark.read.parquet(s"$path/codes").count() === 40)
+    // a maintenance op releases its own lock on the way out
+    IvfIndex.rebuild(spark, path, nCells = 4)
+    assert(!new java.io.File(s"$path/_maintenance.lock").exists())
+    IvfIndex.append(spark, path,
+      queries.select(col("id") + 1000L as "id", col("v")), "id", "v")
+    assert(spark.read.parquet(s"$path/codes").count() === 42)
+  }
+
+  test("maintenance refuses while a writer may be in flight: open gen claims " +
+    "and crashed CDC intents both block, loudly") {
+    val path = tmpPath("inflight")
+    IvfIndex.build(corpus.filter(col("id") < 20), "id", "v", path, nCells = 4)
+    IvfIndex.append(spark, path, corpus.filter(col("id") >= 20), "id", "v")
+    // an append claimed gen 99 but its data has not landed — in flight
+    // or crashed; rebuild cannot tell, so it must not proceed
+    val openClaim = java.nio.file.Paths.get(s"$path/_gens/gen-00000099")
+    java.nio.file.Files.createFile(openClaim)
+    val e1 = intercept[IllegalStateException] {
+      IvfIndex.rebuild(spark, path, nCells = 4)
+    }
+    assert(e1.getMessage.contains("gen-00000099"))
+    assert(!new java.io.File(s"$path/_maintenance.lock").exists(),
+      "a refused maintenance op must not leave its lock behind")
+    java.nio.file.Files.delete(openClaim)
+    // a CDC batch crashed between its codes and tombstone writes: the
+    // intent survives and blocks maintenance until the batch is re-run
+    val intent = java.nio.file.Paths.get(s"$path/_gens/gen-00000003.cdc")
+    java.nio.file.Files.createFile(intent)
+    val e2 = intercept[IllegalStateException] {
+      IvfIndex.compact(spark, path)
+    }
+    assert(e2.getMessage.contains("gen-00000003.cdc"))
+    java.nio.file.Files.delete(intent)
+    IvfIndex.rebuild(spark, path, nCells = 4)
+    assert(spark.read.parquet(s"$path/codes").count() === 40)
+  }
+
+  test("gen-claim housekeeping: claims at/below the persisted max are pruned " +
+    "by the next allocation; CDC intents are never pruned") {
+    val path = tmpPath("prune")
+    IvfIndex.build(corpus.filter(col("id") < 20), "id", "v", path, nCells = 4)
+    IvfIndex.append(spark, path,
+      corpus.filter(col("id") >= 20 && col("id") < 30), "id", "v")
+    IvfIndex.append(spark, path, corpus.filter(col("id") >= 30), "id", "v")
+    def gens() = new java.io.File(s"$path/_gens").listFiles()
+      .map(_.getName).filter(_.startsWith("gen-")).sorted.toSeq
+    // append #2's allocation already pruned claim gen-1 (its data had
+    // landed — persisted max was 1 at that point); gen-2's claim is
+    // the newest and survives until the next allocation
+    assert(gens() === Seq("gen-00000002"))
+    // a stale intent must survive pruning — it is the in-flight signal
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$path/_gens/gen-00000001.cdc"))
+    IvfIndex.append(spark, path,
+      queries.select(col("id") + 2000L as "id", col("v")), "id", "v")
+    assert(gens() === Seq("gen-00000001.cdc", "gen-00000003"),
+      "landed claims pruned, intent kept, new claim present")
   }
 
   test("crash repair: a committed swap is completed on the next open — " +

@@ -118,6 +118,24 @@ class VecFormatSpec extends SparkSpec {
     assert(viaJoin(4L).forall(_ === 0.0))
   }
 
+  test("vectorizeJoin fails fast on a mis-sized vocabulary vector (never a " +
+    "silently wrong-length output)") {
+    import spark.implicits._
+    val dim = 3; val maxTokens = 2; val seed = 7L
+    val vecs = Seq(
+      ("alpha", Array(1.0, 2.0, 3.0)),
+      ("bad", Array(4.0, 5.0))).toDF("word", "vector") // length 2 ≠ dim 3
+    val docs = Seq((1L, "alpha bad")).toDF("id", "text")
+    val e = intercept[Exception] {
+      Vectorize.vectorizeJoin(docs, "id", "text",
+        vecs, "word", "vector", maxTokens, dim, seed, "v").collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("bad") && m.contains("expected dim=3")),
+      s"wanted the raise_error message, got: ${msgs(e)}")
+  }
+
   test("SubwordEmbedder: in-vocab unchanged; OOV = mean of char n-gram vectors") {
     val base = EmbeddingModel(dim = 3, seed = 11L,
       table = Map("word" -> Array(1.0, 1.0, 1.0)))
