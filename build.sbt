@@ -32,6 +32,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // Panama Vector API (incubator module, present in every JDK 17+
+  // image but not resolved by default): the SIMD covariance kernel
+  // (graft.text.SimdTriangle) needs it at RUNTIME; without the flag
+  // SimdSupport detects the absence and the bit-identical scalar
+  // kernel runs instead. On a cluster the flag must also reach
+  // executors (spark.executor.extraJavaOptions).
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 24g default: the 32-thread bench session accumulates broadcasts /

@@ -8,6 +8,10 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# --add-modules: Panama Vector API for the SIMD covariance kernel
+# (graft.text.SimdTriangle); absent the flag, the bit-identical scalar
+# kernel runs — same answers, lower throughput.
 JVM_FLAGS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  --add-modules=jdk.incubator.vector \
   -Xmx${SPARK_DRIVER_MEM:-24g} -XX:ReservedCodeCacheSize=2g"
 CP="target/scala-2.13/classes:/opt/spark/jars/*"

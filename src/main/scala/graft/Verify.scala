@@ -59,6 +59,25 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Provenance stamp (r16 verdict #3): the effective state-store
+    // provider (and friends) ride WITH the correctness dump, so a
+    // "15/15 streaming rows green under rocksdb" claim is carried by
+    // the artifact itself, not by prose around it. The driver ignores
+    // extra files; our own receipts (PLANS.md, committed rocksdb
+    // sweeps) quote this file.
+    val sha = try {
+      val base = scala.sys.process.Process(
+        Seq("git", "rev-parse", "--short", "HEAD:src/main/scala")).!!.trim
+      val dirty = scala.sys.process.Process(
+        Seq("git", "status", "--porcelain", "src/main/scala")).!!.trim.nonEmpty
+      if (dirty) s"$base-dirty" else base
+    } catch { case _: Throwable => "unknown" }
+    Files.writeString(Paths.get(s"$outDir/verify_env.json"),
+      s"""{"ts":"${java.time.Instant.now()}","sha":"$sha",""" +
+        s""""sf":${q(sfDir)},""" +
+        s""""state_store":"${graft.streaming.StateStores.tag}",""" +
+        s""""stream_sink":"driver",""" +
+        s""""simd":${graft.text.SimdSupport.available}}""")
     spark.stop()
   }
 }

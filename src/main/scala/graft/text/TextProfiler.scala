@@ -46,71 +46,40 @@ object TextProfiler {
     }
     /** Packed Σxxᵀ value at (i, j) for i <= j. */
     def xxtAt(i: Int, j: Int): Double = xxt(off(i) + j - i)
-    def add(x: Array[Double]): Acc = {
-      alloc()
-      n += 1
-      var i = 0
-      while (i < d) {
-        val v = x(i); val v2 = v * v
-        s1(i) += v; s2(i) += v2; s3(i) += v2 * v; s4(i) += v2 * v2
-        var j = i
-        val base = off(i) - i
-        while (j < d) { xxt(base + j) += v * x(j); j += 1 }
-        i += 1
-      }
-      this
-    }
-    /** Rank-k Σxxᵀ update over `m` rows stored COLUMN-major in `buf`
-      * (dimension i's samples at [i·stride, i·stride+m)). A per-row
-      * rank-1 update is memory-bound — it streams the whole d²/2-cell
-      * triangle through DRAM for EVERY row (41 MB × rows at d=3200, the
-      * measured wall-time dominator of the wide profile). Summing a
+    /** Rank-k Σxxᵀ update over `m` rows stored ROW-major in `buf`
+      * (row r at [r·d, r·d+d)). A per-row rank-1 update is
+      * memory-bound — it streams the whole d²/2-cell triangle through
+      * DRAM for EVERY row (41 MB × rows at d=3200, the measured
+      * wall-time dominator of the wide profile); summing a
       * cache-resident row block per triangle cell streams the triangle
-      * once per m rows; the column-major layout makes the per-cell
-      * reduction two CONTIGUOUS m-element runs (the row-major variant's
-      * d-strided loads were latency-bound and slower than rank-1). */
-    def addBatch(buf: Array[Double], m: Int, stride: Int): Acc = {
+      * once per m rows. The triangle kernel dispatches per JVM:
+      * [[SimdTriangle]] (Panama vector lanes across j — the row-major
+      * layout is what makes the b-side loads and the packed-xxt
+      * read-modify-write contiguous vector ops) when the incubator
+      * module is resolvable, [[ScalarTriangle]] otherwise —
+      * BIT-IDENTICAL by construction (the canonical per-cell chain
+      * order is documented on ScalarTriangle), so the flag is pure
+      * throughput and a mixed cluster still yields one answer. */
+    def addBatch(buf: Array[Double], m: Int): Acc = {
       if (m == 0) return this
       alloc()
       n += m
-      var i = 0
-      while (i < d) {
-        val ib = i * stride
-        var r = 0
-        while (r < m) {
-          val v = buf(ib + r); val v2 = v * v
+      // per-dim moment sums, row-outer (contiguous reads in the
+      // row-major layout); each s*(i) still accumulates rows in
+      // ascending r — the same order as every previous layout
+      var r = 0
+      while (r < m) {
+        val ro = r * d
+        var i = 0
+        while (i < d) {
+          val v = buf(ro + i); val v2 = v * v
           s1(i) += v; s2(i) += v2; s3(i) += v2 * v; s4(i) += v2 * v2
-          r += 1
+          i += 1
         }
-        i += 1
+        r += 1
       }
-      i = 0
-      while (i < d) {
-        val ib = i * stride
-        var j = i
-        val base = off(i) - i
-        while (j < d) {
-          val jb = j * stride
-          // 4 independent accumulators: a single `s +=` chain is bound
-          // by FMA latency (FP reductions are not reassociated by the
-          // JIT); splitting the chain quadruples throughput
-          var s0 = 0.0; var s1x = 0.0; var s2x = 0.0; var s3x = 0.0
-          var r = 0
-          val m4 = m - 3
-          while (r < m4) {
-            s0 += buf(ib + r) * buf(jb + r)
-            s1x += buf(ib + r + 1) * buf(jb + r + 1)
-            s2x += buf(ib + r + 2) * buf(jb + r + 2)
-            s3x += buf(ib + r + 3) * buf(jb + r + 3)
-            r += 4
-          }
-          var s = s0 + s1x + s2x + s3x
-          while (r < m) { s += buf(ib + r) * buf(jb + r); r += 1 }
-          xxt(base + j) += s
-          j += 1
-        }
-        i += 1
-      }
+      if (SimdSupport.available) SimdTriangle.update(xxt, buf, m, d)
+      else ScalarTriangle.update(xxt, buf, m, d)
       this
     }
     def merge(o: Acc): Acc =
@@ -322,12 +291,11 @@ object TextProfiler {
         var nb = 0
         it.foreach { r =>
           val x = Vectorize.vectorizeLocal(cached, maxTokens)(r.getString(0))
-          var i = 0
-          while (i < d) { buf(i * blockRows + nb) = x(i); i += 1 }
+          System.arraycopy(x, 0, buf, nb * d, d)
           nb += 1
-          if (nb == blockRows) { a.addBatch(buf, nb, blockRows); nb = 0 }
+          if (nb == blockRows) { a.addBatch(buf, nb); nb = 0 }
         }
-        a.addBatch(buf, nb, blockRows)
+        a.addBatch(buf, nb)
         Iterator.single(a)
       }
       .treeAggregate(new Acc(d))((a, b) => a.merge(b), (a, b) => a.merge(b))
