@@ -1430,6 +1430,47 @@ object Probe {
         println(f"TIME $q run$i: $dt%.2f s")
       }
     }
+    // r16 verdict #6: state-at-scale A/B — where does RocksDB's
+    // disk-bounded state store beat the in-heap HDFS map? The sf0.1
+    // streaming A/B answered only the SMALL-state regime (RocksDB
+    // loses: per-trigger fixed costs dominate and the map fits in
+    // heap). This probe is the big-state regime the 100 TB admission
+    // pipeline actually lives in: a streaming dedup whose state grows
+    // with the CORPUS (one fingerprint per document ever admitted),
+    // not with the batch. `stream-state:N` runs a micro-batched
+    // dropDuplicates over N distinct long fingerprints (4 batches,
+    // 20% of each batch re-probing the previous batch's keys so state
+    // is read, not only written) under the CURRENT provider — run it
+    // once per GRAFT_STATE_STORE value and diff the walls. Wall +
+    // provider land in PROBE_LOG.jsonl.
+    names.filter(_.startsWith("stream-state:")).foreach { n =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{count => fcount, lit => flit}
+      val nKeys = n.stripPrefix("stream-state:").toInt
+      val nBatches = 4
+      val per = nKeys / nBatches
+      val batches = (0 until nBatches).map { b =>
+        val fresh = (0 until per).map(i => Tuple1(b.toLong * per + i))
+        val reprobe = if (b == 0) Seq.empty[Tuple1[Long]]
+          else (0 until per / 5).map(i => Tuple1((b - 1).toLong * per + i))
+        fresh ++ reprobe
+      }
+      val store = graft.streaming.StateStores.tag
+      val t0 = System.nanoTime()
+      val out = graft.SparkEntry.runMicroBatched(spark, Seq("id"), batches,
+        s"graft-state-ab-$store-$nKeys", Seq("n"),
+        org.apache.spark.sql.streaming.OutputMode.Update()) { stream =>
+        stream.dropDuplicates("id").groupBy().agg(fcount(flit(1)).as("n"))
+      }
+      val finalN = out.collect().map(_.getLong(0)).max
+      val dt = (System.nanoTime() - t0) / 1e9
+      probeLog("stream-state", sfDir, s"dedup$nKeys", 1, dt,
+        "state_store" -> s""""$store"""", "n_keys" -> nKeys.toString,
+        "final_distinct" -> finalN.toString)
+      println(f"STREAM-STATE store=$store keys=$nKeys wall=$dt%.2f s " +
+        s"final_distinct=$finalN")
+    }
+
     // r11 verdict #2: materialize an sf1 tree (10x sf0.1) for the
     // scale-law run. documents/embeddings grow CONTENT-disjoint (the
     // shared rotation generators); lineitem copies shift every key
