@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Mergeable data sketches for corpus-scale statistics — the summaries
@@ -34,6 +34,25 @@ object Sketch {
     * decodable digit-by-digit in the oracle. */
   private val FracBits = 48
   private val FracDenom = math.pow(2.0, FracBits) // 2^48, exact
+
+  /** Allocation-free `conv(substring(h, pos, len), 16, 10)` — same
+    * value on the md5-hex domain, decoded in place by the native
+    * [[graft.expressions.RadixSliceLong]] kernel (r17: the two conv
+    * chains of the HLL register scan cost more than the md5 itself). */
+  private def hexSliceLong(c: Column, pos: Int, len: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.RadixSliceLong(
+      GraftColumnBridge.expression(c), pos, len, 16))
+  }
+
+  /** `49 − bit_length(w)` — the HLL rank, replacing the per-row
+    * `bin()`+regex render with one LZCNT ([[graft.expressions.BitLength64]];
+    * bit-equal, see that kernel's doc). */
+  private def hllRank(w: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    lit(49) - GraftColumnBridge.column(graft.expressions.BitLength64(
+      GraftColumnBridge.expression(w)))
+  }
 
   /** KMV distinct-count sketches for `colNames` of `df`, all built in
     * ONE scan. Output, one row per column:
@@ -176,8 +195,7 @@ object Sketch {
       .withColumn("bucket", shiftrightunsigned(col("h64"), 56).cast("int"))
       .withColumn("w", shiftrightunsigned(col("h64"), 8)
         .bitwiseAND(lit((1L << 48) - 1)))
-      .withColumn("rank",
-        lit(49) - length(regexp_replace(bin(col("w")), "^0+", "")))
+      .withColumn("rank", hllRank(col("w")))
       .groupBy(col("col_name"), col("bucket")).agg(max(col("rank")).as("mrank"))
     hllEstimate(regs, Seq("col_name")).withColumnRenamed("__m", "m")
   }
@@ -188,9 +206,14 @@ object Sketch {
     * register tables by a further max — the HLL union). */
   def hllRegisters(pairs: DataFrame, keyCols: Seq[String]): DataFrame =
     pairs
-      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
-      .withColumn("w", conv(substring(col("h"), 3, 12), 16, 10).cast("long"))
-      .withColumn("rank", lit(49) - length(regexp_replace(bin(col("w")), "^0+", "")))
+      // ONE 14-hex-digit decode (56 bits, exact in a long), split by
+      // shift/mask: bucket = top 8 bits, w = the next 48 — identical
+      // values to the former two conv(substring) chains at a fraction
+      // of the per-row cost (no string slice, render, or re-parse)
+      .withColumn("__v", hexSliceLong(col("h"), 1, 14))
+      .withColumn("bucket", shiftright(col("__v"), 48).cast("int"))
+      .withColumn("w", col("__v").bitwiseAND(lit((1L << 48) - 1)))
+      .withColumn("rank", hllRank(col("w")))
       .groupBy((keyCols :+ "bucket").map(col): _*).agg(max(col("rank")).as("mrank"))
 
   /** Estimate from an HLL register table: the exact-integer Z
