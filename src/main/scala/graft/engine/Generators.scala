@@ -109,8 +109,9 @@ object Generators {
     /** Uniform in (0,1) on the 2^-28 grid, center-offset: first 7 hex
       * digits of md5("tag#id#k#j") → (v + 0.5) / 2^28. */
     def uniform(tag: String, id: Column, k: Int, j: Int = 0): Column =
-      (conv(substring(md5(concat(lit(s"$tag#"), id.cast(StringType),
-        lit(s"#$k#$j")).cast(BinaryType)), 1, 7), 16, 10).cast(DoubleType)
+      (graft.expressions.Kernels.hexSliceLong(
+        md5(concat(lit(s"$tag#"), id.cast(StringType),
+          lit(s"#$k#$j")).cast(BinaryType)), 1, 7).cast(DoubleType)
         + lit(0.5)) / lit(268435456.0)
 
     /** Irwin–Hall(12) pseudo-normal: exact-dyadic uniform sum, 33

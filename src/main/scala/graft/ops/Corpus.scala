@@ -1358,9 +1358,9 @@ object Corpus {
       s"fimRate must be in [0,1], got $fimRate")
     val gateLimit = math.floor(fimRate * 65536.0).toLong
     val text = col(textCol).cast("string")
-    val gate = conv(substring(md5(concat(lit(seed),
-      col(idCol).cast("string")).cast("binary")), 1, 4), 16, 10)
-      .cast("long") < gateLimit
+    val gate = graft.expressions.Kernels.hexSliceLong(
+      md5(concat(lit(seed), col(idCol).cast("string")).cast("binary")),
+      1, 4) < gateLimit
     val ht = md5(text.cast("binary"))
     val len = length(text)
     // 48-bit cut draws (12 hex digits, the FracBits width): a 16-bit
@@ -1368,8 +1368,8 @@ object Corpus {
     // and carries large modulo bias near that length; at 48 bits the
     // bias is ≤ len/2^48 and cuts reach any position of any realistic
     // document
-    val a = conv(substring(ht, 1, 12), 16, 10).cast("long") % (len + 1)
-    val b = conv(substring(ht, 13, 12), 16, 10).cast("long") % (len + 1)
+    val a = graft.expressions.Kernels.hexSliceLong(ht, 1, 12) % (len + 1)
+    val b = graft.expressions.Kernels.hexSliceLong(ht, 13, 12) % (len + 1)
     val i = least(a, b)
     val j = greatest(a, b)
     val psm = concat(lit("<PRE>"), text.substr(lit(1), i),

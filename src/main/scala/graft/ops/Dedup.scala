@@ -700,14 +700,13 @@ object Dedup {
     keepRepresentatives(fresh, idCol, pairs, ccRounds)
   }
 
-  /** MSB-first '0'/'1' string (≤ 64 chars) → signed 64-bit word.
-    * conv(_, 2, 10) yields an unsigned decimal string, which overflows
-    * a signed cast once bit 0 is set at 64 bits — so words wider than
-    * 32 bits assemble from two 32-bit halves. */
+  /** MSB-first '0'/'1' string (≤ 64 chars) → signed 64-bit word, via
+    * the native in-place decode ([[graft.expressions.RadixSliceLong]]):
+    * the fold's natural wrap into the sign bit at 64 chars IS the
+    * two's-complement word the pre-r17 form assembled from two 32-bit
+    * conv halves (value parity pinned in RadixSliceLongSpec). */
   private def bitsToLong(bits: Column, width: Int): Column =
-    if (width <= 32) conv(bits, 2, 10).cast("long")
-    else shiftleft(conv(substring(bits, 1, width - 32), 2, 10).cast("long"), 32)
-      .bitwiseOR(conv(substring(bits, width - 31, 32), 2, 10).cast("long"))
+    graft.expressions.Kernels.binSliceLong(bits, 1, width)
 
   /** The banded candidate pairs of [[simhashNearDup]] BEFORE the
     * Hamming verify — distinct ids sharing ≥ 1 band, each carrying its

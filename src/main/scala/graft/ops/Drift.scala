@@ -449,8 +449,9 @@ object Drift {
     val draws = spark.range(nBoot).select(col("id").cast("int").as("b"))
       .crossJoin(spark.range(n).select(col("id").as("i")))
       .withColumn("__idx",
-        conv(substring(md5(concat(lit(seed + ":"), col("b"),
-          lit(":"), col("i"))), 1, 6), 16, 10).cast("long") % n)
+        graft.expressions.Kernels.hexSliceLong(
+          md5(concat(lit(seed + ":"), col("b"), lit(":"), col("i"))),
+          1, 6) % n)
     val reps = draws.join(indexed, "__idx")
       .groupBy("b").agg(avg(col("__c")).as("racc"))
     val acc = base.agg(avg(col("__c"))).head().getDouble(0)

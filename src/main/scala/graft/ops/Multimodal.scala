@@ -945,7 +945,8 @@ object Multimodal {
     val digest = md5(payload) // hex string, 128 bits of payload identity
     array((0 until dim).map { j =>
       // 28-bit integer from md5(digest || "#j") → uniform [-1, 1)
-      conv(substring(md5(concat(digest, lit(s"#$j")).cast(BinaryType)), 1, 7), 16, 10)
+      graft.expressions.Kernels.hexSliceLong(
+          md5(concat(digest, lit(s"#$j")).cast(BinaryType)), 1, 7)
         .cast(DoubleType) / 268435456.0 * 2.0 - 1.0
     }: _*)
   }

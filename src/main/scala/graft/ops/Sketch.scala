@@ -560,8 +560,8 @@ object Sketch {
   /** Row-r count–min bucket of an item: 28-bit md5 prefix mod width. */
   private def cmBucket(item: org.apache.spark.sql.Column, r: Int, width: Int,
                        salt: String): org.apache.spark.sql.Column =
-    pmod(conv(substring(md5(concat(lit(s"$salt$r#"), item).cast("binary")), 1, 7), 16, 10)
-      .cast("long"), lit(width.toLong)).cast("int")
+    pmod(hexSliceLong(md5(concat(lit(s"$salt$r#"), item).cast("binary")), 1, 7),
+      lit(width.toLong)).cast("int")
 
   /** DuckDB fragment decoding `nDigits` hex digits of `hexExpr`
     * starting at 1-based `start` into a BIGINT — the positional form

@@ -235,7 +235,7 @@ object TextAnalysis {
     * md5 (28 bits). Spark evaluates it with one `conv(hex,16,10)`; the
     * DuckDB oracle decodes digit-by-digit via instr — same number. */
   private[ops] def tokenHash31(t: Column): Column =
-    conv(substring(md5(t.cast("binary")), 1, 7), 16, 10).cast("long")
+    graft.expressions.Kernels.hexSliceLong(md5(t.cast("binary")), 1, 7)
 
   /** [[simHash16]] as an exploded aggregation: (id, simhash) via one
     * explode + groupBy with 16 sums. Identical output; the row-wise
