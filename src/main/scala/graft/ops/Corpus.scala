@@ -14,6 +14,17 @@ import graft.ops.TextAnalysis.tokens
   */
 object Corpus {
 
+  /** One-pass stride-1 md5 window stream: array of the md5 hex of
+    * every `width`-char window ([[graft.expressions.Md5Windows]] —
+    * bit-exact with the explode(sequence)+substring+md5 chain it
+    * replaces, without materializing a string per window; r17).
+    * `posexplode` of this array is the (off, fp) pair stream. */
+  private def md5WindowArr(text: Column, width: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.Md5Windows(
+      GraftColumnBridge.expression(text), width))
+  }
+
   /** Top-`k` TF-IDF terms per document.
     *
     * tf = raw term count in the doc; idf = ln((N+1)/(df+1)) + 1 (the
@@ -873,15 +884,27 @@ object Corpus {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val base = df.select(col(idCol).cast(LongType).as("id"),
       col(textCol).cast("string").as("text"))
-    val winsAll = base
-      .filter(col("text").isNotNull && length(col("text")) >= width)
-      .select(col("id"), col("text"),
-        explode(expr(s"sequence(0, CAST(length(text) AS INT) - $width, $stride)"))
-          .as("off"))
-      .select(col("id"), col("off").cast("int").as("off"),
-        md5(expr(s"CAST(substring(text, off + 1, $width) AS BINARY)")).as("fp"))
-      .withColumn("__ph", xxhash64(col("fp")))
-      .localCheckpoint() // feeds bloom build, the election agg, and the join back
+    val winsAll = {
+      val filtered = base
+        .filter(col("text").isNotNull && length(col("text")) >= width)
+      // stride 1 (q198/q210 precision grade) rides the one-pass kernel;
+      // strided grids keep the chain (the kernel would hash the
+      // off-grid windows only to drop them)
+      val pairs =
+        if (stride == 1)
+          filtered.select(col("id"),
+            posexplode(md5WindowArr(col("text"), width)).as(Seq("off", "fp")))
+        else filtered
+          .select(col("id"), col("text"),
+            explode(expr(s"sequence(0, CAST(length(text) AS INT) - $width, $stride)"))
+              .as("off"))
+          .select(col("id"), col("off"),
+            md5(expr(s"CAST(substring(text, off + 1, $width) AS BINARY)")).as("fp"))
+      pairs
+        .select(col("id"), col("off").cast("int").as("off"), col("fp"))
+        .withColumn("__ph", xxhash64(col("fp")))
+        .localCheckpoint() // feeds bloom build, the election agg, and the join back
+    }
     // map-side singleton pruning (r10 verdict #2): provably-singleton
     // windows die at the scan instead of riding the fp exchange; the
     // exact occ-count over the survivors still decides duplication,
@@ -965,13 +988,10 @@ object Corpus {
     val base = train.select(col(idCol).cast(LongType).as("id"),
       col(textCol).cast("string").as("text"))
     def windows(df: DataFrame, withId: Boolean): DataFrame = {
-      val cols = if (withId) Seq(col("id"), col("text")) else Seq(col("text"))
+      val cols = if (withId) Seq(col("id")) else Seq.empty[Column]
       df.filter(col("text").isNotNull && length(col("text")) >= minLen)
         .select(cols :+
-          explode(expr(s"sequence(0, CAST(length(text) AS INT) - $minLen, 1)"))
-            .as("off"): _*)
-        .withColumn("fp",
-          md5(expr(s"CAST(substring(text, off + 1, $minLen) AS BINARY)")))
+          posexplode(md5WindowArr(col("text"), minLen)).as(Seq("off", "fp")): _*)
     }
     val testBase = test.select(col(textCol).cast("string").as("text"))
     val testFp = windows(testBase, withId = false).select("fp").distinct()
@@ -1262,8 +1282,7 @@ object Corpus {
     * span char range [span_start, span_end) 0-based. */
   def maxDupSpans(df: DataFrame, idCol: String, textCol: String,
                   minLen: Int): DataFrame =
-    maxDupSpansWithFp(df, idCol, textCol, minLen,
-      sub => md5(sub.cast("binary")))
+    maxDupSpansWithFp(df, idCol, textCol, minLen, fp = None)
 
   /** Production-hash variant of [[maxDupSpans]]: identical span
     * semantics and plan shape, window fingerprints via xxhash64
@@ -1278,23 +1297,33 @@ object Corpus {
     * so the oracle replays). */
   def maxDupSpansFast(df: DataFrame, idCol: String, textCol: String,
                       minLen: Int): DataFrame =
-    maxDupSpansWithFp(df, idCol, textCol, minLen, sub => xxhash64(sub))
+    maxDupSpansWithFp(df, idCol, textCol, minLen,
+      fp = Some(sub => xxhash64(sub)))
 
+  /** `fp = None` → the one-pass md5 window kernel (the registered q197
+    * form — bit-exact digests, no per-window substring); `Some(f)` →
+    * the expression-chain form with a caller-supplied fingerprint
+    * (the xxhash64 production variant). */
   private def maxDupSpansWithFp(df: DataFrame, idCol: String, textCol: String,
                                 minLen: Int,
-                                fp: Column => Column): DataFrame = {
+                                fp: Option[Column => Column]): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     val base = df
       .filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).cast("string").as("text"))
       .filter(col("text").isNotNull && length(col("text")) >= minLen)
-    val winsAll = base
-      .select(col("id"),
-        explode(expr(s"sequence(0, CAST(length(text) AS INT) - $minLen, 1)"))
-          .as("off"),
-        col("text"))
-      .select(col("id"), col("off").cast("int").as("off"),
-        fp(expr(s"substring(text, off + 1, $minLen)")).as("fp"))
+    val winsAll = (fp match {
+        case None => base.select(col("id"),
+          posexplode(md5WindowArr(col("text"), minLen)).as(Seq("off", "fp")))
+        case Some(f) => base
+          .select(col("id"),
+            explode(expr(s"sequence(0, CAST(length(text) AS INT) - $minLen, 1)"))
+              .as("off"),
+            col("text"))
+          .select(col("id"), col("off"),
+            f(expr(s"substring(text, off + 1, $minLen)")).as("fp"))
+      })
+      .select(col("id"), col("off").cast("int").as("off"), col("fp"))
       .withColumn("__ph", xxhash64(col("fp")))
       .localCheckpoint() // feeds bloom build, the dup-mark agg, and the join back
     // map-side singleton pruning (r10 verdict #2): one fp row per

@@ -279,10 +279,55 @@ object IvfIndex {
     }
   }
 
-  /** Max generation visible in the persisted tables (0 when empty). */
+  /** Max generation visible in the persisted tables (0 when empty).
+    *
+    * The codes side reads the FILESYSTEM, not the table (r17): `gen`
+    * is a hive partition directory, so the max visible gen is the
+    * highest `codes/gen=N/` holding COMMITTED output — the job-commit
+    * `_SUCCESS` marker, or (for deployments that disable the marker)
+    * any visible data file outside `_temporary`. That is exactly the
+    * row-visibility rule the old `max("gen")` scan computed — an
+    * in-flight or crashed writer's gen dir holds only uncommitted
+    * task staging and counts for NEITHER — without paying a Spark job
+    * (file listing + planning + a task per file) on EVERY gen
+    * allocation; on a long-lived index the scan grew linearly with
+    * history while this walks gens newest-first and stops at the
+    * first committed one. The tombstone side keeps the (small-table)
+    * scan: tombstones are written append-mode with no per-gen
+    * directory, so the filesystem carries no gen information for
+    * them, and only CDC lifecycles pay it. */
   private def persistedGenMax(spark: SparkSession, path: String): Int = {
-    val codeMax = spark.read.parquet(s"$path/codes")
-      .agg(coalesce(max("gen"), lit(0)).cast("int")).collect()(0).getInt(0)
+    val fs = fsFor(spark, path)
+    val codesDir = new Path(s"$path/codes")
+    def committed(d: Path): Boolean =
+      fs.exists(new Path(d, "_SUCCESS")) || {
+        val it = fs.listFiles(d, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val f = it.next().getPath
+          // a data file is visible iff no path component below the gen
+          // dir is hidden (_temporary task staging, dot-files) — the
+          // same rule Spark's file index applies when reading
+          val rel = f.toUri.getPath.stripPrefix(d.toUri.getPath)
+            .split('/').filter(_.nonEmpty)
+          if (rel.nonEmpty && rel.forall(c =>
+              !c.startsWith("_") && !c.startsWith(".")))
+            found = true
+        }
+        found
+      }
+    val codeMax =
+      if (!fs.exists(codesDir)) 0
+      else fs.listStatus(codesDir).iterator
+        .flatMap { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("gen="))
+            n.drop(4).toIntOption.map(g => (g, st.getPath))
+          else None
+        }
+        .toSeq.sortBy(-_._1)
+        .collectFirst { case (g, p) if committed(p) => g }
+        .getOrElse(0)
     val tombMax = tombstonesOpt(spark, path) match {
       case Some(t) =>
         t.agg(coalesce(max("tomb_gen"), lit(0)).cast("int")).collect()(0).getInt(0)
@@ -840,11 +885,19 @@ object IvfIndex {
                   cellsDir: String = "centroids"): DataFrame = {
     repairRead(spark, path)
     val k = spark.read.parquet(s"$path/$cellsDir").count()
+    // ONE codes scan (r17): the per-cell count table is K rows —
+    // bounded by the trained cell count, never the corpus — and is
+    // read three times below (the totals collect, the per-cell frame,
+    // the broadcast PSI total). Un-checkpointed, each read re-scanned
+    // the full codes table; cut once, everything downstream runs on
+    // the K-row block. Values unchanged — same aggregation, computed
+    // once instead of three times.
     val counted = spark.read.parquet(s"$path/codes")
       .withColumnRenamed(cellCol, "centroid_id")
       .groupBy("centroid_id")
       .agg(sum(when(col("gen") === 0, 1L).otherwise(0L)).as("n_base"),
         sum(when(col("gen") > 0, 1L).otherwise(0L)).as("n_cur"))
+      .localCheckpoint(true)
     val tot = counted.agg(
       coalesce(sum("n_base"), lit(0L)), coalesce(sum("n_cur"), lit(0L))).collect()(0)
     val (na, nc) = (tot.getLong(0), tot.getLong(1))
