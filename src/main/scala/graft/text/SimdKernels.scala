@@ -20,6 +20,41 @@ private[graft] object SimdSupport {
     sys.env.get("GRAFT_SIMD").forall(_ != "off") &&
       (try { Class.forName("jdk.incubator.vector.DoubleVector"); true }
        catch { case _: Throwable => false })
+
+  /** JIT warmup gate (r17). The Vector API has a COMPILATION CLIFF:
+    * until C2 compiles the kernel (and inlines the DoubleVector
+    * intrinsics), every lane operation is an interpreted/C1 method
+    * call on a boxed vector — measured ~15x the compiled wall on the
+    * first cold q125 profile pass (51 s vs 3.3 s; the r16 bench
+    * shipped an 83 s sample from exactly this). Tiered compilation
+    * promotes on invocation counts, so a burst of tiny update() calls
+    * pushes the kernel and the vector intrinsics to tier 4 BEFORE the
+    * first real block lands on it. Time-bounded (~hundreds of ms,
+    * once per JVM, only when the module is present): the loop stops
+    * early the moment a probe call runs at compiled speed. Results
+    * are unaffected — the warmup computes into scratch arrays. */
+  lazy val warmed: Boolean = {
+    if (available) {
+      val d = 16; val m = 64
+      val buf = new Array[Double](m * d)
+      var k = 0
+      while (k < buf.length) { buf(k) = (k % 7) * 0.25 + 0.5; k += 1 }
+      val xxt = new Array[Double](d * (d + 1) / 2)
+      val deadline = System.nanoTime() + 1500L * 1000 * 1000
+      var fast = 0
+      var i = 0
+      // 3 consecutive sub-3µs calls = C2 code is in; hard caps keep
+      // this bounded on any JIT behavior
+      while (fast < 3 && i < 60000 && System.nanoTime() < deadline) {
+        val t0 = System.nanoTime()
+        SimdTriangle.update(xxt, buf, m, d)
+        val dt = System.nanoTime() - t0
+        fast = if (dt < 3000L) fast + 1 else 0
+        i += 1
+      }
+    }
+    available
+  }
 }
 
 /** Scalar twin of [[SimdTriangle]] — the fallback when the incubator

@@ -78,7 +78,11 @@ object TextProfiler {
         }
         r += 1
       }
-      if (SimdSupport.available) SimdTriangle.update(xxt, buf, m, d)
+      // `warmed` (not `available`): first touch per JVM runs the
+      // time-bounded JIT warmup — without it the Vector API's
+      // interpreted/C1 cliff made the first cold profile pass ~15x
+      // its compiled wall (see SimdSupport.warmed)
+      if (SimdSupport.warmed) SimdTriangle.update(xxt, buf, m, d)
       else ScalarTriangle.update(xxt, buf, m, d)
       this
     }
