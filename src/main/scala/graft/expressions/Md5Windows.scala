@@ -59,15 +59,21 @@ object Md5Windows {
   private val HexChars = "0123456789abcdef".getBytes("US-ASCII")
 
   /** Bytes consumed by the UTF-8 char starting with byte `b` — the
-    * UTF8String.numBytesForFirstByte rule (invalid leading bytes count
-    * 1, matching substring's walker). */
+    * exact UTF8String.numBytesForFirstByte table (Spark 4.1.2): every
+    * invalid leading byte advances 1, which includes dangling
+    * continuations (0x80–0xBF) AND the never-valid leaders 0xC0/0xC1
+    * and 0xF5–0xFF. Matching the table exactly keeps window offsets
+    * aligned with substring's walker even on malformed UTF-8, so the
+    * (off, fp) stream and the cutSpans/maxDupSpans slices that consume
+    * it stay bit-identical to the explode+substring+md5 chain. */
   @inline private def charLen(b: Byte): Int = {
     val u = b & 0xff
     if (u < 0x80) 1
-    else if (u < 0xc0) 1 // dangling continuation byte: advance 1
+    else if (u < 0xc2) 1 // continuation byte or invalid 0xC0/0xC1 leader
     else if (u < 0xe0) 2
     else if (u < 0xf0) 3
-    else 4
+    else if (u < 0xf5) 4
+    else 1 // invalid 0xF5–0xFF leader: advance 1
   }
 
   /** One pass: char→byte offsets, then one md5 per window byte-range.

@@ -285,10 +285,17 @@ object IvfIndex {
     * is a hive partition directory, so the max visible gen is the
     * highest `codes/gen=N/` holding COMMITTED output — the job-commit
     * `_SUCCESS` marker, or (for deployments that disable the marker)
-    * any visible data file outside `_temporary`. That is exactly the
+    * any visible data file outside `_temporary`. That matches the
     * row-visibility rule the old `max("gen")` scan computed — an
     * in-flight or crashed writer's gen dir holds only uncommitted
-    * task staging and counts for NEITHER — without paying a Spark job
+    * task staging and counts for NEITHER — with ONE deliberate
+    * difference: a committed-but-EMPTY generation (a zero-row batch
+    * leaves `_SUCCESS` and no data files) counts here where the old
+    * row scan could not see it. That is the safer floor — the gen WAS
+    * allocated and committed, so claims at it must stay burned or a
+    * later writer could reuse the number and collide with its
+    * tombstones — and it only moves the clock forward, never back.
+    * It avoids paying a Spark job
     * (file listing + planning + a task per file) on EVERY gen
     * allocation; on a long-lived index the scan grew linearly with
     * history while this walks gens newest-first and stops at the
