@@ -2787,15 +2787,17 @@ object SparkEntry {
     "q192_safety_filter" -> ((s, d) => {
       val bad = Seq("merge", "window")
       val text = col("text")
-      val q = TextAnalysis.qualityScore(text)
-      val nt = TextAnalysis.tokenCount(text).cast("long")
+      val q = TextAnalysis.qualityFromStats(col("__st"))
+      val nt = col("__st").getField("n_tokens").cast("long")
       val enc = TextAnalysis.encodingAudit(text).getField("encoding_ok")
       val hits = TextAnalysis.blocklistHits(text, bad)
       t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), TextAnalysis.tokenStatsEn(text).as("__st"),
+          enc.as("__enc"), hits.as("__hits"))
         .select(col("doc_id"), round(q, 6).as("quality"), nt.as("n_tokens"),
-          enc.as("encoding_ok"), hits.as("blocklist_hits"),
-          (enc === 1 && q >= 0.5 && nt >= 10 && nt <= 10000 &&
-            (hits === 0)).cast("int").as("keep"))
+          col("__enc").as("encoding_ok"), col("__hits").as("blocklist_hits"),
+          (col("__enc") === 1 && q >= 0.5 && nt >= 10 && nt <= 10000 &&
+            (col("__hits") === 0)).cast("int").as("keep"))
         .orderBy("doc_id")
     }),
 
@@ -2946,7 +2948,9 @@ object SparkEntry {
     "q100_lang_confusion" -> ((s, d) => {
       val docs = t(s, d, "documents").filter(col("lang").isNotNull)
         .select(col("lang").as("declared"),
-          TextAnalysis.langId(col("text")).as("detected"))
+          TextAnalysis.tokenStatsLangs(col("text")).as("__st"))
+        .select(col("declared"),
+          TextAnalysis.langIdFromStats(col("__st")).as("detected"))
         .groupBy("declared", "detected").agg(count(lit(1)).as("n"))
         .localCheckpoint()
       val tot = docs.groupBy("declared").agg(sum("n").as("__t"))
@@ -3430,37 +3434,42 @@ object SparkEntry {
 
     // --- text analysis (north star) ---
     "q19_token_stats" -> ((s, d) => {
-      val c = col("text")
-      t(s, d, "documents").select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(c).as("n_tokens"),
-        TextAnalysis.subwordCountEstimate(c).as("n_subwords"),
-        round(TextAnalysis.meanTokenLen(c), 6).as("mean_token_len"))
+      // one fused byte pass per doc (TokenStats), projected once — the
+      // HOF chain tokenized each doc 3x (count, subwords, mean length)
+      val st = col("__st")
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenStats(col("text")).as("__st"))
+        .select(
+          col("doc_id"),
+          st.getField("n_tokens").as("n_tokens"),
+          st.getField("sum_subwords").as("n_subwords"),
+          round(TextAnalysis.meanTokenLenFromStats(st), 6).as("mean_token_len"))
         .orderBy("doc_id")
     }),
 
     "q20_quality_scores" -> ((s, d) => {
-      val c = col("text")
-      t(s, d, "documents").select(
-        col("doc_id"),
-        round(TextAnalysis.punctRatio(c), 6).as("punct_ratio"),
-        round(TextAnalysis.stopwordRatio(c), 6).as("stopword_ratio"),
-        round(TextAnalysis.qualityScore(c), 6).as("quality"))
+      val st = col("__st")
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenStatsEn(col("text")).as("__st"))
+        .select(
+          col("doc_id"),
+          round(TextAnalysis.punctRatioFromStats(st), 6).as("punct_ratio"),
+          round(TextAnalysis.stopwordRatioFromStats(st), 6).as("stopword_ratio"),
+          round(TextAnalysis.qualityFromStats(st), 6).as("quality"))
         .orderBy("doc_id")
     }),
 
     "q21_langid" -> ((s, d) => {
-      val c = col("text")
-      t(s, d, "documents").select(
-        col("doc_id"), col("lang").as("lang_actual"), c,
-        TextAnalysis.stopwordCount(c, "en").as("sw_en"),
-        TextAnalysis.stopwordCount(c, "de").as("sw_de"),
-        TextAnalysis.stopwordCount(c, "es").as("sw_es"),
-        TextAnalysis.stopwordCount(c, "fr").as("sw_fr"))
+      val st = col("__st")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang").as("lang_actual"),
+          TextAnalysis.tokenStatsLangs(col("text")).as("__st"))
         .select(col("doc_id"), col("lang_actual"),
-          col("sw_en"), col("sw_de"), col("sw_es"), col("sw_fr"),
-          TextAnalysis.langIdFromCounts(c, col("sw_en"), col("sw_de"),
-            col("sw_es"), col("sw_fr")).as("lang_pred"))
+          st.getField("stops").getItem(0).as("sw_en"),
+          st.getField("stops").getItem(1).as("sw_de"),
+          st.getField("stops").getItem(2).as("sw_es"),
+          st.getField("stops").getItem(3).as("sw_fr"),
+          TextAnalysis.langIdFromStats(st).as("lang_pred"))
         .orderBy("doc_id")
     }),
 

@@ -47,8 +47,10 @@ object Curation {
     // pass re-reads the first's join output, which inlines the text
     // scans again) — measured 4.8 s -> ~2 s at sf0.1
     val base = df.select(col(idCol).as("id"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
-      round(TextAnalysis.qualityScore(col(textCol)), 6).as("quality"))
+        TextAnalysis.tokenStatsEn(col(textCol)).as("__st"))
+      .select(col("id"),
+        col("__st").getField("n_tokens").cast("long").as("n_tokens"),
+        round(TextAnalysis.qualityFromStats(col("__st")), 6).as("quality"))
       .localCheckpoint()
     val ranked = Drift.percentRank(
       Drift.percentRank(base, "n_tokens", "__prl"), "quality", "__prq")
@@ -113,17 +115,21 @@ object Curation {
     // shuffle key (~34 copies in the optimized plan, measured). The
     // cleaned/featured frame is also the stage output a production
     // pipeline persists between curation steps.
-    // (langIdFromCounts-with-projected-counts buys nothing here: the
-    // counts aren't output columns, so CollapseProject would substitute
-    // them straight back into the CASE — the plain composition is the
-    // same plan with less code)
+    // One fused token-stats pass (r18): lang + quality + n_tokens all
+    // derive from ONE projected TokenStats column (en at index 0 serves
+    // the quality fields, the four lists + CJK flag serve langId) —
+    // CollapseProject never inlines a non-cheap alias into multiple
+    // consumers, so the kernel runs exactly once per row where the HOF
+    // chains tokenized the cleaned text ~6x.
     val cleaned = df.select(col(idCol).as("id"),
       TextAnalysis.redactPii(TextAnalysis.stripMarkup(col(textCol)))
         .as("text_clean"))
-      .withColumn("lang", TextAnalysis.langId(col("text_clean")))
-      .withColumn("quality", TextAnalysis.qualityScore(col("text_clean")))
+      .withColumn("__st", TextAnalysis.tokenStatsLangs(col("text_clean")))
+      .withColumn("lang", TextAnalysis.langIdFromStats(col("__st")))
+      .withColumn("quality", TextAnalysis.qualityFromStats(col("__st")))
       .withColumn("n_tokens",
-        TextAnalysis.tokenCount(col("text_clean")).cast("long"))
+        col("__st").getField("n_tokens").cast("long"))
+      .drop("__st")
       .localCheckpoint()
     val filtered = cleaned
       .filter(cfg.lang.map(l => col("lang") === l).getOrElse(lit(true)))
@@ -157,9 +163,10 @@ object Curation {
     val base = df.filter(col(idCol).isNotNull)
       .select(col(textCol).as("__t"), col(langCol).as("__lang"),
         col(sourceCol).as("__src"))
-      .withColumn("__nt", when(t.isNotNull,
-        TextAnalysis.tokenCount(t).cast("long")))
-      .withColumn("__q", when(t.isNotNull, TextAnalysis.qualityScore(t)))
+      .withColumn("__st", when(t.isNotNull, TextAnalysis.tokenStatsEn(t)))
+      .withColumn("__nt", col("__st").getField("n_tokens").cast("long"))
+      .withColumn("__q", when(col("__st").isNotNull,
+        TextAnalysis.qualityFromStats(col("__st"))))
       .withColumn("__fp", when(t.isNotNull, TextAnalysis.fingerprint(t)))
     base.agg(
         count(lit(1)).as("n_docs"),

@@ -101,7 +101,8 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, damping: Double = 0.85,
                checkpointEvery: Int = 2,
-               assumeDistinct: Boolean = false): DataFrame = {
+               assumeDistinct: Boolean = false,
+               broadcastNodes: Long = 4000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping >= 0 && damping <= 1, s"damping $damping outside [0,1]")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
@@ -111,24 +112,34 @@ object Graph {
     val e = (if (assumeDistinct) e0 else e0.distinct())
       .transform(Checkpoints.cut)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg), reused every round. Pre-partitioned AND
-    // pre-sorted on the join key BEFORE the lineage cut: localCheckpoint
-    // (and reliable checkpoint) preserve the physical partitioning and
-    // ordering in the LogicalRDD, so every round's rank join reuses
-    // this one exchange+sort — only the node-bounded rank frame moves
-    // per round. Without this the sort-merge join re-shuffled the FULL
-    // edge table every iteration (the r13 sf1 run measured q83 at
-    // ~12x for data x10; edges dominate nodes by orders of magnitude
-    // at any real graph scale, so shuffling edges once, not per round,
-    // is the difference between iteration cost O(E) disk+network per
-    // round and O(V)).
-    val ed = e.join(deg, "src")
-      .repartition(col("src")).sortWithinPartitions("src")
-      .transform(Checkpoints.cut)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
       .transform(Checkpoints.cut)
     val n = nodes.count()
+    // Join-strategy route on the NODE count (known exactly here, and
+    // the rank/contribution/degree frames are all node-bounded): under
+    // the gate every per-round join broadcasts the node-sized side —
+    // zero rank-frame exchanges, zero edge-table sorts, the edge table
+    // is never re-partitioned at all; above it the sort-merge route
+    // pre-partitions+sorts the edge table ONCE before the lineage cut
+    // (localCheckpoint preserves partitioning/ordering in the
+    // LogicalRDD) so every round's rank join reuses that single
+    // exchange+sort and only the node-bounded rank frame moves per
+    // round — without it the SMJ re-shuffled the FULL edge table every
+    // iteration (r13 sf1: q83 ~12x for data x10). Join strategy never
+    // changes which rows match, and the per-round sums are order-free
+    // fixed-point longs, so ranks are bit-identical on both routes
+    // (route-parity spec'd). The `broadcastNodes` default (4M nodes
+    // ≈ 64 MB raw, ~2x that as a hashed relation) sits well under any
+    // realistic executor memory while keeping billion-node graphs on
+    // the shuffle route; deployments tune the parameter.
+    val small = n <= broadcastNodes
+    val hint: DataFrame => DataFrame =
+      if (small) org.apache.spark.sql.functions.broadcast else identity
+    val ed0 = e.join(hint(deg), "src")
+    val ed = (if (small) ed0
+              else ed0.repartition(col("src")).sortWithinPartitions("src"))
+      .transform(Checkpoints.cut)
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("pr", lit(1.0 / n))
     // lineage cut cadence: each eager cut costs a full plan evaluation
@@ -137,11 +148,11 @@ object Graph {
     // always after the last) keeps lineage depth ≤ checkpointEvery
     // joins — same results (cuts are plan-invisible), fewer jobs.
     for (it <- 1 to iterations) {
-      val contrib = ed.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+      val contrib = ed.join(hint(ranks.withColumnRenamed("id", "src")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(floor(col("pr") / col("deg") * 1e15)
           .cast("long")).as("acc"))
-      val next = ranks.drop("pr").join(contrib, Seq("id"), "left")
+      val next = ranks.drop("pr").join(hint(contrib), Seq("id"), "left")
         .select(col("id"),
           (lit(base) + lit(damping) *
             (coalesce(col("acc"), lit(0L)).cast("double") / 1e15))

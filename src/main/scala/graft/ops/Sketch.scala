@@ -45,6 +45,14 @@ object Sketch {
       GraftColumnBridge.expression(c), pos, len, 16))
   }
 
+  /** The k smallest distinct values of `h` per group, ascending —
+    * [[graft.expressions.BottomKDistinct]] as an aggregate Column. */
+  private def bottomKDistinct(h: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.BottomKDistinct(
+      GraftColumnBridge.expression(h), k).toAggregateExpression())
+  }
+
   /** `49 − bit_length(w)` — the HLL rank, replacing the per-row
     * `bin()`+regex render with one LZCNT ([[graft.expressions.BitLength64]];
     * bit-equal, see that kernel's doc). */
@@ -74,37 +82,23 @@ object Sketch {
   def kmvDistinct(df: DataFrame, colNames: Seq[String], k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(colNames.nonEmpty, "colNames must be non-empty")
-    val spark = df.sparkSession
-    import spark.implicits._
     val pairs = df.select(explode(array(colNames.map(c =>
         struct(lit(c).as("n"),
           md5(col(c).cast("string").cast("binary")).as("h"))): _*)).as("x"))
-      .select(col("x.n").as("n"), col("x.h").as("h"))
+      .select(col("x.n").as("col_name"), col("x.h").as("h"))
       .filter(col("h").isNotNull)
-      .as[(String, String)]
-    // per-partition bottom-k: bounded state, no shuffle of the stream
-    val partial = pairs.mapPartitions { it =>
-      val state = new java.util.HashMap[String, java.util.TreeSet[String]]()
-      it.foreach { case (name, h) =>
-        var s = state.get(name)
-        if (s == null) { s = new java.util.TreeSet[String](); state.put(name, s) }
-        if (s.add(h) && s.size > k) { s.pollLast(); () }
-      }
-      import scala.jdk.CollectionConverters._
-      state.asScala.iterator.flatMap { case (n, s) =>
-        s.asScala.iterator.map(h => (n, h)) }
-    }.toDF("col_name", "h")
-    // global merge over ≤ P·k digests per column: dedup (keyed shuffle
-    // of sketch-sized input), then rank-and-keep-k. The window is one
-    // task per column over ≤ P·k rows — bounded by the task count, not
-    // the corpus — and unlike a collect_set it streams+spills instead
-    // of materializing one giant array row.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("col_name").orderBy("h")
-    val merged = partial.dropDuplicates("col_name", "h")
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .groupBy("col_name")
-      .agg(count(lit(1)).cast("int").as("n_kept"), max(col("h")).as("kth_hash"))
+    // ONE mergeable bottom-k aggregate ([[graft.expressions
+    // .BottomKDistinct]]): each task reduces its value stream to ≤ k
+    // digests per column map-side (bounded state, nothing but
+    // sketch-sized arrays ever shuffle), the single exchange replaces
+    // the r17 three-stage carrier (typed mapPartitions serde boundary →
+    // dropDuplicates exchange → rank-window exchange), and the
+    // ascending output array IS the sketch: size = n_kept,
+    // element_at(-1) = kth_hash — identical values, 3 exchanges → 1.
+    val merged = pairs.groupBy("col_name")
+      .agg(bottomKDistinct(col("h"), k).as("hs"))
+      .select(col("col_name"), size(col("hs")).as("n_kept"),
+        element_at(col("hs"), -1).as("kth_hash"))
     val frac = conv(substring(col("kth_hash"), 1, FracBits / 4), 16, 10)
       .cast("long").cast("double") / lit(FracDenom)
     merged.select(
@@ -250,18 +244,24 @@ object Sketch {
     * the corpora. When the union keeps fewer than k digests the sets
     * are complete and every output is EXACT.
     *
-    * Scale: each side reduces to distinct digests (value-universe-
-    * bounded) then a TakeOrderedAndProject bottom-k (per-partition
-    * top-k, no global sort); everything after runs on ≤ 2k rows.
+    * Scale: each side reduces to its bottom-k in ONE mergeable
+    * aggregate (≤ k digests of state per task, sketch-sized exchange —
+    * never the side's distinct-value universe); everything after runs
+    * on ≤ 2k rows.
     * Returns one row: (k, n_kept, kth_hash, d_union_est, n_common,
     * jaccard_est, d_intersect_est). */
   def kmvJaccard(a: DataFrame, b: DataFrame, valueCol: String,
                  k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
+    // one bottom-k aggregate per side: every task contributes ≤ k
+    // digests (no distinct exchange over the side's full value
+    // universe — the pre-r18 shape shuffled every distinct digest
+    // before TakeOrdered could cap it)
     def bottomK(df: DataFrame) = df
       .select(md5(col(valueCol).cast("string").cast("binary")).as("h"))
-      .filter(col("h").isNotNull).distinct()
-      .orderBy("h").limit(k)
+      .filter(col("h").isNotNull)
+      .agg(bottomKDistinct(col("h"), k).as("hs"))
+      .select(explode(col("hs")).as("h"))
     val ha = bottomK(a).localCheckpoint() // feeds union AND membership
     val hb = bottomK(b).localCheckpoint()
     val u = ha.unionByName(hb).distinct().orderBy("h").limit(k)
@@ -298,29 +298,14 @@ object Sketch {
       .select(col(groupCol).as("g"),
         md5(col(valueCol).cast("string").cast("binary")).as("h"))
       .filter(col("h").isNotNull)
-    // per-partition capped bottom-k per group (group type preserved —
-    // Row-encoded, keys compared via their own equals/hashCode): the
-    // bottom-k of a union is the union's bottom-k, so capping each
-    // task's contribution at k loses nothing
-    val enc = org.apache.spark.sql.Encoders.row(pairs0.schema)
-    val partial = pairs0.mapPartitions { it =>
-      val state = new java.util.HashMap[Any, java.util.TreeSet[String]]()
-      it.foreach { row =>
-        val g = row.get(0)
-        val h = row.getString(1)
-        var s = state.get(g)
-        if (s == null) { s = new java.util.TreeSet[String](); state.put(g, s) }
-        if (s.add(h) && s.size > k) { s.pollLast(); () }
-      }
-      import scala.jdk.CollectionConverters._
-      state.asScala.iterator.flatMap { case (g, s) =>
-        s.asScala.iterator.map(h => org.apache.spark.sql.Row(g, h)) }
-    }(enc)
-    val wg = org.apache.spark.sql.expressions.Window
-      .partitionBy("g").orderBy("h")
-    val hk = partial.dropDuplicates("g", "h")
-      .withColumn("rk", row_number().over(wg)).filter(col("rk") <= k)
-      .select("g", "h")
+    // per-group bottom-k as ONE mergeable aggregate (the kmvDistinct
+    // carrier): capped map-side partials, a single sketch-sized
+    // exchange, no Row-encoded mapPartitions boundary and no rank
+    // window — identical digests kept (the bottom-k of a union is the
+    // union's bottom-k)
+    val hk = pairs0.groupBy("g")
+      .agg(bottomKDistinct(col("h"), k).as("hs"))
+      .select(col("g"), explode(col("hs")).as("h"))
       .localCheckpoint() // feeds pair expansion twice + membership twice
     val groups = hk.select("g").distinct()
     val pairs = groups.as("a").join(groups.as("b"), col("a.g") < col("b.g"))

@@ -53,12 +53,10 @@ object TextAnalysis {
     * islands, the standard cheap proxy for tokenizer cost when the real
     * BPE vocab is not available. Counted with regexp_count-equivalent
     * arithmetic (identical in DuckDB). */
-  def subwordCountEstimate(c: Column): Column = {
-    // pieces of <=4 chars: ceil(len/4) per token, summed
-    aggregate(
-      transform(tokens(c), t => ceil(length(t) / lit(4.0)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
-  }
+  def subwordCountEstimate(c: Column): Column =
+    // pieces of <=4 chars: ceil(len/4) per token, summed — the kernel's
+    // sum_subwords field ((len+3)/4 == ceil(len/4.0) exactly for len ≥ 1)
+    tokenStats(c).getField("sum_subwords")
 
   // ---- language identification (stopword / script heuristic) ----
 
@@ -75,6 +73,86 @@ object TextAnalysis {
   def stopwordCount(c: Column, lang: String): Column =
     size(filter(tokens(c), t => t.isin(stopwords(lang).map(lit): _*)))
 
+  // ---- fused one-pass token statistics ----
+
+  /** The language precedence order [[tokenStatsLangs]] encodes in its
+    * `stops` array (index 0 = en … 3 = fr) — [[langIdFromStats]]'
+    * field order depends on it. */
+  private val LangOrder = Seq("en", "de", "es", "fr")
+
+  /** One-pass fused token statistics ([[graft.expressions.TokenStats]]):
+    * struct(n_chars, n_punct, n_tokens, sum_token_len, sum_subwords,
+    * has_cjk, stops — one count per requested stop list). Each field is
+    * bit-equal to the expression chain it replaces (see the kernel's
+    * doc). Project it ONCE as a named column and derive scores with the
+    * `*FromStats` helpers: Catalyst does not CSE the `tokens(c)`
+    * subtree across `size(filter(...))`/`aggregate(...)`/CASE branches,
+    * so the HOF forms tokenized a document up to 6 times per row where
+    * this is one byte scan (and CollapseProject never inlines a
+    * non-cheap alias into multiple consumers, so the projected column
+    * is computed exactly once). */
+  def tokenStats(c: Column, lists: Seq[Seq[String]] = Nil): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.TokenStats(
+      GraftColumnBridge.expression(c.cast("string")), lists))
+  }
+
+  /** [[tokenStats]] with the EN stop list at index 0 — the inputs of
+    * [[qualityScore]] / [[stopwordRatio]]. */
+  def tokenStatsEn(c: Column): Column = tokenStats(c, Seq(stopwords("en")))
+
+  /** [[tokenStats]] with all four language lists (en, de, es, fr — the
+    * [[LangOrder]]) — the inputs of [[langId]] AND [[qualityScore]]
+    * (en sits at index 0), so one projection serves both. */
+  def tokenStatsLangs(c: Column): Column =
+    tokenStats(c, LangOrder.map(stopwords))
+
+  /** `punctRatio` from a projected stats column. */
+  def punctRatioFromStats(st: Column): Column = {
+    val n = st.getField("n_chars")
+    when(n === 0, 0.0).otherwise(st.getField("n_punct").cast("double") / n)
+  }
+
+  /** `stopwordRatio` (EN at `idx`) from a projected stats column. */
+  def stopwordRatioFromStats(st: Column, idx: Int = 0): Column = {
+    val nt = st.getField("n_tokens")
+    when(nt === 0, 0.0)
+      .otherwise(st.getField("stops").getItem(idx).cast("double") / nt)
+  }
+
+  /** `meanTokenLen` from a projected stats column. */
+  def meanTokenLenFromStats(st: Column): Column = {
+    val nt = st.getField("n_tokens")
+    when(nt === 0, 0.0)
+      .otherwise(st.getField("sum_token_len").cast("double") / nt)
+  }
+
+  /** `qualityScore` from a projected stats column (needs the EN list
+    * at index 0 — [[tokenStatsEn]] or [[tokenStatsLangs]]). */
+  def qualityFromStats(st: Column): Column = {
+    val nt = st.getField("n_tokens").cast("double")
+    val lenOk   = when(nt >= 10 && nt <= 10000, 1.0).otherwise(0.0)
+    val mtl     = meanTokenLenFromStats(st)
+    val shapeOk = when(mtl >= 2.0 && mtl <= 12.0, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatioFromStats(st) <= lit(0.2), 1.0).otherwise(0.0)
+    val stopOk  = when(stopwordRatioFromStats(st) >= lit(0.01), 1.0).otherwise(0.0)
+    (lenOk * 0.3 + shapeOk * 0.3 + punctOk * 0.2 + stopOk * 0.2)
+  }
+
+  /** `langId` from a projected [[tokenStatsLangs]] column — the same
+    * CASE ladder over the kernel's has_cjk flag and stop counts. */
+  def langIdFromStats(st: Column): Column = {
+    val s = st.getField("stops")
+    val en = s.getItem(0); val de = s.getItem(1)
+    val es = s.getItem(2); val fr = s.getItem(3)
+    when(st.getField("has_cjk"), lit("zh"))
+      .when(en === 0 && de === 0 && es === 0 && fr === 0, lit("und"))
+      .when(en >= de && en >= es && en >= fr, lit("en"))
+      .when(de >= es && de >= fr, lit("de"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
   /** Count of CJK codepoints (zh detection path). */
   def cjkCount(c: Column): Column =
     length(c) - length(regexp_replace(c, "[\\x{4e00}-\\x{9fff}]", ""))
@@ -83,10 +161,7 @@ object TextAnalysis {
     * evidence with fixed precedence en > de > es > fr (deterministic
     * tie-break), 'und' when no evidence at all. The zh branch uses a
     * short-circuit rlike rather than counting every CJK codepoint. */
-  def langId(c: Column): Column =
-    langIdFromCounts(c,
-      stopwordCount(c, "en"), stopwordCount(c, "de"),
-      stopwordCount(c, "es"), stopwordCount(c, "fr"))
+  def langId(c: Column): Column = langIdFromStats(tokenStatsLangs(c))
 
   /** [[langId]] over ALREADY-COMPUTED stopword counts — use when the
     * counts are also projected as output columns, so the token array
@@ -104,40 +179,21 @@ object TextAnalysis {
   // ---- quality scoring ----
 
   /** Ratio of punctuation characters to total characters. */
-  def punctRatio(c: Column): Column = {
-    val n = length(c)
-    when(n === 0, 0.0).otherwise(
-      (n - length(regexp_replace(c, "[\\.,;:!\\?'\"()\\[\\]{}-]", ""))).cast("double") / n)
-  }
+  def punctRatio(c: Column): Column = punctRatioFromStats(tokenStats(c))
 
   /** Ratio of tokens that are English stopwords — prose correlates with
     * a nonzero rate; keyword-stuffed or boilerplate text scores ~0. */
-  def stopwordRatio(c: Column): Column = {
-    val nt = tokenCount(c)
-    when(nt === 0, 0.0).otherwise(stopwordCount(c, "en").cast("double") / nt)
-  }
+  def stopwordRatio(c: Column): Column =
+    stopwordRatioFromStats(tokenStatsEn(c))
 
   /** Mean token length in characters. */
-  def meanTokenLen(c: Column): Column = {
-    val nt = tokenCount(c)
-    when(nt === 0, 0.0).otherwise(
-      aggregate(transform(tokens(c), t => length(t).cast("long")), lit(0L), _ + _)
-        .cast("double") / nt)
-  }
+  def meanTokenLen(c: Column): Column = meanTokenLenFromStats(tokenStats(c))
 
   /** Composite quality score in [0,1]: length band + word-shape band +
     * punctuation sanity + stopword evidence. The weights are the usual
     * heuristic-filter shape (Gopher-style rules), expressed as pure
     * arithmetic so the oracle can recompute it exactly. */
-  def qualityScore(c: Column): Column = {
-    val nt = tokenCount(c).cast("double")
-    val lenOk   = when(nt >= 10 && nt <= 10000, 1.0).otherwise(0.0)
-    val mtl     = meanTokenLen(c)
-    val shapeOk = when(mtl >= 2.0 && mtl <= 12.0, 1.0).otherwise(0.0)
-    val punctOk = when(punctRatio(c) <= lit(0.2), 1.0).otherwise(0.0)
-    val stopOk  = when(stopwordRatio(c) >= lit(0.01), 1.0).otherwise(0.0)
-    (lenOk * 0.3 + shapeOk * 0.3 + punctOk * 0.2 + stopOk * 0.2)
-  }
+  def qualityScore(c: Column): Column = qualityFromStats(tokenStatsEn(c))
 
   /** Shannon entropy (nats) of the document's CHARACTER distribution —
     * the quality signal [[qualityScore]]'s token heuristics can't see:

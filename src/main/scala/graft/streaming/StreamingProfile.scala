@@ -223,13 +223,17 @@ object StreamingProfile {
                         graft.ops.Curation.CurationConfig(),
                       watermark: String = "2 hours"): DataFrame = {
     import graft.ops.{Sampling, TextAnalysis}
+    // one fused TokenStats pass per row (r18) — same rewrite as the
+    // batch curate: lang/quality/n_tokens from a single projected column
     val cleaned = docs.select(col(tsCol).as("ts"), col(idCol).as("id"),
       TextAnalysis.redactPii(TextAnalysis.stripMarkup(col(textCol)))
         .as("text_clean"))
-      .withColumn("lang", TextAnalysis.langId(col("text_clean")))
-      .withColumn("quality", TextAnalysis.qualityScore(col("text_clean")))
+      .withColumn("__st", TextAnalysis.tokenStatsLangs(col("text_clean")))
+      .withColumn("lang", TextAnalysis.langIdFromStats(col("__st")))
+      .withColumn("quality", TextAnalysis.qualityFromStats(col("__st")))
       .withColumn("n_tokens",
-        TextAnalysis.tokenCount(col("text_clean")).cast("long"))
+        col("__st").getField("n_tokens").cast("long"))
+      .drop("__st")
     val filtered = cleaned
       .filter(cfg.lang.map(l => col("lang") === l)
         .getOrElse(org.apache.spark.sql.functions.lit(true)))

@@ -185,4 +185,22 @@ class GraphSpec extends SparkSpec {
     // after dedup this is the symmetric 2-node graph → uniform 1/2
     got.values.foreach(v => assert(math.abs(v - 0.5) < 1e-9))
   }
+
+  test("pageRank: broadcast and shuffle routes are bit-identical") {
+    import spark.implicits._
+    // irregular directed graph with dangling mass, hub skew and an
+    // isolated 2-cycle — ranks must match to the BIT across routes
+    // (the per-round sums are order-free fixed-point longs, so join
+    // strategy cannot change any value)
+    val rnd = new scala.util.Random(83)
+    val edges = (Seq.tabulate(400)(i => (s"n${rnd.nextInt(60)}", s"n${rnd.nextInt(60)}")) ++
+      Seq(("x1", "x2"), ("x2", "x1"), ("hub", "n1"), ("n1", "hub")))
+      .toDF("s", "t")
+    val bcast = Graph.pageRank(edges, "s", "t", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val shuffle = Graph.pageRank(edges, "s", "t", iterations = 3,
+        broadcastNodes = 0L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bcast === shuffle)
+  }
 }

@@ -34,6 +34,22 @@ class SketchSpec extends SparkSpec {
     assert(a.getDouble(4) === b.getDouble(4))
   }
 
+  test("kmvDistinct matches the legacy distinct+orderBy+limit carrier digest-for-digest") {
+    // the r18 BottomKDistinct aggregate must keep EXACTLY the digests
+    // the three-stage carrier kept: k smallest distinct md5s per column
+    val df = (0 until 4000).map(i => (i % 613, s"t${i % 997}"))
+      .toDF("a", "b").repartition(16)
+    val k = 128
+    val got = Sketch.kmvDistinct(df, Seq("a", "b"), k)
+      .collect().map(r => r.getString(0) -> (r.getInt(2), r.getString(3))).toMap
+    for (c <- Seq("a", "b")) {
+      val legacy = df.select(md5(col(c).cast("string").cast("binary")).as("h"))
+        .filter(col("h").isNotNull).distinct().orderBy("h").limit(k)
+        .agg(count(lit(1)).cast("int"), max(col("h"))).collect()(0)
+      assert(got(c) === ((legacy.getInt(0), legacy.getString(1))), s"col $c")
+    }
+  }
+
   test("kmvDistinct excludes nulls and handles all-null columns") {
     val df = Seq((Some(1), Option.empty[String]), (None, None), (Some(2), None))
       .toDF("a", "b")
