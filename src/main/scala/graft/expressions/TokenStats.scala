@@ -261,3 +261,94 @@ object TokenStats {
     t
   }
 }
+
+/** The curation-pipeline triple (lang, quality, n_tokens) computed
+  * INSIDE the kernel from one [[TokenStats]] scan — every field is the
+  * same IEEE double / CASE arithmetic the `TextAnalysis.*FromStats`
+  * Catalyst forms evaluate (multiply-adds in the identical order, no
+  * fused operations on either side), so the values are bit-equal
+  * (parity spec'd).
+  *
+  * Why this exists when the `FromStats` composition is already one
+  * scan: in the STREAMING curate stage Catalyst pushes the
+  * quality/lang predicates down through the projection, substituting
+  * the full score expressions — ~30 `getField(TokenStats(...))`
+  * references — into one whole-stage-codegen consume function, which
+  * crossed the JVM's 64 KB method limit and dropped the entire stage
+  * to interpreted mode (observed r18; batch curate is shielded by its
+  * localCheckpoint barrier). With the scores computed in-kernel a
+  * pushed-down predicate carries ~4 small subtrees instead.
+  *
+  * `stopLists` must be the four curation language lists in
+  * en/de/es/fr precedence order (en doubles as the quality evidence
+  * list, index 0). */
+case class TokenCurateStats(child: Expression, stopLists: Seq[Seq[String]])
+  extends UnaryExpression {
+  require(stopLists.length == 4,
+    s"TokenCurateStats needs the 4 en/de/es/fr stop lists, got ${stopLists.length}")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_token_curate_stats requires a string argument, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("quality", DoubleType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false)))
+
+  override def prettyName: String = "graft_token_curate_stats"
+
+  @transient private lazy val inner = TokenStats(child, stopLists)
+
+  def compute(s: UTF8String): GenericInternalRow = {
+    val st = inner.compute(s)
+    val nChars = st.getInt(0)
+    val nPunct = st.getInt(1)
+    val nTokens = st.getInt(2)
+    val sumLen = st.getLong(3)
+    val hasCjk = st.getBoolean(5)
+    val stops = st.getArray(6)
+    val en = stops.getInt(0); val de = stops.getInt(1)
+    val es = stops.getInt(2); val fr = stops.getInt(3)
+
+    // qualityFromStats, operation for operation
+    val ntD = nTokens.toDouble
+    val lenOk = if (ntD >= 10.0 && ntD <= 10000.0) 1.0 else 0.0
+    val mtl = if (nTokens == 0) 0.0 else sumLen.toDouble / nTokens
+    val shapeOk = if (mtl >= 2.0 && mtl <= 12.0) 1.0 else 0.0
+    val pRatio = if (nChars == 0) 0.0 else nPunct.toDouble / nChars
+    val punctOk = if (pRatio <= 0.2) 1.0 else 0.0
+    val sRatio = if (nTokens == 0) 0.0 else en.toDouble / nTokens
+    val stopOk = if (sRatio >= 0.01) 1.0 else 0.0
+    val quality = lenOk * 0.3 + shapeOk * 0.3 + punctOk * 0.2 + stopOk * 0.2
+
+    // langIdFromStats' CASE ladder
+    val lang =
+      if (hasCjk) "zh"
+      else if (en == 0 && de == 0 && es == 0 && fr == 0) "und"
+      else if (en >= de && en >= es && en >= fr) "en"
+      else if (de >= es && de >= fr) "de"
+      else if (es >= fr) "es"
+      else "fr"
+
+    val row = new GenericInternalRow(3)
+    row.update(0, UTF8String.fromString(lang))
+    row.setDouble(1, quality)
+    row.setInt(2, nTokens)
+    row
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenCurateStats", this,
+      classOf[TokenCurateStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCurateStats =
+    copy(child = newChild)
+}

@@ -115,21 +115,20 @@ object Curation {
     // shuffle key (~34 copies in the optimized plan, measured). The
     // cleaned/featured frame is also the stage output a production
     // pipeline persists between curation steps.
-    // One fused token-stats pass (r18): lang + quality + n_tokens all
-    // derive from ONE projected TokenStats column (en at index 0 serves
-    // the quality fields, the four lists + CJK flag serve langId) —
-    // CollapseProject never inlines a non-cheap alias into multiple
-    // consumers, so the kernel runs exactly once per row where the HOF
-    // chains tokenized the cleaned text ~6x.
+    // One fused in-kernel curation triple per row (r18): lang + quality
+    // + n_tokens from a single [[TextAnalysis.tokenCurateStats]] call
+    // (bit-equal to the score-ladder composition, parity spec'd) —
+    // the HOF chains tokenized the cleaned text ~6x; the kernel scans
+    // its bytes once and the consumers are cheap getFields.
     val cleaned = df.select(col(idCol).as("id"),
       TextAnalysis.redactPii(TextAnalysis.stripMarkup(col(textCol)))
         .as("text_clean"))
-      .withColumn("__st", TextAnalysis.tokenStatsLangs(col("text_clean")))
-      .withColumn("lang", TextAnalysis.langIdFromStats(col("__st")))
-      .withColumn("quality", TextAnalysis.qualityFromStats(col("__st")))
+      .withColumn("__cs", TextAnalysis.tokenCurateStats(col("text_clean")))
+      .withColumn("lang", col("__cs").getField("lang"))
+      .withColumn("quality", col("__cs").getField("quality"))
       .withColumn("n_tokens",
-        col("__st").getField("n_tokens").cast("long"))
-      .drop("__st")
+        col("__cs").getField("n_tokens").cast("long"))
+      .drop("__cs")
       .localCheckpoint()
     val filtered = cleaned
       .filter(cfg.lang.map(l => col("lang") === l).getOrElse(lit(true)))

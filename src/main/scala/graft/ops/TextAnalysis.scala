@@ -107,6 +107,20 @@ object TextAnalysis {
   def tokenStatsLangs(c: Column): Column =
     tokenStats(c, LangOrder.map(stopwords))
 
+  /** The curation triple struct(lang, quality, n_tokens) computed
+    * in-kernel ([[graft.expressions.TokenCurateStats]]) — bit-equal to
+    * `langIdFromStats`/`qualityFromStats`/`getField(n_tokens)` over
+    * [[tokenStatsLangs]], but each consumer is a CHEAP getField, so a
+    * predicate pushed down through the projection (the streaming
+    * curate stage, where no checkpoint barrier exists) inlines ~4
+    * small subtrees instead of the ~30-reference score ladders that
+    * overflowed the 64 KB codegen method limit. */
+  def tokenCurateStats(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.TokenCurateStats(
+      GraftColumnBridge.expression(c.cast("string")), LangOrder.map(stopwords)))
+  }
+
   /** `punctRatio` from a projected stats column. */
   def punctRatioFromStats(st: Column): Column = {
     val n = st.getField("n_chars")

@@ -223,17 +223,21 @@ object StreamingProfile {
                         graft.ops.Curation.CurationConfig(),
                       watermark: String = "2 hours"): DataFrame = {
     import graft.ops.{Sampling, TextAnalysis}
-    // one fused TokenStats pass per row (r18) — same rewrite as the
-    // batch curate: lang/quality/n_tokens from a single projected column
+    // one fused in-kernel curation triple per row (r18): lang, quality
+    // and n_tokens are plain getFields, so the quality/lang predicates
+    // Catalyst pushes down into this stage stay SMALL — the projected
+    // score-ladder form overflowed the 64 KB codegen method limit here
+    // (no checkpoint barrier on a stream) and dropped the whole stage
+    // to interpreted mode
     val cleaned = docs.select(col(tsCol).as("ts"), col(idCol).as("id"),
       TextAnalysis.redactPii(TextAnalysis.stripMarkup(col(textCol)))
         .as("text_clean"))
-      .withColumn("__st", TextAnalysis.tokenStatsLangs(col("text_clean")))
-      .withColumn("lang", TextAnalysis.langIdFromStats(col("__st")))
-      .withColumn("quality", TextAnalysis.qualityFromStats(col("__st")))
+      .withColumn("__cs", TextAnalysis.tokenCurateStats(col("text_clean")))
+      .withColumn("lang", col("__cs").getField("lang"))
+      .withColumn("quality", col("__cs").getField("quality"))
       .withColumn("n_tokens",
-        col("__st").getField("n_tokens").cast("long"))
-      .drop("__st")
+        col("__cs").getField("n_tokens").cast("long"))
+      .drop("__cs")
     val filtered = cleaned
       .filter(cfg.lang.map(l => col("lang") === l)
         .getOrElse(org.apache.spark.sql.functions.lit(true)))

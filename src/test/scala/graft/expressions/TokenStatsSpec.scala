@@ -160,6 +160,36 @@ class TokenStatsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("TokenCurateStats triple bit-equal to the FromStats composition (and null-safe)") {
+    val st = TextAnalysis.tokenStatsLangs(col("s"))
+    val cs = TextAnalysis.tokenCurateStats(col("s"))
+    val rnd = new scala.util.Random(20)
+    val alphabet = "abcXYZ019 .,!?éü日本Kİ一\t"
+    val edge = Seq(
+      // exact quality-band boundaries: 10/10000 tokens, mtl 2.0/12.0,
+      // punct ratio at 0.2, stopword ratio at 0.01
+      Seq.fill(10)("ab").mkString(" "), Seq.fill(9)("ab").mkString(" "),
+      ("the " + Seq.fill(99)("xy").mkString(" ")),
+      "aaaa.", "aaaaaaaa..", // punct ratio 0.2 exactly at len 5 n_punct 1
+      "el la de que y en un los se no", // es==... ties vs en=0
+      "der die le les el la the a")     // cross-language tie-breaks
+    val randoms = Seq.fill(400)(
+      (0 until rnd.nextInt(80)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val rows = (fixed ++ edge ++ randoms).toDF("s").select(
+      cs.getField("lang"), TextAnalysis.langIdFromStats(st),
+      cs.getField("quality"), TextAnalysis.qualityFromStats(st),
+      cs.getField("n_tokens"), st.getField("n_tokens")).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) === r.getString(1))
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))
+      assert(r.getInt(4) === r.getInt(5))
+    }
+    val nulls = Seq(Option.empty[String]).toDF("s")
+      .select(TextAnalysis.tokenCurateStats(col("s"))).collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
   test("non-[a-z0-9] stop terms are inert in both forms (dropped at build == never-matching isin)") {
     val odd = Seq(Seq("the", "Naïve", "The", "", "a1"), Seq("café", "42"))
     val st = TextAnalysis.tokenStats(col("s"), odd)
