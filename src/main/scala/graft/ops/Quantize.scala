@@ -128,7 +128,11 @@ object Quantize {
               checkpointEvery: Int = 2): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
-    val sub = subvectors(df, idCol, vecCol, m, subDim)
+    // every Lloyd round runs an m*k-way L2 argmin per subvector on this
+    // frame's partitioning — floor it to the session parallelism when
+    // the corpus arrives as one or two parquet splits (identity at scale)
+    val sub = Similarity.denseFloor(
+      subvectors(df, idCol, vecCol, m, subDim), "id")
     var codebook = subvectors(
         df.orderBy(col(idCol)).limit(k), idCol, vecCol, m, subDim)
       .select(col("subspace"), col("id").as("centroid_id"),
@@ -161,7 +165,8 @@ object Quantize {
     * raw vectors can be dropped after this projection. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                codebook: DataFrame, dim: Int, m: Int): DataFrame =
-    assignCodes(subvectors(df, idCol, vecCol, m, dim / m), codebook)
+    assignCodes(Similarity.denseFloor(
+        subvectors(df, idCol, vecCol, m, dim / m), "id"), codebook)
       .select(col("id"), col("subspace"), col("code"))
 
   /** PQ ANN via asymmetric distance computation (ADC): per query,
@@ -246,8 +251,10 @@ object Quantize {
     val cells = cv.orderBy(col("id")).limit(nCells)
       .select(col("id").as("cell_id"), col("__v").as("ccv"))
     // corpus → cell: broadcast the (tiny) centroid table, map-side
-    // argmin per vector — one narrow agg keyed on the corpus id
-    val assigned = cv.crossJoin(broadcast(cells))
+    // argmin per vector — one narrow agg keyed on the corpus id;
+    // the argmin runs nCells L2s per corpus row on cv's partitioning,
+    // so floor it (identity at scale)
+    val assigned = Similarity.denseFloor(cv, "id").crossJoin(broadcast(cells))
       .withColumn("__d2", l2sq(col("__v"), col("ccv")))
       .groupBy("id")
       .agg(min_by(col("cell_id"), struct(col("__d2"), col("cell_id"))).as("cell"))
@@ -336,9 +343,10 @@ object Quantize {
     val qv = queries.filter(col(qVecCol).isNotNull)
       .select(col(qIdCol).as("query_id"),
         transform(col(qVecCol), _.cast("double")).as("__qv"))
-    val cv = corpus.filter(col(cVecCol).isNotNull)
-      .select(col(cIdCol).as("neighbor_id"),
-        transform(col(cVecCol), _.cast("double")).as("__cv"))
+    val cv = Similarity.denseFloor(
+      corpus.filter(col(cVecCol).isNotNull)
+        .select(col(cIdCol).as("neighbor_id"),
+          transform(col(cVecCol), _.cast("double")).as("__cv")), "neighbor_id")
     // exact side's top-k on the same bounded heap as the ADC side
     // (sim = −d2 ⇒ the window's (d2 ASC, id ASC) order exactly)
     val exact = Similarity.topKFromScored(
@@ -376,8 +384,9 @@ object Quantize {
           lit(0L), _ + _).as(p + "n"))
     val qs = prep(queries, qIdCol, qVecCol, "query_id", "q_")
       .filter(col("q_n") > 0)
-    val cs = prep(corpus, cIdCol, cVecCol, "neighbor_id", "c_")
-      .filter(col("c_n") > 0)
+    val cs = Similarity.denseFloor(
+      prep(corpus, cIdCol, cVecCol, "neighbor_id", "c_")
+        .filter(col("c_n") > 0), "neighbor_id")
     val dot = aggregate(
       zip_with(col("q_q"), col("c_q"), (a, b) => a.cast("long") * b.cast("long")),
       lit(0L), _ + _)

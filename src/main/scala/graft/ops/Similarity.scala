@@ -80,6 +80,23 @@ object Similarity {
     df.select(col(idCol).as(id), transform(col(vecCol), _.cast("double")).as(v))
       .withColumn(n, normNative(col(v)))
 
+  /** Raise a compute-dense scan's parallelism to the session default
+    * when the source supplies fewer partitions. The brute/ADC/assign
+    * kernels run O(|Q|) dot products PER CORPUS ROW inside a
+    * broadcast join that inherits the scan's partitioning — a corpus
+    * that arrives as one or two parquet splits (row-group-bounded, so
+    * `files.maxPartitionBytes` cannot split further) serializes the
+    * whole scoring loop on as many cores. At production scale the
+    * scan supplies >= cores splits and this is the identity; the
+    * repartition hashes on the id column (no round-robin pre-sort),
+    * and every consumer below is partition-invariant (per-row scores,
+    * mergeable bounded-heap top-k with deterministic tie-breaks). */
+  private[ops] def denseFloor(df: DataFrame, keyCol: String): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want, col(keyCol))
+    else df
+  }
+
   /** sim = dot/(na*nb) with precomputed norms — same expression shape
     * (sqrt'd norms multiplied, then one division) as [[cosine]]. */
   private[ops] def pairSim(va: Column, vb: Column, na: Column, nb: Column): Column =
@@ -92,7 +109,8 @@ object Similarity {
                      k: Int): DataFrame = {
     val joined = withNorm(queries, qId, qVec, "query_id", "__qv", "__qn")
       .hint("broadcast")
-      .crossJoin(withNorm(corpus, cId, cVec, "neighbor_id", "__cv", "__cn"))
+      .crossJoin(denseFloor(
+        withNorm(corpus, cId, cVec, "neighbor_id", "__cv", "__cn"), "neighbor_id"))
       .withColumn("sim", pairSim(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w))
@@ -108,7 +126,8 @@ object Similarity {
                           k: Int): DataFrame = {
     val scored = withNorm(queries, qId, qVec, "query_id", "__qv", "__qn")
       .hint("broadcast")
-      .crossJoin(withNorm(corpus, cId, cVec, "neighbor_id", "__cv", "__cn"))
+      .crossJoin(denseFloor(
+        withNorm(corpus, cId, cVec, "neighbor_id", "__cv", "__cn"), "neighbor_id"))
       .withColumn("sim", pairSim(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
       .select("query_id", "neighbor_id", "sim")
     topKFromScored(scored, k)
@@ -356,7 +375,11 @@ object Similarity {
               k: Int, nCentroids: Int = 16, nprobe: Int = 4,
               kmeansIterations: Int = 0): DataFrame = {
     val centroids = centroidsFor(corpus, cId, cVec, nCentroids, kmeansIterations)
-    val assigned = assignToCentroid(corpus, cId, cVec, centroids, "centroid_id", "cv")
+    // the assignment argmin and the probe-cell scoring below both run
+    // O(centroids)/O(queries) dot products per corpus row on the
+    // corpus's own partitioning — floor it (identity at scale)
+    val assigned = assignToCentroid(denseFloor(corpus, cId),
+      cId, cVec, centroids, "centroid_id", "cv")
     // query → its nprobe nearest centroids. A MAP-SIDE group-top, not
     // a rank window: the window form shuffled |Q|·K rows EACH CARRYING
     // the query vector through a per-query sort (r14 q195 receipt:

@@ -1244,6 +1244,41 @@ object Probe {
       println(qs(q)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
+    // ivf-split: where does the q235 lifecycle wall go? build (seed +
+    // assign + write), append (repair + alloc + assign + write),
+    // driftReport, rebuild (kmeans + staged swap), search.
+    names.filter(_ == "ivf-split").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      def tt[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"IVF-SPLIT $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      (1 to 2).foreach { run =>
+        println(s"IVF-SPLIT run $run")
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val corpus = e.filter(col("vec_id") >= 5)
+        val cut = tt("cut agg")(
+          corpus.agg(expr("(max(vec_id) + 1) DIV 2")).collect()(0).getLong(0))
+        val scratch = java.nio.file.Files.createTempDirectory("graft_ivfsplit_").toFile
+        try {
+          val path = s"${scratch.getAbsolutePath}/idx"
+          tt("build")(graft.ops.IvfIndex.build(
+            corpus.filter(col("vec_id") < cut), "vec_id", "embedding",
+            path, nCells = 16))
+          tt("append")(graft.ops.IvfIndex.append(spark, path,
+            corpus.filter(col("vec_id") >= cut), "vec_id", "embedding"))
+          tt("driftReport")(graft.ops.IvfIndex.driftReport(spark, path,
+            threshold = 0.2).write.format("noop").mode("overwrite").save())
+          tt("rebuild")(graft.ops.IvfIndex.rebuild(spark, path,
+            nCells = 16, kmeansIterations = 2))
+          tt("search")(graft.ops.IvfIndex.search(spark, path,
+              e.filter(col("vec_id") < 5), "vec_id", "embedding",
+              k = 10, nprobe = 4)
+            .write.format("noop").mode("overwrite").save())
+        } finally org.apache.commons.io.FileUtils.deleteQuietly(scratch): Unit
+      }
+    }
     // q83-split: where does pageRank's sf1 wall go? edge distinct+cut,
     // degree join cut, node count, then each MM round.
     names.filter(_ == "q83-split").foreach { _ =>
