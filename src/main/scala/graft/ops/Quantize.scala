@@ -130,9 +130,13 @@ object Quantize {
     val subDim = dim / m
     // every Lloyd round runs an m*k-way L2 argmin per subvector on this
     // frame's partitioning — floor it to the session parallelism when
-    // the corpus arrives as one or two parquet splits (identity at scale)
-    val sub = Similarity.denseFloor(
-      subvectors(df, idCol, vecCol, m, subDim), "id")
+    // the corpus arrives as one or two parquet splits (identity at
+    // scale). At iterations = 0 the loop never evaluates `sub`, so skip
+    // even the floor's partition probe.
+    val sub =
+      if (iterations > 0)
+        Similarity.denseFloor(subvectors(df, idCol, vecCol, m, subDim), "id")
+      else subvectors(df, idCol, vecCol, m, subDim)
     var codebook = subvectors(
         df.orderBy(col(idCol)).limit(k), idCol, vecCol, m, subDim)
       .select(col("subspace"), col("id").as("centroid_id"),
@@ -165,8 +169,13 @@ object Quantize {
     * raw vectors can be dropped after this projection. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                codebook: DataFrame, dim: Int, m: Int): DataFrame =
-    assignCodes(Similarity.denseFloor(
-        subvectors(df, idCol, vecCol, m, dim / m), "id"), codebook)
+    // NO denseFloor here: the persisted-index writers (IvfIndex
+    // buildPq/appendPq) feed this straight into a partitioned parquet
+    // write, where extra tasks mean extra files per (gen, cell) dir —
+    // measured +1.5 s on q232's append lifecycle when the floor leaked
+    // in. The transient ADC scorers floor the RESULT at their call
+    // sites instead.
+    assignCodes(subvectors(df, idCol, vecCol, m, dim / m), codebook)
       .select(col("id"), col("subspace"), col("code"))
 
   /** PQ ANN via asymmetric distance computation (ADC): per query,
@@ -189,7 +198,10 @@ object Quantize {
                 dim: Int, m: Int, k: Int, iterations: Int,
                 topK: Int): DataFrame = {
     val codebook = pqTrain(corpus, cIdCol, cVecCol, dim, m, k, iterations)
-    val codes = pqEncode(corpus, cIdCol, cVecCol, codebook, dim, m)
+    // transient scoring input: floor the code frame here (NOT inside
+    // pqEncode, which also feeds the persisted-index writers)
+    val codes = Similarity.denseFloor(
+      pqEncode(corpus, cIdCol, cVecCol, codebook, dim, m), "id")
     val dtab = adcTables(queries, qIdCol, qVecCol, codebook, m, dim / m)
     // final top-k on the mergeable bounded heap (r17): ascending ADC
     // distance rides the heap's (sim DESC, id ASC) order as sim =
@@ -259,7 +271,10 @@ object Quantize {
       .groupBy("id")
       .agg(min_by(col("cell_id"), struct(col("__d2"), col("cell_id"))).as("cell"))
     val codebook = pqTrain(corpus, cIdCol, cVecCol, dim, m, k, iterations)
-    val codes = pqEncode(corpus, cIdCol, cVecCol, codebook, dim, m)
+    // transient scoring input: floor the code frame here (NOT inside
+    // pqEncode, which also feeds the persisted-index writers)
+    val codes = Similarity.denseFloor(
+      pqEncode(corpus, cIdCol, cVecCol, codebook, dim, m), "id")
     val dtab = adcTables(queries, qIdCol, qVecCol, codebook, m, dim / m)
     // query → its nProbe nearest cells (same broadcast centroid table).
     // Probe pick on the mergeable bounded heap when cell ids are
