@@ -128,15 +128,7 @@ object Quantize {
               checkpointEvery: Int = 2): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
-    // every Lloyd round runs an m*k-way L2 argmin per subvector on this
-    // frame's partitioning — floor it to the session parallelism when
-    // the corpus arrives as one or two parquet splits (identity at
-    // scale). At iterations = 0 the loop never evaluates `sub`, so skip
-    // even the floor's partition probe.
-    val sub =
-      if (iterations > 0)
-        Similarity.denseFloor(subvectors(df, idCol, vecCol, m, subDim), "id")
-      else subvectors(df, idCol, vecCol, m, subDim)
+    val sub = subvectors(df, idCol, vecCol, m, subDim)
     var codebook = subvectors(
         df.orderBy(col(idCol)).limit(k), idCol, vecCol, m, subDim)
       .select(col("subspace"), col("id").as("centroid_id"),
@@ -198,10 +190,7 @@ object Quantize {
                 dim: Int, m: Int, k: Int, iterations: Int,
                 topK: Int): DataFrame = {
     val codebook = pqTrain(corpus, cIdCol, cVecCol, dim, m, k, iterations)
-    // transient scoring input: floor the code frame here (NOT inside
-    // pqEncode, which also feeds the persisted-index writers)
-    val codes = Similarity.denseFloor(
-      pqEncode(corpus, cIdCol, cVecCol, codebook, dim, m), "id")
+    val codes = pqEncode(corpus, cIdCol, cVecCol, codebook, dim, m)
     val dtab = adcTables(queries, qIdCol, qVecCol, codebook, m, dim / m)
     // final top-k on the mergeable bounded heap (r17): ascending ADC
     // distance rides the heap's (sim DESC, id ASC) order as sim =
@@ -263,18 +252,17 @@ object Quantize {
     val cells = cv.orderBy(col("id")).limit(nCells)
       .select(col("id").as("cell_id"), col("__v").as("ccv"))
     // corpus → cell: broadcast the (tiny) centroid table, map-side
-    // argmin per vector — one narrow agg keyed on the corpus id;
-    // the argmin runs nCells L2s per corpus row on cv's partitioning,
-    // so floor it (identity at scale)
-    val assigned = Similarity.denseFloor(cv, "id").crossJoin(broadcast(cells))
+    // argmin per vector — one narrow agg keyed on the corpus id.
+    // (NO denseFloor: the argmin is light per row and the r18 closing
+    // burst measured the floor net-negative on this family — see
+    // Similarity.ivfTopK's note; the floor stays only on the truly
+    // dense brute-force/int8/exact-audit kernels.)
+    val assigned = cv.crossJoin(broadcast(cells))
       .withColumn("__d2", l2sq(col("__v"), col("ccv")))
       .groupBy("id")
       .agg(min_by(col("cell_id"), struct(col("__d2"), col("cell_id"))).as("cell"))
     val codebook = pqTrain(corpus, cIdCol, cVecCol, dim, m, k, iterations)
-    // transient scoring input: floor the code frame here (NOT inside
-    // pqEncode, which also feeds the persisted-index writers)
-    val codes = Similarity.denseFloor(
-      pqEncode(corpus, cIdCol, cVecCol, codebook, dim, m), "id")
+    val codes = pqEncode(corpus, cIdCol, cVecCol, codebook, dim, m)
     val dtab = adcTables(queries, qIdCol, qVecCol, codebook, m, dim / m)
     // query → its nProbe nearest cells (same broadcast centroid table).
     // Probe pick on the mergeable bounded heap when cell ids are

@@ -375,11 +375,14 @@ object Similarity {
               k: Int, nCentroids: Int = 16, nprobe: Int = 4,
               kmeansIterations: Int = 0): DataFrame = {
     val centroids = centroidsFor(corpus, cId, cVec, nCentroids, kmeansIterations)
-    // the assignment argmin and the probe-cell scoring below both run
-    // O(centroids)/O(queries) dot products per corpus row on the
-    // corpus's own partitioning — floor it (identity at scale)
-    val assigned = assignToCentroid(denseFloor(corpus, cId),
-      cId, cVec, centroids, "centroid_id", "cv")
+    // NO denseFloor on the assignment: its per-row work is one
+    // O(nCentroids) argmin (light), and the cell scoring below runs
+    // post-shuffle anyway — the r18 closing burst measured the floor
+    // NET-NEGATIVE here (q30 +34%, q195 +28% pooled medians: probe +
+    // exchange overhead for no loop to parallelize). The floor pays
+    // only on the truly dense |Q|·|C| kernels (bruteForceTopK family).
+    val assigned = assignToCentroid(corpus, cId, cVec, centroids,
+      "centroid_id", "cv")
     // query → its nprobe nearest centroids. A MAP-SIDE group-top, not
     // a rank window: the window form shuffled |Q|·K rows EACH CARRYING
     // the query vector through a per-query sort (r14 q195 receipt:
